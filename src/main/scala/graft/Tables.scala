@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Always read via these helpers so every query hits the parquet scans with
+  * explicit paths; Catalyst handles column pruning / predicate pushdown from
+  * the declarative plans built on top.
+  */
+object Tables {
+  def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame = load(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = load(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame = load(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame = load(s, dir, "region")
+
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    * rejects; with spark.sql.legacy.parquet.nanosAsLong (set by
+    * [[GraftSession]]) it arrives as a long, converted here to a
+    * microsecond timestamp (floor division — matches DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast used in the oracle SQL).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = load(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+
+  def load(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+}
