@@ -1,0 +1,101 @@
+package graft.functions
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+
+/** Recursive character text splitter.
+  *
+  * Re-implements the published recursive-split-with-overlap algorithm the
+  * reference uses via langchain (ingestion/chunking.py:12-62,
+  * RecursiveCharacterTextSplitter semantics with keep_separator=true,
+  * strip_whitespace=true): pick the first separator present in the text,
+  * split keeping the separator attached to the following piece, recurse into
+  * oversize pieces with the remaining separators, then greedily re-merge
+  * adjacent pieces into chunks of at most `chunkSize` chars carrying
+  * `chunkOverlap` chars of trailing context into the next chunk.
+  *
+  * Pure function — used inside per-document ingest folds and exploded into
+  * fragment rows; chunk boundaries depend only on the input string, so the
+  * operator is deterministic under any partitioning.
+  */
+final class Chunker(
+    chunkSize: Int = 600,
+    chunkOverlap: Int = 100,
+    separators: Seq[String] = Seq("\n\n", "\n", " ", "")) {
+
+  def chunk(text: String): Seq[String] =
+    if (text == null || text.trim.isEmpty) Nil
+    else splitText(text, separators).filter(_.trim.nonEmpty)
+
+  private def splitText(text: String, seps: Seq[String]): Seq[String] = {
+    val finalChunks = new ArrayBuffer[String]
+    var separator = seps.last
+    var newSeparators: Seq[String] = Nil
+    val it = seps.iterator.zipWithIndex
+    var done = false
+    while (it.hasNext && !done) {
+      val (s, i) = it.next()
+      if (s.isEmpty) { separator = s; done = true }
+      else if (text.contains(s)) {
+        separator = s; newSeparators = seps.drop(i + 1); done = true
+      }
+    }
+
+    val splits = splitKeepingSeparator(text, separator)
+    val goodSplits = new ArrayBuffer[String]
+    for (s <- splits) {
+      if (s.length < chunkSize) goodSplits += s
+      else {
+        if (goodSplits.nonEmpty) {
+          finalChunks ++= mergeSplits(goodSplits.toSeq); goodSplits.clear()
+        }
+        if (newSeparators.isEmpty) finalChunks += s
+        else finalChunks ++= splitText(s, newSeparators)
+      }
+    }
+    if (goodSplits.nonEmpty) finalChunks ++= mergeSplits(goodSplits.toSeq)
+    finalChunks.toSeq
+  }
+
+  /** Split on `sep`, attaching each separator occurrence as a prefix of the
+    * following piece (keep_separator="start" semantics); empty pieces drop.
+    */
+  private def splitKeepingSeparator(text: String, sep: String): Seq[String] = {
+    if (sep.isEmpty) return text.map(_.toString)
+    val parts = Pattern.compile(sep, Pattern.LITERAL).split(text, -1)
+    val out = new ArrayBuffer[String](parts.length)
+    var i = 0
+    for (p <- parts) {
+      val piece = if (i == 0) p else sep + p
+      if (piece.nonEmpty) out += piece
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Greedy window merge with overlap carry (separator is "" because the
+    * separators stay attached to the pieces).
+    */
+  private def mergeSplits(splits: Seq[String]): Seq[String] = {
+    val docs = new ArrayBuffer[String]
+    var current = Vector.empty[String]
+    var total = 0
+    for (d <- splits) {
+      val len = d.length
+      if (total + len > chunkSize && current.nonEmpty) {
+        val joined = current.mkString.trim
+        if (joined.nonEmpty) docs += joined
+        while (total > chunkOverlap ||
+          (total + len > chunkSize && total > 0)) {
+          total -= current.head.length
+          current = current.tail
+        }
+      }
+      current :+= d
+      total += len
+    }
+    val joined = current.mkString.trim
+    if (joined.nonEmpty) docs += joined
+    docs.toSeq
+  }
+}

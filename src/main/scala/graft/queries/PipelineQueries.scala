@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.embedding.OfflineEmbedder
+import graft.ingest.IngestPipeline
+import graft.ingest.IngestPipeline.DocInput
+
+/** The document-intelligence pipeline (SURVEY.md §2.1/§2.8/§2.9) run as
+  * catalog queries over the `documents` testdata table, treating each row's
+  * text as one source file.
+  *
+  * These stages (parse → unitize → concepts/fragments → parents → embed)
+  * are order-sensitive per-document folds, not SQL — so they carry no
+  * DuckDB oracle; the driver records rows>0 and the ScalaTest suite pins
+  * their semantics against reference-generated fixtures. The whole lineage
+  * is one narrow mapPartitions stage: no shuffle at any scale.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def inputs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => DocInput(s"synthetic/$id.txt", text, isOcr = false) }
+  }
+
+  /** G1+G2 — fragments with hierarchy ids, views, roles. */
+  private val p1Fragments: Q = (s, dir) => {
+    val processed = IngestPipeline.process(inputs(s, dir))
+    IngestPipeline.fragments(processed).toDF()
+      .select(col("document_id"), col("id").as("fragment_id"),
+        col("concept_id"), col("view"), col("order"), col("unit_role"),
+        length(col("content")).as("content_len"))
+      .orderBy(col("document_id"), col("concept_id"), col("order"))
+  }
+
+  /** G5 — synthesized parent contexts. */
+  private val p2Parents: Q = (s, dir) => {
+    val processed = IngestPipeline.process(inputs(s, dir))
+    IngestPipeline.parents(processed).toDF()
+      .select(col("parent_id"), col("document_id"), col("order"),
+        length(col("content")).as("content_len"))
+      .orderBy(col("document_id"), col("order"))
+  }
+
+  /** F3+E1 — eligibility-filtered, batch-embedded, doc_id-deduped. */
+  private val p3Embeddings: Q = (s, dir) => {
+    val processed = IngestPipeline.process(inputs(s, dir))
+    val frags = IngestPipeline.fragments(processed)
+    IngestPipeline.embeddings(frags, new OfflineEmbedder(64)).toDF()
+      .select(col("doc_id"), col("fragment_id"), col("parent_id"),
+        col("document_id"), col("view"), size(col("vector")).as("dim"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "p1_ingest_fragments" -> p1Fragments,
+    "p2_parent_synthesis" -> p2Parents,
+    "p3_embed_fragments" -> p3Embeddings)
+
+  /** Not SQL-expressible (stateful per-document folds) — no oracles. */
+  val oracles: Map[String, String] = Map.empty
+}

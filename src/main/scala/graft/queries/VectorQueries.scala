@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.search.VectorSearch
+
+/** Vector-search operators (SURVEY.md §2.5 T1-T3) on the `embeddings`
+  * testdata table, with exact DuckDB oracles.
+  *
+  * Oracle-parity rule for floats: similarity is computed with the same
+  * IEEE-754 operation sequence on both sides — element-wise float→double
+  * multiply, strict left-to-right summation (Spark `aggregate`, DuckDB
+  * `list_reduce`), then sqrt/divide — so results match bit-for-bit.
+  *
+  * Scale notes: the exact-KNN plan is scan → in-line score → per-partition
+  * top-k heap (TakeOrderedAndProject) — no shuffle, no global sort; batch
+  * KNN broadcasts the query set and answers N queries in ONE scan. The LSH
+  * bucketing (v3) is the 100 TB path: deterministic hyperplanes from md5
+  * mean buckets can be computed at write time and used as a partition
+  * column, turning ANN into partition pruning.
+  */
+object VectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Spark-side strict-order cosine — see [[VectorSearch.dot]]. */
+  private def cosine(a: Column, b: Column): Column = VectorSearch.cosine(a, b)
+
+  /** DuckDB-side identical arithmetic. */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)
+       | / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (acc, x) -> acc + x))
+       |  * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($b)+1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x))))""".stripMargin.replaceAll("\n", " ")
+
+  // T1/T2 — exact KNN: query vector = embedding of vec_id 0, top-10 by
+  // cosine. Plans as TakeOrderedAndProject over a single broadcast-joined
+  // scan. Reference: retrieval/search.py:99-124.
+  private val v1Knn: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("query_vec"))
+    e.crossJoin(broadcast(q))
+      .withColumn("similarity", cosine(col("embedding"), col("query_vec")))
+      .select(col("vec_id"), col("label"), col("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val v1Sql =
+    s"""SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.query_vec")} AS similarity
+       |FROM embeddings e, (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin
+
+  // T3 — batch KNN: 5 queries answered in one scan; per-query top-5 via a
+  // rank window. Reference: api/cli/quality.py:68-100 (45 serial KNNs).
+  private val v2BatchKnn: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val scored = e.crossJoin(broadcast(q))
+      .withColumn("similarity", cosine(col("embedding"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("similarity"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val v2Sql =
+    s"""SELECT query_id, rank, vec_id, similarity FROM (
+       |  SELECT q.query_id, e.vec_id, ${duckCosine("e.embedding", "q.query_vec")} AS similarity,
+       |    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY ${duckCosine("e.embedding", "q.query_vec")} DESC, e.vec_id) AS rank
+       |  FROM embeddings e, (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5) q) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---- v3: LSH bucketing (the ANN scale path) ----
+  // Deterministic pseudo-random hyperplanes: plane(p)[i] derives from
+  // md5("plane|p|i") → a 15-hex-digit integer → centered to [-0.5, 0.5].
+  // bucket = bit vector of sign(dot(embedding, plane)). Integer-derived
+  // plane components and strict-order dots keep both engines bit-identical.
+  private val NumPlanes = 8
+
+  /** dot(embedding, plane_p) with plane components generated in-line:
+    * component_i = hexint15(md5("plane|p|" + i)) / 2^59 - 0.5  (≈ [-0.5,0.5])
+    */
+  private def planeDot(vec: Column, p: Int): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+        x.cast("double") * (conv(substring(md5(
+          concat(lit(s"plane|$p|"), i.cast("string"))), 1, 15), 16, 10)
+          .cast("double") / lit(5.76460752303424e17) - lit(0.5))),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def duckPlaneDot(vec: String, p: Int): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($vec)+1),
+       | i -> $vec[i]::DOUBLE * (CAST('0x' || substr(md5('plane|$p|' || (i-1)), 1, 15) AS BIGINT)::DOUBLE / 5.76460752303424e17 - 0.5))), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
+
+  // v3 — LSH bucket histogram: 8 sign bits → bucket id; GROUP BY bucket.
+  // At scale the bucket id becomes a write-time partition column and ANN
+  // probes only matching buckets (partition pruning).
+  private val v3LshBuckets: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val bucket = (0 until NumPlanes).map { p =>
+      (when(planeDot(col("embedding"), p) >= 0, 1).otherwise(0) * (1 << p))
+    }.reduce(_ + _)
+    e.withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("bucket"))
+  }
+
+  private val v3Sql = {
+    val bucketExpr = (0 until NumPlanes).map { p =>
+      s"(CASE WHEN ${duckPlaneDot("embedding", p)} >= 0 THEN 1 ELSE 0 END * ${1 << p})"
+    }.mkString(" + ")
+    s"""SELECT ($bucketExpr) AS bucket, COUNT(*) AS n_vectors
+       |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  // v4 — embedding near-duplicate pairs with label blocking: pairs within
+  // the same label block scored by cosine, threshold 0.9. The block join
+  // keeps the pair count linear-ish instead of O(n²) — the 100 TB shape is
+  // "bucket by coarse key (LSH/IVF), compare within buckets".
+  private val v4NearDup: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"),
+      col("label"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"),
+      col("label"))
+    a.join(b, "label")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("similarity", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("similarity") > 0.9)
+      .select(col("label"), col("id_a"), col("id_b"), col("similarity"))
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  private val v4Sql =
+    s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${duckCosine("a.embedding", "b.embedding")} AS similarity
+       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${duckCosine("a.embedding", "b.embedding")} > 0.9
+       |ORDER BY label, id_a, id_b""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "v1_knn_exact" -> v1Knn,
+    "v2_knn_batch" -> v2BatchKnn,
+    "v3_lsh_buckets" -> v3LshBuckets,
+    "v4_embed_neardup" -> v4NearDup)
+
+  val oracles: Map[String, String] = Map(
+    "v1_knn_exact" -> v1Sql,
+    "v2_knn_batch" -> v2Sql,
+    "v3_lsh_buckets" -> v3Sql,
+    "v4_embed_neardup" -> v4Sql)
+}
