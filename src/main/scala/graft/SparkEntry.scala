@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, RelationalQueries, VectorQueries}
+import graft.queries.{DedupQueries, EventQueries, PipelineQueries, RelationalQueries, TextAnalysisQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,11 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ PipelineQueries.defs ++ VectorQueries.defs
+    RelationalQueries.defs ++ PipelineQueries.defs ++ VectorQueries.defs ++
+      DedupQueries.defs ++ TextAnalysisQueries.defs ++ EventQueries.defs
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ PipelineQueries.oracles ++ VectorQueries.oracles
+    RelationalQueries.oracles ++ PipelineQueries.oracles ++
+      VectorQueries.oracles ++ DedupQueries.oracles ++
+      TextAnalysisQueries.oracles ++ EventQueries.oracles
 }

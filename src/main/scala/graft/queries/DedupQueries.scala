@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextSketch
+import graft.functions.TextSketch.duck
+
+/** Deduplication operator suite over the `documents` table — the
+  * training-data-pipeline operators: exact hash dedup, MinHash signatures +
+  * LSH banding, SimHash, n-gram Jaccard verification, char fingerprints.
+  * Every query has an exact DuckDB oracle (all hashes derive from md5).
+  *
+  * 100 TB shapes:
+  *  - exact dedup = one hash-partitioned groupBy on a 128-bit digest —
+  *    shuffles digests, not documents;
+  *  - MinHash/SimHash sketches are narrow per-row map work computed once at
+  *    write time; candidate pairs come from equi-joins on band hashes
+  *    (shuffle keyed on 16-byte bands), never from O(n²) comparisons;
+  *  - Jaccard verification runs only within candidate buckets.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MinhashK = 8
+  private val BandRows = 2 // 4 bands × 2 rows
+  private val SimhashBits = 16
+  private val ShingleN = 3
+
+  // D1 — exact-duplicate census: total docs, distinct digests, dup groups.
+  private val d1Exact: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_rows"))
+
+  private val d1Sql =
+    """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique,
+      |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_rows
+      |FROM documents""".stripMargin
+
+  // D2 — MinHash signatures (k=8 over word 3-gram shingles), one row per
+  // document. At scale this is the write-time sketch column.
+  private val d2MinhashSig: Q = (s, dir) => {
+    val sh = TextSketch.shingles(col("text"), ShingleN)
+    val sig = TextSketch.minhashSignature(sh, MinhashK)
+    val cols = (0 until MinhashK).map(i =>
+      element_at(sig, i + 1).as(s"s$i"))
+    Tables.documents(s, dir)
+      .select((col("doc_id") +: cols): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val d2Sql = {
+    val w = duck.words("text")
+    val sh = duck.shingles(w, ShingleN)
+    val comps = (0 until MinhashK).map(i =>
+      s"${duck.minhashComponent(sh, i)} AS s$i").mkString(", ")
+    s"SELECT doc_id, $comps FROM documents ORDER BY doc_id"
+  }
+
+  // D3 — LSH candidate pairs: 4 bands of 2 signature rows; docs sharing any
+  // band hash become candidates; estimated similarity = matching signature
+  // fraction. The join key is the band hash — this is the scalable
+  // candidate generation (no cross join anywhere).
+  private val d3LshPairs: Q = (s, dir) => {
+    val sh = TextSketch.shingles(col("text"), ShingleN)
+    val sig = TextSketch.minhashSignature(sh, MinhashK)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), sig.as("sig"))
+    val bands = docs.select(col("doc_id"), col("sig"),
+      explode(array((0 until MinhashK / BandRows).map { b =>
+        struct(lit(b).as("band"),
+          TextSketch.bandHash(col("sig"), b * BandRows, (b + 1) * BandRows)
+            .as("band_hash"))
+      }: _*)).as("bh"))
+      .select(col("doc_id"), col("sig"), col("bh.band"), col("bh.band_hash"))
+    val a = bands.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = bands.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sig_a"), col("sig_b"))).cast("double") /
+          lit(MinhashK.toDouble)).as("est_sim"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB oracle for d3 built with a per-row band unnest. */
+  private val d3OracleSql: String = {
+    val w = duck.words("text")
+    val sh = duck.shingles(w, ShingleN)
+    val comps = (0 until MinhashK).map(i =>
+      s"${duck.minhashComponent(sh, i)} AS s$i").mkString(", ")
+    val bandStructs = (0 until MinhashK / BandRows).map { bd =>
+      val parts = (bd * BandRows until (bd + 1) * BandRows)
+        .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
+      s"{'band': $bd, 'band_hash': md5($parts)}"
+    }.mkString(", ")
+    s"""WITH sigs AS (SELECT doc_id, $comps FROM documents),
+       |bands AS (
+       |  SELECT doc_id, [s0,s1,s2,s3,s4,s5,s6,s7] AS sig,
+       |    u.b['band'] AS band, u.b['band_hash'] AS band_hash
+       |  FROM sigs, UNNEST([$bandStructs]) u(b)
+       |)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  len(list_intersect(a.sig, b.sig))::DOUBLE / $MinhashK AS est_sim
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // D4 — SimHash signatures (16-bit) + per-value collision census.
+  private val d4Simhash: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextSketch.simhash(col("text"), SimhashBits).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val d4Sql =
+    s"""SELECT doc_id, ${duck.simhash(duck.words("text"), SimhashBits)} AS simhash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // D5 — n-gram Jaccard verification on a bounded candidate set (doc_id
+  // < 40): the "verify within bucket" stage. Word-level sets (the corpus
+  // shares vocabulary, so overlaps are non-trivial).
+  private val d5Jaccard: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+    val a = docs.select(col("doc_id").as("id_a"),
+      TextSketch.words(col("text")).as("w_a"))
+    val b = docs.select(col("doc_id").as("id_b"),
+      TextSketch.words(col("text")).as("w_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jac", TextSketch.jaccard(col("w_a"), col("w_b")))
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val d5Sql = {
+    val wa = duck.words("a.text")
+    val wb = duck.words("b.text")
+    val jac =
+      s"""(CASE WHEN len(list_distinct(list_concat($wa, $wb))) = 0 THEN 0.0
+         | ELSE len(list_intersect(list_distinct($wa), list_distinct($wb)))::DOUBLE
+         |   / len(list_distinct(list_concat($wa, $wb)))::DOUBLE END)""".stripMargin.replaceAll("\n", " ")
+    s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jac AS jac
+       |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+       |WHERE a.doc_id < 40 AND b.doc_id < 40 AND $jac >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // D6 — char-16-gram rolling fingerprint per document.
+  private val d6Fingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextSketch.charFingerprint(col("text"), 16).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private val d6Sql =
+    s"""SELECT doc_id, ${duck.charFingerprint("text", 16)} AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "d1_exact_dedup" -> d1Exact,
+    "d2_minhash_sig" -> d2MinhashSig,
+    "d3_minhash_lsh_pairs" -> d3LshPairs,
+    "d4_simhash" -> d4Simhash,
+    "d5_jaccard_pairs" -> d5Jaccard,
+    "d6_char_fingerprint" -> d6Fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_minhash_sig" -> d2Sql,
+    "d3_minhash_lsh_pairs" -> d3OracleSql,
+    "d4_simhash" -> d4Sql,
+    "d5_jaccard_pairs" -> d5Sql,
+    "d6_char_fingerprint" -> d6Sql)
+}

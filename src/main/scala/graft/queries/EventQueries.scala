@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series operators over `events` — tumbling-window aggregation and
+  * gap-based sessionization. These are the batch twins of the Structured
+  * Streaming path in [[graft.streaming]]: the same logical windows/session
+  * semantics, so batch backfill and live streams agree.
+  *
+  * Scale: the window agg shuffles once on (window, event_type) — partial
+  * aggregation happens map-side; sessionization shuffles once on user_id
+  * and sorts within partitions (no global sort).
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** money-style exact decimal for order-independent double sums. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  // W2 — tumbling 1-hour windows per event type: counts + exact value sums.
+  private val w2Tumbling: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val w2Sql =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // W3 — gap-based sessionization (30-min inactivity ⇒ new session):
+  // classic lag + cumulative-sum session assignment, then per-user session
+  // stats. Mirrors mapGroupsWithState sessionization in streaming.
+  private val w3Sessions: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // integer microseconds on both sides — DuckDB's epoch() is fractional
+    val newSession =
+      when(unix_micros(col("ts")) -
+        lag(unix_micros(col("ts")), 1).over(byUser) > 1800L * 1000000L, 1)
+        .otherwise(0)
+    val runningSession = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("new_session", newSession)
+      .withColumn("session_idx", sum(col("new_session")).over(runningSession))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        floor((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) /
+          1000000L).cast("long").as("duration_sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("duration_sec")).as("max_session_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  private val w3Sql =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+      |      epoch_us(LAG(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |assigned AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM marked),
+      |sessions AS (
+      |  SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |    (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
+      |  FROM assigned GROUP BY user_id, session_idx)
+      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+      |  MAX(duration_sec) AS max_session_sec
+      |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "w2_tumbling_window" -> w2Tumbling,
+    "w3_sessionization" -> w3Sessions)
+
+  val oracles: Map[String, String] = Map(
+    "w2_tumbling_window" -> w2Sql,
+    "w3_sessionization" -> w3Sql)
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextSketch
+
+/** Text-analysis operators over `documents` — language ID (stopword-vote
+  * heuristic), quality scoring (length/punctuation/stopword/diversity
+  * ratios), token counting, per-language statistics. All narrow per-row map
+  * work + one partial hash-agg; every query carries an exact DuckDB oracle
+  * (ratios divide exact integer counts, so doubles match bit-for-bit).
+  */
+object TextAnalysisQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // Tiny distinctive stopword lists per language (public common words).
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "que", "un", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "nicht", "mit", "ist"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  private def words(c: Column): Column = TextSketch.words(c)
+
+  /** Count of tokens present in a fixed word list (int — order-free). */
+  private def voteCount(w: Column, list: Seq[String]): Column =
+    size(array_intersect_count(w, list))
+
+  // array_intersect dedupes; we want occurrence counts → filter.
+  private def array_intersect_count(w: Column, list: Seq[String]): Column =
+    filter(w, x => x.isin(list.map(lit): _*))
+
+  private def duckVote(w: String, list: Seq[String]): String = {
+    val arr = list.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter($w, x -> list_contains($arr, x)))"
+  }
+
+  // X1 — language ID by stopword vote; argmax with fixed tie-break order.
+  private val x1LangId: Q = (s, dir) => {
+    val w = words(col("text"))
+    val votes = stopwords.map { case (l, list) => l -> voteCount(w, list) }
+    // argmax via chained when: first language with the strictly-highest vote
+    val maxVote = votes.map(_._2).reduce((a, b) => greatest(a, b))
+    val guess = votes.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
+      when(v === maxVote && maxVote > 0 && acc === "unknown", lit(l)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .withColumn("guess", guess)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  private val x1Sql = {
+    val w = duck.wordsExpr
+    val votes = stopwords.map { case (l, list) => l -> duckVote(w, list) }
+    val maxVote = votes.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val guess = votes.reverse.foldLeft("'unknown'") { case (acc, (l, v)) =>
+      s"(CASE WHEN $v = $maxVote AND $maxVote > 0 THEN '$l' ELSE $acc END)"
+    }
+    s"""SELECT lang, $guess AS guess, COUNT(*) AS n_docs
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
+  }
+
+  private object duck {
+    val wordsExpr: String = TextSketch.duck.words("text")
+  }
+
+  // X2 — per-document quality metrics: token count, type-token ratio,
+  // stopword ratio, mean token length — the standard pretraining-corpus
+  // quality features.
+  private val x2Quality: Q = (s, dir) => {
+    val w = words(col("text"))
+    val nTokens = size(w)
+    val nDistinct = size(array_distinct(w))
+    val enStop = voteCount(w, stopwords.head._2)
+    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        nTokens.as("n_tokens"),
+        (nDistinct.cast("double") / nTokens.cast("double")).as("ttr"),
+        (enStop.cast("double") / nTokens.cast("double")).as("stop_ratio"),
+        (sumLen.cast("double") / nTokens.cast("double")).as("mean_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x2Sql = {
+    val w = duck.wordsExpr
+    val en = stopwords.head._2
+    s"""SELECT doc_id,
+       |  len($w) AS n_tokens,
+       |  len(list_distinct($w))::DOUBLE / len($w)::DOUBLE AS ttr,
+       |  ${duckVote(w, en)}::DOUBLE / len($w)::DOUBLE AS stop_ratio,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform($w, x -> length(x)::BIGINT)), (acc, x) -> acc + x)::DOUBLE / len($w)::DOUBLE AS mean_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // X3 — corpus token statistics per language: docs, tokens, avg
+  // tokens/doc, distinct-source count. One partial+final hash agg.
+  private val x3TokenStats: Q = (s, dir) => {
+    val nTokens = size(words(col("text")))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), nTokens.as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  private val x3Sql = {
+    val w = duck.wordsExpr
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  SUM(len($w)) AS total_tokens,
+       |  SUM(len($w))::DOUBLE / COUNT(*) AS avg_tokens,
+       |  COUNT(DISTINCT source) AS n_sources
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  val defs: Map[String, Q] = Map(
+    "x1_lang_id" -> x1LangId,
+    "x2_quality_score" -> x2Quality,
+    "x3_token_stats" -> x3TokenStats)
+
+  val oracles: Map[String, String] = Map(
+    "x1_lang_id" -> x1Sql,
+    "x2_quality_score" -> x2Sql,
+    "x3_token_stats" -> x3Sql)
+}
