@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.media.MediaPipeline
+import graft.search.Ann
+
+/** Multimodal plumbing + ANN index catalog entries.
+  *
+  * m1 runs the full binary-column feature-extraction pipeline (documents
+  * wrapped as fake media bytes → mapPartitions decode) and carries an exact
+  * DuckDB oracle because the stub decoder derives every feature from md5 /
+  * byte length.
+  *
+  * v5 runs the LSH ANN index end-to-end (build → multi-probe search) and
+  * reports recall against the exact scan — a self-checking query (no SQL
+  * oracle; the plan includes the deterministic plane literals).
+  */
+object MediaQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val m1Features: Q = (s, dir) => {
+    val media = MediaPipeline.mediaFromDocuments(Tables.documents(s, dir))
+    MediaPipeline.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("byte_len"),
+        col("content_hash"), col("header_hex"), col("width"), col("height"),
+        col("n_frames"))
+      .orderBy(col("media_id"))
+  }
+
+  private val m1Sql =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  octet_length(encode(text)) AS byte_len,
+      |  md5(text) AS content_hash,
+      |  hex(encode(substr(text, 1, 4))) AS header_hex,
+      |  16 + (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1024) AS width,
+      |  16 + (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1024) AS height,
+      |  CASE WHEN doc_id % 3 = 2 THEN 1 + (ascii(substr(md5(text), 9, 1)) & 15) ELSE 1 END AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // v5 — ANN self-check: multi-probe LSH search vs exact scan; one row with
+  // recall@10 and the scanned-row reduction. Deterministic (seeded planes,
+  // fixed query) — the driver checks rows>0; the spec asserts recall.
+  private val v5AnnRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val dim = e.head().getAs[scala.collection.Seq[Float]]("vector").length
+    val planes = Ann.makePlanes(dim, numPlanes = 6)
+    val index = Ann.buildIndex(e, planes).cache()
+    val query = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+
+    val exact = graft.search.VectorSearch
+      .knn(e, query, 10, tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Ann.search(index, query, planes, 10, probeDepth = 1,
+      tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    val scanned = index.filter(col("bucket")
+      .isin(Ann.probeBuckets(Ann.bucketOf(query, planes), planes): _*)).count()
+    val total = index.count()
+    index.unpersist()
+
+    Seq((exact.intersect(approx).size.toDouble / exact.size,
+      scanned, total, scanned.toDouble / total))
+      .toDF("recall_at_10", "rows_scanned", "rows_total", "scan_fraction")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "m1_media_features" -> m1Features,
+    "v5_ann_recall" -> v5AnnRecall)
+
+  val oracles: Map[String, String] = Map(
+    "m1_media_features" -> m1Sql)
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event operators
+  * ([[graft.queries.EventQueries]]) plus a streaming ingest path.
+  *
+  * The reference has no streaming (SURVEY.md §2.10) — its closest analog is
+  * idempotent incremental re-ingest. Here the same logical operators run in
+  * both modes: watermarked tumbling windows (w2) and gap sessionization
+  * (w3, via flatMapGroupsWithState with event-time timeout). Batch backfill
+  * and live streams therefore agree row-for-row on closed windows/sessions.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window aggregation — streaming twin of
+    * w2_tumbling_window. Append mode emits only closed windows.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class SessionInput(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long)
+  final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, duration_sec: Long)
+
+  /** Gap-based sessionization with custom state — streaming twin of
+    * w3_sessionization. Emits a session when `gapSec` of event-time silence
+    * passes (enforced via event-time timeout against the watermark).
+    */
+  def sessionize(events: Dataset[SessionInput], gapSec: Long = 1800,
+      watermark: String = "2 hours"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSec * 1000000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionStart, s.lastTs, s.nEvents,
+              (s.lastTs - s.sessionStart) / 1000000L))
+          } else {
+            // micro-batch arrival order is not event-time order: sort batch
+            val sorted = rows.toSeq.sortBy(r => (us(r.ts), r.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              val t = us(r.ts)
+              cur match {
+                case Some(s) if t - s.lastTs > gapUs =>
+                  closed += SessionOut(userId, s.sessionStart, s.lastTs,
+                    s.nEvents, (s.lastTs - s.sessionStart) / 1000000L)
+                  cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.sessionStart, t, s.nEvents + 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session once gap passes in event time
+              state.setTimeoutTimestamp(s.lastTs / 1000L + gapSec * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming document ingest: a file-source stream of raw texts runs the
+    * SAME per-document pipeline as batch (narrow flatMap — append-safe),
+    * writing fragment rows continuously. Batch and streaming share
+    * [[graft.ingest.IngestPipeline.processDocument]], so ids and outputs
+    * are identical for identical inputs.
+    */
+  def ingestStream(texts: Dataset[graft.ingest.IngestPipeline.DocInput])
+      : Dataset[graft.domain.Model.FragmentRow] = {
+    val spark = texts.sparkSession
+    import spark.implicits._
+    texts.flatMap(d =>
+      graft.ingest.IngestPipeline.processDocument(d).fragments)
+  }
+}
