@@ -55,6 +55,25 @@ object TextSketch {
   def minhashSignature(shingleCol: Column, k: Int): Column =
     array((0 until k).map(minhashComponent(shingleCol, _)): _*)
 
+  /** Kirsch-Mitzenmacher double hashing: ONE md5 per shingle yields two
+    * 56-bit values (a, b); hash function i is a + i·b (no overflow: a,b <
+    * 2⁵⁶, i ≤ 127 keeps sums < 2⁶³). 8× less hashing than seed-prefixed
+    * md5 per component — the difference between 12M and 1.5M digests per
+    * 5k docs. Returns array<struct<a,b>>; materialize (cache / write-time
+    * column) before deriving components so the md5 pass runs once.
+    */
+  def kmHashes(shingleCol: Column): Column =
+    transform(shingleCol, sh => struct(
+      conv(substring(md5(sh), 1, 14), 16, 10).cast("long").as("a"),
+      conv(substring(md5(sh), 15, 14), 16, 10).cast("long").as("b")))
+
+  /** MinHash component i from materialized KM hash pairs. */
+  def kmComponent(hashesCol: Column, i: Int): Column =
+    coalesce(
+      array_min(transform(hashesCol, h =>
+        h.getField("a") + lit(i.toLong) * h.getField("b"))),
+      lit(Long.MaxValue))
+
   /** LSH band hash over signature components [from, until). */
   def bandHash(sig: Column, from: Int, until: Int): Column =
     md5(concat_ws(",",
@@ -64,8 +83,15 @@ object TextSketch {
     * ±1-weighted sum of word-hash bit j is positive. Integer sums are
     * order-independent → deterministic under any partitioning.
     */
-  def simhash(text: Column, bits: Int): Column = {
-    val hashes = transform(words(text), w => hexInt(w))
+  def simhash(text: Column, bits: Int): Column =
+    simhashFromHashes(transform(words(text), w => hexInt(w)), bits)
+
+  /** SimHash from a materialized word-hash array column. Prefer this form
+    * in multi-expression plans: each of the `bits` votes re-evaluates its
+    * input array, so hash the words ONCE (cached column / write-time
+    * table) and derive the bits from the materialized longs.
+    */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { j =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2L - 1L))
@@ -113,12 +139,23 @@ object TextSketch {
     def minhashComponent(shinglesExpr: String, seed: Int): String =
       s"COALESCE(list_min(list_transform($shinglesExpr, sh -> ${hexInt(s"'$seed|' || sh")})), ${Long.MaxValue})"
 
-    def simhash(wordsExpr: String, bits: Int): String = {
-      val hs = s"list_transform($wordsExpr, w -> ${hexInt("w")})"
+    /** KM double-hash pair lists (a, b) from one md5 per shingle. */
+    def kmA(shinglesExpr: String): String =
+      s"list_transform($shinglesExpr, sh -> CAST('0x' || substr(md5(sh), 1, 14) AS BIGINT))"
+    def kmB(shinglesExpr: String): String =
+      s"list_transform($shinglesExpr, sh -> CAST('0x' || substr(md5(sh), 15, 14) AS BIGINT))"
+
+    /** MinHash component i over materialized ha/hb list columns. */
+    def kmComponent(haCol: String, hbCol: String, i: Int): String =
+      s"COALESCE(list_min(list_transform(range(1, len($haCol)+1), j -> $haCol[j] + $i * $hbCol[j])), ${Long.MaxValue})"
+
+    def simhash(wordsExpr: String, bits: Int): String =
+      simhashFromHashes(s"list_transform($wordsExpr, w -> ${hexInt("w")})", bits)
+
+    def simhashFromHashes(hashesExpr: String, bits: Int): String =
       (0 until bits).map { j =>
-        s"(CASE WHEN list_reduce(list_prepend(0::BIGINT, $hs), (acc, h) -> acc + (((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+        s"(CASE WHEN list_reduce(list_prepend(0::BIGINT, $hashesExpr), (acc, h) -> acc + (((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString("(", " + ", ")")
-    }
 
     def charShingles(text: String, n: Int): String =
       s"(CASE WHEN length($text) >= $n THEN list_transform(range(1, length($text) - ${n - 2}), i -> substr($text, i, $n)) ELSE []::VARCHAR[] END)"

@@ -42,35 +42,50 @@ object DedupQueries {
       |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_rows
       |FROM documents""".stripMargin
 
-  // D2 — MinHash signatures (k=8 over word 3-gram shingles), one row per
-  // document. At scale this is the write-time sketch column.
-  private val d2MinhashSig: Q = (s, dir) => {
-    val sh = TextSketch.shingles(col("text"), ShingleN)
-    val sig = TextSketch.minhashSignature(sh, MinhashK)
-    val cols = (0 until MinhashK).map(i =>
-      element_at(sig, i + 1).as(s"s$i"))
+  // D2 — MinHash signatures (k=8 over word 3-gram shingles) via
+  // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle, components
+  // derived as a + i·b. The hash-pair stage materializes first (cache — at
+  // scale, a write-time column) so the md5 pass runs once, not once per
+  // component (Catalyst's project collapsing would otherwise inline it 8×).
+  private def kmHashStage(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select((col("doc_id") +: cols): _*)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        TextSketch.kmHashes(TextSketch.shingles(col("text"), ShingleN))
+          .as("hs"))
+      .cache()
+
+  private def kmSigCols: Seq[org.apache.spark.sql.Column] =
+    (0 until MinhashK).map(i => TextSketch.kmComponent(col("hs"), i).as(s"s$i"))
+
+  private val d2MinhashSig: Q = (s, dir) =>
+    kmHashStage(s, dir)
+      .select((col("doc_id") +: kmSigCols): _*)
       .orderBy(col("doc_id"))
+
+  private def duckSigCte: String = {
+    val sh = duck.shingles(duck.words("text"), ShingleN)
+    s"""hashes AS (SELECT doc_id, ${duck.kmA(sh)} AS ha, ${duck.kmB(sh)} AS hb FROM documents),
+       |sigs AS (SELECT doc_id, ${(0 until MinhashK).map(i =>
+        s"${duck.kmComponent("ha", "hb", i)} AS s$i").mkString(", ")} FROM hashes)""".stripMargin
   }
 
-  private val d2Sql = {
-    val w = duck.words("text")
-    val sh = duck.shingles(w, ShingleN)
-    val comps = (0 until MinhashK).map(i =>
-      s"${duck.minhashComponent(sh, i)} AS s$i").mkString(", ")
-    s"SELECT doc_id, $comps FROM documents ORDER BY doc_id"
-  }
+  private val d2Sql =
+    s"""WITH $duckSigCte
+       |SELECT * FROM sigs ORDER BY doc_id""".stripMargin
 
   // D3 — LSH candidate pairs: 4 bands of 2 signature rows; docs sharing any
   // band hash become candidates; estimated similarity = matching signature
   // fraction. The join key is the band hash — this is the scalable
   // candidate generation (no cross join anywhere).
   private val d3LshPairs: Q = (s, dir) => {
-    val sh = TextSketch.shingles(col("text"), ShingleN)
-    val sig = TextSketch.minhashSignature(sh, MinhashK)
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), sig.as("sig"))
+    // Materialize signatures BEFORE banding/joining: Catalyst's project
+    // collapsing would otherwise inline the full sketch expression into
+    // every band hash and both self-join sides (~30× recompute). At scale
+    // the sketch is a write-time table column; cache() is its local stand-in.
+    val docs = kmHashStage(s, dir)
+      .select(col("doc_id"), array(kmSigCols: _*).as("sig"))
+      .cache()
     val bands = docs.select(col("doc_id"), col("sig"),
       explode(array((0 until MinhashK / BandRows).map { b =>
         struct(lit(b).as("band"),
@@ -93,16 +108,12 @@ object DedupQueries {
 
   /** DuckDB oracle for d3 built with a per-row band unnest. */
   private val d3OracleSql: String = {
-    val w = duck.words("text")
-    val sh = duck.shingles(w, ShingleN)
-    val comps = (0 until MinhashK).map(i =>
-      s"${duck.minhashComponent(sh, i)} AS s$i").mkString(", ")
     val bandStructs = (0 until MinhashK / BandRows).map { bd =>
       val parts = (bd * BandRows until (bd + 1) * BandRows)
         .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
       s"{'band': $bd, 'band_hash': md5($parts)}"
     }.mkString(", ")
-    s"""WITH sigs AS (SELECT doc_id, $comps FROM documents),
+    s"""WITH $duckSigCte,
        |bands AS (
        |  SELECT doc_id, [s0,s1,s2,s3,s4,s5,s6,s7] AS sig,
        |    u.b['band'] AS band, u.b['band_hash'] AS band_hash
@@ -115,16 +126,26 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  // D4 — SimHash signatures (16-bit) + per-value collision census.
+  // D4 — SimHash signatures (16-bit). Word hashes materialize first (one
+  // md5 pass), then the 16 bit-votes run over the cached longs — otherwise
+  // each vote re-inlines the full hashing expression (16× md5).
   private val d4Simhash: Q = (s, dir) =>
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        TextSketch.simhash(col("text"), SimhashBits).as("simhash"))
+        transform(TextSketch.words(col("text")),
+          w => TextSketch.hexInt(w)).as("hw"))
+      .cache()
+      .select(col("doc_id"),
+        TextSketch.simhashFromHashes(col("hw"), SimhashBits).as("simhash"))
       .orderBy(col("doc_id"))
 
-  private val d4Sql =
-    s"""SELECT doc_id, ${duck.simhash(duck.words("text"), SimhashBits)} AS simhash
-       |FROM documents ORDER BY doc_id""".stripMargin
+  private val d4Sql = {
+    val hw = s"list_transform(${duck.words("text")}, w -> ${duck.hexInt("w")})"
+    s"""WITH hashes AS (SELECT doc_id, $hw AS hw FROM documents)
+       |SELECT doc_id, ${duck.simhashFromHashes("hw", SimhashBits)} AS simhash
+       |FROM hashes ORDER BY doc_id""".stripMargin
+  }
 
   // D5 — n-gram Jaccard verification on a bounded candidate set (doc_id
   // < 40): the "verify within bucket" stage. Word-level sets (the corpus
@@ -160,6 +181,7 @@ object DedupQueries {
   // D6 — char-16-gram rolling fingerprint per document.
   private val d6Fingerprint: Q = (s, dir) =>
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         TextSketch.charFingerprint(col("text"), 16).as("fingerprint"))
       .orderBy(col("doc_id"))

@@ -127,23 +127,35 @@ object VectorQueries {
   // "bucket by coarse key (LSH/IVF), compare within buckets".
   private val v4NearDup: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
+      .repartition(col("label"))
+      // norms compute ONCE per row before the join — inside the join each
+      // pair would pay 3 dot products instead of 1
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(VectorSearch.dot(col("embedding"), col("embedding"))).as("nrm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"),
-      col("label"))
+      col("label"), col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"),
-      col("label"))
+      col("label"), col("nrm").as("nrm_b"))
     a.join(b, "label")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("similarity", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("similarity",
+        VectorSearch.dot(col("vec_a"), col("vec_b")) /
+          (col("nrm_a") * col("nrm_b")))
       .filter(col("similarity") > 0.9)
       .select(col("label"), col("id_a"), col("id_b"), col("similarity"))
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }
 
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+
   private val v4Sql =
-    s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-       |  ${duckCosine("a.embedding", "b.embedding")} AS similarity
-       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${duckCosine("a.embedding", "b.embedding")} > 0.9
+    s"""WITH e AS (SELECT vec_id, embedding, label,
+       |  sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS similarity
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.9
        |ORDER BY label, id_a, id_b""".stripMargin
 
   val defs: Map[String, Q] = Map(
