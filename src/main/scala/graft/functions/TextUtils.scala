@@ -75,6 +75,9 @@ object TextUtils {
     n
   }
 
+  /** Bare CODE_HINT match (used by caption-tail filtering, X12). */
+  def hasCodeHint(s: String): Boolean = CodeHint.matcher(s).find()
+
   def isCodeBlock(paragraph: String): Boolean = {
     if (paragraph.contains("```")) return true
     if (countMatches(CodeHint, paragraph) >= 1) return true

@@ -86,11 +86,37 @@ object EventQueries {
       |  MAX(duration_sec) AS max_session_sec
       |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // W4 — carry-forward window fill: each event carries the most recent
+  // 'click' event_id for its user (last non-null over an ordered window) —
+  // the columnar twin of the X11 page/section carry in
+  // [[graft.ingest.ParentKeys]] (app/parents.py:47-92).
+  private val w4CarryForward: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+          .over(w))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("last_click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w4Sql =
+    """SELECT event_id, user_id, event_type,
+      |  LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+      |FROM events ORDER BY event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "w2_tumbling_window" -> w2Tumbling,
-    "w3_sessionization" -> w3Sessions)
+    "w3_sessionization" -> w3Sessions,
+    "w4_carry_forward" -> w4CarryForward)
 
   val oracles: Map[String, String] = Map(
     "w2_tumbling_window" -> w2Sql,
-    "w3_sessionization" -> w3Sql)
+    "w3_sessionization" -> w3Sql,
+    "w4_carry_forward" -> w4Sql)
 }
