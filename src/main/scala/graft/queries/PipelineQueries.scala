@@ -59,10 +59,32 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S3/S4/G4 — PDF source pipeline over documents-as-stub-PDF bytes:
+    * block extraction → F4 min-length filter → page-bounded merge → code
+    * re-detection, with the S5 policy decision surfaced per document.
+    */
+  private val p4Pdf: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.PdfSource
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val segs = PdfSource.parsePdf(s"pdf/$id", s"pdf/$id.pdf",
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val wouldOcr = PdfSource.shouldFallbackToVision(segs)
+        (id, segs.length, segs.count(_.kind == "code"),
+          segs.map(_.content.length).sum, wouldOcr)
+      })
+      .toDF("doc_id", "n_segments", "n_code", "total_chars", "would_ocr")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "p1_ingest_fragments" -> p1Fragments,
     "p2_parent_synthesis" -> p2Parents,
-    "p3_embed_fragments" -> p3Embeddings)
+    "p3_embed_fragments" -> p3Embeddings,
+    "p4_pdf_segments" -> p4Pdf)
 
   /** Not SQL-expressible (stateful per-document folds) — no oracles. */
   val oracles: Map[String, String] = Map.empty

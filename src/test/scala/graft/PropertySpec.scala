@@ -1,0 +1,142 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.domain.Model.RawSegment
+import graft.embedding.{Batching, OfflineEmbedder}
+import graft.functions.{Chunker, Hashing, TextUtils}
+import graft.ingest.{ConceptBuilder, Unitizer}
+
+/** Property-based invariants (SURVEY.md §5 rebuild strategy): determinism,
+  * chunk-size bounds, hierarchy rules, batching limits. Uses seeded
+  * ScalaCheck generators directly (fixed seeds → reproducible failures).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private val Cases = 100
+
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit =
+    (0 until Cases).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until Cases).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
+      } f(a, b)
+    }
+
+  private val textGen: Gen[String] = Gen.chooseNum(0, 400).flatMap { n =>
+    Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\n', '.', ',', ';')))
+      .map(_.mkString)
+  }
+
+  test("hashing is deterministic and shape-stable") {
+    forAll(textGen, textGen) { (a, b) =>
+      assert(Hashing.md5Hex(a) == Hashing.md5Hex(a))
+      assert(Hashing.md5Hex(a).length == 32)
+      assert(Hashing.conceptId(a, b).length == 16)
+      assert(Hashing.docId(a, "text", None, b).startsWith("doc:"))
+    }
+  }
+
+  test("chunker: bounded chunks, deterministic, word coverage") {
+    val chunker = new Chunker(chunkSize = 120, chunkOverlap = 30)
+    forAll(textGen) { t =>
+      val chunks = chunker.chunk(t)
+      assert(chunks == chunker.chunk(t))
+      // every chunk within size bound unless a single unbreakable run
+      chunks.foreach(c => assert(c.length <= 120 || !c.exists(_.isWhitespace)))
+      // no chunk is blank
+      chunks.foreach(c => assert(c.trim.nonEmpty))
+    }
+  }
+
+  test("unitizer: role=other ⇔ no unit id; order preserved; deterministic") {
+    val segGen: Gen[RawSegment] = for {
+      kind <- Gen.frequency(5 -> Gen.const("text"), 3 -> Gen.const("code"),
+        1 -> Gen.const("image"))
+      lang <- if (kind == "code") Gen.oneOf(Some("python"), Some("javascript"), None)
+        else Gen.const(None)
+      content <- Gen.chooseNum(1, 300).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    } yield RawSegment("d", kind, content, lang, 0, None)
+
+    forAll(Gen.listOf(segGen)) { segs0 =>
+      val segs = segs0.zipWithIndex
+        .map { case (s, i) => s.copy(order = i) }.toIndexedSeq
+      val out = new Unitizer().unitize(segs)
+      assert(out == new Unitizer().unitize(segs))
+      // same multiset of orders — nothing lost or duplicated
+      assert(out.map(_.order).sorted == segs.map(_.order).sorted)
+      // role=other ⇔ unitId empty
+      out.foreach(u => assert(u.unitId.isEmpty == (u.role == "other")))
+      // python segments always carry a unit id
+      out.filter(u => u.kind == "code" && u.language.contains("python"))
+        .foreach(u => assert(u.unitId.nonEmpty))
+    }
+  }
+
+  test("concept builder: no orphan fragments, ids well-formed (HIER-002/003)") {
+    val segGen: Gen[RawSegment] = for {
+      kind <- Gen.oneOf("text", "code", "image")
+      lang <- if (kind == "code") Gen.oneOf(Some("python"), None) else Gen.const(None)
+      content <- Gen.chooseNum(1, 120).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    } yield RawSegment("d", kind, content, lang, 0, None)
+
+    forAll(Gen.listOf(segGen)) { segs0 =>
+      val segs = segs0.zipWithIndex
+        .map { case (s, i) => s.copy(order = i) }.toIndexedSeq
+      val docId = Hashing.documentId("gen/doc.txt")
+      val built = ConceptBuilder.build(docId, new Unitizer().unitize(segs))
+      val conceptIds = built.concepts.map(_.id).toSet
+      assert(built.fragments.forall(f => conceptIds.contains(f.concept_id)))
+      assert(built.concepts.map(_.order) == built.concepts.indices.toSeq)
+      built.concepts.foreach(c => assert(c.document_id == docId))
+    }
+  }
+
+  test("offline embedder: unit vectors, deterministic, text-sensitive") {
+    val e = new OfflineEmbedder(48)
+    forAll(textGen, textGen) { (a, b) =>
+      val va = e.embedQuery(a)
+      assert(va.length == 48)
+      assert(va.sameElements(e.embedQuery(a)))
+      val norm = math.sqrt(va.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3)
+      if (a != b) assert(!e.embedQuery(b).sameElements(va))
+    }
+  }
+
+  test("char-budget batching: respects budget and item caps, loses nothing") {
+    forAll(Gen.listOf(Gen.chooseNum(0, 500)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)))) {
+      texts =>
+        val batches = Batching.byCharBudget(texts.iterator, 1000, 16)(identity).toList
+        assert(batches.flatten == texts)
+        batches.foreach { b =>
+          assert(b.length <= 16)
+          // budget respected unless a single oversize item
+          assert(b.map(_.length).sum <= 1000 || b.length == 1)
+        }
+    }
+  }
+
+  test("normalize and slugify are idempotent-ish and total") {
+    forAll(textGen) { t =>
+      val n1 = TextUtils.normalize(t)
+      // normalize is not strictly idempotent (page-number regex can chain)
+      // but must be total and trim-stable
+      assert(n1 == n1.trim)
+      val s1 = TextUtils.slugify(t)
+      assert(TextUtils.slugify(s1) == s1)
+      assert(!s1.exists(_.isUpper))
+    }
+  }
+}
