@@ -20,18 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object VectorSearch {
 
-  /** Dot product over two float-array columns (element-wise multiply, then
-    * strict left-to-right summation — deterministic and oracle-matchable).
+  /** Dot product over two float-array columns: a native codegen'd Catalyst
+    * expression ([[graft.expressions.VectorDot]]) — strict left-to-right
+    * double summation, bit-identical to the HOF form below and the DuckDB
+    * oracles, but a tight Java loop inside whole-stage codegen.
     */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.vectorDot(a, b)
+
+  /** Interpreted higher-order-function formulation (same arithmetic);
+    * kept for non-float array types.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   /** Cosine similarity = dot / (|a|·|b|); 1 - pgvector's `<=>` distance
-    * (retrieval/search.py:106-111).
+    * (retrieval/search.py:106-111). One codegen'd pass over both arrays.
     */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    org.apache.spark.sql.graft.VectorExpressions.vectorCosine(a, b)
 
   /** top_k clamp into [1, 100] (retrieval/query.py:18,47-52). */
   def clampTopK(k: Int, max: Int = 100): Int = math.min(math.max(k, 1), max)
