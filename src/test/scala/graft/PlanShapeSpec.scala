@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TableLayout
+
+/** Physical-plan regression guards: the scale properties argued in the
+  * scaladocs must be visible in the executed plans, not just intended.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[2]", "4")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("f1: filters reach the parquet scan, schema pruned") {
+    val p = plan("f1_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+  }
+
+  test("t1/v1: top-k plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("t1_topk").contains("TakeOrderedAndProject"))
+    val v1 = plan("v1_knn_exact")
+    assert(v1.contains("TakeOrderedAndProject"))
+    assert(!v1.contains("Exchange rangepartitioning")) // no sort shuffle
+  }
+
+  test("j1: dimension joins broadcast, never sort-merge") {
+    val p = plan("j1_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("p1 ingest lineage is shuffle-free (narrow per-document stage)") {
+    val df = SparkEntry.queries("p1_ingest_fragments")(spark, dir)
+    // the only exchange allowed is the final presentation orderBy
+    val body = df.queryExecution.executedPlan.toString
+      .split("Exchange rangepartitioning").head
+    assert(!body.contains("Exchange hashpartitioning"))
+  }
+
+  test("bucketed co-located join plans without a shuffle") {
+    val s = spark
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    TableLayout.writeBucketed(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_custkey", 4)
+    TableLayout.writeBucketed(c.select("c_custkey", "c_name"),
+      "customer_b", "c_custkey", 4)
+    val joined = s.table("orders_b")
+      .join(s.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name")).agg(sum(col("o_totalprice")).as("t"))
+    assert(TableLayout.isShuffleFree(
+      s.table("orders_b").join(s.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))),
+      "bucketed join should not shuffle:\n" +
+        joined.queryExecution.executedPlan)
+  }
+}
