@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.api.{Engine, Generation}
+import graft.embedding.OfflineEmbedder
+import graft.ingest.IngestPipeline.DocInput
+
+/** CLI mirroring the reference's entry points (api/cli/{ingest,search,
+  * quality}.py) so a reference user can run the same workflows:
+  *
+  *   runMain graft.Cli ingest <out_dir> <file...>
+  *   runMain graft.Cli search <tables_dir> "<query>" [topK] [view] [lang]
+  *   runMain graft.Cli quality <tables_dir> <golden.jsonl>
+  *   runMain graft.Cli metrics <tables_dir>
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    import spark.implicits._
+    val engine = new Engine(spark, new OfflineEmbedder(64))
+
+    args.toList match {
+      case "ingest" :: outDir :: files if files.nonEmpty =>
+        val docs = files.map { f =>
+          val text = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
+          DocInput(f, text, isOcr = false)
+        }.toDS()
+        val r = engine.ingest(docs)
+        r.documents.toDF().write.mode("overwrite").parquet(s"$outDir/documents")
+        r.concepts.toDF().write.mode("overwrite").parquet(s"$outDir/concepts")
+        r.fragments.toDF().write.mode("overwrite").parquet(s"$outDir/fragments")
+        r.parents.toDF().write.mode("overwrite").parquet(s"$outDir/parents")
+        r.embeddings.toDF().write.mode("overwrite").parquet(s"$outDir/embeddings")
+        println(s"[ingest] documents=${r.documents.count()} " +
+          s"fragments=${r.fragments.count()} embeddings=${r.embeddings.count()}")
+
+      case "search" :: tablesDir :: query :: rest =>
+        val topK = rest.headOption.map(_.toInt).getOrElse(10)
+        val view = rest.lift(1).filter(_ != "-")
+        val lang = rest.lift(2).filter(_ != "-")
+        val embeddings = spark.read.parquet(s"$tablesDir/embeddings")
+          .as[graft.domain.Model.EmbeddingRow]
+        val parents = spark.read.parquet(s"$tablesDir/parents")
+          .as[graft.domain.Model.ParentRow]
+        val hits = engine.search(embeddings, parents, query, topK, view, lang)
+        hits.zipWithIndex.foreach { case (h, i) =>
+          println(f"#${i + 1}%-3d sim=${h.similarity}%.4f [${h.view}" +
+            h.lang.map("/" + _).getOrElse("") + s"] ${h.fragment_id}")
+          println("     " + h.content.take(120).replace("\n", " "))
+        }
+        val resp = Generation.OfflineGenerator.generate(query, hits)
+        println(s"[answer] ${resp.answer.take(200)}")
+
+      case "quality" :: tablesDir :: goldenPath :: Nil =>
+        val embeddings = spark.read.parquet(s"$tablesDir/embeddings")
+          .as[graft.domain.Model.EmbeddingRow]
+        val parents = spark.read.parquet(s"$tablesDir/parents")
+          .as[graft.domain.Model.ParentRow]
+        val golden = engine.loadGolden(goldenPath)
+        val results = engine.evalGolden(embeddings, parents, golden)
+        results.foreach(r => println(s"${if (r.passed) "PASS" else "FAIL"} ${r.query_id}"))
+        println(s"Passed: ${results.count(_.passed)}/${results.length}")
+
+      case "metrics" :: tablesDir :: Nil =>
+        val embeddings = spark.read.parquet(s"$tablesDir/embeddings")
+          .as[graft.domain.Model.EmbeddingRow]
+        val m = engine.metrics(embeddings)
+        println(s"embeddings=${m.nEmbeddings} missing(doc=${m.nMissingDocId}, " +
+          s"parent=${m.nMissingParentId}, fragment=${m.nMissingFragmentId}) " +
+          s"short=${m.nShortContent} dup_doc_ids=${m.nDuplicateDocIds}")
+        println("views: " + m.viewDistribution.map { case (v, n) => s"$v=$n" }.mkString(", "))
+        println("langs: " + m.langDistribution.map { case (l, n) => s"$l=$n" }.mkString(", "))
+
+      case _ =>
+        System.err.println(
+          "usage: ingest <out> <files...> | search <tables> <query> [k] [view] [lang] | " +
+            "quality <tables> <golden.jsonl> | metrics <tables>")
+    }
+    spark.stop()
+  }
+}

@@ -109,6 +109,30 @@ final class Engine(
   final case class GoldenResult(query_id: String, passed: Boolean,
       n_hits: Long)
 
+  /** S8 — load a golden-query JSONL corpus (the reference's
+    * eval_queries*.jsonl shape: query, view, language, top_k,
+    * expect_parent_ids, expect_contains) with an explicit schema — never
+    * inferSchema (§1.3).
+    */
+  def loadGolden(path: String): Seq[GoldenQuery] = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "query STRING, view STRING, language STRING, top_k INT, " +
+        "expect_parent_ids ARRAY<STRING>, expect_contains ARRAY<STRING>")
+    spark.read.schema(schema).json(path)
+      .collect().zipWithIndex.map { case (r, i) =>
+        GoldenQuery(
+          query_id = s"q$i",
+          query = r.getAs[String]("query"),
+          view = Option(r.getAs[String]("view")),
+          language = Option(r.getAs[String]("language")),
+          top_k = Option(r.getAs[Any]("top_k")).map(_.asInstanceOf[Int]).getOrElse(10),
+          expect_parent_ids = Option(r.getAs[scala.collection.Seq[String]]("expect_parent_ids"))
+            .map(_.toSeq).getOrElse(Nil),
+          expect_contains = Option(r.getAs[scala.collection.Seq[String]]("expect_contains"))
+            .map(_.toSeq).getOrElse(Nil))
+      }.toSeq
+  }
+
   /** All golden queries answered in ONE Spark job (batch KNN + per-query
     * expectation match) instead of the reference's serial per-query loop.
     */
