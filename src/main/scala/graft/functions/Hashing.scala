@@ -51,15 +51,8 @@ object Hashing {
   def conceptId(documentId: String, unitId: String): String =
     md5Hex(documentId + "|" + unitId).take(16)
 
-  /** Code-unit id from its pre-text tail and code head
-    * (segmentation.py:148-160: md5(pretext_tail[:100] + code[:500])[:16]).
-    */
-  def codeUnitId(preTextTail: String, codeHead: String): String =
-    md5Hex(preTextTail.take(100) + codeHead.take(500)).take(16)
-
-  /** Text-only unit id: "txt-" + md5(head)[:12] (segmentation.py:173-182). */
-  def textUnitId(head: String): String =
-    "txt-" + md5Hex(head.take(200)).take(12)
+  // (code-unit / text-unit id composition lives in graft.ingest.Unitizer —
+  // the hash inputs are per-segment slices, not single strings)
 
   /** Fragment id = concept[:12]-order-md5(content[:200])[:8]
     * (concept_builder.py:130-133).

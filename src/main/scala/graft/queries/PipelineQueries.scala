@@ -80,11 +80,42 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The BASELINE.md headline shape: end-to-end ingest + 45-query batch
+    * KNN in one lineage (the reference runs 45 serial KNN round-trips;
+    * here the whole golden eval is ONE job over the freshly-built
+    * embeddings — self-retrieval: each query is a fragment's own content,
+    * pass ⇔ the fragment ranks #1 for itself).
+    */
+  private val p5E2eGolden: Q = (s, dir) => {
+    import graft.search.VectorSearch
+    val embedder = new OfflineEmbedder(64)
+    val processed = IngestPipeline.process(inputs(s, dir))
+    val emb = IngestPipeline
+      .embeddings(IngestPipeline.fragments(processed), embedder)
+      .toDF().cache()
+    val queries = emb
+      .orderBy(col("fragment_id")).limit(45)
+      .select(col("fragment_id").as("golden_id"), col("content"))
+      .collect()
+      .map(r => (r.getString(0), embedder.embedQuery(r.getString(1))))
+      .toSeq
+    val spark2 = s
+    import spark2.implicits._
+    val qdf = queries.toDF("query_id", "query_vector")
+    VectorSearch.batchKnn(emb, qdf, topK = 10)
+      .filter(col("rank") === 1)
+      .select(col("query_id"),
+        (col("fragment_id") === col("query_id")).as("self_retrieved"),
+        col("similarity"))
+      .orderBy(col("query_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "p1_ingest_fragments" -> p1Fragments,
     "p2_parent_synthesis" -> p2Parents,
     "p3_embed_fragments" -> p3Embeddings,
-    "p4_pdf_segments" -> p4Pdf)
+    "p4_pdf_segments" -> p4Pdf,
+    "p5_e2e_golden45" -> p5E2eGolden)
 
   /** Not SQL-expressible (stateful per-document folds) — no oracles. */
   val oracles: Map[String, String] = Map.empty

@@ -143,10 +143,12 @@ object RelationalQueries {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // U4 left-anti (NOT EXISTS) — the OCR-cache set-difference shape.
-  // Reference: pymupdf_parser.py:407-412.
+  // Right side filtered to big orders so the anti set is non-empty (every
+  // customer has SOME order in this data — an unfiltered anti join would
+  // be a vacuous 0-row check). Reference: pymupdf_parser.py:407-412.
   private val u4Anti: Q = (s, dir) => {
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
@@ -155,7 +157,7 @@ object RelationalQueries {
   private val u4Sql =
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer WHERE NOT EXISTS
-      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
       |ORDER BY c_custkey""".stripMargin
 
   // A3 top-N per group via row_number window — result-grouping cap.

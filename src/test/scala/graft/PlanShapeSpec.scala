@@ -16,6 +16,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val dir = "/root/testdata/sf0.001"
 
   override def beforeAll(): Unit = {
+    // stale warehouse files from a previous JVM break saveAsTable
+    val wh = java.nio.file.Paths.get("/tmp/graft-warehouse")
+    if (java.nio.file.Files.exists(wh)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     spark = GraftSession.builder("local[2]", "4")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .getOrCreate()
