@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("vector_dot / vector_cosine callable from SQL, exact values") {
+    val r = spark.sql(
+      """SELECT
+        |  vector_dot(CAST(array(1.0, 2.0, 3.0) AS ARRAY<FLOAT>),
+        |             CAST(array(4.0, 5.0, 6.0) AS ARRAY<FLOAT>)) AS d,
+        |  vector_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |                CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS c_same,
+        |  vector_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |                CAST(array(0.0, 1.0) AS ARRAY<FLOAT>)) AS c_orth
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
+  test("null propagation and interpreted path agree with codegen") {
+    val r = spark.sql(
+      """SELECT vector_dot(CAST(NULL AS ARRAY<FLOAT>),
+        |                  CAST(array(1.0) AS ARRAY<FLOAT>)) AS d""".stripMargin)
+      .head()
+    assert(r.isNullAt(0))
+
+    // interpreted eval (outside codegen) must match: force via filter on
+    // a literal-only expression evaluated at plan time
+    import graft.search.VectorSearch
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val native = df.select(VectorSearch.dot(col("a"), col("b"))).head().getDouble(0)
+    val hof = df.select(VectorSearch.dotHof(col("a"), col("b"))).head().getDouble(0)
+    assert(native == hof && native == 11.0)
+  }
+}
