@@ -64,9 +64,20 @@ object Ann {
       if (d >= 0) 1 << p else 0
     }.sum
 
-  /** Multi-probe bucket set: the query bucket + all single-bit flips. */
-  def probeBuckets(queryBucket: Int, planes: Planes): Seq[Int] =
-    queryBucket +: (0 until planes.numPlanes).map(p => queryBucket ^ (1 << p))
+  /** Multi-probe bucket set up to `depth` bit flips of the query bucket
+    * (depth 1 → 1+p buckets, depth 2 adds all C(p,2) two-bit flips).
+    * Recall grows with probed volume; the scan stays partition-pruned.
+    */
+  def probeBuckets(queryBucket: Int, planes: Planes, depth: Int = 1): Seq[Int] = {
+    val p = planes.numPlanes
+    val one = (0 until p).map(i => queryBucket ^ (1 << i))
+    val two =
+      if (depth >= 2)
+        for (i <- 0 until p; j <- i + 1 until p)
+          yield queryBucket ^ (1 << i) ^ (1 << j)
+      else Seq.empty
+    (queryBucket +: one) ++ two
+  }
 
   /** ANN top-k: prune to probed buckets (partition pruning on a bucketed
     * table), exact cosine re-rank within. Recall rises with more probes;
@@ -77,7 +88,7 @@ object Ann {
       tieBreak: String = "fragment_id"): DataFrame = {
     val qb = bucketOf(queryVec, planes)
     val buckets =
-      if (probeDepth == 0) Seq(qb) else probeBuckets(qb, planes)
+      if (probeDepth == 0) Seq(qb) else probeBuckets(qb, planes, probeDepth)
     val pruned = index.filter(col("bucket").isin(buckets: _*))
     VectorSearch.knn(pruned, queryVec, topK, vectorCol = vectorCol,
       tieBreak = tieBreak)

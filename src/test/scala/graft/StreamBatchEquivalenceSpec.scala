@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Batch/stream agreement on REAL testdata: the streaming tumbling-window
+  * operator over a file-source stream of the events table must produce
+  * exactly the closed windows the batch twin (w2_tumbling_window) computes.
+  */
+class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("file-source stream of events.parquet matches batch windows") {
+    val s = spark
+    val batchEvents = Tables.events(s, dir)
+    val schema = batchEvents.schema
+
+    // file-source streams need a directory: stage the single parquet file
+    val stage = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+
+    // stream the same parquet through the SAME logical operator
+    val streamRaw = s.readStream.schema(
+      s.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(stage.toString)
+    val streamEvents =
+      if (streamRaw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        streamRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else streamRaw
+
+    val agg = EventStreams.tumblingCounts(streamEvents, watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("stream_win")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0)
+    val lastOpenWindow = java.sql.Timestamp.valueOf(
+      maxTs.toLocalDateTime.withMinute(0).withSecond(0).withNano(0))
+
+    // batch twin restricted to windows the stream could close (watermark
+    // cannot pass the final event, so its window never emits)
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .filter(col("window_start") < lastOpenWindow)
+      .collect().map(_.toSeq).toSet
+
+    val streamed = s.sql("SELECT * FROM stream_win")
+      .filter(col("window_start") < lastOpenWindow)
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed.nonEmpty, "stream emitted no closed windows")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+}
