@@ -26,8 +26,11 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = load(s, dir, "events")
+    // floor division (ts div 1000 truncates toward zero, which would shift
+    // pre-epoch timestamps one microsecond vs DuckDB's flooring cast)
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     else raw
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")

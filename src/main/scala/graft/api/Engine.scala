@@ -139,19 +139,27 @@ final class Engine(
   def evalGolden(embeddings: Dataset[EmbeddingRow],
       parents: Dataset[ParentRow],
       golden: Seq[GoldenQuery]): Seq[GoldenResult] = {
-    val topK = golden.map(g => VectorSearch.clampTopK(g.top_k)).max
-    val queries = golden.map(g =>
-      (g.query_id, embedder.embedQuery(g.query))).toDF("query_id", "query_vector")
-    val hits = VectorSearch.batchKnn(embeddings.toDF(), queries, topK,
-      tieBreak = "fragment_id")
-    val expanded = VectorSearch.expandContext(hits, parents.toDF())
-    val expect = golden.map(g => (g.query_id, g.view, g.language,
-      VectorSearch.clampTopK(g.top_k), g.expect_parent_ids, g.expect_contains))
-      .toDF("query_id", "exp_view", "exp_lang", "k", "exp_parents", "exp_tokens")
-    val matched = expanded.join(broadcast(expect), "query_id")
-      .filter(col("rank") <= col("k"))
+    if (golden.isEmpty) return Nil
+    // per-query view/lang filters apply BEFORE ranking (as the reference
+    // puts them in the KNN WHERE clause) — filtering after a global top-k
+    // would drop constrained queries' relevant hits entirely
+    val queries = golden.map(g => (g.query_id, embedder.embedQuery(g.query),
+      g.view.orNull, g.language.orNull, VectorSearch.clampTopK(g.top_k),
+      g.expect_parent_ids, g.expect_contains))
+      .toDF("query_id", "query_vector", "exp_view", "exp_lang", "k",
+        "exp_parents", "exp_tokens")
+    val scored = embeddings.toDF().join(broadcast(queries))
       .filter(col("exp_view").isNull || col("view") === col("exp_view"))
       .filter(col("exp_lang").isNull || col("lang") === col("exp_lang"))
+      .withColumn("similarity",
+        VectorSearch.cosine(col("vector"), col("query_vector")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("fragment_id"))
+    val hits = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("k"))
+    val expanded = VectorSearch.expandContext(hits, parents.toDF())
+    val matched = expanded
       .withColumn("hit_ok",
         array_contains(col("exp_parents"), col("parent_id")) ||
           exists(col("exp_tokens"), t =>

@@ -60,11 +60,9 @@ object Hashing {
   def fragmentId(conceptId: String, order: Int, content: String): String =
     s"${conceptId.take(12)}-$order-${md5Hex(content.take(200)).take(8)}"
 
-  /** Orphan concept id = doc[:8]-orphans-md5(doc)[:8]
-    * (concept_builder.py:213-217).
-    */
-  def orphanConceptId(documentId: String): String =
-    s"${documentId.take(8)}-orphans-${md5Hex(documentId).take(8)}"
+  // (the orphan concept id hashes the first-5 orphan content heads, not
+  // the document id — derived in graft.ingest.ConceptBuilder where the
+  // segment slices live)
 
   // ---- Column forms (codegen'd built-ins, no UDF) ----
 

@@ -100,7 +100,12 @@ object DedupQueries {
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sig_a"), col("sig_b"))).cast("double") /
+        // POSITIONAL agreement (the MinHash estimator) — set intersection
+        // would misestimate when signatures repeat values
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") /
           lit(MinhashK.toDouble)).as("est_sim"))
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
@@ -120,7 +125,8 @@ object DedupQueries {
        |  FROM sigs, UNNEST([$bandStructs]) u(b)
        |)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  len(list_intersect(a.sig, b.sig))::DOUBLE / $MinhashK AS est_sim
+       |  list_reduce(list_prepend(0, list_transform(range(1, $MinhashK + 1),
+       |    i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)), (acc, m) -> acc + m)::DOUBLE / $MinhashK AS est_sim
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin

@@ -37,7 +37,7 @@ object MediaQueries {
       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
       |  octet_length(encode(text)) AS byte_len,
       |  md5(text) AS content_hash,
-      |  hex(encode(substr(text, 1, 4))) AS header_hex,
+      |  substr(hex(encode(text)), 1, 8) AS header_hex,
       |  16 + (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1024) AS width,
       |  16 + (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1024) AS height,
       |  CASE WHEN doc_id % 3 = 2 THEN 1 + (ascii(substr(md5(text), 9, 1)) & 15) ELSE 1 END AS n_frames

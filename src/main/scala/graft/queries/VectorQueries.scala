@@ -29,11 +29,16 @@ object VectorQueries {
   /** Spark-side strict-order cosine — see [[VectorSearch.dot]]. */
   private def cosine(a: Column, b: Column): Column = VectorSearch.cosine(a, b)
 
-  /** DuckDB-side identical arithmetic. */
-  private def duckCosine(a: String, b: String): String =
-    s"""(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)
-       | / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (acc, x) -> acc + x))
-       |  * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($b)+1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x))))""".stripMargin.replaceAll("\n", " ")
+  /** DuckDB-side identical arithmetic (zero-norm → 0.0, mirroring
+    * VectorCosine's NaN guard).
+    */
+  private def duckCosine(a: String, b: String): String = {
+    def norm2(v: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($v)+1), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)), (acc, x) -> acc + x)"
+    val dotExpr =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+    s"(CASE WHEN ${norm2(a)} = 0.0 OR ${norm2(b)} = 0.0 THEN 0.0 ELSE $dotExpr / (sqrt(${norm2(a)}) * sqrt(${norm2(b)})) END)"
+  }
 
   // T1/T2 — exact KNN: query vector = embedding of vec_id 0, top-10 by
   // cosine. Plans as TakeOrderedAndProject over a single broadcast-joined
@@ -86,16 +91,17 @@ object VectorQueries {
   private val PlaneDim = 64 // embeddings testdata dimension
 
   /** Plane components precomputed ON THE DRIVER from the md5 formula
-    * component_i = hexint15(md5("plane|p|" + i)) / 2^59 - 0.5 and folded
-    * into the plan as literals: per-row work is pure multiply-add instead
-    * of 2 md5+conv per (row, plane, element) — same values, no hashing in
-    * the scan. The DuckDB oracle embeds the same literals (Double.toString
-    * round-trips exactly through DuckDB's parser).
+    * component_i = hexint15(md5("plane|p|" + i)) / 2^60 - 0.5 (centered in
+    * [-0.5, 0.5) — a 15-hex-digit value spans 60 bits) and folded into the
+    * plan as literals: per-row work is pure multiply-add instead of
+    * 2 md5+conv per (row, plane, element) — no hashing in the scan. The
+    * DuckDB oracle embeds the same literals (Double.toString round-trips
+    * exactly through DuckDB's parser).
     */
   private def planeComponents(p: Int): Array[Double] =
     Array.tabulate(PlaneDim) { i =>
       val hex = graft.functions.Hashing.md5Hex(s"plane|$p|$i").take(15)
-      java.lang.Long.parseLong(hex, 16).toDouble / 5.76460752303424e17 - 0.5
+      java.lang.Long.parseLong(hex, 16).toDouble / 1.152921504606846976e18 - 0.5
     }
 
   private def planeDot(vec: Column, p: Int): Column =

@@ -36,8 +36,10 @@ object Skew {
     */
   def twoPhaseAgg(df: DataFrame, key: String, valueCol: String,
       saltBuckets: Int): DataFrame =
+    // row-derived salt: hot keys usually repeat one VALUE too, so a
+    // value-hash salt would put the whole hot key in one bucket
     df.withColumn("__salt",
-      pmod(hash(col(valueCol)), lit(saltBuckets)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__n"))
       .groupBy(col(key))

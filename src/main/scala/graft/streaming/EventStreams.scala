@@ -50,7 +50,10 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          def us(t: java.sql.Timestamp): Long = t.getTime * 1000L
+          // full microsecond precision (getTime alone truncates to ms,
+          // which would diverge from the batch twin's unix_micros)
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000) % 1000L
 
           if (state.hasTimedOut) {
             val s = state.get
