@@ -43,9 +43,10 @@ object MediaQueries {
       |  CASE WHEN doc_id % 3 = 2 THEN 1 + (ascii(substr(md5(text), 9, 1)) & 15) ELSE 1 END AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
-  // v5 — ANN self-check: multi-probe LSH search vs exact scan; one row with
-  // recall@10 and the scanned-row reduction. Deterministic (seeded planes,
-  // fixed query) — the driver checks rows>0; the spec asserts recall.
+  // v5 — ANN self-check: multi-probe LSH search vs exact scan, one row per
+  // probe depth (0 = single bucket, 1 = +1-bit flips, 2 = +2-bit flips) —
+  // the recall/scan-cost tradeoff curve. Deterministic (seeded planes,
+  // fixed query); the spec asserts recall rises with depth.
   private val v5AnnRecall: Q = (s, dir) => {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
@@ -59,17 +60,20 @@ object MediaQueries {
     val exact = graft.search.VectorSearch
       .knn(e, query, 10, tieBreak = "vec_id")
       .select("vec_id").as[Long].collect().toSet
-    val approx = Ann.search(index, query, planes, 10, probeDepth = 1,
-      tieBreak = "vec_id")
-      .select("vec_id").as[Long].collect().toSet
-    val scanned = index.filter(col("bucket")
-      .isin(Ann.probeBuckets(Ann.bucketOf(query, planes), planes): _*)).count()
     val total = index.count()
+    val rows = (0 to 2).map { depth =>
+      val approx = Ann.search(index, query, planes, 10, probeDepth = depth,
+        tieBreak = "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      val scanned = index.filter(col("bucket").isin(
+        Ann.probeBuckets(Ann.bucketOf(query, planes), planes, depth): _*))
+        .count()
+      (depth, exact.intersect(approx).size.toDouble / exact.size,
+        scanned, total, scanned.toDouble / total)
+    }
     index.unpersist()
-
-    Seq((exact.intersect(approx).size.toDouble / exact.size,
-      scanned, total, scanned.toDouble / total))
-      .toDF("recall_at_10", "rows_scanned", "rows_total", "scan_fraction")
+    rows.toDF("probe_depth", "recall_at_10", "rows_scanned", "rows_total",
+      "scan_fraction")
   }
 
   val defs: Map[String, Q] = Map(

@@ -70,7 +70,9 @@ object Ann {
     */
   def probeBuckets(queryBucket: Int, planes: Planes, depth: Int = 1): Seq[Int] = {
     val p = planes.numPlanes
-    val one = (0 until p).map(i => queryBucket ^ (1 << i))
+    val one =
+      if (depth >= 1) (0 until p).map(i => queryBucket ^ (1 << i))
+      else Seq.empty
     val two =
       if (depth >= 2)
         for (i <- 0 until p; j <- i + 1 until p)
@@ -87,8 +89,7 @@ object Ann {
       topK: Int, probeDepth: Int = 1, vectorCol: String = "vector",
       tieBreak: String = "fragment_id"): DataFrame = {
     val qb = bucketOf(queryVec, planes)
-    val buckets =
-      if (probeDepth == 0) Seq(qb) else probeBuckets(qb, planes, probeDepth)
+    val buckets = probeBuckets(qb, planes, probeDepth)
     val pruned = index.filter(col("bucket").isin(buckets: _*))
     VectorSearch.knn(pruned, queryVec, topK, vectorCol = vectorCol,
       tieBreak = tieBreak)
