@@ -51,8 +51,10 @@ object DedupQueries {
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        TextSketch.kmHashes(TextSketch.shingles(col("text"), ShingleN))
-          .as("hs"))
+        // native one-pass tokenize→shingle→md5→(a,b) expression; values
+        // identical to TextSketch.kmHashes(shingles(...)) and the oracle
+        org.apache.spark.sql.graft.SketchExpressions
+          .minhashKmPairs(col("text"), ShingleN).as("hs"))
       .cache()
 
   private def kmSigCols: Seq[org.apache.spark.sql.Column] =

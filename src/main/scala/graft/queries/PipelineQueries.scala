@@ -24,8 +24,11 @@ object PipelineQueries {
 
   private def inputs(s: SparkSession, dir: String) = {
     import s.implicits._
+    // the testdata table is one parquet split — spread the per-document
+    // folds across cores (real corpora arrive as many files)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .map { case (id, text) => DocInput(s"synthetic/$id.txt", text, isOcr = false) }
   }

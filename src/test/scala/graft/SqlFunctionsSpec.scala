@@ -49,4 +49,27 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hof = df.select(VectorSearch.dotHof(col("a"), col("b"))).head().getDouble(0)
     assert(native == hof && native == 11.0)
   }
+
+  test("native minhash km pairs equal the built-in formulation") {
+    import graft.functions.TextSketch
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two three",
+      "too few", // < 3 words → empty
+      "  spaced   out   words   here  ").toDF("text")
+    val builtin = df.select(
+      TextSketch.kmHashes(TextSketch.shingles(col("text"), 3)).as("hs"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getLong(0), r.getLong(1))))
+    val native = df.select(
+      org.apache.spark.sql.graft.SketchExpressions
+        .minhashKmPairs(col("text"), 3).as("hs"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getLong(0), r.getLong(1))))
+    assert(builtin.toSeq.map(_.toSeq) == native.toSeq.map(_.toSeq))
+    assert(native(2).isEmpty)
+  }
 }
