@@ -46,7 +46,7 @@ object MediaQueries {
   // v5 — ANN self-check: multi-probe LSH search vs exact scan, one row per
   // probe depth (0 = single bucket, 1 = +1-bit flips, 2 = +2-bit flips) —
   // the recall/scan-cost tradeoff curve. Deterministic (seeded planes,
-  // fixed query); the spec asserts recall rises with depth.
+  // fixed query); PlanShapeSpec asserts recall/scan monotonicity in depth.
   private val v5AnnRecall: Q = (s, dir) => {
     import s.implicits._
     val e = Tables.embeddings(s, dir)

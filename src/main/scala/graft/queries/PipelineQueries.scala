@@ -15,8 +15,11 @@ import graft.ingest.IngestPipeline.DocInput
   * These stages (parse → unitize → concepts/fragments → parents → embed)
   * are order-sensitive per-document folds, not SQL — so they carry no
   * DuckDB oracle; the driver records rows>0 and the ScalaTest suite pins
-  * their semantics against reference-generated fixtures. The whole lineage
-  * is one narrow mapPartitions stage: no shuffle at any scale.
+  * their semantics against reference-generated fixtures. The fold lineage
+  * itself is narrow (no data-dependent shuffle); the only exchange these
+  * catalog queries add is ONE round-robin redistribution of the
+  * single-split local parquet input — real corpora arrive as many files
+  * and skip it.
   */
 object PipelineQueries {
 

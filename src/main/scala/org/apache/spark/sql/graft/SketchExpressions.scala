@@ -27,18 +27,40 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashKmPairs(child: Expression, shingleN: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
+  import MinHashKmPairs._
+
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // NULL text → empty pair list (matching the built-in when/otherwise
+  // formulation), so the expression never returns null
+  override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("a", LongType, nullable = false),
       StructField("b", LongType, nullable = false))),
     containsNull = false)
   override def prettyName: String = "minhash_km_pairs"
 
-  override def nullSafeEval(input: Any): Any = {
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) empty else compute(v)
+  }
+
+  private def compute(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val words = text.trim.split("\\s+")
-    if (words.length < shingleN) return new GenericArrayData(Array.empty[Any])
-    val md = MessageDigest.getInstance("MD5")
+    // SPACE-only trim — Spark's trim() strips ' ' only, while Java's
+    // String.trim strips every char <= U+0020 (tabs/newlines), which would
+    // change the leading/trailing empty-token behavior vs the built-in
+    // split(trim(text), "\\s+") and the DuckDB oracle
+    var start = 0
+    var end = text.length
+    while (start < end && text.charAt(start) == ' ') start += 1
+    while (end > start && text.charAt(end - 1) == ' ') end -= 1
+    // limit -1: Spark's split keeps trailing empty tokens; Pattern.split's
+    // default (0) would drop them
+    val words = Whitespace.split(text.substring(start, end), -1)
+    if (words.length < shingleN) return empty
+    val md = threadDigest.get()
     val n = words.length - shingleN + 1
     val out = new Array[Any](n)
     val sb = new java.lang.StringBuilder
@@ -69,6 +91,17 @@ case class MinHashKmPairs(child: Expression, shingleN: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashKmPairs =
     copy(child = newChild)
+}
+
+object MinHashKmPairs {
+  /** Compiled once; Pattern is immutable/thread-safe. */
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** MessageDigest is stateful — one per thread, reset() per use. */
+  private val threadDigest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
 }
 
 object SketchExpressions {

@@ -53,12 +53,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("p1 ingest lineage is shuffle-free (narrow per-document stage)") {
+  test("p1 ingest lineage has no data-dependent shuffle") {
     val df = SparkEntry.queries("p1_ingest_fragments")(spark, dir)
-    // the only exchange allowed is the final presentation orderBy
+    // allowed exchanges: the final presentation orderBy (range) and ONE
+    // round-robin redistribution of the single-split local input; the
+    // per-document folds themselves must never hash-shuffle
     val body = df.queryExecution.executedPlan.toString
       .split("Exchange rangepartitioning").head
     assert(!body.contains("Exchange hashpartitioning"))
+    assert(body.split("Exchange roundrobinpartitioning").length <= 2)
+  }
+
+  test("v5 ann recall rises with probe depth, scan fraction monotone") {
+    val rows = SparkEntry.queries("v5_ann_recall")(spark, dir)
+      .orderBy(col("probe_depth")).collect()
+    assert(rows.length == 3)
+    val recalls = rows.map(_.getAs[Double]("recall_at_10"))
+    val scans = rows.map(_.getAs[Double]("scan_fraction"))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall not monotone: ${recalls.toSeq}")
+    assert(scans.sliding(2).forall(p => p(0) < p(1)),
+      s"scan fraction not increasing: ${scans.toSeq}")
+    assert(recalls.last > 0.0)
   }
 
   test("bucketed co-located join plans without a shuffle") {

@@ -59,7 +59,10 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the quick brown fox jumps over the lazy dog",
       "one two three",
       "too few", // < 3 words → empty
-      "  spaced   out   words   here  ").toDF("text")
+      "  spaced   out   words   here  ",
+      "\tleading tab one two three", // Spark trim strips spaces ONLY
+      "trailing newline one two three\n",
+      "a\nb\tc d").toDF("text")
     val builtin = df.select(
       TextSketch.kmHashes(TextSketch.shingles(col("text"), 3)).as("hs"))
       .collect().map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
@@ -71,5 +74,13 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         (r.getLong(0), r.getLong(1))))
     assert(builtin.toSeq.map(_.toSeq) == native.toSeq.map(_.toSeq))
     assert(native(2).isEmpty)
+
+    // NULL text → empty pair list on both formulations
+    val nullDf = Seq[Option[String]](None).toDF("text")
+    val nativeNull = nullDf.select(
+      org.apache.spark.sql.graft.SketchExpressions
+        .minhashKmPairs(col("text"), 3).as("hs"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(nativeNull != null && nativeNull.isEmpty)
   }
 }
