@@ -123,10 +123,32 @@ object TextAnalysisQueries {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // X4 — sketch-based corpus statistics: HyperLogLog distinct counts and
+  // t-digest-style quantiles. THE metrics path at 100 TB (exact
+  // countDistinct shuffles every distinct value; HLL merges 1.5 KB
+  // sketches). No DuckDB oracle — approximation algorithms differ between
+  // engines by design — so the exact twins (x3, a5) carry the correctness
+  // gate and this query gets the rows-only check.
+  private val x4ApproxStats: Q = (s, dir) => {
+    val nTokens = size(words(col("text")))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), nTokens.as("n_tokens"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("source")).as("approx_sources"),
+        approx_count_distinct(col("n_tokens")).as("approx_distinct_lengths"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("p50_chars"),
+        percentile_approx(col("n_chars"), lit(0.95), lit(1000)).as("p95_chars"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, Q] = Map(
     "x1_lang_id" -> x1LangId,
     "x2_quality_score" -> x2Quality,
-    "x3_token_stats" -> x3TokenStats)
+    "x3_token_stats" -> x3TokenStats,
+    "x4_approx_stats" -> x4ApproxStats)
 
   val oracles: Map[String, String] = Map(
     "x1_lang_id" -> x1Sql,
