@@ -24,15 +24,10 @@ final class Engine(
     val selfQuery: SelfQuery = RuleBasedSelfQuery) {
 
   import spark.implicits._
+  import Engine.{GoldenQuery, GoldenResult, IngestResult, Metrics, SearchHitRow}
 
   // ---- ingest (§3.2) ----
 
-  final case class IngestResult(
-      documents: Dataset[DocumentRow],
-      concepts: Dataset[ConceptRow],
-      fragments: Dataset[FragmentRow],
-      parents: Dataset[ParentRow],
-      embeddings: Dataset[EmbeddingRow])
 
   def ingest(docs: Dataset[DocInput]): IngestResult = {
     val processed = IngestPipeline.process(docs).cache()
@@ -46,8 +41,6 @@ final class Engine(
   }
 
   // ---- search (§3.1) ----
-
-  import Engine.SearchHitRow
 
   /** Filtered KNN with over-fetch dedupe and parent-context expansion.
     * `view`/`lang` filters fall back to rule-extracted hints from the
@@ -76,10 +69,6 @@ final class Engine(
 
   // ---- metrics (A4-A6, storage/metrics.py:38-131) ----
 
-  final case class Metrics(
-      nEmbeddings: Long, nMissingDocId: Long, nMissingParentId: Long,
-      nMissingFragmentId: Long, nShortContent: Long, nDuplicateDocIds: Long,
-      viewDistribution: Seq[(String, Long)], langDistribution: Seq[(String, Long)])
 
   def metrics(embeddings: Dataset[EmbeddingRow], minLen: Int = 10,
       topK: Int = 10): Metrics = {
@@ -102,12 +91,7 @@ final class Engine(
 
   // ---- golden-query eval (J5/A9/T3, api/cli/quality.py:34-100) ----
 
-  final case class GoldenQuery(query_id: String, query: String,
-      view: Option[String], language: Option[String], top_k: Int,
-      expect_parent_ids: Seq[String], expect_contains: Seq[String])
 
-  final case class GoldenResult(query_id: String, passed: Boolean,
-      n_hits: Long)
 
   /** S8 — load a golden-query JSONL corpus (the reference's
     * eval_queries*.jsonl shape: query, view, language, top_k,
@@ -177,6 +161,22 @@ final class Engine(
 }
 
 object Engine {
+  final case class IngestResult(
+      documents: Dataset[DocumentRow],
+      concepts: Dataset[ConceptRow],
+      fragments: Dataset[FragmentRow],
+      parents: Dataset[ParentRow],
+      embeddings: Dataset[EmbeddingRow])
+  final case class Metrics(
+      nEmbeddings: Long, nMissingDocId: Long, nMissingParentId: Long,
+      nMissingFragmentId: Long, nShortContent: Long, nDuplicateDocIds: Long,
+      viewDistribution: Seq[(String, Long)], langDistribution: Seq[(String, Long)])
+  final case class GoldenQuery(query_id: String, query: String,
+      view: Option[String], language: Option[String], top_k: Int,
+      expect_parent_ids: Seq[String], expect_contains: Seq[String])
+  final case class GoldenResult(query_id: String, passed: Boolean,
+      n_hits: Long)
+
   final case class SearchHitRow(
       fragment_id: String, parent_id: String, view: String,
       lang: Option[String], content: String, similarity: Double,

@@ -73,9 +73,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val someParent = emb.head().parent_id
 
     val golden = Seq(
-      engine.GoldenQuery("g1", "Intro paragraph explaining the add function in enough words.",
+      graft.api.Engine.GoldenQuery("g1", "Intro paragraph explaining the add function in enough words.",
         None, None, 5, Seq(someParent), Seq("add function")),
-      engine.GoldenQuery("g2", "completely unrelated query text",
+      graft.api.Engine.GoldenQuery("g2", "completely unrelated query text",
         None, None, 5, Seq("no-such-parent"), Seq("zzz-not-present")))
     val results = engine.evalGolden(emb, r.parents, golden)
     assert(results.find(_.query_id == "g1").get.passed)
