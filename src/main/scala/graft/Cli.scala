@@ -37,6 +37,41 @@ object Cli {
         println(s"[ingest] documents=${r.documents.count()} " +
           s"fragments=${r.fragments.count()} embeddings=${r.embeddings.count()}")
 
+      case "reingest" :: tablesDir :: files if files.nonEmpty =>
+        // K5 cascade semantics: replace exactly the re-ingested documents,
+        // keep everything else (broadcast anti-join merge per table)
+        val docs = files.map { f =>
+          val text = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
+          DocInput(f, text, isOcr = false)
+        }.toDS()
+        val r = engine.ingest(docs)
+        def rmTree(p: java.nio.file.Path): Unit = {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        def mergeWrite(name: String, incoming: org.apache.spark.sql.DataFrame,
+            key: String = "document_id"): Unit = {
+          val path = s"$tablesDir/$name"
+          val merged = graft.ingest.IngestPipeline
+            .replaceDocuments(spark.read.parquet(path), incoming, key)
+          // stage then swap — can't overwrite a dir that's being read
+          val staging = s"$path.staging"
+          merged.write.mode("overwrite").parquet(staging)
+          rmTree(java.nio.file.Paths.get(path))
+          java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+            java.nio.file.Paths.get(path))
+        }
+        mergeWrite("documents", r.documents.toDF(), key = "id")
+        mergeWrite("concepts", r.concepts.toDF())
+        mergeWrite("fragments", r.fragments.toDF())
+        mergeWrite("parents", r.parents.toDF())
+        mergeWrite("embeddings", r.embeddings.toDF())
+        println(s"[reingest] replaced ${files.length} documents; " +
+          s"fragments now ${spark.read.parquet(s"$tablesDir/fragments").count()}")
+
       case "search" :: tablesDir :: query :: rest =>
         val topK = rest.headOption.map(_.toInt).getOrElse(10)
         val view = rest.lift(1).filter(_ != "-")

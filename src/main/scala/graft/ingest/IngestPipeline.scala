@@ -134,9 +134,10 @@ object IngestPipeline {
     * rest, append the new rows (CASCADE-001..004 as set algebra). The join
     * is a broadcast anti-join on the (small) incoming document-id set.
     */
-  def replaceDocuments(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val ids = incoming.select("document_id").distinct()
-    existing.join(broadcast(ids), Seq("document_id"), "left_anti")
+  def replaceDocuments(existing: DataFrame, incoming: DataFrame,
+      key: String = "document_id"): DataFrame = {
+    val ids = incoming.select(key).distinct()
+    existing.join(broadcast(ids), Seq(key), "left_anti")
       .unionByName(incoming)
   }
 }
