@@ -29,11 +29,12 @@ object Cli {
           DocInput(f, text, isOcr = false)
         }.toDS()
         val r = engine.ingest(docs)
-        r.documents.toDF().write.mode("overwrite").parquet(s"$outDir/documents")
-        r.concepts.toDF().write.mode("overwrite").parquet(s"$outDir/concepts")
-        r.fragments.toDF().write.mode("overwrite").parquet(s"$outDir/fragments")
-        r.parents.toDF().write.mode("overwrite").parquet(s"$outDir/parents")
-        r.embeddings.toDF().write.mode("overwrite").parquet(s"$outDir/embeddings")
+        import graft.ingest.IngestPipeline.writeTable
+        writeTable(r.documents.toDF(), s"$outDir/documents", key = "id")
+        writeTable(r.concepts.toDF(), s"$outDir/concepts")
+        writeTable(r.fragments.toDF(), s"$outDir/fragments")
+        writeTable(r.parents.toDF(), s"$outDir/parents")
+        writeTable(r.embeddings.toDF(), s"$outDir/embeddings")
         println(s"[ingest] documents=${r.documents.count()} " +
           s"fragments=${r.fragments.count()} embeddings=${r.embeddings.count()}")
 
@@ -55,14 +56,22 @@ object Cli {
         def mergeWrite(name: String, incoming: org.apache.spark.sql.DataFrame,
             key: String = "document_id"): Unit = {
           val path = s"$tablesDir/$name"
+          // doc_bucket is a derived partition column — recomputed on write
+          val existing = spark.read.parquet(path).drop("doc_bucket")
           val merged = graft.ingest.IngestPipeline
-            .replaceDocuments(spark.read.parquet(path), incoming, key)
-          // stage then swap — can't overwrite a dir that's being read
+            .replaceDocuments(existing, incoming, key)
+          // stage then swap — can't overwrite a dir that's being read.
+          // Crash-safe ordering: live → .old, staging → live, drop .old
+          // (the live table is never the only copy that's missing)
           val staging = s"$path.staging"
-          merged.write.mode("overwrite").parquet(staging)
-          rmTree(java.nio.file.Paths.get(path))
+          val old = s"$path.old"
+          graft.ingest.IngestPipeline.writeTable(merged, staging, key)
+          rmTree(java.nio.file.Paths.get(old))
+          java.nio.file.Files.move(java.nio.file.Paths.get(path),
+            java.nio.file.Paths.get(old))
           java.nio.file.Files.move(java.nio.file.Paths.get(staging),
             java.nio.file.Paths.get(path))
+          rmTree(java.nio.file.Paths.get(old))
         }
         mergeWrite("documents", r.documents.toDF(), key = "id")
         mergeWrite("concepts", r.concepts.toDF())
@@ -111,7 +120,8 @@ object Cli {
 
       case _ =>
         System.err.println(
-          "usage: ingest <out> <files...> | search <tables> <query> [k] [view] [lang] | " +
+          "usage: ingest <out> <files...> | reingest <tables> <files...> | " +
+            "search <tables> <query> [k] [view] [lang] | " +
             "quality <tables> <golden.jsonl> | metrics <tables>")
     }
     spark.stop()

@@ -73,6 +73,12 @@ final class Engine(
   def metrics(embeddings: Dataset[EmbeddingRow], minLen: Int = 10,
       topK: Int = 10): Metrics = {
     val e = embeddings.cache()
+    try metricsImpl(e, minLen, topK)
+    finally e.unpersist() // all aggregates collected eagerly — release
+  }
+
+  private def metricsImpl(e: Dataset[EmbeddingRow], minLen: Int,
+      topK: Int): Metrics = {
     val agg = e.toDF().agg(
       count(lit(1)).as("n"),
       sum(when(col("doc_id").isNull || col("doc_id") === "", 1L).otherwise(0L)).as("m_doc"),
@@ -137,10 +143,17 @@ final class Engine(
       .filter(col("exp_lang").isNull || col("lang") === col("exp_lang"))
       .withColumn("similarity",
         VectorSearch.cosine(col("vector"), col("query_vector")))
+    // content dedupe per query BEFORE ranking, mirroring the deployed
+    // search path (knnDeduped): eval must grade what search returns
+    val dedupeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("content"))
+      .orderBy(col("similarity").desc, col("fragment_id"))
+    val deduped = scored.withColumn("__dup", row_number().over(dedupeW))
+      .filter(col("__dup") === 1).drop("__dup")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col("fragment_id"))
-    val hits = scored.withColumn("rank", row_number().over(w))
+    val hits = deduped.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= col("k"))
     val expanded = VectorSearch.expandContext(hits, parents.toDF())
     val matched = expanded

@@ -26,6 +26,18 @@ object Hashing {
 
   // ---- plain Scala (must agree exactly with the Column forms) ----
 
+  /** Python's s[:n] slices CODE POINTS; String.take counts UTF-16 units.
+    * They differ on supplementary-plane chars (emoji etc.), and a take()
+    * that lands mid-surrogate-pair corrupts the UTF-8 encoding. All id
+    * derivations that mirror a reference `[:n]` slice go through this.
+    */
+  def takeCodePoints(s: String, n: Int): String = {
+    if (s.length <= n) return s // fast path: ≤ n UTF-16 units ⇒ ≤ n cps
+    val cpCount = s.codePointCount(0, s.length)
+    if (cpCount <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+  }
+
   def md5Hex(s: String): String = {
     val d = MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
@@ -58,7 +70,7 @@ object Hashing {
     * (concept_builder.py:130-133).
     */
   def fragmentId(conceptId: String, order: Int, content: String): String =
-    s"${conceptId.take(12)}-$order-${md5Hex(content.take(200)).take(8)}"
+    s"${conceptId.take(12)}-$order-${md5Hex(takeCodePoints(content, 200)).take(8)}"
 
   // (the orphan concept id hashes the first-5 orphan content heads, not
   // the document id — derived in graft.ingest.ConceptBuilder where the

@@ -44,8 +44,17 @@ object TextUtils {
     Pattern.compile("(?mU)(\\w+)\\s+=\\s+'") -> "$1='",
     Pattern.compile("(?mU)\\s+\\d{1,3}\\s*$") -> "")
 
+  /** Python reads source files in text mode, which converts \r\n and lone
+    * \r to \n before any parsing (universal newlines). JVM reads preserve
+    * \r, which would defeat every \n-based regex downstream (paragraph
+    * split, fences, line merges) — convert at the same boundary.
+    */
+  def universalNewlines(s: String): String =
+    if (s.indexOf('\r') < 0) s
+    else s.replace("\r\n", "\n").replace('\r', '\n')
+
   def normalize(text0: String): String = {
-    var text = text0
+    var text = universalNewlines(text0)
     ReplacePairs.foreach { case (src, dst) => text = text.replace(src, dst) }
     text = Nbsp.matcher(text).replaceAll(" ")
     text = TrailingWs.matcher(text).replaceAll("\n")
@@ -221,7 +230,9 @@ object TextUtils {
     val nfkd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
     val ascii = nfkd.filter(_ < 128)
     val cleaned = ascii.replaceAll("[^\\w\\s-]", "").trim.toLowerCase
-    cleaned.split("[-\\s]+").filter(_.nonEmpty).mkString("-")
+    // single regex substitution like the reference (re.sub(r"[-\s]+","-")) —
+    // keeps boundary hyphen runs (e.g. "- Overview" → "-overview")
+    cleaned.replaceAll("[-\\s]+", "-")
   }
 
   /** Any Hangul syllable present (generation/pipeline.py:118-129). */

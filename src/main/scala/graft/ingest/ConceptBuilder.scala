@@ -47,7 +47,8 @@ object ConceptBuilder {
 
     if (orphans.nonEmpty) {
       // orphan concept id from the first-5 orphan content heads (:130-133)
-      val orphanContent = orphans.take(5).map(_.content.take(100)).mkString
+      val orphanContent = orphans.take(5)
+        .map(u => Hashing.takeCodePoints(u.content, 100)).mkString
       val conceptId =
         s"${documentId.take(8)}-orphans-${Hashing.md5Hex(orphanContent).take(8)}"
       concepts += ConceptRow(conceptId, documentId, order, "",

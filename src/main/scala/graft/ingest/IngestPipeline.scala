@@ -124,8 +124,9 @@ object IngestPipeline {
     * buckets keep files large and let re-ingest replace exactly the
     * touched documents via an anti-join merge within affected buckets.
     */
-  def writeTable(df: DataFrame, path: String): Unit =
-    df.withColumn("doc_bucket", substring(col("document_id"), 1, 2))
+  def writeTable(df: DataFrame, path: String,
+      key: String = "document_id"): Unit =
+    df.withColumn("doc_bucket", substring(col(key), 1, 2))
       .write.mode("overwrite")
       .partitionBy("doc_bucket")
       .parquet(path)

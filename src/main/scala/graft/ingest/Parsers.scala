@@ -45,7 +45,9 @@ object Parsers {
   /** Markdown parse: line state machine over ``` fences; inline images become
     * `image` segments with "alt\nurl" payload (markdown.py:30-108).
     */
-  def parseMarkdown(documentId: String, raw: String): Seq[RawSegment] = {
+  def parseMarkdown(documentId: String, raw0: String): Seq[RawSegment] = {
+    // python reads files with universal newlines; match that boundary
+    val raw = TextUtils.universalNewlines(raw0)
     val segments = new ArrayBuffer[RawSegment]
     var order = 0
     var inFence = false

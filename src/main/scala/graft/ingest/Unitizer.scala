@@ -28,13 +28,15 @@ final class Unitizer(
     * (segmentation.py:148-168).
     */
   private def codeUnitId(code: RawSegment, preText: Seq[RawSegment]): String = {
-    val pre = preText.takeRight(2).map(_.content.take(100)).mkString
-    Hashing.md5Hex(pre + "|" + code.content.take(500)).take(16)
+    val pre = preText.takeRight(2)
+      .map(s => Hashing.takeCodePoints(s.content, 100)).mkString
+    Hashing.md5Hex(pre + "|" + Hashing.takeCodePoints(code.content, 500)).take(16)
   }
 
   /** "txt-" + md5 of the first-5 segment heads (segmentation.py:170-182). */
   private def textUnitId(segs: Seq[RawSegment]): String =
-    "txt-" + Hashing.md5Hex(segs.take(5).map(_.content.take(200)).mkString).take(12)
+    "txt-" + Hashing.md5Hex(
+      segs.take(5).map(s => Hashing.takeCodePoints(s.content, 200)).mkString).take(12)
 
   def unitize(segments: IndexedSeq[RawSegment]): Seq[UnitizedSegment] = {
     val output = new ArrayBuffer[UnitizedSegment]

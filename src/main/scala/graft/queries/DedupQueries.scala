@@ -47,15 +47,24 @@ object DedupQueries {
   // derived as a + i·b. The hash-pair stage materializes first (cache — at
   // scale, a write-time column) so the md5 pass runs once, not once per
   // component (Catalyst's project collapsing would otherwise inline it 8×).
+  // memoized per (session, dir): d2 and d3 share ONE cached sketch stage
+  // instead of caching two identical plans (Spark's cache manager would
+  // dedupe the storage, but sharing the DataFrame also shares analysis and
+  // makes the lifetime explicit — session-scoped, like a temp view)
+  private val hashStages =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   private def kmHashStage(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        // native one-pass tokenize→shingle→md5→(a,b) expression; values
-        // identical to TextSketch.kmHashes(shingles(...)) and the oracle
-        org.apache.spark.sql.graft.SketchExpressions
-          .minhashKmPairs(col("text"), ShingleN).as("hs"))
-      .cache()
+    hashStages.computeIfAbsent((s, dir), { case (s2, d) =>
+      Tables.documents(s2, d)
+        .repartition(s2.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          // native one-pass tokenize→shingle→md5→(a,b) expression; values
+          // identical to TextSketch.kmHashes(shingles(...)) and the oracle
+          org.apache.spark.sql.graft.SketchExpressions
+            .minhashKmPairs(col("text"), ShingleN).as("hs"))
+        .cache()
+    })
 
   private def kmSigCols: Seq[org.apache.spark.sql.Column] =
     (0 until MinhashK).map(i => TextSketch.kmComponent(col("hs"), i).as(s"s$i"))

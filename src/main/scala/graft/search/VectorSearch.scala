@@ -53,8 +53,9 @@ object VectorSearch {
     */
   def knn(embeddings: DataFrame, queryVec: Array[Float], topK: Int,
       view: Option[String] = None, lang: Option[String] = None,
-      vectorCol: String = "vector", tieBreak: String = "fragment_id"): DataFrame = {
-    val k = clampTopK(topK)
+      vectorCol: String = "vector", tieBreak: String = "fragment_id",
+      clampK: Boolean = true): DataFrame = {
+    val k = if (clampK) clampTopK(topK) else math.max(topK, 1)
     val filtered = Seq(
       view.map(v => col("view") === v),
       lang.map(l => col("lang") === l)
@@ -74,7 +75,11 @@ object VectorSearch {
       view: Option[String] = None, lang: Option[String] = None,
       overFetch: Int = 4): DataFrame = {
     val k = clampTopK(topK)
-    val wide = knn(embeddings, queryVec, k * overFetch, view, lang)
+    // the over-fetch is internal — it must NOT re-clamp to 100, or at
+    // k ≥ 25 the fetch degrades back to dedupe-after-limit (the reference
+    // bug this method exists to fix)
+    val wide = knn(embeddings, queryVec, k * overFetch, view, lang,
+      clampK = false)
     val w = Window.partitionBy(col("content"))
       .orderBy(col("similarity").desc, col("fragment_id"))
     wide.withColumn("__rn", row_number().over(w))
