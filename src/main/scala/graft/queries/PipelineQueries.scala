@@ -73,6 +73,7 @@ object PipelineQueries {
     import s.implicits._
     import graft.sources.PdfSource
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>

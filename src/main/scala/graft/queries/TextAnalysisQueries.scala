@@ -49,6 +49,7 @@ object TextAnalysisQueries {
       when(v === maxVote && maxVote > 0 && acc === "unknown", lit(l)).otherwise(acc)
     }
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("guess", guess)
       .groupBy(col("lang"), col("guess"))
       .agg(count(lit(1)).as("n_docs"))
@@ -80,6 +81,7 @@ object TextAnalysisQueries {
     val enStop = voteCount(w, stopwords.head._2)
     val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         nTokens.as("n_tokens"),
         (nDistinct.cast("double") / nTokens.cast("double")).as("ttr"),
@@ -104,6 +106,7 @@ object TextAnalysisQueries {
   private val x3TokenStats: Q = (s, dir) => {
     val nTokens = size(words(col("text")))
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("lang"), col("source"), nTokens.as("n_tokens"))
       .groupBy(col("lang"))
       .agg(
@@ -132,6 +135,7 @@ object TextAnalysisQueries {
   private val x4ApproxStats: Q = (s, dir) => {
     val nTokens = size(words(col("text")))
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("lang"), col("source"), nTokens.as("n_tokens"),
         col("n_chars"))
       .groupBy(col("lang"))
