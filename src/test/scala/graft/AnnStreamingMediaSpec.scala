@@ -100,15 +100,23 @@ class AnnStreamingMediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     mem.addData(SessionInput(1, ts(40), 3)) // closes session 1 inline
     q.processAllAvailable()
-    mem.addData(SessionInput(1, ts(120), 4)) // watermark far ahead → timeout closes session 2
+    mem.addData(SessionInput(1, ts(120), 4)) // closes session 2 inline (gap)
     q.processAllAvailable()
-    val out = s.sql("SELECT * FROM sess ORDER BY session_start_us").collect()
+    // a LATER event from a DIFFERENT user advances the watermark past
+    // user 1's timeout → exercises the hasTimedOut/EventTimeTimeout branch
+    mem.addData(SessionInput(2, ts(400), 5))
+    q.processAllAvailable()
+    val out = s.sql("SELECT * FROM sess WHERE user_id = 1 ORDER BY session_start_us")
+      .collect()
     q.stop()
 
-    assert(out.length >= 2, s"expected >=2 closed sessions: ${out.mkString(";")}")
+    assert(out.length == 3, s"expected 3 closed sessions for user 1: ${out.mkString(";")}")
     assert(out(0).getAs[Long]("n_events") == 2)
     assert(out(0).getAs[Long]("duration_sec") == 300)
     assert(out(1).getAs[Long]("n_events") == 1)
+    // session 3 (the lone ts(120) event) closed by event-time TIMEOUT
+    assert(out(2).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("duration_sec") == 0)
   }
 
   test("streaming ingest produces identical fragments to batch") {

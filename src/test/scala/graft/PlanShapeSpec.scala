@@ -57,11 +57,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = SparkEntry.queries("p1_ingest_fragments")(spark, dir)
     // allowed exchanges: the final presentation orderBy (range) and ONE
     // round-robin redistribution of the single-split local input; the
-    // per-document folds themselves must never hash-shuffle
-    val body = df.queryExecution.executedPlan.toString
-      .split("Exchange rangepartitioning").head
-    assert(!body.contains("Exchange hashpartitioning"))
-    assert(body.split("Exchange roundrobinpartitioning").length <= 2)
+    // per-document folds themselves must never hash-shuffle. NOTE plan
+    // text prints root-first and Spark capitalizes RoundRobinPartitioning
+    // but lower-cases range/hashpartitioning — match the real spellings
+    // over the WHOLE plan.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange rangepartitioning"), "sanity: orderBy present")
+    assert(plan.contains("Exchange RoundRobinPartitioning"), "sanity: input spread present")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"ingest fold must not hash-shuffle:\n$plan")
+    assert(plan.split("Exchange RoundRobinPartitioning").length <= 2,
+      "more than one round-robin redistribution")
   }
 
   test("v5 ann recall rises with probe depth, scan fraction monotone") {
@@ -86,12 +92,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     TableLayout.writeBucketed(c.select("c_custkey", "c_name"),
       "customer_b", "c_custkey", 4)
     val joined = s.table("orders_b")
-      .join(s.table("customer_b"),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_name")).agg(sum(col("o_totalprice")).as("t"))
-    assert(TableLayout.isShuffleFree(
-      s.table("orders_b").join(s.table("customer_b"),
-        col("o_custkey") === col("c_custkey"))),
+      .join(s.table("customer_b"), col("o_custkey") === col("c_custkey"))
+    assert(TableLayout.isShuffleFree(joined),
       "bucketed join should not shuffle:\n" +
         joined.queryExecution.executedPlan)
   }

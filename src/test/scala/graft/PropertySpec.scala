@@ -17,18 +17,27 @@ class PropertySpec extends AnyFunSuite {
 
   private val Cases = 100
 
-  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit =
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit = {
+    var executed = 0
     (0 until Cases).foreach { i =>
-      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { a =>
+        executed += 1; f(a)
+      }
     }
+    // guard against vacuous passes if a generator starts failing
+    assert(executed > Cases / 2, s"only $executed/$Cases cases generated")
+  }
 
-  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit = {
+    var executed = 0
     (0 until Cases).foreach { i =>
       for {
         a <- ga.apply(Gen.Parameters.default, Seed(i.toLong))
         b <- gb.apply(Gen.Parameters.default, Seed(i.toLong + 1000))
-      } f(a, b)
+      } { executed += 1; f(a, b) }
     }
+    assert(executed > Cases / 2, s"only $executed/$Cases cases generated")
+  }
 
   private val textGen: Gen[String] = Gen.chooseNum(0, 400).flatMap { n =>
     Gen.listOfN(n, Gen.frequency(

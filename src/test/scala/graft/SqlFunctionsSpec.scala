@@ -38,8 +38,7 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head()
     assert(r.isNullAt(0))
 
-    // interpreted eval (outside codegen) must match: force via filter on
-    // a literal-only expression evaluated at plan time
+    // codegen path: both formulations through a normal plan
     import graft.search.VectorSearch
     import org.apache.spark.sql.functions._
     val s = spark
@@ -48,6 +47,23 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val native = df.select(VectorSearch.dot(col("a"), col("b"))).head().getDouble(0)
     val hof = df.select(VectorSearch.dotHof(col("a"), col("b"))).head().getDouble(0)
     assert(native == hof && native == 11.0)
+
+    // interpreted path: invoke the expressions' eval() directly (this is
+    // what runs when codegen falls back) — must agree with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.{VectorCosine, VectorDot}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def litArr(xs: Array[Float]) = Literal.create(xs, ArrayType(FloatType))
+    val interpDot = VectorDot(litArr(Array(1.0f, 2.0f)), litArr(Array(3.0f, 4.0f)))
+      .eval(null)
+    assert(interpDot == 11.0)
+    val interpCos = VectorCosine(litArr(Array(1.0f, 0.0f)), litArr(Array(1.0f, 0.0f)))
+      .eval(null)
+    assert(interpCos == 1.0)
+    // interpreted zero-norm guard
+    val interpZero = VectorCosine(litArr(Array(0.0f, 0.0f)), litArr(Array(1.0f, 0.0f)))
+      .eval(null)
+    assert(interpZero == 0.0)
   }
 
   test("native minhash km pairs equal the built-in formulation") {

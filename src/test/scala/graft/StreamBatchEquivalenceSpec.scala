@@ -34,20 +34,27 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
 
-    // stream the same parquet through the SAME logical operator
+    // stream the same parquet through the SAME logical operator; nanos
+    // conversion must be the SAME floor division Tables.events uses
     val streamRaw = s.readStream.schema(
       s.read.parquet(s"$dir/events.parquet").schema)
       .parquet(stage.toString)
     val streamEvents =
       if (streamRaw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        streamRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        streamRaw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       else streamRaw
 
     val agg = EventStreams.tumblingCounts(streamEvents, watermark = "0 seconds")
     val q = agg.writeStream.format("memory").queryName("stream_win")
       .outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
     val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0)
     val lastOpenWindow = java.sql.Timestamp.valueOf(
