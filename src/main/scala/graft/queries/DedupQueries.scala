@@ -195,12 +195,14 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  // D6 — char-16-gram rolling fingerprint per document.
+  // D6 — char-16-gram rolling fingerprint per document (native one-pass
+  // expression; same values as TextSketch.charFingerprint and the oracle).
   private val d6Fingerprint: Q = (s, dir) =>
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        TextSketch.charFingerprint(col("text"), 16).as("fingerprint"))
+        org.apache.spark.sql.graft.SketchExpressions
+          .charFingerprint(col("text"), 16).as("fingerprint"))
       .orderBy(col("doc_id"))
 
   private val d6Sql =

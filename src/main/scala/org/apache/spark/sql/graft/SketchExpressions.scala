@@ -102,9 +102,62 @@ object MinHashKmPairs {
     override def initialValue(): MessageDigest =
       MessageDigest.getInstance("MD5")
   }
+
+  private[graft] def digest(): MessageDigest = threadDigest.get()
+}
+
+/** One-pass rolling char-n-gram fingerprint: min over hexint15(md5) of all
+  * character n-grams — identical values to
+  * `TextSketch.charFingerprint(text, n)` (substring → md5 → first 15 hex
+  * digits as long → array_min; Long.MaxValue when shorter than n), without
+  * materializing the shingle array or paying per-element HOF dispatch.
+  *
+  * NOTE code-point parity: Spark's `substring`/`length` count code points,
+  * so the window advances by code points here too.
+  */
+case class CharFingerprint(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_fingerprint"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return Long.MaxValue
+    val text = v.asInstanceOf[UTF8String].toString
+    val cpCount = text.codePointCount(0, text.length)
+    if (cpCount < n) return Long.MaxValue
+    val md = MinHashKmPairs.digest()
+    var min = Long.MaxValue
+    var start = 0
+    var i = 0
+    while (i <= cpCount - n) {
+      val end = text.offsetByCodePoints(start, n)
+      md.reset()
+      val d = md.digest(text.substring(start, end)
+        .getBytes(StandardCharsets.UTF_8))
+      // first 15 hex digits = bytes 0-6 plus the high nibble of byte 7
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0x0fL)
+      if (h < min) min = h
+      start = text.offsetByCodePoints(start, 1)
+      i += 1
+    }
+    min
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharFingerprint =
+    copy(child = newChild)
 }
 
 object SketchExpressions {
   def minhashKmPairs(text: Column, shingleN: Int): Column =
     ExpressionUtils.column(MinHashKmPairs(ExpressionUtils.expression(text), shingleN))
+
+  def charFingerprint(text: Column, n: Int): Column =
+    ExpressionUtils.column(CharFingerprint(ExpressionUtils.expression(text), n))
 }

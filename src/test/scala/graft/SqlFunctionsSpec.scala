@@ -91,6 +91,17 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builtin.toSeq.map(_.toSeq) == native.toSeq.map(_.toSeq))
     assert(native(2).isEmpty)
 
+    // native char fingerprint equals the built-in formulation
+    val fpDf = Seq("the quick brown fox jumps over it",
+      "short", "exactly sixteen!", "unicode 好的吗 content here").toDF("text")
+    val fpBuiltin = fpDf.select(
+      TextSketch.charFingerprint(col("text"), 16)).collect().map(_.getLong(0))
+    val fpNative = fpDf.select(
+      org.apache.spark.sql.graft.SketchExpressions
+        .charFingerprint(col("text"), 16)).collect().map(_.getLong(0))
+    assert(fpBuiltin.toSeq == fpNative.toSeq)
+    assert(fpNative(1) == Long.MaxValue) // shorter than n
+
     // NULL text → empty pair list on both formulations
     val nullDf = Seq[Option[String]](None).toDF("text")
     val nativeNull = nullDf.select(
