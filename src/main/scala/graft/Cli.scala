@@ -37,6 +37,7 @@ object Cli {
         writeTable(r.embeddings.toDF(), s"$outDir/embeddings")
         println(s"[ingest] documents=${r.documents.count()} " +
           s"fragments=${r.fragments.count()} embeddings=${r.embeddings.count()}")
+        r.release()
 
       case "reingest" :: tablesDir :: files if files.nonEmpty =>
         // K5 cascade semantics: replace exactly the re-ingested documents,
@@ -53,20 +54,50 @@ object Cli {
             java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
               .foreach(java.nio.file.Files.deleteIfExists(_))
         }
+        /** Roll a table forward/back out of any half-finished prior swap
+          * BEFORE reading it. The swap below is two non-atomic moves; a
+          * crash can leave: (a) stale .staging with live intact — drop it;
+          * (b) live missing with .old + .staging — .staging is complete
+          * (the first move runs only after the staging write returns), so
+          * roll FORWARD: staging → live; (c) live missing with only .old —
+          * roll BACK: old → live; (d) live + leftover .old — drop .old.
+          */
+        def recoverSwap(path: String): Unit = {
+          import java.nio.file.{Files, Paths}
+          val (live, staging, old) =
+            (Paths.get(path), Paths.get(s"$path.staging"), Paths.get(s"$path.old"))
+          if (Files.exists(live)) {
+            if (Files.exists(staging)) {
+              System.err.println(s"[reingest] dropping stale $path.staging")
+              rmTree(staging)
+            }
+            if (Files.exists(old)) {
+              System.err.println(s"[reingest] dropping leftover $path.old")
+              rmTree(old)
+            }
+          } else if (Files.exists(staging) && Files.exists(old)) {
+            System.err.println(s"[reingest] completing interrupted swap of $path")
+            Files.move(staging, live)
+            rmTree(old)
+          } else if (Files.exists(old)) {
+            System.err.println(s"[reingest] restoring $path from $path.old")
+            Files.move(old, live)
+          }
+        }
         def mergeWrite(name: String, incoming: org.apache.spark.sql.DataFrame,
             key: String = "document_id"): Unit = {
           val path = s"$tablesDir/$name"
+          recoverSwap(path)
           // doc_bucket is a derived partition column — recomputed on write
           val existing = spark.read.parquet(path).drop("doc_bucket")
           val merged = graft.ingest.IngestPipeline
             .replaceDocuments(existing, incoming, key)
           // stage then swap — can't overwrite a dir that's being read.
-          // Crash-safe ordering: live → .old, staging → live, drop .old
-          // (the live table is never the only copy that's missing)
+          // Ordering: live → .old, staging → live, drop .old; every crash
+          // point leaves a state recoverSwap() rolls forward or back.
           val staging = s"$path.staging"
           val old = s"$path.old"
           graft.ingest.IngestPipeline.writeTable(merged, staging, key)
-          rmTree(java.nio.file.Paths.get(old))
           java.nio.file.Files.move(java.nio.file.Paths.get(path),
             java.nio.file.Paths.get(old))
           java.nio.file.Files.move(java.nio.file.Paths.get(staging),
@@ -80,6 +111,7 @@ object Cli {
         mergeWrite("embeddings", r.embeddings.toDF())
         println(s"[reingest] replaced ${files.length} documents; " +
           s"fragments now ${spark.read.parquet(s"$tablesDir/fragments").count()}")
+        r.release()
 
       case "search" :: tablesDir :: query :: rest =>
         val topK = rest.headOption.map(_.toInt).getOrElse(10)

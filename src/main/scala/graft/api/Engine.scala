@@ -37,7 +37,8 @@ final class Engine(
       IngestPipeline.concepts(processed),
       fragments,
       IngestPipeline.parents(processed),
-      IngestPipeline.embeddings(fragments, embedder))
+      IngestPipeline.embeddings(fragments, embedder))(
+      release = () => { processed.unpersist(); () })
   }
 
   // ---- search (§3.1) ----
@@ -174,12 +175,15 @@ final class Engine(
 }
 
 object Engine {
+  /** The five entity datasets share one cached fold stage; call [[release]]
+    * once they're written/collected to free the executor storage.
+    */
   final case class IngestResult(
       documents: Dataset[DocumentRow],
       concepts: Dataset[ConceptRow],
       fragments: Dataset[FragmentRow],
       parents: Dataset[ParentRow],
-      embeddings: Dataset[EmbeddingRow])
+      embeddings: Dataset[EmbeddingRow])(val release: () => Unit)
   final case class Metrics(
       nEmbeddings: Long, nMissingDocId: Long, nMissingParentId: Long,
       nMissingFragmentId: Long, nShortContent: Long, nDuplicateDocIds: Long,

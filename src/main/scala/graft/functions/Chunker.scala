@@ -44,7 +44,8 @@ final class Chunker(
     val splits = splitKeepingSeparator(text, separator)
     val goodSplits = new ArrayBuffer[String]
     for (s <- splits) {
-      if (s.length < chunkSize) goodSplits += s
+      // Python len() counts code points, not UTF-16 units
+      if (Hashing.lengthCodePoints(s) < chunkSize) goodSplits += s
       else {
         if (goodSplits.nonEmpty) {
           finalChunks ++= mergeSplits(goodSplits.toSeq); goodSplits.clear()
@@ -61,7 +62,18 @@ final class Chunker(
     * following piece (keep_separator="start" semantics); empty pieces drop.
     */
   private def splitKeepingSeparator(text: String, sep: String): Seq[String] = {
-    if (sep.isEmpty) return text.map(_.toString)
+    if (sep.isEmpty) {
+      // per-character split = per CODE POINT (Python iterates code points;
+      // mapping UTF-16 units would emit lone surrogate halves)
+      val out = new ArrayBuffer[String](text.length)
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      return out.toSeq
+    }
     val parts = Pattern.compile(sep, Pattern.LITERAL).split(text, -1)
     val out = new ArrayBuffer[String](parts.length)
     var i = 0
@@ -78,23 +90,24 @@ final class Chunker(
     */
   private def mergeSplits(splits: Seq[String]): Seq[String] = {
     val docs = new ArrayBuffer[String]
-    var current = Vector.empty[String]
+    // carry (piece, code-point length) so overlap eviction doesn't rescan
+    var current = Vector.empty[(String, Int)]
     var total = 0
     for (d <- splits) {
-      val len = d.length
+      val len = Hashing.lengthCodePoints(d)
       if (total + len > chunkSize && current.nonEmpty) {
-        val joined = current.mkString.trim
+        val joined = current.map(_._1).mkString.trim
         if (joined.nonEmpty) docs += joined
         while (total > chunkOverlap ||
           (total + len > chunkSize && total > 0)) {
-          total -= current.head.length
+          total -= current.head._2
           current = current.tail
         }
       }
-      current :+= d
+      current :+= (d -> len)
       total += len
     }
-    val joined = current.mkString.trim
+    val joined = current.map(_._1).mkString.trim
     if (joined.nonEmpty) docs += joined
     docs.toSeq
   }

@@ -38,6 +38,13 @@ object Hashing {
     else s.substring(0, s.offsetByCodePoints(0, n))
   }
 
+  /** Python's len() counts CODE POINTS; String.length counts UTF-16 units.
+    * All reference-parity character budgets (unitizer buffer, chunk sizes,
+    * parent context limit) must count like the reference or a single emoji
+    * shifts buffer/chunk boundaries and changes downstream ids.
+    */
+  def lengthCodePoints(s: String): Int = s.codePointCount(0, s.length)
+
   def md5Hex(s: String): String = {
     val d = MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))

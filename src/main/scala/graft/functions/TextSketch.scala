@@ -24,8 +24,12 @@ object TextSketch {
   def hexInt(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Whitespace tokenization (matches DuckDB regexp_split_to_array '\s+'). */
-  def words(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization. Explicit character class rather than `\s`:
+    * Java's `\s` includes `\x0B` (vertical tab) but RE2's (DuckDB's) does
+    * not, so `\s+` silently diverges across engines on documents containing
+    * a vertical tab. Both sides split on exactly `[ \t\n\f\r]+`.
+    */
+  def words(text: Column): Column = split(trim(text), "[ \\t\\n\\f\\r]+")
 
   /** Word n-gram shingles; empty array when the text has fewer than n words. */
   def shingles(text: Column, n: Int): Column = {
@@ -128,7 +132,7 @@ object TextSketch {
       s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
 
     def words(text: String): String =
-      s"regexp_split_to_array(trim($text), '\\s+')"
+      s"regexp_split_to_array(trim($text), '[ \\t\\n\\f\\r]+')"
 
     /** Word n-gram shingles (1-indexed lists) over a words expression. */
     def shingles(w: String, n: Int): String = {

@@ -33,6 +33,8 @@ object ParentSynthesis {
       if (f.view == "code") s"```${f.language.getOrElse("")}\n${f.content}\n```"
       else f.content
     }
-    parts.mkString("\n\n").take(contextLimit)
+    // Python's [:limit] slices code points; take() would split a surrogate
+    // pair and truncate differently for any supplementary-plane char.
+    graft.functions.Hashing.takeCodePoints(parts.mkString("\n\n"), contextLimit)
   }
 }

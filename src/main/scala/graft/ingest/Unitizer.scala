@@ -59,7 +59,8 @@ final class Unitizer(
       val segment = segments(i)
       if (segment.kind == "text") {
         textBuffer :+= segment
-        textBufferChars += segment.content.length
+        // code-point counts: the reference buffers by Python len()
+        textBufferChars += Hashing.lengthCodePoints(segment.content)
         // overflow: flush as one text-only unit when big enough, else shed
         // the oldest buffered segment as an orphan (segmentation.py:61-72)
         var continueFlush = true
@@ -73,7 +74,7 @@ final class Unitizer(
           } else {
             val old = textBuffer.head
             textBuffer = textBuffer.tail
-            textBufferChars -= old.content.length
+            textBufferChars -= Hashing.lengthCodePoints(old.content)
             emit(None, "other", old)
           }
         }
@@ -108,7 +109,7 @@ final class Unitizer(
               if (i + 1 < total && segments(i + 1).kind == "code" &&
                 segments(i + 1).language.contains("python")) {
                 textBuffer :+= segments(i)
-                textBufferChars += segments(i).content.length
+                textBufferChars += Hashing.lengthCodePoints(segments(i).content)
                 i += 1
                 stop = true
               } else { emit(Some(unitId), "post_text", segments(i)); i += 1 }

@@ -47,24 +47,20 @@ object DedupQueries {
   // derived as a + i·b. The hash-pair stage materializes first (cache — at
   // scale, a write-time column) so the md5 pass runs once, not once per
   // component (Catalyst's project collapsing would otherwise inline it 8×).
-  // memoized per (session, dir): d2 and d3 share ONE cached sketch stage
-  // instead of caching two identical plans (Spark's cache manager would
-  // dedupe the storage, but sharing the DataFrame also shares analysis and
-  // makes the lifetime explicit — session-scoped, like a temp view)
-  private val hashStages =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-
+  // memoized per (session, dir) via StageCache: d2 and d3 share ONE cached
+  // sketch stage instead of caching two identical plans, and the cache is
+  // released on session end (or explicitly by Verify/Bench/Cli) instead of
+  // pinning executor storage for the JVM lifetime.
   private def kmHashStage(s: SparkSession, dir: String): DataFrame =
-    hashStages.computeIfAbsent((s, dir), { case (s2, d) =>
-      Tables.documents(s2, d)
-        .repartition(s2.sparkContext.defaultParallelism)
+    StageCache.getOrCache(s, s"km_hashes:$dir") {
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           // native one-pass tokenize→shingle→md5→(a,b) expression; values
           // identical to TextSketch.kmHashes(shingles(...)) and the oracle
           org.apache.spark.sql.graft.SketchExpressions
             .minhashKmPairs(col("text"), ShingleN).as("hs"))
-        .cache()
-    })
+    }
 
   private def kmSigCols: Seq[org.apache.spark.sql.Column] =
     (0 until MinhashK).map(i => TextSketch.kmComponent(col("hs"), i).as(s"s$i"))
@@ -94,9 +90,10 @@ object DedupQueries {
     // collapsing would otherwise inline the full sketch expression into
     // every band hash and both self-join sides (~30× recompute). At scale
     // the sketch is a write-time table column; cache() is its local stand-in.
-    val docs = kmHashStage(s, dir)
-      .select(col("doc_id"), array(kmSigCols: _*).as("sig"))
-      .cache()
+    val docs = StageCache.getOrCache(s, s"minhash_sigs:$dir") {
+      kmHashStage(s, dir)
+        .select(col("doc_id"), array(kmSigCols: _*).as("sig"))
+    }
     val bands = docs.select(col("doc_id"), col("sig"),
       explode(array((0 until MinhashK / BandRows).map { b =>
         struct(lit(b).as("band"),
@@ -147,12 +144,13 @@ object DedupQueries {
   // md5 pass), then the 16 bit-votes run over the cached longs — otherwise
   // each vote re-inlines the full hashing expression (16× md5).
   private val d4Simhash: Q = (s, dir) =>
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"),
-        transform(TextSketch.words(col("text")),
-          w => TextSketch.hexInt(w)).as("hw"))
-      .cache()
+    StageCache.getOrCache(s, s"word_hashes:$dir") {
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          transform(TextSketch.words(col("text")),
+            w => TextSketch.hexInt(w)).as("hw"))
+    }
       .select(col("doc_id"),
         TextSketch.simhashFromHashes(col("hw"), SimhashBits).as("simhash"))
       .orderBy(col("doc_id"))

@@ -82,7 +82,7 @@ object EventQueries {
       |  SELECT user_id, session_idx, COUNT(*) AS n_events,
       |    (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec
       |  FROM assigned GROUP BY user_id, session_idx)
-      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+      |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events)::BIGINT AS n_events,
       |  MAX(duration_sec) AS max_session_sec
       |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin
 

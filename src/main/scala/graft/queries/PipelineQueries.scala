@@ -96,10 +96,14 @@ object PipelineQueries {
   private val p5E2eGolden: Q = (s, dir) => {
     import graft.search.VectorSearch
     val embedder = new OfflineEmbedder(64)
-    val processed = IngestPipeline.process(inputs(s, dir))
-    val emb = IngestPipeline
-      .embeddings(IngestPipeline.fragments(processed), embedder)
-      .toDF().cache()
+    // StageCache (not bare .cache()): the returned plan references this
+    // stage, so it can only be unpersisted when the session is done with it
+    val emb = StageCache.getOrCache(s, s"p5_embeddings:$dir") {
+      val processed = IngestPipeline.process(inputs(s, dir))
+      IngestPipeline
+        .embeddings(IngestPipeline.fragments(processed), embedder)
+        .toDF()
+    }
     val queries = emb
       .orderBy(col("fragment_id")).limit(45)
       .select(col("fragment_id").as("golden_id"), col("content"))

@@ -120,7 +120,7 @@ object TextAnalysisQueries {
   private val x3Sql = {
     val w = duck.wordsExpr
     s"""SELECT lang, COUNT(*) AS n_docs,
-       |  SUM(len($w)) AS total_tokens,
+       |  SUM(len($w))::BIGINT AS total_tokens,
        |  SUM(len($w))::DOUBLE / COUNT(*) AS avg_tokens,
        |  COUNT(DISTINCT source) AS n_sources
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin

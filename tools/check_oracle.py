@@ -61,6 +61,15 @@ def main():
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_fail += 1
             continue
+        # Driver hashes stringified values, so int64 vs float64 (e.g. DuckDB
+        # HUGEINT → pandas float) mismatches even when values compare equal.
+        kind_bad = [c for c in g.columns if g[c].dtype.kind != w[c].dtype.kind]
+        if kind_bad:
+            for c in kind_bad:
+                print(f"  {name}.{c}: dtype spark={g[c].dtype} duck={w[c].dtype}")
+            print(f"FAIL {name}: dtype kind mismatch")
+            n_fail += 1
+            continue
         bad = 0
         for c in g.columns:
             gv, wv = g[c].tolist(), w[c].tolist()
