@@ -4,10 +4,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
-    // warm the JVM (codegen, parquet reader, shuffle paths) so the first
-    // measured query isn't charged ~5s of JIT/class-loading
+    // warm the JVM (codegen, parquet reader, shuffle, window/join exec,
+    // md5/regex expression paths) on SYNTHETIC data so the first measured
+    // query isn't charged ~5s of JIT/Janino compilation — no testdata is
+    // touched beyond one tiny footer read, so nothing below pre-caches the
+    // benchmarked tables
     try {
       spark.range(2000000).selectExpr("sum(id)").collect()
+      val warm = spark.range(100000).selectExpr(
+        "id", "id % 37 AS k", "md5(CAST(id AS STRING)) AS h",
+        "CAST(id AS DOUBLE) / 7 AS v")
+      warm.createOrReplaceTempView("__warm")
+      spark.sql(
+        """SELECT k, COUNT(*), SUM(v),
+          |  MAX(LAG(v, 1) OVER (PARTITION BY k ORDER BY id)),
+          |  MAX(ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC))
+          |FROM __warm GROUP BY k""".stripMargin).collect()
+      spark.sql(
+        """SELECT a.k, COUNT(*) FROM __warm a
+          |JOIN (SELECT DISTINCT k FROM __warm) b ON a.k = b.k
+          |WHERE a.h LIKE '%7%' GROUP BY a.k ORDER BY a.k LIMIT 5""".stripMargin)
+        .collect()
+      spark.catalog.dropTempView("__warm")
       spark.read.parquet(s"$sfDir/nation.parquet").count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>

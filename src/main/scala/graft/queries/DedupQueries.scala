@@ -50,24 +50,23 @@ object DedupQueries {
   // memoized per (session, dir) via StageCache: d2 and d3 share ONE cached
   // sketch stage instead of caching two identical plans, and the cache is
   // released on session end (or explicitly by Verify/Bench/Cli) instead of
-  // pinning executor storage for the JVM lifetime.
-  private def kmHashStage(s: SparkSession, dir: String): DataFrame =
-    StageCache.getOrCache(s, s"km_hashes:$dir") {
+  // pinning executor storage for the JVM lifetime. The stage holds the
+  // finished k-long signature per row (native one-pass tokenize → shingle →
+  // md5 → KM fold; values identical to kmHashes+kmComponent and the
+  // oracle) — k longs cached per doc instead of every shingle's hash pair.
+  private def sigStage(s: SparkSession, dir: String): DataFrame =
+    StageCache.getOrCache(s, s"minhash_sigs:$dir") {
       Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
-          // native one-pass tokenize→shingle→md5→(a,b) expression; values
-          // identical to TextSketch.kmHashes(shingles(...)) and the oracle
           org.apache.spark.sql.graft.SketchExpressions
-            .minhashKmPairs(col("text"), ShingleN).as("hs"))
+            .minhashSignature(col("text"), ShingleN, MinhashK).as("sig"))
     }
 
-  private def kmSigCols: Seq[org.apache.spark.sql.Column] =
-    (0 until MinhashK).map(i => TextSketch.kmComponent(col("hs"), i).as(s"s$i"))
-
   private val d2MinhashSig: Q = (s, dir) =>
-    kmHashStage(s, dir)
-      .select((col("doc_id") +: kmSigCols): _*)
+    sigStage(s, dir)
+      .select(col("doc_id") +:
+        (0 until MinhashK).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
       .orderBy(col("doc_id"))
 
   private def duckSigCte: String = {
@@ -90,10 +89,7 @@ object DedupQueries {
     // collapsing would otherwise inline the full sketch expression into
     // every band hash and both self-join sides (~30× recompute). At scale
     // the sketch is a write-time table column; cache() is its local stand-in.
-    val docs = StageCache.getOrCache(s, s"minhash_sigs:$dir") {
-      kmHashStage(s, dir)
-        .select(col("doc_id"), array(kmSigCols: _*).as("sig"))
-    }
+    val docs = sigStage(s, dir)
     val bands = docs.select(col("doc_id"), col("sig"),
       explode(array((0 until MinhashK / BandRows).map { b =>
         struct(lit(b).as("band"),
@@ -140,19 +136,17 @@ object DedupQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  // D4 — SimHash signatures (16-bit). Word hashes materialize first (one
-  // md5 pass), then the 16 bit-votes run over the cached longs — otherwise
-  // each vote re-inlines the full hashing expression (16× md5).
+  // D4 — SimHash signatures (16-bit) via the native one-pass expression
+  // (tokenize → md5 per word → fold bit votes in one loop; identical
+  // values to TextSketch.simhash and the oracle — the built-in form pays
+  // 16 interpreted aggregate() passes, each re-inlined by project
+  // collapsing).
   private val d4Simhash: Q = (s, dir) =>
-    StageCache.getOrCache(s, s"word_hashes:$dir") {
-      Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          transform(TextSketch.words(col("text")),
-            w => TextSketch.hexInt(w)).as("hw"))
-    }
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        TextSketch.simhashFromHashes(col("hw"), SimhashBits).as("simhash"))
+        org.apache.spark.sql.graft.SketchExpressions
+          .simhash(col("text"), SimhashBits).as("simhash"))
       .orderBy(col("doc_id"))
 
   private val d4Sql = {

@@ -26,6 +26,20 @@ object TextAnalysisQueries {
 
   private def words(c: Column): Column = TextSketch.words(c)
 
+  /** Shared materialized token-array stage (doc_id, lang, source, n_chars,
+    * w). Without it, project collapsing re-inlines the split() into every
+    * consumer expression (x1 evaluates 5 stopword votes + a greatest
+    * chain = ~11 splits per row). At scale this is a write-time column;
+    * StageCache is its local stand-in (released on session end).
+    */
+  private def wordsStage(s: SparkSession, dir: String): DataFrame =
+    StageCache.getOrCache(s, s"doc_words:$dir") {
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          words(col("text")).as("w"))
+    }
+
   /** Count of tokens present in a fixed word list (int — order-free). */
   private def voteCount(w: Column, list: Seq[String]): Column =
     size(array_intersect_count(w, list))
@@ -40,16 +54,24 @@ object TextAnalysisQueries {
   }
 
   // X1 — language ID by stopword vote; argmax with fixed tie-break order.
+  // The vote counts materialize as a (tiny) cached stage of plain ints:
+  // the argmax chain references every vote ~6× (greatest + 5 whens), and
+  // project collapsing would re-run the interpreted array filter for each
+  // reference (~30 passes/row) if the votes stayed expressions.
   private val x1LangId: Q = (s, dir) => {
-    val w = words(col("text"))
-    val votes = stopwords.map { case (l, list) => l -> voteCount(w, list) }
+    val voteStage = StageCache.getOrCache(s, s"lang_votes:$dir") {
+      wordsStage(s, dir).select(
+        col("lang") +: stopwords.map { case (l, list) =>
+          voteCount(col("w"), list).as(s"v_$l")
+        }: _*)
+    }
+    val votes = stopwords.map { case (l, _) => l -> col(s"v_$l") }
     // argmax via chained when: first language with the strictly-highest vote
     val maxVote = votes.map(_._2).reduce((a, b) => greatest(a, b))
     val guess = votes.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
       when(v === maxVote && maxVote > 0 && acc === "unknown", lit(l)).otherwise(acc)
     }
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    voteStage
       .withColumn("guess", guess)
       .groupBy(col("lang"), col("guess"))
       .agg(count(lit(1)).as("n_docs"))
@@ -75,13 +97,12 @@ object TextAnalysisQueries {
   // stopword ratio, mean token length — the standard pretraining-corpus
   // quality features.
   private val x2Quality: Q = (s, dir) => {
-    val w = words(col("text"))
+    val w = col("w")
     val nTokens = size(w)
     val nDistinct = size(array_distinct(w))
     val enStop = voteCount(w, stopwords.head._2)
     val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    wordsStage(s, dir)
       .select(col("doc_id"),
         nTokens.as("n_tokens"),
         (nDistinct.cast("double") / nTokens.cast("double")).as("ttr"),
@@ -104,10 +125,8 @@ object TextAnalysisQueries {
   // X3 — corpus token statistics per language: docs, tokens, avg
   // tokens/doc, distinct-source count. One partial+final hash agg.
   private val x3TokenStats: Q = (s, dir) => {
-    val nTokens = size(words(col("text")))
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("lang"), col("source"), nTokens.as("n_tokens"))
+    wordsStage(s, dir)
+      .select(col("lang"), col("source"), size(col("w")).as("n_tokens"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -133,10 +152,8 @@ object TextAnalysisQueries {
   // engines by design — so the exact twins (x3, a5) carry the correctness
   // gate and this query gets the rows-only check.
   private val x4ApproxStats: Q = (s, dir) => {
-    val nTokens = size(words(col("text")))
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("lang"), col("source"), nTokens.as("n_tokens"),
+    wordsStage(s, dir)
+      .select(col("lang"), col("source"), size(col("w")).as("n_tokens"),
         col("n_chars"))
       .groupBy(col("lang"))
       .agg(

@@ -94,8 +94,11 @@ case class MinHashKmPairs(child: Expression, shingleN: Int)
 }
 
 object MinHashKmPairs {
-  /** Compiled once; Pattern is immutable/thread-safe. */
-  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+  /** Compiled once; Pattern is immutable/thread-safe. Explicit class, not
+    * `\s`: Java's `\s` includes `\x0B` which RE2 (DuckDB) excludes — must
+    * match TextSketch.words and the oracle exactly.
+    */
+  private val Whitespace = java.util.regex.Pattern.compile("[ \\t\\n\\f\\r]+")
 
   /** MessageDigest is stateful — one per thread, reset() per use. */
   private val threadDigest = new ThreadLocal[MessageDigest] {
@@ -104,6 +107,136 @@ object MinHashKmPairs {
   }
 
   private[graft] def digest(): MessageDigest = threadDigest.get()
+
+  /** limit -1: keep trailing empty tokens (Spark split semantics). */
+  private[graft] def splitWords(s: String): Array[String] =
+    Whitespace.split(s, -1)
+}
+
+/** One-pass MinHash SIGNATURE: tokenize → shingle → md5 once per shingle →
+  * Kirsch-Mitzenmacher (a, b) → fold component mins s_i = min(a + i·b)
+  * directly, never materializing the pair array. Values are identical to
+  * `TextSketch.kmComponent(kmHashes(shingles(text, n)), i)` and the DuckDB
+  * oracle; empty shingle sets yield Long.MaxValue components (matching the
+  * built-ins' coalesce). One tight Java loop replaces k interpreted
+  * array_min(transform(...)) passes over a cached struct array — and the
+  * cached stage shrinks from every shingle's (a, b) pair to k longs per row.
+  */
+case class MinHashSignature(child: Expression, shingleN: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private def emptySig: GenericArrayData =
+    new GenericArrayData(Array.fill[Any](k)(Long.MaxValue))
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return emptySig
+    val text = v.asInstanceOf[UTF8String].toString
+    // space-only trim + trailing-empty-keeping split — see MinHashKmPairs
+    var start = 0
+    var end = text.length
+    while (start < end && text.charAt(start) == ' ') start += 1
+    while (end > start && text.charAt(end - 1) == ' ') end -= 1
+    val words = MinHashKmPairs.splitWords(text.substring(start, end))
+    if (words.length < shingleN) return emptySig
+    val md = MinHashKmPairs.digest()
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = words.length - shingleN + 1
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      var a = 0L
+      var p = 0
+      while (p < 7) { a = (a << 8) | (digest(p) & 0xffL); p += 1 }
+      var b = 0L
+      p = 7
+      while (p < 14) { b = (b << 8) | (digest(p) & 0xffL); p += 1 }
+      var c = 0
+      var h = a
+      while (c < k) {
+        if (h < sig(c)) sig(c) = h
+        h += b // h = a + (c+1)·b for the next component
+        c += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig.map(_.asInstanceOf[Any]))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** One-pass SimHash: tokenize → md5 per word → 60-bit hexInt → ±1 bit
+  * votes → set bit j when the vote is positive. Values identical to
+  * `TextSketch.simhash(text, bits)` (and the DuckDB oracle): same
+  * space-only trim, same `[ \t\n\f\r]+` split keeping empty tokens — an
+  * empty text still hashes one "" token, matching the built-in transform.
+  * Replaces `bits` interpreted aggregate() passes (each re-inlined over the
+  * word-hash array by project collapsing) with one loop.
+  */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // NULL text → 0, matching the built-in: each bit's when(null_vote > 0)
+  // falls to otherwise(0), so the sum is 0, never NULL
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 0L
+    val text = v.asInstanceOf[UTF8String].toString
+    var start = 0
+    var end = text.length
+    while (start < end && text.charAt(start) == ' ') start += 1
+    while (end > start && text.charAt(end - 1) == ' ') end -= 1
+    val words = MinHashKmPairs.splitWords(text.substring(start, end))
+    val md = MinHashKmPairs.digest()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val d = md.digest(words(i).getBytes(StandardCharsets.UTF_8))
+      // first 15 hex digits as a long (same as TextSketch.hexInt)
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0x0fL)
+      var j = 0
+      while (j < bits) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
 }
 
 /** One-pass rolling char-n-gram fingerprint: min over hexint15(md5) of all
@@ -157,6 +290,13 @@ case class CharFingerprint(child: Expression, n: Int)
 object SketchExpressions {
   def minhashKmPairs(text: Column, shingleN: Int): Column =
     ExpressionUtils.column(MinHashKmPairs(ExpressionUtils.expression(text), shingleN))
+
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
+    ExpressionUtils.column(
+      MinHashSignature(ExpressionUtils.expression(text), shingleN, k))
+
+  def simhash(text: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHash(ExpressionUtils.expression(text), bits))
 
   def charFingerprint(text: Column, n: Int): Column =
     ExpressionUtils.column(CharFingerprint(ExpressionUtils.expression(text), n))

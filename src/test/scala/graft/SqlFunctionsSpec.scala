@@ -110,4 +110,63 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getSeq[org.apache.spark.sql.Row](0)
     assert(nativeNull != null && nativeNull.isEmpty)
   }
+
+  test("native one-pass minhash signature equals the built-in formulation") {
+    import graft.functions.TextSketch
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val k = 8
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two three",
+      "too few", // < 3 words → all-MaxValue signature
+      "  spaced   out   words   here  ",
+      "trailing newline one two three\n",
+      "unicode 好的 吗 content here 好").toDF("text")
+    val builtin = df.select(array((0 until k).map(i =>
+      TextSketch.kmComponent(
+        TextSketch.kmHashes(TextSketch.shingles(col("text"), 3)), i)): _*))
+      .collect().map(_.getSeq[Long](0))
+    val native = df.select(
+      org.apache.spark.sql.graft.SketchExpressions
+        .minhashSignature(col("text"), 3, k))
+      .collect().map(_.getSeq[Long](0))
+    assert(builtin.toSeq.map(_.toSeq) == native.toSeq.map(_.toSeq))
+    assert(native(2).forall(_ == Long.MaxValue))
+
+    // NULL text → all-MaxValue signature (never null)
+    val nullSig = Seq[Option[String]](None).toDF("text")
+      .select(org.apache.spark.sql.graft.SketchExpressions
+        .minhashSignature(col("text"), 3, k))
+      .head().getSeq[Long](0)
+    assert(nullSig.length == k && nullSig.forall(_ == Long.MaxValue))
+  }
+
+  test("native one-pass simhash equals the built-in formulation") {
+    import graft.functions.TextSketch
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two three",
+      "", // empty text still hashes one "" token
+      "  spaced   out  ",
+      "unicode 好的 吗 content here 好").toDF("text")
+    val builtin = df.select(TextSketch.simhash(col("text"), 16))
+      .collect().map(_.getLong(0))
+    val native = df.select(
+      org.apache.spark.sql.graft.SketchExpressions.simhash(col("text"), 16))
+      .collect().map(_.getLong(0))
+    assert(builtin.toSeq == native.toSeq)
+
+    // NULL text → 0 on both formulations (built-in when/otherwise sums 0s)
+    val nullDf = Seq[Option[String]](None).toDF("text")
+    val b = nullDf.select(TextSketch.simhash(col("text"), 16)).head().getLong(0)
+    val n = nullDf.select(
+      org.apache.spark.sql.graft.SketchExpressions.simhash(col("text"), 16))
+      .head().getLong(0)
+    assert(b == 0L && n == 0L)
+  }
 }
