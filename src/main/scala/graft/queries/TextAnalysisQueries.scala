@@ -37,7 +37,11 @@ object TextAnalysisQueries {
       Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          words(col("text")).as("w"))
+          words(col("text")).as("w"),
+          length(col("text")).as("text_len"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?]", "")))
+            .as("n_punct"))
     }
 
   /** Count of tokens present in a fixed word list (int — order-free). */
@@ -107,7 +111,9 @@ object TextAnalysisQueries {
         nTokens.as("n_tokens"),
         (nDistinct.cast("double") / nTokens.cast("double")).as("ttr"),
         (enStop.cast("double") / nTokens.cast("double")).as("stop_ratio"),
-        (sumLen.cast("double") / nTokens.cast("double")).as("mean_token_len"))
+        (sumLen.cast("double") / nTokens.cast("double")).as("mean_token_len"),
+        (col("n_punct").cast("double") / col("text_len").cast("double"))
+          .as("punct_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -118,7 +124,8 @@ object TextAnalysisQueries {
        |  len($w) AS n_tokens,
        |  len(list_distinct($w))::DOUBLE / len($w)::DOUBLE AS ttr,
        |  ${duckVote(w, en)}::DOUBLE / len($w)::DOUBLE AS stop_ratio,
-       |  list_reduce(list_prepend(0::BIGINT, list_transform($w, x -> length(x)::BIGINT)), (acc, x) -> acc + x)::DOUBLE / len($w)::DOUBLE AS mean_token_len
+       |  list_reduce(list_prepend(0::BIGINT, list_transform($w, x -> length(x)::BIGINT)), (acc, x) -> acc + x)::DOUBLE / len($w)::DOUBLE AS mean_token_len,
+       |  (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / length(text)::DOUBLE AS punct_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -165,14 +172,47 @@ object TextAnalysisQueries {
       .orderBy(col("lang"))
   }
 
+  // X5 — BPE-ish regex tokenization (the subword-style complement to
+  // whitespace tokens in x3): alpha runs, digit runs, and single
+  // non-alnum-non-space marks — ASCII-class-only pattern so Java regex and
+  // RE2 agree construct-for-construct. Per-language aggregate of subword
+  // counts + fertility (subwords per whitespace word — the metric BPE
+  // tokenizer quality is judged by).
+  private val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"
+
+  private val x5RegexTokens: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("lang"), size(words(col("text"))).as("n_words"),
+        size(regexp_extract_all(col("text"),
+          lit(BpeIshPattern), lit(0))).as("n_subtokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_subtokens")).cast("long").as("total_subtokens"),
+        (sum(col("n_subtokens")).cast("double") /
+          sum(col("n_words")).cast("double")).as("fertility"))
+      .orderBy(col("lang"))
+
+  private val x5Sql = {
+    val w = duck.wordsExpr
+    val toks = s"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]')"
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  SUM(len($toks))::BIGINT AS total_subtokens,
+       |  SUM(len($toks))::DOUBLE / SUM(len($w))::DOUBLE AS fertility
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "x1_lang_id" -> x1LangId,
     "x2_quality_score" -> x2Quality,
     "x3_token_stats" -> x3TokenStats,
-    "x4_approx_stats" -> x4ApproxStats)
+    "x4_approx_stats" -> x4ApproxStats,
+    "x5_regex_tokens" -> x5RegexTokens)
 
   val oracles: Map[String, String] = Map(
     "x1_lang_id" -> x1Sql,
     "x2_quality_score" -> x2Sql,
-    "x3_token_stats" -> x3Sql)
+    "x3_token_stats" -> x3Sql,
+    "x5_regex_tokens" -> x5Sql)
 }
