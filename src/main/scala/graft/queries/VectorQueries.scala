@@ -138,9 +138,12 @@ object VectorQueries {
   }
 
   // v4 — embedding near-duplicate pairs with label blocking: pairs within
-  // the same label block scored by cosine, threshold 0.9. The block join
-  // keeps the pair count linear-ish instead of O(n²) — the 100 TB shape is
-  // "bucket by coarse key (LSH/IVF), compare within buckets".
+  // the same label block scored by cosine. The block join keeps the pair
+  // count linear-ish instead of O(n²) — the 100 TB shape is "bucket by
+  // coarse key (LSH/IVF), compare within buckets". Threshold 0.3 sits at
+  // the ~99th percentile of the synthetic embeddings' within-label cosine
+  // (max 0.47 at sf0.01) so the check is non-vacuous — real near-dup
+  // pipelines would use ~0.9 on real embedding distributions.
   private val v4NearDup: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
       .repartition(col("label"))
@@ -157,7 +160,7 @@ object VectorQueries {
       .withColumn("similarity",
         VectorSearch.dot(col("vec_a"), col("vec_b")) /
           (col("nrm_a") * col("nrm_b")))
-      .filter(col("similarity") > 0.9)
+      .filter(col("similarity") > 0.3)
       .select(col("label"), col("id_a"), col("id_b"), col("similarity"))
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }
@@ -171,7 +174,7 @@ object VectorQueries {
        |SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
        |  ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS similarity
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.9
+       |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.3
        |ORDER BY label, id_a, id_b""".stripMargin
 
   val defs: Map[String, Q] = Map(

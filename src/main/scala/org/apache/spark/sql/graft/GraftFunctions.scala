@@ -17,16 +17,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (cluster-wide), or [[GraftFunctions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftFunctions.vectorDotDescriptor)
-    e.injectFunction(GraftFunctions.vectorCosineDescriptor)
-  }
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(e.injectFunction)
 }
 
 object GraftFunctions {
 
   type Descriptor =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Int literal arguments (sketch widths/sizes) must fold at registration
+    * time — the expressions take them as constructor params, not children.
+    */
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   val vectorDotDescriptor: Descriptor = (
     FunctionIdentifier("vector_dot"),
@@ -38,11 +45,29 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
     (exprs: Seq[Expression]) => VectorCosine(exprs(0), exprs(1)))
 
+  val minhashSignatureDescriptor: Descriptor = (
+    FunctionIdentifier("minhash_signature"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+    (exprs: Seq[Expression]) => MinHashSignature(exprs(0),
+      intArg(exprs(1), "shingle_n"), intArg(exprs(2), "k")))
+
+  val simhashDescriptor: Descriptor = (
+    FunctionIdentifier("simhash"),
+    new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+    (exprs: Seq[Expression]) => SimHash(exprs(0), intArg(exprs(1), "bits")))
+
+  val charFingerprintDescriptor: Descriptor = (
+    FunctionIdentifier("char_fingerprint"),
+    new ExpressionInfo(classOf[CharFingerprint].getName, "char_fingerprint"),
+    (exprs: Seq[Expression]) => CharFingerprint(exprs(0), intArg(exprs(1), "n")))
+
+  val descriptors: Seq[Descriptor] = Seq(
+    vectorDotDescriptor, vectorCosineDescriptor, minhashSignatureDescriptor,
+    simhashDescriptor, charFingerprintDescriptor)
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =
-    Seq(vectorDotDescriptor, vectorCosineDescriptor).foreach {
-      case (id, info, builder) =>
-        spark.sessionState.functionRegistry
-          .registerFunction(id, info, builder)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

@@ -143,6 +143,22 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullSig.length == k && nullSig.forall(_ == Long.MaxValue))
   }
 
+  test("sketch functions callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  minhash_signature('the quick brown fox jumps', 3, 4) AS sig,
+        |  simhash('hello world tokens here', 16) AS sh,
+        |  char_fingerprint('abcdefghijklmnopqrstuvwxyz', 16) AS fp
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0).length == 4)
+    assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 16))
+    assert(r.getLong(2) != Long.MaxValue)
+    // non-literal width must be rejected, not silently misread
+    val err = intercept[Exception](
+      spark.sql("SELECT simhash('x', CAST(id AS INT)) FROM range(1)").collect())
+    assert(err.getMessage != null)
+  }
+
   test("native one-pass simhash equals the built-in formulation") {
     import graft.functions.TextSketch
     import org.apache.spark.sql.functions._
