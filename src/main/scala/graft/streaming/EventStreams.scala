@@ -88,6 +88,20 @@ object EventStreams {
       }
   }
 
+  /** Watermarked streaming exact-dedup — the training-pipeline "drop
+    * repeats as they arrive" operator (streaming twin of d1/U3). Keyed on
+    * the md5 content digest so only 16-byte keys hit the state store, never
+    * documents; the watermark bounds state to the late-data horizon (at
+    * 100 TB/day the state is digests-within-horizon, which is why the key
+    * must be the hash and not the text). Emits first occurrences only.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("content_digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_digest")
+
   /** Streaming document ingest: a file-source stream of raw texts runs the
     * SAME per-document pipeline as batch (narrow flatMap — append-safe),
     * writing fragment rows continuously. Batch and streaming share

@@ -119,6 +119,35 @@ class AnnStreamingMediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).getAs[Long]("duration_sec") == 0)
   }
 
+  test("streaming: watermarked dedup drops repeats, bounded by digest state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = EventStreams.dedupStream(docs, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    mem.addData(
+      (t(0), 1L, "the same document body"),
+      (t(1), 2L, "a different document"),
+      (t(2), 3L, "the same document body")) // dup of doc 1 within watermark
+    q.processAllAvailable()
+    mem.addData((t(5), 4L, "the same document body")) // still within horizon
+    q.processAllAvailable()
+    val rows = s.sql("SELECT doc_id FROM dedup ORDER BY doc_id")
+      .collect().map(_.getLong(0))
+    q.stop()
+
+    // first occurrence of each digest survives; repeats within the
+    // watermark horizon drop regardless of micro-batch boundaries
+    assert(rows.toSeq == Seq(1L, 2L),
+      s"expected only first occurrences, got ${rows.mkString(",")}")
+  }
+
   test("streaming ingest produces identical fragments to batch") {
     val s = spark
     import s.implicits._
