@@ -66,6 +66,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("code-point parity: budgets and slices count like Python len/[:n]") {
+    // Python len()/[:n] count code points; a single emoji is 1 there but 2
+    // UTF-16 units. These pins guard the reference-parity boundaries
+    // (unitizer buffer, chunk sizes, parent context truncation).
+    val emoji = "😀" // 😀, U+1F600
+    assert(Hashing.lengthCodePoints(emoji * 5) == 5)
+    assert(Hashing.takeCodePoints(emoji * 5, 3) == emoji * 3)
+    // never split a surrogate pair
+    assert(Hashing.takeCodePoints("a" + emoji, 2) == "a" + emoji)
+
+    // ParentSynthesis truncation: ≤ limit code points, no lone surrogate
+    import graft.domain.Model.FragmentRow
+    import graft.ingest.ParentSynthesis
+    val frag = FragmentRow("f1", "c1", "d1", emoji * 50, "text", None, 0,
+      "text_unit", None)
+    val content = ParentSynthesis.synthesizeContent(Seq(frag), contextLimit = 21)
+    assert(Hashing.lengthCodePoints(content) == 21)
+    assert(!Character.isHighSurrogate(content.last))
+
+    // Chunker: emoji-dense text chunks bound by CODE POINTS and never
+    // start/end mid-pair (the "" separator fallback splits per code point)
+    val chunker = new Chunker(chunkSize = 40, chunkOverlap = 10)
+    val dense = (emoji * 30 + " ") * 8 // unbreakable 30-cp runs
+    chunker.chunk(dense).foreach { c =>
+      assert(Hashing.lengthCodePoints(c) <= 40)
+      assert(!Character.isHighSurrogate(c.last) &&
+        !Character.isLowSurrogate(c.head))
+    }
+
+    // Unitizer buffers by code points: two 400-emoji segments fit a
+    // 700-cp budget one at a time (UTF-16 counting would see 800 units
+    // and flush the first segment alone, splitting the unit)
+    val u = new Unitizer(maxPreTextChars = 700, textUnitThreshold = 500)
+    def seg(order: Int) = RawSegment("d1", "text", emoji * 400, None, order, None)
+    val out = u.unitize(IndexedSeq(seg(0), seg(1)))
+    val unitIds = out.map(_.unitId).distinct
+    assert(out.length == 2 && unitIds.length == 1 && unitIds.head.isDefined,
+      s"both segments must land in ONE text unit: $out")
+  }
+
   test("unitizer: role=other ⇔ no unit id; order preserved; deterministic") {
     val segGen: Gen[RawSegment] = for {
       kind <- Gen.frequency(5 -> Gen.const("text"), 3 -> Gen.const("code"),
