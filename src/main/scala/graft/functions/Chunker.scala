@@ -24,8 +24,8 @@ final class Chunker(
     separators: Seq[String] = Seq("\n\n", "\n", " ", "")) {
 
   def chunk(text: String): Seq[String] =
-    if (text == null || text.trim.isEmpty) Nil
-    else splitText(text, separators).filter(_.trim.nonEmpty)
+    if (text == null || TextUtils.pyStrip(text).isEmpty) Nil
+    else splitText(text, separators).filter(TextUtils.pyStrip(_).nonEmpty)
 
   private def splitText(text: String, seps: Seq[String]): Seq[String] = {
     val finalChunks = new ArrayBuffer[String]
@@ -96,7 +96,8 @@ final class Chunker(
     for (d <- splits) {
       val len = Hashing.lengthCodePoints(d)
       if (total + len > chunkSize && current.nonEmpty) {
-        val joined = current.map(_._1).mkString.trim
+        // Python-parity strip (langchain strip_whitespace = str.strip())
+        val joined = TextUtils.pyStrip(current.map(_._1).mkString)
         if (joined.nonEmpty) docs += joined
         while (total > chunkOverlap ||
           (total + len > chunkSize && total > 0)) {
@@ -107,7 +108,7 @@ final class Chunker(
       current :+= (d -> len)
       total += len
     }
-    val joined = current.map(_._1).mkString.trim
+    val joined = TextUtils.pyStrip(current.map(_._1).mkString)
     if (joined.nonEmpty) docs += joined
     docs.toSeq
   }

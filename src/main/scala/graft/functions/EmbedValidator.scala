@@ -2,6 +2,8 @@ package graft.functions
 
 import java.util.regex.Pattern
 
+import graft.functions.TextUtils.PyStringOps
+
 /** Embedding-eligibility filter (F3).
   *
   * Mirrors embedding/validators.py:16-154: FRAG-LEN-001 minimum length,
@@ -43,20 +45,21 @@ object EmbedValidator {
   private val ReferenceTargetsKo = Seq("그림", "표", "도표", "장", "절", "항")
 
   def isEligible(content: String): Boolean =
-    content.length >= MinLength && !isBoilerplate(content) &&
-      !isPureReference(content)
+    Hashing.lengthCodePoints(content) >= MinLength &&
+      !isBoilerplate(content) && !isPureReference(content)
 
   def isBoilerplate(content: String): Boolean = {
     if (boilerplateRe.matcher(content).find()) return true
     // all-identical-lines check (validators.py:117-124)
-    val lines = content.trim.split("\n", -1)
-    val unique = lines.iterator.map(_.trim).filter(_.nonEmpty).toSet
+    val lines = content.pyStrip.split("\n", -1)
+    val unique = lines.iterator.map(_.pyStrip).filter(_.nonEmpty).toSet
     unique.size == 1 && lines.length > 2
   }
 
   def isPureReference(content: String): Boolean = {
-    val stripped = content.trim
-    if (stripped.length >= 15) return false
+    val stripped = content.pyStrip
+    // code-point length: Python len() — an emoji counts 1, not 2
+    if (Hashing.lengthCodePoints(stripped) >= 15) return false
     val lower = stripped.toLowerCase
     val en = ReferenceVerbsEn.exists(lower.contains) &&
       ReferenceTargetsEn.exists(lower.contains)
@@ -67,8 +70,8 @@ object EmbedValidator {
 
   /** Human-readable reason, None when eligible (validators.py:156-175). */
   def ineligibilityReason(content: String): Option[String] =
-    if (content.length < MinLength)
-      Some(s"FRAG-LEN-001: Content too short (${content.length} < $MinLength chars)")
+    if (Hashing.lengthCodePoints(content) < MinLength)
+      Some(s"FRAG-LEN-001: Content too short (${Hashing.lengthCodePoints(content)} < $MinLength chars)")
     else if (isBoilerplate(content)) Some("EMBED-BAN-003: Detected as boilerplate text")
     else if (isPureReference(content)) Some("EMBED-BAN-006: Pure reference text")
     else None

@@ -44,6 +44,32 @@ object TextUtils {
     Pattern.compile("(?mU)(\\w+)\\s+=\\s+'") -> "$1='",
     Pattern.compile("(?mU)\\s+\\d{1,3}\\s*$") -> "")
 
+  /** Python `str.strip()` parity: Python strips every char whose
+    * `isspace()` is true — Unicode spaces INCLUDING NBSP (Zs/Zl/Zp) plus
+    * `\x85` — while Java's `trim()` only strips chars ≤ U+0020. Reference
+    * code that strips (the chunker's strip_whitespace, eligibility trims)
+    * must strip the same set or chunk boundaries/emptiness checks diverge
+    * on NBSP-adjacent text.
+    */
+  def pyIsSpace(c: Char): Boolean =
+    Character.isWhitespace(c) || Character.isSpaceChar(c) || c == '\u0085'
+
+  def pyStrip(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && pyIsSpace(s.charAt(i))) i += 1
+    while (j > i && pyIsSpace(s.charAt(j - 1))) j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
+
+  /** `.pyStrip` as a drop-in replacement for `.trim` at reference-parity
+    * sites (everywhere the Python original calls `.strip()`).
+    */
+  implicit final class PyStringOps(private val s: String) extends AnyVal {
+    def pyStrip: String = TextUtils.pyStrip(s)
+  }
+
+
   /** Python reads source files in text mode, which converts \r\n and lone
     * \r to \n before any parsing (universal newlines). JVM reads preserve
     * \r, which would defeat every \n-based regex downstream (paragraph
@@ -60,13 +86,13 @@ object TextUtils {
     text = TrailingWs.matcher(text).replaceAll("\n")
     text = ManyNewlines.matcher(text).replaceAll("\n\n")
     OcrFixes.foreach { case (p, r) => text = p.matcher(text).replaceAll(r) }
-    text.trim
+    text.pyStrip
   }
 
   private val ParaSplit = Pattern.compile("\n{2,}")
 
   def splitParagraph(text: String): Seq[String] =
-    ParaSplit.split(text).iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    ParaSplit.split(text).iterator.map(_.pyStrip).filter(_.nonEmpty).toSeq
 
   // shared/text_utils.py:63-71 — the three sign regexes.
   private val CodeHint = Pattern.compile(
@@ -122,7 +148,7 @@ object TextUtils {
 
   /** Normalize fence language tags (markdown.py:19-28). */
   def normLang(tag: String): Option[String] = {
-    val t = Option(tag).map(_.trim.toLowerCase).getOrElse("")
+    val t = Option(tag).map(_.pyStrip.toLowerCase).getOrElse("")
     if (t.isEmpty) None
     else if (Set("py", "python", "python3")(t)) Some("python")
     else if (Set("js", "javascript", "node", "jsx", "ts", "tsx", "typescript")(t))
@@ -141,7 +167,7 @@ object TextUtils {
     val chunks = Seq.newBuilder[String]
     for (block <- blocks) {
       if (block.length <= maxChars) {
-        if (block.trim.nonEmpty) chunks += block
+        if (block.pyStrip.nonEmpty) chunks += block
       } else {
         // python splitlines() drops the trailing empty piece; split("\n",-1)
         // keeps it, so mirror splitlines via the default split limit
@@ -161,7 +187,7 @@ object TextUtils {
           val cur =
             if (count == 0) { i = start + 1; Seq(lines(start).take(maxChars)) }
             else current.result()
-          val chunk = cur.mkString("\n").trim
+          val chunk = cur.mkString("\n").pyStrip
           if (chunk.nonEmpty) chunks += chunk
           var nextStart = math.max(0, i - overlapLines)
           if (nextStart <= start) nextStart = i
@@ -202,7 +228,7 @@ object TextUtils {
     val out = Seq.newBuilder[String]
     var buffer = Vector.empty[String]
     for (line0 <- lines) {
-      val line = line0.trim
+      val line = line0.pyStrip
       if (line.nonEmpty) {
         if (looksLikeCode(line) || looksLikeHeading(line)) {
           if (buffer.nonEmpty) { out += buffer.mkString(" "); buffer = Vector.empty }
@@ -229,7 +255,7 @@ object TextUtils {
   def slugify(s: String): String = {
     val nfkd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
     val ascii = nfkd.filter(_ < 128)
-    val cleaned = ascii.replaceAll("[^\\w\\s-]", "").trim.toLowerCase
+    val cleaned = ascii.replaceAll("[^\\w\\s-]", "").pyStrip.toLowerCase
     // single regex substitution like the reference (re.sub(r"[-\s]+","-")) —
     // keeps boundary hyphen runs (e.g. "- Overview" → "-overview")
     cleaned.replaceAll("[-\\s]+", "-")

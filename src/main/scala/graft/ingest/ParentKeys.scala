@@ -3,6 +3,7 @@ package graft.ingest
 import java.util.regex.Pattern
 
 import graft.functions.TextUtils
+import graft.functions.TextUtils.PyStringOps
 
 /** X11/X12/X13 — page/section parent-key assignment, caption augmentation,
   * and header-based parent synthesis (app/parents.py:11-182).
@@ -78,7 +79,7 @@ object ParentKeys {
   def extractCaptions(text: String): Seq[Caption] = {
     val lines = text.split("\n", -1)
     lines.zipWithIndex.flatMap { case (line0, i) =>
-      val line = line0.trim
+      val line = line0.pyStrip
       val m = CaptionLine.matcher(line)
       if (!m.matches()) None
       else {
@@ -86,7 +87,7 @@ object ParentKeys {
         val view = if (prefix.contains("table")) "table" else "figure"
         val tail =
           if (i + 1 < lines.length) {
-            val nxt = lines(i + 1).trim
+            val nxt = lines(i + 1).pyStrip
             if (nxt.nonEmpty && nxt.length <= 160 && !nxt.contains("```") &&
               !TextUtils.hasCodeHint(nxt)) "\n" + nxt
             else ""

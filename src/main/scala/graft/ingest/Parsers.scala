@@ -5,6 +5,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import graft.domain.Model.RawSegment
 import graft.functions.{Chunker, TextUtils}
+import graft.functions.TextUtils.PyStringOps
 
 /** File-content → RawSegment parsers (S1 plain/OCR text, S2 markdown).
   *
@@ -23,7 +24,7 @@ object Parsers {
     val raw = TextUtils.normalize(raw0)
     if (isOcr) {
       val merged = TextUtils.mergeOcrLines(raw)
-      if (merged.trim.isEmpty) return Nil
+      if (merged.pyStrip.isEmpty) return Nil
       val chunks = new Chunker(chunkSize, chunkOverlap).chunk(merged)
       chunks.zipWithIndex.map { case (chunk, i) =>
         if (TextUtils.isCodeBlock(chunk))
@@ -63,22 +64,22 @@ object Parsers {
       val m = MdImage.matcher(text)
       while (m.find()) {
         val pre = text.substring(pos, m.start())
-        if (pre.trim.nonEmpty) {
+        if (pre.pyStrip.nonEmpty) {
           val normalized = TextUtils.normalize(pre)
           if (normalized.nonEmpty) {
             segments += RawSegment(documentId, "text", normalized, None, order, None)
             order += 1
           }
         }
-        val alt = Option(m.group(1)).getOrElse("").trim
-        val url = Option(m.group(2)).getOrElse("").trim
-        val payload = (alt + "\n" + url).trim
+        val alt = Option(m.group(1)).getOrElse("").pyStrip
+        val url = Option(m.group(2)).getOrElse("").pyStrip
+        val payload = (alt + "\n" + url).pyStrip
         segments += RawSegment(documentId, "image", payload, Some("image"), order, None)
         order += 1
         pos = m.end()
       }
       val tail = text.substring(pos)
-      if (tail.trim.nonEmpty) {
+      if (tail.pyStrip.nonEmpty) {
         val normalized = TextUtils.normalize(tail)
         if (normalized.nonEmpty) {
           segments += RawSegment(documentId, "text", normalized, None, order, None)
@@ -100,7 +101,7 @@ object Parsers {
       if (fm.matches()) {
         if (!inFence) {
           flushTextBuf()
-          fenceLang = TextUtils.normLang(Option(fm.group(1)).getOrElse("").trim)
+          fenceLang = TextUtils.normLang(Option(fm.group(1)).getOrElse("").pyStrip)
           inFence = true
           fenceBuf = new ArrayBuffer[String]
         } else {

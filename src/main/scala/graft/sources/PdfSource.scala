@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.domain.Model.RawSegment
-import graft.functions.{TextUtils}
+import graft.functions.{Hashing, TextUtils}
+import graft.functions.TextUtils.PyStringOps
 
 /** S3/S4/S5/S6 + G4 — the PDF source pipeline
   * (ingestion/parsers/pymupdf_parser.py).
@@ -45,9 +46,9 @@ object PdfSource {
       val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       text.split("\f", -1).toSeq.zipWithIndex.flatMap { case (pageText, p) =>
         pageText.split("\n{2,}", -1).toSeq.flatMap { chunk =>
-          if (chunk.trim.isEmpty) None
-          else if (chunk.trim.startsWith("IMG:"))
-            Some(PdfBlock(p, isImage = true, chunk.trim.stripPrefix("IMG:").trim))
+          if (chunk.pyStrip.isEmpty) None
+          else if (chunk.pyStrip.startsWith("IMG:"))
+            Some(PdfBlock(p, isImage = true, chunk.pyStrip.stripPrefix("IMG:").pyStrip))
           else Some(PdfBlock(p, isImage = false, chunk))
         }
       }
@@ -79,7 +80,8 @@ object PdfSource {
         order += 1
       } else {
         nText += 1
-        if (b.content.trim.length >= MinTextLength) {
+        // code-point length: Python len(text.strip())
+        if (Hashing.lengthCodePoints(b.content.pyStrip) >= MinTextLength) {
           val normalized = TextUtils.normalize(b.content)
           out += RawSegment(documentId, "text", normalized, None, order,
             Some(b.page))
@@ -113,7 +115,7 @@ object PdfSource {
         if (currentPage.isDefined && seg.page != currentPage) flush()
         currentPage = seg.page
         buffer :+= seg
-        bufferChars += seg.content.length
+        bufferChars += Hashing.lengthCodePoints(seg.content)
         if (bufferChars >= maxMergeChars) flush()
       } else {
         flush()
@@ -140,10 +142,14 @@ object PdfSource {
   def isTextSufficient(segments: Seq[RawSegment], minTotalChars: Int = 100,
       minAlphaRatio: Double = 0.3): Boolean = {
     val totalText = segments.filter(_.kind == "text").map(_.content).mkString
-    if (totalText.trim.length < minTotalChars) false
+    if (Hashing.lengthCodePoints(totalText.pyStrip) < minTotalChars) false
     else {
-      val alpha = totalText.count(_.isLetterOrDigit)
-      alpha.toDouble / math.max(1, totalText.length) >= minAlphaRatio
+      // iterate code points like Python: a supplementary-plane letter is
+      // one alnum char there, and len() is code points
+      val alpha = totalText.codePoints().filter(
+        Character.isLetterOrDigit(_)).count().toInt
+      alpha.toDouble /
+        math.max(1, Hashing.lengthCodePoints(totalText)) >= minAlphaRatio
     }
   }
 
