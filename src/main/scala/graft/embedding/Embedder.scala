@@ -70,7 +70,8 @@ object Batching {
         var n = 0
         var done = false
         while (!done && in.hasNext) {
-          val itemChars = content(in.head).length
+          // Python len() = code points (batching.py char budget)
+          val itemChars = graft.functions.Hashing.lengthCodePoints(content(in.head))
           val exceedChars = charBudget > 0 && batchChars + itemChars > charBudget
           if (n > 0 && (exceedChars || n >= itemLimit)) done = true
           else {

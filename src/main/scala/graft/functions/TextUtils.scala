@@ -166,7 +166,7 @@ object TextUtils {
     val blocks = DefClassBoundary.split(code)
     val chunks = Seq.newBuilder[String]
     for (block <- blocks) {
-      if (block.length <= maxChars) {
+      if (Hashing.lengthCodePoints(block) <= maxChars) {
         if (block.pyStrip.nonEmpty) chunks += block
       } else {
         // python splitlines() drops the trailing empty piece; split("\n",-1)
@@ -181,11 +181,17 @@ object TextUtils {
           var i = start
           val current = Seq.newBuilder[String]
           var count = 0
-          while (i < lines.length && acc + lines(i).length + 1 <= maxChars) {
-            current += lines(i); acc += lines(i).length + 1; i += 1; count += 1
+          while (i < lines.length &&
+            acc + Hashing.lengthCodePoints(lines(i)) + 1 <= maxChars) {
+            current += lines(i)
+            acc += Hashing.lengthCodePoints(lines(i)) + 1
+            i += 1; count += 1
           }
           val cur =
-            if (count == 0) { i = start + 1; Seq(lines(start).take(maxChars)) }
+            if (count == 0) {
+              i = start + 1
+              Seq(Hashing.takeCodePoints(lines(start), maxChars))
+            }
             else current.result()
           val chunk = cur.mkString("\n").pyStrip
           if (chunk.nonEmpty) chunks += chunk
@@ -211,10 +217,12 @@ object TextUtils {
   private val NumberedHeading = Pattern.compile("(?U)^[\\d.]+\\s+\\S")
 
   def looksLikeHeading(line: String): Boolean = {
-    if (NumberedHeading.matcher(line).lookingAt() && line.length < 100) return true
+    if (NumberedHeading.matcher(line).lookingAt() &&
+      Hashing.lengthCodePoints(line) < 100) return true
     // python str.isupper(): at least one cased char and no lowercase
     val hasCased = line.exists(c => c.isUpper || c.isLower)
-    if (hasCased && !line.exists(_.isLower) && line.length < 50) return true
+    if (hasCased && !line.exists(_.isLower) &&
+      Hashing.lengthCodePoints(line) < 50) return true
     line.startsWith("#")
   }
 
@@ -233,13 +241,13 @@ object TextUtils {
         if (looksLikeCode(line) || looksLikeHeading(line)) {
           if (buffer.nonEmpty) { out += buffer.mkString(" "); buffer = Vector.empty }
           out += line
-        } else if (line.length >= minParagraphLen) {
+        } else if (Hashing.lengthCodePoints(line) >= minParagraphLen) {
           buffer :+= line
           out += buffer.mkString(" ")
           buffer = Vector.empty
         } else {
           buffer :+= line
-          if (buffer.mkString(" ").length >= minParagraphLen) {
+          if (Hashing.lengthCodePoints(buffer.mkString(" ")) >= minParagraphLen) {
             out += buffer.mkString(" "); buffer = Vector.empty
           }
         }

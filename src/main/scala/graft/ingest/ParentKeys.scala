@@ -88,7 +88,8 @@ object ParentKeys {
         val tail =
           if (i + 1 < lines.length) {
             val nxt = lines(i + 1).pyStrip
-            if (nxt.nonEmpty && nxt.length <= 160 && !nxt.contains("```") &&
+            if (nxt.nonEmpty && graft.functions.Hashing.lengthCodePoints(nxt) <= 160 &&
+              !nxt.contains("```") &&
               !TextUtils.hasCodeHint(nxt)) "\n" + nxt
             else ""
           } else ""
