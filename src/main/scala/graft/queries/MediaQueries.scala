@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.media.MediaPipeline
-import graft.search.Ann
+import graft.search.{Ann, Ivf}
 
 /** Multimodal plumbing + ANN index catalog entries.
   *
@@ -76,9 +76,44 @@ object MediaQueries {
       "scan_fraction")
   }
 
+  // v6 — IVF ANN self-check: k-means coarse quantizer (the pgvector-IVFFlat
+  // analog) trained on a deterministic sample, nearest-list assignment via
+  // the codegen'd IvfAssign, nprobe-pruned exact re-rank. One row per
+  // nprobe; probing all k lists degenerates to the exact scan, so the last
+  // row's recall is 1.0 by construction — a built-in exactness witness.
+  private val v6IvfRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val k = 16
+    val sample = e.orderBy(col("vec_id")).limit(1024)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val q = Ivf.train(sample, k, iters = 10)
+    val index = Ivf.buildIndex(e, q).cache()
+    val query = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+
+    val exact = graft.search.VectorSearch
+      .knn(e, query, 10, tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    val total = index.count()
+    val rows = Seq(1, 2, 4, k).map { nprobe =>
+      val approx = Ivf.search(index, query, q, 10, nprobe, tieBreak = "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      val scanned = index.filter(
+        col("list_id").isin(Ivf.nearestLists(query, q, nprobe): _*)).count()
+      (nprobe, exact.intersect(approx).size.toDouble / exact.size,
+        scanned, total, scanned.toDouble / total)
+    }
+    index.unpersist()
+    rows.toDF("nprobe", "recall_at_10", "rows_scanned", "rows_total",
+      "scan_fraction")
+  }
+
   val defs: Map[String, Q] = Map(
     "m1_media_features" -> m1Features,
-    "v5_ann_recall" -> v5AnnRecall)
+    "v5_ann_recall" -> v5AnnRecall,
+    "v6_ivf_recall" -> v6IvfRecall)
 
   val oracles: Map[String, String] = Map(
     "m1_media_features" -> m1Sql)

@@ -1,0 +1,126 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
+
+/** IVF (inverted-file) ANN — the k-means coarse-quantizer alternative to the
+  * sign-random-projection index in [[Ann]] (SURVEY.md §4: "partition pruning
+  * by coarse cluster id is the idiomatic Spark analog of an IVF list";
+  * reference analog: pgvector IVFFlat `lists=100`, app/storage.py:165-169).
+  *
+  * Shape (identical plumbing to [[Ann]], different bucket function):
+  *  - **train**: deterministic Lloyd iterations over a driver-side sample —
+  *    the standard IVF recipe (FAISS trains on ~1M sampled vectors, not the
+  *    corpus); at 100 TB the sample is a `TABLESAMPLE` collect, the k-means
+  *    itself never distributes.
+  *  - **assign**: one codegen'd pass per row (`IvfAssign`: argmin of
+  *    squared-L2 over all centroids) — write-time map work, no shuffle.
+  *    Persist with `.write.partitionBy("list_id")`.
+  *  - **search**: query → `nprobe` nearest lists on the driver → partition-
+  *    pruned scan of those lists → exact cosine re-rank within.
+  *
+  * Versus LSH buckets: centroids adapt to the data distribution (clustered
+  * real-world embeddings give IVF much better recall-per-scanned-row than
+  * data-oblivious hyperplanes), at the cost of a training step and of
+  * shipping the centroid table (k·dim floats) in the task binary.
+  */
+object Ivf {
+
+  /** Trained coarse quantizer: k centroids of `dim` floats, row-major. */
+  final case class Quantizer(k: Int, dim: Int, centroidsFlat: Array[Float]) {
+    def centroid(c: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(centroidsFlat, c * dim, (c + 1) * dim)
+  }
+
+  private def sqDist(v: Array[Float], flat: Array[Float], off: Int, dim: Int): Double = {
+    var d = 0.0
+    var i = 0
+    val n = math.min(v.length, dim)
+    while (i < n) {
+      val diff = v(i).toDouble - flat(off + i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Deterministic Lloyd k-means on a driver-side sample. Init = k evenly
+    * spaced sample points (sample order is the caller's responsibility —
+    * pass rows collected in a deterministic order); ties in assignment go
+    * to the lowest centroid index; an emptied cluster keeps its previous
+    * centroid. Fixed iteration count, no RNG ⇒ same centroids every run.
+    */
+  def train(sample: Array[Array[Float]], k: Int, iters: Int = 10): Quantizer = {
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    val kk = math.min(k, sample.length)
+    val flat = new Array[Float](kk * dim)
+    for (c <- 0 until kk) {
+      val src = sample((c.toLong * sample.length / kk).toInt)
+      System.arraycopy(src, 0, flat, c * dim, math.min(dim, src.length))
+    }
+    val assign = new Array[Int](sample.length)
+    var iter = 0
+    while (iter < iters) {
+      var i = 0
+      while (i < sample.length) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val d = sqDist(sample(i), flat, c * dim, dim)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < sample.length) {
+        val c = assign(i)
+        counts(c) += 1
+        val v = sample(i)
+        var j = 0
+        val n = math.min(v.length, dim)
+        while (j < n) { sums(c)(j) += v(j); j += 1 }
+        i += 1
+      }
+      for (c <- 0 until kk if counts(c) > 0; j <- 0 until dim)
+        flat(c * dim + j) = (sums(c)(j) / counts(c)).toFloat
+      iter += 1
+    }
+    Quantizer(kk, dim, flat)
+  }
+
+  /** Nearest-list assignment column (codegen'd one-pass argmin). */
+  def assignCol(vec: Column, q: Quantizer): Column =
+    VectorExpressions.ivfAssign(vec, q.centroidsFlat, q.dim)
+
+  /** Write-time index: adds `list_id`. Persist partitioned by it so probes
+    * become partition pruning.
+    */
+  def buildIndex(embeddings: DataFrame, q: Quantizer,
+      vectorCol: String = "vector"): DataFrame =
+    embeddings.withColumn("list_id", assignCol(col(vectorCol), q))
+
+  /** The `nprobe` lists nearest to the query (driver-side; ties → lower id). */
+  def nearestLists(queryVec: Array[Float], q: Quantizer, nprobe: Int): Seq[Int] =
+    (0 until q.k)
+      .map(c => (sqDist(queryVec, q.centroidsFlat, c * q.dim, q.dim), c))
+      .sortBy(identity)
+      .take(math.max(1, nprobe))
+      .map(_._2)
+
+  /** ANN top-k: prune to the probed lists, exact cosine re-rank within. */
+  def search(index: DataFrame, queryVec: Array[Float], q: Quantizer,
+      topK: Int, nprobe: Int = 1, vectorCol: String = "vector",
+      tieBreak: String = "fragment_id"): DataFrame = {
+    val lists = nearestLists(queryVec, q, nprobe)
+    val pruned = index.filter(col("list_id").isin(lists: _*))
+    VectorSearch.knn(pruned, queryVec, topK, vectorCol = vectorCol,
+      tieBreak = tieBreak)
+  }
+}

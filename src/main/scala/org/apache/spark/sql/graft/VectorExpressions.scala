@@ -4,11 +4,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for float-vector similarity — the measured
   * optimization SURVEY.md §7.4 reserves for the hot scoring path.
@@ -120,6 +120,75 @@ case class VectorCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** IVF coarse-quantizer assignment: nearest-centroid id (argmin squared-L2,
+  * ties → lowest index) in ONE pass over the k×dim centroid table. The
+  * centroids ride along as a broadcast-sized constructor param (k ≤ a few
+  * thousand × dim ≤ 4096 floats — well under task-binary limits), not a
+  * child expression, so codegen references one shared float[] instead of
+  * folding k array literals into the plan.
+  */
+case class IvfAssign(child: Expression, centroidsFlat: Array[Float], dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private def k: Int = centroidsFlat.length / dim
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_assign"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = x.getFloat(i).toDouble - centroidsFlat(off + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroidsFlat, "float[]")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  int $off = $c * $dim;
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = (double) $a.getFloat($i) - (double) $cents[$off + $i];
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfAssign =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrappers (classic-session Column construction). */
   def vectorDot(a: Column, b: Column): Column =
@@ -129,4 +198,8 @@ object VectorExpressions {
   def vectorCosine(a: Column, b: Column): Column =
     ExpressionUtils.column(VectorCosine(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def ivfAssign(vec: Column, centroidsFlat: Array[Float], dim: Int): Column =
+    ExpressionUtils.column(IvfAssign(
+      ExpressionUtils.expression(vec), centroidsFlat, dim))
 }

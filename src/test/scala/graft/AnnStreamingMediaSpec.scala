@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.embedding.OfflineEmbedder
 import graft.media.MediaPipeline
 import graft.media.MediaPipeline.MediaRow
-import graft.search.{Ann, VectorSearch}
+import graft.search.{Ann, Ivf, VectorSearch}
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.SessionInput
 
@@ -52,6 +52,49 @@ class AnnStreamingMediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pruning actually reduces the scan
     val probed = Ann.probeBuckets(Ann.bucketOf(query, planes), planes)
     val scanned = index.filter(col("bucket").isin(probed: _*)).count()
+    assert(scanned < 400, s"no pruning: $scanned")
+    index.unpersist()
+  }
+
+  test("ivf: coarse quantizer partitions totally; full probe is exact") {
+    val s = spark
+    import s.implicits._
+    val embedder = new OfflineEmbedder(32)
+    val rows = (0 until 400).map(i => (i.toLong, embedder.embedQuery(s"doc $i")))
+    val e = rows.toDF("vec_id", "vector")
+
+    val sample = rows.sortBy(_._1).map(_._2).take(256).toArray
+    val q = Ivf.train(sample, k = 8, iters = 5)
+    // deterministic training: same sample → same centroids
+    assert(q.centroidsFlat.sameElements(
+      Ivf.train(sample, k = 8, iters = 5).centroidsFlat))
+
+    val index = Ivf.buildIndex(e, q).cache()
+    // assignment is total: every row in exactly one list in [0, k)
+    assert(index.filter(col("list_id").isNull ||
+      col("list_id") < 0 || col("list_id") >= q.k).count() == 0)
+    assert(index.select("list_id").distinct().count() > 1)
+
+    val query = embedder.embedQuery("doc 123")
+    val exact = VectorSearch.knn(e, query, 10, tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+
+    // recall never decreases with nprobe; probing every list IS exact
+    val recalls = Seq(1, 2, 4, q.k).map { nprobe =>
+      val approx = Ivf.search(index, query, q, 10, nprobe, tieBreak = "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      exact.intersect(approx).size
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.last == 10, s"full probe must be exact: ${recalls.last}")
+
+    // the query's own vector sits in the first probed list
+    assert(Ivf.search(index, query, q, 10, nprobe = 1, tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().contains(123L))
+
+    // nprobe=1 prunes the scan
+    val scanned = index.filter(
+      col("list_id").isin(Ivf.nearestLists(query, q, 1): _*)).count()
     assert(scanned < 400, s"no pruning: $scanned")
     index.unpersist()
   }
