@@ -66,6 +66,33 @@ object MediaPipeline {
     media.mapPartitions(_.map(decoder.decode))
   }
 
+  /** Uniform-stride frame sampling + aspect-preserving resize over decoded
+    * features — the explode-shaped half of the multimodal pipeline (a video
+    * becomes ≤ maxFrames rows; images/audio pass through as frame 0).
+    *
+    * All arithmetic is integer (ceil-div stride, floor-div box fit into
+    * targetBox², floor ≥ 1) so the DuckDB oracle reproduces it exactly.
+    * The per-frame content hash stands in for the per-frame decode a
+    * production impl runs at the same point — inside the scan stage,
+    * before anything shuffles; only (media_id, frame_idx, hash, dims)
+    * rows flow downstream, never frame bytes.
+    */
+  def sampleFrames(features: DataFrame, maxFrames: Int = 4,
+      targetBox: Int = 224): DataFrame = {
+    val stride = expr(s"(n_frames + ${maxFrames - 1}) DIV $maxFrames")
+    features
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("n_frames").cast("long") - 1L, stride)))
+      .select(
+        col("media_id"), col("kind"), col("frame_idx"),
+        md5(concat(col("content_hash"), lit(":"), col("frame_idx")))
+          .as("frame_hash"),
+        greatest(lit(1L), expr(s"(width * $targetBox) DIV greatest(width, height)"))
+          .as("out_w"),
+        greatest(lit(1L), expr(s"(height * $targetBox) DIV greatest(width, height)"))
+          .as("out_h"))
+  }
+
   /** Wrap a text table as fake media bytes (UTF-8) — used by the catalog
     * query so the plumbing runs against real testdata.
     */

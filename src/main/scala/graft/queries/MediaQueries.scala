@@ -43,6 +43,35 @@ object MediaQueries {
       |  CASE WHEN doc_id % 3 = 2 THEN 1 + (ascii(substr(md5(text), 9, 1)) & 15) ELSE 1 END AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // m2 — frame sampling + resize: decode → uniform-stride sample (≤4
+  // frames/video) → aspect-preserving fit into a 224² box, per-frame
+  // content hash. Pure integer arithmetic + md5 ⇒ exact DuckDB oracle.
+  private val m2Frames: Q = (s, dir) => {
+    val media = MediaPipeline.mediaFromDocuments(Tables.documents(s, dir))
+    MediaPipeline.sampleFrames(MediaPipeline.extractFeatures(media).toDF())
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val m2Sql =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    md5(text) AS content_hash,
+      |    16 + (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 1024) AS width,
+      |    16 + (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 1024) AS height,
+      |    CASE WHEN doc_id % 3 = 2 THEN 1 + (ascii(substr(md5(text), 9, 1)) & 15) ELSE 1 END AS n_frames
+      |  FROM documents),
+      |u AS (
+      |  SELECT media_id, kind, content_hash, width, height,
+      |    unnest(range(0, n_frames, (n_frames + 3) // 4)) AS frame_idx
+      |  FROM f)
+      |SELECT media_id, kind, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  md5(content_hash || ':' || frame_idx) AS frame_hash,
+      |  CAST(greatest(1, (width * 224) // greatest(width, height)) AS BIGINT) AS out_w,
+      |  CAST(greatest(1, (height * 224) // greatest(width, height)) AS BIGINT) AS out_h
+      |FROM u ORDER BY media_id, frame_idx""".stripMargin
+
   // v5 — ANN self-check: multi-probe LSH search vs exact scan, one row per
   // probe depth (0 = single bucket, 1 = +1-bit flips, 2 = +2-bit flips) —
   // the recall/scan-cost tradeoff curve. Deterministic (seeded planes,
@@ -112,9 +141,11 @@ object MediaQueries {
 
   val defs: Map[String, Q] = Map(
     "m1_media_features" -> m1Features,
+    "m2_frame_sample" -> m2Frames,
     "v5_ann_recall" -> v5AnnRecall,
     "v6_ivf_recall" -> v6IvfRecall)
 
   val oracles: Map[String, String] = Map(
-    "m1_media_features" -> m1Sql)
+    "m1_media_features" -> m1Sql,
+    "m2_frame_sample" -> m2Sql)
 }

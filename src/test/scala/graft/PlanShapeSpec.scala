@@ -83,6 +83,38 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recalls.last > 0.0)
   }
 
+  test("persisted IVF index prunes list partitions at the file source") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val sample = e.orderBy(col("vec_id")).limit(200)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val q = graft.search.Ivf.train(sample, k = 8, iters = 5)
+    val path = "/tmp/graft-warehouse/ivf_index"
+    TableLayout.writePartitionedSorted(
+      graft.search.Ivf.buildIndex(e, q), path, "list_id", Seq("vec_id"))
+
+    val query = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val lists = graft.search.Ivf.nearestLists(query, q, nprobe = 2)
+    val probed = s.read.parquet(path).filter(col("list_id").isin(lists: _*))
+
+    // the probe is partition pruning at the source, not a post-scan filter
+    val planStr = probed.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [") &&
+      !planStr.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"probe did not reach PartitionFilters:\n$planStr")
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    probed.count()
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = s.read.parquet(path).inputFiles.length
+    assert(filesRead < totalFiles,
+      s"no pruning: read $filesRead of $totalFiles files")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     val s = spark
     val o = Tables.orders(s, dir)
