@@ -203,16 +203,68 @@ object TextAnalysisQueries {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // X6 — character-trigram language ID (the n-gram complement to x1's
+  // word-level stopword vote): score = number of text trigrams found in a
+  // fixed per-language profile of high-frequency trigrams, argmax with a
+  // deterministic tie order. Exact integer counts ⇒ DuckDB oracle. No
+  // lower(): Java and DuckDB Unicode case mappings differ on edge cases,
+  // and the profiles fire on running lowercase text anyway.
+  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "ing", "ion", "tio", "ent", "her", " th"),
+    "es" -> Seq("que", "ado", "los", "nte", " de", "ien", "cio", " la"),
+    "fr" -> Seq("les", "des", "ait", "eur", " le", "ons", "ant", " la"),
+    "de" -> Seq("der", "ein", "ich", "den", "und", "sch", "die", "cht"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  private val x6TrigramLang: Q = (s, dir) => {
+    val tri = TextSketch.charShingles(col("text"), 3)
+    val scoreStage = StageCache.getOrCache(s, s"trigram_scores:$dir") {
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(
+          col("lang") +: trigramProfiles.map { case (l, prof) =>
+            size(filter(tri, t => t.isin(prof.map(lit): _*))).as(s"t_$l")
+          }: _*)
+    }
+    val scores = trigramProfiles.map { case (l, _) => l -> col(s"t_$l") }
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val guess = scores.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
+      when(v === maxScore && maxScore > 0 && acc === "unknown", lit(l)).otherwise(acc)
+    }
+    scoreStage
+      .withColumn("guess", guess)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  private val x6Sql = {
+    val tri = TextSketch.duck.charShingles("text", 3)
+    def score(prof: Seq[String]): String = {
+      val arr = prof.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"len(list_filter($tri, t -> list_contains($arr, t)))"
+    }
+    val scores = trigramProfiles.map { case (l, prof) => l -> score(prof) }
+    val maxScore = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val guess = scores.reverse.foldLeft("'unknown'") { case (acc, (l, v)) =>
+      s"(CASE WHEN $v = $maxScore AND $maxScore > 0 THEN '$l' ELSE $acc END)"
+    }
+    s"""SELECT lang, $guess AS guess, COUNT(*) AS n_docs
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "x1_lang_id" -> x1LangId,
     "x2_quality_score" -> x2Quality,
     "x3_token_stats" -> x3TokenStats,
     "x4_approx_stats" -> x4ApproxStats,
-    "x5_regex_tokens" -> x5RegexTokens)
+    "x5_regex_tokens" -> x5RegexTokens,
+    "x6_trigram_lang" -> x6TrigramLang)
 
   val oracles: Map[String, String] = Map(
     "x1_lang_id" -> x1Sql,
     "x2_quality_score" -> x2Sql,
     "x3_token_stats" -> x3Sql,
-    "x5_regex_tokens" -> x5Sql)
+    "x5_regex_tokens" -> x5Sql,
+    "x6_trigram_lang" -> x6Sql)
 }
