@@ -76,33 +76,48 @@ object MediaQueries {
   // probe depth (0 = single bucket, 1 = +1-bit flips, 2 = +2-bit flips) —
   // the recall/scan-cost tradeoff curve. Deterministic (seeded planes,
   // fixed query); PlanShapeSpec asserts recall/scan monotonicity in depth.
+  /** One-job probe evaluation shared by v5/v6: collect each group's exact
+    * top-10 + group size, then answer every probe set on the driver (the
+    * global top-10 over any union of groups is the top-10 of the union of
+    * per-group top-10s — [[graft.search.VectorSearch.topKPerGroup]]).
+    */
+  private def probeCurve(index: DataFrame, query: Array[Float],
+      groupCol: String, probes: Seq[(Int, Set[Int])]): Seq[(Int, Double, Long, Long, Double)] = {
+    val cand = graft.search.VectorSearch
+      .topKPerGroup(index, query, 10, groupCol, tieBreak = "vec_id")
+      .select(col(groupCol).cast("int"), col("vec_id").cast("long"),
+        col("similarity"), col("group_size").cast("long"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val sizeOf = cand.map(c => c._1 -> c._4).toMap
+    val total = sizeOf.values.sum
+    def top10(groups: Set[Int]): Set[Long] =
+      cand.filter(c => groups(c._1)).sortBy(c => (-c._3, c._2))
+        .take(10).map(_._2).toSet
+    val exact = top10(sizeOf.keySet)
+    probes.map { case (label, groups) =>
+      val approx = top10(groups)
+      val scanned = groups.toSeq.map(g => sizeOf.getOrElse(g, 0L)).sum
+      (label, exact.intersect(approx).size.toDouble / exact.size,
+        scanned, total, scanned.toDouble / total)
+    }
+  }
+
   private val v5AnnRecall: Q = (s, dir) => {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
     val dim = e.head().getAs[scala.collection.Seq[Float]]("vector").length
     val planes = Ann.makePlanes(dim, numPlanes = 6)
-    val index = Ann.buildIndex(e, planes).cache()
+    val index = Ann.buildIndex(e, planes)
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
-
-    val exact = graft.search.VectorSearch
-      .knn(e, query, 10, tieBreak = "vec_id")
-      .select("vec_id").as[Long].collect().toSet
-    val total = index.count()
-    val rows = (0 to 2).map { depth =>
-      val approx = Ann.search(index, query, planes, 10, probeDepth = depth,
-        tieBreak = "vec_id")
-        .select("vec_id").as[Long].collect().toSet
-      val scanned = index.filter(col("bucket").isin(
-        Ann.probeBuckets(Ann.bucketOf(query, planes), planes, depth): _*))
-        .count()
-      (depth, exact.intersect(approx).size.toDouble / exact.size,
-        scanned, total, scanned.toDouble / total)
-    }
-    index.unpersist()
-    rows.toDF("probe_depth", "recall_at_10", "rows_scanned", "rows_total",
-      "scan_fraction")
+    val qb = Ann.bucketOf(query, planes)
+    val probes = (0 to 2).map(d =>
+      d -> Ann.probeBuckets(qb, planes, d).toSet)
+    probeCurve(index, query, "bucket", probes)
+      .toDF("probe_depth", "recall_at_10", "rows_scanned", "rows_total",
+        "scan_fraction")
   }
 
   // v6 — IVF ANN self-check: k-means coarse quantizer (the pgvector-IVFFlat
@@ -118,25 +133,14 @@ object MediaQueries {
     val sample = e.orderBy(col("vec_id")).limit(1024)
       .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
     val q = Ivf.train(sample, k, iters = 10)
-    val index = Ivf.buildIndex(e, q).cache()
+    val index = Ivf.buildIndex(e, q)
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
-
-    val exact = graft.search.VectorSearch
-      .knn(e, query, 10, tieBreak = "vec_id")
-      .select("vec_id").as[Long].collect().toSet
-    val total = index.count()
-    val rows = Seq(1, 2, 4, k).map { nprobe =>
-      val approx = Ivf.search(index, query, q, 10, nprobe, tieBreak = "vec_id")
-        .select("vec_id").as[Long].collect().toSet
-      val scanned = index.filter(
-        col("list_id").isin(Ivf.nearestLists(query, q, nprobe): _*)).count()
-      (nprobe, exact.intersect(approx).size.toDouble / exact.size,
-        scanned, total, scanned.toDouble / total)
-    }
-    index.unpersist()
-    rows.toDF("nprobe", "recall_at_10", "rows_scanned", "rows_total",
-      "scan_fraction")
+    val probes = Seq(1, 2, 4, k).map(np =>
+      np -> Ivf.nearestLists(query, q, np).toSet)
+    probeCurve(index, query, "list_id", probes)
+      .toDF("nprobe", "recall_at_10", "rows_scanned", "rows_total",
+        "scan_fraction")
   }
 
   val defs: Map[String, Q] = Map(

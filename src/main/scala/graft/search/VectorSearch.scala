@@ -119,6 +119,26 @@ object VectorSearch {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Group-local exact top-k + group size in ONE pass (one shuffle on
+    * `groupCol`, two window functions over the same partitioning). The
+    * merge property that makes this the ANN/federated-scan building block:
+    * the global top-k over ANY union of groups equals the top-k of the
+    * union of the per-group top-k sets — so one collect of k rows per
+    * group answers every probe combination on the driver.
+    */
+  def topKPerGroup(embeddings: DataFrame, queryVec: Array[Float], k: Int,
+      groupCol: String, vectorCol: String = "vector",
+      tieBreak: String = "fragment_id"): DataFrame = {
+    val ordered = Window.partitionBy(col(groupCol))
+      .orderBy(col("similarity").desc, col(tieBreak))
+    val whole = Window.partitionBy(col(groupCol))
+    embeddings
+      .withColumn("similarity", cosine(col(vectorCol), lit(queryVec)))
+      .withColumn("group_size", count(lit(1)).over(whole))
+      .withColumn("__rn", row_number().over(ordered))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** T3 — batch KNN: N queries as ONE job instead of N sequential scans
     * (api/cli/quality.py:68-100 runs 45 KNNs serially; here the query set
     * broadcasts, similarity computes per (query, row) pair, and a
