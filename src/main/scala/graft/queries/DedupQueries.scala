@@ -84,7 +84,7 @@ object DedupQueries {
   // band hash become candidates; estimated similarity = matching signature
   // fraction. The join key is the band hash — this is the scalable
   // candidate generation (no cross join anywhere).
-  private val d3LshPairs: Q = (s, dir) => {
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     // Materialize signatures BEFORE banding/joining: Catalyst's project
     // collapsing would otherwise inline the full sketch expression into
     // every band hash and both self-join sides (~30× recompute). At scale
@@ -112,8 +112,10 @@ object DedupQueries {
           lit(0), (acc, m) => acc + m).cast("double") /
           lit(MinhashK.toDouble)).as("est_sim"))
       .distinct()
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  private val d3LshPairs: Q = (s, dir) =>
+    candidatePairs(s, dir).orderBy(col("id_a"), col("id_b"))
 
   /** DuckDB oracle for d3 built with a per-row band unnest. */
   private val d3OracleSql: String = {
@@ -134,6 +136,78 @@ object DedupQueries {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // D7 — duplicate CLUSTERS: connected components over the strong LSH
+  // pairs (est_sim ≥ 0.5), cluster id = min doc_id in the component — the
+  // step production dedup runs after candidate generation (keep one doc
+  // per cluster). Iterative min-label propagation: each round joins labels
+  // to the symmetric edge list and keeps the per-node min; converges in
+  // O(component diameter) rounds (near-dup components are band-collision
+  // cliques — diameter 1-2). At 100 TB: same loop with the label frame
+  // checkpointed every few rounds (lineage cap), or the large-star/
+  // small-star variant when diameters are unbounded.
+  private val d7Clusters: Q = (s, dir) => {
+    val strong = candidatePairs(s, dir).filter(col("est_sim") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val edges = strong.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(strong.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .cache()
+      changed = prop
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = prop
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d7Sql = {
+    // the same pair generation, then a recursive reachability closure;
+    // cluster id = min node reachable from each member
+    val bandStructs = (0 until MinhashK / BandRows).map { bd =>
+      val parts = (bd * BandRows until (bd + 1) * BandRows)
+        .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
+      s"{'band': $bd, 'band_hash': md5($parts)}"
+    }.mkString(", ")
+    s"""WITH RECURSIVE $duckSigCte,
+       |bands AS (
+       |  SELECT doc_id, [s0,s1,s2,s3,s4,s5,s6,s7] AS sig,
+       |    u.b['band'] AS band, u.b['band_hash'] AS band_hash
+       |  FROM sigs, UNNEST([$bandStructs]) u(b)
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    list_reduce(list_prepend(0, list_transform(range(1, $MinhashK + 1),
+       |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)), (acc, m) -> acc + m)::DOUBLE / $MinhashK AS est_sim
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs WHERE est_sim >= 0.5
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs WHERE est_sim >= 0.5
+       |),
+       |reach(node, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+       |)
+       |SELECT node AS doc_id, MIN(r) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
   // D4 — SimHash signatures (16-bit) via the native one-pass expression
@@ -207,9 +281,11 @@ object DedupQueries {
     "d3_minhash_lsh_pairs" -> d3LshPairs,
     "d4_simhash" -> d4Simhash,
     "d5_jaccard_pairs" -> d5Jaccard,
-    "d6_char_fingerprint" -> d6Fingerprint)
+    "d6_char_fingerprint" -> d6Fingerprint,
+    "d7_dup_clusters" -> d7Clusters)
 
   val oracles: Map[String, String] = Map(
+    "d7_dup_clusters" -> d7Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,
     "d3_minhash_lsh_pairs" -> d3OracleSql,
