@@ -36,9 +36,20 @@ object PipelineQueries {
       .map { case (id, text) => DocInput(s"synthetic/$id.txt", text, isOcr = false) }
   }
 
+  /** One shared ingest fold for p1/p2/p3 (StageCache like the sketch/token
+    * stages — at scale the processed entities are written tables, and each
+    * downstream query reads them instead of re-running the fold).
+    */
+  private def processedStage(s: SparkSession, dir: String) = {
+    import s.implicits._
+    StageCache.getOrCache(s, s"p_processed:$dir") {
+      IngestPipeline.process(inputs(s, dir)).toDF()
+    }.as[IngestPipeline.ProcessedDoc]
+  }
+
   /** G1+G2 — fragments with hierarchy ids, views, roles. */
   private val p1Fragments: Q = (s, dir) => {
-    val processed = IngestPipeline.process(inputs(s, dir))
+    val processed = processedStage(s, dir)
     IngestPipeline.fragments(processed).toDF()
       .select(col("document_id"), col("id").as("fragment_id"),
         col("concept_id"), col("view"), col("order"), col("unit_role"),
@@ -48,7 +59,7 @@ object PipelineQueries {
 
   /** G5 — synthesized parent contexts. */
   private val p2Parents: Q = (s, dir) => {
-    val processed = IngestPipeline.process(inputs(s, dir))
+    val processed = processedStage(s, dir)
     IngestPipeline.parents(processed).toDF()
       .select(col("parent_id"), col("document_id"), col("order"),
         length(col("content")).as("content_len"))
@@ -57,7 +68,7 @@ object PipelineQueries {
 
   /** F3+E1 — eligibility-filtered, batch-embedded, doc_id-deduped. */
   private val p3Embeddings: Q = (s, dir) => {
-    val processed = IngestPipeline.process(inputs(s, dir))
+    val processed = processedStage(s, dir)
     val frags = IngestPipeline.fragments(processed)
     IngestPipeline.embeddings(frags, new OfflineEmbedder(64)).toDF()
       .select(col("doc_id"), col("fragment_id"), col("parent_id"),
@@ -99,9 +110,8 @@ object PipelineQueries {
     // StageCache (not bare .cache()): the returned plan references this
     // stage, so it can only be unpersisted when the session is done with it
     val emb = StageCache.getOrCache(s, s"p5_embeddings:$dir") {
-      val processed = IngestPipeline.process(inputs(s, dir))
       IngestPipeline
-        .embeddings(IngestPipeline.fragments(processed), embedder)
+        .embeddings(IngestPipeline.fragments(processedStage(s, dir)), embedder)
         .toDF()
     }
     val queries = emb
