@@ -24,10 +24,12 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Session for local runs sized from SPARK_GRAFT_CPUS (driver contract).
+  /** Session for local runs: all machine cores (local[32] on the target
+    * box), shuffle partitions = core count. SPARK_GRAFT_CPUS overrides.
     * Registers the graft SQL functions (vector_dot / vector_cosine).
     */
-  def local(defaultCpus: String = "4"): SparkSession = {
+  def local(defaultCpus: String =
+      Runtime.getRuntime.availableProcessors().toString): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     val spark = builder(s"local[$cpus]", cpus).getOrCreate()
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
