@@ -130,6 +130,24 @@ object Cli {
         val resp = Generation.OfflineGenerator.generate(query, hits)
         println(s"[answer] ${resp.answer.take(200)}")
 
+      // §3.3 repl --rag, non-interactive: each question retrieves (k=5,
+      // context-expanded), generates with the rolling ≤5-turn history
+      // (last 3 rendered into the prompt), and feeds the turn back in.
+      case "rag" :: tablesDir :: questions if questions.nonEmpty =>
+        val embeddings = spark.read.parquet(s"$tablesDir/embeddings")
+          .as[graft.domain.Model.EmbeddingRow]
+        val parents = spark.read.parquet(s"$tablesDir/parents")
+          .as[graft.domain.Model.ParentRow]
+        var history = Generation.History()
+        questions.foreach { q =>
+          val hits = engine.search(embeddings, parents, q, topK = 5)
+          val resp = Generation.OfflineGenerator.generate(q, hits, history)
+          println(s"Q: $q")
+          println(s"A: ${resp.answer}")
+          resp.sources.take(3).foreach(src => println(s"   [src] $src"))
+          history = history.add(Generation.Turn(q, resp.answer))
+        }
+
       case "quality" :: tablesDir :: goldenPath :: Nil =>
         val embeddings = spark.read.parquet(s"$tablesDir/embeddings")
           .as[graft.domain.Model.EmbeddingRow]
@@ -154,6 +172,7 @@ object Cli {
         System.err.println(
           "usage: ingest <out> <files...> | reingest <tables> <files...> | " +
             "search <tables> <query> [k] [view] [lang] | " +
+            "rag <tables> <question...> | " +
             "quality <tables> <golden.jsonl> | metrics <tables>")
     }
     spark.stop()

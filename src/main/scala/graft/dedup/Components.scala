@@ -1,0 +1,59 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation with pointer
+  * jumping — the clustering step after near-dup candidate generation
+  * (members of a component are duplicates; keep min(id), drop the rest).
+  *
+  * Each round: (a) every node takes the min label over itself and its
+  * neighbors (one join + partial-agg groupBy on the symmetric edge list);
+  * (b) pointer jump — follow the new label's own label, doubling the
+  * effective propagation distance. Rounds needed: O(log diameter) instead
+  * of plain propagation's O(diameter) (LSH chain components reach diameter
+  * ~20 at sf0.1 already). `localCheckpoint` cuts per-round lineage; the
+  * loop exits only when no label changed, and that fixpoint is exactly
+  * "label = component minimum".
+  *
+  * At 100 TB the same loop runs with durable checkpoints and AQE handling
+  * the hot-label skew of giant components.
+  */
+object ConnectedComponents {
+
+  /** @param pairs two numeric id columns (an undirected edge per row)
+    * @return (node, cluster) — cluster = min node id in the component;
+    *         only nodes appearing in `pairs` are labeled
+    */
+  def label(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
+      val jumped = neighborMin.as("x")
+        .join(neighborMin.select(col("node").as("jn"), col("label").as("jl")),
+          col("x.label") === col("jn"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("jl"), col("x.label")).as("label"))
+      val next = jumped
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
+      rounds += 1
+    }
+    require(changed == 0,
+      s"connected components did not converge in $maxRounds rounds")
+    labels.select(col("node"), col("label").as("cluster"))
+  }
+}

@@ -140,44 +140,14 @@ object DedupQueries {
 
   // D7 — duplicate CLUSTERS: connected components over the strong LSH
   // pairs (est_sim ≥ 0.5), cluster id = min doc_id in the component — the
-  // step production dedup runs after candidate generation (keep one doc
-  // per cluster). Each round: (a) min-label propagation over the symmetric
-  // edge list, (b) POINTER JUMPING (label ← label's label), which doubles
-  // the propagation distance — O(log diameter) rounds instead of
-  // O(diameter) (band-collision chains at sf0.1 reach diameter ~20; plain
-  // propagation hit the round cap). localCheckpoint cuts the per-round
-  // lineage — the standard iterative-algorithm shape on Spark.
-  private val d7Clusters: Q = (s, dir) => {
-    val strong = candidatePairs(s, dir).filter(col("est_sim") >= 0.5)
-      .select(col("id_a"), col("id_b"))
-    val edges = strong.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(strong.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val neighborMin = edges
-        .join(labels.select(col("node").as("src"), col("label")), "src")
-        .select(col("dst").as("node"), col("label"))
-        .union(labels)
-        .groupBy("node").agg(min(col("label")).as("label"))
-      val jumped = neighborMin.as("x")
-        .join(neighborMin.select(col("node").as("jn"), col("label").as("jl")),
-          col("x.label") === col("jn"), "left")
-        .select(col("x.node").as("node"),
-          coalesce(col("jl"), col("x.label")).as("label"))
-      val next = jumped
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .localCheckpoint()
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select(col("node"), col("label"))
-      rounds += 1
-    }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  // keep-one-per-cluster step production dedup runs after candidate
+  // generation. Algorithm: [[graft.dedup.ConnectedComponents]] (min-label
+  // propagation + pointer jumping, O(log diameter) rounds).
+  private val d7Clusters: Q = (s, dir) =>
+    graft.dedup.ConnectedComponents
+      .label(candidatePairs(s, dir).filter(col("est_sim") >= 0.5))
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
-  }
 
   private val d7Sql = {
     // the same pair generation, then a recursive reachability closure;

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.ConnectedComponents
+
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def clusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    ConnectedComponents.label(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("path graph collapses to the minimum endpoint") {
+    // diameter 24 — requires pointer jumping to converge in few rounds;
+    // plain O(diameter) propagation is the regression this test pins
+    val path = (0L until 24L).map(i => (i, i + 1))
+    val got = clusters(path)
+    assert(got.keySet == (0L to 24L).toSet)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("disjoint components get distinct minimum labels") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 30L))
+    val got = clusters(edges)
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("star and clique shapes label every member with the hub minimum") {
+    val star = (1L to 8L).map(i => (0L, i))
+    val clique = for (i <- 100L to 104L; j <- i + 1 to 104L) yield (i, j)
+    val got = clusters(star ++ clique)
+    assert((0L to 8L).forall(got(_) == 0L))
+    assert((100L to 104L).forall(got(_) == 100L))
+  }
+}
