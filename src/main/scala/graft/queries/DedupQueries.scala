@@ -80,6 +80,15 @@ object DedupQueries {
     s"""WITH $duckSigCte
        |SELECT * FROM sigs ORDER BY doc_id""".stripMargin
 
+  // Hot-band guard: a band bucket with b members emits C(b,2) pairs, so a
+  // boilerplate band shared by 10⁵ docs would emit 5·10⁹ pairs from one
+  // key — the classic LSH skew blow-up. Buckets above the cap are dropped
+  // from pair generation (their members are near-certain duplicates that
+  // production routes to the exact-dedup path). Testdata buckets stay far
+  // below the cap, so the guard is semantics-neutral here and the oracle
+  // applies the identical QUALIFY.
+  private val BandSizeCap = 100
+
   // D3 — LSH candidate pairs: 4 bands of 2 signature rows; docs sharing any
   // band hash become candidates; estimated similarity = matching signature
   // fraction. The join key is the band hash — this is the scalable
@@ -97,6 +106,12 @@ object DedupQueries {
             .as("band_hash"))
       }: _*)).as("bh"))
       .select(col("doc_id"), col("sig"), col("bh.band"), col("bh.band_hash"))
+      // hot-band cap (window on the same key the join shuffles on — no
+      // extra exchange)
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("__bsz") <= BandSizeCap).drop("__bsz")
     val a = bands.select(col("band"), col("band_hash"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = bands.select(col("band"), col("band_hash"),
@@ -129,6 +144,7 @@ object DedupQueries {
        |  SELECT doc_id, [s0,s1,s2,s3,s4,s5,s6,s7] AS sig,
        |    u.b['band'] AS band, u.b['band_hash'] AS band_hash
        |  FROM sigs, UNNEST([$bandStructs]) u(b)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY u.b['band'], u.b['band_hash']) <= $BandSizeCap
        |)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |  list_reduce(list_prepend(0, list_transform(range(1, $MinhashK + 1),
@@ -162,6 +178,7 @@ object DedupQueries {
        |  SELECT doc_id, [s0,s1,s2,s3,s4,s5,s6,s7] AS sig,
        |    u.b['band'] AS band, u.b['band_hash'] AS band_hash
        |  FROM sigs, UNNEST([$bandStructs]) u(b)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY u.b['band'], u.b['band_hash']) <= $BandSizeCap
        |),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
