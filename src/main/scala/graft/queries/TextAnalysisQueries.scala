@@ -253,7 +253,67 @@ object TextAnalysisQueries {
        |FROM documents GROUP BY 1, 2 ORDER BY lang, guess""".stripMargin
   }
 
+  // X7 — the quality FILTER decision (the operator a pretraining pipeline
+  // actually runs over x2's features): published Gopher-style rules —
+  // word-count bounds, mean-word-length band, punctuation ratio, fraction
+  // of words containing a letter, minimum stopword evidence. Per-language
+  // pass/violation tallies; every violation is an exact integer/double
+  // comparison computed identically in DuckDB.
+  private val x7QualityFilter: Q = (s, dir) => {
+    val w = col("w")
+    val nWords = size(w)
+    val meanWlen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+      .cast("double") / nWords.cast("double")
+    val punctRatio = col("n_punct").cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopCount = voteCount(w, stopwords.head._2)
+    val failLen = nWords < 10 || nWords > 100000
+    val failWlen = meanWlen < 3.0 || meanWlen > 10.0
+    val failPunct = punctRatio >= 0.25
+    val failAlpha = alphaFrac <= 0.8
+    val failStop = stopCount < 2
+    wordsStage(s, dir)
+      .select(col("lang"),
+        failLen.cast("int").as("f_len"), failWlen.cast("int").as("f_wlen"),
+        failPunct.cast("int").as("f_punct"), failAlpha.cast("int").as("f_alpha"),
+        failStop.cast("int").as("f_stop"),
+        (!failLen && !failWlen && !failPunct && !failAlpha && !failStop)
+          .cast("int").as("pass"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"),
+        sum(col("f_len")).as("n_fail_len"), sum(col("f_wlen")).as("n_fail_wlen"),
+        sum(col("f_punct")).as("n_fail_punct"),
+        sum(col("f_alpha")).as("n_fail_alpha"),
+        sum(col("f_stop")).as("n_fail_stop"))
+      .orderBy(col("lang"))
+  }
+
+  private val x7Sql = {
+    val w = duck.wordsExpr
+    val en = stopwords.head._2
+    val nWords = s"len($w)"
+    val meanWlen = s"(list_reduce(list_prepend(0::BIGINT, list_transform($w, x -> length(x)::BIGINT)), (acc, x) -> acc + x)::DOUBLE / $nWords::DOUBLE)"
+    val punctRatio = s"((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / $nWords::DOUBLE)"
+    val alphaFrac = s"(len(list_filter($w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / $nWords::DOUBLE)"
+    val stopCount = duckVote(w, en)
+    val fLen = s"($nWords < 10 OR $nWords > 100000)"
+    val fWlen = s"($meanWlen < 3.0 OR $meanWlen > 10.0)"
+    val fPunct = s"($punctRatio >= 0.25)"
+    val fAlpha = s"($alphaFrac <= 0.8)"
+    val fStop = s"($stopCount < 2)"
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  SUM((NOT $fLen AND NOT $fWlen AND NOT $fPunct AND NOT $fAlpha AND NOT $fStop)::INT)::BIGINT AS n_pass,
+       |  SUM($fLen::INT)::BIGINT AS n_fail_len,
+       |  SUM($fWlen::INT)::BIGINT AS n_fail_wlen,
+       |  SUM($fPunct::INT)::BIGINT AS n_fail_punct,
+       |  SUM($fAlpha::INT)::BIGINT AS n_fail_alpha,
+       |  SUM($fStop::INT)::BIGINT AS n_fail_stop
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "x7_quality_filter" -> x7QualityFilter,
     "x1_lang_id" -> x1LangId,
     "x2_quality_score" -> x2Quality,
     "x3_token_stats" -> x3TokenStats,
@@ -262,6 +322,7 @@ object TextAnalysisQueries {
     "x6_trigram_lang" -> x6TrigramLang)
 
   val oracles: Map[String, String] = Map(
+    "x7_quality_filter" -> x7Sql,
     "x1_lang_id" -> x1Sql,
     "x2_quality_score" -> x2Sql,
     "x3_token_stats" -> x3Sql,
