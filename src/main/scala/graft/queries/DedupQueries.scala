@@ -201,6 +201,42 @@ object DedupQueries {
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   }
 
+  // D8 — the deduplicated corpus: drop every cluster member except the
+  // cluster minimum (the keep-one rule), keep all unclustered docs.
+  // A broadcast anti-join of the (tiny) drop set against the corpus —
+  // the drop set is bounded by the number of near-dups, never corpus-sized.
+  // Per-language kept/dropped tallies; oracle = the same recursive-CTE
+  // components with the identical keep rule.
+  private val d8DedupKeep: Q = (s, dir) => {
+    val drops = graft.dedup.ConnectedComponents
+      .label(candidatePairs(s, dir).filter(col("est_sim") >= 0.5))
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as("doc_id"))
+    Tables.documents(s, dir)
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(Tables.documents(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs")), Seq("lang"))
+      .select(col("lang"), col("n_docs"), (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  private val d8Sql = {
+    val inner = d7Sql.replace("ORDER BY doc_id", "")
+    s"""WITH cc AS ($inner),
+       |drops AS (SELECT doc_id FROM cc WHERE doc_id <> cluster_id),
+       |kept AS (
+       |  SELECT lang, COUNT(*) AS n_kept FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM drops) GROUP BY lang)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  COUNT(*) - ANY_VALUE(k.n_kept) AS n_dropped,
+       |  ANY_VALUE(k.n_kept) AS n_kept
+       |FROM documents d JOIN kept k ON d.lang = k.lang
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   // D4 — SimHash signatures (16-bit) via the native one-pass expression
   // (tokenize → md5 per word → fold bit votes in one loop; identical
   // values to TextSketch.simhash and the oracle — the built-in form pays
@@ -273,10 +309,12 @@ object DedupQueries {
     "d4_simhash" -> d4Simhash,
     "d5_jaccard_pairs" -> d5Jaccard,
     "d6_char_fingerprint" -> d6Fingerprint,
-    "d7_dup_clusters" -> d7Clusters)
+    "d7_dup_clusters" -> d7Clusters,
+    "d8_dedup_keep" -> d8DedupKeep)
 
   val oracles: Map[String, String] = Map(
     "d7_dup_clusters" -> d7Sql,
+    "d8_dedup_keep" -> d8Sql,
     "d1_exact_dedup" -> d1Sql,
     "d2_minhash_sig" -> d2Sql,
     "d3_minhash_lsh_pairs" -> d3OracleSql,
