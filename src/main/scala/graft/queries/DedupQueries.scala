@@ -159,9 +159,16 @@ object DedupQueries {
   // keep-one-per-cluster step production dedup runs after candidate
   // generation. Algorithm: [[graft.dedup.ConnectedComponents]] (min-label
   // propagation + pointer jumping, O(log diameter) rounds).
+  // labels memoized per (session, dir): d7 and d8 share one component run
+  // (the result is tiny — one row per clustered doc)
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    StageCache.getOrCache(s, s"dup_clusters:$dir") {
+      graft.dedup.ConnectedComponents
+        .label(candidatePairs(s, dir).filter(col("est_sim") >= 0.5))
+    }
+
   private val d7Clusters: Q = (s, dir) =>
-    graft.dedup.ConnectedComponents
-      .label(candidatePairs(s, dir).filter(col("est_sim") >= 0.5))
+    clusterLabels(s, dir)
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
 
@@ -208,8 +215,7 @@ object DedupQueries {
   // Per-language kept/dropped tallies; oracle = the same recursive-CTE
   // components with the identical keep rule.
   private val d8DedupKeep: Q = (s, dir) => {
-    val drops = graft.dedup.ConnectedComponents
-      .label(candidatePairs(s, dir).filter(col("est_sim") >= 0.5))
+    val drops = clusterLabels(s, dir)
       .filter(col("node") =!= col("cluster"))
       .select(col("node").as("doc_id"))
     Tables.documents(s, dir)
