@@ -53,6 +53,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("candidate generation never degenerates to a cross join") {
+    // d3 (band join), d5's verified subset aside, v4 (blocked pair join):
+    // the scalable dedup property is equi-join keys, not O(n²) pairing
+    for (q <- Seq("d3_minhash_lsh_pairs", "v4_embed_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs join:\n$p")
+    }
+  }
+
+  test("metrics aggregate map-side before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), s"no partial aggregation in q1:\n$p")
+  }
+
   test("p1 ingest lineage has no data-dependent shuffle") {
     val df = SparkEntry.queries("p1_ingest_fragments")(spark, dir)
     // allowed exchanges: the final presentation orderBy (range) and ONE
