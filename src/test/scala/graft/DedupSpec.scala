@@ -40,6 +40,34 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
+  test("write-time sketch columns round-trip parquet and bypass recompute") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.SketchExpressions
+    val docs = (0L until 50L).map(i => (i, s"some document body $i with shared words"))
+      .toDF("doc_id", "text")
+    val computed = docs.select(col("doc_id"),
+      SketchExpressions.minhashSignature(col("text"), 3, 8).as("sig"),
+      SketchExpressions.simhash(col("text"), 16).as("simhash"))
+    val path = "/tmp/graft-warehouse/sketch_cols"
+    computed.write.mode("overwrite").parquet(path)
+    val stored = s.read.parquet(path)
+
+    // lossless round-trip: stored columns equal freshly computed ones
+    assert(stored.join(computed.withColumnRenamed("sig", "sig2")
+      .withColumnRenamed("simhash", "sh2"), "doc_id")
+      .filter(col("sig") =!= col("sig2") || col("simhash") =!= col("sh2"))
+      .count() == 0)
+
+    // a consumer deriving band hashes from the stored column never
+    // re-tokenizes: no sketch expression, no md5-over-text in its plan
+    val bands = stored.select(col("doc_id"),
+      graft.functions.TextSketch.bandHash(col("sig"), 0, 2).as("b0"))
+    val p = bands.queryExecution.executedPlan.toString
+    assert(!p.contains("minhash_signature") && !p.contains("simhash"), p)
+  }
+
   test("star and clique shapes label every member with the hub minimum") {
     val star = (1L to 8L).map(i => (0L, i))
     val clique = for (i <- 100L to 104L; j <- i + 1 to 104L) yield (i, j)
