@@ -36,7 +36,13 @@ object Bench {
     // numbers below steady-state per-query costs, which is what a
     // long-running cluster actually sees.
     val warmDir = "/root/testdata/sf0.001"
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+    // canonical-path compare: a trailing slash / symlink spelling of the
+    // warm dir must not defeat the "never warm on the benchmarked data" rule
+    val sameData =
+      try new java.io.File(warmDir).getCanonicalPath ==
+        new java.io.File(sfDir).getCanonicalPath
+      catch { case _: Throwable => warmDir == sfDir }
+    if (!sameData && new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }

@@ -208,25 +208,36 @@ object TextAnalysisQueries {
   // fixed per-language profile of high-frequency trigrams, argmax with a
   // deterministic tie order. Exact integer counts ⇒ DuckDB oracle. No
   // lower(): Java and DuckDB Unicode case mappings differ on edge cases,
-  // and the profiles fire on running lowercase text anyway.
+  // and the profiles fire on running lowercase text anyway. Profiles are
+  // all LENGTH-3 strings — shingles are 3 chars, so a shorter entry could
+  // never match (zh uses common three-character sequences, not single
+  // characters, for exactly that reason).
   private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "ing", "ion", "tio", "ent", "her", " th"),
     "es" -> Seq("que", "ado", "los", "nte", " de", "ien", "cio", " la"),
     "fr" -> Seq("les", "des", "ait", "eur", " le", "ons", "ant", " la"),
     "de" -> Seq("der", "ein", "ich", "den", "und", "sch", "die", "cht"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+    "zh" -> Seq("是一个", "这是一", "不知道", "我们的", "的时候", "有一个", "在这里", "中国的"))
 
   private val x6TrigramLang: Q = (s, dir) => {
     val tri = TextSketch.charShingles(col("text"), 3)
+    // ONE struct-fold pass: the trigram array is built once per row and all
+    // five profile counts accumulate in the same traversal — five separate
+    // size(filter(tri, ...)) columns would each re-inline the array
+    // construction (the project-collapsing recompute the sibling stages
+    // exist to avoid)
+    val zero = struct(trigramProfiles.map { case (l, _) => lit(0).as(s"t_$l") }: _*)
+    val counts = aggregate(tri, zero, (acc, t) =>
+      struct(trigramProfiles.map { case (l, prof) =>
+        (acc.getField(s"t_$l") +
+          when(t.isin(prof.map(lit): _*), 1).otherwise(0)).as(s"t_$l")
+      }: _*))
     val scoreStage = StageCache.getOrCache(s, s"trigram_scores:$dir") {
       Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(
-          col("lang") +: trigramProfiles.map { case (l, prof) =>
-            size(filter(tri, t => t.isin(prof.map(lit): _*))).as(s"t_$l")
-          }: _*)
+        .select(col("lang"), counts.as("c"))
     }
-    val scores = trigramProfiles.map { case (l, _) => l -> col(s"t_$l") }
+    val scores = trigramProfiles.map { case (l, _) => l -> col(s"c.t_$l") }
     val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val guess = scores.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
       when(v === maxScore && maxScore > 0 && acc === "unknown", lit(l)).otherwise(acc)
@@ -267,11 +278,20 @@ object TextAnalysisQueries {
     val punctRatio = col("n_punct").cast("double") / nWords.cast("double")
     val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]")))
       .cast("double") / nWords.cast("double")
-    val stopCount = voteCount(w, stopwords.head._2)
+    // stopword evidence against the ROW's language list (falling back to
+    // en for unlisted languages) — an es/fr/de/zh document must not be
+    // graded against English stopwords
+    val stopCount = stopwords.tail.foldLeft(voteCount(w, stopwords.head._2)) {
+      case (acc, (l, list)) => when(col("lang") === l, voteCount(w, list))
+        .otherwise(acc)
+    }
+    val latinLangs = Seq("en", "es", "fr", "de")
     val failLen = nWords < 10 || nWords > 100000
     val failWlen = meanWlen < 3.0 || meanWlen > 10.0
     val failPunct = punctRatio >= 0.25
-    val failAlpha = alphaFrac <= 0.8
+    // Latin-script rule only: zh words legitimately contain no [A-Za-z]
+    val failAlpha = col("lang").isin(latinLangs.map(lit): _*) &&
+      alphaFrac <= 0.8
     val failStop = stopCount < 2
     wordsStage(s, dir)
       .select(col("lang"),
@@ -291,16 +311,18 @@ object TextAnalysisQueries {
 
   private val x7Sql = {
     val w = duck.wordsExpr
-    val en = stopwords.head._2
     val nWords = s"len($w)"
     val meanWlen = s"(list_reduce(list_prepend(0::BIGINT, list_transform($w, x -> length(x)::BIGINT)), (acc, x) -> acc + x)::DOUBLE / $nWords::DOUBLE)"
     val punctRatio = s"((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / $nWords::DOUBLE)"
     val alphaFrac = s"(len(list_filter($w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / $nWords::DOUBLE)"
-    val stopCount = duckVote(w, en)
+    val stopCount = stopwords.tail.foldLeft(duckVote(w, stopwords.head._2)) {
+      case (acc, (l, list)) =>
+        s"(CASE WHEN lang = '$l' THEN ${duckVote(w, list)} ELSE $acc END)"
+    }
     val fLen = s"($nWords < 10 OR $nWords > 100000)"
     val fWlen = s"($meanWlen < 3.0 OR $meanWlen > 10.0)"
     val fPunct = s"($punctRatio >= 0.25)"
-    val fAlpha = s"($alphaFrac <= 0.8)"
+    val fAlpha = s"(lang IN ('en','es','fr','de') AND $alphaFrac <= 0.8)"
     val fStop = s"($stopCount < 2)"
     s"""SELECT lang, COUNT(*) AS n_docs,
        |  SUM((NOT $fLen AND NOT $fWlen AND NOT $fPunct AND NOT $fAlpha AND NOT $fStop)::INT)::BIGINT AS n_pass,

@@ -17,18 +17,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def clusters(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def clusters(edges: Seq[(Long, Long)],
+      maxRounds: Int = 50): Map[Long, Long] = {
     val s = spark
     import s.implicits._
-    ConnectedComponents.label(edges.toDF("id_a", "id_b"))
+    ConnectedComponents.label(edges.toDF("id_a", "id_b"), maxRounds = maxRounds)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   test("path graph collapses to the minimum endpoint") {
-    // diameter 24 — requires pointer jumping to converge in few rounds;
-    // plain O(diameter) propagation is the regression this test pins
+    // diameter 24 with maxRounds=10: pointer jumping converges in ~log2(24)
+    // rounds; plain O(diameter) propagation needs ~24 and would trip the
+    // convergence require() — THIS bound is what pins the optimization
     val path = (0L until 24L).map(i => (i, i + 1))
-    val got = clusters(path)
+    val got = clusters(path, maxRounds = 10)
     assert(got.keySet == (0L to 24L).toSet)
     assert(got.values.toSet == Set(0L))
   }

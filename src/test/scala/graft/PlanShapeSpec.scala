@@ -124,8 +124,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.get
-    probed.count()
+    // drive THIS Dataset's QueryExecution (count() would build a fresh one
+    // whose metrics never touch `scan`)
+    probed.collect()
     val filesRead = scan.metrics("numFiles").value
+    assert(filesRead > 0, "scan metric never populated — assertion is vacuous")
     val totalFiles = s.read.parquet(path).inputFiles.length
     assert(filesRead < totalFiles,
       s"no pruning: read $filesRead of $totalFiles files")
