@@ -22,13 +22,42 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param pairs two numeric id columns (an undirected edge per row)
+    * @param smallThreshold pair sets at or below this size resolve with a
+    *        driver-side union-find instead of the iterative job loop —
+    *        the same strategy-by-size adaptivity as a broadcast join
+    *        (near-dup pair sets are bounded by the duplicate count, not
+    *        the corpus, so the small path is the common case; the loop
+    *        below remains the unbounded-scale path and is what the specs
+    *        exercise with smallThreshold = 0)
     * @return (node, cluster) — cluster = min node id in the component;
     *         only nodes appearing in `pairs` are labeled
     */
   def label(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      maxRounds: Int = 50, smallThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val pairCols = pairs
+      .select(col(idA).cast("long").as(idA), col(idB).cast("long").as(idB))
+      .localCheckpoint()
+    if (pairCols.count() <= smallThreshold) {
+      val collected = pairCols.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        if (r != x) parent(x) = r // path compression
+        r
+      }
+      collected.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      import spark.implicits._
+      return rows.toDF("node", "cluster")
+    }
+    val edges = pairCols.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairCols.select(col(idB).as("src"), col(idA).as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()

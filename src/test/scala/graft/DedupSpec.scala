@@ -21,8 +21,23 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       maxRounds: Int = 50): Map[Long, Long] = {
     val s = spark
     import s.implicits._
-    ConnectedComponents.label(edges.toDF("id_a", "id_b"), maxRounds = maxRounds)
+    // smallThreshold = 0 forces the distributed loop — the scale path is
+    // what these shapes pin; the driver-side fast path is checked by the
+    // equivalence test below
+    ConnectedComponents.label(edges.toDF("id_a", "id_b"),
+      maxRounds = maxRounds, smallThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("driver fast path and distributed loop agree") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((5L, 9L), (9L, 2L), (7L, 8L), (1L, 5L), (3L, 3L))
+    val fast = ConnectedComponents.label(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = clusters(edges)
+    assert(fast == loop)
+    assert(fast(9L) == 1L && fast(8L) == 7L && fast(3L) == 3L)
   }
 
   test("path graph collapses to the minimum endpoint") {
