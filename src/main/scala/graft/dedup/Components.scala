@@ -35,9 +35,12 @@ object ConnectedComponents {
   def label(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxRounds: Int = 50, smallThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
+    // ids must be integral; null ids (or non-numeric values nulled by the
+    // cast) cannot participate in an edge and are dropped, not NPE'd
     val pairCols = pairs
       .select(col(idA).cast("long").as(idA), col(idB).cast("long").as(idB))
-      .localCheckpoint()
+      .filter(col(idA).isNotNull && col(idB).isNotNull)
+      .localCheckpoint() // materialize ONCE; both paths below reuse blocks
     if (pairCols.count() <= smallThreshold) {
       val collected = pairCols.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -56,9 +59,10 @@ object ConnectedComponents {
       import spark.implicits._
       return rows.toDF("node", "cluster")
     }
+    // derives from the checkpointed pairCols — a second checkpoint would
+    // just hold the pair set in block storage twice more
     val edges = pairCols.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairCols.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var changed = 1L

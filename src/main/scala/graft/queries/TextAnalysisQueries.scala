@@ -219,31 +219,40 @@ object TextAnalysisQueries {
     "de" -> Seq("der", "ein", "ich", "den", "und", "sch", "die", "cht"),
     "zh" -> Seq("是一个", "这是一", "不知道", "我们的", "的时候", "有一个", "在这里", "中国的"))
 
-  private val x6TrigramLang: Q = (s, dir) => {
-    val tri = TextSketch.charShingles(col("text"), 3)
-    // ONE struct-fold pass: the trigram array is built once per row and all
-    // five profile counts accumulate in the same traversal — five separate
-    // size(filter(tri, ...)) columns would each re-inline the array
-    // construction (the project-collapsing recompute the sibling stages
-    // exist to avoid)
+  /** ONE struct-fold pass over a single trigram array: all five profile
+    * counts accumulate in the same traversal — five separate
+    * size(filter(tri, ...)) columns would each re-inline the array
+    * construction (the project-collapsing recompute the sibling stages
+    * exist to avoid). Package-visible so specs can drive it with real
+    * multilingual text (the shipped corpus is ASCII under every label).
+    */
+  private[graft] def trigramCounts(text: Column): Column = {
+    val tri = TextSketch.charShingles(text, 3)
     val zero = struct(trigramProfiles.map { case (l, _) => lit(0).as(s"t_$l") }: _*)
-    val counts = aggregate(tri, zero, (acc, t) =>
+    aggregate(tri, zero, (acc, t) =>
       struct(trigramProfiles.map { case (l, prof) =>
         (acc.getField(s"t_$l") +
           when(t.isin(prof.map(lit): _*), 1).otherwise(0)).as(s"t_$l")
       }: _*))
+  }
+
+  /** Argmax over a trigramCounts struct with the profile-order tie-break. */
+  private[graft] def trigramGuess(c: Column): Column = {
+    val scores = trigramProfiles.map { case (l, _) => l -> c.getField(s"t_$l") }
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
+      when(v === maxScore && maxScore > 0 && acc === "unknown", lit(l)).otherwise(acc)
+    }
+  }
+
+  private val x6TrigramLang: Q = (s, dir) => {
     val scoreStage = StageCache.getOrCache(s, s"trigram_scores:$dir") {
       Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("lang"), counts.as("c"))
-    }
-    val scores = trigramProfiles.map { case (l, _) => l -> col(s"c.t_$l") }
-    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val guess = scores.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
-      when(v === maxScore && maxScore > 0 && acc === "unknown", lit(l)).otherwise(acc)
+        .select(col("lang"), trigramCounts(col("text")).as("c"))
     }
     scoreStage
-      .withColumn("guess", guess)
+      .withColumn("guess", trigramGuess(col("c")))
       .groupBy(col("lang"), col("guess"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("guess"))
@@ -280,10 +289,16 @@ object TextAnalysisQueries {
       .cast("double") / nWords.cast("double")
     // stopword evidence against the ROW's language list (falling back to
     // en for unlisted languages) — an es/fr/de/zh document must not be
-    // graded against English stopwords
+    // graded against English stopwords. zh is unsegmented: whitespace
+    // tokens can never EQUAL a single-character stopword, so zh votes by
+    // CONTAINMENT (token carries the character) — the same reason the
+    // alpha rule below is Latin-script-only.
+    def containsVote(list: Seq[String]): Column =
+      size(filter(w, x => list.map(c => x.contains(lit(c))).reduce(_ || _)))
     val stopCount = stopwords.tail.foldLeft(voteCount(w, stopwords.head._2)) {
-      case (acc, (l, list)) => when(col("lang") === l, voteCount(w, list))
-        .otherwise(acc)
+      case (acc, (l, list)) =>
+        val vote = if (l == "zh") containsVote(list) else voteCount(w, list)
+        when(col("lang") === l, vote).otherwise(acc)
     }
     val latinLangs = Seq("en", "es", "fr", "de")
     val failLen = nWords < 10 || nWords > 100000
@@ -315,9 +330,14 @@ object TextAnalysisQueries {
     val meanWlen = s"(list_reduce(list_prepend(0::BIGINT, list_transform($w, x -> length(x)::BIGINT)), (acc, x) -> acc + x)::DOUBLE / $nWords::DOUBLE)"
     val punctRatio = s"((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE / $nWords::DOUBLE)"
     val alphaFrac = s"(len(list_filter($w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / $nWords::DOUBLE)"
+    def duckContainsVote(list: Seq[String]): String = {
+      val cond = list.map(c => s"contains(x, '$c')").mkString(" OR ")
+      s"len(list_filter($w, x -> ($cond)))"
+    }
     val stopCount = stopwords.tail.foldLeft(duckVote(w, stopwords.head._2)) {
       case (acc, (l, list)) =>
-        s"(CASE WHEN lang = '$l' THEN ${duckVote(w, list)} ELSE $acc END)"
+        val vote = if (l == "zh") duckContainsVote(list) else duckVote(w, list)
+        s"(CASE WHEN lang = '$l' THEN $vote ELSE $acc END)"
     }
     val fLen = s"($nWords < 10 OR $nWords > 100000)"
     val fWlen = s"($meanWlen < 3.0 OR $meanWlen > 10.0)"

@@ -118,4 +118,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         "Figure 3: Architecture overview\nA short explanatory tail line"),
       ParentKeys.Caption("table", "Table 12. Results")))
   }
+
+  test("trigram language ID fires on real multilingual text") {
+    // the shipped corpus is ASCII under every lang label, so the catalog
+    // query can't exercise the non-English profiles — this does
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.queries.TextAnalysisQueries
+    val rows = Seq(
+      ("en", "the cat and the dog are playing in the garden with the children"),
+      ("de", "der hund und die katze spielen nicht schlecht im schönen garten"),
+      ("fr", "les enfants jouent dans le jardin avec les chiens et les chats"),
+      ("zh", "这是一个很好的例子我们的朋友不知道在这里发生了什么是一个谜")
+    ).toDF("lang", "text")
+    val got = rows.select(col("lang"),
+      TextAnalysisQueries.trigramGuess(
+        TextAnalysisQueries.trigramCounts(col("text"))).as("guess"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("en") == "en", got.toString)
+    assert(got("de") == "de", got.toString)
+    assert(got("fr") == "fr", got.toString)
+    assert(got("zh") == "zh", got.toString)
+  }
 }
