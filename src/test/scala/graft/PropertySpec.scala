@@ -188,4 +188,27 @@ class PropertySpec extends AnyFunSuite {
       assert(!s1.exists(_.isUpper))
     }
   }
+
+  test("ivf quantizer: deterministic, bounded, and assignment-consistent") {
+    import graft.search.Ivf
+    val genSample: Gen[Array[Array[Float]]] = for {
+      n <- Gen.choose(1, 60)
+      dim <- Gen.choose(2, 16)
+      flat <- Gen.listOfN(n * dim, Gen.choose(-100, 100).map(_ / 7.0f))
+    } yield flat.toArray.grouped(dim).toArray
+    forAll(genSample, Gen.choose(1, 12)) { (sample, k) =>
+      val q1 = Ivf.train(sample, k, iters = 4)
+      val q2 = Ivf.train(sample, k, iters = 4)
+      // deterministic: no RNG anywhere in training
+      assert(q1.centroidsFlat.sameElements(q2.centroidsFlat))
+      // never more centroids than sample points, never zero
+      assert(q1.k >= 1 && q1.k <= math.min(k, sample.length))
+      assert(q1.centroidsFlat.length == q1.k * q1.dim)
+      // driver-side nearestLists is a permutation prefix of [0, k)
+      val lists = Ivf.nearestLists(sample(0), q1, nprobe = q1.k)
+      assert(lists.sorted == (0 until q1.k))
+      // probing more lists never probes fewer
+      assert(Ivf.nearestLists(sample(0), q1, 1).size <= lists.size)
+    }
+  }
 }
