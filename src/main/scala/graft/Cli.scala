@@ -130,6 +130,41 @@ object Cli {
         val resp = Generation.OfflineGenerator.generate(query, hits)
         println(s"[answer] ${resp.answer.take(200)}")
 
+      // Build + persist the IVF ANN index for a tables dir: train the
+      // coarse quantizer on a deterministic sample, assign list ids with
+      // the codegen'd expression, write partitioned by list_id (probes
+      // become partition pruning on disk) + the quantizer sidecar.
+      case "index" :: tablesDir :: rest =>
+        val k = rest.headOption.map(_.toInt).getOrElse(64)
+        val e = spark.read.parquet(s"$tablesDir/embeddings")
+        val sample = e.orderBy(col("fragment_id")).limit(10000)
+          .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+        val q = graft.search.Ivf.train(sample, k)
+        graft.search.Ivf.save(q, s"$tablesDir/ivf_quantizer.txt")
+        graft.sources.TableLayout.writePartitionedSorted(
+          graft.search.Ivf.buildIndex(e, q), s"$tablesDir/embeddings_ivf",
+          "list_id", Seq("fragment_id"))
+        val n = spark.read.parquet(s"$tablesDir/embeddings_ivf")
+          .groupBy(col("list_id")).count().count()
+        println(s"[index] k=${q.k} dim=${q.dim} lists_used=$n")
+
+      // ANN search against the persisted index: nprobe nearest lists →
+      // partition-pruned scan → exact cosine re-rank.
+      case "ann-search" :: tablesDir :: query :: rest =>
+        val topK = rest.headOption.map(_.toInt).getOrElse(10)
+        val nprobe = rest.lift(1).map(_.toInt).getOrElse(2)
+        val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
+        val index = spark.read.parquet(s"$tablesDir/embeddings_ivf")
+        val qvec = new OfflineEmbedder(q.dim).embedQuery(query)
+        val hits = graft.search.Ivf
+          .search(index, qvec, q, topK, nprobe)
+          .select(col("fragment_id"), col("view"), col("similarity"))
+          .collect()
+        hits.zipWithIndex.foreach { case (h, i) =>
+          println(f"#${i + 1}%-3d sim=${h.getDouble(2)}%.4f " +
+            s"[${h.getString(1)}] ${h.getString(0)}")
+        }
+
       // §3.3 repl --rag, non-interactive: each question retrieves (k=5,
       // context-expanded), generates with the rolling ≤5-turn history
       // (last 3 rendered into the prompt), and feeds the turn back in.
@@ -172,6 +207,7 @@ object Cli {
         System.err.println(
           "usage: ingest <out> <files...> | reingest <tables> <files...> | " +
             "search <tables> <query> [k] [view] [lang] | " +
+            "index <tables> [k] | ann-search <tables> <query> [k] [nprobe] | " +
             "rag <tables> <question...> | " +
             "quality <tables> <golden.jsonl> | metrics <tables>")
     }

@@ -114,6 +114,31 @@ object Ivf {
       .take(math.max(1, nprobe))
       .map(_._2)
 
+  /** Persist a quantizer as a small text sidecar next to the index table
+    * (line 1: "k dim", then one centroid per line). Float.toString round-
+    * trips exactly through parseFloat, so save∘load is the identity.
+    */
+  def save(q: Quantizer, path: String): Unit = {
+    val sb = new StringBuilder
+    sb.append(q.k).append(' ').append(q.dim).append('\n')
+    for (c <- 0 until q.k)
+      sb.append(q.centroid(c).mkString(" ")).append('\n')
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def load(path: String): Quantizer = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).toArray(Array.empty[String])
+    val Array(k, dim) = lines(0).split(" ").map(_.toInt)
+    val flat = new Array[Float](k * dim)
+    for (c <- 0 until k) {
+      val vals = lines(c + 1).split(" ")
+      for (j <- 0 until dim) flat(c * dim + j) = vals(j).toFloat
+    }
+    Quantizer(k, dim, flat)
+  }
+
   /** ANN top-k: prune to the probed lists, exact cosine re-rank within. */
   def search(index: DataFrame, queryVec: Array[Float], q: Quantizer,
       topK: Int, nprobe: Int = 1, vectorCol: String = "vector",
