@@ -279,12 +279,18 @@ object TextAnalysisQueries {
   // of words containing a letter, minimum stopword evidence. Per-language
   // pass/violation tallies; every violation is an exact integer/double
   // comparison computed identically in DuckDB.
-  private val x7QualityFilter: Q = (s, dir) => {
-    val w = col("w")
+  /** The Gopher-style rule set as 0/1 flag columns over (tokens, punct
+    * count, lang). Factored out of x7 so the SAME expressions run over the
+    * cached batch stage AND a readStream projection (stateless map —
+    * streaming-safe by construction, pinned in
+    * StreamBatchEquivalenceSpec).
+    */
+  private[graft] def qualityFlags(w: Column, nPunct: Column,
+      lang: Column): Seq[(String, Column)] = {
     val nWords = size(w)
     val meanWlen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
       .cast("double") / nWords.cast("double")
-    val punctRatio = col("n_punct").cast("double") / nWords.cast("double")
+    val punctRatio = nPunct.cast("double") / nWords.cast("double")
     val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]")))
       .cast("double") / nWords.cast("double")
     // stopword evidence against the ROW's language list (falling back to
@@ -298,23 +304,27 @@ object TextAnalysisQueries {
     val stopCount = stopwords.tail.foldLeft(voteCount(w, stopwords.head._2)) {
       case (acc, (l, list)) =>
         val vote = if (l == "zh") containsVote(list) else voteCount(w, list)
-        when(col("lang") === l, vote).otherwise(acc)
+        when(lang === l, vote).otherwise(acc)
     }
     val latinLangs = Seq("en", "es", "fr", "de")
     val failLen = nWords < 10 || nWords > 100000
     val failWlen = meanWlen < 3.0 || meanWlen > 10.0
     val failPunct = punctRatio >= 0.25
     // Latin-script rule only: zh words legitimately contain no [A-Za-z]
-    val failAlpha = col("lang").isin(latinLangs.map(lit): _*) &&
-      alphaFrac <= 0.8
+    val failAlpha = lang.isin(latinLangs.map(lit): _*) && alphaFrac <= 0.8
     val failStop = stopCount < 2
+    Seq(
+      "f_len" -> failLen.cast("int"), "f_wlen" -> failWlen.cast("int"),
+      "f_punct" -> failPunct.cast("int"), "f_alpha" -> failAlpha.cast("int"),
+      "f_stop" -> failStop.cast("int"),
+      "pass" -> (!failLen && !failWlen && !failPunct && !failAlpha && !failStop)
+        .cast("int"))
+  }
+
+  private val x7QualityFilter: Q = (s, dir) => {
+    val flags = qualityFlags(col("w"), col("n_punct"), col("lang"))
     wordsStage(s, dir)
-      .select(col("lang"),
-        failLen.cast("int").as("f_len"), failWlen.cast("int").as("f_wlen"),
-        failPunct.cast("int").as("f_punct"), failAlpha.cast("int").as("f_alpha"),
-        failStop.cast("int").as("f_stop"),
-        (!failLen && !failWlen && !failPunct && !failAlpha && !failStop)
-          .cast("int").as("pass"))
+      .select(col("lang") +: flags.map { case (n, c) => c.as(n) }: _*)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"),
         sum(col("f_len")).as("n_fail_len"), sum(col("f_wlen")).as("n_fail_wlen"),

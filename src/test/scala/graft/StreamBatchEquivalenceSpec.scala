@@ -79,4 +79,36 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch,
       s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
+
+  test("quality gate streams over documents.parquet identically to batch") {
+    val s = spark
+    import graft.functions.TextSketch
+    import graft.queries.TextAnalysisQueries
+    // the per-document gate is a stateless projection — it must run
+    // unchanged in a readStream append pipeline (an in-stream corpus
+    // filter), producing exactly the batch decisions
+    def gated(df: org.apache.spark.sql.DataFrame) = {
+      val w = TextSketch.words(col("text"))
+      val nPunct = length(col("text")) -
+        length(regexp_replace(col("text"), "[.,;:!?]", ""))
+      val flags = TextAnalysisQueries.qualityFlags(w, nPunct, col("lang"))
+      df.select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+    }
+    val stage = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val stream = s.readStream
+      .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+      .parquet(stage.toString)
+    val q = gated(stream).writeStream.format("memory")
+      .queryName("stream_gate").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = s.sql("SELECT * FROM stream_gate")
+      .collect().map(_.toSeq).toSet
+    val batch = gated(s.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
