@@ -163,6 +163,14 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("char-budget batching counts code points, not UTF-16 units") {
+    // "🦄" is one Python character but two UTF-16 units; a budget of 4
+    // must fit four of them per batch (unit counting would fit only two)
+    val texts = Seq.fill(8)("🦄")
+    val batches = Batching.byCharBudget(texts.iterator, 4, 16)(identity).toList
+    assert(batches.map(_.size) == Seq(4, 4))
+  }
+
   test("char-budget batching: respects budget and item caps, loses nothing") {
     forAll(Gen.listOf(Gen.chooseNum(0, 500)
       .flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)))) {
