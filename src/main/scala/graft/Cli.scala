@@ -48,61 +48,20 @@ object Cli {
           DocInput(f, text, isOcr = false)
         }.toDS()
         val r = engine.ingest(docs)
-        def rmTree(p: java.nio.file.Path): Unit = {
-          import scala.jdk.CollectionConverters._
-          if (java.nio.file.Files.exists(p))
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-        /** Roll a table forward/back out of any half-finished prior swap
-          * BEFORE reading it. The swap below is two non-atomic moves; a
-          * crash can leave: (a) stale .staging with live intact — drop it;
-          * (b) live missing with .old + .staging — .staging is complete
-          * (the first move runs only after the staging write returns), so
-          * roll FORWARD: staging → live; (c) live missing with only .old —
-          * roll BACK: old → live; (d) live + leftover .old — drop .old.
-          */
-        def recoverSwap(path: String): Unit = {
-          import java.nio.file.{Files, Paths}
-          val (live, staging, old) =
-            (Paths.get(path), Paths.get(s"$path.staging"), Paths.get(s"$path.old"))
-          if (Files.exists(live)) {
-            if (Files.exists(staging)) {
-              System.err.println(s"[reingest] dropping stale $path.staging")
-              rmTree(staging)
-            }
-            if (Files.exists(old)) {
-              System.err.println(s"[reingest] dropping leftover $path.old")
-              rmTree(old)
-            }
-          } else if (Files.exists(staging) && Files.exists(old)) {
-            System.err.println(s"[reingest] completing interrupted swap of $path")
-            Files.move(staging, live)
-            rmTree(old)
-          } else if (Files.exists(old)) {
-            System.err.println(s"[reingest] restoring $path from $path.old")
-            Files.move(old, live)
-          }
-        }
+        // crash-safe stage-then-swap with startup recovery — see
+        // [[graft.ingest.TableSwap]] (spec-pinned on every crash state)
         def mergeWrite(name: String, incoming: org.apache.spark.sql.DataFrame,
             key: String = "document_id"): Unit = {
           val path = s"$tablesDir/$name"
-          recoverSwap(path)
+          graft.ingest.TableSwap.recoverSwap(path)
+            .foreach(a => System.err.println(s"[reingest] $path: $a"))
           // doc_bucket is a derived partition column — recomputed on write
           val existing = spark.read.parquet(path).drop("doc_bucket")
           val merged = graft.ingest.IngestPipeline
             .replaceDocuments(existing, incoming, key)
-          // stage then swap — can't overwrite a dir that's being read.
-          // Ordering: live → .old, staging → live, drop .old; every crash
-          // point leaves a state recoverSwap() rolls forward or back.
-          val staging = s"$path.staging"
-          val old = s"$path.old"
-          graft.ingest.IngestPipeline.writeTable(merged, staging, key)
-          java.nio.file.Files.move(java.nio.file.Paths.get(path),
-            java.nio.file.Paths.get(old))
-          java.nio.file.Files.move(java.nio.file.Paths.get(staging),
-            java.nio.file.Paths.get(path))
-          rmTree(java.nio.file.Paths.get(old))
+          // stage then swap — can't overwrite a dir that's being read
+          graft.ingest.TableSwap.swap(path)(staging =>
+            graft.ingest.IngestPipeline.writeTable(merged, staging, key))
         }
         mergeWrite("documents", r.documents.toDF(), key = "id")
         mergeWrite("concepts", r.concepts.toDF())
