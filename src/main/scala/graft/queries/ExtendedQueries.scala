@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.sources.Skew
+
+/** Round-3 catalog extensions: the join/aggregation surface a complete
+  * engine needs beyond the reference's own operators — as-of and banded
+  * range joins (custom operators in [[graft.operators]]), salted-join
+  * correctness on real tables, rollup / grouping-sets / exact percentiles,
+  * date-part aggregation, intersect/except, sliding window frames, and a
+  * TPC-H Q3-shaped join-agg-topk pipeline. Every query has an exact DuckDB
+  * oracle.
+  *
+  * Scale notes per query are inline; the common rules: dimension sides
+  * broadcast, money sums go through DECIMAL(18,2), every output carries a
+  * total deterministic ORDER BY.
+  */
+object ExtendedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---- J3: TPC-H Q3 shape — filtered fact ⋈ fact ⋈ broadcast dim,
+  // partial agg, top-10 via TakeOrderedAndProject (no global sort).
+  private val j3Shipping: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1995-03-15"))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1995-03-15"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val j3Sql =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---- J6: as-of join — every click carries its user's most recent
+  // purchase at-or-before the click ([[AsOfJoin]]: one shuffle, no fan-out).
+  private val j6AsOf: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_event_id"),
+        col("value").as("purchase_value"))
+    AsOfJoin.backward(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("purchase_event_id", "purchase_value"),
+        rightTiebreak = Some("purchase_event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("purchase_event_id"), col("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j6Sql =
+    """SELECT l.event_id, l.user_id,
+      |  r.purchase_event_id, r.purchase_value
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  event_id AS purchase_event_id, value AS purchase_value
+      |                FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---- J7: banded range join — per error event, activity of the same user
+  // in the following 12 hours ([[RangeJoin]]: equi-join on (key, band),
+  // bounded ≤2× left amplification instead of a per-key cross product).
+  private val j7Range: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val follows = ev.select(col("user_id"), col("ts").as("f_ts"),
+      col("event_id").as("f_event_id"), col("value").as("f_value"))
+    val pairs = RangeJoin.timeBand(errors, follows, Seq("user_id"),
+      leftTime = "ts", rightTime = "f_ts",
+      lowerExclusiveMicros = 0L,
+      upperInclusiveMicros = 12L * 3600L * 1000000L)
+    val perError = pairs.groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_follow"),
+        sum(dec(col("f_value"))).cast("double").as("follow_value"))
+    errors.join(perError, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_follow"), lit(0L)).as("n_follow"),
+        coalesce(col("follow_value"), lit(0.0)).as("follow_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j7Sql =
+    """SELECT a.event_id, a.user_id, COUNT(b.event_id) AS n_follow,
+      |  CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,2))), 0) AS DOUBLE) AS follow_value
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'error') a
+      |LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |           FROM events) b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts
+      |  AND b.ts <= a.ts + INTERVAL 12 HOUR
+      |GROUP BY a.event_id, a.user_id
+      |ORDER BY a.event_id""".stripMargin
+
+  // ---- J8: salted join ≡ plain join — [[Skew.saltedJoin]] on real tables,
+  // oracled by the unsalted SQL (the salt is an implementation detail the
+  // result must not observe). The small side replicates 8× instead of
+  // broadcasting — the broadcast-ineligible skew case.
+  private val j8Salted: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Skew.saltedJoin(ev, cust, "user_id", saltBuckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val j8Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- A7: rollup with GROUPING markers — hierarchical subtotals in one
+  // pass (Spark expands grouping sets before the partial agg, so the
+  // shuffle carries (keys × sets) pre-combined rows, not raw data).
+  private val a7Rollup: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+
+  private val a7Sql =
+    """SELECT COALESCE(l_returnflag, '<all>') AS rf,
+      |  COALESCE(l_linestatus, '<all>') AS ls,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, rf, ls""".stripMargin
+
+  // ---- A8: non-hierarchical grouping sets — two independent groupings in
+  // one scan instead of two jobs + union.
+  private val a8GroupingSets: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("total"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("n"), col("total"))
+      .orderBy(col("rf"), col("ls"))
+
+  private val a8Sql =
+    """SELECT COALESCE(l_returnflag, '<all>') AS rf,
+      |  COALESCE(l_linestatus, '<all>') AS ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---- A9: exact percentiles (linear interpolation) — both engines use
+  // rank = q·(n−1) with linear interpolation, and quarter fractions over
+  // integer-valued quantities make every intermediate exact in binary, so
+  // the match is cell-exact, not approximate. (The approximate twin for
+  // the 100 TB path is x4_approx_stats.)
+  private val a9Percentiles: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val a9Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- Q2: date-part aggregation (year/month buckets) — datetime function
+  // surface with exact money sums.
+  private val q2DateAgg: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("yr"), col("mo"))
+
+  private val q2Sql =
+    """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |  EXTRACT(MONTH FROM o_orderdate) AS mo,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+
+  // ---- U5/U6: INTERSECT / EXCEPT (distinct set semantics on both
+  // engines) — customers buying in both price bands / only the high band.
+  private def bandHigh(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey"))
+  private def bandLow(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_totalprice") < 50000.0)
+      .select(col("o_custkey"))
+
+  private val u5Intersect: Q = (s, dir) =>
+    bandHigh(s, dir).intersect(bandLow(s, dir)).orderBy(col("o_custkey"))
+
+  private val u5Sql =
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_totalprice < 50000.0
+      |ORDER BY o_custkey""".stripMargin
+
+  private val u6Except: Q = (s, dir) =>
+    bandHigh(s, dir).except(bandLow(s, dir)).orderBy(col("o_custkey"))
+
+  private val u6Sql =
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_totalprice < 50000.0
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---- W5: sliding window frame (ROWS BETWEEN 3 PRECEDING AND CURRENT
+  // ROW) — rolling sums with exact decimal arithmetic inside the frame.
+  private val w5MovingSum: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("roll_value"),
+        count(lit(1)).over(w).as("roll_n"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w5Sql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_value,
+      |  COUNT(*) OVER w AS roll_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "j3_shipping_priority" -> j3Shipping,
+    "j6_asof_join" -> j6AsOf,
+    "j7_range_join" -> j7Range,
+    "j8_salted_join" -> j8Salted,
+    "a7_rollup" -> a7Rollup,
+    "a8_grouping_sets" -> a8GroupingSets,
+    "a9_percentiles" -> a9Percentiles,
+    "q2_date_agg" -> q2DateAgg,
+    "u5_intersect" -> u5Intersect,
+    "u6_except" -> u6Except,
+    "w5_moving_sum" -> w5MovingSum)
+
+  val oracles: Map[String, String] = Map(
+    "j3_shipping_priority" -> j3Sql,
+    "j6_asof_join" -> j6Sql,
+    "j7_range_join" -> j7Sql,
+    "j8_salted_join" -> j8Sql,
+    "a7_rollup" -> a7Sql,
+    "a8_grouping_sets" -> a8Sql,
+    "a9_percentiles" -> a9Sql,
+    "q2_date_agg" -> q2Sql,
+    "u5_intersect" -> u5Sql,
+    "u6_except" -> u6Sql,
+    "w5_moving_sum" -> w5Sql)
+}
