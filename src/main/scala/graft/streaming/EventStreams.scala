@@ -102,6 +102,28 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_digest")
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * [[graft.operators.RangeJoin.timeBand]]: pairs (l, r) with equal keys
+    * and `r.time ∈ (l.time, l.time + upper]`. Spark keeps both sides in
+    * the state store; the watermark plus the range bound let it evict a
+    * row once no future match can arrive, so state is bounded by
+    * (watermark horizon + range span) × arrival rate — the property that
+    * makes the operator viable on unbounded streams. Inner join only
+    * (outer interval joins additionally need the watermark to declare a
+    * row unmatched). Caller renames right-side column collisions, as with
+    * the batch operator; right key columns are dropped from the output.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, upperInclusive: String,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTime) > l(leftTime) &&
+      r(rightTime) <= l(leftTime) + expr(s"INTERVAL $upperInclusive")
+    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+  }
+
   /** Streaming document ingest: a file-source stream of raw texts runs the
     * SAME per-document pipeline as batch (narrow flatMap — append-safe),
     * writing fragment rows continuously. Batch and streaming share

@@ -80,6 +80,59 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
 
+  test("stream-stream interval join matches the batch banded range join") {
+    val s = spark
+    import graft.operators.RangeJoin
+    // stage events.parquet for two independent file-source streams
+    val stage = java.nio.file.Files.createTempDirectory("events_ij")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    def streamEvents() = {
+      val raw = s.readStream
+        .schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .parquet(stage.toString)
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      else raw
+    }
+    val errS = streamEvents().filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val folS = streamEvents()
+      .select(col("user_id"), col("ts").as("f_ts"),
+        col("event_id").as("f_event_id"))
+    val joined = EventStreams.intervalJoin(errS, folS, Seq("user_id"),
+      leftTime = "ts", rightTime = "f_ts", upperInclusive = "12 hours")
+    val q = joined.select(col("event_id"), col("f_event_id"))
+      .writeStream.format("memory").queryName("stream_ij")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val streamed = s.sql("SELECT * FROM stream_ij")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Tables.events(s, dir)
+    val batch = RangeJoin.timeBand(
+        ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        ev.select(col("user_id"), col("ts").as("f_ts"),
+          col("event_id").as("f_event_id")),
+        Seq("user_id"), "ts", "f_ts",
+        0L, 12L * 3600L * 1000000L)
+      .select(col("event_id"), col("f_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed.nonEmpty, "interval join emitted no pairs")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
   test("quality gate streams over documents.parquet identically to batch") {
     val s = spark
     import graft.functions.TextSketch
