@@ -226,6 +226,24 @@ object ExtendedQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
+  // ---- A10: pivot (long→wide reshape) — per-year order counts by status.
+  // Explicit pivot values keep the plan a single pass (no distinct-values
+  // pre-query) — at scale the value list is a required argument anyway.
+  private val a10Pivot: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("yr"))
+
+  private val a10Sql =
+    """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
   // ---- U5/U6: INTERSECT / EXCEPT (distinct set semantics on both
   // engines) — customers buying in both price bands / only the high band.
   private def bandHigh(s: SparkSession, dir: String): DataFrame =
@@ -283,6 +301,7 @@ object ExtendedQueries {
     "a7_rollup" -> a7Rollup,
     "a8_grouping_sets" -> a8GroupingSets,
     "a9_percentiles" -> a9Percentiles,
+    "a10_pivot" -> a10Pivot,
     "q2_date_agg" -> q2DateAgg,
     "u5_intersect" -> u5Intersect,
     "u6_except" -> u6Except,
@@ -296,6 +315,7 @@ object ExtendedQueries {
     "a7_rollup" -> a7Sql,
     "a8_grouping_sets" -> a8Sql,
     "a9_percentiles" -> a9Sql,
+    "a10_pivot" -> a10Sql,
     "q2_date_agg" -> q2Sql,
     "u5_intersect" -> u5Sql,
     "u6_except" -> u6Sql,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.media.MediaPipeline
-import graft.search.{Ann, Ivf}
+import graft.search.{Ann, Ivf, Pq}
 
 /** Multimodal plumbing + ANN index catalog entries.
   *
@@ -143,11 +143,48 @@ object MediaQueries {
         "scan_fraction")
   }
 
+  // v7 — product-quantization self-check: 32× compressed ADC scan, recall
+  // vs the exact scan for ADC-only / shortlist-re-ranked variants. The
+  // rerank_all row re-ranks every row exactly, so its recall is 1.0 by
+  // construction (the same exactness witness pattern as v6's full probe).
+  private val v7PqRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val sample = e.orderBy(col("vec_id")).limit(1024)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val cb = Pq.train(sample, m = 8, ksub = 16)
+    val index = Pq.encode(e, cb)
+    val query = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val exact = graft.search.VectorSearch
+      .knn(e, query, 10, vectorCol = "vector", tieBreak = "vec_id")
+      .select(col("vec_id")).as[Long].collect().toSet
+    def recall(df: DataFrame): Double =
+      df.select(col("vec_id")).as[Long].collect().toSet
+        .intersect(exact).size.toDouble / exact.size
+    val adcOnly = index
+      .withColumn("adc_score", Pq.adcCosine(col("pq_code"), query, cb))
+      .orderBy(col("adc_score").desc, col("vec_id")).limit(10)
+    val rerank50 = Pq.searchCosine(index, query, cb, 10,
+      shortlist = 50, tieBreak = "vec_id")
+    val nRows = e.count().toInt
+    val rerankAll = Pq.searchCosine(index, query, cb, 10,
+      shortlist = nRows, tieBreak = "vec_id")
+    val ratio = cb.dim * 4.0 / cb.m // float bytes vs one byte per code
+    Seq(
+      ("adc_only", recall(adcOnly), 10L, ratio),
+      ("rerank_50", recall(rerank50), 50L, ratio),
+      ("rerank_all", recall(rerankAll), nRows.toLong, ratio))
+      .toDF("variant", "recall_at_10", "shortlist", "compression_ratio")
+  }
+
   val defs: Map[String, Q] = Map(
     "m1_media_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
     "v5_ann_recall" -> v5AnnRecall,
-    "v6_ivf_recall" -> v6IvfRecall)
+    "v6_ivf_recall" -> v6IvfRecall,
+    "v7_pq_recall" -> v7PqRecall)
 
   val oracles: Map[String, String] = Map(
     "m1_media_features" -> m1Sql,

@@ -189,6 +189,133 @@ case class IvfAssign(child: Expression, centroidsFlat: Array[Float], dim: Int)
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: splits the input vector into `m`
+  * subvectors of `dsub` dims and emits the nearest-subcentroid index per
+  * subspace (argmin squared-L2, ties → lowest index) — the byte-code
+  * representation that shrinks a d×4-byte float vector to m small ints.
+  * Codebook layout: subcentroid (j, c) starts at ((j*ksub)+c)*dsub.
+  */
+case class PqEncode(child: Expression, codebookFlat: Array[Float],
+    m: Int, ksub: Int, dsub: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val xi = if (base + i < x.numElements()) x.getFloat(base + i).toDouble else 0.0
+          val diff = xi - codebookFlat(off + i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("codebook", codebookFlat, "float[]")
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      val xi = ctx.freshName("xi")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $base = $j * $dsub;
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    int $off = ($j * $ksub + $c) * $dsub;
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      double $xi = ($base + $i < $a.numElements())
+         |        ? (double) $a.getFloat($base + $i) : 0.0;
+         |      double $diff = $xi - (double) $cb[$off + $i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $codes[$j] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) lookup-table sum: given PQ codes and a
+  * query-specific table `lut` (one double per (subspace, subcentroid)),
+  * returns Σ_j lut[j·ksub + codes[j]] — an approximate dot/distance in m
+  * table reads instead of d multiplies.
+  */
+case class PqAdc(child: Expression, lut: Array[Double], ksub: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      acc += lut(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tbl = ctx.addReferenceObj("lut", lut, "double[]")
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $tbl[$j * $ksub + $a.getInt($j)];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdc =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrappers (classic-session Column construction). */
   def vectorDot(a: Column, b: Column): Column =
@@ -202,4 +329,13 @@ object VectorExpressions {
   def ivfAssign(vec: Column, centroidsFlat: Array[Float], dim: Int): Column =
     ExpressionUtils.column(IvfAssign(
       ExpressionUtils.expression(vec), centroidsFlat, dim))
+
+  def pqEncode(vec: Column, codebookFlat: Array[Float],
+      m: Int, ksub: Int, dsub: Int): Column =
+    ExpressionUtils.column(PqEncode(
+      ExpressionUtils.expression(vec), codebookFlat, m, ksub, dsub))
+
+  def pqAdc(codes: Column, lut: Array[Double], ksub: Int): Column =
+    ExpressionUtils.column(PqAdc(
+      ExpressionUtils.expression(codes), lut, ksub))
 }

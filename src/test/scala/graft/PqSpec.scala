@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.search.{Pq, VectorSearch}
+
+/** Product-quantization invariants: deterministic encode with in-range
+  * codes, the per-point-codebook exactness witness (ADC dot IEEE-equal to
+  * the exact dot), and full-shortlist re-rank recovering the exact KNN on
+  * real testdata.
+  */
+class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def vectors(n: Int): Array[Array[Float]] = {
+    // deterministic pseudo-random vectors (seeded, no wall clock)
+    val rnd = new scala.util.Random(42)
+    Array.fill(n)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+  }
+
+  test("encode is deterministic and codes stay in [0, ksub)") {
+    val s = spark
+    import s.implicits._
+    val sample = vectors(64)
+    val cb = Pq.train(sample, m = 4, ksub = 8)
+    assert(cb.dsub == 4 && cb.flat.length == 4 * 8 * 4)
+    val df = sample.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "vector")
+    val once = Pq.encode(df, cb).select("pq_code")
+      .as[Seq[Int]].collect()
+    val twice = Pq.encode(df, cb).select("pq_code")
+      .as[Seq[Int]].collect()
+    assert(once.toSeq == twice.toSeq)
+    assert(once.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+  }
+
+  test("per-point codebook: ADC dot is IEEE-identical to the exact dot") {
+    val s = spark
+    import s.implicits._
+    val sample = vectors(32)
+    // ksub = sample size ⇒ every vector is its own codeword: quantization
+    // error is zero and the subspace-concatenated LUT sum must reproduce
+    // the exact left-to-right dot BIT-FOR-BIT
+    val cb = Pq.train(sample, m = 4, ksub = 32)
+    val query = sample(7)
+    val df = sample.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "vector")
+    val got = Pq.encode(df, cb)
+      .withColumn("adc_dot",
+        org.apache.spark.sql.graft.VectorExpressions.pqAdc(
+          col("pq_code"), Pq.lutDot(query, cb), cb.ksub))
+      .withColumn("exact_dot", VectorSearch.dot(col("vector"), lit(query)))
+      .select("adc_dot", "exact_dot")
+      .as[(Double, Double)].collect()
+    got.foreach { case (adc, exact) => assert(adc == exact) }
+  }
+
+  test("full-shortlist re-rank recovers the exact KNN on real embeddings") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val sample = e.orderBy(col("vec_id")).limit(256)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val cb = Pq.train(sample, m = 8, ksub = 16)
+    val index = Pq.encode(e, cb)
+    val query = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val n = e.count().toInt
+    val exact = VectorSearch.knn(e, query, 10,
+        vectorCol = "vector", tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    val pq = Pq.searchCosine(index, query, cb, 10,
+        shortlist = n, tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pq == exact)
+    // and the compressed representation really is small
+    assert(cb.m == 8 && e.head().getAs[scala.collection.Seq[Float]]("vector").length == cb.dim)
+  }
+}
