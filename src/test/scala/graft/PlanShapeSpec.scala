@@ -64,6 +64,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("j6 as-of join: exactly one hash shuffle, no join operator at all") {
+    // the union–sort–carry formulation must not plan any join: one hash
+    // exchange on the key for the window, plus the presentation orderBy
+    val p = plan("j6_asof_join")
+    assert(!p.contains("Join"), s"as-of should be join-free:\n$p")
+    val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
+  }
+
+  test("j7 range join: equi-join on (key, band), never nested-loop") {
+    val p = plan("j7_range_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to an all-pairs join:\n$p")
+  }
+
   test("metrics aggregate map-side before the shuffle") {
     val p = plan("q1_agg")
     assert(p.contains("partial_"), s"no partial aggregation in q1:\n$p")
