@@ -124,6 +124,43 @@ object Cli {
             s"[${h.getString(1)}] ${h.getString(0)}")
         }
 
+      // Extend the persisted IVF index with PQ codes (IVFPQ): train the
+      // product codebook on the same deterministic sample, add the
+      // codegen'd pq_code column, rewrite the index + codebook sidecar.
+      case "pq-index" :: tablesDir :: rest =>
+        val m = rest.headOption.map(_.toInt).getOrElse(8)
+        val ksub = rest.lift(1).map(_.toInt).getOrElse(16)
+        val e = spark.read.parquet(s"$tablesDir/embeddings_ivf")
+        val sample = e.orderBy(col("fragment_id")).limit(10000)
+          .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+        val cb = graft.search.Pq.train(sample, m, ksub)
+        graft.search.Pq.save(cb, s"$tablesDir/pq_codebook.txt")
+        graft.sources.TableLayout.writePartitionedSorted(
+          graft.search.Pq.encode(e, cb), s"$tablesDir/embeddings_ivfpq",
+          "list_id", Seq("fragment_id"))
+        println(s"[pq-index] m=${cb.m} ksub=${cb.ksub} dsub=${cb.dsub} " +
+          s"compression=${cb.dim * 4.0 / cb.m}x")
+
+      // IVFPQ search: nprobe-pruned lists → ADC scan over codes → exact
+      // re-rank of the shortlist.
+      case "pq-search" :: tablesDir :: query :: rest =>
+        val topK = rest.headOption.map(_.toInt).getOrElse(10)
+        val nprobe = rest.lift(1).map(_.toInt).getOrElse(2)
+        val shortlist = rest.lift(2).map(_.toInt).getOrElse(100)
+        val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
+        val cb = graft.search.Pq.load(s"$tablesDir/pq_codebook.txt")
+        val index = spark.read.parquet(s"$tablesDir/embeddings_ivfpq")
+        val qvec = new OfflineEmbedder(q.dim).embedQuery(query)
+        val hits = graft.search.Pq
+          .searchIvfPq(index, qvec, q, cb, topK, nprobe, shortlist,
+            tieBreak = "fragment_id")
+          .select(col("fragment_id"), col("view"), col("similarity"))
+          .collect()
+        hits.zipWithIndex.foreach { case (h, i) =>
+          println(f"#${i + 1}%-3d sim=${h.getDouble(2)}%.4f " +
+            s"[${h.getString(1)}] ${h.getString(0)}")
+        }
+
       // §3.3 repl --rag, non-interactive: each question retrieves (k=5,
       // context-expanded), generates with the rolling ≤5-turn history
       // (last 3 rendered into the prompt), and feeds the turn back in.
@@ -167,6 +204,8 @@ object Cli {
           "usage: ingest <out> <files...> | reingest <tables> <files...> | " +
             "search <tables> <query> [k] [view] [lang] | " +
             "index <tables> [k] | ann-search <tables> <query> [k] [nprobe] | " +
+            "pq-index <tables> [m] [ksub] | " +
+            "pq-search <tables> <query> [k] [nprobe] [shortlist] | " +
             "rag <tables> <question...> | " +
             "quality <tables> <golden.jsonl> | metrics <tables>")
     }

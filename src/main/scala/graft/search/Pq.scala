@@ -134,6 +134,49 @@ object Pq {
       .otherwise(dot / (sqrt(n2) * math.sqrt(qn)))
   }
 
+  /** Persist a codebook as a text sidecar (line 1: "m ksub dsub", then one
+    * codeword per line) — Float.toString round-trips exactly, so
+    * save∘load is the identity (same contract as [[Ivf.save]]).
+    */
+  def save(cb: Codebook, path: String): Unit = {
+    val sb = new StringBuilder
+    sb.append(cb.m).append(' ').append(cb.ksub).append(' ').append(cb.dsub)
+      .append('\n')
+    for (j <- 0 until cb.m; c <- 0 until cb.ksub)
+      sb.append(cb.codeword(j, c).mkString(" ")).append('\n')
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def load(path: String): Codebook = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).toArray(Array.empty[String])
+    val Array(m, ksub, dsub) = lines(0).split(" ").map(_.toInt)
+    val flat = new Array[Float](m * ksub * dsub)
+    for (j <- 0 until m; c <- 0 until ksub) {
+      val vals = lines(1 + j * ksub + c).split(" ")
+      for (i <- 0 until dsub) flat((j * ksub + c) * dsub + i) = vals(i).toFloat
+    }
+    Codebook(m, ksub, dsub, flat)
+  }
+
+  /** IVFPQ: coarse-list pruning composed with compressed ADC scoring —
+    * the standard two-level ANN layout at corpus scale. The index carries
+    * both `list_id` (partition column → probes prune at the file source)
+    * and `pq_code`; the probed lists are ADC-scanned over codes, and only
+    * the shortlist reads full vectors for the exact re-rank. Probing all
+    * lists with a corpus-sized shortlist degenerates to the exact scan —
+    * the spec-pinned exactness witness.
+    */
+  def searchIvfPq(index: DataFrame, query: Array[Float], quantizer: Ivf.Quantizer,
+      cb: Codebook, topK: Int, nprobe: Int = 1, shortlist: Int = 100,
+      vectorCol: String = "vector", codeCol: String = "pq_code",
+      tieBreak: String = "vec_id"): DataFrame = {
+    val lists = Ivf.nearestLists(query, quantizer, nprobe)
+    searchCosine(index.filter(col("list_id").isin(lists: _*)),
+      query, cb, topK, shortlist, vectorCol, codeCol, tieBreak)
+  }
+
   /** ADC top-k with exact re-rank: shortlist `shortlist` rows by the
     * compressed score (TakeOrderedAndProject over codes only), then exact
     * cosine on the shortlist's original vectors. At scale the shortlist is

@@ -67,6 +67,44 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach { case (adc, exact) => assert(adc == exact) }
   }
 
+  test("codebook save/load round-trips exactly") {
+    val cb = Pq.train(vectors(64), m = 4, ksub = 8)
+    val path = java.nio.file.Files.createTempFile("pq", ".txt").toString
+    Pq.save(cb, path)
+    val loaded = Pq.load(path)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+    assert(loaded.m == cb.m && loaded.ksub == cb.ksub && loaded.dsub == cb.dsub)
+    assert(loaded.flat.toSeq == cb.flat.toSeq)
+  }
+
+  test("ivfpq: full probe + full shortlist degenerates to the exact KNN") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val sample = e.orderBy(col("vec_id")).limit(256)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val ivfQ = graft.search.Ivf.train(sample, k = 8)
+    val cb = Pq.train(sample, m = 8, ksub = 16)
+    val index = Pq.encode(graft.search.Ivf.buildIndex(e, ivfQ), cb)
+    val query = e.filter(col("vec_id") === 3)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val n = e.count().toInt
+    val exact = VectorSearch.knn(e, query, 10,
+        vectorCol = "vector", tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    val ivfpq = Pq.searchIvfPq(index, query, ivfQ, cb, 10,
+        nprobe = ivfQ.k, shortlist = n, tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivfpq == exact)
+    // pruned probe scans fewer rows but still finds hits
+    val pruned = Pq.searchIvfPq(index, query, ivfQ, cb, 10,
+        nprobe = 2, shortlist = 50, tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(pruned.nonEmpty && pruned.toSet.subsetOf(
+      index.select("vec_id").as[Long].collect().toSet))
+  }
+
   test("full-shortlist re-rank recovers the exact KNN on real embeddings") {
     val s = spark
     import s.implicits._
