@@ -293,6 +293,28 @@ object ExtendedQueries {
       |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---- W6: RANGE frame — trailing 1-hour event-time window per user
+  // (value-based frame over integer microseconds, vs w5's row-count frame).
+  private val w6RangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("hour_value"),
+        count(lit(1)).over(w).as("hour_n"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w6Sql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_value,
+      |  COUNT(*) OVER w AS hour_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "j3_shipping_priority" -> j3Shipping,
     "j6_asof_join" -> j6AsOf,
@@ -305,7 +327,8 @@ object ExtendedQueries {
     "q2_date_agg" -> q2DateAgg,
     "u5_intersect" -> u5Intersect,
     "u6_except" -> u6Except,
-    "w5_moving_sum" -> w5MovingSum)
+    "w5_moving_sum" -> w5MovingSum,
+    "w6_range_frame" -> w6RangeFrame)
 
   val oracles: Map[String, String] = Map(
     "j3_shipping_priority" -> j3Sql,
@@ -319,5 +342,6 @@ object ExtendedQueries {
     "q2_date_agg" -> q2Sql,
     "u5_intersect" -> u5Sql,
     "u6_except" -> u6Sql,
-    "w5_moving_sum" -> w5Sql)
+    "w5_moving_sum" -> w5Sql,
+    "w6_range_frame" -> w6Sql)
 }
