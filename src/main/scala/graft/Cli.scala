@@ -134,10 +134,13 @@ object Cli {
         val sample = e.orderBy(col("fragment_id")).limit(10000)
           .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
         val cb = graft.search.Pq.train(sample, m, ksub)
-        graft.search.Pq.save(cb, s"$tablesDir/pq_codebook.txt")
+        // index first, sidecar last: the codebook is the commit marker, so
+        // a crash mid-rewrite leaves the OLD consistent (codebook, index)
+        // pair visible rather than a new codebook over old codes
         graft.sources.TableLayout.writePartitionedSorted(
           graft.search.Pq.encode(e, cb), s"$tablesDir/embeddings_ivfpq",
           "list_id", Seq("fragment_id"))
+        graft.search.Pq.save(cb, s"$tablesDir/pq_codebook.txt")
         println(s"[pq-index] m=${cb.m} ksub=${cb.ksub} dsub=${cb.dsub} " +
           s"compression=${cb.dim * 4.0 / cb.m}x")
 
@@ -150,6 +153,12 @@ object Cli {
         val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
         val cb = graft.search.Pq.load(s"$tablesDir/pq_codebook.txt")
         val index = spark.read.parquet(s"$tablesDir/embeddings_ivfpq")
+        // consistency guard: codes must match the codebook shape (PqAdc
+        // also validates per row, but fail here with a clear remedy)
+        val sampleCode = index.select(col("pq_code")).head().getAs[Array[Byte]](0)
+        require(sampleCode.length == cb.m,
+          s"index codes have m=${sampleCode.length} but codebook has m=${cb.m}; " +
+            "re-run pq-index")
         val qvec = new OfflineEmbedder(q.dim).embedQuery(query)
         val hits = graft.search.Pq
           .searchIvfPq(index, qvec, q, cb, topK, nprobe, shortlist,

@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *  - equal timestamps match in inclusive mode (`strict = false`);
   *  - among several right rows sharing (key, time), the one with the
   *    greatest `rightTiebreak` wins — pass one whenever (key, time) is not
-  *    unique on the right, otherwise the winner is nondeterministic.
+  *    unique on the right, otherwise the winner is nondeterministic;
+  *  - NULL keys never match (equi-join semantics): right rows with a null
+  *    key are dropped up front — without that, the window's NULL-grouping
+  *    partition would happily carry a null-key right payload onto null-key
+  *    left rows, which `ON l.k = r.k` never does.
   */
 object AsOfJoin {
 
@@ -51,7 +55,9 @@ object AsOfJoin {
     // (so the carried value includes them), AFTER in strict mode.
     val (rightOrd, leftOrd) = if (strict) (1, 0) else (0, 1)
 
-    val rightSide = right.select(
+    val rightSide = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
       keys.map(col) ++ Seq(
         col(rightTime).as(T),
         lit(rightOrd).as(SIDE),

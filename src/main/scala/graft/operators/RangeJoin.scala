@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * The scale-safe formulation is the bucketed band join (the pattern range
   * partitioners and interval libraries use): quantize both sides into
-  * fixed-width time buckets (width = the range span), explode each left row
+  * fixed-width time buckets (width = the range span rounded up to a power
+  * of two, so bucketing is an exact arithmetic shift), explode each left row
   * to its ≤2 candidate buckets, equi-join on (keys, bucket) — which
   * shuffles and hash-joins like any other equi-join, AQE/skew handling
   * included — then apply the exact range predicate to the candidates.
@@ -20,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** floor division that is correct for negative micros (pre-epoch). */
-  private def floorDiv(x: Column, d: Long): Column =
-    (x - pmod(x, lit(d))) / lit(d) cast "long"
+  /** Smallest s with 2^s ≥ span: a power-of-two band width makes floor
+    * division an arithmetic right shift — exact for EVERY long, negative
+    * (pre-epoch) included. A double-division floor would silently lose
+    * integer precision past 2^53 µs and drop pairs at band boundaries.
+    */
+  private def bandShift(span: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(span - 1)
 
   /** @param keys      equi-join key columns (same names both sides)
     * @param leftTime  timestamp column on `left`
@@ -36,18 +41,19 @@ object RangeJoin {
       lowerExclusiveMicros: Long, upperInclusiveMicros: Long): DataFrame = {
     require(lowerExclusiveMicros < upperInclusiveMicros,
       "empty range: lower must be < upper")
-    val width = upperInclusiveMicros - lowerExclusiveMicros
+    val shift = bandShift(upperInclusiveMicros - lowerExclusiveMicros)
 
     val lt = unix_micros(col(leftTime))
     val rt = unix_micros(col(rightTime))
 
     // every right row lands in exactly ONE bucket → no duplicate pairs,
-    // no post-join dedup
-    val rightB = right.withColumn("__band", floorDiv(rt, width))
+    // no post-join dedup; band width 2^shift ≥ span keeps the left
+    // candidate range ≤ 2 buckets
+    val rightB = right.withColumn("__band", shiftright(rt, shift))
     val leftB = left.withColumn("__band",
       explode(sequence(
-        floorDiv(lt + lit(lowerExclusiveMicros + 1L), width),
-        floorDiv(lt + lit(upperInclusiveMicros), width))))
+        shiftright(lt + lit(lowerExclusiveMicros + 1L), shift),
+        shiftright(lt + lit(upperInclusiveMicros), shift))))
 
     leftB.join(rightB, keys :+ "__band")
       .filter(rt > lt + lit(lowerExclusiveMicros) &&

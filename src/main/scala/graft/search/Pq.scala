@@ -22,10 +22,13 @@ import org.apache.spark.sql.graft.VectorExpressions
   *    codeword, re-ranked exactly over a small shortlist.
   *
   * Exactness witness (spec-pinned): training with ksub = sample size makes
-  * every sample vector its own codeword, and because subspace sums
-  * concatenate left-to-right the ADC dot is then IEEE-identical to the
-  * exact [[VectorSearch.dot]] — quantization error, not arithmetic, is the
-  * only approximation.
+  * every sample vector its own codeword, so quantization error is zero and
+  * the ADC dot equals the SUBSPACE-BLOCKED dot of the original vectors
+  * bit-for-bit (each LUT entry is the sequential per-subspace dot; PqAdc
+  * sums them in subspace order). Blocked summation is a reordering of the
+  * flat left-to-right dot, so it can differ from [[VectorSearch.dot]] in
+  * final ulps — which is why the ADC score is a RANKING device and every
+  * search re-ranks its shortlist with the exact cosine.
   *
   * At 100 TB: codebook is m·ksub·dsub floats (KBs) shipped in the task
   * binary; IVF partition pruning composes in front (IVFPQ — prune lists,
@@ -50,6 +53,7 @@ object Pq {
   def train(sample: Array[Array[Float]], m: Int, ksub: Int,
       iters: Int = 10): Codebook = {
     require(sample.nonEmpty, "empty training sample")
+    require(ksub >= 1 && ksub <= 256, s"ksub must fit one byte, got $ksub")
     val dsub = (sample(0).length + m - 1) / m
     val flat = new Array[Float](m * ksub * dsub)
     for (j <- 0 until m) {
@@ -82,8 +86,9 @@ object Pq {
       VectorExpressions.pqEncode(col(vectorCol), cb.flat, cb.m, cb.ksub, cb.dsub))
 
   /** Query-specific LUT of subspace dot products: lut[j·ksub+c] =
-    * dot(query_j, codeword(j,c)) — strict left-to-right per subspace, so
-    * the concatenated sum reproduces the exact dot's IEEE order.
+    * dot(query_j, codeword(j,c)), sequential within each subspace — the
+    * ADC total is therefore the subspace-blocked dot of query ×
+    * reconstructed vector (see the exactness-witness note above).
     */
   def lutDot(query: Array[Float], cb: Codebook): Array[Double] = {
     val lut = new Array[Double](cb.m * cb.ksub)

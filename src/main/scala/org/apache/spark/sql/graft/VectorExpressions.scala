@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for float-vector similarity — the measured
   * optimization SURVEY.md §7.4 reserves for the hot scoring path.
@@ -191,21 +191,24 @@ case class IvfAssign(child: Expression, centroidsFlat: Array[Float], dim: Int)
 
 /** Product-quantization encoder: splits the input vector into `m`
   * subvectors of `dsub` dims and emits the nearest-subcentroid index per
-  * subspace (argmin squared-L2, ties → lowest index) — the byte-code
-  * representation that shrinks a d×4-byte float vector to m small ints.
+  * subspace (argmin squared-L2, ties → lowest index) as ONE byte per
+  * subspace (`BinaryType`, hence ksub ≤ 256) — a d×4-byte float vector
+  * genuinely becomes m bytes on disk and in Tungsten rows, which is where
+  * the advertised compression ratio comes from.
   * Codebook layout: subcentroid (j, c) starts at ((j*ksub)+c)*dsub.
   */
 case class PqEncode(child: Expression, codebookFlat: Array[Float],
     m: Int, ksub: Int, dsub: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(ksub >= 1 && ksub <= 256, s"ksub must fit one byte, got $ksub")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = BinaryType
   override def prettyName: String = "pq_encode"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val codes = new Array[Int](m)
+    val codes = new Array[Byte](m)
     var j = 0
     while (j < m) {
       val base = j * dsub
@@ -225,10 +228,10 @@ case class PqEncode(child: Expression, codebookFlat: Array[Float],
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      codes(j) = best
+      codes(j) = best.toByte
       j += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    codes
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -246,7 +249,7 @@ case class PqEncode(child: Expression, codebookFlat: Array[Float],
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       s"""
-         |int[] $codes = new int[$m];
+         |byte[] $codes = new byte[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $base = $j * $dsub;
          |  int $best = 0;
@@ -262,9 +265,9 @@ case class PqEncode(child: Expression, codebookFlat: Array[Float],
          |    }
          |    if ($d < $bestD) { $bestD = $d; $best = $c; }
          |  }
-         |  $codes[$j] = $best;
+         |  $codes[$j] = (byte) $best;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |${ev.value} = $codes;
        """.stripMargin
     })
 
@@ -272,25 +275,30 @@ case class PqEncode(child: Expression, codebookFlat: Array[Float],
     copy(child = newChild)
 }
 
-/** Asymmetric-distance (ADC) lookup-table sum: given PQ codes and a
+/** Asymmetric-distance (ADC) lookup-table sum: given byte PQ codes and a
   * query-specific table `lut` (one double per (subspace, subcentroid)),
   * returns Σ_j lut[j·ksub + codes[j]] — an approximate dot/distance in m
-  * table reads instead of d multiplies.
+  * table reads instead of d multiplies. Codes are validated against ksub
+  * so a codebook/index shape mismatch fails loudly instead of reading a
+  * neighboring subspace's table entries.
   */
 case class PqAdc(child: Expression, lut: Array[Double], ksub: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc"
 
   override def nullSafeEval(a: Any): Any = {
-    val codes = a.asInstanceOf[ArrayData]
-    val m = codes.numElements()
+    val codes = a.asInstanceOf[Array[Byte]]
+    require(codes.length * ksub == lut.length,
+      s"pq_adc: ${codes.length}-byte code does not match lut of ${lut.length} = m*$ksub")
     var acc = 0.0
     var j = 0
-    while (j < m) {
-      acc += lut(j * ksub + codes.getInt(j))
+    while (j < codes.length) {
+      val c = codes(j) & 0xFF
+      require(c < ksub, s"pq_adc: code $c out of range for ksub=$ksub")
+      acc += lut(j * ksub + c)
       j += 1
     }
     acc
@@ -301,12 +309,22 @@ case class PqAdc(child: Expression, lut: Array[Double], ksub: Int)
       val tbl = ctx.addReferenceObj("lut", lut, "double[]")
       val m = ctx.freshName("m")
       val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
       val acc = ctx.freshName("acc")
       s"""
-         |int $m = $a.numElements();
+         |int $m = $a.length;
+         |if ($m * $ksub != $tbl.length) {
+         |  throw new IllegalArgumentException("pq_adc: " + $m +
+         |    "-byte code does not match lut of " + $tbl.length + " = m*$ksub");
+         |}
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  $acc += $tbl[$j * $ksub + $a.getInt($j)];
+         |  int $c = $a[$j] & 0xFF;
+         |  if ($c >= $ksub) {
+         |    throw new IllegalArgumentException(
+         |      "pq_adc: code " + $c + " out of range for ksub=$ksub");
+         |  }
+         |  $acc += $tbl[$j * $ksub + $c];
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -75,6 +75,20 @@ class OperatorJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(None, None, Some(11L), None, None))
   }
 
+  test("as-of: NULL keys never match (equi-join semantics)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, Option("u1"), ts(300)), (2L, Option.empty[String], ts(300)))
+      .toDF("id", "k", "t")
+    val right = Seq((Option("u1"), ts(100), 10L), (Option.empty[String], ts(100), 99L))
+      .toDF("k", "rt", "rid")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("rid"))
+      .orderBy("id").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+    // null-key left row must NOT pick up the null-key right payload
+    assert(got.toSeq == Seq(Some(10L), None))
+  }
+
   test("as-of rejects payload names colliding with left columns") {
     val (left, right) = asofFixture
     val collide = right.withColumnRenamed("rid", "id")

@@ -39,32 +39,71 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = sample.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
       .toSeq.toDF("vec_id", "vector")
     val once = Pq.encode(df, cb).select("pq_code")
-      .as[Seq[Int]].collect()
+      .as[Array[Byte]].collect()
     val twice = Pq.encode(df, cb).select("pq_code")
-      .as[Seq[Int]].collect()
-    assert(once.toSeq == twice.toSeq)
-    assert(once.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+      .as[Array[Byte]].collect()
+    assert(once.map(_.toSeq).toSeq == twice.map(_.toSeq).toSeq)
+    // one byte per subspace — the compression claim is structural
+    assert(once.forall(c => c.length == 4 &&
+      c.forall(x => (x & 0xFF) >= 0 && (x & 0xFF) < 8)))
   }
 
-  test("per-point codebook: ADC dot is IEEE-identical to the exact dot") {
+  test("per-point codebook: ADC dot equals the subspace-blocked dot exactly") {
     val s = spark
     import s.implicits._
     val sample = vectors(32)
     // ksub = sample size ⇒ every vector is its own codeword: quantization
-    // error is zero and the subspace-concatenated LUT sum must reproduce
-    // the exact left-to-right dot BIT-FOR-BIT
+    // error is zero, so the ADC total must equal the blocked dot (sequential
+    // within each subspace, subspaces summed in order) BIT-FOR-BIT — for
+    // every vector, independent of the seed. (The flat left-to-right dot
+    // may differ in final ulps: FP addition is not associative, which is
+    // why ADC is a ranking device and searches re-rank exactly.)
     val cb = Pq.train(sample, m = 4, ksub = 32)
     val query = sample(7)
+    def blockedDot(v: Array[Float]): Double = {
+      var total = 0.0
+      for (j <- 0 until cb.m) {
+        var acc = 0.0
+        for (i <- 0 until cb.dsub) {
+          val idx = j * cb.dsub + i
+          val qi = if (idx < query.length) query(idx).toDouble else 0.0
+          val vi = if (idx < v.length) v(idx).toDouble else 0.0
+          acc += qi * vi
+        }
+        total += acc
+      }
+      total
+    }
     val df = sample.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
       .toSeq.toDF("vec_id", "vector")
     val got = Pq.encode(df, cb)
       .withColumn("adc_dot",
         org.apache.spark.sql.graft.VectorExpressions.pqAdc(
           col("pq_code"), Pq.lutDot(query, cb), cb.ksub))
-      .withColumn("exact_dot", VectorSearch.dot(col("vector"), lit(query)))
-      .select("adc_dot", "exact_dot")
-      .as[(Double, Double)].collect()
-    got.foreach { case (adc, exact) => assert(adc == exact) }
+      .select("vec_id", "adc_dot")
+      .as[(Long, Double)].collect()
+    got.foreach { case (id, adc) =>
+      assert(adc == blockedDot(sample(id.toInt)),
+        s"vec $id: adc=$adc blocked=${blockedDot(sample(id.toInt))}")
+    }
+  }
+
+  test("pq_adc rejects codes from a mismatched codebook") {
+    val s = spark
+    import s.implicits._
+    val sample = vectors(32)
+    val cb = Pq.train(sample, m = 4, ksub = 8)
+    val df = sample.take(4).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq.toDF("vec_id", "vector")
+    val encoded = Pq.encode(df, cb)
+    // lut sized for a DIFFERENT shape (m=2) must fail loudly, not misread
+    val wrongLut = new Array[Double](2 * cb.ksub)
+    val ex = intercept[Exception] {
+      encoded.withColumn("bad",
+        org.apache.spark.sql.graft.VectorExpressions.pqAdc(
+          col("pq_code"), wrongLut, cb.ksub)).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("codebook save/load round-trips exactly") {
