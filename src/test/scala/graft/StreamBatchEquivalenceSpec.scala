@@ -80,6 +80,35 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
 
+  test("native session_window agg matches lag+cumsum sessionization") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    // native session windows (30-min gap): per-session event counts
+    val native = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    // hand-rolled w3-style assignment (strict > gap marker)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val manual = ev
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+          > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(native.nonEmpty && native == manual,
+      s"session_window vs manual divergence: ${native.diff(manual).take(3)} / ${manual.diff(native).take(3)}")
+  }
+
   test("stream-stream interval join matches the batch banded range join") {
     val s = spark
     import graft.operators.RangeJoin
