@@ -293,6 +293,72 @@ object ExtendedQueries {
       |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---- A11: max_by/min_by (≡ DuckDB arg_max/arg_min) — "row that wins
+  // the aggregate". Ordered by a composite BIGINT (price cents × 10⁷ +
+  // orderkey, exact via DECIMAL; orderkey < 10⁷ keeps it collision-free)
+  // because FP ties would make the winner nondeterministic and DuckDB 1.0
+  // arg_max takes no struct ordering.
+  private val a11MinMaxBy: Q = (s, dir) => {
+    val composite = (dec(col("o_totalprice")) * 100).cast("long") *
+      lit(10000000L) + col("o_orderkey")
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max_by(col("o_orderkey"), composite).as("best_order"),
+        min_by(col("o_orderkey"), composite).as("worst_order"),
+        max(col("o_totalprice")).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val a11Sql =
+    """SELECT c_mktsegment,
+      |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + o_orderkey) AS best_order,
+      |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + o_orderkey) AS worst_order,
+      |  MAX(o_totalprice) AS max_price, COUNT(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- Q5: TPC-H Q5 shape — cyclic 6-table join (the supplier join
+  // closes the cycle on BOTH l_suppkey and c_nationkey), all dimensions
+  // broadcast, partial agg on nation.
+  private val q5LocalVolume: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01") &&
+        col("o_orderdate") < lit("1996-01-01"))
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    Tables.lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   // ---- W6: RANGE frame — trailing 1-hour event-time window per user
   // (value-based frame over integer microseconds, vs w5's row-count frame).
   private val w6RangeFrame: Q = (s, dir) => {
@@ -328,7 +394,9 @@ object ExtendedQueries {
     "u5_intersect" -> u5Intersect,
     "u6_except" -> u6Except,
     "w5_moving_sum" -> w5MovingSum,
-    "w6_range_frame" -> w6RangeFrame)
+    "w6_range_frame" -> w6RangeFrame,
+    "a11_minmax_by" -> a11MinMaxBy,
+    "q5_local_volume" -> q5LocalVolume)
 
   val oracles: Map[String, String] = Map(
     "j3_shipping_priority" -> j3Sql,
@@ -343,5 +411,7 @@ object ExtendedQueries {
     "u5_intersect" -> u5Sql,
     "u6_except" -> u6Sql,
     "w5_moving_sum" -> w5Sql,
-    "w6_range_frame" -> w6Sql)
+    "w6_range_frame" -> w6Sql,
+    "a11_minmax_by" -> a11Sql,
+    "q5_local_volume" -> q5Sql)
 }
