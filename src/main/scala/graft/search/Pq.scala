@@ -182,18 +182,24 @@ object Pq {
       query, cb, topK, shortlist, vectorCol, codeCol, tieBreak)
   }
 
-  /** ADC top-k with exact re-rank: shortlist `shortlist` rows by the
-    * compressed score (TakeOrderedAndProject over codes only), then exact
-    * cosine on the shortlist's original vectors. At scale the shortlist is
-    * the ONLY place full vectors are read.
+  /** ADC top-k with exact re-rank, in two phases so the compressed scan
+    * never touches vector bytes:
+    *  1. shortlist `shortlist` ids by the ADC score, projecting ONLY
+    *     (tieBreak, codes) — a columnar reader skips the vector column
+    *     entirely (plan-asserted in PlanShapeSpec);
+    *  2. left-semi join the (broadcast-small) shortlist ids back and run
+    *     the exact cosine on just those rows — on an index sorted by
+    *     `tieBreak`, min/max row-group stats prune the vector read too.
     */
   def searchCosine(index: DataFrame, query: Array[Float], cb: Codebook,
       topK: Int, shortlist: Int = 100, vectorCol: String = "vector",
       codeCol: String = "pq_code", tieBreak: String = "vec_id"): DataFrame = {
-    val cand = index
-      .withColumn("adc_score", adcCosine(col(codeCol), query, cb))
+    val ids = index
+      .select(col(tieBreak), adcCosine(col(codeCol), query, cb).as("adc_score"))
       .orderBy(col("adc_score").desc, col(tieBreak))
       .limit(math.max(topK, shortlist))
+      .select(col(tieBreak))
+    val cand = index.join(broadcast(ids), Seq(tieBreak), "left_semi")
     VectorSearch.knn(cand, query, topK, vectorCol = vectorCol,
       tieBreak = tieBreak)
   }

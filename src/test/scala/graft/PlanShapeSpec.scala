@@ -74,6 +74,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
   }
 
+  test("pq: the ADC shortlist scan never reads vector bytes") {
+    val s = spark
+    import s.implicits._
+    import graft.search.Pq
+    val rnd = new scala.util.Random(5)
+    val vecs = Array.fill(64)(Array.fill(16)(rnd.nextFloat()))
+    val cb = Pq.train(vecs, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_plan").toString
+    Pq.encode(vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "vector"), cb)
+      .write.mode("overwrite").parquet(dir)
+    val index = s.read.parquet(dir)
+    val p = Pq.searchCosine(index, vecs(0), cb, 5, shortlist = 10)
+      .queryExecution.executedPlan.toString
+    // two scans of the index: the ADC phase must project only
+    // (vec_id, pq_code) — columnar readers then skip the vector column
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(l => l.contains("pq_code") && !l.contains("vector")),
+      s"no vector-free ADC scan found:\n$p")
+  }
+
   test("j7 range join: equi-join on (key, band), never nested-loop") {
     val p = plan("j7_range_join")
     assert(!p.contains("CartesianProduct") &&
