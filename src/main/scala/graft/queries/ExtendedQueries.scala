@@ -85,6 +85,37 @@ object ExtendedQueries {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // ---- J9: forward as-of join — every click carries its user's NEXT
+  // purchase at-or-after the click (time-to-conversion shape; same
+  // one-shuffle plan as j6, scan order reversed).
+  private val j9AsOfForward: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("next_purchase_id"),
+        col("value").as("next_purchase_value"))
+    AsOfJoin.forward(clicks, purchases, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("next_purchase_id", "next_purchase_value"),
+        rightTiebreak = Some("next_purchase_id"))
+      .select(col("event_id"), col("user_id"),
+        col("next_purchase_id"), col("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j9Sql =
+    """SELECT l.event_id, l.user_id,
+      |  r.next_purchase_id, r.next_purchase_value
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  event_id AS next_purchase_id, value AS next_purchase_value
+      |                FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   // ---- J7: banded range join — per error event, activity of the same user
   // in the following 12 hours ([[RangeJoin]]: equi-join on (key, band),
   // bounded ≤2× left amplification instead of a per-key cross product).
@@ -385,6 +416,7 @@ object ExtendedQueries {
     "j3_shipping_priority" -> j3Shipping,
     "j6_asof_join" -> j6AsOf,
     "j7_range_join" -> j7Range,
+    "j9_asof_forward" -> j9AsOfForward,
     "j8_salted_join" -> j8Salted,
     "a7_rollup" -> a7Rollup,
     "a8_grouping_sets" -> a8GroupingSets,
@@ -402,6 +434,7 @@ object ExtendedQueries {
     "j3_shipping_priority" -> j3Sql,
     "j6_asof_join" -> j6Sql,
     "j7_range_join" -> j7Sql,
+    "j9_asof_forward" -> j9Sql,
     "j8_salted_join" -> j8Sql,
     "a7_rollup" -> a7Sql,
     "a8_grouping_sets" -> a8Sql,

@@ -75,6 +75,33 @@ class OperatorJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(None, None, Some(11L), None, None))
   }
 
+  test("as-of forward: earliest at-or-after, strict, least-tiebreak wins") {
+    val (left, right) = asofFixture
+    // fixture recap — u1 rights @200 (rid 10), @300 (rid 11);
+    // u3 rights @999 (rids 20, 21); lefts: 1@100 2@200 3@350 4@500(u2) 5@999(u3)
+    val incl = AsOfJoin.forward(left, right, Seq("k"), "t", "rt",
+        payload = Seq("rid"), rightTiebreak = Some("rid"))
+      .orderBy("id").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+    assert(incl.toSeq == Seq(
+      Some(10L), // @100 → earliest at-or-after is @200
+      Some(10L), // @200 → equal ts matches inclusively
+      None,      // @350 → nothing after
+      None,      // u2 has no rights
+      Some(20L)  // @999 tie → LEAST tiebreak wins in forward mode
+    ))
+    val strict = AsOfJoin.forward(left, right, Seq("k"), "t", "rt",
+        payload = Seq("rid"), rightTiebreak = Some("rid"), strict = true)
+      .orderBy("id").collect()
+      .map(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+    assert(strict.toSeq == Seq(
+      Some(10L), // @100 unchanged
+      Some(11L), // @200 → the @200 right no longer matches; next is @300
+      None, None,
+      None       // @999 tie excluded in strict mode
+    ))
+  }
+
   test("as-of: NULL keys never match (equi-join semantics)") {
     val s = spark
     import s.implicits._
