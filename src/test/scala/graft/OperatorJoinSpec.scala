@@ -124,6 +124,52 @@ class OperatorJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("as-of matches brute force on random tied data, all four variants") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // small ts range + few keys → plenty of exact-tie collisions
+    val leftRows = (1 to 120).map(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", rnd.nextInt(20).toLong))
+    val rightRows = (1 to 120).map(i =>
+      (i + 1000L, s"k${rnd.nextInt(4)}", rnd.nextInt(20).toLong))
+    val left = leftRows.map { case (id, k, t) => (id, k, ts(t)) }
+      .toDF("id", "k", "t")
+    val right = rightRows.map { case (id, k, t) => (k, ts(t), id) }
+      .toDF("k", "rt", "rid")
+
+    for (forward <- Seq(false, true); strict <- Seq(false, true)) {
+      val got = (if (forward)
+          AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq("rid"),
+            rightTiebreak = Some("rid"), strict = strict)
+        else
+          AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("rid"),
+            rightTiebreak = Some("rid"), strict = strict))
+        .select($"id", $"rid").as[(Long, Option[Long])]
+        .collect().toMap
+
+      val expect = leftRows.map { case (id, k, t) =>
+        val admissible = rightRows.filter { case (_, rk, rt) =>
+          rk == k && ((forward, strict) match {
+            case (false, false) => rt <= t
+            case (false, true)  => rt < t
+            case (true, false)  => rt >= t
+            case (true, true)   => rt > t
+          })
+        }
+        val winner =
+          if (admissible.isEmpty) None
+          else if (forward) Some(admissible.minBy(r => (r._3, r._1))._1)
+          else Some(admissible.maxBy(r => (r._3, r._1))._1)
+        id -> winner
+      }.toMap
+
+      assert(got == expect, s"forward=$forward strict=$strict: " +
+        expect.keys.filter(k => got(k) != expect(k)).take(3)
+          .map(k => s"id=$k got=${got(k)} want=${expect(k)}").mkString(", "))
+    }
+  }
+
   // ---------------- RangeJoin ----------------
 
   test("range join: boundary semantics (lower exclusive, upper inclusive)") {
