@@ -212,33 +212,32 @@ object TextAnalysisQueries {
   // all LENGTH-3 strings — shingles are 3 chars, so a shorter entry could
   // never match (zh uses common three-character sequences, not single
   // characters, for exactly that reason).
-  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+  private[graft] val trigramProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "ing", "ion", "tio", "ent", "her", " th"),
     "es" -> Seq("que", "ado", "los", "nte", " de", "ien", "cio", " la"),
     "fr" -> Seq("les", "des", "ait", "eur", " le", "ons", "ant", " la"),
     "de" -> Seq("der", "ein", "ich", "den", "und", "sch", "die", "cht"),
     "zh" -> Seq("是一个", "这是一", "不知道", "我们的", "的时候", "有一个", "在这里", "中国的"))
 
-  /** ONE struct-fold pass over a single trigram array: all five profile
-    * counts accumulate in the same traversal — five separate
-    * size(filter(tri, ...)) columns would each re-inline the array
-    * construction (the project-collapsing recompute the sibling stages
-    * exist to avoid). Package-visible so specs can drive it with real
-    * multilingual text (the shipped corpus is ASCII under every label).
+  /** ONE native pass over the text: all five profile counts accumulate in
+    * the same code-point window walk
+    * ([[org.apache.spark.sql.graft.ProfileShingleCounts]]) — the previous
+    * `aggregate()` fold rebuilt a 5-field struct and ran ~40 interpreted
+    * `isin` comparisons per trigram (the interpreted-HOF trap the other
+    * native sketches exist to avoid; values are pinned identical by
+    * SqlFunctionsSpec and the x6 oracle). Package-visible so specs can
+    * drive it with real multilingual text (the shipped corpus is ASCII
+    * under every label).
     */
-  private[graft] def trigramCounts(text: Column): Column = {
-    val tri = TextSketch.charShingles(text, 3)
-    val zero = struct(trigramProfiles.map { case (l, _) => lit(0).as(s"t_$l") }: _*)
-    aggregate(tri, zero, (acc, t) =>
-      struct(trigramProfiles.map { case (l, prof) =>
-        (acc.getField(s"t_$l") +
-          when(t.isin(prof.map(lit): _*), 1).otherwise(0)).as(s"t_$l")
-      }: _*))
-  }
+  private[graft] def trigramCounts(text: Column): Column =
+    org.apache.spark.sql.graft.SketchExpressions
+      .profileShingleCounts(text, trigramProfiles.map(_._2), 3)
 
-  /** Argmax over a trigramCounts struct with the profile-order tie-break. */
+  /** Argmax over a trigramCounts array with the profile-order tie-break. */
   private[graft] def trigramGuess(c: Column): Column = {
-    val scores = trigramProfiles.map { case (l, _) => l -> c.getField(s"t_$l") }
+    val scores = trigramProfiles.zipWithIndex.map { case ((l, _), i) =>
+      l -> c.getItem(i)
+    }
     val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
       when(v === maxScore && maxScore > 0 && acc === "unknown", lit(l)).otherwise(acc)

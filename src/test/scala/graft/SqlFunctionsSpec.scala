@@ -185,4 +185,41 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getLong(0)
     assert(b == 0L && n == 0L)
   }
+
+  test("native profile-shingle counts equal the HOF formulation") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    import graft.functions.TextSketch
+    import graft.queries.TextAnalysisQueries.trigramProfiles
+
+    // HOF reference: the aggregate() struct fold the native pass replaced
+    def hofCounts(text: org.apache.spark.sql.Column) = {
+      val tri = TextSketch.charShingles(text, 3)
+      val zero = struct(trigramProfiles.map { case (l, _) => lit(0).as(s"t_$l") }: _*)
+      aggregate(tri, zero, (acc, t) =>
+        struct(trigramProfiles.map { case (l, prof) =>
+          (acc.getField(s"t_$l") +
+            when(t.isin(prof.map(lit): _*), 1).otherwise(0)).as(s"t_$l")
+        }: _*))
+    }
+    val texts = Seq(
+      Some("the theater and the thing"), // overlapping en hits
+      Some("这是一个测试 我们的中国的"),     // zh three-char windows
+      Some("ab"),                        // shorter than a trigram
+      Some(""),                          // empty
+      Some("a😀the and"),     // supplementary char shifts windows
+      None)                              // null text
+    val df = texts.toDF("text")
+    val native = df.select(
+      org.apache.spark.sql.graft.SketchExpressions
+        .profileShingleCounts(col("text"), trigramProfiles.map(_._2), 3))
+      .as[Seq[Int]].collect()
+    val hof = df.select(hofCounts(col("text"))).collect()
+      .map(r => trigramProfiles.indices
+        .map(i => r.getStruct(0).getInt(i)).toSeq)
+    assert(native.map(_.toSeq).toSeq == hof.toSeq)
+    assert(native(0).sum > 0, "en text produced no hits — vacuous check")
+    assert(native(1).sum > 0, "zh text produced no hits — vacuous check")
+  }
 }
