@@ -134,9 +134,11 @@ object Cli {
         val sample = e.orderBy(col("fragment_id")).limit(10000)
           .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
         val cb = graft.search.Pq.train(sample, m, ksub)
-        // index first, sidecar last: the codebook is the commit marker, so
-        // a crash mid-rewrite leaves the OLD consistent (codebook, index)
-        // pair visible rather than a new codebook over old codes
+        // index and sidecar are separate artifacts, so no write order makes
+        // the pair atomic (crash between them ⇒ new/old mismatch either
+        // way); instead every index row carries the codebook fingerprint
+        // (pq_cb_hash, stamped by Pq.encode) and pq-search refuses a
+        // sidecar whose hash differs — a torn rewrite fails loudly
         graft.sources.TableLayout.writePartitionedSorted(
           graft.search.Pq.encode(e, cb), s"$tablesDir/embeddings_ivfpq",
           "list_id", Seq("fragment_id"))
@@ -153,12 +155,18 @@ object Cli {
         val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
         val cb = graft.search.Pq.load(s"$tablesDir/pq_codebook.txt")
         val index = spark.read.parquet(s"$tablesDir/embeddings_ivfpq")
-        // consistency guard: codes must match the codebook shape (PqAdc
-        // also validates per row, but fail here with a clear remedy)
-        val sampleCode = index.select(col("pq_code")).head().getAs[Array[Byte]](0)
+        // consistency guard: the fingerprint stamped into the index at
+        // encode time must match the loaded sidecar — catches a crash that
+        // tore the (index, codebook) rewrite, including same-shape
+        // codebook drift that the m-check below would miss
+        val head = index.select(col("pq_code"), col("pq_cb_hash")).head()
+        val sampleCode = head.getAs[Array[Byte]](0)
         require(sampleCode.length == cb.m,
           s"index codes have m=${sampleCode.length} but codebook has m=${cb.m}; " +
             "re-run pq-index")
+        require(head.getLong(1) == graft.search.Pq.contentHash(cb),
+          "index pq_cb_hash does not match the codebook sidecar (torn " +
+            "pq-index rewrite?); re-run pq-index")
         val qvec = new OfflineEmbedder(q.dim).embedQuery(query)
         val hits = graft.search.Pq
           .searchIvfPq(index, qvec, q, cb, topK, nprobe, shortlist,

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   *    key are dropped up front — without that, the window's NULL-grouping
   *    partition would happily carry a null-key right payload onto null-key
   *    left rows, which `ON l.k = r.k` never does.
+  *  - NULL timestamps never match (SQL comparison with NULL is UNKNOWN):
+  *    right rows with a null time are dropped with the null keys, and left
+  *    rows with a null time take a null payload in the final projection —
+  *    otherwise null-time rows would sort to one end of the scan order and
+  *    either seed a spurious carry (backward) or inherit the partition-wide
+  *    one (forward).
   */
 object AsOfJoin {
 
@@ -78,7 +84,8 @@ object AsOfJoin {
     val (rightOrd, leftOrd) = if (strict) (1, 0) else (0, 1)
 
     val rightSide = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .filter((keys.map(col(_).isNotNull) :+ col(rightTime).isNotNull)
+        .reduce(_ && _))
       .select(
         keys.map(col) ++ Seq(
           col(rightTime).as(T),
@@ -106,6 +113,7 @@ object AsOfJoin {
       .withColumn(R, last(col(R), ignoreNulls = true).over(w))
       .filter(col(SIDE) === leftOrd)
       .select(left.columns.toIndexedSeq.map(col) ++
-        payload.map(p => col(R).getField(p).as(p)): _*)
+        payload.map(p => when(col(leftTime).isNotNull, col(R).getField(p))
+          .as(p)): _*)
   }
 }

@@ -57,18 +57,24 @@ object ExtendedQueries {
 
   // ---- J6: as-of join — every click carries its user's most recent
   // purchase at-or-before the click ([[AsOfJoin]]: one shuffle, no fan-out).
+  // Purchases are deduplicated to one row per (user_id, ts) — keeping the
+  // greatest event_id — in BOTH engines, because DuckDB's ASOF JOIN does
+  // not document which duplicate-timestamp row it picks; after the dedup
+  // the comparison never exercises that unspecified tie.
   private val j6AsOf: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").desc)
     val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("user_id"), col("ts"),
         col("event_id").as("purchase_event_id"),
         col("value").as("purchase_value"))
     AsOfJoin.backward(clicks, purchases, Seq("user_id"),
         leftTime = "ts", rightTime = "ts",
-        payload = Seq("purchase_event_id", "purchase_value"),
-        rightTiebreak = Some("purchase_event_id"))
+        payload = Seq("purchase_event_id", "purchase_value"))
       .select(col("event_id"), col("user_id"),
         col("purchase_event_id"), col("purchase_value"))
       .orderBy(col("event_id"))
@@ -81,25 +87,31 @@ object ExtendedQueries {
       |      FROM events WHERE event_type = 'click') l
       |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
       |                  event_id AS purchase_event_id, value AS purchase_value
-      |                FROM events WHERE event_type = 'purchase') r
+      |                FROM events WHERE event_type = 'purchase'
+      |                QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+      |                  ORDER BY event_id DESC) = 1) r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
   // ---- J9: forward as-of join — every click carries its user's NEXT
   // purchase at-or-after the click (time-to-conversion shape; same
   // one-shuffle plan as j6, scan order reversed).
+  // Purchases deduplicated per (user_id, ts) keeping the LEAST event_id
+  // (forward tie rule), mirrored in the oracle — see j6.
   private val j9AsOfForward: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("user_id"), col("ts"))
+      .orderBy(col("event_id").asc)
     val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("user_id"), col("ts"),
         col("event_id").as("next_purchase_id"),
         col("value").as("next_purchase_value"))
     AsOfJoin.forward(clicks, purchases, Seq("user_id"),
         leftTime = "ts", rightTime = "ts",
-        payload = Seq("next_purchase_id", "next_purchase_value"),
-        rightTiebreak = Some("next_purchase_id"))
+        payload = Seq("next_purchase_id", "next_purchase_value"))
       .select(col("event_id"), col("user_id"),
         col("next_purchase_id"), col("next_purchase_value"))
       .orderBy(col("event_id"))
@@ -112,7 +124,9 @@ object ExtendedQueries {
       |      FROM events WHERE event_type = 'click') l
       |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
       |                  event_id AS next_purchase_id, value AS next_purchase_value
-      |                FROM events WHERE event_type = 'purchase') r
+      |                FROM events WHERE event_type = 'purchase'
+      |                QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+      |                  ORDER BY event_id ASC) = 1) r
       |  ON l.user_id = r.user_id AND l.ts <= r.ts
       |ORDER BY l.event_id""".stripMargin
 
@@ -325,13 +339,15 @@ object ExtendedQueries {
       |ORDER BY event_id""".stripMargin
 
   // ---- A11: max_by/min_by (≡ DuckDB arg_max/arg_min) — "row that wins
-  // the aggregate". Ordered by a composite BIGINT (price cents × 10⁷ +
-  // orderkey, exact via DECIMAL; orderkey < 10⁷ keeps it collision-free)
-  // because FP ties would make the winner nondeterministic and DuckDB 1.0
-  // arg_max takes no struct ordering.
+  // the aggregate". Ordered by a composite BIGINT (price cents × 10¹⁰ +
+  // orderkey, exact via DECIMAL) because FP ties would make the winner
+  // nondeterministic and DuckDB 1.0 arg_max takes no struct ordering.
+  // Headroom: TPC-H price cents < 10⁸, orderkey < 6×10⁶·SF (< 10¹⁰ up to
+  // SF1000), so the composite stays below 10¹⁸ < BIGINT max and is
+  // collision-free at every scale factor we could ever run.
   private val a11MinMaxBy: Q = (s, dir) => {
     val composite = (dec(col("o_totalprice")) * 100).cast("long") *
-      lit(10000000L) + col("o_orderkey")
+      lit(10000000000L) + col("o_orderkey")
     Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir)),
         col("o_custkey") === col("c_custkey"))
@@ -345,8 +361,8 @@ object ExtendedQueries {
 
   private val a11Sql =
     """SELECT c_mktsegment,
-      |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + o_orderkey) AS best_order,
-      |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + o_orderkey) AS worst_order,
+      |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS best_order,
+      |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS worst_order,
       |  MAX(o_totalprice) AS max_price, COUNT(*) AS n
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin

@@ -70,10 +70,12 @@ object TextAnalysisQueries {
         }: _*)
     }
     val votes = stopwords.map { case (l, _) => l -> col(s"v_$l") }
-    // argmax via chained when: first language with the strictly-highest vote
+    // argmax via reverse-folded CASE chain (outermost = first language):
+    // first language with the strictly-highest vote wins — same shape as
+    // the oracle SQL, and no trivially-true accumulator predicate
     val maxVote = votes.map(_._2).reduce((a, b) => greatest(a, b))
-    val guess = votes.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
-      when(v === maxVote && maxVote > 0 && acc === "unknown", lit(l)).otherwise(acc)
+    val guess = votes.reverse.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
+      when(v === maxVote && maxVote > 0, lit(l)).otherwise(acc)
     }
     voteStage
       .withColumn("guess", guess)
@@ -239,8 +241,12 @@ object TextAnalysisQueries {
       l -> c.getItem(i)
     }
     val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
-      when(v === maxScore && maxScore > 0 && acc === "unknown", lit(l)).otherwise(acc)
+    // reverse-fold CASE chain (outermost = first profile) — first profile
+    // hitting the max wins, same shape as the oracle SQL; folding forward
+    // with an `acc === "unknown"` guard would plant a trivially-true
+    // 'unknown' = 'unknown' predicate Spark warns about on every run
+    scores.reverse.foldLeft(lit("unknown")) { case (acc, (l, v)) =>
+      when(v === maxScore && maxScore > 0, lit(l)).otherwise(acc)
     }
   }
 

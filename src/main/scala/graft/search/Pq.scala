@@ -79,11 +79,15 @@ object Pq {
     Codebook(m, ksub, dsub, flat)
   }
 
-  /** Write-time encoding: adds `pq_code` (array of m subcentroid ids). */
+  /** Write-time encoding: adds `pq_code` (array of m subcentroid ids) and
+    * the codebook fingerprint column (see [[contentHash]]).
+    */
   def encode(embeddings: DataFrame, cb: Codebook,
       vectorCol: String = "vector", codeCol: String = "pq_code"): DataFrame =
-    embeddings.withColumn(codeCol,
-      VectorExpressions.pqEncode(col(vectorCol), cb.flat, cb.m, cb.ksub, cb.dsub))
+    embeddings
+      .withColumn(codeCol,
+        VectorExpressions.pqEncode(col(vectorCol), cb.flat, cb.m, cb.ksub, cb.dsub))
+      .withColumn("pq_cb_hash", lit(contentHash(cb)))
 
   /** Query-specific LUT of subspace dot products: lut[j·ksub+c] =
     * dot(query_j, codeword(j,c)), sequential within each subspace — the
@@ -139,18 +143,43 @@ object Pq {
       .otherwise(dot / (sqrt(n2) * math.sqrt(qn)))
   }
 
-  /** Persist a codebook as a text sidecar (line 1: "m ksub dsub", then one
-    * codeword per line) — Float.toString round-trips exactly, so
-    * save∘load is the identity (same contract as [[Ivf.save]]).
-    */
-  def save(cb: Codebook, path: String): Unit = {
+  private def serialize(cb: Codebook): String = {
     val sb = new StringBuilder
     sb.append(cb.m).append(' ').append(cb.ksub).append(' ').append(cb.dsub)
       .append('\n')
     for (j <- 0 until cb.m; c <- 0 until cb.ksub)
       sb.append(cb.codeword(j, c).mkString(" ")).append('\n')
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    sb.toString
+  }
+
+  /** Stable fingerprint of a codebook: md5 of its [[save]] serialization
+    * folded to a long. [[encode]] stamps it into every index row as a
+    * constant `pq_cb_hash` column (dictionary-encodes to ~nothing in
+    * parquet), and the search CLI verifies it against the loaded sidecar —
+    * the index and the codebook are separate artifacts, so NO write
+    * ordering makes their rewrite atomic (a crash between the two leaves
+    * a new/old mismatch either way); the embedded hash turns that
+    * torn state into a hard error instead of silently wrong scores.
+    */
+  def contentHash(cb: Codebook): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(serialize(cb).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(md, 0, 8).getLong
+  }
+
+  /** Persist a codebook as a text sidecar (line 1: "m ksub dsub", then one
+    * codeword per line) — Float.toString round-trips exactly, so
+    * save∘load is the identity (same contract as [[Ivf.save]]). Written
+    * via temp-file + atomic rename so the sidecar itself is never torn.
+    */
+  def save(cb: Codebook, path: String): Unit = {
+    val target = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.write(tmp,
+      serialize(cb).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def load(path: String): Codebook = {

@@ -116,6 +116,33 @@ class OperatorJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(Some(10L), None))
   }
 
+  test("as-of: NULL timestamps never match on either side") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "u1", Option(ts(300))),     // real time → matches normally
+      (2L, "u1", Option.empty[Timestamp]), // null left time → null payload
+      (3L, "u2", Option(ts(300)))      // only a null-time right exists
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", Option(ts(100)), 10L),
+      ("u1", Option.empty[Timestamp], 99L), // must never seed a carry
+      ("u2", Option.empty[Timestamp], 98L)
+    ).toDF("k", "rt", "rid")
+    for (forward <- Seq(false, true)) {
+      val got = (if (forward)
+          AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq("rid"))
+        else
+          AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("rid")))
+        .orderBy("id").collect()
+        .map(r => Option(r.get(3)).map(_.asInstanceOf[Long]))
+      val want =
+        if (forward) Seq(None, None, None) // @300 has no right at-or-after
+        else Seq(Some(10L), None, None)
+      assert(got.toSeq == want, s"forward=$forward")
+    }
+  }
+
   test("as-of rejects payload names colliding with left columns") {
     val (left, right) = asofFixture
     val collide = right.withColumnRenamed("rid", "id")

@@ -114,6 +114,26 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
     assert(loaded.m == cb.m && loaded.ksub == cb.ksub && loaded.dsub == cb.dsub)
     assert(loaded.flat.toSeq == cb.flat.toSeq)
+    // the fingerprint survives the round-trip (pq-search's torn-rewrite
+    // guard compares the index's stamped hash against the loaded sidecar)
+    assert(Pq.contentHash(loaded) == Pq.contentHash(cb))
+  }
+
+  test("contentHash distinguishes same-shape codebooks; encode stamps it") {
+    val s = spark
+    import s.implicits._
+    val cb1 = Pq.train(vectors(64), m = 4, ksub = 8)
+    // same m/ksub/dsub, different training data → different fingerprint
+    val rnd = new scala.util.Random(7)
+    val other = Array.fill(64)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val cb2 = Pq.train(other, m = 4, ksub = 8)
+    assert(cb1.m == cb2.m && cb1.ksub == cb2.ksub && cb1.dsub == cb2.dsub)
+    assert(Pq.contentHash(cb1) != Pq.contentHash(cb2))
+    val df = vectors(8).zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "vector")
+    val stamped = Pq.encode(df, cb1)
+      .select("pq_cb_hash").distinct().as[Long].collect()
+    assert(stamped.toSeq == Seq(Pq.contentHash(cb1)))
   }
 
   test("ivfpq: full probe + full shortlist degenerates to the exact KNN") {
