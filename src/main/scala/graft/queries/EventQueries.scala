@@ -110,13 +110,41 @@ object EventQueries {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
       |FROM events ORDER BY event_id""".stripMargin
 
+  // W7 — semi-structured extraction: pull a typed field out of the JSON
+  // `props` column and aggregate on it — the Spark analog of the
+  // reference's JSONB `cmetadata->>'key'` filters (docs/ERD.md:85-99,
+  // storage/schema.py:98-119). `get_json_object` is codegen'd per row (no
+  // UDF); at scale the extracted key would be promoted to a real column at
+  // write time exactly as SURVEY §1.3 promotes the reference's hot JSONB
+  // keys, making this the query-time fallback path.
+  private val w7JsonExtract: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_type"), col("value"))
+      .withColumn("k_bucket", pmod(col("k"), lit(10L)))
+      .groupBy(col("k_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("total_value"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("k_bucket"), col("event_type"))
+
+  private val w7Sql =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY k_bucket, event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "w2_tumbling_window" -> w2Tumbling,
     "w3_sessionization" -> w3Sessions,
-    "w4_carry_forward" -> w4CarryForward)
+    "w4_carry_forward" -> w4CarryForward,
+    "w7_json_extract" -> w7JsonExtract)
 
   val oracles: Map[String, String] = Map(
     "w2_tumbling_window" -> w2Sql,
     "w3_sessionization" -> w3Sql,
-    "w4_carry_forward" -> w4Sql)
+    "w4_carry_forward" -> w4Sql,
+    "w7_json_extract" -> w7Sql)
 }

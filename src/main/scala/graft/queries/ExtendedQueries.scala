@@ -57,24 +57,26 @@ object ExtendedQueries {
 
   // ---- J6: as-of join — every click carries its user's most recent
   // purchase at-or-before the click ([[AsOfJoin]]: one shuffle, no fan-out).
-  // Purchases are deduplicated to one row per (user_id, ts) — keeping the
-  // greatest event_id — in BOTH engines, because DuckDB's ASOF JOIN does
-  // not document which duplicate-timestamp row it picks; after the dedup
-  // the comparison never exercises that unspecified tie.
+  // Tie handling: AsOfJoin's rightTiebreak picks the GREATEST event_id
+  // among duplicate-(user_id, ts) purchases — deterministic, and exactly
+  // equivalent to deduplicating the right side to that winner first. The
+  // ORACLE does the explicit dedup (QUALIFY keeping max event_id), because
+  // DuckDB's ASOF JOIN does not document which duplicate-timestamp row it
+  // picks — after the dedup the oracle never exercises that unspecified
+  // tie, while the Spark side keeps its single-shuffle no-fan-out plan
+  // (shape-asserted in PlanShapeSpec).
   private val j6AsOf: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val w = Window.partitionBy(col("user_id"), col("ts"))
-      .orderBy(col("event_id").desc)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("user_id"), col("ts"),
         col("event_id").as("purchase_event_id"),
         col("value").as("purchase_value"))
     AsOfJoin.backward(clicks, purchases, Seq("user_id"),
         leftTime = "ts", rightTime = "ts",
-        payload = Seq("purchase_event_id", "purchase_value"))
+        payload = Seq("purchase_event_id", "purchase_value"),
+        rightTiebreak = Some("purchase_event_id"))
       .select(col("event_id"), col("user_id"),
         col("purchase_event_id"), col("purchase_value"))
       .orderBy(col("event_id"))
@@ -96,22 +98,20 @@ object ExtendedQueries {
   // ---- J9: forward as-of join — every click carries its user's NEXT
   // purchase at-or-after the click (time-to-conversion shape; same
   // one-shuffle plan as j6, scan order reversed).
-  // Purchases deduplicated per (user_id, ts) keeping the LEAST event_id
-  // (forward tie rule), mirrored in the oracle — see j6.
+  // Tie handling mirrors j6 with the forward rule: Spark's rightTiebreak
+  // picks the LEAST event_id; the oracle dedups to that winner explicitly.
   private val j9AsOfForward: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val w = Window.partitionBy(col("user_id"), col("ts"))
-      .orderBy(col("event_id").asc)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("user_id"), col("ts"),
         col("event_id").as("next_purchase_id"),
         col("value").as("next_purchase_value"))
     AsOfJoin.forward(clicks, purchases, Seq("user_id"),
         leftTime = "ts", rightTime = "ts",
-        payload = Seq("next_purchase_id", "next_purchase_value"))
+        payload = Seq("next_purchase_id", "next_purchase_value"),
+        rightTiebreak = Some("next_purchase_id"))
       .select(col("event_id"), col("user_id"),
         col("next_purchase_id"), col("next_purchase_value"))
       .orderBy(col("event_id"))

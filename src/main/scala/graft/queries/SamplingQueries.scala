@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic corpus splitting and sampling — the operations every
+  * training-data pipeline runs before anything else: assign each document
+  * to train/validation/test by a stable content-independent hash, and draw
+  * reproducible stratified samples for eval sets and ablations.
+  *
+  * Determinism is the whole point: `rand()` splits are neither reproducible
+  * across runs nor stable under re-partitioning, so both queries key off
+  * `md5(doc_id)` — the same recipe as the ingest ids (shared/hashing.py:10-25
+  * in the reference) — making the split a pure function of the row. That is
+  * also what makes the DuckDB oracle possible (identical md5 on both
+  * engines, per the 60-bit hex-prefix recipe used by the dedup queries).
+  *
+  * Scale: g1 is a narrow map + one partial hash-agg (three output rows);
+  * g2 shuffles once on the stratum key and sorts within partitions — the
+  * same profile as any per-key window, so a skewed stratum is bounded by
+  * its own row count. Neither materializes the sample before filtering.
+  */
+object SamplingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 60-bit integer from the md5 hex prefix of a column's string form —
+    * uniform, deterministic, and byte-identical to DuckDB's
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`.
+    */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private val duckHash60 =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+  // ---- G1: deterministic train/validation/test split (90/5/5) by hash
+  // bucket — the assignment is a pure function of doc_id, so re-running
+  // the pipeline (or re-partitioning the input) never moves a document
+  // across splits. Aggregates per split: docs, chars, distinct languages.
+  private val g1HashSplit: Q = (s, dir) => {
+    val bucket = pmod(hash60(col("doc_id")), lit(100L))
+    val split = when(bucket < 90, "train")
+      .when(bucket < 95, "validation")
+      .otherwise("test")
+    Tables.documents(s, dir)
+      .select(split.as("split"), col("lang"), col("n_chars"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("split"))
+  }
+
+  private val g1Sql =
+    s"""SELECT CASE WHEN h < 90 THEN 'train'
+       |            WHEN h < 95 THEN 'validation'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       |  COUNT(DISTINCT lang) AS n_langs
+       |FROM (SELECT lang, n_chars, $duckHash60 % 100 AS h FROM documents)
+       |GROUP BY 1 ORDER BY split""".stripMargin
+
+  // ---- G2: stratified 10% sample — per-language hash-rank pick, so every
+  // stratum contributes ceil(10%) of its rows and the picked set is stable
+  // across runs/partitionings. Integer ceil-div keeps both engines exact.
+  private val g2StratifiedSample: Q = (s, dir) => {
+    val rankW = Window.partitionBy(col("lang"))
+      .orderBy(hash60(col("doc_id")).asc, col("doc_id").asc)
+    val sizeW = Window.partitionBy(col("lang"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("__rn", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(sizeW))
+      .filter(col("__rn") <= expr("(__n + 9) DIV 10"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private val g2Sql =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY $duckHash60, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents)
+       |WHERE rn <= (n + 9) // 10
+       |ORDER BY lang, doc_id""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "g1_hash_split" -> g1HashSplit,
+    "g2_stratified_sample" -> g2StratifiedSample)
+
+  def oracles: Map[String, String] = Map(
+    "g1_hash_split" -> g1Sql,
+    "g2_stratified_sample" -> g2Sql)
+}

@@ -369,7 +369,105 @@ object TextAnalysisQueries {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Shared exploded (doc_id, bigram) stage for x8/x9 — adjacent word
+    * pairs joined with one space; docs with < 2 words contribute nothing.
+    * `sequence(0, size-2)` must be guarded: Spark's sequence DESCENDS when
+    * start > stop, so a 1-word doc would yield [0,-1] instead of empty.
+    */
+  private def bigramStage(s: SparkSession, dir: String): DataFrame =
+    StageCache.getOrCache(s, s"doc_bigrams:$dir") {
+      wordsStage(s, dir).select(col("doc_id"),
+        explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w)-2), " +
+            "i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+          .otherwise(array())).as("bg"))
+    }
+
+  private object duckBg {
+    // same construction in DuckDB: generate_series(1, n-1) is empty when
+    // n < 2, and list indexing is 1-based on both ends of the pair
+    val expr: String = {
+      val w = duck.wordsExpr
+      s"list_transform(generate_series(1, len($w) - 1), " +
+        s"i -> $w[i] || ' ' || $w[i + 1])"
+    }
+  }
+
+  // X8 — repetition signals (the published Gopher/MassiveText repetition
+  // filters): per document, the fraction of word occurrences that are
+  // repeats of an earlier word, the share of the single most frequent
+  // word, and the share of the most frequent bigram. High values flag
+  // boilerplate/spam for removal before training. Plan: explode → one
+  // (doc, token) partial hash-agg → one per-doc agg; ratios divide exact
+  // BIGINT counts so the doubles match DuckDB bit-for-bit.
+  private val x8Repetition: Q = (s, dir) => {
+    val wordCounts = wordsStage(s, dir)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+    val bgCounts = bigramStage(s, dir)
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_bg_c"))
+    wordCounts.join(bgCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words"),
+        ((col("n_words") - col("n_distinct")).cast("double") /
+          col("n_words").cast("double")).as("dup_word_frac"),
+        (col("top_c").cast("double") / col("n_words").cast("double"))
+          .as("top_word_frac"),
+        (coalesce(col("top_bg_c"), lit(0L)).cast("double") /
+          coalesce(col("n_bg"), lit(1L)).cast("double")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x8Sql = {
+    val w = duck.wordsExpr
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($w) AS tok FROM documents),
+       |wc AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_c
+       |  FROM (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+       |  GROUP BY doc_id),
+       |bgs AS (
+       |  SELECT doc_id, unnest(${duckBg.expr}) AS bg FROM documents),
+       |bc AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bg,
+       |    CAST(MAX(c) AS BIGINT) AS top_bg_c
+       |  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2)
+       |  GROUP BY doc_id)
+       |SELECT wc.doc_id, wc.n_words,
+       |  (wc.n_words - wc.n_distinct)::DOUBLE / wc.n_words::DOUBLE AS dup_word_frac,
+       |  wc.top_c::DOUBLE / wc.n_words::DOUBLE AS top_word_frac,
+       |  COALESCE(bc.top_bg_c, 0)::DOUBLE / COALESCE(bc.n_bg, 1)::DOUBLE AS top_bigram_frac
+       |FROM wc LEFT JOIN bc ON wc.doc_id = bc.doc_id
+       |ORDER BY wc.doc_id""".stripMargin
+  }
+
+  // X9 — corpus-level n-gram census: top-100 bigrams by occurrence count
+  // (the standard LM-data diagnostic for boilerplate and contamination).
+  // Plan: explode → ONE partial hash-agg shuffle on the bigram →
+  // TakeOrderedAndProject for the top-100 (no global sort); at 100 TB the
+  // partial (map-side) aggregation bounds the shuffle by the distinct
+  // bigram count per partition, not the token count.
+  private val x9BigramCounts: Q = (s, dir) =>
+    bigramStage(s, dir)
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(100)
+
+  private val x9Sql =
+    s"""SELECT bg, COUNT(*) AS n
+       |FROM (SELECT unnest(${duckBg.expr}) AS bg FROM documents)
+       |GROUP BY bg ORDER BY n DESC, bg LIMIT 100""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "x8_repetition" -> x8Repetition,
+    "x9_bigram_counts" -> x9BigramCounts,
     "x7_quality_filter" -> x7QualityFilter,
     "x1_lang_id" -> x1LangId,
     "x2_quality_score" -> x2Quality,
@@ -379,6 +477,8 @@ object TextAnalysisQueries {
     "x6_trigram_lang" -> x6TrigramLang)
 
   val oracles: Map[String, String] = Map(
+    "x8_repetition" -> x8Sql,
+    "x9_bigram_counts" -> x9Sql,
     "x7_quality_filter" -> x7Sql,
     "x1_lang_id" -> x1Sql,
     "x2_quality_score" -> x2Sql,
