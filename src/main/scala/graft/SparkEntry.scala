@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, EventQueries, ExtendedQueries, MediaQueries, PipelineQueries, RelationalQueries, SamplingQueries, TextAnalysisQueries, VectorQueries}
+import graft.queries.{DecisionSupportQueries, DedupQueries, EventQueries, ExtendedQueries, MediaQueries, PipelineQueries, RelationalQueries, SamplingQueries, TextAnalysisQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ PipelineQueries.defs ++ VectorQueries.defs ++
       DedupQueries.defs ++ TextAnalysisQueries.defs ++ EventQueries.defs ++
-      MediaQueries.defs ++ ExtendedQueries.defs ++ SamplingQueries.defs
+      MediaQueries.defs ++ ExtendedQueries.defs ++ SamplingQueries.defs ++
+      DecisionSupportQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
       VectorQueries.oracles ++ DedupQueries.oracles ++
       TextAnalysisQueries.oracles ++ EventQueries.oracles ++
       MediaQueries.oracles ++ ExtendedQueries.oracles ++
-      SamplingQueries.oracles
+      SamplingQueries.oracles ++ DecisionSupportQueries.oracles
 }

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 catalog extensions — the decision-support surface that was still
+  * missing from the relational inventory: correlated-EXISTS decorrelation
+  * (TPC-H Q4 shape), conditional-aggregate ratios over a broadcast dim
+  * (Q14 shape), multi-column DISTINCT aggregation (Catalyst's Expand path),
+  * and the navigation/rank window families (lead / ntile / percent_rank /
+  * cume_dist and first / last / nth value frames). Every query carries an
+  * exact DuckDB oracle.
+  *
+  * Scale notes inline; shared rules: dimensions broadcast, money through
+  * DECIMAL(18,2), ratios divide exact sums (both engines do ONE double
+  * division on identical operands — IEEE-deterministic), deterministic
+  * total ORDER BY on every output.
+  */
+object DecisionSupportQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---- Q4: correlated EXISTS (TPC-H Q4 shape) — orders with at least one
+  // item shipped more than 90 days after the order date, counted per
+  // priority. Spark's decorrelated plan is a LEFT SEMI join on the order
+  // key with the non-equi ship-lag predicate attached to the join — the
+  // probe side never fans out (an order with 7 late items still counts
+  // once, with no pre-dedup pass over lineitem), and both sides shuffle
+  // once on l_orderkey. At 100 TB both facts arrive hash-partitioned on
+  // the key; bucketed layout (TableLayout) would drop even that exchange.
+  private val q4Exists: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- Q14: conditional-aggregate ratio (TPC-H Q14 shape) — promo share
+  // of revenue for one ship month. `part` broadcasts (it is a dimension);
+  // the CASE folds into the partial agg so the shuffle carries two decimal
+  // sums per partition, not rows. The percentage is one double division of
+  // two exactly-summed decimals — identical operands on both engines.
+  private val q14Promo: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    val rev = dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(dec(lit(0))))
+          .as("promo_rev"),
+        sum(rev).as("total_rev"),
+        count(lit(1)).as("n_items"))
+      .select(
+        (lit(100.0) * col("promo_rev").cast("double") /
+          col("total_rev").cast("double")).as("promo_pct"),
+        col("total_rev").cast("double").as("total_revenue"),
+        col("n_items"))
+  }
+
+  private val q14Sql =
+    """SELECT
+      |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS promo_pct,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
+  // ---- A13: multi-column DISTINCT aggregation — distinct customers and
+  // distinct order years per priority alongside plain aggregates. Two
+  // different DISTINCT key sets force Catalyst's Expand strategy (each
+  // input row replicates once per distinct-agg group with nulled-out other
+  // keys, then two hash aggs); the expansion factor is the number of
+  // distinct clauses — bounded, unlike a self-join per clause. At 100 TB
+  // the exact form shuffles every distinct (priority, key) pair once;
+  // the sketch twin (x4's approx_count_distinct) is the cheap path.
+  private val a13DistinctAgg: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+
+  private val a13Sql =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_custs,
+      |  COUNT(DISTINCT EXTRACT(YEAR FROM o_orderdate)) AS n_years,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- W8: navigation + rank window family — lead, ntile, percent_rank,
+  // cume_dist per user over event time. The (ts, event_id) order is a
+  // total order (event_id unique), so every function is deterministic;
+  // percent_rank/cume_dist are one double division of exact integer
+  // rank/count — bit-identical across engines. One shuffle on user_id
+  // serves all four functions (same window spec ⇒ one Window operator).
+  private val w8RankNav: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w8Sql =
+    """SELECT event_id, user_id,
+      |  lead(value, 1) OVER w AS next_value,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- W9: value-extraction window family — first / last / nth value
+  // over the full partition frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED
+  // FOLLOWING stated explicitly: the DEFAULT frame stops at CURRENT ROW,
+  // which would silently turn last_value into "current value" on both
+  // engines). Same single user_id shuffle as w8.
+  private val w9ValueWindows: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        first(col("value")).over(w).as("first_value"),
+        last(col("value")).over(w).as("last_value"),
+        nth_value(col("value"), 3).over(w).as("third_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val w9Sql =
+    """SELECT event_id, user_id,
+      |  first_value(value) OVER w AS first_value,
+      |  last_value(value) OVER w AS last_value,
+      |  nth_value(value, 3) OVER w AS third_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q4_exists_subquery" -> q4Exists,
+    "q14_promo_ratio" -> q14Promo,
+    "a13_distinct_agg" -> a13DistinctAgg,
+    "w8_rank_navigation" -> w8RankNav,
+    "w9_value_windows" -> w9ValueWindows)
+
+  val oracles: Map[String, String] = Map(
+    "q4_exists_subquery" -> q4Sql,
+    "q14_promo_ratio" -> q14Sql,
+    "a13_distinct_agg" -> a13Sql,
+    "w8_rank_navigation" -> w8Sql,
+    "w9_value_windows" -> w9Sql)
+}

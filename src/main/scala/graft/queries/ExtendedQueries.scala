@@ -428,7 +428,65 @@ object ExtendedQueries {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---- A12: scalar subquery — orders above the corpus-wide average
+  // price, counted per priority. The scalar (one row) side joins in as a
+  // BROADCAST nested loop over a single row — the idiomatic Spark plan for
+  // `WHERE x > (SELECT agg FROM ...)`; no shuffle is added to the probe
+  // side. The average is integer cents floor-divided by the count, so the
+  // threshold is an exact BIGINT on both engines (a DOUBLE avg would make
+  // the comparison FP-summation-order-dependent).
+  private val a12ScalarSubquery: Q = (s, dir) => {
+    val cents = (dec(col("o_totalprice")) * 100).cast("long")
+    // `div` = exact integral division on BIGINT (≡ DuckDB `//` for
+    // non-negative operands); a double `/` + cast could round across an
+    // integer boundary and disagree with the oracle by one cent.
+    val avgCents = Tables.orders(s, dir)
+      .agg(sum(cents).as("s"), count(lit(1)).as("c"))
+      .selectExpr("s div c AS avg_cents")
+    Tables.orders(s, dir)
+      .join(broadcast(avgCents))
+      .filter(cents > col("avg_cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val a12Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_above, MAX(o_totalprice) AS max_price
+      |FROM orders
+      |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) >
+      |  (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) // COUNT(*) AS BIGINT)
+      |   FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- Q6: TPC-H Q6 shape — pure multi-predicate scan-aggregate. The
+  // point is pushdown: date range, discount band, and quantity cap all
+  // reach the parquet reader (PushedFilters), and the single-row result
+  // needs no shuffle beyond the final partial-agg merge.
+  private val q6RangeFilter: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val q6Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "a12_scalar_subquery" -> a12ScalarSubquery,
+    "q6_range_filter" -> q6RangeFilter,
     "j3_shipping_priority" -> j3Shipping,
     "j6_asof_join" -> j6AsOf,
     "j7_range_join" -> j7Range,
@@ -447,6 +505,8 @@ object ExtendedQueries {
     "q5_local_volume" -> q5LocalVolume)
 
   val oracles: Map[String, String] = Map(
+    "a12_scalar_subquery" -> a12Sql,
+    "q6_range_filter" -> q6Sql,
     "j3_shipping_priority" -> j3Sql,
     "j6_asof_join" -> j6Sql,
     "j7_range_join" -> j7Sql,

@@ -465,7 +465,44 @@ object TextAnalysisQueries {
        |FROM (SELECT unnest(${duckBg.expr}) AS bg FROM documents)
        |GROUP BY bg ORDER BY n DESC, bg LIMIT 100""".stripMargin
 
+  // X10 — benchmark decontamination: flag corpus documents sharing any
+  // word n-gram with the "benchmark" set (docs 0..19 stand in for an eval
+  // suite; production uses its real benchmark files). The published recipe
+  // (GPT-3/PaLM-style) uses 8–13-grams; n=4 here because the synthetic
+  // corpus has no verbatim 8-gram overlap, and the operator shape is
+  // n-independent. Plan: the benchmark gram set is tiny (eval suites are
+  // KBs, corpora are TBs) ⇒ DISTINCT it and broadcast; corpus grams are
+  // exploded, deduped per (doc, gram) by a partial-agg shuffle, and hash-
+  // joined against the broadcast — no corpus-sized shuffle carries text,
+  // and the contaminated-doc output is bounded by the overlap, not the
+  // corpus. Reuses the MinHash shingle builders (parity-pinned by d2).
+  private val DecontamN = 4
+
+  private val x10Decontaminate: Q = (s, dir) => {
+    val grams = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(TextSketch.shingles(col("text"), DecontamN)).as("g"))
+    val bench = grams.filter(col("doc_id") < 20).select(col("g")).distinct()
+    val corpus = grams.filter(col("doc_id") >= 20).distinct()
+    corpus.join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x10Sql = {
+    val sh = TextSketch.duck.shingles(TextSketch.duck.words("text"), DecontamN)
+    s"""WITH grams AS (SELECT doc_id, unnest($sh) AS g FROM documents),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+       |corpus AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 20)
+       |SELECT doc_id, COUNT(*) AS n_shared_grams
+       |FROM corpus JOIN bench USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "x10_decontaminate" -> x10Decontaminate,
     "x8_repetition" -> x8Repetition,
     "x9_bigram_counts" -> x9BigramCounts,
     "x7_quality_filter" -> x7QualityFilter,
@@ -477,6 +514,7 @@ object TextAnalysisQueries {
     "x6_trigram_lang" -> x6TrigramLang)
 
   val oracles: Map[String, String] = Map(
+    "x10_decontaminate" -> x10Sql,
     "x8_repetition" -> x8Sql,
     "x9_bigram_counts" -> x9Sql,
     "x7_quality_filter" -> x7Sql,

@@ -74,6 +74,45 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
   }
 
+  test("q4 exists decorrelates to a left-semi join — no fan-out, no dedup") {
+    val p = plan("q4_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS should plan as LeftSemi:\n$p")
+    // semi join already returns ≤1 row per order: a Distinct/dropDuplicates
+    // in the plan would mean we paid an extra shuffle for nothing
+    assert(!p.contains("Deduplicate"), s"unexpected dedup pass:\n$p")
+  }
+
+  test("q14: part dimension broadcasts, CASE folds into the partial agg") {
+    val p = plan("q14_promo_ratio")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"part should broadcast:\n$p")
+    assert(p.contains("partial_"), s"no map-side aggregation:\n$p")
+  }
+
+  test("a13: multi-column DISTINCT aggregation plans through Expand") {
+    val p = plan("a13_distinct_agg")
+    assert(p.contains("Expand"),
+      s"two distinct key sets should use the Expand strategy:\n$p")
+  }
+
+  test("x10: benchmark grams broadcast; corpus side never cross-joins") {
+    val p = plan("x10_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination degenerated to an all-pairs join:\n$p")
+  }
+
+  test("w8/w9: the whole window family runs off one user_id shuffle") {
+    for (q <- Seq("w8_rank_navigation", "w9_value_windows")) {
+      val p = plan(q)
+      val hashExchanges = "hashpartitioning".r.findAllIn(p).size
+      assert(hashExchanges == 1,
+        s"$q: expected exactly 1 hash exchange, got $hashExchanges:\n$p")
+    }
+  }
+
   test("pq: the ADC shortlist scan never reads vector bytes") {
     val s = spark
     import s.implicits._
