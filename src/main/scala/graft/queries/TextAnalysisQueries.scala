@@ -473,9 +473,14 @@ object TextAnalysisQueries {
   // n-independent. Plan: the benchmark gram set is tiny (eval suites are
   // KBs, corpora are TBs) ⇒ DISTINCT it and broadcast; corpus grams are
   // exploded, deduped per (doc, gram) by a partial-agg shuffle, and hash-
-  // joined against the broadcast — no corpus-sized shuffle carries text,
-  // and the contaminated-doc output is bounded by the overlap, not the
-  // corpus. Reuses the MinHash shingle builders (parity-pinned by d2).
+  // joined against the broadcast BEFORE any shuffle — the map-side join
+  // discards every non-overlapping gram in place, so the only shuffle in
+  // the plan (the per-doc countDistinct) carries the overlap, which is
+  // bounded by |benchmark| × |docs sharing a gram|, never corpus-sized.
+  // (Deduping corpus grams first would be the same output but would hash-
+  // shuffle every gram of every document just to dedup rows the join was
+  // about to drop.) Reuses the MinHash shingle builders (parity-pinned by
+  // d2).
   private val DecontamN = 4
 
   private val x10Decontaminate: Q = (s, dir) => {
@@ -484,10 +489,10 @@ object TextAnalysisQueries {
       .select(col("doc_id"),
         explode(TextSketch.shingles(col("text"), DecontamN)).as("g"))
     val bench = grams.filter(col("doc_id") < 20).select(col("g")).distinct()
-    val corpus = grams.filter(col("doc_id") >= 20).distinct()
-    corpus.join(broadcast(bench), Seq("g"))
+    grams.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_grams"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"))
       .orderBy(col("doc_id"))
   }
 
