@@ -149,34 +149,31 @@ object Cli {
       // IVFPQ search: nprobe-pruned lists → ADC scan over codes → exact
       // re-rank of the shortlist.
       case "pq-search" :: tablesDir :: query :: rest =>
-        val topK = rest.headOption.map(_.toInt).getOrElse(10)
-        val nprobe = rest.lift(1).map(_.toInt).getOrElse(2)
-        val shortlist = rest.lift(2).map(_.toInt).getOrElse(100)
-        val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
-        val cb = graft.search.Pq.load(s"$tablesDir/pq_codebook.txt")
-        val index = spark.read.parquet(s"$tablesDir/embeddings_ivfpq")
-        // consistency guard: the fingerprint stamped into the index at
-        // encode time must match the loaded sidecar — catches a crash that
-        // tore the (index, codebook) rewrite, including same-shape
-        // codebook drift that the m-check below would miss
-        val head = index.select(col("pq_code"), col("pq_cb_hash")).head()
-        val sampleCode = head.getAs[Array[Byte]](0)
-        require(sampleCode.length == cb.m,
-          s"index codes have m=${sampleCode.length} but codebook has m=${cb.m}; " +
-            "re-run pq-index")
-        require(head.getLong(1) == graft.search.Pq.contentHash(cb),
-          "index pq_cb_hash does not match the codebook sidecar (torn " +
-            "pq-index rewrite?); re-run pq-index")
-        val qvec = new OfflineEmbedder(q.dim).embedQuery(query)
-        val hits = graft.search.Pq
-          .searchIvfPq(index, qvec, q, cb, topK, nprobe, shortlist,
-            tieBreak = "fragment_id")
-          .select(col("fragment_id"), col("view"), col("similarity"))
-          .collect()
-        hits.zipWithIndex.foreach { case (h, i) =>
-          println(f"#${i + 1}%-3d sim=${h.getDouble(2)}%.4f " +
-            s"[${h.getString(1)}] ${h.getString(0)}")
-        }
+        quantizedSearch(spark, tablesDir, query, rest,
+          indexName = "embeddings_ivfpq", cbName = "pq_codebook.txt",
+          reindexCmd = "pq-index")
+
+      // Extend the persisted IVF index with scalar-quantization codes
+      // (IVF+SQ8): per-dimension uniform-grid codebook ([[graft.search.Sq]]
+      // — a PQ codebook shape, so encode/search/sidecar/guards all reuse
+      // the PQ path), 4× compression with far less distortion than PQ.
+      case "sq-index" :: tablesDir :: rest =>
+        val levels = rest.headOption.map(_.toInt).getOrElse(256)
+        val e = spark.read.parquet(s"$tablesDir/embeddings_ivf")
+        val sample = e.orderBy(col("fragment_id")).limit(10000)
+          .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+        val cb = graft.search.Sq.train(sample, levels)
+        graft.sources.TableLayout.writePartitionedSorted(
+          graft.search.Pq.encode(e, cb), s"$tablesDir/embeddings_ivfsq",
+          "list_id", Seq("fragment_id"))
+        graft.search.Pq.save(cb, s"$tablesDir/sq_codebook.txt")
+        println(s"[sq-index] dims=${cb.m} levels=${cb.ksub} compression=4.0x")
+
+      // IVF+SQ search: same pruned-ADC-rerank pipeline over SQ codes.
+      case "sq-search" :: tablesDir :: query :: rest =>
+        quantizedSearch(spark, tablesDir, query, rest,
+          indexName = "embeddings_ivfsq", cbName = "sq_codebook.txt",
+          reindexCmd = "sq-index")
 
       // §3.3 repl --rag, non-interactive: each question retrieves (k=5,
       // context-expanded), generates with the rolling ≤5-turn history
@@ -223,9 +220,47 @@ object Cli {
             "index <tables> [k] | ann-search <tables> <query> [k] [nprobe] | " +
             "pq-index <tables> [m] [ksub] | " +
             "pq-search <tables> <query> [k] [nprobe] [shortlist] | " +
+            "sq-index <tables> [levels] | " +
+            "sq-search <tables> <query> [k] [nprobe] [shortlist] | " +
             "rag <tables> <question...> | " +
             "quality <tables> <golden.jsonl> | metrics <tables>")
     }
     spark.stop()
+  }
+
+  /** Shared IVF+codes search: load quantizer + codebook sidecar, verify
+    * the index's stamped fingerprint (the torn-rewrite guard — index and
+    * sidecar are separate artifacts, so no write order makes their rewrite
+    * atomic; the embedded hash turns a crash between the two into a hard
+    * error, including same-shape codebook drift the m-check would miss),
+    * then nprobe-pruned lists → ADC scan over codes → exact re-rank.
+    */
+  private def quantizedSearch(spark: org.apache.spark.sql.SparkSession,
+      tablesDir: String, query: String, rest: List[String],
+      indexName: String, cbName: String, reindexCmd: String): Unit = {
+    val topK = rest.headOption.map(_.toInt).getOrElse(10)
+    val nprobe = rest.lift(1).map(_.toInt).getOrElse(2)
+    val shortlist = rest.lift(2).map(_.toInt).getOrElse(100)
+    val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
+    val cb = graft.search.Pq.load(s"$tablesDir/$cbName")
+    val index = spark.read.parquet(s"$tablesDir/$indexName")
+    val head = index.select(col("pq_code"), col("pq_cb_hash")).head()
+    val sampleCode = head.getAs[Array[Byte]](0)
+    require(sampleCode.length == cb.m,
+      s"index codes have m=${sampleCode.length} but codebook has m=${cb.m}; " +
+        s"re-run $reindexCmd")
+    require(head.getLong(1) == graft.search.Pq.contentHash(cb),
+      s"index pq_cb_hash does not match the codebook sidecar (torn " +
+        s"$reindexCmd rewrite?); re-run $reindexCmd")
+    val qvec = new OfflineEmbedder(q.dim).embedQuery(query)
+    val hits = graft.search.Pq
+      .searchIvfPq(index, qvec, q, cb, topK, nprobe, shortlist,
+        tieBreak = "fragment_id")
+      .select(col("fragment_id"), col("view"), col("similarity"))
+      .collect()
+    hits.zipWithIndex.foreach { case (h, i) =>
+      println(f"#${i + 1}%-3d sim=${h.getDouble(2)}%.4f " +
+        s"[${h.getString(1)}] ${h.getString(0)}")
+    }
   }
 }

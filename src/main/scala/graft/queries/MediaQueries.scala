@@ -179,7 +179,46 @@ object MediaQueries {
       .toDF("variant", "recall_at_10", "shortlist", "compression_ratio")
   }
 
+  // v8 — scalar-quantization (SQ8) self-check: 4× compressed per-dimension
+  // byte codes ([[graft.search.Sq]] — a uniform-grid PQ codebook shape, so
+  // encode/ADC/search reuse the PQ machinery and its vector-free scan).
+  // Far less distortion than PQ's 32×: the adc_only row typically already
+  // recovers the exact top-10; rerank_all is 1.0 by construction — the
+  // same exactness witness as v6's full probe and v7's rerank_all.
+  private val v8SqRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val sample = e.orderBy(col("vec_id")).limit(1024)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val cb = graft.search.Sq.train(sample)
+    val index = Pq.encode(e, cb)
+    val query = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val exact = graft.search.VectorSearch
+      .knn(e, query, 10, vectorCol = "vector", tieBreak = "vec_id")
+      .select(col("vec_id")).as[Long].collect().toSet
+    def recall(df: DataFrame): Double =
+      df.select(col("vec_id")).as[Long].collect().toSet
+        .intersect(exact).size.toDouble / exact.size
+    val adcOnly = index
+      .withColumn("adc_score", Pq.adcCosine(col("pq_code"), query, cb))
+      .orderBy(col("adc_score").desc, col("vec_id")).limit(10)
+    val rerank50 = Pq.searchCosine(index, query, cb, 10,
+      shortlist = 50, tieBreak = "vec_id")
+    val nRows = e.count().toInt
+    val rerankAll = Pq.searchCosine(index, query, cb, 10,
+      shortlist = nRows, tieBreak = "vec_id")
+    val ratio = 4.0 // d floats → d bytes
+    Seq(
+      ("adc_only", recall(adcOnly), 10L, ratio),
+      ("rerank_50", recall(rerank50), 50L, ratio),
+      ("rerank_all", recall(rerankAll), nRows.toLong, ratio))
+      .toDF("variant", "recall_at_10", "shortlist", "compression_ratio")
+  }
+
   val defs: Map[String, Q] = Map(
+    "v8_sq_recall" -> v8SqRecall,
     "m1_media_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
     "v5_ann_recall" -> v5AnnRecall,
