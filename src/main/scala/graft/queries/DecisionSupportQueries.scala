@@ -175,7 +175,91 @@ object DecisionSupportQueries {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
+  // ---- Q18: HAVING + join-back (TPC-H Q18 shape) — "large-volume
+  // orders": the IN-subquery (orderkeys whose quantity sum exceeds the
+  // threshold) decorrelates to an aggregate + join. Lineitem shuffles ONCE
+  // on l_orderkey for the partial-agg sum; the HAVING survivors are a tiny
+  // fraction (<2% here, far less at TPC-H's canonical 300), so they
+  // BROADCAST back against orders — the probe side never shuffles — and
+  // customer broadcasts as a dimension. Top-100 by price plans as
+  // TakeOrderedAndProject.
+  private val q18BigOrders: Q = (s, dir) => {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    Tables.orders(s, dir)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING SUM(l_quantity) > 250) big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---- A14: CUBE — all four grouping combinations (rollup's superset) in
+  // one pass; like a7/a8, Spark expands the grouping sets BEFORE the
+  // partial agg, so the shuffle carries pre-combined (keys × 4 sets) rows.
+  private val a14Cube: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("<all>")).as("rf"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("ls"),
+        col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+      .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+
+  private val a14Sql =
+    """SELECT COALESCE(l_returnflag, '<all>') AS rf,
+      |  COALESCE(l_linestatus, '<all>') AS ls,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+      |  COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, rf, ls""".stripMargin
+
+  // ---- A15: UNPIVOT (wide→long, the inverse reshape of a10's pivot) —
+  // per-year status counts melted back to (yr, status, n) rows. Narrow
+  // map work over the already-aggregated wide rows: each input row emits
+  // one output row per value column, no extra shuffle beyond the pivot's
+  // own aggregation.
+  private val a15Unpivot: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
+        "status", "n")
+      .orderBy(col("yr"), col("status"))
+
+  private val a15Sql =
+    """WITH wide AS (
+      |  SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |    COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+      |    COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+      |    COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+      |  FROM orders GROUP BY 1)
+      |SELECT yr, status, n FROM wide UNPIVOT (n FOR status IN ("F", "O", "P"))
+      |ORDER BY yr, status""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q18_big_orders" -> q18BigOrders,
+    "a14_cube" -> a14Cube,
+    "a15_unpivot" -> a15Unpivot,
     "q4_exists_subquery" -> q4Exists,
     "q14_promo_ratio" -> q14Promo,
     "a13_distinct_agg" -> a13DistinctAgg,
@@ -183,6 +267,9 @@ object DecisionSupportQueries {
     "w9_value_windows" -> w9ValueWindows)
 
   val oracles: Map[String, String] = Map(
+    "q18_big_orders" -> q18Sql,
+    "a14_cube" -> a14Sql,
+    "a15_unpivot" -> a15Sql,
     "q4_exists_subquery" -> q4Sql,
     "q14_promo_ratio" -> q14Sql,
     "a13_distinct_agg" -> a13Sql,
