@@ -88,6 +88,69 @@ object EventStreams {
       }
   }
 
+  /** Input row for [[asOfEnrich]]: `side` 0 = right (the enriching stream,
+    * e.g. purchases), 1 = left (the enriched stream, e.g. clicks).
+    */
+  final case class AsOfEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, side: Int, value: Double)
+  final case class AsOfCarry(tsUs: Long, event_id: Long, value: Double)
+  final case class AsOfOut(event_id: Long, user_id: Long,
+      right_event_id: Option[Long], right_value: Option[Double])
+
+  /** Streaming as-of enrichment — the streaming twin of
+    * [[graft.operators.AsOfJoin.backward]] (j6's shape): every left event
+    * emits with its key's most recent right event at-or-before it
+    * (inclusive; greatest-event-id tiebreak among equal-timestamp rights —
+    * identical to the batch `rightTiebreak` rule).
+    *
+    * State is ONE carry row per key (the latest right event) — bounded by
+    * the key cardinality, not the stream length, which is what makes the
+    * operator viable on unbounded streams; no timeout is needed because a
+    * carry never expires (the "most recent purchase" stays relevant
+    * forever, exactly like the batch window carry).
+    *
+    * Ordering contract: micro-batch arrival order is not event-time order,
+    * so each batch is sorted by (ts, side, event_id) before the fold —
+    * rights apply before lefts at equal timestamps (the inclusive rule).
+    * ACROSS batches the stream must be per-key in event-time order (log/CDC
+    * replay order); a left arriving after a right that post-dates it would
+    * see too-new a carry. Full out-of-order support would buffer per key
+    * until the watermark passes and emit from the sorted buffer — the same
+    * fold, delayed; the in-order form is the production shape for ordered
+    * ingestion logs. Equivalence to the batch operator is pinned on real
+    * testdata in StreamBatchEquivalenceSpec (multi-batch replay).
+    */
+  def asOfEnrich(events: Dataset[AsOfEvent]): Dataset[AsOfOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfCarry, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[AsOfCarry]) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+          // rights (side 0) before lefts at equal ts ⇒ inclusive backward;
+          // equal-ts rights ascend by event_id ⇒ last update = greatest id
+          val sorted = rows.toSeq.sortBy(r => (us(r.ts), r.side, r.event_id))
+          val out = Seq.newBuilder[AsOfOut]
+          var carry = state.getOption
+          sorted.foreach { r =>
+            if (r.side == 0) {
+              val t = us(r.ts)
+              if (carry.forall(c => t > c.tsUs ||
+                  (t == c.tsUs && r.event_id > c.event_id)))
+                carry = Some(AsOfCarry(t, r.event_id, r.value))
+            } else {
+              out += AsOfOut(r.event_id, userId,
+                carry.map(_.event_id), carry.map(_.value))
+            }
+          }
+          carry.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Watermarked streaming exact-dedup — the training-pipeline "drop
     * repeats as they arrive" operator (streaming twin of d1/U3). Keyed on
     * the md5 content digest so only 16-byte keys hit the state store, never

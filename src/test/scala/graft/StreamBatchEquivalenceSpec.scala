@@ -109,6 +109,66 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"session_window vs manual divergence: ${native.diff(manual).take(3)} / ${manual.diff(native).take(3)}")
   }
 
+  test("streaming as-of enrichment matches the batch as-of join") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.EventStreams.AsOfEvent
+
+    // batch truth: j6's exact shape (clicks enriched with the most recent
+    // purchase, inclusive, greatest-event-id tiebreak)
+    val batch = SparkEntry.queries("j6_asof_join")(s, dir)
+      .collect().map(_.toSeq).toSet
+
+    // replay the event log in event-time order as FOUR sequential files,
+    // one per trigger — the carry must survive across micro-batches, so a
+    // single-batch replay would not exercise the state store at all.
+    // Sort key (ts, side, event_id) keeps equal-ts rights ahead of lefts
+    // even across a file boundary.
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"),
+        col("value"))
+      .as[AsOfEvent]
+      .collect()
+      .sortBy(r => (r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000L,
+        r.side, r.event_id))
+    val stage = java.nio.file.Files.createTempDirectory("asof_stream")
+    val slice = (ev.length + 3) / 4
+    ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
+      val f = stage.resolve(f"slice_$i%03d.parquet")
+      rows.toSeq.toDF().coalesce(1).write.mode("overwrite")
+        .parquet(f.toString)
+      // file source orders by modification time: force ascending
+      java.nio.file.Files.walk(f).iterator()
+        .forEachRemaining(_.toFile.setLastModified(1000000L * (i + 1)))
+    }
+
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*/")
+      .as[AsOfEvent]
+    val q = graft.streaming.EventStreams.asOfEnrich(stream)
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    val streamed = s.sql(
+      """SELECT event_id, user_id, right_event_id AS purchase_event_id,
+        |  right_value AS purchase_value FROM asof_stream""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "stream emitted no enriched rows")
+    assert(streamed == batch,
+      s"stream/batch as-of divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
   test("stream-stream interval join matches the batch banded range join") {
     val s = spark
     import graft.operators.RangeJoin
