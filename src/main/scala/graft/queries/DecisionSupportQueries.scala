@@ -256,7 +256,93 @@ object DecisionSupportQueries {
       |SELECT yr, status, n FROM wide UNPIVOT (n FOR status IN ("F", "O", "P"))
       |ORDER BY yr, status""".stripMargin
 
+  // ---- A16: ordered string aggregation (LISTAGG / string_agg WITHIN
+  // GROUP) — the top-5 orders per priority as one ordered CSV cell,
+  // composed with a rank window. Deterministic because the WITHIN GROUP
+  // order (price desc, orderkey) is total; Spark plans the listagg as a
+  // sort-based aggregate AFTER the partial-agg shuffle, so the shuffle
+  // carries only the 5 surviving rows per group.
+  private val a16Listagg: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("listagg(CAST(o_orderkey AS STRING), ',') " +
+          "WITHIN GROUP (ORDER BY o_totalprice DESC, o_orderkey)")
+          .as("top_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("top_value"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val a16Sql =
+    """SELECT o_orderpriority,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS top_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top_value
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 5
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- A17: statistical aggregation — Pearson correlation of quantity vs
+  // price per return flag, computed from EXACT integer power sums (n, Σx,
+  // Σy, Σxy, Σx², Σy²) so the result is bit-identical across engines.
+  // Built-in corr()/covar() use incremental one-pass updates whose float
+  // rounding is engine- and partition-order-dependent — unusable as a
+  // cross-engine gate — but the power sums are plain integer aggregates
+  // (partial+final hash agg, partitioning-independent), and the final
+  // r = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) is one fixed
+  // IEEE sequence over exactly-rounded casts of those sums. Σy² exceeds
+  // BIGINT (cents² ~ 10¹⁴ × 10⁵ rows), so it accumulates in DECIMAL
+  // (Spark) / HUGEINT (DuckDB) — both exact integers, both cast to double
+  // by round-to-nearest.
+  private val a17CorrExact: Q = (s, dir) => {
+    val x = col("l_quantity").cast("long")
+    val y = (dec(col("l_extendedprice")) * 100).cast("long")
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val syyD = col("syy").cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+        sum((y * y).cast("decimal(30,0)")).as("syy"))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        ((nD * sxyD - sxD * syD) /
+          (sqrt(nD * sxxD - sxD * sxD) * sqrt(nD * syyD - syD * syD)))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val a17Sql =
+    """SELECT l_returnflag, n,
+      |  CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(CAST(y * y AS HUGEINT)) AS syy
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "a16_listagg" -> a16Listagg,
+    "a17_corr_exact" -> a17CorrExact,
     "q18_big_orders" -> q18BigOrders,
     "a14_cube" -> a14Cube,
     "a15_unpivot" -> a15Unpivot,
@@ -267,6 +353,8 @@ object DecisionSupportQueries {
     "w9_value_windows" -> w9ValueWindows)
 
   val oracles: Map[String, String] = Map(
+    "a16_listagg" -> a16Sql,
+    "a17_corr_exact" -> a17Sql,
     "q18_big_orders" -> q18Sql,
     "a14_cube" -> a14Sql,
     "a15_unpivot" -> a15Sql,
