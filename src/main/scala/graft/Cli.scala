@@ -244,6 +244,11 @@ object Cli {
     val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
     val cb = graft.search.Pq.load(s"$tablesDir/$cbName")
     val index = spark.read.parquet(s"$tablesDir/$indexName")
+    // a pre-fingerprint index would otherwise die in an opaque
+    // UNRESOLVED_COLUMN analysis error instead of the actionable message
+    require(index.schema.fieldNames.contains("pq_cb_hash"),
+      s"index $indexName has no pq_cb_hash column (written before " +
+        s"fingerprinting); re-run $reindexCmd")
     val head = index.select(col("pq_code"), col("pq_cb_hash")).head()
     val sampleCode = head.getAs[Array[Byte]](0)
     require(sampleCode.length == cb.m,

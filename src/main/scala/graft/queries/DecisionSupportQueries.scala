@@ -297,10 +297,10 @@ object DecisionSupportQueries {
   // cross-engine gate — but the power sums are plain integer aggregates
   // (partial+final hash agg, partitioning-independent), and the final
   // r = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) is one fixed
-  // IEEE sequence over exactly-rounded casts of those sums. Σy² exceeds
-  // BIGINT (cents² ~ 10¹⁴ × 10⁵ rows), so it accumulates in DECIMAL
-  // (Spark) / HUGEINT (DuckDB) — both exact integers, both cast to double
-  // by round-to-nearest.
+  // IEEE sequence over exactly-rounded casts of those sums. The y-heavy
+  // sums (Σy², and Σxy beyond ~SF 34k) exceed BIGINT, so they accumulate
+  // in DECIMAL (Spark) / HUGEINT (DuckDB) — both exact integers, both
+  // cast to double by round-to-nearest.
   private val a17CorrExact: Q = (s, dir) => {
     val x = col("l_quantity").cast("long")
     val y = (dec(col("l_extendedprice")) * 100).cast("long")
@@ -314,7 +314,12 @@ object DecisionSupportQueries {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+        // per-row products fit BIGINT, but the GROUP SUMS of the y-heavy
+        // ones do not at advertised scale: Σ(x·y) crosses 2⁶³ near SF
+        // 34,000 (~34 TB) and Σ(y²) far earlier — both accumulate in
+        // DECIMAL (HUGEINT on the DuckDB side). Σx, Σy, Σx² stay BIGINT
+        // (overflow beyond 10⁵ SF ≈ 100 PB).
+        sum((x * y).cast("decimal(30,0)")).as("sxy"), sum(x * x).as("sxx"),
         sum((y * y).cast("decimal(30,0)")).as("syy"))
       .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
         ((nD * sxyD - sxD * syD) /
@@ -332,7 +337,7 @@ object DecisionSupportQueries {
       |    AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag, COUNT(*) AS n,
-      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(CAST(x * y AS HUGEINT)) AS sxy,
       |    SUM(x * x) AS sxx, SUM(CAST(y * y AS HUGEINT)) AS syy
       |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
       |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y

@@ -29,10 +29,13 @@ object SamplingQueries {
 
   /** 60-bit integer from the md5 hex prefix of a column's string form —
     * uniform, deterministic, and byte-identical to DuckDB's
-    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`.
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. Delegates to the ONE
+    * pinned Spark/DuckDB hash recipe ([[graft.functions.TextSketch.hexInt]],
+    * shared with the MinHash family) so the parity-critical construction
+    * cannot drift between the sampling and dedup paths.
     */
   private def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.TextSketch.hexInt(c.cast("string"))
 
   private val duckHash60 =
     "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"

@@ -32,7 +32,26 @@ object StageCache {
           release(s)
       })
     }
-    stages.computeIfAbsent((s, key), _ => build.cache())
+    val k = (s, key)
+    val existing = stages.get(k)
+    if (existing != null) existing
+    else {
+      // build OUTSIDE the map update: stage builders recursively call
+      // getOrCache for their dependency stages (doc_bigrams → doc_words,
+      // lang_votes → doc_words), and ConcurrentHashMap forbids reentrant
+      // modification from inside computeIfAbsent — the JDK throws
+      // IllegalStateException("Recursive update") when the two keys land
+      // in the same bin, a nondeterministic (identity-hash-dependent)
+      // crash. get-then-putIfAbsent allows the nesting; on the (benign)
+      // race a loser's cache mark is unpersisted before anything
+      // materializes it.
+      val built = build.cache()
+      val prev = stages.putIfAbsent(k, built)
+      if (prev != null) {
+        try built.unpersist() catch { case _: Throwable => () }
+        prev
+      } else built
+    }
   }
 
   /** Unpersist and forget every cached stage owned by `s`. */

@@ -130,10 +130,17 @@ object EventStreams {
         case (userId, rows, state: GroupState[AsOfCarry]) =>
           def us(t: java.sql.Timestamp): Long =
             t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+          // NULL-time semantics match the batch operator (SQL UNKNOWN):
+          // null-time rights never enter the carry; null-time lefts emit
+          // with a null payload instead of inheriting the carry
+          val (timed, nullTs) = rows.toSeq.partition(_.ts != null)
           // rights (side 0) before lefts at equal ts ⇒ inclusive backward;
           // equal-ts rights ascend by event_id ⇒ last update = greatest id
-          val sorted = rows.toSeq.sortBy(r => (us(r.ts), r.side, r.event_id))
+          val sorted = timed.sortBy(r => (us(r.ts), r.side, r.event_id))
           val out = Seq.newBuilder[AsOfOut]
+          nullTs.foreach { r =>
+            if (r.side == 1) out += AsOfOut(r.event_id, userId, None, None)
+          }
           var carry = state.getOption
           sorted.foreach { r =>
             if (r.side == 0) {

@@ -169,6 +169,36 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch as-of divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming as-of enrichment handles null timestamps like batch") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.EventStreams.AsOfEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[AsOfEvent]
+    val q = graft.streaming.EventStreams.asOfEnrich(mem.toDS())
+      .writeStream.format("memory").queryName("asof_null")
+      .outputMode("append").start()
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    try {
+      mem.addData(
+        AsOfEvent(1L, ts(100), 10L, 0, 5.0),  // right
+        AsOfEvent(1L, null, 11L, 0, 9.0),     // null-ts right: never matches
+        AsOfEvent(1L, ts(200), 12L, 1, 0.0),  // left → carries right 10
+        AsOfEvent(1L, null, 13L, 1, 0.0))     // null-ts left → null payload
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.sql(
+      "SELECT event_id, right_event_id, right_value FROM asof_null")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(rows == Set(
+      (12L, Some(10L), Some(5.0)),
+      (13L, None, None)),
+      s"unexpected null-ts semantics: $rows")
+  }
+
   test("stream-stream interval join matches the batch banded range join") {
     val s = spark
     import graft.operators.RangeJoin
