@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DecisionSupportQueries, DedupQueries, EventQueries, ExtendedQueries, MediaQueries, PipelineQueries, RelationalQueries, SamplingQueries, TextAnalysisQueries, VectorQueries}
+import graft.queries.{DecisionSupportQueries, DedupQueries, EventQueries, ExtendedQueries, MediaQueries, PipelineQueries, RelationalQueries, SamplingQueries, SeriesQueries, TextAnalysisQueries, VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
     RelationalQueries.defs ++ PipelineQueries.defs ++ VectorQueries.defs ++
       DedupQueries.defs ++ TextAnalysisQueries.defs ++ EventQueries.defs ++
       MediaQueries.defs ++ ExtendedQueries.defs ++ SamplingQueries.defs ++
-      DecisionSupportQueries.defs
+      DecisionSupportQueries.defs ++ WarehouseQueries.defs ++
+      SeriesQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
       VectorQueries.oracles ++ DedupQueries.oracles ++
       TextAnalysisQueries.oracles ++ EventQueries.oracles ++
       MediaQueries.oracles ++ ExtendedQueries.oracles ++
-      SamplingQueries.oracles ++ DecisionSupportQueries.oracles
+      SamplingQueries.oracles ++ DecisionSupportQueries.oracles ++
+      WarehouseQueries.oracles ++ SeriesQueries.oracles
 }
