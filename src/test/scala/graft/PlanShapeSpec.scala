@@ -211,6 +211,67 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no pruning: read $filesRead of $totalFiles files")
   }
 
+  test("q7: all five dimension sides broadcast; one agg shuffle remains") {
+    val p = plan("q7_nation_volume")
+    assert(!p.contains("SortMergeJoin"), s"q7 fell back to sort-merge:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5,
+      s"expected 5 broadcast joins:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the final aggregation may shuffle:\n$p")
+  }
+
+  test("q17: correlated-average decorrelation stays broadcast-only") {
+    val p = plan("q17_small_qty")
+    assert(!p.contains("SortMergeJoin"), s"q17 fell back to sort-merge:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the per-part aggregation may shuffle:\n$p")
+  }
+
+  test("q19: the quantity envelope reaches the parquet scan") {
+    val p = plan("q19_disjunctive")
+    val scanLines = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scanLines.exists(l => l.contains("GreaterThanOrEqual(l_quantity") &&
+      l.contains("LessThanOrEqual(l_quantity")),
+      s"l_quantity envelope not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q22: anti join present; the only nested-loop is the 1-row stats cross") {
+    val p = plan("q22_idle_rich")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS should plan as LeftAnti:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"unexpected extra nested-loop join:\n$p")
+  }
+
+  test("x11 fuzzy probe: top-k by edit distance, no global sort") {
+    val p = plan("x11_fuzzy_probe")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("x12/w10: blocked pair join and gap-fill never go all-pairs") {
+    for (q <- Seq("x12_fuzzy_pairs", "w10_gapfill")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs join:\n$p")
+    }
+  }
+
+  test("a18/a19: mode and histogram aggregate map-side before the shuffle") {
+    for (q <- Seq("a18_mode_exact", "a19_histogram")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q has no partial aggregation:\n$p")
+    }
+  }
+
+  test("f2: higher-order array stats stay in one scan-side codegen stage") {
+    val p = plan("f2_array_stats")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"f2 is map-only plus presentation sort; no hash shuffle expected:\n$p")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     val s = spark
     val o = Tables.orders(s, dir)
