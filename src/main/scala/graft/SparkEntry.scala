@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DecisionSupportQueries, DedupQueries, EventQueries, ExtendedQueries, MediaQueries, PipelineQueries, RelationalQueries, SamplingQueries, SeriesQueries, TextAnalysisQueries, VectorQueries, WarehouseQueries}
+import graft.queries.{DecisionSupportQueries, DedupQueries, EventQueries, ExtendedQueries, MediaQueries, PipelineQueries, RelationalQueries, SamplingQueries, SeriesQueries, SupplyChainQueries, TextAnalysisQueries, VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
       DedupQueries.defs ++ TextAnalysisQueries.defs ++ EventQueries.defs ++
       MediaQueries.defs ++ ExtendedQueries.defs ++ SamplingQueries.defs ++
       DecisionSupportQueries.defs ++ WarehouseQueries.defs ++
-      SeriesQueries.defs
+      SeriesQueries.defs ++ SupplyChainQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PipelineQueries.oracles ++
@@ -30,5 +30,6 @@ object SparkEntry {
       TextAnalysisQueries.oracles ++ EventQueries.oracles ++
       MediaQueries.oracles ++ ExtendedQueries.oracles ++
       SamplingQueries.oracles ++ DecisionSupportQueries.oracles ++
-      WarehouseQueries.oracles ++ SeriesQueries.oracles
+      WarehouseQueries.oracles ++ SeriesQueries.oracles ++
+      SupplyChainQueries.oracles
 }

@@ -272,6 +272,39 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"f2 is map-only plus presentation sort; no hash shuffle expected:\n$p")
   }
 
+  test("q2: correlated per-part min is a window, not a join-back") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("SortMergeJoin"), s"q2 fell back to sort-merge:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q2 top-100 should TopK:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"pair agg + window: exactly 2 hash exchanges expected:\n$p")
+  }
+
+  test("q8/q9/q10: dimension reductions broadcast; one agg shuffle each") {
+    for (q <- Seq("q8_market_share", "q9_profit", "q10_returned")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to sort-merge:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q: only the aggregation may hash-shuffle:\n$p")
+    }
+  }
+
+  test("q16: distinct supplier count pre-dedupes map-side") {
+    val p = plan("q16_supplier_cnt")
+    // two-phase distinct: a partial agg keyed on (group keys, suppkey)
+    // must appear below the shuffle
+    assert(p.contains("partial_"), s"no map-side phase:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q21: double-EXISTS census runs join-back-free") {
+    val p = plan("q21_waiting_supplier")
+    assert(!p.contains("SortMergeJoin"), s"q21 fell back to sort-merge:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"pair agg + window + supplier agg: ≤3 hash exchanges expected:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     val s = spark
     val o = Tables.orders(s, dir)
