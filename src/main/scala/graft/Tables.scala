@@ -38,4 +38,18 @@ object Tables {
 
   def load(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Spread a scan across all cores ONLY when the file layout can't:
+    * the local testdata tables are single-row-group parquet files, so a
+    * CPU-heavy per-row stage (shingling, parsing, hashing) would otherwise
+    * run on one task. A production multi-file / multi-row-group layout
+    * already yields one split per ~128 MB, so this is a no-op there — the
+    * corpus never pays a redistribution shuffle just to get parallelism
+    * the scan provides. (The split count comes from the physical scan's
+    * RDD metadata; no job runs.)
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

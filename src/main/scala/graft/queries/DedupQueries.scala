@@ -56,8 +56,7 @@ object DedupQueries {
   // oracle) — k longs cached per doc instead of every shingle's hash pair.
   private def sigStage(s: SparkSession, dir: String): DataFrame =
     StageCache.getOrCache(s, s"minhash_sigs:$dir") {
-      Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+      Tables.spread(s, Tables.documents(s, dir))
         .select(col("doc_id"),
           org.apache.spark.sql.graft.SketchExpressions
             .minhashSignature(col("text"), ShingleN, MinhashK).as("sig"))
@@ -249,8 +248,7 @@ object DedupQueries {
   // 16 interpreted aggregate() passes, each re-inlined by project
   // collapsing).
   private val d4Simhash: Q = (s, dir) =>
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.SketchExpressions
           .simhash(col("text"), SimhashBits).as("simhash"))
@@ -297,8 +295,7 @@ object DedupQueries {
   // D6 — char-16-gram rolling fingerprint per document (native one-pass
   // expression; same values as TextSketch.charFingerprint and the oracle).
   private val d6Fingerprint: Q = (s, dir) =>
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"),
         org.apache.spark.sql.graft.SketchExpressions
           .charFingerprint(col("text"), 16).as("fingerprint"))

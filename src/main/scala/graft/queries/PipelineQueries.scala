@@ -27,11 +27,8 @@ object PipelineQueries {
 
   private def inputs(s: SparkSession, dir: String) = {
     import s.implicits._
-    // the testdata table is one parquet split — spread the per-document
-    // folds across cores (real corpora arrive as many files)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(s, Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) => DocInput(s"synthetic/$id.txt", text, isOcr = false) }
   }
@@ -83,8 +80,7 @@ object PipelineQueries {
   private val p4Pdf: Q = (s, dir) => {
     import s.implicits._
     import graft.sources.PdfSource
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>

@@ -34,8 +34,7 @@ object TextAnalysisQueries {
     */
   private def wordsStage(s: SparkSession, dir: String): DataFrame =
     StageCache.getOrCache(s, s"doc_words:$dir") {
-      Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+      Tables.spread(s, Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           words(col("text")).as("w"),
           length(col("text")).as("text_len"),
@@ -183,8 +182,7 @@ object TextAnalysisQueries {
   private val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"
 
   private val x5RegexTokens: Q = (s, dir) =>
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("lang"), size(words(col("text"))).as("n_words"),
         size(regexp_extract_all(col("text"),
           lit(BpeIshPattern), lit(0))).as("n_subtokens"))
@@ -252,8 +250,7 @@ object TextAnalysisQueries {
 
   private val x6TrigramLang: Q = (s, dir) => {
     val scoreStage = StageCache.getOrCache(s, s"trigram_scores:$dir") {
-      Tables.documents(s, dir)
-        .repartition(s.sparkContext.defaultParallelism)
+      Tables.spread(s, Tables.documents(s, dir))
         .select(col("lang"), trigramCounts(col("text")).as("c"))
     }
     scoreStage
@@ -484,8 +481,7 @@ object TextAnalysisQueries {
   private val DecontamN = 4
 
   private val x10Decontaminate: Q = (s, dir) => {
-    val grams = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val grams = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"),
         explode(TextSketch.shingles(col("text"), DecontamN)).as("g"))
     val bench = grams.filter(col("doc_id") < 20).select(col("g")).distinct()
