@@ -136,15 +136,102 @@ object EventQueries {
       |FROM events
       |GROUP BY 1, 2 ORDER BY k_bucket, event_type""".stripMargin
 
+  // W11 — cohort retention: users bucketed by their first-active day, and
+  // for each (cohort, day-offset) the count of users still active. The
+  // per-user cohort day is a WINDOW MIN over the distinct (user, day)
+  // activity pairs — so the plan is: one shuffle to dedup activity (pre-
+  // combined map-side; the grid is users × days, never event rows), one
+  // vocabulary-sized shuffle for the user window, and a tiny final agg.
+  // Rows after the dedup are unique (user, day), so COUNT(*) per
+  // (cohort, offset) IS the distinct-user count — no second distinct.
+  private val w11Cohort: Q = (s, dir) => {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    ud.withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long")
+          .as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
+  private val w11Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |    MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM ud)
+      |SELECT cohort_day, datediff('day', cohort_day, day) AS offset_days,
+      |  COUNT(*) AS n_users
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // W12 — funnel conversion: users who viewed, then clicked after the
+  // first view, then purchased after that click, all within 3 days of the
+  // first view. Declared as three chained conditional aggregates — every
+  // stage keys on user_id, so the per-user aggregates and both joins
+  // reuse ONE hash partitioning (stage outputs are ≤ one row per user,
+  // vocabulary-sized); the final counts are one-row broadcasts. The
+  // same semantics as a per-user ordered fold, but relational — Catalyst
+  // prunes each stage's scan to its event type at the parquet reader.
+  private val w12Funnel: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 3 DAYS"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t2"), min(col("t1")).as("vt1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("vt1") + expr("INTERVAL 3 DAYS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_users"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_users"))))
+  }
+
+  private val w12Sql =
+    """WITH v AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2, MIN(t1) AS vt1
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1
+      |    AND CAST(e.ts AS TIMESTAMP) <= t1 + INTERVAL 3 DAY
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2
+      |    AND CAST(e.ts AS TIMESTAMP) <= vt1 + INTERVAL 3 DAY
+      |  GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+      |  (SELECT COUNT(*) FROM c) AS n_click_users,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase_users""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "w2_tumbling_window" -> w2Tumbling,
     "w3_sessionization" -> w3Sessions,
     "w4_carry_forward" -> w4CarryForward,
-    "w7_json_extract" -> w7JsonExtract)
+    "w7_json_extract" -> w7JsonExtract,
+    "w11_cohort_retention" -> w11Cohort,
+    "w12_funnel" -> w12Funnel)
 
   val oracles: Map[String, String] = Map(
     "w2_tumbling_window" -> w2Sql,
     "w3_sessionization" -> w3Sql,
     "w4_carry_forward" -> w4Sql,
-    "w7_json_extract" -> w7Sql)
+    "w7_json_extract" -> w7Sql,
+    "w11_cohort_retention" -> w11Sql,
+    "w12_funnel" -> w12Sql)
 }

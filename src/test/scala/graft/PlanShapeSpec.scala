@@ -305,6 +305,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("w11/w12: cohort and funnel stay vocabulary-shuffled, no cartesian") {
+    val p11 = plan("w11_cohort_retention")
+    assert("Exchange hashpartitioning".r.findAllIn(p11).size <= 3,
+      s"cohort: dedup + window + agg only:\n$p11")
+    val p12 = plan("w12_funnel")
+    assert(!p12.contains("CartesianProduct"))
+    // the only nested-loops are the two 1-row count crossJoins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p12).size <= 2,
+      s"funnel: unexpected all-pairs join:\n$p12")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     val s = spark
     val o = Tables.orders(s, dir)
