@@ -1,4 +1,10 @@
 package graft
+
+/** Dev tool: one-line physical-plan summary (exchange / join-strategy /
+  * top-k counts) per named catalog query — the quick check that a new
+  * query's plan matches its scaladoc's scale claims before it gets a
+  * PlanShapeSpec guard.
+  */
 object ExplainNew extends App {
   val spark = GraftSession.local()
   spark.sparkContext.setLogLevel("WARN")
