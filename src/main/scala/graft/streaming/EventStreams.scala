@@ -194,6 +194,64 @@ object EventStreams {
     keys.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
   }
 
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+  /** Event-time microseconds of each completed stage, oldest first. */
+  final case class FunnelProgress(times: List[Long])
+  final case class FunnelAdvance(user_id: Long, stage: Int, at_us: Long)
+
+  /** Streaming funnel tracking — the streaming twin of the batch funnel
+    * query (w12_funnel): emits `(user, stage, time)` the moment a user
+    * advances to funnel stage k, where advancing requires the stage-k
+    * event type to arrive after the previous stage's event and within
+    * `windowUs` of the FIRST stage's event. Batch recomputes the funnel
+    * from scratch per run; this maintains it continuously.
+    *
+    * State is one `FunnelProgress` per user — at most `stages.length`
+    * longs, bounded by user cardinality and never by stream length (a
+    * completed or expired funnel could additionally be dropped via a
+    * processing-time timeout; kept indefinitely here because the batch
+    * twin has no expiry either).
+    *
+    * Ordering contract matches [[asOfEnrich]]: within a batch rows sort
+    * by (ts, event_id-free tiebreak not needed — stage predicates are
+    * strict inequalities on distinct event types); across batches the
+    * per-key stream must arrive in event-time order (log/CDC replay).
+    * Null-timestamp events never advance a funnel (SQL UNKNOWN).
+    */
+  def funnel(events: Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      windowUs: Long = 3L * 24 * 3600 * 1000000L): Dataset[FunnelAdvance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[FunnelProgress]) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+          val sorted = rows.filter(_.ts != null).toSeq.sortBy(r => us(r.ts))
+          val out = Seq.newBuilder[FunnelAdvance]
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          sorted.foreach { r =>
+            val k = times.length
+            if (k < stages.length && r.event_type == stages(k)) {
+              val t = us(r.ts)
+              val admissible =
+                if (times.isEmpty) true
+                else t > times.last && t <= times.head + windowUs
+              if (admissible) {
+                times = times :+ t
+                out += FunnelAdvance(userId, times.length, t)
+              }
+            }
+          }
+          if (times.nonEmpty) state.update(FunnelProgress(times))
+          out.result().iterator
+      }
+  }
+
   /** Streaming document ingest: a file-source stream of raw texts runs the
     * SAME per-document pipeline as batch (narrow flatMap — append-safe),
     * writing fragment rows continuously. Batch and streaming share

@@ -252,6 +252,56 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming funnel matches the batch funnel counts") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.EventStreams.FunnelEvent
+
+    // batch truth: w12's one-row (n_view, n_click, n_purchase)
+    val b = SparkEntry.queries("w12_funnel")(s, dir).head()
+    val batchCounts = Seq(b.getLong(0), b.getLong(1), b.getLong(2))
+
+    // event-time-ordered replay in 4 slices (state must survive batches)
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[FunnelEvent]
+      .collect()
+      .sortBy(r => r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000L)
+    val stage = java.nio.file.Files.createTempDirectory("funnel_stream")
+    val slice = (ev.length + 3) / 4
+    ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
+      val f = stage.resolve(f"slice_$i%03d.parquet")
+      rows.toSeq.toDF().coalesce(1).write.mode("overwrite").parquet(f.toString)
+      java.nio.file.Files.walk(f).iterator()
+        .forEachRemaining(_.toFile.setLastModified(1000000L * (i + 1)))
+    }
+
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*/")
+      .as[FunnelEvent]
+    val q = graft.streaming.EventStreams.funnel(stream)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    // one advance row per (user, stage) ⇒ count per stage = batch counts
+    val streamed = s.sql(
+      "SELECT stage, COUNT(*) AS n FROM funnel_stream GROUP BY stage")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val streamCounts = (1 to 3).map(streamed.getOrElse(_, 0L))
+    assert(streamCounts == batchCounts,
+      s"stream/batch funnel divergence: $streamCounts vs $batchCounts")
+  }
+
   test("quality gate streams over documents.parquet identically to batch") {
     val s = spark
     import graft.functions.TextSketch
