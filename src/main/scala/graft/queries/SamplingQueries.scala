@@ -94,11 +94,57 @@ object SamplingQueries {
        |WHERE rn <= (n + 9) // 10
        |ORDER BY lang, doc_id""".stripMargin
 
+  // G3 — corpus mixing: upsample low-resource languages by an integer
+  // repeat factor (the training-data mixing recipe — epochs per source,
+  // not fractional sampling), then give every copy a deterministic
+  // shuffle key md5(doc_id:copy) so the training order is reproducible
+  // and uniform without a global sort (at 100 TB the trainer range-
+  // partitions on the key; the key assignment itself is narrow map
+  // work). The fan-out is explode(sequence(1, w)) — bounded by the
+  // weight table, never data-dependent. Output: per-language census of
+  // the mixed corpus with key-range witnesses, exact strings/longs.
+  private val mixWeights =
+    Seq("en" -> 1, "de" -> 2, "es" -> 2, "fr" -> 2, "zh" -> 3)
+
+  private val g3CorpusMix: Q = (s, dir) => {
+    val w = mixWeights.tail.foldLeft(
+      when(col("lang") === mixWeights.head._1, mixWeights.head._2)) {
+      case (acc, (l, n)) => acc.when(col("lang") === l, n)
+    }.otherwise(1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), w)).as("copy"))
+      .withColumn("shuffle_key",
+        md5(concat_ws(":", col("doc_id"), col("copy"))))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"),
+        min(col("shuffle_key")).as("first_key"),
+        max(col("shuffle_key")).as("last_key"))
+      .orderBy(col("lang"))
+  }
+
+  private val g3Sql = {
+    val cases = mixWeights
+      .map { case (l, n) => s"WHEN lang = '$l' THEN $n" }.mkString(" ")
+    s"""SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_copies,
+       |  MIN(shuffle_key) AS first_key, MAX(shuffle_key) AS last_key
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    md5(doc_id || ':' || copy) AS shuffle_key
+       |  FROM (SELECT doc_id, lang,
+       |          UNNEST(range(1, (CASE $cases ELSE 1 END) + 1)) AS copy
+       |        FROM documents))
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
     "g1_hash_split" -> g1HashSplit,
-    "g2_stratified_sample" -> g2StratifiedSample)
+    "g2_stratified_sample" -> g2StratifiedSample,
+    "g3_corpus_mix" -> g3CorpusMix)
 
   def oracles: Map[String, String] = Map(
     "g1_hash_split" -> g1Sql,
-    "g2_stratified_sample" -> g2Sql)
+    "g2_stratified_sample" -> g2Sql,
+    "g3_corpus_mix" -> g3Sql)
 }
