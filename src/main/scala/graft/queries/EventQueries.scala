@@ -179,7 +179,12 @@ object EventQueries {
   // same semantics as a per-user ordered fold, but relational — Catalyst
   // prunes each stage's scan to its event type at the parquet reader.
   private val w12Funnel: Q = (s, dir) => {
+    // null-ts events never enter the funnel (stated, not incidental: a
+    // user whose only views carry null ts would otherwise count as a
+    // view user here but could never advance — and the streaming twin,
+    // which drops null-ts rows before its fold, would disagree)
     val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_type"), col("ts"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
@@ -202,7 +207,8 @@ object EventQueries {
   private val w12Sql =
     """WITH v AS (
       |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
-      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |  FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+      |  GROUP BY 1),
       |c AS (
       |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2, MIN(t1) AS vt1
       |  FROM events e JOIN v ON e.user_id = v.user_id

@@ -15,6 +15,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Event-time microseconds of a (non-null) timestamp — `getTime` alone
+    * truncates to milliseconds, which would diverge from the batch twins'
+    * `unix_micros`. Shared by every stateful operator here AND by the
+    * equivalence specs' replay ordering, so operator and test always read
+    * the same clock.
+    */
+  private[graft] def eventTimeMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+
   /** Watermarked tumbling-window aggregation — streaming twin of
     * w2_tumbling_window. Append mode emits only closed windows.
     */
@@ -50,10 +59,6 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          // full microsecond precision (getTime alone truncates to ms,
-          // which would diverge from the batch twin's unix_micros)
-          def us(t: java.sql.Timestamp): Long =
-            t.getTime * 1000L + (t.getNanos / 1000) % 1000L
 
           if (state.hasTimedOut) {
             val s = state.get
@@ -62,11 +67,11 @@ object EventStreams {
               (s.lastTs - s.sessionStart) / 1000000L))
           } else {
             // micro-batch arrival order is not event-time order: sort batch
-            val sorted = rows.toSeq.sortBy(r => (us(r.ts), r.event_id))
+            val sorted = rows.toSeq.sortBy(r => (eventTimeMicros(r.ts), r.event_id))
             val closed = Seq.newBuilder[SessionOut]
             var cur = state.getOption
             sorted.foreach { r =>
-              val t = us(r.ts)
+              val t = eventTimeMicros(r.ts)
               cur match {
                 case Some(s) if t - s.lastTs > gapUs =>
                   closed += SessionOut(userId, s.sessionStart, s.lastTs,
@@ -128,15 +133,13 @@ object EventStreams {
       .flatMapGroupsWithState[AsOfCarry, AsOfOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[AsOfCarry]) =>
-          def us(t: java.sql.Timestamp): Long =
-            t.getTime * 1000L + (t.getNanos / 1000) % 1000L
           // NULL-time semantics match the batch operator (SQL UNKNOWN):
           // null-time rights never enter the carry; null-time lefts emit
           // with a null payload instead of inheriting the carry
           val (timed, nullTs) = rows.toSeq.partition(_.ts != null)
           // rights (side 0) before lefts at equal ts ⇒ inclusive backward;
           // equal-ts rights ascend by event_id ⇒ last update = greatest id
-          val sorted = timed.sortBy(r => (us(r.ts), r.side, r.event_id))
+          val sorted = timed.sortBy(r => (eventTimeMicros(r.ts), r.side, r.event_id))
           val out = Seq.newBuilder[AsOfOut]
           nullTs.foreach { r =>
             if (r.side == 1) out += AsOfOut(r.event_id, userId, None, None)
@@ -144,7 +147,7 @@ object EventStreams {
           var carry = state.getOption
           sorted.foreach { r =>
             if (r.side == 0) {
-              val t = us(r.ts)
+              val t = eventTimeMicros(r.ts)
               if (carry.forall(c => t > c.tsUs ||
                   (t == c.tsUs && r.event_id > c.event_id)))
                 carry = Some(AsOfCarry(t, r.event_id, r.value))
@@ -217,7 +220,9 @@ object EventStreams {
     * by (ts, event_id-free tiebreak not needed — stage predicates are
     * strict inequalities on distinct event types); across batches the
     * per-key stream must arrive in event-time order (log/CDC replay).
-    * Null-timestamp events never advance a funnel (SQL UNKNOWN).
+    * Null-timestamp events never enter a funnel (SQL UNKNOWN) — the batch
+    * twin (w12_funnel) states the same `ts IS NOT NULL` rule, so the two
+    * agree even on corpora with null event times.
     */
   def funnel(events: Dataset[FunnelEvent],
       stages: Seq[String] = Seq("view", "click", "purchase"),
@@ -229,15 +234,13 @@ object EventStreams {
       .flatMapGroupsWithState[FunnelProgress, FunnelAdvance](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[FunnelProgress]) =>
-          def us(t: java.sql.Timestamp): Long =
-            t.getTime * 1000L + (t.getNanos / 1000) % 1000L
-          val sorted = rows.filter(_.ts != null).toSeq.sortBy(r => us(r.ts))
+          val sorted = rows.filter(_.ts != null).toSeq.sortBy(r => eventTimeMicros(r.ts))
           val out = Seq.newBuilder[FunnelAdvance]
           var times = state.getOption.map(_.times).getOrElse(Nil)
           sorted.foreach { r =>
             val k = times.length
             if (k < stages.length && r.event_type == stages(k)) {
-              val t = us(r.ts)
+              val t = eventTimeMicros(r.ts)
               val admissible =
                 if (times.isEmpty) true
                 else t > times.last && t <= times.head + windowUs

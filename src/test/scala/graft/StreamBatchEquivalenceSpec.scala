@@ -131,8 +131,10 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("value"))
       .as[AsOfEvent]
       .collect()
-      .sortBy(r => (r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000L,
-        r.side, r.event_id))
+      // null-ts rows would break the replay's event-time sort; their
+      // semantics are pinned by the dedicated MemoryStream test below
+      .filter(_.ts != null)
+      .sortBy(r => (EventStreams.eventTimeMicros(r.ts), r.side, r.event_id))
     val stage = java.nio.file.Files.createTempDirectory("asof_stream")
     val slice = (ev.length + 3) / 4
     ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
@@ -267,7 +269,8 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[FunnelEvent]
       .collect()
-      .sortBy(r => r.ts.getTime * 1000L + (r.ts.getNanos / 1000) % 1000L)
+      .filter(_.ts != null) // null-ts events never enter a funnel
+      .sortBy(r => EventStreams.eventTimeMicros(r.ts))
     val stage = java.nio.file.Files.createTempDirectory("funnel_stream")
     val slice = (ev.length + 3) / 4
     ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
@@ -300,6 +303,30 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamCounts = (1 to 3).map(streamed.getOrElse(_, 0L))
     assert(streamCounts == batchCounts,
       s"stream/batch funnel divergence: $streamCounts vs $batchCounts")
+  }
+
+  test("streaming funnel drops null-ts events like the batch twin") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.EventStreams.FunnelEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = graft.streaming.EventStreams.funnel(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_null")
+      .outputMode("append").start()
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    try {
+      mem.addData(
+        FunnelEvent(1L, null, "view"),     // null-ts: never enters
+        FunnelEvent(2L, ts(100), "view"),  // advances to stage 1
+        FunnelEvent(2L, ts(200), "click")) // advances to stage 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = s.sql("SELECT user_id, stage FROM funnel_null")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows == Set((2L, 1), (2L, 2)),
+      s"null-ts funnel semantics diverged: $rows")
   }
 
   test("quality gate streams over documents.parquet identically to batch") {
