@@ -224,6 +224,33 @@ object EventStreams {
     * twin (w12_funnel) states the same `ts IS NOT NULL` rule, so the two
     * agree even on corpora with null event times.
     */
+  /** One micro-batch of the per-user funnel fold, pure: `times` is the
+    * completed-stage times so far, `batch` the user's (event-time, type)
+    * rows of this batch in event-time order. Returns the new state and
+    * the (stage, time) advances to emit. Factored out of [[funnel]] so
+    * the property suite drives the EXACT production fold against an
+    * independent naive oracle across arbitrary batch splits.
+    */
+  private[graft] def funnelFold(times: List[Long],
+      batch: Seq[(Long, String)], stages: Seq[String], windowUs: Long)
+      : (List[Long], Seq[(Int, Long)]) = {
+    val out = Seq.newBuilder[(Int, Long)]
+    var ts = times
+    batch.foreach { case (t, tpe) =>
+      val k = ts.length
+      if (k < stages.length && tpe == stages(k)) {
+        val admissible =
+          if (ts.isEmpty) true
+          else t > ts.last && t <= ts.head + windowUs
+        if (admissible) {
+          ts = ts :+ t
+          out += ((ts.length, t))
+        }
+      }
+    }
+    (ts, out.result())
+  }
+
   def funnel(events: Dataset[FunnelEvent],
       stages: Seq[String] = Seq("view", "click", "purchase"),
       windowUs: Long = 3L * 24 * 3600 * 1000000L): Dataset[FunnelAdvance] = {
@@ -234,24 +261,15 @@ object EventStreams {
       .flatMapGroupsWithState[FunnelProgress, FunnelAdvance](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[FunnelProgress]) =>
-          val sorted = rows.filter(_.ts != null).toSeq.sortBy(r => eventTimeMicros(r.ts))
-          val out = Seq.newBuilder[FunnelAdvance]
-          var times = state.getOption.map(_.times).getOrElse(Nil)
-          sorted.foreach { r =>
-            val k = times.length
-            if (k < stages.length && r.event_type == stages(k)) {
-              val t = eventTimeMicros(r.ts)
-              val admissible =
-                if (times.isEmpty) true
-                else t > times.last && t <= times.head + windowUs
-              if (admissible) {
-                times = times :+ t
-                out += FunnelAdvance(userId, times.length, t)
-              }
-            }
-          }
+          val sorted = rows.filter(_.ts != null).toSeq
+            .map(r => (eventTimeMicros(r.ts), r.event_type))
+            .sortBy(_._1)
+          val (times, advances) = funnelFold(
+            state.getOption.map(_.times).getOrElse(Nil),
+            sorted, stages, windowUs)
           if (times.nonEmpty) state.update(FunnelProgress(times))
-          out.result().iterator
+          advances.iterator
+            .map { case (stage, t) => FunnelAdvance(userId, stage, t) }
       }
   }
 

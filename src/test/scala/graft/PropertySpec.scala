@@ -219,4 +219,52 @@ class PropertySpec extends AnyFunSuite {
       assert(Ivf.nearestLists(sample(0), q1, 1).size <= lists.size)
     }
   }
+
+  test("funnel fold: batch-split invariance + naive-oracle agreement") {
+    import graft.streaming.EventStreams.funnelFold
+    val stages = Seq("view", "click", "purchase")
+    val windowUs = 100L
+    // small time domain forces ties; random types include non-stage noise
+    val evGen: Gen[List[(Long, String)]] = Gen.chooseNum(0, 40).flatMap { n =>
+      Gen.listOfN(n, for {
+        t <- Gen.chooseNum(0L, 300L)
+        tpe <- Gen.oneOf("view", "click", "purchase", "error", "signup")
+      } yield (t, tpe))
+    }.map(_.sortBy(_._1))
+
+    // independent naive semantics (the batch CTE chain, computed directly):
+    // t1 = min view; t2 = min click in (t1, t1+w]; t3 = min purchase in
+    // (t2, t1+w]
+    def naive(ev: List[(Long, String)]): List[Long] = {
+      def minOf(tpe: String, p: Long => Boolean): Option[Long] =
+        ev.collect { case (t, `tpe`) if p(t) => t }.minOption
+      val t1 = minOf("view", _ => true)
+      val t2 = t1.flatMap(a => minOf("click", t => t > a && t <= a + windowUs))
+      val t3 = for {
+        a <- t1; b <- t2
+        c <- minOf("purchase", t => t > b && t <= a + windowUs)
+      } yield c
+      List(t1, t2, t3).flatten
+    }
+
+    forAll(evGen, Gen.chooseNum(1, 5)) { (ev, nSplits) =>
+      // one-shot fold == naive reference
+      val (oneShot, advances) = funnelFold(Nil, ev, stages, windowUs)
+      assert(oneShot == naive(ev), s"fold vs naive on $ev")
+      // advances replay the state transitions exactly
+      assert(advances.map(_._2).toList == oneShot)
+      assert(advances.map(_._1).toList == (1 to oneShot.length).toList)
+      // arbitrary event-time-ordered batch splits reach the same state
+      // with the same total advances (the streaming replay property)
+      val slice = math.max(1, (ev.length + nSplits - 1) / nSplits)
+      val (split, splitAdv) = ev.grouped(slice)
+        .foldLeft((List.empty[Long], Seq.empty[(Int, Long)])) {
+          case ((st, acc), batch) =>
+            val (st2, adv) = funnelFold(st, batch, stages, windowUs)
+            (st2, acc ++ adv)
+        }
+      assert(split == oneShot && splitAdv == advances,
+        s"batch-split divergence on $ev with $nSplits splits")
+    }
+  }
 }
