@@ -305,7 +305,64 @@ object DedupQueries {
     s"""SELECT doc_id, ${duck.charFingerprint("text", 16)} AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // D9 — cross-document duplicated-text fraction (the CCNet/RefinedWeb
+  // shard-dedup measure): for every document, the fraction of its
+  // distinct word 4-grams that also appear in at least one OTHER
+  // document, plus the drop decision at the 30% threshold. Unlike x8
+  // (repetition WITHIN a doc) and x10 (overlap against a small benchmark
+  // set), the gram census here is corpus×corpus, so nothing broadcasts:
+  // the plan is distinct (doc, gram) pairs [one shuffle on (doc, gram),
+  // pre-deduped map-side], a gram-keyed census reusing a gram shuffle,
+  // a join back on the SAME gram partitioning, and a per-doc agg — the
+  // sharded-hash-partition recipe CCNet runs at web scale. Census rows
+  // are vocabulary-sized; boilerplate grams are the skew unit and AQE
+  // skew-split handles the join. The fraction divides two exact longs
+  // once (IEEE-identical on both engines).
+  private val CrossN = 4
+
+  private val d9CrossdocGrams: Q = (s, dir) => {
+    // both the census and the join-back consume this stage — memoized so
+    // the corpus is shingled once (at 100 TB it is a write-time table,
+    // like the signature stage). A window-count over gram partitions
+    // would drop the join entirely but serializes each gram's rows onto
+    // one task — boilerplate grams make that the skew bottleneck, while
+    // the census join AQE skew-splits.
+    val dg = StageCache.getOrCache(s, s"crossdoc_grams:$dir") {
+      Tables.spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"),
+          explode(TextSketch.shingles(col("text"), CrossN)).as("g"))
+        .distinct()
+    }
+    val census = dg.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"))
+    dg.join(census, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_grams").cast("double"))
+          .as("shared_fraction"),
+        (col("n_shared") * 10 >= col("n_grams") * 3).as("would_drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d9Sql = {
+    val sh = TextSketch.duck.shingles(TextSketch.duck.words("text"), CrossN)
+    s"""WITH dg AS (
+       |  SELECT DISTINCT doc_id, unnest($sh) AS g FROM documents),
+       |census AS (SELECT g, COUNT(*) AS nd FROM dg GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS shared_fraction,
+       |  SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 10 >= COUNT(*) * 3
+       |    AS would_drop
+       |FROM dg JOIN census USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d9_crossdoc_grams" -> d9CrossdocGrams,
     "d1_exact_dedup" -> d1Exact,
     "d2_minhash_sig" -> d2MinhashSig,
     "d3_minhash_lsh_pairs" -> d3LshPairs,
@@ -316,6 +373,7 @@ object DedupQueries {
     "d8_dedup_keep" -> d8DedupKeep)
 
   val oracles: Map[String, String] = Map(
+    "d9_crossdoc_grams" -> d9Sql,
     "d7_dup_clusters" -> d7Sql,
     "d8_dedup_keep" -> d8Sql,
     "d1_exact_dedup" -> d1Sql,

@@ -316,6 +316,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"funnel: unexpected all-pairs join:\n$p12")
   }
 
+  test("d9: corpus-wide gram census joins on gram keys, never all-pairs") {
+    val p = plan("d9_crossdoc_grams")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-doc census degenerated to an all-pairs join:\n$p")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     val s = spark
     val o = Tables.orders(s, dir)
