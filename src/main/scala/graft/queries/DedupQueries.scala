@@ -321,18 +321,19 @@ object DedupQueries {
   private val CrossN = 4
 
   private val d9CrossdocGrams: Q = (s, dir) => {
-    // both the census and the join-back consume this stage — memoized so
-    // the corpus is shingled once (at 100 TB it is a write-time table,
-    // like the signature stage). A window-count over gram partitions
-    // would drop the join entirely but serializes each gram's rows onto
-    // one task — boilerplate grams make that the skew bottleneck, while
-    // the census join AQE skew-splits.
-    val dg = StageCache.getOrCache(s, s"crossdoc_grams:$dir") {
-      Tables.spread(s, Tables.documents(s, dir))
-        .select(col("doc_id"),
-          explode(TextSketch.shingles(col("text"), CrossN)).as("g"))
-        .distinct()
-    }
+    // both the census and the join-back consume this subtree; it is NOT
+    // StageCache'd — building an in-memory columnar cache of ~n_grams
+    // string rows costs more than the second computation (measured 3×
+    // slower end-to-end at sf0.1), and the shuffle files of the distinct
+    // already persist for the run, so the planner reuses the exchange.
+    // At 100 TB the pair set is a write-time table. A window-count over
+    // gram partitions would drop the census join entirely but serializes
+    // each gram's rows onto one task — boilerplate grams make that the
+    // skew bottleneck, while the census join AQE skew-splits.
+    val dg = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        explode(TextSketch.shingles(col("text"), CrossN)).as("g"))
+      .distinct()
     val census = dg.groupBy(col("g"))
       .agg(count(lit(1)).as("nd"))
     dg.join(census, "g")

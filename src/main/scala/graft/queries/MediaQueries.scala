@@ -179,6 +179,50 @@ object MediaQueries {
       .toDF("variant", "recall_at_10", "shortlist", "compression_ratio")
   }
 
+  // v9 — IVFPQ composition self-check: the 100 TB search shape end to
+  // end. IVF decides WHICH rows to scan (nprobe-pruned list partitions),
+  // PQ shrinks WHAT the scan reads (byte codes for ADC scoring), and an
+  // exact re-rank of the shortlist finishes. Per probe depth the query
+  // reports recall@10 vs the exact scan and the scanned-row fraction.
+  // Scan fraction is monotone in nprobe; recall at a FIXED shortlist is
+  // not — probing all lists admits every ADC-distortion distractor into
+  // the 50-row shortlist and converges exactly to flat PQ (v7's
+  // rerank_50), while a tight probe pre-filters distractors by true
+  // geometry (measured at sf0.01: nprobe 1/4/16 → recall 0.9/1.0/0.7
+  // at 7%/26%/100% scan; 0.7 = v7's flat rerank_50). That interplay —
+  // shortlist must grow with probed volume — is the real IVFPQ tuning
+  // rule, and this query is the regression guard that documents it.
+  // Training is deterministic (seedless k-means over a sorted sample),
+  // so the driver's rows-only check is stable.
+  private val v9IvfPqRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val sample = e.orderBy(col("vec_id")).limit(1024)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val q = Ivf.train(sample, k = 16, iters = 5)
+    val cb = Pq.train(sample, m = 8, ksub = 16)
+    val index = StageCache.getOrCache(s, s"ivfpq_index:$dir") {
+      Pq.encode(Ivf.buildIndex(e, q), cb)
+    }
+    val query = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val exact = graft.search.VectorSearch
+      .knn(e, query, 10, vectorCol = "vector", tieBreak = "vec_id")
+      .select(col("vec_id")).as[Long].collect().toSet
+    val n = e.count().toDouble
+    val rows = Seq(1, 4, 16).map { nprobe =>
+      val lists = Ivf.nearestLists(query, q, nprobe)
+      val probed = index.filter(col("list_id").isin(lists: _*))
+      val hits = Pq.searchCosine(probed, query, cb, 10,
+          shortlist = 50, tieBreak = "vec_id")
+        .select(col("vec_id")).as[Long].collect().toSet
+      (nprobe.toLong, hits.intersect(exact).size.toDouble / exact.size,
+        probed.count() / n)
+    }
+    rows.toDF("nprobe", "recall_at_10", "scan_fraction")
+  }
+
   // v8 — scalar-quantization (SQ8) self-check: 4× compressed per-dimension
   // byte codes ([[graft.search.Sq]] — a uniform-grid PQ codebook shape, so
   // encode/ADC/search reuse the PQ machinery and its vector-free scan).
@@ -219,6 +263,7 @@ object MediaQueries {
 
   val defs: Map[String, Q] = Map(
     "v8_sq_recall" -> v8SqRecall,
+    "v9_ivfpq_recall" -> v9IvfPqRecall,
     "m1_media_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
     "v5_ann_recall" -> v5AnnRecall,
