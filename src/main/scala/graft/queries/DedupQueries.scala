@@ -321,18 +321,23 @@ object DedupQueries {
   private val CrossN = 4
 
   private val d9CrossdocGrams: Q = (s, dir) => {
-    // both the census and the join-back consume this subtree; it is NOT
-    // StageCache'd — building an in-memory columnar cache of ~n_grams
-    // string rows costs more than the second computation (measured 3×
-    // slower end-to-end at sf0.1), and the shuffle files of the distinct
-    // already persist for the run, so the planner reuses the exchange.
-    // At 100 TB the pair set is a write-time table. A window-count over
-    // gram partitions would drop the census join entirely but serializes
-    // each gram's rows onto one task — boilerplate grams make that the
-    // skew bottleneck, while the census join AQE skew-splits.
+    // grams reduce to 60-bit md5-prefix keys BEFORE the first shuffle:
+    // every downstream stage (distinct, census, join) moves 8-byte longs
+    // instead of ~25-byte gram strings, and because BOTH engines compute
+    // the identical md5, even a (≈2⁻³⁸ at 10⁶ grams) collision changes
+    // both sides the same way — the compare never flaps. Both the census
+    // and the join-back consume this subtree; it is NOT StageCache'd —
+    // building an in-memory columnar cache of ~n_grams rows costs more
+    // than the second computation (measured 3× slower end-to-end at
+    // sf0.1), and the distinct's canonical exchange is reused within the
+    // plan. At 100 TB the pair set is a write-time table. A window-count
+    // over gram partitions would drop the census join entirely but
+    // serializes each gram's rows onto one task — boilerplate grams make
+    // that the skew bottleneck, while the census join AQE skew-splits.
     val dg = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"),
-        explode(TextSketch.shingles(col("text"), CrossN)).as("g"))
+        explode(TextSketch.shingles(col("text"), CrossN)).as("gs"))
+      .select(col("doc_id"), TextSketch.hexInt(col("gs")).as("g"))
       .distinct()
     val census = dg.groupBy(col("g"))
       .agg(count(lit(1)).as("nd"))
@@ -350,7 +355,8 @@ object DedupQueries {
   private val d9Sql = {
     val sh = TextSketch.duck.shingles(TextSketch.duck.words("text"), CrossN)
     s"""WITH dg AS (
-       |  SELECT DISTINCT doc_id, unnest($sh) AS g FROM documents),
+       |  SELECT DISTINCT doc_id, ${TextSketch.duck.hexInt("g")} AS g
+       |  FROM (SELECT doc_id, unnest($sh) AS g FROM documents)),
        |census AS (SELECT g, COUNT(*) AS nd FROM dg GROUP BY 1)
        |SELECT doc_id, COUNT(*) AS n_grams,
        |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
