@@ -68,6 +68,34 @@ object Cli {
         mergeWrite("fragments", r.fragments.toDF())
         mergeWrite("parents", r.parents.toDF())
         mergeWrite("embeddings", r.embeddings.toDF())
+        // keep any persisted ANN index consistent with the new embeddings —
+        // incrementally: the frozen quantizer/codebook re-encodes only this
+        // batch and only the affected list partitions rewrite
+        // ([[graft.search.IndexMaintenance]]), never the whole index
+        val quantizerPath = s"$tablesDir/ivf_quantizer.txt"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(quantizerPath))) {
+          val q = graft.search.Ivf.load(quantizerPath)
+          def refreshIndex(name: String,
+              encode: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tablesDir/$name"))) {
+              val st = graft.search.IndexMaintenance.updateIndex(
+                spark, s"$tablesDir/$name", r.embeddings.toDF(), encode)
+              println(s"[reingest] $name: rewrote ${st.affectedLists.size} " +
+                s"lists (${st.rewrittenRows} rows)")
+            }
+          refreshIndex("embeddings_ivf", graft.search.Ivf.buildIndex(_, q))
+          Seq(("embeddings_ivfpq", "pq_codebook.txt"),
+            ("embeddings_ivfsq", "sq_codebook.txt")).foreach {
+            case (name, cbFile) =>
+              if (java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(s"$tablesDir/$cbFile"))) {
+                val cb = graft.search.Pq.load(s"$tablesDir/$cbFile")
+                refreshIndex(name,
+                  df => graft.search.Pq.encode(
+                    graft.search.Ivf.buildIndex(df, q), cb))
+              }
+          }
+        }
         println(s"[reingest] replaced ${files.length} documents; " +
           s"fragments now ${spark.read.parquet(s"$tablesDir/fragments").count()}")
         r.release()

@@ -23,6 +23,11 @@ object TableSwap {
         .foreach(Files.deleteIfExists(_))
   }
 
+  /** Recursive delete (no-op when absent) — shared with the partition-level
+    * swaps in [[graft.search.IndexMaintenance]].
+    */
+  def rmTreeAt(path: String): Unit = rmTree(Paths.get(path))
+
   /** Roll a table out of any half-finished prior swap. Returns a human-
     * readable action description for logging, None when nothing to do.
     */

@@ -225,7 +225,91 @@ object EventQueries {
       |  (SELECT COUNT(*) FROM c) AS n_click_users,
       |  (SELECT COUNT(*) FROM p) AS n_purchase_users""".stripMargin
 
+  // W13 — sliding 7-day distinct-user window (DAU / WAU / stickiness).
+  // The naive form is a range self-join — every output day re-joined
+  // against 7 days of raw events — which re-scans the fact table per day
+  // at 100 TB. Declared instead as a bounded explode: each distinct
+  // (user, day) activity pair emits its ≤7 covered window-ends, so the
+  // fan-out is a constant ×7 on the vocabulary-sized activity grid,
+  // never on raw events. The per-(window, user) agg both dedups the
+  // fan-out AND folds the active-today flag, so the final DAU/WAU are
+  // plain COUNT/SUM over unique rows — no COUNT(DISTINCT) anywhere.
+  // Window-ends with no observed activity day are dropped by a broadcast
+  // semi-join against the (tiny) observed-day list; stickiness divides
+  // two exact longs once (IEEE-identical on both engines).
+  private val w13Sliding: Q = (s, dir) => {
+    val ud = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val days = ud.select(col("day").as("wday")).distinct()
+    ud.select(col("user_id"), col("day"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"))
+      .join(broadcast(days), Seq("wday"), "left_semi")
+      .groupBy(col("wday"), col("user_id"))
+      .agg(max(when(col("day") === col("wday"), 1).otherwise(0))
+        .as("active_today"))
+      .groupBy(col("wday"))
+      .agg(count(lit(1)).as("wau7"),
+        sum(col("active_today")).cast("long").as("dau1"))
+      .select(col("wday"), col("dau1"), col("wau7"),
+        (col("dau1").cast("double") / col("wau7").cast("double"))
+          .as("stickiness"))
+      .orderBy(col("wday"))
+  }
+
+  private val w13Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events WHERE ts IS NOT NULL),
+      |days AS (SELECT DISTINCT day AS wday FROM ud)
+      |SELECT d.wday,
+      |  COUNT(DISTINCT CASE WHEN u.day = d.wday THEN u.user_id END) AS dau1,
+      |  COUNT(DISTINCT u.user_id) AS wau7,
+      |  COUNT(DISTINCT CASE WHEN u.day = d.wday THEN u.user_id END)::DOUBLE /
+      |    COUNT(DISTINCT u.user_id)::DOUBLE AS stickiness
+      |FROM days d JOIN ud u ON u.day BETWEEN d.wday - 6 AND d.wday
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // W14 — event-type transition census (the Markov-chain edge table used
+  // for next-event modeling): each event pairs with the SAME user's next
+  // event by time via one lead window, then (from, to) edges are counted
+  // and normalized into transition probabilities. One user_id shuffle
+  // powers the window; everything after it lands on the |types|² edge
+  // vocabulary, so the census and the per-source normalization window
+  // are broadcast-sized. The probability divides two exact longs once.
+  private val w14Transitions: Q = (s, dir) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type")))
+          .cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val w14Sql =
+    """WITH nx AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      |  FROM events WHERE ts IS NOT NULL),
+      |edges AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  n::DOUBLE / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM edges ORDER BY from_type, to_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w13_sliding_active" -> w13Sliding,
+    "w14_transitions" -> w14Transitions,
     "w2_tumbling_window" -> w2Tumbling,
     "w3_sessionization" -> w3Sessions,
     "w4_carry_forward" -> w4CarryForward,
@@ -234,6 +318,8 @@ object EventQueries {
     "w12_funnel" -> w12Funnel)
 
   val oracles: Map[String, String] = Map(
+    "w13_sliding_active" -> w13Sql,
+    "w14_transitions" -> w14Sql,
     "w2_tumbling_window" -> w2Sql,
     "w3_sessionization" -> w3Sql,
     "w4_carry_forward" -> w4Sql,

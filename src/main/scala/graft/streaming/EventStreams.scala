@@ -175,6 +175,33 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_digest")
 
+  /** Sliding-window distinct active users — streaming twin of
+    * w13_sliding_active (WAU side; the dedup state keeps one row per
+    * (window, user), which erases WHICH day inside the window a user was
+    * first seen, so the DAU/stickiness split stays batch-side). Two
+    * chained stateful operators: a watermarked dropDuplicates on
+    * (user_id, window) — the streaming analog of the batch twin's
+    * per-(window, user) dedup agg, state bounded by users × open
+    * windows — then a per-window count emitted when the watermark closes
+    * the window. The ×(width/slide) fan-out happens at window
+    * assignment, the same constant the batch twin pays in its explode;
+    * no COUNT(DISTINCT) and no collect_set ever materializes a user set.
+    */
+  def slidingActive(events: DataFrame, watermark: String = "1 day",
+      width: String = "7 days", slide: String = "1 day"): DataFrame =
+    events
+      // null-ts rows never enter (same stated rule as the batch twin and
+      // the funnel: event-time operators agree on dropping null times)
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"),
+        window(col("ts"), width, slide).as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wau"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("wau"))
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * [[graft.operators.RangeJoin.timeBand]]: pairs (l, r) with equal keys
     * and `r.time ∈ (l.time, l.time + upper]`. Spark keeps both sides in

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.search.{IndexMaintenance, Ivf}
+import graft.sources.TableLayout
+
+/** Incremental ANN index maintenance: an update with a frozen quantizer
+  * must land exactly where a full rebuild would, while touching only the
+  * affected list partitions (untouched partition files stay byte-named
+  * identical — the 100 TB property: absorbing a delta batch costs
+  * O(delta), not O(corpus)).
+  */
+class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("idx-maint")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    graft.ingest.TableSwap.rmTreeAt(dir.toString)
+  }
+
+  /** Deterministic fake embedding rows: doc -> fragments with 4-d vectors
+    * clustered by the doc's numeric suffix so different docs land in
+    * different IVF lists.
+    */
+  private def rows(docs: Seq[(String, Int, Float)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    docs.flatMap { case (doc, nFrags, base) =>
+      (0 until nFrags).map { i =>
+        (doc, s"$doc-f$i", Array(base + i * 0.01f, base, 1.0f, 0.5f))
+      }
+    }.toDF("document_id", "fragment_id", "vector")
+  }
+
+  /** Quantizer with one known centroid per base value — assignment is then
+    * exactly nearest-base, so the spec controls which doc lands in which
+    * list (training determinism is covered by AnnStreamingMediaSpec).
+    */
+  private def quant(bases: Float*): Ivf.Quantizer = {
+    val dim = 4
+    val flat = new Array[Float](bases.length * dim)
+    bases.zipWithIndex.foreach { case (b, c) =>
+      flat(c * dim) = b; flat(c * dim + 1) = b
+      flat(c * dim + 2) = 1f; flat(c * dim + 3) = 0.5f
+    }
+    Ivf.Quantizer(bases.length, dim, flat)
+  }
+
+  private def asSet(df: DataFrame): Set[(String, String, Int)] =
+    df.select(col("document_id"), col("fragment_id"), col("list_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+
+  test("incremental update equals full rebuild; untouched lists not rewritten") {
+    val base = rows(Seq(("a", 3, 0f), ("b", 2, 10f), ("c", 2, 20f)))
+    val q = quant(0f, 10f, 20f)
+    val path = s"$dir/ivf_base"
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(base, q), path, "list_id", Seq("fragment_id"))
+
+    // record the untouched list's file names: doc c's cluster must survive
+    // the update byte-for-byte (nothing reads or rewrites it)
+    val cList = Ivf.buildIndex(rows(Seq(("c", 1, 20f))), q)
+      .select(col("list_id")).head().getInt(0)
+    def filesOf(list: Int): Set[String] = {
+      val p = Paths.get(path, s"list_id=$list")
+      import scala.jdk.CollectionConverters._
+      Files.list(p).iterator().asScala.map(_.getFileName.toString).toSet
+    }
+    val cFilesBefore = filesOf(cList)
+
+    // replace doc a (different vectors => possibly different lists) and
+    // add a brand-new doc d in a cluster of its own
+    val delta = rows(Seq(("a", 2, 10.5f), ("d", 2, 0.2f)))
+    val st = IndexMaintenance.updateIndex(
+      spark, path, delta, Ivf.buildIndex(_, q))
+    assert(st.incomingRows == 4)
+    assert(!st.affectedLists.contains(cList),
+      "doc c's list must not be touched by an a/d update")
+    assert(filesOf(cList) == cFilesBefore,
+      "untouched partition files must be byte-named identical")
+
+    // ground truth: full rebuild of the merged corpus with the same quantizer
+    val merged = rows(Seq(("b", 2, 10f), ("c", 2, 20f),
+      ("a", 2, 10.5f), ("d", 2, 0.2f)))
+    val expected = asSet(Ivf.buildIndex(merged, q))
+    assert(asSet(spark.read.parquet(path)) == expected)
+  }
+
+  test("update that empties a list leaves a readable index") {
+    val base = rows(Seq(("a", 2, 0f), ("b", 2, 30f)))
+    val q = quant(0f, 30f)
+    val path = s"$dir/ivf_empty"
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(base, q), path, "list_id", Seq("fragment_id"))
+
+    // move doc a into doc b's cluster: a's old list becomes empty
+    val st = IndexMaintenance.updateIndex(
+      spark, path, rows(Seq(("a", 1, 30.5f))), Ivf.buildIndex(_, q))
+    assert(st.affectedLists.size == 2)
+    val after = spark.read.parquet(path)
+    assert(after.count() == 3)
+    assert(after.select(col("list_id")).distinct().count() == 1)
+  }
+
+  test("idempotent: re-running the same update batch is a no-op on content") {
+    val base = rows(Seq(("a", 2, 0f), ("b", 2, 30f)))
+    val q = quant(0f, 30f)
+    val path = s"$dir/ivf_idem"
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(base, q), path, "list_id", Seq("fragment_id"))
+    val delta = rows(Seq(("a", 3, 0.3f)))
+    IndexMaintenance.updateIndex(spark, path, delta, Ivf.buildIndex(_, q))
+    val first = asSet(spark.read.parquet(path))
+    IndexMaintenance.updateIndex(spark, path, delta, Ivf.buildIndex(_, q))
+    assert(asSet(spark.read.parquet(path)) == first)
+  }
+
+  test("recover heals a torn partition swap (live moved aside, crash)") {
+    val base = rows(Seq(("a", 2, 0f), ("b", 2, 30f)))
+    val q = quant(0f, 30f)
+    val path = s"$dir/ivf_recover"
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(base, q), path, "list_id", Seq("fragment_id"))
+    val before = asSet(spark.read.parquet(path))
+    val list = before.head._3
+
+    // simulate the crash window between "live -> .old" and "staging ->
+    // live": the partition exists only as .old — recovery must roll back
+    Files.move(Paths.get(path, s"list_id=$list"),
+      Paths.get(path, s"list_id=$list.old"))
+    val actions = IndexMaintenance.recover(path)
+    assert(actions.nonEmpty)
+    assert(asSet(spark.read.parquet(path)) == before)
+  }
+}

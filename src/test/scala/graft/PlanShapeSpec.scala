@@ -316,6 +316,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"funnel: unexpected all-pairs join:\n$p12")
   }
 
+  test("w13/w14: sliding-active and transitions avoid expand and self-join") {
+    // w13's whole point is NO COUNT(DISTINCT): the per-(window, user) agg
+    // dedups, so no Expand node and no range self-join may appear
+    val p13 = plan("w13_sliding_active")
+    assert(!p13.contains("Expand"),
+      s"w13 must not plan a distinct-agg Expand:\n$p13")
+    assert(!p13.contains("CartesianProduct") &&
+      !p13.contains("BroadcastNestedLoopJoin"),
+      s"w13 must not plan a range self-join:\n$p13")
+    // w14: one user_id hash shuffle feeds the lead window; the edge census
+    // and normalization live on the tiny edge vocabulary
+    val p14 = plan("w14_transitions")
+    assert(!p14.contains("Join"), s"w14 should be join-free:\n$p14")
+    assert(p14.contains("partial"), // census aggregates map-side
+      s"w14 census should partial-aggregate before its shuffle:\n$p14")
+  }
+
   test("d9: corpus-wide gram census joins on gram keys, never all-pairs") {
     val p = plan("d9_crossdoc_grams")
     assert(!p.contains("CartesianProduct") &&

@@ -80,6 +80,76 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
 
+  test("sliding active-user windows: stream matches batch and w13") {
+    val s = spark
+    val batchEvents = Tables.events(s, dir).filter(col("ts").isNotNull)
+
+    val stage = java.nio.file.Files.createTempDirectory("events_slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val streamRaw = s.readStream.schema(
+      s.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(stage.toString)
+    val streamEvents =
+      if (streamRaw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        streamRaw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      else streamRaw
+
+    val q = EventStreams.slidingActive(streamEvents, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("stream_slide")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    // windows ending on/before the start of the max event's day are
+    // definitely closed (the final watermark = max event time passed them)
+    val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0)
+    val closedBound = java.sql.Timestamp.valueOf(
+      maxTs.toLocalDateTime.toLocalDate.atStartOfDay)
+
+    // batch reference: the same sliding-window dedup + count, batch mode
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wau"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("wau"))
+      .filter(col("window_end") <= closedBound)
+      .collect().map(_.toSeq).toSet
+
+    val streamed = s.sql("SELECT * FROM stream_slide")
+      .filter(col("window_end") <= closedBound)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "stream emitted no closed windows")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+
+    // and the batch catalog query agrees: w13's trailing window ending on
+    // activity day D is the sliding window with end = D+1
+    val w13 = SparkEntry.queries("w13_sliding_active")(s, dir)
+      .select(col("wday"), col("wau7")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val streamByEndDay = s.sql("SELECT * FROM stream_slide").collect()
+      .map(r => (r.getTimestamp(1).toLocalDateTime.toLocalDate, r.getLong(2)))
+      .toMap
+    val checked = w13.keys.filter(d =>
+      !d.plusDays(1).atStartOfDay.isAfter(closedBound.toLocalDateTime))
+    assert(checked.nonEmpty)
+    checked.foreach { d =>
+      assert(streamByEndDay.get(d.plusDays(1)).contains(w13(d)),
+        s"w13($d)=${w13(d)} but stream window ending ${d.plusDays(1)} " +
+          s"has ${streamByEndDay.get(d.plusDays(1))}")
+    }
+  }
+
   test("native session_window agg matches lag+cumsum sessionization") {
     val s = spark
     import s.implicits._
