@@ -123,7 +123,9 @@ object Cli {
       // become partition pruning on disk) + the quantizer sidecar.
       case "index" :: tablesDir :: rest =>
         val k = rest.headOption.map(_.toInt).getOrElse(64)
-        val e = spark.read.parquet(s"$tablesDir/embeddings")
+        // doc_bucket is the SOURCE table's layout column; the index has its
+        // own layout (list_id) and must not inherit it
+        val e = spark.read.parquet(s"$tablesDir/embeddings").drop("doc_bucket")
         val sample = e.orderBy(col("fragment_id")).limit(10000)
           .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
         val q = graft.search.Ivf.train(sample, k)
@@ -159,6 +161,7 @@ object Cli {
         val m = rest.headOption.map(_.toInt).getOrElse(8)
         val ksub = rest.lift(1).map(_.toInt).getOrElse(16)
         val e = spark.read.parquet(s"$tablesDir/embeddings_ivf")
+          .drop("doc_bucket")
         val sample = e.orderBy(col("fragment_id")).limit(10000)
           .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
         val cb = graft.search.Pq.train(sample, m, ksub)
@@ -188,6 +191,7 @@ object Cli {
       case "sq-index" :: tablesDir :: rest =>
         val levels = rest.headOption.map(_.toInt).getOrElse(256)
         val e = spark.read.parquet(s"$tablesDir/embeddings_ivf")
+          .drop("doc_bucket")
         val sample = e.orderBy(col("fragment_id")).limit(10000)
           .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
         val cb = graft.search.Sq.train(sample, levels)

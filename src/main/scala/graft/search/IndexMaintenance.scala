@@ -86,6 +86,15 @@ object IndexMaintenance {
     if (affected.isEmpty)
       return UpdateStats(Nil, 0L, 0L)
 
+    // schema contract: the frozen encoder must reproduce every index
+    // column (a stray source-layout column baked into an old index, e.g.
+    // doc_bucket, means the index predates the layout-column drop at
+    // build time — rebuild it rather than fabricate values here)
+    val missing = existing.columns.toSet -- encoded.columns.toSet
+    require(missing.isEmpty,
+      s"index at $indexPath carries columns the encoder does not produce " +
+        s"(${missing.mkString(", ")}); rebuild the index")
+
     // rebuild ONLY the affected partitions: partition-pruned scan →
     // anti-join out every replaced document → union the new rows
     val rebuilt = existing

@@ -47,4 +47,56 @@ object TableLayout {
     */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  final case class CompactStats(
+      partitionsCompacted: Int, filesBefore: Int, filesAfter: Int)
+
+  /** Small-file compaction — the table-maintenance job every streaming or
+    * incremental ingest needs at 100 TB: micro-batches and per-partition
+    * index updates leave many files far below the row-group sweet spot, and
+    * scans then pay per-file open/footer cost and lose row-group-stat
+    * skipping. For each partition directory holding more data files than
+    * `ceil(bytes / targetBytes)`, the partition is rewritten into that many
+    * files (each re-sorted on `sortCols`, preserving the
+    * [[writePartitionedSorted]] file contract) and swapped into place with
+    * the same crash-recoverable [[graft.ingest.TableSwap]] protocol the
+    * entity tables and index partitions use. Partitions already compact are
+    * not read, not rewritten, and stay byte-identical — compaction cost
+    * scales with the fragmented fraction, never the table.
+    *
+    * Unpartitioned tables compact the root directory the same way.
+    */
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+      sortCols: Seq[String]): CompactStats = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    val children = java.nio.file.Files.list(root).iterator().asScala.toSeq
+    val partDirs = children.filter(p =>
+      java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.matches("[^=]+=.*"))
+    val targets = if (partDirs.nonEmpty) partDirs else Seq(root)
+
+    var compacted = 0
+    var before = 0
+    var after = 0
+    targets.foreach { dir =>
+      val dataFiles = java.nio.file.Files.list(dir).iterator().asScala.toSeq
+        .filter(f => f.getFileName.toString.endsWith(".parquet") &&
+          !f.getFileName.toString.startsWith("."))
+      before += dataFiles.size
+      val bytes = dataFiles.map(java.nio.file.Files.size).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (dataFiles.size > nOut) {
+        compacted += 1
+        after += nOut
+        val part = spark.read.parquet(dir.toString)
+        val sorted = part.coalesce(nOut)
+          .sortWithinPartitions(sortCols.map(part.col): _*)
+        graft.ingest.TableSwap.swap(dir.toString) { staging =>
+          sorted.write.parquet(staging)
+        }
+      } else after += dataFiles.size
+    }
+    CompactStats(compacted, before, after)
+  }
 }
