@@ -1,0 +1,142 @@
+// In the spark.sql namespace with the other graft Catalyst pieces: the
+// rule pattern-matches our own VectorCosine expression class directly.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Descending, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+
+/** Index-accelerated KNN as a Catalyst optimizer rule — the Spark analog
+  * of pgvector turning `ORDER BY embedding <=> $q LIMIT k` into an index
+  * scan (the reference's whole query engine rides on that rewrite,
+  * retrieval/search.py:99-124: the SQL text stays exact-looking, the
+  * planner substitutes the approximate index walk).
+  *
+  * Here the same contract: a top-k-by-descending-[[VectorCosine]] plan
+  * (`TakeOrderedAndProject` shape) over a relation that carries an IVF
+  * `list_id` column is narrowed to the `nprobe` lists nearest the query
+  * vector — an `In` filter injected at the relation leaf, which predicate
+  * pushdown turns into partition pruning at the parquet source. Top-k
+  * then re-ranks the probed lists with the exact cosine, so results are
+  * identical to [[graft.search.Ivf.search]] at the same nprobe.
+  *
+  * Explicitly opt-in, because the rewrite trades recall for scan volume:
+  *
+  *   spark.conf.set("spark.graft.ann.quantizer", "<ivf_quantizer.txt>")
+  *   spark.conf.set("spark.graft.ann.nprobe", "4")   // 0 disables
+  *
+  * (pgvector gates the same way: no index or `enable_indexscan=off` means
+  * exact scan; `ivfflat.probes` tunes recall.) Guards: the sort key must
+  * be a descending cosine against a float-array literal of the trained
+  * dimension, exactly one leaf relation may expose `list_id`, and a plan
+  * already carrying a `list_id` IN-filter (either from a prior firing —
+  * the rule runs inside a fixpoint batch — or from an explicit
+  * [[graft.search.Ivf.search]] call) is left alone.
+  */
+case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import AnnProbeRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val qPath = spark.conf.get(QuantizerKey, "")
+    val nprobe =
+      try spark.conf.get(NprobeKey, "0").toInt
+      catch { case _: NumberFormatException => 0 }
+    if (qPath.isEmpty || nprobe <= 0) return plan
+    val quant =
+      try quantizer(qPath)
+      catch {
+        case e: Exception =>
+          logWarning(s"$QuantizerKey=$qPath unreadable; ANN rewrite off", e)
+          return plan
+      }
+    plan.transformDown {
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, s: Sort)) if s.global =>
+        rewrite(s, quant, nprobe)
+          .map(ns => gl.copy(child = ll.copy(child = ns)))
+          .getOrElse(gl)
+    }
+  }
+
+  /** The descending-cosine sort key, resolved through a child Project's
+    * alias when the query sorts on a named similarity column.
+    */
+  private def cosineOf(s: Sort): Option[VectorCosine] =
+    s.order.headOption.filter(_.direction == Descending).flatMap {
+      case SortOrder(c: VectorCosine, _, _, _) => Some(c)
+      case SortOrder(a: Attribute, _, _, _) =>
+        s.child.collect { case p: Project => p }
+          .flatMap(_.projectList.collectFirst {
+            case al @ Alias(c: VectorCosine, _) if al.exprId == a.exprId => c
+          })
+          .headOption
+      case _ => None
+    }
+
+  private def queryVec(c: VectorCosine): Option[Array[Float]] =
+    Seq(c.right, c.left).collectFirst {
+      case Literal(arr: ArrayData, ArrayType(FloatType, _)) => arr.toFloatArray()
+    }
+
+  /** Already narrowed (by this rule on a prior fixpoint iteration, or by
+    * an explicit probe filter) — firing again would stack filters and the
+    * batch would never converge.
+    */
+  private def alreadyPruned(p: LogicalPlan): Boolean =
+    p.exists {
+      case f: Filter => f.condition.exists {
+        case In(a: Attribute, _) if a.name == "list_id" => true
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def rewrite(s: Sort, q: graft.search.Ivf.Quantizer,
+      nprobe: Int): Option[Sort] = {
+    val leaves = s.child.collect {
+      case l if l.children.isEmpty &&
+        l.output.exists(a => a.name == "list_id" &&
+          a.dataType == IntegerType) => l
+    }
+    for {
+      cos <- cosineOf(s)
+      qv <- queryVec(cos)
+      if qv.length == q.dim
+      if !alreadyPruned(s.child)
+      if leaves.size == 1
+    } yield {
+      val leaf = leaves.head
+      val listAttr = leaf.output.find(_.name == "list_id").get
+      val lists = graft.search.Ivf.nearestLists(qv, q, nprobe)
+      logInfo(s"ANN rewrite: pruning to lists ${lists.mkString(",")} " +
+        s"(nprobe=$nprobe of ${q.k})")
+      val probed = Filter(In(listAttr, lists.map(i => Literal(i))), leaf)
+      s.copy(child = s.child.transformUp {
+        case l if l eq leaf => probed
+      })
+    }
+  }
+}
+
+object AnnProbeRewrite {
+
+  val QuantizerKey = "spark.graft.ann.quantizer"
+  val NprobeKey = "spark.graft.ann.nprobe"
+
+  /** mtime-keyed quantizer cache: the rule fires per query compilation,
+    * the sidecar parse should not.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, graft.search.Ivf.Quantizer)]()
+
+  private[graft] def quantizer(path: String): graft.search.Ivf.Quantizer = {
+    val mtime = java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+    cache.compute(path, (_, old) =>
+      if (old != null && old._1 == mtime) old
+      else (mtime, graft.search.Ivf.load(path)))._2
+  }
+}

@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * (cluster-wide), or [[GraftFunctions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit =
+  def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(e.injectFunction)
+    e.injectOptimizerRule(AnnProbeRewrite(_))
+  }
 }
 
 object GraftFunctions {
@@ -65,9 +67,16 @@ object GraftFunctions {
     vectorDotDescriptor, vectorCosineDescriptor, minhashSignatureDescriptor,
     simhashDescriptor, charFingerprintDescriptor)
 
-  /** Imperative registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration on an existing session: the SQL functions
+    * plus the (config-gated, off by default) ANN probe rewrite rule.
+    */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[AnnProbeRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnProbeRewrite(spark)
+  }
 }

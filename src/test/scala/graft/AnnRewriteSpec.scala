@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.search.{Ivf, VectorSearch}
+import graft.sources.TableLayout
+
+/** The ANN probe rewrite rule: with the quantizer + nprobe configs set, an
+  * exact-looking KNN (`orderBy(cosine desc).limit(k)`) over the persisted
+  * IVF index is narrowed to the probed lists at the parquet source —
+  * pgvector's index-accelerated ORDER BY, as a Catalyst rule. Off by
+  * default; identical to Ivf.search at the same nprobe when on.
+  */
+class AnnRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: java.nio.file.Path = _
+  private var indexPath: String = _
+  private var quantPath: String = _
+  private val quant = {
+    // 4 well-separated centroids on the first axis
+    val bases = Seq(0f, 10f, 20f, 30f)
+    val dim = 4
+    val flat = new Array[Float](bases.length * dim)
+    bases.zipWithIndex.foreach { case (b, c) => flat(c * dim) = b }
+    Ivf.Quantizer(bases.length, dim, flat)
+  }
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    dir = Files.createTempDirectory("ann-rewrite")
+    indexPath = s"$dir/index"
+    quantPath = s"$dir/quantizer.txt"
+    Ivf.save(quant, quantPath)
+
+    val s = spark
+    import s.implicits._
+    // 40 vectors in 4 clusters around the centroids
+    val rows = (0 until 40).map { i =>
+      val c = i % 4
+      (f"frag$i%02d", Array(c * 10f + (i / 4) * 0.1f, 0.3f, 1f, 0.7f))
+    }.toDF("fragment_id", "vector")
+    TableLayout.writePartitionedSorted(Ivf.buildIndex(rows, quant),
+      indexPath, "list_id", Seq("fragment_id"))
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
+    spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
+    if (spark != null) spark.stop()
+    graft.ingest.TableSwap.rmTreeAt(dir.toString)
+  }
+
+  private def knnPlan(qvec: Array[Float], k: Int): DataFrame =
+    VectorSearch.knn(spark.read.parquet(indexPath), qvec, k,
+      tieBreak = "fragment_id")
+
+  private def partitionFilters(df: DataFrame): String = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+  }
+
+  test("off by default: no list pruning, exact top-k over all lists") {
+    val qvec = Array(19.9f, 0.3f, 1f, 0.7f)
+    val df = knnPlan(qvec, 5)
+    assert(!partitionFilters(df).contains("list_id IN"),
+      s"rewrite must be config-gated:\n${df.queryExecution.executedPlan}")
+    // exact: top-5 all from the cluster around 20
+    assert(df.collect().length == 5)
+  }
+
+  test("configs on: plan prunes to the probed lists, results = Ivf.search") {
+    spark.conf.set(
+      org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
+    spark.conf.set(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey, "2")
+    try {
+      val qvec = Array(19.9f, 0.3f, 1f, 0.7f)
+      val df = knnPlan(qvec, 8)
+      val pf = partitionFilters(df)
+      assert(pf.contains("list_id"),
+        s"probed lists must reach PartitionFilters:\n" +
+          df.queryExecution.executedPlan)
+
+      val viaRule = df.select(col("fragment_id"), col("similarity"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val viaExplicit = Ivf.search(spark.read.parquet(indexPath), qvec,
+        quant, 8, nprobe = 2)
+        .select(col("fragment_id"), col("similarity"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(viaRule == viaExplicit)
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
+    }
+  }
+
+  test("plans without a list_id relation are untouched when configs on") {
+    spark.conf.set(
+      org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
+    spark.conf.set(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey, "2")
+    try {
+      val s = spark
+      import s.implicits._
+      val plain = (0 until 10)
+        .map(i => (s"f$i", Array(i.toFloat, 0f, 1f, 0f)))
+        .toDF("fragment_id", "vector")
+      val df = VectorSearch.knn(plain, Array(3f, 0f, 1f, 0f), 3,
+        tieBreak = "fragment_id")
+      assert(df.collect().length == 3) // no crash, exact path
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
+    }
+  }
+}
