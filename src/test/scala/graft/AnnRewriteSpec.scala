@@ -101,6 +101,33 @@ class AnnRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("fires from pure SQL — same query text, index-accelerated") {
+    // the reference's contract verbatim: the SQL stays an exact-looking
+    // ORDER BY similarity LIMIT k (retrieval/search.py:99-124); the
+    // planner supplies the index walk
+    spark.conf.set(
+      org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
+    spark.conf.set(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey, "1")
+    try {
+      spark.read.parquet(indexPath).createOrReplaceTempView("emb_idx")
+      val df = spark.sql(
+        """SELECT fragment_id,
+          |  vector_cosine(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+          |FROM emb_idx ORDER BY sim DESC LIMIT 3""".stripMargin)
+      assert(partitionFilters(df).contains("list_id"),
+        s"SQL path must prune too:\n${df.queryExecution.executedPlan}")
+      // nprobe=1 → only the list around 20; top-3 are its closest members
+      val got = df.collect().map(_.getString(0)).toSeq
+      assert(got.forall(f => f.drop(4).toInt % 4 == 2),
+        s"all hits must come from the probed cluster: $got")
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
+      spark.catalog.dropTempView("emb_idx")
+    }
+  }
+
   test("plans without a list_id relation are untouched when configs on") {
     spark.conf.set(
       org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
