@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -502,7 +503,62 @@ object TextAnalysisQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // X13 — corpus-weighted keyword extraction: per-document top-3 terms by
+  // tf/df — the corpus-scale twin of the reference's top-5 keyword
+  // fallback (X16, generation/query_optimizer.py:173-236: stopword strip
+  // + frequency rank), with the document-frequency weighting the
+  // single-query version cannot have. Arithmetic stays cross-engine
+  // exact: tf and df are exact longs, the score is ONE double division
+  // (IEEE-identical in DuckDB — same recipe as w14's probability), and
+  // ties break on the term text. Plan: one (doc, term) partial-agg
+  // shuffle builds tf; the df census reuses the term key (vocabulary-
+  // sized, map-side combined); the join-back is term-keyed; the top-3
+  // rank window partitions on doc_id. No stage touches raw text twice.
+  private val Stopwords = Seq("a", "the")
+
+  private val x13TfidfTerms: Q = (s, dir) => {
+    val tf = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        explode(TextSketch.words(col("text"))).as("term"))
+      .filter(!col("term").isin(Stopwords: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfCensus = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfCensus, "term")
+      .withColumn("score",
+        col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val x13Sql = {
+    val w = duck.wordsExpr
+    val stop = Stopwords.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($w) AS term FROM documents)
+       |  WHERE term NOT IN ($stop)
+       |  GROUP BY 1, 2),
+       |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+       |    tf.tf::DOUBLE / dfc.df::DOUBLE AS score,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf::DOUBLE / dfc.df::DOUBLE DESC, tf.term) AS rank
+       |  FROM tf JOIN dfc USING (term))
+       |SELECT doc_id, rank, term, tf, df, score
+       |FROM scored WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "x13_tfidf_terms" -> x13TfidfTerms,
     "x10_decontaminate" -> x10Decontaminate,
     "x8_repetition" -> x8Repetition,
     "x9_bigram_counts" -> x9BigramCounts,
@@ -515,6 +571,7 @@ object TextAnalysisQueries {
     "x6_trigram_lang" -> x6TrigramLang)
 
   val oracles: Map[String, String] = Map(
+    "x13_tfidf_terms" -> x13Sql,
     "x10_decontaminate" -> x10Sql,
     "x8_repetition" -> x8Sql,
     "x9_bigram_counts" -> x9Sql,

@@ -129,6 +129,33 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asSet(spark.read.parquet(path)) == first)
   }
 
+  test("IVFPQ composition: update re-encodes with the frozen codebook") {
+    val s = spark
+    import s.implicits._
+    val base = rows(Seq(("a", 2, 0f), ("b", 3, 10f), ("c", 2, 20f)))
+    val q = quant(0f, 10f, 20f)
+    val cb = graft.search.Pq.train(
+      base.orderBy(col("fragment_id")).select(col("vector"))
+        .as[Seq[Float]].collect().map(_.toArray), m = 2, ksub = 4)
+    def enc(df: DataFrame): DataFrame =
+      graft.search.Pq.encode(Ivf.buildIndex(df, q), cb)
+    val path = s"$dir/ivfpq"
+    TableLayout.writePartitionedSorted(enc(base), path,
+      "list_id", Seq("fragment_id"))
+
+    val delta = rows(Seq(("a", 2, 20.3f), ("e", 1, 10.2f)))
+    IndexMaintenance.updateIndex(spark, path, delta, enc)
+
+    def full(df: DataFrame): Set[(String, Int, Seq[Byte], Long)] =
+      df.select(col("fragment_id"), col("list_id"), col("pq_code"),
+          col("pq_cb_hash"))
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getAs[Array[Byte]](2).toSeq, r.getLong(3))).toSet
+    val merged = rows(Seq(("b", 3, 10f), ("c", 2, 20f),
+      ("a", 2, 20.3f), ("e", 1, 10.2f)))
+    assert(full(spark.read.parquet(path)) == full(enc(merged)))
+  }
+
   test("recover heals a torn partition swap (live moved aside, crash)") {
     val base = rows(Seq(("a", 2, 0f), ("b", 2, 30f)))
     val q = quant(0f, 30f)
