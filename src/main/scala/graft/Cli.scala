@@ -235,6 +235,27 @@ object Cli {
         results.foreach(r => println(s"${if (r.passed) "PASS" else "FAIL"} ${r.query_id}"))
         println(s"Passed: ${results.count(_.passed)}/${results.length}")
 
+      // Table maintenance: coalesce fragmented partitions (streaming
+      // ingest / incremental index updates leave small files) back to the
+      // target file size. Only fragmented partitions are touched.
+      case "compact" :: tablesDir :: rest =>
+        val targetMb = rest.headOption.map(_.toInt).getOrElse(128)
+        val tables = Seq(
+          "documents" -> "id", "concepts" -> "document_id",
+          "fragments" -> "document_id", "parents" -> "document_id",
+          "embeddings" -> "document_id", "embeddings_ivf" -> "fragment_id",
+          "embeddings_ivfpq" -> "fragment_id",
+          "embeddings_ivfsq" -> "fragment_id")
+        tables.foreach { case (t, sortCol) =>
+          val p = s"$tablesDir/$t"
+          if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))) {
+            val st = graft.sources.TableLayout.compact(
+              spark, p, targetMb.toLong * 1024 * 1024, Seq(sortCol))
+            println(s"[compact] $t: ${st.filesBefore} -> ${st.filesAfter} " +
+              s"files (${st.partitionsCompacted} partitions rewritten)")
+          }
+        }
+
       case "metrics" :: tablesDir :: Nil =>
         val embeddings = spark.read.parquet(s"$tablesDir/embeddings")
           .as[graft.domain.Model.EmbeddingRow]
@@ -255,7 +276,8 @@ object Cli {
             "sq-index <tables> [levels] | " +
             "sq-search <tables> <query> [k] [nprobe] [shortlist] | " +
             "rag <tables> <question...> | " +
-            "quality <tables> <golden.jsonl> | metrics <tables>")
+            "quality <tables> <golden.jsonl> | metrics <tables> | " +
+            "compact <tables> [targetMB]")
     }
     spark.stop()
   }

@@ -156,6 +156,34 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full(spark.read.parquet(path)) == full(enc(merged)))
   }
 
+  test("randomized update sequences always equal a full rebuild") {
+    val q = quant(0f, 10f, 20f, 30f)
+    val path = s"$dir/ivf_rand"
+    val rnd = new scala.util.Random(42)
+    def randDocs(names: Seq[String]): Seq[(String, Int, Float)] =
+      names.map(n => (n, 1 + rnd.nextInt(3),
+        rnd.nextInt(4) * 10f + rnd.nextFloat()))
+
+    var corpus = Map.empty[String, (String, Int, Float)] ++
+      randDocs(Seq("a", "b", "c")).map(d => d._1 -> d).toMap
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(rows(corpus.values.toSeq), q), path,
+      "list_id", Seq("fragment_id"))
+
+    for (step <- 1 to 5) {
+      // each step replaces a random existing doc and adds a new one
+      val replaced = corpus.keys.toSeq.sorted(Ordering.String)
+        .apply(rnd.nextInt(corpus.size))
+      val delta = randDocs(Seq(replaced, s"n$step"))
+      corpus = corpus ++ delta.map(d => d._1 -> d).toMap
+      IndexMaintenance.updateIndex(
+        spark, path, rows(delta), Ivf.buildIndex(_, q))
+      val expected = asSet(Ivf.buildIndex(rows(corpus.values.toSeq), q))
+      assert(asSet(spark.read.parquet(path)) == expected,
+        s"divergence after step $step")
+    }
+  }
+
   test("recover heals a torn partition swap (live moved aside, crash)") {
     val base = rows(Seq(("a", 2, 0f), ("b", 2, 30f)))
     val q = quant(0f, 30f)
