@@ -161,6 +161,43 @@ object EventStreams {
       }
   }
 
+  final case class TransEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  final case class TransState(lastType: String)
+  final case class TransEdge(user_id: Long, from_type: String,
+      to_type: String)
+
+  /** Per-user event-type transition edges — streaming twin of
+    * w14_transitions' edge generation (the census and normalization stay
+    * a downstream agg in either mode). State is ONE value per user — the
+    * type of the latest event seen — the same bounded-by-key-cardinality
+    * contract as [[asOfEnrich]], and the same ordering contract: within a
+    * batch events sort by event time, ACROSS batches arrival must be
+    * per-key event-time-ordered (log/CDC replay). Null-time events never
+    * enter (the batch twin's stated rule).
+    */
+  def transitions(events: Dataset[TransEvent]): Dataset[TransEdge] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransEdge](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[TransState]) =>
+          val sorted = rows.toSeq
+            .sortBy(r => (eventTimeMicros(r.ts), r.event_id))
+          val out = Seq.newBuilder[TransEdge]
+          var last = state.getOption.map(_.lastType)
+          sorted.foreach { r =>
+            last.foreach(l => out += TransEdge(userId, l, r.event_type))
+            last = Some(r.event_type)
+          }
+          last.foreach(t => state.update(TransState(t)))
+          out.result().iterator
+      }
+  }
+
   /** Watermarked streaming exact-dedup — the training-pipeline "drop
     * repeats as they arrive" operator (streaming twin of d1/U3). Keyed on
     * the md5 content digest so only 16-byte keys hit the state store, never

@@ -271,6 +271,62 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected null-ts semantics: $rows")
   }
 
+  test("streaming transitions match the batch w14 edge census") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.EventStreams.TransEvent
+
+    // batch truth: w14's (from, to, n) census
+    val batch = SparkEntry.queries("w14_transitions")(s, dir)
+      .select(col("from_type"), col("to_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+    // replay the full event log in event-time order as four sequential
+    // files — the per-user last-type carry must survive micro-batches
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[TransEvent]
+      .collect()
+      .filter(_.ts != null)
+      .sortBy(r => (EventStreams.eventTimeMicros(r.ts), r.event_id))
+    val stage = java.nio.file.Files.createTempDirectory("trans_stream")
+    val slice = (ev.length + 3) / 4
+    ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
+      val f = stage.resolve(f"slice_$i%03d.parquet")
+      rows.toSeq.toDF().coalesce(1).write.mode("overwrite")
+        .parquet(f.toString)
+      java.nio.file.Files.walk(f).iterator()
+        .forEachRemaining(_.toFile.setLastModified(1000000L * (i + 1)))
+    }
+
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*/")
+      .as[TransEvent]
+    val q = graft.streaming.EventStreams.transitions(stream)
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    val streamed = s.sql(
+      """SELECT from_type, to_type, COUNT(*) AS n
+        |FROM trans_stream GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed.nonEmpty, "stream emitted no transition edges")
+    assert(streamed == batch,
+      s"stream/batch transition divergence: " +
+        s"${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
   test("stream-stream interval join matches the batch banded range join") {
     val s = spark
     import graft.operators.RangeJoin
