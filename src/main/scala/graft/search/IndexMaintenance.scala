@@ -109,7 +109,11 @@ object IndexMaintenance {
     rebuilt.repartition(col("list_id"))
       .sortWithinPartitions(sortCol)
       .write.partitionBy("list_id").parquet(staging)
-    val nRewritten = spark.read.parquet(staging).count()
+    // explicit schema: a pure deletion can stage ZERO rows (every affected
+    // list emptied), and a schema-less read of a file-less staging dir
+    // fails with UNABLE_TO_INFER_SCHEMA
+    val nRewritten =
+      spark.read.schema(rebuilt.schema).parquet(staging).count()
 
     affected.foreach { list =>
       val stagedDir = Paths.get(staging, s"list_id=$list")

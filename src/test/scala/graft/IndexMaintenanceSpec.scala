@@ -156,6 +156,24 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full(spark.read.parquet(path)) == full(enc(merged)))
   }
 
+  test("pure deletion: dropDocs with an empty batch removes the document") {
+    val s = spark
+    import s.implicits._
+    val base = rows(Seq(("a", 2, 0f), ("b", 2, 30f)))
+    val q = quant(0f, 30f)
+    val path = s"$dir/ivf_drop"
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(base, q), path, "list_id", Seq("fragment_id"))
+
+    val empty = Seq.empty[(String, String, Array[Float])]
+      .toDF("document_id", "fragment_id", "vector")
+    val st = IndexMaintenance.updateIndex(spark, path, empty,
+      Ivf.buildIndex(_, q), dropDocs = Seq("a"))
+    assert(st.incomingRows == 0)
+    assert(asSet(spark.read.parquet(path)) ==
+      asSet(Ivf.buildIndex(rows(Seq(("b", 2, 30f))), q)))
+  }
+
   test("randomized update sequences always equal a full rebuild") {
     val q = quant(0f, 10f, 20f, 30f)
     val path = s"$dir/ivf_rand"

@@ -340,6 +340,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cross-doc census degenerated to an all-pairs join:\n$p")
   }
 
+  test("x13: tf/df keyword extraction joins on the term key, never all-pairs") {
+    val p = plan("x13_tfidf_terms")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"tf/df join degenerated to an all-pairs join:\n$p")
+    assert(p.contains("partial_count"),
+      s"tf census should partial-aggregate before its shuffle:\n$p")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     val s = spark
     val o = Tables.orders(s, dir)
