@@ -557,7 +557,49 @@ object TextAnalysisQueries {
        |ORDER BY doc_id, rank""".stripMargin
   }
 
+  // X14 — approximate frequent bigrams via the Misra–Gries typed
+  // Aggregator ([[graft.functions.FreqSketch]]): the 100 TB path for x9's
+  // exact census, whose shuffle carries the full distinct vocabulary. MG
+  // keeps ≤ k counters per partial aggregate, so state and shuffle are
+  // bounded by k regardless of vocabulary size. The query audits the
+  // sketch against the exact census: it reports exactly the items the MG
+  // guarantee says MUST surface (true count > n_total/(k+1) — an
+  // order-independent set, so the output is deterministic even though
+  // individual MG estimates depend on partitioning), their exact counts,
+  // the sketch's lower-bound estimate, and whether the bound held.
+  // Self-check query (no SQL oracle — the sketch is not SQL-expressible):
+  // `bound_ok` must be uniformly true. k is sized so the synthetic
+  // corpus's tiny fixed vocabulary (≤ ~1.6k distinct bigrams — uniform
+  // by construction, so it HAS no true heavy hitters) fits the counter
+  // table and the audit set stays non-empty; eviction and merge
+  // subtraction under k ≪ distinct are exercised by the seeded
+  // FreqSketchSpec streams instead.
+  private val MgK = 2000
+
+  private val x14ApproxTopk: Q = (s, dir) => {
+    import s.implicits._
+    val bigrams = bigramStage(s, dir)
+    val sketch = bigrams.select(col("bg")).as[String]
+      .select(graft.functions.FreqSketch.topK(MgK).toColumn)
+      .toDF("sketch")
+      .select(explode(col("sketch")).as("e"))
+      .select(col("e._1").as("bg"), col("e._2").as("est_count"))
+    val exact = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+    val total = bigrams.agg(count(lit(1)).as("n_total"))
+    exact.join(broadcast(total))
+      .filter(col("n") * (MgK + 1) > col("n_total")) // guaranteed present
+      .join(sketch, Seq("bg"), "left")
+      .select(col("bg"), col("n"), col("est_count"),
+        (col("n_total") / (MgK + 1)).cast("long").as("max_underestimate"),
+        (col("est_count").isNotNull &&
+          col("est_count") <= col("n") &&
+          (col("n") - col("est_count")) * (MgK + 1) <= col("n_total"))
+          .as("bound_ok"))
+      .orderBy(col("n").desc, col("bg"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x14_approx_topk" -> x14ApproxTopk,
     "x13_tfidf_terms" -> x13TfidfTerms,
     "x10_decontaminate" -> x10Decontaminate,
     "x8_repetition" -> x8Repetition,
