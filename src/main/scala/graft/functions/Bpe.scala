@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer induction — the vocabulary-learning job a
+  * training-data pipeline runs before tokenizing a corpus (Sennrich et al.
+  * 2016; the SentencePiece/GPT recipe).
+  *
+  * The 100 TB shape: BPE never iterates over the corpus — it iterates over
+  * the WORD-FREQUENCY table (one corpus shuffle builds it, the x3 census
+  * shape; ~10⁸ rows at web scale vs ~10¹² corpus tokens). Each round is a
+  * vocabulary-sized adjacent-pair census (map-side partial agg on the
+  * symbolized vocab) plus a 1-row argmax (`TakeOrderedAndProject`), with
+  * the merges-so-far shipped in the task closure — the same
+  * driver-coordinated iterative profile as
+  * [[graft.dedup.ConnectedComponents]]. Rounds re-symbolize from the
+  * cached base vocabulary (O(J²) symbol work on vocab rows) instead of
+  * carrying an ever-longer iterative lineage — at J ≤ a few thousand
+  * merges the re-apply is cheap map work and the plan stays flat.
+  *
+  * Determinism: the argmax tie-breaks on (count desc, left asc, right
+  * asc), so the learned merge table is a pure function of the vocabulary.
+  * The single-node reference trainer ([[trainLocal]]) implements the
+  * identical rule and the spec pins distributed ≡ local on real data.
+  */
+object Bpe {
+
+  /** One learned merge; the new symbol is `left + right`. */
+  final case class Merge(left: String, right: String)
+
+  /** Split a word into initial character symbols. */
+  def charSymbols(word: String): List[String] =
+    word.map(_.toString).toList
+
+  /** Apply one merge left-to-right, non-overlapping (the standard BPE
+    * apply pass).
+    */
+  def applyMerge(syms: List[String], m: Merge): List[String] = {
+    val a = syms.toArray
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < a.length) {
+      if (i + 1 < a.length && a(i) == m.left && a(i + 1) == m.right) {
+        out += m.left + m.right
+        i += 2
+      } else {
+        out += a(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Apply a merge list in learning order. */
+  def applyMerges(syms: List[String], merges: List[Merge]): List[String] =
+    merges.foldLeft(syms)(applyMerge)
+
+  /** Tokenize a word with a learned merge table (the serving-side encode). */
+  def encode(word: String, merges: List[Merge]): List[String] =
+    applyMerges(charSymbols(word), merges)
+
+  private def pairs(syms: List[String]): Iterator[(String, String)] =
+    if (syms.lengthCompare(2) < 0) Iterator.empty
+    else syms.iterator.zip(syms.iterator.drop(1))
+
+  /** Single-node reference trainer over a word-frequency map — the spec's
+    * oracle for the distributed trainer (identical argmax + tie-break).
+    */
+  def trainLocal(vocab: Map[String, Long], nMerges: Int): List[Merge] = {
+    var merges = List.empty[Merge]
+    val out = List.newBuilder[Merge]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (w, f) =>
+        pairs(applyMerges(charSymbols(w), merges.reverse))
+          .foreach(p => counts.update(p, counts.getOrElse(p, 0L) + f))
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges = Merge(l, r) :: merges
+        out += Merge(l, r)
+        round += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Distributed trainer over a (word, freq) Dataset. Returns the merge
+    * table with each merge's pair count at selection time.
+    */
+  def train(vocab: Dataset[(String, Long)], nMerges: Int): List[(Merge, Long)] = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val base = vocab.cache()
+    try {
+      val out = List.newBuilder[(Merge, Long)]
+      var merges = List.empty[Merge] // reverse learning order
+      var round = 0
+      var done = false
+      while (round < nMerges && !done) {
+        val ms = merges.reverse
+        val top = base
+          .flatMap { case (w, f) =>
+            pairs(applyMerges(charSymbols(w), ms)).map(p => (p._1, p._2, f))
+          }
+          .toDF("l", "r", "f")
+          .groupBy(col("l"), col("r")).agg(sum(col("f")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val m = Merge(top(0).getString(0), top(0).getString(1))
+          merges = m :: merges
+          out += ((m, top(0).getLong(2)))
+          round += 1
+        }
+      }
+      out.result()
+    } finally { base.unpersist(); () }
+  }
+}

@@ -598,7 +598,33 @@ object TextAnalysisQueries {
       .orderBy(col("n").desc, col("bg"))
   }
 
+  // X15 — BPE tokenizer induction ([[graft.functions.Bpe]]): learn a
+  // merge table from the corpus word-frequency census. The corpus is
+  // touched ONCE (the word census); every BPE round then runs on the
+  // vocabulary table — a vocab-sized pair census plus a one-row argmax —
+  // which is why this is tractable at 100 TB (~10⁸ vocab rows vs ~10¹²
+  // corpus tokens). Deterministic by the (count desc, pair asc) argmax
+  // tie-break; the distributed ≡ single-node-reference equality is
+  // pinned by BpeSpec, so the rows-only driver check is backed by a
+  // real oracle in the test suite. Output: the learned merges in order
+  // with their selection-time pair counts.
+  private val BpeRounds = 24
+
+  private val x15Bpe: Q = (s, dir) => {
+    import s.implicits._
+    val vocab = wordsStage(s, dir)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+    val merges = graft.functions.Bpe.train(vocab, BpeRounds)
+    merges.zipWithIndex.map { case ((m, c), i) =>
+      (i + 1, m.left, m.right, m.left + m.right, c)
+    }.toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x15_bpe_merges" -> x15Bpe,
     "x14_approx_topk" -> x14ApproxTopk,
     "x13_tfidf_terms" -> x13TfidfTerms,
     "x10_decontaminate" -> x10Decontaminate,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Bpe
+import graft.functions.Bpe.Merge
+
+/** BPE induction: the textbook example must come out exactly, encode must
+  * respect merge order, and the distributed trainer must equal the
+  * single-node reference on real corpus data (same argmax, same
+  * tie-break — the property that makes the rows-only driver check safe).
+  */
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("textbook vocabulary learns the expected first merges") {
+    // Sennrich et al.'s shape: 'es' dominates, then 'est', then 'l o'
+    val vocab = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.trainLocal(vocab, 4)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (l,o)=7, (o,w)=7, ... —
+    // tie (e,s)/(s,t) breaks lexicographically to (e,s)
+    assert(merges.head == Merge("e", "s"))
+    assert(merges(1) == Merge("es", "t")) // es+t = 9 now the unique max
+    assert(merges(2) == Merge("l", "o"))  // (l,o)=7 ties (o,w)=7 → lex
+    assert(merges(3) == Merge("lo", "w"))
+  }
+
+  test("encode applies merges in learning order, non-overlapping") {
+    val merges = List(Merge("a", "a"), Merge("aa", "aa"))
+    // greedy left-to-right: aaaa -> aa aa -> aaaa; aaaaa keeps a tail 'a'
+    assert(Bpe.encode("aaaa", merges) == List("aaaa"))
+    assert(Bpe.encode("aaaaa", merges) == List("aaaa", "a"))
+    assert(Bpe.encode("ab", merges) == List("a", "b"))
+  }
+
+  test("distributed trainer equals the single-node reference on testdata") {
+    val s = spark
+    import s.implicits._
+    val words = Tables.documents(s, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextSketch.words(
+          org.apache.spark.sql.functions.col("text"))).as("word"))
+    val vocabDf = words.groupBy("word")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("freq"))
+      .as[(String, Long)]
+    val localVocab = vocabDf.collect().toMap
+
+    val distributed = Bpe.train(vocabDf, 16).map(_._1)
+    val reference = Bpe.trainLocal(localVocab, 16)
+    assert(distributed == reference,
+      s"distributed/local divergence:\n$distributed\n$reference")
+    assert(distributed.nonEmpty)
+  }
+}
