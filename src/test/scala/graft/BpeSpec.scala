@@ -26,7 +26,7 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("textbook vocabulary learns the expected first merges") {
     // Sennrich et al.'s shape: 'es' dominates, then 'est', then 'l o'
     val vocab = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
-    val merges = Bpe.trainLocal(vocab, 4)
+    val merges = Bpe.trainLocal(vocab, 4).map(_._1)
     // pair counts round 1: (e,s)=9, (s,t)=9, (l,o)=7, (o,w)=7, ... —
     // tie (e,s)/(s,t) breaks lexicographically to (e,s)
     assert(merges.head == Merge("e", "s"))
@@ -56,10 +56,14 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long)]
     val localVocab = vocabDf.collect().toMap
 
-    val distributed = Bpe.train(vocabDf, 16).map(_._1)
-    val reference = Bpe.trainLocal(localVocab, 16)
+    // localThreshold = 0 forces the distributed rounds — the
+    // strategy equality IS the thing under test
+    val distributed = Bpe.train(vocabDf, 16, localThreshold = 0L).map(_._1)
+    val reference = Bpe.trainLocal(localVocab, 16).map(_._1)
     assert(distributed == reference,
       s"distributed/local divergence:\n$distributed\n$reference")
     assert(distributed.nonEmpty)
+    // and the auto-strategy (local fast path here) agrees too
+    assert(Bpe.train(vocabDf, 16).map(_._1) == reference)
   }
 }
