@@ -138,13 +138,77 @@ object SamplingQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // G4 — sequence packing (the concat-and-chunk training-batch recipe):
+  // documents concatenate in a deterministic shuffle order and split into
+  // fixed-size bins; each document's bin is its running token count's
+  // integer quotient. A single global cumsum would serialize the corpus
+  // through one task, so packing is SHARD-LOCAL (the production layout:
+  // one packed stream per output shard): shard = hash bucket, the cumsum
+  // window partitions on it, and waste stays bounded per shard. Token
+  // counts, cumsums and bin ids are exact integers end to end; the
+  // per-shard summary reports fill fraction as one double division.
+  private val PackShards = 8
+  private val PackLen = 512L // tokens per packed sequence
+
+  private val g4SequencePacking: Q = (s, dir) => {
+    val toks = size(graft.functions.TextSketch.words(col("text"))).cast("long")
+    val shard = pmod(hash60(col("doc_id")), lit(PackShards.toLong))
+    val order = Window.partitionBy(col("shard"))
+      .orderBy(hash60(col("doc_id")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shard.as("shard"), toks.as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(order))
+      // bin of the document's FIRST token (concat-and-chunk: a doc can
+      // straddle a boundary; it starts in this bin)
+      .withColumn("bin", expr(s"(cum - n_tok) DIV $PackLen"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("n_docs")).as("max_docs_per_bin"))
+      .select(col("shard"), col("n_bins"), col("n_docs"), col("n_tokens"),
+        col("max_docs_per_bin"),
+        (col("n_tokens").cast("double") /
+          (col("n_bins") * PackLen).cast("double")).as("fill_fraction"))
+      .orderBy(col("shard"))
+  }
+
+  private val g4Sql = {
+    val w = graft.functions.TextSketch.duck.words("text")
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckHash60 % $PackShards AS shard,
+       |    CAST(len($w) AS BIGINT) AS n_tok, $duckHash60 AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT shard, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d),
+       |bins AS (
+       |  SELECT shard, (cum - n_tok) // $PackLen AS bin,
+       |    COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+       |  FROM c GROUP BY 1, 2)
+       |SELECT shard, COUNT(*) AS n_bins,
+       |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  MAX(n_docs) AS max_docs_per_bin,
+       |  CAST(SUM(n_tokens) AS DOUBLE) /
+       |    CAST(COUNT(*) * $PackLen AS DOUBLE) AS fill_fraction
+       |FROM bins GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
     "g1_hash_split" -> g1HashSplit,
     "g2_stratified_sample" -> g2StratifiedSample,
-    "g3_corpus_mix" -> g3CorpusMix)
+    "g3_corpus_mix" -> g3CorpusMix,
+    "g4_sequence_packing" -> g4SequencePacking)
 
   def oracles: Map[String, String] = Map(
     "g1_hash_split" -> g1Sql,
     "g2_stratified_sample" -> g2Sql,
-    "g3_corpus_mix" -> g3Sql)
+    "g3_corpus_mix" -> g3Sql,
+    "g4_sequence_packing" -> g4Sql)
 }
