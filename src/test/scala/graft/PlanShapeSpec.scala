@@ -340,6 +340,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cross-doc census degenerated to an all-pairs join:\n$p")
   }
 
+  test("g4: sequence packing runs on one shard partitioning, no global sort") {
+    val p = plan("g4_sequence_packing")
+    // the cumsum window and both aggs all key on shard: exactly one hash
+    // exchange (plus the 8-row presentation sort)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"packing should reuse one shard partitioning, got $hashExchanges:\n$p")
+  }
+
   test("x13: tf/df keyword extraction joins on the term key, never all-pairs") {
     val p = plan("x13_tfidf_terms")
     assert(!p.contains("CartesianProduct") &&
