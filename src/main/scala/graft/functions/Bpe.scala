@@ -64,25 +64,48 @@ object Bpe {
     if (syms.lengthCompare(2) < 0) Iterator.empty
     else syms.iterator.zip(syms.iterator.drop(1))
 
+  /** Spark compares strings as UTF-8 BYTES (UTF8String binary order);
+    * Java's compareTo compares UTF-16 code units. They disagree exactly
+    * when one side contains a supplementary character (surrogate pair vs
+    * U+E000..U+FFFF), so the local tie-break must use the UTF-8 order or
+    * the two trainers could pick different merges on emoji-bearing text.
+    */
+  private val utf8Order: Ordering[String] = (a: String, b: String) => {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    var cmp = 0
+    while (cmp == 0 && i < n) {
+      cmp = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      i += 1
+    }
+    if (cmp != 0) cmp else java.lang.Integer.compare(x.length, y.length)
+  }
+
   /** Single-node reference trainer over a word-frequency map (identical
-    * argmax + tie-break to the distributed rounds): the spec's oracle AND
-    * the small-vocabulary fast path of [[train]]. Returns each merge with
-    * its selection-time pair count.
+    * argmax + tie-break to the distributed rounds, including the UTF-8
+    * string order): the spec's oracle AND the small-vocabulary fast path
+    * of [[train]]. Returns each merge with its selection-time pair count.
     */
   def trainLocal(vocab: Map[String, Long], nMerges: Int): List[(Merge, Long)] = {
+    val so = utf8Order
     var merges = List.empty[Merge]
     val out = List.newBuilder[(Merge, Long)]
     var round = 0
     var done = false
     while (round < nMerges && !done) {
+      val ms = merges.reverse // hoisted: O(J) once per round, not per word
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       vocab.foreach { case (w, f) =>
-        pairs(applyMerges(charSymbols(w), merges.reverse))
+        pairs(applyMerges(charSymbols(w), ms))
           .foreach(p => counts.update(p, counts.getOrElse(p, 0L) + f))
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.minBy { case ((pl, pr), pc) =>
+          (-pc, pl, pr)
+        }(Ordering.Tuple3(Ordering[Long], so, so))
         merges = Merge(l, r) :: merges
         out += ((Merge(l, r), c))
         round += 1

@@ -23,8 +23,12 @@ object EventQueries {
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
   // W2 — tumbling 1-hour windows per event type: counts + exact value sums.
+  // null-ts rows are excluded EXPLICITLY on both sides: Spark's window()
+  // drops them implicitly (TimeWindowing injects ts IS NOT NULL), and an
+  // unstated WHERE in the oracle would otherwise keep a NULL group
   private val w2Tumbling: Q = (s, dir) =>
     Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(dec(col("value"))).cast("double").as("total_value"))
@@ -36,7 +40,8 @@ object EventQueries {
     """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+      |FROM events WHERE ts IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   // W3 — gap-based sessionization (30-min inactivity ⇒ new session):
   // classic lag + cumulative-sum session assignment, then per-user session
@@ -53,6 +58,7 @@ object EventQueries {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
       .withColumn("new_session", newSession)
       .withColumn("session_idx", sum(col("new_session")).over(runningSession))
       .groupBy(col("user_id"), col("session_idx"))
@@ -72,7 +78,7 @@ object EventQueries {
       |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
       |      epoch_us(LAG(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)) > 1800000000
       |    THEN 1 ELSE 0 END AS new_session
-      |  FROM events),
+      |  FROM events WHERE ts IS NOT NULL),
       |assigned AS (
       |  SELECT user_id, ts,
       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -95,6 +101,7 @@ object EventQueries {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
       .withColumn("last_click_id",
         last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
           .over(w))
@@ -108,7 +115,7 @@ object EventQueries {
       |  LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
       |    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
-      |FROM events ORDER BY event_id""".stripMargin
+      |FROM events WHERE ts IS NOT NULL ORDER BY event_id""".stripMargin
 
   // W7 — semi-structured extraction: pull a typed field out of the JSON
   // `props` column and aggregate on it — the Spark analog of the

@@ -1,6 +1,7 @@
 package graft.search
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col}
@@ -29,10 +30,14 @@ import graft.ingest.TableSwap
   *  3. rebuild just those partitions (partition-pruned scan of the
   *     affected lists, anti-join out the replaced documents, union the
   *     freshly encoded rows);
-  *  4. swap each rebuilt partition directory into place with the same
-  *     crash-recoverable stage-then-swap protocol the entity tables use
-  *     ([[graft.ingest.TableSwap]]) — every crash point rolls forward or
-  *     back per list, and [[recover]] heals a torn update on next access.
+  *  4. swap each rebuilt partition directory into place with the
+  *     stage-then-swap protocol of [[graft.ingest.TableSwap]], under a
+  *     MANIFEST that makes the whole multi-list update roll forward: the
+  *     manifest (list of affected lists) is written only after the staged
+  *     parquet write completes, so on any crash [[recover]] can finish
+  *     the remaining swaps from the retained staging instead of leaving
+  *     a document half-replaced across lists. Staging and manifest are
+  *     deleted only after every list has swapped.
   *
   * Freezing the quantizer is the standard IVF maintenance contract (FAISS
   * `add` after `train`): centroids drift only with major distribution
@@ -47,6 +52,21 @@ object IndexMaintenance {
       affectedLists: Seq[Int],
       rewrittenRows: Long,
       incomingRows: Long)
+
+  private def stagingOf(indexPath: String) = s"$indexPath.update-staging"
+  private def manifestOf(indexPath: String) = s"$indexPath.update-manifest"
+
+  /** Directory child names, closing the stream (Files.list leaks an fd
+    * per call otherwise).
+    */
+  private def childNames(dir: Path): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toSeq
+    } finally s.close()
+  }
 
   /** Update a list-partitioned index in place for a replaced/added document
     * batch. `incoming` holds the batch's NEW embedding rows (same schema
@@ -64,86 +84,141 @@ object IndexMaintenance {
       docKey: String = "document_id", sortCol: String = "fragment_id",
       dropDocs: Seq[String] = Nil): UpdateStats = {
     recover(indexPath)
-    val encoded = encode(incoming)
-    require(encoded.schema.fieldNames.contains("list_id"),
-      "encode must add the list_id partition column")
+    // one materialization serves the list collection, the staging write
+    // and the row count (the encode is the expensive per-row distance /
+    // code assignment — recomputing it per consumer tripled update cost)
+    val encoded = encode(incoming).persist()
+    try {
+      require(encoded.schema.fieldNames.contains("list_id"),
+        "encode must add the list_id partition column")
 
-    import spark.implicits._
-    val replacedDocs =
-      (incoming.select(col(docKey).cast("string")).distinct()
-        .as[String].collect().toSeq ++ dropDocs).distinct
-    val docsDf = replacedDocs.toDF(docKey)
+      import spark.implicits._
+      val replacedDocs =
+        (incoming.select(col(docKey).cast("string")).distinct()
+          .as[String].collect().toSeq ++ dropDocs).distinct
+      val docsDf = replacedDocs.toDF(docKey)
 
-    // affected lists: where the replaced docs' rows live now, plus where
-    // the re-encoded rows land. Both sides are delta-sized scans — the
-    // existing-side lookup reads only the docKey/list_id columns.
-    val existing = spark.read.parquet(indexPath)
-    val oldLists = existing.join(broadcast(docsDf), Seq(docKey), "left_semi")
-      .select(col("list_id").cast("int")).distinct().as[Int].collect()
-    val newLists = encoded
-      .select(col("list_id").cast("int")).distinct().as[Int].collect()
-    val affected = (oldLists ++ newLists).distinct.sorted.toSeq
-    if (affected.isEmpty)
-      return UpdateStats(Nil, 0L, 0L)
+      // affected lists: where the replaced docs' rows live now, plus where
+      // the re-encoded rows land. Both sides are delta-sized scans — the
+      // existing-side lookup reads only the docKey/list_id columns.
+      val existing = spark.read.parquet(indexPath)
+      val oldLists = existing.join(broadcast(docsDf), Seq(docKey), "left_semi")
+        .select(col("list_id").cast("int")).distinct().as[Int].collect()
+      val newLists = encoded
+        .select(col("list_id").cast("int")).distinct().as[Int].collect()
+      val affected = (oldLists ++ newLists).distinct.sorted.toSeq
+      if (affected.isEmpty)
+        return UpdateStats(Nil, 0L, 0L)
 
-    // schema contract: the frozen encoder must reproduce every index
-    // column (a stray source-layout column baked into an old index, e.g.
-    // doc_bucket, means the index predates the layout-column drop at
-    // build time — rebuild it rather than fabricate values here)
-    val missing = existing.columns.toSet -- encoded.columns.toSet
-    require(missing.isEmpty,
-      s"index at $indexPath carries columns the encoder does not produce " +
-        s"(${missing.mkString(", ")}); rebuild the index")
+      // schema contract: the frozen encoder must reproduce every index
+      // column (a stray source-layout column baked into an old index, e.g.
+      // doc_bucket, means the index predates the layout-column drop at
+      // build time — rebuild it rather than fabricate values here)
+      val missing = existing.columns.toSet -- encoded.columns.toSet
+      require(missing.isEmpty,
+        s"index at $indexPath carries columns the encoder does not produce " +
+          s"(${missing.mkString(", ")}); rebuild the index")
 
-    // rebuild ONLY the affected partitions: partition-pruned scan →
-    // anti-join out every replaced document → union the new rows
-    val rebuilt = existing
-      .filter(col("list_id").isin(affected.map(Integer.valueOf): _*))
-      .join(broadcast(docsDf), Seq(docKey), "left_anti")
-      .unionByName(encoded.select(existing.columns.map(col): _*))
+      // rebuild ONLY the affected partitions: partition-pruned scan →
+      // anti-join out every replaced document → union the new rows
+      val rebuilt = existing
+        .filter(col("list_id").isin(affected.map(Integer.valueOf): _*))
+        .join(broadcast(docsDf), Seq(docKey), "left_anti")
+        .unionByName(encoded.select(existing.columns.map(col): _*))
 
-    // stage the rebuilt partitions as one parquet write, then swap each
-    // partition directory with TableSwap's recoverable protocol
-    val staging = s"$indexPath.update-staging"
-    TableSwap.rmTreeAt(staging)
-    rebuilt.repartition(col("list_id"))
-      .sortWithinPartitions(sortCol)
-      .write.partitionBy("list_id").parquet(staging)
-    // explicit schema: a pure deletion can stage ZERO rows (every affected
-    // list emptied), and a schema-less read of a file-less staging dir
-    // fails with UNABLE_TO_INFER_SCHEMA
-    val nRewritten =
-      spark.read.schema(rebuilt.schema).parquet(staging).count()
+      val staging = stagingOf(indexPath)
+      TableSwap.rmTreeAt(staging)
+      rebuilt.repartition(col("list_id"))
+        .sortWithinPartitions(sortCol)
+        .write.partitionBy("list_id").parquet(staging)
+      // explicit schema: a pure deletion can stage ZERO rows (every
+      // affected list emptied), and a schema-less read of a file-less
+      // staging dir fails with UNABLE_TO_INFER_SCHEMA
+      val nRewritten =
+        spark.read.schema(rebuilt.schema).parquet(staging).count()
 
-    affected.foreach { list =>
-      val stagedDir = Paths.get(staging, s"list_id=$list")
-      // a list can end up empty (its only doc was replaced away): swap in
-      // an empty directory so the partition disappears cleanly; a BRAND-NEW
-      // list has no live directory yet — create one so the swap protocol
-      // (which moves live aside first) applies uniformly
-      if (!Files.exists(stagedDir)) Files.createDirectories(stagedDir)
-      val liveDir = Paths.get(s"$indexPath/list_id=$list")
-      if (!Files.exists(liveDir)) Files.createDirectories(liveDir)
-      TableSwap.swap(s"$indexPath/list_id=$list") { partStaging =>
-        Files.move(stagedDir, Paths.get(partStaging))
+      // materialize every staged partition dir (a list can end up empty —
+      // its only doc replaced away — and swaps in as an empty partition),
+      // THEN declare the update via the manifest: from here recovery
+      // rolls the whole list set forward, never backward
+      affected.foreach { list =>
+        val stagedDir = Paths.get(staging, s"list_id=$list")
+        if (!Files.exists(stagedDir)) Files.createDirectories(stagedDir)
       }
-    }
-    TableSwap.rmTreeAt(staging)
-    UpdateStats(affected, nRewritten, encoded.count())
+      Files.write(Paths.get(manifestOf(indexPath)),
+        affected.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+      swapAll(indexPath, affected)
+
+      Files.deleteIfExists(Paths.get(manifestOf(indexPath)))
+      TableSwap.rmTreeAt(staging)
+      UpdateStats(affected, nRewritten, encoded.count())
+    } finally { encoded.unpersist(); () }
   }
 
-  /** Heal any torn partition swap left by a crash mid-[[updateIndex]]:
-    * run TableSwap recovery for every partition directory that has swap
-    * leftovers, and drop a stale staging table. Called automatically at
-    * the start of every update; index readers should call it after an
-    * unclean shutdown.
+  /** Swap every listed partition whose staged directory is still present
+    * (one already consumed means that list's swap completed earlier —
+    * the crash-resume path skips it).
+    */
+  private def swapAll(indexPath: String, lists: Seq[Int]): Unit = {
+    val staging = stagingOf(indexPath)
+    lists.foreach { list =>
+      val stagedDir = Paths.get(staging, s"list_id=$list")
+      if (Files.exists(stagedDir)) {
+        val liveDir = Paths.get(s"$indexPath/list_id=$list")
+        if (!Files.exists(liveDir)) Files.createDirectories(liveDir)
+        TableSwap.swap(s"$indexPath/list_id=$list") { partStaging =>
+          Files.move(stagedDir, Paths.get(partStaging))
+        }
+      }
+    }
+  }
+
+  /** Heal a crash mid-[[updateIndex]]. With a manifest present the staged
+    * parquet write is known complete (the manifest is written after it),
+    * so the interrupted update rolls FORWARD: each listed partition is
+    * brought to its new contents whether the crash hit before, during, or
+    * after that list's individual swap. Without a manifest, only the
+    * per-partition TableSwap leftovers of non-manifest operations are
+    * healed (roll-back semantics) and stale staging is dropped. Called
+    * automatically at the start of every update; index readers should
+    * call it after an unclean shutdown.
     */
   def recover(indexPath: String): Seq[String] = {
     val root = Paths.get(indexPath)
     if (!Files.exists(root)) return Nil
-    import scala.jdk.CollectionConverters._
-    val actions = Files.list(root).iterator().asScala.toSeq
-      .map(_.getFileName.toString)
+    val manifest = Paths.get(manifestOf(indexPath))
+    val staging = stagingOf(indexPath)
+
+    val forward: Seq[String] = if (Files.exists(manifest)) {
+      import scala.jdk.CollectionConverters._
+      val lists = Files.readAllLines(manifest).asScala.toSeq
+        .filter(_.nonEmpty).map(_.toInt)
+      // a list crashed between "staged dir moved to <part>.staging" and
+      // "live moved aside" shows live + .staging together — TableSwap's
+      // generic recovery would DROP that staging as stale, but under a
+      // manifest the staged data is complete: finish its swap instead
+      lists.foreach { list =>
+        val part = s"$indexPath/list_id=$list"
+        val (live, stg, old) =
+          (Paths.get(part), Paths.get(s"$part.staging"), Paths.get(s"$part.old"))
+        if (Files.exists(live) && Files.exists(stg) && !Files.exists(old)) {
+          Files.move(live, old)
+          Files.move(stg, live)
+          TableSwap.rmTreeAt(old.toString)
+        } else {
+          TableSwap.recoverSwap(part)
+          ()
+        }
+      }
+      // swaps not yet begun still have their staged dirs — finish them
+      if (Files.isDirectory(Paths.get(staging))) swapAll(indexPath, lists)
+      Files.deleteIfExists(manifest)
+      Seq(s"rolled forward interrupted ${lists.size}-list update")
+    } else Nil
+
+    // leftovers outside any manifest (historic single-partition swaps)
+    val healed = childNames(root)
       .filter(n => n.startsWith("list_id=") &&
         (n.endsWith(".staging") || n.endsWith(".old")))
       .map(n => n.stripSuffix(".staging").stripSuffix(".old"))
@@ -151,7 +226,7 @@ object IndexMaintenance {
       .flatMap { base =>
         TableSwap.recoverSwap(s"$indexPath/$base").map(a => s"$base: $a")
       }
-    TableSwap.rmTreeAt(s"$indexPath.update-staging")
-    actions
+    TableSwap.rmTreeAt(staging)
+    forward ++ healed
   }
 }

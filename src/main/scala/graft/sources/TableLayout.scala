@@ -68,10 +68,18 @@ object TableLayout {
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long,
       sortCols: Seq[String]): CompactStats = {
-    import scala.jdk.CollectionConverters._
+    // close every directory stream — Files.list leaks one fd per call
+    // otherwise, and a periodic-maintenance driver lists thousands of
+    // partition dirs per sweep
+    def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq
+      } finally s.close()
+    }
     val root = java.nio.file.Paths.get(path)
-    val children = java.nio.file.Files.list(root).iterator().asScala.toSeq
-    val partDirs = children.filter(p =>
+    val partDirs = ls(root).filter(p =>
       java.nio.file.Files.isDirectory(p) &&
         p.getFileName.toString.matches("[^=]+=.*"))
     val targets = if (partDirs.nonEmpty) partDirs else Seq(root)
@@ -80,7 +88,7 @@ object TableLayout {
     var before = 0
     var after = 0
     targets.foreach { dir =>
-      val dataFiles = java.nio.file.Files.list(dir).iterator().asScala.toSeq
+      val dataFiles = ls(dir)
         .filter(f => f.getFileName.toString.endsWith(".parquet") &&
           !f.getFileName.toString.startsWith("."))
       before += dataFiles.size

@@ -3,7 +3,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Descending, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Descending, EqualNullSafe, EqualTo, In, InSet, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -83,12 +83,19 @@ case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Already narrowed (by this rule on a prior fixpoint iteration, or by
     * an explicit probe filter) — firing again would stack filters and the
-    * batch would never converge.
+    * batch would never converge. The rule runs inside the operator-
+    * optimization fixpoint, where OptimizeIn rewrites our injected
+    * `In(list_id, …)` to `EqualTo` (one probe) or `InSet` (many probes),
+    * so all three shapes must count as pruned.
     */
   private def alreadyPruned(p: LogicalPlan): Boolean =
     p.exists {
       case f: Filter => f.condition.exists {
         case In(a: Attribute, _) if a.name == "list_id" => true
+        case InSet(a: Attribute, _) if a.name == "list_id" => true
+        case EqualTo(a: Attribute, _: Literal) if a.name == "list_id" => true
+        case EqualTo(_: Literal, a: Attribute) if a.name == "list_id" => true
+        case EqualNullSafe(a: Attribute, _: Literal) if a.name == "list_id" => true
         case _ => false
       }
       case _ => false

@@ -202,6 +202,62 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("manifest recovery finishes a multi-list update interrupted mid-loop") {
+    val s = spark
+    val base = rows(Seq(("a", 1, 0f), ("b", 1, 30f)))
+    val q = quant(0f, 30f)
+    val path = s"$dir/ivf_tear"
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(base, q), path, "list_id", Seq("fragment_id"))
+
+    // doc a gets new vectors in BOTH lists; build the staged update by
+    // hand to freeze a crash where list 0 swapped but list 1 did not
+    import s.implicits._
+    val delta = Seq(
+      ("a", "a-f0", Array(0.5f, 0.5f, 1.0f, 0.5f)),
+      ("a", "a-f1", Array(30.5f, 30.5f, 1.0f, 0.5f))
+    ).toDF("document_id", "fragment_id", "vector")
+    val merged = rows(Seq(("b", 1, 30f))).union(delta)
+    val staged = Ivf.buildIndex(merged, q)
+    val staging = s"$path.update-staging"
+    staged.write.partitionBy("list_id").parquet(staging)
+    Files.writeString(Paths.get(s"$path.update-manifest"), "0\n1")
+    // "crash state": list 0's swap completed (live dir replaced), list 1
+    // never started (staged dir still in the staging table)
+    graft.ingest.TableSwap.rmTreeAt(s"$path/list_id=0")
+    Files.move(Paths.get(staging, "list_id=0"), Paths.get(s"$path/list_id=0"))
+
+    val actions = IndexMaintenance.recover(path)
+    assert(actions.exists(_.contains("rolled forward")), actions.toString)
+    assert(!Files.exists(Paths.get(s"$path.update-manifest")))
+    assert(!Files.exists(Paths.get(staging)))
+    assert(asSet(spark.read.parquet(path)) == asSet(staged),
+      "both lists must hold the updated contents after forward recovery")
+  }
+
+  test("manifest recovery completes a swap caught between stage and move") {
+    val s = spark
+    val base = rows(Seq(("a", 2, 0f)))
+    val q = quant(0f)
+    val path = s"$dir/ivf_midswap"
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(base, q), path, "list_id", Seq("fragment_id"))
+
+    // crash state 1 of TableSwap.swap: staged data moved to the
+    // partition's .staging, live still holds the OLD rows. Without the
+    // manifest this state rolls BACK (staging dropped); with it, the
+    // staged write is known complete and recovery must roll FORWARD.
+    val newRows = Ivf.buildIndex(rows(Seq(("a", 1, 0.7f))), q)
+    // partition files never contain the partition column — the dir does
+    newRows.drop("list_id").write.parquet(s"$path/list_id=0.staging")
+    Files.writeString(Paths.get(s"$path.update-manifest"), "0")
+
+    IndexMaintenance.recover(path)
+    assert(asSet(spark.read.parquet(path)) == asSet(newRows),
+      "live partition must hold the staged rows after forward recovery")
+    assert(!Files.exists(Paths.get(s"$path/list_id=0.staging")))
+  }
+
   test("recover heals a torn partition swap (live moved aside, crash)") {
     val base = rows(Seq(("a", 2, 0f), ("b", 2, 30f)))
     val q = quant(0f, 30f)
