@@ -128,6 +128,29 @@ class AnnRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nprobe=1 stays convergent: OptimizeIn's EqualTo still counts as pruned") {
+    // the injected In(list_id, [l]) is rewritten to EqualTo by OptimizeIn
+    // inside the same fixpoint batch; the guard must recognize it or the
+    // rule re-fires every iteration and stacks filters
+    spark.conf.set(
+      org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
+    spark.conf.set(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey, "1")
+    try {
+      val df = knnPlan(Array(19.9f, 0.3f, 1f, 0.7f), 5)
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      val probeFilters = df.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.references.exists(_.name == "list_id") => f
+      }
+      assert(probeFilters.size == 1,
+        s"expected exactly one probe Filter, got ${probeFilters.size}:\n" +
+          df.queryExecution.optimizedPlan)
+      assert(df.collect().nonEmpty)
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
+    }
+  }
+
   test("plans without a list_id relation are untouched when configs on") {
     spark.conf.set(
       org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
