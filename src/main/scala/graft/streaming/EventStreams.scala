@@ -212,6 +212,32 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_digest")
 
+  /** Streaming frequent terms — the Misra–Gries sketch
+    * ([[graft.functions.FreqSketch]]) as a streaming aggregation: the
+    * trending-terms job over a live document stream. The typed
+    * Aggregator's reduce/merge are the same mergeable-summaries operations
+    * the batch query (x14) uses, so every update-mode emission is a valid
+    * MG sketch of everything seen so far — the present/underestimate
+    * guarantees hold per snapshot — and the state store holds ≤ k
+    * counters total, independent of stream length and vocabulary size
+    * (the property that makes a frequent-items stream viable at all:
+    * exact counts would grow state with the vocabulary).
+    */
+  def trendingTerms(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(graft.functions.TextSketch.words(col(textCol)))
+        .as("term"))
+      .as[String]
+      .groupByKey(_ => 0)
+      .agg(graft.functions.FreqSketch.topK(k).toColumn)
+      .toDF("group", "sketch")
+      .select(explode(col("sketch")).as("e"))
+      .select(col("e._1").as("term"), col("e._2").as("est_count"))
+  }
+
   /** Sliding-window distinct active users — streaming twin of
     * w13_sliding_active (WAU side; the dedup state keeps one row per
     * (window, user), which erases WHICH day inside the window a user was

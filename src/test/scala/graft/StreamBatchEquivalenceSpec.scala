@@ -271,6 +271,48 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected null-ts semantics: $rows")
   }
 
+  test("streaming trending terms keep the MG guarantees across batches") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val texts = Tables.documents(s, dir)
+      .select(col("text")).as[String].collect()
+    val (b1, b2) = texts.splitAt(texts.length / 2)
+    val k = 30 // far below the corpus vocabulary: eviction really happens
+
+    val mem = MemoryStream[String]
+    @volatile var last: Seq[(String, Long)] = Nil
+    val q = graft.streaming.EventStreams
+      .trendingTerms(mem.toDF().withColumnRenamed("value", "text"), k)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        if (rows.nonEmpty) last = rows
+      }.start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(last.nonEmpty && last.size <= k, s"state must stay ≤ k: ${last.size}")
+    // exact ground truth over the full stream
+    val exact = texts.flatMap(_.trim.split("[ \\t\\n\\f\\r]+"))
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = exact.values.sum
+    val sketch = last.toMap
+    exact.foreach { case (term, c) =>
+      if (c * (k + 1) > n)
+        assert(sketch.contains(term),
+          s"heavy term $term (count $c, n=$n) missing from the final snapshot")
+      sketch.get(term).foreach { est =>
+        assert(est <= c && (c - est) * (k + 1) <= n,
+          s"estimate $est out of bounds for $term (true $c, n=$n)")
+      }
+    }
+  }
+
   test("streaming transitions match the batch w14 edge census") {
     val s = spark
     import s.implicits._
