@@ -151,6 +151,43 @@ class AnnRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Engine.search accelerates transparently over an index table") {
+    // the README's user story: same API call, index table + configs in,
+    // pgvector-style acceleration out. Full probe (nprobe = k) must equal
+    // the exact path bit-for-bit; a partial probe must still fill top-k.
+    val s = spark
+    import s.implicits._
+    val embedder = new graft.embedding.OfflineEmbedder(4)
+    val engine = new graft.api.Engine(s, embedder)
+    val rows = (0 until 40).map { i =>
+      val c = i % 4
+      graft.domain.Model.EmbeddingRow(s"d$i", f"frag$i%02d", s"p$i", s"doc$i",
+        "text", Some("en"), s"content $i",
+        Array(c * 10f + (i / 4) * 0.1f, 0.3f, 1f, 0.7f))
+    }
+    val idxPath = s"$dir/engine_idx"
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(rows.toDF(), quant), idxPath, "list_id",
+      Seq("fragment_id"))
+    val parents = s.emptyDataset[graft.domain.Model.ParentRow]
+    def hits() = engine.search(
+      s.read.parquet(idxPath).as[graft.domain.Model.EmbeddingRow], parents,
+      "a query", topK = 6, expandContext = false, applySelfQuery = false)
+
+    val exact = hits() // configs off
+    spark.conf.set(
+      org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
+    try {
+      spark.conf.set(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey, "4")
+      assert(hits() == exact, "full probe must equal the exact path")
+      spark.conf.set(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey, "1")
+      assert(hits().size == 6, "partial probe must still fill top-k")
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
+    }
+  }
+
   test("plans without a list_id relation are untouched when configs on") {
     spark.conf.set(
       org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
