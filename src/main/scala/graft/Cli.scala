@@ -21,13 +21,15 @@ object Cli {
     import spark.implicits._
     val engine = new Engine(spark, new OfflineEmbedder(64))
 
+    def readDocs(files: List[String]) = files.map { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
+      DocInput(f, text, isOcr = false)
+    }.toDS()
+
     args.toList match {
       case "ingest" :: outDir :: files if files.nonEmpty =>
-        val docs = files.map { f =>
-          val text = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
-          DocInput(f, text, isOcr = false)
-        }.toDS()
+        val docs = readDocs(files)
         val r = engine.ingest(docs)
         import graft.ingest.IngestPipeline.writeTable
         writeTable(r.documents.toDF(), s"$outDir/documents", key = "id")
@@ -42,11 +44,7 @@ object Cli {
       case "reingest" :: tablesDir :: files if files.nonEmpty =>
         // K5 cascade semantics: replace exactly the re-ingested documents,
         // keep everything else (broadcast anti-join merge per table)
-        val docs = files.map { f =>
-          val text = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
-          DocInput(f, text, isOcr = false)
-        }.toDS()
+        val docs = readDocs(files)
         val r = engine.ingest(docs)
         // crash-safe stage-then-swap with startup recovery — see
         // [[graft.ingest.TableSwap]] (spec-pinned on every crash state)
@@ -149,10 +147,7 @@ object Cli {
           .search(index, qvec, q, topK, nprobe)
           .select(col("fragment_id"), col("view"), col("similarity"))
           .collect()
-        hits.zipWithIndex.foreach { case (h, i) =>
-          println(f"#${i + 1}%-3d sim=${h.getDouble(2)}%.4f " +
-            s"[${h.getString(1)}] ${h.getString(0)}")
-        }
+        Cli.printRowHits(hits)
 
       // Extend the persisted IVF index with PQ codes (IVFPQ): train the
       // product codebook on the same deterministic sample, add the
@@ -303,6 +298,8 @@ object Cli {
     require(index.schema.fieldNames.contains("pq_cb_hash"),
       s"index $indexName has no pq_cb_hash column (written before " +
         s"fingerprinting); re-run $reindexCmd")
+    require(!index.isEmpty,
+      s"index $indexName is empty; re-run $reindexCmd (or ingest first)")
     val head = index.select(col("pq_code"), col("pq_cb_hash")).head()
     val sampleCode = head.getAs[Array[Byte]](0)
     require(sampleCode.length == cb.m,
@@ -317,9 +314,15 @@ object Cli {
         tieBreak = "fragment_id")
       .select(col("fragment_id"), col("view"), col("similarity"))
       .collect()
+    printRowHits(hits)
+  }
+
+  /** Shared (fragment_id, view, similarity) hit formatter for the ANN
+    * search commands.
+    */
+  private def printRowHits(hits: Array[org.apache.spark.sql.Row]): Unit =
     hits.zipWithIndex.foreach { case (h, i) =>
       println(f"#${i + 1}%-3d sim=${h.getDouble(2)}%.4f " +
         s"[${h.getString(1)}] ${h.getString(0)}")
     }
-  }
 }

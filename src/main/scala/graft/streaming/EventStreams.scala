@@ -78,7 +78,15 @@ object EventStreams {
                     s.nEvents, (s.lastTs - s.sessionStart) / 1000000L)
                   cur = Some(SessionState(t, t, 1))
                 case Some(s) =>
-                  cur = Some(SessionState(s.sessionStart, t, s.nEvents + 1))
+                  // a within-watermark late event can carry t < lastTs
+                  // (or even < sessionStart) ACROSS batches — it merges
+                  // into the open session, but must never regress the
+                  // session clock: lastTs only advances (else the next
+                  // event measures its gap against the late straggler
+                  // and the timeout re-arms in the past), and
+                  // sessionStart only retreats
+                  cur = Some(SessionState(math.min(s.sessionStart, t),
+                    math.max(s.lastTs, t), s.nEvents + 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }
