@@ -1,8 +1,79 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Benchmark main. Contract: ONE JSON line on stdout with per-query
+  * seconds. Because the driver parses that line from a bounded stdout
+  * *tail* (2000 chars — BENCH_r04/r05 recorded `parsed: null` once the
+  * catalog grew past ~60 queries and the line outgrew the window), the
+  * full record is ALSO written to `bench_out.json`, and the very last
+  * stdout line is a compact summary (guaranteed < 1 KB) whose
+  * `queries_file` field points at the full record. Consumers should
+  * prefer `bench_out.json`.
+  *
+  * The record is only trustworthy when nothing else competes for the 32
+  * cores (BENCH_r04/r05 showed 10-20x contention swings on unchanged
+  * code), so before measuring we wait — bounded — for any *unrelated*
+  * JVM to exit, and stamp the outcome (`contended`, `other_jvms`,
+  * `loadavg_start`) into the record so a contaminated run is
+  * self-describing instead of silently wrong.
+  */
 object Bench {
+
+  /** Pids of this process and its ancestors (sbt, the driver shell…) —
+    * these are java/python too but are the ones *running* the bench. */
+  private def ancestorPids(): Set[Long] = {
+    var ph: java.util.Optional[ProcessHandle] =
+      java.util.Optional.of(ProcessHandle.current())
+    val acc = scala.collection.mutable.Set.empty[Long]
+    while (ph.isPresent) { acc += ph.get.pid; ph = ph.get.parent() }
+    acc.toSet
+  }
+
+  /** Command lines of java processes that are NOT this bench's own
+    * process tree (ancestors or descendants). Those are the contention
+    * sources that invalidated BENCH_r04/r05. */
+  private def otherJvms(): Seq[String] = {
+    val own = ancestorPids()
+    val self = ProcessHandle.current()
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter { p =>
+        val cmd = p.info().command().orElse("")
+        (cmd.endsWith("/java") || cmd == "java") &&
+          !own.contains(p.pid) && !isDescendant(p, self)
+      }
+      .map(p => s"pid=${p.pid} ${p.info().commandLine().orElse("?").take(160)}")
+      .toSeq
+  }
+
+  private def isDescendant(p: ProcessHandle, root: ProcessHandle): Boolean = {
+    var cur = p.parent()
+    while (cur.isPresent) {
+      if (cur.get.pid == root.pid) return true
+      cur = cur.get.parent()
+    }
+    false
+  }
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
+    catch { case _: Throwable => "?" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    // Pre-flight: wait (up to 120 s) for unrelated JVMs to drain. We do
+    // not hard-refuse — an aborted run records nothing, which is worse
+    // than a contention-stamped one — but the stamp makes the verdict
+    // unambiguous.
+    var waited = 0
+    var others = otherJvms()
+    while (others.nonEmpty && waited < 120) {
+      Thread.sleep(5000); waited += 5; others = otherJvms()
+    }
+    val contended = others.nonEmpty
+    val load0 = loadavg()
+
     val spark = GraftSession.local()
     // warm the JVM (codegen, parquet reader, shuffle, window/join exec,
     // md5/regex expression paths) on SYNTHETIC data so the first measured
@@ -59,7 +130,26 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val meta =
+      s""""contended":$contended,"loadavg_start":"$load0"""" +
+        s""","other_jvms":${others.size},"nq":${results.size}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
+
+    // Full record to a file — the authoritative artifact (stdout tails get
+    // truncated; this never does).
+    try {
+      val out = java.nio.file.Paths.get("bench_out.json")
+      java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    println(fullLine)
+    // Final line: compact (slowest 15 queries only) so it survives any
+    // stdout tail window ≥ ~1 KB and still parses as the contract shape.
+    val top = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","queries_file":"bench_out.json",$meta}""")
     spark.stop()
   }
 }
