@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pinned golden output hashes for every catalog query that has no DuckDB
+  * oracle (the driver records them `err: no_oracle` — rows-only). The
+  * queries are deterministic (seeded sampling, hash ids, fixed session
+  * config), so one reviewed output per scale factor can be hashed and
+  * asserted — turning rows-only checks into full regression oracles
+  * (VERDICT r5 task #2; SURVEY §5 rebuild strategy).
+  *
+  * Hashes are pinned at sf0.001 under the exact session config below
+  * (local[4], 8 shuffle partitions — sketch merges like x14's Misra-Gries
+  * are partitioning-dependent, so the config is part of the pin). To
+  * re-pin after a REVIEWED semantic change:
+  * `sbt "Test/runMain graft.GoldenHashGen"`.
+  */
+object GoldenHashSpec {
+  /** The 13 no-oracle queries from CORRECTNESS_r05.json. */
+  val noOracleQueries: Seq[String] = Seq(
+    "p1_ingest_fragments", "p2_parent_synthesis", "p3_embed_fragments",
+    "p4_pdf_segments", "p5_e2e_golden45",
+    "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
+    "v9_ivfpq_recall",
+    "x4_approx_stats", "x14_approx_topk", "x15_bpe_merges")
+
+  /** Reviewed-once golden hashes (sf0.001, session config above). */
+  val pinned: Map[String, String] = Map(
+    "p1_ingest_fragments" -> "32c227f519272783ad481e0456d3e04c",
+    "p2_parent_synthesis" -> "72aca4c977ded015f336695c330e52ba",
+    "p3_embed_fragments" -> "15bae67e53b1d2e7744de937dc2ded7d",
+    "p4_pdf_segments" -> "599104d08747c7c70373563629ffa5a0",
+    "p5_e2e_golden45" -> "211b506be808e27fd9faf92756b9db03",
+    "v5_ann_recall" -> "45820658a5290f75ce058970607f91a1",
+    "v6_ivf_recall" -> "2820f621b95f7617bb49d5dd5a855eca",
+    "v7_pq_recall" -> "9cebfbb91da0d7b2437aef4630cc7d5c",
+    "v8_sq_recall" -> "269887f89364ba735aab0781bade2fcb",
+    "v9_ivfpq_recall" -> "5c5f3579846158cd7ba5bc6f8bbb959d",
+    "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
+    "x14_approx_topk" -> "03d0cc91a100036d57ef942396763a06",
+    "x15_bpe_merges" -> "360a61593aac1c884faf44ba87735d0c",
+  )
+}
+
+class GoldenHashSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]", "8").getOrCreate()
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("every no-oracle query has a pinned hash") {
+    assert(GoldenHashSpec.noOracleQueries.toSet ==
+      GoldenHashSpec.pinned.keySet)
+  }
+
+  GoldenHashSpec.noOracleQueries.foreach { name =>
+    test(s"golden hash: $name") {
+      val got = GoldenHash.of(SparkEntry.queries(name)(spark, dir))
+      val want = GoldenHashSpec.pinned.getOrElse(name, "<unpinned>")
+      assert(got == want,
+        s"$name output drifted from its reviewed golden (got $got). If the " +
+          "change is an intended semantic change, review the new output and " +
+          "re-pin via: sbt \"Test/runMain graft.GoldenHashGen\"")
+    }
+  }
+}
