@@ -25,9 +25,16 @@ trait Embedder extends Serializable {
 final class OfflineEmbedder(val dim: Int = 64) extends Embedder {
 
   def embedDocuments(texts: Seq[String]): Seq[Array[Float]] =
-    texts.map(embedOne)
+    texts.map(t => HashVec.normalized(HashVec.raw(t, dim)))
+}
 
-  private def embedOne(text: String): Array[Float] = {
+/** md5-block hash → pseudo-random vector, shared by the offline embedders. */
+private[embedding] object HashVec {
+
+  /** Unnormalized components: md5(text + ":" + blockIndex) — 16 bytes →
+    * 4 floats per block, each in [-1, 1).
+    */
+  def raw(text: String, dim: Int): Array[Float] = {
     val v = new Array[Float](dim)
     var block = 0
     var i = 0
@@ -44,11 +51,49 @@ final class OfflineEmbedder(val dim: Int = 64) extends Embedder {
       }
       block += 1
     }
+    v
+  }
+
+  def normalized(v: Array[Float]): Array[Float] = {
     var norm = 0.0
     v.foreach(x => norm += x.toDouble * x.toDouble)
     val inv = if (norm == 0) 0f else (1.0 / math.sqrt(norm)).toFloat
     v.map(_ * inv)
   }
+}
+
+/** Compositional offline embedder: the text embeds as the tf-weighted sum
+  * of per-token hash unit vectors, L2-normalized — a deterministic random
+  * projection of the token-frequency vector. Unlike [[OfflineEmbedder]]
+  * (whole-text hash ⇒ any edit is an orthogonal vector, so only identity
+  * retrieval works), this preserves bag-of-words geometry: a paraphrase
+  * sharing part of the token multiset lands NEAR the source document, which
+  * is what the adversarial golden-query eval (GoldenEval) needs from an
+  * embedding model. Stands in for the reference's API embedder
+  * (embedding/provider.py:36-99) in zero-egress runs.
+  */
+final class TokenHashEmbedder(val dim: Int = 128) extends Embedder {
+
+  def embedDocuments(texts: Seq[String]): Seq[Array[Float]] = {
+    // token vectors memoized per batch (corpora here have small vocabularies;
+    // the map is bounded by distinct tokens in the batch)
+    val cache = scala.collection.mutable.HashMap.empty[String, Array[Float]]
+    texts.map { t =>
+      val v = new Array[Float](dim)
+      TokenHashEmbedder.tokenize(t).foreach { tok =>
+        val tv = cache.getOrElseUpdate(tok, HashVec.normalized(HashVec.raw(tok, dim)))
+        var i = 0
+        while (i < dim) { v(i) += tv(i); i += 1 }
+      }
+      HashVec.normalized(v)
+    }
+  }
+}
+
+object TokenHashEmbedder {
+  /** Lowercased letter/digit runs (Unicode classes — Korean included). */
+  def tokenize(text: String): Seq[String] =
+    text.toLowerCase.split("[^\\p{L}\\p{N}]+").toSeq.filter(_.nonEmpty)
 }
 
 /** E3 — greedy char-budget batching (shared/batching.py:12-66). Runs inside

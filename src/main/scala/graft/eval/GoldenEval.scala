@@ -1,0 +1,114 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.embedding.{Embedder, TokenHashEmbedder}
+import graft.search.VectorSearch
+
+/** Golden-query retrieval-quality harness with the reference's match
+  * semantics (api/cli/quality.py:34-100): each query runs a top-k search
+  * and passes iff some hit's parent_id is in `expect_parent_ids`, or —
+  * fallback mode — some expected token appears in a hit's content or its
+  * parent context.
+  *
+  * Where the reference ships a handwritten eval corpus
+  * (eval_queries*.jsonl), this repo's corpus is synthetic, so
+  * [[adversarialCorpus]] DERIVES a paraphrase query per target fragment:
+  * every second token occurrence is dropped and out-of-corpus scaffold
+  * tokens are appended, which caps the query↔fragment token-multiset
+  * Jaccard at 0.5 by construction. That makes the eval a genuine
+  * non-identity retrieval test (VERDICT r5 task #3) — self-retrieval only
+  * proves plumbing.
+  */
+object GoldenEval {
+
+  final case class GoldenQuery(
+      queryId: String,
+      text: String,
+      expectParentIds: Seq[String],
+      expectContains: Seq[String],
+      /** token-multiset Jaccard between the query and its target fragment */
+      tokenJaccard: Double)
+
+  /** Scaffold words appended to every paraphrase — absent from the
+    * synthetic corpus vocabulary, so they only ever shrink the overlap.
+    */
+  private val Scaffold = Seq("explain", "regarding")
+
+  /** Keep every second token occurrence, append scaffold. Deterministic. */
+  def paraphrase(content: String): String = {
+    val toks = TokenHashEmbedder.tokenize(content)
+    (toks.zipWithIndex.collect { case (t, i) if i % 2 == 0 => t } ++ Scaffold)
+      .mkString(" ")
+  }
+
+  /** Token-multiset Jaccard: |a ∩ b| / |a ∪ b| over occurrence counts. */
+  def multisetJaccard(a: String, b: String): Double = {
+    val ca = TokenHashEmbedder.tokenize(a).groupBy(identity).map { case (k, v) => k -> v.size }
+    val cb = TokenHashEmbedder.tokenize(b).groupBy(identity).map { case (k, v) => k -> v.size }
+    val keys = ca.keySet ++ cb.keySet
+    val inter = keys.toSeq.map(k => math.min(ca.getOrElse(k, 0), cb.getOrElse(k, 0))).sum
+    val union = keys.toSeq.map(k => math.max(ca.getOrElse(k, 0), cb.getOrElse(k, 0))).sum
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** One paraphrase query per target fragment (first `n` by fragment_id —
+    * deterministic), expecting the fragment's parent in the top-k.
+    * The driver-side collect is `n` rows (the reference's eval corpus is
+    * 45 queries; this is eval tooling, not a data-path operator).
+    */
+  def adversarialCorpus(embeddings: DataFrame, n: Int): Seq[GoldenQuery] =
+    embeddings
+      .orderBy(col("fragment_id")).limit(n)
+      .select(col("fragment_id"), col("parent_id"), col("content"))
+      .collect()
+      .map { r =>
+        val content = r.getString(2)
+        val q = paraphrase(content)
+        GoldenQuery(s"gq:${r.getString(0)}", q, Seq(r.getString(1)), Nil,
+          multisetJaccard(q, content))
+      }.toSeq
+
+  /** Run the corpus as ONE batch-KNN job and apply the reference's match
+    * rule. Returns one row per query:
+    * (query_id, matched, best_rank, top_similarity, token_jaccard).
+    */
+  def evaluate(embeddings: DataFrame, parents: DataFrame,
+      queries: Seq[GoldenQuery], embedder: Embedder, topK: Int = 10): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val qvecs = queries.map(q => (q.queryId, q.text))
+      .map { case (id, t) => (id, embedder.embedQuery(t)) }
+      .toDF("query_id", "query_vector")
+    val expect = queries
+      .map(q => (q.queryId, q.expectParentIds, q.expectContains, q.tokenJaccard))
+      .toDF("query_id", "expect_parent_ids", "expect_contains", "token_jaccard")
+
+    val hits = VectorSearch.batchKnn(embeddings, qvecs, topK)
+      .select(col("query_id"), col("rank"), col("similarity"),
+        col("parent_id"), col("content"))
+      // parent context participates in the contains-match, as in the
+      // reference (result.parent_content) — broadcast: parents of the
+      // top-k hits only after the join, but the parents table itself is
+      // the document-scale side, so join on parent_id normally
+      .join(parents.select(col("parent_id"),
+        col("content").as("parent_content")), Seq("parent_id"), "left")
+      .join(broadcast(expect), Seq("query_id"))
+      .withColumn("hit_parent",
+        array_contains(col("expect_parent_ids"), col("parent_id")))
+      .withColumn("hit_contains",
+        exists(col("expect_contains"), t =>
+          col("content").contains(t) ||
+            coalesce(col("parent_content"), lit("")).contains(t)))
+      .withColumn("hit", col("hit_parent") || col("hit_contains"))
+
+    hits.groupBy(col("query_id"))
+      .agg(
+        max(col("hit")).as("matched"),
+        min(when(col("hit"), col("rank"))).as("best_rank"),
+        max(col("similarity")).as("top_similarity"),
+        first(col("token_jaccard")).as("token_jaccard"))
+      .orderBy(col("query_id"))
+  }
+}

@@ -127,12 +127,34 @@ object PipelineQueries {
       .orderBy(col("query_id"))
   }
 
+  /** The BASELINE.md:44 quality gate shape: 45 PARAPHRASE queries (every
+    * second token dropped, out-of-corpus scaffold appended — token-multiset
+    * Jaccard ≤ 0.5 vs the target by construction), pass ⇔ the target's
+    * parent_id appears in the top-10, exactly the reference harness rule
+    * (api/cli/quality.py:68-88). Needs the compositional TokenHashEmbedder:
+    * the whole-text-hash embedder can only self-retrieve.
+    */
+  private val p6Adversarial: Q = (s, dir) => {
+    import graft.embedding.TokenHashEmbedder
+    import graft.eval.GoldenEval
+    val embedder = new TokenHashEmbedder(128)
+    val processed = processedStage(s, dir)
+    val emb = StageCache.getOrCache(s, s"p6_embeddings:$dir") {
+      IngestPipeline
+        .embeddings(IngestPipeline.fragments(processed), embedder).toDF()
+    }
+    val parents = IngestPipeline.parents(processed).toDF()
+    GoldenEval.evaluate(emb, parents,
+      GoldenEval.adversarialCorpus(emb, 45), embedder)
+  }
+
   val defs: Map[String, Q] = Map(
     "p1_ingest_fragments" -> p1Fragments,
     "p2_parent_synthesis" -> p2Parents,
     "p3_embed_fragments" -> p3Embeddings,
     "p4_pdf_segments" -> p4Pdf,
-    "p5_e2e_golden45" -> p5E2eGolden)
+    "p5_e2e_golden45" -> p5E2eGolden,
+    "p6_adversarial_recall" -> p6Adversarial)
 
   /** Not SQL-expressible (stateful per-document folds) — no oracles. */
   val oracles: Map[String, String] = Map.empty
