@@ -42,61 +42,7 @@ object Cli {
         r.release()
 
       case "reingest" :: tablesDir :: files if files.nonEmpty =>
-        // K5 cascade semantics: replace exactly the re-ingested documents,
-        // keep everything else (broadcast anti-join merge per table)
-        val docs = readDocs(files)
-        val r = engine.ingest(docs)
-        // crash-safe stage-then-swap with startup recovery — see
-        // [[graft.ingest.TableSwap]] (spec-pinned on every crash state)
-        def mergeWrite(name: String, incoming: org.apache.spark.sql.DataFrame,
-            key: String = "document_id"): Unit = {
-          val path = s"$tablesDir/$name"
-          graft.ingest.TableSwap.recoverSwap(path)
-            .foreach(a => System.err.println(s"[reingest] $path: $a"))
-          // doc_bucket is a derived partition column — recomputed on write
-          val existing = spark.read.parquet(path).drop("doc_bucket")
-          val merged = graft.ingest.IngestPipeline
-            .replaceDocuments(existing, incoming, key)
-          // stage then swap — can't overwrite a dir that's being read
-          graft.ingest.TableSwap.swap(path)(staging =>
-            graft.ingest.IngestPipeline.writeTable(merged, staging, key))
-        }
-        mergeWrite("documents", r.documents.toDF(), key = "id")
-        mergeWrite("concepts", r.concepts.toDF())
-        mergeWrite("fragments", r.fragments.toDF())
-        mergeWrite("parents", r.parents.toDF())
-        mergeWrite("embeddings", r.embeddings.toDF())
-        // keep any persisted ANN index consistent with the new embeddings —
-        // incrementally: the frozen quantizer/codebook re-encodes only this
-        // batch and only the affected list partitions rewrite
-        // ([[graft.search.IndexMaintenance]]), never the whole index
-        val quantizerPath = s"$tablesDir/ivf_quantizer.txt"
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(quantizerPath))) {
-          val q = graft.search.Ivf.load(quantizerPath)
-          def refreshIndex(name: String,
-              encode: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
-            if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tablesDir/$name"))) {
-              val st = graft.search.IndexMaintenance.updateIndex(
-                spark, s"$tablesDir/$name", r.embeddings.toDF(), encode)
-              println(s"[reingest] $name: rewrote ${st.affectedLists.size} " +
-                s"lists (${st.rewrittenRows} rows)")
-            }
-          refreshIndex("embeddings_ivf", graft.search.Ivf.buildIndex(_, q))
-          Seq(("embeddings_ivfpq", "pq_codebook.txt"),
-            ("embeddings_ivfsq", "sq_codebook.txt")).foreach {
-            case (name, cbFile) =>
-              if (java.nio.file.Files.exists(
-                  java.nio.file.Paths.get(s"$tablesDir/$cbFile"))) {
-                val cb = graft.search.Pq.load(s"$tablesDir/$cbFile")
-                refreshIndex(name,
-                  df => graft.search.Pq.encode(
-                    graft.search.Ivf.buildIndex(df, q), cb))
-              }
-          }
-        }
-        println(s"[reingest] replaced ${files.length} documents; " +
-          s"fragments now ${spark.read.parquet(s"$tablesDir/fragments").count()}")
-        r.release()
+        reingestCommand(spark, engine, tablesDir, files)
 
       case "search" :: tablesDir :: query :: rest =>
         val topK = rest.headOption.map(_.toInt).getOrElse(10)
@@ -275,6 +221,112 @@ object Cli {
             "compact <tables> [targetMB]")
     }
     spark.stop()
+  }
+
+  private[graft] def readDocFiles(spark: org.apache.spark.sql.SparkSession,
+      files: List[String]): org.apache.spark.sql.Dataset[DocInput] = {
+    import spark.implicits._
+    files.map { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
+      DocInput(f, text, isOcr = false)
+    }.toDS()
+  }
+
+  /** The `reingest` command. Each table merge is individually crash-safe
+    * ([[graft.ingest.TableSwap]]), but the batch swaps six artifacts in
+    * sequence — the cross-step journal ([[graft.ingest.ReingestJournal]])
+    * records the batch so a crash BETWEEN swaps is detected here and the
+    * interrupted batch re-applied (idempotent by document key, completed
+    * steps skipped) before anything new runs.
+    */
+  private[graft] def reingestCommand(spark: org.apache.spark.sql.SparkSession,
+      engine: Engine, tablesDir: String, files: List[String]): Unit = {
+    import graft.ingest.ReingestJournal
+    ReingestJournal.read(tablesDir) match {
+      case Some(prev) if prev.files != files =>
+        System.err.println(s"[reingest] completing interrupted batch of " +
+          s"${prev.files.length} files first " +
+          s"(steps done: ${prev.done.mkString(", ")})")
+        reingestBatch(spark, engine, tablesDir, prev.files.toList, prev.done.toSet)
+        reingestBatch(spark, engine, tablesDir, files, Set.empty)
+      case Some(prev) =>
+        // same batch re-run after a crash: skip completed steps
+        reingestBatch(spark, engine, tablesDir, files, prev.done.toSet)
+      case None =>
+        reingestBatch(spark, engine, tablesDir, files, Set.empty)
+    }
+  }
+
+  /** One re-ingest batch, K5 cascade semantics: replace exactly the
+    * re-ingested documents, keep everything else (broadcast anti-join
+    * merge per table). Steps in `alreadyDone` (from a crashed run's
+    * journal) are skipped — their swaps completed.
+    */
+  private[graft] def reingestBatch(spark: org.apache.spark.sql.SparkSession,
+      engine: Engine, tablesDir: String, files: List[String],
+      alreadyDone: Set[String]): Unit = {
+    import graft.ingest.ReingestJournal
+    val r = engine.ingest(readDocFiles(spark, files))
+    if (alreadyDone.isEmpty) ReingestJournal.start(tablesDir, files)
+    def step(name: String)(body: => Unit): Unit =
+      if (alreadyDone.contains(name))
+        System.err.println(s"[reingest] skip $name (already applied)")
+      else { body; ReingestJournal.markDone(tablesDir, name) }
+    // crash-safe stage-then-swap with startup recovery — see
+    // [[graft.ingest.TableSwap]] (spec-pinned on every crash state)
+    def mergeWrite(name: String, incoming: org.apache.spark.sql.DataFrame,
+        key: String = "document_id"): Unit = step(name) {
+      val path = s"$tablesDir/$name"
+      graft.ingest.TableSwap.recoverSwap(path)
+        .foreach(a => System.err.println(s"[reingest] $path: $a"))
+      // doc_bucket is a derived partition column — recomputed on write
+      val existing = spark.read.parquet(path).drop("doc_bucket")
+      val merged = graft.ingest.IngestPipeline
+        .replaceDocuments(existing, incoming, key)
+      // stage then swap — can't overwrite a dir that's being read
+      graft.ingest.TableSwap.swap(path)(staging =>
+        graft.ingest.IngestPipeline.writeTable(merged, staging, key))
+    }
+    mergeWrite("documents", r.documents.toDF(), key = "id")
+    mergeWrite("concepts", r.concepts.toDF())
+    mergeWrite("fragments", r.fragments.toDF())
+    mergeWrite("parents", r.parents.toDF())
+    mergeWrite("embeddings", r.embeddings.toDF())
+    // keep any persisted ANN index consistent with the new embeddings —
+    // incrementally: the frozen quantizer/codebook re-encodes only this
+    // batch and only the affected list partitions rewrite
+    // ([[graft.search.IndexMaintenance]]), never the whole index
+    step("index") {
+      val quantizerPath = s"$tablesDir/ivf_quantizer.txt"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(quantizerPath))) {
+        val q = graft.search.Ivf.load(quantizerPath)
+        def refreshIndex(name: String,
+            encode: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tablesDir/$name"))) {
+            val st = graft.search.IndexMaintenance.updateIndex(
+              spark, s"$tablesDir/$name", r.embeddings.toDF(), encode)
+            println(s"[reingest] $name: rewrote ${st.affectedLists.size} " +
+              s"lists (${st.rewrittenRows} rows)")
+          }
+        refreshIndex("embeddings_ivf", graft.search.Ivf.buildIndex(_, q))
+        Seq(("embeddings_ivfpq", "pq_codebook.txt"),
+          ("embeddings_ivfsq", "sq_codebook.txt")).foreach {
+          case (name, cbFile) =>
+            if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(s"$tablesDir/$cbFile"))) {
+              val cb = graft.search.Pq.load(s"$tablesDir/$cbFile")
+              refreshIndex(name,
+                df => graft.search.Pq.encode(
+                  graft.search.Ivf.buildIndex(df, q), cb))
+            }
+        }
+      }
+    }
+    ReingestJournal.clear(tablesDir)
+    println(s"[reingest] replaced ${files.length} documents; " +
+      s"fragments now ${spark.read.parquet(s"$tablesDir/fragments").count()}")
+    r.release()
   }
 
   /** Shared IVF+codes search: load quantizer + codebook sidecar, verify

@@ -130,8 +130,16 @@ object Bpe {
     import spark.implicits._
     val base = vocab.cache()
     try {
-      if (base.count() <= localThreshold)
-        return trainLocal(base.collect().toMap, nMerges)
+      if (base.count() <= localThreshold) {
+        // merge duplicate word rows by SUMMING freqs — .toMap would keep
+        // only the last row, diverging from the distributed path (which
+        // counts every row's pairs)
+        val merged = scala.collection.mutable.HashMap.empty[String, Long]
+        base.collect().foreach { case (w, f) =>
+          merged.update(w, merged.getOrElse(w, 0L) + f)
+        }
+        return trainLocal(merged.toMap, nMerges)
+      }
       val out = List.newBuilder[(Merge, Long)]
       var merges = List.empty[Merge] // reverse learning order
       var round = 0

@@ -102,6 +102,21 @@ object IndexMaintenance {
       // the re-encoded rows land. Both sides are delta-sized scans — the
       // existing-side lookup reads only the docKey/list_id columns.
       val existing = spark.read.parquet(indexPath)
+      // frozen-quantizer contract check: both the index rows and the
+      // freshly encoded delta carry the quantizer fingerprint
+      // ([[Ivf.buildIndex]] stamps ivf_q_hash) — if they disagree, the
+      // caller is about to mix two list geometries in one index. Hard
+      // error beats a silently wrong index (same pq_cb_hash contract).
+      if (existing.columns.contains("ivf_q_hash") &&
+          encoded.columns.contains("ivf_q_hash")) {
+        val oldHash = existing.select("ivf_q_hash").head(1)
+        val newHash = encoded.select("ivf_q_hash").head(1)
+        if (oldHash.nonEmpty && newHash.nonEmpty)
+          require(oldHash.head.getLong(0) == newHash.head.getLong(0),
+            s"ivf_q_hash mismatch at $indexPath: the index was built with " +
+              "a different quantizer than this update's encoder — " +
+              "retrain means rebuild, not incremental update")
+      }
       val oldLists = existing.join(broadcast(docsDf), Seq(docKey), "left_semi")
         .select(col("list_id").cast("int")).distinct().as[Int].collect()
       val newLists = encoded

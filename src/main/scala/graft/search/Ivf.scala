@@ -99,12 +99,36 @@ object Ivf {
   def assignCol(vec: Column, q: Quantizer): Column =
     VectorExpressions.ivfAssign(vec, q.centroidsFlat, q.dim)
 
-  /** Write-time index: adds `list_id`. Persist partitioned by it so probes
-    * become partition pruning.
+  /** Write-time index: adds `list_id` plus the quantizer fingerprint
+    * `ivf_q_hash` (constant — dictionary-encodes to ~nothing in parquet).
+    * Persist partitioned by `list_id` so probes become partition pruning.
+    * The fingerprint is the same torn-state guard [[Pq.contentHash]] gives
+    * codebooks: the index and its quantizer sidecar are separate
+    * artifacts, so a mismatched pair must be a hard error, never silently
+    * mis-pruned probes ([[org.apache.spark.sql.graft.AnnProbeRewrite]]
+    * and [[IndexMaintenance.updateIndex]] both verify it).
     */
   def buildIndex(embeddings: DataFrame, q: Quantizer,
       vectorCol: String = "vector"): DataFrame =
     embeddings.withColumn("list_id", assignCol(col(vectorCol), q))
+      .withColumn("ivf_q_hash", lit(contentHash(q)))
+
+  private def serialize(q: Quantizer): String = {
+    val sb = new StringBuilder
+    sb.append(q.k).append(' ').append(q.dim).append('\n')
+    for (c <- 0 until q.k)
+      sb.append(q.centroid(c).mkString(" ")).append('\n')
+    sb.toString
+  }
+
+  /** Stable fingerprint: md5 of the [[save]] serialization folded to a
+    * long (same contract as [[Pq.contentHash]]).
+    */
+  def contentHash(q: Quantizer): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(serialize(q).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(md, 0, 8).getLong
+  }
 
   /** The `nprobe` lists nearest to the query (driver-side; ties → lower id). */
   def nearestLists(queryVec: Array[Float], q: Quantizer, nprobe: Int): Seq[Int] =
@@ -118,14 +142,9 @@ object Ivf {
     * (line 1: "k dim", then one centroid per line). Float.toString round-
     * trips exactly through parseFloat, so save∘load is the identity.
     */
-  def save(q: Quantizer, path: String): Unit = {
-    val sb = new StringBuilder
-    sb.append(q.k).append(' ').append(q.dim).append('\n')
-    for (c <- 0 until q.k)
-      sb.append(q.centroid(c).mkString(" ")).append('\n')
+  def save(q: Quantizer, path: String): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  }
+      serialize(q).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   def load(path: String): Quantizer = {
     val lines = java.nio.file.Files.readAllLines(

@@ -96,13 +96,17 @@ object TableLayout {
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (dataFiles.size > nOut) {
         compacted += 1
-        after += nOut
         val part = spark.read.parquet(dir.toString)
         val sorted = part.coalesce(nOut)
           .sortWithinPartitions(sortCols.map(part.col): _*)
         graft.ingest.TableSwap.swap(dir.toString) { staging =>
           sorted.write.parquet(staging)
         }
+        // report what actually landed, not the plan: coalesce(nOut) is an
+        // upper bound (a source with fewer partitions writes fewer files)
+        after += ls(dir).count(f =>
+          f.getFileName.toString.endsWith(".parquet") &&
+            !f.getFileName.toString.startsWith("."))
       } else after += dataFiles.size
     }
     CompactStats(compacted, before, after)

@@ -3,11 +3,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Descending, EqualNullSafe, EqualTo, In, InSet, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Descending, EqualNullSafe, EqualTo, If, In, InSet, IsNull, Literal, RaiseError, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
 
 /** Index-accelerated KNN as a Catalyst optimizer rule — the Spark analog
   * of pgvector turning `ORDER BY embedding <=> $q LIMIT k` into an index
@@ -120,7 +120,26 @@ case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val lists = graft.search.Ivf.nearestLists(qv, q, nprobe)
       logInfo(s"ANN rewrite: pruning to lists ${lists.mkString(",")} " +
         s"(nprobe=$nprobe of ${q.k})")
-      val probed = Filter(In(listAttr, lists.map(i => Literal(i))), leaf)
+      // Quantizer fingerprint guard: an index built with a DIFFERENT
+      // quantizer than the configured sidecar would be silently mis-pruned
+      // (list geometry disagrees). Indexes stamp Ivf.contentHash into a
+      // constant ivf_q_hash column; when the leaf exposes it, inject a
+      // per-row check that hard-errors on mismatch (same contract as the
+      // pq_cb_hash verification in the CLI). Cheap: one long-equality on a
+      // dictionary-constant column, only over the probed lists.
+      val pruneCond = In(listAttr, lists.map(i => Literal(i)))
+      val cond = leaf.output.find(a =>
+          a.name == "ivf_q_hash" && a.dataType == LongType) match {
+        case Some(hashAttr) =>
+          val want = Literal(graft.search.Ivf.contentHash(q))
+          val guard = If(EqualTo(hashAttr, want), Literal(true),
+            IsNull(new RaiseError(Literal(
+              s"ivf_q_hash mismatch: index was not built with the quantizer " +
+                s"at $QuantizerKey — refusing approximate probe pruning"))))
+          And(pruneCond, guard)
+        case None => pruneCond
+      }
+      val probed = Filter(cond, leaf)
       s.copy(child = s.child.transformUp {
         case l if l eq leaf => probed
       })
@@ -133,17 +152,23 @@ object AnnProbeRewrite {
   val QuantizerKey = "spark.graft.ann.quantizer"
   val NprobeKey = "spark.graft.ann.nprobe"
 
-  /** mtime-keyed quantizer cache: the rule fires per query compilation,
-    * the sidecar parse should not.
+  /** (mtime, size)-keyed quantizer cache: the rule fires per query
+    * compilation, the sidecar parse should not. mtime alone is not a safe
+    * freshness key — filesystem mtime granularity can be a full second, so
+    * a sidecar rewritten twice within one tick would keep serving the
+    * stale parse; size breaks the tie for any content change that moves a
+    * byte count (and a same-size same-mtime rewrite is caught by the
+    * ivf_q_hash runtime guard above).
     */
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, graft.search.Ivf.Quantizer)]()
+    String, ((Long, Long), graft.search.Ivf.Quantizer)]()
 
   private[graft] def quantizer(path: String): graft.search.Ivf.Quantizer = {
-    val mtime = java.nio.file.Files
-      .getLastModifiedTime(java.nio.file.Paths.get(path)).toMillis
+    val p = java.nio.file.Paths.get(path)
+    val key = (java.nio.file.Files.getLastModifiedTime(p).toMillis,
+      java.nio.file.Files.size(p))
     cache.compute(path, (_, old) =>
-      if (old != null && old._1 == mtime) old
-      else (mtime, graft.search.Ivf.load(path)))._2
+      if (old != null && old._1 == key) old
+      else (key, graft.search.Ivf.load(path)))._2
   }
 }

@@ -206,4 +206,30 @@ class AnnRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
     }
   }
+
+  test("quantizer fingerprint mismatch is a hard error, not silent mis-pruning") {
+    // same dim, different centroid geometry: probes computed from THIS
+    // quantizer would scan the wrong lists of an index built with `quant`
+    val other = Ivf.Quantizer(quant.k, quant.dim,
+      quant.centroidsFlat.map(_ + 1.5f))
+    val otherPath = s"$dir/quantizer_other.txt"
+    Ivf.save(other, otherPath)
+    spark.conf.set(
+      org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, otherPath)
+    spark.conf.set(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey, "2")
+    try {
+      val e = intercept[Exception] {
+        knnPlan(Array(20.05f, 0.3f, 1f, 0.7f), 3).collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("ivf_q_hash mismatch")),
+        s"expected the fingerprint guard to fire, got: $e")
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
+    }
+  }
+
 }

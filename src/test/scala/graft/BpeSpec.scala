@@ -66,4 +66,19 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the auto-strategy (local fast path here) agrees too
     assert(Bpe.train(vocabDf, 16).map(_._1) == reference)
   }
+
+  test("duplicate word rows SUM on the local fast path (never last-wins)") {
+    val s = spark
+    import s.implicits._
+    // "low" appears as two rows; its total freq (7) should dominate "new"
+    // (6). A .toMap collect would keep only the last row (freq 2) and
+    // learn "new"'s pairs first — diverging from the distributed path.
+    val dup = Seq(("low", 5L), ("new", 6L), ("low", 2L)).toDS()
+    val merged = Seq(("low", 7L), ("new", 6L)).toDS()
+    val viaDup = Bpe.train(dup, 4)
+    assert(viaDup == Bpe.train(merged, 4),
+      "local path must aggregate duplicate vocab rows")
+    // same counts as the distributed path on the duplicated input
+    assert(viaDup == Bpe.train(dup, 4, localThreshold = 0L))
+  }
 }

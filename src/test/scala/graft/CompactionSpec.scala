@@ -62,6 +62,25 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids == ids.sorted, "compacted file must be sorted on sortCols")
   }
 
+  test("filesAfter reports what landed, not the coalesce plan") {
+    val s = spark
+    import s.implicits._
+    val path = s"$dir/t_report"
+    val df = (1 to 300).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(3).write.parquet(path)
+    assert(filesIn(path).size == 3)
+    // targetBytes ≈ 60% of the table ⇒ planned nOut = 2, but the scan
+    // reads these 3 tiny files as ONE input partition, so coalesce(2)
+    // can only write 1 file — the stats must report the actual count
+    val bytes = filesIn(path)
+      .map(f => Files.size(Paths.get(path, f))).sum
+    val st = TableLayout.compact(s, path, targetBytes = (bytes * 6) / 10,
+      sortCols = Seq("id"))
+    assert(st.partitionsCompacted == 1)
+    assert(st.filesAfter == filesIn(path).size,
+      s"filesAfter=${st.filesAfter} but disk has ${filesIn(path).size}")
+  }
+
   test("second pass is a no-op: compact partitions stay byte-identical") {
     val s = spark
     val path = s"$dir/t1"

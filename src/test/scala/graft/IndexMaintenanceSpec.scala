@@ -275,4 +275,22 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(actions.nonEmpty)
     assert(asSet(spark.read.parquet(path)) == before)
   }
+
+  test("updateIndex refuses an encoder whose quantizer differs from the index's") {
+    val q1 = quant(0f, 10f)
+    val q2 = quant(0f, 11f) // retrained geometry
+    val path = s"$dir/idx_fprint"
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(rows(Seq(("docA", 2, 0f), ("docB", 2, 10f))), q1),
+      path, "list_id", Seq("fragment_id"))
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.updateIndex(spark, path,
+        rows(Seq(("docA", 2, 0.2f))), Ivf.buildIndex(_, q2))
+    }
+    assert(e.getMessage.contains("ivf_q_hash mismatch"))
+    // matching quantizer still goes through
+    val st = IndexMaintenance.updateIndex(spark, path,
+      rows(Seq(("docA", 2, 0.2f))), Ivf.buildIndex(_, q1))
+    assert(st.affectedLists.nonEmpty)
+  }
 }
