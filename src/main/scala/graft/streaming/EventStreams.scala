@@ -384,4 +384,51 @@ object EventStreams {
     texts.flatMap(d =>
       graft.ingest.IngestPipeline.processDocument(d).fragments)
   }
+
+  /** Streaming re-ingest that keeps a persisted IVF-family index current:
+    * every micro-batch runs the batch document pipeline, embeds the
+    * eligible fragments, and applies an INCREMENTAL index update with the
+    * frozen quantizer ([[graft.search.IndexMaintenance.updateIndex]] —
+    * O(delta) encode, affected list partitions only, manifest-recoverable
+    * swaps). `foreachBatch` is at-least-once, and the update is
+    * replace-by-document idempotent, so a replayed batch converges to the
+    * index a batch reingest of the same documents produces (spec-pinned,
+    * including a torn-swap crash between micro-batches — updateIndex
+    * heals it via recover() before applying).
+    *
+    * The index at `indexPath` must already exist (built by a batch ingest
+    * — an index is a derived artifact of a corpus, not something a stream
+    * bootstraps from nothing).
+    *
+    * @param encode index-row encoder, composed with the frozen coarse
+    *               quantizer — e.g. `Ivf.buildIndex(_, q)` for IVF, or
+    *               `df => Pq.encode(Ivf.buildIndex(df, q), cb)` for IVFPQ.
+    */
+  def ingestIndexStream(texts: Dataset[graft.ingest.IngestPipeline.DocInput],
+      indexPath: String, embedder: graft.embedding.Embedder,
+      encode: DataFrame => DataFrame,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    texts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[graft.ingest.IngestPipeline.DocInput], _: Long) =>
+          applyIngestBatch(indexPath, embedder, encode, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[ingestIndexStream]] — exposed for deterministic
+    * replay in specs.
+    */
+  private[graft] def applyIngestBatch(indexPath: String,
+      embedder: graft.embedding.Embedder, encode: DataFrame => DataFrame,
+      batch: Dataset[graft.ingest.IngestPipeline.DocInput]): Unit = {
+    val spark = batch.sparkSession
+    val emb = graft.ingest.IngestPipeline.embeddings(
+      graft.ingest.IngestPipeline.fragments(
+        graft.ingest.IngestPipeline.process(batch)), embedder).toDF()
+    // empty micro-batches short-circuit inside updateIndex (no affected
+    // lists); non-empty ones touch only the delta's lists
+    graft.search.IndexMaintenance.updateIndex(spark, indexPath, emb, encode)
+    ()
+  }
 }

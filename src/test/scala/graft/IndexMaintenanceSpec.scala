@@ -276,6 +276,68 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asSet(spark.read.parquet(path)) == before)
   }
 
+  test("streaming re-ingest maintains the index ≡ batch, through a mid-stream crash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.embedding.OfflineEmbedder
+    import graft.ingest.IngestPipeline
+    import graft.ingest.IngestPipeline.DocInput
+    import graft.streaming.EventStreams
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val embedder = new OfflineEmbedder(8)
+    def doc(path: String, marker: String) = DocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.", isOcr = false)
+    def embOf(docs: DocInput*) = IngestPipeline.embeddings(
+      IngestPipeline.fragments(IngestPipeline.process(docs.toSeq.toDS())),
+      embedder).toDF()
+
+    // initial corpus + index (batch-built; the stream maintains, never
+    // bootstraps)
+    val initial = embOf(doc("s/a.txt", "alpha"), doc("s/b.txt", "bravo"))
+    val sample = initial.select("vector").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val q = Ivf.train(sample, k = 2)
+    val path = s"$dir/idx_stream"
+    TableLayout.writePartitionedSorted(Ivf.buildIndex(initial, q),
+      path, "list_id", Seq("fragment_id"))
+
+    val mem = MemoryStream[DocInput]
+    val query = EventStreams.ingestIndexStream(mem.toDS(), path, embedder,
+      Ivf.buildIndex(_, q), s"$dir/idx_stream_ckpt")
+    try {
+      // micro-batch 1: replace a
+      mem.addData(doc("s/a.txt", "alpha-updated"))
+      query.processAllAvailable()
+
+      // mid-stream crash: a torn partition swap (live moved aside) left
+      // by a killed process — the next micro-batch's updateIndex must
+      // heal it before applying
+      val someList = spark.read.parquet(path)
+        .select("list_id").distinct().as[Int].collect().min
+      Files.move(Paths.get(path, s"list_id=$someList"),
+        Paths.get(path, s"list_id=$someList.old"))
+
+      // micro-batch 2: new document c
+      mem.addData(doc("s/c.txt", "charlie"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // ≡ batch: the streamed index matches a from-scratch build of the
+    // final corpus state (same quantizer), row-for-row
+    val expected = Ivf.buildIndex(
+      embOf(doc("s/a.txt", "alpha-updated"), doc("s/b.txt", "bravo"),
+        doc("s/c.txt", "charlie")), q)
+      .select("document_id", "fragment_id", "list_id", "content")
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(path)
+      .select("document_id", "fragment_id", "list_id", "content")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.exists(_.toString.contains("alpha-updated")))
+  }
+
   test("updateIndex refuses an encoder whose quantizer differs from the index's") {
     val q1 = quant(0f, 10f)
     val q2 = quant(0f, 11f) // retrained geometry
