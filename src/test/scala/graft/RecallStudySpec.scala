@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eval.RecallStudy
+
+/** The SCALE.md crossover claim, pinned: on CLUSTERED embeddings (the
+  * realistic distribution — mixture of Gaussians), the trained IVF
+  * quantizer dominates data-oblivious LSH: higher recall@10 at an equal
+  * or smaller scanned fraction. Fully deterministic (seeded data and
+  * planes, deterministic k-means), measured through the real search
+  * operators.
+  */
+class RecallStudySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]", "8").getOrCreate()
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private lazy val points = {
+    val vecs = RecallStudy.clusteredVectors(
+      n = 4000, dim = 16, nClusters = 8, noise = 0.15, seed = 7L)
+    val queries = RecallStudy.clusteredVectors(
+      n = 10, dim = 16, nClusters = 8, noise = 0.15, seed = 1234L)
+    // ivfK = 64 ⇒ IVF has operating points down to ~1/64 of the corpus,
+    // comparable to LSH's single-bucket probe (2^6 buckets) — dominance
+    // is then claimable across the whole LSH curve, not just its middle
+    RecallStudy.run(spark, vecs, queries,
+      lshPlanes = 6, lshDepths = Seq(0, 1, 2),
+      ivfK = 64, nprobes = Seq(1, 2, 4, 8, 16),
+      pqM = 8, pqKsub = 64, pqShortlist = 100)
+  }
+
+  test("IVF dominates LSH on clustered data: more recall for less scan") {
+    val ivf = points.filter(_.method == "ivf")
+    // LSH's usable operating points (recall ≥ 0.1). Depth-0 on clustered
+    // data recalls ~3% — the query's sign-bucket is a tiny splinter of
+    // its cluster, so its microscopic scan is hash imbalance, not an
+    // operating point anyone deploys; the dominance claim is about the
+    // curve a user can actually sit on.
+    val lsh = points.filter(p => p.method == "lsh" && p.meanRecallAt10 >= 0.1)
+    assert(lsh.nonEmpty)
+    // for every such LSH point there is an IVF point that scans no more
+    // and recalls strictly more
+    lsh.foreach { l =>
+      val dominating = ivf.filter(p =>
+        p.meanScanFraction <= l.meanScanFraction &&
+          p.meanRecallAt10 > l.meanRecallAt10)
+      assert(dominating.nonEmpty,
+        s"no IVF point dominates LSH depth=${l.param} " +
+          s"(recall=${l.meanRecallAt10}, scan=${l.meanScanFraction}); " +
+          s"ivf points: $ivf")
+    }
+  }
+
+  test("recall is monotone in probe width for every method") {
+    Seq("lsh", "ivf", "ivfpq").foreach { m =>
+      val rs = points.filter(_.method == m).sortBy(_.param)
+        .map(_.meanRecallAt10)
+      assert(rs == rs.sorted, s"$m recall not monotone: $rs")
+    }
+  }
+
+  test("IVFPQ tracks IVF at equal probes (re-ranked shortlist), within 15 points") {
+    val ivf = points.filter(_.method == "ivf").map(p => p.param -> p.meanRecallAt10).toMap
+    points.filter(_.method == "ivfpq").foreach { p =>
+      assert(p.meanRecallAt10 >= ivf(p.param) - 0.15,
+        s"ivfpq nprobe=${p.param} recall ${p.meanRecallAt10} too far " +
+          s"below ivf ${ivf(p.param)}")
+    }
+  }
+}
