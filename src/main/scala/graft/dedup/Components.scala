@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Conf key for the driver-side union-find cutoff (pairs at or below it
+    * collect; above it the distributed min-label loop runs). An explicit
+    * `smallThreshold` argument overrides the conf.
+    */
+  val SmallThresholdKey = "spark.graft.dedup.smallThreshold"
+
+
   /** @param pairs two numeric id columns (an undirected edge per row)
     * @param smallThreshold pair sets at or below this size resolve with a
     *        driver-side union-find instead of the iterative job loop —
@@ -28,20 +35,26 @@ object ConnectedComponents {
     *        (near-dup pair sets are bounded by the duplicate count, not
     *        the corpus, so the small path is the common case; the loop
     *        below remains the unbounded-scale path and is what the specs
-    *        exercise with smallThreshold = 0)
+    *        exercise with smallThreshold = 0); -1 (default) reads
+    *        [[ConnectedComponents.SmallThresholdKey]] from the session conf
     * @return (node, cluster) — cluster = min node id in the component;
     *         only nodes appearing in `pairs` are labeled
     */
   def label(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxRounds: Int = 50, smallThreshold: Long = 1000000L): DataFrame = {
+      maxRounds: Int = 50, smallThreshold: Long = -1L): DataFrame = {
     val spark = pairs.sparkSession
+    // strategy threshold is deploy-tunable (a 1000-executor cluster wants
+    // a bigger driver-side cutoff than a laptop); an explicit arg wins
+    val threshold =
+      if (smallThreshold >= 0) smallThreshold
+      else spark.conf.get(ConnectedComponents.SmallThresholdKey, "1000000").toLong
     // ids must be integral; null ids (or non-numeric values nulled by the
     // cast) cannot participate in an edge and are dropped, not NPE'd
     val pairCols = pairs
       .select(col(idA).cast("long").as(idA), col(idB).cast("long").as(idB))
       .filter(col(idA).isNotNull && col(idB).isNotNull)
       .localCheckpoint() // materialize ONCE; both paths below reuse blocks
-    if (pairCols.count() <= smallThreshold) {
+    if (pairCols.count() <= threshold) {
       val collected = pairCols.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {

@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Conf key for the local-training vocabulary cutoff (vocabularies at or
+    * below it collect and train on the driver; above it each round runs as
+    * a distributed pair census). An explicit `localThreshold` argument
+    * overrides the conf.
+    */
+  val LocalThresholdKey = "spark.graft.bpe.localThreshold"
+
   /** One learned merge; the new symbol is `left + right`. */
   final case class Merge(left: String, right: String)
 
@@ -125,12 +132,17 @@ object Bpe {
     * argmax/tie-break rule and the spec pins them equal.
     */
   def train(vocab: Dataset[(String, Long)], nMerges: Int,
-      localThreshold: Long = 1L << 20): List[(Merge, Long)] = {
+      localThreshold: Long = -1L): List[(Merge, Long)] = {
     val spark = vocab.sparkSession
     import spark.implicits._
+    // deploy-tunable strategy cutoff (an explicit argument wins; -1 reads
+    // the session conf) — same contract as ConnectedComponents.label
+    val threshold =
+      if (localThreshold >= 0) localThreshold
+      else spark.conf.get(Bpe.LocalThresholdKey, (1L << 20).toString).toLong
     val base = vocab.cache()
     try {
-      if (base.count() <= localThreshold) {
+      if (base.count() <= threshold) {
         // merge duplicate word rows by SUMMING freqs — .toMap would keep
         // only the last row, diverging from the distributed path (which
         // counts every row's pairs)

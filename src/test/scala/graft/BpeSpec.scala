@@ -81,4 +81,14 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // same counts as the distributed path on the duplicated input
     assert(viaDup == Bpe.train(dup, 4, localThreshold = 0L))
   }
+
+  test("strategy cutoff is session-conf tunable (spark.graft.bpe.localThreshold)") {
+    val s = spark
+    import s.implicits._
+    val vocab = Seq(("lower", 5L), ("newest", 6L), ("widest", 3L)).toDS()
+    val default = Bpe.train(vocab, 6)
+    s.conf.set(Bpe.LocalThresholdKey, "0") // force the distributed rounds
+    try assert(Bpe.train(vocab, 6) == default)
+    finally s.conf.unset(Bpe.LocalThresholdKey)
+  }
 }

@@ -40,6 +40,21 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast(9L) == 1L && fast(8L) == 7L && fast(3L) == 3L)
   }
 
+  test("strategy cutoff is session-conf tunable (spark.graft.dedup.smallThreshold)") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((5L, 9L), (9L, 2L), (7L, 8L))
+    // conf 0 forces the distributed loop on this tiny edge set; the
+    // default (argument -1 → conf absent → 1M) takes the driver path.
+    // Identical labels either way — the conf only moves the strategy cut.
+    s.conf.set(ConnectedComponents.SmallThresholdKey, "0")
+    try {
+      val viaConf = ConnectedComponents.label(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaConf == clusters(edges))
+    } finally s.conf.unset(ConnectedComponents.SmallThresholdKey)
+  }
+
   test("path graph collapses to the minimum endpoint") {
     // diameter 24 with maxRounds=10: pointer jumping converges in ~log2(24)
     // rounds; plain O(diameter) propagation needs ~24 and would trip the
