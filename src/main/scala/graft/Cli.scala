@@ -95,6 +95,34 @@ object Cli {
           .collect()
         Cli.printRowHits(hits)
 
+      // Build + persist shard-local HNSW graphs as a parquet adjacency
+      // table (the pgvector-HNSW analog, storage/schema.py:78-84; the
+      // O(n·efC·log n) build cost is paid once at write time, like
+      // IVF's list assignment).
+      case "hnsw-index" :: tablesDir :: rest =>
+        val shards = rest.headOption.map(_.toInt).getOrElse(8)
+        val e = spark.read.parquet(s"$tablesDir/embeddings")
+        graft.search.Hnsw.saveIndex(e, s"$tablesDir/embeddings_hnsw", shards)
+        val n = spark.read.parquet(s"$tablesDir/embeddings_hnsw").count()
+        println(s"[hnsw-index] shards=$shards nodes=$n")
+
+      // Batch graph walk over the persisted adjacency table; ef = beam
+      // width (ef >= shard size degenerates to the exact scan).
+      case "hnsw-search" :: tablesDir :: query :: rest =>
+        val topK = rest.headOption.map(_.toInt).getOrElse(10)
+        val ef = rest.lift(1).map(_.toInt).getOrElse(64)
+        val index = spark.read.parquet(s"$tablesDir/embeddings_hnsw")
+        val dim = index.select(col("vector")).head()
+          .getAs[scala.collection.Seq[Float]](0).length
+        val qvec = new OfflineEmbedder(dim).embedQuery(query)
+        val hits = graft.search.Hnsw
+          .searchIndex(index, Seq(("q", qvec)), topK, ef)
+          .orderBy(col("rank"))
+          .select(col("fragment_id"), col("similarity")).collect()
+        hits.zipWithIndex.foreach { case (h, i) =>
+          println(f"#${i + 1}%-3d sim=${h.getDouble(1)}%.4f ${h.getString(0)}")
+        }
+
       // Extend the persisted IVF index with PQ codes (IVFPQ): train the
       // product codebook on the same deterministic sample, add the
       // codegen'd pq_code column, rewrite the index + codebook sidecar.
@@ -212,6 +240,8 @@ object Cli {
           "usage: ingest <out> <files...> | reingest <tables> <files...> | " +
             "search <tables> <query> [k] [view] [lang] | " +
             "index <tables> [k] | ann-search <tables> <query> [k] [nprobe] | " +
+            "hnsw-index <tables> [shards] | " +
+            "hnsw-search <tables> <query> [k] [ef] | " +
             "pq-index <tables> [m] [ksub] | " +
             "pq-search <tables> <query> [k] [nprobe] [shortlist] | " +
             "sq-index <tables> [levels] | " +

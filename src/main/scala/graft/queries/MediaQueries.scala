@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.media.MediaPipeline
-import graft.search.{Ann, Ivf, Pq}
+import graft.search.{Ann, Hnsw, Ivf, Pq, VectorSearch}
 
 /** Multimodal plumbing + ANN index catalog entries.
   *
@@ -261,7 +261,39 @@ object MediaQueries {
       .toDF("variant", "recall_at_10", "shortlist", "compression_ratio")
   }
 
+  // v10 — HNSW graph-ANN self-check: shard-local deterministic HNSW
+  // graphs ([[graft.search.Hnsw]] — the reference's primary index class,
+  // pgvector HNSW, storage/schema.py:78-84) + global top-k merge, recall
+  // vs the exact batch scan per beam width. The last row runs ef = n ≥
+  // every shard size: the beam never fills, the spine-connected graph is
+  // fully traversed, and the search IS the exact scan — recall 1.0 by
+  // construction (same witness pattern as v6 full-probe / v7 rerank_all).
+  private val v10HnswRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(format_string("v%08d", col("vec_id")).as("vec_id"),
+        col("embedding").as("vector"))
+    val n = e.count().toInt
+    val queries = e.orderBy(col("vec_id")).limit(5)
+      .as[(String, Array[Float])].collect().toSeq
+    val qDf = queries.toDF("query_id", "query_vector")
+    def topSets(df: DataFrame): Map[String, Set[String]] =
+      df.select(col("query_id"), col("vec_id")).as[(String, String)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(VectorSearch.batchKnn(e, qDf, 10, tieBreak = "vec_id"))
+    Seq(8, 24, n).distinct.map { ef =>
+      val hits = topSets(Hnsw.searchBatch(e, queries, 10, ef,
+        numShards = 4, idCol = "vec_id"))
+      val rec = queries.map { case (qid, _) =>
+        val t = exact(qid)
+        hits.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+      }
+      (ef.toLong, rec.sum / rec.size)
+    }.toDF("ef", "recall_at_10")
+  }
+
   val defs: Map[String, Q] = Map(
+    "v10_hnsw_recall" -> v10HnswRecall,
     "v8_sq_recall" -> v8SqRecall,
     "v9_ivfpq_recall" -> v9IvfPqRecall,
     "m1_media_features" -> m1Features,

@@ -1,0 +1,436 @@
+package graft.search
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HNSW graph ANN — the reference's primary index class (pgvector HNSW,
+  * storage/schema.py:78-84), built Spark-native as SHARD-LOCAL graphs.
+  *
+  * A navigable-small-world graph needs random access to its neighbor
+  * lists, so one global graph cannot span executors. The distributed
+  * shape that does work (the FAISS "IndexShards" pattern) is:
+  *
+  *   - each partition builds an in-memory HNSW over ITS rows inside
+  *     `mapPartitions` (write-time map work, no shuffle),
+  *   - a query batch broadcasts, every shard answers top-k from its
+  *     local graph (`O(ef·log n_shard)` distance ops instead of a scan),
+  *   - a per-query window merges shard results — the top-k of a union of
+  *     shards is the top-k of the per-shard top-ks
+  *     ([[VectorSearch.topKPerGroup]]'s merge property).
+  *
+  * At 100 TB: graphs build once per partition at write time and amortize
+  * over every query in a batch; per-query work is logarithmic per shard
+  * and the merge moves only `shards·k` rows. The build is the expensive
+  * step (`O(n·efC·log n)` distance ops per shard), which is why the batch
+  * path ([[searchBatch]]) builds once and answers many queries — single-
+  * query indexing stays with IVF/IVFPQ partition pruning ([[Ivf]], the
+  * pgvector-IVFFlat analog, app/storage.py:165-169).
+  *
+  * Determinism and the exactness witness (the properties every graft ANN
+  * structure ships with, cf. v6 full-probe / v7 rerank_all):
+  *
+  *   - **Deterministic**: insertion order is the caller's (sorted by id
+  *     in [[searchBatch]]); a node's level comes from the md5 of its id
+  *     (no RNG); all heap ties break on node index. Same rows ⇒ same
+  *     graph ⇒ same results, every run.
+  *   - **Connected by construction**: on top of the standard M-nearest
+  *     bidirectional links, every node keeps a never-pruned "spine" edge
+  *     to its insertion predecessor at layer 0, so layer 0 always
+  *     contains the path `0 ↔ 1 ↔ … ↔ n-1`. Neighbor-list pruning can
+  *     therefore never disconnect the graph (the classic HNSW failure
+  *     mode that makes `ef = n` merely heuristic elsewhere).
+  *   - **Exactness witness**: best-first search with `ef ≥ n` never
+  *     prunes a candidate (the result beam is not full until every node
+  *     is in it), so on a connected graph it visits ALL nodes — search
+  *     degenerates to the exact scan and recall@k is 1.0 by
+  *     construction, not by luck. HnswSpec pins this; the v10 catalog
+  *     query carries the witness row.
+  *
+  * Reference: Malkov & Yashunin, "Efficient and robust approximate
+  * nearest neighbor search using Hierarchical Navigable Small World
+  * graphs" (2016) — public algorithm, original implementation.
+  */
+object Hnsw {
+
+  /** In-memory deterministic HNSW over unit-normalized vectors (cosine
+    * ranking via dot product). Not thread-safe; one instance per
+    * partition/task.
+    *
+    * @param m  max out-degree at layers ≥ 1 (layer 0 allows 2·m)
+    * @param efConstruction  beam width during insertion
+    */
+  final class Index(val dim: Int, val m: Int, val efConstruction: Int) {
+    private val mMax0 = 2 * m
+    private val mL = 1.0 / math.log(m.toDouble)
+
+    private val ids = mutable.ArrayBuffer.empty[String]
+    private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    /** links(node)(level) — neighbor node indices. */
+    private val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entry: Int = -1
+    private var maxLevel: Int = -1
+
+    /** Distance computations since construction — the honest "rows
+      * scanned" analog for recall/cost studies (RecallStudy).
+      */
+    var distOps: Long = 0L
+
+    def size: Int = ids.length
+
+    private def normalize(v: Array[Float]): Array[Float] = {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
+      out
+    }
+
+    /** Negative dot of unit vectors — smaller is closer. */
+    private def dist(q: Array[Float], node: Int): Double = {
+      distOps += 1
+      val v = vecs(node)
+      var s = 0.0
+      var i = 0
+      val n = math.min(q.length, v.length)
+      while (i < n) { s += q(i).toDouble * v(i); i += 1 }
+      -s
+    }
+
+    /** Deterministic level: md5(id) → uniform in (0,1] → geometric-ish
+      * `floor(-ln(u)·mL)` (the paper's draw, RNG replaced by a hash).
+      */
+    private def levelOf(id: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.getBytes("UTF-8"))
+      val bits = java.nio.ByteBuffer.wrap(d).getLong >>> 11 // 53 bits
+      val u = (bits + 1).toDouble / (1L << 53).toDouble // (0, 1]
+      math.floor(-math.log(u) * mL).toInt
+    }
+
+    /** Greedy descent at one layer: move to any strictly closer neighbor
+      * until none exists (ef=1 search; deterministic — scans neighbor
+      * lists in stored order, strict improvement only).
+      */
+    private def greedy(q: Array[Float], start: Int, level: Int): Int = {
+      var cur = start
+      var curD = dist(q, cur)
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = links(cur)(level)
+        var i = 0
+        while (i < ns.length) {
+          val d = dist(q, ns(i))
+          if (d < curD) { cur = ns(i); curD = d; improved = true }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Best-first beam search at one layer. Returns up to `ef` nearest
+      * (dist, node) pairs, ordering ties by node index.
+      */
+    private def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int,
+        level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = mutable.HashSet.empty[Int]
+      // candidates: nearest first; results: furthest first (bounded ef)
+      implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
+      eps.foreach { ep =>
+        if (visited.add(ep)) {
+          val d = dist(q, ep)
+          cand.enqueue((d, ep)); res.enqueue((d, ep))
+        }
+      }
+      while (cand.nonEmpty) {
+        val (cd, c) = cand.dequeue()
+        if (cd > res.head._1 && res.size >= ef) {
+          cand.clear() // nearest remaining candidate is worse than the
+          // furthest kept result and the beam is full — done
+        } else {
+          val ns = links(c)(level)
+          var i = 0
+          while (i < ns.length) {
+            val nb = ns(i)
+            if (visited.add(nb)) {
+              val d = dist(q, nb)
+              if (res.size < ef || d < res.head._1 ||
+                  (d == res.head._1 && nb < res.head._2)) {
+                cand.enqueue((d, nb)); res.enqueue((d, nb))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      out ++= res
+      out.sortInPlace()
+      out
+    }
+
+    private def distNodes(a: Int, b: Int): Double = dist(vecs(a), b)
+
+    /** Diverse neighbor selection (Malkov & Yashunin Alg. 4, with
+      * keep-pruned fill): a candidate is kept only if it is closer to the
+      * base point than to every already-kept neighbor — this preserves
+      * edges that BRIDGE clusters instead of m redundant links into the
+      * nearest one, which is what makes greedy navigation cross cluster
+      * boundaries on real (clustered) embedding distributions.
+      * Candidates arrive (dist, node) sorted ascending.
+      */
+    private def selectNeighbors(cand: Seq[(Double, Int)], keep: Int): Seq[Int] = {
+      val kept = mutable.ArrayBuffer.empty[Int]
+      val pruned = mutable.ArrayBuffer.empty[Int]
+      cand.foreach { case (d, c) =>
+        if (kept.size < keep) {
+          if (kept.forall(k => distNodes(c, k) > d)) kept += c
+          else pruned += c
+        }
+      }
+      val it = pruned.iterator
+      while (kept.size < keep && it.hasNext) kept += it.next()
+      kept.toSeq
+    }
+
+    /** Shrink `x`'s level list to `keep` via the diversity heuristic, but
+      * never drop a spine edge (insertion predecessor/successor) at
+      * layer 0 — the connectivity guarantee.
+      */
+    private def shrink(x: Int, level: Int, keep: Int): Unit = {
+      val list = links(x)(level)
+      if (list.length <= keep) return
+      val isSpine: Int => Boolean =
+        if (level == 0) nb => nb == x - 1 || nb == x + 1 else _ => false
+      val spine = list.filter(isSpine)
+      val q = vecs(x)
+      val scored = list.filterNot(isSpine)
+        .map(nb => (dist(q, nb), nb)).sortBy(identity).toSeq
+      val sel = selectNeighbors(scored, keep - spine.length)
+      list.clear()
+      list ++= spine
+      list ++= sel
+    }
+
+    private def connect(a: Int, b: Int, level: Int): Unit = {
+      if (a != b && !links(a)(level).contains(b)) links(a)(level) += b
+      if (a != b && !links(b)(level).contains(a)) links(b)(level) += a
+    }
+
+    /** Insert in caller order. Vectors are normalized on entry. */
+    def add(id: String, raw: Array[Float]): Unit = {
+      val v = normalize(raw)
+      val idx = ids.length
+      val level = levelOf(id)
+      ids += id
+      vecs += v
+      links += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      if (idx == 0) { entry = 0; maxLevel = level; return }
+
+      var ep = entry
+      var lev = maxLevel
+      while (lev > level) { ep = greedy(v, ep, lev); lev -= 1 }
+      var eps: Seq[Int] = Seq(ep)
+      lev = math.min(maxLevel, level)
+      while (lev >= 0) {
+        val w = searchLayer(v, eps, efConstruction, lev)
+        val cap = if (lev == 0) mMax0 else m
+        selectNeighbors(w.toSeq, m).foreach { nb =>
+          connect(idx, nb, lev)
+          shrink(nb, lev, cap)
+        }
+        eps = w.map(_._2).toSeq
+        lev -= 1
+      }
+      connect(idx, idx - 1, 0) // spine: layer 0 stays connected forever
+      shrink(idx, 0, mMax0)
+      if (level > maxLevel) { entry = idx; maxLevel = level }
+    }
+
+    /** Serialize to one adjacency row per node: (node_idx, id,
+      * normalized vector, per-level neighbor lists). Level, entry point
+      * and max level are all derivable on restore (level = links rank;
+      * the entry point is the first node to attain the max level = the
+      * smallest index at the max level, because [[add]] moves the entry
+      * only on a strict level increase).
+      */
+    private[search] def exportRows: IndexedSeq[(Int, String, Array[Float], Array[Array[Int]])] =
+      ids.indices.map { i =>
+        (i, ids(i), vecs(i), links(i).map(_.toArray))
+      }
+
+    /** Restore from [[exportRows]] output (rows must arrive sorted by
+      * node_idx; vectors are already normalized). Only valid on a
+      * freshly constructed empty index.
+      */
+    private[search] def importRows(
+        rows: Iterable[(Int, String, Array[Float], Array[Array[Int]])]): Unit = {
+      require(ids.isEmpty, "importRows on a non-empty index")
+      rows.foreach { case (i, id, v, ls) =>
+        require(i == ids.length, s"gap in node_idx at $i")
+        ids += id
+        vecs += v
+        links += ls.map(l => mutable.ArrayBuffer.from(l))
+        val level = ls.length - 1
+        if (level > maxLevel) { maxLevel = level; entry = i }
+      }
+    }
+
+    /** Top-k by cosine, similarity descending, ties by id ascending.
+      * `ef ≥ size` is the exactness witness: the search visits every
+      * node (connected graph + never-full beam) and equals the exact
+      * scan.
+      */
+    def search(rawQ: Array[Float], k: Int, ef: Int): Array[(String, Double)] = {
+      if (ids.isEmpty) return Array.empty
+      val q = normalize(rawQ)
+      var ep = entry
+      var lev = maxLevel
+      while (lev > 0) { ep = greedy(q, ep, lev); lev -= 1 }
+      val w = searchLayer(q, Seq(ep), math.max(ef, k), 0)
+      w.take(k).map { case (d, node) => (ids(node), -d) }
+        .sortBy { case (id, sim) => (-sim, id) }
+        .toArray
+    }
+  }
+
+  /** Build an index from (id, vector) rows in the given order. */
+  def build(rows: Iterable[(String, Array[Float])], m: Int = 16,
+      efConstruction: Int = 200): Index = {
+    val it = rows.iterator
+    require(it.hasNext, "empty HNSW build input")
+    val first = it.next()
+    val idx = new Index(first._2.length, m, efConstruction)
+    idx.add(first._1, first._2)
+    it.foreach { case (id, v) => idx.add(id, v) }
+    idx
+  }
+
+  /** Distributed batch ANN: shard-local HNSW graphs + global top-k merge.
+    *
+    * Each partition sorts its rows by id (determinism), builds a local
+    * graph, answers every broadcast query, and the per-query window keeps
+    * the global top-k — one pass over the data for the whole batch,
+    * `O(ef·log n_shard)` distance ops per (query, shard) instead of a
+    * scan. Output schema matches [[VectorSearch.batchKnn]]:
+    * `(query_id, <idCol>, similarity, rank)`.
+    *
+    * `ef ≥ max shard size` ⇒ every shard answers exactly ⇒ the merged
+    * result is the exact batch KNN (the witness HnswSpec pins).
+    */
+  def searchBatch(embeddings: DataFrame, queries: Seq[(String, Array[Float])],
+      topK: Int, ef: Int, m: Int = 16, efConstruction: Int = 200,
+      numShards: Int = 0, vectorCol: String = "vector",
+      idCol: String = "fragment_id"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val k = VectorSearch.clampTopK(topK)
+    val base = embeddings.select(col(idCol).cast("string"), col(vectorCol))
+      .as[(String, Array[Float])]
+    val sharded = if (numShards > 0) base.repartition(numShards, col(idCol))
+      else base
+    val qB = spark.sparkContext.broadcast(queries.toArray)
+    val perShard = sharded.mapPartitions { it =>
+      val rows = it.toArray.sortBy(_._1)
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val g = build(rows, m, efConstruction)
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, ef).map { case (id, sim) => (qid, id, sim) }
+        }
+      }
+    }.toDF("query_id", idCol, "similarity")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col(idCol))
+    perShard.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Write-time index build: shard-local graphs serialized to a parquet
+    * ADJACENCY TABLE — one row per node `(shard_id, node_idx, id,
+    * vector, links)`, partitioned by `shard_id`. This is the persisted
+    * form of [[searchBatch]]'s in-memory graphs: build once when the
+    * embeddings land (the `O(n·efC·log n)` cost paid at write time, like
+    * IVF's `list_id` assignment), then ANY later query batch reloads and
+    * walks the graphs via [[searchIndex]] without rebuilding. The level
+    * structure, entry points and max level are all derivable from the
+    * per-node neighbor lists, so the row schema is self-contained.
+    *
+    * Sharding is `repartition(numShards, hash(id))` + sort-by-id within
+    * the shard — the same deterministic assignment as [[searchBatch]],
+    * so a saved index answers bit-identically to the build-and-search
+    * path at equal `ef` (HnswPersistSpec pins this).
+    */
+  def buildIndexTable(embeddings: DataFrame, numShards: Int, m: Int = 16,
+      efConstruction: Int = 200, vectorCol: String = "vector",
+      idCol: String = "fragment_id"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(numShards > 0, "numShards must be positive")
+    embeddings.select(col(idCol).cast("string"), col(vectorCol))
+      .as[(String, Array[Float])]
+      .repartition(numShards, col(idCol))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val shard = org.apache.spark.TaskContext.getPartitionId()
+          build(rows, m, efConstruction).exportRows.iterator
+            .map { case (i, id, v, ls) => (shard, i, id, v, ls) }
+        }
+      }
+      .toDF("shard_id", "node_idx", idCol, vectorCol, "links")
+  }
+
+  /** Persist the adjacency table partitioned by shard, so one search
+    * task reads exactly one shard's rows.
+    */
+  def saveIndex(embeddings: DataFrame, path: String, numShards: Int,
+      m: Int = 16, efConstruction: Int = 200, vectorCol: String = "vector",
+      idCol: String = "fragment_id"): Unit =
+    buildIndexTable(embeddings, numShards, m, efConstruction, vectorCol, idCol)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+
+  /** Batch ANN over a persisted adjacency table ([[saveIndex]]): each
+    * shard's rows regroup into one task, the graph RESTORES from its
+    * stored neighbor lists (no re-insertion, no distance computations),
+    * answers the broadcast batch, and the per-query window merges — the
+    * read path costs O(index bytes) + O(queries·ef·log n_shard), never a
+    * rebuild.
+    */
+  def searchIndex(index: DataFrame, queries: Seq[(String, Array[Float])],
+      topK: Int, ef: Int, idCol: String = "fragment_id"): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val k = VectorSearch.clampTopK(topK)
+    val qB = spark.sparkContext.broadcast(queries.toArray)
+    val typed = index.select(col("shard_id").cast("int"),
+        col("node_idx").cast("int"), col(idCol).cast("string"),
+        col("vector"), col("links"))
+      .as[(Int, Int, String, Array[Float], Array[Array[Int]])]
+    val perShard = typed.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val g = new Index(rows.head._4.length, 16, 0)
+        g.importRows(rows.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k, ef).map { case (id, sim) => (qid, id, sim) }
+        }
+      }
+    }.toDF("query_id", idCol, "similarity")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col(idCol))
+    perShard.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -18,12 +18,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * `sbt "Test/runMain graft.GoldenHashGen"`.
   */
 object GoldenHashSpec {
-  /** The 13 no-oracle queries from CORRECTNESS_r05.json. */
+  /** The no-oracle queries: the 13 from CORRECTNESS_r05.json plus the
+    * round-6 additions p6 (adversarial eval) and v10 (HNSW). */
   val noOracleQueries: Seq[String] = Seq(
     "p1_ingest_fragments", "p2_parent_synthesis", "p3_embed_fragments",
     "p4_pdf_segments", "p5_e2e_golden45", "p6_adversarial_recall",
     "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
-    "v9_ivfpq_recall",
+    "v9_ivfpq_recall", "v10_hnsw_recall",
     "x4_approx_stats", "x14_approx_topk", "x15_bpe_merges")
 
   /** Reviewed-once golden hashes (sf0.001, session config above). */
@@ -39,6 +40,7 @@ object GoldenHashSpec {
     "v7_pq_recall" -> "9cebfbb91da0d7b2437aef4630cc7d5c",
     "v8_sq_recall" -> "269887f89364ba735aab0781bade2fcb",
     "v9_ivfpq_recall" -> "5c5f3579846158cd7ba5bc6f8bbb959d",
+    "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
     "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
     "x14_approx_topk" -> "03d0cc91a100036d57ef942396763a06",
     "x15_bpe_merges" -> "360a61593aac1c884faf44ba87735d0c",

@@ -69,6 +69,21 @@ class RecallStudySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("HNSW is the recall ceiling: monotone in ef, >= every bucket-index point") {
+    val hnsw = points.filter(_.method == "hnsw").sortBy(_.param)
+    assert(hnsw.nonEmpty)
+    val rs = hnsw.map(_.meanRecallAt10)
+    assert(rs == rs.sorted, s"hnsw recall not monotone in ef: $rs")
+    // even the smallest beam out-recalls what bucket pruning reaches on
+    // clustered data at any probe width tested (graph navigation adapts
+    // to cluster geometry; list pruning pays for boundary queries)
+    assert(rs.head >= 0.95, s"hnsw smallest-beam recall ${rs.head}")
+    val bucketBest = points.filterNot(_.method == "hnsw")
+      .map(_.meanRecallAt10).max
+    assert(rs.last >= bucketBest,
+      s"hnsw best ${rs.last} below a bucket method's $bucketBest")
+  }
+
   test("IVFPQ tracks IVF at equal probes (re-ranked shortlist), within 15 points") {
     val ivf = points.filter(_.method == "ivf").map(p => p.param -> p.meanRecallAt10).toMap
     points.filter(_.method == "ivfpq").foreach { p =>
