@@ -102,7 +102,8 @@ object Cli {
       case "hnsw-index" :: tablesDir :: rest =>
         val shards = rest.headOption.map(_.toInt).getOrElse(8)
         val e = spark.read.parquet(s"$tablesDir/embeddings")
-        graft.search.Hnsw.saveIndex(e, s"$tablesDir/embeddings_hnsw", shards)
+        graft.search.HnswMaintenance.writeIndex(
+          e, s"$tablesDir/embeddings_hnsw", shards)
         val n = spark.read.parquet(s"$tablesDir/embeddings_hnsw").count()
         println(s"[hnsw-index] shards=$shards nodes=$n")
 

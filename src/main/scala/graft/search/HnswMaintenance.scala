@@ -1,0 +1,234 @@
+package graft.search
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.TableSwap
+
+/** Incremental maintenance of a persisted HNSW adjacency table
+  * ([[Hnsw.saveIndex]]) — the graph-index counterpart of
+  * [[IndexMaintenance.updateIndex]]'s frozen-quantizer IVF contract.
+  *
+  * The economics differ from IVF on purpose. IVF lists follow geometry,
+  * so a delta touches ~nprobe-sized slices; HNSW shards are HASH-sharded
+  * (any graph must fit one task, and hash sharding keeps shard sizes
+  * even), so a delta's rows spread across shards. The per-shard
+  * operation therefore matters:
+  *
+  *  - a shard receiving only INSERTS extends its restored graph in
+  *    place — `add()` is exactly the build-time insertion, so the cost
+  *    is `O(delta·efC·log n_shard)` distance ops, never a rebuild;
+  *  - a shard where an id is REPLACED or DELETED rebuilds from
+  *    (remaining ∪ delta) — HNSW has no cheap node removal (neighbor
+  *    lists reference the node from arbitrary distances; the standard
+  *    alternatives are tombstones that poison every later query or a
+  *    rebuild, and a per-shard rebuild is bounded by shard size).
+  *
+  * Either way the graph invariants survive: insertion appends spine
+  * edges (`idx ↔ idx-1` at layer 0), so layer 0 stays connected and
+  * `ef = n` remains a PROVABLE exactness witness after any update
+  * sequence — HnswMaintenanceSpec pins exactness over the post-update
+  * content for insert, replace and delete.
+  *
+  * Crash safety is the [[IndexMaintenance]] protocol verbatim: affected
+  * shards stage first, a manifest (written only after the staged parquet
+  * commits) makes [[recover]] roll the WHOLE update forward, staging and
+  * manifest are deleted only after every shard swapped. Untouched shards
+  * are never read and their files stay byte-identical.
+  *
+  * Build geometry (shard count, m, efConstruction) rides in a sidecar
+  * (`hnsw_meta.txt`, written by [[writeIndex]]) — updates reuse it, so a
+  * delta can never be inserted with a different geometry than the index
+  * was built with (the ivf_q_hash lesson: mixed geometry must be
+  * impossible, not merely discouraged).
+  */
+object HnswMaintenance {
+
+  final case class Meta(numShards: Int, m: Int, efConstruction: Int)
+
+  final case class UpdateStats(
+      affectedShards: Seq[Int],
+      extendedShards: Seq[Int],
+      rebuiltShards: Seq[Int],
+      incomingRows: Long)
+
+  private def stagingOf(p: String) = s"$p.update-staging"
+  private def manifestOf(p: String) = s"$p.update-manifest"
+  private def metaOf(p: String) = s"$p/_hnsw_meta.txt" // leading _ : ignored by Spark file index
+
+  /** [[Hnsw.saveIndex]] plus the geometry sidecar — the entry point a
+    * maintainable index must be created through.
+    */
+  def writeIndex(embeddings: DataFrame, path: String, numShards: Int,
+      m: Int = 16, efConstruction: Int = 200, vectorCol: String = "vector",
+      idCol: String = "fragment_id"): Unit = {
+    Hnsw.saveIndex(embeddings, path, numShards, m, efConstruction,
+      vectorCol, idCol)
+    Files.write(Paths.get(metaOf(path)),
+      s"$numShards $m $efConstruction".getBytes(StandardCharsets.UTF_8))
+  }
+
+  def readMeta(path: String): Meta = {
+    val parts = new String(Files.readAllBytes(Paths.get(metaOf(path))),
+      StandardCharsets.UTF_8).trim.split(" ")
+    Meta(parts(0).toInt, parts(1).toInt, parts(2).toInt)
+  }
+
+  /** The shard an id hashes to — MUST agree with the
+    * `repartition(numShards, col(idCol))` assignment used at build time.
+    * It does by construction: hash partitioning places a row at
+    * `pmod(murmur3(key), n)` and [[functions.hash]] is the same murmur3
+    * expression (seed 42); HnswMaintenanceSpec pins the agreement.
+    */
+  private def shardCol(idCol: String, numShards: Int) =
+    pmod(hash(col(idCol)), lit(numShards)).cast("int")
+
+  /** Apply a delta: `incoming` rows are UPSERTS (an id already in the
+    * index is replaced, a new id is inserted), `dropIds` are deletions.
+    * Only the shards those ids hash to are read, rewritten and swapped.
+    */
+  def updateIndex(spark: SparkSession, indexPath: String,
+      incoming: DataFrame, dropIds: Seq[String] = Nil,
+      vectorCol: String = "vector", idCol: String = "fragment_id"): UpdateStats = {
+    recover(indexPath)
+    val meta = readMeta(indexPath)
+    import spark.implicits._
+
+    // the replaced-id set collects to the driver and broadcasts — the
+    // same delta-sized collect [[IndexMaintenance.updateIndex]] does for
+    // replaced documents (a delta batch is O(delta), never O(corpus))
+    val deltaIds = incoming.select(col(idCol).cast("string"))
+      .as[String].collect()
+    val removed = (deltaIds ++ dropIds).toSet
+    if (removed.isEmpty) return UpdateStats(Nil, Nil, Nil, 0L)
+
+    def shardsOf(ids: Seq[String]): Seq[Int] =
+      if (ids.isEmpty) Nil
+      else ids.toDF(idCol).select(shardCol(idCol, meta.numShards))
+        .distinct().as[Int].collect().toSeq
+    val affected = shardsOf(removed.toSeq).distinct.sorted
+
+    val dropB = spark.sparkContext.broadcast(removed)
+    val mm = meta.m
+    val efC = meta.efConstruction
+
+    // partition-pruned read of the affected shards only; delta rows ride
+    // in the SAME grouped dataset marked node_idx = -1, so a shard that
+    // never existed before still forms a group and builds fresh
+    val existing = spark.read.parquet(indexPath)
+      .filter(col("shard_id").isin(affected.map(Integer.valueOf): _*))
+      .select(col("shard_id").cast("int"), col("node_idx").cast("int"),
+        col(idCol).cast("string"), col(vectorCol), col("links"))
+      .as[(Int, Int, String, Array[Float], Array[Array[Int]])]
+    val deltaRows = incoming
+      .select(shardCol(idCol, meta.numShards).as("shard_id"),
+        lit(-1).as("node_idx"), col(idCol).cast("string"),
+        col(vectorCol), typedLit(Array.empty[Array[Int]]).as("links"))
+      .as[(Int, Int, String, Array[Float], Array[Array[Int]])]
+
+    // one task per affected shard: extend in place (insert-only) or
+    // rebuild (any replacement/deletion in this shard)
+    val rebuilt = existing.union(deltaRows)
+      .groupByKey(_._1).flatMapGroups { (shard, it) =>
+        val (exRaw, dlRaw) = it.toArray.partition(_._2 >= 0)
+        val rows = exRaw.sortBy(_._2)
+        val delta = dlRaw.map(r => (r._3, r._4)).sortBy(_._1)
+        val hasRemoval = rows.exists(r => dropB.value.contains(r._3))
+        val g =
+          if (rows.isEmpty) {
+            if (delta.isEmpty) null else Hnsw.build(delta.toSeq, mm, efC)
+          } else if (hasRemoval) {
+            // rebuild over final content, fresh-build insertion order
+            val keep = rows.filterNot(r => dropB.value.contains(r._3))
+              .map(r => (r._3, r._4))
+            val all = (keep ++ delta).sortBy(_._1)
+            if (all.isEmpty) null else Hnsw.build(all.toSeq, mm, efC)
+          } else {
+            val g0 = new Hnsw.Index(rows.head._4.length, mm, efC)
+            g0.importRows(rows.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
+            delta.foreach { case (id, v) => g0.add(id, v) }
+            g0
+          }
+        if (g == null) Iterator.empty
+        else g.exportRows.iterator.map { case (i, id, v, ls) =>
+          (shard, i, id, v, ls, hasRemoval)
+        }
+      }.persist()
+
+    try {
+      val staging = stagingOf(indexPath)
+      TableSwap.rmTreeAt(staging)
+      rebuilt.toDF("shard_id", "node_idx", idCol, vectorCol, "links", "__rebuilt")
+        .drop("__rebuilt")
+        .write.partitionBy("shard_id").parquet(staging)
+
+      val rebuiltShards = rebuilt.filter(_._6).map(_._1).distinct().collect()
+        .toSeq.sorted
+      // a delta can also create a brand-new shard dir (first row hashing
+      // there) — those stage too, via the parquet write above
+
+      // materialize every affected staged dir (a pure deletion can empty
+      // a shard), THEN declare the update via the manifest
+      affected.foreach { s =>
+        val d = Paths.get(staging, s"shard_id=$s")
+        if (!Files.exists(d)) Files.createDirectories(d)
+      }
+      Files.write(Paths.get(manifestOf(indexPath)),
+        affected.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+      swapAll(indexPath, affected)
+
+      Files.deleteIfExists(Paths.get(manifestOf(indexPath)))
+      TableSwap.rmTreeAt(staging)
+      UpdateStats(affected, affected.diff(rebuiltShards), rebuiltShards,
+        deltaIds.length.toLong)
+    } finally { rebuilt.unpersist(); () }
+  }
+
+  private def swapAll(indexPath: String, shards: Seq[Int]): Unit = {
+    val staging = stagingOf(indexPath)
+    shards.foreach { s =>
+      val stagedDir = Paths.get(staging, s"shard_id=$s")
+      if (Files.exists(stagedDir)) {
+        val liveDir = Paths.get(s"$indexPath/shard_id=$s")
+        if (!Files.exists(liveDir)) Files.createDirectories(liveDir)
+        TableSwap.swap(s"$indexPath/shard_id=$s") { partStaging =>
+          Files.move(stagedDir, Paths.get(partStaging))
+        }
+      }
+    }
+  }
+
+  /** Heal a crash mid-[[updateIndex]]: with a manifest present the staged
+    * write is known complete, so every listed shard rolls FORWARD to its
+    * new contents; without one, per-shard TableSwap leftovers heal and
+    * stale staging drops. Idempotent; called at the start of every
+    * update.
+    */
+  def recover(indexPath: String): Unit = {
+    val manifest = Paths.get(manifestOf(indexPath))
+    if (Files.exists(manifest)) {
+      val shards = new String(Files.readAllBytes(manifest),
+        StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).map(_.toInt)
+      swapAll(indexPath, shards.toIndexedSeq)
+      Files.deleteIfExists(manifest)
+      TableSwap.rmTreeAt(stagingOf(indexPath))
+    } else {
+      val staging = Paths.get(stagingOf(indexPath))
+      val live = Paths.get(indexPath)
+      if (Files.isDirectory(live)) {
+        val s = Files.list(live)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.getFileName.toString.startsWith("shard_id="))
+            .foreach(d => TableSwap.recoverSwap(d.toString)
+              .foreach(a => System.err.println(s"[hnsw-recover] $d: $a")))
+        } finally s.close()
+      }
+      if (Files.exists(staging)) TableSwap.rmTreeAt(staging.toString)
+    }
+  }
+}
