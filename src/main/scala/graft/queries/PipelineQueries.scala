@@ -132,12 +132,17 @@ object PipelineQueries {
     * Jaccard ≤ 0.5 vs the target by construction), pass ⇔ the target's
     * parent_id appears in the top-10, exactly the reference harness rule
     * (api/cli/quality.py:68-88). Needs the compositional TokenHashEmbedder:
-    * the whole-text-hash embedder can only self-retrieve.
+    * the whole-text-hash embedder can only self-retrieve. dim 256: 45/45 at
+    * sf0.001 and sf0.01 (128 loses two at sf0.01 to projection noise;
+    * sf0.1 sits at 43/45 regardless of dim — the two misses are near-
+    * duplicate token bags under other parents, the model-class ceiling of
+    * a tf bag-of-words embedding; a real API embedder behind the same
+    * trait is the deployment answer).
     */
   private val p6Adversarial: Q = (s, dir) => {
     import graft.embedding.TokenHashEmbedder
     import graft.eval.GoldenEval
-    val embedder = new TokenHashEmbedder(128)
+    val embedder = new TokenHashEmbedder(256)
     val processed = processedStage(s, dir)
     val emb = StageCache.getOrCache(s, s"p6_embeddings:$dir") {
       IngestPipeline

@@ -23,7 +23,7 @@ class GoldenEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
   private val dir = "/root/testdata/sf0.001"
-  private val embedder = new TokenHashEmbedder(128)
+  private val embedder = new TokenHashEmbedder(256)
 
   override def beforeAll(): Unit = {
     spark = GraftSession.builder("local[4]", "8").getOrCreate()
@@ -62,8 +62,9 @@ class GoldenEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = GoldenEval.evaluate(emb, parents, corpus, embedder).collect()
     assert(res.length == 45)
     val passed = res.count(_.getAs[Boolean]("matched"))
-    // sf0.001 measured: 45/45 (sf0.01: 43/45). The reference bar is its own
-    // 45-query corpus passing — pin the full pass here.
+    // measured at dim 256: 45/45 at sf0.001 AND sf0.01 (dim 128 dropped two
+    // at sf0.01 to projection noise). The reference bar is its own 45-query
+    // corpus passing — pin the full pass here.
     assert(passed == 45, s"adversarial pass-rate dropped: $passed/45")
   }
 

@@ -34,7 +34,7 @@ object GoldenHashSpec {
     "p3_embed_fragments" -> "15bae67e53b1d2e7744de937dc2ded7d",
     "p4_pdf_segments" -> "599104d08747c7c70373563629ffa5a0",
     "p5_e2e_golden45" -> "211b506be808e27fd9faf92756b9db03",
-    "p6_adversarial_recall" -> "c9d6a5c4f726591b16205eef1dfcffb7",
+    "p6_adversarial_recall" -> "7fc143fa968d452cf83472a28147cc8d",
     "v5_ann_recall" -> "45820658a5290f75ce058970607f91a1",
     "v6_ivf_recall" -> "2820f621b95f7617bb49d5dd5a855eca",
     "v7_pq_recall" -> "9cebfbb91da0d7b2437aef4630cc7d5c",
