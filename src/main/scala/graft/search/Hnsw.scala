@@ -372,23 +372,32 @@ object Hnsw {
     */
   def buildIndexTable(embeddings: DataFrame, numShards: Int, m: Int = 16,
       efConstruction: Int = 200, vectorCol: String = "vector",
-      idCol: String = "fragment_id"): DataFrame = {
+      idCol: String = "fragment_id", docCol: Option[String] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     require(numShards > 0, "numShards must be positive")
-    embeddings.select(col(idCol).cast("string"), col(vectorCol))
-      .as[(String, Array[Float])]
+    // doc_id rides along per node (defaults to the id itself) so document-
+    // level cascade ([[HnswMaintenance.updateIndexByDoc]]) can find a
+    // replaced document's rows with a two-column scan, the IVF docKey
+    // pattern
+    val docExpr = docCol.map(c => col(c).cast("string"))
+      .getOrElse(col(idCol).cast("string"))
+    embeddings.select(col(idCol).cast("string"), col(vectorCol),
+        docExpr.as("__doc"))
+      .as[(String, Array[Float], String)]
       .repartition(numShards, col(idCol))
       .mapPartitions { it =>
         val rows = it.toArray.sortBy(_._1)
         if (rows.isEmpty) Iterator.empty
         else {
           val shard = org.apache.spark.TaskContext.getPartitionId()
-          build(rows, m, efConstruction).exportRows.iterator
-            .map { case (i, id, v, ls) => (shard, i, id, v, ls) }
+          val docs = rows.map(_._3)
+          build(rows.map(r => (r._1, r._2)).toSeq, m, efConstruction)
+            .exportRows.iterator
+            .map { case (i, id, v, ls) => (shard, i, id, v, ls, docs(i)) }
         }
       }
-      .toDF("shard_id", "node_idx", idCol, vectorCol, "links")
+      .toDF("shard_id", "node_idx", idCol, vectorCol, "links", "doc_id")
   }
 
   /** Persist the adjacency table partitioned by shard, so one search
@@ -396,8 +405,9 @@ object Hnsw {
     */
   def saveIndex(embeddings: DataFrame, path: String, numShards: Int,
       m: Int = 16, efConstruction: Int = 200, vectorCol: String = "vector",
-      idCol: String = "fragment_id"): Unit =
-    buildIndexTable(embeddings, numShards, m, efConstruction, vectorCol, idCol)
+      idCol: String = "fragment_id", docCol: Option[String] = None): Unit =
+    buildIndexTable(embeddings, numShards, m, efConstruction, vectorCol,
+      idCol, docCol)
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
 
   /** Batch ANN over a persisted adjacency table ([[saveIndex]]): each

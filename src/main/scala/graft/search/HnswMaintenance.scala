@@ -64,9 +64,9 @@ object HnswMaintenance {
     */
   def writeIndex(embeddings: DataFrame, path: String, numShards: Int,
       m: Int = 16, efConstruction: Int = 200, vectorCol: String = "vector",
-      idCol: String = "fragment_id"): Unit = {
+      idCol: String = "fragment_id", docCol: Option[String] = None): Unit = {
     Hnsw.saveIndex(embeddings, path, numShards, m, efConstruction,
-      vectorCol, idCol)
+      vectorCol, idCol, docCol)
     Files.write(Paths.get(metaOf(path)),
       s"$numShards $m $efConstruction".getBytes(StandardCharsets.UTF_8))
   }
@@ -92,7 +92,8 @@ object HnswMaintenance {
     */
   def updateIndex(spark: SparkSession, indexPath: String,
       incoming: DataFrame, dropIds: Seq[String] = Nil,
-      vectorCol: String = "vector", idCol: String = "fragment_id"): UpdateStats = {
+      vectorCol: String = "vector", idCol: String = "fragment_id",
+      docCol: Option[String] = None): UpdateStats = {
     recover(indexPath)
     val meta = readMeta(indexPath)
     import spark.implicits._
@@ -118,54 +119,65 @@ object HnswMaintenance {
     // partition-pruned read of the affected shards only; delta rows ride
     // in the SAME grouped dataset marked node_idx = -1, so a shard that
     // never existed before still forms a group and builds fresh
+    val docExpr = docCol.map(c => col(c).cast("string"))
+      .getOrElse(col(idCol).cast("string"))
     val existing = spark.read.parquet(indexPath)
       .filter(col("shard_id").isin(affected.map(Integer.valueOf): _*))
       .select(col("shard_id").cast("int"), col("node_idx").cast("int"),
-        col(idCol).cast("string"), col(vectorCol), col("links"))
-      .as[(Int, Int, String, Array[Float], Array[Array[Int]])]
+        col(idCol).cast("string"), col(vectorCol), col("links"),
+        col("doc_id").cast("string"))
+      .as[(Int, Int, String, Array[Float], Array[Array[Int]], String)]
     val deltaRows = incoming
       .select(shardCol(idCol, meta.numShards).as("shard_id"),
         lit(-1).as("node_idx"), col(idCol).cast("string"),
-        col(vectorCol), typedLit(Array.empty[Array[Int]]).as("links"))
-      .as[(Int, Int, String, Array[Float], Array[Array[Int]])]
+        col(vectorCol), typedLit(Array.empty[Array[Int]]).as("links"),
+        docExpr.as("doc_id"))
+      .as[(Int, Int, String, Array[Float], Array[Array[Int]], String)]
 
     // one task per affected shard: extend in place (insert-only) or
-    // rebuild (any replacement/deletion in this shard)
+    // rebuild (any replacement/deletion in this shard). The per-node
+    // doc_id travels as a parallel array — node index = insertion order
+    // on every path, so position i's doc follows node i.
     val rebuilt = existing.union(deltaRows)
       .groupByKey(_._1).flatMapGroups { (shard, it) =>
         val (exRaw, dlRaw) = it.toArray.partition(_._2 >= 0)
         val rows = exRaw.sortBy(_._2)
-        val delta = dlRaw.map(r => (r._3, r._4)).sortBy(_._1)
+        val delta = dlRaw.map(r => (r._3, r._4, r._6)).sortBy(_._1)
         val hasRemoval = rows.exists(r => dropB.value.contains(r._3))
-        val g =
+        val (g, docs) =
           if (rows.isEmpty) {
-            if (delta.isEmpty) null else Hnsw.build(delta.toSeq, mm, efC)
+            if (delta.isEmpty) (null, Array.empty[String])
+            else (Hnsw.build(delta.map(d => (d._1, d._2)).toSeq, mm, efC),
+              delta.map(_._3))
           } else if (hasRemoval) {
             // rebuild over final content, fresh-build insertion order
             val keep = rows.filterNot(r => dropB.value.contains(r._3))
-              .map(r => (r._3, r._4))
+              .map(r => (r._3, r._4, r._6))
             val all = (keep ++ delta).sortBy(_._1)
-            if (all.isEmpty) null else Hnsw.build(all.toSeq, mm, efC)
+            if (all.isEmpty) (null, Array.empty[String])
+            else (Hnsw.build(all.map(d => (d._1, d._2)).toSeq, mm, efC),
+              all.map(_._3))
           } else {
             val g0 = new Hnsw.Index(rows.head._4.length, mm, efC)
             g0.importRows(rows.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
-            delta.foreach { case (id, v) => g0.add(id, v) }
-            g0
+            delta.foreach { case (id, v, _) => g0.add(id, v) }
+            (g0, rows.map(_._6) ++ delta.map(_._3))
           }
         if (g == null) Iterator.empty
         else g.exportRows.iterator.map { case (i, id, v, ls) =>
-          (shard, i, id, v, ls, hasRemoval)
+          (shard, i, id, v, ls, docs(i), hasRemoval)
         }
       }.persist()
 
     try {
       val staging = stagingOf(indexPath)
       TableSwap.rmTreeAt(staging)
-      rebuilt.toDF("shard_id", "node_idx", idCol, vectorCol, "links", "__rebuilt")
+      rebuilt.toDF("shard_id", "node_idx", idCol, vectorCol, "links",
+          "doc_id", "__rebuilt")
         .drop("__rebuilt")
         .write.partitionBy("shard_id").parquet(staging)
 
-      val rebuiltShards = rebuilt.filter(_._6).map(_._1).distinct().collect()
+      val rebuiltShards = rebuilt.filter(_._7).map(_._1).distinct().collect()
         .toSeq.sorted
       // a delta can also create a brand-new shard dir (first row hashing
       // there) — those stage too, via the parquet write above
@@ -188,6 +200,34 @@ object HnswMaintenance {
     } finally { rebuilt.unpersist(); () }
   }
 
+  /** Document-level cascade (the reference's replace-by-document
+    * semantics, storage/cascade.py:64-160): every document appearing in
+    * `incoming` — or listed in `dropDocs` — has ALL its index rows
+    * replaced by the batch's rows for it. The old rows are found with a
+    * two-column (doc_id, id) scan of the index, the same delta-bounded
+    * lookup [[IndexMaintenance.updateIndex]] does on its docKey column.
+    * Idempotent: re-applying the same batch converges (replaced rows are
+    * dropped and re-inserted identically).
+    */
+  def updateIndexByDoc(spark: SparkSession, indexPath: String,
+      incoming: DataFrame, dropDocs: Seq[String] = Nil,
+      vectorCol: String = "vector", idCol: String = "fragment_id",
+      docCol: String = "document_id"): UpdateStats = {
+    recover(indexPath)
+    import spark.implicits._
+    val replacedDocs =
+      (incoming.select(col(docCol).cast("string")).distinct()
+        .as[String].collect().toSeq ++ dropDocs).distinct
+    if (replacedDocs.isEmpty) return UpdateStats(Nil, Nil, Nil, 0L)
+    val docsDf = replacedDocs.toDF("doc_id")
+    val oldIds = spark.read.parquet(indexPath)
+      .select(col(idCol).cast("string"), col("doc_id").cast("string"))
+      .join(broadcast(docsDf), Seq("doc_id"), "left_semi")
+      .select(col(idCol)).as[String].collect().toSeq
+    updateIndex(spark, indexPath, incoming, dropIds = oldIds,
+      vectorCol = vectorCol, idCol = idCol, docCol = Some(docCol))
+  }
+
   private def swapAll(indexPath: String, shards: Seq[Int]): Unit = {
     val staging = stagingOf(indexPath)
     shards.foreach { s =>
@@ -202,33 +242,54 @@ object HnswMaintenance {
     }
   }
 
-  /** Heal a crash mid-[[updateIndex]]: with a manifest present the staged
-    * write is known complete, so every listed shard rolls FORWARD to its
-    * new contents; without one, per-shard TableSwap leftovers heal and
-    * stale staging drops. Idempotent; called at the start of every
-    * update.
+  /** Heal a crash mid-[[updateIndex]] — [[IndexMaintenance.recover]]'s
+    * protocol with `shard_id` partitions: with a manifest present the
+    * staged write is known complete, so every listed shard rolls FORWARD
+    * to its new contents (including the live+staging window inside an
+    * individual [[TableSwap.swap]], which generic recovery would roll
+    * back); without one, per-shard swap leftovers heal and stale staging
+    * drops. Idempotent; called at the start of every update.
     */
   def recover(indexPath: String): Unit = {
+    val root = Paths.get(indexPath)
+    if (!Files.exists(root)) return
     val manifest = Paths.get(manifestOf(indexPath))
     if (Files.exists(manifest)) {
       val shards = new String(Files.readAllBytes(manifest),
         StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).map(_.toInt)
-      swapAll(indexPath, shards.toIndexedSeq)
+      shards.foreach { sId =>
+        val part = s"$indexPath/shard_id=$sId"
+        val (live, stg, old) =
+          (Paths.get(part), Paths.get(s"$part.staging"), Paths.get(s"$part.old"))
+        if (Files.exists(live) && Files.exists(stg) && !Files.exists(old)) {
+          // crashed between stage-move and live-aside: staged data is
+          // complete under a manifest — finish this swap, don't drop it
+          Files.move(live, old)
+          Files.move(stg, live)
+          TableSwap.rmTreeAt(old.toString)
+        } else {
+          TableSwap.recoverSwap(part)
+          ()
+        }
+      }
+      if (Files.isDirectory(Paths.get(stagingOf(indexPath))))
+        swapAll(indexPath, shards.toIndexedSeq)
       Files.deleteIfExists(manifest)
       TableSwap.rmTreeAt(stagingOf(indexPath))
     } else {
-      val staging = Paths.get(stagingOf(indexPath))
-      val live = Paths.get(indexPath)
-      if (Files.isDirectory(live)) {
-        val s = Files.list(live)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(_.getFileName.toString.startsWith("shard_id="))
-            .foreach(d => TableSwap.recoverSwap(d.toString)
-              .foreach(a => System.err.println(s"[hnsw-recover] $d: $a")))
-        } finally s.close()
-      }
-      if (Files.exists(staging)) TableSwap.rmTreeAt(staging.toString)
+      val s = Files.list(root)
+      val leftovers = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("shard_id=") &&
+            (n.endsWith(".staging") || n.endsWith(".old")))
+          .map(_.stripSuffix(".staging").stripSuffix(".old"))
+          .toSeq.distinct.sorted
+      } finally s.close()
+      leftovers.foreach(base =>
+        TableSwap.recoverSwap(s"$indexPath/$base")
+          .foreach(a => System.err.println(s"[hnsw-recover] $base: $a")))
+      TableSwap.rmTreeAt(stagingOf(indexPath))
     }
   }
 }

@@ -416,6 +416,40 @@ object EventStreams {
       }
       .start()
 
+  /** [[ingestIndexStream]]'s HNSW twin: every micro-batch re-ingests its
+    * documents and applies a document-cascade update to the persisted
+    * graph index ([[graft.search.HnswMaintenance.updateIndexByDoc]] —
+    * insert-only shards extend their graph in place, replacement shards
+    * rebuild, manifest-recoverable swaps). Same at-least-once +
+    * idempotent-replace convergence argument as the IVF stream; the
+    * graph's `ef = n` exactness witness keeps holding after every batch.
+    */
+  def ingestHnswIndexStream(
+      texts: Dataset[graft.ingest.IngestPipeline.DocInput],
+      indexPath: String, embedder: graft.embedding.Embedder,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    texts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[graft.ingest.IngestPipeline.DocInput], _: Long) =>
+          applyHnswIngestBatch(indexPath, embedder, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[ingestHnswIndexStream]] — exposed for
+    * deterministic replay in specs.
+    */
+  private[graft] def applyHnswIngestBatch(indexPath: String,
+      embedder: graft.embedding.Embedder,
+      batch: Dataset[graft.ingest.IngestPipeline.DocInput]): Unit = {
+    val spark = batch.sparkSession
+    val emb = graft.ingest.IngestPipeline.embeddings(
+      graft.ingest.IngestPipeline.fragments(
+        graft.ingest.IngestPipeline.process(batch)), embedder).toDF()
+    graft.search.HnswMaintenance.updateIndexByDoc(spark, indexPath, emb)
+    ()
+  }
+
   /** One micro-batch of [[ingestIndexStream]] — exposed for deterministic
     * replay in specs.
     */

@@ -190,6 +190,93 @@ class HnswMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(results(a) == results(b))
   }
 
+  test("document cascade: a re-ingested doc's rows are fully replaced, even under new ids") {
+    val s = spark
+    import s.implicits._
+    // two "documents" owning disjoint id ranges
+    val docOf: String => String = f => if (f < id(250)) "docA" else "docB"
+    val withDocs = base.map { case (f, v) => (f, v, docOf(f)) }
+      .toDF("fragment_id", "vector", "document_id")
+    val path = s"$dir/cascade"
+    HnswMaintenance.writeIndex(withDocs, path, numShards = 4,
+      m = 8, efConstruction = 48, docCol = Some("document_id"))
+    // docA re-ingests as TWO fragments with brand-new ids
+    val newRows = Seq(
+      ("g000001", norm(Array.fill(12)(0.2f)), "docA"),
+      ("g000002", norm(Array.fill(12)(-0.2f)), "docA"))
+    val stats = HnswMaintenance.updateIndexByDoc(spark, path,
+      newRows.toDF("fragment_id", "vector", "document_id"))
+    assert(stats.incomingRows == 2)
+    val byDoc = spark.read.parquet(path)
+      .select("fragment_id", "doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(byDoc.count(_._2 == "docA") == 2, "old docA rows must be gone")
+    assert(byDoc.filter(_._2 == "docA").map(_._1).toSet ==
+      Set("g000001", "g000002"))
+    assert(byDoc.count(_._2 == "docB") == base.count(r => docOf(r._1) == "docB"))
+    assertWitness(path,
+      base.filter(r => docOf(r._1) == "docB") ++
+        newRows.map(r => (r._1, r._2)))
+  }
+
+  test("streaming re-ingest maintains the graph index ≡ final content, through a mid-stream crash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.embedding.OfflineEmbedder
+    import graft.ingest.IngestPipeline
+    import graft.ingest.IngestPipeline.DocInput
+    import graft.streaming.EventStreams
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val embedder = new OfflineEmbedder(8)
+    def doc(path: String, marker: String) = DocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.", isOcr = false)
+    def embOf(docs: DocInput*) = IngestPipeline.embeddings(
+      IngestPipeline.fragments(IngestPipeline.process(docs.toSeq.toDS())),
+      embedder).toDF()
+
+    val path = s"$dir/hnsw_stream"
+    HnswMaintenance.writeIndex(
+      embOf(doc("h/a.txt", "alpha"), doc("h/b.txt", "bravo")),
+      path, numShards = 2, m = 8, efConstruction = 48,
+      docCol = Some("document_id"))
+
+    val mem = MemoryStream[DocInput]
+    val query = EventStreams.ingestHnswIndexStream(mem.toDS(), path,
+      embedder, s"$dir/hnsw_stream_ckpt")
+    try {
+      mem.addData(doc("h/a.txt", "alpha-updated"))
+      query.processAllAvailable()
+
+      // mid-stream crash: a torn shard swap (live moved aside) left by a
+      // killed process — the next micro-batch must heal it before applying
+      val someShard = spark.read.parquet(path)
+        .select("shard_id").distinct().as[Int].collect().min
+      Files.move(Paths.get(path, s"shard_id=$someShard"),
+        Paths.get(path, s"shard_id=$someShard.old"))
+
+      mem.addData(doc("h/c.txt", "charlie"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // ≡ final content: same (fragment_id, document_id) rows as a batch
+    // re-ingest of the final corpus, and the ef = n witness holds over it
+    val finalEmb = embOf(doc("h/a.txt", "alpha-updated"),
+      doc("h/b.txt", "bravo"), doc("h/c.txt", "charlie"))
+    val expected = finalEmb.select("fragment_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = spark.read.parquet(path).select("fragment_id", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected)
+    val content = finalEmb.select("fragment_id", "vector").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray)).toSeq
+    val hits = Hnsw.searchIndex(spark.read.parquet(path),
+        Seq(("q0", content.head._2)), 10, ef = content.size)
+      .select("fragment_id").collect().map(_.getString(0)).toSeq
+    assert(hits == exact(content, content.head._2).take(hits.size))
+  }
+
   private def copyTree(src: Path, dst: Path): Unit = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(src)
