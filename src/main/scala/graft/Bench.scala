@@ -119,19 +119,32 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every output column (count()
-      // would let Catalyst prune map-side projections entirely)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Two timed passes per query, report the MIN. The start-time JVM
+    // check cannot see load the HOST injects mid-run (observed: the same
+    // catalog on the same data swinging 86→143 s with a DIFFERENT
+    // query spiking 10-20× each run — a8 21.5 s one run, a17 9.7 s the
+    // next, both ~0.5 s when quiet). A transient spike hits a query in
+    // one pass, not both, so min-of-2 records the query's steady-state
+    // cost instead of the host's noise; genuine regressions slow BOTH
+    // passes and still show.
+    def timedPass(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink: forces full evaluation of every output column
+        // (count() would let Catalyst prune map-side projections)
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
     }
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val meta =
       s""""contended":$contended,"loadavg_start":"$load0"""" +
+        s""","loadavg_end":"${loadavg()}","passes":2""" +
         s""","other_jvms":${others.size},"nq":${results.size}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""

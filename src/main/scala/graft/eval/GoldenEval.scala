@@ -70,12 +70,40 @@ object GoldenEval {
           multisetJaccard(q, content))
       }.toSeq
 
-  /** Run the corpus as ONE batch-KNN job and apply the reference's match
-    * rule. Returns one row per query:
+  /** A batch searcher: (embeddings, (query_id, query_vector) rows, k) →
+    * hits carrying at least (query_id, rank, similarity, parent_id,
+    * content). Default = the exact batch KNN; [[hnswSearcher]] runs the
+    * same harness through the graph index instead — the reference's own
+    * quality CLI goes through its pgvector HNSW (api/cli/quality.py),
+    * so the eval must be runnable over the ANN path too.
+    */
+  type Searcher = (DataFrame, DataFrame, Int) => DataFrame
+
+  val exactSearcher: Searcher = (emb, qvecs, k) =>
+    VectorSearch.batchKnn(emb, qvecs, k)
+
+  /** Search through shard-local HNSW graphs ([[graft.search.Hnsw]]) at
+    * the given beam width, re-attaching the metadata columns the match
+    * rule needs (the graph answers ids + similarity; parent_id/content
+    * join back from the embeddings table by id).
+    */
+  def hnswSearcher(ef: Int, numShards: Int = 0): Searcher = (emb, qvecs, k) => {
+    val s = emb.sparkSession
+    import s.implicits._
+    val queries = qvecs.select(col("query_id"), col("query_vector"))
+      .as[(String, Array[Float])].collect().toSeq
+    graft.search.Hnsw.searchBatch(emb, queries, k, ef, numShards = numShards)
+      .join(emb.select(col("fragment_id"), col("parent_id"), col("content")),
+        Seq("fragment_id"))
+  }
+
+  /** Run the corpus as ONE batch search job and apply the reference's
+    * match rule. Returns one row per query:
     * (query_id, matched, best_rank, top_similarity, token_jaccard).
     */
   def evaluate(embeddings: DataFrame, parents: DataFrame,
-      queries: Seq[GoldenQuery], embedder: Embedder, topK: Int = 10): DataFrame = {
+      queries: Seq[GoldenQuery], embedder: Embedder, topK: Int = 10,
+      searcher: Searcher = exactSearcher): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
     val qvecs = queries.map(q => (q.queryId, q.text))
@@ -85,7 +113,7 @@ object GoldenEval {
       .map(q => (q.queryId, q.expectParentIds, q.expectContains, q.tokenJaccard))
       .toDF("query_id", "expect_parent_ids", "expect_contains", "token_jaccard")
 
-    val hits = VectorSearch.batchKnn(embeddings, qvecs, topK)
+    val hits = searcher(embeddings, qvecs, topK)
       .select(col("query_id"), col("rank"), col("similarity"),
         col("parent_id"), col("content"))
       // parent context participates in the contains-match, as in the

@@ -68,6 +68,33 @@ class GoldenEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(passed == 45, s"adversarial pass-rate dropped: $passed/45")
   }
 
+  test("the eval harness through the HNSW index matches the exact-search eval") {
+    // the reference runs its quality CLI through pgvector HNSW; the Spark
+    // analog must sustain the same pass-rate through the graph index. At
+    // ef = corpus size the searcher is provably exact, so the whole eval
+    // output matches row-for-row; a moderate beam must keep the full
+    // pass-rate.
+    val corpus = GoldenEval.adversarialCorpus(emb, 45)
+    // decision columns only: the two paths compute cosine in different
+    // (mathematically equal) orders — dot/(|a||b|) vs normalize-then-dot
+    // — so similarity can differ in the last ulp; matched/best_rank are
+    // the eval's verdict and must agree exactly
+    def decisions(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "matched", "best_rank")
+        .collect().map(_.toString).sorted.toSeq
+    val exactRes = decisions(
+      GoldenEval.evaluate(emb, parents, corpus, embedder))
+    val n = emb.count().toInt
+    val witnessRes = decisions(GoldenEval.evaluate(emb, parents, corpus,
+      embedder, searcher = GoldenEval.hnswSearcher(ef = n, numShards = 4)))
+    assert(witnessRes == exactRes)
+    val annRes = GoldenEval.evaluate(emb, parents, corpus, embedder,
+        searcher = GoldenEval.hnswSearcher(ef = 64, numShards = 4))
+      .collect()
+    assert(annRes.count(_.getAs[Boolean]("matched")) == 45,
+      "moderate-beam HNSW eval dropped below full pass")
+  }
+
   test("identity queries (sanity ceiling) pass 45/45") {
     val s = spark
     import s.implicits._
