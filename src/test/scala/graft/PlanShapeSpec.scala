@@ -47,6 +47,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!v1.contains("Exchange rangepartitioning")) // no sort shuffle
   }
 
+  test("hnsw batch search: shard graphs feed ONE query_id shuffle, no join, no cartesian") {
+    import graft.search.Hnsw
+    val s = spark
+    import s.implicits._
+    val df = (0 until 64)
+      .map(i => (f"f$i%04d", Array.fill(8)((i % 7).toFloat + 1)))
+      .toDF("fragment_id", "vector")
+    val res = Hnsw.searchBatch(df, Seq(("q0", Array.fill(8)(1f))), 5,
+      ef = 16, numShards = 4)
+    val p = res.queryExecution.executedPlan.toString
+    // per-shard results merge through exactly one hash exchange (the
+    // query_id window) — the graph answers locally; nothing joins,
+    // nothing goes quadratic
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "merge must not plan a join")
+    assert(!p.contains("Cartesian"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, // repartition to shards + window merge
+      s"expected shard + merge exchanges only, got $exchanges:\n$p")
+  }
+
   test("j1: dimension joins broadcast, never sort-merge") {
     val p = plan("j1_star_join")
     assert(p.contains("BroadcastHashJoin"))
