@@ -21,11 +21,7 @@ object Cli {
     import spark.implicits._
     val engine = new Engine(spark, new OfflineEmbedder(64))
 
-    def readDocs(files: List[String]) = files.map { f =>
-      val text = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
-      DocInput(f, text, isOcr = false)
-    }.toDS()
+    def readDocs(files: List[String]) = readDocFiles(spark, files)
 
     args.toList match {
       case "ingest" :: outDir :: files if files.nonEmpty =>
@@ -102,8 +98,13 @@ object Cli {
       case "hnsw-index" :: tablesDir :: rest =>
         val shards = rest.headOption.map(_.toInt).getOrElse(8)
         val e = spark.read.parquet(s"$tablesDir/embeddings")
+        // docCol: the cascade key — without it the stored doc_id would be
+        // the fragment id and replace-by-document maintenance (reingest,
+        // ingestHnswIndexStream) could never find a replaced document's
+        // old rows
         graft.search.HnswMaintenance.writeIndex(
-          e, s"$tablesDir/embeddings_hnsw", shards)
+          e, s"$tablesDir/embeddings_hnsw", shards,
+          docCol = Some("document_id"))
         val n = spark.read.parquet(s"$tablesDir/embeddings_hnsw").count()
         println(s"[hnsw-index] shards=$shards nodes=$n")
 
@@ -352,6 +353,16 @@ object Cli {
                   graft.search.Ivf.buildIndex(df, q), cb))
             }
         }
+      }
+      // the HNSW index has its own maintenance path (document cascade
+      // over the graph shards) — a stale graph would silently serve the
+      // replaced documents' old fragments
+      val hnswPath = s"$tablesDir/embeddings_hnsw"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(hnswPath))) {
+        val st = graft.search.HnswMaintenance.updateIndexByDoc(
+          spark, hnswPath, r.embeddings.toDF())
+        println(s"[reingest] embeddings_hnsw: ${st.extendedShards.size} " +
+          s"shards extended, ${st.rebuiltShards.size} rebuilt")
       }
     }
     ReingestJournal.clear(tablesDir)

@@ -131,12 +131,20 @@ object GoldenEval {
             coalesce(col("parent_content"), lit("")).contains(t)))
       .withColumn("hit", col("hit_parent") || col("hit_contains"))
 
-    hits.groupBy(col("query_id"))
+    val agg = hits.groupBy(col("query_id"))
       .agg(
         max(col("hit")).as("matched"),
         min(when(col("hit"), col("rank"))).as("best_rank"),
-        max(col("similarity")).as("top_similarity"),
-        first(col("token_jaccard")).as("token_jaccard"))
+        max(col("similarity")).as("top_similarity"))
+    // left-join from the query list: a query with ZERO search hits must
+    // still report matched=false — dropping it would make the most
+    // reportable failure (nothing retrieved at all) invisible to any
+    // consumer that doesn't re-count rows
+    expect.select(col("query_id"), col("token_jaccard"))
+      .join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("matched"), lit(false)).as("matched"),
+        col("best_rank"), col("top_similarity"), col("token_jaccard"))
       .orderBy(col("query_id"))
   }
 }

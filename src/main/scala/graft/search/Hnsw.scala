@@ -297,8 +297,14 @@ object Hnsw {
       var lev = maxLevel
       while (lev > 0) { ep = greedy(q, ep, lev); lev -= 1 }
       val w = searchLayer(q, Seq(ep), math.max(ef, k), 0)
-      w.take(k).map { case (d, node) => (ids(node), -d) }
-        .sortBy { case (id, sim) => (-sim, id) }
+      // final selection ties on ID, not node index: after an in-place
+      // extension ([[HnswMaintenance]]) insertion order no longer equals
+      // id order, and a node-index tie at the k boundary would diverge
+      // from the exact scan's id tie-break — the witness contract
+      w.map { case (d, node) => (d, ids(node)) }
+        .sortInPlace()
+        .take(k)
+        .map { case (d, id) => (id, -d) }
         .toArray
     }
   }

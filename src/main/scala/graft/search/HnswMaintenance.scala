@@ -55,8 +55,10 @@ object HnswMaintenance {
       rebuiltShards: Seq[Int],
       incomingRows: Long)
 
-  private def stagingOf(p: String) = s"$p.update-staging"
-  private def manifestOf(p: String) = s"$p.update-manifest"
+  // the multi-partition stage/manifest/swap/recover protocol lives in
+  // [[graft.ingest.PartitionedSwap]] (shared with IndexMaintenance)
+  private val PartCol = "shard_id"
+  private def stagingOf(p: String) = graft.ingest.PartitionedSwap.stagingOf(p)
   private def metaOf(p: String) = s"$p/_hnsw_meta.txt" // leading _ : ignored by Spark file index
 
   /** [[Hnsw.saveIndex]] plus the geometry sidecar — the entry point a
@@ -184,17 +186,10 @@ object HnswMaintenance {
 
       // materialize every affected staged dir (a pure deletion can empty
       // a shard), THEN declare the update via the manifest
-      affected.foreach { s =>
-        val d = Paths.get(staging, s"shard_id=$s")
-        if (!Files.exists(d)) Files.createDirectories(d)
-      }
-      Files.write(Paths.get(manifestOf(indexPath)),
-        affected.mkString("\n").getBytes(StandardCharsets.UTF_8))
-
-      swapAll(indexPath, affected)
-
-      Files.deleteIfExists(Paths.get(manifestOf(indexPath)))
-      TableSwap.rmTreeAt(staging)
+      graft.ingest.PartitionedSwap.ensureStagedDirs(indexPath, PartCol, affected)
+      graft.ingest.PartitionedSwap.writeManifest(indexPath, affected)
+      graft.ingest.PartitionedSwap.swapAll(indexPath, PartCol, affected)
+      graft.ingest.PartitionedSwap.clearAfterSuccess(indexPath)
       UpdateStats(affected, affected.diff(rebuiltShards), rebuiltShards,
         deltaIds.length.toLong)
     } finally { rebuilt.unpersist(); () }
@@ -228,68 +223,13 @@ object HnswMaintenance {
       vectorCol = vectorCol, idCol = idCol, docCol = Some(docCol))
   }
 
-  private def swapAll(indexPath: String, shards: Seq[Int]): Unit = {
-    val staging = stagingOf(indexPath)
-    shards.foreach { s =>
-      val stagedDir = Paths.get(staging, s"shard_id=$s")
-      if (Files.exists(stagedDir)) {
-        val liveDir = Paths.get(s"$indexPath/shard_id=$s")
-        if (!Files.exists(liveDir)) Files.createDirectories(liveDir)
-        TableSwap.swap(s"$indexPath/shard_id=$s") { partStaging =>
-          Files.move(stagedDir, Paths.get(partStaging))
-        }
-      }
-    }
-  }
-
-  /** Heal a crash mid-[[updateIndex]] — [[IndexMaintenance.recover]]'s
-    * protocol with `shard_id` partitions: with a manifest present the
-    * staged write is known complete, so every listed shard rolls FORWARD
-    * to its new contents (including the live+staging window inside an
-    * individual [[TableSwap.swap]], which generic recovery would roll
-    * back); without one, per-shard swap leftovers heal and stale staging
-    * drops. Idempotent; called at the start of every update.
+  /** Heal a crash mid-[[updateIndex]] — the shared
+    * [[graft.ingest.PartitionedSwap]] protocol on `shard_id` partitions
+    * (manifest roll-forward, including the live+staging window inside an
+    * individual swap). Idempotent; called at the start of every update.
     */
   def recover(indexPath: String): Unit = {
-    val root = Paths.get(indexPath)
-    if (!Files.exists(root)) return
-    val manifest = Paths.get(manifestOf(indexPath))
-    if (Files.exists(manifest)) {
-      val shards = new String(Files.readAllBytes(manifest),
-        StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).map(_.toInt)
-      shards.foreach { sId =>
-        val part = s"$indexPath/shard_id=$sId"
-        val (live, stg, old) =
-          (Paths.get(part), Paths.get(s"$part.staging"), Paths.get(s"$part.old"))
-        if (Files.exists(live) && Files.exists(stg) && !Files.exists(old)) {
-          // crashed between stage-move and live-aside: staged data is
-          // complete under a manifest — finish this swap, don't drop it
-          Files.move(live, old)
-          Files.move(stg, live)
-          TableSwap.rmTreeAt(old.toString)
-        } else {
-          TableSwap.recoverSwap(part)
-          ()
-        }
-      }
-      if (Files.isDirectory(Paths.get(stagingOf(indexPath))))
-        swapAll(indexPath, shards.toIndexedSeq)
-      Files.deleteIfExists(manifest)
-      TableSwap.rmTreeAt(stagingOf(indexPath))
-    } else {
-      val s = Files.list(root)
-      val leftovers = try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n.startsWith("shard_id=") &&
-            (n.endsWith(".staging") || n.endsWith(".old")))
-          .map(_.stripSuffix(".staging").stripSuffix(".old"))
-          .toSeq.distinct.sorted
-      } finally s.close()
-      leftovers.foreach(base =>
-        TableSwap.recoverSwap(s"$indexPath/$base")
-          .foreach(a => System.err.println(s"[hnsw-recover] $base: $a")))
-      TableSwap.rmTreeAt(stagingOf(indexPath))
-    }
+    graft.ingest.PartitionedSwap.recover(indexPath, PartCol)
+      .foreach(a => System.err.println(s"[hnsw-recover] $a"))
   }
 }

@@ -1,8 +1,5 @@
 package graft.search
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col}
 
@@ -53,20 +50,12 @@ object IndexMaintenance {
       rewrittenRows: Long,
       incomingRows: Long)
 
-  private def stagingOf(indexPath: String) = s"$indexPath.update-staging"
-  private def manifestOf(indexPath: String) = s"$indexPath.update-manifest"
-
-  /** Directory child names, closing the stream (Files.list leaks an fd
-    * per call otherwise).
-    */
-  private def childNames(dir: Path): Seq[String] = {
-    if (!Files.isDirectory(dir)) return Nil
-    val s = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString).toSeq
-    } finally s.close()
-  }
+  // the multi-partition stage/manifest/swap/recover protocol lives in
+  // [[graft.ingest.PartitionedSwap]] (shared with HnswMaintenance —
+  // crash-safety code must not fork per index family)
+  private val PartCol = "list_id"
+  private def stagingOf(indexPath: String) =
+    graft.ingest.PartitionedSwap.stagingOf(indexPath)
 
   /** Update a list-partitioned index in place for a replaced/added document
     * batch. `incoming` holds the batch's NEW embedding rows (same schema
@@ -156,92 +145,19 @@ object IndexMaintenance {
       // its only doc replaced away — and swaps in as an empty partition),
       // THEN declare the update via the manifest: from here recovery
       // rolls the whole list set forward, never backward
-      affected.foreach { list =>
-        val stagedDir = Paths.get(staging, s"list_id=$list")
-        if (!Files.exists(stagedDir)) Files.createDirectories(stagedDir)
-      }
-      Files.write(Paths.get(manifestOf(indexPath)),
-        affected.mkString("\n").getBytes(StandardCharsets.UTF_8))
-
-      swapAll(indexPath, affected)
-
-      Files.deleteIfExists(Paths.get(manifestOf(indexPath)))
-      TableSwap.rmTreeAt(staging)
+      graft.ingest.PartitionedSwap.ensureStagedDirs(indexPath, PartCol, affected)
+      graft.ingest.PartitionedSwap.writeManifest(indexPath, affected)
+      graft.ingest.PartitionedSwap.swapAll(indexPath, PartCol, affected)
+      graft.ingest.PartitionedSwap.clearAfterSuccess(indexPath)
       UpdateStats(affected, nRewritten, encoded.count())
     } finally { encoded.unpersist(); () }
   }
 
-  /** Swap every listed partition whose staged directory is still present
-    * (one already consumed means that list's swap completed earlier —
-    * the crash-resume path skips it).
+  /** Heal a crash mid-[[updateIndex]] — the shared
+    * [[graft.ingest.PartitionedSwap]] protocol on `list_id` partitions.
+    * Called automatically at the start of every update; index readers
+    * should call it after an unclean shutdown.
     */
-  private def swapAll(indexPath: String, lists: Seq[Int]): Unit = {
-    val staging = stagingOf(indexPath)
-    lists.foreach { list =>
-      val stagedDir = Paths.get(staging, s"list_id=$list")
-      if (Files.exists(stagedDir)) {
-        val liveDir = Paths.get(s"$indexPath/list_id=$list")
-        if (!Files.exists(liveDir)) Files.createDirectories(liveDir)
-        TableSwap.swap(s"$indexPath/list_id=$list") { partStaging =>
-          Files.move(stagedDir, Paths.get(partStaging))
-        }
-      }
-    }
-  }
-
-  /** Heal a crash mid-[[updateIndex]]. With a manifest present the staged
-    * parquet write is known complete (the manifest is written after it),
-    * so the interrupted update rolls FORWARD: each listed partition is
-    * brought to its new contents whether the crash hit before, during, or
-    * after that list's individual swap. Without a manifest, only the
-    * per-partition TableSwap leftovers of non-manifest operations are
-    * healed (roll-back semantics) and stale staging is dropped. Called
-    * automatically at the start of every update; index readers should
-    * call it after an unclean shutdown.
-    */
-  def recover(indexPath: String): Seq[String] = {
-    val root = Paths.get(indexPath)
-    if (!Files.exists(root)) return Nil
-    val manifest = Paths.get(manifestOf(indexPath))
-    val staging = stagingOf(indexPath)
-
-    val forward: Seq[String] = if (Files.exists(manifest)) {
-      import scala.jdk.CollectionConverters._
-      val lists = Files.readAllLines(manifest).asScala.toSeq
-        .filter(_.nonEmpty).map(_.toInt)
-      // a list crashed between "staged dir moved to <part>.staging" and
-      // "live moved aside" shows live + .staging together — TableSwap's
-      // generic recovery would DROP that staging as stale, but under a
-      // manifest the staged data is complete: finish its swap instead
-      lists.foreach { list =>
-        val part = s"$indexPath/list_id=$list"
-        val (live, stg, old) =
-          (Paths.get(part), Paths.get(s"$part.staging"), Paths.get(s"$part.old"))
-        if (Files.exists(live) && Files.exists(stg) && !Files.exists(old)) {
-          Files.move(live, old)
-          Files.move(stg, live)
-          TableSwap.rmTreeAt(old.toString)
-        } else {
-          TableSwap.recoverSwap(part)
-          ()
-        }
-      }
-      // swaps not yet begun still have their staged dirs — finish them
-      if (Files.isDirectory(Paths.get(staging))) swapAll(indexPath, lists)
-      Files.deleteIfExists(manifest)
-      Seq(s"rolled forward interrupted ${lists.size}-list update")
-    } else Nil
-
-    // leftovers outside any manifest (historic single-partition swaps)
-    val healed = childNames(root)
-      .filter(n => n.startsWith("list_id=") &&
-        (n.endsWith(".staging") || n.endsWith(".old")))
-      .map(n => n.stripSuffix(".staging").stripSuffix(".old"))
-      .distinct.sorted
-      .flatMap { base =>
-        TableSwap.recoverSwap(s"$indexPath/$base").map(a => s"$base: $a")
-      }
-    TableSwap.rmTreeAt(staging)
-    forward ++ healed
-  }
+  def recover(indexPath: String): Seq[String] =
+    graft.ingest.PartitionedSwap.recover(indexPath, PartCol)
 }

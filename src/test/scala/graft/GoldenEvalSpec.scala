@@ -95,6 +95,18 @@ class GoldenEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "moderate-beam HNSW eval dropped below full pass")
   }
 
+  test("a query with zero search hits reports matched=false instead of vanishing") {
+    val s = spark
+    import s.implicits._
+    val corpus = GoldenEval.adversarialCorpus(emb, 5)
+    val emptySearcher: GoldenEval.Searcher = (e, q, k) =>
+      GoldenEval.exactSearcher(e, q, k).limit(0)
+    val res = GoldenEval.evaluate(emb, parents, corpus, embedder,
+      searcher = emptySearcher).collect()
+    assert(res.length == 5, "every golden query must produce a verdict row")
+    assert(res.forall(!_.getAs[Boolean]("matched")))
+  }
+
   test("identity queries (sanity ceiling) pass 45/45") {
     val s = spark
     import s.implicits._

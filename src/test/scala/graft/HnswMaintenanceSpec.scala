@@ -176,6 +176,31 @@ class HnswMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertWitness(path, subset :+ ((newcomer, vec)))
   }
 
+  test("a k-boundary tie breaks on id, not insertion order, after extension") {
+    // base holds vector X under a HIGH id; the delta later inserts the
+    // SAME vector under a LOW id. Node order (insertion) and id order now
+    // disagree for the tied pair; the exact scan tie-breaks on id, so the
+    // graph search must return the delta's low id first.
+    val s = spark
+    import s.implicits._
+    val x = norm(Array.tabulate(12)(j => if (j == 0) 1f else 0.1f))
+    val baseRows = (0 until 20).map(i =>
+      (f"b$i%04d", norm(Array.tabulate(12)(j => ((i * 7 + j) % 5).toFloat + 0.1f)))) :+
+      (("z9999", x))
+    val path = s"$dir/tiebreak"
+    HnswMaintenance.writeIndex(baseRows.toDF("fragment_id", "vector"), path,
+      numShards = 1, m = 8, efConstruction = 48)
+    HnswMaintenance.updateIndex(spark, path,
+      Seq(("a0000", x)).toDF("fragment_id", "vector"))
+    val n = baseRows.size + 1
+    val hits = Hnsw.searchIndex(spark.read.parquet(path),
+        Seq(("q", x)), topK = 2, ef = n)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .select("fragment_id").collect().map(_.getString(0)).toSeq
+    assert(hits == Seq("a0000", "z9999"),
+      s"tied pair must order by id (exact-scan contract), got $hits")
+  }
+
   test("identical update sequences produce identical indexes (determinism)") {
     val a = freshIndex("det_a")
     val b = freshIndex("det_b")
