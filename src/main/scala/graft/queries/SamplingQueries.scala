@@ -200,15 +200,57 @@ object SamplingQueries {
        |FROM bins GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // G5 — UniMax language balancing (public recipe: cap every language at
+  // a fixed document budget; under-budget languages keep everything,
+  // over-budget ones are thinned to ~B docs). The thinning decision is
+  // `md5-hash(doc) mod n_lang < B` — a pure INTEGER test, so (a) it is a
+  // deterministic function of the row plus one per-language count, never
+  // of partitioning or float rounding, and (b) each doc keeps with
+  // probability exactly B/n_lang (the hash residue is uniform on
+  // [0, n_lang)). Uses a salted hash so membership is independent of the
+  // g1 split assignment. Shape: one shuffle on lang for the count window;
+  // the following lang agg reuses the same partitioning (no second
+  // exchange). At 100 TB the language census is a dictionary-sized
+  // broadcast instead of a window — same decision rule either way.
+  private val UnimaxBudget = 60L
+
+  private val g5Unimax: Q = (s, dir) => {
+    val perLang = Window.partitionBy(col("lang"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("__n", count(lit(1)).over(perLang))
+      .withColumn("__keep",
+        pmod(hash60(concat(lit("unimax:"), col("doc_id").cast("string"))),
+          col("__n")) < lit(UnimaxBudget))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(when(col("__keep"), col("n_chars")).otherwise(lit(0L)))
+          .as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val g5Sql =
+    s"""SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM (SELECT lang, n_chars,
+       |  (CAST('0x' || substr(md5('unimax:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |     % COUNT(*) OVER (PARTITION BY lang)) < $UnimaxBudget AS keep
+       |  FROM documents)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "g1_hash_split" -> g1HashSplit,
     "g2_stratified_sample" -> g2StratifiedSample,
     "g3_corpus_mix" -> g3CorpusMix,
-    "g4_sequence_packing" -> g4SequencePacking)
+    "g4_sequence_packing" -> g4SequencePacking,
+    "g5_unimax_sample" -> g5Unimax)
 
   def oracles: Map[String, String] = Map(
     "g1_hash_split" -> g1Sql,
     "g2_stratified_sample" -> g2Sql,
     "g3_corpus_mix" -> g3Sql,
-    "g4_sequence_packing" -> g4Sql)
+    "g4_sequence_packing" -> g4Sql,
+    "g5_unimax_sample" -> g5Sql)
 }

@@ -623,7 +623,48 @@ object TextAnalysisQueries {
       .orderBy(col("rank"))
   }
 
+  // X16 — rare-token (out-of-vocabulary) fraction per document: the
+  // C4/Gopher-family quality rule "flag documents dominated by words the
+  // rest of the corpus never uses" with the dictionary DERIVED from the
+  // corpus itself — a token is rare when its corpus frequency is below
+  // 0.1% of all tokens (`tf * 1000 < total`, exact integer compare; no
+  // static word list to drift). Shape: one token census (shuffle on
+  // token, partial-agg'd map-side), the rare set joined back by
+  // broadcast — the census is vocabulary-bounded (~10⁸ rows at 100 TB,
+  // and the RARE subset broadcast here is smaller still), never
+  // corpus-bounded — then one per-doc agg. The ratio divides two exact
+  // longs, so doubles match the oracle bit-for-bit.
+  private val x16RareTokens: Q = (s, dir) => {
+    val toks = wordsStage(s, dir)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val rare = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(total))
+      .filter(col("tf") * lit(1000L) < col("__total"))
+      .select(col("tok"), lit(1L).as("__rare"))
+    toks.join(broadcast(rare), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__rare"), lit(0L))).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x16Sql = {
+    val w = duck.wordsExpr
+    s"""WITH toks AS (SELECT doc_id, unnest($w) AS tok FROM documents),
+       |census AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+       |tot AS (SELECT count(*) AS n FROM toks)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN c.tf * 1000 < (SELECT n FROM tot) THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       |  CAST(SUM(CASE WHEN c.tf * 1000 < (SELECT n FROM tot) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_ratio
+       |FROM toks t JOIN census c USING (tok)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "x16_rare_tokens" -> x16RareTokens,
     "x15_bpe_merges" -> x15Bpe,
     "x14_approx_topk" -> x14ApproxTopk,
     "x13_tfidf_terms" -> x13TfidfTerms,
@@ -639,6 +680,7 @@ object TextAnalysisQueries {
     "x6_trigram_lang" -> x6TrigramLang)
 
   val oracles: Map[String, String] = Map(
+    "x16_rare_tokens" -> x16Sql,
     "x13_tfidf_terms" -> x13Sql,
     "x10_decontaminate" -> x10Sql,
     "x8_repetition" -> x8Sql,

@@ -177,15 +177,93 @@ object VectorQueries {
        |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.3
        |ORDER BY label, id_a, id_b""".stripMargin
 
+  // V11 — SemDeDup (semantic dedup, public recipe: cluster embeddings,
+  // then drop within-cluster near-duplicates by cosine). Clustering here
+  // is one nearest-seed assignment pass over K fixed seed vectors (the
+  // first K ids — deterministic; at 100 TB the seeds are k-means||
+  // centroids computed from a bounded sample, same shape as the IVF
+  // trainer in [[graft.search.Ivf]]). The argmax is a map-side partial
+  // `min(struct(-sim, seed))` — one row per vector reaches the shuffle,
+  // not one per (vector, seed). The prune rule "discard v when a
+  // lower-id cluster-mate has cosine > τ" makes the KEPT set pairwise
+  // ≤ τ within every cluster (witness a<b kept with sim>τ would have
+  // discarded b) without any iterative sweep. The pair join is keyed on
+  // cluster_id, so the quadratic term is bounded per cluster — at scale
+  // K grows with N to hold cluster size constant (SemDeDup's own
+  // setting), which this plan inherits for free. Output: per-cluster
+  // member/discard census, exact longs.
+  private val SemSeeds = 8
+  private val SemTau = 0.3
+
+  private val v11SemDedup: Q = (s, dir) => {
+    // The assignment feeds three consumers (member census + both pair-join
+    // sides) — cache it once instead of re-scoring N×K cosines per
+    // consumer. At scale this is the persisted cluster-assignment table
+    // every SemDeDup run materializes anyway.
+    val assigned = StageCache.getOrCache(s, s"semdedup_assign:$dir") {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val seeds = e.filter(col("vec_id") < SemSeeds)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      e.crossJoin(broadcast(seeds))
+        .withColumn("__nsim",
+          cosine(col("embedding"), col("seed_vec")) * lit(-1.0d))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("__nsim"), col("seed_id"), col("embedding")))
+          .as("__m"))
+        .select(col("__m.seed_id").as("cluster_id"), col("vec_id"),
+          col("__m.embedding").as("embedding"))
+    }
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val discarded = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("emb_a"), col("emb_b")) > SemTau)
+      .select(col("cluster_id"), col("id_b")).distinct()
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_discarded"))
+    assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      .join(discarded, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_discarded"), lit(0L)).as("n_discarded"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val v11Sql =
+    s"""WITH assign AS (
+       |  SELECT vec_id, embedding, cluster_id FROM (
+       |    SELECT e.vec_id, e.embedding, s.seed_id AS cluster_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCosine("e.embedding", "s.sv")} DESC, s.seed_id) AS rn
+       |    FROM embeddings e,
+       |      (SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+       |       WHERE vec_id < $SemSeeds) s) WHERE rn = 1),
+       |disc AS (
+       |  SELECT a.cluster_id AS cluster_id, b.vec_id AS id_b
+       |  FROM assign a JOIN assign b
+       |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  WHERE ${duckCosine("a.embedding", "b.embedding")} > $SemTau
+       |  GROUP BY 1, 2)
+       |SELECT m.cluster_id, m.n_members,
+       |  CAST(COALESCE(dd.n, 0) AS BIGINT) AS n_discarded
+       |FROM (SELECT cluster_id, count(*) AS n_members FROM assign
+       |      GROUP BY 1) m
+       |LEFT JOIN (SELECT cluster_id, count(*) AS n FROM disc GROUP BY 1) dd
+       |  USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "v1_knn_exact" -> v1Knn,
     "v2_knn_batch" -> v2BatchKnn,
     "v3_lsh_buckets" -> v3LshBuckets,
-    "v4_embed_neardup" -> v4NearDup)
+    "v4_embed_neardup" -> v4NearDup,
+    "v11_semdedup" -> v11SemDedup)
 
   val oracles: Map[String, String] = Map(
     "v1_knn_exact" -> v1Sql,
     "v2_knn_batch" -> v2Sql,
     "v3_lsh_buckets" -> v3Sql,
-    "v4_embed_neardup" -> v4Sql)
+    "v4_embed_neardup" -> v4Sql,
+    "v11_semdedup" -> v11Sql)
 }

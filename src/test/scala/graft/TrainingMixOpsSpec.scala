@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent single-node oracles for the round's training-mix operators:
+  * v11 SemDeDup (nearest-seed clustering + within-cluster cosine prune),
+  * g5 UniMax language balancing, x16 rare-token fraction. Each test
+  * recomputes the operator from first principles on collected sf0.001 rows
+  * and asserts set-equality with the catalog query — a second oracle on top
+  * of the driver's DuckDB hash gate, plus the structural invariants the
+  * census output alone cannot show (kept-set pairwise bound, repartition
+  * invariance).
+  */
+class TrainingMixOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Same operation order as [[graft.search.VectorSearch.cosine]]: per-term
+    * float→double multiply, strict left-to-right accumulation, zero-norm
+    * guard — so argmax/threshold decisions agree bit-for-bit.
+    */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("v11 census matches a from-scratch SemDeDup; kept set is pairwise <= tau") {
+    val tau = 0.3
+    val rows = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val seeds = rows.filter(_._1 < 8)
+    def assign(v: Array[Float]): Long =
+      seeds.map { case (sid, sv) => (-cos(v, sv), sid) }.min._2
+    val byCluster = rows.groupBy { case (_, v) => assign(v) }
+    val discarded = scala.collection.mutable.Set[Long]()
+    for {
+      (_, members) <- byCluster
+      pair <- members.sortBy(_._1).combinations(2)
+    } if (cos(pair(0)._2, pair(1)._2) > tau) discarded += pair(1)._1
+    // the prune rule's guarantee: survivors are pairwise <= tau
+    for ((_, members) <- byCluster) {
+      val kept = members.filterNot(m => discarded(m._1))
+      for (pair <- kept.combinations(2))
+        assert(cos(pair(0)._2, pair(1)._2) <= tau,
+          s"kept pair ${pair(0)._1},${pair(1)._1} above tau")
+    }
+    val expected = byCluster.map { case (c, ms) =>
+      (c, ms.length.toLong, ms.count(m => discarded(m._1)).toLong)
+    }.toSet
+    val got = SparkEntry.queries("v11_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.map(_._2).sum == rows.length)
+  }
+
+  test("g5 caps over-budget languages, keeps the rest whole, and is partitioning-invariant") {
+    def run(): Set[(String, Long, Long, Long)] =
+      SparkEntry.queries("g5_unimax_sample")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val out = run()
+    assert(out.nonEmpty)
+    out.foreach { case (lang, n, k, chars) =>
+      assert(k <= n, s"$lang kept more than it has")
+      assert(chars >= 0L)
+      if (n <= 60) assert(k == n, s"under-budget $lang was thinned")
+      // hash-thinning keeps ~B docs; allow generous Bernoulli slack
+      else assert(k >= 30 && k <= 90, s"$lang kept $k of $n, budget 60")
+    }
+    // the keep decision is a pure function of the row: a different shuffle
+    // layout must reproduce the census exactly
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      assert(run() == out)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("x16 rare-token census matches brute force") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("[ \t\n\f\r]+").toSeq
+    }
+    val total = toks.map(_._2.length.toLong).sum
+    val tf = toks.flatMap(_._2).groupBy(identity)
+      .map { case (w, occ) => w -> occ.length.toLong }
+    val expected = toks.map { case (id, ws) =>
+      val rare = ws.count(w => tf(w) * 1000L < total)
+      (id, ws.length.toLong, rare.toLong, rare.toDouble / ws.length)
+    }.toSet
+    val got = SparkEntry.queries("x16_rare_tokens")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+  }
+}
