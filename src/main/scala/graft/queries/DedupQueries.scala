@@ -368,7 +368,115 @@ object DedupQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // D10 — incremental dedup: a NEW shard (the ~10% hash slice arriving
+  // docs land in) deduplicated against the HISTORICAL corpus (the other
+  // 90%) — the production pattern for a continuously growing corpus,
+  // where re-running whole-corpus dedup per arrival is off the table. Two
+  // passes, both equi-joins:
+  //  1. exact — the new shard's content digests semi-joined against the
+  //     history digest set (shuffle carries 128-bit digests, not text; at
+  //     100 TB the history digest set is a bloom filter pushed into the
+  //     scan, with the semi-join confirming survivors);
+  //  2. near — the d3 band join restricted to new×history (new-shard
+  //     bands never pair with each other — within-shard dedup is d3/d7's
+  //     job), positional signature agreement ≥ k/2 confirming. The
+  //     band/sig stage is the SAME cached sketch d2/d3 use: an arriving
+  //     shard computes sketches once at write time, history bands are
+  //     already materialized.
+  // Output: per-language census of the new shard (exact ints).
+  private val d10Incremental: Q = (s, dir) => {
+    val isNew = pmod(TextSketch.hexInt(col("doc_id").cast("string")),
+      lit(100L)) >= 90
+    val base = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("digest"),
+        isNew.as("is_new"))
+    val withSig = base.join(sigStage(s, dir), Seq("doc_id"))
+    val bands = withSig.select(col("doc_id"), col("is_new"), col("sig"),
+        explode(array((0 until MinhashK / BandRows).map { b =>
+          struct(lit(b).as("band"),
+            TextSketch.bandHash(col("sig"), b * BandRows, (b + 1) * BandRows)
+              .as("band_hash"))
+        }: _*)).as("bh"))
+      .select(col("doc_id"), col("is_new"), col("sig"),
+        col("bh.band"), col("bh.band_hash"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("__bsz") <= BandSizeCap).drop("__bsz")
+    val exactIds = withSig.filter(col("is_new"))
+      .select(col("doc_id"), col("digest"))
+      .join(withSig.filter(!col("is_new")).select(col("digest")).distinct(),
+        Seq("digest"), "left_semi")
+      .select(col("doc_id"))
+    val nearIds = bands.filter(col("is_new"))
+      .select(col("band"), col("band_hash"), col("doc_id"),
+        col("sig").as("sig_n"))
+      .join(bands.filter(!col("is_new"))
+        .select(col("band"), col("band_hash"), col("sig").as("sig_h")),
+        Seq("band", "band_hash"))
+      .filter(aggregate(
+        zip_with(col("sig_n"), col("sig_h"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, m) => acc + m) >= lit(MinhashK / 2))
+      .select(col("doc_id")).distinct()
+    base.filter(col("is_new")).select(col("doc_id"), col("lang"))
+      .join(exactIds.withColumn("__e", lit(1)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("__nr", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(coalesce(col("__e"), lit(0))).cast("long").as("n_exact_dup"),
+        sum(coalesce(col("__nr"), lit(0))).cast("long").as("n_near_dup"),
+        sum(when(col("__e").isNull && col("__nr").isNull, 1L).otherwise(0L))
+          .as("n_clean"))
+      .orderBy(col("lang"))
+  }
+
+  private val d10Sql: String = {
+    val sh = duck.shingles(duck.words("text"), ShingleN)
+    val sigCols = (0 until MinhashK)
+      .map(i => s"${duck.kmComponent("ha", "hb", i)} AS s$i").mkString(", ")
+    val bandStructs = (0 until MinhashK / BandRows).map { bd =>
+      val parts = (bd * BandRows until (bd + 1) * BandRows)
+        .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
+      s"{'band': $bd, 'band_hash': md5($parts)}"
+    }.mkString(", ")
+    s"""WITH hashes AS (
+       |  SELECT doc_id, lang, md5(text) AS digest,
+       |    ${duck.kmA(sh)} AS ha, ${duck.kmB(sh)} AS hb
+       |  FROM documents),
+       |split AS (
+       |  SELECT doc_id, lang, digest, $sigCols,
+       |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |       % 100) >= 90 AS is_new
+       |  FROM hashes),
+       |bands AS (
+       |  SELECT doc_id, is_new,
+       |    [${(0 until MinhashK).map(i => s"s$i").mkString(",")}] AS sig,
+       |    u.b['band'] AS band, u.b['band_hash'] AS band_hash
+       |  FROM split, UNNEST([$bandStructs]) u(b)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY u.b['band'], u.b['band_hash']) <= $BandSizeCap),
+       |exact_ids AS (
+       |  SELECT DISTINCT n.doc_id FROM split n JOIN split h
+       |    ON n.is_new AND NOT h.is_new AND n.digest = h.digest),
+       |near_ids AS (
+       |  SELECT DISTINCT n.doc_id FROM bands n JOIN bands h
+       |    ON n.is_new AND NOT h.is_new
+       |      AND n.band = h.band AND n.band_hash = h.band_hash
+       |  WHERE list_reduce(list_prepend(0, list_transform(range(1, ${MinhashK + 1}),
+       |      i -> CASE WHEN n.sig[i] = h.sig[i] THEN 1 ELSE 0 END)),
+       |      (acc, m) -> acc + m) >= ${MinhashK / 2})
+       |SELECT lang, COUNT(*) AS n_new,
+       |  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       |  CAST(SUM(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       |  CAST(SUM(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+       |FROM split s
+       |LEFT JOIN exact_ids e USING (doc_id)
+       |LEFT JOIN near_ids nr ON s.doc_id = nr.doc_id
+       |WHERE s.is_new GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d10_incremental_dedup" -> d10Incremental,
     "d9_crossdoc_grams" -> d9CrossdocGrams,
     "d1_exact_dedup" -> d1Exact,
     "d2_minhash_sig" -> d2MinhashSig,
@@ -380,6 +488,7 @@ object DedupQueries {
     "d8_dedup_keep" -> d8DedupKeep)
 
   val oracles: Map[String, String] = Map(
+    "d10_incremental_dedup" -> d10Sql,
     "d9_crossdoc_grams" -> d9Sql,
     "d7_dup_clusters" -> d7Sql,
     "d8_dedup_keep" -> d8Sql,

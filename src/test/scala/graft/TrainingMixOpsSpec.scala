@@ -95,6 +95,41 @@ class TrainingMixOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("d10 flags exact cross-shard duplicates and never pairs new with new") {
+    val s = spark
+    import s.implicits._
+    // doc_id hash buckets (md5 % 100): 0,9,11,15,17 land in the >=90 "new"
+    // slice; 1..8 in history (verified against the same md5 recipe the
+    // query and oracle share).
+    val mk = (id: Long, text: String, lang: String) =>
+      (id, text, lang, s"src$id", text.length.toLong)
+    val docs = Seq(
+      mk(0L, "alpha beta gamma delta epsilon zeta eta theta", "a"), // new, = doc 1
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta", "a"), // history
+      mk(11L, "one two three four five six seven eight nine", "c"), // new, unique
+      mk(15L, "red orange yellow green blue indigo violet ultra", "d"), // new, = 17
+      mk(17L, "red orange yellow green blue indigo violet ultra", "d"), // new, = 15
+      mk(2L, "history only language e sits outside the new slice", "e"))
+    val dir = java.nio.file.Files.createTempDirectory("d10spec").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d10_incremental_dedup")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == Set(
+      // identical text across the shard boundary: exact AND near (same
+      // digest, same signature)
+      ("a", 1L, 1L, 1L, 0L),
+      // unique new doc: clean
+      ("c", 1L, 0L, 0L, 1L),
+      // two identical NEW docs with no history twin: both clean — the
+      // incremental pass must not dedup the shard against itself
+      ("d", 2L, 0L, 0L, 2L)))
+    // history-only language produced no census row
+    assert(!got.exists(_._1 == "e"))
+  }
+
   test("x16 rare-token census matches brute force") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1))
