@@ -65,6 +65,14 @@ class GoldenHashSpec extends AnyFunSuite with BeforeAndAfterAll {
       GoldenHashSpec.pinned.keySet)
   }
 
+  test("the no-oracle list tracks the live catalog") {
+    // a new catalog query must either ship a DuckDB oracle or land here
+    // with a reviewed golden hash — this pin makes forgetting impossible
+    val live = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(live == GoldenHashSpec.noOracleQueries.toSet,
+      s"unpinned no-oracle queries: ${live -- GoldenHashSpec.noOracleQueries.toSet}")
+  }
+
   GoldenHashSpec.noOracleQueries.foreach { name =>
     test(s"golden hash: $name") {
       val got = GoldenHash.of(SparkEntry.queries(name)(spark, dir))

@@ -68,6 +68,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected shard + merge exchanges only, got $exchanges:\n$p")
   }
 
+  test("training-mix ops: equi-joins only; bounded builds are the only nested loops") {
+    // d10: digest semi-join + new×history band join are pure equi-joins
+    val d10 = plan("d10_incremental_dedup")
+    assert(!d10.contains("CartesianProduct"))
+    assert(!d10.contains("BroadcastNestedLoopJoin"))
+    // v11: nothing quadratic survives to the plan — the pair join keys on
+    // cluster_id (the K-seed scoring cross-join is bounded and hides
+    // inside the cached assignment stage)
+    val v11 = plan("v11_semdedup")
+    assert(!v11.contains("CartesianProduct"))
+    // x16: the rare set joins back as a broadcast hash probe (the only
+    // nested loop is the 1-row corpus-total broadcast)
+    val x16 = plan("x16_rare_tokens")
+    assert(x16.contains("BroadcastHashJoin"))
+    assert(!x16.contains("CartesianProduct"))
+    // g5: the count window and the census agg share ONE lang exchange
+    val g5 = plan("g5_unimax_sample")
+    val ex = "Exchange hashpartitioning".r.findAllIn(g5).length
+    assert(ex == 1, s"g5 should shuffle once on lang, got $ex:\n$g5")
+  }
+
   test("j1: dimension joins broadcast, never sort-merge") {
     val p = plan("j1_star_join")
     assert(p.contains("BroadcastHashJoin"))
