@@ -88,6 +88,33 @@ object DedupQueries {
   // applies the identical QUALIFY.
   private val BandSizeCap = 100
 
+  /** Banded signature rows (doc_id, <extra>, sig, band, band_hash, __bsz)
+    * — the ONE band construction every banded consumer (d3, d7, d10)
+    * derives from, so band count/rows/hash format cannot drift between
+    * them or their oracles. `__bsz` is the bucket population, computed by
+    * a window on the same key the downstream join shuffles on (no extra
+    * exchange); callers decide the hot-band policy.
+    */
+  private def bandsWithSize(docs: DataFrame, extra: Seq[String]): DataFrame =
+    docs.select(Seq(col("doc_id"), col("sig")) ++ extra.map(col) :+
+        explode(array((0 until MinhashK / BandRows).map { b =>
+          struct(lit(b).as("band"),
+            TextSketch.bandHash(col("sig"), b * BandRows, (b + 1) * BandRows)
+              .as("band_hash"))
+        }: _*)).as("bh"): _*)
+      .select(Seq(col("doc_id"), col("sig")) ++ extra.map(col) ++
+        Seq(col("bh.band"), col("bh.band_hash")): _*)
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+
+  /** The matching DuckDB band structs over sig columns s0..s{k-1}. */
+  private val duckBandStructs: String = (0 until MinhashK / BandRows).map { bd =>
+    val parts = (bd * BandRows until (bd + 1) * BandRows)
+      .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
+    s"{'band': $bd, 'band_hash': md5($parts)}"
+  }.mkString(", ")
+
   // D3 — LSH candidate pairs: 4 bands of 2 signature rows; docs sharing any
   // band hash become candidates; estimated similarity = matching signature
   // fraction. The join key is the band hash — this is the scalable
@@ -98,18 +125,8 @@ object DedupQueries {
     // every band hash and both self-join sides (~30× recompute). At scale
     // the sketch is a write-time table column; cache() is its local stand-in.
     val docs = sigStage(s, dir)
-    val bands = docs.select(col("doc_id"), col("sig"),
-      explode(array((0 until MinhashK / BandRows).map { b =>
-        struct(lit(b).as("band"),
-          TextSketch.bandHash(col("sig"), b * BandRows, (b + 1) * BandRows)
-            .as("band_hash"))
-      }: _*)).as("bh"))
-      .select(col("doc_id"), col("sig"), col("bh.band"), col("bh.band_hash"))
-      // hot-band cap (window on the same key the join shuffles on — no
-      // extra exchange)
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
+    // hot-band cap: drop over-populated buckets from pair generation
+    val bands = bandsWithSize(docs, Nil)
       .filter(col("__bsz") <= BandSizeCap).drop("__bsz")
     val a = bands.select(col("band"), col("band_hash"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -133,11 +150,7 @@ object DedupQueries {
 
   /** DuckDB oracle for d3 built with a per-row band unnest. */
   private val d3OracleSql: String = {
-    val bandStructs = (0 until MinhashK / BandRows).map { bd =>
-      val parts = (bd * BandRows until (bd + 1) * BandRows)
-        .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
-      s"{'band': $bd, 'band_hash': md5($parts)}"
-    }.mkString(", ")
+    val bandStructs = duckBandStructs
     s"""WITH $duckSigCte,
        |bands AS (
        |  SELECT doc_id, [s0,s1,s2,s3,s4,s5,s6,s7] AS sig,
@@ -174,11 +187,7 @@ object DedupQueries {
   private val d7Sql = {
     // the same pair generation, then a recursive reachability closure;
     // cluster id = min node reachable from each member
-    val bandStructs = (0 until MinhashK / BandRows).map { bd =>
-      val parts = (bd * BandRows until (bd + 1) * BandRows)
-        .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
-      s"{'band': $bd, 'band_hash': md5($parts)}"
-    }.mkString(", ")
+    val bandStructs = duckBandStructs
     s"""WITH RECURSIVE $duckSigCte,
        |bands AS (
        |  SELECT doc_id, [s0,s1,s2,s3,s4,s5,s6,s7] AS sig,
@@ -385,41 +394,52 @@ object DedupQueries {
   //     already materialized.
   // Output: per-language census of the new shard (exact ints).
   private val d10Incremental: Q = (s, dir) => {
-    val isNew = pmod(TextSketch.hexInt(col("doc_id").cast("string")),
-      lit(100L)) >= 90
-    val base = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), col("lang"), md5(col("text")).as("digest"),
-        isNew.as("is_new"))
-    val withSig = base.join(sigStage(s, dir), Seq("doc_id"))
-    val bands = withSig.select(col("doc_id"), col("is_new"), col("sig"),
-        explode(array((0 until MinhashK / BandRows).map { b =>
-          struct(lit(b).as("band"),
-            TextSketch.bandHash(col("sig"), b * BandRows, (b + 1) * BandRows)
-              .as("band_hash"))
-        }: _*)).as("bh"))
-      .select(col("doc_id"), col("is_new"), col("sig"),
-        col("bh.band"), col("bh.band_hash"))
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .filter(col("__bsz") <= BandSizeCap).drop("__bsz")
+    // salted slice hash ("d10:" prefix) so the simulated arriving shard is
+    // independent of the g1 train/val/test assignment — same convention
+    // as g5's "unimax:" salt
+    val withSig = StageCache.getOrCache(s, s"d10_base:$dir") {
+      val isNew = pmod(TextSketch.hexInt(
+        concat(lit("d10:"), col("doc_id").cast("string"))), lit(100L)) >= 90
+      Tables.spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("digest"),
+          isNew.as("is_new"))
+        .join(sigStage(s, dir), Seq("doc_id"))
+    }
+    val bands = bandsWithSize(withSig, Seq("is_new"))
+    val cold = bands.filter(col("__bsz") <= BandSizeCap)
     val exactIds = withSig.filter(col("is_new"))
       .select(col("doc_id"), col("digest"))
       .join(withSig.filter(!col("is_new")).select(col("digest")).distinct(),
         Seq("digest"), "left_semi")
       .select(col("doc_id"))
-    val nearIds = bands.filter(col("is_new"))
+    val pairNearIds = cold.filter(col("is_new"))
       .select(col("band"), col("band_hash"), col("doc_id"),
         col("sig").as("sig_n"))
-      .join(bands.filter(!col("is_new"))
+      .join(cold.filter(!col("is_new"))
         .select(col("band"), col("band_hash"), col("sig").as("sig_h")),
         Seq("band", "band_hash"))
       .filter(aggregate(
         zip_with(col("sig_n"), col("sig_h"),
           (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, m) => acc + m) >= lit(MinhashK / 2))
-      .select(col("doc_id")).distinct()
-    base.filter(col("is_new")).select(col("doc_id"), col("lang"))
+      .select(col("doc_id"))
+    // A hot band (> cap members) is a boilerplate duplicate cluster. d3
+    // drops such buckets from PAIR generation (the pairs are the blow-up);
+    // here dropping would misreport the new doc as CLEAN — the exact
+    // opposite of the truth. A new doc sharing a hot bucket with at least
+    // one history doc is a near-duplicate of history by the cap's own
+    // rationale; record it directly, pair-free (still no quadratic term —
+    // one row per hot band member). Hot buckets with no history member
+    // stay out: within-shard dedup is d3/d7's job on the shard alone.
+    val hotNearIds = bands.filter(col("__bsz") > BandSizeCap)
+      .withColumn("__has_hist",
+        max(when(col("is_new"), 0).otherwise(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("is_new") && col("__has_hist") === 1)
+      .select(col("doc_id"))
+    val nearIds = pairNearIds.union(hotNearIds).distinct()
+    withSig.filter(col("is_new")).select(col("doc_id"), col("lang"))
       .join(exactIds.withColumn("__e", lit(1)), Seq("doc_id"), "left")
       .join(nearIds.withColumn("__nr", lit(1)), Seq("doc_id"), "left")
       .groupBy(col("lang"))
@@ -435,26 +455,21 @@ object DedupQueries {
     val sh = duck.shingles(duck.words("text"), ShingleN)
     val sigCols = (0 until MinhashK)
       .map(i => s"${duck.kmComponent("ha", "hb", i)} AS s$i").mkString(", ")
-    val bandStructs = (0 until MinhashK / BandRows).map { bd =>
-      val parts = (bd * BandRows until (bd + 1) * BandRows)
-        .map(i => s"CAST(s$i AS VARCHAR)").mkString(" || ',' || ")
-      s"{'band': $bd, 'band_hash': md5($parts)}"
-    }.mkString(", ")
     s"""WITH hashes AS (
        |  SELECT doc_id, lang, md5(text) AS digest,
        |    ${duck.kmA(sh)} AS ha, ${duck.kmB(sh)} AS hb
        |  FROM documents),
        |split AS (
        |  SELECT doc_id, lang, digest, $sigCols,
-       |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |    (CAST('0x' || substr(md5('d10:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
        |       % 100) >= 90 AS is_new
        |  FROM hashes),
        |bands AS (
        |  SELECT doc_id, is_new,
        |    [${(0 until MinhashK).map(i => s"s$i").mkString(",")}] AS sig,
-       |    u.b['band'] AS band, u.b['band_hash'] AS band_hash
-       |  FROM split, UNNEST([$bandStructs]) u(b)
-       |  QUALIFY COUNT(*) OVER (PARTITION BY u.b['band'], u.b['band_hash']) <= $BandSizeCap),
+       |    u.b['band'] AS band, u.b['band_hash'] AS band_hash,
+       |    COUNT(*) OVER (PARTITION BY u.b['band'], u.b['band_hash']) AS bsz
+       |  FROM split, UNNEST([$duckBandStructs]) u(b)),
        |exact_ids AS (
        |  SELECT DISTINCT n.doc_id FROM split n JOIN split h
        |    ON n.is_new AND NOT h.is_new AND n.digest = h.digest),
@@ -462,9 +477,16 @@ object DedupQueries {
        |  SELECT DISTINCT n.doc_id FROM bands n JOIN bands h
        |    ON n.is_new AND NOT h.is_new
        |      AND n.band = h.band AND n.band_hash = h.band_hash
-       |  WHERE list_reduce(list_prepend(0, list_transform(range(1, ${MinhashK + 1}),
+       |  WHERE n.bsz <= $BandSizeCap AND h.bsz <= $BandSizeCap
+       |    AND list_reduce(list_prepend(0, list_transform(range(1, ${MinhashK + 1}),
        |      i -> CASE WHEN n.sig[i] = h.sig[i] THEN 1 ELSE 0 END)),
-       |      (acc, m) -> acc + m) >= ${MinhashK / 2})
+       |      (acc, m) -> acc + m) >= ${MinhashK / 2}
+       |  UNION
+       |  SELECT DISTINCT n.doc_id FROM bands n
+       |  WHERE n.is_new AND n.bsz > $BandSizeCap
+       |    AND EXISTS (SELECT 1 FROM bands h
+       |      WHERE h.band = n.band AND h.band_hash = n.band_hash
+       |        AND NOT h.is_new))
        |SELECT lang, COUNT(*) AS n_new,
        |  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
        |  CAST(SUM(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,

@@ -629,23 +629,26 @@ object TextAnalysisQueries {
   // corpus itself — a token is rare when its corpus frequency is below
   // 0.1% of all tokens (`tf * 1000 < total`, exact integer compare; no
   // static word list to drift). Shape: one token census (shuffle on
-  // token, partial-agg'd map-side), the rare set joined back by
-  // broadcast — the census is vocabulary-bounded (~10⁸ rows at 100 TB,
-  // and the RARE subset broadcast here is smaller still), never
-  // corpus-bounded — then one per-doc agg. The ratio divides two exact
+  // token, partial-agg'd map-side), then the COMMON set joins back by
+  // broadcast and rare = not-matched. Broadcasting the common side is
+  // load-bearing at scale: under a Zipf distribution at most ~1000 tokens
+  // can each hold ≥0.1% of the corpus (hard bound: ≤1000 by definition),
+  // while the rare side is nearly the whole vocabulary (~10⁸ rows at
+  // 100 TB) — broadcasting rare would ship gigabytes per executor for the
+  // same answer. One per-doc agg finishes; the ratio divides two exact
   // longs, so doubles match the oracle bit-for-bit.
   private val x16RareTokens: Q = (s, dir) => {
     val toks = wordsStage(s, dir)
       .select(col("doc_id"), explode(col("w")).as("tok"))
     val total = toks.agg(count(lit(1)).as("__total"))
-    val rare = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val common = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       .crossJoin(broadcast(total))
-      .filter(col("tf") * lit(1000L) < col("__total"))
-      .select(col("tok"), lit(1L).as("__rare"))
-    toks.join(broadcast(rare), Seq("tok"), "left")
+      .filter(col("tf") * lit(1000L) >= col("__total"))
+      .select(col("tok"), lit(1L).as("__common"))
+    toks.join(broadcast(common), Seq("tok"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("__rare"), lit(0L))).as("n_rare"))
+        sum(when(col("__common").isNull, 1L).otherwise(0L)).as("n_rare"))
       .select(col("doc_id"), col("n_tokens"), col("n_rare"),
         (col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"))
       .orderBy(col("doc_id"))

@@ -69,8 +69,10 @@ class GoldenHashSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a new catalog query must either ship a DuckDB oracle or land here
     // with a reviewed golden hash — this pin makes forgetting impossible
     val live = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(live == GoldenHashSpec.noOracleQueries.toSet,
-      s"unpinned no-oracle queries: ${live -- GoldenHashSpec.noOracleQueries.toSet}")
+    val listed = GoldenHashSpec.noOracleQueries.toSet
+    assert(live == listed,
+      s"unpinned no-oracle queries: ${live -- listed}; " +
+        s"stale pins (gained an oracle or left the catalog): ${listed -- live}")
   }
 
   GoldenHashSpec.noOracleQueries.foreach { name =>

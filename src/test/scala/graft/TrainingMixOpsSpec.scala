@@ -98,36 +98,87 @@ class TrainingMixOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("d10 flags exact cross-shard duplicates and never pairs new with new") {
     val s = spark
     import s.implicits._
-    // doc_id hash buckets (md5 % 100): 0,9,11,15,17 land in the >=90 "new"
-    // slice; 1..8 in history (verified against the same md5 recipe the
-    // query and oracle share).
+    // salted doc_id hash buckets (md5("d10:"+id) % 100): 0,10,22,37 land
+    // in the >=90 "new" slice; 1..8 in history (verified against the same
+    // md5 recipe the query and oracle share).
     val mk = (id: Long, text: String, lang: String) =>
       (id, text, lang, s"src$id", text.length.toLong)
     val docs = Seq(
       mk(0L, "alpha beta gamma delta epsilon zeta eta theta", "a"), // new, = doc 1
       mk(1L, "alpha beta gamma delta epsilon zeta eta theta", "a"), // history
-      mk(11L, "one two three four five six seven eight nine", "c"), // new, unique
-      mk(15L, "red orange yellow green blue indigo violet ultra", "d"), // new, = 17
-      mk(17L, "red orange yellow green blue indigo violet ultra", "d"), // new, = 15
+      mk(10L, "one two three four five six seven eight nine", "c"), // new, unique
+      mk(22L, "red orange yellow green blue indigo violet ultra", "d"), // new, = 37
+      mk(37L, "red orange yellow green blue indigo violet ultra", "d"), // new, = 22
       mk(2L, "history only language e sits outside the new slice", "e"))
     val dir = java.nio.file.Files.createTempDirectory("d10spec").toString
-    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = SparkEntry.queries("d10_incremental_dedup")(spark, dir)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4))).toSet
-    assert(got == Set(
-      // identical text across the shard boundary: exact AND near (same
-      // digest, same signature)
-      ("a", 1L, 1L, 1L, 0L),
-      // unique new doc: clean
-      ("c", 1L, 0L, 0L, 1L),
-      // two identical NEW docs with no history twin: both clean — the
-      // incremental pass must not dedup the shard against itself
-      ("d", 2L, 0L, 0L, 2L)))
-    // history-only language produced no census row
-    assert(!got.exists(_._1 == "e"))
+    try {
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("d10_incremental_dedup")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got == Set(
+        // identical text across the shard boundary: exact AND near (same
+        // digest, same signature)
+        ("a", 1L, 1L, 1L, 0L),
+        // unique new doc: clean
+        ("c", 1L, 0L, 0L, 1L),
+        // two identical NEW docs with no history twin: both clean — the
+        // incremental pass must not dedup the shard against itself
+        ("d", 2L, 0L, 0L, 2L)))
+      // history-only language produced no census row
+      assert(!got.exists(_._1 == "e"))
+    } finally deleteRecursively(dir)
+  }
+
+  test("d10 hot-band members are near-dups of history, not clean") {
+    val s = spark
+    import s.implicits._
+    // 120 identical-text docs (> BandSizeCap 100 per band bucket): 119 in
+    // history plus new doc 0. Every band bucket doc 0 lands in is hot, so
+    // the capped PAIR join sees none of its rows — the hot-band path must
+    // still classify it near-dup (it IS a duplicate of the hot history
+    // cluster). Exact stays flagged too (identical digest). A hot
+    // all-new bucket cannot arise here (only one new doc), so the
+    // has-history guard is exercised on the flagged side.
+    assert(slice(0L) >= 90, "doc 0 must sit in the new slice")
+    val histIds = Iterator.from(1).map(_.toLong).filter(slice(_) < 90)
+      .take(119).toSeq
+    val hist = histIds.map(i =>
+      (i, "mass produced boilerplate header text block repeated",
+        "h", s"src$i", 50L))
+    val docs = (0L, "mass produced boilerplate header text block repeated",
+      "h", "src0", 50L) +: hist
+    val dir = java.nio.file.Files.createTempDirectory("d10hot").toString
+    try {
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("d10_incremental_dedup")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      // doc 0 is the only new doc; it must be exact AND near, never clean
+      assert(got.toSeq == Seq(("h", 1L, 1L, 1L, 0L)))
+    } finally deleteRecursively(dir)
+  }
+
+  /** The query's salted shard hash, recomputed independently:
+    * md5("d10:" + id) 15-hex-digit prefix mod 100.
+    */
+  private def slice(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"d10:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   test("x16 rare-token census matches brute force") {
