@@ -666,7 +666,45 @@ object TextAnalysisQueries {
        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // X17 — BPE tokenize-and-count: APPLY the x15-trained merge table to
+  // the corpus and report per-language token economics (whitespace words
+  // vs BPE symbols vs chars; chars-per-token is the tokenizer-efficiency
+  // number a training pipeline budgets context length with). The encode
+  // is the one place a UDF is the right call — iterative non-overlapping
+  // merge application has no Catalyst expression form — and it runs on
+  // the per-language VOCABULARY census (vocab-bounded, ~10⁸ rows at
+  // 100 TB), never on corpus tokens: each distinct word is encoded once
+  // and weighted by its frequency. Training itself never touches the
+  // corpus either ([[graft.functions.Bpe]] — vocab-table rounds). All
+  // output ints are exact; the ratio divides two exact longs.
+  private val x17BpeEncode: Q = (s, dir) => {
+    import s.implicits._
+    // two consumers (the trainer's corpus-vocab input + the encode pass
+    // below) — cache the per-language census once, like lang_votes
+    val langVocab = StageCache.getOrCache(s, s"lang_vocab:$dir") {
+      wordsStage(s, dir)
+        .select(col("lang"), explode(col("w")).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
+    }
+    val corpusVocab = langVocab.groupBy(col("word"))
+      .agg(sum(col("tf")).as("freq")).as[(String, Long)]
+    val merges = graft.functions.Bpe.train(corpusVocab, BpeRounds).map(_._1)
+    val encLen = udf((w: String) =>
+      graft.functions.Bpe.encode(w, merges).length)
+    langVocab.withColumn("n_sym", encLen(col("word")))
+      .groupBy(col("lang"))
+      .agg(sum(col("tf")).as("n_words"),
+        sum(col("tf") * length(col("word"))).as("n_chars"),
+        sum(col("tf") * col("n_sym")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens"))
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x17_bpe_encode" -> x17BpeEncode,
     "x16_rare_tokens" -> x16RareTokens,
     "x15_bpe_merges" -> x15Bpe,
     "x14_approx_topk" -> x14ApproxTopk,

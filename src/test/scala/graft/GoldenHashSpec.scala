@@ -25,7 +25,8 @@ object GoldenHashSpec {
     "p4_pdf_segments", "p5_e2e_golden45", "p6_adversarial_recall",
     "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
     "v9_ivfpq_recall", "v10_hnsw_recall",
-    "x4_approx_stats", "x14_approx_topk", "x15_bpe_merges")
+    "x4_approx_stats", "x14_approx_topk", "x15_bpe_merges",
+    "x17_bpe_encode")
 
   /** Reviewed-once golden hashes (sf0.001, session config above). */
   val pinned: Map[String, String] = Map(
@@ -44,6 +45,7 @@ object GoldenHashSpec {
     "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
     "x14_approx_topk" -> "03d0cc91a100036d57ef942396763a06",
     "x15_bpe_merges" -> "360a61593aac1c884faf44ba87735d0c",
+    "x17_bpe_encode" -> "0213866f1d68c69bc15896a571d17af1",
   )
 }
 

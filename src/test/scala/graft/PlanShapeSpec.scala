@@ -87,6 +87,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val g5 = plan("g5_unimax_sample")
     val ex = "Exchange hashpartitioning".r.findAllIn(g5).length
     assert(ex == 1, s"g5 should shuffle once on lang, got $ex:\n$g5")
+    // x17: encode runs over the cached vocabulary census, never the
+    // corpus — the final plan is census → UDF → one lang agg, join-free
+    val x17 = plan("x17_bpe_encode")
+    assert(!x17.contains("Join"), s"x17 must not plan a join:\n$x17")
+    assert(x17.contains("InMemoryTableScan"),
+      s"x17 should encode off the cached vocab census:\n$x17")
   }
 
   test("j1: dimension joins broadcast, never sort-merge") {

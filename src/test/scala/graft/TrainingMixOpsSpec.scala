@@ -163,6 +163,30 @@ class TrainingMixOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally deleteRecursively(dir)
   }
 
+  test("x17 BPE-encode census matches a single-node recomputation") {
+    import graft.functions.Bpe
+    val docs = Tables.documents(spark, dir).select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val words = docs.map { case (l, t) =>
+      l -> t.trim.split("[ \t\n\f\r]+").toSeq
+    }
+    val corpusVocab = words.flatMap(_._2).groupBy(identity)
+      .map { case (w, occ) => w -> occ.length.toLong }
+    val merges = Bpe.trainLocal(corpusVocab, 24).map(_._1)
+    val encLen = corpusVocab.keys
+      .map(w => w -> Bpe.encode(w, merges).length.toLong).toMap
+    val expected = words.groupBy(_._1).map { case (l, ws) =>
+      val toks = ws.flatMap(_._2)
+      val nChars = toks.map(_.length.toLong).sum
+      val nBpe = toks.map(encLen).sum
+      (l, toks.length.toLong, nChars, nBpe, nChars.toDouble / nBpe)
+    }.toSet
+    val got = SparkEntry.queries("x17_bpe_encode")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expected)
+  }
+
   /** The query's salted shard hash, recomputed independently:
     * md5("d10:" + id) 15-hex-digit prefix mod 100.
     */
