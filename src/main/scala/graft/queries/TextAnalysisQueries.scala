@@ -703,7 +703,59 @@ object TextAnalysisQueries {
       .orderBy(col("lang"))
   }
 
+  // X18 — held-out n-gram LM scoring (the CCNet/KenLM perplexity-filter
+  // shape in exact-arithmetic form): train a bigram table on the g1
+  // train split (the SAME hash-bucket rule — a pure function of doc_id,
+  // so the split can't leak and never moves under re-partitioning), then
+  // score each held-out document by its out-of-vocabulary bigram rate
+  // and the mean training count of its matched bigrams. Documents full
+  // of n-grams the training side never produced are exactly what the
+  // perplexity filter flags; keeping every aggregate BIGINT-exact with
+  // two final single IEEE divisions makes the score bit-identical to the
+  // oracle — which log-domain perplexity can't be across engines (libm
+  // log isn't correctly rounded, unlike division). Plan: one
+  // vocab-bounded bigram census on the train side, one equi-join on the
+  // bigram key for the held-out occurrences, one per-doc agg — no
+  // all-pairs anywhere; AQE broadcasts or shuffles the census by size.
+  private val x18HeldoutLm: Q = (s, dir) => {
+    val bucket =
+      pmod(TextSketch.hexInt(col("doc_id").cast("string")), lit(100L))
+    val bg = bigramStage(s, dir)
+    val trainCounts = bg.where(bucket < 90)
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    bg.where(bucket >= 90)
+      .join(trainCounts, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("cb").isNull, lit(1))).as("n_oov"),
+        count(col("cb")).as("n_hit"),
+        sum(col("cb")).as("sum_cb"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_bigrams").cast("double"))
+          .as("oov_rate"),
+        when(col("n_hit") === 0, lit(null).cast("double"))
+          .otherwise(col("sum_cb").cast("double") /
+            col("n_hit").cast("double")).as("avg_hit_cb"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x18Sql =
+    s"""WITH bgs AS (
+       |  SELECT doc_id, unnest(${duckBg.expr}) AS bg,
+       |    ${TextSketch.duck.hexInt("CAST(doc_id AS VARCHAR)")} % 100 AS h
+       |  FROM documents),
+       |tc AS (SELECT bg, COUNT(*) AS cb FROM bgs WHERE h < 90 GROUP BY bg)
+       |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       |  COUNT(CASE WHEN tc.cb IS NULL THEN 1 END) AS n_oov,
+       |  COUNT(CASE WHEN tc.cb IS NULL THEN 1 END)::DOUBLE / COUNT(*)::DOUBLE AS oov_rate,
+       |  CASE WHEN COUNT(tc.cb) = 0 THEN NULL
+       |       ELSE CAST(SUM(tc.cb) AS BIGINT)::DOUBLE / COUNT(tc.cb)::DOUBLE END AS avg_hit_cb
+       |FROM (SELECT doc_id, bg FROM bgs WHERE h >= 90) b
+       |LEFT JOIN tc ON b.bg = tc.bg
+       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "x18_heldout_lm" -> x18HeldoutLm,
     "x17_bpe_encode" -> x17BpeEncode,
     "x16_rare_tokens" -> x16RareTokens,
     "x15_bpe_merges" -> x15Bpe,
@@ -721,6 +773,7 @@ object TextAnalysisQueries {
     "x6_trigram_lang" -> x6TrigramLang)
 
   val oracles: Map[String, String] = Map(
+    "x18_heldout_lm" -> x18Sql,
     "x16_rare_tokens" -> x16Sql,
     "x13_tfidf_terms" -> x13Sql,
     "x10_decontaminate" -> x10Sql,

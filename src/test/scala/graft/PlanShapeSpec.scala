@@ -93,6 +93,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!x17.contains("Join"), s"x17 must not plan a join:\n$x17")
     assert(x17.contains("InMemoryTableScan"),
       s"x17 should encode off the cached vocab census:\n$x17")
+    // x18: held-out scoring joins occurrences to the train census on the
+    // bigram KEY — an equi-join, never an all-pairs comparison
+    val x18 = plan("x18_heldout_lm")
+    assert(!x18.contains("CartesianProduct") &&
+      !x18.contains("BroadcastNestedLoopJoin"),
+      s"x18 plans an all-pairs join:\n$x18")
   }
 
   test("j1: dimension joins broadcast, never sort-merge") {
