@@ -259,8 +259,13 @@ object Cli {
       files: List[String]): org.apache.spark.sql.Dataset[DocInput] = {
     import spark.implicits._
     files.map { f =>
-      val text = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8)
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      // .pdf: raw bytes ride in the text field as Latin-1 (lossless
+      // byte↔char); everything else is UTF-8 text — see DocInput's doc
+      val text =
+        if (f.endsWith(".pdf"))
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        else new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       DocInput(f, text, isOcr = false)
     }.toDS()
   }

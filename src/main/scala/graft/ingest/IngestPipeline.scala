@@ -22,7 +22,13 @@ import graft.functions.{EmbedValidator, Hashing}
   */
 object IngestPipeline {
 
-  /** One input document: pre-read text + its source path. */
+  /** One input document: pre-read content + its source path. For text
+    * sources `text` is the file's UTF-8 text; for `.pdf` sources it is the
+    * raw bytes carried as an ISO-8859-1 string (a lossless byte↔char
+    * bijection), decoded back to bytes at parse time — one input type
+    * serves every source, so batch AND streaming ingest handle PDFs with
+    * no schema change.
+    */
   final case class DocInput(sourcePath: String, text: String, isOcr: Boolean)
 
   /** All entity rows derived from one document (kept nested so the
@@ -40,7 +46,11 @@ object IngestPipeline {
       ingestedAt: java.sql.Timestamp = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")): ProcessedDoc = {
     val documentId = Hashing.documentId(doc.sourcePath)
     val segments =
-      if (doc.sourcePath.endsWith(".md") || doc.sourcePath.endsWith(".markdown"))
+      if (doc.sourcePath.endsWith(".pdf"))
+        graft.sources.PdfSource.parsePdf(documentId, doc.sourcePath,
+          doc.text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+          graft.sources.RealPdfExtractor)
+      else if (doc.sourcePath.endsWith(".md") || doc.sourcePath.endsWith(".markdown"))
         Parsers.parseMarkdown(documentId, doc.text)
       else Parsers.parseText(documentId, doc.text, isOcr = doc.isOcr)
     val unitized = new Unitizer().unitize(segments.toIndexedSeq)

@@ -153,13 +153,51 @@ object PipelineQueries {
       GoldenEval.adversarialCorpus(emb, 45), embedder)
   }
 
+  /** S3/S4 on REAL bytes: each document renders to an actual PDF 1.4 file
+    * (xref, page tree, FlateDecode for even ids, an image XObject every
+    * third doc), [[graft.sources.RealPdfExtractor]] decodes the bytes
+    * back, and the same F4/G4/S5 pipeline as p4 runs downstream.
+    * `lossless` pins the decode claim row-by-row: the extracted text
+    * blocks must equal the sanitized source paragraphs exactly. Per-file
+    * map work inside one `mapPartitions` — file is the unit of
+    * parallelism, no shuffle (same scale shape as the binaryFile source).
+    */
+  private val p7RealPdf: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.{PdfSource, PdfWriter, RealPdfExtractor}
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val paras = text.split("\n{2,}").toSeq
+          .map(PdfWriter.sanitize).filter(_.trim.nonEmpty)
+        val images: Map[Int, Int] = if (id % 3 == 0) Map(0 -> 1) else Map.empty
+        val pages = paras.grouped(6).zipWithIndex
+          .map { case (ps, i) =>
+            PdfWriter.PageSpec(ps, if (i == 0) images else Map.empty)
+          }.toSeq
+        val bytes = PdfWriter.build(pages, compress = id % 2 == 0)
+        val blocks = RealPdfExtractor.extract(s"pdf/$id.pdf", bytes)
+        val lossless = blocks.filter(!_.isImage).map(_.content) == paras
+        val segs = PdfSource.parsePdf(s"pdf/$id", s"pdf/$id.pdf", bytes,
+          RealPdfExtractor)
+        (id, pages.length, blocks.length, segs.length,
+          segs.count(_.kind == "code"), segs.map(_.content.length).sum,
+          lossless, bytes.length)
+      })
+      .toDF("doc_id", "n_pages", "n_blocks", "n_segments", "n_code",
+        "total_chars", "lossless", "pdf_bytes")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "p1_ingest_fragments" -> p1Fragments,
     "p2_parent_synthesis" -> p2Parents,
     "p3_embed_fragments" -> p3Embeddings,
     "p4_pdf_segments" -> p4Pdf,
     "p5_e2e_golden45" -> p5E2eGolden,
-    "p6_adversarial_recall" -> p6Adversarial)
+    "p6_adversarial_recall" -> p6Adversarial,
+    "p7_real_pdf" -> p7RealPdf)
 
   /** Not SQL-expressible (stateful per-document folds) — no oracles. */
   val oracles: Map[String, String] = Map.empty

@@ -14,8 +14,9 @@ import graft.functions.TextUtils.PyStringOps
   * (ingestion/parsers/pymupdf_parser.py).
   *
   * The actual PDF byte decoding (PyMuPDF/pdfminer in the reference) sits
-  * behind [[PdfExtractor]]; this container has no PDF library, so
-  * [[StubPdfExtractor]] decodes a deterministic fake layout format. All the
+  * behind [[PdfExtractor]] with two implementations: [[RealPdfExtractor]]
+  * (pure-JVM real-byte codec, PdfCodec.scala) and [[StubPdfExtractor]]
+  * (deterministic fake layout format for synthetic corpora). All the
   * logic that MAKES this source a pipeline — per-page block capture,
   * min-length filter (F4), page-bounded adjacent-block merge (G4), code
   * re-detection, the deterministic Vision-OCR invocation policy (S5), and
@@ -179,6 +180,31 @@ object PdfSource {
         java.nio.charset.StandardCharsets.UTF_8)))
         .getOrElse(detectCodeBlocks(mergedSegs))
     else detectCodeBlocks(mergedSegs)
+  }
+
+  // ---- S7 — distributed directory scan ----
+
+  /** Read a directory/glob of source files as [[DocInput]]s via Spark's
+    * `binaryFile` source: one row per file, file = unit of parallelism,
+    * no shuffle — the S3 scan shape at cluster scale. `.pdf` bytes ride
+    * the Latin-1 carrier (see [[graft.ingest.IngestPipeline.DocInput]])
+    * and decode through [[RealPdfExtractor]] inside the ingest fold;
+    * everything else is UTF-8 text. Feed straight into
+    * `IngestPipeline.process`.
+    */
+  def readDocuments(spark: org.apache.spark.sql.SparkSession,
+      pathGlob: String): Dataset[graft.ingest.IngestPipeline.DocInput] = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val text =
+          if (path.endsWith(".pdf")) new String(bytes, StandardCharsets.ISO_8859_1)
+          else new String(bytes, StandardCharsets.UTF_8)
+        graft.ingest.IngestPipeline.DocInput(path, text, isOcr = false)
+      }
   }
 
   // ---- S6/U4 — OCR cache as a table + left-anti join ----

@@ -1,0 +1,250 @@
+package graft
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{PdfWriter, RealPdfExtractor}
+import graft.sources.PdfSource
+import graft.sources.PdfWriter.PageSpec
+
+/** [[RealPdfExtractor]] against real PDF bytes — closes VERDICT r5 missing
+  * item #1 (S3/S4 byte decode). Round-trip specs go through [[PdfWriter]]
+  * (bytes the extractor did not itself read: a full PDF 1.4 file with
+  * xref, page tree, content streams); the operator-level cases are
+  * hand-written PDFs exercising syntax the writer never emits (hex
+  * strings, TJ kerning, Tm scaling, quote operators, octal escapes,
+  * indirect /Length), so the decoder is pinned to the PDF spec, not to
+  * its sibling writer.
+  */
+class PdfCodecSpec extends AnyFunSuite {
+
+  private def extract(bytes: Array[Byte]) =
+    RealPdfExtractor.extract("t.pdf", bytes)
+
+  private def textBlocks(bytes: Array[Byte]): Seq[String] =
+    extract(bytes).filter(!_.isImage).map(_.content)
+
+  // ---------------- writer round-trips ----------------
+
+  private val paras1 = Seq(
+    "The quick brown fox jumps over the lazy dog near the river bank.",
+    "Second paragraph spans two lines\nwith a manual break inside it.",
+    "A third block closes the page with ordinary prose content.")
+
+  test("round-trip, uncompressed: every paragraph is one block, text lossless") {
+    val bytes = PdfWriter.build(Seq(PageSpec(paras1)), compress = false)
+    val blocks = extract(bytes)
+    assert(blocks.forall(!_.isImage))
+    assert(blocks.map(_.content) == paras1)
+    assert(blocks.forall(_.page == 0))
+  }
+
+  test("round-trip, FlateDecode: decode is identical to the uncompressed one") {
+    val plain = PdfWriter.build(Seq(PageSpec(paras1)), compress = false)
+    val packed = PdfWriter.build(Seq(PageSpec(paras1)), compress = true)
+    assert(packed.length < plain.length) // the filter actually engaged
+    assert(extract(packed) == extract(plain))
+  }
+
+  test("round-trip, multi-page: page numbers follow the page tree order") {
+    val pages = Seq(
+      PageSpec(Seq("Alpha page one content line.", "Beta paragraph two here.")),
+      PageSpec(Seq("Gamma page two opens here.")),
+      PageSpec(Seq("Delta final page closes out.", "Epsilon tail paragraph.")))
+    val blocks = extract(PdfWriter.build(pages, compress = true))
+    assert(blocks.map(_.page) == Seq(0, 0, 1, 2, 2))
+    assert(blocks.map(_.content) == pages.flatMap(_.paragraphs))
+  }
+
+  test("round-trip, images: XObject draws are image blocks in paragraph order") {
+    val pg = PageSpec(
+      Seq("Text before the figure sits here.", "Text after the figure."),
+      imagesAfter = Map(0 -> 2))
+    val blocks = extract(PdfWriter.build(Seq(pg), compress = false))
+    assert(blocks.map(b => (b.isImage, b.content)) == Seq(
+      (false, pg.paragraphs.head),
+      (true, PdfWriter.imageContent(0)),
+      (true, PdfWriter.imageContent(1)),
+      (false, pg.paragraphs(1))))
+  }
+
+  test("round-trip: parens, backslashes and Latin-1 bytes survive escaping") {
+    val tricky = Seq(
+      """f(x) = (a \ b) + (c) backslash\\paren test""",
+      "Café naïve résumé über mañana — accented Latin-1.")
+    val sane = tricky.map(PdfWriter.sanitize)
+    val blocks = textBlocks(PdfWriter.build(Seq(PageSpec(sane)), compress = false))
+    assert(blocks == sane)
+  }
+
+  test("sanitize maps beyond-Latin-1 to '?' and the writer round-trips that") {
+    val s = Seq("Greek αβ and emoji 😀 degrade predictably.")
+    val blocks = textBlocks(PdfWriter.build(Seq(PageSpec(s.map(PdfWriter.sanitize))),
+      compress = false))
+    assert(blocks == Seq("Greek ?? and emoji ?? degrade predictably."))
+  }
+
+  // ---------------- hand-written PDFs: spec syntax the writer avoids ----------------
+
+  /** Minimal single-page scaffold around a raw content stream. */
+  private def pdfWith(content: String): Array[Byte] = {
+    val cs = content.getBytes(ISO_8859_1)
+    val s = new StringBuilder
+    s.append("%PDF-1.4\n")
+    s.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    s.append("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    s.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    s.append(s"4 0 obj\n<< /Length ${cs.length} >>\nstream\n")
+    s.append(content)
+    s.append("\nendstream\nendobj\n")
+    s.append("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    s.append("trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    s.toString.getBytes(ISO_8859_1)
+  }
+
+  test("hex strings decode, odd digit zero-padded") {
+    // 48656C6C6F = "Hello"; trailing odd digit 5 pads to 0x50 = 'P'
+    val b = pdfWith("BT /F1 12 Tf 14 TL 72 700 Td <48656C6C6F2068657820776F726C6421> Tj T* <5> Tj ET")
+    assert(textBlocks(b) == Seq("Hello hex world!\nP"))
+  }
+
+  test("TJ arrays concatenate; kerning <= -180 reads as a space") {
+    val b = pdfWith("BT /F1 12 Tf 72 700 Td [ (Ker) -40 (ned) -250 (apart) ] TJ ET")
+    assert(textBlocks(b) == Seq("Kerned apart"))
+  }
+
+  test("quote operators advance a line then show") {
+    val b = pdfWith("BT /F1 12 Tf 14 TL 72 700 Td (first line) Tj (second line) ' 1 0 (third line) \" ET")
+    assert(textBlocks(b) == Seq("first line\nsecond line\nthird line"))
+  }
+
+  test("octal escapes and line continuations decode") {
+    val b = pdfWith("BT /F1 12 Tf 72 700 Td (A\\101 oct \\050paren\\051 cont\\\ninues) Tj ET")
+    assert(textBlocks(b) == Seq("AA oct (paren) continues"))
+  }
+
+  test("Tm sets absolute position; its scale applies to size and leading") {
+    // 6pt font under a 2x Tm = effective 12; T* with TL 14 descends 28.
+    // Gap between the two Tm blocks: 700-600=100 > 1.5*28 => two blocks;
+    // inside the first, 28 <= 1.5*max(28,12)=42 => one block.
+    val b = pdfWith(
+      "BT /F1 6 Tf 14 TL 2 0 0 2 72 700 Tm (scaled one) Tj T* (scaled two) Tj " +
+        "2 0 0 2 72 600 Tm (next block) Tj ET")
+    assert(textBlocks(b) == Seq("scaled one\nscaled two", "next block"))
+  }
+
+  test("comments and stray delimiters in the body are tolerated") {
+    val b = pdfWith("% leading comment\nBT /F1 12 Tf 72 700 Td % mid comment\n(still works) Tj ET")
+    assert(textBlocks(b) == Seq("still works"))
+  }
+
+  test("indirect /Length falls back to endstream search") {
+    val content = "BT /F1 12 Tf 72 700 Td (indirect length text) Tj ET"
+    val raw = new String(pdfWith(content), ISO_8859_1)
+      .replace(s"/Length ${content.length}", "/Length 9 0 R")
+    assert(textBlocks(raw.getBytes(ISO_8859_1)) == Seq("indirect length text"))
+  }
+
+  test("content stream split across an array of streams concatenates") {
+    val s = new StringBuilder
+    s.append("%PDF-1.4\n")
+    s.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    s.append("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    s.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents [ 4 0 R 5 0 R ] >>\nendobj\n")
+    val c1 = "BT /F1 12 Tf 72 700 Td (part one"
+    val c2 = " part two) Tj ET"
+    s.append(s"4 0 obj\n<< /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n")
+    s.append(s"5 0 obj\n<< /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n")
+    s.append("trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    // the two halves parse as separate streams; the split point falls inside
+    // a literal string, which the concatenation (with \n) preserves
+    val blocks = textBlocks(s.toString.getBytes(ISO_8859_1))
+    assert(blocks == Seq("part one\n part two"))
+  }
+
+  // ---------------- robustness ----------------
+
+  test("non-PDF, empty, and truncated inputs yield no blocks, never throw") {
+    assert(extract(Array.emptyByteArray).isEmpty)
+    assert(extract("just some text, no header".getBytes(ISO_8859_1)).isEmpty)
+    assert(extract(Array.fill[Byte](4096)(0x7f)).isEmpty)
+    val whole = PdfWriter.build(Seq(PageSpec(paras1)), compress = true)
+    // every truncation point must be handled (objects after the cut vanish)
+    Seq(10, whole.length / 4, whole.length / 2, whole.length - 20).foreach { n =>
+      extract(java.util.Arrays.copyOf(whole, n)) // must not throw
+    }
+  }
+
+  test("a corrupt page leaves the other pages intact") {
+    val good = "BT /F1 12 Tf 72 700 Td (good page here) Tj ET"
+    val s = new StringBuilder
+    s.append("%PDF-1.4\n")
+    s.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    s.append("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R 6 0 R ] /Count 2 >>\nendobj\n")
+    s.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    s.append(s"4 0 obj\n<< /Length ${good.length} >>\nstream\n$good\nendstream\nendobj\n")
+    // page 2's content stream claims FlateDecode but holds garbage bytes
+    s.append("6 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>\nendobj\n")
+    s.append("7 0 obj\n<< /Length 8 /Filter /FlateDecode >>\nstream\n\nendstream\nendobj\n")
+    s.append("trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n")
+    assert(textBlocks(s.toString.getBytes(ISO_8859_1)) == Seq("good page here"))
+  }
+
+  // ---------------- downstream integration ----------------
+
+  test("real bytes through the full PdfSource pipeline: F4 + G4 + policy") {
+    val pages = Seq(
+      PageSpec(Seq(
+        "A real paragraph long enough to clear the minimum length gate.",
+        "tiny", // under F4's 10 code points: dropped
+        "Another substantial paragraph that should merge with its neighbor."),
+        imagesAfter = Map(2 -> 1)),
+      PageSpec(Seq("Page two paragraph keeps its own page-bounded merge group.")))
+    val bytes = PdfWriter.build(pages, compress = true)
+    val segs = PdfSource.parsePdf("doc-1", "t.pdf", bytes, RealPdfExtractor)
+    // two page-0 text paragraphs merge (under 1500 chars), image is its own
+    // segment and a hard boundary, page 1 text never joins page 0
+    assert(segs.map(_.kind) == Seq("text", "image", "text"))
+    assert(segs.head.content.contains("real paragraph") &&
+      segs.head.content.contains("substantial paragraph"))
+    assert(!segs.head.content.contains("tiny"))
+    assert(segs.map(_.page) == Seq(Some(0), Some(0), Some(1)))
+    assert(!PdfSource.shouldFallbackToVision(segs))
+  }
+
+  test("a .pdf DocInput runs the real codec inside the full ingest fold") {
+    import graft.ingest.IngestPipeline
+    import graft.ingest.IngestPipeline.DocInput
+    val pages = Seq(PageSpec(Seq(
+      "Spark estimates shuffle partition sizes from the map output statistics " +
+        "collected during the exchange, then coalesces small partitions adaptively.",
+      "Broadcast joins avoid the shuffle entirely when one side fits under the " +
+        "configured threshold, which the optimizer checks at planning time.")))
+    val bytes = PdfWriter.build(pages, compress = true)
+    // the Latin-1 carrier is a byte-for-byte bijection
+    val carrier = new String(bytes, ISO_8859_1)
+    assert(carrier.getBytes(ISO_8859_1).sameElements(bytes))
+    val pd = IngestPipeline.processDocument(
+      DocInput("docs/manual.pdf", carrier, isOcr = false))
+    assert(pd.fragments.nonEmpty && pd.concepts.nonEmpty && pd.parents.nonEmpty)
+    val allText = pd.fragments.map(_.content).mkString(" ")
+    assert(allText.contains("coalesces small partitions adaptively"))
+    assert(allText.contains("Broadcast joins avoid the shuffle"))
+    // same bytes under a .txt path parse as (binary-garbled) plain text,
+    // proving the dispatch keys on the extension, not the content
+    val asText = IngestPipeline.processDocument(
+      DocInput("docs/manual.txt", carrier, isOcr = false))
+    assert(asText.fragments.map(_.content).mkString(" ") != allText)
+  }
+
+  test("image-only real PDF triggers the S5 vision fallback policy") {
+    val bytes = PdfWriter.build(
+      Seq(PageSpec(Seq.empty, imagesAfter = Map(0 -> 1))), compress = false)
+    // imagesAfter keys beyond the paragraph list still emit their images
+    val segs = PdfSource.parsePdf("doc-2", "t.pdf", bytes, RealPdfExtractor)
+    assert(segs.nonEmpty && segs.forall(_.kind == "image"))
+    assert(PdfSource.shouldFallbackToVision(segs))
+  }
+}

@@ -141,4 +141,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[String]("query_id"), r.getAs[String]("fragment_id"))).toMap
     assert(best == Map("q0" -> "f7", "q1" -> "f23"))
   }
+
+  test("readDocuments: a mixed dir of real PDFs and text ingests end-to-end") {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{PdfSource, PdfWriter}
+    val dir = Files.createTempDirectory("graft-docs").toString
+    try {
+      val pdfBytes = PdfWriter.build(Seq(PdfWriter.PageSpec(Seq(
+        "Adaptive execution re-optimizes the remaining plan between stages " +
+          "using the exchange statistics gathered so far at runtime."))),
+        compress = true)
+      Files.write(Paths.get(dir, "guide.pdf"), pdfBytes)
+      Files.write(Paths.get(dir, "notes.md"),
+        mdFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val docs = PdfSource.readDocuments(spark, dir)
+      assert(docs.count() == 2)
+      val frags = IngestPipeline.fragments(IngestPipeline.process(docs)).collect()
+      val byDoc = frags.groupBy(_.document_id)
+      assert(byDoc.size == 2) // both files produced fragments
+      val pdfText = frags.map(_.content).mkString(" ")
+      assert(pdfText.contains("re-optimizes the remaining plan"))
+      assert(pdfText.contains("add function")) // the markdown came through too
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }
