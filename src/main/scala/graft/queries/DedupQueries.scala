@@ -497,7 +497,76 @@ object DedupQueries {
        |WHERE s.is_new GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // D11 — segment-level (line) dedup with the keep-first-occurrence rule:
+  // the CCNet/RefinedWeb *removal* stage, where d9 was the *measure*. The
+  // removal unit is the line; this corpus has no newlines, so the line
+  // stand-in is the non-overlapping 4-word segment (incl. the trailing
+  // partial — short boilerplate tails dedup like real boilerplate lines).
+  // Every segment INSTANCE (not distinct per doc — within-doc repeats are
+  // removed too) hashes to a 60-bit md5-prefix key; the corpus-wide rule is
+  // "the globally first occurrence (doc_id, pos) survives, every later
+  // instance is removed". First occurrence is computed as min(packed
+  // doc_id·2²⁰+pos) inside the census aggregate, NOT as a rank-1 window
+  // over segment partitions: a hot boilerplate segment would serialize its
+  // whole window onto one task, while min() partial-aggregates map-side and
+  // ships one row per distinct segment. Plan: one shuffle on the segment
+  // key for the census, join back on the SAME partitioning (AQE skew-splits
+  // hot segments), one per-doc agg. Nothing broadcasts a corpus-sized set.
+  // The fraction divides two exact longs once.
+  private val SegWords = 4
+  private val PosBits = 20 // pos < 2^20: packed = doc_id·2²⁰ + pos is unique
+
+  private val d11SegmentDedup: Q = (s, dir) => {
+    val w = TextSketch.words(col("text"))
+    val nseg = floor((size(w) + lit(SegWords - 1)) / lit(SegWords)).cast("int")
+    val segs = transform(sequence(lit(0), nseg - 1), i =>
+      struct(i.as("pos"),
+        concat_ws(" ", slice(w, i * SegWords + lit(1), lit(SegWords)))
+          .as("seg")))
+    val inst = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), explode(segs).as("u"))
+      .select(col("doc_id"),
+        TextSketch.hexInt(col("u.seg")).as("h"),
+        (col("doc_id") * lit(1L << PosBits) + col("u.pos")).as("packed"))
+    val census = inst.groupBy(col("h"))
+      .agg(min(col("packed")).as("first_packed"))
+    inst.join(census, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("packed") =!= col("first_packed"), 1L).otherwise(0L))
+          .as("n_removed"))
+      .select(col("doc_id"), col("n_segments"), col("n_removed"),
+        (col("n_removed").cast("double") / col("n_segments").cast("double"))
+          .as("removed_fraction"),
+        (col("n_removed") * 10 >= col("n_segments") * 3).as("would_drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d11Sql = {
+    val w = duck.words("text")
+    val seg = s"array_to_string((w)[$SegWords*i+1 : $SegWords*i+$SegWords], ' ')"
+    s"""WITH inst AS (
+       |  SELECT doc_id, ${duck.hexInt("u.seg")} AS h,
+       |    doc_id * ${1L << PosBits} + u.pos AS packed
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(0, (len(w) + ${SegWords - 1}) // $SegWords),
+       |      i -> {'pos': i, 'seg': $seg})) AS u
+       |    FROM (SELECT doc_id, $w AS w FROM documents))),
+       |census AS (SELECT h, MIN(packed) AS first_packed FROM inst GROUP BY h)
+       |SELECT doc_id, COUNT(*) AS n_segments,
+       |  CAST(SUM(CASE WHEN packed <> first_packed THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  CAST(SUM(CASE WHEN packed <> first_packed THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS removed_fraction,
+       |  SUM(CASE WHEN packed <> first_packed THEN 1 ELSE 0 END) * 10
+       |    >= COUNT(*) * 3 AS would_drop
+       |FROM inst JOIN census USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d11_segment_dedup" -> d11SegmentDedup,
     "d10_incremental_dedup" -> d10Incremental,
     "d9_crossdoc_grams" -> d9CrossdocGrams,
     "d1_exact_dedup" -> d1Exact,
@@ -510,6 +579,7 @@ object DedupQueries {
     "d8_dedup_keep" -> d8DedupKeep)
 
   val oracles: Map[String, String] = Map(
+    "d11_segment_dedup" -> d11Sql,
     "d10_incremental_dedup" -> d10Sql,
     "d9_crossdoc_grams" -> d9Sql,
     "d7_dup_clusters" -> d7Sql,

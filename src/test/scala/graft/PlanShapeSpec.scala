@@ -99,6 +99,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!x18.contains("CartesianProduct") &&
       !x18.contains("BroadcastNestedLoopJoin"),
       s"x18 plans an all-pairs join:\n$x18")
+    // d11: keep-first-occurrence runs as a census AGGREGATE (min packed)
+    // joined back on the segment key — no window over segment partitions
+    // (a hot boilerplate segment would serialize one), no all-pairs
+    val d11 = plan("d11_segment_dedup")
+    assert(!d11.contains("Window"),
+      s"d11 must not rank segments with a window:\n$d11")
+    assert(!d11.contains("CartesianProduct") &&
+      !d11.contains("BroadcastNestedLoopJoin"),
+      s"d11 plans an all-pairs join:\n$d11")
   }
 
   test("j1: dimension joins broadcast, never sort-merge") {
