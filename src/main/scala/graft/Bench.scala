@@ -127,25 +127,48 @@ object Bench {
     // one pass, not both, so min-of-2 records the query's steady-state
     // cost instead of the host's noise; genuine regressions slow BOTH
     // passes and still show.
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map {
-      case (name, fn) =>
+    // A failed query must NOT masquerade as a fast one (BENCH_r06 recorded
+    // three AnalysisException-throwing queries at 0.05-0.09 s — the cost of
+    // throwing). Each pass records the error; a query is "failed" only if
+    // it failed in BOTH passes (a transient executor hiccup in one pass
+    // with a clean other pass is a timing outlier, not a broken query).
+    def timedPass(): Map[String, (Double, Option[String])] =
+      SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink: forces full evaluation of every output column
         // (count() would let Catalyst prune map-side projections)
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-    }
+        val err =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None }
+          catch {
+            case e: Throwable =>
+              Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, err)
+      }
     val pass1 = timedPass()
     val pass2 = timedPass()
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val errors: Map[String, String] = pass1.flatMap { case (k, (_, e1)) =>
+      for (m1 <- e1; _ <- pass2(k)._2) yield k -> m1
+    }
+    val results = pass1.map { case (k, (v, _)) => k -> math.min(v, pass2(k)._1) }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) =>
+      // sentinel -1 for failed queries: unmistakable in any consumer that
+      // sums or sorts times, while keeping the value numeric for parsers
+      s"\"" + k + "\":" + (if (errors.contains(k)) "-1" else v.toString)
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     val meta =
       s""""contended":$contended,"loadavg_start":"$load0"""" +
         s""","loadavg_end":"${loadavg()}","passes":2""" +
-        s""","other_jvms":${others.size},"nq":${results.size}"""
+        s""","other_jvms":${others.size},"nq":${results.size}""" +
+        s""","failures":${errors.size},"errors":$errJson"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
 
@@ -161,8 +184,15 @@ object Bench {
     // stdout tail window ≥ ~1 KB and still parses as the contract shape.
     val top = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // compact meta: failure NAMES only (bounded), full messages live in
+    // bench_out.json — keeps the line under the ~1 KB tail window
+    val compactMeta =
+      s""""contended":$contended,"loadavg_start":"$load0"""" +
+        s""","loadavg_end":"${loadavg()}","passes":2""" +
+        s""","other_jvms":${others.size},"nq":${results.size}""" +
+        s""","failures":${errors.size},"failed":${errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","queries_file":"bench_out.json",$meta}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","queries_file":"bench_out.json",$compactMeta}""")
     spark.stop()
   }
 }

@@ -18,21 +18,40 @@ object Tables {
   def nation(s: SparkSession, dir: String): DataFrame = load(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = load(s, dir, "region")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    * rejects; with spark.sql.legacy.parquet.nanosAsLong (set by
-    * [[GraftSession]]) it arrives as a long, converted here to a
-    * microsecond timestamp (floor division — matches DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP cast used in the oracle SQL).
+  /** The driver has produced `events.ts` with three parquet encodings over
+    * time, and every downstream operator (watermarks, `unix_micros`, range
+    * joins) requires session-zoned `TimestampType`:
+    *
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it; with
+    *     spark.sql.legacy.parquet.nanosAsLong (set by [[GraftSession]]) it
+    *     arrives as a long, converted here with floor division — matching
+    *     DuckDB's flooring TIMESTAMP_NS → TIMESTAMP cast in the oracle SQL.
+    *   - timestamp[us] without timezone: Spark 4 reads it as
+    *     TIMESTAMP_NTZ, on which `withWatermark` and `unix_micros` throw.
+    *     The session TZ is pinned UTC ([[GraftSession]]), so a plain cast
+    *     to TimestampType is value-preserving and oracle-hash-neutral.
+    *   - timestamp[us] with UTC timezone: already TimestampType; pass
+    *     through.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = load(s, dir, "events")
-    // floor division (ts div 1000 truncates toward zero, which would shift
-    // pre-epoch timestamps one microsecond vs DuckDB's flooring cast)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-    else raw
-  }
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(s, dir, "events"))
+
+  /** Normalize any of the three `ts` encodings to TimestampType. Pure
+    * column transform — works identically on a streaming DataFrame (the
+    * stream/batch equivalence specs route their file-source streams
+    * through this so both sides see the same instants).
+    */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // floor division (ts div 1000 truncates toward zero, which would
+        // shift pre-epoch timestamps one microsecond vs DuckDB's cast)
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 

@@ -754,6 +754,79 @@ object TextAnalysisQueries {
        |LEFT JOIN tc ON b.bg = tc.bg
        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  // X15/X17 oracles — BPE training as a DuckDB recursive CTE (the d7
+  // recursive-CTE precedent). Each iteration carries the symbolized
+  // vocabulary forward one round: a pair census over the previous round's
+  // rows, the argmax via min(struct) with the identical (count desc, left
+  // asc, right asc) binary-string tie-break, and the merge applied with a
+  // list_reduce that is equivalent to the left-to-right non-overlapping
+  // pass (the merged symbol l||r can never equal l while r is non-empty,
+  // so the reduce cannot re-merge what the scan wouldn't). Every vocab row
+  // at round k carries round k's merge, so the merge table is a DISTINCT
+  // over the recursion's output — no LIMIT inside the recursion (DuckDB
+  // disallows it).
+  private val duckBpeCte = {
+    val w = duck.wordsExpr
+    s"""vocab AS (
+       |  SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($w) AS word FROM documents)
+       |  GROUP BY word),
+       |bpe(round, word, freq, syms, m_l, m_r, m_c) AS (
+       |  SELECT 0, word, freq,
+       |    list_transform(range(1, length(word)+1), i -> word[i]),
+       |    NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT b.round + 1, b.word, b.freq,
+       |    CASE WHEN len(b.syms) < 2 THEN b.syms ELSE
+       |      list_reduce(list_transform(b.syms, s -> [s]), (acc, x) ->
+       |        CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.best['l'] AND x[1] = m.best['r']
+       |             THEN list_append(list_slice(acc, 1, len(acc)-1), m.best['l'] || m.best['r'])
+       |             ELSE list_concat(acc, x) END) END,
+       |    m.best['l'], m.best['r'], m.best['c']
+       |  FROM bpe b CROSS JOIN (
+       |    SELECT min(struct_pack(nc := -c, l := l, r := r, c := c)) AS best
+       |    FROM (SELECT p.syms[i] AS l, p.syms[i+1] AS r, SUM(p.freq)::BIGINT AS c
+       |          FROM bpe p, UNNEST(range(1, len(p.syms))) t(i)
+       |          GROUP BY 1, 2)) m
+       |  WHERE b.round < $BpeRounds AND m.best['l'] IS NOT NULL)""".stripMargin
+  }
+
+  private val x15Sql =
+    s"""WITH RECURSIVE $duckBpeCte
+       |SELECT DISTINCT round AS rank, m_l AS "left", m_r AS "right",
+       |  m_l || m_r AS merged, m_c AS pair_count
+       |FROM bpe WHERE round >= 1
+       |ORDER BY rank""".stripMargin
+
+  private val x17Sql = {
+    val w = duck.wordsExpr
+    s"""WITH RECURSIVE $duckBpeCte,
+       |merges AS (SELECT DISTINCT round AS rank, m_l, m_r FROM bpe WHERE round >= 1),
+       |mlist AS (SELECT COALESCE(list([m_l, m_r] ORDER BY rank), []::VARCHAR[][]) AS ms FROM merges),
+       |lang_vocab AS (
+       |  SELECT lang, word, count(*)::BIGINT AS tf
+       |  FROM (SELECT lang, unnest($w) AS word FROM documents)
+       |  GROUP BY lang, word),
+       |encoded AS (
+       |  SELECT lang, word, tf,
+       |    len(list_reduce(
+       |      list_prepend(list_transform(range(1, length(word)+1), i -> word[i]),
+       |                   (SELECT ms FROM mlist)),
+       |      (acc, m) -> CASE WHEN len(acc) < 2 THEN acc ELSE
+       |        list_reduce(list_transform(acc, s -> [s]), (a2, x) ->
+       |          CASE WHEN len(a2) > 0 AND a2[len(a2)] = m[1] AND x[1] = m[2]
+       |               THEN list_append(list_slice(a2, 1, len(a2)-1), m[1] || m[2])
+       |               ELSE list_concat(a2, x) END) END
+       |    ))::BIGINT AS n_sym
+       |  FROM lang_vocab)
+       |SELECT lang, SUM(tf)::BIGINT AS n_words,
+       |  SUM(tf * length(word))::BIGINT AS n_chars,
+       |  SUM(tf * n_sym)::BIGINT AS n_bpe_tokens,
+       |  SUM(tf * length(word))::DOUBLE / SUM(tf * n_sym) AS chars_per_token
+       |FROM encoded GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "x18_heldout_lm" -> x18HeldoutLm,
     "x17_bpe_encode" -> x17BpeEncode,
@@ -774,7 +847,9 @@ object TextAnalysisQueries {
 
   val oracles: Map[String, String] = Map(
     "x18_heldout_lm" -> x18Sql,
+    "x17_bpe_encode" -> x17Sql,
     "x16_rare_tokens" -> x16Sql,
+    "x15_bpe_merges" -> x15Sql,
     "x13_tfidf_terms" -> x13Sql,
     "x10_decontaminate" -> x10Sql,
     "x8_repetition" -> x8Sql,

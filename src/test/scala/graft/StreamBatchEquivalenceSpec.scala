@@ -39,11 +39,7 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamRaw = s.readStream.schema(
       s.read.parquet(s"$dir/events.parquet").schema)
       .parquet(stage.toString)
-    val streamEvents =
-      if (streamRaw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        streamRaw.withColumn("ts",
-          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-      else streamRaw
+    val streamEvents = Tables.normalizeEventTs(streamRaw)
 
     val agg = EventStreams.tumblingCounts(streamEvents, watermark = "0 seconds")
     val q = agg.writeStream.format("memory").queryName("stream_win")
@@ -91,11 +87,7 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamRaw = s.readStream.schema(
       s.read.parquet(s"$dir/events.parquet").schema)
       .parquet(stage.toString)
-    val streamEvents =
-      if (streamRaw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        streamRaw.withColumn("ts",
-          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-      else streamRaw
+    val streamEvents = Tables.normalizeEventTs(streamRaw)
 
     val q = EventStreams.slidingActive(streamEvents, watermark = "0 seconds")
       .writeStream.format("memory").queryName("stream_slide")
@@ -381,10 +373,7 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val raw = s.readStream
         .schema(s.read.parquet(s"$dir/events.parquet").schema)
         .parquet(stage.toString)
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-      else raw
+      Tables.normalizeEventTs(raw)
     }
     val errS = streamEvents().filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("ts"))
