@@ -190,6 +190,42 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S3/S4 on composite-font bytes: the p7 round-trip again, but through
+    * an /Identity-H /Type0 font with a generated /ToUnicode CMap — the
+    * modern-producer encoding a simple one-byte font can't represent, and
+    * the case the reference's PyMuPDF handles natively
+    * (pymupdf_parser.py:180-271). Each document's paragraphs get a
+    * deterministic multilingual tail (Korean + CJK + accented Latin — the
+    * reference corpus is Korean-heavy) so the CID alphabet genuinely
+    * leaves ASCII; `lossless` pins the CMap decode row-by-row. Same scale
+    * shape as p7: per-file map work in one `mapPartitions`, no shuffle.
+    */
+  private val p8CidPdf: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.{PdfSource, PdfWriter, RealPdfExtractor}
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val tail = s"문서 $id 한글 꼬리표 — résumé 中文測試 " +
+          ('가' + (id % 100).toInt).toChar
+        val paras = (text.split("\n{2,}").toSeq :+ tail)
+          .map(PdfWriter.sanitizeCid).filter(_.trim.nonEmpty)
+        val pages = paras.grouped(6)
+          .map(ps => PdfWriter.PageSpec(ps)).toSeq
+        val bytes = PdfWriter.buildCid(pages, compress = id % 2 == 0)
+        val blocks = RealPdfExtractor.extract(s"cid/$id.pdf", bytes)
+        val lossless = blocks.filter(!_.isImage).map(_.content) == paras
+        val segs = PdfSource.parsePdf(s"cid/$id", s"cid/$id.pdf", bytes,
+          RealPdfExtractor)
+        (id, pages.length, blocks.length, segs.length,
+          segs.map(_.content.length).sum, lossless, bytes.length)
+      })
+      .toDF("doc_id", "n_pages", "n_blocks", "n_segments",
+        "total_chars", "lossless", "pdf_bytes")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "p1_ingest_fragments" -> p1Fragments,
     "p2_parent_synthesis" -> p2Parents,
@@ -197,7 +233,8 @@ object PipelineQueries {
     "p4_pdf_segments" -> p4Pdf,
     "p5_e2e_golden45" -> p5E2eGolden,
     "p6_adversarial_recall" -> p6Adversarial,
-    "p7_real_pdf" -> p7RealPdf)
+    "p7_real_pdf" -> p7RealPdf,
+    "p8_cid_pdf" -> p8CidPdf)
 
   /** Not SQL-expressible (stateful per-document folds) — no oracles. */
   val oracles: Map[String, String] = Map.empty

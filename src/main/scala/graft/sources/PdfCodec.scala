@@ -23,10 +23,18 @@ import graft.sources.PdfSource.{PdfBlock, PdfExtractor}
   * S5 policy, S6 cache) is [[PdfSource]], unchanged — this only replaces
   * the stubbed byte decode.
   *
-  * Deliberate minimal-parser limits, documented for deployment: simple
-  * (byte→Latin-1) string encodings only — CID/Identity-H fonts need a
-  * CMap table and are out of scope offline; filters handled are none and
-  * FlateDecode (the overwhelming default for text content streams).
+  * String decoding covers the two families that matter in practice:
+  * simple one-byte fonts (Latin-1 passthrough, or the font's /ToUnicode
+  * CMap when embedded) and composite /Type0 fonts with /Identity-H
+  * encoding — two-byte CIDs mapped through the embedded /ToUnicode CMap
+  * (bfchar + bfrange, both scalar and array destination forms), which is
+  * how every modern producer embeds subset fonts (reference:
+  * ingestion/parsers/pymupdf_parser.py:180-271 gets the same mapping via
+  * PyMuPDF). Remaining documented limits: mixed-width codespace ranges
+  * (rare) take the first range's width; an Identity-H font with NO
+  * /ToUnicode has no text mapping anywhere — codes pass through as char
+  * values, best-effort. Filters handled are none and FlateDecode (the
+  * overwhelming default for text content streams).
   */
 object PdfCodec {
 
@@ -248,6 +256,120 @@ object PdfCodec {
     d.end()
     out.toByteArray
   }
+
+  // ---------------- fonts / CMaps ----------------
+
+  /** How to turn a text-showing operand's bytes into characters.
+    *
+    * @param codeBytes 1 for simple fonts, 2 for /Identity-H composite fonts
+    * @param toUni     code → replacement text from the font's /ToUnicode
+    *                  CMap; empty = identity (Latin-1 for 1-byte fonts,
+    *                  code-as-char best-effort for 2-byte fonts)
+    */
+  private[graft] final case class FontDec(codeBytes: Int,
+      toUni: Map[Int, String]) {
+    def decode(bytes: Array[Byte]): String = {
+      val sb = new StringBuilder
+      if (codeBytes == 2) {
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+          sb.append(toUni.getOrElse(code, code.toChar.toString))
+          i += 2
+        }
+      } else {
+        var i = 0
+        while (i < bytes.length) {
+          val code = bytes(i) & 0xff
+          sb.append(toUni.getOrElse(code, code.toChar.toString))
+          i += 1
+        }
+      }
+      sb.toString
+    }
+  }
+
+  private[graft] val Latin1Font = FontDec(1, Map.empty)
+
+  /** Parse a /ToUnicode CMap stream: code width from the first
+    * codespacerange entry, mappings from every bfchar and bfrange section
+    * (bfrange destinations in both the incrementing-scalar and the
+    * explicit-array form). The CMap grammar is COS syntax plus keywords,
+    * so the document [[Lex]] reads it directly. Returns (codeBytes, map);
+    * codeBytes 0 when the stream declares no codespacerange (caller picks
+    * a default from the font type).
+    */
+  private[graft] def parseCMap(data: Array[Byte]): (Int, Map[Int, String]) = {
+    val lex = new Lex(data)
+    val map = Map.newBuilder[Int, String]
+    var codeBytes = 0
+
+    def codeOf(b: Array[Byte]): Int = {
+      var v = 0
+      var i = 0
+      while (i < b.length && i < 4) { v = (v << 8) | (b(i) & 0xff); i += 1 }
+      v
+    }
+    def utf16(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    // bfrange increment: the LAST UTF-16 code unit of the destination
+    // advances with the code (PDF 32000 §9.10.3's "last byte" rule, on
+    // code-unit granularity — destinations are UTF-16BE)
+    def bump(dst: String, by: Int): String =
+      if (dst.isEmpty) dst
+      else dst.init + (dst.last + by).toChar
+
+    var done = false
+    while (!done) {
+      lex.next() match {
+        case null => done = true
+        case PKw("begincodespacerange") =>
+          var in = true
+          while (in) lex.next() match {
+            case PStr(lo) =>
+              if (codeBytes == 0) codeBytes = math.min(lo.length, 4)
+              lex.next() // hi, ignored
+              ()
+            case PKw("endcodespacerange") | null => in = false
+            case _ => ()
+          }
+        case PKw("beginbfchar") =>
+          var in = true
+          while (in) lex.next() match {
+            case PStr(src) => lex.next() match {
+              case PStr(dst) => map += codeOf(src) -> utf16(dst)
+              case _ => ()
+            }
+            case PKw("endbfchar") | null => in = false
+            case _ => ()
+          }
+        case PKw("beginbfrange") =>
+          var in = true
+          while (in) lex.next() match {
+            case PStr(lo) =>
+              (lex.next(), lex.next()) match {
+                case (PStr(hi), PStr(dst0)) =>
+                  val (l, h) = (codeOf(lo), codeOf(hi))
+                  val d = utf16(dst0)
+                  var c = l
+                  while (c <= h) { map += c -> bump(d, c - l); c += 1 }
+                case (PStr(hi), PArr(items)) =>
+                  val l = codeOf(lo)
+                  items.zipWithIndex.foreach {
+                    case (PStr(dst), i) if l + i <= codeOf(hi) =>
+                      map += (l + i) -> utf16(dst)
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+            case PKw("endbfrange") | null => in = false
+            case _ => ()
+          }
+        case _ => () // header/footer keywords, dicts, numbers: skip
+      }
+    }
+    (codeBytes, map.result())
+  }
 }
 
 /** Minimal real-PDF writer: Helvetica text lines via Td/TL/T*, optional
@@ -270,11 +392,16 @@ object PdfWriter {
   val PageTop = 756
   val LeftMargin = 72
 
-  /** Literal strings carry byte codes; anything beyond Latin-1 needs a
-    * composite font, which the minimal writer (and extractor) does not do —
-    * the SAME sanitation must be applied to any expected-output text. */
+  /** Literal strings carry byte codes; anything beyond Latin-1 needs the
+    * composite-font writer ([[buildCid]]) — the SAME sanitation must be
+    * applied to any expected-output text. */
   def sanitize(s: String): String =
     s.map(c => if (c > 'ÿ') '?' else if (c < ' ' && c != '\n') ' ' else c)
+
+  /** [[buildCid]]'s sanitation: any character survives (codes are CIDs,
+    * not bytes), only C0 controls flatten to spaces. */
+  def sanitizeCid(s: String): String =
+    s.map(c => if (c < ' ' && c != '\n') ' ' else c)
 
   private def esc(s: String): String = {
     val out = new StringBuilder
@@ -290,15 +417,51 @@ object PdfWriter {
   /** The extractor's content string for image n on a page (2x2 DeviceGray). */
   def imageContent(n: Int): String = s"Im$n 2x2"
 
-  def build(pages: Seq[PageSpec], compress: Boolean): Array[Byte] = {
+  def build(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
+    buildWith(pages, compress, cid = false)
+
+  /** Identity-H variant — the modern-producer shape the extractor must
+    * handle in the wild: one /Type0 font whose strings are two-byte CIDs,
+    * mapped back to text only through the embedded /ToUnicode CMap. CID =
+    * 1 + rank of the codepoint in the document's sorted distinct-codepoint
+    * set — deliberately NOT the codepoint itself, so an extractor that
+    * ignores the CMap cannot round-trip by accident. The CMap emits
+    * maximal consecutive runs as bfrange entries and the rest as bfchar
+    * (both ≤100 entries per section, per spec), so a round-trip exercises
+    * every mapping form. Supplementary codepoints get surrogate-pair
+    * (two-code-unit) bfchar destinations.
+    */
+  def buildCid(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
+    buildWith(pages, compress, cid = true)
+
+  private def buildWith(pages: Seq[PageSpec], compress: Boolean,
+      cid: Boolean): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = mutable.Map[Int, Int]()
-    var nextObj = 4 // 1=catalog 2=pages 3=font
+    // object plan: 1=catalog 2=pages, then the font objects
+    // (simple: 3=font; cid: 3=Type0 4=descendant CIDFont 5=ToUnicode)
+    var nextObj = if (cid) 6 else 4
     def defObj(num: Int)(body: => Unit): Unit = {
       offsets(num) = out.size()
       w(s"$num 0 obj\n"); body; w("\nendobj\n")
     }
+
+    // distinct codepoints across every page, sorted: the CID alphabet
+    val cidOf: Map[Int, Int] =
+      if (!cid) Map.empty
+      else pages.flatMap(_.paragraphs).flatMap(_.codePoints().toArray)
+        .filter(_ != '\n').distinct.sorted.zipWithIndex
+        .map { case (cp, i) => cp -> (i + 1) }.toMap
+
+    def showText(line: String): String =
+      if (cid) {
+        val sb = new StringBuilder("<")
+        line.codePoints().forEach { cp =>
+          sb.append(f"${cidOf.getOrElse(cp, 0)}%04X"); ()
+        }
+        sb.append('>').toString
+      } else s"(${esc(line)})"
 
     w("%PDF-1.4\n%âãÏÓ\n")
 
@@ -316,7 +479,21 @@ object PdfWriter {
       val kids = pagePlan.map(p => s"${p._1} 0 R").mkString(" ")
       w(s"<< /Type /Pages /Kids [ $kids ] /Count ${pages.length} >>")
     }
-    defObj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    if (!cid)
+      defObj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    else {
+      defObj(3)(w("<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic " +
+        "/Encoding /Identity-H /DescendantFonts [ 4 0 R ] /ToUnicode 5 0 R >>"))
+      defObj(4)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synthetic " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+        "/CIDToGIDMap /Identity >>"))
+      val cmap = toUnicodeCMap(cidOf)
+      defObj(5) {
+        w(s"<< /Length ${cmap.length} >>\nstream\n")
+        w(cmap)
+        w("\nendstream")
+      }
+    }
 
     pages.zip(pagePlan).foreach { case (pg, (pageObj, contentObj, imgObjs)) =>
       // content stream: absolute-positioned text object per paragraph
@@ -333,7 +510,7 @@ object PdfWriter {
           cs.append(s"BT\n/F1 $FontSize Tf\n$Leading TL\n$LeftMargin $y Td\n")
           lines.zipWithIndex.foreach { case (line, li) =>
             if (li > 0) cs.append("T*\n")
-            cs.append(s"(${esc(line)}) Tj\n")
+            cs.append(s"${showText(line)} Tj\n")
           }
           cs.append("ET\n")
           y -= Leading * lines.length + (ParagraphGap - Leading)
@@ -379,6 +556,53 @@ object PdfWriter {
     (1 until n).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
+  }
+
+  /** The /ToUnicode CMap text for a cid→codepoint alphabet: maximal
+    * consecutive (cid, codepoint) runs as bfrange entries — kept inside
+    * one cid high byte and BMP-only, per the spec's last-byte increment
+    * rule — everything else (including surrogate-pair destinations) as
+    * bfchar, both chunked to ≤100 entries per section.
+    */
+  private def toUnicodeCMap(cidOf: Map[Int, Int]): String = {
+    val byCid = cidOf.toSeq.map { case (cp, c) => (c, cp) }.sorted
+    def hex4(v: Int): String = f"<$v%04X>"
+    def dstHex(cp: Int): String =
+      Character.toChars(cp).map(u => f"${u.toInt}%04X").mkString("<", "", ">")
+
+    // split into maximal runs where cid and codepoint advance together
+    val runs = new ArrayBuffer[(Int, Int, Int)] // cidLo, cidHi, cpLo
+    byCid.foreach { case (c, cp) =>
+      runs.lastOption match {
+        case Some((lo, hi, cpLo))
+            if c == hi + 1 && cp == cpLo + (c - lo) &&
+              (c & 0xff00) == (lo & 0xff00) && cpLo < 0x10000 && cp <= 0xfffe =>
+          runs(runs.length - 1) = (lo, c, cpLo)
+        case _ => runs += ((c, c, cp))
+      }
+    }
+    val (ranges, chars) = runs.partition { case (lo, hi, _) => hi > lo }
+
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n")
+    sb.append("12 dict begin\nbegincmap\n")
+    sb.append("/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n")
+    sb.append("/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n")
+    sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    chars.map { case (c, _, cp) => s"${hex4(c)} ${dstHex(cp)}" }
+      .grouped(100).foreach { chunk =>
+        sb.append(s"${chunk.length} beginbfchar\n")
+        chunk.foreach(l => sb.append(l).append('\n'))
+        sb.append("endbfchar\n")
+      }
+    ranges.map { case (lo, hi, cpLo) => s"${hex4(lo)} ${hex4(hi)} ${dstHex(cpLo)}" }
+      .grouped(100).foreach { chunk =>
+        sb.append(s"${chunk.length} beginbfrange\n")
+        chunk.foreach(l => sb.append(l).append('\n'))
+        sb.append("endbfrange\n")
+      }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+    sb.toString
   }
 }
 
@@ -602,9 +826,10 @@ object RealPdfExtractor extends PdfExtractor {
     }
     if (content.isEmpty) return Nil
 
-    val xobjects: Map[String, (Int, Int)] = {
-      val res = page.get("Resources").map(r => dictOf(deref(objs, r)))
-        .getOrElse(resources)
+    val res = page.get("Resources").map(r => dictOf(deref(objs, r)))
+      .getOrElse(resources)
+
+    val xobjects: Map[String, (Int, Int)] =
       dictOf(deref(objs, res.getOrElse("XObject", PNull))).flatMap {
         case (name, ref) =>
           val (v, _) = deref2(objs, ref)
@@ -617,9 +842,24 @@ object RealPdfExtractor extends PdfExtractor {
             Some(name -> (dim("Width"), dim("Height")))
           } else None
       }
-    }
 
-    val events = interpret(content, xobjects)
+    val fonts: Map[String, FontDec] =
+      dictOf(deref(objs, res.getOrElse("Font", PNull))).map {
+        case (name, ref) =>
+          val (v, _) = deref2(objs, ref)
+          val d = dictOf(v)
+          val composite = d.get("Subtype").contains(PName("Type0"))
+          val (declaredWidth, toUni) = d.get("ToUnicode")
+            .map(r => parseCMap(decodedStream(objs, r)))
+            .getOrElse((0, Map.empty[Int, String]))
+          // font type decides the width when the CMap doesn't declare one;
+          // /Identity-H (and -V) composite codes are always two bytes
+          val width =
+            if (declaredWidth > 0) declaredWidth else if (composite) 2 else 1
+          name -> FontDec(width, toUni)
+      }
+
+    val events = interpret(content, xobjects, fonts)
     groupBlocks(events, pageNum)
   }
 
@@ -629,7 +869,8 @@ object RealPdfExtractor extends PdfExtractor {
     * segmentation needs. CTM (q/Q/cm) is tracked for image placement.
     */
   private def interpret(content: Array[Byte],
-      xobjects: Map[String, (Int, Int)]): Seq[Event] = {
+      xobjects: Map[String, (Int, Int)],
+      fonts: Map[String, FontDec] = Map.empty): Seq[Event] = {
     val lex = new Lex(content)
     val events = new ArrayBuffer[Event]
     val stack = new ArrayBuffer[PVal]
@@ -641,6 +882,7 @@ object RealPdfExtractor extends PdfExtractor {
     // space. Effective user-space size/leading = text-space × tmScale —
     // what block segmentation compares vertical gaps against.
     var tfSize = 12.0
+    var curFont = Latin1Font
     var tmScale = 1.0
     var leading = 0.0
     var lineX = 0.0
@@ -670,7 +912,7 @@ object RealPdfExtractor extends PdfExtractor {
 
     def show(bytes: Array[Byte]): Unit = {
       if (lineBuf.isEmpty) lineStartX = lineX
-      lineBuf.append(new String(bytes, ISO_8859_1))
+      lineBuf.append(curFont.decode(bytes))
     }
 
     var done = false
@@ -683,7 +925,13 @@ object RealPdfExtractor extends PdfExtractor {
               // BT resets the text matrix to identity
               flushLine(); tmScale = 1.0; lineX = 0; lineY = 0; lineStartX = 0
             case "ET" => flushLine()
-            case "Tf" => tfSize = num(1)
+            case "Tf" =>
+              tfSize = num(1)
+              stack.lift(stack.length - 2) match {
+                case Some(PName(f)) =>
+                  curFont = fonts.getOrElse(f, Latin1Font)
+                case _ => ()
+              }
             case "TL" => leading = num(1)
             case "Td" => newLine(num(2), num(1))
             case "TD" => leading = -num(1); newLine(num(2), num(1))

@@ -18,16 +18,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * `sbt "Test/runMain graft.GoldenHashGen"`.
   */
 object GoldenHashSpec {
-  /** The no-oracle queries: the 13 from CORRECTNESS_r05.json plus the
-    * round-6 additions p6 (adversarial eval) and v10 (HNSW). */
+  /** The no-oracle queries: stateful per-document folds and approximate
+    * structures whose self-checks aren't SQL. x15/x17 left this list in
+    * round 7 when the recursive-CTE BPE oracle landed; p8 (Identity-H
+    * round-trip) joined with round 7's CMap decoding. */
   val noOracleQueries: Seq[String] = Seq(
     "p1_ingest_fragments", "p2_parent_synthesis", "p3_embed_fragments",
     "p4_pdf_segments", "p5_e2e_golden45", "p6_adversarial_recall",
-    "p7_real_pdf",
+    "p7_real_pdf", "p8_cid_pdf",
     "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
     "v9_ivfpq_recall", "v10_hnsw_recall",
-    "x4_approx_stats", "x14_approx_topk", "x15_bpe_merges",
-    "x17_bpe_encode")
+    "x4_approx_stats", "x14_approx_topk")
 
   /** Reviewed-once golden hashes (sf0.001, session config above). */
   val pinned: Map[String, String] = Map(
@@ -38,6 +39,7 @@ object GoldenHashSpec {
     "p5_e2e_golden45" -> "211b506be808e27fd9faf92756b9db03",
     "p6_adversarial_recall" -> "7fc143fa968d452cf83472a28147cc8d",
     "p7_real_pdf" -> "cb6d5e32c669271c7fded91fe7d6dbf1",
+    "p8_cid_pdf" -> "d6f9dd1938082bf0818880d805b40314",
     "v5_ann_recall" -> "45820658a5290f75ce058970607f91a1",
     "v6_ivf_recall" -> "2820f621b95f7617bb49d5dd5a855eca",
     "v7_pq_recall" -> "9cebfbb91da0d7b2437aef4630cc7d5c",
@@ -46,8 +48,6 @@ object GoldenHashSpec {
     "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
     "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
     "x14_approx_topk" -> "03d0cc91a100036d57ef942396763a06",
-    "x15_bpe_merges" -> "360a61593aac1c884faf44ba87735d0c",
-    "x17_bpe_encode" -> "0213866f1d68c69bc15896a571d17af1",
   )
 }
 

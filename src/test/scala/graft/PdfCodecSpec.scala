@@ -85,6 +85,135 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(blocks == Seq("Greek ?? and emoji ?? degrade predictably."))
   }
 
+  // ---------------- Identity-H / CMap round-trips ----------------
+
+  private val uniParas = Seq(
+    "한국어 문서 처리 파이프라인 테스트 문장입니다.",
+    "Mixed 한글 and Latin text on one line\nsecond line with café naïve.",
+    "中文字符 плюс кириллица — all through one Type0 font.",
+    "Supplementary plane: 😀𝒜 emoji and math alphanumerics survive.")
+
+  test("CID round-trip: Identity-H text decodes via the ToUnicode CMap") {
+    val sane = uniParas.map(PdfWriter.sanitizeCid)
+    val blocks = textBlocks(PdfWriter.buildCid(Seq(PageSpec(sane)), compress = false))
+    assert(blocks == sane)
+  }
+
+  test("CID round-trip, FlateDecode: identical to the uncompressed decode") {
+    val sane = uniParas.map(PdfWriter.sanitizeCid)
+    val plain = PdfWriter.buildCid(Seq(PageSpec(sane)), compress = false)
+    val packed = PdfWriter.buildCid(Seq(PageSpec(sane)), compress = true)
+    assert(extract(packed) == extract(plain))
+    assert(extract(packed).map(_.content) == sane)
+  }
+
+  test("CID codes are not codepoints: ignoring the CMap cannot round-trip") {
+    // guards the fixture itself: a decoder that skips ToUnicode and reads
+    // CIDs as chars must NOT see the source text
+    val sane = Seq("plain ascii but cid-encoded")
+    val bytes = PdfWriter.buildCid(Seq(PageSpec(sane)), compress = false)
+    assert(textBlocks(bytes) == sane)
+    assert(!new String(bytes, ISO_8859_1).contains("plain ascii"))
+  }
+
+  test("parseCMap: codespace width, bfchar, and both bfrange forms") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0041>
+        |<0002> <D55C>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0061>
+        |<0020> <0022> [<0058> <00590059> <005A>]
+        |endbfrange
+        |endcmap
+        |end""".stripMargin.getBytes(ISO_8859_1)
+    val (width, m) = graft.sources.PdfCodec.parseCMap(cmap)
+    assert(width == 2)
+    assert(m(1) == "A" && m(2) == "한")
+    assert(m(0x10) == "a" && m(0x11) == "b" && m(0x12) == "c")
+    assert(m(0x20) == "X" && m(0x21) == "YY" && m(0x22) == "Z")
+  }
+
+  /** Hand-written Identity-H PDF (hex-string CIDs, explicit CMap) — pins
+    * the composite decode to the spec, not to [[PdfWriter.buildCid]]. */
+  private def cidPdfWith(content: String, cmap: String): Array[Byte] = {
+    val cs = content.getBytes(ISO_8859_1)
+    val cm = cmap.getBytes(ISO_8859_1)
+    val s = new StringBuilder
+    s.append("%PDF-1.4\n")
+    s.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    s.append("2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n")
+    s.append("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 5 0 R /F2 8 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    s.append(s"4 0 obj\n<< /Length ${cs.length} >>\nstream\n")
+    s.append(content)
+    s.append("\nendstream\nendobj\n")
+    s.append("5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+      "/Encoding /Identity-H /DescendantFonts [ 6 0 R ] /ToUnicode 7 0 R >>\nendobj\n")
+    s.append("6 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>\nendobj\n")
+    s.append(s"7 0 obj\n<< /Length ${cm.length} >>\nstream\n")
+    s.append(cmap)
+    s.append("\nendstream\nendobj\n")
+    s.append("8 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    s.append("trailer\n<< /Size 9 /Root 1 0 R >>\n%%EOF\n")
+    s.toString.getBytes(ISO_8859_1)
+  }
+
+  private val handCmap =
+    """begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |3 beginbfchar
+      |<0001> <D55C>
+      |<0002> <AE00>
+      |<0003> <0020>
+      |endbfchar
+      |1 beginbfrange
+      |<0010> <0015> <0061>
+      |endbfrange
+      |endcmap""".stripMargin
+
+  test("hand-written Identity-H PDF: hex CIDs map through the CMap") {
+    // <00010002> = 한글, <0003> space, <001000110012> = abc
+    val b = cidPdfWith(
+      "BT /F1 12 Tf 14 TL 72 700 Td <000100020003001000110012> Tj ET", handCmap)
+    assert(textBlocks(b) == Seq("한글 abc"))
+  }
+
+  test("mixed fonts on one line: simple and composite decode independently") {
+    val b = cidPdfWith(
+      "BT /F2 12 Tf 72 700 Td (latin ) Tj /F1 12 Tf <00010002> Tj ET", handCmap)
+    assert(textBlocks(b) == Seq("latin 한글"))
+  }
+
+  test("TJ with composite font: kerning spaces still apply between CID runs") {
+    val b = cidPdfWith(
+      "BT /F1 12 Tf 72 700 Td [ <0001> -250 <0002> ] TJ ET", handCmap)
+    assert(textBlocks(b) == Seq("한 글"))
+  }
+
+  test("Identity-H without ToUnicode degrades to code-as-char, never throws") {
+    val noUni =
+      "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+        "/Encoding /Identity-H /DescendantFonts [ 6 0 R ] >>\nendobj\n"
+    val withUni =
+      "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+        "/Encoding /Identity-H /DescendantFonts [ 6 0 R ] /ToUnicode 7 0 R >>\nendobj\n"
+    val base = new String(
+      cidPdfWith("BT /F1 12 Tf 72 700 Td <00480069> Tj ET", handCmap), ISO_8859_1)
+    val b = base.replace(withUni, noUni).getBytes(ISO_8859_1)
+    // codes 0x0048 0x0069 pass through as chars 'H' 'i'
+    assert(textBlocks(b) == Seq("Hi"))
+  }
+
   // ---------------- hand-written PDFs: spec syntax the writer avoids ----------------
 
   /** Minimal single-page scaffold around a raw content stream. */
