@@ -565,7 +565,55 @@ object DedupQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // D12 — per-document novelty against corpus order: the fraction of a
+  // document's DISTINCT 4-grams whose first corpus occurrence (global min
+  // doc_id) is this document — the dataset-growth diagnostic a collection
+  // pipeline runs per crawl ("how much genuinely new content did this
+  // shard add?"; near-zero novelty tails are re-crawls and scrape loops).
+  // Same plumbing family as d9, one stage cheaper: distinct (doc, gram)
+  // pairs on 60-bit keys, a gram-keyed census aggregating min(doc_id) —
+  // partial-aggregatable map-side, one row per distinct gram to the
+  // shuffle, no window over gram partitions (a boilerplate gram would
+  // serialize onto one task) — join back on the same gram partitioning,
+  // per-doc agg. At 100 TB the census IS the running first-seen table the
+  // incremental variant (d10's shape) maintains at write time. The
+  // fraction divides two exact longs once.
+  private val d12Novelty: Q = (s, dir) => {
+    val dg = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"),
+        explode(TextSketch.shingles(col("text"), CrossN)).as("gs"))
+      .select(col("doc_id"), TextSketch.hexInt(col("gs")).as("g"))
+      .distinct()
+    val firstSeen = dg.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    dg.join(firstSeen, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first_here"))
+      .select(col("doc_id"), col("n_distinct_grams"), col("n_first_here"),
+        (col("n_first_here").cast("double") /
+          col("n_distinct_grams").cast("double")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d12Sql = {
+    val sh = duck.shingles(duck.words("text"), CrossN)
+    s"""WITH dg AS (
+       |  SELECT DISTINCT doc_id, ${duck.hexInt("g")} AS g
+       |  FROM (SELECT doc_id, unnest($sh) AS g FROM documents)),
+       |census AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_distinct_grams,
+       |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_first_here,
+       |  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+       |FROM dg JOIN census USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "d12_novelty" -> d12Novelty,
     "d11_segment_dedup" -> d11SegmentDedup,
     "d10_incremental_dedup" -> d10Incremental,
     "d9_crossdoc_grams" -> d9CrossdocGrams,
@@ -579,6 +627,7 @@ object DedupQueries {
     "d8_dedup_keep" -> d8DedupKeep)
 
   val oracles: Map[String, String] = Map(
+    "d12_novelty" -> d12Sql,
     "d11_segment_dedup" -> d11Sql,
     "d10_incremental_dedup" -> d10Sql,
     "d9_crossdoc_grams" -> d9Sql,

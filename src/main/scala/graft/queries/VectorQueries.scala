@@ -253,17 +253,103 @@ object VectorQueries {
        |  USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin
 
+  // V12 — Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+  // 1998): the RAG diversification pass that keeps a result page from
+  // being k copies of the same near-duplicate chunk. Greedy: each step
+  // picks argmax over the remaining pool of
+  // `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`, ties on vec_id.
+  // Shape at 100 TB: the engine does all corpus-sized work (one scan for
+  // the relevance top-pool — the v1 TakeOrderedAndProject plan — and one
+  // pool×pool cosine block, 400 rows); the greedy itself is O(k·pool)
+  // over OUTPUT-bounded rows, the A2/A3 k-bounded-collect family. λ is
+  // exactly 0.5 (one binary digit), so `0.5·rel − 0.5·maxsim` is the
+  // identical IEEE op sequence on both engines; the oracle replays the
+  // greedy as a recursive CTE carrying the selected-set as list state
+  // (the x15 precedent) with min(struct) as the argmax.
+  private val MmrPool = 20
+  private val MmrK = 8
+
+  private val v12Mmr: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val pool = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", cosine(col("embedding"), col("qv")))
+      .select(col("vec_id"), col("embedding"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPool)
+    val pairRows = pool
+      .select(col("vec_id").as("ca"), col("embedding").as("ea"), col("rel"))
+      .crossJoin(pool.select(col("vec_id").as("cb"), col("embedding").as("eb")))
+      .withColumn("sim", cosine(col("ea"), col("eb")))
+      .select(col("ca"), col("rel"), col("cb"), col("sim"))
+      .collect() // pool² = 400 rows — output-bounded by construction
+    val rel = pairRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = pairRows.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val cands = rel.keys.toSeq.sorted
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    while (selected.length < MmrK && selected.length < cands.length) {
+      val chosen = cands.filterNot(c => selected.exists(_._1 == c)).map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(sel => sim((c, sel._1))).max
+        (c, rel(c), 0.5 * rel(c) - 0.5 * maxSim)
+      }.minBy { case (vid, _, score) => (-score, vid) }
+      selected += chosen
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((vid, r, sc), i) => (i + 1, vid, r, sc) }
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
+
+  private val v12Sql =
+    s"""WITH RECURSIVE
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |pool AS (
+       |  SELECT e.vec_id, e.embedding, ${duckCosine("e.embedding", "q.qv")} AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT $MmrPool),
+       |pairs AS (
+       |  SELECT a.vec_id AS ca, b.vec_id AS cb,
+       |    ${duckCosine("a.embedding", "b.embedding")} AS sim
+       |  FROM pool a, pool b),
+       |mmr(rank, vec_id, relevance, score, selected) AS (
+       |  SELECT 1, b.b['vid'], b.b['rel'], b.b['sc'], [b.b['vid']]
+       |  FROM (SELECT min(struct_pack(negs := -(0.5*rel - 0.5*0.0),
+       |          vid := vec_id, rel := rel, sc := 0.5*rel - 0.5*0.0)) AS b
+       |        FROM pool) b
+       |  UNION ALL
+       |  SELECT m.rank + 1, c.b['vid'], c.b['rel'], c.b['sc'],
+       |    list_append(m.selected, c.b['vid'])
+       |  FROM mmr m CROSS JOIN LATERAL (
+       |    SELECT min(struct_pack(negs := -(0.5*p.rel - 0.5*mx.msim),
+       |        vid := p.vec_id, rel := p.rel,
+       |        sc := 0.5*p.rel - 0.5*mx.msim)) AS b
+       |    FROM pool p JOIN (
+       |      SELECT pr.ca AS vid2, max(pr.sim) AS msim FROM pairs pr
+       |      WHERE list_contains(m.selected, pr.cb) GROUP BY pr.ca) mx
+       |    ON p.vec_id = mx.vid2
+       |    WHERE NOT list_contains(m.selected, p.vec_id)
+       |  ) c
+       |  WHERE m.rank < $MmrK
+       |)
+       |SELECT rank, vec_id, relevance, score AS mmr_score FROM mmr
+       |ORDER BY rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "v1_knn_exact" -> v1Knn,
     "v2_knn_batch" -> v2BatchKnn,
     "v3_lsh_buckets" -> v3LshBuckets,
     "v4_embed_neardup" -> v4NearDup,
-    "v11_semdedup" -> v11SemDedup)
+    "v11_semdedup" -> v11SemDedup,
+    "v12_mmr_rerank" -> v12Mmr)
 
   val oracles: Map[String, String] = Map(
     "v1_knn_exact" -> v1Sql,
     "v2_knn_batch" -> v2Sql,
     "v3_lsh_buckets" -> v3Sql,
     "v4_embed_neardup" -> v4Sql,
-    "v11_semdedup" -> v11Sql)
+    "v11_semdedup" -> v11Sql,
+    "v12_mmr_rerank" -> v12Sql)
 }

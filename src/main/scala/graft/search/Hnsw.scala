@@ -423,6 +423,61 @@ object Hnsw {
     * read path costs O(index bytes) + O(queries·ef·log n_shard), never a
     * rebuild.
     */
+  /** A restored, driver/serving-process-resident copy of a persisted
+    * index: every shard graph in memory, answering ONE query at a time
+    * with no Spark job on the query path. This is the online-ANN serving
+    * boundary made concrete: Spark builds and maintains the index (write
+    * time, [[saveIndex]]/[[HnswMaintenance]]), batch analytics walks it
+    * distributed ([[searchIndex]]), and a serving node loads THIS — the
+    * same division as the reference, whose serving index lives inside
+    * postgres/pgvector (storage/schema.py:78-84) while batch work runs
+    * outside. The collect here is the index itself — a serving node's
+    * working set by definition (pgvector holds it in shared_buffers the
+    * same way); it is bounded by index bytes, never by corpus text. At
+    * 100 TB the index table is sharded wider than one node and this
+    * restore takes a shard-id subset per serving node — the signature
+    * already permits it (filter the DataFrame first).
+    */
+  final class ServingIndex private[search] (shards: Array[Index]) {
+    /** Number of restored shard graphs. */
+    def numShards: Int = shards.length
+    /** Total nodes across shards. */
+    def size: Int = shards.map(_.size).sum
+
+    /** Point query: search every shard graph, merge by (sim desc, id asc)
+      * — identical semantics to [[searchIndex]] at equal `ef`, without a
+      * job launch. O(shards · ef · log n_shard) distance ops.
+      */
+    def search(q: Array[Float], k: Int, ef: Int): Array[(String, Double)] = {
+      val merged = new mutable.ArrayBuffer[(String, Double)]
+      shards.foreach(g => merged ++= g.search(q, k, ef))
+      merged.sortBy { case (id, sim) => (-sim, id) }.take(k).toArray
+    }
+  }
+
+  /** Restore a persisted adjacency table ([[saveIndex]]) into a
+    * [[ServingIndex]]. Pass a pre-filtered DataFrame (e.g.
+    * `index.filter(col("shard_id") < 8)`) to restore a subset of shards
+    * on one serving node.
+    */
+  def restoreServing(index: DataFrame, idCol: String = "fragment_id")
+      : ServingIndex = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val rows = index.select(col("shard_id").cast("int"),
+        col("node_idx").cast("int"), col(idCol).cast("string"),
+        col("vector"), col("links"))
+      .as[(Int, Int, String, Array[Float], Array[Array[Int]])]
+      .collect() // the serving node's working set — see ServingIndex doc
+    val shards = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val g = new Index(sorted.head._4.length, 16, 0)
+      g.importRows(sorted.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
+      g
+    }
+    new ServingIndex(shards.toArray)
+  }
+
   def searchIndex(index: DataFrame, queries: Seq[(String, Array[Float])],
       topK: Int, ef: Int, idCol: String = "fragment_id"): DataFrame = {
     val spark = index.sparkSession

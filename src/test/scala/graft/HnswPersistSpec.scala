@@ -90,6 +90,32 @@ class HnswPersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ServingIndex point queries match the distributed searchIndex path") {
+    val serving = Hnsw.restoreServing(saved)
+    assert(serving.numShards == 3 && serving.size == vecs.length)
+    val batch = collectHits(Hnsw.searchIndex(saved, queries, topK = 10,
+      ef = 32))
+    queries.foreach { case (qid, q) =>
+      val point = serving.search(q, 10, ef = 32)
+        .map { case (id, sim) => (id, sim) }.toSeq
+      val viaBatch = batch.filter(_._1 == qid).sortBy(_._4)
+        .map(t => (t._2, t._3))
+      assert(point == viaBatch, s"query $qid")
+    }
+  }
+
+  test("ServingIndex restores a shard subset when the DataFrame is filtered") {
+    import org.apache.spark.sql.functions.col
+    val partial = Hnsw.restoreServing(saved.filter(col("shard_id") === 0))
+    assert(partial.numShards == 1 && partial.size < vecs.length)
+    // answers come only from the restored shard but are still well-formed
+    val res = partial.search(queries.head._2, 5, ef = 32)
+    assert(res.length == 5 && res.sliding(2).forall {
+      case Array(a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      case _ => true
+    })
+  }
+
   test("layout is shard-partitioned: one directory per shard") {
     val parts = new java.io.File(s"$dir/index").listFiles()
       .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted

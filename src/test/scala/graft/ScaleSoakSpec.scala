@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Opt-in sf1 scale soak (VERDICT r6 task #8): re-checks the linearity
+  * claims per round instead of trusting a one-time measurement.
+  *
+  * One documented command:
+  * {{{
+  * GRAFT_SOAK=1 sbt "testOnly graft.ScaleSoakSpec"
+  * }}}
+  * generates `localdata/sf1` (10× sf0.1 via `tools/gen_sf1.py`, key-
+  * remapped replication — dev tooling, never driver data) if absent, runs
+  * the ENTIRE catalog once at sf0.1 and once at sf1 through the bench's
+  * noop-sink evaluation, writes `SOAK_r07_sf1.json`, and asserts the
+  * scale envelope:
+  *
+  *   - no query may fail at sf1 that passed at sf0.1;
+  *   - catalog total at 10× data stays under 6× (observed 2.1×; a
+  *     quadratic operator would land near 100× — the bound has host-noise
+  *     margin while still catching any superlinear regression);
+  *   - per-query: nothing that costs ≥ 0.5 s at sf0.1 may blow past 25×.
+  *
+  * Without GRAFT_SOAK=1 every test cancels (assume), so CI time is
+  * unaffected.
+  */
+class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val enabled = sys.env.get("GRAFT_SOAK").contains("1")
+  private val sf01 = "/root/testdata/sf0.1"
+  private val sf1 = "localdata/sf1"
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = if (enabled) {
+    spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (!new java.io.File(s"$sf1/lineitem.parquet").isFile) {
+      info(s"generating $sf1 via tools/gen_sf1.py …")
+      val rc = new ProcessBuilder("python3", "tools/gen_sf1.py", sf1)
+        .inheritIO().start().waitFor()
+      require(rc == 0, s"gen_sf1.py exited $rc")
+    }
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def runCatalog(dir: String): Map[String, (Double, Boolean)] =
+    SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, dir).write.mode("overwrite").format("noop").save(); true }
+        catch { case _: Throwable => false }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
+    }
+
+  test("sf1 soak: full catalog stays within the linear envelope") {
+    assume(enabled, "opt-in: set GRAFT_SOAK=1 to run the sf1 soak")
+
+    val base = runCatalog(sf01)
+    val soak = runCatalog(sf1)
+
+    // artifact first, asserts second — a failed envelope still leaves the
+    // full record on disk for diagnosis
+    val total01 = base.collect { case (_, (t, true)) => t }.sum
+    val total1 = soak.collect { case (_, (t, true)) => t }.sum
+    val qs = soak.toSeq.sortBy(_._1).map { case (k, (t, ok)) =>
+      s"""\"$k\":${if (ok) t.toString else "-1"}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total1,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sf1","baseline_sf01_total":$total01,""" +
+        s""""ratio":${if (total01 > 0) total1 / total01 else -1},""" +
+        s""""nq":${soak.size},""" +
+        s""""failures":${soak.count(!_._2._2)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r07_sf1.json"),
+      (line + "\n").getBytes("UTF-8"))
+    info(f"sf0.1 total ${total01}%.1f s, sf1 total ${total1}%.1f s " +
+      f"(${total1 / total01}%.2f×)")
+
+    val brokeAtScale = soak.collect {
+      case (k, (_, false)) if base.get(k).exists(_._2) => k
+    }
+    assert(brokeAtScale.isEmpty, s"queries failing only at sf1: $brokeAtScale")
+    assert(total1 <= 6 * total01,
+      f"catalog total ${total1 / total01}%.2f× at 10× data (bound 6×)")
+    val superlinear = base.collect {
+      case (k, (t0, true)) if t0 >= 0.5 && soak(k)._2 &&
+          soak(k)._1 > 25 * t0 =>
+        f"$k: ${t0}%.2f s → ${soak(k)._1}%.2f s"
+    }
+    assert(superlinear.isEmpty,
+      s"per-query blowups past 25× at 10× data: $superlinear")
+  }
+}
