@@ -827,7 +827,65 @@ object TextAnalysisQueries {
        |FROM encoded GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // X19 — vocabulary growth over corpus order (the Heaps'-law census): 10
+  // doc-id deciles, each reporting its token volume, the count of types
+  // (distinct tokens) first seen there, and the cumulative vocabulary —
+  // the collection diagnostic that tells a crawl pipeline whether new data
+  // still grows the vocabulary or only repeats it (a flattening curve =
+  // saturation; paired with d12's per-doc novelty). Decile is a pure
+  // integer function of (doc_id, max doc_id), so the split is stable under
+  // re-partitioning; `doc_id·10 div (max+1) ≤ 9` needs no clamp. Shape:
+  // one token-keyed census (min decile, partial-agg'd map-side — the d12
+  // argument), a 10-row decile agg, a 10-row join + cumulative window —
+  // nothing corpus-sized moves after the census shuffle. All counts exact
+  // longs; the rate divides two exact longs once.
+  private val x19VocabGrowth: Q = (s, dir) => {
+    val mx = Tables.documents(s, dir).agg(max(col("doc_id")).as("__mx"))
+    val dec = wordsStage(s, dir)
+      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .crossJoin(broadcast(mx))
+      .select(col("tok"),
+        expr("CAST(doc_id * 10 DIV (__mx + 1) AS BIGINT)").as("decile"))
+    val perDec = dec.groupBy(col("decile")).agg(count(lit(1)).as("n_tokens"))
+    val newTypes = dec.groupBy(col("tok"))
+      .agg(min(col("decile")).as("first_decile"))
+      .groupBy(col("first_decile")).agg(count(lit(1)).as("n_new_types"))
+      .withColumnRenamed("first_decile", "decile")
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDec.join(newTypes, Seq("decile"), "left")
+      .select(col("decile"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_vocab", sum(col("n_new_types")).over(w))
+      .withColumn("new_type_rate",
+        col("n_new_types").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("decile"))
+  }
+
+  private val x19Sql = {
+    val w = duck.wordsExpr
+    s"""WITH dec AS (
+       |  SELECT tok, doc_id * 10 // (m + 1) AS decile
+       |  FROM (SELECT doc_id, unnest($w) AS tok FROM documents),
+       |       (SELECT max(doc_id) AS m FROM documents)),
+       |per_dec AS (SELECT decile, count(*) AS n_tokens FROM dec GROUP BY 1),
+       |new_types AS (
+       |  SELECT first_decile AS decile, count(*) AS n_new_types
+       |  FROM (SELECT tok, min(decile) AS first_decile FROM dec GROUP BY 1)
+       |  GROUP BY 1)
+       |SELECT d.decile, d.n_tokens,
+       |  COALESCE(n.n_new_types, 0)::BIGINT AS n_new_types,
+       |  CAST(SUM(COALESCE(n.n_new_types, 0)) OVER (ORDER BY d.decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_vocab,
+       |  COALESCE(n.n_new_types, 0)::DOUBLE / d.n_tokens::DOUBLE
+       |    AS new_type_rate
+       |FROM per_dec d LEFT JOIN new_types n USING (decile)
+       |ORDER BY d.decile""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "x19_vocab_growth" -> x19VocabGrowth,
     "x18_heldout_lm" -> x18HeldoutLm,
     "x17_bpe_encode" -> x17BpeEncode,
     "x16_rare_tokens" -> x16RareTokens,
@@ -846,6 +904,7 @@ object TextAnalysisQueries {
     "x6_trigram_lang" -> x6TrigramLang)
 
   val oracles: Map[String, String] = Map(
+    "x19_vocab_growth" -> x19Sql,
     "x18_heldout_lm" -> x18Sql,
     "x17_bpe_encode" -> x17Sql,
     "x16_rare_tokens" -> x16Sql,

@@ -403,6 +403,42 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"cross-doc census degenerated to an all-pairs join:\n$p")
   }
 
+  test("d12: novelty census joins on gram keys, never all-pairs") {
+    val p = plan("d12_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty census degenerated to an all-pairs join:\n$p")
+    // first-seen must be an aggregate (partial-agg'd map-side), not a
+    // window over gram partitions (hot boilerplate grams would serialize
+    // their whole partition onto one task)
+    assert(p.contains("partial_min") || p.contains("min("),
+      s"first-seen should be a min() aggregate:\n$p")
+    assert(!p.contains("RunningWindowFunction"),
+      s"first-seen must not be a window over gram partitions:\n$p")
+  }
+
+  test("v12: MMR pool stages stay top-k scans, greedy never touches the corpus") {
+    // the plan of the POOL stage (what the engine executes; the greedy
+    // runs on the 400 collected pool rows): corpus work must be
+    // TakeOrderedAndProject over a broadcast-joined scan, no shuffle of
+    // the embeddings table
+    val p = plan("v12_mmr_rerank")
+    // v12's result is a local DataFrame built from the greedy — the
+    // corpus-sized work already happened in the collect'd pool stages, so
+    // the final plan must be a tiny LocalTableScan (nothing corpus-sized
+    // leaks into the output plan)
+    assert(p.contains("LocalTableScan"),
+      s"v12 output should be a driver-local k-row table:\n$p")
+  }
+
+  test("p8: CID round-trip is one mapPartitions pass, no shuffle") {
+    val p = plan("p8_cid_pdf")
+    assert(!p.contains("Exchange hashpartitioning") ||
+      p.indexOf("Exchange hashpartitioning") ==
+        p.lastIndexOf("Exchange hashpartitioning"),
+      s"per-file map work should not shuffle (one presentation sort max):\n$p")
+  }
+
   test("g4: sequence packing runs on one shard partitioning, no global sort") {
     val p = plan("g4_sequence_packing")
     // the cumsum window and both aggs all key on shard: exactly one hash
