@@ -291,6 +291,72 @@ object PdfCodec {
 
   private[graft] val Latin1Font = FontDec(1, Map.empty)
 
+  /** Glyph-name → text for /Differences encoding arrays (the LaTeX/dvips
+    * producer shape: a simple font remaps byte codes to named glyphs).
+    * Covers the Adobe Glyph List names that matter for Latin text plus
+    * the algorithmic `uniXXXX` family; unknown names yield None and the
+    * byte falls back to Latin-1.
+    */
+  private[graft] def glyphToText(name: String): Option[String] = {
+    if (name.length == 1) return Some(name)
+    if ((name.startsWith("uni") && name.length >= 7)) {
+      try {
+        val cp = Integer.parseInt(name.substring(3, 7), 16)
+        return Some(cp.toChar.toString)
+      } catch { case _: NumberFormatException => () }
+    }
+    AglSubset.get(name)
+  }
+
+  private val AglSubset: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+    "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+    "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+    "parenright" -> ")", "asterisk" -> "*", "plus" -> "+", "comma" -> ",",
+    "hyphen" -> "-", "period" -> ".", "slash" -> "/", "zero" -> "0",
+    "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8",
+    "nine" -> "9", "colon" -> ":", "semicolon" -> ";", "less" -> "<",
+    "equal" -> "=", "greater" -> ">", "question" -> "?", "at" -> "@",
+    "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+    "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+    "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+    "asciitilde" -> "~",
+    "eacute" -> "é", "egrave" -> "è", "ecircumflex" -> "ê",
+    "edieresis" -> "ë", "agrave" -> "à", "aacute" -> "á",
+    "acircumflex" -> "â", "adieresis" -> "ä", "aring" -> "å",
+    "atilde" -> "ã", "ccedilla" -> "ç", "igrave" -> "ì", "iacute" -> "í",
+    "icircumflex" -> "î", "idieresis" -> "ï", "ntilde" -> "ñ",
+    "ograve" -> "ò", "oacute" -> "ó", "ocircumflex" -> "ô",
+    "odieresis" -> "ö", "otilde" -> "õ", "oslash" -> "ø",
+    "ugrave" -> "ù", "uacute" -> "ú", "ucircumflex" -> "û",
+    "udieresis" -> "ü", "yacute" -> "ý", "ydieresis" -> "ÿ",
+    "germandbls" -> "ß", "ae" -> "æ", "oe" -> "œ", "OE" -> "Œ",
+    "AE" -> "Æ", "Oslash" -> "Ø", "Aring" -> "Å",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "ellipsis" -> "…", "fi" -> "ﬁ", "fl" -> "ﬂ",
+    "Euro" -> "€", "sterling" -> "£", "yen" -> "¥", "cent" -> "¢",
+    "degree" -> "°", "section" -> "§", "paragraph" -> "¶",
+    "copyright" -> "©", "registered" -> "®", "trademark" -> "™")
+
+  /** Byte-code → text map from a /Differences array: runs of
+    * `code /name /name …` restart at each number (PDF 32000 §9.6.6.3).
+    */
+  private[graft] def parseDifferences(arr: Vector[PVal]): Map[Int, String] = {
+    val m = Map.newBuilder[Int, String]
+    var code = -1
+    arr.foreach {
+      case PNum(n) => code = n.toInt
+      case PName(g) if code >= 0 && code <= 255 =>
+        glyphToText(g).foreach(t => m += code -> t)
+        code += 1
+      case _ => ()
+    }
+    m.result()
+  }
+
   /** Parse a /ToUnicode CMap stream: code width from the first
     * codespacerange entry, mappings from every bfchar and bfrange section
     * (bfrange destinations in both the incrementing-scalar and the
@@ -852,11 +918,23 @@ object RealPdfExtractor extends PdfExtractor {
           val (declaredWidth, toUni) = d.get("ToUnicode")
             .map(r => parseCMap(decodedStream(objs, r)))
             .getOrElse((0, Map.empty[Int, String]))
+          // simple-font /Encoding << /Differences [...] >> remaps byte
+          // codes to named glyphs (the LaTeX producer shape); an embedded
+          // ToUnicode is authoritative where both cover a code
+          val diffs: Map[Int, String] =
+            if (composite) Map.empty
+            else deref(objs, d.getOrElse("Encoding", PNull)) match {
+              case PDict(enc) => deref(objs, enc.getOrElse("Differences", PNull)) match {
+                case PArr(arr) => parseDifferences(arr)
+                case _ => Map.empty
+              }
+              case _ => Map.empty
+            }
           // font type decides the width when the CMap doesn't declare one;
           // /Identity-H (and -V) composite codes are always two bytes
           val width =
             if (declaredWidth > 0) declaredWidth else if (composite) 2 else 1
-          name -> FontDec(width, toUni)
+          name -> FontDec(width, diffs ++ toUni)
       }
 
     val events = interpret(content, xobjects, fonts)

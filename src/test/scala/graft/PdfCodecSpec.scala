@@ -214,6 +214,44 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(textBlocks(b) == Seq("Hi"))
   }
 
+  test("parseCMap never throws on garbage, truncated, or empty input") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      Array.emptyByteArray,
+      "beginbfchar <00".getBytes(ISO_8859_1),
+      "3 beginbfrange <0001> endbfrange".getBytes(ISO_8859_1),
+      handCmap.getBytes(ISO_8859_1).take(30),
+      Array.fill(512)(rnd.nextInt(256).toByte))
+    cases.foreach { bytes =>
+      val (w, m) = graft.sources.PdfCodec.parseCMap(bytes) // must not throw
+      assert(w >= 0 && m != null)
+    }
+  }
+
+  test("simple font /Differences remaps bytes via glyph names; ToUnicode wins on overlap") {
+    val content = "BT /F2 12 Tf 72 700 Td (AB C) Tj ET"
+    val diffFont =
+      "8 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /X /Encoding " +
+        "<< /Type /Encoding /Differences [ 65 /eacute /uni4E2D 32 /underscore 67 /notarealglyph ] >> >>\nendobj\n"
+    val plainFont =
+      "8 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    val base = new String(cidPdfWith(content, handCmap), ISO_8859_1)
+    val b = base.replace(plainFont, diffFont).getBytes(ISO_8859_1)
+    // 65→é (AGL), 66→中 (uniXXXX), 32→_ (run continues), 67 unknown → 'C'
+    assert(textBlocks(b) == Seq("é中_C"))
+  }
+
+  test("glyphToText: AGL subset, uniXXXX, single-char, unknown") {
+    import graft.sources.PdfCodec.glyphToText
+    assert(glyphToText("eacute").contains("é"))
+    assert(glyphToText("uni0041").contains("A"))
+    assert(glyphToText("uniD55C").contains("한"))
+    assert(glyphToText("a").contains("a"))
+    assert(glyphToText("uniZZZZ").isEmpty)
+    assert(glyphToText("notaglyph").isEmpty)
+    assert(glyphToText("emdash").contains("—"))
+  }
+
   // ---------------- hand-written PDFs: spec syntax the writer avoids ----------------
 
   /** Minimal single-page scaffold around a raw content stream. */
