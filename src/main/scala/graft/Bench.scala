@@ -150,7 +150,18 @@ object Bench {
     val errors: Map[String, String] = pass1.flatMap { case (k, (_, e1)) =>
       for (m1 <- e1; _ <- pass2(k)._2) yield k -> m1
     }
-    val results = pass1.map { case (k, (v, _)) => k -> math.min(v, pass2(k)._1) }
+    // min over SUCCESSFUL passes only: a query that threw in one pass must
+    // not record the throw's (fast) time — that would reproduce the
+    // BENCH_r06 fast-failure masquerade for single-pass hiccups
+    val results = pass1.map { case (k, (t1, e1)) =>
+      val (t2, e2) = pass2(k)
+      k -> ((e1.isEmpty, e2.isEmpty) match {
+        case (true, true) => math.min(t1, t2)
+        case (true, false) => t1
+        case (false, true) => t2
+        case (false, false) => math.min(t1, t2) // both failed: -1 sentinel below
+      })
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -182,7 +193,11 @@ object Bench {
     println(fullLine)
     // Final line: compact (slowest 15 queries only) so it survives any
     // stdout tail window ≥ ~1 KB and still parses as the contract shape.
-    val top = results.toSeq.sortBy(-_._2).take(15)
+    // failed queries carry no meaningful duration: keep them out of the
+    // slowest-15 (they are named in failed[]), so the compact line never
+    // shows a broken query as a clean measurement
+    val top = results.toSeq.filterNot { case (k, _) => errors.contains(k) }
+      .sortBy(-_._2).take(15)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     // compact meta: failure NAMES only (bounded), full messages live in
     // bench_out.json — keeps the line under the ~1 KB tail window

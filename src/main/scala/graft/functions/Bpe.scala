@@ -36,9 +36,23 @@ object Bpe {
   /** One learned merge; the new symbol is `left + right`. */
   final case class Merge(left: String, right: String)
 
-  /** Split a word into initial character symbols. */
-  def charSymbols(word: String): List[String] =
-    word.map(_.toString).toList
+  /** Split a word into initial character symbols — by Unicode CODEPOINT,
+    * not UTF-16 code unit: a surrogate pair is one symbol. This is both
+    * the semantically right base alphabet for a tokenizer (a lone
+    * surrogate is not text) and the only choice the DuckDB oracle can
+    * mirror (SQL string indexing is codepoint-based; a half-surrogate is
+    * unrepresentable there).
+    */
+  def charSymbols(word: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
 
   /** Apply one merge left-to-right, non-overlapping (the standard BPE
     * apply pass).

@@ -269,16 +269,25 @@ object VectorQueries {
   private val MmrPool = 20
   private val MmrK = 8
 
-  private val v12Mmr: Q = (s, dir) => {
-    import s.implicits._
+  /** The corpus-sized stage of v12, exposed so PlanShapeSpec can assert
+    * its plan (TakeOrderedAndProject over a broadcast-joined scan — the
+    * v1 shape); the query function's own output plan is a driver-local
+    * table by construction and proves nothing about this stage.
+    */
+  private[graft] def mmrPool(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val pool = e.filter(col("vec_id") =!= 0)
+    e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .withColumn("rel", cosine(col("embedding"), col("qv")))
       .select(col("vec_id"), col("embedding"), col("rel"))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(MmrPool)
+  }
+
+  private val v12Mmr: Q = (s, dir) => {
+    import s.implicits._
+    val pool = mmrPool(s, dir)
     val pairRows = pool
       .select(col("vec_id").as("ca"), col("embedding").as("ea"), col("rel"))
       .crossJoin(pool.select(col("vec_id").as("cb"), col("embedding").as("eb")))
@@ -332,7 +341,7 @@ object VectorQueries {
        |    ON p.vec_id = mx.vid2
        |    WHERE NOT list_contains(m.selected, p.vec_id)
        |  ) c
-       |  WHERE m.rank < $MmrK
+       |  WHERE m.rank < $MmrK AND c.b['vid'] IS NOT NULL
        |)
        |SELECT rank, vec_id, relevance, score AS mmr_score FROM mmr
        |ORDER BY rank""".stripMargin

@@ -446,9 +446,12 @@ object Hnsw {
 
     /** Point query: search every shard graph, merge by (sim desc, id asc)
       * — identical semantics to [[searchIndex]] at equal `ef`, without a
-      * job launch. O(shards · ef · log n_shard) distance ops.
+      * job launch, including the same top-k clamp (a drop-in caller must
+      * see the same result counts at the k boundaries).
+      * O(shards · ef · log n_shard) distance ops.
       */
-    def search(q: Array[Float], k: Int, ef: Int): Array[(String, Double)] = {
+    def search(q: Array[Float], topK: Int, ef: Int): Array[(String, Double)] = {
+      val k = VectorSearch.clampTopK(topK)
       val merged = new mutable.ArrayBuffer[(String, Double)]
       shards.foreach(g => merged ++= g.search(q, k, ef))
       merged.sortBy { case (id, sim) => (-sim, id) }.take(k).toArray

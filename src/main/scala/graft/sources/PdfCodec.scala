@@ -642,7 +642,11 @@ object PdfWriter {
       runs.lastOption match {
         case Some((lo, hi, cpLo))
             if c == hi + 1 && cp == cpLo + (c - lo) &&
-              (c & 0xff00) == (lo & 0xff00) && cpLo < 0x10000 && cp <= 0xfffe =>
+              (c & 0xff00) == (lo & 0xff00) && cpLo < 0x10000 && cp <= 0xfffe &&
+              // §9.10.3's increment is the dst's LAST BYTE: a strict reader
+              // wraps a run whose destination crosses a 256-block, so runs
+              // stay within one dst block too
+              (cp >> 8) == (cpLo >> 8) =>
           runs(runs.length - 1) = (lo, c, cpLo)
         case _ => runs += ((c, c, cp))
       }
@@ -930,10 +934,13 @@ object RealPdfExtractor extends PdfExtractor {
               }
               case _ => Map.empty
             }
-          // font type decides the width when the CMap doesn't declare one;
-          // /Identity-H (and -V) composite codes are always two bytes
+          // the FONT decides the code width: /Identity-H (and -V)
+          // composite codes are always two bytes, whatever codespace the
+          // ToUnicode CMap declares — producers routinely write a 1-byte
+          // <00> <FF> codespace there (it describes the map keys, not the
+          // font; pdf.js/Poppler special-case this the same way)
           val width =
-            if (declaredWidth > 0) declaredWidth else if (composite) 2 else 1
+            if (composite) 2 else if (declaredWidth > 0) declaredWidth else 1
           name -> FontDec(width, diffs ++ toUni)
       }
 

@@ -35,6 +35,22 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merges(3) == Merge("lo", "w"))
   }
 
+  test("charSymbols splits by codepoint: a surrogate pair is ONE symbol") {
+    // the base alphabet must match the DuckDB oracle's codepoint indexing
+    // (a lone surrogate is unrepresentable in SQL) — and is the right
+    // tokenizer alphabet besides
+    assert(Bpe.charSymbols("a😀b") == List("a", "😀", "b"))
+    assert(Bpe.charSymbols("𝒜😀") == List("𝒜", "😀"))
+    assert(Bpe.charSymbols("한글") == List("한", "글"))
+    // training over emoji-bearing words never yields half-surrogate merges
+    val merges = Bpe.trainLocal(Map("😀x" -> 3L, "😀y" -> 2L), 2).map(_._1)
+    assert(merges.head == Merge("😀", "x"))
+    // no lone surrogates anywhere: every merge side survives a UTF-8
+    // round-trip (a half-surrogate would become U+FFFD)
+    def wellFormed(s: String) = new String(s.getBytes("UTF-8"), "UTF-8") == s
+    assert(merges.forall(m => wellFormed(m.left) && wellFormed(m.right)))
+  }
+
   test("encode applies merges in learning order, non-overlapping") {
     val merges = List(Merge("a", "a"), Merge("aa", "aa"))
     // greedy left-to-right: aaaa -> aa aa -> aaaa; aaaaa keeps a tail 'a'

@@ -104,6 +104,14 @@ class HnswPersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ServingIndex clamps topK exactly like the batch path") {
+    val serving = Hnsw.restoreServing(saved)
+    // topK=0 clamps up to 1; topK beyond the cap clamps down to it
+    assert(serving.search(queries.head._2, 0, ef = 32).length == 1)
+    assert(serving.search(queries.head._2, 100000, ef = vecs.length).length ==
+      math.min(vecs.length, graft.search.VectorSearch.clampTopK(100000)))
+  }
+
   test("ServingIndex restores a shard subset when the DataFrame is filtered") {
     import org.apache.spark.sql.functions.col
     val partial = Hnsw.restoreServing(saved.filter(col("shard_id") === 0))

@@ -200,6 +200,25 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(textBlocks(b) == Seq("한 글"))
   }
 
+  test("Identity-H with a 1-byte ToUnicode codespace still reads 2-byte CIDs") {
+    // real producers routinely declare <00> <FF> in the ToUnicode CMap
+    // (it describes the map keys, not the font's code width); the FONT
+    // type must win or every CID splits into two bogus byte lookups
+    val narrowCmap =
+      """begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <D55C>
+        |<0002> <AE00>
+        |endbfchar
+        |endcmap""".stripMargin
+    val b = cidPdfWith(
+      "BT /F1 12 Tf 72 700 Td <00010002> Tj ET", narrowCmap)
+    assert(textBlocks(b) == Seq("한글"))
+  }
+
   test("Identity-H without ToUnicode degrades to code-as-char, never throws") {
     val noUni =
       "5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /X " +
