@@ -612,7 +612,65 @@ object DedupQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // D13 — the 100 TB refinement d10's scaladoc promised: the history
+  // digest set as a BLOOM FILTER prefilter on the arriving shard, with
+  // the exact semi-join confirming only bloom survivors. Build and probe
+  // ride Spark's own runtime-filter expressions
+  // ([[org.apache.spark.sql.graft.BloomProbe]] — XxHash64 +
+  // BloomFilterAggregate/MightContain, codegen'd, no UDF): per-partition
+  // bitsets OR-merge in one distributed aggregate (the mergeable-
+  // summaries shape), the serialized filter ships once, and the probe is
+  // map-side work on the new shard — the confirming join's probe side
+  // shrinks from the whole shard to its bloom-hit fraction. Size budget:
+  // ~10 bits/item ⇒ 125 MB at 10⁸ history digests — the practical
+  // broadcast ceiling; beyond that, partition the history and bloom per
+  // partition, or stay on d10's plain semi-join (Spark's own runtime
+  // filter caps itself the same way). Output self-audits the structure:
+  // n_false_negatives MUST be 0 (bloom guarantee — a missed duplicate
+  // would be corpus corruption), n_false_positives only costs confirm
+  // work. Deterministic (fixed hash seed, OR-merge order-free) ⇒
+  // golden-pinnable.
+  private val BloomEstItems = 1L << 17
+  private val BloomNumBits = 1L << 20
+
+  private val d13BloomIncremental: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.BloomProbe
+    val isNew = pmod(TextSketch.hexInt(
+      concat(lit("d10:"), col("doc_id").cast("string"))), lit(100L)) >= 90
+    val base = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("digest"),
+        isNew.as("is_new"))
+    // write-time in production (the filter persists beside the digest
+    // table); the 1-row collect is the sketch itself, KB-MB bounded
+    val bloomBytes = base.filter(!col("is_new"))
+      .select(BloomProbe.bloomAgg(col("digest"), BloomEstItems, BloomNumBits)
+        .as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val hist = base.filter(!col("is_new")).select(col("digest")).distinct()
+    val probed = base.filter(col("is_new"))
+      .withColumn("bloom_hit", BloomProbe.mightContain(bloomBytes, col("digest")))
+    val confirmed = probed.filter(col("bloom_hit"))
+      .join(hist, Seq("digest"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("__c"))
+    val truth = base.filter(col("is_new"))
+      .join(hist, Seq("digest"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("__t"))
+    probed.join(confirmed, Seq("doc_id"), "left")
+      .join(truth, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(coalesce(col("__c"), lit(0L))).as("n_confirmed_dup"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_true_dup"),
+        (sum(coalesce(col("__t"), lit(0L))) -
+          sum(coalesce(col("__c"), lit(0L)))).as("n_false_negatives"),
+        sum(when(col("bloom_hit") && col("__t").isNull, 1L).otherwise(0L))
+          .as("n_false_positives"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "d13_bloom_incremental" -> d13BloomIncremental,
     "d12_novelty" -> d12Novelty,
     "d11_segment_dedup" -> d11SegmentDedup,
     "d10_incremental_dedup" -> d10Incremental,

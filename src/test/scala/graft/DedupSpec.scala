@@ -29,6 +29,55 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("BloomProbe: planted membership — no false negatives, fpp within bound") {
+    import org.apache.spark.sql.graft.BloomProbe
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    // 2000 member digests; probe them plus 2000 disjoint non-members
+    val members = (0 until 2000).map(i => s"member-$i")
+    val outsiders = (0 until 2000).map(i => s"outsider-$i")
+    val bloom = members.toDF("d")
+      .select(BloomProbe.bloomAgg(col("d"), 1L << 12, 1L << 15))
+      .head.getAs[Array[Byte]](0)
+    val hits = (members ++ outsiders).toDF("d")
+      .withColumn("hit", BloomProbe.mightContain(bloom, col("d")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(members.forall(hits(_)), "bloom false negative")
+    val fp = outsiders.count(hits(_))
+    // 16 bits/item ⇒ fpp well under 1%; allow generous slack
+    assert(fp <= 60, s"$fp false positives of 2000 non-members")
+    // determinism: same items ⇒ same serialized filter bytes
+    val bloom2 = scala.util.Random.shuffle(members).toDF("d")
+      .repartition(7)
+      .select(BloomProbe.bloomAgg(col("d"), 1L << 12, 1L << 15))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bloom, bloom2),
+      "bloom bytes must be independent of row order and partitioning")
+  }
+
+  test("d13 bloom prefilter: zero false negatives, bounded false positives, deterministic") {
+    val q = SparkEntry.queries("d13_bloom_incremental")
+    val rows = q(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    var totalNew = 0L; var totalFp = 0L; var totalTrue = 0L
+    rows.foreach { r =>
+      val Seq(nNew, hits, confirmed, truth, fn, fp) =
+        (1 to 6).map(i => r.getLong(i))
+      // the bloom guarantee: a missed duplicate would be corpus corruption
+      assert(fn == 0L, s"false negatives in ${r.getString(0)}")
+      assert(confirmed == truth, "confirm join must recover exactly the true dups")
+      assert(hits >= truth && hits <= nNew)
+      assert(fp == hits - truth)
+      totalNew += nNew; totalFp += fp; totalTrue += truth
+    }
+    // ~8 bits/item ⇒ ≈2% fpp; allow generous statistical slack
+    assert(totalFp.toDouble <= 0.10 * (totalNew - totalTrue) + 3,
+      s"false-positive rate above bound: $totalFp of ${totalNew - totalTrue}")
+    // fixed hash seed + order-free OR-merge ⇒ bit-identical reruns
+    assert(q(spark, "/root/testdata/sf0.001").collect().toSeq == rows.toSeq)
+  }
+
   test("driver fast path and distributed loop agree") {
     val s = spark
     import s.implicits._
