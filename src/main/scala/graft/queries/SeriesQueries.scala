@@ -191,7 +191,66 @@ object SeriesQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY name_a, name_b""".stripMargin
 
+  // ---- W15: z-score anomaly census per event type — the streaming-
+  // telemetry outlier gate, in the a17 exact-power-sum form so the score
+  // is bit-identical across engines. Values scale to BIGINT cents; per
+  // type the census is (n, Σv BIGINT, Σv² DECIMAL↔HUGEINT) — plain
+  // partial+final hash aggregates, partitioning-independent. The tiny
+  // per-type stats broadcast back (vocabulary-sized — never a window
+  // over the event stream) and z = (n·v − Σv)/√(n·Σv² − (Σv)²) is one
+  // fixed IEEE sequence over exactly-rounded casts; a zero/negative
+  // discriminant (all-equal values; double-rounded, but identically so
+  // on both engines) defines z = 0. Output ints exact; max|z| is a max
+  // over identical doubles.
+  private val w15Anomaly: Q = (s, dir) => {
+    val v = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), v.as("v"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum((col("v") * col("v")).cast("decimal(30,0)")).as("s2"))
+    val nD = col("n").cast("double")
+    val vD = col("v").cast("double")
+    val s1D = col("s1").cast("double")
+    val s2D = col("s2").cast("double")
+    val disc = nD * s2D - s1D * s1D
+    val z = when(disc <= 0.0, lit(0.0))
+      .otherwise((nD * vD - s1D) / sqrt(disc))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), z.as("z"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+        max(abs(col("z"))).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
+  private val w15Sql =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(v) AS s1,
+      |    SUM(CAST(v * v AS HUGEINT)) AS s2
+      |  FROM ev GROUP BY 1),
+      |scored AS (
+      |  SELECT ev.event_type,
+      |    CASE WHEN CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) <= 0.0 THEN 0.0
+      |         ELSE (CAST(n AS DOUBLE) * CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE))
+      |           / sqrt(CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) END AS z
+      |  FROM ev JOIN stats USING (event_type))
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_anomalies,
+      |  MAX(abs(z)) AS max_abs_z
+      |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "w15_anomaly" -> w15Anomaly,
     "w10_gapfill" -> w10Gapfill,
     "f2_array_stats" -> f2ArrayStats,
     "a18_mode_exact" -> a18Mode,
@@ -200,6 +259,7 @@ object SeriesQueries {
     "x12_fuzzy_pairs" -> x12FuzzyPairs)
 
   val oracles: Map[String, String] = Map(
+    "w15_anomaly" -> w15Sql,
     "w10_gapfill" -> w10Sql,
     "f2_array_stats" -> f2Sql,
     "a18_mode_exact" -> a18Sql,

@@ -220,6 +220,31 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_digest")
 
+  /** Streaming twin of d13's bloom-prefiltered incremental dedup: an
+    * arriving document stream checked against a STATIC history — the
+    * continuous-ingest front door. The bloom probe
+    * ([[org.apache.spark.sql.graft.BloomProbe.mightContain]] — Spark's
+    * own runtime-filter expression, codegen'd) runs map-side on every
+    * micro-batch with zero state; only bloom hits reach the confirming
+    * stream-static LEFT SEMI join against the history digest table, so
+    * the join probes the hit fraction, not the stream. No false
+    * negatives by construction (a missed duplicate is corpus
+    * corruption); false positives only cost confirm-join work. Returns
+    * the documents CONFIRMED duplicate-free — the rows safe to ingest.
+    */
+  def bloomDedupStream(docs: DataFrame, historyDigests: DataFrame,
+      bloom: Array[Byte], textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graft.BloomProbe
+    val withDigest = docs.withColumn("content_digest", md5(col(textCol)))
+    val clean = withDigest
+      .filter(!BloomProbe.mightContain(bloom, col("content_digest")))
+    val candidates = withDigest
+      .filter(BloomProbe.mightContain(bloom, col("content_digest")))
+      .join(historyDigests.select(col("content_digest")).distinct(),
+        Seq("content_digest"), "left_anti")
+    clean.unionByName(candidates)
+  }
+
   /** Streaming frequent terms — the Misra–Gries sketch
     * ([[graft.functions.FreqSketch]]) as a streaming aggregation: the
     * trending-terms job over a live document stream. The typed

@@ -517,4 +517,43 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming bloom-prefiltered dedup passes exactly the non-duplicates") {
+    import org.apache.spark.sql.graft.BloomProbe
+    val s = spark
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    // history = the first 100 docs' digests → the stream carries 100
+    // planted exact duplicates plus the rest as clean rows
+    val history = docs.filter(col("doc_id") < 100)
+      .select(md5(col("text")).as("content_digest"))
+    val bloom = history
+      .select(BloomProbe.bloomAgg(col("content_digest"), 1L << 12, 1L << 15))
+      .head.getAs[Array[Byte]](0)
+
+    val stage = java.nio.file.Files.createTempDirectory("docs_bloom")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val stream = s.readStream.schema(docs.schema).parquet(stage.toString)
+    val q = EventStreams.bloomDedupStream(stream, history, bloom)
+      .writeStream.format("memory").queryName("stream_bloom")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    val streamed = s.sql("SELECT doc_id FROM stream_bloom")
+      .collect().map(_.getLong(0)).toSet
+    val expected = docs
+      .join(history.distinct(), md5(col("text")) === col("content_digest"),
+        "left_anti")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed == expected, "stream must pass exactly the non-duplicates")
+    assert(expected.nonEmpty && !expected.exists(_ < 100),
+      "the planted duplicates must all be removed")
+  }
 }
