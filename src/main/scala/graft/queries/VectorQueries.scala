@@ -346,13 +346,40 @@ object VectorQueries {
        |SELECT rank, vec_id, relevance, score AS mmr_score FROM mmr
        |ORDER BY rank""".stripMargin
 
+  // V13 — metadata-filtered vector search: the reference's F1/F2 filters
+  // composed with KNN (`WHERE label = … ORDER BY cosine DESC LIMIT k`,
+  // the pgvector filtered-index shape, retrieval/search.py:99-124 +
+  // filters.py). The predicate sits UNDER the scoring projection, so
+  // pushdown prunes rows before a single distance computes — and on a
+  // label/list-partitioned write-time layout it becomes partition
+  // pruning; the plan stays v1's TakeOrderedAndProject, top-k heap over
+  // the eligible subset only.
+  private val v13FilteredKnn: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("label") === 2 && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("similarity", cosine(col("embedding"), col("qv")))
+      .select(col("vec_id"), col("label"), col("similarity"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val v13Sql =
+    s"""SELECT e.vec_id, e.label, ${duckCosine("e.embedding", "q.qv")} AS similarity
+       |FROM embeddings e,
+       |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |WHERE e.label = 2 AND e.vec_id <> 0
+       |ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "v1_knn_exact" -> v1Knn,
     "v2_knn_batch" -> v2BatchKnn,
     "v3_lsh_buckets" -> v3LshBuckets,
     "v4_embed_neardup" -> v4NearDup,
     "v11_semdedup" -> v11SemDedup,
-    "v12_mmr_rerank" -> v12Mmr)
+    "v12_mmr_rerank" -> v12Mmr,
+    "v13_filtered_knn" -> v13FilteredKnn)
 
   val oracles: Map[String, String] = Map(
     "v1_knn_exact" -> v1Sql,
@@ -360,5 +387,6 @@ object VectorQueries {
     "v3_lsh_buckets" -> v3Sql,
     "v4_embed_neardup" -> v4Sql,
     "v11_semdedup" -> v11Sql,
-    "v12_mmr_rerank" -> v12Sql)
+    "v12_mmr_rerank" -> v12Sql,
+    "v13_filtered_knn" -> v13Sql)
 }

@@ -431,6 +431,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pool must not shuffle the embeddings table:\n$p")
   }
 
+  test("v13: filter sits under the top-k scan — pushed filter, no shuffle") {
+    val p = plan("v13_filtered_knn")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"filtered KNN should top-k, not globally sort:\n$p")
+    assert(p.contains("PushedFilters: [") && p.contains("EqualTo(label,2)"),
+      s"label predicate should reach the parquet scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"filtered KNN must not shuffle:\n$p")
+  }
+
   test("p8: CID round-trip is one mapPartitions pass, no shuffle") {
     val p = plan("p8_cid_pdf")
     assert(!p.contains("Exchange hashpartitioning") ||
