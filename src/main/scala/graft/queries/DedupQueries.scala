@@ -393,17 +393,23 @@ object DedupQueries {
   //     shard computes sketches once at write time, history bands are
   //     already materialized.
   // Output: per-language census of the new shard (exact ints).
-  private val d10Incremental: Q = (s, dir) => {
-    // salted slice hash ("d10:" prefix) so the simulated arriving shard is
-    // independent of the g1 train/val/test assignment — same convention
-    // as g5's "unimax:" salt
-    val withSig = StageCache.getOrCache(s, s"d10_base:$dir") {
+  /** Salted new/history digest split shared by d10 and d13 (cached: both
+    * queries and several branches within each consume it). The "d10:"
+    * salt keeps the simulated arriving shard independent of the g1
+    * train/val/test assignment — same convention as g5's "unimax:" salt.
+    */
+  private def digestSplit(s: SparkSession, dir: String): DataFrame =
+    StageCache.getOrCache(s, s"digest_split:$dir") {
       val isNew = pmod(TextSketch.hexInt(
         concat(lit("d10:"), col("doc_id").cast("string"))), lit(100L)) >= 90
       Tables.spread(s, Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), md5(col("text")).as("digest"),
           isNew.as("is_new"))
-        .join(sigStage(s, dir), Seq("doc_id"))
+    }
+
+  private val d10Incremental: Q = (s, dir) => {
+    val withSig = StageCache.getOrCache(s, s"d10_base:$dir") {
+      digestSplit(s, dir).join(sigStage(s, dir), Seq("doc_id"))
     }
     val bands = bandsWithSize(withSig, Seq("is_new"))
     val cold = bands.filter(col("__bsz") <= BandSizeCap)
@@ -635,13 +641,14 @@ object DedupQueries {
 
   private val d13BloomIncremental: Q = (s, dir) => {
     import org.apache.spark.sql.graft.BloomProbe
-    val isNew = pmod(TextSketch.hexInt(
-      concat(lit("d10:"), col("doc_id").cast("string"))), lit(100L)) >= 90
-    val base = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), col("lang"), md5(col("text")).as("digest"),
-        isNew.as("is_new"))
+    // the shared CACHED split: the bloom build plus the three consumer
+    // branches below would otherwise rescan + re-md5 the corpus 4×
+    val base = digestSplit(s, dir)
     // write-time in production (the filter persists beside the digest
-    // table); the 1-row collect is the sketch itself, KB-MB bounded
+    // table); the 1-row collect is the sketch itself, KB-MB bounded.
+    // NOTE: this runs a (cached-scan) job at CONSTRUCTION time — a
+    // documented deviation from the lazy Q contract, like v12's pool
+    // collect: the probe literal cannot exist before the filter is built.
     val bloomBytes = base.filter(!col("is_new"))
       .select(BloomProbe.bloomAgg(col("digest"), BloomEstItems, BloomNumBits)
         .as("bf"))

@@ -209,7 +209,10 @@ object SeriesQueries {
       .select(col("event_type"), v.as("v"))
     val stats = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
-        sum((col("v") * col("v")).cast("decimal(30,0)")).as("s2"))
+        // widen BEFORE multiplying: v·v in 64-bit overflows (ANSI abort)
+        // at |value| ≈ $30.4M — a telemetry domain has no a17-style
+        // price bound, so the per-row product must already be decimal
+        sum(col("v").cast("decimal(30,0)") * col("v")).as("s2"))
     val nD = col("n").cast("double")
     val vD = col("v").cast("double")
     val s1D = col("s1").cast("double")
@@ -233,7 +236,7 @@ object SeriesQueries {
       |  FROM events WHERE value IS NOT NULL),
       |stats AS (
       |  SELECT event_type, COUNT(*) AS n, SUM(v) AS s1,
-      |    SUM(CAST(v * v AS HUGEINT)) AS s2
+      |    SUM(CAST(v AS HUGEINT) * v) AS s2
       |  FROM ev GROUP BY 1),
       |scored AS (
       |  SELECT ev.event_type,

@@ -80,6 +80,24 @@ class EventsEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loadedMicros(dir) == micros.sorted)
   }
 
+  test("w15 anomaly survives extreme values: power sum widens before the multiply") {
+    // one $100M event: v = 1e10 cents, v·v = 1e20 > 2^63 — a 64-bit
+    // pre-multiply aborts under ANSI; the widened decimal must not
+    // |z| is bounded by (n−1)/√n, so 20 rows make the outlier's z ≈ 4.25
+    val dir = writeEvents("extreme") { s =>
+      import s.implicits._
+      val rows = (1L to 19L).map(i =>
+        (i, 1614834367123456L + i, 7L, "error", (i % 3).toDouble, "{}")) :+
+        ((20L, 1614834367123500L, 7L, "error", 100000000.00, "{}"))
+      rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+    }
+    val out = SparkEntry.queries("w15_anomaly")(spark, dir).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 20L)
+    assert(out.head.getLong(2) == 1L, "exactly the extreme value must flag")
+  }
+
   test("watermark + unix_micros work on whatever the current testdata encodes") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
     // both threw AnalysisException on NTZ in round 6
