@@ -113,12 +113,49 @@ object Bench {
       try new java.io.File(warmDir).getCanonicalPath ==
         new java.io.File(sfDir).getCanonicalPath
       catch { case _: Throwable => warmDir == sfDir }
+    // Optional catalog subset (A/B attribution runs): SPARK_GRAFT_BENCH_QUERIES
+    // = "half1" | "half2" (sorted-name split) or a regex over query names.
+    // Stamped into the record so a subset run can never pass as a full one.
+    val filterSpec = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val selectedNames: Set[String] = filterSpec match {
+      case None => allNames.toSet
+      case Some("half1") => allNames.take(allNames.size / 2).toSet
+      case Some("half2") => allNames.drop(allNames.size / 2).toSet
+      case Some(re) =>
+        val chosen = allNames.filter(_.matches(re))
+        require(chosen.nonEmpty, s"SPARK_GRAFT_BENCH_QUERIES matched nothing: $re")
+        chosen.toSet
+    }
+    val benchQueries = SparkEntry.queries.filter { case (k, _) => selectedNames(k) }
     if (!sameData && new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      benchQueries.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
       }
     }
+    // Host-calibration denominator: a FIXED synthetic workload (never
+    // changes across rounds — 6M md5 hashes into a 997-key shuffle over 32
+    // fixed partitions), timed min-of-3 AFTER all warmup so JIT is paid.
+    // It touches no testdata and scales with exactly what the catalog
+    // queries contend for (CPU + shuffle on 32 cores), so total/calib is a
+    // host-speed-normalized number comparable across records: a uniformly
+    // loaded host inflates calib and the catalog alike, a real plan
+    // regression inflates only the catalog. This is the instrument the
+    // r6→r7 idle-record question (48.9→84.8 s: host or repo?) lacked.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 6000000L, 1, 32)
+        .selectExpr("id", "md5(cast(id as string)) AS h", "id % 997 AS k")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.max("h").as("mx"))
+        .orderBy("k")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibSec = (1 to 3).map(_ => calibOnce()).min
     // Two timed passes per query, report the MIN. The start-time JVM
     // check cannot see load the HOST injects mid-run (observed: the same
     // catalog on the same data swinging 86→143 s with a DIFFERENT
@@ -132,8 +169,13 @@ object Bench {
     // throwing). Each pass records the error; a query is "failed" only if
     // it failed in BOTH passes (a transient executor hiccup in one pass
     // with a clean other pass is a timing outlier, not a broken query).
+    // Peak cached-stage residency across the run (memory + disk bytes),
+    // sampled after every query — feeds the catalog-growth/StageCache
+    // attribution (a resident set approaching executor storage would
+    // explain uniform per-query inflation via eviction churn).
+    var peakStorage = 0L
     def timedPass(): Map[String, (Double, Option[String])] =
-      SparkEntry.queries.map { case (name, fn) =>
+      benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink: forces full evaluation of every output column
         // (count() would let Catalyst prune map-side projections)
@@ -143,6 +185,8 @@ object Bench {
             case e: Throwable =>
               Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
           }
+        val sb = graft.queries.StageCache.storageBytes(spark)
+        if (sb > peakStorage) peakStorage = sb
         name -> ((System.nanoTime() - t0) / 1e9, err)
       }
     val pass1 = timedPass()
@@ -162,6 +206,14 @@ object Bench {
         case (false, false) => math.min(t1, t2) // both failed: -1 sentinel below
       })
     }
+    // Queries timed from exactly one surviving pass: if pass 1 threw, the
+    // recorded time is pass 2's COLD (un-warmed) measurement and the
+    // min-of-2 steady-state rationale above does not hold for it. Name
+    // them so consumers can discount the timing instead of reading a
+    // cold run as a regression.
+    val singlePass = pass1.keys.toSeq
+      .filter(k => pass1(k)._2.isEmpty != pass2(k)._2.isEmpty)
+      .sorted
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -179,7 +231,13 @@ object Bench {
       s""""contended":$contended,"loadavg_start":"$load0"""" +
         s""","loadavg_end":"${loadavg()}","passes":2""" +
         s""","other_jvms":${others.size},"nq":${results.size}""" +
-        s""","failures":${errors.size},"errors":$errJson"""
+        s""","failures":${errors.size},"errors":$errJson""" +
+        s""","single_pass":${singlePass.map(jstr).mkString("[", ",", "]")}""" +
+        f""","calib_sec":$calibSec%.3f,"total_over_calib":${total / calibSec}%.1f""" +
+        s""","peak_storage_bytes":$peakStorage""" +
+        s""","storage_level":${jstr(spark.conf.get(
+          graft.queries.StageCache.StorageLevelConf, "MEMORY_AND_DISK"))}""" +
+        filterSpec.map(f => s""","filter":${jstr(f)}""").getOrElse("")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",$meta}"""
 

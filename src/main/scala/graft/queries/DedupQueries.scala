@@ -654,8 +654,15 @@ object DedupQueries {
         .as("bf"))
       .head.getAs[Array[Byte]](0)
     val hist = base.filter(!col("is_new")).select(col("digest")).distinct()
+    // Empty history ⇒ BloomFilterAggregate returns null; MightContain(null, x)
+    // would then null out every probe and the self-audit would report the
+    // vanished rows as false negatives ("corpus corruption") instead of the
+    // real cause. An empty filter contains nothing: probe = constant false.
+    val probeExpr =
+      if (bloomBytes == null) lit(false)
+      else BloomProbe.mightContain(bloomBytes, col("digest"))
     val probed = base.filter(col("is_new"))
-      .withColumn("bloom_hit", BloomProbe.mightContain(bloomBytes, col("digest")))
+      .withColumn("bloom_hit", probeExpr)
     val confirmed = probed.filter(col("bloom_hit"))
       .join(hist, Seq("digest"), "left_semi")
       .select(col("doc_id"), lit(1L).as("__c"))

@@ -4,6 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Session-scoped memo for cache()'d shared query stages.
   *
@@ -17,6 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    session via [[release]] (called by Verify / Bench / Cli when done);
   *  - drops a session's entries automatically once its context ends, so
   *    long-lived multi-session JVMs don't accumulate dead references.
+  *
+  * Storage level is conf-gated: `spark.graft.stageCache.storageLevel`
+  * (default MEMORY_AND_DISK — Dataset.cache()'s level). A 126-query
+  * catalog's resident set is whatever the catalog touched; setting
+  * MEMORY_AND_DISK_SER trades CPU (serde on re-read) for a several-×
+  * smaller deserialized footprint, the standard lever when cached stages
+  * start evicting each other. Any `StorageLevel.fromString` name is
+  * accepted.
   */
 object StageCache {
 
@@ -24,6 +33,15 @@ object StageCache {
     new ConcurrentHashMap[(SparkSession, String), DataFrame]
 
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Conf key for the persist level of every cached stage. */
+  val StorageLevelConf = "spark.graft.stageCache.storageLevel"
+
+  private def levelOf(s: SparkSession): StorageLevel = {
+    val name = s.conf.get(StorageLevelConf, "MEMORY_AND_DISK")
+    try StorageLevel.fromString(name)
+    catch { case _: IllegalArgumentException => StorageLevel.MEMORY_AND_DISK }
+  }
 
   def getOrCache(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     if (hooked.add(s)) {
@@ -45,7 +63,7 @@ object StageCache {
       // crash. get-then-putIfAbsent allows the nesting; on the (benign)
       // race a loser's cache mark is unpersisted before anything
       // materializes it.
-      val built = build.cache()
+      val built = build.persist(levelOf(s))
       val prev = stages.putIfAbsent(k, built)
       if (prev != null) {
         try built.unpersist() catch { case _: Throwable => () }
@@ -54,16 +72,39 @@ object StageCache {
     }
   }
 
-  /** Unpersist and forget every cached stage owned by `s`. */
+  /** Bytes (memory + disk) currently held by cached RDDs in `s`'s
+    * context — the stage cache's residency plus any other caching the
+    * session did. Feeds the bench record's peak-storage stamp and the
+    * release log line.
+    */
+  def storageBytes(s: SparkSession): Long =
+    try s.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    catch { case _: Throwable => -1L }
+
+  /** Unpersist and forget every cached stage owned by `s`. Logs the
+    * released residency so a long-lived JVM's cache growth is observable
+    * instead of inferred (the r7 bench-inflation question).
+    */
   def release(s: SparkSession): Unit = {
+    val before = storageBytes(s)
+    var n = 0
     val it = stages.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) {
         try e.getValue.unpersist() catch { case _: Throwable => () }
         it.remove()
+        n += 1
       }
     }
     hooked.remove(s)
+    if (n > 0) {
+      // -1 = sample unavailable (release() via the application-end
+      // listener runs while the context is tearing down)
+      val bytes = if (before < 0) "n/a (context stopping)" else s"$before bytes"
+      // scalastyle:off println
+      println(s"[StageCache] released $n stages, storage before release: $bytes")
+      // scalastyle:on println
+    }
   }
 }

@@ -309,6 +309,11 @@ object Hnsw {
     }
   }
 
+  /** Build-time default M — also the last-resort fallback when
+    * [[deriveM]] sees an empty shard.
+    */
+  private[search] val DefaultM = 16
+
   /** Build an index from (id, vector) rows in the given order. */
   def build(rows: Iterable[(String, Array[Float])], m: Int = 16,
       efConstruction: Int = 200): Index = {
@@ -458,10 +463,34 @@ object Hnsw {
     }
   }
 
+  /** M is not persisted in the adjacency table, but it is recoverable
+    * from it: levels ≥ 1 cap neighbor lists at M (level 0 at 2M), and a
+    * built graph of any size saturates the cap somewhere. Max observed
+    * level-≥1 list length is therefore the builder's M; an all-level-0
+    * graph (tiny shard) falls back to half the max level-0 length, then
+    * to the build default. Matters only if insertion is ever invoked on
+    * a restored graph (mMax0/mL derive from M) — the search path reads
+    * links verbatim.
+    */
+  private def deriveM(
+      rows: Iterable[(Int, Int, String, Array[Float], Array[Array[Int]])]): Int = {
+    var upper = 0
+    var level0 = 0
+    rows.foreach { case (_, _, _, _, ls) =>
+      if (ls.nonEmpty) level0 = math.max(level0, ls(0).length)
+      var lv = 1
+      while (lv < ls.length) { upper = math.max(upper, ls(lv).length); lv += 1 }
+    }
+    if (upper > 0) upper
+    else if (level0 > 0) math.max(1, (level0 + 1) / 2)
+    else DefaultM
+  }
+
   /** Restore a persisted adjacency table ([[saveIndex]]) into a
     * [[ServingIndex]]. Pass a pre-filtered DataFrame (e.g.
     * `index.filter(col("shard_id") < 8)`) to restore a subset of shards
-    * on one serving node.
+    * on one serving node. Graph parameters are recovered from the
+    * adjacency itself ([[deriveM]]), not assumed.
     */
   def restoreServing(index: DataFrame, idCol: String = "fragment_id")
       : ServingIndex = {
@@ -474,7 +503,7 @@ object Hnsw {
       .collect() // the serving node's working set — see ServingIndex doc
     val shards = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rs) =>
       val sorted = rs.sortBy(_._2)
-      val g = new Index(sorted.head._4.length, 16, 0)
+      val g = new Index(sorted.head._4.length, deriveM(sorted), 0)
       g.importRows(sorted.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
       g
     }
@@ -495,7 +524,7 @@ object Hnsw {
       val rows = it.toArray.sortBy(_._2)
       if (rows.isEmpty) Iterator.empty
       else {
-        val g = new Index(rows.head._4.length, 16, 0)
+        val g = new Index(rows.head._4.length, deriveM(rows), 0)
         g.importRows(rows.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
         qB.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, k, ef).map { case (id, sim) => (qid, id, sim) }

@@ -277,6 +277,14 @@ object PdfCodec {
           sb.append(toUni.getOrElse(code, code.toChar.toString))
           i += 2
         }
+        // PDF 32000-1:2008 §9.4.3: a partial final code is treated as if
+        // padded with zeroes — decode a trailing odd byte as (b << 8)
+        // rather than dropping it (real producers emit even lengths;
+        // this is the spec's lenient reading of malformed input).
+        if (i < bytes.length) {
+          val code = (bytes(i) & 0xff) << 8
+          sb.append(toUni.getOrElse(code, code.toChar.toString))
+        }
       } else {
         var i = 0
         while (i < bytes.length) {

@@ -226,20 +226,24 @@ object EventStreams {
     * ([[org.apache.spark.sql.graft.BloomProbe.mightContain]] — Spark's
     * own runtime-filter expression, codegen'd) runs map-side on every
     * micro-batch with zero state; only bloom hits reach the confirming
-    * stream-static LEFT SEMI join against the history digest table, so
-    * the join probes the hit fraction, not the stream. No false
-    * negatives by construction (a missed duplicate is corpus
-    * corruption); false positives only cost confirm-join work. Returns
-    * the documents CONFIRMED duplicate-free — the rows safe to ingest.
+    * stream-static LEFT ANTI join against the history digest table
+    * (keep the rows NOT in history), so the join probes the hit
+    * fraction, not the stream. No false negatives by construction (a
+    * missed duplicate is corpus corruption); false positives only cost
+    * confirm-join work. Null-text documents have no digest to probe and
+    * cannot be duplicates of any history row, so they route to the
+    * clean branch explicitly rather than vanishing into a
+    * null-predicate filter. Returns the documents CONFIRMED
+    * duplicate-free — the rows safe to ingest.
     */
   def bloomDedupStream(docs: DataFrame, historyDigests: DataFrame,
       bloom: Array[Byte], textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.graft.BloomProbe
     val withDigest = docs.withColumn("content_digest", md5(col(textCol)))
-    val clean = withDigest
-      .filter(!BloomProbe.mightContain(bloom, col("content_digest")))
+    val probe = BloomProbe.mightContain(bloom, col("content_digest"))
+    val clean = withDigest.filter(col("content_digest").isNull || !probe)
     val candidates = withDigest
-      .filter(BloomProbe.mightContain(bloom, col("content_digest")))
+      .filter(col("content_digest").isNotNull && probe)
       .join(historyDigests.select(col("content_digest")).distinct(),
         Seq("content_digest"), "left_anti")
     clean.unionByName(candidates)
@@ -393,6 +397,66 @@ object EventStreams {
           if (times.nonEmpty) state.update(FunnelProgress(times))
           advances.iterator
             .map { case (stage, t) => FunnelAdvance(userId, stage, t) }
+      }
+  }
+
+  final case class CohortActivity(user_id: Long, day: java.sql.Date)
+  /** Per-user retention state: first-active epoch day + the epoch days
+    * already emitted. Bounded by the user's count of DISTINCT active
+    * days — a calendar quantity (≤365/year), never stream length; a
+    * production deployment with a fixed retention horizon (offsets
+    * beyond N days not reported) could additionally drop days older
+    * than cohort+N.
+    */
+  final case class CohortState(cohortEpochDay: Long, seenEpochDays: List[Long])
+  final case class CohortAdvance(user_id: Long, cohort_day: java.sql.Date,
+      offset_days: Long)
+
+  /** Streaming cohort retention — twin of w11_cohort_retention: emits one
+    * `(user, cohort_day, offset_days)` row the first time a user is seen
+    * active on a new day, so `GROUP BY cohort_day, offset_days → COUNT(*)`
+    * over the emissions IS the batch query's retention grid (each
+    * (user, day) pair emits exactly once, mirroring the batch plan's
+    * "rows after the dedup are unique (user, day)" argument). Day
+    * boundaries come from the engine's own `to_date` BEFORE the stateful
+    * fold, so batch and stream bucket timestamps identically under the
+    * session timezone.
+    *
+    * Ordering contract matches [[asOfEnrich]]/[[funnel]]: per-key
+    * event-time order across batches (log/CDC replay) — the first day
+    * seen is then the true cohort day, the same value the batch twin's
+    * window MIN computes. Null-ts events carry no day and never enter
+    * (the batch twin surfaces them as null-offset rows; the streaming
+    * universe is the non-null one — stated, as for w12/w13).
+    */
+  def cohortRetention(events: DataFrame): Dataset[CohortAdvance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"),
+        to_date(col("ts")).as("day"))
+      .as[CohortActivity]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[CohortState]) =>
+          val days = rows.map(_.day.toLocalDate.toEpochDay)
+            .toSeq.distinct.sorted
+          var st = state.getOption.getOrElse(
+            CohortState(days.head, Nil))
+          val out = Seq.newBuilder[CohortAdvance]
+          days.foreach { d =>
+            if (!st.seenEpochDays.contains(d)) {
+              st = st.copy(seenEpochDays = d :: st.seenEpochDays)
+              out += CohortAdvance(userId,
+                java.sql.Date.valueOf(
+                  java.time.LocalDate.ofEpochDay(st.cohortEpochDay)),
+                d - st.cohortEpochDay)
+            }
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

@@ -556,4 +556,61 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.nonEmpty && !expected.exists(_ < 100),
       "the planted duplicates must all be removed")
   }
+
+  test("streaming cohort retention matches w11 on multi-batch replay") {
+    val s = spark
+    import s.implicits._
+
+    // batch truth: w11's retention grid over the non-null-ts universe
+    // (null-ts events surface as null-offset rows there; the stream twin
+    // states they never enter — filter both sides to the shared universe)
+    val batch = SparkEntry.queries("w11_cohort_retention")(s, dir)
+      .filter(col("cohort_day").isNotNull && col("offset_days").isNotNull)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+
+    // event-time-ordered replay in 4 slices: per-user state (cohort day +
+    // seen days) must survive micro-batch boundaries
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .collect()
+      .sortBy(r => EventStreams.eventTimeMicros(r._2))
+    val stage = java.nio.file.Files.createTempDirectory("cohort_stream")
+    val slice = (ev.length + 3) / 4
+    ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
+      val f = stage.resolve(f"slice_$i%03d.parquet")
+      rows.toSeq.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      java.nio.file.Files.walk(f).iterator()
+        .forEachRemaining(_.toFile.setLastModified(1000000L * (i + 1)))
+    }
+
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*/")
+    val q = EventStreams.cohortRetention(stream)
+      .writeStream.format("memory").queryName("cohort_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    // one advance row per (user, day) ⇒ COUNT(*) per (cohort, offset)
+    // IS the batch grid's n_users
+    val streamed = s.sql(
+      """SELECT cohort_day, offset_days, COUNT(*) AS n
+        |FROM cohort_stream GROUP BY 1, 2""".stripMargin)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "cohort stream emitted nothing")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
 }
