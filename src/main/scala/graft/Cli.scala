@@ -227,6 +227,21 @@ object Cli {
           }
         }
 
+      // Persist the write-time sketch/gram tables the dedup queries'
+      // scaladocs promise (minhash signatures, digest split, gram pairs).
+      // Point spark.graft.stageCache.path at <outRoot> afterwards and
+      // d2/d3/d9/d10/d12/d13 read these tables instead of recomputing —
+      // the local enactment of "sketches are computed once at corpus
+      // write time".
+      case "index-sketches" :: sfDir :: outRoot :: Nil =>
+        graft.queries.DedupQueries.writeTimeStages(spark, sfDir)
+          .toSeq.sortBy(_._1).foreach { case (key, df) =>
+            val path = graft.queries.StageCache
+              .persistStage(spark, key, df, outRoot)
+            val n = spark.read.parquet(path).count()
+            println(s"[index-sketches] $key -> $path ($n rows)")
+          }
+
       case "metrics" :: tablesDir :: Nil =>
         val embeddings = spark.read.parquet(s"$tablesDir/embeddings")
           .as[graft.domain.Model.EmbeddingRow]
@@ -248,6 +263,7 @@ object Cli {
             "pq-search <tables> <query> [k] [nprobe] [shortlist] | " +
             "sq-index <tables> [levels] | " +
             "sq-search <tables> <query> [k] [nprobe] [shortlist] | " +
+            "index-sketches <sfDir> <outRoot> | " +
             "rag <tables> <question...> | " +
             "quality <tables> <golden.jsonl> | metrics <tables> | " +
             "compact <tables> [targetMB]")

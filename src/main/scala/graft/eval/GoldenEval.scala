@@ -70,6 +70,46 @@ object GoldenEval {
           multisetJaccard(q, content))
       }.toSeq
 
+  /** HARD adversarial corpus (VERDICT r7 task #4): p6's paraphrase eval
+    * saturated at 45/45 — every query was a thinned copy of its target
+    * with out-of-vocabulary scaffold, so the target was always the
+    * nearest bag-of-words neighbor. These queries blend the target with
+    * a CONFUSER fragment from a different parent (a shared-vocabulary
+    * distractor — the wrong parent's own words pull the query vector
+    * toward it): keep every `targetStride`-th target token but every
+    * `confuserStride`-th confuser token. With the confuser keeping more
+    * tokens than the target, some queries' top-k fills with the
+    * confuser's neighborhood and the target's parent drops out — the
+    * headroom that lets exact-vs-ANN differences show. The default is
+    * the EVEN blend (half of each side's tokens): measured 26/45 at
+    * sf0.001 and 25/45 at sf0.01 on the exact path — far from
+    * saturation, far from floor. Deterministic: targets are the first
+    * `n` fragments by id, confuser i is the first fragment after
+    * position n+i (cyclic) under a different parent.
+    */
+  def hardAdversarialCorpus(embeddings: DataFrame, n: Int,
+      targetStride: Int = 2, confuserStride: Int = 2): Seq[GoldenQuery] = {
+    val rows = embeddings
+      .orderBy(col("fragment_id")).limit(2 * n)
+      .select(col("fragment_id"), col("parent_id"), col("content"))
+      .collect()
+    val targets = rows.take(n)
+    targets.zipWithIndex.map { case (r, i) =>
+      val content = r.getString(2)
+      val confuser = (0 until rows.length).iterator
+        .map(j => rows((n + i + j) % rows.length))
+        .find(c => c.getString(1) != r.getString(1))
+        .getOrElse(rows((n + i) % rows.length))
+      def thin(text: String, stride: Int): Seq[String] =
+        TokenHashEmbedder.tokenize(text).zipWithIndex
+          .collect { case (t, k) if k % stride == 0 => t }
+      val q = (thin(content, targetStride) ++
+        thin(confuser.getString(2), confuserStride) ++ Scaffold).mkString(" ")
+      GoldenQuery(s"hq:${r.getString(0)}", q, Seq(r.getString(1)), Nil,
+        multisetJaccard(q, content))
+    }.toSeq
+  }
+
   /** A batch searcher: (embeddings, (query_id, query_vector) rows, k) →
     * hits carrying at least (query_id, rank, similarity, parent_id,
     * content). Default = the exact batch KNN; [[hnswSearcher]] runs the

@@ -329,25 +329,35 @@ object DedupQueries {
   // once (IEEE-identical on both engines).
   private val CrossN = 4
 
+  /** Distinct (doc_id, 60-bit gram key) pairs — the shared subtree of
+    * d9/d12. Grams reduce to md5-prefix longs BEFORE the first shuffle:
+    * every downstream stage (distinct, census, join) moves 8-byte longs
+    * instead of ~25-byte gram strings, and because BOTH engines compute
+    * the identical md5, even a (≈2⁻³⁸ at 10⁶ grams) collision changes
+    * both sides the same way — the compare never flaps. NOT in-memory
+    * cached — a columnar cache of ~n_grams rows costs more than the
+    * second computation (measured 3× slower end-to-end at sf0.1), and
+    * the distinct's canonical exchange is reused within each plan. At
+    * 100 TB the pair set is a write-time table — and that is now
+    * literal: when `index-sketches` has persisted it and
+    * `spark.graft.stageCache.path` points there, this IS a parquet scan
+    * ([[StageCache.readThroughOrBuild]]).
+    */
+  private[graft] def gramPairs(s: SparkSession, dir: String): DataFrame =
+    StageCache.readThroughOrBuild(s, s"gram_pairs:$dir") {
+      Tables.spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"),
+          explode(TextSketch.shingles(col("text"), CrossN)).as("gs"))
+        .select(col("doc_id"), TextSketch.hexInt(col("gs")).as("g"))
+        .distinct()
+    }
+
   private val d9CrossdocGrams: Q = (s, dir) => {
-    // grams reduce to 60-bit md5-prefix keys BEFORE the first shuffle:
-    // every downstream stage (distinct, census, join) moves 8-byte longs
-    // instead of ~25-byte gram strings, and because BOTH engines compute
-    // the identical md5, even a (≈2⁻³⁸ at 10⁶ grams) collision changes
-    // both sides the same way — the compare never flaps. Both the census
-    // and the join-back consume this subtree; it is NOT StageCache'd —
-    // building an in-memory columnar cache of ~n_grams rows costs more
-    // than the second computation (measured 3× slower end-to-end at
-    // sf0.1), and the distinct's canonical exchange is reused within the
-    // plan. At 100 TB the pair set is a write-time table. A window-count
+    // census + join-back on the same gram partitioning. A window-count
     // over gram partitions would drop the census join entirely but
     // serializes each gram's rows onto one task — boilerplate grams make
     // that the skew bottleneck, while the census join AQE skew-splits.
-    val dg = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"),
-        explode(TextSketch.shingles(col("text"), CrossN)).as("gs"))
-      .select(col("doc_id"), TextSketch.hexInt(col("gs")).as("g"))
-      .distinct()
+    val dg = gramPairs(s, dir)
     val census = dg.groupBy(col("g"))
       .agg(count(lit(1)).as("nd"))
     dg.join(census, "g")
@@ -585,11 +595,7 @@ object DedupQueries {
   // incremental variant (d10's shape) maintains at write time. The
   // fraction divides two exact longs once.
   private val d12Novelty: Q = (s, dir) => {
-    val dg = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"),
-        explode(TextSketch.shingles(col("text"), CrossN)).as("gs"))
-      .select(col("doc_id"), TextSketch.hexInt(col("gs")).as("g"))
-      .distinct()
+    val dg = gramPairs(s, dir)
     val firstSeen = dg.groupBy(col("g"))
       .agg(min(col("doc_id")).as("first_doc"))
     dg.join(firstSeen, "g")
@@ -682,6 +688,18 @@ object DedupQueries {
           .as("n_false_positives"))
       .orderBy(col("lang"))
   }
+
+  /** The write-time tables the dedup scaladocs promise, under their exact
+    * StageCache keys — what `index-sketches` persists so d2/d3/d9/d10/
+    * d12/d13 run against materialized stages instead of recomputing
+    * sketches per query. All three are partitioning-independent row sets
+    * (safe to persist; see [[StageCache.PathConf]]).
+    */
+  def writeTimeStages(s: SparkSession, dir: String): Map[String, DataFrame] =
+    Map(
+      s"minhash_sigs:$dir" -> sigStage(s, dir),
+      s"digest_split:$dir" -> digestSplit(s, dir),
+      s"gram_pairs:$dir" -> gramPairs(s, dir))
 
   val defs: Map[String, Q] = Map(
     "d13_bloom_incremental" -> d13BloomIncremental,

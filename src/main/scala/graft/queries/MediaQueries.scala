@@ -72,6 +72,37 @@ object MediaQueries {
       |  CAST(greatest(1, (height * 224) // greatest(width, height)) AS BIGINT) AS out_h
       |FROM u ORDER BY media_id, frame_idx""".stripMargin
 
+  // m3 — REAL raster decode (VERDICT r7 task #3): a deterministic
+  // synthetic JPEG per document (dims are pure doc_id arithmetic), decoded
+  // back through javax.imageio inside the scan-stage mapPartitions. The
+  // DuckDB oracle recomputes the expected dimensions independently, so a
+  // hash match proves the encode→decode round-trip recovered the true
+  // raster geometry — dims and channel count survive JPEG exactly even
+  // though pixels are lossy. Scale shape: bytes live for one row inside
+  // the partition iterator; only (id, w, h, c) rows flow out.
+  private val m3JpegDecode: Q = (s, dir) => {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 + (id % 40).toInt
+        val h = 12 + ((id * 7) % 40).toInt
+        val dec = graft.media.ImageCodec
+          .decode(graft.media.ImageCodec.syntheticJpeg(w, h, id))
+        (id, dec.map(_.width.toLong).getOrElse(-1L),
+          dec.map(_.height.toLong).getOrElse(-1L),
+          dec.map(_.channels.toLong).getOrElse(-1L))
+      })
+      .toDF("media_id", "width", "height", "channels")
+      .orderBy(col("media_id"))
+  }
+
+  private val m3Sql =
+    """SELECT doc_id AS media_id,
+      |  CAST(16 + doc_id % 40 AS BIGINT) AS width,
+      |  CAST(12 + (doc_id * 7) % 40 AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS channels
+      |FROM documents ORDER BY media_id""".stripMargin
+
   // v5 — ANN self-check: multi-probe LSH search vs exact scan, one row per
   // probe depth (0 = single bucket, 1 = +1-bit flips, 2 = +2-bit flips) —
   // the recall/scan-cost tradeoff curve. Deterministic (seeded planes,
@@ -305,11 +336,13 @@ object MediaQueries {
     "v9_ivfpq_recall" -> v9IvfPqRecall,
     "m1_media_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
+    "m3_jpeg_decode" -> m3JpegDecode,
     "v5_ann_recall" -> v5AnnRecall,
     "v6_ivf_recall" -> v6IvfRecall,
     "v7_pq_recall" -> v7PqRecall)
 
   val oracles: Map[String, String] = Map(
     "m1_media_features" -> m1Sql,
-    "m2_frame_sample" -> m2Sql)
+    "m2_frame_sample" -> m2Sql,
+    "m3_jpeg_decode" -> m3Sql)
 }

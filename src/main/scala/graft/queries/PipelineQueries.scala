@@ -226,6 +226,120 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The p6 harness on the HARD corpus ([[graft.eval.GoldenEval
+    * .hardAdversarialCorpus]] — shared-vocabulary distractors from wrong
+    * parents blended into every query). p6 saturated at 45/45 at both
+    * scale factors and stopped discriminating; this one scores below
+    * 100% on the exact path BY DESIGN, so index-family recall measured
+    * against it (HardRecallGen → SCALE.md) has headroom to differ.
+    * Per-query rows, deterministic ⇒ golden-pinned.
+    */
+  /** The (embeddings, parents) pair the retrieval evals run over — shared
+    * by p6/p9 and the HardRecallGen study tool so every consumer scores
+    * against the identical tables.
+    */
+  private[graft] def evalTables(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import graft.embedding.TokenHashEmbedder
+    val embedder = new TokenHashEmbedder(256)
+    val processed = processedStage(s, dir)
+    val emb = StageCache.getOrCache(s, s"p6_embeddings:$dir") {
+      IngestPipeline
+        .embeddings(IngestPipeline.fragments(processed), embedder).toDF()
+    }
+    (emb, IngestPipeline.parents(processed).toDF())
+  }
+
+  private val p9HardEval: Q = (s, dir) => {
+    import graft.embedding.TokenHashEmbedder
+    import graft.eval.GoldenEval
+    val (emb, parents) = evalTables(s, dir)
+    GoldenEval.evaluate(emb, parents,
+      GoldenEval.hardAdversarialCorpus(emb, 45), new TokenHashEmbedder(256))
+  }
+
+  /** S3/S4 on SUBSET-font bytes: the p8 round-trip with the /ToUnicode
+    * CMap DELETED — the only route back to text is the embedded
+    * /FontFile2's own `cmap` table, which the codec inverts the way the
+    * reference's PyMuPDF introspects glyphs (pymupdf_parser.py:180-271).
+    * CIDs are still alphabet ranks (≠ codepoints), so `lossless` here
+    * pins genuine font-program introspection: an extractor that only
+    * reads /ToUnicode cannot pass. Same multilingual tail and scale shape
+    * as p8.
+    */
+  private val p10SubsetFont: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.{PdfSource, PdfWriter, RealPdfExtractor}
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val tail = s"문서 $id 한글 꼬리표 — résumé 中文測試 " +
+          ('가' + (id % 100).toInt).toChar
+        val paras = (text.split("\n{2,}").toSeq :+ tail)
+          .map(PdfWriter.sanitizeCid).filter(_.trim.nonEmpty)
+        val pages = paras.grouped(6)
+          .map(ps => PdfWriter.PageSpec(ps)).toSeq
+        val bytes = PdfWriter.buildCidNoToUni(pages, compress = id % 2 == 0)
+        val blocks = RealPdfExtractor.extract(s"subset/$id.pdf", bytes)
+        val lossless = blocks.filter(!_.isImage).map(_.content) == paras
+        val segs = PdfSource.parsePdf(s"subset/$id", s"subset/$id.pdf", bytes,
+          RealPdfExtractor)
+        (id, pages.length, blocks.length, segs.length,
+          segs.map(_.content.length).sum, lossless, bytes.length)
+      })
+      .toDF("doc_id", "n_pages", "n_blocks", "n_segments",
+        "total_chars", "lossless", "pdf_bytes")
+      .orderBy(col("doc_id"))
+  }
+
+  /** S4 image metadata on REAL pixels: each document renders to a PDF
+    * whose image XObjects are actual baseline JPEGs (/DCTDecode), with the
+    * object dict's /Width /Height deliberately off by one — the extractor
+    * can only label images correctly by decoding the raster
+    * ([[graft.media.ImageCodec]]; reference sees rendered pixels via
+    * PyMuPDF, pymupdf_parser.py:675-759). The output's width/height sums
+    * are parsed back OUT of the decoded block labels, and the DuckDB
+    * oracle recomputes them from doc_id arithmetic — a hash match proves
+    * pixel-true decode end-to-end. `decoded_ok` additionally pins the
+    * channel count (c3) per image.
+    */
+  private val p11JpegXobject: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.{PdfWriter, RealPdfExtractor}
+    val labelRe = """Im\d+ (\d+)x(\d+) jpeg c(\d+)""".r
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val paras = text.split("\n{2,}").toSeq
+          .map(PdfWriter.sanitize).filter(_.trim.nonEmpty).take(2)
+        val nImgs = 1 + (id % 3).toInt
+        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> nImgs)))
+        val bytes = PdfWriter.buildJpeg(pages, compress = id % 2 == 0)
+        val imgs = RealPdfExtractor.extract(s"jpeg/$id.pdf", bytes)
+          .filter(_.isImage).map(_.content)
+        val parsed = imgs.flatMap(labelRe.findFirstMatchIn(_).map(m =>
+          (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong)))
+        (id, nImgs.toLong, imgs.length.toLong,
+          parsed.map(_._1).sum, parsed.map(_._2).sum,
+          parsed.length == nImgs && parsed.forall(_._3 == 3L))
+      })
+      .toDF("doc_id", "n_images", "n_image_blocks", "sum_w", "sum_h",
+        "decoded_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  private val p11Sql =
+    """WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n_imgs FROM documents),
+      |i AS (SELECT doc_id, n_imgs, unnest(range(0, n_imgs)) AS k FROM d)
+      |SELECT doc_id, CAST(n_imgs AS BIGINT) AS n_images,
+      |  CAST(n_imgs AS BIGINT) AS n_image_blocks,
+      |  CAST(SUM(16 + 8 * (k % 5)) AS BIGINT) AS sum_w,
+      |  CAST(SUM(12 + 4 * (k % 7)) AS BIGINT) AS sum_h,
+      |  TRUE AS decoded_ok
+      |FROM i GROUP BY doc_id, n_imgs ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "p1_ingest_fragments" -> p1Fragments,
     "p2_parent_synthesis" -> p2Parents,
@@ -234,8 +348,13 @@ object PipelineQueries {
     "p5_e2e_golden45" -> p5E2eGolden,
     "p6_adversarial_recall" -> p6Adversarial,
     "p7_real_pdf" -> p7RealPdf,
-    "p8_cid_pdf" -> p8CidPdf)
+    "p8_cid_pdf" -> p8CidPdf,
+    "p9_hard_eval" -> p9HardEval,
+    "p10_subset_font" -> p10SubsetFont,
+    "p11_jpeg_xobject" -> p11JpegXobject)
 
-  /** Not SQL-expressible (stateful per-document folds) — no oracles. */
-  val oracles: Map[String, String] = Map.empty
+  /** Stateful per-document folds are not SQL-expressible (golden-pinned
+    * instead); p11 IS oracled — its expected dims are pure arithmetic. */
+  val oracles: Map[String, String] = Map(
+    "p11_jpeg_xobject" -> p11Sql)
 }

@@ -37,6 +37,51 @@ object StageCache {
   /** Conf key for the persist level of every cached stage. */
   val StorageLevelConf = "spark.graft.stageCache.storageLevel"
 
+  /** Conf key for the write-time table root. When set and
+    * `<root>/<sanitized key>` holds a committed parquet table (the
+    * `index-sketches` CLI verb writes them), [[getOrCache]] and
+    * [[readThroughOrBuild]] READ it instead of recomputing the stage —
+    * the local realization of "at 100 TB this is a write-time column":
+    * sketches/grams are computed once when the corpus is written, and
+    * every query against them is a parquet scan with pushdown, not a
+    * recompute. Only stages whose values are partitioning-independent
+    * may be persisted (sketch signatures, digest splits, gram pairs —
+    * NOT the Misra-Gries input stages, whose merge order is part of the
+    * pinned result).
+    */
+  val PathConf = "spark.graft.stageCache.path"
+
+  private def sanitize(key: String): String =
+    key.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def persistedTable(s: SparkSession, key: String): Option[DataFrame] =
+    s.conf.getOption(PathConf).flatMap { root =>
+      val dir = new java.io.File(root, sanitize(key))
+      if (new java.io.File(dir, "_SUCCESS").isFile)
+        Some(s.read.parquet(dir.toString))
+      else None
+    }
+
+  /** Write a stage's rows as the persisted table [[getOrCache]] will
+    * read through to. Returns the table path.
+    */
+  def persistStage(s: SparkSession, key: String, df: DataFrame,
+      root: String): String = {
+    val path = new java.io.File(root, sanitize(key)).toString
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Read-through WITHOUT in-memory caching: the persisted table if one
+    * exists, else the built plan as-is. For stages measured to be
+    * cheaper recomputed than cached (d9/d12's gram pairs — a columnar
+    * cache of ~n_grams rows costs more than the second computation), but
+    * which still profit from a write-time table when one was persisted.
+    */
+  def readThroughOrBuild(s: SparkSession, key: String)(build: => DataFrame)
+      : DataFrame =
+    persistedTable(s, key).getOrElse(build)
+
   private def levelOf(s: SparkSession): StorageLevel = {
     val name = s.conf.get(StorageLevelConf, "MEMORY_AND_DISK")
     try StorageLevel.fromString(name)
@@ -63,7 +108,10 @@ object StageCache {
       // crash. get-then-putIfAbsent allows the nesting; on the (benign)
       // race a loser's cache mark is unpersisted before anything
       // materializes it.
-      val built = build.persist(levelOf(s))
+      // Write-time table read-through: a persisted copy of this stage
+      // replaces the compute plan (the scan is still persisted at the
+      // session level so the many consumer actions share one IO pass).
+      val built = persistedTable(s, key).getOrElse(build).persist(levelOf(s))
       val prev = stages.putIfAbsent(k, built)
       if (prev != null) {
         try built.unpersist() catch { case _: Throwable => () }

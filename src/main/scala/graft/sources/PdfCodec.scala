@@ -491,8 +491,34 @@ object PdfWriter {
   /** The extractor's content string for image n on a page (2x2 DeviceGray). */
   def imageContent(n: Int): String = s"Im$n 2x2"
 
+  /** Dimensions of JPEG image n on a page in [[buildJpeg]] output — the
+    * ORACLE-side arithmetic for the decode round-trip (p11): any party can
+    * recompute the expected decoded size from the image index alone.
+    */
+  def jpegDims(n: Int): (Int, Int) = (16 + 8 * (n % 5), 12 + 4 * (n % 7))
+
+  /** The extractor's content string for JPEG image n: decoded dims +
+    * channel count (always 3 — [[graft.media.ImageCodec.syntheticJpeg]]
+    * writes RGB). */
+  def jpegImageContent(n: Int): String = {
+    val (w, h) = jpegDims(n)
+    s"Im$n ${w}x$h jpeg c3"
+  }
+
   def build(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
     buildWith(pages, compress, cid = false)
+
+  /** [[build]] with REAL baseline-JPEG image XObjects (/Filter /DCTDecode
+    * — the payload is a bare JPEG stream, the dominant scanned-page
+    * shape): image n on each page is [[graft.media.ImageCodec
+    * .syntheticJpeg]] at [[jpegDims]](n). The object dict deliberately
+    * understates /Width /Height by 1 so an extractor that trusts the dict
+    * instead of decoding pixels CANNOT produce the right label — the
+    * decoded raster is the only source of truth (reference renders real
+    * pixels via PyMuPDF, pymupdf_parser.py:675-759).
+    */
+  def buildJpeg(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
+    buildWith(pages, compress, cid = false, jpegImages = true)
 
   /** Identity-H variant — the modern-producer shape the extractor must
     * handle in the wild: one /Type0 font whose strings are two-byte CIDs,
@@ -508,14 +534,30 @@ object PdfWriter {
   def buildCid(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
     buildWith(pages, compress, cid = true)
 
+  /** The subset-font producer shape the extractor meets in the wild when
+    * /ToUnicode is MISSING: same /Type0 /Identity-H structure as
+    * [[buildCid]] (CID = alphabet rank, never the codepoint — accidental
+    * round-trips stay impossible), but the only path back to text is the
+    * embedded /FontFile2's own `cmap` table
+    * ([[TrueTypeCmap.buildFont]]). An extractor that reads only
+    * /ToUnicode degrades to code-as-char garbage here; one that performs
+    * font introspection (the reference via PyMuPDF,
+    * pymupdf_parser.py:180-271) recovers the text exactly.
+    */
+  def buildCidNoToUni(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
+    buildWith(pages, compress, cid = true, toUni = false)
+
   private def buildWith(pages: Seq[PageSpec], compress: Boolean,
-      cid: Boolean): Array[Byte] = {
+      cid: Boolean, toUni: Boolean = true,
+      jpegImages: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = mutable.Map[Int, Int]()
     // object plan: 1=catalog 2=pages, then the font objects
-    // (simple: 3=font; cid: 3=Type0 4=descendant CIDFont 5=ToUnicode)
-    var nextObj = if (cid) 6 else 4
+    // (simple: 3=font; cid+toUni: 3=Type0 4=descendant CIDFont 5=ToUnicode;
+    //  cid no-toUni: 3=Type0 4=descendant CIDFont 5=FontDescriptor
+    //  6=FontFile2)
+    var nextObj = if (cid && !toUni) 7 else if (cid) 6 else 4
     def defObj(num: Int)(body: => Unit): Unit = {
       offsets(num) = out.size()
       w(s"$num 0 obj\n"); body; w("\nendobj\n")
@@ -555,7 +597,7 @@ object PdfWriter {
     }
     if (!cid)
       defObj(3)(w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
-    else {
+    else if (toUni) {
       defObj(3)(w("<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic " +
         "/Encoding /Identity-H /DescendantFonts [ 4 0 R ] /ToUnicode 5 0 R >>"))
       defObj(4)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synthetic " +
@@ -565,6 +607,23 @@ object PdfWriter {
       defObj(5) {
         w(s"<< /Length ${cmap.length} >>\nstream\n")
         w(cmap)
+        w("\nendstream")
+      }
+    } else {
+      defObj(3)(w("<< /Type /Font /Subtype /Type0 /BaseFont /Subset " +
+        "/Encoding /Identity-H /DescendantFonts [ 4 0 R ] >>"))
+      defObj(4)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Subset " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+        "/CIDToGIDMap /Identity /FontDescriptor 5 0 R >>"))
+      defObj(5)(w("<< /Type /FontDescriptor /FontName /Subset /Flags 4 " +
+        "/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 /Descent -200 " +
+        "/CapHeight 700 /StemV 80 /FontFile2 6 0 R >>"))
+      // gid == cid under /CIDToGIDMap /Identity, so the font's cmap maps
+      // codepoint → cid directly
+      val fontBytes = TrueTypeCmap.buildFont(cidOf)
+      defObj(6) {
+        w(s"<< /Length ${fontBytes.length} /Length1 ${fontBytes.length} >>\nstream\n")
+        out.write(fontBytes)
         w("\nendstream")
       }
     }
@@ -614,12 +673,24 @@ object PdfWriter {
         out.write(data)
         w("\nendstream")
       }
-      imgObjs.foreach { o =>
+      imgObjs.zipWithIndex.foreach { case (o, i) =>
         defObj(o) {
-          w("<< /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
-            "/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 >>\nstream\n")
-          out.write(Array[Byte](0, 85, -86, -1))
-          w("\nendstream")
+          if (jpegImages) {
+            val (iw, ih) = jpegDims(i)
+            val jpeg = graft.media.ImageCodec.syntheticJpeg(iw, ih, i.toLong)
+            // dict dims off by one ON PURPOSE: only a pixel decode can
+            // label the image correctly (see buildJpeg doc)
+            w(s"<< /Type /XObject /Subtype /Image /Width ${iw - 1} " +
+              s"/Height ${ih - 1} /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+              s"/Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n")
+            out.write(jpeg)
+            w("\nendstream")
+          } else {
+            w("<< /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+              "/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 >>\nstream\n")
+            out.write(Array[Byte](0, 85, -86, -1))
+            w("\nendstream")
+          }
         }
       }
     }
@@ -881,9 +952,12 @@ object RealPdfExtractor extends PdfExtractor {
 
   private final case class Line(y: Double, size: Double, leading: Double,
       x: Double, text: String)
+  /** Image XObject metadata: dict dims + the block-content label (decoded
+    * "WxH jpeg cN" for DCTDecode payloads, plain "WxH" otherwise). */
+  private final case class ImgInfo(w: Int, h: Int, label: String)
   private sealed trait Event
   private final case class TextLine(l: Line) extends Event
-  private final case class ImageDraw(name: String, w: Int, h: Int,
+  private final case class ImageDraw(name: String, info: ImgInfo,
       bbox: (Double, Double, Double, Double)) extends Event
 
   private def pageBlocks(objs: Map[Int, Obj], page: Map[String, PVal],
@@ -907,17 +981,33 @@ object RealPdfExtractor extends PdfExtractor {
     val res = page.get("Resources").map(r => dictOf(deref(objs, r)))
       .getOrElse(resources)
 
-    val xobjects: Map[String, (Int, Int)] =
+    val xobjects: Map[String, ImgInfo] =
       dictOf(deref(objs, res.getOrElse("XObject", PNull))).flatMap {
         case (name, ref) =>
-          val (v, _) = deref2(objs, ref)
+          val (v, stream) = deref2(objs, ref)
           val d = dictOf(v)
           if (d.get("Subtype").contains(PName("Image"))) {
             def dim(k: String) = d.get(k) match {
               case Some(PNum(n)) => n.toInt
               case _ => 0
             }
-            Some(name -> (dim("Width"), dim("Height")))
+            val filters = d.get("Filter") match {
+              case Some(PName(f)) => Seq(f)
+              case Some(PArr(fs)) => fs.collect { case PName(f) => f }
+              case _ => Nil
+            }
+            // /DCTDecode payload IS a bare JPEG stream: decode the real
+            // raster (reference sees rendered pixels via PyMuPDF,
+            // pymupdf_parser.py:675-759). Decoded dims override the dict's
+            // claim (the pixels are the truth a Vision-OCR call would see);
+            // failure degrades to the dict-dims label, never throws.
+            val label =
+              if (filters.contains("DCTDecode"))
+                stream.flatMap(graft.media.ImageCodec.decode)
+                  .map(dec => s"${dec.width}x${dec.height} jpeg c${dec.channels}")
+                  .getOrElse(s"${dim("Width")}x${dim("Height")}")
+              else s"${dim("Width")}x${dim("Height")}"
+            Some(name -> ImgInfo(dim("Width"), dim("Height"), label))
           } else None
       }
 
@@ -927,9 +1017,30 @@ object RealPdfExtractor extends PdfExtractor {
           val (v, _) = deref2(objs, ref)
           val d = dictOf(v)
           val composite = d.get("Subtype").contains(PName("Type0"))
-          val (declaredWidth, toUni) = d.get("ToUnicode")
+          val (declaredWidth, toUniDeclared) = d.get("ToUnicode")
             .map(r => parseCMap(decodedStream(objs, r)))
             .getOrElse((0, Map.empty[Int, String]))
+          // No /ToUnicode on a composite font (subset producers omit it):
+          // recover text the way the reference's PyMuPDF does — read the
+          // embedded font program's own cmap table and invert it
+          // (pymupdf_parser.py:180-271). Under /Identity-H +
+          // /CIDToGIDMap /Identity the content-stream code IS the GID, so
+          // GID → codepoint decodes exactly. Any failure along the chain
+          // (no descendant, no FontFile2, unreadable cmap) leaves the map
+          // empty and the documented code-as-char degradation stands.
+          val toUni =
+            if (!composite || toUniDeclared.nonEmpty) toUniDeclared
+            else {
+              val fromFontProgram = for {
+                desc <- deref(objs, d.getOrElse("DescendantFonts", PNull)) match {
+                  case PArr(arr) if arr.nonEmpty => Some(dictOf(deref(objs, arr.head)))
+                  case _ => None
+                }
+                fd <- desc.get("FontDescriptor").map(r => dictOf(deref(objs, r)))
+                ff <- fd.get("FontFile2")
+              } yield TrueTypeCmap.gidToText(decodedStream(objs, ff))
+              fromFontProgram.getOrElse(Map.empty)
+            }
           // simple-font /Encoding << /Differences [...] >> remaps byte
           // codes to named glyphs (the LaTeX producer shape); an embedded
           // ToUnicode is authoritative where both cover a code
@@ -962,7 +1073,7 @@ object RealPdfExtractor extends PdfExtractor {
     * segmentation needs. CTM (q/Q/cm) is tracked for image placement.
     */
   private def interpret(content: Array[Byte],
-      xobjects: Map[String, (Int, Int)],
+      xobjects: Map[String, ImgInfo],
       fonts: Map[String, FontDec] = Map.empty): Seq[Event] = {
     val lex = new Lex(content)
     val events = new ArrayBuffer[Event]
@@ -1058,10 +1169,10 @@ object RealPdfExtractor extends PdfExtractor {
               case _ => ()
             }
             case "Do" => stack.lastOption.foreach {
-              case PName(n) => xobjects.get(n).foreach { case (w, h) =>
+              case PName(n) => xobjects.get(n).foreach { info =>
                 flushLine()
                 val x = ctm(4); val y = ctm(5)
-                events += ImageDraw(n, w, h, (x, y, x + ctm(0), y + ctm(3)))
+                events += ImageDraw(n, info, (x, y, x + ctm(0), y + ctm(3)))
               }
               case _ => ()
             }
@@ -1114,9 +1225,9 @@ object RealPdfExtractor extends PdfExtractor {
         }
         if (!sameBlock && cur.nonEmpty) flush()
         cur += l
-      case ImageDraw(name, w, h, bbox) =>
+      case ImageDraw(name, info, bbox) =>
         flush()
-        blocks += PdfBlock(pageNum, isImage = true, s"$name ${w}x$h", bbox)
+        blocks += PdfBlock(pageNum, isImage = true, s"$name ${info.label}", bbox)
     }
     flush()
     blocks.toSeq

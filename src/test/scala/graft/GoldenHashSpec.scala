@@ -25,7 +25,8 @@ object GoldenHashSpec {
   val noOracleQueries: Seq[String] = Seq(
     "p1_ingest_fragments", "p2_parent_synthesis", "p3_embed_fragments",
     "p4_pdf_segments", "p5_e2e_golden45", "p6_adversarial_recall",
-    "p7_real_pdf", "p8_cid_pdf", "d13_bloom_incremental",
+    "p7_real_pdf", "p8_cid_pdf", "p9_hard_eval", "p10_subset_font",
+    "d13_bloom_incremental",
     "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
     "v9_ivfpq_recall", "v10_hnsw_recall",
     "x4_approx_stats", "x14_approx_topk")
@@ -40,6 +41,8 @@ object GoldenHashSpec {
     "p6_adversarial_recall" -> "7fc143fa968d452cf83472a28147cc8d",
     "p7_real_pdf" -> "cb6d5e32c669271c7fded91fe7d6dbf1",
     "p8_cid_pdf" -> "d6f9dd1938082bf0818880d805b40314",
+    "p9_hard_eval" -> "f39498fac17cf54ae5778a6cab76c473",
+    "p10_subset_font" -> "3c1946707278beb6d271cc56a9d083f4",
     "d13_bloom_incremental" -> "69596ca3f48f0bb2918f2476bb841537",
     "v5_ann_recall" -> "45820658a5290f75ce058970607f91a1",
     "v6_ivf_recall" -> "2820f621b95f7617bb49d5dd5a855eca",

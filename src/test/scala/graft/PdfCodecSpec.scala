@@ -233,6 +233,104 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(textBlocks(b) == Seq("Hi"))
   }
 
+  // ---------------- no-ToUnicode subset fonts (FontFile2 cmap) ----------------
+
+  test("subset font round-trip: no ToUnicode, text recovered from the font's cmap") {
+    val sane = uniParas.map(PdfWriter.sanitizeCid)
+    val bytes = PdfWriter.buildCidNoToUni(Seq(PageSpec(sane)), compress = false)
+    // the fixture really has no ToUnicode anywhere
+    assert(!new String(bytes, ISO_8859_1).contains("ToUnicode"))
+    // and CIDs are ranks, so skipping font introspection cannot pass
+    assert(!new String(bytes, ISO_8859_1).contains("한국어"))
+    assert(textBlocks(bytes) == sane)
+  }
+
+  test("subset font round-trip, FlateDecode: identical to the uncompressed decode") {
+    val sane = uniParas.map(PdfWriter.sanitizeCid)
+    val plain = PdfWriter.buildCidNoToUni(Seq(PageSpec(sane)), compress = false)
+    val packed = PdfWriter.buildCidNoToUni(Seq(PageSpec(sane)), compress = true)
+    assert(extract(packed) == extract(plain))
+    assert(extract(packed).map(_.content) == sane)
+  }
+
+  test("TrueTypeCmap: format 4 glyphIdArray form (idRangeOffset != 0) parses") {
+    // hand-built: one segment 0x41..0x43 whose gids come from glyphIdArray
+    // (7, 9, 11) — the pointer-arithmetic branch buildFont never emits
+    def u16(v: Int) = Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val segs = 2 // data segment + 0xFFFF terminal
+    val sub = Seq(
+      u16(4), u16(0), u16(0), // format, length (unchecked), language
+      u16(segs * 2), u16(4), u16(1), u16(0), // segCountX2, search fields
+      u16(0x43), u16(0xffff), // endCode
+      u16(0), // reservedPad
+      u16(0x41), u16(0xffff), // startCode
+      u16(0), u16(1), // idDelta
+      // idRangeOffset[0] points past the 2 remaining slots to glyphIdArray
+      u16(4), u16(0),
+      u16(7), u16(9), u16(11) // glyphIdArray
+    ).flatten.toArray
+    val header = Seq(
+      Seq(0x00, 0x01, 0x00, 0x00).map(_.toByte), // sfnt 1.0
+      u16(1), u16(16), u16(0), u16(0), // numTables + search fields
+      "cmap".getBytes(ISO_8859_1).toSeq, Seq(0, 0, 0, 0).map(_.toByte),
+      Seq(0, 0, 0, 28).map(_.toByte), // offset
+      Seq(0, 0, 0, (12 + sub.length)).map(_.toByte), // length
+      u16(0), u16(1), // cmap version, 1 record
+      u16(3), u16(1), Seq(0, 0, 0, 12).map(_.toByte) // (3,1) at +12
+    ).flatten.toArray
+    val font = header ++ sub
+    val m = graft.sources.TrueTypeCmap.gidToText(font)
+    assert(m == Map(7 -> "A", 9 -> "B", 11 -> "C"), s"got $m")
+  }
+
+  test("TrueTypeCmap: format 6 trimmed table parses") {
+    def u16(v: Int) = Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val sub = Seq(
+      u16(6), u16(0), u16(0), // format, length (unchecked), language
+      u16(0x48), u16(3), // firstCode 'H', 3 entries
+      u16(5), u16(0), u16(6) // gids for H, I(unmapped), J
+    ).flatten.toArray
+    val header = Seq(
+      Seq(0x00, 0x01, 0x00, 0x00).map(_.toByte),
+      u16(1), u16(16), u16(0), u16(0),
+      "cmap".getBytes(ISO_8859_1).toSeq, Seq(0, 0, 0, 0).map(_.toByte),
+      Seq(0, 0, 0, 28).map(_.toByte),
+      Seq(0, 0, 0, (12 + sub.length)).map(_.toByte),
+      u16(0), u16(1),
+      u16(3), u16(1), Seq(0, 0, 0, 12).map(_.toByte)
+    ).flatten.toArray
+    val m = graft.sources.TrueTypeCmap.gidToText(header ++ sub)
+    assert(m == Map(5 -> "H", 6 -> "J"), s"got $m")
+  }
+
+  test("JPEG XObject: the decoded raster labels the image, not the lying dict") {
+    // buildJpeg understates /Width /Height by 1 in the object dict, so the
+    // expected labels are reachable only through a real pixel decode
+    val bytes = PdfWriter.buildJpeg(
+      Seq(PageSpec(paras1, Map(0 -> 3))), compress = false)
+    val imgs = extract(bytes).filter(_.isImage).map(_.content)
+    assert(imgs == (0 until 3).map(PdfWriter.jpegImageContent),
+      s"got $imgs")
+    // dims recover exactly through the JPEG round-trip
+    assert(PdfWriter.jpegImageContent(0).endsWith("16x12 jpeg c3"))
+  }
+
+  test("TrueTypeCmap never throws on garbage, truncated, or empty input") {
+    val rnd = new scala.util.Random(7)
+    val good = graft.sources.TrueTypeCmap.buildFont(Map('A'.toInt -> 1, 'B'.toInt -> 2))
+    val cases = Seq(
+      Array.emptyByteArray,
+      "not a font at all".getBytes(ISO_8859_1),
+      good.take(11), good.take(20), good.take(40),
+      Array.fill(256)(rnd.nextInt(256).toByte))
+    cases.foreach { bytes =>
+      val m = graft.sources.TrueTypeCmap.gidToText(bytes) // must not throw
+      assert(m != null)
+    }
+    // and the untruncated fixture round-trips
+    assert(graft.sources.TrueTypeCmap.gidToText(good) == Map(1 -> "A", 2 -> "B"))
+  }
+
   test("parseCMap never throws on garbage, truncated, or empty input") {
     val rnd = new scala.util.Random(42)
     val cases = Seq(

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupQueries, StageCache}
+
+/** Write-time table read-through (VERDICT r7 task #5): the dedup queries
+  * must produce BYTE-IDENTICAL results whether their sketch/gram stages
+  * are recomputed or read from the tables `index-sketches` persisted —
+  * and the read-through must actually engage (the stage plan becomes a
+  * parquet scan), or the equality would be vacuous.
+  */
+class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]", "8").getOrCreate()
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val queries = Seq("d2_minhash_sig", "d9_crossdoc_grams",
+    "d10_incremental_dedup", "d12_novelty", "d13_bloom_incremental")
+
+  private def runAll(): Map[String, Seq[String]] =
+    queries.map { q =>
+      q -> SparkEntry.queries(q)(spark, dir).collect().map(_.toString).toSeq
+    }.toMap
+
+  test("dedup queries are byte-identical against persisted write-time tables") {
+    val s = spark
+    val before = runAll()
+    assert(before.values.forall(_.nonEmpty))
+
+    val root = java.nio.file.Files.createTempDirectory("stage_tables").toString
+    val stages = DedupQueries.writeTimeStages(s, dir)
+    assert(stages.size == 3)
+    stages.foreach { case (k, df) => StageCache.persistStage(s, k, df, root) }
+
+    // drop the memoized in-session stages so the re-run must go through
+    // the persisted tables, not the warm cache
+    StageCache.release(s)
+    s.conf.set(StageCache.PathConf, root)
+    try {
+      // read-through really engages: the gram stage is now a parquet scan
+      val plan = DedupQueries.gramPairs(s, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("parquet") || plan.contains("Parquet"),
+        s"gram stage did not read through to parquet:\n$plan")
+      val after = runAll()
+      queries.foreach { q =>
+        assert(after(q) == before(q), s"$q diverged against persisted stages")
+      }
+    } finally {
+      s.conf.unset(StageCache.PathConf)
+      StageCache.release(s)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("missing persisted tables fall back to computing, conf set or not") {
+    val s = spark
+    val empty = java.nio.file.Files.createTempDirectory("stage_empty").toString
+    StageCache.release(s)
+    s.conf.set(StageCache.PathConf, empty)
+    try {
+      val rows = SparkEntry.queries("d12_novelty")(s, dir).collect()
+      assert(rows.nonEmpty)
+    } finally {
+      s.conf.unset(StageCache.PathConf)
+      StageCache.release(s)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(empty))
+    }
+  }
+}
