@@ -234,10 +234,18 @@ object Cli {
       // the local enactment of "sketches are computed once at corpus
       // write time".
       case "index-sketches" :: sfDir :: outRoot :: Nil =>
+        // refresh must COMPUTE, not read-through: with stageCache.path
+        // already set, the stage plans would read the very parquet paths
+        // persistStage is about to overwrite (Spark refuses to overwrite
+        // a path being read). Unset the conf and drop memoized stages
+        // for the build, then record the staleness fingerprint.
+        spark.conf.unset(graft.queries.StageCache.PathConf)
+        graft.queries.StageCache.release(spark)
+        val fp = graft.queries.DedupQueries.writeTimeFingerprint(sfDir)
         graft.queries.DedupQueries.writeTimeStages(spark, sfDir)
           .toSeq.sortBy(_._1).foreach { case (key, df) =>
             val path = graft.queries.StageCache
-              .persistStage(spark, key, df, outRoot)
+              .persistStage(spark, key, df, outRoot, fp)
             val n = spark.read.parquet(path).count()
             println(s"[index-sketches] $key -> $path ($n rows)")
           }

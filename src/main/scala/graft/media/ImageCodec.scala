@@ -21,17 +21,25 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO's default stream cache spools every read/write through a temp
+  // FILE — per-row disk I/O inside the scan-stage mapPartitions. All
+  // payloads here are in-memory byte arrays; cache in memory.
+  ImageIO.setUseCache(false)
+
   final case class Decoded(width: Int, height: Int, channels: Int)
 
   /** Decode any ImageIO-supported payload (JPEG/PNG/GIF/BMP). None —
     * never an exception — when the bytes aren't a decodable image.
+    * NonFatal only: an OOM from a hostile header's giant raster
+    * allocation must propagate (a task in a blown-heap JVM limping on as
+    * "not an image" is worse than failing it).
     */
   def decode(bytes: Array[Byte]): Option[Decoded] =
     try {
       Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
         Decoded(img.getWidth, img.getHeight, img.getRaster.getNumBands)
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic synthetic RGB image: a gradient keyed by `seed`, JPEG
     * baseline encoded. Pixel VALUES are lossy and encoder-dependent —

@@ -54,8 +54,17 @@ object DedupQueries {
   // finished k-long signature per row (native one-pass tokenize → shingle →
   // md5 → KM fold; values identical to kmHashes+kmComponent and the
   // oracle) — k longs cached per doc instead of every shingle's hash pair.
+  /** Staleness guard for the persisted write-time tables: the documents
+    * table's file footprint plus every constant the stage derivation
+    * depends on. A regenerated corpus or a changed sketch parameter
+    * makes the persisted copy invisible instead of silently wrong.
+    */
+  private def stageFingerprint(dir: String): Option[String] =
+    Some(StageCache.sourceFingerprint(Seq(s"$dir/documents.parquet"),
+      s"shingle=$ShingleN,k=$MinhashK,cross=$CrossN,salt=d10"))
+
   private def sigStage(s: SparkSession, dir: String): DataFrame =
-    StageCache.getOrCache(s, s"minhash_sigs:$dir") {
+    StageCache.getOrCache(s, s"minhash_sigs:$dir", stageFingerprint(dir)) {
       Tables.spread(s, Tables.documents(s, dir))
         .select(col("doc_id"),
           org.apache.spark.sql.graft.SketchExpressions
@@ -344,7 +353,7 @@ object DedupQueries {
     * ([[StageCache.readThroughOrBuild]]).
     */
   private[graft] def gramPairs(s: SparkSession, dir: String): DataFrame =
-    StageCache.readThroughOrBuild(s, s"gram_pairs:$dir") {
+    StageCache.readThroughOrBuild(s, s"gram_pairs:$dir", stageFingerprint(dir)) {
       Tables.spread(s, Tables.documents(s, dir))
         .select(col("doc_id"),
           explode(TextSketch.shingles(col("text"), CrossN)).as("gs"))
@@ -409,7 +418,7 @@ object DedupQueries {
     * train/val/test assignment — same convention as g5's "unimax:" salt.
     */
   private def digestSplit(s: SparkSession, dir: String): DataFrame =
-    StageCache.getOrCache(s, s"digest_split:$dir") {
+    StageCache.getOrCache(s, s"digest_split:$dir", stageFingerprint(dir)) {
       val isNew = pmod(TextSketch.hexInt(
         concat(lit("d10:"), col("doc_id").cast("string"))), lit(100L)) >= 90
       Tables.spread(s, Tables.documents(s, dir))
@@ -700,6 +709,11 @@ object DedupQueries {
       s"minhash_sigs:$dir" -> sigStage(s, dir),
       s"digest_split:$dir" -> digestSplit(s, dir),
       s"gram_pairs:$dir" -> gramPairs(s, dir))
+
+  /** The fingerprint [[graft.Cli]]'s `index-sketches` records beside each
+    * persisted stage — must be the SAME derivation the read side checks.
+    */
+  def writeTimeFingerprint(dir: String): Option[String] = stageFingerprint(dir)
 
   val defs: Map[String, Q] = Map(
     "d13_bloom_incremental" -> d13BloomIncremental,

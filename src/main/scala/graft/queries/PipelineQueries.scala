@@ -142,15 +142,9 @@ object PipelineQueries {
   private val p6Adversarial: Q = (s, dir) => {
     import graft.embedding.TokenHashEmbedder
     import graft.eval.GoldenEval
-    val embedder = new TokenHashEmbedder(256)
-    val processed = processedStage(s, dir)
-    val emb = StageCache.getOrCache(s, s"p6_embeddings:$dir") {
-      IngestPipeline
-        .embeddings(IngestPipeline.fragments(processed), embedder).toDF()
-    }
-    val parents = IngestPipeline.parents(processed).toDF()
+    val (emb, parents) = evalTables(s, dir)
     GoldenEval.evaluate(emb, parents,
-      GoldenEval.adversarialCorpus(emb, 45), embedder)
+      GoldenEval.adversarialCorpus(emb, 45), new TokenHashEmbedder(256))
   }
 
   /** S3/S4 on REAL bytes: each document renders to an actual PDF 1.4 file

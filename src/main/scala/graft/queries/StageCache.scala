@@ -54,33 +54,81 @@ object StageCache {
   private def sanitize(key: String): String =
     key.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  private def persistedTable(s: SparkSession, key: String): Option[DataFrame] =
+  /** A fingerprint of a source table directory: sorted (name, size) of
+    * its data files. Cheap (pure filesystem stat) and catches the
+    * driver's between-round testdata regeneration — the trap that
+    * silently served stale events encodings before EventsEncodingSpec.
+    * Callers include their derivation constants (shingle n, k, …) so a
+    * parameter change also invalidates.
+    */
+  def sourceFingerprint(dirs: Seq[String], params: String): String = {
+    val files = dirs.flatMap { d =>
+      val f = new java.io.File(d)
+      val children =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.toSeq
+        else if (f.isFile) Seq(f)
+        else Nil
+      children.filterNot(_.getName.startsWith("_"))
+        .map(c => s"${c.getName}:${c.length}")
+    }.sorted
+    s"$params|${files.mkString(",")}"
+  }
+
+  private def metaFile(dir: java.io.File) =
+    new java.io.File(dir, "_graft_fingerprint")
+
+  /** The persisted table for `key` — ONLY if it is committed AND its
+    * recorded fingerprint matches the caller's expectation. A stale
+    * table (source regenerated, constants changed) is ignored with a
+    * log line rather than silently served: golden-pinned consumers
+    * (d13) and bench runs have no oracle to catch it downstream.
+    */
+  private def persistedTable(s: SparkSession, key: String,
+      fingerprint: Option[String]): Option[DataFrame] =
     s.conf.getOption(PathConf).flatMap { root =>
       val dir = new java.io.File(root, sanitize(key))
-      if (new java.io.File(dir, "_SUCCESS").isFile)
-        Some(s.read.parquet(dir.toString))
-      else None
+      if (!new java.io.File(dir, "_SUCCESS").isFile) None
+      else {
+        val recorded =
+          try Some(new String(java.nio.file.Files.readAllBytes(
+            metaFile(dir).toPath), "UTF-8"))
+          catch { case _: Throwable => None }
+        (fingerprint, recorded) match {
+          case (Some(want), Some(have)) if want != have =>
+            // scalastyle:off println
+            println(s"[StageCache] persisted stage '$key' is STALE " +
+              "(source fingerprint changed) — recomputing")
+            // scalastyle:on println
+            None
+          case _ => Some(s.read.parquet(dir.toString))
+        }
+      }
     }
 
   /** Write a stage's rows as the persisted table [[getOrCache]] will
-    * read through to. Returns the table path.
+    * read through to, alongside the source fingerprint that guards
+    * against serving it stale. Returns the table path.
     */
   def persistStage(s: SparkSession, key: String, df: DataFrame,
-      root: String): String = {
-    val path = new java.io.File(root, sanitize(key)).toString
-    df.write.mode("overwrite").parquet(path)
-    path
+      root: String, fingerprint: Option[String] = None): String = {
+    val dir = new java.io.File(root, sanitize(key))
+    df.write.mode("overwrite").parquet(dir.toString)
+    fingerprint.foreach { fp =>
+      java.nio.file.Files.write(metaFile(dir).toPath, fp.getBytes("UTF-8"))
+    }
+    dir.toString
   }
 
   /** Read-through WITHOUT in-memory caching: the persisted table if one
-    * exists, else the built plan as-is. For stages measured to be
-    * cheaper recomputed than cached (d9/d12's gram pairs — a columnar
-    * cache of ~n_grams rows costs more than the second computation), but
-    * which still profit from a write-time table when one was persisted.
+    * exists (and matches `fingerprint`), else the built plan as-is. For
+    * stages measured to be cheaper recomputed than cached (d9/d12's
+    * gram pairs — a columnar cache of ~n_grams rows costs more than the
+    * second computation), but which still profit from a write-time
+    * table when one was persisted.
     */
-  def readThroughOrBuild(s: SparkSession, key: String)(build: => DataFrame)
-      : DataFrame =
-    persistedTable(s, key).getOrElse(build)
+  def readThroughOrBuild(s: SparkSession, key: String,
+      fingerprint: Option[String] = None)(build: => DataFrame): DataFrame =
+    persistedTable(s, key, fingerprint).getOrElse(build)
 
   private def levelOf(s: SparkSession): StorageLevel = {
     val name = s.conf.get(StorageLevelConf, "MEMORY_AND_DISK")
@@ -88,7 +136,8 @@ object StageCache {
     catch { case _: IllegalArgumentException => StorageLevel.MEMORY_AND_DISK }
   }
 
-  def getOrCache(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  def getOrCache(s: SparkSession, key: String,
+      fingerprint: Option[String] = None)(build: => DataFrame): DataFrame = {
     if (hooked.add(s)) {
       s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
@@ -111,7 +160,8 @@ object StageCache {
       // Write-time table read-through: a persisted copy of this stage
       // replaces the compute plan (the scan is still persisted at the
       // session level so the many consumer actions share one IO pass).
-      val built = persistedTable(s, key).getOrElse(build).persist(levelOf(s))
+      val built = persistedTable(s, key, fingerprint).getOrElse(build)
+        .persist(levelOf(s))
       val prev = stages.putIfAbsent(k, built)
       if (prev != null) {
         try built.unpersist() catch { case _: Throwable => () }

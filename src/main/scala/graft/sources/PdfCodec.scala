@@ -775,8 +775,12 @@ object RealPdfExtractor extends PdfExtractor {
     try {
       val objs = scanObjects(bytes)
       val pages = orderedPages(objs)
+      // image decodes memoized per DOCUMENT by object number: pages that
+      // inherit shared /Resources (or reuse one image object) must not
+      // re-decode the same /DCTDecode stream once per page
+      val decodeCache = mutable.Map.empty[Int, Option[graft.media.ImageCodec.Decoded]]
       pages.zipWithIndex.flatMap { case ((pageDict, inheritedRes), pageNum) =>
-        try pageBlocks(objs, pageDict, inheritedRes, pageNum)
+        try pageBlocks(objs, pageDict, inheritedRes, pageNum, decodeCache)
         catch { case _: Exception => Nil } // one bad page never kills the doc
       }
     } catch { case _: Exception => Nil }
@@ -952,16 +956,18 @@ object RealPdfExtractor extends PdfExtractor {
 
   private final case class Line(y: Double, size: Double, leading: Double,
       x: Double, text: String)
-  /** Image XObject metadata: dict dims + the block-content label (decoded
-    * "WxH jpeg cN" for DCTDecode payloads, plain "WxH" otherwise). */
-  private final case class ImgInfo(w: Int, h: Int, label: String)
+  /** Image XObject block-content label: decoded "WxH jpeg cN" for
+    * DCTDecode payloads, dict-dims "WxH" otherwise. */
+  private final case class ImgInfo(label: String)
   private sealed trait Event
   private final case class TextLine(l: Line) extends Event
   private final case class ImageDraw(name: String, info: ImgInfo,
       bbox: (Double, Double, Double, Double)) extends Event
 
   private def pageBlocks(objs: Map[Int, Obj], page: Map[String, PVal],
-      resources: Map[String, PVal], pageNum: Int): Seq[PdfBlock] = {
+      resources: Map[String, PVal], pageNum: Int,
+      decodeCache: mutable.Map[Int, Option[graft.media.ImageCodec.Decoded]])
+      : Seq[PdfBlock] = {
     val content = deref(objs, page.getOrElse("Contents", PNull)) match {
       case PArr(parts) =>
         // page Contents may be split across streams; they concatenate
@@ -1001,13 +1007,18 @@ object RealPdfExtractor extends PdfExtractor {
             // pymupdf_parser.py:675-759). Decoded dims override the dict's
             // claim (the pixels are the truth a Vision-OCR call would see);
             // failure degrades to the dict-dims label, never throws.
+            // Decode memoized by object number across the document's pages.
             val label =
-              if (filters.contains("DCTDecode"))
-                stream.flatMap(graft.media.ImageCodec.decode)
-                  .map(dec => s"${dec.width}x${dec.height} jpeg c${dec.channels}")
+              if (filters.contains("DCTDecode")) {
+                val dec = ref match {
+                  case PRef(num) => decodeCache.getOrElseUpdate(num,
+                    stream.flatMap(graft.media.ImageCodec.decode))
+                  case _ => stream.flatMap(graft.media.ImageCodec.decode)
+                }
+                dec.map(d => s"${d.width}x${d.height} jpeg c${d.channels}")
                   .getOrElse(s"${dim("Width")}x${dim("Height")}")
-              else s"${dim("Width")}x${dim("Height")}"
-            Some(name -> ImgInfo(dim("Width"), dim("Height"), label))
+              } else s"${dim("Width")}x${dim("Height")}"
+            Some(name -> ImgInfo(label))
           } else None
       }
 

@@ -60,7 +60,10 @@ object TrueTypeCmap {
       }
       i += 1
     }
-    if (cmapOff < 0 || cmapOff + 4 > font.length) return Map.empty
+    // directory-declared length sanity: a cmap table too short for its
+    // own header is structural garbage
+    if (cmapOff < 0 || cmapLen < 4 || cmapOff + 4 > font.length)
+      return Map.empty
     val cm = cmapOff.toInt
     val nSub = u16(font, cm + 2)
     // collect (platform, encoding, subtable offset)

@@ -93,15 +93,27 @@ class SwapChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val reader = new Thread(() => {
       val genRe = """.+-g(\d+)-f\d+""".r
-      while (!writerDone.get() && tear.isEmpty) {
+      // do-while shape: at least ONE read must complete even if the
+      // writer finishes before the reader's first collect (loaded-host
+      // race) — otherwise the cleanReads>0 assertion fails spuriously
+      var first = true
+      while ((first || !writerDone.get()) && tear.isEmpty) {
         try {
           val rows = spark.read.parquet(path)
             .select(col("list_id").cast("int"), col("fragment_id"))
             .collect().map(r => (r.getInt(0), r.getString(1)))
           cleanReads.incrementAndGet()
+          first = false
           rows.groupBy(_._1).foreach { case (list, rs) =>
+            // exhaustive: an unparseable fragment id is itself a tear
+            // (it must not fall into the catch-all retry below)
             val gensSeen = rs.map { case (_, f) =>
-              f match { case genRe(g) => g.toInt }
+              f match {
+                case genRe(g) => g.toInt
+                case other =>
+                  tear = Some(s"list $list has a malformed fragment id: $other")
+                  -1
+              }
             }.distinct
             if (gensSeen.length != 1)
               tear = Some(s"list $list mixes generations $gensSeen: " +

@@ -22,7 +22,10 @@ run_one() {
   cp bench_out.json /tmp/bench_ab_$tag.json
   tail -1 /tmp/bench_$tag.log | head -c 300; echo
 }
-run_one full ""
+# full runs LAST so the bench_out.json left in the working tree is the
+# full-catalog record, never a half-subset one (the repo commits that file
+# as "the committed bench record")
 run_one half1 "half1"
 run_one half2 "half2"
+run_one full ""
 echo "=== AB DONE ==="
