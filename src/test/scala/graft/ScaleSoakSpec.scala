@@ -14,7 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * generates `localdata/sf1` (10× sf0.1 via `tools/gen_sf1.py`, key-
   * remapped replication — dev tooling, never driver data) if absent, runs
   * the ENTIRE catalog once at sf0.1 and once at sf1 through the bench's
-  * noop-sink evaluation, writes `SOAK_r07_sf1.json`, and asserts the
+  * noop-sink evaluation, writes `SOAK_sf1.json` (env GRAFT_SOAK_OUT overrides; round snapshots are committed as SOAK_r{N}_sf1.json), and asserts the
   * scale envelope:
   *
   *   - no query may fail at sf1 that passed at sf0.1;
@@ -75,7 +75,8 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
         s""""ratio":${if (total01 > 0) total1 / total01 else -1},""" +
         s""""nq":${soak.size},""" +
         s""""failures":${soak.count(!_._2._2)}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_r07_sf1.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_SOAK_OUT", "SOAK_sf1.json")),
       (line + "\n").getBytes("UTF-8"))
     info(f"sf0.1 total ${total01}%.1f s, sf1 total ${total1}%.1f s " +
       f"(${total1 / total01}%.2f×)")
