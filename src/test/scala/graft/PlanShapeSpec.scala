@@ -467,6 +467,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"tf census should partial-aggregate before its shuffle:\n$p")
   }
 
+  test("r8 per-document codecs (p10/p11/m3) never hash-shuffle document bytes") {
+    // each is a scan-stage mapPartitions pipeline: PDF/JPEG bytes live
+    // and die inside the partition iterator; the only exchanges are the
+    // presentation orderBy (range) and the input spread (round-robin)
+    Seq("p10_subset_font", "p11_jpeg_xobject", "m3_jpeg_decode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle:\n$p")
+      assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+        s"$q should be an object-pipeline map:\n$p")
+    }
+  }
+
+  test("p9 hard eval keeps the p6 shape: one batch KNN, broadcast expectations") {
+    val p = plan("p9_hard_eval")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      s"per-query top-k should not global-sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 45-row expectation table should broadcast:\n$p")
+  }
+
   test("bucketed co-located join plans without a shuffle") {
     val s = spark
     val o = Tables.orders(s, dir)
