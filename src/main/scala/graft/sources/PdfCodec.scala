@@ -30,11 +30,15 @@ import graft.sources.PdfSource.{PdfBlock, PdfExtractor}
   * (bfchar + bfrange, both scalar and array destination forms), which is
   * how every modern producer embeds subset fonts (reference:
   * ingestion/parsers/pymupdf_parser.py:180-271 gets the same mapping via
-  * PyMuPDF). Remaining documented limits: mixed-width codespace ranges
-  * (rare) take the first range's width; an Identity-H font with NO
-  * /ToUnicode has no text mapping anywhere — codes pass through as char
-  * values, best-effort. Filters handled are none and FlateDecode (the
-  * overwhelming default for text content streams).
+  * PyMuPDF); fonts with NO /ToUnicode decode through the embedded font
+  * program's own `cmap` table ([[TrueTypeCmap]] — the subset-producer
+  * case). PDF 1.5+ object streams (/Type /ObjStm — catalog/page/font
+  * dicts packed compressed, the modern-producer layout) are expanded
+  * into the object table. Remaining documented limits: mixed-width
+  * codespace ranges (rare) take the first range's width; filters
+  * handled are none, FlateDecode (the overwhelming default for text
+  * content streams), and DCTDecode for image rasters
+  * ([[graft.media.ImageCodec]]).
   */
 object PdfCodec {
 
@@ -857,7 +861,64 @@ object RealPdfExtractor extends PdfExtractor {
         }
       }
     }
-    objs.toMap
+    expandObjectStreams(objs.toMap)
+  }
+
+  /** PDF 1.5+ object streams (§7.5.7): modern producers pack non-stream
+    * objects (page dicts, fonts, the catalog) FlateDecode'd inside
+    * /Type /ObjStm containers, invisible to the raw `N 0 obj` scan. The
+    * decompressed layout is `/N` pairs of `objnum offset` ints, then
+    * each object's bare value starting at `/First + offset` — no
+    * obj/endobj wrappers and never a nested stream, so one [[Lex]] pass
+    * per member suffices. Members do NOT override same-numbered
+    * top-level objects (an incremental update appending a replacement
+    * object outranks the packed original it shadows). Malformed
+    * containers are skipped whole — same fuzz posture as the body scan.
+    */
+  private def expandObjectStreams(objs: Map[Int, Obj]): Map[Int, Obj] = {
+    val packed = objs.collect {
+      case (_, o @ Obj(PDict(d), Some(_)))
+          if d.get("Type").contains(PName("ObjStm")) =>
+        try {
+          // we hold the object itself (not a ref): apply the filter
+          // chain directly rather than via decodedStream
+          val raw = o.stream.get
+          val filters = d.get("Filter") match {
+            case Some(PName(f)) => Seq(f)
+            case Some(PArr(fs)) => fs.collect { case PName(f) => f }
+            case _ => Nil
+          }
+          val body = filters.foldLeft(raw) { (b, f) =>
+            if (f == "FlateDecode") inflate(b) else b
+          }
+          val n = d.get("N") match { case Some(PNum(v)) => v.toInt; case _ => 0 }
+          val first = d.get("First") match {
+            case Some(PNum(v)) => v.toInt
+            case _ => -1
+          }
+          if (n <= 0 || n > 100000 || first < 0 || first > body.length) Nil
+          else {
+            val head = new Lex(java.util.Arrays.copyOfRange(body, 0, first))
+            val pairs = (0 until n).flatMap { _ =>
+              (head.next(), head.next()) match {
+                case (PNum(num), PNum(off))
+                    if num >= 0 && off >= 0 && first + off < body.length =>
+                  Some((num.toInt, first + off.toInt))
+                case _ => None
+              }
+            }
+            pairs.flatMap { case (num, at) =>
+              try {
+                val l = new Lex(body)
+                l.p = at
+                Option(l.nextResolvingRefs()).map(v => num -> Obj(v, None))
+              } catch { case _: Exception => None }
+            }
+          }
+        } catch { case _: Exception => Nil }
+    }.flatten.toMap
+    // top-level objects win over packed members of the same number
+    packed ++ objs
   }
 
   private def resync(lex: Lex, from: Int): Unit = {

@@ -331,6 +331,81 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(graft.sources.TrueTypeCmap.gidToText(good) == Map(1 -> "A", 2 -> "B"))
   }
 
+  // ---------------- object streams (PDF 1.5 /ObjStm) ----------------
+
+  /** Hand-built PDF whose catalog/pages/page/font dicts all live INSIDE a
+    * /Type /ObjStm container — the modern-producer layout the raw body
+    * scan cannot see. Only the content stream is a top-level object.
+    */
+  private def objStmPdf(compress: Boolean): Array[Byte] = {
+    val members = Seq(
+      2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+      3 -> "<< /Type /Pages /Kids [ 4 0 R ] /Count 1 >>",
+      4 -> ("<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 6 0 R >> >> /Contents 5 0 R >>"),
+      6 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodyParts = members.map(_._2 + " ")
+    val offsets = bodyParts.scanLeft(0)(_ + _.length).init
+    val header = members.zip(offsets)
+      .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + " "
+    val stmRaw = (header + bodyParts.mkString).getBytes(ISO_8859_1)
+    val stm =
+      if (!compress) stmRaw
+      else {
+        val d = new java.util.zip.Deflater()
+        d.setInput(stmRaw); d.finish()
+        val out = new java.io.ByteArrayOutputStream
+        val buf = new Array[Byte](4096)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end(); out.toByteArray
+      }
+    val filter = if (compress) " /Filter /FlateDecode" else ""
+    val content = "BT /F1 12 Tf 72 700 Td (Packed objects still decode fine today) Tj ET"
+    val out = new java.io.ByteArrayOutputStream
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    w(s"1 0 obj\n<< /Type /ObjStm /N ${members.size} " +
+      s"/First ${header.length}$filter /Length ${stm.length} >>\nstream\n")
+    out.write(stm)
+    w("\nendstream\nendobj\n")
+    w(s"5 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    w("trailer\n<< /Root 2 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("ObjStm: objects packed in an object stream are found (raw and Flate)") {
+    Seq(false, true).foreach { compress =>
+      val blocks = textBlocks(objStmPdf(compress))
+      assert(blocks == Seq("Packed objects still decode fine today"),
+        s"compress=$compress got $blocks")
+    }
+  }
+
+  test("ObjStm: a top-level replacement object shadows its packed original") {
+    // incremental-update semantics: append a replacement for packed obj 6
+    // (the font) — the LATER top-level object must win over the member
+    val base = objStmPdf(false)
+    val extra = ("6 0 obj\n<< /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Courier >>\nendobj\n%%EOF\n").getBytes(ISO_8859_1)
+    val blocks = textBlocks(base ++ extra)
+    // still decodes (the replacement is a valid simple font)
+    assert(blocks == Seq("Packed objects still decode fine today"))
+  }
+
+  test("ObjStm: malformed containers are skipped, never throw") {
+    val good = objStmPdf(false)
+    val s = new String(good, ISO_8859_1)
+    val cases = Seq(
+      s.replace("/N 4", "/N 999999"), // absurd member count
+      s.replace("/First", "/Firs"), // missing First
+      s.replaceFirst("stream\n[^e]*endstream", "stream\ngarbage endstream"))
+    cases.foreach { c =>
+      val blocks = graft.sources.RealPdfExtractor
+        .extract("t.pdf", c.getBytes(ISO_8859_1)) // must not throw
+      assert(blocks != null)
+    }
+  }
+
   test("parseCMap never throws on garbage, truncated, or empty input") {
     val rnd = new scala.util.Random(42)
     val cases = Seq(
