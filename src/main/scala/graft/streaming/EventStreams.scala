@@ -400,6 +400,74 @@ object EventStreams {
       }
   }
 
+  final case class AnomalyEvent(event_type: String, ts: java.sql.Timestamp,
+      v: Long)
+  /** Exact running power sums per event type. `s2Dec` is Σv² as a
+    * decimal STRING: cents² products overflow 64 bits at |value| ≈
+    * $30.4M (the same bound the batch twin widens for), and a string of
+    * the exact integer keeps the state encoder trivial while preserving
+    * bit-exactness.
+    */
+  final case class AnomalyState(n: Long, s1: Long, s2Dec: String)
+  final case class ScoredEvent(event_type: String, ts_us: Long, v: Long,
+      z: Double, flagged: Boolean)
+
+  /** Streaming anomaly gate — the real-time shape of w15_anomaly: each
+    * arriving event is z-scored against its type's EXACT running power
+    * sums (n, Σv, Σv² — the mergeable-summaries trio; state is three
+    * numbers per event type, never a window of events). The score uses
+    * the prefix INCLUDING the event itself — the same
+    * `(n·v − s1)/√(n·s2 − s1²)` the batch twin evaluates, over what has
+    * arrived so far rather than the whole day: that is the semantics a
+    * live gate can actually have (batch re-scores history against final
+    * stats; a stream cannot revisit). The two agree on the sums
+    * themselves: after any replay, per-type (n, s1, s2) equal the batch
+    * aggregate exactly (integer arithmetic, order-free) — pinned by the
+    * equivalence spec, along with every per-event score against an
+    * independent fold. First event of a type has zero discriminant → z=0,
+    * same as the batch twin's degenerate-variance rule. Ordering
+    * contract as [[funnel]]: per-key event-time order across batches;
+    * within a batch rows sort by event time (null-ts events, which the
+    * batch twin also scores, sort first).
+    */
+  def anomalyStream(events: DataFrame, zThreshold: Double = 3.0)
+      : Dataset[ScoredEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .as[AnomalyEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, ScoredEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (tpe, rows, state: GroupState[AnomalyState]) =>
+          val sorted = rows.toSeq.sortBy(r =>
+            Option(r.ts).map(eventTimeMicros).getOrElse(Long.MinValue))
+          var st = state.getOption.getOrElse(AnomalyState(0L, 0L, "0"))
+          var s2 = BigInt(st.s2Dec)
+          val out = Seq.newBuilder[ScoredEvent]
+          sorted.foreach { r =>
+            val n = st.n + 1
+            val s1 = st.s1 + r.v
+            s2 += BigInt(r.v) * BigInt(r.v)
+            st = AnomalyState(n, s1, st.s2Dec)
+            val nD = n.toDouble
+            val disc = nD * s2.toDouble - s1.toDouble * s1.toDouble
+            val z =
+              if (disc <= 0.0) 0.0
+              else (nD * r.v.toDouble - s1.toDouble) / math.sqrt(disc)
+            out += ScoredEvent(tpe,
+              Option(r.ts).map(eventTimeMicros).getOrElse(Long.MinValue),
+              r.v, z, math.abs(z) > zThreshold)
+          }
+          state.update(AnomalyState(st.n, st.s1, s2.toString))
+          out.result().iterator
+      }
+  }
+
   final case class CohortActivity(user_id: Long, day: java.sql.Date)
   /** Per-user retention state: first-active epoch day + the epoch days
     * already emitted. Bounded by the user's count of DISTINCT active

@@ -557,6 +557,95 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the planted duplicates must all be removed")
   }
 
+  test("streaming anomaly gate: exact sums and scores match an independent fold") {
+    val s = spark
+    import s.implicits._
+    import EventStreams.ScoredEvent
+
+    // the same cents the operator computes, via the same Spark cast
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .collect()
+      .sortBy(r => Option(r._2).map(EventStreams.eventTimeMicros)
+        .getOrElse(Long.MinValue))
+
+    // independent oracle fold over the identical order
+    val sums = scala.collection.mutable.Map
+      .empty[String, (Long, Long, BigInt)]
+    val expected = ev.map { case (tpe, ts, v) =>
+      val (n0, s10, s20) = sums.getOrElse(tpe, (0L, 0L, BigInt(0)))
+      val (n, s1, s2) = (n0 + 1, s10 + v, s20 + BigInt(v) * BigInt(v))
+      sums(tpe) = (n, s1, s2)
+      val disc = n.toDouble * s2.toDouble - s1.toDouble * s1.toDouble
+      val z =
+        if (disc <= 0.0) 0.0
+        else (n.toDouble * v.toDouble - s1.toDouble) / math.sqrt(disc)
+      ScoredEvent(tpe,
+        Option(ts).map(EventStreams.eventTimeMicros).getOrElse(Long.MinValue),
+        v, z, math.abs(z) > 3.0)
+    }.toSeq
+
+    // final streaming sums must equal the BATCH power sums exactly
+    // (order-free integer arithmetic — the w15 stats aggregate)
+    val batchStats = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v").cast("decimal(30,0)") * col("v")).as("s2"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), BigInt(r.getDecimal(3).toBigInteger))))
+      .toMap
+    assert(sums.toMap == batchStats,
+      "prefix-fold final sums diverged from the batch aggregate")
+
+    // 3-slice replay: per-key event-time order across batches
+    val stage = java.nio.file.Files.createTempDirectory("anomaly_stream")
+    val slice = (ev.length + 2) / 3
+    ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
+      val f = stage.resolve(f"slice_$i%03d.parquet")
+      rows.toSeq.toDF("event_type", "ts", "value").coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      java.nio.file.Files.walk(f).iterator()
+        .forEachRemaining(_.toFile.setLastModified(1000000L * (i + 1)))
+    }
+    // the staged `value` column already holds cents as LONG; feed dollars
+    // back so the operator's own cast path runs: cents/100 as decimal
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*/")
+      .withColumn("value",
+        (col("value").cast("decimal(20,2)") / 100).cast("decimal(18,2)"))
+    val q = EventStreams.anomalyStream(stream)
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    val streamed = s.sql("SELECT * FROM anomaly_stream")
+      .as[ScoredEvent].collect()
+    assert(streamed.length == expected.length,
+      s"${streamed.length} scored vs ${expected.length} expected")
+    // multiset equality (z doubles must be BIT-exact: same arithmetic)
+    val key = (e: ScoredEvent) =>
+      (e.event_type, e.ts_us, e.v, java.lang.Double.doubleToLongBits(e.z),
+        e.flagged)
+    assert(streamed.map(key).sorted.toSeq == expected.map(key).sorted,
+      "streaming scores diverged from the independent fold")
+    assert(streamed.exists(_.flagged) || expected.forall(!_.flagged),
+      "sanity: flag parity")
+  }
+
   test("streaming cohort retention matches w11 on multi-batch replay") {
     val s = spark
     import s.implicits._
