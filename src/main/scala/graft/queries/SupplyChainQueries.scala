@@ -372,8 +372,107 @@ object SupplyChainQueries {
       |ORDER BY numwait DESC, s_suppkey
       |LIMIT 20""".stripMargin
 
+  // ---- Q12: shipping-mode priority census — of the lines shipped LATE
+  // (ship > order date + 60 days; the schema has no commit/receipt
+  // dates), how many belonged to critical-priority orders vs not, per
+  // "mode" (l_returnflag stands in for the absent l_shipmode — the shape
+  // only needs a low-cardinality line-level categorical). The orders
+  // side is reduced to (orderkey, orderdate, 0/1 critical flag) BEFORE
+  // the join — the priority string never rides the shuffle — the
+  // lateness predicate rides the join itself, and the fact-fact join
+  // on orderkey is the only real exchange (at 100 TB co-bucketing both
+  // facts on orderkey removes it); the per-mode agg output is 3 rows.
+  // All counts are exact BIGINTs — hash compare cannot be flaky.
+  private val q12ShipMode: Q = (s, dir) => {
+    val crit = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("is_crit"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(crit, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag").as("ship_mode"))
+      .agg(sum(col("is_crit")).as("high_line_count"),
+        sum(lit(1L) - col("is_crit")).as("low_line_count"))
+      .orderBy(col("ship_mode"))
+  }
+
+  private val q12Sql =
+    """SELECT l_returnflag AS ship_mode,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- Q20: part-promotion suppliers — suppliers in one nation holding
+  // "excess stock" of PROMO parts. With no partsupp/availqty, stock
+  // outside the probe year stands in for available quantity: a
+  // (supplier, part) pair qualifies when its non-1996 shipments exceed
+  // half its 1996 shipments (and 1996 saw any). The correlated per-pair
+  // aggregate is computed in ONE pass — conditional sums inside a single
+  // (suppkey, partkey) agg, never a self-join — and the threshold
+  // cross-multiplies exact BIGINTs (quantities are integral). The
+  // qualifying-supplier set is supplier-vocabulary-sized and broadcasts
+  // into a LEFT SEMI join against the nation-filtered dimension, which
+  // is Q20's nested-IN chain decorrelated. Part filter broadcasts into
+  // the scan, so lineitem shuffles once on the pair key.
+  private val q20PromoSuppliers: Q = (s, dir) => {
+    val promo = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val qty = col("l_quantity").cast("long")
+    val in96 = col("l_shipdate") >= lit("1996-01-01") &&
+      col("l_shipdate") < lit("1997-01-01")
+    val qualifying = Tables.lineitem(s, dir)
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(when(in96, qty).otherwise(0L)).as("qty_96"),
+        sum(when(!in96, qty).otherwise(0L)).as("qty_rest"))
+      .filter(col("qty_96") > 0 && col("qty_rest") * 2 > col("qty_96"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(qualifying),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  private val q20Sql =
+    """WITH pair AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01'
+      |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS qty_96,
+      |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+      |      AND l_shipdate < TIMESTAMP '1997-01-01'
+      |      THEN 0 ELSE CAST(l_quantity AS BIGINT) END) AS qty_rest
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'PROMO'
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM pair
+      |    WHERE qty_96 > 0 AND qty_rest * 2 > qty_96)
+      |ORDER BY s_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q2_min_cost_supplier" -> q2MinCost,
+    "q12_shipmode" -> q12ShipMode,
+    "q20_promo_suppliers" -> q20PromoSuppliers,
     "q8_market_share" -> q8MarketShare,
     "q9_profit" -> q9Profit,
     "q10_returned" -> q10Returned,
@@ -383,6 +482,8 @@ object SupplyChainQueries {
 
   val oracles: Map[String, String] = Map(
     "q2_min_cost_supplier" -> q2Sql,
+    "q12_shipmode" -> q12Sql,
+    "q20_promo_suppliers" -> q20Sql,
     "q8_market_share" -> q8Sql,
     "q9_profit" -> q9Sql,
     "q10_returned" -> q10Sql,

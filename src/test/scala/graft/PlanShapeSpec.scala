@@ -360,6 +360,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q12: mode census hash-shuffles once; lateness predicate on the join") {
+    val p = plan("q12_shipmode")
+    assert(!p.contains("SortMergeJoin"), s"q12 fell back to sort-merge:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q12: only the per-mode agg may hash-shuffle:\n$p")
+    // the shipdate window must reach the parquet reader
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"no pushdown:\n$p")
+  }
+
+  test("q20: one-pass pair agg + dedup; qualifying set broadcasts as semi") {
+    val p = plan("q20_promo_suppliers")
+    assert(!p.contains("SortMergeJoin"), s"q20 fell back to sort-merge:\n$p")
+    assert(p.contains("LeftSemi"), s"q20: nested-IN must be a semi join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"q20: pair agg + suppkey dedup only:\n$p")
+  }
+
   test("q21: double-EXISTS census runs join-back-free") {
     val p = plan("q21_waiting_supplier")
     assert(!p.contains("SortMergeJoin"), s"q21 fell back to sort-merge:\n$p")
