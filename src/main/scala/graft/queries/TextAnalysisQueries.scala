@@ -884,7 +884,84 @@ object TextAnalysisQueries {
        |ORDER BY d.decile""".stripMargin
   }
 
+  // X20 — PII detection + redaction census (the scrubbing stage every
+  // training-data pipeline runs before release; reference analog: the
+  // ingest validators gate what text may be embedded at all,
+  // validators.py). The synthetic corpus carries no PII, so the query
+  // INJECTS it deterministically from doc_id — an email, a NANP phone
+  // and a dotted-quad IP, each on its own doc_id residue class — and the
+  // oracle re-derives the same injection independently in DuckDB, so a
+  // detector that matches nothing (or redacts the wrong spans) cannot
+  // hash-match. Patterns are written in the common Java-regex/RE2
+  // subset (no lookaround, no backrefs) so both engines compile the
+  // SAME automaton; redaction replaces all occurrences in a fixed
+  // email→phone→IP order (the placeholders contain no digits, so later
+  // passes cannot re-match earlier rewrites). All work is per-row
+  // codegen'd regexp map work — at 100 TB this is a narrow scan stage
+  // with NO shuffle beyond the presentation sort; counts are exact ints
+  // and the redacted text is hash-compared via md5.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val ipRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  private val x20PiiRedact: Q = (s, dir) => {
+    val d = col("doc_id")
+    val email = when(d % 2 === 0,
+      concat(lit("user"), d, lit("@example"), d % 7, lit(".com")))
+    val phone = when(d % 3 === 0,
+      concat(lit("+1-555-"), (d % 900) + 100, lit("-"),
+        lpad((d % 10000).cast("string"), 4, "0")))
+    val ip = when(d % 5 === 0,
+      concat(lit("10."), d % 256, lit("."), (d * 7) % 256, lit("."),
+        (d * 13) % 256))
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(d, concat_ws(" ", col("text"), email, phone, ip).as("t"))
+      .select(d,
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phone"),
+        size(regexp_extract_all(col("t"), lit(ipRe), lit(0)))
+          .cast("long").as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]"),
+          ipRe, "[IP]").as("r"))
+      .select(d, col("n_email"), col("n_phone"), col("n_ip"),
+        length(col("r")).cast("long").as("redacted_len"),
+        md5(col("r")).as("redacted_md5"))
+      .orderBy(d)
+  }
+
+  private val x20Sql =
+    s"""WITH injected AS (
+       |  SELECT doc_id, concat_ws(' ', text,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'user' || doc_id || '@example'
+       |      || (doc_id % 7) || '.com' END,
+       |    CASE WHEN doc_id % 3 = 0 THEN '+1-555-' || (doc_id % 900 + 100)
+       |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END,
+       |    CASE WHEN doc_id % 5 = 0 THEN '10.' || (doc_id % 256) || '.'
+       |      || (doc_id * 7 % 256) || '.' || (doc_id * 13 % 256) END) AS t
+       |  FROM documents),
+       |red AS (
+       |  SELECT doc_id, t,
+       |    regexp_replace(regexp_replace(regexp_replace(t,
+       |      '$emailRe', '[EMAIL]', 'g'),
+       |      '$phoneRe', '[PHONE]', 'g'),
+       |      '$ipRe', '[IP]', 'g') AS r
+       |  FROM injected)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ip,
+       |  CAST(length(r) AS BIGINT) AS redacted_len,
+       |  md5(r) AS redacted_md5
+       |FROM red
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "x20_pii_redact" -> x20PiiRedact,
     "x19_vocab_growth" -> x19VocabGrowth,
     "x18_heldout_lm" -> x18HeldoutLm,
     "x17_bpe_encode" -> x17BpeEncode,
@@ -904,6 +981,7 @@ object TextAnalysisQueries {
     "x6_trigram_lang" -> x6TrigramLang)
 
   val oracles: Map[String, String] = Map(
+    "x20_pii_redact" -> x20Sql,
     "x19_vocab_growth" -> x19Sql,
     "x18_heldout_lm" -> x18Sql,
     "x17_bpe_encode" -> x17Sql,

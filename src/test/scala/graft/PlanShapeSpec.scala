@@ -360,6 +360,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("x20: PII redaction is a narrow scan stage — no hash shuffle") {
+    val p = plan("x20_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"x20 is per-row regexp map work plus presentation sort:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython"),
+      s"x20 must stay codegen'd builtins:\n$p")
+  }
+
   test("q12: mode census hash-shuffles once; lateness predicate on the join") {
     val p = plan("q12_shipmode")
     assert(!p.contains("SortMergeJoin"), s"q12 fell back to sort-merge:\n$p")
