@@ -287,6 +287,43 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S3/S4 on bare-CFF font bytes: the p10 round-trip with the descendant
+    * switched to /CIDFontType0 + /FontFile3 (/CIDFontType0C) — no
+    * /ToUnicode and no sfnt `cmap` anywhere; the only route back to text
+    * is the CFF charset's glyph names, resolved through the AGL
+    * conventions ([[graft.sources.CffCharset]]; reference analog:
+    * PyMuPDF's font introspection, pymupdf_parser.py:180-271). CIDs are
+    * alphabet ranks (≠ codepoints), so `lossless` pins genuine CFF
+    * introspection — an extractor handling only FontFile2 degrades to
+    * garbage here. Same multilingual tail and shuffle-free per-document
+    * scale shape as p10.
+    */
+  private val p12CffFont: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.{PdfSource, PdfWriter, RealPdfExtractor}
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val tail = s"문서 $id 한글 꼬리표 — résumé 中文測試 " +
+          ('가' + (id % 100).toInt).toChar
+        val paras = (text.split("\n{2,}").toSeq :+ tail)
+          .map(PdfWriter.sanitizeCid).filter(_.trim.nonEmpty)
+        val pages = paras.grouped(6)
+          .map(ps => PdfWriter.PageSpec(ps)).toSeq
+        val bytes = PdfWriter.buildCidCff(pages, compress = id % 2 == 0)
+        val blocks = RealPdfExtractor.extract(s"cff/$id.pdf", bytes)
+        val lossless = blocks.filter(!_.isImage).map(_.content) == paras
+        val segs = PdfSource.parsePdf(s"cff/$id", s"cff/$id.pdf", bytes,
+          RealPdfExtractor)
+        (id, pages.length, blocks.length, segs.length,
+          segs.map(_.content.length).sum, lossless, bytes.length)
+      })
+      .toDF("doc_id", "n_pages", "n_blocks", "n_segments",
+        "total_chars", "lossless", "pdf_bytes")
+      .orderBy(col("doc_id"))
+  }
+
   /** S4 image metadata on REAL pixels: each document renders to a PDF
     * whose image XObjects are actual baseline JPEGs (/DCTDecode), with the
     * object dict's /Width /Height deliberately off by one — the extractor
@@ -345,7 +382,8 @@ object PipelineQueries {
     "p8_cid_pdf" -> p8CidPdf,
     "p9_hard_eval" -> p9HardEval,
     "p10_subset_font" -> p10SubsetFont,
-    "p11_jpeg_xobject" -> p11JpegXobject)
+    "p11_jpeg_xobject" -> p11JpegXobject,
+    "p12_cff_font" -> p12CffFont)
 
   /** Stateful per-document folds are not SQL-expressible (golden-pinned
     * instead); p11 IS oracled — its expected dims are pure arithmetic. */

