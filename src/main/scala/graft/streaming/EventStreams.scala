@@ -528,6 +528,66 @@ object EventStreams {
       }
   }
 
+  final case class SlideActivity(user_id: Long, day: java.sql.Date)
+  /** One long per user: the latest active day already folded. The
+    * incremental new-window computation below needs nothing older —
+    * consecutive days' newly-covered window-ends are disjoint intervals
+    * whose union is exactly the covered set, so max-day state suffices
+    * where the naive formulation would retain a 7-day set.
+    */
+  final case class SlideState(maxEpochDay: Long)
+  final case class SlideAdvance(user_id: Long, day: java.sql.Date,
+      new_windows: Seq[java.sql.Date])
+
+  /** Streaming sliding-active users — twin of w13_sliding_active: emits
+    * one row per NEW distinct (user, day) carrying the 7-day window-ends
+    * that day newly covers for the user (those not already covered by an
+    * earlier active day: `[max(d, prev+7), d+6]`). Downstream, over the
+    * emissions alone:
+    *   - `dau1(w)`  = COUNT(*) of advances with day = w (one per active
+    *     user-day, exactly the batch dedup grid);
+    *   - `wau7(w)`  = COUNT(*) of exploded new_windows = w (each user
+    *     first-covers a window-end exactly once);
+    *   - window-ends that are not observed activity days are dropped at
+    *     read time by the same observed-day census the batch twin
+    *     broadcast-semi-joins (`w IN (SELECT DISTINCT day FROM advances)`)
+    *     — a global filter no per-user state could know.
+    * Ordering contract matches [[cohortRetention]]: per-key event-time
+    * order across batches; a day at or before the folded maximum is a
+    * duplicate (or out-of-contract stray) and emits nothing. Null-ts
+    * events never enter (stated, as for w11/w12).
+    */
+  def slidingActive(events: DataFrame): Dataset[SlideAdvance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"),
+        to_date(col("ts")).as("day"))
+      .as[SlideActivity]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SlideState, SlideAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SlideState]) =>
+          val days = rows.map(_.day.toLocalDate.toEpochDay)
+            .toSeq.distinct.sorted
+          var m = state.getOption.map(_.maxEpochDay)
+          val out = Seq.newBuilder[SlideAdvance]
+          def date(ep: Long) = java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(ep))
+          days.foreach { d =>
+            val fresh = m.forall(d > _)
+            if (fresh) {
+              val lo = m.map(mv => math.max(d, mv + 7)).getOrElse(d)
+              out += SlideAdvance(userId, date(d), (lo to d + 6).map(date))
+              m = Some(d)
+            }
+          }
+          m.foreach(mv => state.update(SlideState(mv)))
+          out.result().iterator
+      }
+  }
+
   /** Streaming document ingest: a file-source stream of raw texts runs the
     * SAME per-document pipeline as batch (narrow flatMap — append-safe),
     * writing fragment rows continuously. Batch and streaming share

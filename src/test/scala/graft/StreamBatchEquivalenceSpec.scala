@@ -702,4 +702,66 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch,
       s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
+
+  test("streaming sliding-active matches w13 on multi-batch replay") {
+    val s = spark
+    import s.implicits._
+
+    // batch truth: the full (wday, dau1, wau7) grid
+    val batch = SparkEntry.queries("w13_sliding_active")(s, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+
+    // event-time-ordered replay in 4 slices: one-long-per-user state must
+    // survive micro-batch boundaries
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .collect()
+      .sortBy(r => EventStreams.eventTimeMicros(r._2))
+    val stage = java.nio.file.Files.createTempDirectory("slide_stream")
+    val slice = (ev.length + 3) / 4
+    ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
+      val f = stage.resolve(f"slice_$i%03d.parquet")
+      rows.toSeq.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      java.nio.file.Files.walk(f).iterator()
+        .forEachRemaining(_.toFile.setLastModified(1000000L * (i + 1)))
+    }
+
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*/")
+    val q = EventStreams.slidingActive(stream)
+      .writeStream.format("memory").queryName("slide_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    // the read-time aggregation the operator documents: dau = advances per
+    // day, wau = first-coverages per window-end, both restricted to the
+    // observed-day census (the batch twin's broadcast semi-join)
+    val streamed = s.sql(
+      """WITH obs AS (SELECT DISTINCT day FROM slide_stream),
+        |wau AS (
+        |  SELECT w AS wday, COUNT(*) AS wau7
+        |  FROM (SELECT explode(new_windows) AS w FROM slide_stream)
+        |  WHERE w IN (SELECT day FROM obs) GROUP BY 1),
+        |dau AS (SELECT day AS wday, COUNT(*) AS dau1
+        |  FROM slide_stream GROUP BY 1)
+        |SELECT w.wday, d.dau1, w.wau7
+        |FROM wau w JOIN dau d ON w.wday = d.wday""".stripMargin)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "sliding-active stream emitted nothing")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
 }
