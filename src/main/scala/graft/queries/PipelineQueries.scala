@@ -324,6 +324,44 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S3/S4 on ENCRYPTED bytes: the owner-restricted corpus shape — every
+    * stream RC4- or AES-128-encrypted under the standard security
+    * handler (empty user password; doc_id alternates the cipher so both
+    * paths stay exercised at every scale). The extractor must
+    * authenticate the empty password and decrypt per object
+    * ([[graft.sources.PdfCrypt]]; reference analog: PyMuPDF opens
+    * owner-restricted files transparently). The plaintext never appears
+    * in the file, so `lossless` pins genuine decryption — skipping the
+    * handler recovers nothing. Same shuffle-free per-document scale
+    * shape as p7/p10.
+    */
+  private val p13EncryptedPdf: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.{PdfSource, PdfWriter, RealPdfExtractor}
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val paras = text.split("\n{2,}").toSeq
+          .map(PdfWriter.sanitize).filter(_.trim.nonEmpty)
+        val pages = paras.grouped(6)
+          .map(ps => PdfWriter.PageSpec(ps)).toSeq
+        val aes = id % 3 == 0
+        val bytes = PdfWriter.buildEncrypted(pages,
+          compress = id % 2 == 0, aes = aes)
+        val blocks = RealPdfExtractor.extract(s"enc/$id.pdf", bytes)
+        val lossless = blocks.filter(!_.isImage).map(_.content) == paras
+        val segs = PdfSource.parsePdf(s"enc/$id", s"enc/$id.pdf", bytes,
+          RealPdfExtractor)
+        (id, if (aes) "aes" else "rc4", pages.length, blocks.length,
+          segs.length, segs.map(_.content.length).sum, lossless,
+          bytes.length)
+      })
+      .toDF("doc_id", "cipher", "n_pages", "n_blocks", "n_segments",
+        "total_chars", "lossless", "pdf_bytes")
+      .orderBy(col("doc_id"))
+  }
+
   /** S4 image metadata on REAL pixels: each document renders to a PDF
     * whose image XObjects are actual baseline JPEGs (/DCTDecode), with the
     * object dict's /Width /Height deliberately off by one — the extractor
@@ -383,7 +421,8 @@ object PipelineQueries {
     "p9_hard_eval" -> p9HardEval,
     "p10_subset_font" -> p10SubsetFont,
     "p11_jpeg_xobject" -> p11JpegXobject,
-    "p12_cff_font" -> p12CffFont)
+    "p12_cff_font" -> p12CffFont,
+    "p13_encrypted_pdf" -> p13EncryptedPdf)
 
   /** Stateful per-document folds are not SQL-expressible (golden-pinned
     * instead); p11 IS oracled — its expected dims are pure arithmetic. */

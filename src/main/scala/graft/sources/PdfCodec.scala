@@ -564,9 +564,23 @@ object PdfWriter {
   def buildCidCff(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
     buildWith(pages, compress, cid = true, toUni = false, cff = true)
 
+  /** Encrypted variant — the owner-restricted corpus shape (empty user
+    * password, printing/copy bits cleared): every stream is encrypted
+    * under the standard security handler, RC4-128 (/V 2 /R 3) or
+    * AES-128-CBC (/V 4 /R 4 /AESV2) per `aes`. /O and /U are computed by
+    * the spec's Algorithms 3/5, so any conforming reader authenticates
+    * the empty password and opens the file; an extractor that skips
+    * decryption sees ciphertext and can recover NO text (the content
+    * streams never appear in the clear).
+    */
+  def buildEncrypted(pages: Seq[PageSpec], compress: Boolean,
+      aes: Boolean): Array[Byte] =
+    buildWith(pages, compress, cid = false, encryptAes = Some(aes))
+
   private def buildWith(pages: Seq[PageSpec], compress: Boolean,
       cid: Boolean, toUni: Boolean = true,
-      jpegImages: Boolean = false, cff: Boolean = false): Array[Byte] = {
+      jpegImages: Boolean = false, cff: Boolean = false,
+      encryptAes: Option[Boolean] = None): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = mutable.Map[Int, Int]()
@@ -579,6 +593,26 @@ object PdfWriter {
       offsets(num) = out.size()
       w(s"$num 0 obj\n"); body; w("\nendobj\n")
     }
+
+    // --- standard-security-handler state (buildEncrypted only) ---
+    val encObj = encryptAes.map { _ => val e = nextObj; nextObj += 1; e }
+    val encAes = encryptAes.getOrElse(false)
+    val encR = if (encAes) 4 else 3
+    val encP = -44 // typical owner-restriction bits
+    // deterministic /ID: fixture bytes must be reproducible
+    val encId0: Array[Byte] =
+      if (encryptAes.isEmpty) Array.emptyByteArray
+      else java.security.MessageDigest.getInstance("MD5").digest(
+        pages.flatMap(_.paragraphs).mkString("\n").getBytes(ISO_8859_1))
+    val encO = encryptAes.map(_ => PdfCrypt.computeO(
+      Array.emptyByteArray, Array.emptyByteArray, 16, encR))
+    val encKey = encO.map(o => PdfCrypt.fileKey(
+      Array.emptyByteArray, o, encP, encId0, 16, encR))
+    val encU = encKey.map(k => PdfCrypt.computeU(k, encId0, encR))
+    def maybeEnc(num: Int, data: Array[Byte]): Array[Byte] =
+      encKey.map(k => PdfCrypt.encrypt(
+        PdfCrypt.objectKey(k, num, 0, encAes), data, encAes, num))
+        .getOrElse(data)
 
     // distinct codepoints across every page, sorted: the CID alphabet
     val cidOf: Map[Int, Int] =
@@ -620,10 +654,10 @@ object PdfWriter {
       defObj(4)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synthetic " +
         "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
         "/CIDToGIDMap /Identity >>"))
-      val cmap = toUnicodeCMap(cidOf)
+      val cmap = maybeEnc(5, toUnicodeCMap(cidOf).getBytes(ISO_8859_1))
       defObj(5) {
         w(s"<< /Length ${cmap.length} >>\nstream\n")
-        w(cmap)
+        out.write(cmap)
         w("\nendstream")
       }
     } else {
@@ -639,7 +673,7 @@ object PdfWriter {
         defObj(5)(w("<< /Type /FontDescriptor /FontName /Subset /Flags 4 " +
           "/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 /Descent -200 " +
           "/CapHeight 700 /StemV 80 /FontFile3 6 0 R >>"))
-        val fontBytes = CffCharset.buildFont(cidOf)
+        val fontBytes = maybeEnc(6, CffCharset.buildFont(cidOf))
         defObj(6) {
           w(s"<< /Length ${fontBytes.length} /Subtype /CIDFontType0C >>\nstream\n")
           out.write(fontBytes)
@@ -654,7 +688,7 @@ object PdfWriter {
           "/CapHeight 700 /StemV 80 /FontFile2 6 0 R >>"))
         // gid == cid under /CIDToGIDMap /Identity, so the font's cmap maps
         // codepoint → cid directly
-        val fontBytes = TrueTypeCmap.buildFont(cidOf)
+        val fontBytes = maybeEnc(6, TrueTypeCmap.buildFont(cidOf))
         defObj(6) {
           w(s"<< /Length ${fontBytes.length} /Length1 ${fontBytes.length} >>\nstream\n")
           out.write(fontBytes)
@@ -704,8 +738,9 @@ object PdfWriter {
           s"/Contents $contentObj 0 R >>")
       }
       defObj(contentObj) {
-        w(s"<< /Length ${data.length}$filter >>\nstream\n")
-        out.write(data)
+        val payload = maybeEnc(contentObj, data)
+        w(s"<< /Length ${payload.length}$filter >>\nstream\n")
+        out.write(payload)
         w("\nendstream")
       }
       imgObjs.zipWithIndex.foreach { case (o, i) =>
@@ -715,26 +750,46 @@ object PdfWriter {
             val jpeg = graft.media.ImageCodec.syntheticJpeg(iw, ih, i.toLong)
             // dict dims off by one ON PURPOSE: only a pixel decode can
             // label the image correctly (see buildJpeg doc)
+            val payload = maybeEnc(o, jpeg)
             w(s"<< /Type /XObject /Subtype /Image /Width ${iw - 1} " +
               s"/Height ${ih - 1} /ColorSpace /DeviceRGB /BitsPerComponent 8 " +
-              s"/Filter /DCTDecode /Length ${jpeg.length} >>\nstream\n")
-            out.write(jpeg)
+              s"/Filter /DCTDecode /Length ${payload.length} >>\nstream\n")
+            out.write(payload)
             w("\nendstream")
           } else {
+            val payload = maybeEnc(o, Array[Byte](0, 85, -86, -1))
             w("<< /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
-              "/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 >>\nstream\n")
-            out.write(Array[Byte](0, 85, -86, -1))
+              "/ColorSpace /DeviceGray /BitsPerComponent 8 " +
+              s"/Length ${payload.length} >>\nstream\n")
+            out.write(payload)
             w("\nendstream")
           }
         }
       }
     }
 
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
+    encObj.foreach { e =>
+      val body =
+        if (encAes)
+          s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $encP " +
+            s"/O <${hex(encO.get)}> /U <${hex(encU.get)}> " +
+            "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+            "/StmF /StdCF /StrF /StdCF >>"
+        else
+          s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $encP " +
+            s"/O <${hex(encO.get)}> /U <${hex(encU.get)}> >>"
+      defObj(e)(w(body))
+    }
+
     val xrefAt = out.size()
     val n = nextObj
     w(s"xref\n0 $n\n0000000000 65535 f \n")
     (1 until n).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
-    w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    val encTrailer = encObj.map(e =>
+      s" /Encrypt $e 0 R /ID [<${hex(encId0)}> <${hex(encId0)}>]")
+      .getOrElse("")
+    w(s"trailer\n<< /Size $n /Root 1 0 R$encTrailer >>\nstartxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 
@@ -808,7 +863,11 @@ object RealPdfExtractor extends PdfExtractor {
   def extract(path: String, bytes: Array[Byte]): Seq[PdfBlock] = {
     if (!hasHeader(bytes)) return Nil
     try {
-      val objs = scanObjects(bytes)
+      val (raw, trailer) = scanObjects(bytes)
+      // order matters: decrypt raw object streams/strings FIRST (the
+      // whole container stream is what the handler encrypted), THEN
+      // expand /ObjStm members out of the now-plaintext containers
+      val objs = expandObjectStreams(decryptObjects(raw, trailer))
       val pages = orderedPages(objs)
       // image decodes memoized per DOCUMENT by object number: pages that
       // inherit shared /Resources (or reuse one image object) must not
@@ -833,9 +892,13 @@ object RealPdfExtractor extends PdfExtractor {
     * by /Length when it is a direct number, else by searching for the
     * `endstream` keyword (covers indirect /Length without a second pass).
     */
-  private def scanObjects(bytes: Array[Byte]): Map[Int, Obj] = {
+  private def scanObjects(bytes: Array[Byte])
+      : (Map[Int, Obj], Map[String, PVal]) = {
     val lex = new Lex(bytes)
     val objs = mutable.Map[Int, Obj]()
+    // incremental updates append: later trailers are newer, so merge
+    // with later-wins (body-scan analog of following /Prev backwards)
+    var trailer = Map.empty[String, PVal]
     var done = false
     while (!done) {
       lex.skipWs()
@@ -882,17 +945,111 @@ object RealPdfExtractor extends PdfExtractor {
                 resync(lex, save)
             }
           case PKw("xref") =>
-            // classic xref table: skip to trailer/startxref
-            if (lex.seek("trailer") < 0) lex.seek("startxref")
-            ()
-          case PKw("trailer") => lex.nextResolvingRefs(); ()
+            // classic xref table: skip to the trailer dict (seek consumes
+            // the keyword, so parse the dict here) or to startxref
+            if (lex.seek("trailer") >= 0) {
+              lex.nextResolvingRefs() match {
+                case PDict(d) => trailer = trailer ++ d
+                case _ => ()
+              }
+            } else { lex.seek("startxref"); () }
+          case PKw("trailer") =>
+            lex.nextResolvingRefs() match {
+              case PDict(d) => trailer = trailer ++ d
+              case _ => ()
+            }
           case PKw("startxref") => lex.next(); ()
           case null => done = true
           case _ => resync(lex, save)
         }
       }
     }
-    expandObjectStreams(objs.toMap)
+    (objs.toMap, trailer)
+  }
+
+  // ---------------- decryption (standard security handler) ----------------
+
+  private def mapStrings(v: PVal, f: Array[Byte] => Array[Byte]): PVal =
+    v match {
+      case PStr(b) => PStr(f(b))
+      case PArr(a) => PArr(a.map(mapStrings(_, f)))
+      case PDict(d) => PDict(d.map { case (k, x) => k -> mapStrings(x, f) })
+      case other => other
+    }
+
+  /** Decrypt every object's stream and string bytes when the trailer
+    * names a /Standard /Encrypt dict the EMPTY user password opens
+    * (PDF 32000 §7.6.3 — the owner-restricted corpus shape; the
+    * reference opens these transparently via PyMuPDF's empty-password
+    * authenticate). Unsupported handlers, failed authentication, or a
+    * missing /ID leave the objects untouched: the extractor then
+    * degrades to no/garbage text exactly as a viewer that cannot
+    * authenticate, never throws. Generation numbers are taken as 0 (the
+    * body scan's object-identity model; real-world non-zero generations
+    * are vanishingly rare and only weaken to a wrong key, i.e. the same
+    * degradation).
+    */
+  private def decryptObjects(objs: Map[Int, Obj],
+      trailer: Map[String, PVal]): Map[Int, Obj] = {
+    val encRef = trailer.getOrElse("Encrypt", PNull)
+    if (encRef == PNull) return objs
+    val encNum = encRef match { case PRef(n) => n; case _ => -1 }
+    val enc = dictOf(deref(objs, encRef))
+    if (!enc.get("Filter").contains(PName("Standard"))) return objs
+    def num(k: String, dflt: Int): Int = enc.get(k) match {
+      case Some(PNum(x)) => x.toLong.toInt // /P is a signed 32-bit value
+      case _ => dflt
+    }
+    def strBytes(k: String): Array[Byte] = enc.get(k) match {
+      case Some(PStr(b)) => b
+      case _ => Array.emptyByteArray
+    }
+    val v = num("V", 0)
+    val r = num("R", 2)
+    val p = num("P", -1)
+    val o = strBytes("O")
+    val u = strBytes("U")
+    val encMeta = enc.get("EncryptMetadata") match {
+      case Some(PBool(b)) => b
+      case _ => true
+    }
+    val id0 = deref(objs, trailer.getOrElse("ID", PNull)) match {
+      case PArr(a) => a.headOption match {
+        case Some(PStr(b)) => b
+        case _ => Array.emptyByteArray
+      }
+      case _ => Array.emptyByteArray
+    }
+    val cipher: Option[(Boolean, Int)] = v match {
+      case 1 => Some((false, 5))
+      case 2 => Some((false, math.max(num("Length", 40) / 8, 5)))
+      case 4 =>
+        val cf = dictOf(deref(objs, enc.getOrElse("CF", PNull)))
+        val stdcf = dictOf(deref(objs, cf.getOrElse("StdCF", PNull)))
+        stdcf.get("CFM") match {
+          case Some(PName("AESV2")) => Some((true, 16))
+          case Some(PName("V2")) =>
+            Some((false, math.max(num("Length", 40) / 8, 5)))
+          case _ => None // /Identity or an unknown crypt filter
+        }
+      case _ => None
+    }
+    cipher match {
+      case Some((aes, n)) if o.length >= 32 &&
+          PdfCrypt.emptyPasswordWorks(o, u, p, id0, n, r, encMeta) =>
+        val key = PdfCrypt.fileKey(Array.emptyByteArray, o, p, id0, n, r,
+          encMeta)
+        objs.map { case (objNum, obj) =>
+          if (objNum == encNum) objNum -> obj
+          else {
+            val ok = PdfCrypt.objectKey(key, objNum, 0, aes)
+            objNum -> Obj(
+              mapStrings(obj.value, PdfCrypt.decrypt(ok, _, aes)),
+              obj.stream.map(PdfCrypt.decrypt(ok, _, aes)))
+          }
+        }
+      case _ => objs
+    }
   }
 
   /** PDF 1.5+ object streams (§7.5.7): modern producers pack non-stream

@@ -26,7 +26,7 @@ object GoldenHashSpec {
     "p1_ingest_fragments", "p2_parent_synthesis", "p3_embed_fragments",
     "p4_pdf_segments", "p5_e2e_golden45", "p6_adversarial_recall",
     "p7_real_pdf", "p8_cid_pdf", "p9_hard_eval", "p10_subset_font",
-    "p12_cff_font",
+    "p12_cff_font", "p13_encrypted_pdf",
     "d13_bloom_incremental",
     "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
     "v9_ivfpq_recall", "v10_hnsw_recall",
@@ -45,6 +45,7 @@ object GoldenHashSpec {
     "p9_hard_eval" -> "f39498fac17cf54ae5778a6cab76c473",
     "p10_subset_font" -> "3c1946707278beb6d271cc56a9d083f4",
     "p12_cff_font" -> "26faa7b80715c6752f0ba81003e3e699",
+    "p13_encrypted_pdf" -> "0e4f3cac0e1e656cf5e0c35a3b4fc046",
     "d13_bloom_incremental" -> "69596ca3f48f0bb2918f2476bb841537",
     "v5_ann_recall" -> "45820658a5290f75ce058970607f91a1",
     "v6_ivf_recall" -> "2820f621b95f7617bb49d5dd5a855eca",

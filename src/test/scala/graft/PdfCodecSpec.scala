@@ -253,6 +253,85 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(extract(packed).map(_.content) == sane)
   }
 
+  test("encrypted round-trip (RC4): empty-password decrypt recovers every block") {
+    val bytes = PdfWriter.buildEncrypted(Seq(PageSpec(paras1)), compress = false,
+      aes = false)
+    val s = new String(bytes, ISO_8859_1)
+    assert(s.contains("/Encrypt") && s.contains("/V 2 /R 3"))
+    // ciphertext guard: no plaintext content anywhere in the file
+    assert(!s.contains("quick brown fox"))
+    assert(textBlocks(bytes) == paras1)
+  }
+
+  test("encrypted round-trip (AES-128): V4 crypt filters decrypt identically") {
+    val bytes = PdfWriter.buildEncrypted(Seq(PageSpec(paras1)), compress = false,
+      aes = true)
+    val s = new String(bytes, ISO_8859_1)
+    assert(s.contains("/CFM /AESV2"))
+    assert(!s.contains("quick brown fox"))
+    assert(textBlocks(bytes) == paras1)
+  }
+
+  test("encrypted + FlateDecode + images: filters apply after decryption") {
+    for (aes <- Seq(false, true)) {
+      val pg = PageSpec(paras1.take(2), imagesAfter = Map(0 -> 1))
+      val bytes = PdfWriter.buildEncrypted(Seq(pg), compress = true, aes = aes)
+      val blocks = extract(bytes)
+      assert(blocks.map(b => (b.isImage, b.content)) == Seq(
+        (false, paras1(0)), (true, PdfWriter.imageContent(0)),
+        (false, paras1(1))), s"aes=$aes")
+    }
+  }
+
+  test("a genuinely password-protected file degrades to no text, never throws") {
+    val bytes = PdfWriter.buildEncrypted(Seq(PageSpec(paras1)), compress = false,
+      aes = false)
+    val s = new String(bytes, ISO_8859_1)
+    // corrupt /O: the empty-password authentication must now fail, and the
+    // extractor must behave like a viewer it locked out — ciphertext
+    // streams parse to nothing meaningful, no exception escapes
+    val oAt = s.indexOf("/O <") + 4
+    val tampered = (s.substring(0, oAt) + "00000000" + s.substring(oAt + 8))
+      .getBytes(ISO_8859_1)
+    assert(new String(tampered, ISO_8859_1).contains("/O <00000000"))
+    val blocks = textBlocks(tampered) // must not throw
+    assert(!blocks.contains(paras1.head), "locked file leaked plaintext")
+  }
+
+  test("PdfCrypt: key-schedule invariants (lengths, truncation, auth)") {
+    import graft.sources.PdfCrypt
+    val empty = Array.emptyByteArray
+    for (r <- Seq(3, 4)) {
+      val o = PdfCrypt.computeO(empty, empty, 16, r)
+      assert(o.length == 32)
+      val id0 = Array.tabulate(16)(_.toByte)
+      val key = PdfCrypt.fileKey(empty, o, -44, id0, 16, r)
+      assert(key.length == 16)
+      val u = PdfCrypt.computeU(key, id0, r)
+      assert(u.length == 32)
+      assert(PdfCrypt.emptyPasswordWorks(o, u, -44, id0, 16, r,
+        encryptMetadata = true))
+      // tampering O changes the derived key → authentication fails
+      val o2 = o.clone(); o2(0) = (o2(0) ^ 0x55).toByte
+      assert(!PdfCrypt.emptyPasswordWorks(o2, u, -44, id0, 16, r,
+        encryptMetadata = true))
+      // per-object keys: 16-byte key caps at 16 (min(n+5, 16))
+      assert(PdfCrypt.objectKey(key, 7, 0, aes = r == 4).length == 16)
+      assert(PdfCrypt.objectKey(key.take(5), 7, 0, aes = false).length == 10)
+    }
+    // rc4 is an involution; aes round-trips through the IV-prefix format
+    val k = Array.tabulate(16)(i => (i * 7).toByte)
+    val msg = "attack at dawn on the west gate".getBytes(ISO_8859_1)
+    assert(PdfCrypt.rc4(k, PdfCrypt.rc4(k, msg)).toSeq == msg.toSeq)
+    val ct = PdfCrypt.encrypt(k, msg, aes = true, num = 3)
+    assert(ct.length % 16 == 0 && ct.length >= 32)
+    assert(PdfCrypt.decrypt(k, ct, aes = true).toSeq == msg.toSeq)
+    // malformed AES ciphertext degrades to empty, never throws
+    assert(PdfCrypt.decrypt(k, Array[Byte](1, 2, 3), aes = true).isEmpty)
+    assert(PdfCrypt.decrypt(k, new Array[Byte](48).map(_ => 0x5a.toByte),
+      aes = true) != null)
+  }
+
   test("CFF round-trip: bare FontFile3, text recovered from charset glyph names") {
     val sane = uniParas.map(PdfWriter.sanitizeCid)
     val bytes = PdfWriter.buildCidCff(Seq(PageSpec(sane)), compress = false)
