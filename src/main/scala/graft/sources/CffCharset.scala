@@ -375,14 +375,22 @@ object CffCharset {
     val nGlyphs = byGid.last._1 + 1 // + .notdef
     require(byGid.map(_._1) == (1 until nGlyphs),
       "fixture gids must be dense 1..n")
+    // custom SIDs are 391 + i and must fit u16 charset entries
+    require(nGlyphs <= 65000, s"CFF fixture alphabet too large: $nGlyphs")
     val names = byGid.map { case (_, cp) =>
       if (cp <= 0xffff) f"uni$cp%04X" else f"u$cp%X"
     }
 
-    def idx(items: Seq[Array[Byte]], offSize: Int): Array[Byte] = {
+    // offSize chosen from the actual data size — a fixed size would
+    // silently truncate offsets past 2^(8·offSize) and corrupt the font
+    def idx(items: Seq[Array[Byte]]): Array[Byte] = {
       val o = new ByteArrayOutputStream
       o.write(items.length >> 8); o.write(items.length & 0xff)
       if (items.nonEmpty) {
+        val lastOff = items.map(_.length.toLong).sum + 1
+        val offSize =
+          if (lastOff <= 0xffL) 1 else if (lastOff <= 0xffffL) 2
+          else if (lastOff <= 0xffffffL) 3 else 4
         o.write(offSize)
         var off = 1L
         (items.map(_.length.toLong) :+ 0L).zipWithIndex.foreach {
@@ -397,9 +405,9 @@ object CffCharset {
     }
 
     val header = Array[Byte](1, 0, 4, 2)
-    val nameIdx = idx(Seq("TestSubset".getBytes(ISO_8859_1)), 1)
-    val stringIdx = idx(names.map(_.getBytes(ISO_8859_1)), 2)
-    val gsubrIdx = idx(Nil, 1)
+    val nameIdx = idx(Seq("TestSubset".getBytes(ISO_8859_1)))
+    val stringIdx = idx(names.map(_.getBytes(ISO_8859_1)))
+    val gsubrIdx = idx(Nil)
     // Top DICT is fixed-size (two 5-byte ints + 1-byte ops), so every
     // absolute offset is computable before assembly
     val topDictLen = 12
@@ -418,7 +426,7 @@ object CffCharset {
     }
     int5(topDict, charsetOff.toLong); topDict.write(15)
     int5(topDict, charStringsOff.toLong); topDict.write(17)
-    val topIdx = idx(Seq(topDict.toByteArray), 1)
+    val topIdx = idx(Seq(topDict.toByteArray))
     require(topIdx.length == topIdxLen, "top dict layout drifted")
 
     val charset = new ByteArrayOutputStream
@@ -429,7 +437,7 @@ object CffCharset {
     }
 
     // one endchar (0x0e) per glyph including .notdef
-    val charStrings = idx(Seq.fill(nGlyphs)(Array[Byte](0x0e)), 1)
+    val charStrings = idx(Seq.fill(nGlyphs)(Array[Byte](0x0e)))
 
     val out = new ByteArrayOutputStream
     out.write(header); out.write(nameIdx); out.write(topIdx)

@@ -940,6 +940,16 @@ object RealPdfExtractor extends PdfExtractor {
                 // consume up to endobj (tolerate junk)
                 lex.seek("endobj")
                 objs(numD.toInt) = Obj(value, stream)
+                // a cross-reference STREAM's dict (PDF 1.5+ — the normal
+                // layout for any file that also packs /ObjStm) is the
+                // trailer: /Root /Encrypt /ID live here, and there is no
+                // `trailer` keyword to find. Merge in file order, later
+                // (newer incremental section) wins — same rule as below.
+                value match {
+                  case PDict(d) if d.get("Type").contains(PName("XRef")) =>
+                    trailer = trailer ++ d
+                  case _ => ()
+                }
               case _ =>
                 lex.p = save2 // not an object header; resync
                 resync(lex, save)
@@ -1040,7 +1050,14 @@ object RealPdfExtractor extends PdfExtractor {
         val key = PdfCrypt.fileKey(Array.emptyByteArray, o, p, id0, n, r,
           encMeta)
         objs.map { case (objNum, obj) =>
-          if (objNum == encNum) objNum -> obj
+          // never touch the Encrypt dict itself, nor cross-reference
+          // streams (§7.5.8.2: the xref stream shall not be encrypted —
+          // a reader must parse it before it can decrypt anything)
+          val isXref = obj.value match {
+            case PDict(d) => d.get("Type").contains(PName("XRef"))
+            case _ => false
+          }
+          if (objNum == encNum || isXref) objNum -> obj
           else {
             val ok = PdfCrypt.objectKey(key, objNum, 0, aes)
             objNum -> Obj(

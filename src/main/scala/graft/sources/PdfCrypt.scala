@@ -93,8 +93,11 @@ object PdfCrypt {
       : Array[Byte] = {
     var key = md5(padded(ownerPwd))
     if (r >= 3) {
+      // step (c): each round re-hashes only the first n bytes (as in
+      // Algorithm 2 step h) — for n=16 the distinction vanishes, but a
+      // 40-bit caller must match what conforming readers compute
       var i = 0
-      while (i < 50) { key = md5(key); i += 1 }
+      while (i < 50) { key = md5(key.take(n)); i += 1 }
     }
     val rc4Key = key.take(n)
     var out = rc4(rc4Key, padded(userPwd))

@@ -539,7 +539,9 @@ object EventStreams {
   final case class SlideAdvance(user_id: Long, day: java.sql.Date,
       new_windows: Seq[java.sql.Date])
 
-  /** Streaming sliding-active users — twin of w13_sliding_active: emits
+  /** Streaming sliding-active users (advance-stream form; named apart
+    * from the windowed [[slidingActive]] above, whose bare-call defaults
+    * an overload would shadow) — twin of w13_sliding_active: emits
     * one row per NEW distinct (user, day) carrying the 7-day window-ends
     * that day newly covers for the user (those not already covered by an
     * earlier active day: `[max(d, prev+7), d+6]`). Downstream, over the
@@ -557,7 +559,7 @@ object EventStreams {
     * duplicate (or out-of-contract stray) and emits nothing. Null-ts
     * events never enter (stated, as for w11/w12).
     */
-  def slidingActive(events: DataFrame): Dataset[SlideAdvance] = {
+  def slidingActiveAdvances(events: DataFrame): Dataset[SlideAdvance] = {
     val spark = events.sparkSession
     import spark.implicits._
     events

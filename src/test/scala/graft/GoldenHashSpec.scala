@@ -44,7 +44,7 @@ object GoldenHashSpec {
     "p8_cid_pdf" -> "d6f9dd1938082bf0818880d805b40314",
     "p9_hard_eval" -> "f39498fac17cf54ae5778a6cab76c473",
     "p10_subset_font" -> "3c1946707278beb6d271cc56a9d083f4",
-    "p12_cff_font" -> "26faa7b80715c6752f0ba81003e3e699",
+    "p12_cff_font" -> "5533e65ed4673bbd0a99987be8785f91",
     "p13_encrypted_pdf" -> "0e4f3cac0e1e656cf5e0c35a3b4fc046",
     "d13_bloom_incremental" -> "69596ca3f48f0bb2918f2476bb841537",
     "v5_ann_recall" -> "45820658a5290f75ce058970607f91a1",

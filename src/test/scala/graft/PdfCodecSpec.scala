@@ -283,6 +283,31 @@ class PdfCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("encrypted PDF with an XRef-STREAM trailer (no trailer keyword) decrypts") {
+    // modern producers (any file using /ObjStm) carry /Root /Encrypt /ID in
+    // a /Type /XRef stream dict and write NO `trailer` keyword at all —
+    // rewrite the fixture into that layout and the scan must still find
+    // the encryption dict
+    for (aes <- Seq(false, true)) {
+      val bytes = PdfWriter.buildEncrypted(Seq(PageSpec(paras1)),
+        compress = false, aes = aes)
+      val s = new String(bytes, ISO_8859_1)
+      val trailerDict = {
+        val at = s.indexOf("trailer")
+        val open = s.indexOf("<<", at)
+        val close = s.indexOf(">>", open)
+        s.substring(open + 2, close)
+      }
+      val cut = s.substring(0, s.indexOf("xref\n"))
+      val xrefObj =
+        s"99 0 obj\n<< /Type /XRef /W [1 2 1] $trailerDict /Length 0 >>\n" +
+          "stream\nendstream\nendobj\nstartxref\n0\n%%EOF\n"
+      val rewritten = (cut + xrefObj).getBytes(ISO_8859_1)
+      assert(!new String(rewritten, ISO_8859_1).contains("trailer"))
+      assert(textBlocks(rewritten) == paras1, s"aes=$aes")
+    }
+  }
+
   test("a genuinely password-protected file degrades to no text, never throws") {
     val bytes = PdfWriter.buildEncrypted(Seq(PageSpec(paras1)), compress = false,
       aes = false)

@@ -734,7 +734,7 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stage.toString + "/*/")
-    val q = EventStreams.slidingActive(stream)
+    val q = EventStreams.slidingActiveAdvances(stream)
       .writeStream.format("memory").queryName("slide_stream")
       .outputMode("append").start()
     try q.processAllAvailable()
