@@ -251,7 +251,7 @@ object PdfCodec {
     out.toByteArray
   }
 
-  private[sources] def deflate(data: Array[Byte]): Array[Byte] = {
+  private[graft] def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new Deflater(Deflater.BEST_SPEED)
     d.setInput(data); d.finish()
     val out = new ByteArrayOutputStream(math.max(64, data.length / 2))
@@ -259,6 +259,195 @@ object PdfCodec {
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
     d.end()
     out.toByteArray
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs to EOD `>`, whitespace skipped,
+    * odd trailing digit zero-padded. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      val d = Character.digit(c, 16)
+      if (c == '>') done = true
+      else if (d >= 0) {
+        if (hi < 0) hi = d
+        else { out.write((hi << 4) | d); hi = -1 }
+      } // whitespace and junk: skipped (lenient, like viewers)
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit = zero-padded
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): base-85 groups, `z` = four zero bytes,
+    * EOD `~>`; a partial final group of n chars yields n-1 bytes (padded
+    * with `u` per spec). Malformed input decodes best-effort. */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 4 / 5)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(chars: Int): Unit = {
+      var k = chars
+      while (k < 5) { grp(k) = 'u' - '!'; k += 1 } // pad with 'u'
+      var v = 0L
+      k = 0
+      while (k < 5) { v = v * 85 + grp(k); k += 1 }
+      val bytes = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bytes, 0, chars - 1)
+    }
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      } // whitespace skipped
+      i += 1
+    }
+    if (n >= 2) flush(n)
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (§7.4.5): length byte 0–127 copies len+1 literal
+    * bytes, 129–255 repeats the next byte 257−len times, 128 = EOD. */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val len = data(i) & 0xff
+      i += 1
+      if (len == 128) done = true
+      else if (len < 128) {
+        val n = math.min(len + 1, data.length - i)
+        out.write(data, i, n)
+        i += n
+      } else if (i < data.length) {
+        val b = data(i)
+        i += 1
+        var k = 0
+        while (k < 257 - len) { out.write(b); k += 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** LZWDecode (§7.4.4): TIFF-style LZW — 9→12-bit codes MSB-first,
+    * Clear 256 / EOD 257, table grows one entry per emitted code, width
+    * bumps one code EARLY of each power of two when /EarlyChange 1 (the
+    * default every producer uses). Malformed streams decode best-effort.
+    */
+  private[graft] def lzwDecode(data: Array[Byte],
+      earlyChange: Boolean = true): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 3)
+    val dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var i = 0
+    while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+    var width = 9
+    var acc = 0L
+    var bits = 0
+    var prev: Array[Byte] = null
+    val early = if (earlyChange) 1 else 0
+    var p = 0
+    var done = false
+    while (p < data.length && !done) {
+      acc = (acc << 8) | (data(p) & 0xffL)
+      bits += 8
+      p += 1
+      while (bits >= width && !done) {
+        val code = ((acc >> (bits - width)) & ((1 << width) - 1)).toInt
+        bits -= width
+        if (code == 257) done = true
+        else if (code == 256) {
+          dictSize = 258; width = 9; prev = null
+        } else {
+          val entry: Array[Byte] =
+            if (code < dictSize && dict(code) != null) dict(code)
+            else if (prev != null) prev :+ prev(0) // the KwKwK case
+            else null
+          if (entry == null) done = true // corrupt: stop, keep what we have
+          else {
+            out.write(entry)
+            if (prev != null && dictSize < 4096) {
+              dict(dictSize) = prev :+ entry(0)
+              dictSize += 1
+            }
+            if (dictSize + early >= (1 << width) && width < 12) width += 1
+            prev = entry
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Undo PNG predictors 10–15 (§7.4.4.4, RFC 2083): per-row filter byte
+    * then None/Sub/Up/Average/Paeth, applied by real producers to xref
+    * and object streams. Predictor 2 (TIFF horizontal) handled for
+    * completeness; predictor 1/absent is the identity. Row geometry from
+    * /Colors /BitsPerComponent /Columns; sub-byte components round the
+    * byte-per-pixel delta up to 1, per the spec.
+    */
+  private[graft] def undoPredictor(data: Array[Byte], predictor: Int,
+      colors: Int, bpc: Int, columns: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = math.max(1, (colors * bpc * columns + 7) / 8)
+    if (predictor == 2) { // TIFF horizontal differencing (byte-aligned only)
+      if (bpc != 8) return data
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = bpp
+        while (i < rowLen) { out(r + i) = (out(r + i) + out(r + i - bpp)).toByte; i += 1 }
+        r += rowLen
+      }
+      return out
+    }
+    // PNG predictors: each row is 1 tag byte + rowLen data bytes
+    val rows = data.length / (rowLen + 1)
+    val out = new Array[Byte](rows * rowLen)
+    var r = 0
+    while (r < rows) {
+      val tag = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+        val upLeft =
+          if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+        val v = tag match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 =>
+            val pp = left + up - upLeft
+            val pa = math.abs(pp - left)
+            val pb = math.abs(pp - up)
+            val pc = math.abs(pp - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else upLeft)
+          case _ => raw
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
   }
 
   // ---------------- fonts / CMaps ----------------
@@ -1087,15 +1276,7 @@ object RealPdfExtractor extends PdfExtractor {
         try {
           // we hold the object itself (not a ref): apply the filter
           // chain directly rather than via decodedStream
-          val raw = o.stream.get
-          val filters = d.get("Filter") match {
-            case Some(PName(f)) => Seq(f)
-            case Some(PArr(fs)) => fs.collect { case PName(f) => f }
-            case _ => Nil
-          }
-          val body = filters.foldLeft(raw) { (b, f) =>
-            if (f == "FlateDecode") inflate(b) else b
-          }
+          val body = applyFilters(objs, d, o.stream.get)
           val n = d.get("N") match { case Some(PNum(v)) => v.toInt; case _ => 0 }
           val first = d.get("First") match {
             case Some(PNum(v)) => v.toInt
@@ -1196,20 +1377,54 @@ object RealPdfExtractor extends PdfExtractor {
 
   // ---------------- content interpretation ----------------
 
+  /** Apply a stream dict's whole /Filter chain (with per-filter
+    * /DecodeParms — a single dict or an array aligned with the filter
+    * array) to raw stream bytes. Supported: FlateDecode and LZWDecode
+    * (both with PNG/TIFF predictors), ASCIIHex/ASCII85/RunLength (the
+    * classic transfer encodings; abbreviated inline-image names
+    * accepted). DCTDecode stays raw here — the image sites decode pixels
+    * themselves — and unknown filters pass through (text ops then no-op,
+    * the documented degradation).
+    */
+  private[sources] def applyFilters(objs: Map[Int, Obj],
+      d: Map[String, PVal], raw: Array[Byte]): Array[Byte] = {
+    val filters = deref(objs, d.getOrElse("Filter", PNull)) match {
+      case PName(f) => Seq(f)
+      case PArr(fs) => fs.map(deref(objs, _)).collect { case PName(f) => f }
+      case _ => Nil
+    }
+    val parms: Seq[Map[String, PVal]] =
+      deref(objs, d.getOrElse("DecodeParms", d.getOrElse("DP", PNull))) match {
+        case PDict(p) => Seq(p)
+        case PArr(ps) => ps.map(x => dictOf(deref(objs, x)))
+        case _ => Nil
+      }
+    filters.zipWithIndex.foldLeft(raw) { case (data, (f, idx)) =>
+      val pm = parms.lift(idx).getOrElse(Map.empty)
+      def num(k: String, dflt: Int): Int = deref(objs, pm.getOrElse(k, PNull)) match {
+        case PNum(v) => v.toInt
+        case _ => dflt
+      }
+      val decoded = f match {
+        case "FlateDecode" | "Fl" => inflate(data)
+        case "LZWDecode" | "LZW" => lzwDecode(data, num("EarlyChange", 1) == 1)
+        case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+        case "ASCII85Decode" | "A85" => ascii85Decode(data)
+        case "RunLengthDecode" | "RL" => runLengthDecode(data)
+        case _ => data
+      }
+      f match {
+        case "FlateDecode" | "Fl" | "LZWDecode" | "LZW" =>
+          undoPredictor(decoded, num("Predictor", 1), num("Colors", 1),
+            num("BitsPerComponent", 8), num("Columns", 1))
+        case _ => decoded
+      }
+    }
+  }
+
   private def decodedStream(objs: Map[Int, Obj], ref: PVal): Array[Byte] =
     deref2(objs, ref) match {
-      case (PDict(d), Some(raw)) =>
-        val filters = d.get("Filter") match {
-          case Some(PName(f)) => Seq(f)
-          case Some(PArr(fs)) => fs.collect { case PName(f) => f }
-          case _ => Nil
-        }
-        filters.foldLeft(raw) { (data, f) =>
-          f match {
-            case "FlateDecode" => inflate(data)
-            case _ => data // unsupported filter: pass through (text ops will no-op)
-          }
-        }
+      case (PDict(d), Some(raw)) => applyFilters(objs, d, raw)
       case _ => Array.emptyByteArray
     }
 

@@ -253,6 +253,194 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(extract(packed).map(_.content) == sane)
   }
 
+  test("filters: ASCIIHex, ASCII85, RunLength decode (unit round-trips)") {
+    import graft.sources.PdfCodec
+    val rnd = new scala.util.Random(5)
+    val payloads = Seq(
+      "BT /F1 11 Tf (hi) Tj ET".getBytes(ISO_8859_1),
+      Array.tabulate(1000)(i => (i % 251).toByte),
+      Array.fill(257)(rnd.nextInt(256).toByte),
+      Array.emptyByteArray)
+    def hexEnc(b: Array[Byte]) =
+      (b.map(x => f"${x & 0xff}%02x").mkString + ">").getBytes(ISO_8859_1)
+    def a85Enc(b: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      b.grouped(4).foreach { g =>
+        val pad = 4 - g.length
+        val full = g ++ Array.fill(pad)(0.toByte)
+        var v = 0L
+        full.foreach(x => v = (v << 8) | (x & 0xffL))
+        val cs = new Array[Char](5)
+        (4 to 0 by -1).foreach { k => cs(k) = ('!' + (v % 85)).toChar; v /= 85 }
+        sb.appendAll(cs, 0, 5 - pad)
+      }
+      (sb.toString + "~>").getBytes(ISO_8859_1)
+    }
+    def rlEnc(b: Array[Byte]): Array[Byte] = {
+      // naive literal-only runs (correct, if not compact) + EOD
+      val o = new java.io.ByteArrayOutputStream
+      b.grouped(128).foreach { g => o.write(g.length - 1); o.write(g) }
+      o.write(128)
+      o.toByteArray
+    }
+    payloads.foreach { p =>
+      assert(PdfCodec.asciiHexDecode(hexEnc(p)).toSeq == p.toSeq)
+      assert(PdfCodec.ascii85Decode(a85Enc(p)).toSeq == p.toSeq)
+      if (p.nonEmpty) assert(PdfCodec.runLengthDecode(rlEnc(p)).toSeq == p.toSeq)
+    }
+    // RunLength repeat form: 257-250=7 copies of 0x41
+    assert(PdfCodec.runLengthDecode(Array(250.toByte, 0x41, 128.toByte)).toSeq ==
+      Seq.fill(7)(0x41.toByte))
+    // ASCIIHex odd final digit zero-pads; whitespace skipped
+    assert(PdfCodec.asciiHexDecode("4 1 4>".getBytes(ISO_8859_1)).toSeq ==
+      Seq(0x41.toByte, 0x40.toByte))
+    // ASCII85 z shorthand
+    assert(PdfCodec.ascii85Decode("z~>".getBytes(ISO_8859_1)).toSeq ==
+      Seq[Byte](0, 0, 0, 0))
+  }
+
+  test("filters: LZW known-answer (TIFF spec example) and encoder round-trip") {
+    import graft.sources.PdfCodec
+    // the TIFF 6.0 §13 example: 7 7 7 8 8 8 → Clear, 7, 258, 8, 260, EOD
+    // (258 and 260 are both still-being-defined codes — the KwKwK case)
+    def pack9(codes: Seq[Int]): Array[Byte] = {
+      var acc = 0L; var bits = 0
+      val o = new java.io.ByteArrayOutputStream
+      codes.foreach { c =>
+        acc = (acc << 9) | c; bits += 9
+        while (bits >= 8) { o.write(((acc >> (bits - 8)) & 0xff).toInt); bits -= 8 }
+      }
+      if (bits > 0) o.write(((acc << (8 - bits)) & 0xff).toInt)
+      o.toByteArray
+    }
+    val kat = PdfCodec.lzwDecode(pack9(Seq(256, 7, 258, 8, 260, 257)))
+    assert(kat.toSeq == Seq[Byte](7, 7, 7, 8, 8, 8), s"got ${kat.toSeq}")
+
+    // spec-side encoder (mirrors the decoder's early-change width timing)
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val dict = scala.collection.mutable.Map[Seq[Byte], Int]()
+      (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
+      var next = 258
+      var width = 9
+      var acc = 0L; var bits = 0
+      val o = new java.io.ByteArrayOutputStream
+      def emit(code: Int): Unit = {
+        acc = (acc << width) | code; bits += width
+        while (bits >= 8) { o.write(((acc >> (bits - 8)) & 0xff).toInt); bits -= 8 }
+      }
+      emit(256)
+      var w = Seq.empty[Byte]
+      data.foreach { b =>
+        val wk = w :+ b
+        if (dict.contains(wk)) w = wk
+        else {
+          emit(dict(w))
+          if (next < 4096) {
+            dict(wk) = next; next += 1
+            if (next >= (1 << width) && width < 12) width += 1
+          }
+          w = Seq(b)
+        }
+      }
+      if (w.nonEmpty) emit(dict(w))
+      emit(257)
+      if (bits > 0) o.write(((acc << (8 - bits)) & 0xff).toInt)
+      o.toByteArray
+    }
+    val rnd = new scala.util.Random(17)
+    // enough distinct pairs to push the dictionary past the 512- and
+    // 1024-entry width bumps
+    val big = Array.tabulate(6000)(i =>
+      ((i * 31 + rnd.nextInt(4)) % 256).toByte)
+    val enc = lzwEncode(big)
+    assert(enc.length < big.length * 2)
+    assert(PdfCodec.lzwDecode(enc).toSeq == big.toSeq)
+  }
+
+  test("filters: PNG predictor Up/Sub/Paeth rows undo; TIFF predictor 2") {
+    import graft.sources.PdfCodec
+    val rowLen = 8
+    val rows = 5
+    val plain = Array.tabulate(rows * rowLen)(i => ((i * 13 + 5) % 256).toByte)
+    // encode with PNG Up (tag 2) rows — the common xref-stream shape
+    val encUp = new java.io.ByteArrayOutputStream
+    (0 until rows).foreach { r =>
+      encUp.write(2)
+      (0 until rowLen).foreach { i =>
+        val up = if (r > 0) plain((r - 1) * rowLen + i) & 0xff else 0
+        encUp.write(((plain(r * rowLen + i) & 0xff) - up) & 0xff)
+      }
+    }
+    assert(PdfCodec.undoPredictor(encUp.toByteArray, 12, 1, 8, rowLen).toSeq ==
+      plain.toSeq)
+    // Sub (tag 1) with bpp 1
+    val encSub = new java.io.ByteArrayOutputStream
+    (0 until rows).foreach { r =>
+      encSub.write(1)
+      (0 until rowLen).foreach { i =>
+        val left = if (i > 0) plain(r * rowLen + i - 1) & 0xff else 0
+        encSub.write(((plain(r * rowLen + i) & 0xff) - left) & 0xff)
+      }
+    }
+    assert(PdfCodec.undoPredictor(encSub.toByteArray, 11, 1, 8, rowLen).toSeq ==
+      plain.toSeq)
+    // TIFF horizontal differencing
+    val encT = plain.clone()
+    (0 until rows).foreach { r =>
+      (rowLen - 1 to 1 by -1).foreach { i =>
+        encT(r * rowLen + i) =
+          ((encT(r * rowLen + i) - encT(r * rowLen + i - 1)) & 0xff).toByte
+      }
+    }
+    assert(PdfCodec.undoPredictor(encT, 2, 1, 8, rowLen).toSeq == plain.toSeq)
+  }
+
+  test("a hand-written PDF with an ASCII85+Flate filter chain decodes") {
+    // filter chains applied in array order over a real content stream —
+    // syntax the writer never emits, pinned to the spec
+    import graft.sources.PdfCodec
+    val content = "BT\n/F1 11 Tf\n13 TL\n72 756 Td\n(chained filters) Tj\nET\n"
+    val flated = PdfCodec.deflate(content.getBytes(ISO_8859_1))
+    val a85 = {
+      val sb = new StringBuilder
+      flated.grouped(4).foreach { g =>
+        val pad = 4 - g.length
+        val full = g ++ Array.fill(pad)(0.toByte)
+        var v = 0L
+        full.foreach(x => v = (v << 8) | (x & 0xffL))
+        val cs = new Array[Char](5)
+        (4 to 0 by -1).foreach { k => cs(k) = ('!' + (v % 85)).toChar; v /= 85 }
+        sb.appendAll(cs, 0, 5 - pad)
+      }
+      sb.toString + "~>"
+    }
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Length ${a85.length} /Filter [/ASCII85Decode /FlateDecode] >>
+         |stream
+         |$a85
+         |endstream
+         |endobj
+         |5 0 obj
+         |<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>
+         |endobj
+         |trailer
+         |<< /Size 6 /Root 1 0 R >>
+         |%%EOF
+         |""".stripMargin.getBytes(ISO_8859_1)
+    assert(textBlocks(pdf) == Seq("chained filters"))
+  }
+
   test("encrypted round-trip (RC4): empty-password decrypt recovers every block") {
     val bytes = PdfWriter.buildEncrypted(Seq(PageSpec(paras1)), compress = false,
       aes = false)
