@@ -274,7 +274,12 @@ object PipelineQueries {
           .map(PdfWriter.sanitizeCid).filter(_.trim.nonEmpty)
         val pages = paras.grouped(6)
           .map(ps => PdfWriter.PageSpec(ps)).toSeq
-        val bytes = PdfWriter.buildCidNoToUni(pages, compress = id % 2 == 0)
+        // every third doc embeds a /CIDToGIDMap STREAM with a reversed
+        // glyph order — the subsetter-ordered shape; the rest are
+        // /Identity. Both must round-trip losslessly.
+        val bytes =
+          if (id % 3 == 0) PdfWriter.buildCidGidStream(pages, compress = id % 2 == 0)
+          else PdfWriter.buildCidNoToUni(pages, compress = id % 2 == 0)
         val blocks = RealPdfExtractor.extract(s"subset/$id.pdf", bytes)
         val lossless = blocks.filter(!_.isImage).map(_.content) == paras
         val segs = PdfSource.parsePdf(s"subset/$id", s"subset/$id.pdf", bytes,

@@ -766,9 +766,21 @@ object PdfWriter {
       aes: Boolean): Array[Byte] =
     buildWith(pages, compress, cid = false, encryptAes = Some(aes))
 
+  /** [[buildCidNoToUni]] with a PERMUTED glyph order and an embedded
+    * /CIDToGIDMap STREAM (2-byte big-endian GID per CID, §9.7.4.2) — the
+    * other half of real subset fonts, whose glyph order follows the
+    * subsetter, not the CID alphabet. GID = n+1−CID (reversal), so an
+    * extractor that assumes /Identity composes the font cmap against the
+    * wrong glyphs and CANNOT round-trip; only reading the map stream
+    * recovers text.
+    */
+  def buildCidGidStream(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
+    buildWith(pages, compress, cid = true, toUni = false, gidStream = true)
+
   private def buildWith(pages: Seq[PageSpec], compress: Boolean,
       cid: Boolean, toUni: Boolean = true,
       jpegImages: Boolean = false, cff: Boolean = false,
+      gidStream: Boolean = false,
       encryptAes: Option[Boolean] = None): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
@@ -777,7 +789,9 @@ object PdfWriter {
     // (simple: 3=font; cid+toUni: 3=Type0 4=descendant CIDFont 5=ToUnicode;
     //  cid no-toUni: 3=Type0 4=descendant CIDFont 5=FontDescriptor
     //  6=FontFile2)
-    var nextObj = if (cid && !toUni) 7 else if (cid) 6 else 4
+    var nextObj =
+      if (cid && !toUni && gidStream) 8
+      else if (cid && !toUni) 7 else if (cid) 6 else 4
     def defObj(num: Int)(body: => Unit): Unit = {
       offsets(num) = out.size()
       w(s"$num 0 obj\n"); body; w("\nendobj\n")
@@ -869,19 +883,39 @@ object PdfWriter {
           w("\nendstream")
         }
       } else {
+        val mapEntry =
+          if (gidStream) "/CIDToGIDMap 7 0 R" else "/CIDToGIDMap /Identity"
         defObj(4)(w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Subset " +
           "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
-          "/CIDToGIDMap /Identity /FontDescriptor 5 0 R >>"))
+          s"$mapEntry /FontDescriptor 5 0 R >>"))
         defObj(5)(w("<< /Type /FontDescriptor /FontName /Subset /Flags 4 " +
           "/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 /Descent -200 " +
           "/CapHeight 700 /StemV 80 /FontFile2 6 0 R >>"))
-        // gid == cid under /CIDToGIDMap /Identity, so the font's cmap maps
-        // codepoint → cid directly
-        val fontBytes = maybeEnc(6, TrueTypeCmap.buildFont(cidOf))
+        // identity mode: gid == cid, the font's cmap maps codepoint → cid
+        // directly; gid-stream mode: glyph order reversed (gid = n+1−cid),
+        // the cmap maps codepoint → PERMUTED gid and only the map stream
+        // leads back
+        val n = cidOf.size
+        def gidOf(cidv: Int): Int = if (gidStream) n + 1 - cidv else cidv
+        val fontBytes = maybeEnc(6, TrueTypeCmap.buildFont(
+          cidOf.map { case (cp, c) => cp -> gidOf(c) }))
         defObj(6) {
           w(s"<< /Length ${fontBytes.length} /Length1 ${fontBytes.length} >>\nstream\n")
           out.write(fontBytes)
           w("\nendstream")
+        }
+        if (gidStream) {
+          val m = new ByteArrayOutputStream
+          (0 to n).foreach { c =>
+            val g = if (c == 0) 0 else gidOf(c)
+            m.write((g >> 8) & 0xff); m.write(g & 0xff)
+          }
+          val mapBytes = maybeEnc(7, m.toByteArray)
+          defObj(7) {
+            w(s"<< /Length ${mapBytes.length} >>\nstream\n")
+            out.write(mapBytes)
+            w("\nendstream")
+          }
         }
       }
     }
@@ -1538,7 +1572,24 @@ object RealPdfExtractor extends PdfExtractor {
                 // bytes, so the chain is a plain fallback.
                 val prog = decodedStream(objs, ff)
                 val viaSfnt = TrueTypeCmap.gidToText(prog)
-                if (viaSfnt.nonEmpty) viaSfnt else CffCharset.gidToText(prog)
+                val gidText =
+                  if (viaSfnt.nonEmpty) viaSfnt else CffCharset.gidToText(prog)
+                // the font program's table is GID-keyed but content codes
+                // are CIDs: when /CIDToGIDMap is an embedded STREAM (the
+                // other half of real subset fonts — 2 bytes per CID,
+                // big-endian GID, §9.7.4.2), compose CID → GID → text;
+                // /Identity or absent means CID == GID and the table
+                // applies directly
+                desc.get("CIDToGIDMap") match {
+                  case Some(mref) if deref(objs, mref) != PName("Identity") =>
+                    val m = decodedStream(objs, mref)
+                    if (m.length < 2) gidText
+                    else (0 until m.length / 2).iterator.flatMap { cid =>
+                      val gid = ((m(2 * cid) & 0xff) << 8) | (m(2 * cid + 1) & 0xff)
+                      gidText.get(gid).map(cid -> _)
+                    }.toMap
+                  case _ => gidText
+                }
               }
               fromFontProgram.getOrElse(Map.empty)
             }

@@ -43,7 +43,7 @@ object GoldenHashSpec {
     "p7_real_pdf" -> "cb6d5e32c669271c7fded91fe7d6dbf1",
     "p8_cid_pdf" -> "d6f9dd1938082bf0818880d805b40314",
     "p9_hard_eval" -> "f39498fac17cf54ae5778a6cab76c473",
-    "p10_subset_font" -> "3c1946707278beb6d271cc56a9d083f4",
+    "p10_subset_font" -> "5d0e88778ba82ebdc83bd17c26781a1f",
     "p12_cff_font" -> "5533e65ed4673bbd0a99987be8785f91",
     "p13_encrypted_pdf" -> "0e4f3cac0e1e656cf5e0c35a3b4fc046",
     "d13_bloom_incremental" -> "69596ca3f48f0bb2918f2476bb841537",

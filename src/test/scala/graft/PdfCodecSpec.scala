@@ -545,6 +545,24 @@ class PdfCodecSpec extends AnyFunSuite {
       aes = true) != null)
   }
 
+  test("CIDToGIDMap stream: permuted glyph order round-trips through the map") {
+    val sane = uniParas.map(PdfWriter.sanitizeCid)
+    for (compress <- Seq(false, true)) {
+      val bytes = PdfWriter.buildCidGidStream(Seq(PageSpec(sane)), compress)
+      val s = new String(bytes, ISO_8859_1)
+      assert(!s.contains("ToUnicode") && s.contains("/CIDToGIDMap 7 0 R"))
+      assert(textBlocks(bytes) == sane, s"compress=$compress")
+    }
+    // the fixture guard: assuming /Identity must NOT round-trip — flip the
+    // descendant's map entry back to /Identity and the composition breaks
+    val bytes = PdfWriter.buildCidGidStream(Seq(PageSpec(sane)), compress = false)
+    val identityView = new String(bytes, ISO_8859_1)
+      .replace("/CIDToGIDMap 7 0 R", "/CIDToGIDMap /Identity")
+      .getBytes(ISO_8859_1)
+    assert(textBlocks(identityView) != sane,
+      "permutation was a no-op; the fixture cannot discriminate")
+  }
+
   test("CFF round-trip: bare FontFile3, text recovered from charset glyph names") {
     val sane = uniParas.map(PdfWriter.sanitizeCid)
     val bytes = PdfWriter.buildCidCff(Seq(PageSpec(sane)), compress = false)
