@@ -590,6 +590,44 @@ object EventStreams {
       }
   }
 
+  final case class CarryEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  final case class CarryState(lastClickId: Long)
+  final case class CarryOut(event_id: Long, user_id: Long,
+      event_type: String, last_click_id: Option[Long])
+
+  /** Streaming carry-forward fill — twin of w4_carry_forward (the CDC
+    * enrichment shape): every event emits with its user's most recent
+    * 'click' event_id, the click itself included (the batch window is
+    * UNBOUNDED PRECEDING..CURRENT ROW, so a click carries its own id).
+    * State is ONE long per user — bounded by key cardinality exactly
+    * like [[asOfEnrich]], and a carry never expires, so no timeout.
+    * Ordering contract as the other twins: batches are sorted by
+    * (ts, event_id) internally; per-key event-time order across batches.
+    * Null-ts events never enter (the batch twin filters them too).
+    */
+  def carryForwardStream(events: Dataset[CarryEvent]): Dataset[CarryOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CarryState, CarryOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[CarryState]) =>
+          val sorted = rows.toSeq
+            .sortBy(r => (eventTimeMicros(r.ts), r.event_id))
+          var carry = state.getOption.map(_.lastClickId)
+          val out = Seq.newBuilder[CarryOut]
+          sorted.foreach { r =>
+            if (r.event_type == "click") carry = Some(r.event_id)
+            out += CarryOut(r.event_id, userId, r.event_type, carry)
+          }
+          carry.foreach(c => state.update(CarryState(c)))
+          out.result().iterator
+      }
+  }
+
   /** Streaming document ingest: a file-source stream of raw texts runs the
     * SAME per-document pipeline as batch (narrow flatMap — append-safe),
     * writing fragment rows continuously. Batch and streaming share

@@ -703,6 +703,59 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming carry-forward matches w4 on multi-batch replay") {
+    val s = spark
+    import s.implicits._
+
+    val batch = SparkEntry.queries("w4_carry_forward")(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+
+    // event-time-ordered replay in 4 slices: the one-long carry must
+    // survive micro-batch boundaries
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .collect()
+      .sortBy(r => (EventStreams.eventTimeMicros(r._2), r._3))
+    val stage = java.nio.file.Files.createTempDirectory("carry_stream")
+    val slice = (ev.length + 3) / 4
+    ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
+      val f = stage.resolve(f"slice_$i%03d.parquet")
+      rows.toSeq.toDF("user_id", "ts", "event_id", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      java.nio.file.Files.walk(f).iterator()
+        .forEachRemaining(_.toFile.setLastModified(1000000L * (i + 1)))
+    }
+
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*/")
+      .as[EventStreams.CarryEvent]
+    val q = EventStreams.carryForwardStream(stream)
+      .writeStream.format("memory").queryName("carry_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    val streamed = s.sql("SELECT * FROM carry_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "carry stream emitted nothing")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
   test("streaming sliding-active matches w13 on multi-batch replay") {
     val s = spark
     import s.implicits._
