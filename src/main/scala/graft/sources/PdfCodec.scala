@@ -57,9 +57,9 @@ object PdfCodec {
     * the document body. */
   private[sources] final case class PKw(name: String) extends PVal
 
-  private def isWs(c: Int): Boolean =
+  private[sources] def isWs(c: Int): Boolean =
     c == 0 || c == 9 || c == 10 || c == 12 || c == 13 || c == 32
-  private def isDelim(c: Int): Boolean =
+  private[sources] def isDelim(c: Int): Boolean =
     c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
       c == '{' || c == '}' || c == '/' || c == '%'
 
@@ -1739,8 +1739,25 @@ object RealPdfExtractor extends PdfExtractor {
                 m(2) * ctm(1) + m(3) * ctm(3),
                 m(4) * ctm(0) + m(5) * ctm(2) + ctm(4),
                 m(4) * ctm(1) + m(5) * ctm(3) + ctm(5))
-            case "BI" => // inline image: skip to EI
-              lex.seek("EI"); ()
+            case "BI" =>
+              // inline image: skip past the EI operator. Raw image bytes
+              // routinely contain the letters "EI", so only a STANDALONE
+              // token (whitespace before, whitespace/delimiter/EOF after)
+              // ends the image — a bare substring match would resume the
+              // lexer mid-binary and corrupt the rest of the stream.
+              var found = false
+              while (!found) {
+                val at = lex.seek("EI")
+                if (at < 0) found = true // truncated stream: stop at EOF
+                else {
+                  val before = if (at == 0) ' '.toInt else content(at - 1) & 0xff
+                  val after =
+                    if (at + 2 >= content.length) ' '.toInt
+                    else content(at + 2) & 0xff
+                  if (isWs(before) && (isWs(after) || isDelim(after)))
+                    found = true
+                }
+              }
             case _ => () // any other operator: operands consumed below
           }
           stack.clear()

@@ -628,6 +628,103 @@ object EventStreams {
       }
   }
 
+  final case class RollEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, value: Double)
+  final case class RollState(lastCents: List[Long])
+  final case class RollOut(event_id: Long, user_id: Long,
+      roll_value: Double, roll_n: Long)
+
+  /** Streaming sliding-frame rolling sum — twin of w5_moving_sum
+    * (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW): every event emits the
+    * exact sum of its own value and its user's previous ≤3 values.
+    * State is the last ≤3 values per user AS INTEGER CENTS — the frame
+    * sum stays exact (order-free longs) and the final double is one
+    * correctly-rounded division, the same number the batch twin's
+    * DECIMAL(18,2)-sum-then-cast produces. Cent extraction mirrors the
+    * batch `cast("decimal(18,2)")` via BigDecimal HALF_UP. Ordering and
+    * null-ts contracts as the other twins.
+    */
+  def movingSumStream(events: Dataset[RollEvent]): Dataset[RollOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollState, RollOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[RollState]) =>
+          val sorted = rows.toSeq
+            .sortBy(r => (eventTimeMicros(r.ts), r.event_id))
+          var frame = state.getOption.map(_.lastCents).getOrElse(Nil)
+          val out = Seq.newBuilder[RollOut]
+          sorted.foreach { r =>
+            val cents = java.math.BigDecimal.valueOf(r.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            val window = frame :+ cents // ≤3 carried + current
+            out += RollOut(r.event_id, userId,
+              window.sum / 100.0, window.length.toLong)
+            frame = window.takeRight(3)
+          }
+          state.update(RollState(frame))
+          out.result().iterator
+      }
+  }
+
+  final case class GapActivity(user_id: Long, day: java.sql.Date)
+  final case class GapState(epochDay: Long, n: Long)
+  final case class GapOut(user_id: Long, day: java.sql.Date, n_events: Long)
+
+  /** Streaming gap-fill resample — twin of w10_gapfill: per-user daily
+    * event counts with zero-filled missing days. A day CLOSES when the
+    * user's first event of a later day arrives (per-key event-time order
+    * across batches, as the other twins): the closed day emits its
+    * count, every skipped day in between emits a zero row, and the new
+    * day starts counting. The user's final day never closes (append-mode
+    * semantics — in production the watermark would flush it; the
+    * equivalence spec compares days strictly before each user's last).
+    * State is two longs per user (current day + running count); the
+    * zero-fill fan-out is bounded by the gap span, exactly the batch
+    * plan's per-user `sequence` explode. Null-ts events never enter
+    * (the batch calendar join drops them identically). Day boundaries
+    * come from the engine's own `to_date` BEFORE the stateful fold, as
+    * in [[cohortRetention]], so batch and stream bucket identically.
+    */
+  def gapfillStream(events: DataFrame): Dataset[GapOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id").cast("long").as("user_id"),
+        to_date(col("ts")).as("day"))
+      .as[GapActivity]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[GapState]) =>
+          val days = rows.map(_.day.toLocalDate.toEpochDay).toSeq.sorted
+          def date(ep: Long) = java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(ep))
+          var st = state.getOption
+          val out = Seq.newBuilder[GapOut]
+          days.foreach { d =>
+            st match {
+              case None => st = Some(GapState(d, 1))
+              case Some(GapState(day, n)) if d == day =>
+                st = Some(GapState(day, n + 1))
+              case Some(GapState(day, n)) if d > day =>
+                out += GapOut(userId, date(day), n)
+                var gap = day + 1
+                while (gap < d) { out += GapOut(userId, date(gap), 0L); gap += 1 }
+                st = Some(GapState(d, 1))
+              case _ => () // out-of-contract stray: ignore
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming document ingest: a file-source stream of raw texts runs the
     * SAME per-document pipeline as batch (narrow flatMap — append-safe),
     * writing fragment rows continuously. Batch and streaming share

@@ -253,6 +253,42 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(extract(packed).map(_.content) == sane)
   }
 
+  test("inline image (BI..ID..EI) with embedded 'EI' bytes doesn't derail text") {
+    // the raw image payload contains the letters EI with NO surrounding
+    // whitespace — a substring skip would resume the lexer mid-binary and
+    // eat the second text object
+    val binary = " EIxÿEIq(garbage" // hostile payload
+    val content =
+      "BT\n/F1 11 Tf\n13 TL\n72 756 Td\n(before image) Tj\nET\n" +
+        s"BI /W 2 /H 2 /CS /G /BPC 8 ID $binary EI\n" +
+        "BT\n/F1 11 Tf\n13 TL\n72 700 Td\n(after image) Tj\nET\n"
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |5 0 obj
+         |<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>
+         |endobj
+         |trailer
+         |<< /Size 6 /Root 1 0 R >>
+         |%%EOF
+         |""".stripMargin.getBytes(ISO_8859_1)
+    assert(textBlocks(pdf) == Seq("before image", "after image"))
+  }
+
   test("filters: ASCIIHex, ASCII85, RunLength decode (unit round-trips)") {
     import graft.sources.PdfCodec
     val rnd = new scala.util.Random(5)

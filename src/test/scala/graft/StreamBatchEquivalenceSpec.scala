@@ -756,6 +756,119 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming moving sum matches w5 on multi-batch replay") {
+    val s = spark
+    import s.implicits._
+
+    // the streaming universe is the non-null-ts one (stated on the
+    // operator); restrict the batch grid identically
+    val nonNullIds = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .select(col("event_id")).as[Long].collect().toSet
+    val batch = SparkEntry.queries("w5_moving_sum")(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3)))
+      .filter(t => nonNullIds.contains(t._1)).toSet
+
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .collect()
+      .sortBy(r => (EventStreams.eventTimeMicros(r._2), r._3))
+    val stage = java.nio.file.Files.createTempDirectory("roll_stream")
+    val slice = (ev.length + 3) / 4
+    ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
+      val f = stage.resolve(f"slice_$i%03d.parquet")
+      rows.toSeq.toDF("user_id", "ts", "event_id", "value").coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      java.nio.file.Files.walk(f).iterator()
+        .forEachRemaining(_.toFile.setLastModified(1000000L * (i + 1)))
+    }
+
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*/")
+      .as[EventStreams.RollEvent]
+    val q = EventStreams.movingSumStream(stream)
+      .writeStream.format("memory").queryName("roll_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    // bit-exact compare: the frame sum is exact cents, the division is
+    // one correctly-rounded IEEE op on both sides
+    val streamed = s.sql("SELECT * FROM roll_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "rolling stream emitted nothing")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
+  test("streaming gap-fill matches w10 on multi-batch replay (closed days)") {
+    val s = spark
+    import s.implicits._
+
+    // batch truth restricted to CLOSED days: the streaming operator can
+    // only close a day once a later one arrives, so each user's final
+    // day stays open (append-mode semantics, stated on the operator)
+    val batchAll = SparkEntry.queries("w10_gapfill")(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2)))
+    val lastDay = batchAll.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2).max
+    }
+    val batch = batchAll.filter { case (u, d, _) => d < lastDay(u) }.toSet
+
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .collect()
+      .sortBy(r => EventStreams.eventTimeMicros(r._2))
+    val stage = java.nio.file.Files.createTempDirectory("gap_stream")
+    val slice = (ev.length + 3) / 4
+    ev.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
+      val f = stage.resolve(f"slice_$i%03d.parquet")
+      rows.toSeq.toDF("user_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      java.nio.file.Files.walk(f).iterator()
+        .forEachRemaining(_.toFile.setLastModified(1000000L * (i + 1)))
+    }
+
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*/")
+    val q = EventStreams.gapfillStream(stream)
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    val streamed = s.sql("SELECT * FROM gap_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "gap-fill stream emitted nothing")
+    assert(streamed.exists(_._3 == 0L), "no zero-filled day was exercised")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
   test("streaming sliding-active matches w13 on multi-batch replay") {
     val s = spark
     import s.implicits._
