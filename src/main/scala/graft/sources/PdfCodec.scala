@@ -498,49 +498,35 @@ object PdfCodec {
     * the algorithmic `uniXXXX` family; unknown names yield None and the
     * byte falls back to Latin-1.
     */
-  private[graft] def glyphToText(name: String): Option[String] = {
-    if (name.length == 1) return Some(name)
-    if ((name.startsWith("uni") && name.length >= 7)) {
-      try {
-        val cp = Integer.parseInt(name.substring(3, 7), 16)
-        return Some(cp.toChar.toString)
-      } catch { case _: NumberFormatException => () }
-    }
-    AglSubset.get(name)
-  }
+  private[graft] def glyphToText(name: String): Option[String] =
+    // the CFF charset resolver carries the fuller table (multi-group
+    // uniXXXX, uXXXXX astral, the Latin-1 dictionary); Euro is an AGL
+    // name the CFF standard strings can't carry, and a literal 1-char
+    // name maps to itself (the lenient reading viewers apply)
+    CffCharset.resolveName(name)
+      .orElse(if (name == "Euro") Some("€") else None)
+      .orElse(if (name.length == 1) Some(name) else None)
 
-  private val AglSubset: Map[String, String] = Map(
-    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
-    "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
-    "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
-    "parenright" -> ")", "asterisk" -> "*", "plus" -> "+", "comma" -> ",",
-    "hyphen" -> "-", "period" -> ".", "slash" -> "/", "zero" -> "0",
-    "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
-    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8",
-    "nine" -> "9", "colon" -> ":", "semicolon" -> ";", "less" -> "<",
-    "equal" -> "=", "greater" -> ">", "question" -> "?", "at" -> "@",
-    "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
-    "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
-    "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
-    "asciitilde" -> "~",
-    "eacute" -> "é", "egrave" -> "è", "ecircumflex" -> "ê",
-    "edieresis" -> "ë", "agrave" -> "à", "aacute" -> "á",
-    "acircumflex" -> "â", "adieresis" -> "ä", "aring" -> "å",
-    "atilde" -> "ã", "ccedilla" -> "ç", "igrave" -> "ì", "iacute" -> "í",
-    "icircumflex" -> "î", "idieresis" -> "ï", "ntilde" -> "ñ",
-    "ograve" -> "ò", "oacute" -> "ó", "ocircumflex" -> "ô",
-    "odieresis" -> "ö", "otilde" -> "õ", "oslash" -> "ø",
-    "ugrave" -> "ù", "uacute" -> "ú", "ucircumflex" -> "û",
-    "udieresis" -> "ü", "yacute" -> "ý", "ydieresis" -> "ÿ",
-    "germandbls" -> "ß", "ae" -> "æ", "oe" -> "œ", "OE" -> "Œ",
-    "AE" -> "Æ", "Oslash" -> "Ø", "Aring" -> "Å",
-    "quoteleft" -> "‘", "quoteright" -> "’",
-    "quotedblleft" -> "“", "quotedblright" -> "”",
-    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
-    "ellipsis" -> "…", "fi" -> "ﬁ", "fl" -> "ﬂ",
-    "Euro" -> "€", "sterling" -> "£", "yen" -> "¥", "cent" -> "¢",
-    "degree" -> "°", "section" -> "§", "paragraph" -> "¶",
-    "copyright" -> "©", "registered" -> "®", "trademark" -> "™")
+  /** Built-in /Encoding of an embedded Type1 program (/FontFile — the
+    * LaTeX-era simple-font shape): the CLEARTEXT section preceding
+    * `eexec` defines the encoding as `dup <code> /<name> put` entries,
+    * so no charstring decryption is needed to recover it. PFB segment
+    * framing (0x80-prefixed headers) passes through harmlessly — the
+    * scan reads the text, not the framing. Names resolve through the
+    * same AGL conventions as /Differences; `/Encoding StandardEncoding
+    * def` fonts yield an empty map and the Latin-1 fallback stands
+    * (near-identical for the Latin range).
+    */
+  private[graft] def parseType1Encoding(prog: Array[Byte]): Map[Int, String] = {
+    val text = new String(prog, ISO_8859_1)
+    val eexecAt = text.indexOf("eexec")
+    val clear = if (eexecAt < 0) text else text.substring(0, eexecAt)
+    val re = """dup\s+(\d+)\s*/([^\s/()\[\]{}<>]+)\s+put""".r
+    re.findAllMatchIn(clear).flatMap { m =>
+      val code = m.group(1).toInt
+      if (code > 255) None else glyphToText(m.group(2)).map(code -> _)
+    }.toMap
+  }
 
   /** Byte-code → text map from a /Differences array: runs of
     * `code /name /name …` restart at each number (PDF 32000 §9.6.6.3).
@@ -1605,6 +1591,18 @@ object RealPdfExtractor extends PdfExtractor {
               }
               case _ => Map.empty
             }
+          // a simple font with an embedded Type1 program (/FontFile) and
+          // no ToUnicode carries its encoding INSIDE the program's
+          // cleartext — the built-in map fills codes /Differences and
+          // /ToUnicode leave unmapped (spec precedence: built-in <
+          // Differences < ToUnicode)
+          val builtin: Map[Int, String] =
+            if (composite || toUniDeclared.nonEmpty) Map.empty
+            else (for {
+              fd <- d.get("FontDescriptor").map(r => dictOf(deref(objs, r)))
+              ff <- fd.get("FontFile")
+            } yield parseType1Encoding(decodedStream(objs, ff)))
+              .getOrElse(Map.empty)
           // the FONT decides the code width: /Identity-H (and -V)
           // composite codes are always two bytes, whatever codespace the
           // ToUnicode CMap declares — producers routinely write a 1-byte
@@ -1612,7 +1610,7 @@ object RealPdfExtractor extends PdfExtractor {
           // font; pdf.js/Poppler special-case this the same way)
           val width =
             if (composite) 2 else if (declaredWidth > 0) declaredWidth else 1
-          name -> FontDec(width, diffs ++ toUni)
+          name -> FontDec(width, builtin ++ diffs ++ toUni)
       }
 
     val events = interpret(content, xobjects, fonts)

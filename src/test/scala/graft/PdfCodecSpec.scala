@@ -253,6 +253,75 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(extract(packed).map(_.content) == sane)
   }
 
+  test("Type1 /FontFile built-in encoding recovers remapped simple-font text") {
+    // the LaTeX-era shape: a simple font whose encoding lives in the
+    // embedded Type1 program's cleartext (`dup N /name put`), no
+    // /ToUnicode and no /Differences — codes deliberately ≠ ASCII so the
+    // Latin-1 fallback cannot pass
+    val fontProg =
+      """%!PS-AdobeFont-1.0: Synthetic 001.000
+        |/FontName /Synthetic def
+        |/Encoding 256 array
+        |0 1 255 {1 index exch /.notdef put} for
+        |dup 1 /H put
+        |dup 2 /e put
+        |dup 3 /l put
+        |dup 4 /o put
+        |dup 5 /space put
+        |dup 6 /quoteright put
+        |dup 7 /adieresis put
+        |readonly def
+        |currentdict end
+        |currentfile eexec
+        |BINARYGARBAGEdup 99 /X putMOREGARBAGE
+        |0000000000000000000000000000000000000000000000000000000000000000
+        |cleartomark""".stripMargin
+    // codes 1 2 3 3 4 5 6 7 = "Hello \u2019\u00e4" in the custom encoding
+    val shown = "\u0001\u0002\u0003\u0003\u0004\u0005\u0006\u0007"
+    val content =
+      s"BT\n/F1 11 Tf\n13 TL\n72 756 Td\n($shown) Tj\nET\n"
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |5 0 obj
+         |<< /Type /Font /Subtype /Type1 /BaseFont /Synthetic /FontDescriptor 6 0 R >>
+         |endobj
+         |6 0 obj
+         |<< /Type /FontDescriptor /FontName /Synthetic /Flags 4 /FontFile 7 0 R >>
+         |endobj
+         |7 0 obj
+         |<< /Length ${fontProg.length} >>
+         |stream
+         |$fontProg
+         |endstream
+         |endobj
+         |trailer
+         |<< /Size 8 /Root 1 0 R >>
+         |%%EOF
+         |""".stripMargin.getBytes(ISO_8859_1)
+    assert(textBlocks(pdf) == Seq("Hello ’ä"))
+    // the guard: the post-eexec `dup 99 /X put` garbage must NOT leak in
+    // (parse stops at the cleartext boundary)
+    import graft.sources.PdfCodec
+    val enc = PdfCodec.parseType1Encoding(fontProg.getBytes(ISO_8859_1))
+    assert(enc.get(1).contains("H") && enc.get(7).contains("ä"))
+    assert(!enc.contains(99))
+  }
+
   test("inline image (BI..ID..EI) with embedded 'EI' bytes doesn't derail text") {
     // the raw image payload contains the letters EI with NO surrounding
     // whitespace — a substring skip would resume the lexer mid-binary and
