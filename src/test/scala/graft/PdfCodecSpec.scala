@@ -253,6 +253,39 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(extract(packed).map(_.content) == sane)
   }
 
+  test("extractor never throws on randomly mutated fixtures (all builders)") {
+    // blanket fuzz across every decode path the writers exercise —
+    // simple/composite/subset/CFF/gid-stream fonts, JPEG XObjects, both
+    // encryption modes, Flate on and off. Any byte of a real corpus can
+    // be corrupt; the extractor's contract is degrade-never-throw.
+    val rnd = new scala.util.Random(42)
+    val paras = Seq("fuzz seed paragraph one", "and a second block")
+    val uni = Seq(PdfWriter.sanitizeCid("짧은 한글 fuzz 문장"))
+    val bases: Seq[Array[Byte]] = Seq(
+      PdfWriter.build(Seq(PageSpec(paras, Map(0 -> 1))), compress = true),
+      PdfWriter.buildCid(Seq(PageSpec(uni)), compress = false),
+      PdfWriter.buildCidNoToUni(Seq(PageSpec(uni)), compress = true),
+      PdfWriter.buildCidCff(Seq(PageSpec(uni)), compress = false),
+      PdfWriter.buildCidGidStream(Seq(PageSpec(uni)), compress = false),
+      PdfWriter.buildJpeg(Seq(PageSpec(paras, Map(0 -> 2))), compress = false),
+      PdfWriter.buildEncrypted(Seq(PageSpec(paras)), compress = true, aes = false),
+      PdfWriter.buildEncrypted(Seq(PageSpec(paras)), compress = false, aes = true))
+    bases.foreach { base =>
+      (0 until 25).foreach { _ =>
+        val mutated = base.clone()
+        (0 until 8).foreach { _ =>
+          mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+        }
+        val blocks = extract(mutated) // must not throw
+        assert(blocks != null)
+      }
+      // truncations too — every prefix boundary class
+      Seq(1, base.length / 4, base.length / 2, base.length - 3).foreach { n =>
+        assert(extract(base.take(n)) != null)
+      }
+    }
+  }
+
   test("Type1 /FontFile built-in encoding recovers remapped simple-font text") {
     // the LaTeX-era shape: a simple font whose encoding lives in the
     // embedded Type1 program's cleartext (`dup N /name put`), no
