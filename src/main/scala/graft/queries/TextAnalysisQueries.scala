@@ -960,7 +960,42 @@ object TextAnalysisQueries {
        |FROM red
        |ORDER BY doc_id""".stripMargin
 
+  // X21 — distributed quality-classifier training (the fasttext-style
+  // filter model CCNet/LLaMA-class pipelines train; replaces the
+  // reference's rule gate, validators.py, at scale). The label is a
+  // LINEAR TEACHER over true token counts (2·spark + stream + vector >
+  // batch + customer), so learnability is known by construction and the
+  // trained accuracy measures exactly what feature hashing loses —
+  // fasttext's own setting. Training is 40 full-batch GD steps
+  // (1/(1+0.1t) rate decay) over hashed dim-64 count features via
+  // [[graft.functions.HashedLogReg]]:
+  // margins fold in fixed index order (one IEEE sequence per doc),
+  // residuals round onto a 1e-6 grid, gradients are exact BIGINT sums —
+  // bit-deterministic under any partitioning, which is what makes the
+  // golden pin valid. Not SQL-expressible as one query (iterative
+  // driver loop) → golden-pinned; the spec asserts the learning itself
+  // (trained accuracy beats the majority class by a margin).
+  private val x21QualityClassifier: Q = (s, dir) => {
+    import graft.functions.HashedLogReg
+    def cnt(t: String) =
+      size(filter(col("w"), x => x === t)).cast("long")
+    val dim = 64
+    val feats = StageCache.getOrCache(s, s"x21_feats:$dir") {
+      HashedLogReg.hashedFeatures(
+        wordsStage(s, dir)
+          .withColumn("y_teacher",
+            (cnt("spark") * 2 + cnt("stream") + cnt("vector") >
+              cnt("batch") + cnt("customer")).cast("long")),
+        col("doc_id"), col("y_teacher"), col("w"), dim)
+    }
+    val (wts, bias) = HashedLogReg.train(feats, dim, iters = 40, lr = 20.0,
+      decay = 0.1)
+    HashedLogReg.score(feats, wts, bias)
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "x21_quality_classifier" -> x21QualityClassifier,
     "x20_pii_redact" -> x20PiiRedact,
     "x19_vocab_growth" -> x19VocabGrowth,
     "x18_heldout_lm" -> x18HeldoutLm,

@@ -30,7 +30,7 @@ object GoldenHashSpec {
     "d13_bloom_incremental",
     "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
     "v9_ivfpq_recall", "v10_hnsw_recall",
-    "x4_approx_stats", "x14_approx_topk")
+    "x4_approx_stats", "x14_approx_topk", "x21_quality_classifier")
 
   /** Reviewed-once golden hashes (sf0.001, session config above). */
   val pinned: Map[String, String] = Map(
@@ -55,6 +55,7 @@ object GoldenHashSpec {
     "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
     "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
     "x14_approx_topk" -> "03d0cc91a100036d57ef942396763a06",
+    "x21_quality_classifier" -> "950e88cfaed2b989786826e31d9816dc",
   )
 }
 

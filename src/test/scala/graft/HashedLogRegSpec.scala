@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.HashedLogReg
+
+/** The distributed classifier trainer behind x21: learning actually
+  * happens (trained accuracy beats the majority class by a margin on the
+  * linear-teacher task), and training is bit-DETERMINISTIC under
+  * different partitionings — the property that makes the golden pin
+  * valid and that order-dependent double gradient sums would break.
+  */
+class HashedLogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+  private val dim = 64
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]", "8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs = {
+    def cnt(t: String) = size(filter(col("w"), x => x === t)).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("y", (cnt("spark") * 2 + cnt("stream") + cnt("vector") >
+        cnt("batch") + cnt("customer")).cast("long"))
+  }
+
+  test("trained accuracy beats the majority class by a real margin") {
+    val feats = HashedLogReg.hashedFeatures(docs, col("doc_id"), col("y"),
+      col("w"), dim).cache()
+    val n = feats.count().toDouble
+    val majority = {
+      val pos = feats.agg(sum(col("y"))).head().getLong(0).toDouble
+      math.max(pos, n - pos) / n
+    }
+    val (w, b) = HashedLogReg.train(feats, dim, iters = 40, lr = 20.0,
+      decay = 0.1)
+    val acc = HashedLogReg.score(feats, w, b)
+      .agg(avg(col("correct"))).head().getDouble(0)
+    feats.unpersist()
+    assert(majority < 0.82, s"teacher degenerated to majority $majority")
+    assert(acc >= majority + 0.08,
+      s"no learning: acc $acc vs majority $majority")
+    assert(acc >= 0.85, s"trained accuracy too low: $acc")
+  }
+
+  test("training is bit-identical under different partitionings") {
+    def trainWith(parts: Int): (Seq[Long], Long) = {
+      val feats = HashedLogReg.hashedFeatures(
+        docs.repartition(parts), col("doc_id"), col("y"), col("w"), dim)
+        .cache()
+      feats.count()
+      val (w, b) = HashedLogReg.train(feats, dim, iters = 12, lr = 20.0,
+        decay = 0.1)
+      feats.unpersist()
+      (w.toSeq.map(java.lang.Double.doubleToLongBits),
+        java.lang.Double.doubleToLongBits(b))
+    }
+    val a = trainWith(2)
+    val c = trainWith(7)
+    assert(a == c,
+      "weights diverged across partitionings — gradient sums are not order-free")
+  }
+}
