@@ -54,13 +54,25 @@ object HashedLogReg {
           .as("f"))
   }
 
-  /** w·x + bias as one fixed-order fold per row. */
-  private def marginCol(w: Array[Double], bias: Double): Column = {
-    val wCol = array(w.map(v => lit(v)): _*)
-    aggregate(
-      zip_with(col("f"), wCol, (c, wv) => c.cast("double") * wv),
-      lit(0.0), (acc, x) => acc + x) + lit(bias)
+  /** w·x + bias as one fixed-order fold per row. The weight vector rides
+    * a broadcast ONE-ROW table (`wv`, `wb` columns) rather than literals:
+    * with literals every GD iteration would bake new constants into the
+    * plan and pay a fresh whole-stage-codegen COMPILE (~300 ms/step — it
+    * dominated training); as data, the generated code is byte-identical
+    * across iterations and the codegen cache serves every step.
+    */
+  private def withWeights(features: DataFrame, w: Array[Double],
+      bias: Double): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.crossJoin(
+      broadcast(Seq((w.toSeq, bias)).toDF("wv", "wb")))
   }
+
+  private def marginCol: Column =
+    aggregate(
+      zip_with(col("f"), col("wv"), (c, wv) => c.cast("double") * wv),
+      lit(0.0), (acc, x) => acc + x) + col("wb")
 
   def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
 
@@ -75,8 +87,8 @@ object HashedLogReg {
     while (t < iters) {
       val lrT = lr / (1.0 + t * decay)
       // residual on the 1e-6 grid, then Σ f_j · residual — exact longs
-      val g = features
-        .select(round((sigmoid(marginCol(w, bias)) - col("y")) * 1e6)
+      val g = withWeights(features, w, bias)
+        .select(round((sigmoid(marginCol) - col("y")) * 1e6)
           .cast("long").as("d"), col("f"))
         .select(col("d"), posexplode(col("f")).as(Seq("j", "cnt")))
         .groupBy(col("j"))
@@ -101,8 +113,8 @@ object HashedLogReg {
     * predicted, correct). */
   def score(features: DataFrame, w: Array[Double], bias: Double)
       : DataFrame =
-    features
-      .select(col("doc_id"), col("y"), marginCol(w, bias).as("margin"))
+    withWeights(features, w, bias)
+      .select(col("doc_id"), col("y"), marginCol.as("margin"))
       .select(col("doc_id"), col("y"), col("margin"),
         sigmoid(col("margin")).as("p"),
         (col("margin") > 0).cast("long").as("predicted"))
