@@ -725,6 +725,74 @@ object EventStreams {
       }
   }
 
+  final case class RangeEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, value: Double)
+  /** `window` = closed events still inside the trailing hour (ts-micros,
+    * cents); `pending` = the newest timestamp's PEER GROUP, unemittable
+    * until a strictly later event proves the group complete. State is
+    * bounded by the user's events-per-hour — the honest cost of a
+    * value-range frame on a stream (a row frame like w5's needs only a
+    * fixed-width deque).
+    */
+  final case class RangeState(window: List[(Long, Long)],
+      pending: List[(Long, Long, Long)]) // (event_id, tsUs, cents)
+  final case class RangeOut(event_id: Long, user_id: Long,
+      hour_value: Double, hour_n: Long)
+
+  /** Streaming RANGE-frame rolling sum — twin of w6_range_frame
+    * (trailing 1-hour event-time window per user). RANGE frames are
+    * PEER-INCLUSIVE: an event's frame contains every same-timestamp
+    * event of its user, including ones that arrive later — so a
+    * timestamp's peer group only emits when a strictly LATER event
+    * arrives (the final group stays open, append-mode semantics, like
+    * [[gapfillStream]]'s final day). Sums are exact integer cents with
+    * one correctly-rounded division on emission, bit-exact against the
+    * batch DECIMAL path. Ordering and null-ts contracts as the other
+    * twins.
+    */
+  def rangeFrameStream(events: Dataset[RangeEvent],
+      frameUs: Long = 3600L * 1000000L): Dataset[RangeOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RangeState, RangeOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[RangeState]) =>
+          val sorted = rows.toSeq
+            .sortBy(r => (eventTimeMicros(r.ts), r.event_id))
+          var st = state.getOption.getOrElse(RangeState(Nil, Nil))
+          val out = Seq.newBuilder[RangeOut]
+          def closePending(): Unit = if (st.pending.nonEmpty) {
+            val t = st.pending.head._2
+            val kept = st.window.filter(_._1 >= t - frameUs)
+            val frameCents = kept.map(_._2).sum + st.pending.map(_._3).sum
+            val n = kept.length + st.pending.length
+            st.pending.foreach { case (id, _, _) =>
+              out += RangeOut(id, userId, frameCents / 100.0, n.toLong)
+            }
+            st = RangeState(
+              kept ++ st.pending.map(p => (p._2, p._3)), Nil)
+          }
+          sorted.foreach { r =>
+            val t = eventTimeMicros(r.ts)
+            val cents = java.math.BigDecimal.valueOf(r.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            st.pending.headOption match {
+              case Some((_, pt, _)) if t > pt =>
+                closePending()
+                st = st.copy(pending = List((r.event_id, t, cents)))
+              case _ =>
+                st = st.copy(pending = st.pending :+ ((r.event_id, t, cents)))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming document ingest: a file-source stream of raw texts runs the
     * SAME per-document pipeline as batch (narrow flatMap — append-safe),
     * writing fragment rows continuously. Batch and streaming share

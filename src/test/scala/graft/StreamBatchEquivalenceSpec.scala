@@ -814,6 +814,68 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming range frame matches w6 on multi-batch replay (closed groups)") {
+    val s = spark
+    import s.implicits._
+
+    // closed = the user has a strictly later event (RANGE frames are
+    // peer-inclusive, so a timestamp's peer group only emits once a
+    // later event proves it complete; the final group stays open)
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .collect()
+    val maxTsByUser = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(r => EventStreams.eventTimeMicros(r._2)).max
+    }
+    val closedIds = ev.filter(r =>
+      EventStreams.eventTimeMicros(r._2) < maxTsByUser(r._1))
+      .map(_._3).toSet
+
+    val batch = SparkEntry.queries("w6_range_frame")(s, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3)))
+      .filter(t => closedIds.contains(t._1)).toSet
+
+    val sortedEv = ev.sortBy(r => (EventStreams.eventTimeMicros(r._2), r._3))
+    val stage = java.nio.file.Files.createTempDirectory("range_stream")
+    val slice = (sortedEv.length + 3) / 4
+    sortedEv.grouped(slice).zipWithIndex.foreach { case (rows, i) =>
+      val f = stage.resolve(f"slice_$i%03d.parquet")
+      rows.toSeq.toDF("user_id", "ts", "event_id", "value").coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      java.nio.file.Files.walk(f).iterator()
+        .forEachRemaining(_.toFile.setLastModified(1000000L * (i + 1)))
+    }
+
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("slice_000.parquet").toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString + "/*/")
+      .as[EventStreams.RangeEvent]
+    val q = EventStreams.rangeFrameStream(stream)
+      .writeStream.format("memory").queryName("range_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+    val streamed = s.sql("SELECT * FROM range_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "range stream emitted nothing")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
   test("streaming gap-fill matches w10 on multi-batch replay (closed days)") {
     val s = spark
     import s.implicits._
