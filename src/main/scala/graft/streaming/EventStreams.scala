@@ -793,6 +793,34 @@ object EventStreams {
       }
   }
 
+  /** Streaming quality-classifier scoring — the serving half of x21's
+    * batch-trained model (train batch, filter the live ingest stream:
+    * the CCNet deployment shape). Stateless append-mode map work: hashed
+    * features are built PER ROW with higher-order expressions (the batch
+    * trainer's groupBy feature build is an aggregation and thus not
+    * stream-safe; O(dim·tokens) per row buys shuffle-freedom), the
+    * margin folds in the same fixed index order as training, and
+    * Murmur3 `hash` is engine-identical — so scores match the batch
+    * [[graft.functions.HashedLogReg.score]] bit-for-bit (spec-pinned).
+    *
+    * @param texts stream with (doc_id: long, text: string)
+    */
+  def classifyStream(texts: DataFrame, w: Array[Double], bias: Double)
+      : DataFrame = {
+    val dim = w.length
+    val toks = split(col("text"), " ")
+    val f = transform(sequence(lit(0), lit(dim - 1)),
+      j => size(filter(toks, t => pmod(hash(t), lit(dim)) === j)).cast("long"))
+    val wCol = array(w.map(v => lit(v)): _*)
+    val margin = aggregate(
+      zip_with(f, wCol, (c, wv) => c.cast("double") * wv),
+      lit(0.0), (acc, x) => acc + x) + lit(bias)
+    texts.select(col("doc_id"), margin.as("margin"))
+      .select(col("doc_id"), col("margin"),
+        (lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p"),
+        (col("margin") > 0).cast("long").as("predicted"))
+  }
+
   /** Streaming document ingest: a file-source stream of raw texts runs the
     * SAME per-document pipeline as batch (narrow flatMap — append-safe),
     * writing fragment rows continuously. Batch and streaming share

@@ -53,6 +53,49 @@ class HashedLogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acc >= 0.85, s"trained accuracy too low: $acc")
   }
 
+  test("streaming scoring matches the batch scorer bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val feats = HashedLogReg.hashedFeatures(docs, col("doc_id"), col("y"),
+      col("w"), dim).cache()
+    feats.count()
+    val (w, b) = HashedLogReg.train(feats, dim, iters = 12, lr = 20.0,
+      decay = 0.1)
+    val batch = HashedLogReg.score(feats, w, b)
+      .collect()
+      .map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(4)))
+      .toSet
+    feats.unpersist()
+
+    // stream the raw texts through the stateless serving path
+    val stage = java.nio.file.Files.createTempDirectory("classify_stream")
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(stage.resolve("docs.parquet").toString)
+    val stream = s.readStream
+      .schema(s.read.parquet(stage.resolve("docs.parquet").toString).schema)
+      .parquet(stage.toString + "/*/")
+    val q = graft.streaming.EventStreams.classifyStream(stream, w, b)
+      .writeStream.format("memory").queryName("classify_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val streamed = s.sql("SELECT doc_id, margin, predicted FROM classify_stream")
+      .collect()
+      .map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2)))
+      .toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"serving diverged from batch scoring: ${streamed.diff(batch).take(3)}")
+  }
+
   test("training is bit-identical under different partitionings") {
     def trainWith(parts: Int): (Seq[Long], Long) = {
       val feats = HashedLogReg.hashedFeatures(
