@@ -250,6 +250,56 @@ object Cli {
             println(s"[index-sketches] $key -> $path ($n rows)")
           }
 
+      case "classify-train" :: sfDir :: modelPath :: Nil =>
+        import graft.functions.HashedLogReg
+        import org.apache.spark.sql.functions.{avg, col, size, filter => ffilter, split, lit}
+        val dim = 64
+        def cnt(df: org.apache.spark.sql.Column, t: String) =
+          size(ffilter(df, x => x === t)).cast("long")
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("y",
+            (cnt(col("w"), "spark") * 2 + cnt(col("w"), "stream") +
+              cnt(col("w"), "vector") >
+              cnt(col("w"), "batch") + cnt(col("w"), "customer"))
+              .cast("long"))
+        val feats = HashedLogReg.hashedFeatures(docs, col("doc_id"),
+          col("y"), col("w"), dim).coalesce(4).cache()
+        feats.count()
+        val (w, b) = HashedLogReg.train(feats, dim, iters = 40, lr = 20.0,
+          decay = 0.1)
+        val acc = HashedLogReg.score(feats, w, b)
+          .agg(avg(col("correct"))).head().getDouble(0)
+        feats.unpersist()
+        Seq((w.toSeq, b, dim)).toDF("wv", "wb", "dim")
+          .coalesce(1).write.mode("overwrite").parquet(modelPath)
+        println(f"[classify-train] dim=$dim acc=$acc%.3f model=$modelPath")
+
+      case "classify-score" :: sfDir :: modelPath :: Nil =>
+        import graft.functions.HashedLogReg
+        import org.apache.spark.sql.functions.{avg, col, size, filter => ffilter, split, sum => fsum}
+        val m = spark.read.parquet(modelPath).head()
+        val w = m.getSeq[Double](0).toArray
+        val b = m.getDouble(1)
+        val dim = m.getInt(2)
+        def cnt(df: org.apache.spark.sql.Column, t: String) =
+          size(ffilter(df, x => x === t)).cast("long")
+        val docs = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("y",
+            (cnt(col("w"), "spark") * 2 + cnt(col("w"), "stream") +
+              cnt(col("w"), "vector") >
+              cnt(col("w"), "batch") + cnt(col("w"), "customer"))
+              .cast("long"))
+        val feats = HashedLogReg.hashedFeatures(docs, col("doc_id"),
+          col("y"), col("w"), dim)
+        val scored = HashedLogReg.score(feats, w, b)
+        val row = scored.agg(avg(col("correct")),
+          fsum(col("predicted")), fsum(col("y"))).head()
+        println(f"[classify-score] n=${scored.count()} " +
+          f"acc_vs_teacher=${row.getDouble(0)}%.3f " +
+          s"n_predicted_pos=${row.getLong(1)} n_teacher_pos=${row.getLong(2)}")
+
       case "metrics" :: tablesDir :: Nil =>
         val embeddings = spark.read.parquet(s"$tablesDir/embeddings")
           .as[graft.domain.Model.EmbeddingRow]
@@ -272,6 +322,7 @@ object Cli {
             "sq-index <tables> [levels] | " +
             "sq-search <tables> <query> [k] [nprobe] [shortlist] | " +
             "index-sketches <sfDir> <outRoot> | " +
+            "classify-train <sfDir> <model> | classify-score <sfDir> <model> | " +
             "rag <tables> <question...> | " +
             "quality <tables> <golden.jsonl> | metrics <tables> | " +
             "compact <tables> [targetMB]")
