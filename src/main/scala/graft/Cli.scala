@@ -252,17 +252,9 @@ object Cli {
 
       case "classify-train" :: sfDir :: modelPath :: Nil =>
         import graft.functions.HashedLogReg
-        import org.apache.spark.sql.functions.{avg, col, size, filter => ffilter, split, lit}
+        import org.apache.spark.sql.functions.avg
         val dim = 64
-        def cnt(df: org.apache.spark.sql.Column, t: String) =
-          size(ffilter(df, x => x === t)).cast("long")
-        val docs = Tables.documents(spark, sfDir)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .withColumn("y",
-            (cnt(col("w"), "spark") * 2 + cnt(col("w"), "stream") +
-              cnt(col("w"), "vector") >
-              cnt(col("w"), "batch") + cnt(col("w"), "customer"))
-              .cast("long"))
+        val docs = HashedLogReg.teacherDocs(Tables.documents(spark, sfDir))
         val feats = HashedLogReg.hashedFeatures(docs, col("doc_id"),
           col("y"), col("w"), dim).coalesce(4).cache()
         feats.count()
@@ -277,28 +269,22 @@ object Cli {
 
       case "classify-score" :: sfDir :: modelPath :: Nil =>
         import graft.functions.HashedLogReg
-        import org.apache.spark.sql.functions.{avg, col, size, filter => ffilter, split, sum => fsum}
+        import org.apache.spark.sql.functions.{avg, count, lit, sum => fsum}
         val m = spark.read.parquet(modelPath).head()
         val w = m.getSeq[Double](0).toArray
         val b = m.getDouble(1)
         val dim = m.getInt(2)
-        def cnt(df: org.apache.spark.sql.Column, t: String) =
-          size(ffilter(df, x => x === t)).cast("long")
-        val docs = Tables.documents(spark, sfDir)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .withColumn("y",
-            (cnt(col("w"), "spark") * 2 + cnt(col("w"), "stream") +
-              cnt(col("w"), "vector") >
-              cnt(col("w"), "batch") + cnt(col("w"), "customer"))
-              .cast("long"))
+        val docs = HashedLogReg.teacherDocs(Tables.documents(spark, sfDir))
         val feats = HashedLogReg.hashedFeatures(docs, col("doc_id"),
           col("y"), col("w"), dim)
-        val scored = HashedLogReg.score(feats, w, b)
-        val row = scored.agg(avg(col("correct")),
-          fsum(col("predicted")), fsum(col("y"))).head()
-        println(f"[classify-score] n=${scored.count()} " +
-          f"acc_vs_teacher=${row.getDouble(0)}%.3f " +
-          s"n_predicted_pos=${row.getLong(1)} n_teacher_pos=${row.getLong(2)}")
+        // one pass: count rides the same agg, nothing executes twice
+        val row = HashedLogReg.score(feats, w, b)
+          .agg(count(lit(1)), avg(col("correct")),
+            fsum(col("predicted")), fsum(col("y"))).head()
+        if (row.getLong(0) == 0L) println("[classify-score] empty corpus")
+        else println(f"[classify-score] n=${row.getLong(0)} " +
+          f"acc_vs_teacher=${row.getDouble(1)}%.3f " +
+          s"n_predicted_pos=${row.getLong(2)} n_teacher_pos=${row.getLong(3)}")
 
       case "metrics" :: tablesDir :: Nil =>
         val embeddings = spark.read.parquet(s"$tablesDir/embeddings")

@@ -32,6 +32,22 @@ import org.apache.spark.sql.functions._
   */
 object HashedLogReg {
 
+  /** The x21 benchmark corpus: tokenized documents with the LINEAR
+    * TEACHER label (2·spark + stream + vector > batch + customer) whose
+    * learnability is known by construction. ONE definition serves the
+    * catalog query, the CLI train/score verbs, and the specs — editing
+    * the teacher anywhere edits it everywhere.
+    */
+  def teacherDocs(documents: DataFrame): DataFrame = {
+    def cnt(t: String) =
+      size(filter(col("w"), x => x === t)).cast("long")
+    documents
+      .select(col("doc_id"), graft.functions.TextSketch.words(col("text")).as("w"))
+      .withColumn("y",
+        (cnt("spark") * 2 + cnt("stream") + cnt("vector") >
+          cnt("batch") + cnt("customer")).cast("long"))
+  }
+
   /** Hashed dense features: one row per doc, `f[j]` = count of tokens
     * hashing to bucket j (non-negative Murmur3 mod dim — Spark's
     * codegen'd `hash`). `labels` rows with no tokens get a zero vector.
@@ -81,6 +97,7 @@ object HashedLogReg {
   def train(features: DataFrame, dim: Int, iters: Int, lr: Double,
       decay: Double = 0.0): (Array[Double], Double) = {
     val n = features.count().toDouble
+    require(n > 0, "cannot train on an empty features table")
     val w = new Array[Double](dim)
     var bias = 0.0
     var t = 0

@@ -977,8 +977,6 @@ object TextAnalysisQueries {
   // (trained accuracy beats the majority class by a margin).
   private val x21QualityClassifier: Q = (s, dir) => {
     import graft.functions.HashedLogReg
-    def cnt(t: String) =
-      size(filter(col("w"), x => x === t)).cast("long")
     val dim = 64
     val feats = StageCache.getOrCache(s, s"x21_feats:$dir") {
       // the cached stage is doc-count-sized (one row per doc); 40 tiny
@@ -986,11 +984,8 @@ object TextAnalysisQueries {
       // scheduling overhead — pack it into few partitions (at real
       // scale, size partitions to the corpus as usual)
       HashedLogReg.hashedFeatures(
-        wordsStage(s, dir)
-          .withColumn("y_teacher",
-            (cnt("spark") * 2 + cnt("stream") + cnt("vector") >
-              cnt("batch") + cnt("customer")).cast("long")),
-        col("doc_id"), col("y_teacher"), col("w"), dim)
+        HashedLogReg.teacherDocs(Tables.spread(s, Tables.documents(s, dir))),
+        col("doc_id"), col("y"), col("w"), dim)
         .coalesce(4)
     }
     val (wts, bias) = HashedLogReg.train(feats, dim, iters = 40, lr = 20.0,

@@ -523,8 +523,13 @@ object PdfCodec {
     val clear = if (eexecAt < 0) text else text.substring(0, eexecAt)
     val re = """dup\s+(\d+)\s*/([^\s/()\[\]{}<>]+)\s+put""".r
     re.findAllMatchIn(clear).flatMap { m =>
-      val code = m.group(1).toInt
-      if (code > 255) None else glyphToText(m.group(2)).map(code -> _)
+      // length guard before toInt: a hostile 10+-digit code number must
+      // skip like any other out-of-range code, not throw and cost the page
+      if (m.group(1).length > 3) None
+      else {
+        val code = m.group(1).toInt
+        if (code > 255) None else glyphToText(m.group(2)).map(code -> _)
+      }
     }.toMap
   }
 
@@ -1597,7 +1602,7 @@ object RealPdfExtractor extends PdfExtractor {
           // /ToUnicode leave unmapped (spec precedence: built-in <
           // Differences < ToUnicode)
           val builtin: Map[Int, String] =
-            if (composite || toUniDeclared.nonEmpty) Map.empty
+            if (composite) Map.empty
             else (for {
               fd <- d.get("FontDescriptor").map(r => dictOf(deref(objs, r)))
               ff <- fd.get("FontFile")

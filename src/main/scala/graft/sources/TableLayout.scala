@@ -131,11 +131,12 @@ object TableLayout {
   def zOrderValue(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
     require(cols.nonEmpty && cols.length * bits <= 63,
       s"${cols.length} cols x $bits bits exceeds a long")
-    val statsRow = df.agg(
-      cols.flatMap(c => Seq(min(col(c)).cast("double"),
-        max(col(c)).cast("double"))).head,
-      cols.flatMap(c => Seq(min(col(c)).cast("double"),
-        max(col(c)).cast("double"))).tail: _*).head()
+    val statExprs = cols.flatMap(c => Seq(min(col(c)).cast("double"),
+      max(col(c)).cast("double")))
+    val statsRow = df.agg(statExprs.head, statExprs.tail: _*).head()
+    // empty input or an all-null column has no stats: degrade to an
+    // unclustered (constant-z) layout rather than NPE inside the write
+    if ((0 until 2 * cols.length).exists(statsRow.isNullAt)) return lit(0L)
     val maxV = (1L << bits) - 1
     val n = cols.length
     val scaled: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>

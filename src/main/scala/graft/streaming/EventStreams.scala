@@ -641,8 +641,13 @@ object EventStreams {
     * sum stays exact (order-free longs) and the final double is one
     * correctly-rounded division, the same number the batch twin's
     * DECIMAL(18,2)-sum-then-cast produces. Cent extraction mirrors the
-    * batch `cast("decimal(18,2)")` via BigDecimal HALF_UP. Ordering and
-    * null-ts contracts as the other twins.
+    * batch `cast("decimal(18,2)")` via BigDecimal HALF_UP. Ordering
+    * contract as the other twins. Null-ts events never enter HERE but DO
+    * enter the batch window (ROWS frames rank nulls first, so they
+    * occupy preceding slots of each user's first ≤3 non-null events) —
+    * on a corpus with null event times the two universes differ for
+    * those rows; a production stream's watermark drops null event times
+    * before this operator, which is the contract this twin states.
     */
   def movingSumStream(events: Dataset[RollEvent]): Dataset[RollOut] = {
     val spark = events.sparkSession
@@ -807,8 +812,9 @@ object EventStreams {
     */
   def classifyStream(texts: DataFrame, w: Array[Double], bias: Double)
       : DataFrame = {
+    import graft.functions.{HashedLogReg, TextSketch}
     val dim = w.length
-    val toks = split(col("text"), " ")
+    val toks = TextSketch.words(col("text")) // the trainer's tokenizer
     val f = transform(sequence(lit(0), lit(dim - 1)),
       j => size(filter(toks, t => pmod(hash(t), lit(dim)) === j)).cast("long"))
     val wCol = array(w.map(v => lit(v)): _*)
@@ -817,7 +823,7 @@ object EventStreams {
       lit(0.0), (acc, x) => acc + x) + lit(bias)
     texts.select(col("doc_id"), margin.as("margin"))
       .select(col("doc_id"), col("margin"),
-        (lit(1.0) / (lit(1.0) + exp(-col("margin")))).as("p"),
+        HashedLogReg.sigmoid(col("margin")).as("p"),
         (col("margin") > 0).cast("long").as("predicted"))
   }
 

@@ -26,13 +26,8 @@ class HashedLogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  private def docs = {
-    def cnt(t: String) = size(filter(col("w"), x => x === t)).cast("long")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("y", (cnt("spark") * 2 + cnt("stream") + cnt("vector") >
-        cnt("batch") + cnt("customer")).cast("long"))
-  }
+  private def docs =
+    HashedLogReg.teacherDocs(Tables.documents(spark, dir))
 
   test("trained accuracy beats the majority class by a real margin") {
     val feats = HashedLogReg.hashedFeatures(docs, col("doc_id"), col("y"),
