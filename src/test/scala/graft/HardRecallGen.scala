@@ -54,6 +54,7 @@ object HardRecallGen {
     val sqCb = Sq.train(sample)
     val sqIndex = Pq.encode(emb, sqCb).cache()
     val ivfpqIndex = Pq.encode(Ivf.buildIndex(emb, ivfQ), pqCb).cache()
+    val ivfR2Index = Ivf.buildIndexMultiAssign(emb, ivfQ, replicas = 2).cache()
 
     def ids(df: DataFrame): Seq[String] =
       df.select(col("fragment_id").cast("string")).as[String].collect().toSeq
@@ -72,6 +73,8 @@ object HardRecallGen {
         ids(Ann.search(lshIndex, v, planes, 10, probeDepth = 1))),
       Fam("ivf", "k=16, nprobe 2", v =>
         ids(Ivf.search(ivfIndex, v, ivfQ, 10, nprobe = 2))),
+      Fam("ivf-r2", "k=16, nprobe 2, 2-assign", v =>
+        ids(Ivf.searchMultiAssign(ivfR2Index, v, ivfQ, 10, nprobe = 2))),
       Fam("pq", "m=8 ksub=16, shortlist 50", v =>
         ids(Pq.searchCosine(pqIndex, v, pqCb, 10, shortlist = 50,
           tieBreak = "fragment_id"))),
