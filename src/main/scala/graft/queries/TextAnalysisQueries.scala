@@ -994,7 +994,100 @@ object TextAnalysisQueries {
       .orderBy(col("doc_id"))
   }
 
+  // X22 — BM25 keyword retrieval (Okapi, k1=1.2 b=0.75): the lexical
+  // half of hybrid RAG retrieval (pgvector deployments pair `<=>` with
+  // Postgres FTS exactly this way; the reference's keyword fallback X16
+  // is the rule-based stand-in this replaces). One pass computes per-doc
+  // tf for each query term plus dl; one 1-row corpus aggregate supplies
+  // N, avgdl and per-term df and broadcasts back. Scoring is a per-row
+  // expression summing terms in FIXED order: idf = ln((N−df+0.5)/(df+0.5)
+  // + 1) over exact integer counts — ln agrees bit-for-bit across the
+  // JVM, libm and DuckDB (verified on this corpus's value range), and
+  // every other operand is a division of exact longs, so the DuckDB
+  // oracle hash-matches the scores. Top-10 plans as
+  // TakeOrderedAndProject; at 100 TB the tf columns are the write-time
+  // posting-list table and the corpus stats row is a metadata artifact.
+  private val bm25Terms = Seq("spark", "stream", "vector", "window", "join")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** Full-corpus BM25 scores (doc_id, dl, bm25) — shared by x22's top-10
+    * and v14's hybrid fusion. */
+  private[queries] def bm25ScoredAll(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = wordsStage(s, dir)
+      .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
+        bm25Terms.map(t =>
+          size(filter(col("w"), x => x === t)).cast("long").as(s"tf_$t")): _*)
+    // corpus stats are ONE row of metadata: collect at query-construction
+    // time (the d13-style documented deviation) and inject idf/avgdl as
+    // literals. Necessity, not convenience: Spark's `log` expression is
+    // StrictMath/fdlibm, which differs from libm (= DuckDB's ln) by 1 ulp
+    // on some of this corpus's df values — driver-side Math.log IS libm-
+    // equal (verified bit-for-bit), so literal idfs are what makes the
+    // oracle hash-match. At 100 TB these stats are a write-time metadata
+    // artifact anyway.
+    val statExprs: Seq[Column] =
+      sum(col("dl")).as("sum_dl") +: bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val st = perDoc.agg(count(lit(1)).as("n"), statExprs: _*).head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val idfs: Seq[Double] = bm25Terms.indices.map { i =>
+      val df = st.getLong(2 + i).toDouble
+      math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    val termScores: Seq[Column] = bm25Terms.zip(idfs).map { case (t, idf) =>
+      val tf = col(s"tf_$t").cast("double")
+      lit(idf) * (tf * lit(bm25K1 + 1)) /
+        (tf + lit(bm25K1) *
+          (lit(1 - bm25B) + lit(bm25B) * (col("dl").cast("double") / lit(avgdl))))
+    }
+    perDoc
+      .select(col("doc_id"), col("dl"),
+        termScores.reduce(_ + _).as("bm25"))
+  }
+
+  private val x22Bm25: Q = (s, dir) =>
+    bm25ScoredAll(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+
+  /** The BM25 scored-rows SQL (SELECT doc_id, dl, bm25 FROM ...) shared
+    * with v14's oracle. */
+  private[queries] val bm25ScoredSql: String = {
+    val w = duck.wordsExpr
+    val tfs = bm25Terms.map(t =>
+      s"len(list_filter($w, x -> x = '$t'))::BIGINT AS tf_$t").mkString(",\n       |    ")
+    val dfs = bm25Terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t").mkString(",\n       |    ")
+    val scores = bm25Terms.map { t =>
+      s"(ln((n::DOUBLE - df_$t::DOUBLE + 0.5) / (df_$t::DOUBLE + 0.5) + 1.0) * " +
+        s"(tf_$t::DOUBLE * ${bm25K1 + 1}) / " +
+        s"(tf_$t::DOUBLE + $bm25K1 * (${1 - bm25B} + $bm25B * (dl::DOUBLE / avgdl))))"
+    }.mkString("\n       |    + ")
+    s"""SELECT doc_id, dl,
+       |    $scores AS bm25
+       |FROM (
+       |  SELECT doc_id, dl, n, sum_dl::DOUBLE / n::DOUBLE AS avgdl,
+       |    ${bm25Terms.map(t => s"df_$t, tf_$t").mkString(", ")}
+       |  FROM (
+       |    SELECT doc_id, len($w)::BIGINT AS dl,
+       |      $tfs
+       |    FROM documents) per_doc
+       |  CROSS JOIN (
+       |    SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS sum_dl,
+       |      $dfs
+       |    FROM (SELECT len($w)::BIGINT AS dl,
+       |            $tfs
+       |          FROM documents) pd2) stats)""".stripMargin
+  }
+
+  private val x22Sql =
+    s"""SELECT * FROM ($bm25ScoredSql)
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "x22_bm25" -> x22Bm25,
     "x21_quality_classifier" -> x21QualityClassifier,
     "x20_pii_redact" -> x20PiiRedact,
     "x19_vocab_growth" -> x19VocabGrowth,
@@ -1016,6 +1109,7 @@ object TextAnalysisQueries {
     "x6_trigram_lang" -> x6TrigramLang)
 
   val oracles: Map[String, String] = Map(
+    "x22_bm25" -> x22Sql,
     "x20_pii_redact" -> x20Sql,
     "x19_vocab_growth" -> x19Sql,
     "x18_heldout_lm" -> x18Sql,

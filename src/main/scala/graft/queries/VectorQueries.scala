@@ -372,7 +372,77 @@ object VectorQueries {
        |WHERE e.label = 2 AND e.vec_id <> 0
        |ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin
 
+  // V14 — hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
+  // ranking (x22's scorer) and a lexical count-vector cosine ranking —
+  // the standard modern RAG setup (pgvector `<=>` + Postgres FTS fused
+  // client-side; here both sides AND the fusion are one plan). The
+  // "dense" side embeds each document as its term-count vector over a
+  // FIXED public lexicon (engine-neutral — no hash function to match)
+  // and scores against the query's count vector with the same
+  // IEEE-sequence cosine the v-family pins bit-exact. RRF = Σ 1/(60+r):
+  // doubles from exact integer ranks, deterministic everywhere. The
+  // global rank windows are corpus-wide here for oracle-checkability; a
+  // production fusion ranks each side's top-k candidate lists (bounded),
+  // not the corpus.
+  private val hybridLexicon = Seq("spark", "stream", "vector", "join",
+    "window", "batch", "customer", "table", "scan", "merge", "hash",
+    "sort", "filter", "query", "data", "line")
+  private val hybridQuery = Seq("spark", "stream", "vector", "window", "join")
+
+  private val v14HybridRrf: Q = (s, dir) => {
+    import graft.functions.TextSketch
+    val w = TextSketch.words(col("text"))
+    val docVec = array(hybridLexicon.map(t =>
+      size(filter(w, x => x === t)).cast("double")): _*)
+    val qVec = array(hybridLexicon.map(t =>
+      lit(if (hybridQuery.contains(t)) 1.0 else 0.0)): _*)
+    def dotH(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val n2d = dotH(docVec, docVec)
+    val n2q = dotH(qVec, qVec)
+    val cos = when(n2d === 0.0 || n2q === 0.0, lit(0.0))
+      .otherwise(dotH(docVec, qVec) / (sqrt(n2d) * sqrt(n2q)))
+    val vRank = Window.orderBy(col("cos").desc, col("doc_id"))
+    val lRank = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val vec = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), cos.as("cos"))
+      .withColumn("r_vec", row_number().over(vRank).cast("long"))
+    val lex = TextAnalysisQueries.bm25ScoredAll(s, dir)
+      .withColumn("r_lex", row_number().over(lRank).cast("long"))
+      .select(col("doc_id").as("ld"), col("r_lex"))
+    vec.join(lex, col("doc_id") === col("ld"))
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+        (lit(1.0) / (lit(60.0) + col("r_lex").cast("double")) +
+          lit(1.0) / (lit(60.0) + col("r_vec").cast("double"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val v14Sql = {
+    val w = graft.functions.TextSketch.duck.words("text")
+    val docVec = hybridLexicon.map(t =>
+      s"len(list_filter($w, x -> x = '$t'))::DOUBLE").mkString("[", ", ", "]")
+    val qVec = hybridLexicon.map(t =>
+      if (hybridQuery.contains(t)) "1.0" else "0.0").mkString("[", ", ", "]")
+    s"""WITH lex AS (
+       |  SELECT doc_id,
+       |    ${duckCosine(docVec, qVec)} AS cos
+       |  FROM documents),
+       |vrank AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_vec
+       |  FROM lex),
+       |bm AS (${TextAnalysisQueries.bm25ScoredSql}),
+       |lrank AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+       |  FROM bm)
+       |SELECT v.doc_id, l.r_lex::BIGINT AS r_lex, v.r_vec::BIGINT AS r_vec,
+       |  1.0 / (60.0 + l.r_lex::DOUBLE) + 1.0 / (60.0 + v.r_vec::DOUBLE) AS rrf
+       |FROM vrank v JOIN lrank l ON v.doc_id = l.doc_id
+       |ORDER BY rrf DESC, v.doc_id LIMIT 10""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v14_hybrid_rrf" -> v14HybridRrf,
     "v1_knn_exact" -> v1Knn,
     "v2_knn_batch" -> v2BatchKnn,
     "v3_lsh_buckets" -> v3LshBuckets,
@@ -382,6 +452,7 @@ object VectorQueries {
     "v13_filtered_knn" -> v13FilteredKnn)
 
   val oracles: Map[String, String] = Map(
+    "v14_hybrid_rrf" -> v14Sql,
     "v1_knn_exact" -> v1Sql,
     "v2_knn_batch" -> v2Sql,
     "v3_lsh_buckets" -> v3Sql,

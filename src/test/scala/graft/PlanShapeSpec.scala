@@ -368,6 +368,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"x20 must stay codegen'd builtins:\n$p")
   }
 
+  test("x22/v14: BM25 plans as scan + TopK; hybrid fusion stays cartesian-free") {
+    val x22 = plan("x22_bm25")
+    // corpus stats are construction-time literals: the per-doc side is a
+    // single scan into a top-k heap, no join, no agg shuffle
+    assert(x22.contains("TakeOrderedAndProject"), s"x22 should TopK:\n$x22")
+    assert(!x22.contains("Join"), s"x22 must not join at runtime:\n$x22")
+    val v14 = plan("v14_hybrid_rrf")
+    assert(!v14.contains("CartesianProduct") &&
+      !v14.contains("BroadcastNestedLoopJoin"),
+      s"v14 fused an all-pairs join:\n$v14")
+    assert(v14.contains("TakeOrderedAndProject"), s"v14 should TopK:\n$v14")
+  }
+
   test("q12: mode census hash-shuffles once; lateness predicate on the join") {
     val p = plan("q12_shipmode")
     assert(!p.contains("SortMergeJoin"), s"q12 fell back to sort-merge:\n$p")
