@@ -63,6 +63,7 @@ object Cli {
       // become partition pruning on disk) + the quantizer sidecar.
       case "index" :: tablesDir :: rest =>
         val k = rest.headOption.map(_.toInt).getOrElse(64)
+        val replicas = rest.lift(1).map(_.toInt).getOrElse(1)
         // doc_bucket is the SOURCE table's layout column; the index has its
         // own layout (list_id) and must not inherit it
         val e = spark.read.parquet(s"$tablesDir/embeddings").drop("doc_bucket")
@@ -70,12 +71,17 @@ object Cli {
           .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
         val q = graft.search.Ivf.train(sample, k)
         graft.search.Ivf.save(q, s"$tablesDir/ivf_quantizer.txt")
+        // replicas > 1 = multi-assignment (boundary-recall lift at the
+        // same nprobe, xR storage); ann-search dedupes either way
+        val indexed =
+          if (replicas > 1) graft.search.Ivf.buildIndexMultiAssign(e, q, replicas)
+          else graft.search.Ivf.buildIndex(e, q)
         graft.sources.TableLayout.writePartitionedSorted(
-          graft.search.Ivf.buildIndex(e, q), s"$tablesDir/embeddings_ivf",
+          indexed, s"$tablesDir/embeddings_ivf",
           "list_id", Seq("fragment_id"))
         val n = spark.read.parquet(s"$tablesDir/embeddings_ivf")
           .groupBy(col("list_id")).count().count()
-        println(s"[index] k=${q.k} dim=${q.dim} lists_used=$n")
+        println(s"[index] k=${q.k} dim=${q.dim} replicas=$replicas lists_used=$n")
 
       // ANN search against the persisted index: nprobe nearest lists →
       // partition-pruned scan → exact cosine re-rank.
@@ -85,8 +91,10 @@ object Cli {
         val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
         val index = spark.read.parquet(s"$tablesDir/embeddings_ivf")
         val qvec = new OfflineEmbedder(q.dim).embedQuery(query)
+        // searchMultiAssign dedupes candidates — a no-op cost on a
+        // single-assign index, required on a replicated one
         val hits = graft.search.Ivf
-          .search(index, qvec, q, topK, nprobe)
+          .searchMultiAssign(index, qvec, q, topK, nprobe)
           .select(col("fragment_id"), col("view"), col("similarity"))
           .collect()
         Cli.printRowHits(hits)
@@ -300,7 +308,7 @@ object Cli {
         System.err.println(
           "usage: ingest <out> <files...> | reingest <tables> <files...> | " +
             "search <tables> <query> [k] [view] [lang] | " +
-            "index <tables> [k] | ann-search <tables> <query> [k] [nprobe] | " +
+            "index <tables> [k] [replicas] | ann-search <tables> <query> [k] [nprobe] | " +
             "hnsw-index <tables> [shards] | " +
             "hnsw-search <tables> <query> [k] [ef] | " +
             "pq-index <tables> [m] [ksub] | " +
