@@ -69,10 +69,10 @@ object Cli {
         val e = spark.read.parquet(s"$tablesDir/embeddings").drop("doc_bucket")
         val sample = e.orderBy(col("fragment_id")).limit(10000)
           .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
-        val q = graft.search.Ivf.train(sample, k)
+        val q = graft.search.Ivf.train(sample, k).copy(replicas = replicas)
+        // replicas rides the sidecar so ann-search knows whether the
+        // index can hold duplicate candidates (dedupe is only paid then)
         graft.search.Ivf.save(q, s"$tablesDir/ivf_quantizer.txt")
-        // replicas > 1 = multi-assignment (boundary-recall lift at the
-        // same nprobe, xR storage); ann-search dedupes either way
         val indexed =
           if (replicas > 1) graft.search.Ivf.buildIndexMultiAssign(e, q, replicas)
           else graft.search.Ivf.buildIndex(e, q)
@@ -91,10 +91,12 @@ object Cli {
         val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
         val index = spark.read.parquet(s"$tablesDir/embeddings_ivf")
         val qvec = new OfflineEmbedder(q.dim).embedQuery(query)
-        // searchMultiAssign dedupes candidates — a no-op cost on a
-        // single-assign index, required on a replicated one
-        val hits = graft.search.Ivf
-          .searchMultiAssign(index, qvec, q, topK, nprobe)
+        // candidate dedupe is a hash-aggregate exchange over the probed
+        // rows — pay it only when the sidecar says the index was built
+        // multi-assigned (a single-assign index cannot hold duplicates)
+        val hits = (if (q.replicas > 1)
+            graft.search.Ivf.searchMultiAssign(index, qvec, q, topK, nprobe)
+          else graft.search.Ivf.search(index, qvec, q, topK, nprobe))
           .select(col("fragment_id"), col("view"), col("similarity"))
           .collect()
         Cli.printRowHits(hits)

@@ -432,6 +432,10 @@ object SupplyChainQueries {
     val in96 = col("l_shipdate") >= lit("1996-01-01") &&
       col("l_shipdate") < lit("1997-01-01")
     val qualifying = Tables.lineitem(s, dir)
+      // NULL shipdates would fall into `otherwise` on the Spark side but
+      // into ELSE on the DuckDB side with opposite bucketing — exclude
+      // them explicitly in BOTH plans so the pair stays equivalent.
+      .filter(col("l_shipdate").isNotNull)
       .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(when(in96, qty).otherwise(0L)).as("qty_96"),
@@ -458,7 +462,7 @@ object SupplyChainQueries {
       |      AND l_shipdate < TIMESTAMP '1997-01-01'
       |      THEN 0 ELSE CAST(l_quantity AS BIGINT) END) AS qty_rest
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
-      |  WHERE p_type = 'PROMO'
+      |  WHERE p_type = 'PROMO' AND l_shipdate IS NOT NULL
       |  GROUP BY 1, 2)
       |SELECT s_suppkey, s_name, s_acctbal
       |FROM supplier

@@ -27,8 +27,14 @@ import org.apache.spark.sql.graft.VectorExpressions
   */
 object Ivf {
 
-  /** Trained coarse quantizer: k centroids of `dim` floats, row-major. */
-  final case class Quantizer(k: Int, dim: Int, centroidsFlat: Array[Float]) {
+  /** Trained coarse quantizer: k centroids of `dim` floats, row-major.
+    * `replicas` records how the PERSISTED index was built (1 = single
+    * assignment) so readers can skip the candidate dedupe when the index
+    * provably holds one row per vector; it is index metadata carried on
+    * the sidecar, not part of the quantizer math, and is excluded from
+    * [[contentHash]] so fingerprints are replica-invariant. */
+  final case class Quantizer(k: Int, dim: Int, centroidsFlat: Array[Float],
+      replicas: Int = 1) {
     def centroid(c: Int): Array[Float] =
       java.util.Arrays.copyOfRange(centroidsFlat, c * dim, (c + 1) * dim)
   }
@@ -134,9 +140,15 @@ object Ivf {
       s"replicas $replicas outside 1..${q.k}")
     val cents = array((0 until q.k).map(c =>
       array(q.centroid(c).map(v => lit(v)): _*)): _*)
+    // zip_with pads the SHORTER array with nulls, which would give a
+    // malformed (wrong-length) vector NULL distances and an undefined
+    // ranking — slice both sides to min(len, dim) so this HOF path
+    // mirrors the codegen argmin's truncation exactly.
+    val len = least(size(col(vectorCol)), lit(q.dim))
+    val vec = slice(col(vectorCol), lit(1), len)
     val dists = transform(sequence(lit(0), lit(q.k - 1)), c =>
       aggregate(
-        zip_with(col(vectorCol), element_at(cents, c + 1),
+        zip_with(vec, slice(element_at(cents, c + 1), lit(1), len),
           (a, b) => (a.cast("double") - b.cast("double")) *
             (a.cast("double") - b.cast("double"))),
         lit(0.0), (acc, x) => acc + x))
@@ -191,12 +203,19 @@ object Ivf {
       .map(_._2)
 
   /** Persist a quantizer as a small text sidecar next to the index table
-    * (line 1: "k dim", then one centroid per line). Float.toString round-
-    * trips exactly through parseFloat, so save∘load is the identity.
+    * (line 1: "k dim", then one centroid per line; a trailing
+    * "replicas R" line when the index was built multi-assigned, so
+    * readers know whether candidate dedupe is needed). Float.toString
+    * round-trips exactly through parseFloat, so save∘load is the
+    * identity. The replicas line is OUTSIDE [[serialize]] — fingerprints
+    * stay replica-invariant and old sidecars load as replicas=1.
     */
-  def save(q: Quantizer, path: String): Unit =
+  def save(q: Quantizer, path: String): Unit = {
+    val body = serialize(q) +
+      (if (q.replicas > 1) s"replicas ${q.replicas}\n" else "")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      serialize(q).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   def load(path: String): Quantizer = {
     val lines = java.nio.file.Files.readAllLines(
@@ -207,7 +226,12 @@ object Ivf {
       val vals = lines(c + 1).split(" ")
       for (j <- 0 until dim) flat(c * dim + j) = vals(j).toFloat
     }
-    Quantizer(k, dim, flat)
+    val replicas = lines.lift(k + 1) match {
+      case Some(l) if l.startsWith("replicas ") =>
+        l.stripPrefix("replicas ").trim.toInt
+      case _ => 1
+    }
+    Quantizer(k, dim, flat, replicas)
   }
 
   /** ANN top-k: prune to the probed lists, exact cosine re-rank within. */

@@ -1751,8 +1751,13 @@ object RealPdfExtractor extends PdfExtractor {
               var found = false
               while (!found) {
                 val at = lex.seek("EI")
-                if (at < 0) found = true // truncated stream: stop at EOF
-                else {
+                if (at < 0) {
+                  // truncated stream: seek leaves p untouched on a miss, so
+                  // park the lexer at EOF — otherwise the interpreter would
+                  // resume tokenizing raw image bytes as operators
+                  lex.p = content.length
+                  found = true
+                } else {
                   val before = if (at == 0) ' '.toInt else content(at - 1) & 0xff
                   val after =
                     if (at + 2 >= content.length) ' '.toInt

@@ -814,7 +814,12 @@ object EventStreams {
       : DataFrame = {
     import graft.functions.{HashedLogReg, TextSketch}
     val dim = w.length
-    val toks = TextSketch.words(col("text")) // the trainer's tokenizer
+    // NULL text tokenizes to NULL, which would poison every downstream
+    // higher-order fold into NULL margins; the batch trainer gives such a
+    // doc a zero feature vector (margin = bias) — coalesce to keep the
+    // documented bit-for-bit batch/stream equality on null-text rows.
+    val toks = coalesce(TextSketch.words(col("text")),
+      array().cast("array<string>")) // the trainer's tokenizer
     val f = transform(sequence(lit(0), lit(dim - 1)),
       j => size(filter(toks, t => pmod(hash(t), lit(dim)) === j)).cast("long"))
     val wCol = array(w.map(v => lit(v)): _*)
