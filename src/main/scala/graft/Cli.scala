@@ -88,15 +88,32 @@ object Cli {
       case "ann-search" :: tablesDir :: query :: rest =>
         val topK = rest.headOption.map(_.toInt).getOrElse(10)
         val nprobe = rest.lift(1).map(_.toInt).getOrElse(2)
+        // optional metadata filter — the reference's primary query shape
+        // (`--view code`: WHERE view = ? inside the index scan); the
+        // predicate applies to the probed candidates BEFORE the re-rank
+        // and the probe widens adaptively if it starves the candidates
+        val view = rest.lift(2).filter(_.nonEmpty)
         val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
         val index = spark.read.parquet(s"$tablesDir/embeddings_ivf")
         val qvec = new OfflineEmbedder(q.dim).embedQuery(query)
         // candidate dedupe is a hash-aggregate exchange over the probed
         // rows — pay it only when the sidecar says the index was built
         // multi-assigned (a single-assign index cannot hold duplicates)
-        val hits = (if (q.replicas > 1)
+        val hits = (view match {
+          case Some(v) if q.replicas <= 1 =>
+            val a = graft.search.Ivf.searchFilteredAdaptive(
+              index, qvec, q, topK, col("view") === v, nprobe)
+            println(s"[ann-search] view=$v nprobe_used=${a.nprobeUsed} " +
+              s"eligible_candidates=${a.eligibleCandidates}")
+            a.hits
+          case Some(v) =>
+            graft.search.Ivf.searchMultiAssign(index, qvec, q, topK, nprobe,
+              predicate = Some(col("view") === v))
+          case None if q.replicas > 1 =>
             graft.search.Ivf.searchMultiAssign(index, qvec, q, topK, nprobe)
-          else graft.search.Ivf.search(index, qvec, q, topK, nprobe))
+          case None =>
+            graft.search.Ivf.search(index, qvec, q, topK, nprobe)
+        })
           .select(col("fragment_id"), col("view"), col("similarity"))
           .collect()
         Cli.printRowHits(hits)
@@ -123,12 +140,25 @@ object Cli {
       case "hnsw-search" :: tablesDir :: query :: rest =>
         val topK = rest.headOption.map(_.toInt).getOrElse(10)
         val ef = rest.lift(1).map(_.toInt).getOrElse(64)
+        val view = rest.lift(2).filter(_.nonEmpty)
         val index = spark.read.parquet(s"$tablesDir/embeddings_hnsw")
         val dim = index.select(col("vector")).head()
           .getAs[scala.collection.Seq[Float]](0).length
         val qvec = new OfflineEmbedder(dim).embedQuery(query)
+        // filtered walk: the adjacency holds no metadata, so eligibility
+        // joins on from the source table — evaluated once per node, then
+        // the graph walk collects eligible nodes only
+        val (searchable, pred) = view match {
+          case Some(v) =>
+            val meta = spark.read.parquet(s"$tablesDir/embeddings")
+              .select(col("fragment_id").as("__fid"), col("view").as("__view"))
+            (index.join(meta, col("fragment_id") === col("__fid"), "left"),
+              Some(col("__view") === v))
+          case None => (index, None)
+        }
         val hits = graft.search.Hnsw
-          .searchIndex(index, Seq(("q", qvec)), topK, ef)
+          .searchIndex(searchable, Seq(("q", qvec)), topK, ef,
+            predicate = pred)
           .orderBy(col("rank"))
           .select(col("fragment_id"), col("similarity")).collect()
         hits.zipWithIndex.foreach { case (h, i) =>
@@ -310,9 +340,10 @@ object Cli {
         System.err.println(
           "usage: ingest <out> <files...> | reingest <tables> <files...> | " +
             "search <tables> <query> [k] [view] [lang] | " +
-            "index <tables> [k] [replicas] | ann-search <tables> <query> [k] [nprobe] | " +
+            "index <tables> [k] [replicas] | " +
+            "ann-search <tables> <query> [k] [nprobe] [view] | " +
             "hnsw-index <tables> [shards] | " +
-            "hnsw-search <tables> <query> [k] [ef] | " +
+            "hnsw-search <tables> <query> [k] [ef] [view] | " +
             "pq-index <tables> [m] [ksub] | " +
             "pq-search <tables> <query> [k] [nprobe] [shortlist] | " +
             "sq-index <tables> [levels] | " +

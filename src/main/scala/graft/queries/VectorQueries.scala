@@ -372,6 +372,104 @@ object VectorQueries {
        |WHERE e.label = 2 AND e.vec_id <> 0
        |ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin
 
+  // V15 — FILTERED ANN through the index paths (VERDICT r8 task #1): the
+  // reference's primary query (`WHERE view/lang … ORDER BY embedding <=>
+  // $q LIMIT k` runs the metadata predicates INSIDE the pgvector index
+  // walk, retrieval/search.py:89-124) answered by every index family at
+  // its exactness configuration, all against ONE DuckDB exact
+  // filtered-KNN oracle:
+  //   - exact_prefilter: the v13 plan (predicate under the scoring
+  //     projection, TakeOrderedAndProject) — the baseline;
+  //   - ivf_full_probe: [[graft.search.Ivf.search]] with the predicate
+  //     filtering probed candidates BEFORE the re-rank; nprobe = k lists
+  //     makes the probe total, so the result is exact by construction —
+  //     a hash match proves the filtered index path loses nothing;
+  //   - hnsw_ef_n: the filtered graph walk ([[graft.search.Hnsw]]
+  //     searchIndex with predicate — navigation over all nodes, the
+  //     result beam collecting eligible only); ef = n visits every node
+  //     ⇒ exact filtered top-k. The walk returns IDs; the canonical
+  //     cosine re-ranks them (the PQ shortlist re-rank contract), so
+  //     scores are the same IEEE sequence as the oracle.
+  // k is FULLY FILLED (label 2 has ≫ k eligible rows); the underfill and
+  // empty-predicate edges are FilteredAnnSpec's. The per-strategy fusion
+  // is k-bounded driver work (the v12 precedent); corpus-sized work runs
+  // in the three Spark plans above.
+  private val v15FilteredAnn: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"), col("label"))
+    val query = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val pred = col("label") === 2 && col("vec_id") =!= 0
+
+    def collectTop(df: DataFrame): Seq[(Long, Double)] =
+      df.select(col("vec_id").cast("long"), col("similarity"))
+        .as[(Long, Double)].collect().toSeq
+
+    // exact pre-filter: predicate pushed under the scan (v13's shape)
+    val exact = collectTop(graft.search.VectorSearch.knn(
+      e.filter(pred), query, 10, vectorCol = "vector", tieBreak = "vec_id"))
+
+    // filtered IVF at full probe (v6's trainer; probe = all k lists)
+    val ivfK = 16
+    val sample = e.orderBy(col("vec_id")).limit(1024)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val quant = graft.search.Ivf.train(sample, ivfK)
+    val ivfIndex = graft.search.Ivf.buildIndex(e, quant)
+    val ivf = collectTop(graft.search.Ivf.search(ivfIndex, query, quant,
+      10, nprobe = ivfK, vectorCol = "vector", tieBreak = "vec_id",
+      predicate = Some(pred)))
+
+    // filtered HNSW at ef = n over v10's cached adjacency table, with
+    // label joined on (the adjacency carries no metadata by design)
+    val n = e.count().toInt
+    val adj = StageCache.getOrCache(s, s"hnsw_index:$dir") {
+      graft.search.Hnsw.buildIndexTable(
+        e.select(format_string("v%08d", col("vec_id")).as("vec_id"),
+          col("vector")),
+        numShards = 4, idCol = "vec_id")
+    }
+    val meta = e.select(format_string("v%08d", col("vec_id")).as("__vid"),
+      col("label").as("__label"), col("vec_id").as("__orig"))
+    val hnswIds = graft.search.Hnsw.searchIndex(
+        adj.join(meta, col("vec_id") === col("__vid"), "left"),
+        Seq(("q", query)), 10, ef = n, idCol = "vec_id",
+        predicate = Some(col("__label") === 2 && col("__orig") =!= 0))
+      .select(col("vec_id")).as[String].collect()
+      .map(_.stripPrefix("v").toLong)
+    val hnsw = collectTop(
+      e.filter(col("vec_id").isin(hnswIds.map(Long.box): _*))
+        .withColumn("similarity", cosine(col("vector"), lit(query)))
+        .orderBy(col("similarity").desc, col("vec_id"))
+        .limit(10))
+
+    Seq("exact_prefilter" -> exact, "hnsw_ef_n" -> hnsw,
+        "ivf_full_probe" -> ivf)
+      .flatMap { case (strategy, rows) =>
+        rows.zipWithIndex.map { case ((vid, sim), i) =>
+          (strategy, (i + 1).toLong, vid, sim)
+        }
+      }
+      .toDF("strategy", "rank", "vec_id", "similarity")
+      .orderBy(col("strategy"), col("rank"))
+  }
+
+  private val v15Sql =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |top AS (
+       |  SELECT e.vec_id, ${duckCosine("e.embedding", "q.qv")} AS similarity
+       |  FROM embeddings e, q
+       |  WHERE e.label = 2 AND e.vec_id <> 0
+       |  ORDER BY similarity DESC, e.vec_id LIMIT 10),
+       |ranked AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY similarity DESC, vec_id)
+       |    AS BIGINT) AS rank, vec_id, similarity FROM top)
+       |SELECT s.strategy, r.rank, r.vec_id, r.similarity
+       |FROM (VALUES ('exact_prefilter'), ('hnsw_ef_n'), ('ivf_full_probe'))
+       |  s(strategy)
+       |CROSS JOIN ranked r
+       |ORDER BY strategy, rank""".stripMargin
+
   // V14 — hybrid retrieval: reciprocal-rank fusion of the BM25 keyword
   // ranking (x22's scorer) and a lexical count-vector cosine ranking —
   // the standard modern RAG setup (pgvector `<=>` + Postgres FTS fused
@@ -442,6 +540,7 @@ object VectorQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    "v15_filtered_ann" -> v15FilteredAnn,
     "v14_hybrid_rrf" -> v14HybridRrf,
     "v1_knn_exact" -> v1Knn,
     "v2_knn_batch" -> v2BatchKnn,
@@ -452,6 +551,7 @@ object VectorQueries {
     "v13_filtered_knn" -> v13FilteredKnn)
 
   val oracles: Map[String, String] = Map(
+    "v15_filtered_ann" -> v15Sql,
     "v14_hybrid_rrf" -> v14Sql,
     "v1_knn_exact" -> v1Sql,
     "v2_knn_batch" -> v2Sql,

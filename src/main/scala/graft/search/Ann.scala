@@ -84,14 +84,24 @@ object Ann {
   /** ANN top-k: prune to probed buckets (partition pruning on a bucketed
     * table), exact cosine re-rank within. Recall rises with more probes;
     * probeDepth=0 means single-bucket, 1 adds all 1-bit flips.
+    *
+    * `predicate` = filtered index scan (same contract as
+    * [[Ivf.search]]): metadata filters apply to the probed candidates
+    * BEFORE the re-rank, so the result is the true top-k of eligible
+    * rows in the probed buckets — on a bucket-partitioned layout the
+    * predicate reaches the parquet scan under the partition pruning.
+    * Probing all 2^p buckets with a predicate degenerates to exact
+    * filtered KNN (FilteredAnnSpec pins it).
     */
   def search(index: DataFrame, queryVec: Array[Float], planes: Planes,
       topK: Int, probeDepth: Int = 1, vectorCol: String = "vector",
-      tieBreak: String = "fragment_id"): DataFrame = {
+      tieBreak: String = "fragment_id",
+      predicate: Option[Column] = None): DataFrame = {
     val qb = bucketOf(queryVec, planes)
     val buckets = probeBuckets(qb, planes, probeDepth)
     val pruned = index.filter(col("bucket").isin(buckets: _*))
-    VectorSearch.knn(pruned, queryVec, topK, vectorCol = vectorCol,
+    val eligible = predicate.fold(pruned)(pruned.filter)
+    VectorSearch.knn(eligible, queryVec, topK, vectorCol = vectorCol,
       tieBreak = tieBreak)
   }
 }

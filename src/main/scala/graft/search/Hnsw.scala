@@ -2,7 +2,7 @@ package graft.search
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -178,6 +178,70 @@ object Hnsw {
       out
     }
 
+    /** Layer-0 beam search with a RESULT-SIDE eligibility filter — the
+      * standard filtered-HNSW shape (pgvector's filtered index walk /
+      * FAISS `IDSelector`): NAVIGATION runs over the whole graph
+      * (disallowed nodes still expand — the graph's small-world routing
+      * must not be severed by the predicate), while the bounded result
+      * beam accepts only eligible nodes. Termination uses the ELIGIBLE
+      * beam: until it holds `ef` eligible nodes nothing is pruned, so
+      * the search keeps widening exactly when the predicate starves it
+      * — the graph analog of [[Ivf.searchFilteredAdaptive]]'s
+      * probe widening. Consequently `ef ≥ n` visits every node and the
+      * filtered search degenerates to the exact filtered scan — the
+      * same exactness witness as the unfiltered contract (spec-pinned;
+      * the v15 catalog query carries it). Cost rises as selectivity
+      * falls (more of the graph is traversed per eligible hit) — that
+      * is inherent to filtered graph ANN, not a defect; below ~1%
+      * selectivity prefer the exact pre-filter scan
+      * ([[VectorSearch.knn]] with the predicate pushed down).
+      */
+    private def searchLayerFiltered(q: Array[Float], eps: Seq[Int], ef: Int,
+        allow: Int => Boolean): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = mutable.HashSet.empty[Int]
+      implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
+      eps.foreach { ep =>
+        if (visited.add(ep)) {
+          val d = dist(q, ep)
+          cand.enqueue((d, ep))
+          if (allow(ep)) res.enqueue((d, ep))
+        }
+      }
+      while (cand.nonEmpty) {
+        val (cd, c) = cand.dequeue()
+        if (res.size >= ef && cd > res.head._1) {
+          cand.clear() // eligible beam full AND nearest candidate worse
+          // than its furthest member — no eligible node can improve
+        } else {
+          val ns = links(c)(0)
+          var i = 0
+          while (i < ns.length) {
+            val nb = ns(i)
+            if (visited.add(nb)) {
+              val d = dist(q, nb)
+              // expand while the eligible beam is unfilled (exhaustive
+              // widening), or when the neighbor could still beat it
+              if (res.size < ef || d < res.head._1 ||
+                  (d == res.head._1 && nb < res.head._2)) {
+                cand.enqueue((d, nb))
+                if (allow(nb)) {
+                  res.enqueue((d, nb))
+                  if (res.size > ef) res.dequeue()
+                }
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      out ++= res
+      out.sortInPlace()
+      out
+    }
+
     private def distNodes(a: Int, b: Int): Double = dist(vecs(a), b)
 
     /** Diverse neighbor selection (Malkov & Yashunin Alg. 4, with
@@ -301,6 +365,28 @@ object Hnsw {
       // extension ([[HnswMaintenance]]) insertion order no longer equals
       // id order, and a node-index tie at the k boundary would diverge
       // from the exact scan's id tie-break — the witness contract
+      w.map { case (d, node) => (d, ids(node)) }
+        .sortInPlace()
+        .take(k)
+        .map { case (d, id) => (id, -d) }
+        .toArray
+    }
+
+    /** FILTERED top-k: same descent and tie rules as [[search]], with
+      * the layer-0 beam collecting only nodes whose ID the predicate
+      * allows ([[searchLayerFiltered]] — navigation stays unfiltered).
+      * Returns min(k, eligible-found) rows; `ef ≥ size` ⇒ exact
+      * filtered top-k (every node visited).
+      */
+    def searchFiltered(rawQ: Array[Float], k: Int, ef: Int,
+        allow: String => Boolean): Array[(String, Double)] = {
+      if (ids.isEmpty) return Array.empty
+      val q = normalize(rawQ)
+      var ep = entry
+      var lev = maxLevel
+      while (lev > 0) { ep = greedy(q, ep, lev); lev -= 1 }
+      val w = searchLayerFiltered(q, Seq(ep), math.max(ef, k),
+        node => allow(ids(node)))
       w.map { case (d, node) => (d, ids(node)) }
         .sortInPlace()
         .take(k)
@@ -461,6 +547,22 @@ object Hnsw {
       shards.foreach(g => merged ++= g.search(q, k, ef))
       merged.sortBy { case (id, sim) => (-sim, id) }.take(k).toArray
     }
+
+    /** FILTERED point query (the reference's primary serving shape:
+      * `WHERE view/lang … ORDER BY <=> LIMIT k` inside the index walk,
+      * retrieval/search.py:89-124): `allow` is the metadata predicate
+      * evaluated per node ID — a serving node closes over its metadata
+      * map or an eligible-ID set. Each shard graph walks with the
+      * result-side filter ([[Index.searchFiltered]]); merge rules match
+      * [[search]]. `ef ≥ max shard size` ⇒ exact filtered top-k.
+      */
+    def searchFiltered(q: Array[Float], topK: Int, ef: Int,
+        allow: String => Boolean): Array[(String, Double)] = {
+      val k = VectorSearch.clampTopK(topK)
+      val merged = new mutable.ArrayBuffer[(String, Double)]
+      shards.foreach(g => merged ++= g.searchFiltered(q, k, ef, allow))
+      merged.sortBy { case (id, sim) => (-sim, id) }.take(k).toArray
+    }
   }
 
   /** M is not persisted in the adjacency table, but it is recoverable
@@ -510,24 +612,49 @@ object Hnsw {
     new ServingIndex(shards.toArray)
   }
 
+  /** Distributed batch search over the persisted adjacency, optionally
+    * FILTERED: `predicate` is any boolean Column over the index
+    * DataFrame's columns (join metadata onto the adjacency first if the
+    * filter lives elsewhere — the adjacency carries `doc_id` for
+    * exactly that). Eligibility is evaluated ONCE per node in the scan;
+    * inside each shard the graph restores in full (navigation must
+    * traverse disallowed nodes) and the walk collects eligible nodes
+    * only ([[Index.searchFiltered]]). `ef ≥ max shard size` ⇒ exact
+    * filtered batch KNN — the unfiltered witness carries over.
+    */
   def searchIndex(index: DataFrame, queries: Seq[(String, Array[Float])],
-      topK: Int, ef: Int, idCol: String = "fragment_id"): DataFrame = {
+      topK: Int, ef: Int, idCol: String = "fragment_id",
+      predicate: Option[Column] = None): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val k = VectorSearch.clampTopK(topK)
     val qB = spark.sparkContext.broadcast(queries.toArray)
+    // a NULL predicate value is "not eligible", matching SQL WHERE
+    val allowCol = predicate.map(p => coalesce(p, lit(false)))
+      .getOrElse(lit(true))
     val typed = index.select(col("shard_id").cast("int"),
         col("node_idx").cast("int"), col(idCol).cast("string"),
-        col("vector"), col("links"))
-      .as[(Int, Int, String, Array[Float], Array[Array[Int]])]
+        col("vector"), col("links"), allowCol.cast("boolean"))
+      .as[(Int, Int, String, Array[Float], Array[Array[Int]], Boolean)]
+    val filtered = predicate.isDefined
     val perShard = typed.groupByKey(_._1).flatMapGroups { (_, it) =>
       val rows = it.toArray.sortBy(_._2)
       if (rows.isEmpty) Iterator.empty
       else {
-        val g = new Index(rows.head._4.length, deriveM(rows), 0)
+        val g = new Index(rows.head._4.length,
+          deriveM(rows.map(r => (r._1, r._2, r._3, r._4, r._5))), 0)
         g.importRows(rows.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
-        qB.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, k, ef).map { case (id, sim) => (qid, id, sim) }
+        if (!filtered) {
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k, ef).map { case (id, sim) => (qid, id, sim) }
+          }
+        } else {
+          val allowed = rows.iterator.filter(_._6).map(_._3)
+            .to(mutable.HashSet)
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            g.searchFiltered(qv, k, ef, allowed)
+              .map { case (id, sim) => (qid, id, sim) }
+          }
         }
       }
     }.toDF("query_id", idCol, "similarity")

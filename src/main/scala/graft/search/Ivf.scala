@@ -165,15 +165,18 @@ object Ivf {
   /** [[search]] over a multi-assigned index: replicas of one vector can
     * land in several probed lists, so candidates dedupe on `tieBreak`
     * before the exact re-rank (otherwise top-k could hold the same
-    * fragment twice). */
+    * fragment twice). `predicate` filters candidates BEFORE the re-rank,
+    * same contract as [[search]]. */
   def searchMultiAssign(index: DataFrame, queryVec: Array[Float],
       q: Quantizer, topK: Int, nprobe: Int = 1,
       vectorCol: String = "vector",
-      tieBreak: String = "fragment_id"): DataFrame = {
+      tieBreak: String = "fragment_id",
+      predicate: Option[Column] = None): DataFrame = {
     val lists = nearestLists(queryVec, q, nprobe)
     val pruned = index.filter(col("list_id").isin(lists: _*))
+    val eligible = predicate.fold(pruned)(pruned.filter)
       .dropDuplicates(tieBreak)
-    VectorSearch.knn(pruned, queryVec, topK, vectorCol = vectorCol,
+    VectorSearch.knn(eligible, queryVec, topK, vectorCol = vectorCol,
       tieBreak = tieBreak)
   }
 
@@ -234,13 +237,75 @@ object Ivf {
     Quantizer(k, dim, flat, replicas)
   }
 
-  /** ANN top-k: prune to the probed lists, exact cosine re-rank within. */
+  /** ANN top-k: prune to the probed lists, exact cosine re-rank within.
+    *
+    * `predicate` makes this a FILTERED index scan — the reference's
+    * primary query shape (`WHERE view = ? AND lang = ? ORDER BY
+    * embedding <=> $q LIMIT k` runs the metadata predicates inside the
+    * pgvector index walk, retrieval/search.py:89-124). The filter
+    * applies to the probed candidates BEFORE the exact re-rank, never
+    * after the limit, so the result is the true top-k of the eligible
+    * rows within the probed lists — the only approximation is which
+    * lists were probed, identical to the unfiltered contract. On a
+    * list-partitioned table the list pruning is partition pruning and
+    * the predicate reaches the parquet scan (PushedFilters). A full
+    * probe (`nprobe = q.k`) therefore degenerates to EXACT filtered KNN
+    * — the exactness witness the v15 catalog query pins. For probe
+    * widening when the predicate starves the probed lists, see
+    * [[searchFilteredAdaptive]].
+    */
   def search(index: DataFrame, queryVec: Array[Float], q: Quantizer,
       topK: Int, nprobe: Int = 1, vectorCol: String = "vector",
-      tieBreak: String = "fragment_id"): DataFrame = {
+      tieBreak: String = "fragment_id",
+      predicate: Option[Column] = None): DataFrame = {
     val lists = nearestLists(queryVec, q, nprobe)
     val pruned = index.filter(col("list_id").isin(lists: _*))
-    VectorSearch.knn(pruned, queryVec, topK, vectorCol = vectorCol,
+    val eligible = predicate.fold(pruned)(pruned.filter)
+    VectorSearch.knn(eligible, queryVec, topK, vectorCol = vectorCol,
       tieBreak = tieBreak)
+  }
+
+  /** What [[searchFilteredAdaptive]] actually did — the probe count it
+    * settled on and how many eligible candidates those lists held, so
+    * callers (and the recall study) can see cost, not just results.
+    */
+  final case class AdaptiveProbe(hits: DataFrame, nprobeUsed: Int,
+      eligibleCandidates: Long)
+
+  /** Filtered ANN with per-list eligible-count early exit: probe the
+    * initial `nprobe` lists, COUNT the eligible candidates inside them
+    * (a partition-pruned, pushdown-filtered count — list metadata work,
+    * not a scan of vectors), and geometrically widen the probe until the
+    * candidate pool holds `fillFactor·k` eligible rows or every list is
+    * probed. The fill rule is A2's over-fetch discipline applied to
+    * probe width: a selective predicate concentrated outside the nearest
+    * lists starves a fixed-nprobe probe (the post-filter underfill the
+    * reference's own review flagged for dedupe-after-limit,
+    * review/review-01-04-2238.md:5); widening by eligible COUNT instead
+    * of a fixed multiplier adapts to the predicate's actual selectivity
+    * at O(log k) count jobs worst case. When the widening reaches all
+    * `q.k` lists the result is exact filtered KNN by construction.
+    */
+  def searchFilteredAdaptive(index: DataFrame, queryVec: Array[Float],
+      q: Quantizer, topK: Int, predicate: Column, nprobe: Int = 1,
+      fillFactor: Int = 2, vectorCol: String = "vector",
+      tieBreak: String = "fragment_id"): AdaptiveProbe = {
+    val want = math.max(1L, fillFactor.toLong * topK)
+    // one ranking of all k lists, widened by prefix — each step reuses it
+    val ranked = nearestLists(queryVec, q, q.k)
+    var np = math.max(1, nprobe)
+    var eligibleCount = -1L
+    var done = false
+    while (!done) {
+      val lists = ranked.take(np)
+      eligibleCount = index.filter(col("list_id").isin(lists: _*))
+        .filter(predicate).count()
+      if (eligibleCount >= want || np >= q.k) done = true
+      else np = math.min(q.k, np * 2)
+    }
+    AdaptiveProbe(
+      search(index, queryVec, q, topK, np, vectorCol, tieBreak,
+        Some(predicate)),
+      np, eligibleCount)
   }
 }

@@ -88,6 +88,37 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Filtered top-k by OVER-FETCHED POST-FILTER — for predicates that
+    * cannot be evaluated inside the index scan (e.g. eligibility living
+    * in another table that would have to join into every probed row).
+    * Fetches the unfiltered top `k·overFetch` (TakeOrderedAndProject —
+    * k·overFetch-bounded, never a sort), applies the predicate, keeps k.
+    *
+    * **Fill guarantee (exactness-when-filled):** if the result has k
+    * rows, it IS the exact filtered top-k. Proof: any eligible row
+    * outside the unfiltered top-k′ scores below every row inside it, so
+    * if ≥ k eligible rows appear within the top-k′, the k best of them
+    * are the k best eligible rows globally. Fewer than k rows back =
+    * honest underfill (the dedupe-after-limit failure the reference's
+    * own review flagged, review/review-01-04-2238.md:5) — the caller
+    * escalates: double overFetch, or fall back to [[knn]] with the
+    * predicate pushed into the scan (exact, one filtered pass).
+    * `overFetch ≥ k/σ` fills whenever eligible rows make up fraction σ
+    * of every top segment; FilteredAnnSpec pins both the filled-exact
+    * and the detectable-underfill cases.
+    */
+  def postFilterKnn(embeddings: DataFrame, queryVec: Array[Float],
+      topK: Int, predicate: Column, overFetch: Int = 4,
+      vectorCol: String = "vector",
+      tieBreak: String = "fragment_id"): DataFrame = {
+    val k = math.max(topK, 1)
+    knn(embeddings, queryVec, k * math.max(overFetch, 1),
+        vectorCol = vectorCol, tieBreak = tieBreak, clampK = false)
+      .filter(predicate)
+      .orderBy(col("similarity").desc, col(tieBreak))
+      .limit(k)
+  }
+
   /** J2 — context expansion: left-join parent content onto hits; a missing
     * parent yields null context (retrieval/context.py:84-86). Parents are
     * broadcast — the hit set is ≤ k rows and parents are the small side of
