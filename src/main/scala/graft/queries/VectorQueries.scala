@@ -479,15 +479,21 @@ object VectorQueries {
   // and scores against the query's count vector with the same
   // IEEE-sequence cosine the v-family pins bit-exact. RRF = Σ 1/(60+r):
   // doubles from exact integer ranks, deterministic everywhere. The
-  // global rank windows are corpus-wide here for oracle-checkability; a
-  // production fusion ranks each side's top-k candidate lists (bounded),
-  // not the corpus.
+  // global rank windows are corpus-wide here as the ORACLE ARTIFACT —
+  // this is the spec that defines fused scores over the whole corpus;
+  // the PRODUCTION plan is v16 (bounded top-C candidate-list fusion, no
+  // non-partitioned window anywhere), which provably equals this one
+  // when C covers the corpus (HybridFusionSpec).
   private val hybridLexicon = Seq("spark", "stream", "vector", "join",
     "window", "batch", "customer", "table", "scan", "merge", "hash",
     "sort", "filter", "query", "data", "line")
   private val hybridQuery = Seq("spark", "stream", "vector", "window", "join")
 
-  private val v14HybridRrf: Q = (s, dir) => {
+  /** The "dense" side of hybrid retrieval shared by v14 and v16: each
+    * document scored by the lexical count-vector cosine against the
+    * query's count vector (one map-side pass, no shuffle).
+    */
+  private def hybridCosAll(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextSketch
     val w = TextSketch.words(col("text"))
     val docVec = array(hybridLexicon.map(t =>
@@ -500,10 +506,14 @@ object VectorQueries {
     val n2q = dotH(qVec, qVec)
     val cos = when(n2d === 0.0 || n2q === 0.0, lit(0.0))
       .otherwise(dotH(docVec, qVec) / (sqrt(n2d) * sqrt(n2q)))
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), cos.as("cos"))
+  }
+
+  private val v14HybridRrf: Q = (s, dir) => {
     val vRank = Window.orderBy(col("cos").desc, col("doc_id"))
     val lRank = Window.orderBy(col("bm25").desc, col("doc_id"))
-    val vec = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), cos.as("cos"))
+    val vec = hybridCosAll(s, dir)
       .withColumn("r_vec", row_number().over(vRank).cast("long"))
     val lex = TextAnalysisQueries.bm25ScoredAll(s, dir)
       .withColumn("r_lex", row_number().over(lRank).cast("long"))
@@ -539,7 +549,89 @@ object VectorQueries {
        |ORDER BY rrf DESC, v.doc_id LIMIT 10""".stripMargin
   }
 
+  // V16 — PRODUCTION hybrid fusion (VERDICT r8 task #2): reciprocal-rank
+  // fusion over BOUNDED top-C candidate lists instead of v14's
+  // corpus-wide rank windows. Each side is a TakeOrderedAndProject scan
+  // (per-partition top-C heap + driver merge — no shuffle, no global
+  // sort, no window of any kind: PlanShapeSpec pins both candidate
+  // plans window-free); the fusion itself runs over ≤ 2C collected rows
+  // (the v12 k-bounded-driver-work precedent — at serving time these
+  // are the two retriever responses being merged). Rank within a
+  // candidate list equals the corpus-wide rank for every list member,
+  // so with C ≥ corpus this equals v14 exactly (HybridFusionSpec); at
+  // fixed C it is the standard "fuse the retrievers' top-C" contract
+  // every production RRF implements. A doc absent from one side
+  // contributes only its present-side term (sentinel rank -1 in the
+  // output); both engines compute lex-term + vec-term in that order on
+  // exact integer ranks, so the oracle hash-matches.
+  private val HybridC = 100
+
+  private[graft] def v16Fused(s: SparkSession, dir: String, c: Int)
+      : DataFrame = {
+    import s.implicits._
+    val lexIds = TextAnalysisQueries.bm25ScoredAll(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(c).select(col("doc_id").cast("long")).as[Long].collect()
+    val vecIds = hybridCosAll(s, dir)
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(c).select(col("doc_id").cast("long")).as[Long].collect()
+    val rLex = lexIds.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val rVec = vecIds.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val fused = (lexIds ++ vecIds).distinct.toSeq.map { d =>
+      val rl = rLex.getOrElse(d, -1L)
+      val rv = rVec.getOrElse(d, -1L)
+      val rrf = (if (rl > 0) 1.0 / (60.0 + rl.toDouble) else 0.0) +
+        (if (rv > 0) 1.0 / (60.0 + rv.toDouble) else 0.0)
+      (d, rl, rv, rrf)
+    }.sortBy { case (d, _, _, rrf) => (-rrf, d) }.take(10)
+    fused.toDF("doc_id", "r_lex", "r_vec", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  private val v16HybridTopk: Q = (s, dir) => v16Fused(s, dir, HybridC)
+
+  private val v16Sql = {
+    val w = graft.functions.TextSketch.duck.words("text")
+    val docVec = hybridLexicon.map(t =>
+      s"len(list_filter($w, x -> x = '$t'))::DOUBLE").mkString("[", ", ", "]")
+    val qVec = hybridLexicon.map(t =>
+      if (hybridQuery.contains(t)) "1.0" else "0.0").mkString("[", ", ", "]")
+    s"""WITH bm AS (${TextAnalysisQueries.bm25ScoredSql}),
+       |lexcand AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+       |    AS BIGINT) AS r_lex
+       |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT $HybridC)),
+       |cosall AS (
+       |  SELECT doc_id, ${duckCosine(docVec, qVec)} AS cos
+       |  FROM documents),
+       |veccand AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+       |    AS BIGINT) AS r_vec
+       |  FROM (SELECT * FROM cosall ORDER BY cos DESC, doc_id LIMIT $HybridC))
+       |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |  COALESCE(l.r_lex, -1) AS r_lex, COALESCE(v.r_vec, -1) AS r_vec,
+       |  (CASE WHEN l.r_lex IS NULL THEN 0.0
+       |        ELSE 1.0 / (60.0 + l.r_lex::DOUBLE) END)
+       |  + (CASE WHEN v.r_vec IS NULL THEN 0.0
+       |          ELSE 1.0 / (60.0 + v.r_vec::DOUBLE) END) AS rrf
+       |FROM lexcand l FULL JOIN veccand v ON l.doc_id = v.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  /** v16's two corpus-sized candidate plans, exposed so PlanShapeSpec can
+    * assert their shape (TakeOrderedAndProject, NO window node of any
+    * kind); the fused output plan is a driver-local table by construction
+    * and proves nothing about these stages.
+    */
+  private[graft] def hybridCandidateStages(s: SparkSession, dir: String,
+      c: Int = HybridC): (DataFrame, DataFrame) = (
+    TextAnalysisQueries.bm25ScoredAll(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(c),
+    hybridCosAll(s, dir)
+      .orderBy(col("cos").desc, col("doc_id")).limit(c))
+
   val defs: Map[String, Q] = Map(
+    "v16_hybrid_topk" -> v16HybridTopk,
     "v15_filtered_ann" -> v15FilteredAnn,
     "v14_hybrid_rrf" -> v14HybridRrf,
     "v1_knn_exact" -> v1Knn,
@@ -551,6 +643,7 @@ object VectorQueries {
     "v13_filtered_knn" -> v13FilteredKnn)
 
   val oracles: Map[String, String] = Map(
+    "v16_hybrid_topk" -> v16Sql,
     "v15_filtered_ann" -> v15Sql,
     "v14_hybrid_rrf" -> v14Sql,
     "v1_knn_exact" -> v1Sql,

@@ -381,6 +381,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v14.contains("TakeOrderedAndProject"), s"v14 should TopK:\n$v14")
   }
 
+  test("v16: both hybrid candidate plans are window-free top-k scans") {
+    // the production fusion's corpus-sized stages — each a per-partition
+    // top-C heap + driver merge; NO window node of any kind (v14's
+    // corpus-wide non-partitioned rank windows are the oracle artifact
+    // this plan exists to replace), no join, no agg exchange beyond the
+    // scan
+    val (lex, vec) = graft.queries.VectorQueries
+      .hybridCandidateStages(spark, dir)
+    Seq("lex" -> lex, "vec" -> vec).foreach { case (side, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"),
+        s"v16 $side candidates should TopK:\n$p")
+      assert(!p.contains("Window"),
+        s"v16 $side candidates must not use a window:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"v16 $side candidates fused an all-pairs join:\n$p")
+    }
+  }
+
   test("q12: mode census hash-shuffles once; lateness predicate on the join") {
     val p = plan("q12_shipmode")
     assert(!p.contains("SortMergeJoin"), s"q12 fell back to sort-merge:\n$p")
