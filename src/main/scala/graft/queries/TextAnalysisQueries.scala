@@ -33,7 +33,7 @@ object TextAnalysisQueries {
     * chain = ~11 splits per row). At scale this is a write-time column;
     * StageCache is its local stand-in (released on session end).
     */
-  private def wordsStage(s: SparkSession, dir: String): DataFrame =
+  private[queries] def wordsStage(s: SparkSession, dir: String): DataFrame =
     StageCache.getOrCache(s, s"doc_words:$dir") {
       Tables.spread(s, Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -1005,35 +1005,58 @@ object TextAnalysisQueries {
   // JVM, libm and DuckDB (verified on this corpus's value range), and
   // every other operand is a division of exact longs, so the DuckDB
   // oracle hash-matches the scores. Top-10 plans as
-  // TakeOrderedAndProject; at 100 TB the tf columns are the write-time
-  // posting-list table and the corpus stats row is a metadata artifact.
+  // TakeOrderedAndProject. The tf columns ARE the write-time
+  // posting-list table and the corpus stats row IS a 1-row metadata
+  // artifact: `index-sketches` persists both ([[writeTimeStages]]) and
+  // x22/v14/v16 read through to them instead of re-tokenizing
+  // (StageCachePersistSpec pins byte-identity either way).
   private val bm25Terms = Seq("spark", "stream", "vector", "window", "join")
   private val bm25K1 = 1.2
   private val bm25B = 0.75
 
+  /** Staleness guard for the persisted BM25 tables: corpus footprint +
+    * every constant the derivation bakes in (term list, k1/b). */
+  private def bm25Fingerprint(dir: String): Option[String] =
+    Some(StageCache.sourceFingerprint(Seq(s"$dir/documents.parquet"),
+      s"bm25=${bm25Terms.mkString("+")},k1=$bm25K1,b=$bm25B"))
+
+  /** The per-document posting table (doc_id, dl, tf_<term>…): one row
+    * per doc with exact integer term frequencies — partitioning-
+    * independent, so persistable as a write-time table. */
+  private[graft] def bm25PerDoc(s: SparkSession, dir: String): DataFrame =
+    StageCache.getOrCache(s, s"bm25_postings:$dir", bm25Fingerprint(dir)) {
+      wordsStage(s, dir)
+        .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
+          bm25Terms.map(t =>
+            size(filter(col("w"), x => x === t)).cast("long").as(s"tf_$t")): _*)
+    }
+
+  /** The 1-row corpus-stats table (n, sum_dl, df_<term>…): exact longs. */
+  private[graft] def bm25StatsDf(s: SparkSession, dir: String): DataFrame = {
+    val statExprs: Seq[Column] =
+      sum(col("dl")).as("sum_dl") +: bm25Terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    bm25PerDoc(s, dir).agg(count(lit(1)).as("n"), statExprs: _*)
+  }
+
   /** Full-corpus BM25 scores (doc_id, dl, bm25) — shared by x22's top-10
-    * and v14's hybrid fusion. */
+    * and v14/v16's hybrid fusion. */
   private[queries] def bm25ScoredAll(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = wordsStage(s, dir)
-      .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
-        bm25Terms.map(t =>
-          size(filter(col("w"), x => x === t)).cast("long").as(s"tf_$t")): _*)
+    val perDoc = bm25PerDoc(s, dir)
     // corpus stats are ONE row of metadata: collect at query-construction
     // time (the d13-style documented deviation) and inject idf/avgdl as
     // literals. Necessity, not convenience: Spark's `log` expression is
     // StrictMath/fdlibm, which differs from libm (= DuckDB's ln) by 1 ulp
     // on some of this corpus's df values — driver-side Math.log IS libm-
     // equal (verified bit-for-bit), so literal idfs are what makes the
-    // oracle hash-match. At 100 TB these stats are a write-time metadata
-    // artifact anyway.
-    val statExprs: Seq[Column] =
-      sum(col("dl")).as("sum_dl") +: bm25Terms.map(t =>
-        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-    val st = perDoc.agg(count(lit(1)).as("n"), statExprs: _*).head()
-    val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n.toDouble
-    val idfs: Seq[Double] = bm25Terms.indices.map { i =>
-      val df = st.getLong(2 + i).toDouble
+    // oracle hash-match. When `index-sketches` has persisted the stats
+    // table this head() is a 1-row parquet read, not a corpus aggregate.
+    val st = StageCache.readThroughOrBuild(s, s"bm25_stats:$dir",
+      bm25Fingerprint(dir))(bm25StatsDf(s, dir)).head()
+    val n = st.getAs[Long]("n")
+    val avgdl = st.getAs[Long]("sum_dl").toDouble / n.toDouble
+    val idfs: Seq[Double] = bm25Terms.map { t =>
+      val df = st.getAs[Long](s"df_$t").toDouble
       math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
     }
     val termScores: Seq[Column] = bm25Terms.zip(idfs).map { case (t, idf) =>
@@ -1085,6 +1108,20 @@ object TextAnalysisQueries {
   private val x22Sql =
     s"""SELECT * FROM ($bm25ScoredSql)
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The write-time BM25 tables the x22 scaladoc promises, under their
+    * exact StageCache keys — what `index-sketches` persists so
+    * x22/v14/v16 score against materialized postings + a 1-row stats
+    * artifact instead of re-tokenizing. Both are partitioning-
+    * independent row sets (exact integer counts).
+    */
+  def writeTimeStages(s: SparkSession, dir: String): Map[String, DataFrame] =
+    Map(
+      s"bm25_postings:$dir" -> bm25PerDoc(s, dir),
+      s"bm25_stats:$dir" -> bm25StatsDf(s, dir))
+
+  /** Same derivation the read side checks ([[bm25Fingerprint]]). */
+  def writeTimeFingerprint(dir: String): Option[String] = bm25Fingerprint(dir)
 
   val defs: Map[String, Q] = Map(
     "x22_bm25" -> x22Bm25,

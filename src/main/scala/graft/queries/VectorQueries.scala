@@ -489,26 +489,45 @@ object VectorQueries {
     "sort", "filter", "query", "data", "line")
   private val hybridQuery = Seq("spark", "stream", "vector", "window", "join")
 
+  /** Staleness guard for the persisted hybrid-cos table: corpus
+    * footprint + the lexicon/query constants baked into the scores. */
+  private def hybridFingerprint(dir: String): Option[String] =
+    Some(StageCache.sourceFingerprint(Seq(s"$dir/documents.parquet"),
+      s"hyb=${hybridLexicon.mkString("+")},q=${hybridQuery.mkString("+")}"))
+
   /** The "dense" side of hybrid retrieval shared by v14 and v16: each
     * document scored by the lexical count-vector cosine against the
-    * query's count vector (one map-side pass, no shuffle).
+    * query's count vector. Rides the shared token stage (one tokenize
+    * pass per session, not one per consumer) and reads through to the
+    * write-time `hybrid_cos` table when `index-sketches` persisted it —
+    * scores are a fixed per-row IEEE sequence, so the persisted copy is
+    * byte-identical to the recompute (StageCachePersistSpec).
     */
-  private def hybridCosAll(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextSketch
-    val w = TextSketch.words(col("text"))
-    val docVec = array(hybridLexicon.map(t =>
-      size(filter(w, x => x === t)).cast("double")): _*)
-    val qVec = array(hybridLexicon.map(t =>
-      lit(if (hybridQuery.contains(t)) 1.0 else 0.0)): _*)
-    def dotH(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val n2d = dotH(docVec, docVec)
-    val n2q = dotH(qVec, qVec)
-    val cos = when(n2d === 0.0 || n2q === 0.0, lit(0.0))
-      .otherwise(dotH(docVec, qVec) / (sqrt(n2d) * sqrt(n2q)))
-    Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), cos.as("cos"))
-  }
+  private[graft] def hybridCosAll(s: SparkSession, dir: String): DataFrame =
+    StageCache.readThroughOrBuild(s, s"hybrid_cos:$dir",
+        hybridFingerprint(dir)) {
+      val docVec = array(hybridLexicon.map(t =>
+        size(filter(col("w"), x => x === t)).cast("double")): _*)
+      val qVec = array(hybridLexicon.map(t =>
+        lit(if (hybridQuery.contains(t)) 1.0 else 0.0)): _*)
+      def dotH(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+          (acc, x) => acc + x)
+      val n2d = dotH(docVec, docVec)
+      val n2q = dotH(qVec, qVec)
+      val cos = when(n2d === 0.0 || n2q === 0.0, lit(0.0))
+        .otherwise(dotH(docVec, qVec) / (sqrt(n2d) * sqrt(n2q)))
+      TextAnalysisQueries.wordsStage(s, dir)
+        .select(col("doc_id"), cos.as("cos"))
+    }
+
+  /** The write-time hybrid-retrieval table (`index-sketches` persists
+    * it): per-doc dense-side scores, partitioning-independent. */
+  def writeTimeStages(s: SparkSession, dir: String): Map[String, DataFrame] =
+    Map(s"hybrid_cos:$dir" -> hybridCosAll(s, dir))
+
+  def writeTimeFingerprint(dir: String): Option[String] =
+    hybridFingerprint(dir)
 
   private val v14HybridRrf: Q = (s, dir) => {
     val vRank = Window.orderBy(col("cos").desc, col("doc_id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.{DedupQueries, StageCache}
+import graft.queries.{DedupQueries, StageCache, TextAnalysisQueries}
 
 /** Write-time table read-through (VERDICT r7 task #5): the dedup queries
   * must produce BYTE-IDENTICAL results whether their sketch/gram stages
@@ -55,6 +55,49 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"gram stage did not read through to parquet:\n$plan")
       val after = runAll()
       queries.foreach { q =>
+        assert(after(q) == before(q), s"$q diverged against persisted stages")
+      }
+    } finally {
+      s.conf.unset(StageCache.PathConf)
+      StageCache.release(s)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("BM25 family is byte-identical against persisted posting/stats tables") {
+    val s = spark
+    val bmQueries = Seq("x22_bm25", "v14_hybrid_rrf", "v16_hybrid_topk")
+    def run(): Map[String, Seq[String]] = bmQueries.map { q =>
+      q -> SparkEntry.queries(q)(s, dir).collect().map(_.toString).toSeq
+    }.toMap
+    val before = run()
+    assert(before.values.forall(_.nonEmpty))
+
+    val root = java.nio.file.Files.createTempDirectory("bm25_tables").toString
+    val stages = TextAnalysisQueries.writeTimeStages(s, dir)
+    assert(stages.size == 2)
+    val fp = TextAnalysisQueries.writeTimeFingerprint(dir)
+    stages.foreach { case (k, df) =>
+      StageCache.persistStage(s, k, df, root, fp)
+    }
+    val vfp = graft.queries.VectorQueries.writeTimeFingerprint(dir)
+    graft.queries.VectorQueries.writeTimeStages(s, dir).foreach {
+      case (k, df) => StageCache.persistStage(s, k, df, root, vfp)
+    }
+
+    StageCache.release(s)
+    s.conf.set(StageCache.PathConf, root)
+    try {
+      // read-through really engages: the posting stage is a parquet scan
+      val plan = TextAnalysisQueries.bm25PerDoc(s, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("parquet") || plan.contains("Parquet"),
+        s"posting stage did not read through to parquet:\n$plan")
+      val after = run()
+      bmQueries.foreach { q =>
         assert(after(q) == before(q), s"$q diverged against persisted stages")
       }
     } finally {
