@@ -305,8 +305,7 @@ object Cli {
         val feats = HashedLogReg.hashedFeatures(docs, col("doc_id"),
           col("y"), col("w"), dim).coalesce(4).cache()
         feats.count()
-        val (w, b) = HashedLogReg.train(feats, dim, iters = 40, lr = 20.0,
-          decay = 0.1)
+        val (w, b) = HashedLogReg.trainNewton(feats, dim, iters = 5)
         val acc = HashedLogReg.score(feats, w, b)
           .agg(avg(col("correct"))).head().getDouble(0)
         feats.unpersist()

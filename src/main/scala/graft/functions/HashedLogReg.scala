@@ -93,12 +93,31 @@ object HashedLogReg {
   def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
 
   /** `iters` full-batch GD steps with 1/(1+t·decay) learning-rate decay
-    * (decay 0 = constant rate); returns (weights, bias). */
+    * (decay 0 = constant rate) and optional heavy-ball momentum
+    * (`momentum` = β; 0 = plain GD); returns (weights, bias).
+    *
+    * Momentum is the "accumulated curvature" lever that cuts the Spark
+    * job count: the per-iteration DATA cost was already right (dim+1-row
+    * shuffle output), so wall time is driver job-scheduling latency × T
+    * — and β=0.9 reaches plain-GD-at-40-steps accuracy in 12 steps
+    * (measured in ROUND9.md). The velocity update runs on the driver
+    * over the SAME exact-long gradients, one fixed arithmetic sequence —
+    * bit-determinism under any partitioning is untouched.
+    */
   def train(features: DataFrame, dim: Int, iters: Int, lr: Double,
-      decay: Double = 0.0): (Array[Double], Double) = {
+      decay: Double = 0.0, momentum: Double = 0.0,
+      adagrad: Boolean = false): (Array[Double], Double) = {
     val n = features.count().toDouble
     require(n > 0, "cannot train on an empty features table")
     val w = new Array[Double](dim)
+    val vel = new Array[Double](dim + 1) // index dim = bias velocity
+    val acc = new Array[Double](dim + 1) // adagrad Σg² accumulators
+    def precond(j: Int, gj: Double): Double =
+      if (!adagrad) gj
+      else {
+        acc(j) += gj * gj
+        gj / (math.sqrt(acc(j)) + 1e-8)
+      }
     var bias = 0.0
     var t = 0
     while (t < iters) {
@@ -117,13 +136,155 @@ object HashedLogReg {
       val gBias = g.find(_.getInt(0) == 0).map(_.getLong(2)).getOrElse(0L)
       var j = 0
       while (j < dim) {
-        w(j) -= lrT * byJ.getOrElse(j, 0L).toDouble / (1e6 * n)
+        vel(j) = momentum * vel(j) +
+          precond(j, byJ.getOrElse(j, 0L).toDouble / (1e6 * n))
+        w(j) -= lrT * vel(j)
         j += 1
       }
-      bias -= lrT * gBias.toDouble / (1e6 * n)
+      vel(dim) = momentum * vel(dim) + precond(dim, gBias.toDouble / (1e6 * n))
+      bias -= lrT * vel(dim)
       t += 1
     }
     (w, bias)
+  }
+
+  /** IRLS / Newton training: `iters` second-order steps, each ONE Spark
+    * job that returns the gradient AND the full Hessian as dim+1 scaled
+    * exact-long sums (the "accumulated curvature" answer to 40 GD jobs:
+    * logistic regression on count features is badly conditioned, so
+    * first-order steps need a long schedule — the Newton direction
+    * removes the conditioning and converges in ~5 steps to the actual
+    * penalized MLE, no oscillation, no tuning).
+    *
+    * Determinism is the same grid trick as [[train]], applied to the
+    * Hessian too: per doc, the residual d = ⌊(p−y)·1e6⌉ and the IRLS
+    * weight µ = ⌊p(1−p)·1e6⌉ are exact longs; every Hessian entry
+    * Σ f_j·f_k·µ and gradient entry Σ f_j·d is an exact long sum —
+    * order-free under any partitioning. The accumulation is one tight
+    * mapPartitions pass over NONZERO feature pairs into a single long
+    * array per partition (upper triangle + gradient tail — the
+    * treeAggregate shape; a million times fewer rows than exploding the
+    * pair products through a shuffle), element-added on the driver; the
+    * (dim+1)×(dim+1) solve (Gaussian elimination with partial pivoting,
+    * fixed pivot order) runs on the driver. `ridge` (per-doc λ) keeps
+    * the system regular on separable data. Long-sum headroom:
+    * f_j·f_k·µ ≤ len²·2.5e5 per doc — overflows only past ~10¹² docs
+    * per partition-sum at len 200; at that scale the grid coarsens to
+    * 1e-4 (same trade the GD path documents).
+    */
+  def trainNewton(features: DataFrame, dim: Int, iters: Int = 5,
+      ridge: Double = 1e-3): (Array[Double], Double) = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val d1 = dim + 1 // bias = constant-1 feature at index dim
+    val nTri = d1 * (d1 + 1) / 2
+    def tri(j: Int, k: Int): Int = j * d1 - j * (j - 1) / 2 + (k - j)
+    val rows = features.select(col("y").cast("long"), col("f"))
+      .as[(Long, Array[Long])]
+    val n = rows.count().toDouble
+    require(n > 0, "cannot train on an empty features table")
+    val w = new Array[Double](d1)
+    var t = 0
+    while (t < iters) {
+      val wB = spark.sparkContext.broadcast(w.clone())
+      // one tight pass per partition: margin → grid residual/IRLS weight
+      // → nonzero-only outer-product accumulation into ONE long array
+      // (upper triangle + gradient tail); partition arrays element-add
+      // on the driver — exact longs, order-free
+      val sums = rows.mapPartitions { it =>
+        val wv = wB.value
+        val acc = new Array[Long](nTri + d1)
+        val nz = new Array[Int](d1)
+        it.foreach { case (y, f) =>
+          var m = 0.0
+          var j = 0
+          while (j < dim) { m += f(j).toDouble * wv(j); j += 1 }
+          m += wv(dim)
+          val p = 1.0 / (1.0 + StrictMath.exp(-m))
+          def grid(x: Double): Long =
+            (if (x >= 0) math.floor(x * 1e6 + 0.5)
+             else math.ceil(x * 1e6 - 0.5)).toLong
+          val d = grid(p - y.toDouble)
+          val mu = grid(p * (1.0 - p))
+          var nnz = 0
+          j = 0
+          while (j < dim) {
+            if (f(j) != 0L) { nz(nnz) = j; nnz += 1 }
+            j += 1
+          }
+          nz(nnz) = dim // the constant-1 bias slot
+          nnz += 1
+          var a = 0
+          while (a < nnz) {
+            val ja = nz(a)
+            val fa = if (ja == dim) 1L else f(ja)
+            acc(nTri + ja) += fa * d
+            var b = a
+            while (b < nnz) {
+              val jb = nz(b)
+              val fb = if (jb == dim) 1L else f(jb)
+              acc(ja * d1 - ja * (ja - 1) / 2 + (jb - ja)) += fa * fb * mu
+              b += 1
+            }
+            a += 1
+          }
+        }
+        Iterator.single(acc)
+      }.reduce { (x, y) =>
+        var i = 0
+        while (i < x.length) { x(i) += y(i); i += 1 }
+        x
+      }
+      wB.destroy()
+      // assemble (H/1e6 + ridge·n·I) Δ = g/1e6 and solve
+      val a = Array.ofDim[Double](d1, d1 + 1)
+      var j = 0
+      while (j < d1) {
+        var k = 0
+        while (k < d1) {
+          val v = sums(tri(math.min(j, k), math.max(j, k)))
+          a(j)(k) = v.toDouble / 1e6 + (if (j == k) ridge * n else 0.0)
+          k += 1
+        }
+        a(j)(d1) = sums(nTri + j).toDouble / 1e6
+        j += 1
+      }
+      // Gaussian elimination, partial pivoting, fixed tie order
+      var col0 = 0
+      while (col0 < d1) {
+        var piv = col0
+        var r = col0 + 1
+        while (r < d1) {
+          if (math.abs(a(r)(col0)) > math.abs(a(piv)(col0))) piv = r
+          r += 1
+        }
+        val tmp = a(col0); a(col0) = a(piv); a(piv) = tmp
+        val pv = a(col0)(col0)
+        if (pv != 0.0) {
+          r = col0 + 1
+          while (r < d1) {
+            val m = a(r)(col0) / pv
+            var c = col0
+            while (c <= d1) { a(r)(c) -= m * a(col0)(c); c += 1 }
+            r += 1
+          }
+        }
+        col0 += 1
+      }
+      val delta = new Array[Double](d1)
+      var rr = d1 - 1
+      while (rr >= 0) {
+        var s = a(rr)(d1)
+        var c = rr + 1
+        while (c < d1) { s -= a(rr)(c) * delta(c); c += 1 }
+        delta(rr) = if (a(rr)(rr) == 0.0) 0.0 else s / a(rr)(rr)
+        rr -= 1
+      }
+      j = 0
+      while (j < d1) { w(j) -= delta(j); j += 1 }
+      t += 1
+    }
+    (w.take(dim), w(dim))
   }
 
   /** Per-doc scores under fixed weights: (doc_id, y, margin, p,

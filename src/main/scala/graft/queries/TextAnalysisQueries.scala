@@ -966,20 +966,22 @@ object TextAnalysisQueries {
   // LINEAR TEACHER over true token counts (2·spark + stream + vector >
   // batch + customer), so learnability is known by construction and the
   // trained accuracy measures exactly what feature hashing loses —
-  // fasttext's own setting. Training is 40 full-batch GD steps
-  // (1/(1+0.1t) rate decay) over hashed dim-64 count features via
-  // [[graft.functions.HashedLogReg]]:
-  // margins fold in fixed index order (one IEEE sequence per doc),
-  // residuals round onto a 1e-6 grid, gradients are exact BIGINT sums —
-  // bit-deterministic under any partitioning, which is what makes the
-  // golden pin valid. Not SQL-expressible as one query (iterative
-  // driver loop) → golden-pinned; the spec asserts the learning itself
-  // (trained accuracy beats the majority class by a margin).
+  // fasttext's own setting. Training is 5 IRLS/Newton steps over hashed
+  // dim-64 count features ([[graft.functions.HashedLogReg.trainNewton]]
+  // — r9: replaced the 40-step GD schedule, whose wall time was driver
+  // job-scheduling latency × 40; the Newton direction removes the
+  // count-feature conditioning, trains 20× faster AND more accurately,
+  // 0.9254 vs 0.9162 at sf0.1): margins fold in fixed order, residuals
+  // and IRLS weights round onto a 1e-6 grid, Hessian/gradient entries
+  // are exact long sums — bit-deterministic under any partitioning,
+  // which is what makes the golden pin valid. Not SQL-expressible as
+  // one query (iterative driver loop) → golden-pinned; the spec asserts
+  // the learning itself (accuracy ≥ the GD schedule ≥ majority+margin).
   private val x21QualityClassifier: Q = (s, dir) => {
     import graft.functions.HashedLogReg
     val dim = 64
     val feats = StageCache.getOrCache(s, s"x21_feats:$dir") {
-      // the cached stage is doc-count-sized (one row per doc); 40 tiny
+      // the cached stage is doc-count-sized (one row per doc); tiny
       // iteration jobs over 32 near-empty partitions would be pure
       // scheduling overhead — pack it into few partitions (at real
       // scale, size partitions to the corpus as usual)
@@ -988,8 +990,7 @@ object TextAnalysisQueries {
         col("doc_id"), col("y"), col("w"), dim)
         .coalesce(4)
     }
-    val (wts, bias) = HashedLogReg.train(feats, dim, iters = 40, lr = 20.0,
-      decay = 0.1)
+    val (wts, bias) = HashedLogReg.trainNewton(feats, dim, iters = 5)
     HashedLogReg.score(feats, wts, bias)
       .orderBy(col("doc_id"))
   }

@@ -108,4 +108,38 @@ class HashedLogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == c,
       "weights diverged across partitionings — gradient sums are not order-free")
   }
+
+  test("Newton training is bit-identical under different partitionings " +
+      "and beats plain GD's accuracy in 5 steps") {
+    def trainWith(parts: Int): (Seq[Long], Long) = {
+      val feats = HashedLogReg.hashedFeatures(
+        docs.repartition(parts), col("doc_id"), col("y"), col("w"), dim)
+        .cache()
+      feats.count()
+      val (w, b) = HashedLogReg.trainNewton(feats, dim, iters = 5)
+      feats.unpersist()
+      (w.toSeq.map(java.lang.Double.doubleToLongBits),
+        java.lang.Double.doubleToLongBits(b))
+    }
+    val a = trainWith(2)
+    val c = trainWith(7)
+    assert(a == c, "Newton weights diverged across partitionings — " +
+      "Hessian/gradient sums are not order-free")
+
+    // quality: the 5-step Newton model must be at least as accurate as
+    // the 40-step GD schedule it replaced in x21
+    val feats = HashedLogReg.hashedFeatures(docs, col("doc_id"), col("y"),
+      col("w"), dim).cache()
+    feats.count()
+    val (wG, bG) = HashedLogReg.train(feats, dim, iters = 40, lr = 20.0,
+      decay = 0.1)
+    val (wN, bN) = HashedLogReg.trainNewton(feats, dim, iters = 5)
+    def acc(w: Array[Double], b: Double): Double =
+      HashedLogReg.score(feats, w, b)
+        .agg(avg(col("correct"))).head().getDouble(0)
+    val aG = acc(wG, bG)
+    val aN = acc(wN, bN)
+    feats.unpersist()
+    assert(aN >= aG, s"Newton acc $aN fell below the GD schedule $aG")
+  }
 }
