@@ -55,6 +55,27 @@ object Bench {
     false
   }
 
+  /** The host-calibration workload (min-of-3 of a FIXED 6M-md5 shuffle
+    * over 32 partitions — never changes across rounds). total/calib is
+    * the host-speed-normalized number cross-round records compare;
+    * shared with the sf1 soak so its artifact is host-normalized too.
+    */
+  private[graft] def calibrate(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 6000000L, 1, 32)
+        .selectExpr("id", "md5(cast(id as string)) AS h", "id % 997 AS k")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.max("h").as("mx"))
+        .orderBy("k")
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).map(_ => once()).min
+  }
+
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(",")
     catch { case _: Throwable => "?" }
@@ -143,19 +164,7 @@ object Bench {
     // loaded host inflates calib and the catalog alike, a real plan
     // regression inflates only the catalog. This is the instrument the
     // r6→r7 idle-record question (48.9→84.8 s: host or repo?) lacked.
-    def calibOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0, 6000000L, 1, 32)
-        .selectExpr("id", "md5(cast(id as string)) AS h", "id % 997 AS k")
-        .groupBy("k")
-        .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n"),
-          org.apache.spark.sql.functions.max("h").as("mx"))
-        .orderBy("k")
-        .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    val calibSec = (1 to 3).map(_ => calibOnce()).min
+    val calibSec = calibrate(spark)
     // Two timed passes per query, report the MIN. The start-time JVM
     // check cannot see load the HOST injects mid-run (observed: the same
     // catalog on the same data swinging 86→143 s with a DIFFERENT

@@ -27,6 +27,17 @@ object ConnectedComponents {
     */
   val SmallThresholdKey = "spark.graft.dedup.smallThreshold"
 
+  /** What a [[labelWithStats]] run actually did — the observability the
+    * r8 soak lacked when d7/d8 grew 23× for 10× data with nothing in the
+    * artifact distinguishing pair explosion from round overhead.
+    *
+    * @param pairs  edge count fed to the labeling (the candidate-pair
+    *               volume AFTER banding/caps/similarity threshold)
+    * @param path   "driver" (union-find below the size cutoff) or
+    *               "distributed" (min-label + pointer-jump loop)
+    * @param rounds distributed iterations run (0 on the driver path)
+    */
+  final case class CcStats(pairs: Long, path: String, rounds: Int)
 
   /** @param pairs two numeric id columns (an undirected edge per row)
     * @param smallThreshold pair sets at or below this size resolve with a
@@ -41,7 +52,13 @@ object ConnectedComponents {
     *         only nodes appearing in `pairs` are labeled
     */
   def label(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxRounds: Int = 50, smallThreshold: Long = -1L): DataFrame = {
+      maxRounds: Int = 50, smallThreshold: Long = -1L): DataFrame =
+    labelWithStats(pairs, idA, idB, maxRounds, smallThreshold)._1
+
+  /** [[label]] plus the [[CcStats]] record of what ran. */
+  def labelWithStats(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 50,
+      smallThreshold: Long = -1L): (DataFrame, CcStats) = {
     val spark = pairs.sparkSession
     // strategy threshold is deploy-tunable (a 1000-executor cluster wants
     // a bigger driver-side cutoff than a laptop); an explicit arg wins
@@ -54,7 +71,8 @@ object ConnectedComponents {
       .select(col(idA).cast("long").as(idA), col(idB).cast("long").as(idB))
       .filter(col(idA).isNotNull && col(idB).isNotNull)
       .localCheckpoint() // materialize ONCE; both paths below reuse blocks
-    if (pairCols.count() <= threshold) {
+    val nPairs = pairCols.count()
+    if (nPairs <= threshold) {
       val collected = pairCols.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
@@ -70,7 +88,7 @@ object ConnectedComponents {
       }
       val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
       import spark.implicits._
-      return rows.toDF("node", "cluster")
+      return (rows.toDF("node", "cluster"), CcStats(nPairs, "driver", 0))
     }
     // derives from the checkpointed pairCols — a second checkpoint would
     // just hold the pair set in block storage twice more
@@ -100,6 +118,7 @@ object ConnectedComponents {
     }
     require(changed == 0,
       s"connected components did not converge in $maxRounds rounds")
-    labels.select(col("node"), col("label").as("cluster"))
+    (labels.select(col("node"), col("label").as("cluster")),
+      CcStats(nPairs, "distributed", rounds))
   }
 }

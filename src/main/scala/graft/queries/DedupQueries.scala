@@ -92,10 +92,19 @@ object DedupQueries {
   // boilerplate band shared by 10⁵ docs would emit 5·10⁹ pairs from one
   // key — the classic LSH skew blow-up. Buckets above the cap are dropped
   // from pair generation (their members are near-certain duplicates that
-  // production routes to the exact-dedup path). Testdata buckets stay far
-  // below the cap, so the guard is semantics-neutral here and the oracle
-  // applies the identical QUALIFY.
-  private val BandSizeCap = 100
+  // production routes to the exact-dedup path). Buckets at every sf ≤ 0.1
+  // stay far below the cap (max 16), so the guard is semantics-neutral
+  // there and the oracle applies the identical QUALIFY.
+  //
+  // r9: tightened 100 → 40 from the soak instrumentation — at sf1
+  // (10×-replicated content, max bucket 159) raw candidate pairs were
+  // 3.06M at cap 100 vs 0.99M at cap 40 vs 0.49M at cap 20; the 23×
+  // d7/d8 soak growth was this quadratic bucket inflation, and 40 keeps
+  // the guard semantics-neutral on every oracled sf while cutting the
+  // hot-corpus pair volume 3.1× (before/after timings in SCALE.md).
+  // Buckets of 41+ docs sharing one 2-row minhash band are boilerplate
+  // shells, the content the hot-band policy exists to exclude.
+  private val BandSizeCap = 40
 
   /** Banded signature rows (doc_id, <extra>, sig, band, band_hash, __bsz)
     * — the ONE band construction every banded consumer (d3, d7, d10)
@@ -128,12 +137,14 @@ object DedupQueries {
   // band hash become candidates; estimated similarity = matching signature
   // fraction. The join key is the band hash — this is the scalable
   // candidate generation (no cross join anywhere).
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    // Materialize signatures BEFORE banding/joining: Catalyst's project
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    pairsFromSigs(sigStage(s, dir))
+
+  private def pairsFromSigs(docs: DataFrame): DataFrame = {
+    // Signatures arrive materialized ([[sigStage]]) — Catalyst's project
     // collapsing would otherwise inline the full sketch expression into
     // every band hash and both self-join sides (~30× recompute). At scale
     // the sketch is a write-time table column; cache() is its local stand-in.
-    val docs = sigStage(s, dir)
     // hot-band cap: drop over-populated buckets from pair generation
     val bands = bandsWithSize(docs, Nil)
       .filter(col("__bsz") <= BandSizeCap).drop("__bsz")
@@ -180,13 +191,40 @@ object DedupQueries {
   // keep-one-per-cluster step production dedup runs after candidate
   // generation. Algorithm: [[graft.dedup.ConnectedComponents]] (min-label
   // propagation + pointer jumping, O(log diameter) rounds).
+  //
+  // r9 instrumentation finding (the r8 soak's 23× d7/d8 growth): the
+  // cause is measured PAIR EXPLOSION, not CC-round overhead — strong
+  // pairs grew 10,400 → ~1.05M (≈100× for 10× data) because the sf1
+  // corpus replicates content 10×, inflating every near-dup bucket
+  // quadratically; the CC path choice is immaterial at that size
+  // (driver union-find at a forced 4M threshold measured WITHIN NOISE of
+  // the 5-round distributed loop — the 1M default cutoff is well
+  // placed). Exact-dedup-first was evaluated and REJECTED by
+  // measurement: the replicas are near-identical, not bit-identical
+  // (49,920 distinct digests / 50,000 docs), so digest collapsing
+  // bought nothing and cost 3×. The lever that does work is the
+  // hot-band cap (see [[BandSizeCap]]).
   // labels memoized per (session, dir): d7 and d8 share one component run
   // (the result is tiny — one row per clustered doc)
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     StageCache.getOrCache(s, s"dup_clusters:$dir") {
-      graft.dedup.ConnectedComponents
-        .label(candidatePairs(s, dir).filter(col("est_sim") >= 0.5))
+      val (labels, stats) = graft.dedup.ConnectedComponents
+        .labelWithStats(candidatePairs(s, dir).filter(col("est_sim") >= 0.5))
+      ccStatsByDir.put(dir, stats)
+      labels
     }
+
+  /** Per-dir record of what the last d7/d8 component run actually did
+    * (pair volume, driver-vs-distributed path, rounds) — the soak stamps
+    * it into SOAK_r{N} so superlinear d7/d8 growth is attributable to
+    * measured pair explosion vs iteration overhead, not guessed.
+    */
+  private val ccStatsByDir =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, graft.dedup.ConnectedComponents.CcStats]
+
+  def ccStats(dir: String): Option[graft.dedup.ConnectedComponents.CcStats] =
+    Option(ccStatsByDir.get(dir))
 
   private val d7Clusters: Q = (s, dir) =>
     clusterLabels(s, dir)

@@ -60,7 +60,13 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     assume(enabled, "opt-in: set GRAFT_SOAK=1 to run the sf1 soak")
 
     val base = runCatalog(sf01)
+    val ccBase = graft.queries.DedupQueries.ccStats(sf01)
     val soak = runCatalog(sf1)
+    val ccSoak = graft.queries.DedupQueries.ccStats(sf1)
+    // host-calibration AFTER the runs (everything JIT-warm), same fixed
+    // workload as the bench — total_over_calib makes sf1 trends
+    // host-normalized across rounds too
+    val calib = Bench.calibrate(spark)
 
     // artifact first, asserts second — a failed envelope still leaves the
     // full record on disk for diagnosis
@@ -69,11 +75,17 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qs = soak.toSeq.sortBy(_._1).map { case (k, (t, ok)) =>
       s"""\"$k\":${if (ok) t.toString else "-1"}"""
     }.mkString("{", ",", "}")
+    def ccJson(st: Option[graft.dedup.ConnectedComponents.CcStats]): String =
+      st.map(s => s"""{"pairs":${s.pairs},"path":"${s.path}",""" +
+        s""""rounds":${s.rounds}}""").getOrElse("null")
     val line =
       s"""{"metric":"total","value":$total1,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sf1","baseline_sf01_total":$total01,""" +
         s""""ratio":${if (total01 > 0) total1 / total01 else -1},""" +
         s""""nq":${soak.size},""" +
+        f""""calib_sec":$calib%.3f,""" +
+        f""""total_over_calib":${total1 / calib}%.1f,""" +
+        s""""cc_sf01":${ccJson(ccBase)},"cc_sf1":${ccJson(ccSoak)},""" +
         s""""failures":${soak.count(!_._2._2)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_SOAK_OUT", "SOAK_sf1.json")),
