@@ -330,10 +330,13 @@ object PipelineQueries {
   }
 
   /** S3/S4 on ENCRYPTED bytes: the owner-restricted corpus shape — every
-    * stream RC4- or AES-128-encrypted under the standard security
-    * handler (empty user password; doc_id alternates the cipher so both
-    * paths stay exercised at every scale). The extractor must
-    * authenticate the empty password and decrypt per object
+    * stream encrypted under the standard security handler (empty user
+    * password; doc_id rotates RC4-128 / AES-128 / AES-256 so all three
+    * handler generations stay exercised at every scale — /V 5 /R 6
+    * AES-256 has been the Acrobat default since PDF 2.0, so a modern
+    * encrypted corpus is mostly that). The extractor must authenticate
+    * the empty password (SHA-2 Algorithm 2.B hashes for V5, MD5
+    * Algorithm 2 for the legacy handlers) and decrypt per object
     * ([[graft.sources.PdfCrypt]]; reference analog: PyMuPDF opens
     * owner-restricted files transparently). The plaintext never appears
     * in the file, so `lossless` pins genuine decryption — skipping the
@@ -351,14 +354,18 @@ object PipelineQueries {
           .map(PdfWriter.sanitize).filter(_.trim.nonEmpty)
         val pages = paras.grouped(6)
           .map(ps => PdfWriter.PageSpec(ps)).toSeq
-        val aes = id % 3 == 0
+        val cipher = (id % 3) match {
+          case 0 => "aes256"
+          case 1 => "rc4"
+          case _ => "aes128"
+        }
         val bytes = PdfWriter.buildEncrypted(pages,
-          compress = id % 2 == 0, aes = aes)
+          compress = id % 2 == 0, cipher = cipher)
         val blocks = RealPdfExtractor.extract(s"enc/$id.pdf", bytes)
         val lossless = blocks.filter(!_.isImage).map(_.content) == paras
         val segs = PdfSource.parsePdf(s"enc/$id", s"enc/$id.pdf", bytes,
           RealPdfExtractor)
-        (id, if (aes) "aes" else "rc4", pages.length, blocks.length,
+        (id, cipher, pages.length, blocks.length,
           segs.length, segs.map(_.content.length).sum, lossless,
           bytes.length)
       })

@@ -746,16 +746,23 @@ object PdfWriter {
 
   /** Encrypted variant — the owner-restricted corpus shape (empty user
     * password, printing/copy bits cleared): every stream is encrypted
-    * under the standard security handler, RC4-128 (/V 2 /R 3) or
-    * AES-128-CBC (/V 4 /R 4 /AESV2) per `aes`. /O and /U are computed by
-    * the spec's Algorithms 3/5, so any conforming reader authenticates
-    * the empty password and opens the file; an extractor that skips
-    * decryption sees ciphertext and can recover NO text (the content
-    * streams never appear in the clear).
+    * under the standard security handler — RC4-128 (/V 2 /R 3),
+    * AES-128-CBC (/V 4 /R 4 /AESV2), or AES-256-CBC (/V 5 /R 6 /AESV3,
+    * the PDF-2.0 handler and the Acrobat default since X) per `cipher`
+    * ("rc4" | "aes128" | "aes256"). /O and /U come from the spec's
+    * algorithms (3/5 for the MD5 handlers, 2.B hashes + wrapped /UE //OE
+    * for V5), so any conforming reader authenticates the empty password
+    * and opens the file; an extractor that skips decryption sees
+    * ciphertext and can recover NO text (the content streams never
+    * appear in the clear).
     */
   def buildEncrypted(pages: Seq[PageSpec], compress: Boolean,
       aes: Boolean): Array[Byte] =
-    buildWith(pages, compress, cid = false, encryptAes = Some(aes))
+    buildEncrypted(pages, compress, if (aes) "aes128" else "rc4")
+
+  def buildEncrypted(pages: Seq[PageSpec], compress: Boolean,
+      cipher: String): Array[Byte] =
+    buildWith(pages, compress, cid = false, encryptCipher = Some(cipher))
 
   /** [[buildCidNoToUni]] with a PERMUTED glyph order and an embedded
     * /CIDToGIDMap STREAM (2-byte big-endian GID per CID, §9.7.4.2) — the
@@ -772,7 +779,7 @@ object PdfWriter {
       cid: Boolean, toUni: Boolean = true,
       jpegImages: Boolean = false, cff: Boolean = false,
       gidStream: Boolean = false,
-      encryptAes: Option[Boolean] = None): Array[Byte] = {
+      encryptCipher: Option[String] = None): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = mutable.Map[Int, Int]()
@@ -789,23 +796,34 @@ object PdfWriter {
     }
 
     // --- standard-security-handler state (buildEncrypted only) ---
-    val encObj = encryptAes.map { _ => val e = nextObj; nextObj += 1; e }
-    val encAes = encryptAes.getOrElse(false)
-    val encR = if (encAes) 4 else 3
+    val encObj = encryptCipher.map { _ => val e = nextObj; nextObj += 1; e }
+    val encV5 = encryptCipher.contains("aes256")
+    val encAes = encryptCipher.exists(_.startsWith("aes"))
+    val encR = if (encV5) 6 else if (encAes) 4 else 3
     val encP = -44 // typical owner-restriction bits
     // deterministic /ID: fixture bytes must be reproducible
     val encId0: Array[Byte] =
-      if (encryptAes.isEmpty) Array.emptyByteArray
+      if (encryptCipher.isEmpty) Array.emptyByteArray
       else java.security.MessageDigest.getInstance("MD5").digest(
         pages.flatMap(_.paragraphs).mkString("\n").getBytes(ISO_8859_1))
-    val encO = encryptAes.map(_ => PdfCrypt.computeO(
+    // legacy (MD5/RC4-derived) handlers
+    val encO = encryptCipher.filter(_ => !encV5).map(_ => PdfCrypt.computeO(
       Array.emptyByteArray, Array.emptyByteArray, 16, encR))
     val encKey = encO.map(o => PdfCrypt.fileKey(
       Array.emptyByteArray, o, encP, encId0, 16, encR))
     val encU = encKey.map(k => PdfCrypt.computeU(k, encId0, encR))
+    // V5: a deterministic 32-byte file key + the Algorithm-2.B entry set
+    val encV5Key: Option[Array[Byte]] =
+      if (!encV5) None
+      else Some(java.security.MessageDigest.getInstance("MD5")
+        .digest(encId0 ++ Array(1.toByte)) ++
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(encId0 ++ Array(2.toByte)))
+    val encV5Set = encV5Key.map(k => PdfCrypt.v5Entries(k, encP, encId0))
     def maybeEnc(num: Int, data: Array[Byte]): Array[Byte] =
-      encKey.map(k => PdfCrypt.encrypt(
-        PdfCrypt.objectKey(k, num, 0, encAes), data, encAes, num))
+      encV5Key.map(k => PdfCrypt.encrypt(k, data, aes = true, num))
+        .orElse(encKey.map(k => PdfCrypt.encrypt(
+          PdfCrypt.objectKey(k, num, 0, encAes), data, encAes, num)))
         .getOrElse(data)
 
     // distinct codepoints across every page, sorted: the CID alphabet
@@ -985,7 +1003,14 @@ object PdfWriter {
     def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02X").mkString
     encObj.foreach { e =>
       val body =
-        if (encAes)
+        if (encV5) {
+          val (u, ue, o, oe, perms) = encV5Set.get
+          s"<< /Filter /Standard /V 5 /R 6 /Length 256 /P $encP " +
+            s"/O <${hex(o)}> /U <${hex(u)}> " +
+            s"/OE <${hex(oe)}> /UE <${hex(ue)}> /Perms <${hex(perms)}> " +
+            "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+            "/StmF /StdCF /StrF /StdCF >>"
+        } else if (encAes)
           s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $encP " +
             s"/O <${hex(encO.get)}> /U <${hex(encU.get)}> " +
             "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
@@ -1244,25 +1269,43 @@ object RealPdfExtractor extends PdfExtractor {
       }
       case _ => Array.emptyByteArray
     }
-    val cipher: Option[(Boolean, Int)] = v match {
-      case 1 => Some((false, 5))
-      case 2 => Some((false, math.max(num("Length", 40) / 8, 5)))
-      case 4 =>
-        val cf = dictOf(deref(objs, enc.getOrElse("CF", PNull)))
-        val stdcf = dictOf(deref(objs, cf.getOrElse("StdCF", PNull)))
-        stdcf.get("CFM") match {
-          case Some(PName("AESV2")) => Some((true, 16))
-          case Some(PName("V2")) =>
-            Some((false, math.max(num("Length", 40) / 8, 5)))
-          case _ => None // /Identity or an unknown crypt filter
+    def stdCfm: Option[PVal] = {
+      val cf = dictOf(deref(objs, enc.getOrElse("CF", PNull)))
+      val stdcf = dictOf(deref(objs, cf.getOrElse("StdCF", PNull)))
+      stdcf.get("CFM")
+    }
+    // (fileKey, aes, derive): `derive` = per-object MD5 key (Algorithm 1,
+    // the legacy handlers); V5 encrypts every object under the FILE key
+    val keyInfo: Option[(Array[Byte], Boolean, Boolean)] = v match {
+      case 1 | 2 | 4 =>
+        val cipher: Option[(Boolean, Int)] = v match {
+          case 1 => Some((false, 5))
+          case 2 => Some((false, math.max(num("Length", 40) / 8, 5)))
+          case _ => stdCfm match {
+            case Some(PName("AESV2")) => Some((true, 16))
+            case Some(PName("V2")) =>
+              Some((false, math.max(num("Length", 40) / 8, 5)))
+            case _ => None // /Identity or an unknown crypt filter
+          }
         }
+        cipher.collect {
+          case (aes, n) if o.length >= 32 &&
+              PdfCrypt.emptyPasswordWorks(o, u, p, id0, n, r, encMeta) =>
+            (PdfCrypt.fileKey(Array.emptyByteArray, o, p, id0, n, r,
+              encMeta), aes, true)
+        }
+      case 5 if stdCfm.forall(_ == PName("AESV3")) =>
+        // AES-256 (/R 5 plain-SHA-256 or /R 6 hardened hash): validate
+        // the empty password against /U, unwrap the file key from /UE
+        val ue = strBytes("UE")
+        if (ue.length >= 32 && PdfCrypt.v5EmptyPasswordWorks(u, r))
+          try Some((PdfCrypt.v5FileKey(u, ue, r), true, false))
+          catch { case _: java.security.GeneralSecurityException => None }
+        else None
       case _ => None
     }
-    cipher match {
-      case Some((aes, n)) if o.length >= 32 &&
-          PdfCrypt.emptyPasswordWorks(o, u, p, id0, n, r, encMeta) =>
-        val key = PdfCrypt.fileKey(Array.emptyByteArray, o, p, id0, n, r,
-          encMeta)
+    keyInfo match {
+      case Some((key, aes, derive)) =>
         objs.map { case (objNum, obj) =>
           // never touch the Encrypt dict itself, nor cross-reference
           // streams (§7.5.8.2: the xref stream shall not be encrypted —
@@ -1273,7 +1316,8 @@ object RealPdfExtractor extends PdfExtractor {
           }
           if (objNum == encNum || isXref) objNum -> obj
           else {
-            val ok = PdfCrypt.objectKey(key, objNum, 0, aes)
+            val ok =
+              if (derive) PdfCrypt.objectKey(key, objNum, 0, aes) else key
             objNum -> Obj(
               mapStrings(obj.value, PdfCrypt.decrypt(ok, _, aes)),
               obj.stream.map(PdfCrypt.decrypt(ok, _, aes)))

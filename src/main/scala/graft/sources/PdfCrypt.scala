@@ -9,11 +9,14 @@ import java.security.MessageDigest
   * authenticates the empty password and decrypts on load; a byte-level
   * extractor must do the same or the whole document is noise.
   *
-  * Implemented: /Filter /Standard, revisions 2/3/4 — RC4 (40–128 bit,
-  * /V 1/2) and AES-128-CBC (/V 4 crypt filters, /CFM /AESV2), the two
-  * encryption modes PDF 1.4–1.7 producers actually emit. The file key is
-  * Algorithm 2 over the EMPTY user password; /U verification (Algorithms
-  * 4/5) is exposed so callers can distinguish "empty password works" from
+  * Implemented: /Filter /Standard, revisions 2/3/4/5/6 — RC4 (40–128
+  * bit, /V 1/2), AES-128-CBC (/V 4 crypt filters, /CFM /AESV2), and
+  * AES-256-CBC (/V 5 /CFM /AESV3, revisions 5 and 6 — the PDF-2.0
+  * handler, Acrobat's default since X, so a modern encrypted corpus is
+  * mostly this). Legacy file keys are Algorithm 2 over the EMPTY user
+  * password; V5 keys validate via the SHA-2 hashes (Algorithm 2.B's
+  * hardened iteration for /R 6) and unwrap from /UE. /U verification is
+  * exposed so callers can distinguish "empty password works" from
   * "genuinely password-protected" (the latter degrades to no text, like
   * the reference when authentication fails).
   *
@@ -179,4 +182,109 @@ object PdfCrypt {
       iv ++ aesCipher(javax.crypto.Cipher.ENCRYPT_MODE, objKey, iv)
         .doFinal(data)
     }
+
+  // ------------- /V 5 — AES-256 (ISO 32000-2 §7.6.4, /R 5 and /R 6) ----
+  // The PDF-2.0 handler (Acrobat default since X): SHA-2-based key
+  // derivation replaces MD5/RC4 entirely, the 256-bit FILE key encrypts
+  // every object directly (no per-object key derivation), and /U //O
+  // grow to 48 bytes (32-byte verification hash + 8-byte validation salt
+  // + 8-byte key salt) with the file key itself carried AES-wrapped in
+  // /UE //OE.
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private val ZeroIv = new Array[Byte](16)
+
+  private def aesNoPad(mode: Int, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** The /V 5 password hash: plain SHA-256(pwd‖salt‖udata) for /R 5;
+    * Algorithm 2.B's hardened iteration for /R 6 — ≥64 rounds of
+    * "AES-128-CBC-encrypt 64 copies of (pwd‖K‖udata) under K's first 32
+    * bytes, then SHA-256/384/512 chosen by the ciphertext's first 16
+    * bytes mod 3", continuing until the last ciphertext byte ≤
+    * rounds−32. Always returns 32 bytes.
+    */
+  def hash2b(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte],
+      r: Int): Array[Byte] = {
+    var k = sha("SHA-256", pwd, salt, udata)
+    if (r < 6) return k
+    var e: Array[Byte] = Array.emptyByteArray
+    var i = 0
+    while (i < 64 || (e(e.length - 1) & 0xff) > i - 32) {
+      val block = pwd ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(block, 0, k1, j * block.length, block.length)
+        j += 1
+      }
+      e = aesNoPad(javax.crypto.Cipher.ENCRYPT_MODE, k.take(16),
+        k.slice(16, 32), k1)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(mod match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case _ => "SHA-512"
+      }, e)
+      i += 1
+    }
+    k.take(32)
+  }
+
+  /** /V 5 Algorithm 11: does the EMPTY user password validate against
+    * the 48-byte /U? */
+  def v5EmptyPasswordWorks(u: Array[Byte], r: Int): Boolean =
+    u.length >= 48 && java.util.Arrays.equals(
+      hash2b(Array.emptyByteArray, u.slice(32, 40), Array.emptyByteArray, r),
+      u.take(32))
+
+  /** /V 5 Algorithm 2.A (user-password branch, empty password): the
+    * 32-byte file key, unwrapped from /UE with the intermediate user key
+    * (hash over the key salt), AES-256-CBC, zero IV, no padding. */
+  def v5FileKey(u: Array[Byte], ue: Array[Byte], r: Int): Array[Byte] = {
+    val ik = hash2b(Array.emptyByteArray, u.slice(40, 48),
+      Array.emptyByteArray, r)
+    aesNoPad(javax.crypto.Cipher.DECRYPT_MODE, ik, ZeroIv, ue.take(32))
+  }
+
+  /** Writer side: the full /V 5 entry set for an empty user AND owner
+    * password, deterministic in `seed` (fixture bytes must be
+    * reproducible — salts need uniqueness, not secrecy).
+    * @return (U, UE, O, OE, Perms), lengths 48/32/48/32/16
+    */
+  def v5Entries(fileKey: Array[Byte], p: Int, seed: Array[Byte],
+      r: Int = 6, encryptMetadata: Boolean = true)
+      : (Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    require(fileKey.length == 32, "V5 file key must be 32 bytes")
+    def salt(tag: Int): Array[Byte] =
+      md5(seed, Array(tag.toByte)).take(8)
+    val none = Array.emptyByteArray
+    val (vs, ks, ovs, oks) = (salt(1), salt(2), salt(3), salt(4))
+    val u48 = hash2b(none, vs, none, r) ++ vs ++ ks
+    val ue = aesNoPad(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2b(none, ks, none, r), ZeroIv, fileKey)
+    val o48 = hash2b(none, ovs, u48, r) ++ ovs ++ oks
+    val oe = aesNoPad(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2b(none, oks, u48, r), ZeroIv, fileKey)
+    // Algorithm 10: the /Perms block — P (LE32), 0xFFFFFFFF, the
+    // EncryptMetadata flag, 'adb', 4 seed bytes — AES-ECB'd under the
+    // file key
+    val block = le32(p) ++ Array(0xff, 0xff, 0xff, 0xff).map(_.toByte) ++
+      Array((if (encryptMetadata) 'T' else 'F').toByte) ++
+      "adb".getBytes("ISO-8859-1") ++ md5(seed, Array(5.toByte)).take(4)
+    val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+    (u48, ue, o48, oe, ecb.doFinal(block))
+  }
 }

@@ -45,7 +45,7 @@ object GoldenHashSpec {
     "p9_hard_eval" -> "f39498fac17cf54ae5778a6cab76c473",
     "p10_subset_font" -> "5d0e88778ba82ebdc83bd17c26781a1f",
     "p12_cff_font" -> "5533e65ed4673bbd0a99987be8785f91",
-    "p13_encrypted_pdf" -> "0e4f3cac0e1e656cf5e0c35a3b4fc046",
+    "p13_encrypted_pdf" -> "ec3bec477709529576b6ba55068943ea",
     "d13_bloom_incremental" -> "69596ca3f48f0bb2918f2476bb841537",
     "v5_ann_recall" -> "45820658a5290f75ce058970607f91a1",
     "v6_ivf_recall" -> "2820f621b95f7617bb49d5dd5a855eca",

@@ -598,6 +598,48 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(textBlocks(bytes) == paras1)
   }
 
+  test("encrypted round-trip (AES-256): V5 R6 hardened hash + wrapped key") {
+    val bytes = PdfWriter.buildEncrypted(Seq(PageSpec(paras1)),
+      compress = false, cipher = "aes256")
+    val s = new String(bytes, ISO_8859_1)
+    assert(s.contains("/V 5 /R 6") && s.contains("/CFM /AESV3"))
+    assert(s.contains("/UE <") && s.contains("/OE <") &&
+      s.contains("/Perms <"))
+    assert(!s.contains("quick brown fox"))
+    assert(textBlocks(bytes) == paras1)
+  }
+
+  test("AES-256 with a tampered /U fails auth and degrades to no text") {
+    val bytes = PdfWriter.buildEncrypted(Seq(PageSpec(paras1)),
+      compress = false, cipher = "aes256")
+    val s = new String(bytes, ISO_8859_1)
+    val uAt = s.indexOf("/U <") + 4
+    val tampered = (s.substring(0, uAt) + "00000000" + s.substring(uAt + 8))
+      .getBytes(ISO_8859_1)
+    val blocks = textBlocks(tampered) // must not throw
+    assert(!blocks.contains(paras1.head), "locked V5 file leaked plaintext")
+  }
+
+  test("Algorithm 2.B hash: R6 differs from R5, is stable, and validates") {
+    val pwd = Array.emptyByteArray
+    val salt = Array.tabulate[Byte](8)(_.toByte)
+    val r5 = graft.sources.PdfCrypt.hash2b(pwd, salt, Array.emptyByteArray, 5)
+    val r6 = graft.sources.PdfCrypt.hash2b(pwd, salt, Array.emptyByteArray, 6)
+    assert(r5.length == 32 && r6.length == 32)
+    assert(!java.util.Arrays.equals(r5, r6),
+      "R6 hardened hash degenerated to plain SHA-256")
+    // determinism: same inputs, same bytes (the fixture contract)
+    assert(java.util.Arrays.equals(r6,
+      graft.sources.PdfCrypt.hash2b(pwd, salt, Array.emptyByteArray, 6)))
+    // a full writer->reader key round-trip at R5 too (Acrobat IX files)
+    val key = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val (u, ue, _, _, _) = graft.sources.PdfCrypt.v5Entries(
+      key, -44, "seed".getBytes(ISO_8859_1), r = 5)
+    assert(graft.sources.PdfCrypt.v5EmptyPasswordWorks(u, 5))
+    assert(java.util.Arrays.equals(
+      graft.sources.PdfCrypt.v5FileKey(u, ue, 5), key))
+  }
+
   test("encrypted + FlateDecode + images: filters apply after decryption") {
     for (aes <- Seq(false, true)) {
       val pg = PageSpec(paras1.take(2), imagesAfter = Map(0 -> 1))
