@@ -374,6 +374,74 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S4 on the SCANNED-document image shape (the reference's actual
+    * domain — its corpus is OCR of scans, and scanned PDFs
+    * overwhelmingly carry CCITT G4 bilevel XObjects;
+    * pymupdf_parser.py:773-823 gets their pixels via rendering): each
+    * document renders to a PDF with three image XObjects — a CCITT G4
+    * image whose dict /Width /Height LIE by one and whose /DecodeParms
+    * has /Columns but no /Rows (height and ink are recoverable ONLY by
+    * running the G4 decoder, [[graft.sources.CcittG4]] — the p11 trick),
+    * plus one JBIG2 and one JPX stub the extractor must detect and label
+    * `undecoded` with dict dims, never guess at. The DuckDB oracle
+    * recomputes the G4 geometry AND black-pixel count from doc_id
+    * arithmetic over the pixel formula, so a hash match proves a true
+    * bit-level G4 decode end-to-end. Shuffle-free per-document map work,
+    * the p7/p11 scale shape.
+    */
+  private val p14ScannedPdf: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.{PdfWriter, RealPdfExtractor}
+    val g4Re = """Im0 (\d+)x(\d+) g4 b(\d+)""".r
+    val jbRe = """Im1 (\d+)x(\d+) jbig2 undecoded""".r
+    val jpRe = """Im2 (\d+)x(\d+) jpx undecoded""".r
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val paras = text.split("\n{2,}").toSeq
+          .map(PdfWriter.sanitize).filter(_.trim.nonEmpty).take(2)
+        val m = (id % 30).toInt
+        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 3)))
+        val bytes = PdfWriter.buildScan(pages, compress = id % 2 == 0,
+          seed = m)
+        val imgs = RealPdfExtractor.extract(s"scan/$id.pdf", bytes)
+          .filter(_.isImage).map(_.content)
+        val (gw, gh, gb) = imgs.collectFirst {
+          case g4Re(w, h, b) => (w.toLong, h.toLong, b.toLong)
+        }.getOrElse((-1L, -1L, -1L))
+        val (jw, jh) = imgs.collectFirst {
+          case jbRe(w, h) => (w.toLong, h.toLong)
+        }.getOrElse((-1L, -1L))
+        val (xw, xh) = imgs.collectFirst {
+          case jpRe(w, h) => (w.toLong, h.toLong)
+        }.getOrElse((-1L, -1L))
+        (id, gw, gh, gb, jw, jh, xw, xh)
+      })
+      .toDF("doc_id", "g4_w", "g4_h", "g4_black", "jbig2_w", "jbig2_h",
+        "jpx_w", "jpx_h")
+      .orderBy(col("doc_id"))
+  }
+
+  // grid bounds = the max of g4Dims over m (w ≤ 32, h ≤ 20); DuckDB's
+  // range() takes no correlated args, so the pixel census runs over the
+  // fixed grid with the per-doc bound as a filter
+  private val p14Sql =
+    """WITH d AS (SELECT doc_id, doc_id % 30 AS m,
+      |  12 + 4*((doc_id % 30) % 6) AS w, 8 + 3*((doc_id % 30) % 5) AS h
+      |  FROM documents)
+      |SELECT d.doc_id,
+      |  CAST(MAX(w) AS BIGINT) AS g4_w,
+      |  CAST(MAX(h) AS BIGINT) AS g4_h,
+      |  CAST(SUM(CASE WHEN x < w AND y < h AND (x*3 + y*7 + m) % 11 < 4
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS g4_black,
+      |  CAST(MAX(16 + m % 8) AS BIGINT) AS jbig2_w,
+      |  CAST(MAX(10 + m % 4) AS BIGINT) AS jbig2_h,
+      |  CAST(MAX(18 + m % 5) AS BIGINT) AS jpx_w,
+      |  CAST(MAX(12 + m % 6) AS BIGINT) AS jpx_h
+      |FROM d CROSS JOIN range(32) t1(x) CROSS JOIN range(20) t2(y)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
   /** S4 image metadata on REAL pixels: each document renders to a PDF
     * whose image XObjects are actual baseline JPEGs (/DCTDecode), with the
     * object dict's /Width /Height deliberately off by one — the extractor
@@ -434,10 +502,13 @@ object PipelineQueries {
     "p10_subset_font" -> p10SubsetFont,
     "p11_jpeg_xobject" -> p11JpegXobject,
     "p12_cff_font" -> p12CffFont,
-    "p13_encrypted_pdf" -> p13EncryptedPdf)
+    "p13_encrypted_pdf" -> p13EncryptedPdf,
+    "p14_scanned_pdf" -> p14ScannedPdf)
 
   /** Stateful per-document folds are not SQL-expressible (golden-pinned
-    * instead); p11 IS oracled — its expected dims are pure arithmetic. */
+    * instead); p11/p14 ARE oracled — their expected dims/ink are pure
+    * arithmetic. */
   val oracles: Map[String, String] = Map(
-    "p11_jpeg_xobject" -> p11Sql)
+    "p11_jpeg_xobject" -> p11Sql,
+    "p14_scanned_pdf" -> p14Sql)
 }

@@ -704,6 +704,41 @@ object PdfWriter {
   def buildJpeg(pages: Seq[PageSpec], compress: Boolean): Array[Byte] =
     buildWith(pages, compress, cid = false, jpegImages = true)
 
+  // ---- scanned-document image fixtures (p14): G4 + JBIG2/JPX stubs ----
+
+  /** Dimensions of the G4 bilevel image for seed m — oracle-side
+    * arithmetic, like [[jpegDims]]. */
+  def g4Dims(m: Int): (Int, Int) = (12 + 4 * (m % 6), 8 + 3 * (m % 5))
+
+  /** The deterministic test raster: black iff (3x + 7y + m) mod 11 < 4 —
+    * mixed short runs in both dimensions, so vertical, horizontal AND
+    * pass modes all exercise. */
+  def g4Pixel(m: Int, x: Int, y: Int): Boolean = (x * 3 + y * 7 + m) % 11 < 4
+
+  def g4Raster(m: Int): Seq[Array[Boolean]] = {
+    val (w, h) = g4Dims(m)
+    (0 until h).map(y => Array.tabulate(w)(x => g4Pixel(m, x, y)))
+  }
+
+  /** Dict dimensions of the JBIG2 / JPX stub XObjects for seed m
+    * (truthful — nothing decodes them; the label must carry them plus
+    * the honest `undecoded` marker). */
+  def jbig2Dims(m: Int): (Int, Int) = (16 + m % 8, 10 + m % 4)
+  def jpxDims(m: Int): (Int, Int) = (18 + m % 5, 12 + m % 6)
+
+  /** The scanned-corpus shape (p14): image XObjects are CCITT G4
+    * (/Filter /CCITTFaxDecode /K -1 — what scanned PDFs overwhelmingly
+    * carry), plus one JBIG2 and one JPX stub per image triple. The G4
+    * object dict deliberately understates /Width /Height by 1 and its
+    * /DecodeParms carries /Columns but NO /Rows — height and ink are
+    * recoverable ONLY by running the G4 decoder (the p11 trick); the
+    * JBIG2/JPX stubs must be detected and labeled `undecoded` with their
+    * dict dims, never guessed at.
+    */
+  def buildScan(pages: Seq[PageSpec], compress: Boolean,
+      seed: Int): Array[Byte] =
+    buildWith(pages, compress, cid = false, scanSeed = Some(seed))
+
   /** Identity-H variant — the modern-producer shape the extractor must
     * handle in the wild: one /Type0 font whose strings are two-byte CIDs,
     * mapped back to text only through the embedded /ToUnicode CMap. CID =
@@ -779,7 +814,8 @@ object PdfWriter {
       cid: Boolean, toUni: Boolean = true,
       jpegImages: Boolean = false, cff: Boolean = false,
       gidStream: Boolean = false,
-      encryptCipher: Option[String] = None): Array[Byte] = {
+      encryptCipher: Option[String] = None,
+      scanSeed: Option[Int] = None): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = mutable.Map[Int, Int]()
@@ -977,7 +1013,40 @@ object PdfWriter {
       }
       imgObjs.zipWithIndex.foreach { case (o, i) =>
         defObj(o) {
-          if (jpegImages) {
+          if (scanSeed.isDefined) {
+            val m = scanSeed.get
+            (i % 3) match {
+              case 0 => // CCITT G4; dict dims LIE, /DecodeParms has no /Rows
+                val (iw, ih) = g4Dims(m)
+                val payload = maybeEnc(o, CcittG4.encode(g4Raster(m), iw))
+                w(s"<< /Type /XObject /Subtype /Image /Width ${iw - 1} " +
+                  s"/Height ${ih - 1} /ColorSpace /DeviceGray " +
+                  "/BitsPerComponent 1 /Filter /CCITTFaxDecode " +
+                  s"/DecodeParms << /K -1 /Columns $iw /BlackIs1 true >> " +
+                  s"/Length ${payload.length} >>\nstream\n")
+                out.write(payload)
+                w("\nendstream")
+              case 1 => // JBIG2: honest dict dims, undecodable payload
+                val (iw, ih) = jbig2Dims(m)
+                val payload = maybeEnc(o,
+                  s"jbig2-stub-$m".getBytes(ISO_8859_1))
+                w(s"<< /Type /XObject /Subtype /Image /Width $iw " +
+                  s"/Height $ih /ColorSpace /DeviceGray " +
+                  "/BitsPerComponent 1 /Filter /JBIG2Decode " +
+                  s"/Length ${payload.length} >>\nstream\n")
+                out.write(payload)
+                w("\nendstream")
+              case _ => // JPX
+                val (iw, ih) = jpxDims(m)
+                val payload = maybeEnc(o, s"jpx-stub-$m".getBytes(ISO_8859_1))
+                w(s"<< /Type /XObject /Subtype /Image /Width $iw " +
+                  s"/Height $ih /ColorSpace /DeviceRGB " +
+                  "/BitsPerComponent 8 /Filter /JPXDecode " +
+                  s"/Length ${payload.length} >>\nstream\n")
+                out.write(payload)
+                w("\nendstream")
+            }
+          } else if (jpegImages) {
             val (iw, ih) = jpegDims(i)
             val jpeg = graft.media.ImageCodec.syntheticJpeg(iw, ih, i.toLong)
             // dict dims off by one ON PURPOSE: only a pixel decode can
@@ -1558,6 +1627,11 @@ object RealPdfExtractor extends PdfExtractor {
             // claim (the pixels are the truth a Vision-OCR call would see);
             // failure degrades to the dict-dims label, never throws.
             // Decode memoized by object number across the document's pages.
+            // CCITT G4 (the scanned-corpus compression) decodes through
+            // [[CcittG4]]: width = /Columns, height/ink come from the
+            // DATA. JBIG2/JPX are detected and labeled `undecoded` with
+            // their dict dims — an honest feature for the would_ocr
+            // policy, never a guess at pixels.
             val label =
               if (filters.contains("DCTDecode")) {
                 val dec = ref match {
@@ -1567,7 +1641,26 @@ object RealPdfExtractor extends PdfExtractor {
                 }
                 dec.map(d => s"${d.width}x${d.height} jpeg c${d.channels}")
                   .getOrElse(s"${dim("Width")}x${dim("Height")}")
-              } else s"${dim("Width")}x${dim("Height")}"
+              } else if (filters.contains("CCITTFaxDecode") ||
+                  filters.contains("CCF")) {
+                val pm = dictOf(deref(objs,
+                  d.getOrElse("DecodeParms", d.getOrElse("DP", PNull))))
+                def pnum(k: String, dflt: Int): Int =
+                  deref(objs, pm.getOrElse(k, PNull)) match {
+                    case PNum(v) => v.toInt
+                    case _ => dflt
+                  }
+                val dec =
+                  if (pnum("K", 0) >= 0) None // 1D/mixed T.4: dict dims
+                  else stream.flatMap(b =>
+                    CcittG4.decode(b, pnum("Columns", 1728)))
+                dec.map(g => s"${g.columns}x${g.height} g4 b${g.blackCount}")
+                  .getOrElse(s"${dim("Width")}x${dim("Height")}")
+              } else if (filters.contains("JBIG2Decode"))
+                s"${dim("Width")}x${dim("Height")} jbig2 undecoded"
+              else if (filters.contains("JPXDecode"))
+                s"${dim("Width")}x${dim("Height")} jpx undecoded"
+              else s"${dim("Width")}x${dim("Height")}"
             Some(name -> ImgInfo(label))
           } else None
       }

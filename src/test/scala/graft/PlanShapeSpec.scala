@@ -530,7 +530,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and die inside the partition iterator; the only exchanges are the
     // presentation orderBy (range) and the input spread (round-robin)
     Seq("p10_subset_font", "p11_jpeg_xobject", "m3_jpeg_decode",
-      "p12_cff_font", "p13_encrypted_pdf").foreach { q =>
+      "p12_cff_font", "p13_encrypted_pdf", "p14_scanned_pdf").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q must not hash-shuffle:\n$p")
