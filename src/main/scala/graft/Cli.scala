@@ -100,15 +100,14 @@ object Cli {
         // rows — pay it only when the sidecar says the index was built
         // multi-assigned (a single-assign index cannot hold duplicates)
         val hits = (view match {
-          case Some(v) if q.replicas <= 1 =>
+          case Some(v) =>
+            // adaptive prober is replica-aware (distinct-counts and
+            // dedupes only when the sidecar says replicas > 1)
             val a = graft.search.Ivf.searchFilteredAdaptive(
               index, qvec, q, topK, col("view") === v, nprobe)
             println(s"[ann-search] view=$v nprobe_used=${a.nprobeUsed} " +
               s"eligible_candidates=${a.eligibleCandidates}")
             a.hits
-          case Some(v) =>
-            graft.search.Ivf.searchMultiAssign(index, qvec, q, topK, nprobe,
-              predicate = Some(col("view") === v))
           case None if q.replicas > 1 =>
             graft.search.Ivf.searchMultiAssign(index, qvec, q, topK, nprobe)
           case None =>

@@ -93,31 +93,18 @@ object HashedLogReg {
   def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
 
   /** `iters` full-batch GD steps with 1/(1+t·decay) learning-rate decay
-    * (decay 0 = constant rate) and optional heavy-ball momentum
-    * (`momentum` = β; 0 = plain GD); returns (weights, bias).
-    *
-    * Momentum is the "accumulated curvature" lever that cuts the Spark
-    * job count: the per-iteration DATA cost was already right (dim+1-row
-    * shuffle output), so wall time is driver job-scheduling latency × T
-    * — and β=0.9 reaches plain-GD-at-40-steps accuracy in 12 steps
-    * (measured in ROUND9.md). The velocity update runs on the driver
-    * over the SAME exact-long gradients, one fixed arithmetic sequence —
-    * bit-determinism under any partitioning is untouched.
+    * (decay 0 = constant rate); returns (weights, bias). First-order
+    * training is kept as the simple reference schedule; production
+    * callers (x21, classify-train) use [[trainNewton]] — measured 20×
+    * faster AND more accurate on the count-feature conditioning
+    * (momentum/Adagrad variants were swept in round 9 and rejected:
+    * none reached the 40-step GD accuracy under the latency budget).
     */
   def train(features: DataFrame, dim: Int, iters: Int, lr: Double,
-      decay: Double = 0.0, momentum: Double = 0.0,
-      adagrad: Boolean = false): (Array[Double], Double) = {
+      decay: Double = 0.0): (Array[Double], Double) = {
     val n = features.count().toDouble
     require(n > 0, "cannot train on an empty features table")
     val w = new Array[Double](dim)
-    val vel = new Array[Double](dim + 1) // index dim = bias velocity
-    val acc = new Array[Double](dim + 1) // adagrad Σg² accumulators
-    def precond(j: Int, gj: Double): Double =
-      if (!adagrad) gj
-      else {
-        acc(j) += gj * gj
-        gj / (math.sqrt(acc(j)) + 1e-8)
-      }
     var bias = 0.0
     var t = 0
     while (t < iters) {
@@ -136,13 +123,10 @@ object HashedLogReg {
       val gBias = g.find(_.getInt(0) == 0).map(_.getLong(2)).getOrElse(0L)
       var j = 0
       while (j < dim) {
-        vel(j) = momentum * vel(j) +
-          precond(j, byJ.getOrElse(j, 0L).toDouble / (1e6 * n))
-        w(j) -= lrT * vel(j)
+        w(j) -= lrT * byJ.getOrElse(j, 0L).toDouble / (1e6 * n)
         j += 1
       }
-      vel(dim) = momentum * vel(dim) + precond(dim, gBias.toDouble / (1e6 * n))
-      bias -= lrT * vel(dim)
+      bias -= lrT * gBias.toDouble / (1e6 * n)
       t += 1
     }
     (w, bias)
@@ -236,7 +220,12 @@ object HashedLogReg {
         x
       }
       wB.destroy()
-      // assemble (H/1e6 + ridge·n·I) Δ = g/1e6 and solve
+      // assemble the PENALIZED Newton system — the objective is
+      // L(w) + (ridge·n/2)·|w|² (bias included), so BOTH sides carry the
+      // penalty: ∇ = g + ridge·n·w, ∇² = H + ridge·n·I. With the
+      // gradient term the iteration converges to the penalized MLE and
+      // stays bounded on separable data (Hessian-only ridge would be
+      // damped Newton toward the UNPENALIZED optimum at infinity).
       val a = Array.ofDim[Double](d1, d1 + 1)
       var j = 0
       while (j < d1) {
@@ -246,7 +235,7 @@ object HashedLogReg {
           a(j)(k) = v.toDouble / 1e6 + (if (j == k) ridge * n else 0.0)
           k += 1
         }
-        a(j)(d1) = sums(nTri + j).toDouble / 1e6
+        a(j)(d1) = sums(nTri + j).toDouble / 1e6 + ridge * n * w(j)
         j += 1
       }
       // Gaussian elimination, partial pivoting, fixed tie order

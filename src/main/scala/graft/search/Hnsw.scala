@@ -135,70 +135,30 @@ object Hnsw {
     }
 
     /** Best-first beam search at one layer. Returns up to `ef` nearest
-      * (dist, node) pairs, ordering ties by node index.
+      * (dist, node) pairs among nodes `allow` accepts, ordering ties by
+      * node index.
+      *
+      * `allow` is the RESULT-SIDE eligibility filter of filtered-HNSW
+      * (the pgvector filtered index walk / FAISS `IDSelector` shape):
+      * NAVIGATION runs over the whole graph (disallowed nodes still
+      * expand — the small-world routing must not be severed by the
+      * predicate), while the bounded result beam accepts only eligible
+      * nodes. Termination uses the ELIGIBLE beam: until it holds `ef`
+      * eligible nodes nothing is pruned, so the search keeps widening
+      * exactly when the predicate starves it — the graph analog of
+      * [[Ivf.searchFilteredAdaptive]]'s probe widening, and the reason
+      * `ef ≥ n` stays an exactness witness under any predicate (every
+      * node visited ⇒ exact filtered scan). Cost rises as selectivity
+      * falls (inherent to filtered graph ANN); below ~1% selectivity
+      * prefer the exact pre-filter scan. With the default allow-all the
+      * behavior and visit order are the classic unfiltered beam search,
+      * bit-for-bit.
       */
     private def searchLayer(q: Array[Float], eps: Seq[Int], ef: Int,
-        level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+        level: Int,
+        allow: Int => Boolean = _ => true): mutable.ArrayBuffer[(Double, Int)] = {
       val visited = mutable.HashSet.empty[Int]
       // candidates: nearest first; results: furthest first (bounded ef)
-      implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
-      val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
-      val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
-      eps.foreach { ep =>
-        if (visited.add(ep)) {
-          val d = dist(q, ep)
-          cand.enqueue((d, ep)); res.enqueue((d, ep))
-        }
-      }
-      while (cand.nonEmpty) {
-        val (cd, c) = cand.dequeue()
-        if (cd > res.head._1 && res.size >= ef) {
-          cand.clear() // nearest remaining candidate is worse than the
-          // furthest kept result and the beam is full — done
-        } else {
-          val ns = links(c)(level)
-          var i = 0
-          while (i < ns.length) {
-            val nb = ns(i)
-            if (visited.add(nb)) {
-              val d = dist(q, nb)
-              if (res.size < ef || d < res.head._1 ||
-                  (d == res.head._1 && nb < res.head._2)) {
-                cand.enqueue((d, nb)); res.enqueue((d, nb))
-                if (res.size > ef) res.dequeue()
-              }
-            }
-            i += 1
-          }
-        }
-      }
-      val out = mutable.ArrayBuffer.empty[(Double, Int)]
-      out ++= res
-      out.sortInPlace()
-      out
-    }
-
-    /** Layer-0 beam search with a RESULT-SIDE eligibility filter — the
-      * standard filtered-HNSW shape (pgvector's filtered index walk /
-      * FAISS `IDSelector`): NAVIGATION runs over the whole graph
-      * (disallowed nodes still expand — the graph's small-world routing
-      * must not be severed by the predicate), while the bounded result
-      * beam accepts only eligible nodes. Termination uses the ELIGIBLE
-      * beam: until it holds `ef` eligible nodes nothing is pruned, so
-      * the search keeps widening exactly when the predicate starves it
-      * — the graph analog of [[Ivf.searchFilteredAdaptive]]'s
-      * probe widening. Consequently `ef ≥ n` visits every node and the
-      * filtered search degenerates to the exact filtered scan — the
-      * same exactness witness as the unfiltered contract (spec-pinned;
-      * the v15 catalog query carries it). Cost rises as selectivity
-      * falls (more of the graph is traversed per eligible hit) — that
-      * is inherent to filtered graph ANN, not a defect; below ~1%
-      * selectivity prefer the exact pre-filter scan
-      * ([[VectorSearch.knn]] with the predicate pushed down).
-      */
-    private def searchLayerFiltered(q: Array[Float], eps: Seq[Int], ef: Int,
-        allow: Int => Boolean): mutable.ArrayBuffer[(Double, Int)] = {
-      val visited = mutable.HashSet.empty[Int]
       implicit val ord: Ordering[(Double, Int)] = Ordering.Tuple2
       val cand = mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
       val res = mutable.PriorityQueue.empty[(Double, Int)](ord)
@@ -212,10 +172,10 @@ object Hnsw {
       while (cand.nonEmpty) {
         val (cd, c) = cand.dequeue()
         if (res.size >= ef && cd > res.head._1) {
-          cand.clear() // eligible beam full AND nearest candidate worse
-          // than its furthest member — no eligible node can improve
+          cand.clear() // nearest remaining candidate is worse than the
+          // furthest kept result and the beam is full — done
         } else {
-          val ns = links(c)(0)
+          val ns = links(c)(level)
           var i = 0
           while (i < ns.length) {
             val nb = ns(i)
@@ -374,7 +334,7 @@ object Hnsw {
 
     /** FILTERED top-k: same descent and tie rules as [[search]], with
       * the layer-0 beam collecting only nodes whose ID the predicate
-      * allows ([[searchLayerFiltered]] — navigation stays unfiltered).
+      * allows ([[searchLayer]]'s `allow` — navigation stays unfiltered).
       * Returns min(k, eligible-found) rows; `ef ≥ size` ⇒ exact
       * filtered top-k (every node visited).
       */
@@ -385,7 +345,7 @@ object Hnsw {
       var ep = entry
       var lev = maxLevel
       while (lev > 0) { ep = greedy(q, ep, lev); lev -= 1 }
-      val w = searchLayerFiltered(q, Seq(ep), math.max(ef, k),
+      val w = searchLayer(q, Seq(ep), math.max(ef, k), 0,
         node => allow(ids(node)))
       w.map { case (d, node) => (d, ids(node)) }
         .sortInPlace()

@@ -285,12 +285,19 @@ object Ivf {
     * of a fixed multiplier adapts to the predicate's actual selectivity
     * at O(log k) count jobs worst case. When the widening reaches all
     * `q.k` lists the result is exact filtered KNN by construction.
+    *
+    * Replica-aware: on a multi-assigned index (`q.replicas > 1` — the
+    * sidecar records it) eligible candidates count DISTINCT `tieBreak`
+    * values (a replicated boundary vector must not inflate the fill
+    * estimate) and the final search dedupes ([[searchMultiAssign]]);
+    * single-assign indexes skip both costs.
     */
   def searchFilteredAdaptive(index: DataFrame, queryVec: Array[Float],
       q: Quantizer, topK: Int, predicate: Column, nprobe: Int = 1,
       fillFactor: Int = 2, vectorCol: String = "vector",
       tieBreak: String = "fragment_id"): AdaptiveProbe = {
     val want = math.max(1L, fillFactor.toLong * topK)
+    val replicated = q.replicas > 1
     // one ranking of all k lists, widened by prefix — each step reuses it
     val ranked = nearestLists(queryVec, q, q.k)
     var np = math.max(1, nprobe)
@@ -298,14 +305,21 @@ object Ivf {
     var done = false
     while (!done) {
       val lists = ranked.take(np)
-      eligibleCount = index.filter(col("list_id").isin(lists: _*))
-        .filter(predicate).count()
+      val eligible = index.filter(col("list_id").isin(lists: _*))
+        .filter(predicate)
+      eligibleCount =
+        if (replicated) eligible.select(col(tieBreak)).distinct().count()
+        else eligible.count()
       if (eligibleCount >= want || np >= q.k) done = true
       else np = math.min(q.k, np * 2)
     }
     AdaptiveProbe(
-      search(index, queryVec, q, topK, np, vectorCol, tieBreak,
-        Some(predicate)),
+      if (replicated)
+        searchMultiAssign(index, queryVec, q, topK, np, vectorCol,
+          tieBreak, Some(predicate))
+      else
+        search(index, queryVec, q, topK, np, vectorCol, tieBreak,
+          Some(predicate)),
       np, eligibleCount)
   }
 }

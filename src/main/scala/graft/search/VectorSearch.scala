@@ -111,7 +111,11 @@ object VectorSearch {
       topK: Int, predicate: Column, overFetch: Int = 4,
       vectorCol: String = "vector",
       tieBreak: String = "fragment_id"): DataFrame = {
-    val k = math.max(topK, 1)
+    // caller-visible k obeys the [1, 100] contract like every sibling
+    // entry point; only the INTERNAL over-fetch escapes the clamp (the
+    // knnDeduped pattern — re-clamping it would recreate the
+    // dedupe-after-limit bug at k ≥ 25)
+    val k = clampTopK(topK)
     knn(embeddings, queryVec, k * math.max(overFetch, 1),
         vectorCol = vectorCol, tieBreak = tieBreak, clampK = false)
       .filter(predicate)

@@ -1181,8 +1181,10 @@ object RealPdfExtractor extends PdfExtractor {
       // inherit shared /Resources (or reuse one image object) must not
       // re-decode the same /DCTDecode stream once per page
       val decodeCache = mutable.Map.empty[Int, Option[graft.media.ImageCodec.Decoded]]
+      val g4Cache = mutable.Map.empty[Int, Option[CcittG4.Decoded]]
       pages.zipWithIndex.flatMap { case ((pageDict, inheritedRes), pageNum) =>
-        try pageBlocks(objs, pageDict, inheritedRes, pageNum, decodeCache)
+        try pageBlocks(objs, pageDict, inheritedRes, pageNum, decodeCache,
+          g4Cache)
         catch { case _: Exception => Nil } // one bad page never kills the doc
       }
     } catch { case _: Exception => Nil }
@@ -1585,7 +1587,8 @@ object RealPdfExtractor extends PdfExtractor {
 
   private def pageBlocks(objs: Map[Int, Obj], page: Map[String, PVal],
       resources: Map[String, PVal], pageNum: Int,
-      decodeCache: mutable.Map[Int, Option[graft.media.ImageCodec.Decoded]])
+      decodeCache: mutable.Map[Int, Option[graft.media.ImageCodec.Decoded]],
+      g4Cache: mutable.Map[Int, Option[CcittG4.Decoded]])
       : Seq[PdfBlock] = {
     val content = deref(objs, page.getOrElse("Contents", PNull)) match {
       case PArr(parts) =>
@@ -1643,17 +1646,32 @@ object RealPdfExtractor extends PdfExtractor {
                   .getOrElse(s"${dim("Width")}x${dim("Height")}")
               } else if (filters.contains("CCITTFaxDecode") ||
                   filters.contains("CCF")) {
-                val pm = dictOf(deref(objs,
-                  d.getOrElse("DecodeParms", d.getOrElse("DP", PNull))))
+                // /DecodeParms may be a single dict OR an array aligned
+                // with an array /Filter — take the entry at the CCITT
+                // filter's index (the applyFilters convention)
+                val parmsSeq: Seq[Map[String, PVal]] =
+                  deref(objs, d.getOrElse("DecodeParms",
+                      d.getOrElse("DP", PNull))) match {
+                    case PDict(p) => Seq(p)
+                    case PArr(ps) => ps.map(x => dictOf(deref(objs, x)))
+                    case _ => Nil
+                  }
+                val fIdx = filters.indexWhere(f =>
+                  f == "CCITTFaxDecode" || f == "CCF")
+                val pm = parmsSeq.lift(fIdx).getOrElse(Map.empty)
                 def pnum(k: String, dflt: Int): Int =
                   deref(objs, pm.getOrElse(k, PNull)) match {
                     case PNum(v) => v.toInt
                     case _ => dflt
                   }
-                val dec =
+                def decodeG4(): Option[CcittG4.Decoded] =
                   if (pnum("K", 0) >= 0) None // 1D/mixed T.4: dict dims
                   else stream.flatMap(b =>
                     CcittG4.decode(b, pnum("Columns", 1728)))
+                val dec = ref match {
+                  case PRef(num) => g4Cache.getOrElseUpdate(num, decodeG4())
+                  case _ => decodeG4()
+                }
                 dec.map(g => s"${g.columns}x${g.height} g4 b${g.blackCount}")
                   .getOrElse(s"${dim("Width")}x${dim("Height")}")
               } else if (filters.contains("JBIG2Decode"))

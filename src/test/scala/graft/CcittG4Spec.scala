@@ -66,6 +66,30 @@ class CcittG4Spec extends AnyFunSuite {
     assert(CcittG4.decode(junk, 0).isEmpty)
   }
 
+  test("array-form /Filter + /DecodeParms (the standard PDF shape) decodes") {
+    val m = 4
+    val bytes = PdfWriter.buildScan(
+      Seq(PdfWriter.PageSpec(Seq("scan page"), Map(0 -> 1))),
+      compress = false, seed = m)
+    val s = new String(bytes, "ISO-8859-1")
+    // rewrite the G4 XObject to the array spelling real producers emit:
+    // /Filter [/CCITTFaxDecode] /DecodeParms [<< ... >>] — the extractor
+    // scans object bodies, so the shifted xref offsets are irrelevant
+    val (gw, _) = PdfWriter.g4Dims(m)
+    val single = s"/Filter /CCITTFaxDecode " +
+      s"/DecodeParms << /K -1 /Columns $gw /BlackIs1 true >>"
+    assert(s.contains(single), "fixture layout changed")
+    val arrayForm = s"/Filter [/CCITTFaxDecode] " +
+      s"/DecodeParms [<< /K -1 /Columns $gw /BlackIs1 true >>]"
+    val rewritten = s.replace(single, arrayForm).getBytes("ISO-8859-1")
+    val imgs = RealPdfExtractor.extract("scan.pdf", rewritten)
+      .filter(_.isImage).map(_.content)
+    val (w, h) = PdfWriter.g4Dims(m)
+    val black = (for (y <- 0 until h; x <- 0 until w
+      if PdfWriter.g4Pixel(m, x, y)) yield 1).sum
+    assert(imgs.contains(s"Im0 ${w}x$h g4 b$black"), imgs.mkString("; "))
+  }
+
   test("PDF integration: G4 label from the decoded raster, stubs honest") {
     val m = 13
     val bytes = PdfWriter.buildScan(

@@ -144,6 +144,29 @@ class FilteredAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       ids(e.hits).isEmpty)
   }
 
+  test("adaptive widening on a MULTI-ASSIGNED index dedupes candidates " +
+      "and fill-counts distinct fragments") {
+    val s = spark
+    import s.implicits._
+    val sample = table.orderBy(col("fragment_id")).limit(512)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val q = Ivf.train(sample, 8).copy(replicas = 2)
+    val index = Ivf.buildIndexMultiAssign(table, q, replicas = 2)
+    val a = Ivf.searchFilteredAdaptive(index, query, q, topK = 10,
+      predicate = dense, nprobe = 1, fillFactor = 1)
+    val got = ids(a.hits)
+    assert(got.distinct == got, "replicated index returned duplicate ids")
+    assert(got.forall(denseF), "ineligible row leaked through")
+    assert(got.size == 10)
+    // eligible count must be DISTINCT fragments, never replica rows:
+    // full probe of a 2-replica index holds 2x rows but N/2 eligible docs
+    val full = Ivf.searchFilteredAdaptive(index, query, q, topK = 10,
+      predicate = dense, nprobe = q.k)
+    assert(full.eligibleCandidates == N / 2,
+      s"eligible=${full.eligibleCandidates} counted replicas, not docs")
+    assert(ids(full.hits) == exactFiltered(denseF, 10))
+  }
+
   test("LSH all-buckets probe with predicate equals exact filtered KNN") {
     val planes = Ann.makePlanes(Dim, numPlanes = 4)
     val index = Ann.buildIndex(table, planes)

@@ -55,7 +55,7 @@ object GoldenHashSpec {
     "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
     "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
     "x14_approx_topk" -> "03d0cc91a100036d57ef942396763a06",
-    "x21_quality_classifier" -> "a8ea47cb7c5f4a782603ba43375a19c1",
+    "x21_quality_classifier" -> "99f87ac4a409c0e0471be31c0a3ed4f7",
   )
 }
 
