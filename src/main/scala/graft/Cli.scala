@@ -350,9 +350,9 @@ object Cli {
             "hnsw-index <tables> [shards] | " +
             "hnsw-search <tables> <query> [k] [ef] [view] | " +
             "pq-index <tables> [m] [ksub] | " +
-            "pq-search <tables> <query> [k] [nprobe] [shortlist] | " +
+            "pq-search <tables> <query> [k] [nprobe] [shortlist] [view] | " +
             "sq-index <tables> [levels] | " +
-            "sq-search <tables> <query> [k] [nprobe] [shortlist] | " +
+            "sq-search <tables> <query> [k] [nprobe] [shortlist] [view] | " +
             "index-sketches <sfDir> <outRoot> | " +
             "classify-train <sfDir> <model> | classify-score <sfDir> <model> | " +
             "rag <tables> <question...> | " +
@@ -496,6 +496,10 @@ object Cli {
     val topK = rest.headOption.map(_.toInt).getOrElse(10)
     val nprobe = rest.lift(1).map(_.toInt).getOrElse(2)
     val shortlist = rest.lift(2).map(_.toInt).getOrElse(100)
+    // optional metadata filter: eligibility applies BEFORE the ADC
+    // shortlist (filter-before-rank, same contract as the other index
+    // search verbs)
+    val view = rest.lift(3).filter(_.nonEmpty)
     val q = graft.search.Ivf.load(s"$tablesDir/ivf_quantizer.txt")
     val cb = graft.search.Pq.load(s"$tablesDir/$cbName")
     val index = spark.read.parquet(s"$tablesDir/$indexName")
@@ -517,7 +521,11 @@ object Cli {
     val qvec = new OfflineEmbedder(q.dim).embedQuery(query)
     val hits = graft.search.Pq
       .searchIvfPq(index, qvec, q, cb, topK, nprobe, shortlist,
-        tieBreak = "fragment_id")
+        tieBreak = "fragment_id",
+        predicate = view.map(v => col("view") === v),
+        // the sidecar records whether the IVF index was multi-assigned;
+        // replica rows must collapse before the shortlist semi-join
+        dedupe = q.replicas > 1)
       .select(col("fragment_id"), col("view"), col("similarity"))
       .collect()
     printRowHits(hits)

@@ -202,13 +202,23 @@ object Pq {
     * lists with a corpus-sized shortlist degenerates to the exact scan —
     * the spec-pinned exactness witness.
     */
+  /** `dedupe` must be set when the underlying IVF index was built
+    * multi-assigned ([[Ivf.buildIndexMultiAssign]] — the quantizer
+    * sidecar records `replicas`): replicas of one vector can land in
+    * several probed lists, and without the dedupe both rows survive the
+    * shortlist semi-join and the top-k holds the same fragment twice
+    * (caught by driving the pq-search CLI against a replicated index).
+    */
   def searchIvfPq(index: DataFrame, query: Array[Float], quantizer: Ivf.Quantizer,
       cb: Codebook, topK: Int, nprobe: Int = 1, shortlist: Int = 100,
       vectorCol: String = "vector", codeCol: String = "pq_code",
-      tieBreak: String = "vec_id"): DataFrame = {
+      tieBreak: String = "vec_id",
+      predicate: Option[Column] = None,
+      dedupe: Boolean = false): DataFrame = {
     val lists = Ivf.nearestLists(query, quantizer, nprobe)
     searchCosine(index.filter(col("list_id").isin(lists: _*)),
-      query, cb, topK, shortlist, vectorCol, codeCol, tieBreak)
+      query, cb, topK, shortlist, vectorCol, codeCol, tieBreak, predicate,
+      dedupe)
   }
 
   /** ADC top-k with exact re-rank, in two phases so the compressed scan
@@ -219,16 +229,30 @@ object Pq {
     *  2. left-semi join the (broadcast-small) shortlist ids back and run
     *     the exact cosine on just those rows — on an index sorted by
     *     `tieBreak`, min/max row-group stats prune the vector read too.
+    *
+    * `predicate` makes this a filtered compressed scan (same contract as
+    * [[Ivf.search]]): eligibility applies BEFORE the ADC shortlist, so
+    * the shortlist holds only eligible rows and k fills whenever the
+    * scanned region holds k eligible rows — never the post-filter
+    * underfill of filtering an unfiltered shortlist. With a full
+    * shortlist the result is exact filtered KNN over the scanned region
+    * (the same witness the unfiltered contract pins).
     */
   def searchCosine(index: DataFrame, query: Array[Float], cb: Codebook,
       topK: Int, shortlist: Int = 100, vectorCol: String = "vector",
-      codeCol: String = "pq_code", tieBreak: String = "vec_id"): DataFrame = {
-    val ids = index
+      codeCol: String = "pq_code", tieBreak: String = "vec_id",
+      predicate: Option[Column] = None,
+      dedupe: Boolean = false): DataFrame = {
+    val eligible0 = predicate.fold(index)(index.filter)
+    // rows, not just shortlist ids, must dedupe on a replicated index:
+    // the semi-join below keeps EVERY replica row of a shortlisted id
+    val eligible = if (dedupe) eligible0.dropDuplicates(tieBreak) else eligible0
+    val ids = eligible
       .select(col(tieBreak), adcCosine(col(codeCol), query, cb).as("adc_score"))
       .orderBy(col("adc_score").desc, col(tieBreak))
       .limit(math.max(topK, shortlist))
       .select(col(tieBreak))
-    val cand = index.join(broadcast(ids), Seq(tieBreak), "left_semi")
+    val cand = eligible.join(broadcast(ids), Seq(tieBreak), "left_semi")
     VectorSearch.knn(cand, query, topK, vectorCol = vectorCol,
       tieBreak = tieBreak)
   }

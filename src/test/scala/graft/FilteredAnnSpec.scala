@@ -185,6 +185,47 @@ class FilteredAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       ids(VectorSearch.knn(probedEligible, query, 10)))
   }
 
+  test("PQ/SQ/IVFPQ filtered compressed scans: eligibility before the " +
+      "ADC shortlist; full shortlist equals exact filtered KNN") {
+    val s = spark
+    import s.implicits._
+    val sample = table.orderBy(col("fragment_id")).limit(512)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val cb = graft.search.Pq.train(sample, m = 4, ksub = 16)
+    val index = graft.search.Pq.encode(table, cb)
+    // full shortlist ⇒ exact filtered KNN (witness), dense and sparse
+    val full = graft.search.Pq.searchCosine(index, query, cb, 10,
+      shortlist = N, tieBreak = "fragment_id", predicate = Some(dense))
+    assert(ids(full) == exactFiltered(denseF, 10))
+    val sparseFull = graft.search.Pq.searchCosine(index, query, cb, 10,
+      shortlist = N, tieBreak = "fragment_id", predicate = Some(sparse))
+    assert(ids(sparseFull) == exactFiltered(sparseF, 6))
+    // tight shortlist on a sparse predicate still fills from ELIGIBLE
+    // rows only (filter-before-shortlist, never post-filter underfill):
+    // 6 eligible exist, shortlist 10 ≥ 6 ⇒ all 6 back, exact order
+    val tight = graft.search.Pq.searchCosine(index, query, cb, 10,
+      shortlist = 10, tieBreak = "fragment_id", predicate = Some(sparse))
+    assert(ids(tight) == exactFiltered(sparseF, 6))
+    // IVFPQ: full probe + full shortlist ⇒ exact filtered
+    val q = Ivf.train(sample, 8)
+    val ivfpq = graft.search.Pq.encode(Ivf.buildIndex(table, q), cb)
+    val got = graft.search.Pq.searchIvfPq(ivfpq, query, q, cb, 10,
+      nprobe = q.k, shortlist = N, tieBreak = "fragment_id",
+      predicate = Some(dense))
+    assert(ids(got) == exactFiltered(denseF, 10))
+    // on a MULTI-ASSIGNED index the semi-join keeps every replica row of
+    // a shortlisted id — dedupe=true must collapse them (caught by
+    // driving the pq-search CLI against a replicated index)
+    val q2 = q.copy(replicas = 2)
+    val ivfpq2 = graft.search.Pq.encode(
+      Ivf.buildIndexMultiAssign(table, q2, replicas = 2), cb)
+    val got2 = graft.search.Pq.searchIvfPq(ivfpq2, query, q2, cb, 10,
+      nprobe = q2.k, shortlist = N, tieBreak = "fragment_id",
+      predicate = Some(dense), dedupe = true)
+    assert(ids(got2) == exactFiltered(denseF, 10),
+      "replicated IVFPQ diverged (duplicate rows?)")
+  }
+
   test("HNSW filtered walk at ef >= n equals exact filtered KNN") {
     val adj = Hnsw.buildIndexTable(
       table.select(format_string("f%06d", col("fragment_id"))
