@@ -45,8 +45,9 @@ class AnnRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 40 vectors in 4 clusters around the centroids
     val rows = (0 until 40).map { i =>
       val c = i % 4
-      (f"frag$i%02d", Array(c * 10f + (i / 4) * 0.1f, 0.3f, 1f, 0.7f))
-    }.toDF("fragment_id", "vector")
+      (f"frag$i%02d", Array(c * 10f + (i / 4) * 0.1f, 0.3f, 1f, 0.7f),
+        (i / 4) % 2) // metadata column for the filtered-pattern test
+    }.toDF("fragment_id", "vector", "grp")
     TableLayout.writePartitionedSorted(Ivf.buildIndex(rows, quant),
       indexPath, "list_id", Seq("fragment_id"))
   }
@@ -125,6 +126,43 @@ class AnnRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
       spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
       spark.catalog.dropTempView("emb_idx")
+    }
+  }
+
+  test("filtered pattern (WHERE … ORDER BY sim LIMIT k) prunes AND keeps " +
+      "the predicate — results = Ivf.search with the same predicate") {
+    // the reference's PRIMARY query shape in SQL form
+    // (retrieval/search.py:89-124): metadata predicates ride along and
+    // the probe narrowing composes under them — filter-before-rank
+    // within probed lists, identical to the explicit filtered API
+    spark.conf.set(
+      org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
+    spark.conf.set(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey, "2")
+    try {
+      spark.read.parquet(indexPath).createOrReplaceTempView("emb_idx_f")
+      val df = spark.sql(
+        """SELECT fragment_id,
+          |  vector_cosine(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+          |FROM emb_idx_f WHERE grp = 1
+          |ORDER BY sim DESC, fragment_id LIMIT 5""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(partitionFilters(df).contains("list_id"),
+        s"filtered pattern must still prune lists:\n$plan")
+      assert(plan.contains("grp"),
+        s"user predicate must survive the rewrite:\n$plan")
+      val viaRule = df.collect().map(_.getString(0)).toSeq
+      val qvec = Array(19.9f, 0.3f, 1f, 0.7f)
+      val viaExplicit = Ivf.search(spark.read.parquet(indexPath), qvec,
+          quant, 5, nprobe = 2, predicate = Some(col("grp") === 1))
+        .select(col("fragment_id")).collect().map(_.getString(0)).toSeq
+      assert(viaRule == viaExplicit)
+      assert(viaRule.nonEmpty && viaRule.forall(f =>
+        (f.drop(4).toInt / 4) % 2 == 1), s"ineligible rows leaked: $viaRule")
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
+      spark.catalog.dropTempView("emb_idx_f")
     }
   }
 
