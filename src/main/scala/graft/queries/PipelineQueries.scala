@@ -423,6 +423,68 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S4 on the ARITHMETIC-CODED scanned shape: like p14 but the image
+    * XObjects are real embedded JBIG2 ([[graft.sources.Jbig2]] — segment
+    * stream, MQ arithmetic coder, generic region template 0). The dict
+    * /Width /Height LIE by one and JBIG2 carries its own geometry inside
+    * the region segment, so BOTH dimensions AND the black-pixel count are
+    * recoverable only by a true bit-level MQ decode; a sibling XObject
+    * with an undecodable payload pins the honest `undecoded` degrade
+    * path in the same row. The DuckDB oracle recomputes everything from
+    * doc_id arithmetic over the pixel formula. Shuffle-free per-document
+    * map work, the p14 scale shape.
+    */
+  private val p15Jbig2Pdf: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.{PdfWriter, RealPdfExtractor}
+    val jbRe = """Im0 (\d+)x(\d+) jbig2 b(\d+)""".r
+    val stubRe = """Im1 (\d+)x(\d+) jbig2 undecoded""".r
+    val jpRe = """Im2 (\d+)x(\d+) jpx undecoded""".r
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val paras = text.split("\n{2,}").toSeq
+          .map(PdfWriter.sanitize).filter(_.trim.nonEmpty).take(2)
+        val m = (id % 30).toInt
+        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 3)))
+        val bytes = PdfWriter.buildJbig2Scan(pages, compress = id % 2 == 0,
+          seed = m)
+        val imgs = RealPdfExtractor.extract(s"jb2/$id.pdf", bytes)
+          .filter(_.isImage).map(_.content)
+        val (jw, jh, jb) = imgs.collectFirst {
+          case jbRe(w, h, b) => (w.toLong, h.toLong, b.toLong)
+        }.getOrElse((-1L, -1L, -1L))
+        val (sw, sh) = imgs.collectFirst {
+          case stubRe(w, h) => (w.toLong, h.toLong)
+        }.getOrElse((-1L, -1L))
+        val (xw, xh) = imgs.collectFirst {
+          case jpRe(w, h) => (w.toLong, h.toLong)
+        }.getOrElse((-1L, -1L))
+        (id, jw, jh, jb, sw, sh, xw, xh)
+      })
+      .toDF("doc_id", "jb2_w", "jb2_h", "jb2_black", "stub_w", "stub_h",
+        "jpx_w", "jpx_h")
+      .orderBy(col("doc_id"))
+  }
+
+  // grid bounds = the max of jb2Dims over m (w ≤ 32, h ≤ 17)
+  private val p15Sql =
+    """WITH d AS (SELECT doc_id, doc_id % 30 AS m,
+      |  14 + 3*((doc_id % 30) % 7) AS w, 9 + 2*((doc_id % 30) % 5) AS h
+      |  FROM documents)
+      |SELECT d.doc_id,
+      |  CAST(MAX(w) AS BIGINT) AS jb2_w,
+      |  CAST(MAX(h) AS BIGINT) AS jb2_h,
+      |  CAST(SUM(CASE WHEN x < w AND y < h AND (x*5 + y*3 + m) % 13 < 5
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS jb2_black,
+      |  CAST(MAX(16 + m % 8) AS BIGINT) AS stub_w,
+      |  CAST(MAX(10 + m % 4) AS BIGINT) AS stub_h,
+      |  CAST(MAX(18 + m % 5) AS BIGINT) AS jpx_w,
+      |  CAST(MAX(12 + m % 6) AS BIGINT) AS jpx_h
+      |FROM d CROSS JOIN range(32) t1(x) CROSS JOIN range(17) t2(y)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
   // grid bounds = the max of g4Dims over m (w ≤ 32, h ≤ 20); DuckDB's
   // range() takes no correlated args, so the pixel census runs over the
   // fixed grid with the per-doc bound as a filter
@@ -503,12 +565,14 @@ object PipelineQueries {
     "p11_jpeg_xobject" -> p11JpegXobject,
     "p12_cff_font" -> p12CffFont,
     "p13_encrypted_pdf" -> p13EncryptedPdf,
-    "p14_scanned_pdf" -> p14ScannedPdf)
+    "p14_scanned_pdf" -> p14ScannedPdf,
+    "p15_jbig2_pdf" -> p15Jbig2Pdf)
 
   /** Stateful per-document folds are not SQL-expressible (golden-pinned
-    * instead); p11/p14 ARE oracled — their expected dims/ink are pure
+    * instead); p11/p14/p15 ARE oracled — their expected dims/ink are pure
     * arithmetic. */
   val oracles: Map[String, String] = Map(
     "p11_jpeg_xobject" -> p11Sql,
-    "p14_scanned_pdf" -> p14Sql)
+    "p14_scanned_pdf" -> p14Sql,
+    "p15_jbig2_pdf" -> p15Sql)
 }

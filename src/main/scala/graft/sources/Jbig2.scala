@@ -1,0 +1,501 @@
+package graft.sources
+
+import scala.collection.mutable
+
+/** JBIG2 (ITU-T T.88) bilevel image codec — the OTHER compression scanned
+  * PDFs carry in their image XObjects (/Filter /JBIG2Decode), produced by
+  * modern scanner firmware and by re-compressors precisely because it
+  * beats CCITT G4 on text scans. The reference gets these pixels for free
+  * via PyMuPDF rendering (pymupdf_parser.py:773-823); a byte-level
+  * extractor must decode the embedded segment stream itself or its image
+  * features and `would_ocr` decisions degrade to undecoded-bytes behavior
+  * on exactly the documents OCR exists for.
+  *
+  * Scope: the PDF-embedded organization (T.88 Annex + PDF 32000 §7.4.7 —
+  * no file header, a bare sequence of segments, optionally preceded by a
+  * /JBIG2Globals stream) with GENERIC REGIONS coded by the MQ arithmetic
+  * coder (T.88 §6.2 + Annex E): all four GB templates, adaptive (AT)
+  * pixels, and TPGDON typical-prediction rows. That is the self-contained
+  * subset a generic-region producer emits; symbol-dictionary/text-region
+  * streams (which need a shared glyph dictionary) parse at the segment
+  * level and degrade to the honest `undecoded` label, never a guess.
+  *
+  * Both directions are implemented — the encoder produces fixtures whose
+  * decoded geometry/ink only a real decoder can recover (JBIG2 carries
+  * width AND height inside the region data, so unlike G4 BOTH dimensions
+  * are data-only truth), the decoder is the extractor's production path.
+  * No RNG, no state: byte-identical output for identical input.
+  *
+  * All tables and procedures below are the public T.88 standard: the Qe
+  * state-transition table is Table E.1; ENCODE/DECODE/BYTEIN/BYTEOUT/
+  * FLUSH follow the Annex E flowcharts; the per-template context layouts
+  * are the §6.2.5.7 formulas.
+  */
+object Jbig2 {
+
+  // ---------------- MQ coder state table (T.88 Table E.1) ----------------
+
+  private val Qe = Array(
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private val Nmps = Array(
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val Nlps = Array(
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14,
+    15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29,
+    30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val Switch = Array(
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Arithmetic-coder context store: adaptation state + MPS sense per
+    * context label (2^16 labels covers template 0's 16-bit context). */
+  private[sources] final class CxStore {
+    val i = new Array[Byte](1 << 16)
+    val mps = new Array[Byte](1 << 16)
+  }
+
+  // ---------------- MQ decoder (T.88 E.3.2-E.3.4) ----------------
+
+  private[sources] final class MqDecoder(data: Array[Byte], start: Int, end: Int) {
+    private var bp = start
+    private var c: Long = 0L
+    private var ct = 0
+    private var a = 0
+
+    private def byteAt(p: Int): Int =
+      if (p < end) data(p) & 0xFF else 0xFF // past-end feeds 1-bits, per spec
+
+    // INITDEC
+    c = byteAt(bp).toLong << 16
+    byteIn()
+    c <<= 7; ct -= 7; a = 0x8000
+
+    private def byteIn(): Unit = {
+      if (byteAt(bp) == 0xFF) {
+        if (byteAt(bp + 1) > 0x8F) { c += 0xFF00; ct = 8 }
+        else { bp += 1; c += byteAt(bp).toLong << 9; ct = 7 }
+      } else { bp += 1; c += byteAt(bp).toLong << 8; ct = 8 }
+    }
+
+    def decode(cx: CxStore, label: Int): Int = {
+      val s = cx.i(label) & 0xFF
+      val qe = Qe(s)
+      a -= qe
+      var d = 0
+      if (((c >>> 16) & 0xFFFFL) < qe) {
+        // LPS exchange (E.3.4): the sub-interval senses swap when A < Qe
+        if (a < qe) { d = cx.mps(label); cx.i(label) = Nmps(s).toByte }
+        else {
+          d = 1 - cx.mps(label)
+          if (Switch(s) == 1) cx.mps(label) = (1 - cx.mps(label)).toByte
+          cx.i(label) = Nlps(s).toByte
+        }
+        a = qe
+        renorm()
+      } else {
+        c -= qe.toLong << 16
+        if ((a & 0x8000) == 0) {
+          // MPS exchange
+          if (a < qe) {
+            d = 1 - cx.mps(label)
+            if (Switch(s) == 1) cx.mps(label) = (1 - cx.mps(label)).toByte
+            cx.i(label) = Nlps(s).toByte
+          } else { d = cx.mps(label); cx.i(label) = Nmps(s).toByte }
+          renorm()
+        } else d = cx.mps(label)
+      }
+      d
+    }
+
+    private def renorm(): Unit = {
+      // a < 0x8000 on entry and a ≥ Qe_min ≥ 1 always (A − Qe ≥
+      // 0x8000 − 0x5601 on the subtract paths), so the shift never wraps
+      var go = true
+      while (go) {
+        if (ct == 0) byteIn()
+        a <<= 1
+        c = (c << 1) & 0xFFFFFFFFL
+        ct -= 1
+        go = (a & 0x8000) == 0
+      }
+    }
+  }
+
+  // ---------------- MQ encoder (T.88 E.3.5-E.3.8) ----------------
+
+  private[sources] final class MqEncoder {
+    // leading dummy byte: BYTEOUT's carry branch increments "the previous
+    // byte"; before the first real byte that slot is this dummy. A carry
+    // OUT of the first code byte is impossible for a valid arithmetic
+    // code (the codestream fraction stays < 1), so the dummy is always 0
+    // at flush and is stripped — asserted, not assumed.
+    private val out = mutable.ArrayBuffer[Byte](0)
+    private var bp = 0 // index of the last written byte
+    private var c: Long = 0L
+    private var a = 0x8000
+    private var ct = 12
+
+    def encode(cx: CxStore, label: Int, d: Int): Unit = {
+      val s = cx.i(label) & 0xFF
+      val qe = Qe(s)
+      if (d == cx.mps(label)) { // CODEMPS
+        a -= qe
+        if ((a & 0x8000) == 0) {
+          if (a < qe) a = qe else c += qe
+          cx.i(label) = Nmps(s).toByte
+          renorm()
+        } else c += qe
+      } else { // CODELPS
+        a -= qe
+        if (a < qe) c += qe else a = qe
+        if (Switch(s) == 1) cx.mps(label) = (1 - cx.mps(label)).toByte
+        cx.i(label) = Nlps(s).toByte
+        renorm()
+      }
+    }
+
+    private def renorm(): Unit = {
+      var go = true
+      while (go) {
+        if (ct == 0) byteOut()
+        a <<= 1
+        c <<= 1
+        ct -= 1
+        go = (a & 0x8000) == 0
+      }
+    }
+
+    private def append(b: Int): Unit = { out += b.toByte; bp += 1 }
+
+    private def byteOut(): Unit = {
+      if ((out(bp) & 0xFF) == 0xFF) {
+        // stuffing: after an 0xFF the next byte takes bits 27-20, so a
+        // pending carry is absorbed there instead of propagating back
+        append(((c >> 20) & 0xFF).toInt); c &= 0xFFFFFL; ct = 7
+      } else if (c < 0x8000000L) {
+        append(((c >> 19) & 0xFF).toInt); c &= 0x7FFFFL; ct = 8
+      } else {
+        out(bp) = (out(bp) + 1).toByte // carry into the previous byte
+        if ((out(bp) & 0xFF) == 0xFF) {
+          c &= 0x7FFFFFFL
+          append(((c >> 20) & 0xFF).toInt); c &= 0xFFFFFL; ct = 7
+        } else {
+          append(((c >> 19) & 0xFF).toInt); c &= 0x7FFFFL; ct = 8
+        }
+      }
+    }
+
+    /** FLUSH (E.3.8): set the final bits, push out the last two bytes,
+      * terminate with the 0xFF 0xAC marker pair. */
+    def flush(): Array[Byte] = {
+      // SETBITS: the largest trailing-zeros value inside [C, C+A-1]
+      val tempC = (c + a - 1) & 0xFFFF0000L
+      c = if (c < tempC) tempC else tempC + 0x8000
+      c <<= ct; byteOut()
+      c <<= ct; byteOut()
+      if ((out(bp) & 0xFF) != 0xFF) append(0xFF)
+      append(0xAC)
+      require(out.head == 0, "MQ carry escaped the first code byte")
+      out.drop(1).toArray
+    }
+  }
+
+  // ---------------- generic region coding (T.88 §6.2.5.7) ----------------
+
+  /** Per-template nominal AT pixel offsets (x, y). */
+  private def nominalAt(template: Int): Array[(Int, Int)] = template match {
+    case 0 => Array((3, -1), (-3, -1), (2, -2), (-2, -2))
+    case 3 => Array((2, -1))
+    case _ => Array((3, -1))
+  }
+
+  /** SLTP decision contexts for TPGDON, one per template (§6.2.5.7). */
+  private val SltpCx = Array(0x9B25, 0x0795, 0x00E5, 0x0195)
+
+  /** The §6.2.5.7 context label for pixel (x, y). `px(dx, dy)` reads the
+    * already-decoded raster with out-of-bounds = 0. Bit positions are the
+    * spec formulas; with nominal ATs they coincide with raster order
+    * MSB-first. */
+  private def context(template: Int, at: Array[(Int, Int)],
+      px: (Int, Int) => Int): Int = template match {
+    case 0 =>
+      px(-1, 0) | px(-2, 0) << 1 | px(-3, 0) << 2 | px(-4, 0) << 3 |
+        px(at(0)._1, at(0)._2) << 4 |
+        px(2, -1) << 5 | px(1, -1) << 6 | px(0, -1) << 7 |
+        px(-1, -1) << 8 | px(-2, -1) << 9 |
+        px(at(1)._1, at(1)._2) << 10 | px(at(2)._1, at(2)._2) << 11 |
+        px(1, -2) << 12 | px(0, -2) << 13 | px(-1, -2) << 14 |
+        px(at(3)._1, at(3)._2) << 15
+    case 1 =>
+      px(-1, 0) | px(-2, 0) << 1 | px(-3, 0) << 2 |
+        px(at(0)._1, at(0)._2) << 3 |
+        px(2, -1) << 4 | px(1, -1) << 5 | px(0, -1) << 6 |
+        px(-1, -1) << 7 | px(-2, -1) << 8 |
+        px(2, -2) << 9 | px(1, -2) << 10 | px(0, -2) << 11 |
+        px(-1, -2) << 12
+    case 2 =>
+      px(-1, 0) | px(-2, 0) << 1 |
+        px(at(0)._1, at(0)._2) << 2 |
+        px(1, -1) << 3 | px(0, -1) << 4 | px(-1, -1) << 5 |
+        px(-2, -1) << 6 |
+        px(1, -2) << 7 | px(0, -2) << 8 | px(-1, -2) << 9
+    case _ =>
+      px(-1, 0) | px(-2, 0) << 1 | px(-3, 0) << 2 | px(-4, 0) << 3 |
+        px(at(0)._1, at(0)._2) << 4 |
+        px(1, -1) << 5 | px(0, -1) << 6 | px(-1, -1) << 7 |
+        px(-2, -1) << 8 | px(-3, -1) << 9
+  }
+
+  /** MQ-encode a raster as a generic region bitstream (no segment
+    * wrapper). TPGDON codes an SLTP toggle per row and skips rows equal
+    * to the one above. */
+  private[sources] def encodeGeneric(rows: IndexedSeq[Array[Boolean]],
+      width: Int, template: Int, tpgdon: Boolean): Array[Byte] = {
+    val at = nominalAt(template)
+    val enc = new MqEncoder
+    val cx = new CxStore
+    var ltp = false
+    var y = 0
+    while (y < rows.length) {
+      val row = rows(y)
+      def px(dx: Int, dy: Int, x: Int): Int = {
+        val xx = x + dx; val yy = y + dy
+        if (xx < 0 || xx >= width || yy < 0) 0
+        else if (dy == 0) { if (row(xx)) 1 else 0 }
+        else if (rows(yy)(xx)) 1 else 0
+      }
+      if (tpgdon) {
+        val typical = y > 0 && java.util.Arrays.equals(row, rows(y - 1))
+        val sltp = if (typical != ltp) 1 else 0
+        enc.encode(cx, SltpCx(template), sltp)
+        ltp = typical
+      }
+      if (!(tpgdon && ltp)) {
+        var x = 0
+        while (x < width) {
+          val label = context(template, at, (dx, dy) => px(dx, dy, x))
+          enc.encode(cx, label, if (row(x)) 1 else 0)
+          x += 1
+        }
+      }
+      y += 1
+    }
+    enc.flush()
+  }
+
+  /** MQ-decode a generic region. Returns rows (true = black). */
+  private def decodeGeneric(data: Array[Byte], start: Int, end: Int,
+      width: Int, height: Int, template: Int, at: Array[(Int, Int)],
+      tpgdon: Boolean): Array[Array[Boolean]] = {
+    val dec = new MqDecoder(data, start, end)
+    val cx = new CxStore
+    val rows = Array.ofDim[Boolean](height, width)
+    var ltp = false
+    var y = 0
+    while (y < height) {
+      if (tpgdon && dec.decode(cx, SltpCx(template)) == 1) ltp = !ltp
+      if (tpgdon && ltp) {
+        if (y > 0) System.arraycopy(rows(y - 1), 0, rows(y), 0, width)
+      } else {
+        var x = 0
+        while (x < width) {
+          val xf = x
+          val yf = y
+          def px(dx: Int, dy: Int): Int = {
+            val xx = xf + dx; val yy = yf + dy
+            if (xx < 0 || xx >= width || yy < 0 || (yy == yf && xx >= xf)) 0
+            else if (rows(yy)(xx)) 1 else 0
+          }
+          if (dec.decode(cx, context(template, at, px)) == 1) rows(y)(x) = true
+          x += 1
+        }
+      }
+      y += 1
+    }
+    rows
+  }
+
+  // ---------------- segment layer (T.88 §7) ----------------
+
+  final case class Decoded(width: Int, height: Int,
+      rows: Array[Array[Boolean]]) {
+    def blackCount: Long = {
+      var n = 0L
+      rows.foreach(r => r.foreach(p => if (p) n += 1))
+      n
+    }
+  }
+
+  private def be32(b: mutable.ArrayBuffer[Byte], v: Long): Unit = {
+    b += ((v >> 24) & 0xFF).toByte; b += ((v >> 16) & 0xFF).toByte
+    b += ((v >> 8) & 0xFF).toByte; b += (v & 0xFF).toByte
+  }
+
+  /** Emit the PDF-embedded organization: page info (48) + immediate
+    * lossless generic region (39) + end of page (49) — no file header,
+    * exactly what a /JBIG2Decode stream carries. */
+  def encodeEmbedded(rows: Seq[Array[Boolean]], width: Int,
+      template: Int = 0, tpgdon: Boolean = false): Array[Byte] = {
+    require(rows.nonEmpty && width > 0 && rows.forall(_.length == width))
+    val height = rows.length
+    val b = mutable.ArrayBuffer.empty[Byte]
+    def header(num: Int, tpe: Int, dataLen: Int): Unit = {
+      be32(b, num)
+      b += tpe.toByte // flags: type in bits 5-0; 1-byte page assoc
+      b += 0x00 // zero referred-to segments
+      b += 0x01 // page 1
+      be32(b, dataLen)
+    }
+    // page info
+    header(1, 48, 19)
+    be32(b, width); be32(b, height); be32(b, 0); be32(b, 0)
+    b += 0x01 // page flags: default pixel 0, lossless
+    b += 0; b += 0 // not striped
+    // immediate lossless generic region
+    val at = nominalAt(template)
+    val coded = encodeGeneric(rows.toIndexedSeq, width, template, tpgdon)
+    header(2, 39, 17 + 1 + 2 * at.length + coded.length)
+    be32(b, width); be32(b, height); be32(b, 0); be32(b, 0)
+    b += 0x00 // external combination operator OR
+    b += (((template & 3) << 1) | (if (tpgdon) 8 else 0)).toByte
+    at.foreach { case (x, y) => b += x.toByte; b += y.toByte }
+    b ++= coded
+    // end of page
+    header(3, 49, 0)
+    b.toArray
+  }
+
+  private final class Reader(val d: Array[Byte]) {
+    var p = 0
+    def remaining: Int = d.length - p
+    def u8(): Int = { val v = d(p) & 0xFF; p += 1; v }
+    def s8(): Int = { val v = d(p).toInt; p += 1; v }
+    def u16(): Int = (u8() << 8) | u8()
+    def u32(): Long = ((u16().toLong << 16) | u16().toLong) & 0xFFFFFFFFL
+  }
+
+  private final case class Segment(number: Long, tpe: Int, dataStart: Int,
+      dataLen: Long)
+
+  /** Parse one segment header (T.88 §7.2) and skip to its data. Returns
+    * None on malformed/truncated headers (degrade, never throw). */
+  private def segmentHeader(r: Reader): Option[Segment] = {
+    if (r.remaining < 11) return None
+    val num = r.u32()
+    val flags = r.u8()
+    val tpe = flags & 0x3F
+    val pageAssoc4 = (flags & 0x40) != 0
+    val rts = r.u8()
+    val refCount =
+      if ((rts >> 5) == 7) {
+        // long form: 29-bit count, then the retain-bit bytes
+        if (r.remaining < 3) return None
+        r.p -= 1
+        val cnt = r.u32() & 0x1FFFFFFFL
+        if (cnt > (1 << 20)) return None
+        val retainBytes = ((cnt + 8) / 8).toInt // ceil((count+1)/8)
+        if (r.remaining < retainBytes) return None
+        r.p += retainBytes
+        cnt.toInt
+      } else rts >> 5
+    val refSize = if (num <= 256) 1 else if (num <= 65536) 2 else 4
+    val need = refCount * refSize + (if (pageAssoc4) 4 else 1) + 4
+    if (r.remaining < need) return None
+    r.p += refCount * refSize
+    if (pageAssoc4) r.u32() else r.u8()
+    val len = r.u32()
+    Some(Segment(num, tpe, r.p, len))
+  }
+
+  /** Decode an embedded JBIG2 stream (PDF organization, optionally with a
+    * prepended /JBIG2Globals stream): immediate generic regions (types
+    * 36/38/39) composite OR onto the page; anything else — symbol dicts,
+    * text regions, refinements — parses and is skipped. None when no
+    * region decodes (the extractor's honest `undecoded` label). */
+  def decode(data: Array[Byte], globals: Option[Array[Byte]] = None,
+      maxPixels: Long = 1L << 26): Option[Decoded] = {
+    val all = globals match {
+      case Some(g) if g.nonEmpty => g ++ data
+      case _ => data
+    }
+    try {
+      val r = new Reader(all)
+      val regions = mutable.ArrayBuffer.empty[(Int, Int, Array[Array[Boolean]])]
+      var stop = false
+      while (!stop && r.remaining > 0) {
+        segmentHeader(r) match {
+          case None => stop = true
+          case Some(seg) =>
+            if (seg.dataLen == 0xFFFFFFFFL) stop = true // unknown length
+            else {
+              val end = seg.dataStart + seg.dataLen.toInt
+              if (end > all.length || end < seg.dataStart) stop = true
+              else {
+                if (seg.tpe == 36 || seg.tpe == 38 || seg.tpe == 39) {
+                  val rr = new Reader(all)
+                  rr.p = seg.dataStart
+                  if (rr.remaining >= 18 + 4) {
+                    val w = rr.u32(); val h = rr.u32()
+                    val x = rr.u32(); val y = rr.u32()
+                    rr.u8() // external combination operator
+                    val gflags = rr.u8()
+                    val mmr = (gflags & 1) != 0
+                    val template = (gflags >> 1) & 3
+                    val tpgdon = (gflags & 8) != 0
+                    val atCount = if (template == 0) 4 else 1
+                    val ok = !mmr && w > 0 && h > 0 && w <= (1 << 16) &&
+                      h <= (1 << 16) && w * h <= maxPixels &&
+                      x + w <= (1 << 16) && y + h <= (1 << 16) &&
+                      rr.remaining >= 2 * atCount
+                    if (ok) {
+                      val at = Array.fill(atCount) {
+                        val ax = rr.s8(); val ay = rr.s8(); (ax, ay)
+                      }
+                      val rows = decodeGeneric(all, rr.p, end, w.toInt,
+                        h.toInt, template, at, tpgdon)
+                      regions += ((x.toInt, y.toInt, rows))
+                    }
+                  }
+                }
+                r.p = end
+              }
+            }
+        }
+      }
+      if (regions.isEmpty) None
+      else if (regions.length == 1 && regions.head._1 == 0 &&
+          regions.head._2 == 0) {
+        val rows = regions.head._3
+        Some(Decoded(rows.head.length, rows.length, rows))
+      } else {
+        // composite OR at each region's (x, y), page sized to the extent
+        val w = regions.map { case (x, _, rw) => x + rw.head.length }.max
+        val h = regions.map { case (_, y, rw) => y + rw.length }.max
+        if (w.toLong * h > maxPixels) None
+        else {
+          val page = Array.ofDim[Boolean](h, w)
+          regions.foreach { case (x0, y0, rw) =>
+            var y = 0
+            while (y < rw.length) {
+              var x = 0
+              while (x < rw(y).length) {
+                if (rw(y)(x)) page(y0 + y)(x0 + x) = true
+                x += 1
+              }
+              y += 1
+            }
+          }
+          Some(Decoded(w, h, page))
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+}

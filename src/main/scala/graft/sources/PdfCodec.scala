@@ -739,6 +739,35 @@ object PdfWriter {
       seed: Int): Array[Byte] =
     buildWith(pages, compress, cid = false, scanSeed = Some(seed))
 
+  // ---- JBIG2 scanned-document fixtures (p15) ----
+
+  /** True dimensions of the REAL JBIG2 image for seed m — oracle-side
+    * arithmetic like [[g4Dims]]. Both come only from the region segment
+    * data (JBIG2 carries its own geometry; the dict lies by 1). */
+  def jb2Dims(m: Int): (Int, Int) = (14 + 3 * (m % 7), 9 + 2 * (m % 5))
+
+  /** Deterministic JBIG2 test raster: black iff (5x + 3y + m) mod 13 < 5 —
+    * constants differ from [[g4Pixel]] so a G4 oracle cannot pass by
+    * accident. */
+  def jb2Pixel(m: Int, x: Int, y: Int): Boolean = (x * 5 + y * 3 + m) % 13 < 5
+
+  def jb2Raster(m: Int): Seq[Array[Boolean]] = {
+    val (w, h) = jb2Dims(m)
+    (0 until h).map(y => Array.tabulate(w)(x => jb2Pixel(m, x, y)))
+  }
+
+  /** The JBIG2 scanned-corpus shape (p15): Im0 is a REAL embedded-JBIG2
+    * generic region ([[Jbig2.encodeEmbedded]]) whose dict /Width /Height
+    * LIE by one — true geometry and ink are recoverable ONLY by running
+    * the MQ arithmetic decoder (the p11/p14 trick, now with BOTH
+    * dimensions data-only); Im1 is a JBIG2 XObject with an undecodable
+    * payload and honest dict dims that must be labeled `undecoded` (the
+    * degrade path a symbol-dictionary stream takes); Im2 is the JPX stub.
+    */
+  def buildJbig2Scan(pages: Seq[PageSpec], compress: Boolean,
+      seed: Int): Array[Byte] =
+    buildWith(pages, compress, cid = false, jbig2Seed = Some(seed))
+
   /** Identity-H variant — the modern-producer shape the extractor must
     * handle in the wild: one /Type0 font whose strings are two-byte CIDs,
     * mapped back to text only through the embedded /ToUnicode CMap. CID =
@@ -815,7 +844,8 @@ object PdfWriter {
       jpegImages: Boolean = false, cff: Boolean = false,
       gidStream: Boolean = false,
       encryptCipher: Option[String] = None,
-      scanSeed: Option[Int] = None): Array[Byte] = {
+      scanSeed: Option[Int] = None,
+      jbig2Seed: Option[Int] = None): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = mutable.Map[Int, Int]()
@@ -1013,7 +1043,40 @@ object PdfWriter {
       }
       imgObjs.zipWithIndex.foreach { case (o, i) =>
         defObj(o) {
-          if (scanSeed.isDefined) {
+          if (jbig2Seed.isDefined) {
+            val m = jbig2Seed.get
+            (i % 3) match {
+              case 0 => // REAL JBIG2; dict dims LIE — truth is in the data
+                val (iw, ih) = jb2Dims(m)
+                val payload = maybeEnc(o,
+                  Jbig2.encodeEmbedded(jb2Raster(m), iw))
+                w(s"<< /Type /XObject /Subtype /Image /Width ${iw - 1} " +
+                  s"/Height ${ih - 1} /ColorSpace /DeviceGray " +
+                  "/BitsPerComponent 1 /Filter /JBIG2Decode " +
+                  s"/Length ${payload.length} >>\nstream\n")
+                out.write(payload)
+                w("\nendstream")
+              case 1 => // JBIG2 with an undecodable payload, honest dims
+                val (iw, ih) = jbig2Dims(m)
+                val payload = maybeEnc(o,
+                  s"jbig2-stub-$m".getBytes(ISO_8859_1))
+                w(s"<< /Type /XObject /Subtype /Image /Width $iw " +
+                  s"/Height $ih /ColorSpace /DeviceGray " +
+                  "/BitsPerComponent 1 /Filter /JBIG2Decode " +
+                  s"/Length ${payload.length} >>\nstream\n")
+                out.write(payload)
+                w("\nendstream")
+              case _ => // JPX stub
+                val (iw, ih) = jpxDims(m)
+                val payload = maybeEnc(o, s"jpx-stub-$m".getBytes(ISO_8859_1))
+                w(s"<< /Type /XObject /Subtype /Image /Width $iw " +
+                  s"/Height $ih /ColorSpace /DeviceRGB " +
+                  "/BitsPerComponent 8 /Filter /JPXDecode " +
+                  s"/Length ${payload.length} >>\nstream\n")
+                out.write(payload)
+                w("\nendstream")
+            }
+          } else if (scanSeed.isDefined) {
             val m = scanSeed.get
             (i % 3) match {
               case 0 => // CCITT G4; dict dims LIE, /DecodeParms has no /Rows
@@ -1182,9 +1245,10 @@ object RealPdfExtractor extends PdfExtractor {
       // re-decode the same /DCTDecode stream once per page
       val decodeCache = mutable.Map.empty[Int, Option[graft.media.ImageCodec.Decoded]]
       val g4Cache = mutable.Map.empty[Int, Option[CcittG4.Decoded]]
+      val jbig2Cache = mutable.Map.empty[Int, Option[Jbig2.Decoded]]
       pages.zipWithIndex.flatMap { case ((pageDict, inheritedRes), pageNum) =>
         try pageBlocks(objs, pageDict, inheritedRes, pageNum, decodeCache,
-          g4Cache)
+          g4Cache, jbig2Cache)
         catch { case _: Exception => Nil } // one bad page never kills the doc
       }
     } catch { case _: Exception => Nil }
@@ -1588,7 +1652,8 @@ object RealPdfExtractor extends PdfExtractor {
   private def pageBlocks(objs: Map[Int, Obj], page: Map[String, PVal],
       resources: Map[String, PVal], pageNum: Int,
       decodeCache: mutable.Map[Int, Option[graft.media.ImageCodec.Decoded]],
-      g4Cache: mutable.Map[Int, Option[CcittG4.Decoded]])
+      g4Cache: mutable.Map[Int, Option[CcittG4.Decoded]],
+      jbig2Cache: mutable.Map[Int, Option[Jbig2.Decoded]])
       : Seq[PdfBlock] = {
     val content = deref(objs, page.getOrElse("Contents", PNull)) match {
       case PArr(parts) =>
@@ -1674,9 +1739,34 @@ object RealPdfExtractor extends PdfExtractor {
                 }
                 dec.map(g => s"${g.columns}x${g.height} g4 b${g.blackCount}")
                   .getOrElse(s"${dim("Width")}x${dim("Height")}")
-              } else if (filters.contains("JBIG2Decode"))
-                s"${dim("Width")}x${dim("Height")} jbig2 undecoded"
-              else if (filters.contains("JPXDecode"))
+              } else if (filters.contains("JBIG2Decode")) {
+                // the embedded segment stream may lean on a shared
+                // /JBIG2Globals stream (symbol dictionaries); prepend it
+                // so region segments that DO self-contain still decode.
+                // A generic-region stream decodes fully ([[Jbig2]]); a
+                // symbol/text-region stream parses at the segment level
+                // and degrades to the honest `undecoded` dict-dims label.
+                val fIdx = filters.indexOf("JBIG2Decode")
+                val parmsSeq: Seq[Map[String, PVal]] =
+                  deref(objs, d.getOrElse("DecodeParms",
+                      d.getOrElse("DP", PNull))) match {
+                    case PDict(p) => Seq(p)
+                    case PArr(ps) => ps.map(x => dictOf(deref(objs, x)))
+                    case _ => Nil
+                  }
+                val globals = parmsSeq.lift(fIdx)
+                  .flatMap(_.get("JBIG2Globals"))
+                  .map(g => decodedStream(objs, g))
+                  .filter(_.nonEmpty)
+                def decodeJb(): Option[Jbig2.Decoded] =
+                  stream.flatMap(b => Jbig2.decode(b, globals))
+                val dec = ref match {
+                  case PRef(num) => jbig2Cache.getOrElseUpdate(num, decodeJb())
+                  case _ => decodeJb()
+                }
+                dec.map(j => s"${j.width}x${j.height} jbig2 b${j.blackCount}")
+                  .getOrElse(s"${dim("Width")}x${dim("Height")} jbig2 undecoded")
+              } else if (filters.contains("JPXDecode"))
                 s"${dim("Width")}x${dim("Height")} jpx undecoded"
               else s"${dim("Width")}x${dim("Height")}"
             Some(name -> ImgInfo(label))

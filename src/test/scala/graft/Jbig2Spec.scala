@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Jbig2, PdfWriter, RealPdfExtractor}
+
+/** JBIG2 codec ([[graft.sources.Jbig2]]) — the arithmetic-coded
+  * scanned-corpus image compression. Contracts:
+  *
+  *  1. encode∘decode is the identity on every raster shape, for all four
+  *     GB templates and with TPGDON on/off (typical-prediction rows);
+  *  2. BOTH dimensions come from the DATA (the region segment info), so
+  *     a dict that lies about geometry cannot survive a real decode;
+  *  3. truncated/garbage input and non-generic-region streams (symbol
+  *     dictionaries) degrade to None — never throw, never loop;
+  *  4. the segment parser walks unknown segments by their recorded data
+  *     length (long-form referred counts, 4-byte page associations) and
+  *     still finds the region;
+  *  5. the PDF integration labels a real JBIG2 XObject from the DECODED
+  *     raster (overriding the dict's lying dims), keeps `undecoded` for
+  *     payloads it cannot decode, and memoizes per object.
+  */
+class Jbig2Spec extends AnyFunSuite {
+
+  private def roundTrip(rows: Seq[Array[Boolean]], w: Int,
+      template: Int = 0, tpgdon: Boolean = false): Unit = {
+    val enc = Jbig2.encodeEmbedded(rows, w, template, tpgdon)
+    val dec = Jbig2.decode(enc)
+    assert(dec.isDefined,
+      s"decode failed (w=$w rows=${rows.length} t=$template tpgdon=$tpgdon)")
+    val d = dec.get
+    assert(d.width == w && d.height == rows.length,
+      s"geometry ${d.width}x${d.height} != ${w}x${rows.length}")
+    d.rows.zip(rows).zipWithIndex.foreach { case ((got, want), y) =>
+      assert(got.sameElements(want), s"row $y diverged (w=$w t=$template)")
+    }
+  }
+
+  test("round-trip across 60 fixture rasters (MQ coder + template 0)") {
+    (0 until 60).foreach { m =>
+      roundTrip(PdfWriter.jb2Raster(m), PdfWriter.jb2Dims(m)._1)
+    }
+  }
+
+  test("round-trip under every GB template, with and without TPGDON") {
+    val rows = PdfWriter.jb2Raster(11)
+    val w = PdfWriter.jb2Dims(11)._1
+    for (t <- 0 to 3; tp <- Seq(false, true)) roundTrip(rows, w, t, tp)
+    // TPGDON with actual typical (repeated) rows — the skip path runs
+    val striped = Seq.tabulate(12)(y =>
+      Array.tabulate(23)(x => (y / 3) % 2 == 0 && x % 5 < 2))
+    for (t <- 0 to 3) roundTrip(striped, 23, t, tpgdon = true)
+  }
+
+  test("round-trip on degenerate shapes") {
+    roundTrip(Seq.fill(5)(Array.fill(10)(false)), 10) // all white
+    roundTrip(Seq.fill(5)(Array.fill(10)(true)), 10) // all black
+    roundTrip(Seq.fill(7)(Array(true)), 1) // single column
+    roundTrip(Seq(Array.tabulate(64)(i => i % 2 == 0)), 64) // 1-px stripes
+    roundTrip((0 until 9).map(y =>
+      Array.tabulate(17)(x => (x + y) % 2 == 0)), 17) // checkerboard
+    roundTrip(Seq(Array.fill(300)(true), Array.fill(300)(false),
+      Array.tabulate(300)(_ % 2 == 0)), 300) // wide rows
+  }
+
+  test("truncated and garbage input degrade to None, never throw or loop") {
+    val enc = Jbig2.encodeEmbedded(PdfWriter.jb2Raster(7),
+      PdfWriter.jb2Dims(7)._1)
+    // truncated prefixes: decode may return fewer/garbled pixels inside
+    // the declared geometry (the MQ decoder pads with 1-bits past the
+    // end) or None — but must return
+    (0 until enc.length by 3).foreach { n =>
+      Jbig2.decode(enc.take(n)) // must not throw
+    }
+    // flipped bytes keep the walk bounded
+    (0 until enc.length by 7).foreach { i =>
+      val mut = enc.clone(); mut(i) = (mut(i) ^ 0x5A).toByte
+      Jbig2.decode(mut)
+    }
+    assert(Jbig2.decode("jbig2-stub-3".getBytes("ISO-8859-1")).isEmpty)
+    assert(Jbig2.decode(Array.empty[Byte]).isEmpty)
+    assert(Jbig2.decode(Array.fill(64)(0xFF.toByte)).isEmpty)
+  }
+
+  test("segment walk skips unknown segments and finds the region") {
+    val enc = Jbig2.encodeEmbedded(PdfWriter.jb2Raster(4),
+      PdfWriter.jb2Dims(4)._1)
+    // hand-craft an extension segment (type 62) with a 4-byte page
+    // association and splice it before the stream: the parser must skip
+    // it by data length and still decode
+    val ext = Array[Byte](
+      0, 0, 0, 9, // segment number 9
+      (0x40 | 62).toByte, // flags: type 62, 4-byte page assoc
+      0x00, // no referred segments
+      0, 0, 0, 1, // page 1
+      0, 0, 0, 4, // data length 4
+      1, 2, 3, 4) // payload
+    val dec = Jbig2.decode(ext ++ enc)
+    assert(dec.isDefined)
+    assert(dec.get.width == PdfWriter.jb2Dims(4)._1)
+    // same stream via the globals parameter (the /JBIG2Globals shape)
+    val viaGlobals = Jbig2.decode(enc, Some(ext))
+    assert(viaGlobals.isDefined &&
+      viaGlobals.get.blackCount == dec.get.blackCount)
+  }
+
+  test("the dict cannot lie: decoded geometry and ink beat /Width /Height") {
+    (0 until 30).foreach { m =>
+      val paras = Seq(s"scan doc $m", "second paragraph")
+      val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 3)))
+      val bytes = PdfWriter.buildJbig2Scan(pages, compress = m % 2 == 0,
+        seed = m)
+      val imgs = RealPdfExtractor.extract(s"jb2-$m.pdf", bytes)
+        .filter(_.isImage).map(_.content)
+      val (w, h) = PdfWriter.jb2Dims(m)
+      val black = PdfWriter.jb2Raster(m).map(_.count(identity)).sum
+      assert(imgs.exists(_ == s"Im0 ${w}x$h jbig2 b$black"),
+        s"m=$m: real JBIG2 not decoded truthfully: $imgs")
+      val (sw, sh) = PdfWriter.jbig2Dims(m)
+      assert(imgs.exists(_ == s"Im1 ${sw}x$sh jbig2 undecoded"),
+        s"m=$m: stub must stay undecoded with honest dims: $imgs")
+    }
+  }
+}
