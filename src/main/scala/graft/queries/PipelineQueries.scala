@@ -468,6 +468,71 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S4 on the WAVELET-CODED scanned shape: like p15 but the image
+    * XObjects are real JPEG 2000 ([[graft.sources.Jpx]] — 5/3 reversible
+    * DWT, EBCOT Tier-1 over the MQ coder, tag-tree packet headers) in
+    * BOTH forms /JPXDecode accepts: a raw codestream (Im0) and a
+    * JP2-box-wrapped file (Im1). Dict /Width /Height LIE by one and the
+    * geometry lives in the SIZ marker, so dimensions AND the gray-sum
+    * are recoverable only by a true wavelet decode; Im2's undecodable
+    * payload pins the honest `undecoded` degrade path in the same row.
+    * The DuckDB oracle recomputes everything from doc_id arithmetic.
+    * Shuffle-free per-document map work, the p14/p15 scale shape.
+    */
+  private val p16Jpeg2000Pdf: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.{PdfWriter, RealPdfExtractor}
+    val rawRe = """Im0 (\d+)x(\d+) jpx s(\d+)""".r
+    val jp2Re = """Im1 (\d+)x(\d+) jpx s(\d+)""".r
+    val stubRe = """Im2 (\d+)x(\d+) jpx undecoded""".r
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val paras = text.split("\n{2,}").toSeq
+          .map(PdfWriter.sanitize).filter(_.trim.nonEmpty).take(2)
+        val m = (id % 30).toInt
+        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 3)))
+        val bytes = PdfWriter.buildJpxScan(pages, compress = id % 2 == 0,
+          seed = m)
+        val imgs = RealPdfExtractor.extract(s"jpx/$id.pdf", bytes)
+          .filter(_.isImage).map(_.content)
+        val (rw, rh, rs) = imgs.collectFirst {
+          case rawRe(w, h, v) => (w.toLong, h.toLong, v.toLong)
+        }.getOrElse((-1L, -1L, -1L))
+        val (jw, jh, js) = imgs.collectFirst {
+          case jp2Re(w, h, v) => (w.toLong, h.toLong, v.toLong)
+        }.getOrElse((-1L, -1L, -1L))
+        val (sw, sh) = imgs.collectFirst {
+          case stubRe(w, h) => (w.toLong, h.toLong)
+        }.getOrElse((-1L, -1L))
+        (id, rw, rh, rs, jw, jh, js, sw, sh)
+      })
+      .toDF("doc_id", "jpx_w", "jpx_h", "jpx_sum", "jp2_w", "jp2_h",
+        "jp2_sum", "stub_w", "stub_h")
+      .orderBy(col("doc_id"))
+  }
+
+  // grid bounds = the max of jpxRawDims over m (w ≤ 27, h ≤ 17)
+  private val p16Sql =
+    """WITH d AS (SELECT doc_id, doc_id % 30 AS m,
+      |  17 + 2*((doc_id % 30) % 6) AS w0, 11 + (doc_id % 30) % 7 AS h0,
+      |  12 + (doc_id % 30) % 9 AS w1, 8 + (doc_id % 30) % 6 AS h1
+      |  FROM documents)
+      |SELECT d.doc_id,
+      |  CAST(MAX(w0) AS BIGINT) AS jpx_w,
+      |  CAST(MAX(h0) AS BIGINT) AS jpx_h,
+      |  CAST(SUM(CASE WHEN x < w0 AND y < h0
+      |    THEN (x*7 + y*11 + 3*m) % 256 ELSE 0 END) AS BIGINT) AS jpx_sum,
+      |  CAST(MAX(w1) AS BIGINT) AS jp2_w,
+      |  CAST(MAX(h1) AS BIGINT) AS jp2_h,
+      |  CAST(SUM(CASE WHEN x < w1 AND y < h1
+      |    THEN (x*7 + y*11 + 3*(m+3)) % 256 ELSE 0 END) AS BIGINT) AS jp2_sum,
+      |  CAST(MAX(18 + m % 5) AS BIGINT) AS stub_w,
+      |  CAST(MAX(12 + m % 6) AS BIGINT) AS stub_h
+      |FROM d CROSS JOIN range(27) t1(x) CROSS JOIN range(17) t2(y)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
   // grid bounds = the max of jb2Dims over m (w ≤ 32, h ≤ 17)
   private val p15Sql =
     """WITH d AS (SELECT doc_id, doc_id % 30 AS m,
@@ -566,7 +631,8 @@ object PipelineQueries {
     "p12_cff_font" -> p12CffFont,
     "p13_encrypted_pdf" -> p13EncryptedPdf,
     "p14_scanned_pdf" -> p14ScannedPdf,
-    "p15_jbig2_pdf" -> p15Jbig2Pdf)
+    "p15_jbig2_pdf" -> p15Jbig2Pdf,
+    "p16_jpeg2000_pdf" -> p16Jpeg2000Pdf)
 
   /** Stateful per-document folds are not SQL-expressible (golden-pinned
     * instead); p11/p14/p15 ARE oracled — their expected dims/ink are pure
@@ -574,5 +640,6 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "p11_jpeg_xobject" -> p11Sql,
     "p14_scanned_pdf" -> p14Sql,
-    "p15_jbig2_pdf" -> p15Sql)
+    "p15_jbig2_pdf" -> p15Sql,
+    "p16_jpeg2000_pdf" -> p16Sql)
 }

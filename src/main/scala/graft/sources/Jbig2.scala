@@ -196,9 +196,14 @@ object Jbig2 {
     /** FLUSH (E.3.8): set the final bits, push out the last two bytes,
       * terminate with the 0xFF 0xAC marker pair. */
     def flush(): Array[Byte] = {
-      // SETBITS: the largest trailing-zeros value inside [C, C+A-1]
-      val tempC = (c + a - 1) & 0xFFFF0000L
-      c = if (c < tempC) tempC else tempC + 0x8000
+      // SETBITS: fill the tail with ONES, staying inside [C, C+A-1] —
+      // the decoder pads past-end bytes with 1-bits (0xFF), so the
+      // committed value must tolerate all-ones low bits. (A
+      // trailing-zeros variant here loses the final decision whenever
+      // the interval ends tight: caught by the Tier-1 round-trip.)
+      val limit = c + a
+      c |= 0xFFFFL
+      if (c >= limit) c -= 0x8000
       c <<= ct; byteOut()
       c <<= ct; byteOut()
       if ((out(bp) & 0xFF) != 0xFF) append(0xFF)

@@ -768,6 +768,34 @@ object PdfWriter {
       seed: Int): Array[Byte] =
     buildWith(pages, compress, cid = false, jbig2Seed = Some(seed))
 
+  // ---- JPEG 2000 scanned-document fixtures (p16) ----
+
+  /** True dimensions of the raw-codestream JPX image for seed m. */
+  def jpxRawDims(m: Int): (Int, Int) = (17 + 2 * (m % 6), 11 + m % 7)
+
+  /** True dimensions of the JP2-box-wrapped image for seed m. */
+  def jp2Dims(m: Int): (Int, Int) = (12 + m % 9, 8 + m % 6)
+
+  /** Deterministic grayscale test raster: v = (7x + 11y + 3m) mod 256 —
+    * full 8-bit range, so every Tier-1 bit-plane carries signal. */
+  def jpxPixel(m: Int, x: Int, y: Int): Int = (x * 7 + y * 11 + 3 * m) % 256
+
+  def jpxRaster(m: Int, w: Int, h: Int): Array[Array[Int]] =
+    Array.tabulate(h, w)((y, x) => jpxPixel(m, x, y))
+
+  /** The JPEG 2000 scanned-corpus shape (p16): Im0 is a REAL raw
+    * codestream ([[Jpx.encode]] — 5/3 DWT + EBCOT + MQ) and Im1 a REAL
+    * JP2-box-wrapped one ([[Jpx.wrapJp2]], the other form /JPXDecode
+    * accepts), BOTH with dict /Width /Height lying by one — geometry and
+    * gray-sum are recoverable only by a true Tier-1 + DWT decode; Im2 is
+    * a JPX XObject with an undecodable payload and honest dict dims that
+    * must stay `undecoded` (the degrade path a quantized/multi-component
+    * stream takes).
+    */
+  def buildJpxScan(pages: Seq[PageSpec], compress: Boolean,
+      seed: Int): Array[Byte] =
+    buildWith(pages, compress, cid = false, jpxSeed = Some(seed))
+
   /** Identity-H variant — the modern-producer shape the extractor must
     * handle in the wild: one /Type0 font whose strings are two-byte CIDs,
     * mapped back to text only through the embedded /ToUnicode CMap. CID =
@@ -845,7 +873,8 @@ object PdfWriter {
       gidStream: Boolean = false,
       encryptCipher: Option[String] = None,
       scanSeed: Option[Int] = None,
-      jbig2Seed: Option[Int] = None): Array[Byte] = {
+      jbig2Seed: Option[Int] = None,
+      jpxSeed: Option[Int] = None): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = mutable.Map[Int, Int]()
@@ -1043,7 +1072,39 @@ object PdfWriter {
       }
       imgObjs.zipWithIndex.foreach { case (o, i) =>
         defObj(o) {
-          if (jbig2Seed.isDefined) {
+          if (jpxSeed.isDefined) {
+            val m = jpxSeed.get
+            (i % 3) match {
+              case 0 => // REAL raw codestream; dict dims LIE
+                val (iw, ih) = jpxRawDims(m)
+                val payload = maybeEnc(o, Jpx.encode(jpxRaster(m, iw, ih)))
+                w(s"<< /Type /XObject /Subtype /Image /Width ${iw - 1} " +
+                  s"/Height ${ih - 1} /ColorSpace /DeviceGray " +
+                  "/BitsPerComponent 8 /Filter /JPXDecode " +
+                  s"/Length ${payload.length} >>\nstream\n")
+                out.write(payload)
+                w("\nendstream")
+              case 1 => // REAL JP2-box-wrapped codestream; dict dims LIE
+                val (iw, ih) = jp2Dims(m)
+                val payload = maybeEnc(o, Jpx.wrapJp2(
+                  Jpx.encode(jpxRaster(m + 3, iw, ih)), iw, ih))
+                w(s"<< /Type /XObject /Subtype /Image /Width ${iw - 1} " +
+                  s"/Height ${ih - 1} /ColorSpace /DeviceGray " +
+                  "/BitsPerComponent 8 /Filter /JPXDecode " +
+                  s"/Length ${payload.length} >>\nstream\n")
+                out.write(payload)
+                w("\nendstream")
+              case _ => // JPX with an undecodable payload, honest dims
+                val (iw, ih) = jpxDims(m)
+                val payload = maybeEnc(o, s"jpx-stub-$m".getBytes(ISO_8859_1))
+                w(s"<< /Type /XObject /Subtype /Image /Width $iw " +
+                  s"/Height $ih /ColorSpace /DeviceRGB " +
+                  "/BitsPerComponent 8 /Filter /JPXDecode " +
+                  s"/Length ${payload.length} >>\nstream\n")
+                out.write(payload)
+                w("\nendstream")
+            }
+          } else if (jbig2Seed.isDefined) {
             val m = jbig2Seed.get
             (i % 3) match {
               case 0 => // REAL JBIG2; dict dims LIE — truth is in the data
@@ -1246,9 +1307,10 @@ object RealPdfExtractor extends PdfExtractor {
       val decodeCache = mutable.Map.empty[Int, Option[graft.media.ImageCodec.Decoded]]
       val g4Cache = mutable.Map.empty[Int, Option[CcittG4.Decoded]]
       val jbig2Cache = mutable.Map.empty[Int, Option[Jbig2.Decoded]]
+      val jpxCache = mutable.Map.empty[Int, Option[Jpx.Decoded]]
       pages.zipWithIndex.flatMap { case ((pageDict, inheritedRes), pageNum) =>
         try pageBlocks(objs, pageDict, inheritedRes, pageNum, decodeCache,
-          g4Cache, jbig2Cache)
+          g4Cache, jbig2Cache, jpxCache)
         catch { case _: Exception => Nil } // one bad page never kills the doc
       }
     } catch { case _: Exception => Nil }
@@ -1653,7 +1715,8 @@ object RealPdfExtractor extends PdfExtractor {
       resources: Map[String, PVal], pageNum: Int,
       decodeCache: mutable.Map[Int, Option[graft.media.ImageCodec.Decoded]],
       g4Cache: mutable.Map[Int, Option[CcittG4.Decoded]],
-      jbig2Cache: mutable.Map[Int, Option[Jbig2.Decoded]])
+      jbig2Cache: mutable.Map[Int, Option[Jbig2.Decoded]],
+      jpxCache: mutable.Map[Int, Option[Jpx.Decoded]])
       : Seq[PdfBlock] = {
     val content = deref(objs, page.getOrElse("Contents", PNull)) match {
       case PArr(parts) =>
@@ -1766,9 +1829,19 @@ object RealPdfExtractor extends PdfExtractor {
                 }
                 dec.map(j => s"${j.width}x${j.height} jbig2 b${j.blackCount}")
                   .getOrElse(s"${dim("Width")}x${dim("Height")} jbig2 undecoded")
-              } else if (filters.contains("JPXDecode"))
-                s"${dim("Width")}x${dim("Height")} jpx undecoded"
-              else s"${dim("Width")}x${dim("Height")}"
+              } else if (filters.contains("JPXDecode")) {
+                // raw codestream or JP2 boxes; grayscale reversible-5/3
+                // streams decode fully ([[Jpx]]), anything outside the
+                // subset degrades to the honest `undecoded` dict label
+                def decodeJpx(): Option[Jpx.Decoded] =
+                  stream.flatMap(b => Jpx.decode(b))
+                val dec = ref match {
+                  case PRef(num) => jpxCache.getOrElseUpdate(num, decodeJpx())
+                  case _ => decodeJpx()
+                }
+                dec.map(j => s"${j.width}x${j.height} jpx s${j.graySum}")
+                  .getOrElse(s"${dim("Width")}x${dim("Height")} jpx undecoded")
+              } else s"${dim("Width")}x${dim("Height")}"
             Some(name -> ImgInfo(label))
           } else None
       }
