@@ -522,10 +522,9 @@ object Cli {
     val hits = graft.search.Pq
       .searchIvfPq(index, qvec, q, cb, topK, nprobe, shortlist,
         tieBreak = "fragment_id",
-        predicate = view.map(v => col("view") === v),
-        // the sidecar records whether the IVF index was multi-assigned;
-        // replica rows must collapse before the shortlist semi-join
-        dedupe = q.replicas > 1)
+        predicate = view.map(v => col("view") === v))
+      // replica dedupe derives from the quantizer sidecar inside
+      // searchIvfPq (multi-assigned index -> collapse before top-k)
       .select(col("fragment_id"), col("view"), col("similarity"))
       .collect()
     printRowHits(hits)

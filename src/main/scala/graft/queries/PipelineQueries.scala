@@ -635,8 +635,8 @@ object PipelineQueries {
     "p16_jpeg2000_pdf" -> p16Jpeg2000Pdf)
 
   /** Stateful per-document folds are not SQL-expressible (golden-pinned
-    * instead); p11/p14/p15 ARE oracled — their expected dims/ink are pure
-    * arithmetic. */
+    * instead); p11 and p14–p16 ARE oracled — their expected dims/ink are
+    * pure arithmetic. */
   val oracles: Map[String, String] = Map(
     "p11_jpeg_xobject" -> p11Sql,
     "p14_scanned_pdf" -> p14Sql,

@@ -202,23 +202,25 @@ object Pq {
     * lists with a corpus-sized shortlist degenerates to the exact scan —
     * the spec-pinned exactness witness.
     */
-  /** `dedupe` must be set when the underlying IVF index was built
-    * multi-assigned ([[Ivf.buildIndexMultiAssign]] — the quantizer
-    * sidecar records `replicas`): replicas of one vector can land in
-    * several probed lists, and without the dedupe both rows survive the
-    * shortlist semi-join and the top-k holds the same fragment twice
-    * (caught by driving the pq-search CLI against a replicated index).
+  /** Replica dedupe is REQUIRED when the underlying IVF index was built
+    * multi-assigned ([[Ivf.buildIndexMultiAssign]]): replicas of one
+    * vector can land in several probed lists, and without the dedupe
+    * both rows survive the shortlist semi-join and the top-k holds the
+    * same fragment twice (caught by driving the pq-search CLI against a
+    * replicated index). The quantizer sidecar records exactly when that
+    * build ran, so the default derives it — `Some(…)` only overrides for
+    * experiments.
     */
   def searchIvfPq(index: DataFrame, query: Array[Float], quantizer: Ivf.Quantizer,
       cb: Codebook, topK: Int, nprobe: Int = 1, shortlist: Int = 100,
       vectorCol: String = "vector", codeCol: String = "pq_code",
       tieBreak: String = "vec_id",
       predicate: Option[Column] = None,
-      dedupe: Boolean = false): DataFrame = {
+      dedupe: Option[Boolean] = None): DataFrame = {
     val lists = Ivf.nearestLists(query, quantizer, nprobe)
     searchCosine(index.filter(col("list_id").isin(lists: _*)),
       query, cb, topK, shortlist, vectorCol, codeCol, tieBreak, predicate,
-      dedupe)
+      dedupe.getOrElse(quantizer.replicas > 1))
   }
 
   /** ADC top-k with exact re-rank, in two phases so the compressed scan
@@ -243,16 +245,25 @@ object Pq {
       codeCol: String = "pq_code", tieBreak: String = "vec_id",
       predicate: Option[Column] = None,
       dedupe: Boolean = false): DataFrame = {
-    val eligible0 = predicate.fold(index)(index.filter)
-    // rows, not just shortlist ids, must dedupe on a replicated index:
-    // the semi-join below keeps EVERY replica row of a shortlisted id
-    val eligible = if (dedupe) eligible0.dropDuplicates(tieBreak) else eligible0
-    val ids = eligible
+    val eligible = predicate.fold(index)(index.filter)
+    // replica dedupe happens where each side is cheap, never as a
+    // full-row shuffle over the probed region: the shortlist collapses
+    // ids in the SAME narrow (id, score) aggregation it already shuffles
+    // (replicas carry identical codes, so max = the score), and the
+    // row-level dedupe runs only on the semi-joined candidates — a
+    // shortlist-bounded set
+    val scored = eligible
       .select(col(tieBreak), adcCosine(col(codeCol), query, cb).as("adc_score"))
+    val perId =
+      if (dedupe) scored.groupBy(col(tieBreak))
+        .agg(max(col("adc_score")).as("adc_score"))
+      else scored
+    val ids = perId
       .orderBy(col("adc_score").desc, col(tieBreak))
       .limit(math.max(topK, shortlist))
       .select(col(tieBreak))
-    val cand = eligible.join(broadcast(ids), Seq(tieBreak), "left_semi")
+    val joined = eligible.join(broadcast(ids), Seq(tieBreak), "left_semi")
+    val cand = if (dedupe) joined.dropDuplicates(tieBreak) else joined
     VectorSearch.knn(cand, query, topK, vectorCol = vectorCol,
       tieBreak = tieBreak)
   }

@@ -424,7 +424,10 @@ object Jbig2 {
     * prepended /JBIG2Globals stream): immediate generic regions (types
     * 36/38/39) composite OR onto the page; anything else — symbol dicts,
     * text regions, refinements — parses and is skipped. None when no
-    * region decodes (the extractor's honest `undecoded` label). */
+    * region decodes (the extractor's honest `undecoded` label).
+    * `maxPixels` bounds the TOTAL pixels materialized across all regions
+    * plus the page, so a hostile stream of many maximal region headers
+    * cannot exhaust memory before the composite check. */
   def decode(data: Array[Byte], globals: Option[Array[Byte]] = None,
       maxPixels: Long = 1L << 26): Option[Decoded] = {
     val all = globals match {
@@ -434,6 +437,9 @@ object Jbig2 {
     try {
       val r = new Reader(all)
       val regions = mutable.ArrayBuffer.empty[(Int, Int, Array[Array[Boolean]])]
+      var pixelBudget = maxPixels
+      var pageW = 0L // first page-info segment's declared geometry
+      var pageH = 0L
       var stop = false
       while (!stop && r.remaining > 0) {
         segmentHeader(r) match {
@@ -444,6 +450,18 @@ object Jbig2 {
               val end = seg.dataStart + seg.dataLen.toInt
               if (end > all.length || end < seg.dataStart) stop = true
               else {
+                if (seg.tpe == 48 && pageW == 0) { // page information
+                  val rr = new Reader(all)
+                  rr.p = seg.dataStart
+                  if (rr.remaining >= 8) {
+                    val pw = rr.u32(); val ph = rr.u32()
+                    // 0xFFFFFFFF = striped unknown height: leave 0 (extent)
+                    if (pw > 0 && pw <= (1 << 16) && ph > 0 &&
+                        ph <= (1 << 16) && pw * ph <= maxPixels) {
+                      pageW = pw; pageH = ph
+                    }
+                  }
+                }
                 if (seg.tpe == 36 || seg.tpe == 38 || seg.tpe == 39) {
                   val rr = new Reader(all)
                   rr.p = seg.dataStart
@@ -457,10 +475,11 @@ object Jbig2 {
                     val tpgdon = (gflags & 8) != 0
                     val atCount = if (template == 0) 4 else 1
                     val ok = !mmr && w > 0 && h > 0 && w <= (1 << 16) &&
-                      h <= (1 << 16) && w * h <= maxPixels &&
+                      h <= (1 << 16) && w * h <= pixelBudget &&
                       x + w <= (1 << 16) && y + h <= (1 << 16) &&
                       rr.remaining >= 2 * atCount
                     if (ok) {
+                      pixelBudget -= w * h
                       val at = Array.fill(atCount) {
                         val ax = rr.s8(); val ay = rr.s8(); (ax, ay)
                       }
@@ -476,15 +495,20 @@ object Jbig2 {
         }
       }
       if (regions.isEmpty) None
-      else if (regions.length == 1 && regions.head._1 == 0 &&
-          regions.head._2 == 0) {
-        val rows = regions.head._3
-        Some(Decoded(rows.head.length, rows.length, rows))
-      } else {
-        // composite OR at each region's (x, y), page sized to the extent
-        val w = regions.map { case (x, _, rw) => x + rw.head.length }.max
-        val h = regions.map { case (_, y, rw) => y + rw.length }.max
-        if (w.toLong * h > maxPixels) None
+      else {
+        // page geometry: the page-info segment's declaration when it
+        // contains every region (producers legally trim trailing white
+        // rows from the region but the page bitmap keeps them — the
+        // dims a conformant consumer reports), else the region extent
+        val extW = regions.map { case (x, _, rw) => x + rw.head.length }.max
+        val extH = regions.map { case (_, y, rw) => y + rw.length }.max
+        val w = if (pageW >= extW && pageH >= extH) pageW.toInt else extW
+        val h = if (pageW >= extW && pageH >= extH) pageH.toInt else extH
+        if (regions.length == 1 && regions.head._1 == 0 &&
+            regions.head._2 == 0 && w == extW && h == extH) {
+          val rows = regions.head._3
+          Some(Decoded(rows.head.length, rows.length, rows))
+        } else if (w.toLong * h > maxPixels) None
         else {
           val page = Array.ofDim[Boolean](h, w)
           regions.foreach { case (x0, y0, rw) =>

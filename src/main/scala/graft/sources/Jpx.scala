@@ -431,7 +431,11 @@ object Jpx {
         ((s(mirror(2 * i, n)) + s(mirror(2 * i + 2, n))) >> 1)
       i += 1
     }
-    def dm(j: Int): Int = d(mirror(j, nH))
+    // extension of d in the INTERLEAVED signal's index space: Y(-1) =
+    // Y(1) = d(0) and the right edge mirrors to d(nH-1) — a clamp, NOT
+    // a subband-domain mirror (that self-consistent variant diverges
+    // from conformant codecs on the first/last column)
+    def dm(j: Int): Int = d(if (j < 0) 0 else if (j >= nH) nH - 1 else j)
     i = 0
     while (i < nL) {
       out(i) = s(2 * i) + ((dm(i - 1) + dm(i) + 2) >> 2)
@@ -446,7 +450,9 @@ object Jpx {
     if (n == 1) { out(0) = in(0); return }
     val nL = (n + 1) / 2
     val nH = n / 2
-    def dm(j: Int): Int = in(nL + mirror(j, nH))
+    // same interleaved-space extension of the high band as in [[f1d]]
+    def dm(j: Int): Int =
+      in(nL + (if (j < 0) 0 else if (j >= nH) nH - 1 else j))
     var i = 0
     while (i < nL) {
       out(2 * i) = in(i) - ((dm(i - 1) + dm(i) + 2) >> 2)

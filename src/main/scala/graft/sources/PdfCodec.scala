@@ -1072,103 +1072,63 @@ object PdfWriter {
       }
       imgObjs.zipWithIndex.foreach { case (o, i) =>
         defObj(o) {
+          // one writer for every image-XObject shape the fixtures emit;
+          // dictW/dictH are what the DICT claims (the scanned fixtures
+          // deliberately understate real codecs by one — only a true
+          // decode can answer right), extra carries /DecodeParms etc.
+          def imgXObject(dictW: Int, dictH: Int, cs: String, bpc: Int,
+              filter: String, extra: String, data: Array[Byte]): Unit = {
+            val payload = maybeEnc(o, data)
+            w(s"<< /Type /XObject /Subtype /Image /Width $dictW " +
+              s"/Height $dictH /ColorSpace /$cs " +
+              s"/BitsPerComponent $bpc /Filter /$filter $extra" +
+              s"/Length ${payload.length} >>\nstream\n")
+            out.write(payload)
+            w("\nendstream")
+          }
+          def jbig2Stub(m: Int): Unit = {
+            val (iw, ih) = jbig2Dims(m) // honest dims, undecodable payload
+            imgXObject(iw, ih, "DeviceGray", 1, "JBIG2Decode", "",
+              s"jbig2-stub-$m".getBytes(ISO_8859_1))
+          }
+          def jpxStub(m: Int): Unit = {
+            val (iw, ih) = jpxDims(m) // honest dims, undecodable payload
+            imgXObject(iw, ih, "DeviceRGB", 8, "JPXDecode", "",
+              s"jpx-stub-$m".getBytes(ISO_8859_1))
+          }
           if (jpxSeed.isDefined) {
             val m = jpxSeed.get
             (i % 3) match {
               case 0 => // REAL raw codestream; dict dims LIE
                 val (iw, ih) = jpxRawDims(m)
-                val payload = maybeEnc(o, Jpx.encode(jpxRaster(m, iw, ih)))
-                w(s"<< /Type /XObject /Subtype /Image /Width ${iw - 1} " +
-                  s"/Height ${ih - 1} /ColorSpace /DeviceGray " +
-                  "/BitsPerComponent 8 /Filter /JPXDecode " +
-                  s"/Length ${payload.length} >>\nstream\n")
-                out.write(payload)
-                w("\nendstream")
+                imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
+                  Jpx.encode(jpxRaster(m, iw, ih)))
               case 1 => // REAL JP2-box-wrapped codestream; dict dims LIE
                 val (iw, ih) = jp2Dims(m)
-                val payload = maybeEnc(o, Jpx.wrapJp2(
-                  Jpx.encode(jpxRaster(m + 3, iw, ih)), iw, ih))
-                w(s"<< /Type /XObject /Subtype /Image /Width ${iw - 1} " +
-                  s"/Height ${ih - 1} /ColorSpace /DeviceGray " +
-                  "/BitsPerComponent 8 /Filter /JPXDecode " +
-                  s"/Length ${payload.length} >>\nstream\n")
-                out.write(payload)
-                w("\nendstream")
-              case _ => // JPX with an undecodable payload, honest dims
-                val (iw, ih) = jpxDims(m)
-                val payload = maybeEnc(o, s"jpx-stub-$m".getBytes(ISO_8859_1))
-                w(s"<< /Type /XObject /Subtype /Image /Width $iw " +
-                  s"/Height $ih /ColorSpace /DeviceRGB " +
-                  "/BitsPerComponent 8 /Filter /JPXDecode " +
-                  s"/Length ${payload.length} >>\nstream\n")
-                out.write(payload)
-                w("\nendstream")
+                imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
+                  Jpx.wrapJp2(Jpx.encode(jpxRaster(m + 3, iw, ih)), iw, ih))
+              case _ => jpxStub(m)
             }
           } else if (jbig2Seed.isDefined) {
             val m = jbig2Seed.get
             (i % 3) match {
               case 0 => // REAL JBIG2; dict dims LIE — truth is in the data
                 val (iw, ih) = jb2Dims(m)
-                val payload = maybeEnc(o,
-                  Jbig2.encodeEmbedded(jb2Raster(m), iw))
-                w(s"<< /Type /XObject /Subtype /Image /Width ${iw - 1} " +
-                  s"/Height ${ih - 1} /ColorSpace /DeviceGray " +
-                  "/BitsPerComponent 1 /Filter /JBIG2Decode " +
-                  s"/Length ${payload.length} >>\nstream\n")
-                out.write(payload)
-                w("\nendstream")
-              case 1 => // JBIG2 with an undecodable payload, honest dims
-                val (iw, ih) = jbig2Dims(m)
-                val payload = maybeEnc(o,
-                  s"jbig2-stub-$m".getBytes(ISO_8859_1))
-                w(s"<< /Type /XObject /Subtype /Image /Width $iw " +
-                  s"/Height $ih /ColorSpace /DeviceGray " +
-                  "/BitsPerComponent 1 /Filter /JBIG2Decode " +
-                  s"/Length ${payload.length} >>\nstream\n")
-                out.write(payload)
-                w("\nendstream")
-              case _ => // JPX stub
-                val (iw, ih) = jpxDims(m)
-                val payload = maybeEnc(o, s"jpx-stub-$m".getBytes(ISO_8859_1))
-                w(s"<< /Type /XObject /Subtype /Image /Width $iw " +
-                  s"/Height $ih /ColorSpace /DeviceRGB " +
-                  "/BitsPerComponent 8 /Filter /JPXDecode " +
-                  s"/Length ${payload.length} >>\nstream\n")
-                out.write(payload)
-                w("\nendstream")
+                imgXObject(iw - 1, ih - 1, "DeviceGray", 1, "JBIG2Decode",
+                  "", Jbig2.encodeEmbedded(jb2Raster(m), iw))
+              case 1 => jbig2Stub(m)
+              case _ => jpxStub(m)
             }
           } else if (scanSeed.isDefined) {
             val m = scanSeed.get
             (i % 3) match {
               case 0 => // CCITT G4; dict dims LIE, /DecodeParms has no /Rows
                 val (iw, ih) = g4Dims(m)
-                val payload = maybeEnc(o, CcittG4.encode(g4Raster(m), iw))
-                w(s"<< /Type /XObject /Subtype /Image /Width ${iw - 1} " +
-                  s"/Height ${ih - 1} /ColorSpace /DeviceGray " +
-                  "/BitsPerComponent 1 /Filter /CCITTFaxDecode " +
-                  s"/DecodeParms << /K -1 /Columns $iw /BlackIs1 true >> " +
-                  s"/Length ${payload.length} >>\nstream\n")
-                out.write(payload)
-                w("\nendstream")
-              case 1 => // JBIG2: honest dict dims, undecodable payload
-                val (iw, ih) = jbig2Dims(m)
-                val payload = maybeEnc(o,
-                  s"jbig2-stub-$m".getBytes(ISO_8859_1))
-                w(s"<< /Type /XObject /Subtype /Image /Width $iw " +
-                  s"/Height $ih /ColorSpace /DeviceGray " +
-                  "/BitsPerComponent 1 /Filter /JBIG2Decode " +
-                  s"/Length ${payload.length} >>\nstream\n")
-                out.write(payload)
-                w("\nendstream")
-              case _ => // JPX
-                val (iw, ih) = jpxDims(m)
-                val payload = maybeEnc(o, s"jpx-stub-$m".getBytes(ISO_8859_1))
-                w(s"<< /Type /XObject /Subtype /Image /Width $iw " +
-                  s"/Height $ih /ColorSpace /DeviceRGB " +
-                  "/BitsPerComponent 8 /Filter /JPXDecode " +
-                  s"/Length ${payload.length} >>\nstream\n")
-                out.write(payload)
-                w("\nendstream")
+                imgXObject(iw - 1, ih - 1, "DeviceGray", 1, "CCITTFaxDecode",
+                  s"/DecodeParms << /K -1 /Columns $iw /BlackIs1 true >> ",
+                  CcittG4.encode(g4Raster(m), iw))
+              case 1 => jbig2Stub(m)
+              case _ => jpxStub(m)
             }
           } else if (jpegImages) {
             val (iw, ih) = jpegDims(i)
@@ -1752,17 +1712,33 @@ object RealPdfExtractor extends PdfExtractor {
               case Some(PArr(fs)) => fs.collect { case PName(f) => f }
               case _ => Nil
             }
+            // /DecodeParms may be a single dict OR an array aligned with
+            // an array /Filter — take the entry at the given filter's
+            // index (the applyFilters convention)
+            def parmsAt(fIdx: Int): Map[String, PVal] = {
+              val seq: Seq[Map[String, PVal]] =
+                deref(objs, d.getOrElse("DecodeParms",
+                    d.getOrElse("DP", PNull))) match {
+                  case PDict(p) => Seq(p)
+                  case PArr(ps) => ps.map(x => dictOf(deref(objs, x)))
+                  case _ => Nil
+                }
+              seq.lift(fIdx).getOrElse(Map.empty)
+            }
             // /DCTDecode payload IS a bare JPEG stream: decode the real
             // raster (reference sees rendered pixels via PyMuPDF,
             // pymupdf_parser.py:675-759). Decoded dims override the dict's
             // claim (the pixels are the truth a Vision-OCR call would see);
             // failure degrades to the dict-dims label, never throws.
             // Decode memoized by object number across the document's pages.
-            // CCITT G4 (the scanned-corpus compression) decodes through
-            // [[CcittG4]]: width = /Columns, height/ink come from the
-            // DATA. JBIG2/JPX are detected and labeled `undecoded` with
-            // their dict dims — an honest feature for the would_ocr
-            // policy, never a guess at pixels.
+            // All three scanned-corpus compressions decode for real:
+            // CCITT G4 ([[CcittG4]]: width = /Columns, height/ink from
+            // the DATA), JBIG2 generic regions ([[Jbig2]]: both dims AND
+            // ink from the segment data), and JPEG 2000 ([[Jpx]]: dims
+            // from SIZ, gray-sum from the wavelet decode). Streams
+            // outside each codec's subset are labeled `undecoded` with
+            // dict dims — an honest feature for the would_ocr policy,
+            // never a guess at pixels.
             val label =
               if (filters.contains("DCTDecode")) {
                 val dec = ref match {
@@ -1774,19 +1750,8 @@ object RealPdfExtractor extends PdfExtractor {
                   .getOrElse(s"${dim("Width")}x${dim("Height")}")
               } else if (filters.contains("CCITTFaxDecode") ||
                   filters.contains("CCF")) {
-                // /DecodeParms may be a single dict OR an array aligned
-                // with an array /Filter — take the entry at the CCITT
-                // filter's index (the applyFilters convention)
-                val parmsSeq: Seq[Map[String, PVal]] =
-                  deref(objs, d.getOrElse("DecodeParms",
-                      d.getOrElse("DP", PNull))) match {
-                    case PDict(p) => Seq(p)
-                    case PArr(ps) => ps.map(x => dictOf(deref(objs, x)))
-                    case _ => Nil
-                  }
-                val fIdx = filters.indexWhere(f =>
-                  f == "CCITTFaxDecode" || f == "CCF")
-                val pm = parmsSeq.lift(fIdx).getOrElse(Map.empty)
+                val pm = parmsAt(filters.indexWhere(f =>
+                  f == "CCITTFaxDecode" || f == "CCF"))
                 def pnum(k: String, dflt: Int): Int =
                   deref(objs, pm.getOrElse(k, PNull)) match {
                     case PNum(v) => v.toInt
@@ -1809,16 +1774,8 @@ object RealPdfExtractor extends PdfExtractor {
                 // A generic-region stream decodes fully ([[Jbig2]]); a
                 // symbol/text-region stream parses at the segment level
                 // and degrades to the honest `undecoded` dict-dims label.
-                val fIdx = filters.indexOf("JBIG2Decode")
-                val parmsSeq: Seq[Map[String, PVal]] =
-                  deref(objs, d.getOrElse("DecodeParms",
-                      d.getOrElse("DP", PNull))) match {
-                    case PDict(p) => Seq(p)
-                    case PArr(ps) => ps.map(x => dictOf(deref(objs, x)))
-                    case _ => Nil
-                  }
-                val globals = parmsSeq.lift(fIdx)
-                  .flatMap(_.get("JBIG2Globals"))
+                val globals = parmsAt(filters.indexOf("JBIG2Decode"))
+                  .get("JBIG2Globals")
                   .map(g => decodedStream(objs, g))
                   .filter(_.nonEmpty)
                 def decodeJb(): Option[Jbig2.Decoded] =
@@ -1833,8 +1790,10 @@ object RealPdfExtractor extends PdfExtractor {
                 // raw codestream or JP2 boxes; grayscale reversible-5/3
                 // streams decode fully ([[Jpx]]), anything outside the
                 // subset degrades to the honest `undecoded` dict label
+                // 1<<25 px (≈ A4 at 600 dpi) caps what a hostile SIZ
+                // header can make one image object allocate
                 def decodeJpx(): Option[Jpx.Decoded] =
-                  stream.flatMap(b => Jpx.decode(b))
+                  stream.flatMap(b => Jpx.decode(b, maxPixels = 1L << 25))
                 val dec = ref match {
                   case PRef(num) => jpxCache.getOrElseUpdate(num, decodeJpx())
                   case _ => decodeJpx()

@@ -214,14 +214,15 @@ class FilteredAnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       predicate = Some(dense))
     assert(ids(got) == exactFiltered(denseF, 10))
     // on a MULTI-ASSIGNED index the semi-join keeps every replica row of
-    // a shortlisted id — dedupe=true must collapse them (caught by
-    // driving the pq-search CLI against a replicated index)
+    // a shortlisted id — the dedupe derived from quantizer.replicas must
+    // collapse them (caught by driving the pq-search CLI against a
+    // replicated index)
     val q2 = q.copy(replicas = 2)
     val ivfpq2 = graft.search.Pq.encode(
       Ivf.buildIndexMultiAssign(table, q2, replicas = 2), cb)
     val got2 = graft.search.Pq.searchIvfPq(ivfpq2, query, q2, cb, 10,
       nprobe = q2.k, shortlist = N, tieBreak = "fragment_id",
-      predicate = Some(dense), dedupe = true)
+      predicate = Some(dense))
     assert(ids(got2) == exactFiltered(denseF, 10),
       "replicated IVFPQ diverged (duplicate rows?)")
   }

@@ -104,6 +104,27 @@ class Jbig2Spec extends AnyFunSuite {
       viaGlobals.get.blackCount == dec.get.blackCount)
   }
 
+  test("page-info geometry wins over a trimmed region (trailing white)") {
+    val (w, h) = PdfWriter.jb2Dims(9)
+    val enc = Jbig2.encodeEmbedded(PdfWriter.jb2Raster(9), w)
+    // page-info height lives at bytes 11+4..11+7 (segment header 11B,
+    // then width u32, height u32); declare two extra (white) rows — a
+    // producer legally trims them from the region, the page keeps them
+    val mut = enc.clone()
+    mut(11 + 7) = (mut(11 + 7) + 2).toByte
+    val d = Jbig2.decode(mut)
+    assert(d.isDefined && d.get.width == w && d.get.height == h + 2)
+    assert(d.get.blackCount == Jbig2.decode(enc).get.blackCount)
+  }
+
+  test("the pixel budget bounds the TOTAL across regions") {
+    val (w, h) = PdfWriter.jb2Dims(3)
+    val enc = Jbig2.encodeEmbedded(PdfWriter.jb2Raster(3), w)
+    assert(Jbig2.decode(enc, maxPixels = w.toLong * h).isDefined)
+    assert(Jbig2.decode(enc, maxPixels = w.toLong * h - 1).isEmpty,
+      "a region over budget must be skipped, not allocated")
+  }
+
   test("the dict cannot lie: decoded geometry and ink beat /Width /Height") {
     (0 until 30).foreach { m =>
       val paras = Seq(s"scan doc $m", "second paragraph")

@@ -23,6 +23,36 @@ class JpxLayersSpec extends AnyFunSuite {
     }
   }
 
+  test("5/3 lifting matches an independent interleaved-extension reference") {
+    // first-principles reference: whole-sample symmetric extension of the
+    // INTERLEAVED signal Y, predict/update straight off T.800 F.4 — so a
+    // subband-domain extension mistake in f1d (self-consistent but
+    // non-conformant, e.g. d(-1)=d(1) instead of d(0)) cannot hide behind
+    // the round-trip tests
+    def refForward(s: Array[Int]): Array[Int] = {
+      val n = s.length
+      def y(i0: Int): Int = { // iterated reflection covers tiny n
+        var i = i0
+        while (i < 0 || i >= n) i = if (i < 0) -i else 2 * (n - 1) - i
+        s(i)
+      }
+      def d(i: Int): Int = y(2 * i + 1) - ((y(2 * i) + y(2 * i + 2)) >> 1)
+      val nL = (n + 1) / 2
+      val nH = n / 2
+      val out = new Array[Int](n)
+      for (i <- 0 until nL) out(i) = y(2 * i) + ((d(i - 1) + d(i) + 2) >> 2)
+      for (i <- 0 until nH) out(nL + i) = d(i)
+      out
+    }
+    for (n <- Seq(2, 3, 4, 5, 8, 9, 16, 17, 31)) {
+      val src = lcg(n * 7 + 1).map(s => ((s >>> 33) % 511).toInt - 255)
+        .take(n).toArray
+      val a = src.clone()
+      Jpx.fdwt(a, n, 1, 1) // one row, one level = exactly one f1d
+      assert(a.sameElements(refForward(src)), s"n=$n")
+    }
+  }
+
   // ---- tag trees ----
 
   test("tag tree round-trip on random grids (incremental thresholds)") {
