@@ -348,7 +348,8 @@ object Jbig2 {
     * lossless generic region (39) + end of page (49) — no file header,
     * exactly what a /JBIG2Decode stream carries. */
   def encodeEmbedded(rows: Seq[Array[Boolean]], width: Int,
-      template: Int = 0, tpgdon: Boolean = false): Array[Byte] = {
+      template: Int = 0, tpgdon: Boolean = false,
+      mmr: Boolean = false): Array[Byte] = {
     require(rows.nonEmpty && width > 0 && rows.forall(_.length == width))
     val height = rows.length
     val b = mutable.ArrayBuffer.empty[Byte]
@@ -364,13 +365,17 @@ object Jbig2 {
     be32(b, width); be32(b, height); be32(b, 0); be32(b, 0)
     b += 0x01 // page flags: default pixel 0, lossless
     b += 0; b += 0 // not striped
-    // immediate lossless generic region
-    val at = nominalAt(template)
-    val coded = encodeGeneric(rows.toIndexedSeq, width, template, tpgdon)
+    // immediate lossless generic region: MQ-coded, or MMR (= T.6 /
+    // CCITT G4, §6.2.6) when asked — real streams carry both forms
+    val at = if (mmr) Array.empty[(Int, Int)] else nominalAt(template)
+    val coded =
+      if (mmr) CcittG4.encode(rows, width)
+      else encodeGeneric(rows.toIndexedSeq, width, template, tpgdon)
     header(2, 39, 17 + 1 + 2 * at.length + coded.length)
     be32(b, width); be32(b, height); be32(b, 0); be32(b, 0)
     b += 0x00 // external combination operator OR
-    b += (((template & 3) << 1) | (if (tpgdon) 8 else 0)).toByte
+    b += ((if (mmr) 1 else 0) | ((template & 3) << 1) |
+      (if (tpgdon) 8 else 0)).toByte
     at.foreach { case (x, y) => b += x.toByte; b += y.toByte }
     b ++= coded
     // end of page
@@ -473,19 +478,31 @@ object Jbig2 {
                     val mmr = (gflags & 1) != 0
                     val template = (gflags >> 1) & 3
                     val tpgdon = (gflags & 8) != 0
-                    val atCount = if (template == 0) 4 else 1
-                    val ok = !mmr && w > 0 && h > 0 && w <= (1 << 16) &&
+                    val atCount = if (mmr) 0 else if (template == 0) 4 else 1
+                    val ok = w > 0 && h > 0 && w <= (1 << 16) &&
                       h <= (1 << 16) && w * h <= pixelBudget &&
                       x + w <= (1 << 16) && y + h <= (1 << 16) &&
                       rr.remaining >= 2 * atCount
                     if (ok) {
                       pixelBudget -= w * h
-                      val at = Array.fill(atCount) {
-                        val ax = rr.s8(); val ay = rr.s8(); (ax, ay)
+                      if (mmr) {
+                        // MMR = T.6 two-dimensional coding (§6.2.6):
+                        // exactly the CCITT G4 decoder, row count bounded
+                        // by the region height instead of EOFB
+                        val slice = java.util.Arrays.copyOfRange(all,
+                          rr.p, end)
+                        CcittG4.decode(slice, w.toInt, maxRows = h.toInt)
+                          .filter(_.height == h.toInt) // partial = reject
+                          .foreach(d =>
+                            regions += ((x.toInt, y.toInt, d.rows)))
+                      } else {
+                        val at = Array.fill(atCount) {
+                          val ax = rr.s8(); val ay = rr.s8(); (ax, ay)
+                        }
+                        val rows = decodeGeneric(all, rr.p, end, w.toInt,
+                          h.toInt, template, at, tpgdon)
+                        regions += ((x.toInt, y.toInt, rows))
                       }
-                      val rows = decodeGeneric(all, rr.p, end, w.toInt,
-                        h.toInt, template, at, tpgdon)
-                      regions += ((x.toInt, y.toInt, rows))
                     }
                   }
                 }

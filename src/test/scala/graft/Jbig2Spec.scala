@@ -52,6 +52,20 @@ class Jbig2Spec extends AnyFunSuite {
     for (t <- 0 to 3) roundTrip(striped, 23, t, tpgdon = true)
   }
 
+  test("MMR (T.6-coded) generic regions round-trip via the G4 codec") {
+    (0 until 12).foreach { m =>
+      val rows = PdfWriter.jb2Raster(m)
+      val w = PdfWriter.jb2Dims(m)._1
+      val enc = Jbig2.encodeEmbedded(rows, w, mmr = true)
+      val dec = Jbig2.decode(enc)
+      assert(dec.isDefined, s"MMR decode failed m=$m")
+      assert(dec.get.width == w && dec.get.height == rows.length)
+      dec.get.rows.zip(rows).foreach { case (got, want) =>
+        assert(got.sameElements(want))
+      }
+    }
+  }
+
   test("round-trip on degenerate shapes") {
     roundTrip(Seq.fill(5)(Array.fill(10)(false)), 10) // all white
     roundTrip(Seq.fill(5)(Array.fill(10)(true)), 10) // all black
