@@ -11,16 +11,17 @@ import scala.collection.mutable
   * must decode the codestream itself or degrade to undecoded-bytes
   * behavior on the documents OCR exists for.
   *
-  * Scope (both directions, lossless): single-component 8-bit grayscale,
-  * single tile at the origin, reversible 5/3 wavelet with any number of
-  * decomposition levels, no quantization, one quality layer, default
-  * precincts, EBCOT Tier-1 with the MQ arithmetic coder (the SAME Annex E
-  * coder as [[Jbig2]] — T.800 and T.88 share it; the Tier-1 contexts and
-  * pass structure here are T.800 Annex D), tag-tree-coded packet headers
-  * (T.800 B.10), and both the raw codestream and the JP2 box wrapping.
-  * Multi-component / quantized / POC / precinct-partitioned streams are
-  * detected and rejected to None — the extractor's honest `undecoded`
-  * label, never a guess.
+  * Scope (both directions, lossless): 8-bit components — grayscale or
+  * multi-component up to 4, including RGB under the reversible color
+  * transform (RCT, T.800 G.2) — single tile at the origin, reversible
+  * 5/3 wavelet with any number of decomposition levels, no quantization,
+  * one quality layer, default precincts, EBCOT Tier-1 with the MQ
+  * arithmetic coder (the SAME Annex E coder as [[Jbig2]] — T.800 and
+  * T.88 share it; the Tier-1 contexts and pass structure here are T.800
+  * Annex D), tag-tree-coded packet headers (T.800 B.10), and both the
+  * raw codestream and the JP2 box wrapping. Quantized / subsampled /
+  * POC / precinct-partitioned streams are detected and rejected to None
+  * — the extractor's honest `undecoded` label, never a guess.
   *
   * The encoder exists to produce fixtures whose decoded geometry and ink
   * only a real Tier-1 + DWT decode can recover; the decoder is the
@@ -543,7 +544,10 @@ object Jpx {
 
   // ---------------- codestream (T.800 Annex A/B) ----------------
 
-  private val Guard = 2 // QCD guard bits
+  // 3 guard bits: RCT chroma spans ±255 and the 5/3 low-pass grows
+  // amplitude ~1.5× per level, so deep LL bands need the extra plane
+  // (zero-bitplane signaling absorbs it when unused)
+  private val Guard = 3
 
   private final case class Band(btype: Int, x0: Int, y0: Int,
       bw: Int, bh: Int) {
@@ -600,21 +604,52 @@ object Jpx {
   private def log2floor(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
 
   /** Encode one grayscale raster (values 0..255) as a raw codestream. */
-  def encode(img: Array[Array[Int]], levels: Int = 2): Array[Byte] = {
-    val h = img.length
-    val w = img(0).length
+  def encode(img: Array[Array[Int]], levels: Int = 2): Array[Byte] =
+    encodeMulti(Seq(img), levels, rct = false)
+
+  /** Encode an RGB raster with the reversible color transform. */
+  def encodeRgb(r: Array[Array[Int]], g: Array[Array[Int]],
+      b: Array[Array[Int]], levels: Int = 2): Array[Byte] =
+    encodeMulti(Seq(r, g, b), levels, rct = true)
+
+  /** Multi-component codestream: each component carries its own packets
+    * (LRCP with one layer = resolution-major, component-minor order);
+    * `rct` applies the reversible color transform (T.800 G.2, 5/3-only)
+    * across exactly three same-sized components. */
+  def encodeMulti(comps: Seq[Array[Array[Int]]], levels: Int = 2,
+      rct: Boolean = false): Array[Byte] = {
+    require(comps.nonEmpty && (!rct || comps.length == 3))
+    val h = comps.head.length
+    val w = comps.head(0).length
     require(w > 0 && h > 0 && levels >= 0 && levels <= 6)
-    val a = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { a(y * w + x) = img(y)(x) - 128; x += 1 } // DC shift
-      y += 1
+    require(comps.forall(c => c.length == h && c(0).length == w))
+    val nc = comps.length
+    val planesArr = comps.map { img =>
+      val a = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { a(y * w + x) = img(y)(x) - 128; x += 1 } // DC shift
+        y += 1
+      }
+      a
+    }.toArray
+    if (rct) { // forward RCT on the shifted samples
+      var i = 0
+      val n = w * h
+      while (i < n) {
+        val r0 = planesArr(0)(i); val g0 = planesArr(1)(i)
+        val b0 = planesArr(2)(i)
+        planesArr(0)(i) = (r0 + 2 * g0 + b0) >> 2
+        planesArr(1)(i) = b0 - g0
+        planesArr(2)(i) = r0 - g0
+        i += 1
+      }
     }
-    fdwt(a, w, h, levels)
+    planesArr.foreach(a => fdwt(a, w, h, levels))
 
     val tile = new ByteArrayOutputStream
-    for (r <- 0 to levels) {
+    for (r <- 0 to levels; a <- planesArr) {
       val hdr = new HdrWriter
       val bodies = mutable.ArrayBuffer.empty[Array[Byte]]
       val live = bands(w, h, levels, r).filter(b => b.bw > 0 && b.bh > 0)
@@ -690,15 +725,15 @@ object Jpx {
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
     def u32(v: Int): Unit = { u16(v >>> 16); u16(v) }
     u16(0xFF4F) // SOC
-    u16(0xFF51); u16(41) // SIZ, Lsiz for 1 component
+    u16(0xFF51); u16(38 + 3 * nc) // SIZ
     u16(0) // Rsiz
     u32(w); u32(h); u32(0); u32(0) // image / offset
     u32(w); u32(h); u32(0); u32(0) // tile / offset
-    u16(1) // Csiz
-    u8(7); u8(1); u8(1) // 8-bit unsigned, no subsampling
+    u16(nc) // Csiz
+    for (_ <- 0 until nc) { u8(7); u8(1); u8(1) } // 8-bit, no subsampling
     u16(0xFF52); u16(12) // COD
     u8(0) // Scod: default precincts, no SOP/EPH
-    u8(0); u16(1); u8(0) // LRCP, 1 layer, no MCT
+    u8(0); u16(1); u8(if (rct) 1 else 0) // LRCP, 1 layer, MCT
     u8(levels); u8(CbExp - 2); u8(CbExp - 2) // SPcod
     u8(0) // code-block style: none of the Part-1 mode switches
     u8(1) // 5/3 reversible
@@ -719,7 +754,8 @@ object Jpx {
   }
 
   /** Minimal JP2 file wrapping (signature, ftyp, jp2h, jp2c boxes). */
-  def wrapJp2(codestream: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  def wrapJp2(codestream: Array[Byte], w: Int, h: Int,
+      nc: Int = 1): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def u8(v: Int): Unit = out.write(v & 0xFF)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -741,10 +777,11 @@ object Jpx {
       ihdr.write((v >>> 8) & 0xFF); ihdr.write(v & 0xFF)
     }
     iu32(h); iu32(w)
-    ihdr.write(0); ihdr.write(1) // 1 component
+    ihdr.write((nc >> 8) & 0xFF); ihdr.write(nc & 0xFF)
     ihdr.write(7) // 8-bit unsigned
     ihdr.write(7); ihdr.write(0); ihdr.write(0) // jp2 compression, colr ok
-    val colr = Array[Byte](1, 0, 0, 0, 0, 0, 17) // enumerated grayscale
+    // enumerated colorspace: 17 = grayscale, 16 = sRGB
+    val colr = Array[Byte](1, 0, 0, 0, 0, 0, if (nc == 3) 16 else 17)
     val jp2h = new ByteArrayOutputStream
     def sub(tpe: String, payload: Array[Byte]): Unit = {
       val l = 8 + payload.length
@@ -760,11 +797,17 @@ object Jpx {
     out.toByteArray
   }
 
+  /** Decoded raster: `comps` holds one row-major plane per component
+    * (1 = grayscale, 3 = RGB after inverse RCT). `pixels` is the first
+    * plane; `graySum` totals EVERY plane, so it stays the single-number
+    * ink statistic for any channel count. */
   final case class Decoded(width: Int, height: Int,
-      pixels: Array[Array[Int]]) {
+      comps: Seq[Array[Array[Int]]]) {
+    def channels: Int = comps.length
+    def pixels: Array[Array[Int]] = comps.head
     def graySum: Long = {
       var s = 0L
-      pixels.foreach(r => r.foreach(s += _))
+      comps.foreach(_.foreach(r => r.foreach(s += _)))
       s
     }
   }
@@ -802,6 +845,8 @@ object Jpx {
       if (u16() != 0xFF4F) return None
       var w = 0
       var h = 0
+      var nc = 0
+      var mct = 0
       var levels = -1
       var cbw = 0
       var cbh = 0
@@ -820,12 +865,15 @@ object Jpx {
             val xo = u32(); val yo = u32()
             val xt = u32(); val yt = u32()
             val xto = u32(); val yto = u32()
-            val nc = u16()
-            if (xo != 0 || yo != 0 || xto != 0 || yto != 0 || nc != 1 ||
-                xt < xs || yt < ys) return None
-            val ssiz = u8(); u8(); u8()
-            if ((ssiz & 0x80) != 0 || (ssiz & 0x7F) > 7) return None
-            if (xs <= 0 || ys <= 0 || xs * ys > maxPixels) return None
+            nc = u16()
+            if (xo != 0 || yo != 0 || xto != 0 || yto != 0 || nc < 1 ||
+                nc > 4 || xt < xs || yt < ys) return None
+            for (_ <- 0 until nc) {
+              val ssiz = u8(); val xr = u8(); val yr = u8()
+              if ((ssiz & 0x80) != 0 || (ssiz & 0x7F) > 7 ||
+                  xr != 1 || yr != 1) return None // 8-bit, no subsampling
+            }
+            if (xs <= 0 || ys <= 0 || xs * ys * nc > maxPixels) return None
             w = xs.toInt; h = ys.toInt
             p = base + len - 2
           case 0xFF52 =>
@@ -835,8 +883,8 @@ object Jpx {
             if ((scod & 1) != 0) return None // explicit precincts
             val prog = u8()
             val layers = u16()
-            val mct = u8()
-            if (prog > 4 || layers != 1 || mct != 0) return None
+            mct = u8()
+            if (prog > 4 || layers != 1 || mct > 1) return None
             levels = u8()
             if (levels > 10) return None
             cbw = 1 << (u8() + 2)
@@ -883,11 +931,13 @@ object Jpx {
         }
       }
       if (tileEnd <= p || tileEnd > data.length) return None
+      if (mct == 1 && nc != 3) return None // RCT needs exactly RGB
 
-      // coefficients
-      val a = new Array[Int](w * h)
+      // coefficients, one plane per component; packets arrive in LRCP
+      // order with one layer = resolution-major, component-minor
+      val planesArr = Array.fill(nc)(new Array[Int](w * h))
       var cursor = p
-      for (r <- 0 to levels) {
+      for (r <- 0 to levels; a <- planesArr) {
         val live = bands(w, h, levels, r).filter(b => b.bw > 0 && b.bh > 0)
         val hdr = new HdrReader(data, cursor)
         val pending = mutable.ArrayBuffer.empty[(Band, Int, Int, Int, Int, Int)]
@@ -942,17 +992,33 @@ object Jpx {
         }
       }
 
-      idwt(a, w, h, levels)
-      val px = Array.ofDim[Int](h, w)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          px(y)(x) = math.max(0, math.min(255, a(y * w + x) + 128))
-          x += 1
+      planesArr.foreach(a => idwt(a, w, h, levels))
+      if (mct == 1) { // inverse RCT (T.800 G.2)
+        var i = 0
+        val n = w * h
+        while (i < n) {
+          val y0 = planesArr(0)(i); val u = planesArr(1)(i)
+          val v = planesArr(2)(i)
+          val g = y0 - ((u + v) >> 2)
+          planesArr(0)(i) = v + g // R
+          planesArr(1)(i) = g // G
+          planesArr(2)(i) = u + g // B
+          i += 1
         }
-        y += 1
       }
-      Some(Decoded(w, h, px))
+      val comps = planesArr.toSeq.map { a =>
+        val px = Array.ofDim[Int](h, w)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(y)(x) = math.max(0, math.min(255, a(y * w + x) + 128))
+            x += 1
+          }
+          y += 1
+        }
+        px
+      }
+      Some(Decoded(w, h, comps))
     } catch { case _: Exception => None }
 }

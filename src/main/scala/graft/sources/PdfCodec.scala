@@ -1798,8 +1798,11 @@ object RealPdfExtractor extends PdfExtractor {
                   case PRef(num) => jpxCache.getOrElseUpdate(num, decodeJpx())
                   case _ => decodeJpx()
                 }
-                dec.map(j => s"${j.width}x${j.height} jpx s${j.graySum}")
-                  .getOrElse(s"${dim("Width")}x${dim("Height")} jpx undecoded")
+                dec.map { j =>
+                  val ch = if (j.channels == 1) "" else s" c${j.channels}"
+                  s"${j.width}x${j.height} jpx$ch s${j.graySum}"
+                }.getOrElse(
+                  s"${dim("Width")}x${dim("Height")} jpx undecoded")
               } else s"${dim("Width")}x${dim("Height")}"
             Some(name -> ImgInfo(label))
           } else None

@@ -64,6 +64,43 @@ class JpxSpec extends AnyFunSuite {
     roundTrip(gray(20, 12)((_, _) => 0), 2)
   }
 
+  test("RGB round-trips losslessly through the reversible color transform") {
+    def plane(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
+    for ((w, h, levels) <- Seq((21, 13, 2), (16, 16, 3), (7, 9, 1),
+        (64, 33, 2))) {
+      val r = plane(w, h)((x, y) => x * 37 + y * 5)
+      val g = plane(w, h)((x, y) => x * 3 + y * 41 + 100)
+      val b = plane(w, h)((x, y) => (x ^ y) * 19)
+      val enc = Jpx.encodeRgb(r, g, b, levels)
+      val d = Jpx.decode(enc)
+      assert(d.isDefined && d.get.channels == 3, s"${w}x$h l=$levels")
+      val Seq(dr, dg, db) = d.get.comps
+      def eq(a: Array[Array[Int]], c: Array[Array[Int]], n: String): Unit =
+        a.zip(c).zipWithIndex.foreach { case ((got, want), y) =>
+          assert(got.sameElements(want), s"$n row $y (${w}x$h l=$levels)")
+        }
+      eq(dr, r, "R"); eq(dg, g, "G"); eq(db, b, "B")
+      // extremes stress the RCT chroma range (±255) at depth
+      val black = plane(w, h)((_, _) => 0)
+      val white = plane(w, h)((_, _) => 255)
+      val d2 = Jpx.decode(Jpx.encodeRgb(white, black, white, levels)).get
+      assert(d2.comps(0).head.head == 255 && d2.comps(1).head.head == 0)
+    }
+    // multi-component without MCT (independent planes) also round-trips
+    val p0 = plane(11, 8)((x, y) => x * 20 + y)
+    val p1 = plane(11, 8)((x, y) => 255 - x * 9 - y * 3)
+    val d3 = Jpx.decode(Jpx.encodeMulti(Seq(p0, p1), 2, rct = false)).get
+    assert(d3.channels == 2)
+    assert(d3.comps(0).flatten.toSeq == p0.flatten.toSeq &&
+      d3.comps(1).flatten.toSeq == p1.flatten.toSeq)
+    // and the JP2 wrap carries RGB too
+    val rgb = Jpx.encodeRgb(plane(9, 7)((x, y) => x + y),
+      plane(9, 7)((x, y) => x * y), plane(9, 7)((x, _) => x * 28))
+    val viaJp2 = Jpx.decode(Jpx.wrapJp2(rgb, 9, 7, nc = 3))
+    assert(viaJp2.isDefined && viaJp2.get.channels == 3)
+  }
+
   test("JP2 box wrapping decodes identically to the raw codestream") {
     val img = PdfWriter.jpxRaster(5, 21, 13)
     val raw = Jpx.encode(img)
