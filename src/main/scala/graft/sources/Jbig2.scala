@@ -56,10 +56,13 @@ object Jbig2 {
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
 
   /** Arithmetic-coder context store: adaptation state + MPS sense per
-    * context label (2^16 labels covers template 0's 16-bit context). */
-  private[sources] final class CxStore {
-    val i = new Array[Byte](1 << 16)
-    val mps = new Array[Byte](1 << 16)
+    * context label. Default 2^16 labels covers GB template 0's 16-bit
+    * context; callers with small context sets (JPEG 2000 Tier-1 has 19)
+    * size it down — the store is allocated and zeroed per code-block,
+    * so its size is a hot-path cost, not a detail. */
+  private[sources] final class CxStore(size: Int = 1 << 16) {
+    val i = new Array[Byte](size)
+    val mps = new Array[Byte](size)
   }
 
   // ---------------- MQ decoder (T.88 E.3.2-E.3.4) ----------------

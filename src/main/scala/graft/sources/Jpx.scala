@@ -200,11 +200,15 @@ object Jpx {
     private val sig = new Array[Boolean](n)
     private val vis = new Array[Boolean](n)
     private val ref = new Array[Boolean](n)
-    protected val cxs = new Jbig2.CxStore
+    protected val cxs = new Jbig2.CxStore(19) // Tier-1 has 19 contexts
     // Table D.7 initial states: UNIFORM 46, run-length 3, ZC zero 4
     cxs.i(18) = 46; cxs.i(17) = 3; cxs.i(0) = 4
 
-    protected def codeBit(cx: Int, encBit: => Int): Int
+    /** The direction seam: the encoder codes `encBit` and returns it,
+      * the decoder ignores it and returns the decoded bit. `encBit` is
+      * computed eagerly by every caller (cheap bounded array reads;
+      * decoder-side values are unused garbage). */
+    protected def codeBit(cx: Int, encBit: Int): Int
 
     private def sigAt(x: Int, y: Int): Int =
       if (x < 0 || x >= w || y < 0 || y >= h || !sig(y * w + x)) 0 else 1
@@ -251,10 +255,11 @@ object Jpx {
       sgn(pos) = b ^ xor
     }
 
-    /** Significance coding: ZC bit, then sign on a 1. */
-    private def codeSig(x: Int, y: Int, p: Int): Unit = {
+    /** Significance coding: ZC bit (context precomputed by the caller —
+      * every call site already needed it), then sign on a 1. */
+    private def codeSig(x: Int, y: Int, p: Int, cx: Int): Unit = {
       val pos = y * w + x
-      val b = codeBit(zcCx(x, y), (mag(pos) >>> p) & 1)
+      val b = codeBit(cx, (mag(pos) >>> p) & 1)
       if (b == 1) {
         mag(pos) |= 1 << p
         sig(pos) = true
@@ -271,9 +276,12 @@ object Jpx {
           var y = y0
           while (y < ymax) {
             val pos = y * w + x
-            if (!sig(pos) && zcCx(x, y) != 0) {
-              codeSig(x, y, p)
-              vis(pos) = true
+            if (!sig(pos)) {
+              val cx = zcCx(x, y)
+              if (cx != 0) {
+                codeSig(x, y, p, cx)
+                vis(pos) = true
+              }
             }
             y += 1
           }
@@ -341,9 +349,12 @@ object Jpx {
               a
             })
             if (any == 1) {
-              def encIdx: Int = {
+              // first set bit in the column; bounded at 3 so the
+              // decoder's eager evaluation over garbage mags is safe
+              val encIdx = {
                 var k = 0
-                while (((mag((y0 + k) * w + x) >>> p) & 1) == 0) k += 1
+                while (k < 3 &&
+                    ((mag((y0 + k) * w + x) >>> p) & 1) == 0) k += 1
                 k
               }
               val hi = codeBit(18, (encIdx >> 1) & 1)
@@ -354,14 +365,17 @@ object Jpx {
               sig(pos) = true
               codeSign(x, y0 + idx)
               var k = idx + 1
-              while (k < 4) { codeSig(x, y0 + k, p); k += 1 }
+              while (k < 4) {
+                codeSig(x, y0 + k, p, zcCx(x, y0 + k))
+                k += 1
+              }
             }
           } else {
             val ymax = math.min(y0 + 4, h)
             var y = y0
             while (y < ymax) {
               val pos = y * w + x
-              if (!sig(pos) && !vis(pos)) codeSig(x, y, p)
+              if (!sig(pos) && !vis(pos)) codeSig(x, y, p, zcCx(x, y))
               y += 1
             }
           }
@@ -396,10 +410,9 @@ object Jpx {
   private[sources] final class T1Encoder(w: Int, h: Int, btype: Int)
       extends T1(w, h, btype) {
     private val mq = new Jbig2.MqEncoder
-    protected def codeBit(cx: Int, encBit: => Int): Int = {
-      val b = encBit
-      mq.encode(cxs, cx, b)
-      b
+    protected def codeBit(cx: Int, encBit: Int): Int = {
+      mq.encode(cxs, cx, encBit)
+      encBit
     }
     def result(): Array[Byte] = mq.flush()
   }
@@ -407,7 +420,7 @@ object Jpx {
   private[sources] final class T1Decoder(w: Int, h: Int, btype: Int,
       data: Array[Byte], start: Int, end: Int) extends T1(w, h, btype) {
     private val mq = new Jbig2.MqDecoder(data, start, end)
-    protected def codeBit(cx: Int, encBit: => Int): Int = mq.decode(cxs, cx)
+    protected def codeBit(cx: Int, encBit: Int): Int = mq.decode(cxs, cx)
   }
 
   // ---------------- reversible 5/3 DWT (T.800 Annex F) ----------------
