@@ -649,11 +649,111 @@ object VectorQueries {
     hybridCosAll(s, dir)
       .orderBy(col("cos").desc, col("doc_id")).limit(c))
 
+  // ---- v17: retrieval-quality metrics (MRR / NDCG@10) ----
+  // Ground truth: same-label vectors are relevant (the testdata's 10
+  // balanced classes). The reference tallies golden-query hits (A9,
+  // api/cli/quality.py:68-100); this is the graded generalization a
+  // retrieval pipeline actually monitors. Oracle-exactness design: the
+  // 1/log2(1+r) and 1/r weights are DRIVER-COMPUTED integer micro-unit
+  // constants injected into BOTH the Spark plan and the SQL text, so
+  // every per-query aggregate is an order-free exact integer sum; the
+  // only float op is one final division of identical BIGINT operands.
+  // Scale shape = v2's: broadcast the query set, one corpus scan, a
+  // per-query rank window, then 20-row arithmetic.
+
+  private val NdcgW: Seq[Long] =
+    (1 to 10).map(r => Math.round(1e6 / (Math.log(r + 1.0) / Math.log(2.0))))
+  private val NdcgPrefix: Seq[Long] = NdcgW.scanLeft(0L)(_ + _).tail
+  private val RrW: Seq[Long] = (1 to 10).map(r => Math.round(1e6 / r.toDouble))
+
+  private val v17Metrics: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+        col("label").as("query_label"))
+    val relCounts = e.groupBy(col("label").as("query_label"))
+      .agg(count(lit(1)).as("class_n"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("similarity", cosine(col("embedding"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("vec_id"))
+    val wArr = array(NdcgW.map(lit): _*)
+    val rrArr = array(RrW.map(lit): _*)
+    val pArr = array(NdcgPrefix.map(lit): _*)
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .withColumn("rel", (col("label") === col("query_label")).cast("int"))
+    val perQ = top.groupBy(col("query_id"), col("query_label"))
+      .agg(
+        sum(col("rel")).cast("long").as("hits10"),
+        coalesce(min(when(col("rel") === 1, col("rank"))), lit(0))
+          .cast("long").as("first_hit_rank"),
+        sum(when(col("rel") === 1, element_at(wArr, col("rank")))
+          .otherwise(0L)).cast("long").as("dcg_micro"))
+    perQ.join(broadcast(relCounts), Seq("query_label"))
+      .withColumn("n_rel", (col("class_n") - 1).cast("long"))
+      .withColumn("rr_micro", when(col("first_hit_rank") > 0,
+        element_at(rrArr, col("first_hit_rank").cast("int")))
+        .otherwise(0L).cast("long"))
+      .withColumn("idcg_micro", element_at(pArr,
+        greatest(least(col("n_rel"), lit(10L)), lit(1L)).cast("int"))
+        .cast("long"))
+      .withColumn("ndcg", when(col("n_rel") > 0,
+        col("dcg_micro").cast("double") / col("idcg_micro").cast("double"))
+        .otherwise(lit(0.0)))
+      .select(col("query_id"), col("query_label").as("label"), col("n_rel"),
+        col("hits10"), col("first_hit_rank"), col("rr_micro"),
+        col("dcg_micro"), col("idcg_micro"), col("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  private val v17Sql = {
+    def caseOf(src: String, vals: Seq[Long]): String =
+      s"CASE $src " + vals.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+        .mkString(" ") + " ELSE 0 END"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec,
+       |    label AS query_label FROM embeddings WHERE vec_id < 20),
+       |  cls AS (SELECT label AS query_label, COUNT(*) AS class_n
+       |    FROM embeddings GROUP BY 1),
+       |  top AS (SELECT * FROM (
+       |    SELECT q.query_id, q.query_label, e.label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${duckCosine("e.embedding", "q.query_vec")} DESC,
+       |          e.vec_id) AS rank
+       |    FROM embeddings e, q WHERE e.vec_id <> q.query_id) t
+       |    WHERE rank <= 10),
+       |  perq AS (SELECT query_id, query_label,
+       |    CAST(SUM(CASE WHEN label = query_label THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits10,
+       |    CAST(COALESCE(MIN(CASE WHEN label = query_label THEN rank END), 0)
+       |      AS BIGINT) AS first_hit_rank,
+       |    CAST(SUM(CASE WHEN label = query_label THEN
+       |      ${caseOf("rank", NdcgW)} ELSE 0 END) AS BIGINT) AS dcg_micro
+       |    FROM top GROUP BY 1, 2),
+       |  fin AS (SELECT p.query_id, p.query_label AS label,
+       |    CAST(c.class_n - 1 AS BIGINT) AS n_rel, p.hits10,
+       |    p.first_hit_rank,
+       |    CAST(${caseOf("p.first_hit_rank", RrW)} AS BIGINT) AS rr_micro,
+       |    p.dcg_micro,
+       |    CAST(${caseOf("LEAST(GREATEST(c.class_n - 1, 1), 10)", NdcgPrefix)}
+       |      AS BIGINT) AS idcg_micro
+       |    FROM perq p JOIN cls c USING (query_label))
+       |SELECT query_id, label, n_rel, hits10, first_hit_rank, rr_micro,
+       |  dcg_micro, idcg_micro,
+       |  CASE WHEN n_rel > 0
+       |    THEN CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE)
+       |    ELSE 0.0 END AS ndcg
+       |FROM fin ORDER BY query_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "v16_hybrid_topk" -> v16HybridTopk,
     "v15_filtered_ann" -> v15FilteredAnn,
     "v14_hybrid_rrf" -> v14HybridRrf,
     "v1_knn_exact" -> v1Knn,
+    "v17_retrieval_metrics" -> v17Metrics,
     "v2_knn_batch" -> v2BatchKnn,
     "v3_lsh_buckets" -> v3LshBuckets,
     "v4_embed_neardup" -> v4NearDup,
@@ -666,6 +766,7 @@ object VectorQueries {
     "v15_filtered_ann" -> v15Sql,
     "v14_hybrid_rrf" -> v14Sql,
     "v1_knn_exact" -> v1Sql,
+    "v17_retrieval_metrics" -> v17Sql,
     "v2_knn_batch" -> v2Sql,
     "v3_lsh_buckets" -> v3Sql,
     "v4_embed_neardup" -> v4Sql,
