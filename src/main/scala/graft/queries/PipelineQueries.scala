@@ -533,6 +533,68 @@ object PipelineQueries {
       |FROM d CROSS JOIN range(27) t1(x) CROSS JOIN range(17) t2(y)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 
+  /** S4 on the SYMBOL-CODED JBIG2 shape — the dominant wild form of
+    * scanned text (scanner firmware builds a glyph dictionary and
+    * places instances): Im0 carries an arithmetic symbol dictionary +
+    * text region ([[graft.sources.Jbig2.encodeTextDocument]]); its dict
+    * /Width /Height LIE by one, and the ink is recoverable only by
+    * running the full Annex-A integer decoding + dictionary + text
+    * region pipeline (glyph bitmaps × placements). The DuckDB oracle
+    * recomputes page dims and additive ink from doc_id arithmetic over
+    * the glyph pixel formula and the placement rule. Same shuffle-free
+    * per-document map shape as p14–p16.
+    */
+  private val p17Jbig2Text: Q = (s, dir) => {
+    import s.implicits._
+    import graft.sources.{PdfWriter, RealPdfExtractor}
+    val docRe = """Im0 (\d+)x(\d+) jbig2 b(\d+)""".r
+    val stubRe = """Im1 (\d+)x(\d+) jbig2 undecoded""".r
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val paras = text.split("\n{2,}").toSeq
+          .map(PdfWriter.sanitize).filter(_.trim.nonEmpty).take(2)
+        val m = (id % 30).toInt
+        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 3)))
+        val bytes = PdfWriter.buildJbig2TextScan(pages,
+          compress = id % 2 == 0, seed = m)
+        val imgs = RealPdfExtractor.extract(s"jb2t/$id.pdf", bytes)
+          .filter(_.isImage).map(_.content)
+        val (pw, ph, ink) = imgs.collectFirst {
+          case docRe(w, h, b) => (w.toLong, h.toLong, b.toLong)
+        }.getOrElse((-1L, -1L, -1L))
+        val (sw, sh) = imgs.collectFirst {
+          case stubRe(w, h) => (w.toLong, h.toLong)
+        }.getOrElse((-1L, -1L))
+        (id, pw, ph, ink, sw, sh)
+      })
+      .toDF("doc_id", "page_w", "page_h", "ink", "stub_w", "stub_h")
+      .orderBy(col("doc_id"))
+  }
+
+  // instance j uses glyph k = (2j+m) mod numsyms; glyph k is
+  // (4+k%4)×(5+k//2) with pixel rule (3x+5y+2k)%7<3; placements never
+  // overlap, so ink is the sum over instances of the glyph census
+  private val p17Sql =
+    """WITH d AS (SELECT doc_id, doc_id % 30 AS m,
+      |    3 + (doc_id % 30) % 3 AS numsyms, 6 + (doc_id % 30) % 5 AS ninst
+      |  FROM documents),
+      |  inst AS (SELECT d.doc_id, d.m, d.ninst,
+      |      (2*j + m) % numsyms AS k
+      |    FROM d CROSS JOIN range(11) t(j) WHERE j < ninst),
+      |  pix AS (SELECT i.doc_id, i.ninst, i.k, x, y
+      |    FROM inst i CROSS JOIN range(8) t1(x) CROSS JOIN range(8) t2(y))
+      |SELECT doc_id,
+      |  CAST(MAX(11*(ninst-1) + 8) AS BIGINT) AS page_w,
+      |  CAST(12 AS BIGINT) AS page_h,
+      |  CAST(SUM(CASE WHEN x < 4 + k % 4 AND y < 5 + k // 2
+      |    AND (3*x + 5*y + 2*k) % 7 < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS ink,
+      |  CAST(MAX(16 + doc_id % 30 % 8) AS BIGINT) AS stub_w,
+      |  CAST(MAX(10 + doc_id % 30 % 4) AS BIGINT) AS stub_h
+      |FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // grid bounds = the max of jb2Dims over m (w ≤ 32, h ≤ 17)
   private val p15Sql =
     """WITH d AS (SELECT doc_id, doc_id % 30 AS m,
@@ -632,7 +694,8 @@ object PipelineQueries {
     "p13_encrypted_pdf" -> p13EncryptedPdf,
     "p14_scanned_pdf" -> p14ScannedPdf,
     "p15_jbig2_pdf" -> p15Jbig2Pdf,
-    "p16_jpeg2000_pdf" -> p16Jpeg2000Pdf)
+    "p16_jpeg2000_pdf" -> p16Jpeg2000Pdf,
+    "p17_jbig2_text" -> p17Jbig2Text)
 
   /** Stateful per-document folds are not SQL-expressible (golden-pinned
     * instead); p11 and p14–p16 ARE oracled — their expected dims/ink are
@@ -641,5 +704,6 @@ object PipelineQueries {
     "p11_jpeg_xobject" -> p11Sql,
     "p14_scanned_pdf" -> p14Sql,
     "p15_jbig2_pdf" -> p15Sql,
-    "p16_jpeg2000_pdf" -> p16Sql)
+    "p16_jpeg2000_pdf" -> p16Sql,
+    "p17_jbig2_text" -> p17Sql)
 }

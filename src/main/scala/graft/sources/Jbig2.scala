@@ -267,9 +267,18 @@ object Jbig2 {
     * to the one above. */
   private[sources] def encodeGeneric(rows: IndexedSeq[Array[Boolean]],
       width: Int, template: Int, tpgdon: Boolean): Array[Byte] = {
-    val at = nominalAt(template)
     val enc = new MqEncoder
-    val cx = new CxStore
+    encodeGenericWith(enc, new CxStore, rows, width, template, tpgdon)
+    enc.flush()
+  }
+
+  /** The same coding over a CALLER-OWNED coder and context store — the
+    * form symbol dictionaries need: every symbol bitmap in a dictionary
+    * shares one arithmetic codeword and one set of GB contexts. */
+  private[sources] def encodeGenericWith(enc: MqEncoder, cx: CxStore,
+      rows: IndexedSeq[Array[Boolean]], width: Int, template: Int,
+      tpgdon: Boolean): Unit = {
+    val at = nominalAt(template)
     var ltp = false
     var y = 0
     while (y < rows.length) {
@@ -296,7 +305,6 @@ object Jbig2 {
       }
       y += 1
     }
-    enc.flush()
   }
 
   /** MQ-decode a generic region. Returns rows (true = black). */
@@ -304,7 +312,13 @@ object Jbig2 {
       width: Int, height: Int, template: Int, at: Array[(Int, Int)],
       tpgdon: Boolean): Array[Array[Boolean]] = {
     val dec = new MqDecoder(data, start, end)
-    val cx = new CxStore
+    decodeGenericWith(dec, new CxStore, width, height, template, at, tpgdon)
+  }
+
+  /** Decode over a caller-owned coder + contexts (symbol dictionaries). */
+  private[sources] def decodeGenericWith(dec: MqDecoder, cx: CxStore,
+      width: Int, height: Int, template: Int, at: Array[(Int, Int)],
+      tpgdon: Boolean): Array[Array[Boolean]] = {
     val rows = Array.ofDim[Boolean](height, width)
     var ltp = false
     var y = 0
@@ -329,6 +343,355 @@ object Jbig2 {
       y += 1
     }
     rows
+  }
+
+  // ---------- integer arithmetic decoding (T.88 Annex A) ----------
+
+  /** One IAx procedure's context tree: 512 states addressed by the PREV
+    * prefix register. Each procedure (IADH, IADW, IADT, IAFS, IADS,
+    * IAIT, IAEX, IAAI) owns its own instance. */
+  private[sources] final class IntCtx {
+    val cx = new CxStore(512)
+  }
+
+  /** A.2 — decode one integer; None is the OOB value ("negative zero"
+    * S=1, V=0) that terminates runs. */
+  private[sources] def decodeInt(dec: MqDecoder, ctx: IntCtx): Option[Int] = {
+    var prev = 1
+    def bit(): Int = {
+      val b = dec.decode(ctx.cx, prev)
+      prev =
+        if (prev < 256) (prev << 1) | b
+        else ((((prev << 1) | b) & 511) | 256)
+      b
+    }
+    val s = bit()
+    var n = 0
+    var offset = 0
+    if (bit() == 0) { n = 2; offset = 0 }
+    else if (bit() == 0) { n = 4; offset = 4 }
+    else if (bit() == 0) { n = 6; offset = 20 }
+    else if (bit() == 0) { n = 8; offset = 84 }
+    else if (bit() == 0) { n = 12; offset = 340 }
+    else { n = 32; offset = 4436 }
+    var v = 0
+    var i = 0
+    while (i < n) { v = (v << 1) | bit(); i += 1 }
+    v += offset
+    if (s == 1 && v == 0) None
+    else Some(if (s == 1) -v else v)
+  }
+
+  /** Mirror of [[decodeInt]]. */
+  private[sources] def encodeInt(enc: MqEncoder, ctx: IntCtx,
+      value: Option[Int]): Unit = {
+    var prev = 1
+    def bit(b: Int): Unit = {
+      enc.encode(ctx.cx, prev, b)
+      prev =
+        if (prev < 256) (prev << 1) | b
+        else ((((prev << 1) | b) & 511) | 256)
+    }
+    def bits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit((v >> i) & 1); i -= 1 }
+    }
+    value match {
+      case None => bit(1); bit(0); bits(0, 2) // OOB = S=1, smallest class, V=0
+      case Some(x) =>
+        bit(if (x < 0) 1 else 0)
+        val v = math.abs(x)
+        if (v < 4) { bit(0); bits(v, 2) }
+        else if (v < 20) { bit(1); bit(0); bits(v - 4, 4) }
+        else if (v < 84) { bit(1); bit(1); bit(0); bits(v - 20, 6) }
+        else if (v < 340) { bit(1); bit(1); bit(1); bit(0); bits(v - 84, 8) }
+        else if (v < 4436) {
+          bit(1); bit(1); bit(1); bit(1); bit(0); bits(v - 340, 12)
+        } else { bit(1); bit(1); bit(1); bit(1); bit(1); bits(v - 4436, 32) }
+    }
+  }
+
+  /** A.3 — the IAID procedure: SYMCODELEN bits through a 2^(len+1)
+    * context tree; the decoded prefix register minus the tree offset IS
+    * the symbol id. */
+  private[sources] final class IdCtx(val len: Int) {
+    val cx = new CxStore(1 << (len + 1))
+  }
+
+  private[sources] def decodeId(dec: MqDecoder, ctx: IdCtx): Int = {
+    var prev = 1
+    var i = 0
+    while (i < ctx.len) {
+      val b = dec.decode(ctx.cx, prev)
+      prev = (prev << 1) | b
+      i += 1
+    }
+    prev - (1 << ctx.len)
+  }
+
+  private[sources] def encodeId(enc: MqEncoder, ctx: IdCtx, id: Int): Unit = {
+    var prev = 1
+    var i = ctx.len - 1
+    while (i >= 0) {
+      val b = (id >> i) & 1
+      enc.encode(ctx.cx, prev, b)
+      prev = (prev << 1) | b
+      i -= 1
+    }
+  }
+
+  // ---------- symbol dictionary (T.88 §6.5, arithmetic) ----------
+
+  /** Decode an arithmetic symbol dictionary's data: height classes via
+    * IADH/IADW deltas, each symbol bitmap generic-region-coded on the
+    * SHARED codeword and GB contexts, then the IAEX export runs. Returns
+    * the exported bitmaps. Huffman/refinement-aggregate dictionaries
+    * (SDHUFF/SDREFAGG) are out of scope → None. */
+  private[sources] def decodeSymbolDict(data: Array[Byte], start: Int,
+      end: Int, input: IndexedSeq[Array[Array[Boolean]]],
+      maxPixels: Long): Option[IndexedSeq[Array[Array[Boolean]]]] = {
+    val r = new Reader(data)
+    r.p = start
+    if (end - start < 2 + 4 + 4) return None
+    val flags = r.u16()
+    val sdhuff = (flags & 1) != 0
+    val sdrefagg = (flags & 2) != 0
+    val template = (flags >> 10) & 3
+    if (sdhuff || sdrefagg) return None
+    val atCount = if (template == 0) 4 else 1
+    if (end - r.p < 2 * atCount + 8) return None
+    val at = Array.fill(atCount) { val x = r.s8(); val y = r.s8(); (x, y) }
+    val numEx = r.u32()
+    val numNew = r.u32()
+    if (numEx > 10000 || numNew > 10000) return None
+    val dec = new MqDecoder(data, r.p, end)
+    val gbCx = new CxStore
+    val iadh = new IntCtx
+    val iadw = new IntCtx
+    val iaex = new IntCtx
+    val newSyms = mutable.ArrayBuffer.empty[Array[Array[Boolean]]]
+    var budget = maxPixels
+    var hcHeight = 0
+    while (newSyms.length < numNew.toInt) {
+      val dh = decodeInt(dec, iadh).getOrElse(return None)
+      hcHeight += dh
+      if (hcHeight <= 0 || hcHeight > (1 << 12)) return None
+      var symWidth = 0
+      var classDone = false
+      // each height class runs to its OOB terminator — the count alone
+      // must NOT end the loop, or the terminator desynchronizes the
+      // export-run decode that follows
+      while (!classDone) {
+        decodeInt(dec, iadw) match {
+          case None => classDone = true
+          case Some(dw) =>
+            if (newSyms.length >= numNew.toInt) return None // malformed
+            symWidth += dw
+            if (symWidth <= 0 || symWidth > (1 << 12) ||
+                symWidth.toLong * hcHeight > budget) return None
+            budget -= symWidth.toLong * hcHeight
+            newSyms += decodeGenericWith(dec, gbCx, symWidth, hcHeight,
+              template, at, tpgdon = false)
+        }
+      }
+    }
+    // export runs (6.5.10)
+    val all = input ++ newSyms
+    val exported = mutable.ArrayBuffer.empty[Array[Array[Boolean]]]
+    var exIndex = 0
+    var exFlag = false
+    while (exIndex < all.length) {
+      val run = decodeInt(dec, iaex).getOrElse(return None)
+      if (run < 0 || exIndex + run > all.length) return None
+      if (exFlag) exported ++= all.slice(exIndex, exIndex + run)
+      exIndex += run
+      exFlag = !exFlag
+    }
+    if (exported.length != numEx.toInt) return None
+    Some(exported.toIndexedSeq)
+  }
+
+  /** Encode an arithmetic symbol dictionary exporting ALL of `syms`
+    * (which must be sorted by non-decreasing height). Returns the
+    * segment DATA (flags + AT + counts + coded). */
+  private[sources] def encodeSymbolDict(
+      syms: IndexedSeq[Array[Array[Boolean]]],
+      template: Int = 0): Array[Byte] = {
+    require(syms.nonEmpty)
+    require(syms.sliding(2).forall(p =>
+      p.length < 2 || p(0).length <= p(1).length), "sort symbols by height")
+    val b = mutable.ArrayBuffer.empty[Byte]
+    val flags = (template & 3) << 10 // SDHUFF=0, SDREFAGG=0, SDTEMPLATE
+    b += ((flags >> 8) & 0xFF).toByte
+    b += (flags & 0xFF).toByte
+    nominalAt(template).foreach { case (x, y) => b += x.toByte; b += y.toByte }
+    be32(b, syms.length) // SDNUMEXSYMS
+    be32(b, syms.length) // SDNUMNEWSYMS
+    val enc = new MqEncoder
+    val gbCx = new CxStore
+    val iadh = new IntCtx
+    val iadw = new IntCtx
+    val iaex = new IntCtx
+    var hcHeight = 0
+    var i = 0
+    while (i < syms.length) {
+      val h = syms(i).length
+      encodeInt(enc, iadh, Some(h - hcHeight))
+      hcHeight = h
+      var symWidth = 0
+      while (i < syms.length && syms(i).length == hcHeight) {
+        val w = syms(i)(0).length
+        encodeInt(enc, iadw, Some(w - symWidth))
+        symWidth = w
+        encodeGenericWith(enc, gbCx, syms(i).toIndexedSeq, w, template,
+          tpgdon = false)
+        i += 1
+      }
+      encodeInt(enc, iadw, None) // end of height class
+    }
+    encodeInt(enc, iaex, Some(0)) // first run: 0 non-exported
+    encodeInt(enc, iaex, Some(syms.length)) // then export them all
+    b ++= enc.flush()
+    b.toArray
+  }
+
+  // ---------- text region (T.88 §6.4, arithmetic, untransposed) ----------
+
+  private[sources] final case class TextInstance(id: Int, x: Int, y: Int)
+
+  /** Decode an arithmetic text region's data (after the 17-byte region
+    * info): flags, instance loop over strips, symbols drawn with OR.
+    * Huffman/refinement/transposed variants are out of scope → None. */
+  private[sources] def decodeTextRegion(data: Array[Byte], start: Int,
+      end: Int, w: Int, h: Int,
+      syms: IndexedSeq[Array[Array[Boolean]]]): Option[Array[Array[Boolean]]] = {
+    if (syms.isEmpty || end - start < 2 + 4) return None
+    val r = new Reader(data)
+    r.p = start
+    val flags = r.u16()
+    val sbhuff = (flags & 1) != 0
+    val refine = (flags & 2) != 0
+    val logStrips = (flags >> 2) & 3
+    val refCorner = (flags >> 4) & 3
+    val transposed = (flags & 0x40) != 0
+    val combOp = (flags >> 7) & 3
+    val defPixel = (flags & 0x200) != 0
+    var dsOffset = (flags >> 10) & 0x1F
+    if (dsOffset > 15) dsOffset -= 32 // signed 5-bit
+    if (sbhuff || refine || transposed || combOp != 0 || defPixel)
+      return None
+    val numInstances = r.u32()
+    if (numInstances > (1 << 20)) return None
+    val strips = 1 << logStrips
+    val symCodeLen = math.max(1,
+      32 - Integer.numberOfLeadingZeros(math.max(1, syms.length - 1)))
+    val dec = new MqDecoder(data, r.p, end)
+    val iadt = new IntCtx
+    val iafs = new IntCtx
+    val iads = new IntCtx
+    val iait = new IntCtx
+    val iaid = new IdCtx(symCodeLen)
+    val out = Array.ofDim[Boolean](h, w)
+    def draw(id: Int, sx: Int, ty: Int): Unit = {
+      val bmp = syms(id)
+      var y = 0
+      while (y < bmp.length) {
+        val oy = ty + y
+        if (oy >= 0 && oy < h) {
+          var x = 0
+          while (x < bmp(y).length) {
+            val ox = sx + x
+            if (ox >= 0 && ox < w && bmp(y)(x)) out(oy)(ox) = true
+            x += 1
+          }
+        }
+        y += 1
+      }
+    }
+    var stripT = -decodeInt(dec, iadt).getOrElse(return None) * strips
+    var firstS = 0
+    var ninst = 0
+    var guard = 0
+    while (ninst < numInstances.toInt && guard < (1 << 22)) {
+      val dt = decodeInt(dec, iadt).getOrElse(return None)
+      stripT += dt * strips
+      var stripDone = false
+      var first = true
+      var curS = 0
+      while (!stripDone && ninst < numInstances.toInt) {
+        if (first) {
+          val dfs = decodeInt(dec, iafs).getOrElse(return None)
+          firstS += dfs
+          curS = firstS
+          first = false
+        } else decodeInt(dec, iads) match {
+          case None => stripDone = true
+          case Some(ids) => curS += ids + dsOffset
+        }
+        if (!stripDone) {
+          val curT =
+            if (strips == 1) 0
+            else decodeInt(dec, iait).getOrElse(return None)
+          val t = stripT + curT
+          val id = decodeId(dec, iaid)
+          if (id < 0 || id >= syms.length) return None
+          val wi = syms(id)(0).length
+          val hi = syms(id).length
+          // untransposed placement (6.4.5): left corners draw at CURS
+          // then advance; right corners advance then right-align
+          refCorner match {
+            case 0 => draw(id, curS, t - hi + 1); curS += wi - 1 // BL
+            case 1 => draw(id, curS, t); curS += wi - 1 // TL
+            case 2 => curS += wi - 1; draw(id, curS - wi + 1, t - hi + 1) // BR
+            case _ => curS += wi - 1; draw(id, curS - wi + 1, t) // TR
+          }
+          ninst += 1
+        }
+      }
+      guard += 1
+    }
+    if (ninst < numInstances.toInt) None else Some(out)
+  }
+
+  /** Encode a text region's data (flags + count + arithmetic stream) for
+    * instances referencing `syms` ids; TOPLEFT corner, one-row strips. */
+  private[sources] def encodeTextRegion(w: Int, h: Int,
+      instances: Seq[TextInstance],
+      syms: IndexedSeq[Array[Array[Boolean]]]): Array[Byte] = {
+    val b = mutable.ArrayBuffer.empty[Byte]
+    val flags = (1 << 4) // TOPLEFT; SBHUFF=0 REFINE=0 LOGSBSTRIPS=0 etc.
+    b += ((flags >> 8) & 0xFF).toByte
+    b += (flags & 0xFF).toByte
+    be32(b, instances.length)
+    val symCodeLen = math.max(1,
+      32 - Integer.numberOfLeadingZeros(math.max(1, syms.length - 1)))
+    val enc = new MqEncoder
+    val iadt = new IntCtx
+    val iafs = new IntCtx
+    val iads = new IntCtx
+    val iaid = new IdCtx(symCodeLen)
+    encodeInt(enc, iadt, Some(0)) // STRIPT starts at 0
+    var stripT = 0
+    var firstS = 0
+    instances.groupBy(_.y).toSeq.sortBy(_._1).foreach { case (y, insts) =>
+      encodeInt(enc, iadt, Some(y - stripT))
+      stripT = y
+      var curS = 0
+      var first = true
+      insts.sortBy(_.x).foreach { inst =>
+        if (first) {
+          encodeInt(enc, iafs, Some(inst.x - firstS))
+          firstS = inst.x
+          curS = inst.x
+          first = false
+        } else encodeInt(enc, iads, Some(inst.x - curS))
+        encodeId(enc, iaid, inst.id)
+        curS = inst.x + syms(inst.id)(0).length - 1
+      }
+      encodeInt(enc, iads, None) // end of strip
+    }
+    b ++= enc.flush()
+    b.toArray
   }
 
   // ---------------- segment layer (T.88 §7) ----------------
@@ -386,6 +749,41 @@ object Jbig2 {
     b.toArray
   }
 
+  /** Emit a symbol-coded document: page info + arithmetic symbol
+    * dictionary + immediate text region referring to it + end of page —
+    * the dominant wild-JBIG2 organization for scanned text (scanners
+    * build a glyph dictionary once and place instances). `syms` must be
+    * height-sorted; instances reference dictionary ids and carry
+    * top-left placements. */
+  def encodeTextDocument(pageW: Int, pageH: Int,
+      syms: IndexedSeq[Array[Array[Boolean]]],
+      instances: Seq[TextInstance]): Array[Byte] = {
+    require(pageW > 0 && pageH > 0 && syms.nonEmpty)
+    val b = mutable.ArrayBuffer.empty[Byte]
+    def header(num: Int, tpe: Int, dataLen: Int,
+        refs: Seq[Int] = Nil): Unit = {
+      be32(b, num)
+      b += tpe.toByte
+      b += ((refs.length << 5) & 0xFF).toByte // count in top 3 bits
+      refs.foreach(rn => b += rn.toByte) // 1-byte numbers (num ≤ 256)
+      b += 0x01 // page 1
+      be32(b, dataLen)
+    }
+    header(1, 48, 19)
+    be32(b, pageW); be32(b, pageH); be32(b, 0); be32(b, 0)
+    b += 0x01; b += 0; b += 0
+    val dict = encodeSymbolDict(syms)
+    header(2, 0, dict.length)
+    b ++= dict
+    val tr = encodeTextRegion(pageW, pageH, instances, syms)
+    header(3, 6, 17 + tr.length, refs = Seq(2))
+    be32(b, pageW); be32(b, pageH); be32(b, 0); be32(b, 0)
+    b += 0x00 // external combination operator OR
+    b ++= tr
+    header(4, 49, 0)
+    b.toArray
+  }
+
   private final class Reader(val d: Array[Byte]) {
     var p = 0
     def remaining: Int = d.length - p
@@ -396,7 +794,7 @@ object Jbig2 {
   }
 
   private final case class Segment(number: Long, tpe: Int, dataStart: Int,
-      dataLen: Long)
+      dataLen: Long, refs: Seq[Long])
 
   /** Parse one segment header (T.88 §7.2) and skip to its data. Returns
     * None on malformed/truncated headers (degrade, never throw). */
@@ -422,10 +820,16 @@ object Jbig2 {
     val refSize = if (num <= 256) 1 else if (num <= 65536) 2 else 4
     val need = refCount * refSize + (if (pageAssoc4) 4 else 1) + 4
     if (r.remaining < need) return None
-    r.p += refCount * refSize
+    val refs = (0 until refCount).map { _ =>
+      refSize match {
+        case 1 => r.u8().toLong
+        case 2 => r.u16().toLong
+        case _ => r.u32()
+      }
+    }
     if (pageAssoc4) r.u32() else r.u8()
     val len = r.u32()
-    Some(Segment(num, tpe, r.p, len))
+    Some(Segment(num, tpe, r.p, len, refs))
   }
 
   /** Decode an embedded JBIG2 stream (PDF organization, optionally with a
@@ -445,6 +849,8 @@ object Jbig2 {
     try {
       val r = new Reader(all)
       val regions = mutable.ArrayBuffer.empty[(Int, Int, Array[Array[Boolean]])]
+      val symbolDicts =
+        mutable.Map.empty[Long, IndexedSeq[Array[Array[Boolean]]]]
       var pixelBudget = maxPixels
       var pageW = 0L // first page-info segment's declared geometry
       var pageH = 0L
@@ -467,6 +873,35 @@ object Jbig2 {
                     if (pw > 0 && pw <= (1 << 16) && ph > 0 &&
                         ph <= (1 << 16) && pw * ph <= maxPixels) {
                       pageW = pw; pageH = ph
+                    }
+                  }
+                }
+                if (seg.tpe == 0) { // symbol dictionary
+                  val input = seg.refs.flatMap(n =>
+                    symbolDicts.getOrElse(n, IndexedSeq.empty)).toIndexedSeq
+                  decodeSymbolDict(all, seg.dataStart, end, input,
+                    pixelBudget)
+                    .foreach(ex => symbolDicts(seg.number) = ex)
+                }
+                if (seg.tpe == 6 || seg.tpe == 7) { // immediate text region
+                  val rr = new Reader(all)
+                  rr.p = seg.dataStart
+                  if (rr.remaining >= 17 + 2 + 4) {
+                    val w = rr.u32(); val h = rr.u32()
+                    val x = rr.u32(); val y = rr.u32()
+                    rr.u8() // external combination operator
+                    val syms = seg.refs.flatMap(n =>
+                      symbolDicts.getOrElse(n, IndexedSeq.empty)).toIndexedSeq
+                    val ok = syms.nonEmpty && w > 0 && h > 0 &&
+                      w <= (1 << 16) && h <= (1 << 16) &&
+                      w * h <= pixelBudget &&
+                      x + w <= (1 << 16) && y + h <= (1 << 16)
+                    if (ok) {
+                      decodeTextRegion(all, rr.p, end, w.toInt, h.toInt,
+                        syms).foreach { rows =>
+                        pixelBudget -= w * h
+                        regions += ((x.toInt, y.toInt, rows))
+                      }
                     }
                   }
                 }

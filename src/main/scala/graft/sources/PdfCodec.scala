@@ -768,6 +768,38 @@ object PdfWriter {
       seed: Int): Array[Byte] =
     buildWith(pages, compress, cid = false, jbig2Seed = Some(seed))
 
+  // ---- JBIG2 symbol/text-region fixtures (p17) ----
+
+  /** Deterministic glyph k for the dictionary: heights are
+    * non-decreasing in k (the dictionary's height-class order), pixel
+    * formula distinct from every other fixture family. */
+  def jb2Glyph(k: Int): Array[Array[Boolean]] =
+    Array.tabulate(5 + k / 2, 4 + k % 4)(
+      (y, x) => (x * 3 + y * 5 + 2 * k) % 7 < 3)
+
+  def jb2NumSyms(m: Int): Int = 3 + m % 3
+  def jb2NumInst(m: Int): Int = 6 + m % 5
+
+  /** True page dims of the symbol-coded document for seed m. */
+  def jb2TextDims(m: Int): (Int, Int) = (11 * (jb2NumInst(m) - 1) + 8, 12)
+
+  /** Instance j: dictionary id, top-left placement — 11-px column pitch
+    * so glyphs (w ≤ 7) never overlap and ink is exactly additive. */
+  def jb2TextInstances(m: Int): Seq[Jbig2.TextInstance] =
+    (0 until jb2NumInst(m)).map(j =>
+      Jbig2.TextInstance((j * 2 + m) % jb2NumSyms(m), 11 * j, 3 + (j % 3)))
+
+  /** The dominant wild-JBIG2 shape (p17): Im0 is a SYMBOL-CODED document
+    * ([[Jbig2.encodeTextDocument]] — arithmetic symbol dictionary +
+    * text region placing glyph instances) whose dict /Width /Height LIE
+    * by one; geometry and ink are recoverable only by running the full
+    * Annex-A integer decoding + dictionary + text-region pipeline. Im1
+    * is the undecodable-payload JBIG2 stub, Im2 the JPX stub.
+    */
+  def buildJbig2TextScan(pages: Seq[PageSpec], compress: Boolean,
+      seed: Int): Array[Byte] =
+    buildWith(pages, compress, cid = false, jbig2TextSeed = Some(seed))
+
   // ---- JPEG 2000 scanned-document fixtures (p16) ----
 
   /** True dimensions of the raw-codestream JPX image for seed m. */
@@ -874,6 +906,7 @@ object PdfWriter {
       encryptCipher: Option[String] = None,
       scanSeed: Option[Int] = None,
       jbig2Seed: Option[Int] = None,
+      jbig2TextSeed: Option[Int] = None,
       jpxSeed: Option[Int] = None): Array[Byte] = {
     val out = new ByteArrayOutputStream
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
@@ -1107,6 +1140,18 @@ object PdfWriter {
                 val (iw, ih) = jp2Dims(m)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
                   Jpx.wrapJp2(Jpx.encode(jpxRaster(m + 3, iw, ih)), iw, ih))
+              case _ => jpxStub(m)
+            }
+          } else if (jbig2TextSeed.isDefined) {
+            val m = jbig2TextSeed.get
+            (i % 3) match {
+              case 0 => // symbol-coded JBIG2 document; dict dims LIE
+                val (iw, ih) = jb2TextDims(m)
+                imgXObject(iw - 1, ih - 1, "DeviceGray", 1, "JBIG2Decode",
+                  "", Jbig2.encodeTextDocument(iw, ih,
+                    (0 until jb2NumSyms(m)).map(jb2Glyph),
+                    jb2TextInstances(m)))
+              case 1 => jbig2Stub(m)
               case _ => jpxStub(m)
             }
           } else if (jbig2Seed.isDefined) {

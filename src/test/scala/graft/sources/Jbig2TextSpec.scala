@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Symbol-dictionary + text-region coding ([[Jbig2]] §6.4/§6.5 + the
+  * Annex A integer procedures) — the dominant wild-JBIG2 organization.
+  * Layered: integer coder alone, dictionary alone, then the full
+  * page-info + dictionary + text-region document. */
+class Jbig2TextSpec extends AnyFunSuite {
+
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+
+  test("Annex A integer coder round-trips every value class and OOB") {
+    val values: Seq[Option[Int]] =
+      Seq(0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 100000,
+        -100000, 1 << 20).map(v => Some(v)) ++ Seq(None, Some(-4), None) ++
+        lcg(5).take(300).map(s =>
+          if ((s >>> 40) % 11 == 0) None
+          else Some(((s >>> 20) % 9000).toInt - 4500)).toSeq
+    val enc = new Jbig2.MqEncoder
+    val ctxE = new Jbig2.IntCtx
+    values.foreach(v => Jbig2.encodeInt(enc, ctxE, v))
+    val data = enc.flush()
+    val dec = new Jbig2.MqDecoder(data, 0, data.length)
+    val ctxD = new Jbig2.IntCtx
+    values.zipWithIndex.foreach { case (v, i) =>
+      assert(Jbig2.decodeInt(dec, ctxD) == v, s"value $i")
+    }
+  }
+
+  test("IAID round-trips ids at several code lengths") {
+    for (len <- 1 to 6) {
+      val n = 1 << len
+      val ids = lcg(len).map(s => ((s >>> 33) % n).toInt).take(100).toSeq
+      val enc = new Jbig2.MqEncoder
+      val ctxE = new Jbig2.IdCtx(len)
+      ids.foreach(id => Jbig2.encodeId(enc, ctxE, id))
+      val data = enc.flush()
+      val dec = new Jbig2.MqDecoder(data, 0, data.length)
+      val ctxD = new Jbig2.IdCtx(len)
+      ids.zipWithIndex.foreach { case (id, i) =>
+        assert(Jbig2.decodeId(dec, ctxD) == id, s"len=$len id $i")
+      }
+    }
+  }
+
+  private def glyph(k: Int): Array[Array[Boolean]] = {
+    val w = 4 + k % 4
+    val h = 5 + k / 2
+    Array.tabulate(h, w)((y, x) => (x * 3 + y * 5 + k * 2) % 7 < 3)
+  }
+
+  test("symbol dictionary round-trips height classes and export runs") {
+    for (n <- Seq(1, 2, 3, 5, 8)) {
+      val syms = (0 until n).map(glyph) // heights non-decreasing in k
+      val data = Jbig2.encodeSymbolDict(syms)
+      val got = Jbig2.decodeSymbolDict(data, 0, data.length,
+        IndexedSeq.empty, 1L << 20)
+      assert(got.isDefined, s"n=$n")
+      assert(got.get.length == n)
+      got.get.zip(syms).zipWithIndex.foreach { case ((a, b), k) =>
+        assert(a.length == b.length && a.head.length == b.head.length,
+          s"sym $k geometry")
+        a.zip(b).foreach { case (ra, rb) => assert(ra.sameElements(rb)) }
+      }
+    }
+  }
+
+  test("full text document: dictionary + placed instances round-trip") {
+    for (m <- 0 until 12) {
+      val numSyms = 3 + m % 3
+      val syms = (0 until numSyms).map(glyph)
+      val nInst = 6 + m % 5
+      val insts = (0 until nInst).map(j =>
+        Jbig2.TextInstance((j * 2 + m) % numSyms, 11 * j, 3 + (j % 3)))
+      val pw = 11 * (nInst - 1) + 8
+      val ph = 12
+      val enc = Jbig2.encodeTextDocument(pw, ph, syms, insts)
+      val dec = Jbig2.decode(enc)
+      assert(dec.isDefined, s"m=$m")
+      assert(dec.get.width == pw && dec.get.height == ph)
+      // non-overlapping placements: ink = sum of placed glyph ink
+      val expect = insts.map(i =>
+        syms(i.id).map(_.count(identity)).sum.toLong).sum
+      assert(dec.get.blackCount == expect, s"m=$m ink")
+      // every instance's pixels land exactly at its placement
+      insts.foreach { inst =>
+        val g = syms(inst.id)
+        g.indices.foreach { y =>
+          g(y).indices.foreach { x =>
+            assert(dec.get.rows(inst.y + y)(inst.x + x) == g(y)(x),
+              s"m=$m inst@(${inst.x},${inst.y}) pixel ($x,$y)")
+          }
+        }
+      }
+    }
+  }
+
+  test("hostile/degenerate symbol streams degrade to None, never throw") {
+    val syms = (0 until 3).map(glyph)
+    val doc = Jbig2.encodeTextDocument(40, 12, syms,
+      Seq(Jbig2.TextInstance(0, 0, 0), Jbig2.TextInstance(2, 10, 2)))
+    (0 until doc.length by 3).foreach(n => Jbig2.decode(doc.take(n)))
+    (0 until doc.length by 5).foreach { i =>
+      val mut = doc.clone(); mut(i) = (mut(i) ^ 0x77).toByte
+      Jbig2.decode(mut) // bounded, no throw
+    }
+    // a text region whose dictionary reference is missing -> no regions
+    val noDict = doc.clone()
+    // segment 2 (the dict) type byte: corrupt its segment number so the
+    // text region's ref resolves to nothing
+    val dictData = Jbig2.encodeSymbolDict(syms)
+    assert(Jbig2.decodeSymbolDict(dictData, 0, dictData.length,
+      IndexedSeq.empty, 10).isEmpty, "pixel budget must bound symbols")
+  }
+}
