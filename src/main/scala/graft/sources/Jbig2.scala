@@ -474,8 +474,12 @@ object Jbig2 {
     var hcHeight = 0
     while (newSyms.length < numNew.toInt) {
       val dh = decodeInt(dec, iadh).getOrElse(return None)
+      // height classes are strictly increasing (6.5.5), which also
+      // bounds the class loop: an all-empty-class stream would
+      // otherwise never reach numNew and spin forever
+      if (dh < 1) return None
       hcHeight += dh
-      if (hcHeight <= 0 || hcHeight > (1 << 12)) return None
+      if (hcHeight > (1 << 12)) return None
       var symWidth = 0
       var classDone = false
       // each height class runs to its OOB terminator — the count alone
@@ -495,14 +499,19 @@ object Jbig2 {
         }
       }
     }
-    // export runs (6.5.10)
+    // export runs (6.5.10); `run ≤ remaining` phrasing avoids Int
+    // overflow, and the rounds cap stops a zero-run stream that would
+    // toggle the flag forever without advancing
     val all = input ++ newSyms
     val exported = mutable.ArrayBuffer.empty[Array[Array[Boolean]]]
     var exIndex = 0
     var exFlag = false
+    var rounds = 0
     while (exIndex < all.length) {
       val run = decodeInt(dec, iaex).getOrElse(return None)
-      if (run < 0 || exIndex + run > all.length) return None
+      if (run < 0 || run > all.length - exIndex) return None
+      rounds += 1
+      if (rounds > 2 * all.length + 8) return None
       if (exFlag) exported ++= all.slice(exIndex, exIndex + run)
       exIndex += run
       exFlag = !exFlag
@@ -592,21 +601,27 @@ object Jbig2 {
     val iait = new IntCtx
     val iaid = new IdCtx(symCodeLen)
     val out = Array.ofDim[Boolean](h, w)
-    def draw(id: Int, sx: Int, ty: Int): Unit = {
+    // CPU bound, not just memory: 2^20 instances of a 16-Mpx symbol is
+    // ~10^13 pixel visits from one small stream. Generous for any real
+    // page (instances barely overlap), fatal only to hostile input.
+    var drawBudget = 8L * w * h + (1L << 20)
+    def draw(id: Int, sx: Int, ty: Int): Boolean = {
       val bmp = syms(id)
-      var y = 0
-      while (y < bmp.length) {
+      drawBudget -= bmp.length.toLong * bmp.head.length
+      if (drawBudget < 0) return false
+      var y = math.max(0, -ty)
+      val ymax = math.min(bmp.length, h - ty)
+      while (y < ymax) {
         val oy = ty + y
-        if (oy >= 0 && oy < h) {
-          var x = 0
-          while (x < bmp(y).length) {
-            val ox = sx + x
-            if (ox >= 0 && ox < w && bmp(y)(x)) out(oy)(ox) = true
-            x += 1
-          }
+        var x = math.max(0, -sx)
+        val xmax = math.min(bmp(y).length, w - sx)
+        while (x < xmax) {
+          if (bmp(y)(x)) out(oy)(sx + x) = true
+          x += 1
         }
         y += 1
       }
+      true
     }
     var stripT = -decodeInt(dec, iadt).getOrElse(return None) * strips
     var firstS = 0
@@ -639,12 +654,13 @@ object Jbig2 {
           val hi = syms(id).length
           // untransposed placement (6.4.5): left corners draw at CURS
           // then advance; right corners advance then right-align
-          refCorner match {
-            case 0 => draw(id, curS, t - hi + 1); curS += wi - 1 // BL
-            case 1 => draw(id, curS, t); curS += wi - 1 // TL
-            case 2 => curS += wi - 1; draw(id, curS - wi + 1, t - hi + 1) // BR
-            case _ => curS += wi - 1; draw(id, curS - wi + 1, t) // TR
+          val drawn = refCorner match {
+            case 0 => val d = draw(id, curS, t - hi + 1); curS += wi - 1; d
+            case 1 => val d = draw(id, curS, t); curS += wi - 1; d
+            case 2 => curS += wi - 1; draw(id, curS - wi + 1, t - hi + 1)
+            case _ => curS += wi - 1; draw(id, curS - wi + 1, t)
           }
+          if (!drawn) return None // draw-work budget exhausted
           ninst += 1
         }
       }
@@ -876,12 +892,30 @@ object Jbig2 {
                     }
                   }
                 }
+                // referred-dictionary resolution, amplification-capped:
+                // the header permits 2^20 refs that could all repeat one
+                // 10k-symbol dictionary — a ~10^10-element flatMap from
+                // a ~MB input. Real streams refer to a handful.
+                def referredSyms(): IndexedSeq[Array[Array[Boolean]]] =
+                  if (seg.refs.length > 64) IndexedSeq.empty
+                  else {
+                    val s = seg.refs.flatMap(n =>
+                      symbolDicts.getOrElse(n, IndexedSeq.empty))
+                    if (s.length > 10000) IndexedSeq.empty else s.toIndexedSeq
+                  }
                 if (seg.tpe == 0) { // symbol dictionary
-                  val input = seg.refs.flatMap(n =>
-                    symbolDicts.getOrElse(n, IndexedSeq.empty)).toIndexedSeq
-                  decodeSymbolDict(all, seg.dataStart, end, input,
-                    pixelBudget)
-                    .foreach(ex => symbolDicts(seg.number) = ex)
+                  decodeSymbolDict(all, seg.dataStart, end, referredSyms(),
+                    pixelBudget).foreach { ex =>
+                    // retained bitmaps debit the SAME budget as regions,
+                    // so K near-blank dictionaries cannot each hold
+                    // maxPixels of boolean rasters
+                    val px = ex.iterator
+                      .map(b => b.length.toLong * b.head.length).sum
+                    if (px <= pixelBudget) {
+                      pixelBudget -= px
+                      symbolDicts(seg.number) = ex
+                    }
+                  }
                 }
                 if (seg.tpe == 6 || seg.tpe == 7) { // immediate text region
                   val rr = new Reader(all)
@@ -890,8 +924,7 @@ object Jbig2 {
                     val w = rr.u32(); val h = rr.u32()
                     val x = rr.u32(); val y = rr.u32()
                     rr.u8() // external combination operator
-                    val syms = seg.refs.flatMap(n =>
-                      symbolDicts.getOrElse(n, IndexedSeq.empty)).toIndexedSeq
+                    val syms = referredSyms()
                     val ok = syms.nonEmpty && w > 0 && h > 0 &&
                       w <= (1 << 16) && h <= (1 << 16) &&
                       w * h <= pixelBudget &&

@@ -3,9 +3,12 @@ package graft.sources
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Throughput probe (not a regression gate): codec cost per image at the
-  * p16 fixture shape. Run manually; prints ms per 100 encode+decode. */
+  * p16 fixture shape. Env-gated like ScaleSoakSpec so plain `sbt test`
+  * does not pay for it: `GRAFT_PROBE=1 sbt "testOnly *JpxPerfProbe"`. */
 class JpxPerfProbe extends AnyFunSuite {
   test("encode+decode throughput") {
+    assume(sys.env.get("GRAFT_PROBE").contains("1"),
+      "set GRAFT_PROBE=1 to run the throughput probe")
     val img = Array.tabulate(24, 24)((y, x) => (x * 7 + y * 11) % 256)
     // warmup
     (0 until 50).foreach(_ => Jpx.decode(Jpx.encode(img)))
