@@ -381,6 +381,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v14.contains("TakeOrderedAndProject"), s"v14 should TopK:\n$v14")
   }
 
+  test("v17: metrics rank window is query-partitioned; dims broadcast") {
+    val p = plan("v17_retrieval_metrics")
+    // the per-query rank must be a PARTITIONED window (the v2 batch-KNN
+    // shape) — a corpus-wide Window.orderBy would be the one-task sort
+    // this suite exists to ban
+    assert(p.contains("Window"))
+    assert(p.contains("windowspecdefinition(query_id"),
+      s"rank window must partition by query_id:\n$p")
+    // the query set and the per-class counts both broadcast — the only
+    // corpus-sized motion is the scan itself
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"query set should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing corpus-sized may shuffle-join:\n$p")
+  }
+
   test("v16: both hybrid candidate plans are window-free top-k scans") {
     // the production fusion's corpus-sized stages — each a per-partition
     // top-C heap + driver merge; NO window node of any kind (v14's
