@@ -867,6 +867,9 @@ object Jbig2 {
       val regions = mutable.ArrayBuffer.empty[(Int, Int, Array[Array[Boolean]])]
       val symbolDicts =
         mutable.Map.empty[Long, IndexedSeq[Array[Array[Boolean]]]]
+      // identity set of symbol bitmaps already charged to pixelBudget
+      val debited = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Array[Array[Boolean]], java.lang.Boolean]())
       var pixelBudget = maxPixels
       var pageW = 0L // first page-info segment's declared geometry
       var pageH = 0L
@@ -880,10 +883,15 @@ object Jbig2 {
               val end = seg.dataStart + seg.dataLen.toInt
               if (end > all.length || end < seg.dataStart) stop = true
               else {
+                // every fixed-layout read below is bounded by the
+                // SEGMENT's own length — a short dataLen must not let a
+                // handler read the next segment's (attacker-positioned)
+                // bytes and mistake them for region geometry
+                val segLen = end - seg.dataStart
                 if (seg.tpe == 48 && pageW == 0) { // page information
                   val rr = new Reader(all)
                   rr.p = seg.dataStart
-                  if (rr.remaining >= 8) {
+                  if (segLen >= 8) {
                     val pw = rr.u32(); val ph = rr.u32()
                     // 0xFFFFFFFF = striped unknown height: leave 0 (extent)
                     if (pw > 0 && pw <= (1 << 16) && ph > 0 &&
@@ -896,35 +904,46 @@ object Jbig2 {
                 // the header permits 2^20 refs that could all repeat one
                 // 10k-symbol dictionary — a ~10^10-element flatMap from
                 // a ~MB input. Real streams refer to a handful.
-                def referredSyms(): IndexedSeq[Array[Array[Boolean]]] =
-                  if (seg.refs.length > 64) IndexedSeq.empty
+                // None = cap tripped: the SEGMENT must be skipped, not
+                // decoded against a falsified empty input (a dictionary's
+                // export runs index input ++ new — shifting them would
+                // export the wrong glyphs as a "successful" decode)
+                def referredSyms(): Option[IndexedSeq[Array[Array[Boolean]]]] =
+                  if (seg.refs.length > 64) None
                   else {
                     val s = seg.refs.flatMap(n =>
                       symbolDicts.getOrElse(n, IndexedSeq.empty))
-                    if (s.length > 10000) IndexedSeq.empty else s.toIndexedSeq
+                    if (s.length > 10000) None else Some(s.toIndexedSeq)
                   }
                 if (seg.tpe == 0) { // symbol dictionary
-                  decodeSymbolDict(all, seg.dataStart, end, referredSyms(),
-                    pixelBudget).foreach { ex =>
-                    // retained bitmaps debit the SAME budget as regions,
-                    // so K near-blank dictionaries cannot each hold
-                    // maxPixels of boolean rasters
-                    val px = ex.iterator
-                      .map(b => b.length.toLong * b.head.length).sum
-                    if (px <= pixelBudget) {
-                      pixelBudget -= px
-                      symbolDicts(seg.number) = ex
+                  referredSyms().foreach { input =>
+                    decodeSymbolDict(all, seg.dataStart, end, input,
+                      pixelBudget).foreach { ex =>
+                      // retained bitmaps debit the SAME budget as regions
+                      // (so K near-blank dictionaries cannot each hold
+                      // maxPixels of rasters), but identity-deduped:
+                      // re-exports of arrays a prior dictionary already
+                      // paid for are free, or legitimate dictionary
+                      // chains would spuriously exhaust the budget
+                      val fresh = ex.filterNot(debited.contains)
+                      val px = fresh.iterator
+                        .map(b => b.length.toLong * b.head.length).sum
+                      if (px <= pixelBudget) {
+                        pixelBudget -= px
+                        fresh.foreach(debited.add)
+                        symbolDicts(seg.number) = ex
+                      }
                     }
                   }
                 }
                 if (seg.tpe == 6 || seg.tpe == 7) { // immediate text region
                   val rr = new Reader(all)
                   rr.p = seg.dataStart
-                  if (rr.remaining >= 17 + 2 + 4) {
+                  if (segLen >= 17 + 2 + 4) {
                     val w = rr.u32(); val h = rr.u32()
                     val x = rr.u32(); val y = rr.u32()
                     rr.u8() // external combination operator
-                    val syms = referredSyms()
+                    val syms = referredSyms().getOrElse(IndexedSeq.empty)
                     val ok = syms.nonEmpty && w > 0 && h > 0 &&
                       w <= (1 << 16) && h <= (1 << 16) &&
                       w * h <= pixelBudget &&
@@ -941,7 +960,7 @@ object Jbig2 {
                 if (seg.tpe == 36 || seg.tpe == 38 || seg.tpe == 39) {
                   val rr = new Reader(all)
                   rr.p = seg.dataStart
-                  if (rr.remaining >= 18 + 4) {
+                  if (segLen >= 18 + 4) {
                     val w = rr.u32(); val h = rr.u32()
                     val x = rr.u32(); val y = rr.u32()
                     rr.u8() // external combination operator
@@ -953,7 +972,7 @@ object Jbig2 {
                     val ok = w > 0 && h > 0 && w <= (1 << 16) &&
                       h <= (1 << 16) && w * h <= pixelBudget &&
                       x + w <= (1 << 16) && y + h <= (1 << 16) &&
-                      rr.remaining >= 2 * atCount
+                      end - rr.p >= 2 * atCount
                     if (ok) {
                       pixelBudget -= w * h
                       if (mmr) {

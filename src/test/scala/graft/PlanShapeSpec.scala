@@ -386,14 +386,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the per-query rank must be a PARTITIONED window (the v2 batch-KNN
     // shape) — a corpus-wide Window.orderBy would be the one-task sort
     // this suite exists to ban
-    assert(p.contains("Window"))
     assert(p.contains("windowspecdefinition(query_id"),
       s"rank window must partition by query_id:\n$p")
-    // the query set and the per-class counts both broadcast — the only
-    // corpus-sized motion is the scan itself
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"), s"query set should broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"),
+    // BOTH small sides broadcast: the query set rides the cross join
+    // (BroadcastNestedLoopJoin), the 10-row class counts the equi-join
+    // (BroadcastHashJoin); neither corpus-sized shuffle-join form may
+    // appear
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query set must broadcast into the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"class counts must broadcast into the per-query rows:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"nothing corpus-sized may shuffle-join:\n$p")
   }
 

@@ -97,6 +97,70 @@ class Jbig2TextSpec extends AnyFunSuite {
     }
   }
 
+  /** Hand-build a dictionary data block (flags + AT + counts) around a
+    * caller-scripted MQ payload — the hostile shapes no honest encoder
+    * emits. */
+  private def dictData(numEx: Int, numNew: Int)(
+      script: Jbig2.MqEncoder => Unit): Array[Byte] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    b += 0; b += 0 // flags: arithmetic, template 0
+    Seq((3, -1), (-3, -1), (2, -2), (-2, -2)).foreach { case (x, y) =>
+      b += x.toByte; b += y.toByte
+    }
+    def be32(v: Int): Unit = {
+      b += ((v >> 24) & 0xFF).toByte; b += ((v >> 16) & 0xFF).toByte
+      b += ((v >> 8) & 0xFF).toByte; b += (v & 0xFF).toByte
+    }
+    be32(numEx); be32(numNew)
+    val enc = new Jbig2.MqEncoder
+    script(enc)
+    b ++= enc.flush()
+    b.toArray
+  }
+
+  test("guards: empty height classes and zero-run exports terminate") {
+    // dh = 0 violates 6.5.5's strictly-increasing height classes — an
+    // all-empty-class stream would otherwise never reach numNew
+    val dh0 = dictData(1, 1) { enc =>
+      Jbig2.encodeInt(enc, new Jbig2.IntCtx, Some(0))
+    }
+    assert(Jbig2.decodeSymbolDict(dh0, 0, dh0.length,
+      IndexedSeq.empty, 1L << 20).isEmpty)
+    // export runs of length 0 toggle the flag without advancing — the
+    // rounds cap must stop the spin
+    val zeroRuns = dictData(1, 1) { enc =>
+      val iadh = new Jbig2.IntCtx
+      val iadw = new Jbig2.IntCtx
+      val iaex = new Jbig2.IntCtx
+      Jbig2.encodeInt(enc, iadh, Some(5)) // height class 5
+      Jbig2.encodeInt(enc, iadw, Some(4)) // one 4-wide symbol
+      Jbig2.encodeGenericWith(enc, new Jbig2.CxStore,
+        glyph(0).toIndexedSeq, 4, 0, tpgdon = false)
+      Jbig2.encodeInt(enc, iadw, None) // class end
+      (0 until 64).foreach(_ => Jbig2.encodeInt(enc, iaex, Some(0)))
+    }
+    assert(Jbig2.decodeSymbolDict(zeroRuns, 0, zeroRuns.length,
+      IndexedSeq.empty, 1L << 20).isEmpty)
+  }
+
+  test("guards: text-region draw work is budgeted") {
+    // one 96x96 symbol placed 600 times into a 40x12 region: each draw
+    // costs the full bitmap, far beyond 8x the region area — a decoder
+    // without the work budget burns unbounded CPU on streams this small
+    val big = Array.fill(96)(Array.fill(96)(true))
+    val insts = (0 until 600).map(j => Jbig2.TextInstance(0, j % 30, 0))
+    val tr = Jbig2.encodeTextRegion(40, 12, insts, IndexedSeq(big))
+    assert(Jbig2.decodeTextRegion(tr, 0, tr.length, 40, 12,
+      IndexedSeq(big)).isEmpty, "draw budget must reject the flood")
+    // the same shape at sane scale decodes fine
+    val small = glyph(1)
+    val ok = Jbig2.encodeTextRegion(40, 12,
+      (0 until 6).map(j => Jbig2.TextInstance(0, j * 6, 0)),
+      IndexedSeq(small))
+    assert(Jbig2.decodeTextRegion(ok, 0, ok.length, 40, 12,
+      IndexedSeq(small)).isDefined)
+  }
+
   test("hostile/degenerate symbol streams degrade to None, never throw") {
     val syms = (0 until 3).map(glyph)
     val doc = Jbig2.encodeTextDocument(40, 12, syms,
