@@ -753,7 +753,103 @@ object DedupQueries {
     */
   def writeTimeFingerprint(dir: String): Option[String] = stageFingerprint(dir)
 
+  // ---- d14: exact-substring dedup via content-defined chunking ----
+  // The dedup family the gram census (d9/d12) does not cover: EXACT
+  // duplicated character runs at arbitrary positions (boilerplate
+  // headers, license blocks, lifted passages — the Lee et al.
+  // "Deduplicating Training Data" target). Content-defined chunking
+  // makes detection position-independent: a boundary falls wherever
+  // md5 of the trailing W-char window starts below "08" (p = 1/32 →
+  // ~32-char chunks), so identical text yields identical chunk
+  // boundaries REGARDLESS of where it sits in a document, and
+  // duplicated runs surface as equal chunk digests — no alignment
+  // search, no all-pairs.
+  //
+  // 100 TB shape: chunking + digesting is per-row map work inside
+  // codegen'd higher-order functions (no explode until digests);
+  // the only shuffles are the digest census groupBy and the
+  // same-partitioning join-back (digests, never text) — the d9 scale
+  // pattern. Spans merge per doc under a doc-partitioned window.
+  private val CdcW = 12
+
+  private val d14CdcDedup: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val chunked = docs
+      .withColumn("n", length(col("text")))
+      .withColumn("cuts", expr(
+        s"""filter(sequence(1, greatest(n - ${CdcW - 1}, 1)), i ->
+           |  i > 1 AND i <= n - ${CdcW - 1} AND
+           |  substring(md5(substring(text, i, $CdcW)), 1, 2) < '08')"""
+          .stripMargin))
+      .withColumn("starts", expr("concat(array(1), cuts)"))
+      .withColumn("ends",
+        expr("concat(transform(cuts, c -> c - 1), array(n))"))
+      .withColumn("chunks", expr(
+        """transform(arrays_zip(starts, ends), p ->
+          |  struct(p.ends - p.starts + 1 AS clen,
+          |    md5(substring(text, p.starts, p.ends - p.starts + 1))
+          |      AS digest))""".stripMargin))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "c")))
+      .select(col("doc_id"), col("idx"),
+        col("c.digest").as("digest"), col("c.clen").as("clen"))
+    val census = chunked.groupBy(col("digest"))
+      .agg(count(lit(1)).as("occ"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    chunked.join(census, Seq("digest"))
+      .withColumn("dup", (col("occ") > 1).cast("int"))
+      .withColumn("prev_dup", lag(col("dup"), 1, 0).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(col("dup")).cast("long").as("n_dup_chunks"),
+        sum(when(col("dup") === 1, col("clen")).otherwise(0))
+          .cast("long").as("dup_chars"),
+        sum(when(col("dup") === 1 && col("prev_dup") === 0, 1)
+          .otherwise(0)).cast("long").as("dup_spans"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d14Sql =
+    s"""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+       |cuts AS (
+       |  SELECT doc_id, u.i FROM d,
+       |    UNNEST(range(2, GREATEST(n - ${CdcW - 2}, 2))) AS u(i)
+       |  WHERE substring(md5(substring(text, i::INT, $CdcW)), 1, 2) < '08'),
+       |bounds AS (
+       |  SELECT d.doc_id, d.n, d.text,
+       |    list_prepend(1, COALESCE(list(c.i::INT ORDER BY c.i)
+       |      FILTER (WHERE c.i IS NOT NULL), [])) AS starts,
+       |    list_append(COALESCE(list(c.i::INT - 1 ORDER BY c.i)
+       |      FILTER (WHERE c.i IS NOT NULL), []), d.n) AS ends
+       |  FROM d LEFT JOIN cuts c USING (doc_id)
+       |  GROUP BY d.doc_id, d.n, d.text),
+       |chunks AS (
+       |  SELECT doc_id, u.k AS idx,
+       |    ends[u.k] - starts[u.k] + 1 AS clen,
+       |    md5(substring(text, starts[u.k],
+       |      ends[u.k] - starts[u.k] + 1)) AS digest
+       |  FROM bounds, UNNEST(range(1, len(starts) + 1)) AS u(k)),
+       |census AS (SELECT digest, COUNT(*) AS occ FROM chunks GROUP BY 1),
+       |flagged AS (
+       |  SELECT c.doc_id, c.idx, c.clen,
+       |    CASE WHEN s.occ > 1 THEN 1 ELSE 0 END AS dup
+       |  FROM chunks c JOIN census s USING (digest)),
+       |runs AS (
+       |  SELECT doc_id, clen, dup,
+       |    COALESCE(LAG(dup) OVER (PARTITION BY doc_id ORDER BY idx), 0)
+       |      AS prev_dup
+       |  FROM flagged)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+       |  CAST(SUM(CASE WHEN dup = 1 THEN clen ELSE 0 END) AS BIGINT)
+       |    AS dup_chars,
+       |  CAST(SUM(CASE WHEN dup = 1 AND prev_dup = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS dup_spans
+       |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d14_cdc_substring_dedup" -> d14CdcDedup,
     "d13_bloom_incremental" -> d13BloomIncremental,
     "d12_novelty" -> d12Novelty,
     "d11_segment_dedup" -> d11SegmentDedup,
@@ -769,6 +865,7 @@ object DedupQueries {
     "d8_dedup_keep" -> d8DedupKeep)
 
   val oracles: Map[String, String] = Map(
+    "d14_cdc_substring_dedup" -> d14Sql,
     "d12_novelty" -> d12Sql,
     "d11_segment_dedup" -> d11Sql,
     "d10_incremental_dedup" -> d10Sql,

@@ -381,6 +381,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v14.contains("TakeOrderedAndProject"), s"v14 should TopK:\n$v14")
   }
 
+  test("d14: CDC dedup shuffles digests and doc ids, never text") {
+    val p = plan("d14_cdc_substring_dedup")
+    // chunking/digesting happen inside the scan's projections; the only
+    // exchanges key on the 32-char digest (census + join-back) and on
+    // doc_id (span window + final agg)
+    assert(p.contains("hashpartitioning(digest"),
+      s"census must shuffle on chunk digests:\n$p")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"span runs must window per doc:\n$p")
+    assert(!p.contains("hashpartitioning(text"),
+      s"document text must never be a shuffle key:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"no all-pairs anywhere:\n$p")
+  }
+
   test("v17: metrics rank window is query-partitioned; dims broadcast") {
     val p = plan("v17_retrieval_metrics")
     // the per-query rank must be a PARTITIONED window (the v2 batch-KNN
