@@ -848,7 +848,88 @@ object DedupQueries {
        |    AS BIGINT) AS dup_spans
        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d15 — the materialization of d14 (the d7→d8 pattern): every
+    * duplicated chunk keeps its FIRST corpus-wide occurrence (rank by
+    * (doc_id, idx) within a digest — deterministic, no tie) and later
+    * occurrences are cut; each document's cleaned text reassembles from
+    * its surviving chunks in position order. Output pins the cleaned
+    * text by md5 + length, so a hash match proves byte-exact span
+    * removal. Same shuffle keys as d14 (digest rank window, per-doc
+    * reassembly); the reassembly aggregation sorts by chunk index
+    * explicitly — never an order-dependent collect. */
+  private val d15CdcMaterialize: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val chunked = docs
+      .withColumn("n", length(col("text")))
+      .withColumn("cuts", expr(
+        s"""filter(sequence(1, greatest(n - ${CdcW - 1}, 1)), i ->
+           |  i > 1 AND i <= n - ${CdcW - 1} AND
+           |  substring(md5(substring(text, i, $CdcW)), 1, 2) < '08')"""
+          .stripMargin))
+      .withColumn("starts", expr("concat(array(1), cuts)"))
+      .withColumn("ends",
+        expr("concat(transform(cuts, c -> c - 1), array(n))"))
+      .withColumn("chunks", expr(
+        """transform(arrays_zip(starts, ends), p ->
+          |  substring(text, p.starts, p.ends - p.starts + 1))"""
+          .stripMargin))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
+      .withColumn("digest", md5(col("chunk")))
+    val w = Window.partitionBy(col("digest"))
+      .orderBy(col("doc_id"), col("idx"))
+    chunked
+      .withColumn("rank", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws("", sort_array(collect_list(struct(col("idx"),
+          when(col("rank") === 1, col("chunk")).otherwise(lit(""))
+            .as("kept")))).getField("kept")).as("cleaned"),
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("rank") > 1, 1).otherwise(0)).cast("long")
+          .as("cut_chunks"))
+      .select(col("doc_id"), md5(col("cleaned")).as("cleaned_md5"),
+        length(col("cleaned")).cast("long").as("cleaned_len"),
+        col("n_chunks"), col("cut_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d15Sql =
+    s"""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+       |cuts AS (
+       |  SELECT doc_id, u.i FROM d,
+       |    UNNEST(range(2, GREATEST(n - ${CdcW - 2}, 2))) AS u(i)
+       |  WHERE substring(md5(substring(text, i::INT, $CdcW)), 1, 2) < '08'),
+       |bounds AS (
+       |  SELECT d.doc_id, d.n, d.text,
+       |    list_prepend(1, COALESCE(list(c.i::INT ORDER BY c.i)
+       |      FILTER (WHERE c.i IS NOT NULL), [])) AS starts,
+       |    list_append(COALESCE(list(c.i::INT - 1 ORDER BY c.i)
+       |      FILTER (WHERE c.i IS NOT NULL), []), d.n) AS ends
+       |  FROM d LEFT JOIN cuts c USING (doc_id)
+       |  GROUP BY d.doc_id, d.n, d.text),
+       |chunks AS (
+       |  SELECT doc_id, u.k AS idx,
+       |    substring(text, starts[u.k], ends[u.k] - starts[u.k] + 1)
+       |      AS chunk
+       |  FROM bounds, UNNEST(range(1, len(starts) + 1)) AS u(k)),
+       |ranked AS (
+       |  SELECT doc_id, idx, chunk,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+       |      ORDER BY doc_id, idx) AS rank
+       |  FROM chunks)
+       |SELECT doc_id,
+       |  md5(STRING_AGG(CASE WHEN rank = 1 THEN chunk ELSE '' END, ''
+       |    ORDER BY idx)) AS cleaned_md5,
+       |  CAST(SUM(CASE WHEN rank = 1 THEN LENGTH(chunk) ELSE 0 END)
+       |    AS BIGINT) AS cleaned_len,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN rank > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS cut_chunks
+       |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "d15_cdc_materialize" -> d15CdcMaterialize,
     "d14_cdc_substring_dedup" -> d14CdcDedup,
     "d13_bloom_incremental" -> d13BloomIncremental,
     "d12_novelty" -> d12Novelty,
@@ -865,6 +946,7 @@ object DedupQueries {
     "d8_dedup_keep" -> d8DedupKeep)
 
   val oracles: Map[String, String] = Map(
+    "d15_cdc_materialize" -> d15Sql,
     "d14_cdc_substring_dedup" -> d14Sql,
     "d12_novelty" -> d12Sql,
     "d11_segment_dedup" -> d11Sql,
