@@ -758,46 +758,72 @@ object DedupQueries {
   // duplicated character runs at arbitrary positions (boilerplate
   // headers, license blocks, lifted passages — the Lee et al.
   // "Deduplicating Training Data" target). Content-defined chunking
-  // makes detection position-independent: a boundary falls wherever
-  // md5 of the trailing W-char window starts below "08" (p = 1/32 →
-  // ~32-char chunks), so identical text yields identical chunk
+  // makes detection position-independent: a boundary falls wherever the
+  // polynomial hash of the trailing W-char window lands on 0 mod 32
+  // (~32-char chunks), so identical text yields identical chunk
   // boundaries REGARDLESS of where it sits in a document, and
   // duplicated runs surface as equal chunk digests — no alignment
-  // search, no all-pairs.
+  // search, no all-pairs. The boundary hash is exact BIGINT arithmetic
+  // (fold of acc*31 + codepoint mod 1000003) identical in both engines
+  // — an md5-per-position rule measured 10× slower; md5 prices only
+  // per CHUNK, for the digest.
   //
   // 100 TB shape: chunking + digesting is per-row map work inside
-  // codegen'd higher-order functions (no explode until digests);
-  // the only shuffles are the digest census groupBy and the
-  // same-partitioning join-back (digests, never text) — the d9 scale
-  // pattern. Spans merge per doc under a doc-partitioned window.
+  // codegen'd higher-order functions (no explode until digests); the
+  // census is a count-over-digest WINDOW (one shuffle, one chunking
+  // pass — a groupBy+join-back census scans the corpus twice), spans
+  // merge under a doc-partitioned window.
   private val CdcW = 12
+  private val CdcMod = 1000003L // prime; acc*31 + cp stays far under 2^63
+
+  /** The whole per-document chunking as ONE expression, with the
+    * codepoint array and the cut list bound exactly once through the
+    * `transform(array(X), v -> …)[0]` let-trick. Two hard-won lessons
+    * are encoded here (both measured at sf0.1):
+    *  - per-position `substring(text, i, …)` walks UTF8 bytes from the
+    *    string START each call — O(position) per probe, quadratic per
+    *    document (60 s); probing a materialized codepoint array is
+    *    linear;
+    *  - intermediate COLUMNS don't materialize: Catalyst's project
+    *    collapsing inlines a `cp`/`cuts` column's defining expression
+    *    into every reference, so the split() ran once per position and
+    *    the cut filter once per bound array (110 s). Lambda variables
+    *    are the only per-row let-binding Spark SQL has. */
+  /** Built-in-functions formulation, kept as the PARITY REFERENCE for
+    * the native [[org.apache.spark.sql.graft.CdcChunks]] expression the
+    * queries actually run (CdcChunksSpec pins equality) — the
+    * interpreted HOF stack measured ~6 s at sf0.1 vs ~0.3 s native. */
+  private[graft] def cdcChunksExpr(withDigest: Boolean): String = {
+    val chunk =
+      if (withDigest)
+        "struct(e - s + 1 AS clen, md5(substring(text, s, e - s + 1)) AS digest)"
+      else "substring(text, s, e - s + 1)"
+    s"""transform(array(transform(split(text, ''),
+       |    ch -> CAST(ascii(ch) AS BIGINT))), cp ->
+       |  transform(array(filter(
+       |      sequence(1, greatest(length(text) - ${CdcW - 1}, 1)), i ->
+       |        i > 1 AND i <= length(text) - ${CdcW - 1} AND
+       |        aggregate(slice(cp, i, $CdcW), CAST(0 AS BIGINT),
+       |          (acc, x) -> (acc * 31 + x) % $CdcMod) % 32 = 0)), cuts ->
+       |    zip_with(concat(array(1), cuts),
+       |      concat(transform(cuts, c -> c - 1), array(length(text))),
+       |      (s, e) -> $chunk)))[0][0]""".stripMargin
+  }
 
   private val d14CdcDedup: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
     val chunked = docs
-      .withColumn("n", length(col("text")))
-      .withColumn("cuts", expr(
-        s"""filter(sequence(1, greatest(n - ${CdcW - 1}, 1)), i ->
-           |  i > 1 AND i <= n - ${CdcW - 1} AND
-           |  substring(md5(substring(text, i, $CdcW)), 1, 2) < '08')"""
-          .stripMargin))
-      .withColumn("starts", expr("concat(array(1), cuts)"))
-      .withColumn("ends",
-        expr("concat(transform(cuts, c -> c - 1), array(n))"))
-      .withColumn("chunks", expr(
-        """transform(arrays_zip(starts, ends), p ->
-          |  struct(p.ends - p.starts + 1 AS clen,
-          |    md5(substring(text, p.starts, p.ends - p.starts + 1))
-          |      AS digest))""".stripMargin))
+      .withColumn("chunks", org.apache.spark.sql.graft.CdcExpressions
+        .cdcChunks(col("text"), CdcW, CdcMod, 32, withDigest = true))
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "c")))
       .select(col("doc_id"), col("idx"),
         col("c.digest").as("digest"), col("c.clen").as("clen"))
-    val census = chunked.groupBy(col("digest"))
-      .agg(count(lit(1)).as("occ"))
+    val wDigest = Window.partitionBy(col("digest"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    chunked.join(census, Seq("digest"))
-      .withColumn("dup", (col("occ") > 1).cast("int"))
+    chunked
+      .withColumn("dup", (count(lit(1)).over(wDigest) > 1).cast("int"))
       .withColumn("prev_dup", lag(col("dup"), 1, 0).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_chunks"),
@@ -809,12 +835,19 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB-side identical window hash (list_reduce = Spark aggregate). */
+  private def duckCdcHash: String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(0, $CdcW), j ->
+       |        unicode(substring(text, (i + j)::INT, 1))::BIGINT)),
+       |      (acc, x) -> (acc * 31 + x) % $CdcMod) % 32 = 0""".stripMargin
+
   private val d14Sql =
     s"""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
        |cuts AS (
        |  SELECT doc_id, u.i FROM d,
        |    UNNEST(range(2, GREATEST(n - ${CdcW - 2}, 2))) AS u(i)
-       |  WHERE substring(md5(substring(text, i::INT, $CdcW)), 1, 2) < '08'),
+       |  WHERE $duckCdcHash),
        |bounds AS (
        |  SELECT d.doc_id, d.n, d.text,
        |    list_prepend(1, COALESCE(list(c.i::INT ORDER BY c.i)
@@ -859,21 +892,11 @@ object DedupQueries {
     * explicitly — never an order-dependent collect. */
   private val d15CdcMaterialize: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
     val chunked = docs
-      .withColumn("n", length(col("text")))
-      .withColumn("cuts", expr(
-        s"""filter(sequence(1, greatest(n - ${CdcW - 1}, 1)), i ->
-           |  i > 1 AND i <= n - ${CdcW - 1} AND
-           |  substring(md5(substring(text, i, $CdcW)), 1, 2) < '08')"""
-          .stripMargin))
-      .withColumn("starts", expr("concat(array(1), cuts)"))
-      .withColumn("ends",
-        expr("concat(transform(cuts, c -> c - 1), array(n))"))
-      .withColumn("chunks", expr(
-        """transform(arrays_zip(starts, ends), p ->
-          |  substring(text, p.starts, p.ends - p.starts + 1))"""
-          .stripMargin))
+      .withColumn("chunks", org.apache.spark.sql.graft.CdcExpressions
+        .cdcChunks(col("text"), CdcW, CdcMod, 32, withDigest = false))
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("idx", "chunk")))
       .withColumn("digest", md5(col("chunk")))
     val w = Window.partitionBy(col("digest"))
@@ -899,7 +922,7 @@ object DedupQueries {
        |cuts AS (
        |  SELECT doc_id, u.i FROM d,
        |    UNNEST(range(2, GREATEST(n - ${CdcW - 2}, 2))) AS u(i)
-       |  WHERE substring(md5(substring(text, i::INT, $CdcW)), 1, 2) < '08'),
+       |  WHERE $duckCdcHash),
        |bounds AS (
        |  SELECT d.doc_id, d.n, d.text,
        |    list_prepend(1, COALESCE(list(c.i::INT ORDER BY c.i)
