@@ -776,38 +776,38 @@ object DedupQueries {
   private val CdcW = 12
   private val CdcMod = 1000003L // prime; acc*31 + cp stays far under 2^63
 
-  /** The whole per-document chunking as ONE expression, with the
-    * codepoint array and the cut list bound exactly once through the
-    * `transform(array(X), v -> …)[0]` let-trick. Two hard-won lessons
-    * are encoded here (both measured at sf0.1):
-    *  - per-position `substring(text, i, …)` walks UTF8 bytes from the
-    *    string START each call — O(position) per probe, quadratic per
-    *    document (60 s); probing a materialized codepoint array is
-    *    linear;
-    *  - intermediate COLUMNS don't materialize: Catalyst's project
-    *    collapsing inlines a `cp`/`cuts` column's defining expression
-    *    into every reference, so the split() ran once per position and
-    *    the cut filter once per bound array (110 s). Lambda variables
-    *    are the only per-row let-binding Spark SQL has. */
   /** Built-in-functions formulation, kept as the PARITY REFERENCE for
     * the native [[org.apache.spark.sql.graft.CdcChunks]] expression the
-    * queries actually run (CdcChunksSpec pins equality) — the
-    * interpreted HOF stack measured ~6 s at sf0.1 vs ~0.3 s native. */
+    * queries actually run (CdcChunksSpec pins equality over corpus +
+    * crafted + null text). Everything is ONE expression with the
+    * codepoint array and cut list bound exactly once through the
+    * `transform(array(X), v -> …)[0]` let-trick, encoding two hard-won
+    * Spark lessons (both measured at sf0.1): per-position
+    * `substring(text, i, …)` walks UTF8 bytes from the string START —
+    * O(position) per probe, quadratic per document (60 s) — so probe a
+    * materialized codepoint array instead; and intermediate COLUMNS
+    * don't materialize — Catalyst's project collapsing inlines a
+    * column's defining expression into every reference (the split()
+    * ran once per position: 110 s), and lambda variables are the only
+    * per-row let-binding Spark SQL has. Even fixed, the interpreted
+    * HOF stack prices ~6 s vs ~1 s native. NULL text reads as ''
+    * (one empty chunk) on every path, matching the oracle COALESCE. */
   private[graft] def cdcChunksExpr(withDigest: Boolean): String = {
     val chunk =
       if (withDigest)
-        "struct(e - s + 1 AS clen, md5(substring(text, s, e - s + 1)) AS digest)"
-      else "substring(text, s, e - s + 1)"
-    s"""transform(array(transform(split(text, ''),
+        "struct(e - s + 1 AS clen, md5(substring(t, s, e - s + 1)) AS digest)"
+      else "substring(t, s, e - s + 1)"
+    s"""transform(array(coalesce(text, '')), t ->
+       |transform(array(transform(split(t, ''),
        |    ch -> CAST(ascii(ch) AS BIGINT))), cp ->
        |  transform(array(filter(
-       |      sequence(1, greatest(length(text) - ${CdcW - 1}, 1)), i ->
-       |        i > 1 AND i <= length(text) - ${CdcW - 1} AND
+       |      sequence(1, greatest(length(t) - ${CdcW - 1}, 1)), i ->
+       |        i > 1 AND i <= length(t) - ${CdcW - 1} AND
        |        aggregate(slice(cp, i, $CdcW), CAST(0 AS BIGINT),
        |          (acc, x) -> (acc * 31 + x) % $CdcMod) % 32 = 0)), cuts ->
        |    zip_with(concat(array(1), cuts),
-       |      concat(transform(cuts, c -> c - 1), array(length(text))),
-       |      (s, e) -> $chunk)))[0][0]""".stripMargin
+       |      concat(transform(cuts, c -> c - 1), array(length(t))),
+       |      (s, e) -> $chunk))))[0][0][0]""".stripMargin
   }
 
   private val d14CdcDedup: Q = (s, dir) => {
@@ -842,8 +842,12 @@ object DedupQueries {
        |        unicode(substring(text, (i + j)::INT, 1))::BIGINT)),
        |      (acc, x) -> (acc * 31 + x) % $CdcMod) % 32 = 0""".stripMargin
 
-  private val d14Sql =
-    s"""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+  /** The shared d/cuts/bounds/chunks CTE block both CDC oracles build
+    * on — ONE copy of the boundary arithmetic, like [[duckCdcHash]];
+    * COALESCE mirrors the native expression's null-as-'' contract. */
+  private def duckCdcChunksCte: String =
+    s"""d AS (SELECT doc_id, COALESCE(text, '') AS text,
+       |    LENGTH(COALESCE(text, '')) AS n FROM documents),
        |cuts AS (
        |  SELECT doc_id, u.i FROM d,
        |    UNNEST(range(2, GREATEST(n - ${CdcW - 2}, 2))) AS u(i)
@@ -859,14 +863,19 @@ object DedupQueries {
        |chunks AS (
        |  SELECT doc_id, u.k AS idx,
        |    ends[u.k] - starts[u.k] + 1 AS clen,
-       |    md5(substring(text, starts[u.k],
-       |      ends[u.k] - starts[u.k] + 1)) AS digest
-       |  FROM bounds, UNNEST(range(1, len(starts) + 1)) AS u(k)),
-       |census AS (SELECT digest, COUNT(*) AS occ FROM chunks GROUP BY 1),
+       |    substring(text, starts[u.k],
+       |      ends[u.k] - starts[u.k] + 1) AS chunk
+       |  FROM bounds, UNNEST(range(1, len(starts) + 1)) AS u(k))"""
+      .stripMargin
+
+  private val d14Sql =
+    s"""WITH $duckCdcChunksCte,
+       |census AS (SELECT md5(chunk) AS digest, COUNT(*) AS occ
+       |  FROM chunks GROUP BY 1),
        |flagged AS (
        |  SELECT c.doc_id, c.idx, c.clen,
        |    CASE WHEN s.occ > 1 THEN 1 ELSE 0 END AS dup
-       |  FROM chunks c JOIN census s USING (digest)),
+       |  FROM chunks c JOIN census s ON md5(c.chunk) = s.digest),
        |runs AS (
        |  SELECT doc_id, clen, dup,
        |    COALESCE(LAG(dup) OVER (PARTITION BY doc_id ORDER BY idx), 0)
@@ -918,24 +927,7 @@ object DedupQueries {
   }
 
   private val d15Sql =
-    s"""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
-       |cuts AS (
-       |  SELECT doc_id, u.i FROM d,
-       |    UNNEST(range(2, GREATEST(n - ${CdcW - 2}, 2))) AS u(i)
-       |  WHERE $duckCdcHash),
-       |bounds AS (
-       |  SELECT d.doc_id, d.n, d.text,
-       |    list_prepend(1, COALESCE(list(c.i::INT ORDER BY c.i)
-       |      FILTER (WHERE c.i IS NOT NULL), [])) AS starts,
-       |    list_append(COALESCE(list(c.i::INT - 1 ORDER BY c.i)
-       |      FILTER (WHERE c.i IS NOT NULL), []), d.n) AS ends
-       |  FROM d LEFT JOIN cuts c USING (doc_id)
-       |  GROUP BY d.doc_id, d.n, d.text),
-       |chunks AS (
-       |  SELECT doc_id, u.k AS idx,
-       |    substring(text, starts[u.k], ends[u.k] - starts[u.k] + 1)
-       |      AS chunk
-       |  FROM bounds, UNNEST(range(1, len(starts) + 1)) AS u(k)),
+    s"""WITH $duckCdcChunksCte,
        |ranked AS (
        |  SELECT doc_id, idx, chunk,
        |    ROW_NUMBER() OVER (PARTITION BY md5(chunk)

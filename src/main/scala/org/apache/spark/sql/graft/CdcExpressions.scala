@@ -51,7 +51,11 @@ case class CdcChunks(child: Expression, w: Int, mod: Long, div: Int,
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) new GenericArrayData(Array.empty[Any])
+    // NULL reads as '' (one empty chunk) — the same coalesce the HOF
+    // parity reference and both DuckDB oracles apply, so a null-text
+    // row keeps its output row on every path instead of silently
+    // vanishing from the Spark side of the hash compare
+    if (v == null) compute("")
     else compute(v.asInstanceOf[UTF8String].toString)
   }
 
@@ -82,21 +86,16 @@ case class CdcChunks(child: Expression, w: Int, mod: Long, div: Int,
     }
     val starts = 1 +: cuts
     val ends = cuts.map(_ - 1) :+ n
-    val md = if (withDigest) MessageDigest.getInstance("MD5") else null
     val out = new Array[Any](starts.length)
     var k = 0
     while (k < starts.length) {
       val s = starts(k)
       val e = ends(k)
       val chunk = text.substring(s - 1, e)
-      if (withDigest) {
-        md.reset()
-        val dig = md.digest(chunk.getBytes(StandardCharsets.UTF_8))
-        val hex = new StringBuilder(32)
-        dig.foreach(b => hex.append(f"${b & 0xFF}%02x"))
+      if (withDigest)
         out(k) = new GenericInternalRow(Array[Any](e - s + 1,
-          UTF8String.fromString(hex.toString)))
-      } else out(k) = UTF8String.fromString(chunk)
+          UTF8String.fromString(graft.functions.Hashing.md5Hex(chunk))))
+      else out(k) = UTF8String.fromString(chunk)
       k += 1
     }
     new GenericArrayData(out)

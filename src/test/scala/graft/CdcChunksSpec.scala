@@ -24,6 +24,7 @@ class CdcChunksSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val crafted = Seq(
+      null.asInstanceOf[String], // null contract: reads as ''
       "", "x", "short", "exactly12ch!", "thirteen chars",
       "a" * 500, // degenerate constant text
       ("the quick brown fox jumps over the lazy dog " * 30),
