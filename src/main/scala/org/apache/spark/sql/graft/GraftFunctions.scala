@@ -63,9 +63,27 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CharFingerprint].getName, "char_fingerprint"),
     (exprs: Seq[Expression]) => CharFingerprint(exprs(0), intArg(exprs(1), "n")))
 
+  /** cdc_chunks(text, w, mod, div, with_digest): the d14/d15 chunker.
+    * `with_digest` folds at registration like the int params (a boolean
+    * literal selects the struct-vs-string output type, which must be
+    * known at plan time). */
+  val cdcChunksDescriptor: Descriptor = (
+    FunctionIdentifier("cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+    (exprs: Seq[Expression]) => CdcChunks(exprs(0),
+      intArg(exprs(1), "w"),
+      intArg(exprs(2), "mod").toLong,
+      intArg(exprs(3), "div"),
+      exprs(4) match {
+        case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Boolean, _) => v
+        case other => throw new IllegalArgumentException(
+          s"with_digest must be a boolean literal, got $other")
+      }))
+
   val descriptors: Seq[Descriptor] = Seq(
     vectorDotDescriptor, vectorCosineDescriptor, minhashSignatureDescriptor,
-    simhashDescriptor, charFingerprintDescriptor)
+    simhashDescriptor, charFingerprintDescriptor, cdcChunksDescriptor)
 
   /** Imperative registration on an existing session: the SQL functions
     * plus the (config-gated, off by default) ANN probe rewrite rule.

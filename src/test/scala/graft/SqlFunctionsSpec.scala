@@ -159,6 +159,21 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage != null)
   }
 
+  test("cdc_chunks callable from SQL, reassembles the input") {
+    val r = spark.sql(
+      """SELECT cdc_chunks('the quick brown fox jumps over the lazy dog',
+        |  12, 1000003, 32, false) AS chunks,
+        |  cdc_chunks('the quick brown fox jumps over the lazy dog',
+        |  12, 1000003, 32, true) AS digests""".stripMargin).head()
+    val chunks = r.getSeq[String](0)
+    assert(chunks.mkString == "the quick brown fox jumps over the lazy dog")
+    assert(r.getSeq[org.apache.spark.sql.Row](1).length == chunks.length)
+    val err = intercept[Exception](spark.sql(
+      "SELECT cdc_chunks('x', 12, 1000003, 32, id = 0) FROM range(1)")
+      .collect())
+    assert(err.getMessage != null)
+  }
+
   test("native one-pass simhash equals the built-in formulation") {
     import graft.functions.TextSketch
     import org.apache.spark.sql.functions._
