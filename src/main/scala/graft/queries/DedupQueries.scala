@@ -773,8 +773,8 @@ object DedupQueries {
   // census is a count-over-digest WINDOW (one shuffle, one chunking
   // pass — a groupBy+join-back census scans the corpus twice), spans
   // merge under a doc-partitioned window.
-  private val CdcW = 12
-  private val CdcMod = 1000003L // prime; acc*31 + cp stays far under 2^63
+  private[graft] val CdcW = 12
+  private[graft] val CdcMod = 1000003L // prime; acc*31 + cp stays far under 2^63
 
   /** Built-in-functions formulation, kept as the PARITY REFERENCE for
     * the native [[org.apache.spark.sql.graft.CdcChunks]] expression the

@@ -220,6 +220,31 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_digest")
 
+  /** Streaming twin of the d14/d15 content-defined-chunking dedup: an
+    * arriving document explodes into CDC chunks map-side (the same
+    * native [[org.apache.spark.sql.graft.CdcChunks]] expression and
+    * constants the batch family uses — deterministic, so stream and
+    * batch chunk identically), and dropDuplicatesWithinWatermark on the
+    * 16-byte chunk digest emits each chunk's FIRST stream occurrence
+    * only — d15's keep-first materialization as continuous ingest.
+    * State = chunk digests within the late-data horizon, never text
+    * (the [[dedupStream]] scale argument at chunk granularity: at
+    * 100 TB/day the store holds digests-within-horizon regardless of
+    * corpus size). Downstream, a consumer reassembles cleaned documents
+    * from the surviving (doc, idx, chunk) rows exactly as d15 does.
+    */
+  def cdcDedupStream(docs: DataFrame, tsCol: String = "ts",
+      textCol: String = "text", watermark: String = "2 hours"): DataFrame =
+    docs
+      .select(col("*"), posexplode(
+        org.apache.spark.sql.graft.CdcExpressions.cdcChunks(col(textCol),
+          graft.queries.DedupQueries.CdcW,
+          graft.queries.DedupQueries.CdcMod, 32, withDigest = false))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_digest", md5(col("chunk")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("chunk_digest")
+
   /** Streaming twin of d13's bloom-prefiltered incremental dedup: an
     * arriving document stream checked against a STATIC history — the
     * continuous-ingest front door. The bloom probe

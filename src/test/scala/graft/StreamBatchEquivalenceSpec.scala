@@ -263,6 +263,53 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected null-ts semantics: $rows")
   }
 
+  test("streaming CDC dedup keeps exactly the distinct chunk digests") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).take(200)
+    // batch truth: the distinct chunk-digest set (what d15's rank-1
+    // filter keeps, digest-wise), via the same expression batch-side
+    val batchDistinct = docs.toSeq.toDF("doc_id", "text")
+      .select(explode(org.apache.spark.sql.graft.CdcExpressions
+        .cdcChunks(col("text"), graft.queries.DedupQueries.CdcW,
+          graft.queries.DedupQueries.CdcMod, 32, withDigest = false))
+        .as("chunk"))
+      .select(md5(col("chunk"))).as[String].collect().toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val input = mem.toDF().toDF("doc_id", "text")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+    val q = graft.streaming.EventStreams.cdcDedupStream(input)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_digest"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        out.synchronized {
+          out ++= df.collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getString(2)))
+        }
+        ()
+      }.start()
+    try {
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // every distinct digest emitted exactly once; none invented
+    assert(out.map(_._3).toSet == batchDistinct, "digest sets differ")
+    assert(out.size == batchDistinct.size,
+      s"${out.size} emissions for ${batchDistinct.size} distinct chunks — " +
+        "a duplicate survived across micro-batches")
+  }
+
   test("streaming trending terms keep the MG guarantees across batches") {
     val s = spark
     import s.implicits._
