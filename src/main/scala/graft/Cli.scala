@@ -102,13 +102,15 @@ object Cli {
         val hits = (view match {
           case Some(v) =>
             // adaptive prober is replica-aware (distinct-counts and
-            // dedupes only when the sidecar says replicas > 1)
+            // dedupes unless the sidecar explicitly says replicas 1)
             val a = graft.search.Ivf.searchFilteredAdaptive(
               index, qvec, q, topK, col("view") === v, nprobe)
             println(s"[ann-search] view=$v nprobe_used=${a.nprobeUsed} " +
               s"eligible_candidates=${a.eligibleCandidates}")
             a.hits
-          case None if q.replicas > 1 =>
+          case None if q.replicas != 1 =>
+            // != 1: a pre-record sidecar (replicas = 0) may front a
+            // multi-assigned index — keep the dedupe it always had
             graft.search.Ivf.searchMultiAssign(index, qvec, q, topK, nprobe)
           case None =>
             graft.search.Ivf.search(index, qvec, q, topK, nprobe)

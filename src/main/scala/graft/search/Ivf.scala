@@ -207,15 +207,18 @@ object Ivf {
 
   /** Persist a quantizer as a small text sidecar next to the index table
     * (line 1: "k dim", then one centroid per line; a trailing
-    * "replicas R" line when the index was built multi-assigned, so
-    * readers know whether candidate dedupe is needed). Float.toString
+    * "replicas R" line recording how the index was built, so readers
+    * know whether candidate dedupe is needed). Float.toString
     * round-trips exactly through parseFloat, so save∘load is the
     * identity. The replicas line is OUTSIDE [[serialize]] — fingerprints
-    * stay replica-invariant and old sidecars load as replicas=1.
+    * stay replica-invariant. It is ALWAYS written (even "replicas 1"):
+    * a sidecar with no line predates the record and its index's build
+    * provenance is unknown, so [[load]] marks it `replicas = 0` and
+    * searchers keep the dedupe they always applied before the record
+    * existed (skipping it is only safe on an explicit single-assign).
     */
   def save(q: Quantizer, path: String): Unit = {
-    val body = serialize(q) +
-      (if (q.replicas > 1) s"replicas ${q.replicas}\n" else "")
+    val body = serialize(q) + s"replicas ${math.max(1, q.replicas)}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -232,7 +235,7 @@ object Ivf {
     val replicas = lines.lift(k + 1) match {
       case Some(l) if l.startsWith("replicas ") =>
         l.stripPrefix("replicas ").trim.toInt
-      case _ => 1
+      case _ => 0 // pre-record sidecar: build provenance unknown
     }
     Quantizer(k, dim, flat, replicas)
   }
@@ -297,7 +300,9 @@ object Ivf {
       fillFactor: Int = 2, vectorCol: String = "vector",
       tieBreak: String = "fragment_id"): AdaptiveProbe = {
     val want = math.max(1L, fillFactor.toLong * topK)
-    val replicated = q.replicas > 1
+    // != 1, not > 1: replicas = 0 flags a pre-record sidecar whose
+    // index may well be multi-assigned — dedupe stays on for it
+    val replicated = q.replicas != 1
     // one ranking of all k lists, widened by prefix — each step reuses it
     val ranked = nearestLists(queryVec, q, q.k)
     var np = math.max(1, nprobe)

@@ -220,7 +220,7 @@ object Pq {
     val lists = Ivf.nearestLists(query, quantizer, nprobe)
     searchCosine(index.filter(col("list_id").isin(lists: _*)),
       query, cb, topK, shortlist, vectorCol, codeCol, tieBreak, predicate,
-      dedupe.getOrElse(quantizer.replicas > 1))
+      dedupe.getOrElse(quantizer.replicas != 1)) // 0 = unknown → dedupe
   }
 
   /** ADC top-k with exact re-rank, in two phases so the compressed scan

@@ -886,7 +886,12 @@ object Jpx {
               if ((ssiz & 0x80) != 0 || (ssiz & 0x7F) > 7 ||
                   xr != 1 || yr != 1) return None // 8-bit, no subsampling
             }
-            if (xs <= 0 || ys <= 0 || xs * ys * nc > maxPixels) return None
+            // bound each axis BEFORE multiplying: xs/ys are untrusted
+            // u32s, so xs*ys*nc can wrap past Long range and sneak a
+            // negative product under the cap while truncated toInt dims
+            // still demand multi-GiB planes (OOM = Error, uncatchable)
+            if (xs <= 0 || ys <= 0 || xs > maxPixels || ys > maxPixels ||
+                xs * ys * nc > maxPixels) return None
             w = xs.toInt; h = ys.toInt
             p = base + len - 2
           case 0xFF52 =>

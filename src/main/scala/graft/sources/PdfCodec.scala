@@ -1804,8 +1804,15 @@ object RealPdfExtractor extends PdfExtractor {
                   }
                 def decodeG4(): Option[CcittG4.Decoded] =
                   if (pnum("K", 0) >= 0) None // 1D/mixed T.4: dict dims
-                  else stream.flatMap(b =>
-                    CcittG4.decode(b, pnum("Columns", 1728)))
+                  else stream.flatMap { b =>
+                    // total-pixel budget mirroring the JPXDecode cap: an
+                    // all-uniform G4 row costs ~2 bits of input, so the
+                    // default 65536-row ceiling alone would let a few KB
+                    // of hostile stream materialize ~4 GiB of rows
+                    val cols = pnum("Columns", 1728)
+                    CcittG4.decode(b, cols,
+                      maxRows = math.max(1, ((1L << 25) / cols).toInt))
+                  }
                 val dec = ref match {
                   case PRef(num) => g4Cache.getOrElseUpdate(num, decodeG4())
                   case _ => decodeG4()

@@ -70,7 +70,11 @@ object GraftFunctions {
   val cdcChunksDescriptor: Descriptor = (
     FunctionIdentifier("cdc_chunks"),
     new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
-    (exprs: Seq[Expression]) => CdcChunks(exprs(0),
+    (exprs: Seq[Expression]) => {
+      if (exprs.length != 5) throw new IllegalArgumentException(
+        "cdc_chunks expects 5 arguments: " +
+          s"cdc_chunks(text, w, mod, div, with_digest); got ${exprs.length}")
+      CdcChunks(exprs(0),
       intArg(exprs(1), "w"),
       intArg(exprs(2), "mod").toLong,
       intArg(exprs(3), "div"),
@@ -79,7 +83,8 @@ object GraftFunctions {
             .Literal(v: Boolean, _) => v
         case other => throw new IllegalArgumentException(
           s"with_digest must be a boolean literal, got $other")
-      }))
+      })
+    })
 
   val descriptors: Seq[Descriptor] = Seq(
     vectorDotDescriptor, vectorCosineDescriptor, minhashSignatureDescriptor,

@@ -66,6 +66,19 @@ class CcittG4Spec extends AnyFunSuite {
     assert(CcittG4.decode(junk, 0).isEmpty)
   }
 
+  test("compression-bomb rows stop at the pixel budget (ADVICE r9)") {
+    // an all-uniform G4 row costs ~2 bits (one V0 code), so a few KB
+    // of stream could otherwise materialize cols*65536 booleans; the
+    // extractor call site budgets maxRows = (1<<25)/cols
+    val cols = 4096
+    val tall = Seq.fill(20000)(new Array[Boolean](cols))
+    val enc = CcittG4.encode(tall, cols)
+    assert(enc.length < 16 * 1024, s"bomb premise: ${enc.length} bytes")
+    val budget = math.max(1, ((1L << 25) / cols).toInt)
+    val d = CcittG4.decode(enc, cols, maxRows = budget)
+    assert(d.exists(_.height <= budget))
+  }
+
   test("array-form /Filter + /DecodeParms (the standard PDF shape) decodes") {
     val m = 4
     val bytes = PdfWriter.buildScan(

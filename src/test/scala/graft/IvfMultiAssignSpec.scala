@@ -94,4 +94,37 @@ class IvfMultiAssignSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 >= 0.8, f"replicated recall too low: $r2%.3f")
     single.unpersist(); multi.unpersist()
   }
+
+  test("pre-record sidecars load as replicas-unknown and keep the dedupe") {
+    // a sidecar written before the replicas record existed says nothing
+    // about how the index was built — a multi-assigned index behind it
+    // must not silently lose candidate dedupe (ADVICE r9, low)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-sidecar")
+    try {
+      val q = Ivf.Quantizer(2, 4, Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f))
+      val p = dir.resolve("q.txt").toString
+      Ivf.save(q, p)
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      // the record is now always written, replicas=1 included
+      assert(text.linesIterator.toSeq.last == "replicas 1")
+      assert(Ivf.load(p).replicas == 1)
+      // strip it: the pre-r9 on-disk form
+      val legacy = text.linesIterator.filterNot(_.startsWith("replicas"))
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        legacy.getBytes("UTF-8"))
+      val loaded = Ivf.load(p)
+      assert(loaded.replicas == 0, "legacy sidecar must load as unknown")
+      assert(loaded.replicas != 1, "unknown provenance must keep dedupe")
+      assert(loaded.centroidsFlat.sameElements(q.centroidsFlat))
+      // explicit multi-assign round-trips
+      Ivf.save(q.copy(replicas = 3), p)
+      assert(Ivf.load(p).replicas == 3)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -128,6 +128,22 @@ class JpxSpec extends AnyFunSuite {
     assert(Jpx.decode(multi).isEmpty)
   }
 
+  test("hostile SIZ dims that overflow the Long pixel product reject") {
+    // xs*ys*nc on u32-max dims wraps past 2^63 to a negative product
+    // that would sneak under the old single-multiplication cap while
+    // the truncated toInt dims demand huge planes (ADVICE r9, high)
+    val enc = Jpx.encode(PdfWriter.jpxRaster(5, 16, 16))
+    for (dim <- Seq(0xFFFFFFFFL, 0x80001000L, 0x10000000L)) {
+      val mut = enc.clone()
+      // SIZ: SOC(0-1) FF51(2-3) Lsiz(4-5) Rsiz(6-7) Xsiz@8 Ysiz@12
+      // XTsiz@24 YTsiz@28 — tiles must cover the image or the earlier
+      // xt<xs guard fires before the cap under test
+      for (off <- Seq(8, 12, 24, 28); b <- 0 until 4)
+        mut(off + b) = ((dim >>> (8 * (3 - b))) & 0xFF).toByte
+      assert(Jpx.decode(mut).isEmpty, f"dim=0x$dim%x must reject")
+    }
+  }
+
   test("the dict cannot lie: decoded geometry and gray-sum beat the dict") {
     (0 until 30).foreach { m =>
       val paras = Seq(s"jpx doc $m", "second paragraph")

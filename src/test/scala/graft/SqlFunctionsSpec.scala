@@ -172,6 +172,11 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT cdc_chunks('x', 12, 1000003, 32, id = 0) FROM range(1)")
       .collect())
     assert(err.getMessage != null)
+    // wrong arity names the signature instead of an index error
+    val arity = intercept[Exception](
+      spark.sql("SELECT cdc_chunks('x', 12, 1000003, 32)").collect())
+    assert(arity.getMessage.contains("cdc_chunks expects 5 arguments"),
+      s"got: ${arity.getMessage}")
   }
 
   test("native one-pass simhash equals the built-in formulation") {
