@@ -48,14 +48,17 @@ class HashedLogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acc >= 0.85, s"trained accuracy too low: $acc")
   }
 
-  test("streaming scoring matches the batch scorer bit-for-bit") {
+  /** Train with `fit`, score the SAME model through the batch scorer and
+    * the streaming serving path, and require bit-for-bit agreement —
+    * the train→serve contract behind x21 + classifyStream. */
+  private def assertServingMatchesBatch(queryName: String,
+      fit: org.apache.spark.sql.DataFrame => (Array[Double], Double))
+      : Unit = {
     val s = spark
-    import s.implicits._
     val feats = HashedLogReg.hashedFeatures(docs, col("doc_id"), col("y"),
       col("w"), dim).cache()
     feats.count()
-    val (w, b) = HashedLogReg.train(feats, dim, iters = 12, lr = 20.0,
-      decay = 0.1)
+    val (w, b) = fit(feats)
     val batch = HashedLogReg.score(feats, w, b)
       .collect()
       .map(r => (r.getLong(0),
@@ -64,7 +67,7 @@ class HashedLogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
     feats.unpersist()
 
     // stream the raw texts through the stateless serving path
-    val stage = java.nio.file.Files.createTempDirectory("classify_stream")
+    val stage = java.nio.file.Files.createTempDirectory(queryName)
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .coalesce(1).write.mode("overwrite")
       .parquet(stage.resolve("docs.parquet").toString)
@@ -72,7 +75,7 @@ class HashedLogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
       .schema(s.read.parquet(stage.resolve("docs.parquet").toString).schema)
       .parquet(stage.toString + "/*/")
     val q = graft.streaming.EventStreams.classifyStream(stream, w, b)
-      .writeStream.format("memory").queryName("classify_stream")
+      .writeStream.format("memory").queryName(queryName)
       .outputMode("append").start()
     try q.processAllAvailable()
     finally {
@@ -81,7 +84,8 @@ class HashedLogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Files.walk(stage).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    val streamed = s.sql("SELECT doc_id, margin, predicted FROM classify_stream")
+    val streamed = s.sql(
+      s"SELECT doc_id, margin, predicted FROM $queryName")
       .collect()
       .map(r => (r.getLong(0),
         java.lang.Double.doubleToLongBits(r.getDouble(1)), r.getLong(2)))
@@ -89,6 +93,19 @@ class HashedLogRegSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
     assert(streamed == batch,
       s"serving diverged from batch scoring: ${streamed.diff(batch).take(3)}")
+  }
+
+  test("streaming scoring matches the batch scorer bit-for-bit") {
+    assertServingMatchesBatch("classify_stream",
+      HashedLogReg.train(_, dim, iters = 12, lr = 20.0, decay = 0.1))
+  }
+
+  test("Newton-trained weights flow through the streaming scorer with " +
+      "the same bit-for-bit batch/stream equality") {
+    // x21 now trains with 5 IRLS/Newton steps — the serving contract
+    // must hold for the production model, not just the old GD schedule
+    assertServingMatchesBatch("classify_stream_newton",
+      HashedLogReg.trainNewton(_, dim, iters = 5))
   }
 
   test("training is bit-identical under different partitionings") {
