@@ -748,7 +748,81 @@ object VectorQueries {
        |FROM fin ORDER BY query_id""".stripMargin
   }
 
+  // v18 — the HNSW SQL rewrite end-to-end: persist a graph index over
+  // the embeddings, turn the [[org.apache.spark.sql.graft
+  // .HnswIndexRewrite]] configs on, and run the reference's serving
+  // query shape VERBATIM (`WHERE … ORDER BY cosine DESC LIMIT k`,
+  // retrieval/search.py:89-124) — the planner substitutes the filtered
+  // beam-search walk, pgvector's index-scan substitution for its actual
+  // index class (storage/schema.py:78-84). With ef ≥ every shard size
+  // the walk is exact (the family's exactness witness), so the returned
+  // ranks hash-match the DuckDB exact filtered KNN; `used_index_walk`
+  // is read off the executed plan, so a rewrite that silently failed to
+  // fire turns the row false and the oracle catches it. Similarity
+  // values stay OUT of the output: the walk ranks by dot of
+  // unit-normalized floats, bit-different from the raw cosine (ranks
+  // agree — the top-k boundary gap is ~1e-4, 1000x the normalization
+  // rounding), which is also why ties inherit the id tie-break on both
+  // sides. Eagerly materialized: the session configs and the temp index
+  // must not outlive this call and hijack later cosine top-k plans.
+  private val v18HnswSqlKnn: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.HnswIndexRewrite
+    val tmp = java.nio.file.Files.createTempDirectory("v18_hnsw").toString
+    val staged =
+      try {
+        Tables.embeddings(s, dir)
+          .select(format_string("f%06d", col("vec_id")).as("fragment_id"),
+            col("embedding").as("vector"), col("label"))
+          .write.mode("overwrite").parquet(s"$tmp/emb")
+        s.read.parquet(s"$tmp/emb")
+      } catch {
+        case e: Exception =>
+          graft.ingest.TableSwap.rmTreeAt(tmp); throw e
+      }
+    try {
+      graft.search.Hnsw.saveIndex(staged, s"$tmp/idx", numShards = 2)
+      val ef = staged.count().toInt // >= every shard size -> exact walk
+      val qLit = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toString)
+        .mkString("CAST(array(", ", ", ") AS array<float>)")
+      s.conf.set(HnswIndexRewrite.IndexKey, s"$tmp/idx")
+      s.conf.set(HnswIndexRewrite.EfKey, ef.toString)
+      try {
+        staged.createOrReplaceTempView("v18_emb")
+        val df = s.sql(
+          s"""SELECT fragment_id, vector_cosine(vector, $qLit) AS sim
+             |FROM v18_emb WHERE label < 5
+             |ORDER BY sim DESC, fragment_id LIMIT 10""".stripMargin)
+        val walked = df.queryExecution.executedPlan.toString
+          .contains("MapGroups")
+        val hits = df.select(col("fragment_id")).collect()
+          .map(_.getString(0))
+        import s.implicits._
+        hits.toSeq.zipWithIndex
+          .map { case (f, i) => ((i + 1).toLong, f, walked) }
+          .toDF("rank", "fragment_id", "used_index_walk")
+      } finally {
+        s.conf.unset(HnswIndexRewrite.IndexKey)
+        s.conf.unset(HnswIndexRewrite.EfKey)
+        s.catalog.dropTempView("v18_emb")
+      }
+    } finally graft.ingest.TableSwap.rmTreeAt(tmp)
+  }
+
+  private val v18Sql = {
+    val sim = duckCosine("e.embedding", "q.qv")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |s AS (SELECT printf('f%06d', e.vec_id) AS fragment_id, $sim AS sim
+       |      FROM embeddings e, q WHERE e.label < 5)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, fragment_id)
+       |    AS BIGINT) AS rank,
+       |  fragment_id, true AS used_index_walk
+       |FROM s ORDER BY sim DESC, fragment_id LIMIT 10""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "v18_hnsw_sql_knn" -> v18HnswSqlKnn,
     "v16_hybrid_topk" -> v16HybridTopk,
     "v15_filtered_ann" -> v15FilteredAnn,
     "v14_hybrid_rrf" -> v14HybridRrf,
@@ -762,6 +836,7 @@ object VectorQueries {
     "v13_filtered_knn" -> v13FilteredKnn)
 
   val oracles: Map[String, String] = Map(
+    "v18_hnsw_sql_knn" -> v18Sql,
     "v16_hybrid_topk" -> v16Sql,
     "v15_filtered_ann" -> v15Sql,
     "v14_hybrid_rrf" -> v14Sql,

@@ -41,8 +41,13 @@ object VectorSearch {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.vectorCosine(a, b)
 
+  /** The reference's top_k ceiling (retrieval/query.py:18,47-52); also
+    * the largest k the SQL index rewrites may serve un-clamped. */
+  val MaxTopK = 100
+
   /** top_k clamp into [1, 100] (retrieval/query.py:18,47-52). */
-  def clampTopK(k: Int, max: Int = 100): Int = math.min(math.max(k, 1), max)
+  def clampTopK(k: Int, max: Int = MaxTopK): Int =
+    math.min(math.max(k, 1), max)
 
   /** T1/T2/F1 — exact KNN: optional equality filters push down to the scan,
     * similarity is computed in-line, and `orderBy.limit` plans as

@@ -101,5 +101,9 @@ object GraftFunctions {
         .exists(_.isInstanceOf[AnnProbeRewrite]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AnnProbeRewrite(spark)
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[HnswIndexRewrite]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ HnswIndexRewrite(spark)
   }
 }

@@ -1,0 +1,214 @@
+// In the spark.sql namespace with the other graft Catalyst pieces: the
+// rule pattern-matches our own VectorCosine expression class directly
+// and splices Dataset-built plans via classic.Dataset.ofRows.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Descending, Expression, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, StringType}
+
+/** HNSW-accelerated KNN as a Catalyst optimizer rule — the sibling of
+  * [[AnnProbeRewrite]] for the index class the reference actually serves
+  * from (pgvector HNSW, storage/schema.py:78-84). The IVF rule narrows a
+  * scan; a graph walk cannot be expressed as a filter, so this rule
+  * REPLACES the matched top-k-by-[[VectorCosine]] subtree with the
+  * [[graft.search.Hnsw.searchIndex]] plan over a persisted adjacency
+  * table, id-preserving-projected back onto the original output
+  * attributes. The SQL text stays an exact-looking
+  * `WHERE … ORDER BY cosine DESC LIMIT k`; the planner supplies the
+  * beam-search walk — pgvector's index-scan substitution, including the
+  * filtered form (the predicate rides into the walk: every node is
+  * traversed for navigation, only eligible nodes are collected, so
+  * `ef ≥ shard size` remains an exactness witness under any predicate).
+  *
+  * Explicitly opt-in, and the configured adjacency must index the table
+  * being queried (the same contract as pointing [[AnnProbeRewrite]] at a
+  * quantizer: pgvector knows the index belongs to the table; here the
+  * session owner says so):
+  *
+  *   spark.conf.set("spark.graft.ann.hnsw.index", "<saveIndex path>")
+  *   spark.conf.set("spark.graft.ann.hnsw.ef", "64")   // 0 disables
+  *
+  * Falls back to the exact scan (plan untouched) whenever the shape is
+  * not provably servable from the index: output columns beyond the id
+  * and the cosine alias, predicates touching the id/vector columns,
+  * joins under the sort, k beyond the top-k clamp, a relation that does
+  * not look like an embeddings table, or an unreadable index. Predicate
+  * metadata the adjacency itself lacks is joined on from the base
+  * relation (one metadata-column shuffle join of index-width rows — the
+  * "join metadata onto the adjacency" path of searchIndex, never a
+  * corpus-text scan).
+  */
+case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import HnswIndexRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val path = spark.conf.get(IndexKey, "")
+    val ef =
+      try spark.conf.get(EfKey, "0").toInt
+      catch { case _: NumberFormatException => 0 }
+    if (path.isEmpty || ef <= 0) return plan
+    plan.transformDown {
+      case gl @ GlobalLimit(Literal(k: Int, IntegerType),
+          LocalLimit(_, s: Sort))
+          if s.global && k > 0 && k <= graft.search.VectorSearch.MaxTopK =>
+        try rewrite(gl, k, s, path, ef).getOrElse(gl)
+        catch {
+          case e: Exception =>
+            logWarning(s"HNSW rewrite skipped (falling back to exact)", e)
+            gl
+        }
+    }
+  }
+
+  /** The descending-cosine head sort key, resolved through a child
+    * Project's alias; returns the cosine and the alias name when the
+    * similarity is projected. Remaining sort keys must be the ascending
+    * id tie-break (or absent) — any other ordering is not what the walk
+    * merge produces, so the rewrite would change visible semantics.
+    */
+  private def cosineOf(s: Sort, idCol: String)
+      : Option[(VectorCosine, Option[String])] = {
+    val tailOk = s.order.tail.forall {
+      case SortOrder(a: Attribute, dir, _, _) =>
+        a.name == idCol && dir != Descending
+      case _ => false
+    }
+    if (!tailOk) return None
+    s.order.headOption.filter(_.direction == Descending).flatMap {
+      case SortOrder(c: VectorCosine, _, _, _) => Some((c, None))
+      case SortOrder(a: Attribute, _, _, _) =>
+        s.child.collect { case p: Project => p }
+          .flatMap(_.projectList.collectFirst {
+            case al @ Alias(c: VectorCosine, _) if al.exprId == a.exprId =>
+              (c, Some(al.name))
+          })
+          .headOption
+      case _ => None
+    }
+  }
+
+  private def queryVec(c: VectorCosine): Option[Array[Float]] =
+    Seq(c.right, c.left).collectFirst {
+      case Literal(arr: ArrayData, ArrayType(FloatType, _)) =>
+        arr.toFloatArray()
+    }
+
+  /** Project/Filter-only path from the sort child to a single leaf:
+    * (conjunction of filter conditions, leaf). Any other operator means
+    * the query is not a plain filtered KNN over one relation — bail.
+    */
+  private def shapeOf(p: LogicalPlan)
+      : Option[(Seq[Expression], LogicalPlan)] = p match {
+    case Project(_, c) => shapeOf(c)
+    case Filter(cond, c) =>
+      shapeOf(c).map { case (cs, l) => (cond +: cs, l) }
+    case leaf if leaf.children.isEmpty => Some((Nil, leaf))
+    case _ => None
+  }
+
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def rewrite(gl: GlobalLimit, k: Int, s: Sort, path: String,
+      ef: Int): Option[LogicalPlan] = {
+    val idCol = "fragment_id"
+    for {
+      (cos, simName) <- cosineOf(s, idCol)
+      qv <- queryVec(cos)
+      (conds, leaf) <- shapeOf(s.child)
+      if !leaf.isStreaming
+      // an embeddings-table leaf, not an IVF/HNSW index table (those
+      // have their own access paths) and not our own spliced output
+      if leaf.output.exists(a => a.name == idCol &&
+        a.dataType == StringType)
+      if leaf.output.exists(a => a.name == "vector" &&
+        isFloatArray(a.dataType))
+      if !leaf.output.exists(a => a.name == "list_id" || a.name == "links")
+      // the walk serves (id, similarity); anything else must fall back
+      if gl.output.map(_.name).toSet
+        .subsetOf(Set(idCol) ++ simName)
+      if gl.output.map(_.name).distinct.size == gl.output.size
+      // predicates must be deterministic metadata-only: a predicate on
+      // the id or the vector bytes is not a metadata filter, and a
+      // nondeterministic one must not evaluate on a different row set
+      if conds.forall(c => c.deterministic &&
+        c.references.forall(r => r.name != idCol && r.name != "vector" &&
+          leaf.output.exists(_.exprId == r.exprId)))
+    } yield {
+      val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val adj = indexDf(session, path)
+      val base = org.apache.spark.sql.classic.Dataset.ofRows(session, leaf)
+      val predNames = conds.flatMap(_.references.toSeq.map(_.name)).distinct
+      // rebind the predicate by NAME: it will re-resolve against the
+      // (possibly metadata-enriched) adjacency, not the base relation
+      val predOpt = conds.reduceOption(
+        org.apache.spark.sql.catalyst.expressions.And).map { cond =>
+        ExpressionUtils.column(cond.transform {
+          case a: Attribute => UnresolvedAttribute.quoted(a.name)
+        })
+      }
+      val adjCols = adj.columns.toSet
+      val enriched =
+        if (predNames.forall(adjCols.contains)) adj
+        else {
+          // LEFT join: every node must stay for graph navigation; a
+          // null predicate value is "not eligible" (searchIndex
+          // coalesces to false), matching SQL WHERE on the base table
+          val meta = base
+            .select((col(idCol).as(MetaIdCol) +:
+              predNames.filterNot(adjCols.contains).map(col(_))): _*)
+          adj.join(meta, adj(idCol) === col(MetaIdCol), "left")
+            .drop(MetaIdCol)
+        }
+      logInfo(s"HNSW rewrite: serving top-$k (ef=$ef" +
+        predOpt.map(_ => ", filtered").getOrElse("") + s") from $path")
+      val hits = graft.search.Hnsw.searchIndex(
+        enriched, Seq(("q", qv)), k, ef, idCol, predOpt)
+      val ordered = hits
+        .orderBy(col("similarity").desc, col(idCol))
+        .limit(k)
+      val served = simName match {
+        case Some(n) =>
+          ordered.select(col(idCol), col("similarity").as(n))
+        case None => ordered.select(col(idCol))
+      }
+      val newPlan = served.queryExecution.analyzed
+      // id-preserving splice: parents reference the original exprIds
+      val byName = newPlan.output.map(a => a.name -> a).toMap
+      Project(gl.output.map(a =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId)), newPlan)
+    }
+  }
+}
+
+object HnswIndexRewrite {
+
+  val IndexKey = "spark.graft.ann.hnsw.index"
+  val EfKey = "spark.graft.ann.hnsw.ef"
+
+  private val MetaIdCol = "__graft_hnsw_meta_id"
+
+  /** Per-(session, path) adjacency DataFrame cache: the rule fires per
+    * query compilation and `read.parquet` lists files + infers schema
+    * each time. The DataFrame is lazy — caching it caches the relation,
+    * not data; a replaced index at the same path is picked up by the
+    * scan's own file listing on execution.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.DataFrame]()
+
+  private def indexDf(session: org.apache.spark.sql.classic.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    cache.computeIfAbsent((session, path),
+      _ => session.read.parquet(path))
+}

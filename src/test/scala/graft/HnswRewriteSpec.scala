@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.search.Hnsw
+import org.apache.spark.sql.graft.HnswIndexRewrite
+
+/** The HNSW SQL rewrite: with the adjacency + ef configs set, an
+  * exact-looking filtered KNN (`WHERE … ORDER BY cosine DESC LIMIT k`)
+  * over the EMBEDDINGS table is served by the persisted graph walk —
+  * the reference's actual index class (pgvector HNSW,
+  * storage/schema.py:78-84) behind unchanged SQL text. Off by default;
+  * parity with the explicit Hnsw.searchIndex call when on; `ef ≥ n` is
+  * an exactness witness, filtered or not; anything the walk cannot
+  * provably serve falls back to the exact scan untouched.
+  */
+class HnswRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: java.nio.file.Path = _
+  private var basePath: String = _
+  private var indexPath: String = _
+  private val dim = 4
+  private val n = 40
+
+  // 4 well-separated clusters on the first axis; grp alternates within
+  private def rawRows: Seq[(String, Array[Float], Int)] =
+    (0 until n).map { i =>
+      val c = i % 4
+      (f"frag$i%02d", Array(c * 10f + (i / 4) * 0.1f, 0.3f, 1f, 0.7f),
+        (i / 4) % 2)
+    }
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[2]", "4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    dir = Files.createTempDirectory("hnsw-rewrite")
+    basePath = s"$dir/embeddings"
+    indexPath = s"$dir/hnsw_idx"
+    val s = spark
+    import s.implicits._
+    val df = rawRows.toDF("fragment_id", "vector", "grp")
+    df.write.parquet(basePath)
+    // ef witness needs ef >= max shard size; 2 shards of ~20 nodes
+    Hnsw.saveIndex(s.read.parquet(basePath), indexPath, numShards = 2)
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset(HnswIndexRewrite.IndexKey)
+    spark.conf.unset(HnswIndexRewrite.EfKey)
+    if (spark != null) spark.stop()
+    graft.ingest.TableSwap.rmTreeAt(dir.toString)
+  }
+
+  private def confOn(ef: Int): Unit = {
+    spark.conf.set(HnswIndexRewrite.IndexKey, indexPath)
+    spark.conf.set(HnswIndexRewrite.EfKey, ef.toString)
+  }
+
+  private def confOff(): Unit = {
+    spark.conf.unset(HnswIndexRewrite.IndexKey)
+    spark.conf.unset(HnswIndexRewrite.EfKey)
+  }
+
+  private def sql(where: String, k: Int): DataFrame = {
+    spark.read.parquet(basePath).createOrReplaceTempView("emb")
+    spark.sql(
+      s"""SELECT fragment_id,
+         |  vector_cosine(vector,
+         |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+         |FROM emb $where
+         |ORDER BY sim DESC, fragment_id LIMIT $k""".stripMargin)
+  }
+
+  private val qvec = Array(19.9f, 0.3f, 1f, 0.7f)
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def exactTopK(k: Int, pred: ((String, Array[Float], Int)) => Boolean)
+      : Seq[String] =
+    rawRows.filter(pred)
+      .map(r => (-cosine(qvec, r._2), r._1)).sorted.take(k).map(_._2)
+
+  private def walked(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains("MapGroups") && plan.contains("hnsw_idx")
+  }
+
+  test("off by default: the exact scan plans as TakeOrderedAndProject") {
+    val df = sql("", 5)
+    assert(!walked(df), s"rewrite must be config-gated:\n" +
+      df.queryExecution.executedPlan)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      exactTopK(5, _ => true))
+  }
+
+  test("SQL KNN routes through the persisted graph; ef >= n is exact") {
+    confOn(ef = n)
+    try {
+      val df = sql("", 5)
+      assert(walked(df), s"expected the graph-walk plan:\n" +
+        df.queryExecution.executedPlan)
+      assert(df.collect().map(_.getString(0)).toSeq ==
+        exactTopK(5, _ => true))
+    } finally confOff()
+  }
+
+  test("filtered SQL KNN: base-table predicate joins onto the adjacency, " +
+      "rides into the walk, ef >= n stays exact under it") {
+    confOn(ef = n)
+    try {
+      val df = sql("WHERE grp = 1", 5)
+      assert(walked(df), s"expected the graph-walk plan:\n" +
+        df.queryExecution.executedPlan)
+      val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got.map(_._1) == exactTopK(5, _._3 == 1),
+        s"filtered walk diverged from exact filtered KNN: $got")
+      // parity with the explicit searchIndex call the rule dispatches
+      val adj = spark.read.parquet(indexPath)
+      val meta = spark.read.parquet(basePath)
+        .select(col("fragment_id").as("mid"), col("grp"))
+      val enriched = adj.join(meta, adj("fragment_id") === col("mid"), "left")
+      val explicitHits = Hnsw.searchIndex(enriched, Seq(("q", qvec)), 5,
+          ef = n, predicate = Some(col("grp") === 1))
+        .orderBy(col("similarity").desc, col("fragment_id"))
+        .select(col("fragment_id"), col("similarity"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == explicitHits)
+    } finally confOff()
+  }
+
+  test("partial ef still fills top-k from the walk") {
+    confOn(ef = 8)
+    try {
+      val df = sql("WHERE grp = 0", 5)
+      assert(walked(df))
+      val got = df.collect().map(_.getString(0)).toSeq
+      assert(got.size == 5)
+      assert(got.forall(f => (f.drop(4).toInt / 4) % 2 == 0),
+        s"ineligible rows leaked through the filtered walk: $got")
+    } finally confOff()
+  }
+
+  test("unservable shapes fall back to the exact scan untouched") {
+    confOn(ef = n)
+    try {
+      // extra output column the walk cannot produce
+      spark.read.parquet(basePath).createOrReplaceTempView("emb")
+      val wide = spark.sql(
+        """SELECT fragment_id, grp,
+          |  vector_cosine(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+          |FROM emb ORDER BY sim DESC, fragment_id LIMIT 5""".stripMargin)
+      assert(!walked(wide), "wide output must fall back")
+      assert(wide.collect().length == 5)
+      // predicate on the id column is not a metadata filter
+      val onId = sql("WHERE fragment_id != 'frag00'", 5)
+      assert(!walked(onId), "id predicate must fall back")
+      // a join under the sort is not a plain KNN
+      val joined = spark.sql(
+        """SELECT a.fragment_id,
+          |  vector_cosine(a.vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+          |FROM emb a JOIN emb b ON a.fragment_id = b.fragment_id
+          |ORDER BY sim DESC LIMIT 5""".stripMargin)
+      assert(!walked(joined), "joined shape must fall back")
+      assert(joined.collect().length == 5)
+      // k beyond the reference's top_k clamp
+      val big = sql("", graft.search.VectorSearch.MaxTopK + 1)
+      assert(!walked(big), "k beyond the clamp must fall back")
+    } finally confOff()
+  }
+
+  test("an unreadable index path falls back instead of failing the query") {
+    spark.conf.set(HnswIndexRewrite.IndexKey, s"$dir/no_such_index")
+    spark.conf.set(HnswIndexRewrite.EfKey, n.toString)
+    try {
+      val df = sql("", 5)
+      assert(df.collect().map(_.getString(0)).toSeq ==
+        exactTopK(5, _ => true))
+    } finally confOff()
+  }
+}
