@@ -198,31 +198,85 @@ object Bench {
         if (sb > peakStorage) peakStorage = sb
         name -> ((System.nanoTime() - t0) / 1e9, err)
       }
-    val pass1 = timedPass()
-    val pass2 = timedPass()
-    val errors: Map[String, String] = pass1.flatMap { case (k, (_, e1)) =>
-      for (m1 <- e1; _ <- pass2(k)._2) yield k -> m1
-    }
     // min over SUCCESSFUL passes only: a query that threw in one pass must
     // not record the throw's (fast) time — that would reproduce the
-    // BENCH_r06 fast-failure masquerade for single-pass hiccups
-    val results = pass1.map { case (k, (t1, e1)) =>
-      val (t2, e2) = pass2(k)
-      k -> ((e1.isEmpty, e2.isEmpty) match {
-        case (true, true) => math.min(t1, t2)
-        case (true, false) => t1
-        case (false, true) => t2
-        case (false, false) => math.min(t1, t2) // both failed: -1 sentinel below
-      })
+    // BENCH_r06 fast-failure masquerade for single-pass hiccups.
+    // Also names the queries timed from exactly ONE surviving pass: if
+    // pass 1 threw, the recorded time is pass 2's COLD (un-warmed)
+    // measurement and the min-of-2 steady-state rationale does not hold
+    // for it — consumers should discount it, not read a cold run as a
+    // regression.
+    def combinePasses(p1: Map[String, (Double, Option[String])],
+        p2: Map[String, (Double, Option[String])])
+        : (Map[String, Double], Map[String, String], Seq[String]) = {
+      val errs: Map[String, String] = p1.flatMap { case (k, (_, e1)) =>
+        for (m1 <- e1; _ <- p2(k)._2) yield k -> m1
+      }
+      val res = p1.map { case (k, (t1, e1)) =>
+        val (t2, e2) = p2(k)
+        k -> ((e1.isEmpty, e2.isEmpty) match {
+          case (true, true) => math.min(t1, t2)
+          case (true, false) => t1
+          case (false, true) => t2
+          case (false, false) => math.min(t1, t2) // both failed: -1 sentinel
+        })
+      }
+      val single = p1.keys.toSeq
+        .filter(k => p1(k)._2.isEmpty != p2(k)._2.isEmpty).sorted
+      (res, errs, single)
     }
-    // Queries timed from exactly one surviving pass: if pass 1 threw, the
-    // recorded time is pass 2's COLD (un-warmed) measurement and the
-    // min-of-2 steady-state rationale above does not hold for it. Name
-    // them so consumers can discount the timing instead of reading a
-    // cold run as a regression.
-    val singlePass = pass1.keys.toSeq
-      .filter(k => pass1(k)._2.isEmpty != pass2(k)._2.isEmpty)
-      .sorted
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val (results, errors, singlePass) = combinePasses(pass1, pass2)
+    // Second calib probe AFTER the catalog: two consecutive rounds of
+    // total_over_calib moving opposite the raw total (r8/r9) showed one
+    // probe cannot tell "host got slower" from "probe got unlucky" — the
+    // normalizer is now the MEAN of probes bracketing the catalog, and
+    // the probes + spread are recorded so the instrument's own noise is
+    // visible in the artifact instead of silently folded into the ratio.
+    val calibAfter = calibrate(spark)
+    val calibProbes = scala.collection.mutable.ArrayBuffer(calibSec, calibAfter)
+    val calibMean = (calibSec + calibAfter) / 2.0
+
+    // Read-through pass: the SAME catalog with the persisted
+    // write-time tables on (spark.graft.stageCache.path) — the
+    // artifact-of-record number for "at 100 TB the sketch/posting
+    // stages are a parquet scan, not a recompute". Tables build (or
+    // freshness-check) first at this sf; the build second is recorded
+    // separately — it is write-time cost, paid once per corpus write,
+    // amortized across every query that follows. Disable with
+    // SPARK_GRAFT_READTHROUGH=0; skipped for subset (A/B) runs.
+    val rtEnabled = filterSpec.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_READTHROUGH", "1") != "0"
+    val readthrough: Option[(Map[String, Double], Map[String, String],
+        Double)] =
+      if (!rtEnabled) None
+      else try {
+        val sfName = new java.io.File(sfDir).getName
+        val root = s"localdata/index-sketches-$sfName"
+        spark.conf.unset(graft.queries.StageCache.PathConf)
+        val tb0 = System.nanoTime()
+        graft.queries.WriteTimeTables.persistAll(spark, sfDir, root)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        // drop memoized compute-stages so the timed passes genuinely
+        // read the persisted tables, not the main run's memory residue
+        graft.queries.StageCache.release(spark)
+        spark.conf.set(graft.queries.StageCache.PathConf, root)
+        try {
+          val rp1 = timedPass()
+          val rp2 = timedPass()
+          val (rres, rerrs, _) = combinePasses(rp1, rp2)
+          Some((rres, rerrs, buildSec))
+        } finally {
+          spark.conf.unset(graft.queries.StageCache.PathConf)
+          graft.queries.StageCache.release(spark)
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] read-through pass failed: $e")
+          None
+      }
+    if (readthrough.isDefined) calibProbes += calibrate(spark)
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -236,13 +290,33 @@ object Bench {
     val errJson = errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    val calibSpread =
+      (calibProbes.max - calibProbes.min) / (calibProbes.sum / calibProbes.size)
+    val rtJson = readthrough.map { case (rres, rerrs, buildSec) =>
+      val rqs = rres.map { case (k, v) =>
+        "\"" + k + "\":" + (if (rerrs.contains(k)) "-1" else v.toString)
+      }.mkString("{", ",", "}")
+      val rtotal = rres.collect {
+        case (k, v) if !rerrs.contains(k) => v }.sum
+      f""","value_readthrough":$rtotal""" +
+        f""","readthrough":{"value":$rtotal,"build_sec":$buildSec%.3f""" +
+        f""","failures":${rerrs.size},"over_calib":${rtotal / calibMean}%.1f""" +
+        s""","queries":$rqs}"""
+    }.getOrElse("")
     val meta =
       s""""contended":$contended,"loadavg_start":"$load0"""" +
         s""","loadavg_end":"${loadavg()}","passes":2""" +
         s""","other_jvms":${others.size},"nq":${results.size}""" +
         s""","failures":${errors.size},"errors":$errJson""" +
         s""","single_pass":${singlePass.map(jstr).mkString("[", ",", "]")}""" +
-        f""","calib_sec":$calibSec%.3f,"total_over_calib":${total / calibSec}%.1f""" +
+        // calib_sec is the MEAN of the probes bracketing the main
+        // catalog (probe 3, when present, brackets the read-through
+        // pass); all probes + spread are recorded so the instrument's
+        // own noise is in the artifact
+        f""","calib_sec":$calibMean%.3f,"total_over_calib":${total / calibMean}%.1f""" +
+        s""","calib_probes":${calibProbes.map(p => f"$p%.3f").mkString("[", ",", "]")}""" +
+        f""","calib_spread":$calibSpread%.3f""" +
+        rtJson +
         s""","peak_storage_bytes":$peakStorage""" +
         s""","storage_level":${jstr(spark.conf.get(
           graft.queries.StageCache.StorageLevelConf, "MEMORY_AND_DISK"))}""" +
@@ -272,7 +346,12 @@ object Bench {
       s""""contended":$contended,"loadavg_start":"$load0"""" +
         s""","loadavg_end":"${loadavg()}","passes":2""" +
         s""","other_jvms":${others.size},"nq":${results.size}""" +
-        s""","failures":${errors.size},"failed":${errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")}"""
+        s""","failures":${errors.size},"failed":${errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")}""" +
+        readthrough.map { case (rres, rerrs, _) =>
+          val rtotal = rres.collect {
+            case (k, v) if !rerrs.contains(k) => v }.sum
+          f""","value_readthrough":$rtotal%.3f"""
+        }.getOrElse("")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"sf":"$sfDir","queries_file":"bench_out.json",$compactMeta}""")
     spark.stop()

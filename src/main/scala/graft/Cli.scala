@@ -282,21 +282,9 @@ object Cli {
         // for the build, then record the staleness fingerprint.
         spark.conf.unset(graft.queries.StageCache.PathConf)
         graft.queries.StageCache.release(spark)
-        val stageSets = Seq(
-          (graft.queries.DedupQueries.writeTimeFingerprint(sfDir),
-            graft.queries.DedupQueries.writeTimeStages(spark, sfDir)),
-          (graft.queries.TextAnalysisQueries.writeTimeFingerprint(sfDir),
-            graft.queries.TextAnalysisQueries.writeTimeStages(spark, sfDir)),
-          (graft.queries.VectorQueries.writeTimeFingerprint(sfDir),
-            graft.queries.VectorQueries.writeTimeStages(spark, sfDir)))
-        stageSets.foreach { case (fp, stages) =>
-          stages.toSeq.sortBy(_._1).foreach { case (key, df) =>
-            val path = graft.queries.StageCache
-              .persistStage(spark, key, df, outRoot, fp)
-            val n = spark.read.parquet(path).count()
-            println(s"[index-sketches] $key -> $path ($n rows)")
-          }
-        }
+        val (np, ns) = graft.queries.WriteTimeTables
+          .persistAll(spark, sfDir, outRoot, println(_))
+        println(s"[index-sketches] $np persisted, $ns already fresh")
 
       case "classify-train" :: sfDir :: modelPath :: Nil =>
         import graft.functions.HashedLogReg

@@ -105,6 +105,29 @@ object StageCache {
       }
     }
 
+  /** True iff a committed persisted table for `key` exists under `root`
+    * AND its recorded fingerprint matches — i.e. [[getOrCache]] with
+    * `PathConf = root` would serve it. Lets batch builders
+    * ([[WriteTimeTables.persistAll]]) skip stages that are already
+    * current instead of rewriting identical bytes.
+    */
+  def isFresh(key: String, root: String,
+      fingerprint: Option[String]): Boolean = {
+    val dir = new java.io.File(root, sanitize(key))
+    if (!new java.io.File(dir, "_SUCCESS").isFile) false
+    else {
+      val recorded =
+        try Some(new String(java.nio.file.Files.readAllBytes(
+          metaFile(dir).toPath), "UTF-8"))
+        catch { case _: Throwable => None }
+      (fingerprint, recorded) match {
+        case (Some(want), Some(have)) => want == have
+        case (None, _) => true
+        case _ => false
+      }
+    }
+  }
+
   /** Write a stage's rows as the persisted table [[getOrCache]] will
     * read through to, alongside the source fingerprint that guards
     * against serving it stale. Returns the table path.

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One place that knows EVERY write-time table the query families
+  * promise (dedup sketch/gram stages, BM25 posting + stats, hybrid
+  * cosine side) — the tables `Cli index-sketches` persists and
+  * [[StageCache]] reads through to. Centralised so the CLI verb and the
+  * bench's read-through mode build exactly the same set: "at 100 TB
+  * this is a parquet scan" is only a credible claim when the artifact
+  * of record exercises the same tables production would.
+  */
+object WriteTimeTables {
+
+  /** (fingerprint, stages) per owning family. Computing a stage plan is
+    * lazy; nothing here runs a job.
+    */
+  def stageSets(s: SparkSession, sfDir: String)
+      : Seq[(Option[String], Map[String, DataFrame])] = Seq(
+    (DedupQueries.writeTimeFingerprint(sfDir),
+      DedupQueries.writeTimeStages(s, sfDir)),
+    (TextAnalysisQueries.writeTimeFingerprint(sfDir),
+      TextAnalysisQueries.writeTimeStages(s, sfDir)),
+    (VectorQueries.writeTimeFingerprint(sfDir),
+      VectorQueries.writeTimeStages(s, sfDir)))
+
+  /** Build + persist every write-time table for `sfDir` under `root`,
+    * skipping tables that are already committed with a matching source
+    * fingerprint. MUST run with [[StageCache.PathConf]] unset (a
+    * read-through build would scan the very paths it is about to
+    * overwrite); the caller owns conf hygiene. Returns
+    * (persisted, skipped-fresh) counts.
+    */
+  def persistAll(s: SparkSession, sfDir: String, root: String,
+      log: String => Unit = _ => ()): (Int, Int) = {
+    require(s.conf.getOption(StageCache.PathConf).isEmpty,
+      s"unset ${StageCache.PathConf} before building write-time tables")
+    var persisted = 0
+    var skipped = 0
+    stageSets(s, sfDir).foreach { case (fp, stages) =>
+      stages.toSeq.sortBy(_._1).foreach { case (key, df) =>
+        if (StageCache.isFresh(key, root, fp)) {
+          skipped += 1
+          log(s"[index-sketches] $key fresh, skipped")
+        } else {
+          val path = StageCache.persistStage(s, key, df, root, fp)
+          val n = s.read.parquet(path).count()
+          persisted += 1
+          log(s"[index-sketches] $key -> $path ($n rows)")
+        }
+      }
+    }
+    (persisted, skipped)
+  }
+}
