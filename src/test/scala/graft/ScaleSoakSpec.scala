@@ -107,4 +107,98 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(superlinear.isEmpty,
       s"per-query blowups past 25× at 10× data: $superlinear")
   }
+
+  /** The families with superlinear POTENTIAL (VERDICT r9 task #1):
+    * banded pair generation (d3), connected components + materialization
+    * (d7/d8 — the r9 pair-explosion site), the CDC chunk-digest census
+    * (d14/d15), embedding near-dup (v4), and tf-idf (x13). The sf1
+    * envelope only proves one decade; this runs them at sf0.1 / sf1 /
+    * sf5 (docs-heavy 50× corpus, tools/gen_sf5.py) with the
+    * `labelWithStats` pairs/path/rounds instrumentation and output-row
+    * census stamped PER SCALE, so any break of linearity arrives
+    * attributed with measured numbers, the way r9 attributed d7/d8.
+    */
+  test("three-decade family soak: superlinear-potential families at sf5") {
+    assume(enabled, "opt-in: set GRAFT_SOAK=1 to run the sf5 family soak")
+    val sf5 = "localdata/sf5"
+    if (!new java.io.File(s"$sf5/documents.parquet").isFile) {
+      info(s"generating $sf5 via tools/gen_sf5.py …")
+      val rc = new ProcessBuilder("python3", "tools/gen_sf5.py", sf5)
+        .inheritIO().start().waitFor()
+      require(rc == 0, s"gen_sf5.py exited $rc")
+    }
+    val families = Seq("d3_minhash_lsh_pairs", "d7_dup_clusters",
+      "d8_dedup_keep", "d14_cdc_substring_dedup", "d15_cdc_materialize",
+      "v4_embed_neardup", "x13_tfidf_terms")
+    val scales = Seq("sf0.1" -> sf01, "sf1" -> sf1, "sf5" -> sf5)
+
+    // (time via the bench's noop sink, output rows, ok) per (scale, q);
+    // rows are the semantic census — pair counts, chunk digests, term
+    // rows — that attribute a time ratio to data growth vs plan change
+    val runs = scales.map { case (label, dir) =>
+      graft.queries.StageCache.release(spark)
+      val per = families.map { q =>
+        val fn = SparkEntry.queries(q)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, dir).write.mode("overwrite").format("noop").save(); true }
+          catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = if (ok) {
+          try fn(spark, dir).count() catch { case _: Throwable => -1L }
+        } else -1L
+        q -> ((sec, rows, ok))
+      }.toMap
+      val cc = graft.queries.DedupQueries.ccStats(dir)
+      (label, per, cc)
+    }
+    graft.queries.StageCache.release(spark)
+    val calib = Bench.calibrate(spark)
+
+    // artifact first, asserts second
+    def ccJson(st: Option[graft.dedup.ConnectedComponents.CcStats]): String =
+      st.map(s => s"""{"pairs":${s.pairs},"path":"${s.path}",""" +
+        s""""rounds":${s.rounds}}""").getOrElse("null")
+    val scaleJson = runs.map { case (label, per, cc) =>
+      val qs = families.map { q =>
+        val (t, rows, ok) = per(q)
+        s""""$q":{"sec":${if (ok) f"$t%.3f" else "-1"},"rows":$rows}"""
+      }.mkString("{", ",", "}")
+      s""""$label":{"queries":$qs,"cc":${ccJson(cc)}}"""
+    }.mkString(",")
+    val Seq((_, p01, _), (_, p1, _), (_, p5, _)) = runs
+    val ratios = families.map { q =>
+      val r10 = if (p01(q)._1 > 0) p1(q)._1 / p01(q)._1 else -1.0
+      val r5 = if (p1(q)._1 > 0) p5(q)._1 / p1(q)._1 else -1.0
+      s""""$q":{"sf1_over_sf01":${f"$r10%.2f"},"sf5_over_sf1":${f"$r5%.2f"}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"family_soak_3pt","families":${families.size},""" +
+        s""""scales":{$scaleJson},"ratios":$ratios,""" +
+        f""""calib_sec":$calib%.3f}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_SOAK3_OUT", "SOAK_scale3.json")),
+      (line + "\n").getBytes("UTF-8"))
+    runs.foreach { case (label, per, cc) =>
+      info(s"$label: " + families.map(q =>
+        f"$q=${per(q)._1}%.1fs/${per(q)._2} rows").mkString(", ") +
+        cc.map(c => s" cc_pairs=${c.pairs}").getOrElse(""))
+    }
+
+    val broke = families.filter(q => !p5(q)._3 && p1(q)._3)
+    assert(broke.isEmpty, s"families failing only at sf5: $broke")
+    // per-family: 5× data may cost at most 12.5× (2.5× headroom over
+    // linear; a quadratic family lands at ~25×)
+    val blowups = families.collect {
+      case q if p1(q)._1 >= 0.5 && p5(q)._3 && p5(q)._1 > 12.5 * p1(q)._1 =>
+        f"$q: ${p1(q)._1}%.2f s → ${p5(q)._1}%.2f s"
+    }
+    assert(blowups.isEmpty,
+      s"family blowups past 12.5× at 5× data: $blowups")
+    // family total: 10× bound for 5× data (2× headroom over linear)
+    val t1 = families.collect { case q if p1(q)._3 => p1(q)._1 }.sum
+    val t5 = families.collect { case q if p5(q)._3 => p5(q)._1 }.sum
+    assert(t5 <= 10 * t1,
+      f"family total ${t5 / t1}%.2f× at 5× data (bound 10×)")
+  }
 }
