@@ -469,15 +469,20 @@ object PipelineQueries {
   }
 
   /** S4 on the WAVELET-CODED scanned shape: like p15 but the image
-    * XObjects are real JPEG 2000 ([[graft.sources.Jpx]] — 5/3 reversible
-    * DWT, EBCOT Tier-1 over the MQ coder, tag-tree packet headers) in
-    * BOTH forms /JPXDecode accepts: a raw codestream (Im0) and a
-    * JP2-box-wrapped file (Im1). Dict /Width /Height LIE by one and the
-    * geometry lives in the SIZ marker, so dimensions AND the gray-sum
-    * are recoverable only by a true wavelet decode; Im2's undecodable
-    * payload pins the honest `undecoded` degrade path in the same row.
-    * The DuckDB oracle recomputes everything from doc_id arithmetic.
-    * Shuffle-free per-document map work, the p14/p15 scale shape.
+    * XObjects are real JPEG 2000 ([[graft.sources.Jpx]] — EBCOT Tier-1
+    * over the MQ coder, tag-tree packet headers) in the forms
+    * /JPXDecode meets in the wild: a raw 5/3 lossless codestream (Im0),
+    * a JP2-box-wrapped one (Im1), and a QUANTIZED 9/7 irreversible
+    * stream (Im3 — the dominant archival-scan form: dead-zone scalar
+    * quantization, 9/7 synthesis). Dict /Width /Height LIE by one and
+    * the geometry lives in the SIZ marker, so dimensions are
+    * recoverable only by a true wavelet decode; the lossless sums are
+    * exact, the 9/7 ink is pinned as a band around the source sum
+    * (within it only for a correct dequantize + synthesis). Im2's
+    * undecodable payload pins the honest `undecoded` degrade path in
+    * the same row. The DuckDB oracle recomputes everything from doc_id
+    * arithmetic. Shuffle-free per-document map work, the p14/p15 scale
+    * shape.
     */
   private val p16Jpeg2000Pdf: Q = (s, dir) => {
     import s.implicits._
@@ -485,6 +490,7 @@ object PipelineQueries {
     val rawRe = """Im0 (\d+)x(\d+) jpx s(\d+)""".r
     val jp2Re = """Im1 (\d+)x(\d+) jpx s(\d+)""".r
     val stubRe = """Im2 (\d+)x(\d+) jpx undecoded""".r
+    val i97Re = """Im3 (\d+)x(\d+) jpx s(\d+)""".r
     Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -492,7 +498,7 @@ object PipelineQueries {
         val paras = text.split("\n{2,}").toSeq
           .map(PdfWriter.sanitize).filter(_.trim.nonEmpty).take(2)
         val m = (id % 30).toInt
-        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 3)))
+        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 4)))
         val bytes = PdfWriter.buildJpxScan(pages, compress = id % 2 == 0,
           seed = m)
         val imgs = RealPdfExtractor.extract(s"jpx/$id.pdf", bytes)
@@ -506,10 +512,23 @@ object PipelineQueries {
         val (sw, sh) = imgs.collectFirst {
           case stubRe(w, h) => (w.toLong, h.toLong)
         }.getOrElse((-1L, -1L))
-        (id, rw, rh, rs, jw, jh, js, sw, sh)
+        // the quantized-9/7 form: dims are decode-only truth (dict
+        // lies), ink is LOSSY — pinned as a band around the source sum
+        // (measured max deviation 69 at step 2.0; band 300). A wrong
+        // dequantizer or synthesis kernel lands far outside it.
+        val (xw, xh, xok) = imgs.collectFirst {
+          case i97Re(w, h, v) =>
+            val (tw, th) = PdfWriter.i97Dims(m)
+            val trueSum = (for (y <- 0 until th; x <- 0 until tw)
+              yield PdfWriter.jpxPixel(m + 7, x, y).toLong).sum
+            (w.toLong, h.toLong,
+              w.toInt == tw && h.toInt == th &&
+                math.abs(v.toLong - trueSum) <= 300L)
+        }.getOrElse((-1L, -1L, false))
+        (id, rw, rh, rs, jw, jh, js, sw, sh, xw, xh, xok)
       })
       .toDF("doc_id", "jpx_w", "jpx_h", "jpx_sum", "jp2_w", "jp2_h",
-        "jp2_sum", "stub_w", "stub_h")
+        "jp2_sum", "stub_w", "stub_h", "i97_w", "i97_h", "i97_ok")
       .orderBy(col("doc_id"))
   }
 
@@ -529,7 +548,10 @@ object PipelineQueries {
       |  CAST(SUM(CASE WHEN x < w1 AND y < h1
       |    THEN (x*7 + y*11 + 3*(m+3)) % 256 ELSE 0 END) AS BIGINT) AS jp2_sum,
       |  CAST(MAX(18 + m % 5) AS BIGINT) AS stub_w,
-      |  CAST(MAX(12 + m % 6) AS BIGINT) AS stub_h
+      |  CAST(MAX(12 + m % 6) AS BIGINT) AS stub_h,
+      |  CAST(MAX(19 + m % 7) AS BIGINT) AS i97_w,
+      |  CAST(MAX(13 + m % 5) AS BIGINT) AS i97_h,
+      |  true AS i97_ok
       |FROM d CROSS JOIN range(27) t1(x) CROSS JOIN range(17) t2(y)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 

@@ -11,17 +11,22 @@ import scala.collection.mutable
   * must decode the codestream itself or degrade to undecoded-bytes
   * behavior on the documents OCR exists for.
   *
-  * Scope (both directions, lossless): 8-bit components — grayscale or
-  * multi-component up to 4, including RGB under the reversible color
-  * transform (RCT, T.800 G.2) — single tile at the origin, reversible
-  * 5/3 wavelet with any number of decomposition levels, no quantization,
-  * one quality layer, default precincts, EBCOT Tier-1 with the MQ
-  * arithmetic coder (the SAME Annex E coder as [[Jbig2]] — T.800 and
+  * Scope (both directions): 8-bit components — grayscale or
+  * multi-component up to 4, including RGB under either color transform
+  * (RCT, T.800 G.2, with 5/3; ICT, G.3, with 9/7) — single tile at the
+  * origin, BOTH wavelet pipelines: the reversible 5/3 with no
+  * quantization (lossless) and the irreversible 9/7 with scalar
+  * dead-zone quantization, derived or expounded (E.1) — the dominant
+  * wild form of archival lossy scans. Any number of decomposition
+  * levels, one quality layer, default precincts, EBCOT Tier-1 with the
+  * MQ arithmetic coder (the SAME Annex E coder as [[Jbig2]] — T.800 and
   * T.88 share it; the Tier-1 contexts and pass structure here are T.800
   * Annex D), tag-tree-coded packet headers (T.800 B.10), and both the
-  * raw codestream and the JP2 box wrapping. Quantized / subsampled /
-  * POC / precinct-partitioned streams are detected and rejected to None
-  * — the extractor's honest `undecoded` label, never a guess.
+  * raw codestream and the JP2 box wrapping. Subsampled / POC /
+  * precinct-partitioned streams are detected and rejected to None
+  * — the extractor's honest `undecoded` label, never a guess. The
+  * lossless path reconstructs exactly; the 9/7 path reconstructs within
+  * the quantizer's error band (JpxSpec pins a PSNR floor).
   *
   * The encoder exists to produce fixtures whose decoded geometry and ink
   * only a real Tier-1 + DWT decode can recover; the decoder is the
@@ -555,6 +560,160 @@ object Jpx {
     }
   }
 
+  // ------------- 9/7 irreversible transform (T.800 Annex F) -------------
+  // Lifting coefficients and scaling constant, Table F.4 — the public
+  // standard's values. Analysis scales the low band by 1/K (DC gain 1,
+  // matching the LL gain exponent 0 in E.1) and the high band by K
+  // (Nyquist gain 2, matching the +1 gain exponent per high-pass axis).
+
+  private val A97 = -1.586134342059924
+  private val B97 = -0.052980118572961
+  private val C97 = 0.882911075530934
+  private val D97 = 0.443506852043971
+  private val K97 = 1.230174104914001
+
+  /** One forward 1D 9/7 step on s(0..n-1): four lifting passes over the
+    * interleaved signal with whole-sample-symmetric extension, then
+    * scale + deinterleave (low into out(0..nL-1), high after). In-place
+    * sequencing is the lifting contract: each pass reads the previous
+    * pass's updated values, including through the mirror. */
+  private def f1d97(s: Array[Double], n: Int, out: Array[Double]): Unit = {
+    if (n == 1) { out(0) = s(0); return }
+    val y = java.util.Arrays.copyOf(s, n)
+    def at(i: Int): Double = y(mirror(i, n))
+    def pass(odd: Boolean, c: Double): Unit = {
+      var i = if (odd) 1 else 0
+      while (i < n) { y(i) += c * (at(i - 1) + at(i + 1)); i += 2 }
+    }
+    pass(odd = true, A97)
+    pass(odd = false, B97)
+    pass(odd = true, C97)
+    pass(odd = false, D97)
+    val nL = (n + 1) / 2
+    var i = 0
+    while (i < n) {
+      if ((i & 1) == 0) out(i / 2) = y(i) / K97
+      else out(nL + i / 2) = y(i) * K97
+      i += 1
+    }
+  }
+
+  /** Inverse of [[f1d97]]: undo scaling, interleave, run the lifting
+    * passes in reverse order with negated coefficients. */
+  private def i1d97(in: Array[Double], n: Int, out: Array[Double]): Unit = {
+    if (n == 1) { out(0) = in(0); return }
+    val nL = (n + 1) / 2
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if ((i & 1) == 0) y(i) = in(i / 2) * K97
+      else y(i) = in(nL + i / 2) / K97
+      i += 1
+    }
+    def at(j: Int): Double = y(mirror(j, n))
+    def pass(odd: Boolean, c: Double): Unit = {
+      var j = if (odd) 1 else 0
+      while (j < n) { y(j) -= c * (at(j - 1) + at(j + 1)); j += 2 }
+    }
+    pass(odd = false, D97)
+    pass(odd = true, C97)
+    pass(odd = false, B97)
+    pass(odd = true, A97)
+    System.arraycopy(y, 0, out, 0, n)
+  }
+
+  /** 2D multi-level forward 9/7, in place (mallat layout) — the double
+    * twin of [[fdwt]]. */
+  private[sources] def fdwt97(a: Array[Double], w: Int, h: Int,
+      levels: Int): Unit = {
+    var cw = w
+    var ch = h
+    var l = 0
+    val buf = new Array[Double](math.max(w, h))
+    val out = new Array[Double](math.max(w, h))
+    while (l < levels) {
+      var y = 0
+      while (y < ch) {
+        var x = 0
+        while (x < cw) { buf(x) = a(y * w + x); x += 1 }
+        f1d97(buf, cw, out)
+        x = 0
+        while (x < cw) { a(y * w + x) = out(x); x += 1 }
+        y += 1
+      }
+      var x = 0
+      while (x < cw) {
+        var yy = 0
+        while (yy < ch) { buf(yy) = a(yy * w + x); yy += 1 }
+        f1d97(buf, ch, out)
+        yy = 0
+        while (yy < ch) { a(yy * w + x) = out(yy); yy += 1 }
+        x += 1
+      }
+      cw = (cw + 1) / 2
+      ch = (ch + 1) / 2
+      l += 1
+    }
+  }
+
+  /** Inverse of [[fdwt97]]. */
+  private[sources] def idwt97(a: Array[Double], w: Int, h: Int,
+      levels: Int): Unit = {
+    val ws = new Array[Int](levels + 1)
+    val hs = new Array[Int](levels + 1)
+    ws(0) = w; hs(0) = h
+    var l = 1
+    while (l <= levels) {
+      ws(l) = (ws(l - 1) + 1) / 2
+      hs(l) = (hs(l - 1) + 1) / 2
+      l += 1
+    }
+    val buf = new Array[Double](math.max(w, h))
+    val out = new Array[Double](math.max(w, h))
+    l = levels
+    while (l >= 1) {
+      val cw = ws(l - 1)
+      val ch = hs(l - 1)
+      var x = 0
+      while (x < cw) {
+        var yy = 0
+        while (yy < ch) { buf(yy) = a(yy * w + x); yy += 1 }
+        i1d97(buf, ch, out)
+        yy = 0
+        while (yy < ch) { a(yy * w + x) = out(yy); yy += 1 }
+        x += 1
+      }
+      var y = 0
+      while (y < ch) {
+        x = 0
+        while (x < cw) { buf(x) = a(y * w + x); x += 1 }
+        i1d97(buf, cw, out)
+        x = 0
+        while (x < cw) { a(y * w + x) = out(x); x += 1 }
+        y += 1
+      }
+      l -= 1
+    }
+  }
+
+  /** Quantization step from the (exponent, mantissa) pair of a QCD
+    * 16-bit value, T.800 E.1: Δ_b = 2^(R_b − ε_b) · (1 + μ_b / 2^11),
+    * with R_b = sample bit depth + band gain. */
+  private def quantStep(rb: Int, eps: Int, mu: Int): Double =
+    math.pow(2.0, rb - eps) * (1.0 + mu / 2048.0)
+
+  /** Encoder-side (ε, μ) for a target step: the largest ε with
+    * 2^(R_b−ε) ≤ Δ, mantissa filling the remainder. Callers must
+    * re-derive the ACTUAL step via [[quantStep]] — the decoder will. */
+  private def quantParams(delta: Double, rb: Int): (Int, Int) = {
+    var eps = rb - math.floor(math.log(delta) / math.log(2.0)).toInt
+    if (eps < 1) eps = 1
+    if (eps > 31) eps = 31
+    val mu = math.max(0, math.min(2047,
+      math.round((delta / math.pow(2.0, rb - eps) - 1.0) * 2048.0).toInt))
+    (eps, mu)
+  }
+
   // ---------------- codestream (T.800 Annex A/B) ----------------
 
   // 3 guard bits: RCT chroma spans ±255 and the 5/3 low-pass grows
@@ -660,7 +819,103 @@ object Jpx {
       }
     }
     planesArr.foreach(a => fdwt(a, w, h, levels))
+    encodeCore(planesArr, w, h, levels, nc, mct = if (rct) 1 else 0,
+      irrevQ = None)
+  }
 
+  /** Encode with the IRREVERSIBLE pipeline — the dominant wild
+    * /JPXDecode form (archival lossy scans): DC shift → optional ICT →
+    * 9/7 DWT → dead-zone scalar quantization (expounded (ε, μ) per
+    * band) → the same Tier-1/tag-tree machinery as the reversible path.
+    * `step` is the base quantization step for the LL band; high bands
+    * scale by their gain (Δ_b = step · 2^gain), so step ≈ 1 is
+    * near-lossless and step ≈ 4 visibly lossy. `ict` applies the
+    * irreversible YCbCr color transform across exactly 3 components
+    * (T.800 G.3 — the 9/7 twin of the RCT).
+    */
+  def encodeIrreversible(comps: Seq[Array[Array[Int]]], levels: Int = 2,
+      step: Double = 1.0, ict: Boolean = false,
+      derived: Boolean = false): Array[Byte] = {
+    require(comps.nonEmpty && (!ict || comps.length == 3))
+    require(step > 0)
+    val h = comps.head.length
+    val w = comps.head(0).length
+    require(w > 0 && h > 0 && levels >= 0 && levels <= 6)
+    require(comps.forall(c => c.length == h && c(0).length == w))
+    val nc = comps.length
+    val dPlanes = comps.map { img =>
+      val a = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { a(y * w + x) = img(y)(x) - 128.0; x += 1 }
+        y += 1
+      }
+      a
+    }.toArray
+    if (ict) { // forward ICT (T.800 G.3) on the shifted samples
+      var i = 0
+      val n = w * h
+      while (i < n) {
+        val r0 = dPlanes(0)(i); val g0 = dPlanes(1)(i)
+        val b0 = dPlanes(2)(i)
+        dPlanes(0)(i) = 0.299 * r0 + 0.587 * g0 + 0.114 * b0
+        dPlanes(1)(i) = -0.168736 * r0 - 0.331264 * g0 + 0.5 * b0
+        dPlanes(2)(i) = 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0
+        i += 1
+      }
+    }
+    dPlanes.foreach(a => fdwt97(a, w, h, levels))
+    // derived: one (ε₀, μ₀) signals every band via the E.1.1 depth rule;
+    // expounded: independent params targeting Δ_b = step · 2^gain
+    val base = quantParams(step, 8)
+    val q = (for (r <- 0 to levels; b <- bands(w, h, levels, r)) yield {
+      val p =
+        if (derived) {
+          val nb = if (r == 0) levels else levels - r + 1
+          val eps = base._1 - levels + nb
+          require(eps >= 1 && eps <= 31,
+            s"derived exponent out of range: $eps (raise step or lower levels)")
+          (eps, base._2)
+        } else quantParams(step * (1 << b.gain), 8 + b.gain)
+      (r, b.btype) -> p
+    }).toMap
+    val iPlanes = dPlanes.map { d =>
+      val a = new Array[Int](w * h)
+      for (r <- 0 to levels; b <- bands(w, h, levels, r)
+          if b.bw > 0 && b.bh > 0) {
+        val (eps, mu) = q((r, b.btype))
+        val delta = quantStep(8 + b.gain, eps, mu)
+        var yy = 0
+        while (yy < b.bh) {
+          var xx = 0
+          while (xx < b.bw) {
+            val idx = (b.y0 + yy) * w + (b.x0 + xx)
+            val v = d(idx)
+            val m = (math.abs(v) / delta).toInt // dead-zone floor
+            a(idx) = if (v < 0) -m else m
+            xx += 1
+          }
+          yy += 1
+        }
+      }
+      a
+    }
+    encodeCore(iPlanes, w, h, levels, nc, mct = if (ict) 1 else 0,
+      irrevQ = Some(q), derivedBase = if (derived) Some(base) else None)
+  }
+
+  /** Shared packet/marker assembly: Tier-1 codes the integer
+    * coefficient planes (raw 5/3 coefficients or 9/7 quantizer
+    * indices), tag-trees code the headers, markers record which
+    * pipeline produced them (`irrevQ` = per-band (ε, μ) → transform 0 +
+    * expounded QCD; None → transform 1 + no-quantization QCD). */
+  private def encodeCore(planesArr: Array[Array[Int]], w: Int, h: Int,
+      levels: Int, nc: Int, mct: Int,
+      irrevQ: Option[Map[(Int, Int), (Int, Int)]],
+      derivedBase: Option[(Int, Int)] = None): Array[Byte] = {
+    def mbOf(r: Int, band: Band): Int =
+      irrevQ.map(m => m((r, band.btype))._1 + Guard - 1).getOrElse(band.mb)
     val tile = new ByteArrayOutputStream
     for (r <- 0 to levels; a <- planesArr) {
       val hdr = new HdrWriter
@@ -696,11 +951,12 @@ object Jpx {
               yy += 1
             }
             val planes = if (maxMag == 0) 0 else log2floor(maxMag) + 1
-            require(planes <= band.mb, s"coefficient overflow: $planes > ${band.mb}")
+            val mb = mbOf(r, band)
+            require(planes <= mb, s"coefficient overflow: $planes > $mb")
             if (planes == 0) None
             else {
               val passes = t1.run(planes, 3 * planes - 2)
-              Some((t1.result(), passes, band.mb - planes))
+              Some((t1.result(), passes, mb - planes))
             }
           }
           blocks.zipWithIndex.foreach { case (b, k) =>
@@ -746,15 +1002,29 @@ object Jpx {
     for (_ <- 0 until nc) { u8(7); u8(1); u8(1) } // 8-bit, no subsampling
     u16(0xFF52); u16(12) // COD
     u8(0) // Scod: default precincts, no SOP/EPH
-    u8(0); u16(1); u8(if (rct) 1 else 0) // LRCP, 1 layer, MCT
+    u8(0); u16(1); u8(mct) // LRCP, 1 layer, MCT
     u8(levels); u8(CbExp - 2); u8(CbExp - 2) // SPcod
     u8(0) // code-block style: none of the Part-1 mode switches
-    u8(1) // 5/3 reversible
+    u8(if (irrevQ.isDefined) 0 else 1) // 0 = 9/7 irreversible, 1 = 5/3
     val nsb = 3 * levels + 1
-    u16(0xFF5C); u16(3 + nsb) // QCD
-    u8(Guard << 5) // no quantization
-    for (r <- 0 to levels; b <- bands(w, h, levels, r))
-      u8((8 + b.gain) << 3)
+    (irrevQ, derivedBase) match {
+      case (Some(_), Some((e0, mu0))) => // scalar derived: one 16-bit pair
+        u16(0xFF5C); u16(3 + 2) // QCD
+        u8((Guard << 5) | 1)
+        u16((e0 << 11) | mu0)
+      case (Some(qm), None) => // scalar expounded: 16-bit (ε, μ) per band
+        u16(0xFF5C); u16(3 + 2 * nsb) // QCD
+        u8((Guard << 5) | 2)
+        for (r <- 0 to levels; b <- bands(w, h, levels, r)) {
+          val (eps, mu) = qm((r, b.btype))
+          u16((eps << 11) | mu)
+        }
+      case _ =>
+        u16(0xFF5C); u16(3 + nsb) // QCD
+        u8(Guard << 5) // no quantization
+        for (r <- 0 to levels; b <- bands(w, h, levels, r))
+          u8((8 + b.gain) << 3)
+    }
     val tileBytes = tile.toByteArray
     u16(0xFF90); u16(10) // SOT
     u16(0) // Isot
@@ -864,6 +1134,8 @@ object Jpx {
       var cbw = 0
       var cbh = 0
       var mbs = Map.empty[(Int, Int), Int] // (r, btype) -> Mb
+      var irrev = false // COD transform 0 = 9/7 + quantization
+      var deltas = Map.empty[(Int, Int), Double] // (r, btype) -> Δ_b
       var sotSeen = false
       var tileEnd = 0
       var done = false
@@ -909,21 +1181,56 @@ object Jpx {
             cbh = 1 << (u8() + 2)
             if (cbw != cbSize || cbh != cbSize) return None
             if (u8() != 0) return None // mode switches unsupported
-            if (u8() != 1) return None // must be 5/3 reversible
+            u8() match {
+              case 0 => irrev = true // 9/7 irreversible
+              case 1 => irrev = false // 5/3 reversible
+              case _ => return None
+            }
             p = base + len - 2
           case 0xFF5C =>
             val len = u16()
             val base = p
             val sqcd = u8()
-            if ((sqcd & 0x1F) != 0) return None // quantized: out of scope
+            val style = sqcd & 0x1F
             val guard = sqcd >>> 5
             if (levels < 0 || w == 0) return None // need SIZ + COD first
-            val exps = mutable.ArrayBuffer.empty[Int]
-            while (p < base + len - 2) exps += (u8() >>> 3)
-            var i = 0
-            for (r <- 0 to levels; b <- bands(w, h, levels, r)) {
-              if (i < exps.length) mbs += ((r, b.btype) -> (exps(i) + guard - 1))
-              i += 1
+            style match {
+              case 0 => // no quantization: the reversible pairing only
+                if (irrev) return None
+                val exps = mutable.ArrayBuffer.empty[Int]
+                while (p < base + len - 2) exps += (u8() >>> 3)
+                var i = 0
+                for (r <- 0 to levels; b <- bands(w, h, levels, r)) {
+                  if (i < exps.length)
+                    mbs += ((r, b.btype) -> (exps(i) + guard - 1))
+                  i += 1
+                }
+              case 1 => // scalar DERIVED: one (ε₀, μ₀), per-band ε from
+                // the decomposition depth (T.800 E.1.1: ε_b = ε₀ − NL
+                // + n_b; μ_b = μ₀) — requires quantization, so 9/7 only
+                if (!irrev) return None
+                val v = u16()
+                val e0 = v >>> 11; val mu0 = v & 0x7FF
+                for (r <- 0 to levels; b <- bands(w, h, levels, r)) {
+                  val nb = if (r == 0) levels else levels - r + 1
+                  val eps = e0 - levels + nb
+                  if (eps < 1 || eps > 31) return None
+                  mbs += ((r, b.btype) -> (eps + guard - 1))
+                  deltas += ((r, b.btype) ->
+                    quantStep(8 + b.gain, eps, mu0))
+                }
+              case 2 => // scalar EXPOUNDED: 16-bit (ε, μ) per band
+                if (!irrev) return None
+                for (r <- 0 to levels; b <- bands(w, h, levels, r)) {
+                  if (p + 2 > base + len - 2) return None
+                  val v = u16()
+                  val eps = v >>> 11; val mu = v & 0x7FF
+                  if (eps < 1) return None
+                  mbs += ((r, b.btype) -> (eps + guard - 1))
+                  deltas += ((r, b.btype) ->
+                    quantStep(8 + b.gain, eps, mu))
+                }
+              case _ => return None
             }
             p = base + len - 2
           case 0xFF90 =>
@@ -1010,32 +1317,88 @@ object Jpx {
         }
       }
 
-      planesArr.foreach(a => idwt(a, w, h, levels))
-      if (mct == 1) { // inverse RCT (T.800 G.2)
-        var i = 0
-        val n = w * h
-        while (i < n) {
-          val y0 = planesArr(0)(i); val u = planesArr(1)(i)
-          val v = planesArr(2)(i)
-          val g = y0 - ((u + v) >> 2)
-          planesArr(0)(i) = v + g // R
-          planesArr(1)(i) = g // G
-          planesArr(2)(i) = u + g // B
-          i += 1
-        }
-      }
-      val comps = planesArr.toSeq.map { a =>
-        val px = Array.ofDim[Int](h, w)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            px(y)(x) = math.max(0, math.min(255, a(y * w + x) + 128))
-            x += 1
+      val comps: Seq[Array[Array[Int]]] = if (!irrev) {
+        planesArr.foreach(a => idwt(a, w, h, levels))
+        if (mct == 1) { // inverse RCT (T.800 G.2)
+          var i = 0
+          val n = w * h
+          while (i < n) {
+            val y0 = planesArr(0)(i); val u = planesArr(1)(i)
+            val v = planesArr(2)(i)
+            val g = y0 - ((u + v) >> 2)
+            planesArr(0)(i) = v + g // R
+            planesArr(1)(i) = g // G
+            planesArr(2)(i) = u + g // B
+            i += 1
           }
-          y += 1
         }
-        px
+        planesArr.toSeq.map { a =>
+          val px = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y)(x) = math.max(0, math.min(255, a(y * w + x) + 128))
+              x += 1
+            }
+            y += 1
+          }
+          px
+        }
+      } else {
+        // IRREVERSIBLE reconstruction: the Tier-1 ints are quantizer
+        // indices — dequantize per band (midpoint reconstruction,
+        // x̂ = sign·(|q| + ½)·Δ, within E.1's decoder freedom), inverse
+        // 9/7 on doubles, inverse ICT, then shift + round + clamp
+        val dPlanes = planesArr.map { a =>
+          val d = new Array[Double](w * h)
+          for (r <- 0 to levels; b <- bands(w, h, levels, r)
+              if b.bw > 0 && b.bh > 0) {
+            val delta = deltas.getOrElse((r, b.btype), return None)
+            var yy = 0
+            while (yy < b.bh) {
+              var xx = 0
+              while (xx < b.bw) {
+                val idx = (b.y0 + yy) * w + (b.x0 + xx)
+                val qv = a(idx)
+                d(idx) =
+                  if (qv == 0) 0.0
+                  else if (qv > 0) (qv + 0.5) * delta
+                  else (qv - 0.5) * delta
+                xx += 1
+              }
+              yy += 1
+            }
+          }
+          idwt97(d, w, h, levels)
+          d
+        }
+        if (mct == 1) { // inverse ICT (T.800 G.3)
+          var i = 0
+          val n = w * h
+          while (i < n) {
+            val y0 = dPlanes(0)(i); val cb = dPlanes(1)(i)
+            val cr = dPlanes(2)(i)
+            dPlanes(0)(i) = y0 + 1.402 * cr
+            dPlanes(1)(i) = y0 - 0.344136 * cb - 0.714136 * cr
+            dPlanes(2)(i) = y0 + 1.772 * cb
+            i += 1
+          }
+        }
+        dPlanes.toSeq.map { d =>
+          val px = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y)(x) = math.max(0, math.min(255,
+                math.round(d(y * w + x) + 128.0).toInt))
+              x += 1
+            }
+            y += 1
+          }
+          px
+        }
       }
       Some(Decoded(w, h, comps))
     } catch { case _: Exception => None }

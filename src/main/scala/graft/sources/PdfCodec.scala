@@ -808,6 +808,14 @@ object PdfWriter {
   /** True dimensions of the JP2-box-wrapped image for seed m. */
   def jp2Dims(m: Int): (Int, Int) = (12 + m % 9, 8 + m % 6)
 
+  /** True dimensions of the quantized-9/7 image for seed m. */
+  def i97Dims(m: Int): (Int, Int) = (19 + m % 7, 13 + m % 5)
+
+  /** LL-band quantization step of the 9/7 fixture (genuinely lossy —
+    * ~42 dB on the sawtooth raster — so only a correct dequantize +
+    * synthesis lands inside the p16 ink band). */
+  val I97Step = 2.0
+
   /** Deterministic grayscale test raster: v = (7x + 11y + 3m) mod 256 —
     * full 8-bit range, so every Tier-1 bit-plane carries signal. */
   def jpxPixel(m: Int, x: Int, y: Int): Int = (x * 7 + y * 11 + 3 * m) % 256
@@ -1131,7 +1139,7 @@ object PdfWriter {
           }
           if (jpxSeed.isDefined) {
             val m = jpxSeed.get
-            (i % 3) match {
+            (i % 4) match {
               case 0 => // REAL raw codestream; dict dims LIE
                 val (iw, ih) = jpxRawDims(m)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
@@ -1140,7 +1148,14 @@ object PdfWriter {
                 val (iw, ih) = jp2Dims(m)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
                   Jpx.wrapJp2(Jpx.encode(jpxRaster(m + 3, iw, ih)), iw, ih))
-              case _ => jpxStub(m)
+              case 2 => jpxStub(m)
+              case _ => // QUANTIZED 9/7 — the dominant wild archival
+                // form; dict dims LIE, geometry + banded ink are
+                // recoverable only by a true dequantize + 9/7 synthesis
+                val (iw, ih) = i97Dims(m)
+                imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
+                  Jpx.encodeIrreversible(Seq(jpxRaster(m + 7, iw, ih)),
+                    step = I97Step))
             }
           } else if (jbig2TextSeed.isDefined) {
             val m = jbig2TextSeed.get

@@ -128,6 +128,87 @@ class JpxSpec extends AnyFunSuite {
     assert(Jpx.decode(multi).isEmpty)
   }
 
+  private def psnr(a: Array[Array[Int]], b: Array[Array[Int]]): Double = {
+    var se = 0.0
+    var n = 0
+    for (y <- a.indices; x <- a(0).indices) {
+      val d = a(y)(x) - b(y)(x); se += d.toDouble * d; n += 1
+    }
+    if (se == 0) 99.0 else 10 * math.log10(255.0 * 255.0 * n / se)
+  }
+
+  test("irreversible 9/7: exact geometry, PSNR floor, step monotonicity") {
+    // the sawtooth raster is a worst case for a wavelet (full-range
+    // discontinuities every 37 pixels); measured PSNR at step 1.0 is
+    // ~50 dB, at 8.0 ~32 dB — floors hold 4+ dB of margin
+    val errAt = Seq(1.0, 8.0).map { step =>
+      val ps = (0 until 12).map { m =>
+        val w = 17 + 2 * (m % 6); val h = 11 + m % 7
+        val img = PdfWriter.jpxRaster(m, w, h)
+        val enc = Jpx.encodeIrreversible(Seq(img), levels = 2, step = step)
+        val d = Jpx.decode(enc).getOrElse(fail(s"decode failed m=$m"))
+        assert(d.width == w && d.height == h, s"geometry m=$m step=$step")
+        psnr(img, d.pixels)
+      }
+      step -> ps.min
+    }.toMap
+    assert(errAt(1.0) >= 45.0, f"step 1.0 PSNR floor: ${errAt(1.0)}%.1f dB")
+    assert(errAt(8.0) >= 28.0, f"step 8.0 PSNR floor: ${errAt(8.0)}%.1f dB")
+    assert(errAt(1.0) > errAt(8.0) + 6.0,
+      "coarser quantization must cost fidelity (steps not actually used?)")
+  }
+
+  test("9/7 derived-style QCD (one signalled step) decodes within band") {
+    val img = PdfWriter.jpxRaster(3, 21, 15)
+    val enc = Jpx.encodeIrreversible(Seq(img), levels = 2, step = 1.0,
+      derived = true)
+    val d = Jpx.decode(enc).getOrElse(fail("derived decode failed"))
+    assert(d.width == 21 && d.height == 15)
+    assert(psnr(img, d.pixels) >= 40.0)
+  }
+
+  test("9/7 RGB through the irreversible color transform (ICT)") {
+    val r = Array.tabulate(20, 24)((y, x) => (x * 9 + y * 5) % 256)
+    val g = Array.tabulate(20, 24)((y, x) => (x * 3 + y * 13 + 40) % 256)
+    val b = Array.tabulate(20, 24)((y, x) => (x * 11 + y * 2 + 90) % 256)
+    val enc = Jpx.encodeIrreversible(Seq(r, g, b), levels = 2, step = 1.0,
+      ict = true)
+    val d = Jpx.decode(enc).getOrElse(fail("ICT decode failed"))
+    assert(d.width == 24 && d.height == 20 && d.channels == 3)
+    assert(psnr(r, d.comps(0)) >= 38.0)
+    assert(psnr(g, d.comps(1)) >= 38.0)
+    assert(psnr(b, d.comps(2)) >= 38.0)
+  }
+
+  test("9/7 JP2-wrapped decodes; truncations and bit flips never throw") {
+    val img = PdfWriter.jpxRaster(5, 19, 13)
+    val enc = Jpx.encodeIrreversible(Seq(img), levels = 2, step = 2.0)
+    val d = Jpx.decode(Jpx.wrapJp2(enc, 19, 13))
+      .getOrElse(fail("JP2-wrapped 9/7 decode failed"))
+    assert(d.width == 19 && d.height == 13)
+    assert(psnr(img, d.pixels) >= 38.0)
+    (0 until enc.length by 3).foreach(n => Jpx.decode(enc.take(n)))
+    (0 until enc.length by 5).foreach { i =>
+      val mut = enc.clone(); mut(i) = (mut(i) ^ 0x3C).toByte
+      Jpx.decode(mut) // bounded, no throw
+    }
+  }
+
+  test("the p16 fixture's quantized stream: dims truthful, ink in band") {
+    (0 until 30).foreach { m =>
+      val (iw, ih) = PdfWriter.i97Dims(m)
+      val img = PdfWriter.jpxRaster(m + 7, iw, ih)
+      val trueSum = img.map(_.map(_.toLong).sum).sum
+      val enc = Jpx.encodeIrreversible(Seq(img), step = PdfWriter.I97Step)
+      val d = Jpx.decode(enc).getOrElse(fail(s"m=$m decode failed"))
+      assert(d.width == iw && d.height == ih, s"m=$m geometry")
+      val err = math.abs(d.graySum - trueSum)
+      assert(err <= 300, s"m=$m ink error $err outside the p16 band")
+      assert(err > 0 || m % 5 == 4, // quantization IS lossy on most seeds
+        s"m=$m decoded losslessly at step ${PdfWriter.I97Step}?")
+    }
+  }
+
   test("hostile SIZ dims that overflow the Long pixel product reject") {
     // xs*ys*nc on u32-max dims wraps past 2^63 to a negative product
     // that would sneak under the old single-multiplication cap while
