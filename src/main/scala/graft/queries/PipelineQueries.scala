@@ -571,6 +571,7 @@ object PipelineQueries {
     import graft.sources.{PdfWriter, RealPdfExtractor}
     val docRe = """Im0 (\d+)x(\d+) jbig2 b(\d+)""".r
     val stubRe = """Im1 (\d+)x(\d+) jbig2 undecoded""".r
+    val hufRe = """Im3 (\d+)x(\d+) jbig2 b(\d+)""".r
     Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -578,7 +579,7 @@ object PipelineQueries {
         val paras = text.split("\n{2,}").toSeq
           .map(PdfWriter.sanitize).filter(_.trim.nonEmpty).take(2)
         val m = (id % 30).toInt
-        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 3)))
+        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 4)))
         val bytes = PdfWriter.buildJbig2TextScan(pages,
           compress = id % 2 == 0, seed = m)
         val imgs = RealPdfExtractor.extract(s"jb2t/$id.pdf", bytes)
@@ -589,33 +590,51 @@ object PipelineQueries {
         val (sw, sh) = imgs.collectFirst {
           case stubRe(w, h) => (w.toLong, h.toLong)
         }.getOrElse((-1L, -1L))
-        (id, pw, ph, ink, sw, sh)
+        // Im3: the HUFFMAN-dictionary organization (SDHUFF, Annex-B
+        // prefix codes + collective bitmaps) at seed (m+7)%30 — ink is
+        // recoverable only by a true Huffman + collective-bitmap decode
+        val (hw, hh, hink) = imgs.collectFirst {
+          case hufRe(w, h, b) => (w.toLong, h.toLong, b.toLong)
+        }.getOrElse((-1L, -1L, -1L))
+        (id, pw, ph, ink, sw, sh, hw, hh, hink)
       })
-      .toDF("doc_id", "page_w", "page_h", "ink", "stub_w", "stub_h")
+      .toDF("doc_id", "page_w", "page_h", "ink", "stub_w", "stub_h",
+        "huf_w", "huf_h", "huf_ink")
       .orderBy(col("doc_id"))
   }
 
-  // instance j uses glyph k = (2j+m) mod numsyms; glyph k is
-  // (4+k%4)×(5+k//2) with pixel rule (3x+5y+2k)%7<3; placements never
-  // overlap, so ink is the sum over instances of the glyph census
+  /** Per-seed p17 CTE block: instance j uses glyph k = (2j+m) mod
+    * numsyms; glyph k is (4+k%4)×(5+k//2) with pixel rule
+    * (3x+5y+2k)%7<3; placements never overlap, so ink is the sum over
+    * instances of the glyph census. `seedExpr` selects the document's
+    * seed (m for the arithmetic Im0, (m+7)%30 for the Huffman Im3). */
+  private def p17Cte(p: String, seedExpr: String): String =
+    s"""${p}d AS (SELECT doc_id, $seedExpr AS m,
+       |    3 + ($seedExpr) % 3 AS numsyms, 6 + ($seedExpr) % 5 AS ninst
+       |  FROM documents),
+       |  ${p}inst AS (SELECT d.doc_id, d.m, d.ninst,
+       |      (2*j + m) % numsyms AS k
+       |    FROM ${p}d d CROSS JOIN range(11) t(j) WHERE j < ninst),
+       |  ${p}agg AS (SELECT doc_id,
+       |    CAST(MAX(11*(ninst-1) + 8) AS BIGINT) AS page_w,
+       |    CAST(12 AS BIGINT) AS page_h,
+       |    CAST(SUM(CASE WHEN x < 4 + k % 4 AND y < 5 + k // 2
+       |      AND (3*x + 5*y + 2*k) % 7 < 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ink
+       |    FROM (SELECT i.doc_id, i.ninst, i.k, x, y FROM ${p}inst i
+       |      CROSS JOIN range(8) t1(x) CROSS JOIN range(8) t2(y))
+       |    GROUP BY doc_id)""".stripMargin
+
   private val p17Sql =
-    """WITH d AS (SELECT doc_id, doc_id % 30 AS m,
-      |    3 + (doc_id % 30) % 3 AS numsyms, 6 + (doc_id % 30) % 5 AS ninst
-      |  FROM documents),
-      |  inst AS (SELECT d.doc_id, d.m, d.ninst,
-      |      (2*j + m) % numsyms AS k
-      |    FROM d CROSS JOIN range(11) t(j) WHERE j < ninst),
-      |  pix AS (SELECT i.doc_id, i.ninst, i.k, x, y
-      |    FROM inst i CROSS JOIN range(8) t1(x) CROSS JOIN range(8) t2(y))
-      |SELECT doc_id,
-      |  CAST(MAX(11*(ninst-1) + 8) AS BIGINT) AS page_w,
-      |  CAST(12 AS BIGINT) AS page_h,
-      |  CAST(SUM(CASE WHEN x < 4 + k % 4 AND y < 5 + k // 2
-      |    AND (3*x + 5*y + 2*k) % 7 < 3 THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS ink,
-      |  CAST(MAX(16 + doc_id % 30 % 8) AS BIGINT) AS stub_w,
-      |  CAST(MAX(10 + doc_id % 30 % 4) AS BIGINT) AS stub_h
-      |FROM pix GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH ${p17Cte("a_", "doc_id % 30")},
+       |  ${p17Cte("h_", "(doc_id % 30 + 7) % 30")}
+       |SELECT a_agg.doc_id, a_agg.page_w, a_agg.page_h, a_agg.ink,
+       |  CAST(16 + a_agg.doc_id % 30 % 8 AS BIGINT) AS stub_w,
+       |  CAST(10 + a_agg.doc_id % 30 % 4 AS BIGINT) AS stub_h,
+       |  h_agg.page_w AS huf_w, h_agg.page_h AS huf_h,
+       |  h_agg.ink AS huf_ink
+       |FROM a_agg JOIN h_agg ON a_agg.doc_id = h_agg.doc_id
+       |ORDER BY a_agg.doc_id""".stripMargin
 
   // grid bounds = the max of jb2Dims over m (w ≤ 32, h ≤ 17)
   private val p15Sql =

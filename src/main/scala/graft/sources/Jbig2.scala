@@ -13,12 +13,14 @@ import scala.collection.mutable
   *
   * Scope: the PDF-embedded organization (T.88 Annex + PDF 32000 §7.4.7 —
   * no file header, a bare sequence of segments, optionally preceded by a
-  * /JBIG2Globals stream) with GENERIC REGIONS coded by the MQ arithmetic
-  * coder (T.88 §6.2 + Annex E): all four GB templates, adaptive (AT)
-  * pixels, and TPGDON typical-prediction rows. That is the self-contained
-  * subset a generic-region producer emits; symbol-dictionary/text-region
-  * streams (which need a shared glyph dictionary) parse at the segment
-  * level and degrade to the honest `undecoded` label, never a guess.
+  * /JBIG2Globals stream). Generic regions: MQ-arithmetic (§6.2 + Annex
+  * E — all four GB templates, AT pixels, TPGDON) and MMR (= T.6, the
+  * shared [[CcittG4]] coder). Symbol dictionaries: arithmetic (§6.5)
+  * AND Huffman-coded (SDHUFF — Annex-B standard tables, per-class
+  * collective bitmaps uncompressed or MMR, §6.5.9). Text regions:
+  * arithmetic, untransposed. Refinement/aggregate coding, custom
+  * Huffman tables, and Huffman TEXT regions degrade to the honest
+  * `undecoded` label, never a guess.
   *
   * Both directions are implemented — the encoder produces fixtures whose
   * decoded geometry/ink only a real decoder can recover (JBIG2 carries
@@ -440,13 +442,155 @@ object Jbig2 {
     }
   }
 
+  // ---------- Huffman tables (T.88 Annex B) ----------
+
+  /** MSB-first bit reader over a byte slice; byte-aligned resume points
+    * let Huffman runs interleave with embedded collective bitmaps.
+    * Overruns throw — callers wrap in the decode's Option boundary. */
+  private[sources] final class BitRd(d: Array[Byte], var bytePos: Int,
+      end: Int) {
+    private var bitPos = 0
+    def bit(): Int = {
+      if (bytePos >= end) throw new IllegalStateException("bit overrun")
+      val v = (d(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      v
+    }
+    def bits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def align(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+  }
+
+  /** MSB-first bit writer (the encoder twin of [[BitRd]]). */
+  private[sources] final class BitWr {
+    private val out = mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nbits += 1
+      if (nbits == 8) { out += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >> i) & 1).toInt); i -= 1 }
+    }
+    def align(): Unit = while (nbits != 0) bit(0)
+    def bytes(bs: Array[Byte]): Unit = { align(); out ++= bs }
+    def result(): Array[Byte] = { align(); out.toArray }
+  }
+
+  /** One line of an Annex-B table: a `prefLen`-bit prefix selects it,
+    * then `rangeLen` offset bits add to (lower: subtract from)
+    * `rangeLow`. The LAST 32-bit non-lower line is the upper range. */
+  private[sources] final case class HuffLine(prefLen: Int, rangeLen: Int,
+      rangeLow: Int, lower: Boolean = false)
+
+  /** An assigned Annex-B Huffman table: canonical prefix codes per B.3
+    * (codes assigned by ascending length, declaration order within a
+    * length; the OOB pseudo-line takes its slot at `oobPrefLen` after
+    * same-length declared lines). decode → Some(Some(v)) for a value,
+    * Some(None) for OOB, None for an unmatchable prefix. */
+  private[sources] final class HuffTable(lines: Seq[HuffLine],
+      oobPrefLen: Int = 0) {
+    // (code, len) -> line index, or -1 for OOB
+    private val byCode: Map[(Int, Int), Int] = {
+      val m = mutable.Map.empty[(Int, Int), Int]
+      var code = 0
+      for (len <- 1 to 32) {
+        code <<= 1
+        lines.zipWithIndex.filter(_._1.prefLen == len).foreach {
+          case (_, i) => m((code, len)) = i; code += 1
+        }
+        if (oobPrefLen == len) { m((code, len)) = -1; code += 1 }
+      }
+      m.toMap
+    }
+    private val maxLen = lines.map(_.prefLen).max max oobPrefLen
+
+    def decode(r: BitRd): Option[Option[Int]] = {
+      var code = 0
+      var len = 0
+      while (len < maxLen) {
+        code = (code << 1) | r.bit()
+        len += 1
+        byCode.get((code, len)) match {
+          case Some(-1) => return Some(None) // OOB
+          case Some(i) =>
+            val l = lines(i)
+            val off = r.bits(l.rangeLen)
+            val v =
+              if (l.lower) l.rangeLow.toLong - off
+              else l.rangeLow.toLong + off
+            if (v < Int.MinValue || v > Int.MaxValue) return None
+            return Some(Some(v.toInt))
+          case None => ()
+        }
+      }
+      None
+    }
+
+    /** Encoder twin: emit the code for `v` (the first line whose range
+      * contains it, in declaration order — mirrors decode exactly). */
+    def encode(w: BitWr, v: Int): Unit = {
+      val idx = lines.indexWhere { l =>
+        if (l.lower) v <= l.rangeLow
+        else if (l.rangeLen == 32) v >= l.rangeLow
+        else v >= l.rangeLow && v < l.rangeLow + (1L << l.rangeLen)
+      }
+      require(idx >= 0, s"value $v outside table range")
+      val (code, len) = codeOf(idx)
+      w.bits(code, len)
+      val l = lines(idx)
+      val off = if (l.lower) l.rangeLow.toLong - v else v.toLong - l.rangeLow
+      w.bits(off, l.rangeLen)
+    }
+
+    def encodeOob(w: BitWr): Unit = {
+      require(oobPrefLen > 0, "table has no OOB")
+      val (code, len) = codeOf(-1)
+      w.bits(code, len)
+    }
+
+    private def codeOf(idx: Int): (Int, Int) =
+      byCode.collectFirst { case ((c, l), i) if i == idx => (c, l) }.get
+  }
+
+  // Standard tables (T.88 Annex B): B.1 sizes/run-lengths, B.2/B.3 the
+  // DW deltas (B.3 signed with OOB), B.4/B.5 the DH deltas.
+  private[sources] val TableB1 = new HuffTable(Seq(
+    HuffLine(1, 4, 0), HuffLine(2, 8, 16), HuffLine(3, 16, 272),
+    HuffLine(3, 32, 65808)))
+  private[sources] val TableB2 = new HuffTable(Seq(
+    HuffLine(1, 0, 0), HuffLine(2, 0, 1), HuffLine(3, 0, 2),
+    HuffLine(4, 3, 3), HuffLine(5, 6, 11), HuffLine(6, 32, 75)),
+    oobPrefLen = 6)
+  private[sources] val TableB3 = new HuffTable(Seq(
+    HuffLine(8, 8, -256), HuffLine(1, 0, 0), HuffLine(2, 0, 1),
+    HuffLine(3, 0, 2), HuffLine(4, 3, 3), HuffLine(5, 6, 11),
+    HuffLine(8, 32, -257, lower = true), HuffLine(7, 32, 75)),
+    oobPrefLen = 6)
+  private[sources] val TableB4 = new HuffTable(Seq(
+    HuffLine(1, 0, 1), HuffLine(2, 0, 2), HuffLine(3, 0, 3),
+    HuffLine(4, 3, 4), HuffLine(5, 6, 12), HuffLine(5, 32, 76)))
+  private[sources] val TableB5 = new HuffTable(Seq(
+    HuffLine(7, 8, -255), HuffLine(1, 0, 1), HuffLine(2, 0, 2),
+    HuffLine(3, 0, 3), HuffLine(4, 3, 4), HuffLine(5, 6, 12),
+    HuffLine(7, 32, -256, lower = true), HuffLine(6, 32, 76)))
+
   // ---------- symbol dictionary (T.88 §6.5, arithmetic) ----------
 
   /** Decode an arithmetic symbol dictionary's data: height classes via
     * IADH/IADW deltas, each symbol bitmap generic-region-coded on the
     * SHARED codeword and GB contexts, then the IAEX export runs. Returns
-    * the exported bitmaps. Huffman/refinement-aggregate dictionaries
-    * (SDHUFF/SDREFAGG) are out of scope → None. */
+    * the exported bitmaps. Huffman dictionaries (SDHUFF) dispatch to
+    * [[decodeSymbolDictHuff]]; refinement-aggregate (SDREFAGG) is out
+    * of scope → None. */
   private[sources] def decodeSymbolDict(data: Array[Byte], start: Int,
       end: Int, input: IndexedSeq[Array[Array[Boolean]]],
       maxPixels: Long): Option[IndexedSeq[Array[Array[Boolean]]]] = {
@@ -457,7 +601,9 @@ object Jbig2 {
     val sdhuff = (flags & 1) != 0
     val sdrefagg = (flags & 2) != 0
     val template = (flags >> 10) & 3
-    if (sdhuff || sdrefagg) return None
+    if (sdrefagg) return None // refinement-aggregate: out of scope
+    if (sdhuff)
+      return decodeSymbolDictHuff(data, r.p, end, flags, input, maxPixels)
     val atCount = if (template == 0) 4 else 1
     if (end - r.p < 2 * atCount + 8) return None
     val at = Array.fill(atCount) { val x = r.s8(); val y = r.s8(); (x, y) }
@@ -520,6 +666,116 @@ object Jbig2 {
     Some(exported.toIndexedSeq)
   }
 
+  /** Decode a HUFFMAN-coded symbol dictionary (SDHUFF = 1, REFAGG = 0)
+    * — the other wild dictionary organization (fax-lineage producers):
+    * DH/DW deltas are Annex-B prefix codes (standard tables only;
+    * custom-table streams degrade to None), and each height class
+    * carries one COLLECTIVE bitmap — uncompressed rows (BMSIZE = 0) or
+    * MMR (= T.6, the shared [[CcittG4]] decoder) — sliced into symbols
+    * by the decoded widths (§6.5.9). Export runs use Table B.1.
+    * `startAfterFlags` points just past the 16-bit flags (no AT bytes
+    * exist when SDHUFF = 1). */
+  private[sources] def decodeSymbolDictHuff(data: Array[Byte],
+      startAfterFlags: Int, end: Int, flags: Int,
+      input: IndexedSeq[Array[Array[Boolean]]],
+      maxPixels: Long): Option[IndexedSeq[Array[Array[Boolean]]]] = try {
+    val dhSel = (flags >> 2) & 3
+    val dwSel = (flags >> 4) & 3
+    val bmSel = (flags >> 6) & 1
+    if (dhSel > 1 || dwSel > 1 || bmSel != 0) return None // custom tables
+    val tableDH = if (dhSel == 0) TableB4 else TableB5
+    val tableDW = if (dwSel == 0) TableB2 else TableB3
+    val r = new Reader(data)
+    r.p = startAfterFlags
+    if (end - r.p < 8) return None
+    val numEx = r.u32()
+    val numNew = r.u32()
+    if (numEx > 10000 || numNew > 10000) return None
+    val br = new BitRd(data, r.p, end)
+    val newSyms = mutable.ArrayBuffer.empty[Array[Array[Boolean]]]
+    var budget = maxPixels
+    var hcHeight = 0
+    while (newSyms.length < numNew.toInt) {
+      val dhV = tableDH.decode(br).flatten.getOrElse(return None)
+      if (dhV < 1) return None // height classes strictly increase
+      hcHeight += dhV
+      if (hcHeight > (1 << 12)) return None
+      var symWidth = 0
+      val widths = mutable.ArrayBuffer.empty[Int]
+      var classDone = false
+      while (!classDone) {
+        tableDW.decode(br).getOrElse(return None) match {
+          case None => classDone = true // OOB terminates the class
+          case Some(dw) =>
+            if (newSyms.length + widths.length >= numNew.toInt) return None
+            symWidth += dw
+            if (symWidth <= 0 || symWidth > (1 << 12)) return None
+            widths += symWidth
+        }
+      }
+      if (widths.nonEmpty) {
+        val totWidth = widths.sum
+        if (totWidth.toLong * hcHeight > budget) return None
+        budget -= totWidth.toLong * hcHeight
+        // height class collective bitmap (6.5.9): BMSIZE, then skip to
+        // a byte boundary, then the bitmap bytes, then resume Huffman
+        // at the next byte boundary
+        val bmSize = TableB1.decode(br).flatten.getOrElse(return None)
+        if (bmSize < 0 || bmSize > end - br.bytePos) return None
+        br.align()
+        val rows: IndexedSeq[Array[Boolean]] =
+          if (bmSize == 0) { // uncompressed, rows padded to bytes
+            val rowBytes = (totWidth + 7) / 8
+            if (br.bytePos + hcHeight.toLong * rowBytes > end) return None
+            val out = (0 until hcHeight).map { y =>
+              val row = new Array[Boolean](totWidth)
+              var x = 0
+              while (x < totWidth) {
+                val byte = data(br.bytePos + y * rowBytes + x / 8) & 0xFF
+                row(x) = ((byte >> (7 - x % 8)) & 1) == 1
+                x += 1
+              }
+              row
+            }
+            br.bytePos += hcHeight * rowBytes
+            out
+          } else { // MMR = T.6 (§6.2.6 via the shared G4 decoder)
+            val slice = java.util.Arrays.copyOfRange(data, br.bytePos,
+              br.bytePos + bmSize)
+            val d = CcittG4.decode(slice, totWidth, maxRows = hcHeight)
+              .filter(_.height == hcHeight).getOrElse(return None)
+            br.bytePos += bmSize
+            d.rows.toIndexedSeq
+          }
+        // slice the collective bitmap into symbols by decoded widths
+        var x0 = 0
+        widths.foreach { sw =>
+          newSyms += (0 until hcHeight).map { y =>
+            java.util.Arrays.copyOfRange(rows(y), x0, x0 + sw)
+          }.toArray
+          x0 += sw
+        }
+      }
+    }
+    // export runs (6.5.10): run lengths via Table B.1 when SDHUFF = 1
+    val all = input ++ newSyms
+    val exported = mutable.ArrayBuffer.empty[Array[Array[Boolean]]]
+    var exIndex = 0
+    var exFlag = false
+    var rounds = 0
+    while (exIndex < all.length) {
+      val run = TableB1.decode(br).flatten.getOrElse(return None)
+      if (run < 0 || run > all.length - exIndex) return None
+      rounds += 1
+      if (rounds > 2 * all.length + 8) return None
+      if (exFlag) exported ++= all.slice(exIndex, exIndex + run)
+      exIndex += run
+      exFlag = !exFlag
+    }
+    if (exported.length != numEx.toInt) return None
+    Some(exported.toIndexedSeq)
+  } catch { case _: IllegalStateException => None } // bit overrun
+
   /** Encode an arithmetic symbol dictionary exporting ALL of `syms`
     * (which must be sorted by non-decreasing height). Returns the
     * segment DATA (flags + AT + counts + coded). */
@@ -561,6 +817,72 @@ object Jbig2 {
     encodeInt(enc, iaex, Some(0)) // first run: 0 non-exported
     encodeInt(enc, iaex, Some(syms.length)) // then export them all
     b ++= enc.flush()
+    b.toArray
+  }
+
+  /** Encode a HUFFMAN symbol dictionary (SDHUFF = 1) exporting all of
+    * `syms` (height-sorted): DH via Table B.4, DW via Table B.3 (sel 1
+    * — signed, so width order within a class is free), per-class
+    * collective bitmaps uncompressed (`mmr` = false) or MMR-coded, EX
+    * runs via Table B.1 — the organization [[decodeSymbolDictHuff]]
+    * reads back. */
+  private[sources] def encodeSymbolDictHuff(
+      syms: IndexedSeq[Array[Array[Boolean]]],
+      mmr: Boolean = false): Array[Byte] = {
+    require(syms.nonEmpty)
+    require(syms.sliding(2).forall(p =>
+      p.length < 2 || p(0).length <= p(1).length), "sort symbols by height")
+    val b = mutable.ArrayBuffer.empty[Byte]
+    val flags = 1 | (0 << 2) | (1 << 4) // SDHUFF, DH = B.4, DW = B.3
+    b += ((flags >> 8) & 0xFF).toByte
+    b += (flags & 0xFF).toByte
+    be32(b, syms.length) // SDNUMEXSYMS
+    be32(b, syms.length) // SDNUMNEWSYMS
+    val w = new BitWr
+    var hcHeight = 0
+    var i = 0
+    while (i < syms.length) {
+      val h = syms(i).length
+      TableB4.encode(w, h - hcHeight)
+      hcHeight = h
+      val first = i
+      var symWidth = 0
+      while (i < syms.length && syms(i).length == hcHeight) {
+        val sw = syms(i)(0).length
+        TableB3.encode(w, sw - symWidth)
+        symWidth = sw
+        i += 1
+      }
+      TableB3.encodeOob(w)
+      // collective bitmap: symbols of the class side by side
+      val cls = syms.slice(first, i)
+      val totWidth = cls.map(_(0).length).sum
+      val rows = (0 until hcHeight).map { y =>
+        val row = new Array[Boolean](totWidth)
+        var x0 = 0
+        cls.foreach { s =>
+          System.arraycopy(s(y), 0, row, x0, s(y).length)
+          x0 += s(y).length
+        }
+        row
+      }
+      if (mmr) {
+        val coded = CcittG4.encode(rows, totWidth)
+        TableB1.encode(w, coded.length)
+        w.bytes(coded)
+      } else {
+        TableB1.encode(w, 0) // BMSIZE 0 = uncompressed, byte-padded rows
+        val rowBytes = (totWidth + 7) / 8
+        val raw = new Array[Byte](hcHeight * rowBytes)
+        for (y <- 0 until hcHeight; x <- 0 until totWidth if rows(y)(x))
+          raw(y * rowBytes + x / 8) =
+            (raw(y * rowBytes + x / 8) | (1 << (7 - x % 8))).toByte
+        w.bytes(raw)
+      }
+    }
+    TableB1.encode(w, 0) // first export run: 0 non-exported
+    TableB1.encode(w, syms.length) // export them all
+    b ++= w.result()
     b.toArray
   }
 
@@ -773,7 +1095,8 @@ object Jbig2 {
     * top-left placements. */
   def encodeTextDocument(pageW: Int, pageH: Int,
       syms: IndexedSeq[Array[Array[Boolean]]],
-      instances: Seq[TextInstance]): Array[Byte] = {
+      instances: Seq[TextInstance],
+      huffDict: Boolean = false, dictMmr: Boolean = false): Array[Byte] = {
     require(pageW > 0 && pageH > 0 && syms.nonEmpty)
     val b = mutable.ArrayBuffer.empty[Byte]
     def header(num: Int, tpe: Int, dataLen: Int,
@@ -788,7 +1111,9 @@ object Jbig2 {
     header(1, 48, 19)
     be32(b, pageW); be32(b, pageH); be32(b, 0); be32(b, 0)
     b += 0x01; b += 0; b += 0
-    val dict = encodeSymbolDict(syms)
+    val dict =
+      if (huffDict) encodeSymbolDictHuff(syms, mmr = dictMmr)
+      else encodeSymbolDict(syms)
     header(2, 0, dict.length)
     b ++= dict
     val tr = encodeTextRegion(pageW, pageH, instances, syms)

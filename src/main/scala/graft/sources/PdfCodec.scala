@@ -1159,7 +1159,7 @@ object PdfWriter {
             }
           } else if (jbig2TextSeed.isDefined) {
             val m = jbig2TextSeed.get
-            (i % 3) match {
+            (i % 4) match {
               case 0 => // symbol-coded JBIG2 document; dict dims LIE
                 val (iw, ih) = jb2TextDims(m)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 1, "JBIG2Decode",
@@ -1167,7 +1167,18 @@ object PdfWriter {
                     (0 until jb2NumSyms(m)).map(jb2Glyph),
                     jb2TextInstances(m)))
               case 1 => jbig2Stub(m)
-              case _ => jpxStub(m)
+              case 2 => jpxStub(m)
+              case _ => // HUFFMAN-dictionary symbol-coded doc (SDHUFF):
+                // the fax-lineage producer organization; collective
+                // bitmaps alternate uncompressed / MMR by seed, and the
+                // shifted seed keeps its ink distinct from Im0's
+                val mh = (m + 7) % 30
+                val (iw, ih) = jb2TextDims(mh)
+                imgXObject(iw - 1, ih - 1, "DeviceGray", 1, "JBIG2Decode",
+                  "", Jbig2.encodeTextDocument(iw, ih,
+                    (0 until jb2NumSyms(mh)).map(jb2Glyph),
+                    jb2TextInstances(mh),
+                    huffDict = true, dictMmr = m % 2 == 0))
             }
           } else if (jbig2Seed.isDefined) {
             val m = jbig2Seed.get

@@ -161,6 +161,79 @@ class Jbig2TextSpec extends AnyFunSuite {
       IndexedSeq(small)).isDefined)
   }
 
+  test("Annex-B standard tables round-trip their value classes and OOB") {
+    import Jbig2.{BitRd, BitWr}
+    val cases = Seq(
+      (Jbig2.TableB1, Seq(0, 7, 15, 16, 200, 271, 272, 65807, 65808,
+        100000), false),
+      (Jbig2.TableB2, Seq(0, 1, 2, 3, 10, 11, 74, 75, 1000), true),
+      (Jbig2.TableB3, Seq(-1000, -257, -256, -1, 0, 1, 2, 5, 11, 74, 75,
+        1000), true),
+      (Jbig2.TableB4, Seq(1, 2, 3, 4, 11, 12, 75, 76, 1000), false),
+      (Jbig2.TableB5, Seq(-1000, -256, -255, -1, 0, 1, 3, 12, 76, 1000),
+        false))
+    cases.foreach { case (table, vals, hasOob) =>
+      val w = new BitWr
+      vals.foreach(table.encode(w, _))
+      if (hasOob) table.encodeOob(w)
+      val bytes = w.result()
+      val r = new BitRd(bytes, 0, bytes.length)
+      vals.foreach(v => assert(table.decode(r) == Some(Some(v)), s"v=$v"))
+      if (hasOob) assert(table.decode(r) == Some(None), "OOB")
+    }
+  }
+
+  test("Huffman symbol dictionary ≡ arithmetic across seeds and both " +
+      "collective-bitmap codings") {
+    for (m <- 0 until 12; mmr <- Seq(false, true)) {
+      val syms = (0 until (3 + m % 3)).map(glyph)
+      val dictH = Jbig2.encodeSymbolDictHuff(syms, mmr = mmr)
+      val ex = Jbig2.decodeSymbolDict(dictH, 0, dictH.length,
+        IndexedSeq.empty, 1 << 20)
+        .getOrElse(fail(s"huff dict m=$m mmr=$mmr failed"))
+      assert(ex.length == syms.length)
+      ex.zip(syms).zipWithIndex.foreach { case ((a, b), k) =>
+        assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+          s"m=$m mmr=$mmr glyph $k bitmap differs")
+      }
+    }
+  }
+
+  test("full text document with a Huffman dictionary ≡ arithmetic form") {
+    for (m <- 0 until 8; mmr <- Seq(false, true)) {
+      val syms = (0 until PdfWriter.jb2NumSyms(m)).map(PdfWriter.jb2Glyph)
+      val inst = PdfWriter.jb2TextInstances(m)
+      val (w, h) = PdfWriter.jb2TextDims(m)
+      val huff = Jbig2.decode(Jbig2.encodeTextDocument(w, h,
+        syms.toIndexedSeq, inst, huffDict = true, dictMmr = mmr))
+        .getOrElse(fail(s"huff doc m=$m mmr=$mmr failed"))
+      val arith = Jbig2.decode(Jbig2.encodeTextDocument(w, h,
+        syms.toIndexedSeq, inst)).getOrElse(fail(s"arith doc m=$m failed"))
+      assert(huff.width == arith.width && huff.height == arith.height)
+      assert(huff.blackCount == arith.blackCount,
+        s"m=$m mmr=$mmr ink differs")
+    }
+  }
+
+  test("hostile Huffman dictionaries degrade to None, never throw") {
+    val syms = (0 until 4).map(glyph)
+    val dict = Jbig2.encodeSymbolDictHuff(syms)
+    (0 until dict.length).foreach(n =>
+      Jbig2.decodeSymbolDict(dict.take(n), 0, n, IndexedSeq.empty, 1 << 20))
+    (0 until dict.length).foreach { i =>
+      val mut = dict.clone(); mut(i) = (mut(i) ^ 0x5A).toByte
+      Jbig2.decodeSymbolDict(mut, 0, mut.length, IndexedSeq.empty, 1 << 20)
+    }
+    // pixel budget bounds collective bitmaps exactly like arithmetic
+    assert(Jbig2.decodeSymbolDict(dict, 0, dict.length,
+      IndexedSeq.empty, 10).isEmpty, "budget must bound huff symbols")
+    // custom-table selections degrade honestly (sel 3 = custom)
+    val custom = dict.clone()
+    custom(1) = (custom(1) | (3 << 2)).toByte // SDHUFFDH = 3
+    assert(Jbig2.decodeSymbolDict(custom, 0, custom.length,
+      IndexedSeq.empty, 1 << 20).isEmpty)
+  }
+
   test("hostile/degenerate symbol streams degrade to None, never throw") {
     val syms = (0 until 3).map(glyph)
     val doc = Jbig2.encodeTextDocument(40, 12, syms,
