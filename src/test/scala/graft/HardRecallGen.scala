@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -85,34 +87,125 @@ object HardRecallGen {
         ids(Pq.searchIvfPq(ivfpqIndex, v, ivfQ, pqCb, 10, nprobe = 4,
           shortlist = 50, tieBreak = "fragment_id"))))
 
-    println(s"HARD-RECALL corpus=$dir n_fragments=$n dim=$dim queries=45")
-    println("| family | config | recall@10 vs exact | eval pass |")
-    println("|---|---|---|---|")
-    fams.foreach { f =>
-      val (recalls, passes) = qvecs.map { case (qid, v, expectParent) =>
-        val top = f.run(v)
+    // scoring: recall@10 vs exact (index fidelity), hits@10 = expected
+    // parent in the top-10 (task quality), and MRR of the first hit
+    // (the v17 metric) — fusion can lift MRR even where hits@10 ties
+    def score(name: String, config: String,
+        top10: Map[String, Seq[String]]): Unit = {
+      val rows = qvecs.map { case (qid, _, expectParent) =>
+        val top = top10.getOrElse(qid, Nil).take(10)
         val r = top.toSet.intersect(exact(qid).toSet).size / 10.0
-        val pass = top.exists(id => parentOf.get(id).contains(expectParent))
-        (r, pass)
-      }.unzip
-      println(f"| ${f.name} | ${f.config} | ${recalls.sum / recalls.size}%.3f " +
-        f"| ${passes.count(identity)}/45 |")
+        val rank = top.indexWhere(id =>
+          parentOf.get(id).contains(expectParent))
+        (r, rank >= 0, if (rank >= 0) 1.0 / (rank + 1) else 0.0)
+      }
+      val (recalls, passes, rrs) = rows.unzip3
+      println(f"| $name | $config | ${recalls.sum / recalls.size}%.3f " +
+        f"| ${passes.count(identity)}/45 | ${rrs.sum / rrs.size}%.3f |")
     }
 
-    // HNSW via the batch path (one job for all queries per ef)
+    println(s"HARD-RECALL corpus=$dir n_fragments=$n dim=$dim queries=45")
+    println("| family | config | recall@10 vs exact | hits@10 | MRR |")
+    println("|---|---|---|---|---|")
+    fams.foreach { f =>
+      score(f.name, f.config,
+        qvecs.map { case (qid, v, _) => qid -> f.run(v) }.toMap)
+    }
+
+    // HNSW via the batch path (one job for all queries per ef); keep
+    // the ef=48 top-30 candidates for the fusion rows below
+    var hnsw48Top30: Map[String, Seq[String]] = Map.empty
     Seq(16, 48).foreach { ef =>
       val hits = Hnsw.searchBatch(emb,
-        qvecs.map(q => (q._1, q._2)), 10, ef, numShards = 4)
+        qvecs.map(q => (q._1, q._2)), 30, ef, numShards = 4)
+        .orderBy(col("query_id"), col("rank"))
         .select(col("query_id"), col("fragment_id").cast("string"))
-        .as[(String, String)].collect().groupBy(_._1)
-      val (recalls, passes) = qvecs.map { case (qid, _, expectParent) =>
-        val top = hits.getOrElse(qid, Array.empty).map(_._2).toSeq
-        (top.toSet.intersect(exact(qid).toSet).size / 10.0,
-          top.exists(id => parentOf.get(id).contains(expectParent)))
-      }.unzip
-      println(f"| hnsw | 4 shards, ef=$ef | ${recalls.sum / recalls.size}%.3f " +
-        f"| ${passes.count(identity)}/45 |")
+        .as[(String, String)].collect().toSeq.groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      if (ef == 48) hnsw48Top30 = hits
+      score("hnsw", s"4 shards, ef=$ef", hits)
     }
+
+    // ---- retrieval-quality lift study (VERDICT r9 task #7): does the
+    // production machinery — v16-style BM25 ⊕ dense fusion, and
+    // best-of across index families — lift hits@10 / MRR on the hard
+    // corpus past any single family? BM25 here is the x22 scoring
+    // (k1 = 1.2, b = 0.75) over fragment content, driver-side on the
+    // small eval corpus (a study, not a production path — the
+    // production fusion is v16Fused's bounded plan).
+    val corpus: Seq[(String, Array[String])] = emb
+      .select(col("fragment_id"), col("content")).as[(String, String)]
+      .collect().toSeq
+      .map { case (id, c) =>
+        (id, c.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty))
+      }
+    val nDocs = corpus.size
+    val avgLen = corpus.map(_._2.length).sum.toDouble / nDocs
+    val dfMap: Map[String, Int] = corpus
+      .flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def bm25Top(qText: String, c: Int): Seq[String] = {
+      val qTerms = qText.toLowerCase.split("[^\\p{L}\\p{N}]+")
+        .filter(_.nonEmpty).distinct
+      corpus.map { case (id, ts) =>
+        val len = ts.length
+        val tf = ts.groupBy(identity).view.mapValues(_.size)
+        val s = qTerms.map { t =>
+          val df = dfMap.getOrElse(t, 0)
+          if (df == 0) 0.0
+          else {
+            val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+            val f = tf.getOrElse(t, 0).toDouble
+            idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * len / avgLen))
+          }
+        }.sum
+        (id, s)
+      }.sortBy { case (id, s) => (-s, id) }.take(c).map(_._1)
+    }
+    val vecOf: Map[String, Array[Float]] = emb
+      .select(col("fragment_id"), col("vector"))
+      .as[(String, Array[Float])].collect().toMap
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    def rrf(a: Seq[String], b: Seq[String]): Seq[String] = {
+      val sc = mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      a.zipWithIndex.foreach { case (id, r) => sc(id) += 1.0 / (60 + r + 1) }
+      b.zipWithIndex.foreach { case (id, r) => sc(id) += 1.0 / (60 + r + 1) }
+      sc.toSeq.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+    }
+    def bestOf(v: Array[Float], cands: Seq[String]): Seq[String] =
+      cands.distinct.map(id => (id, cosine(v, vecOf(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+
+    val bm25Top30: Map[String, Seq[String]] =
+      queries.map(q => q.queryId -> bm25Top(q.text, 30)).toMap
+    val ivfR2Top30: Map[String, Seq[String]] = qvecs.map { case (qid, v, _) =>
+      qid -> ids(Ivf.searchMultiAssign(ivfR2Index, v, ivfQ, 30, nprobe = 2))
+    }.toMap
+
+    score("bm25", "x22 scoring, k1=1.2 b=0.75",
+      bm25Top30.view.mapValues(_.take(10)).toMap)
+    score("fused bm25⊕hnsw", "RRF k0=60 over top-30 each",
+      qvecs.map { case (qid, _, _) =>
+        qid -> rrf(bm25Top30(qid), hnsw48Top30.getOrElse(qid, Nil))
+      }.toMap)
+    score("fused bm25⊕exact", "RRF k0=60 over top-30 each",
+      qvecs.map { case (qid, v, _) =>
+        qid -> rrf(bm25Top30(qid),
+          ids(VectorSearch.knn(emb, v, 30, tieBreak = "fragment_id")))
+      }.toMap)
+    score("ivf-r2⊕hnsw best-of", "exact re-rank of candidate union",
+      qvecs.map { case (qid, v, _) =>
+        qid -> bestOf(v,
+          ivfR2Top30(qid) ++ hnsw48Top30.getOrElse(qid, Nil))
+      }.toMap)
 
     graft.queries.StageCache.release(spark)
     spark.stop()
