@@ -218,7 +218,11 @@ object Ivf {
     * existed (skipping it is only safe on an explicit single-assign).
     */
   def save(q: Quantizer, path: String): Unit = {
-    val body = serialize(q) + s"replicas ${math.max(1, q.replicas)}\n"
+    // replicas 0 persists AS 0 (unknown provenance): rewriting it to an
+    // explicit 1 on a load→save round-trip would turn dedupe OFF for a
+    // possibly multi-assigned legacy index — the exact bug the unknown
+    // state exists to prevent — and break save∘load identity
+    val body = serialize(q) + s"replicas ${math.max(0, q.replicas)}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }

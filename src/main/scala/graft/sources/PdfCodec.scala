@@ -1834,9 +1834,12 @@ object RealPdfExtractor extends PdfExtractor {
                     // total-pixel budget mirroring the JPXDecode cap: an
                     // all-uniform G4 row costs ~2 bits of input, so the
                     // default 65536-row ceiling alone would let a few KB
-                    // of hostile stream materialize ~4 GiB of rows
+                    // of hostile stream materialize ~4 GiB of rows.
+                    // cols <= 0 (malformed /Columns) must degrade to the
+                    // dict-dims label, not divide-by-zero the whole page
                     val cols = pnum("Columns", 1728)
-                    CcittG4.decode(b, cols,
+                    if (cols <= 0) None
+                    else CcittG4.decode(b, cols,
                       maxRows = math.max(1, ((1L << 25) / cols).toInt))
                   }
                 val dec = ref match {

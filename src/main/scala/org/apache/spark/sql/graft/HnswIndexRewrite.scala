@@ -101,6 +101,13 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         arr.toFloatArray()
     }
 
+  /** The cosine's NON-literal operand — the rewrite may only fire when
+    * it is exactly the indexed relation's `vector` attribute; a cosine
+    * over any other column or computed expression is not what the
+    * persisted graph ranks by. */
+  private def rankedAttr(c: VectorCosine): Option[Attribute] =
+    Seq(c.left, c.right).collectFirst { case a: Attribute => a }
+
   /** Project/Filter-only path from the sort child to a single leaf:
     * (conjunction of filter conditions, leaf). Any other operator means
     * the query is not a plain filtered KNN over one relation — bail.
@@ -134,6 +141,11 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if leaf.output.exists(a => a.name == "vector" &&
         isFloatArray(a.dataType))
       if !leaf.output.exists(a => a.name == "list_id" || a.name == "links")
+      // the ranked operand must BE the leaf's `vector` attribute — a
+      // cosine over another column or a computed expression is not
+      // what the persisted graph ranks by
+      if rankedAttr(cos).exists(a => a.name == "vector" &&
+        leaf.output.exists(_.exprId == a.exprId))
       // the walk serves (id, similarity); anything else must fall back
       if gl.output.map(_.name).toSet
         .subsetOf(Set(idCol) ++ simName)
@@ -146,27 +158,33 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           leaf.output.exists(_.exprId == r.exprId)))
     } yield {
       val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      val adj = indexDf(session, path)
+      // fresh relation per firing: a cached DataFrame would pin the
+      // parquet FILE LISTING of its first read, so a rebuilt index at
+      // the same path would fail at execution (outside this rule's
+      // fallback) instead of being picked up
+      val adj = session.read.parquet(path)
       val base = org.apache.spark.sql.classic.Dataset.ofRows(session, leaf)
       val predNames = conds.flatMap(_.references.toSeq.map(_.name)).distinct
-      // rebind the predicate by NAME: it will re-resolve against the
-      // (possibly metadata-enriched) adjacency, not the base relation
+      // predicate metadata ALWAYS joins on from the base relation under
+      // collision-proof names — the adjacency's own columns (shard_id,
+      // node_idx, doc_id, …) must never shadow a base column the
+      // predicate meant (same-named metadata would otherwise filter on
+      // index internals). LEFT join: every node must stay for graph
+      // navigation; a null predicate value is "not eligible"
+      // (searchIndex coalesces to false), matching SQL WHERE semantics.
+      val metaName = predNames.zipWithIndex
+        .map { case (n, i) => n -> s"${MetaCol}$i" }.toMap
       val predOpt = conds.reduceOption(
         org.apache.spark.sql.catalyst.expressions.And).map { cond =>
         ExpressionUtils.column(cond.transform {
-          case a: Attribute => UnresolvedAttribute.quoted(a.name)
+          case a: Attribute => UnresolvedAttribute.quoted(metaName(a.name))
         })
       }
-      val adjCols = adj.columns.toSet
       val enriched =
-        if (predNames.forall(adjCols.contains)) adj
+        if (predNames.isEmpty) adj
         else {
-          // LEFT join: every node must stay for graph navigation; a
-          // null predicate value is "not eligible" (searchIndex
-          // coalesces to false), matching SQL WHERE on the base table
-          val meta = base
-            .select((col(idCol).as(MetaIdCol) +:
-              predNames.filterNot(adjCols.contains).map(col(_))): _*)
+          val meta = base.select(col(idCol).as(MetaIdCol) +:
+            predNames.map(n => col(n).as(metaName(n))): _*)
           adj.join(meta, adj(idCol) === col(MetaIdCol), "left")
             .drop(MetaIdCol)
         }
@@ -179,10 +197,28 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .limit(k)
       val served = simName match {
         case Some(n) =>
-          ordered.select(col(idCol), col("similarity").as(n))
+          // the walk RANKS, but the served similarity value is the
+          // user's exact expression recomputed over the k base rows
+          // (pgvector's contract: the index orders, the SELECT list
+          // evaluates on the heap tuple) — the graph's normalized-dot
+          // score differs from the exact cosine in low bits and must
+          // not surface under the user's alias
+          val walk = ordered.select(col(idCol),
+            col("similarity").as(WalkSimCol))
+          base.select(col(idCol), col("vector"))
+            .join(org.apache.spark.sql.functions.broadcast(walk), idCol)
+            .withColumn(n, graft.search.VectorSearch.cosine(col("vector"),
+              org.apache.spark.sql.functions.lit(qv)))
+            .orderBy(col(WalkSimCol).desc, col(idCol))
+            .select(col(idCol), col(n))
         case None => ordered.select(col(idCol))
       }
-      val newPlan = served.queryExecution.analyzed
+      // splice the OPTIMIZED inner plan: the main optimizer batches ran
+      // before this rule, so an analyzed subtree would reach physical
+      // planning with un-eliminated analysis artifacts (join hints) and
+      // without column pruning; nested optimization is bounded — this
+      // rule cannot re-fire on the spliced shape (no cosine sort key)
+      val newPlan = served.queryExecution.optimizedPlan
       // id-preserving splice: parents reference the original exprIds
       val byName = newPlan.output.map(a => a.name -> a).toMap
       Project(gl.output.map(a =>
@@ -197,18 +233,6 @@ object HnswIndexRewrite {
   val EfKey = "spark.graft.ann.hnsw.ef"
 
   private val MetaIdCol = "__graft_hnsw_meta_id"
-
-  /** Per-(session, path) adjacency DataFrame cache: the rule fires per
-    * query compilation and `read.parquet` lists files + infers schema
-    * each time. The DataFrame is lazy — caching it caches the relation,
-    * not data; a replaced index at the same path is picked up by the
-    * scan's own file listing on execution.
-    */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.DataFrame]()
-
-  private def indexDf(session: org.apache.spark.sql.classic.SparkSession,
-      path: String): org.apache.spark.sql.DataFrame =
-    cache.computeIfAbsent((session, path),
-      _ => session.read.parquet(path))
+  private val MetaCol = "__graft_hnsw_meta_"
+  private val WalkSimCol = "__graft_hnsw_walk_sim"
 }

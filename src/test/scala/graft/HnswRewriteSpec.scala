@@ -130,17 +130,20 @@ class HnswRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
       assert(got.map(_._1) == exactTopK(5, _._3 == 1),
         s"filtered walk diverged from exact filtered KNN: $got")
-      // parity with the explicit searchIndex call the rule dispatches
+      // id parity with the explicit searchIndex call the rule
+      // dispatches (sim VALUES are the exact expression by contract —
+      // the walk's normalized-dot score only ranks, see the
+      // served-similarity test)
       val adj = spark.read.parquet(indexPath)
       val meta = spark.read.parquet(basePath)
         .select(col("fragment_id").as("mid"), col("grp"))
       val enriched = adj.join(meta, adj("fragment_id") === col("mid"), "left")
-      val explicitHits = Hnsw.searchIndex(enriched, Seq(("q", qvec)), 5,
+      val explicitIds = Hnsw.searchIndex(enriched, Seq(("q", qvec)), 5,
           ef = n, predicate = Some(col("grp") === 1))
         .orderBy(col("similarity").desc, col("fragment_id"))
-        .select(col("fragment_id"), col("similarity"))
-        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-      assert(got == explicitHits)
+        .select(col("fragment_id"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got.map(_._1) == explicitIds)
     } finally confOff()
   }
 
@@ -183,6 +186,73 @@ class HnswRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       // k beyond the reference's top_k clamp
       val big = sql("", graft.search.VectorSearch.MaxTopK + 1)
       assert(!walked(big), "k beyond the clamp must fall back")
+    } finally confOff()
+  }
+
+  test("served similarity values are the EXACT cosine, ranked by the walk") {
+    // the graph ranks by dot of unit-normalized floats; the value under
+    // the user's alias must still be the user's expression bit-for-bit
+    // (pgvector's contract: the index orders, the SELECT list evaluates
+    // on the heap tuple)
+    val exactRows = sql("WHERE grp = 1", 5).collect()
+      .map(r => (r.getString(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+    confOn(ef = n)
+    try {
+      val df = sql("WHERE grp = 1", 5)
+      assert(walked(df))
+      val served = df.collect()
+        .map(r => (r.getString(0),
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+      assert(served == exactRows,
+        "walk-served sim values must equal the exact expression")
+    } finally confOff()
+  }
+
+  test("cosine over anything but the indexed vector column falls back") {
+    confOn(ef = n)
+    try {
+      spark.read.parquet(basePath).createOrReplaceTempView("emb")
+      val df = spark.sql(
+        """SELECT fragment_id,
+          |  vector_cosine(slice(vector, 1, 4),
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+          |FROM emb ORDER BY sim DESC, fragment_id LIMIT 5""".stripMargin)
+      assert(!walked(df),
+        "a computed ranking expression is not what the graph ranks by")
+      assert(df.collect().length == 5)
+    } finally confOff()
+  }
+
+  test("base metadata sharing a name with adjacency internals filters " +
+      "on the BASE column, not the index's") {
+    // a base column literally named shard_id must never be served from
+    // the adjacency's own shard assignment
+    val base2 = s"$dir/emb_shardcol"
+    val idx2 = s"$dir/hnsw_idx_shardcol"
+    val s = spark
+    import s.implicits._
+    rawRows.map { case (f, v, g) => (f, v, 100 + g) }
+      .toDF("fragment_id", "vector", "shard_id")
+      .write.mode("overwrite").parquet(base2)
+    Hnsw.saveIndex(s.read.parquet(base2), idx2, numShards = 2)
+    spark.conf.set(HnswIndexRewrite.IndexKey, idx2)
+    spark.conf.set(HnswIndexRewrite.EfKey, n.toString)
+    try {
+      s.read.parquet(base2).createOrReplaceTempView("emb_sc")
+      val df = s.sql(
+        """SELECT fragment_id,
+          |  vector_cosine(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+          |FROM emb_sc WHERE shard_id = 101
+          |ORDER BY sim DESC, fragment_id LIMIT 5""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("MapGroups") && plan.contains("hnsw_idx_shardcol"),
+        s"expected the walk plan:\n$plan")
+      val got = df.collect().map(_.getString(0)).toSeq
+      // base shard_id = 100 + grp, so 101 selects grp = 1 exactly
+      assert(got == exactTopK(5, _._3 == 1),
+        s"predicate must bind to the BASE shard_id column: $got")
     } finally confOff()
   }
 

@@ -121,6 +121,12 @@ class IvfMultiAssignSpec extends AnyFunSuite with BeforeAndAfterAll {
       // explicit multi-assign round-trips
       Ivf.save(q.copy(replicas = 3), p)
       assert(Ivf.load(p).replicas == 3)
+      // a load→save round-trip of the UNKNOWN state must preserve it —
+      // rewriting 0 to an explicit "replicas 1" would silently turn
+      // dedupe off for a possibly multi-assigned legacy index
+      Ivf.save(loaded, p)
+      assert(Ivf.load(p).replicas == 0,
+        "save must not launder unknown provenance into single-assign")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

@@ -7,9 +7,14 @@ stay sf1"). Dev tooling for the scale soak - NOT driver data; do not
 use for correctness gates.
 
 Replica q prefixes document text with 'q<q> ' so exact-duplicate
-structure does not explode dedup 5x (sf1 already uses 'r<r> '
-prefixes; the two namespaces compose to unique texts across the 50
-underlying replicas).
+structure does not explode the TEXT dedup families 5x (sf1 already
+uses 'r<r> ' prefixes; the two namespaces compose to unique texts
+across the 50 underlying replicas). EMBEDDINGS deliberately replicate
+bit-identically (as in gen_sf1): near-dup groups therefore grow to 50
+copies per base item and pair-producing output (v4) grows as
+C(50,2)/C(10,2) ~ 27x — the soak's envelope is output-aware for
+exactly this reason, asserting time-linear-in-work rather than
+pretending pair output can stay linear on a replicated corpus.
 """
 import duckdb, os, shutil, sys
 
