@@ -35,15 +35,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   *   spark.conf.set("spark.graft.ann.hnsw.index", "<saveIndex path>")
   *   spark.conf.set("spark.graft.ann.hnsw.ef", "64")   // 0 disables
   *
+  * WIDE outputs are served, not just (id, score): the walk ranks the k
+  * ids, a broadcast join fetches the k base rows, and the user's OWN
+  * Project/Filter chain is re-applied over them — so every selected
+  * expression (content, metadata, the cosine itself) is computed
+  * exactly over the base tuples with its original exprIds (pgvector's
+  * contract: the index orders, the SELECT list evaluates on the heap
+  * tuple). The reference's actual serving query — id + content + view
+  * + score — therefore rides the index too.
+  *
   * Falls back to the exact scan (plan untouched) whenever the shape is
-  * not provably servable from the index: output columns beyond the id
-  * and the cosine alias, predicates touching the id/vector columns,
-  * joins under the sort, k beyond the top-k clamp, a relation that does
-  * not look like an embeddings table, or an unreadable index. Predicate
-  * metadata the adjacency itself lacks is joined on from the base
-  * relation (one metadata-column shuffle join of index-width rows — the
-  * "join metadata onto the adjacency" path of searchIndex, never a
-  * corpus-text scan).
+  * not provably servable from the index: a ranking operand that is not
+  * the relation's own `vector` column, predicates touching the
+  * id/vector columns, nondeterministic projections, joins under the
+  * sort, k beyond the top-k clamp, a relation that does not look like
+  * an embeddings table, or an unreadable index. Predicate metadata
+  * joins onto the adjacency from the base relation under
+  * collision-proof names (one metadata-column shuffle join of
+  * index-width rows — the "join metadata onto the adjacency" path of
+  * searchIndex, never a corpus-text scan).
   */
 case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -146,10 +156,11 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // what the persisted graph ranks by
       if rankedAttr(cos).exists(a => a.name == "vector" &&
         leaf.output.exists(_.exprId == a.exprId))
-      // the walk serves (id, similarity); anything else must fall back
-      if gl.output.map(_.name).toSet
-        .subsetOf(Set(idCol) ++ simName)
-      if gl.output.map(_.name).distinct.size == gl.output.size
+      // the user's projections re-evaluate over the k joined rows, so
+      // they must be deterministic (the walk changes which rows they
+      // see) — same reason the predicates must be
+      if s.child.collect { case p: Project => p }
+        .forall(_.projectList.forall(_.deterministic))
       // predicates must be deterministic metadata-only: a predicate on
       // the id or the vector bytes is not a metadata filter, and a
       // nondeterministic one must not evaluate on a different row set
@@ -192,37 +203,59 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         predOpt.map(_ => ", filtered").getOrElse("") + s") from $path")
       val hits = graft.search.Hnsw.searchIndex(
         enriched, Seq(("q", qv)), k, ef, idCol, predOpt)
-      val ordered = hits
+      val walk = hits
         .orderBy(col("similarity").desc, col(idCol))
         .limit(k)
-      val served = simName match {
-        case Some(n) =>
-          // the walk RANKS, but the served similarity value is the
-          // user's exact expression recomputed over the k base rows
-          // (pgvector's contract: the index orders, the SELECT list
-          // evaluates on the heap tuple) — the graph's normalized-dot
-          // score differs from the exact cosine in low bits and must
-          // not surface under the user's alias
-          val walk = ordered.select(col(idCol),
-            col("similarity").as(WalkSimCol))
-          base.select(col(idCol), col("vector"))
-            .join(org.apache.spark.sql.functions.broadcast(walk), idCol)
-            .withColumn(n, graft.search.VectorSearch.cosine(col("vector"),
-              org.apache.spark.sql.functions.lit(qv)))
-            .orderBy(col(WalkSimCol).desc, col(idCol))
-            .select(col(idCol), col(n))
-        case None => ordered.select(col(idCol))
-      }
+        .select(col(idCol), col("similarity").as(WalkSimCol))
+      // the walk RANKS; every value the user selected is computed over
+      // the k base rows fetched by a broadcast join (pgvector's
+      // contract: the index orders, the SELECT list evaluates on the
+      // heap tuple) — the graph's normalized-dot score differs from
+      // the exact cosine in low bits and never surfaces
+      val kRows = base
+        .join(org.apache.spark.sql.functions.broadcast(walk), idCol)
       // splice the OPTIMIZED inner plan: the main optimizer batches ran
       // before this rule, so an analyzed subtree would reach physical
-      // planning with un-eliminated analysis artifacts (join hints) and
-      // without column pruning; nested optimization is bounded — this
-      // rule cannot re-fire on the spliced shape (no cosine sort key)
-      val newPlan = served.queryExecution.optimizedPlan
-      // id-preserving splice: parents reference the original exprIds
-      val byName = newPlan.output.map(a => a.name -> a).toMap
-      Project(gl.output.map(a =>
-        Alias(byName(a.name), a.name)(exprId = a.exprId)), newPlan)
+      // planning with un-eliminated analysis artifacts (join hints);
+      // nested optimization is bounded — this rule cannot re-fire on
+      // the spliced shape (no cosine sort key). Analysis may have
+      // deduplicated the base relation's exprIds (it appears in the
+      // walk's metadata join too), so rebind the leaf's attributes BY
+      // NAME — unique within one parquet relation — back onto their
+      // original exprIds, and surface the walk score alongside.
+      val kOpt = kRows.queryExecution.optimizedPlan
+      val kByName = kOpt.output.map(a => a.name -> a).toMap
+      val walkAttr = {
+        val src = kByName(WalkSimCol)
+        Alias(src, WalkSimCol)()
+      }
+      val kPlan = Project(
+        leaf.output.map(a => Alias(kByName(a.name), a.name)(
+          exprId = a.exprId)) :+ walkAttr, kOpt)
+      val walkRef = kPlan.output.find(_.name == WalkSimCol).get
+      val idAttr = leaf.output.find(_.name == idCol).get
+      // re-apply the user's own Project/Filter chain over the k rows,
+      // threading the walk score (and the id tie-break) through every
+      // Project so the final ordering can reference them
+      def rebuild(p: LogicalPlan): LogicalPlan = p match {
+        case pr: Project =>
+          val extra = Seq(walkRef, idAttr).filterNot(a =>
+            pr.projectList.exists(_.exprId == a.exprId))
+          Project(pr.projectList ++ extra, rebuild(pr.child))
+        case f: Filter => Filter(f.condition, rebuild(f.child))
+        case l if l eq leaf => kPlan
+        case other => other // unreachable: shapeOf admitted the chain
+      }
+      val rebuilt = rebuild(s.child)
+      val sorted = Sort(Seq(
+        SortOrder(walkRef, Descending),
+        SortOrder(idAttr, org.apache.spark.sql.catalyst.expressions
+          .Ascending)), global = true, rebuilt)
+      val limited = GlobalLimit(Literal(k),
+        LocalLimit(Literal(k), sorted))
+      // original exprIds flow through untouched (the chain reuses the
+      // user's own NamedExpressions), so parents resolve unchanged
+      Project(gl.output, limited)
     }
   }
 }

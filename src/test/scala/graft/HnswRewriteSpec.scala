@@ -159,18 +159,46 @@ class HnswRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally confOff()
   }
 
+  test("wide output serves from the walk: the user's projections " +
+      "re-evaluate over the k joined base rows") {
+    // the reference's REAL serving shape: id + metadata + score
+    confOn(ef = n)
+    try {
+      spark.read.parquet(basePath).createOrReplaceTempView("emb")
+      def wide() = spark.sql(
+        """SELECT fragment_id, grp, upper(fragment_id) AS fid_up,
+          |  vector_cosine(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+          |FROM emb WHERE grp = 0
+          |ORDER BY sim DESC, fragment_id LIMIT 5""".stripMargin)
+      val df = wide()
+      assert(walked(df), s"wide output should now serve from the walk:\n" +
+        df.queryExecution.executedPlan)
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+      confOff()
+      val exact = wide().collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSeq
+      assert(got == exact,
+        "wide-served rows must equal the exact query bit-for-bit at ef>=n")
+    } finally confOff()
+  }
+
   test("unservable shapes fall back to the exact scan untouched") {
     confOn(ef = n)
     try {
-      // extra output column the walk cannot produce
       spark.read.parquet(basePath).createOrReplaceTempView("emb")
-      val wide = spark.sql(
-        """SELECT fragment_id, grp,
+      // nondeterministic projections must not re-evaluate over a
+      // different row set
+      val nondet = spark.sql(
+        """SELECT fragment_id, rand() AS r,
           |  vector_cosine(vector,
           |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
           |FROM emb ORDER BY sim DESC, fragment_id LIMIT 5""".stripMargin)
-      assert(!walked(wide), "wide output must fall back")
-      assert(wide.collect().length == 5)
+      assert(!walked(nondet), "nondeterministic projection must fall back")
+      assert(nondet.collect().length == 5)
       // predicate on the id column is not a metadata filter
       val onId = sql("WHERE fragment_id != 'frag00'", 5)
       assert(!walked(onId), "id predicate must fall back")
