@@ -18,8 +18,11 @@ import scala.collection.mutable
   * shared [[CcittG4]] coder). Symbol dictionaries: arithmetic (§6.5)
   * AND Huffman-coded (SDHUFF — Annex-B standard tables, per-class
   * collective bitmaps uncompressed or MMR, §6.5.9). Text regions:
-  * arithmetic, untransposed. Refinement/aggregate coding, custom
-  * Huffman tables, and Huffman TEXT regions degrade to the honest
+  * arithmetic AND Huffman (SBHUFF — FS/DS/DT via referred CUSTOM
+  * code-table segments, type 53 / Annex B.2, plus the inline runcode
+  * symbol-ID tables of 7.4.3.1.7), untransposed. Refinement/aggregate
+  * coding, custom tables for DICTIONARIES, and standard-table
+  * selections in Huffman TEXT regions degrade to the honest
   * `undecoded` label, never a guess.
   *
   * Both directions are implemented — the encoder produces fixtures whose
@@ -561,6 +564,86 @@ object Jbig2 {
       byCode.collectFirst { case ((c, l), i) if i == idx => (c, l) }.get
   }
 
+  /** A CUSTOM code table in the on-wire form of a type-53 segment
+    * (T.88 B.2.1): consecutive value ranges from `htLow` to `htHigh`,
+    * each line a (prefix length, range length) pair, plus the
+    * lower/upper 32-bit range prefixes and an optional OOB prefix.
+    * ONE spec builds BOTH the segment bytes and the assigned
+    * [[HuffTable]], so encoder and decoder cannot drift. */
+  private[sources] final case class CodeTableSpec(htLow: Int, htHigh: Int,
+      ranges: Seq[(Int, Int)], lowerPref: Int, upperPref: Int,
+      oobPref: Int = 0) {
+    def table: HuffTable = {
+      val lines = mutable.ArrayBuffer.empty[HuffLine]
+      var low = htLow
+      ranges.foreach { case (p, rl) =>
+        lines += HuffLine(p, rl, low)
+        low += (1 << rl)
+      }
+      lines += HuffLine(lowerPref, 32, htLow - 1, lower = true)
+      lines += HuffLine(upperPref, 32, htHigh)
+      new HuffTable(lines.toSeq, oobPref)
+    }
+
+    /** Segment DATA bytes (flags, HTLOW, HTHIGH, bit-packed lines). */
+    def segmentData: Array[Byte] = {
+      val htps = ranges.map(_._1).max max lowerPref max upperPref max
+        oobPref
+      val htrs = ranges.map(_._2).max max 1
+      def bitsFor(v: Int): Int =
+        math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, v)))
+      val ps = bitsFor(htps)
+      val rs = bitsFor(htrs)
+      val b = mutable.ArrayBuffer.empty[Byte]
+      b += (((if (oobPref > 0) 1 else 0) | ((ps - 1) << 1) |
+        ((rs - 1) << 4)) & 0xFF).toByte
+      be32(b, htLow.toLong & 0xFFFFFFFFL)
+      be32(b, htHigh.toLong & 0xFFFFFFFFL)
+      val w = new BitWr
+      ranges.foreach { case (p, rl) => w.bits(p, ps); w.bits(rl, rs) }
+      w.bits(lowerPref, ps)
+      w.bits(upperPref, ps)
+      if (oobPref > 0) w.bits(oobPref, ps)
+      b ++= w.result()
+      b.toArray
+    }
+  }
+
+  /** Parse a type-53 code-table segment's data into an assigned table
+    * (B.2.1). Line order for canonical assignment = on-wire order:
+    * ranges low→high, then lower, upper, OOB. */
+  private[sources] def decodeCodeTable(data: Array[Byte], start: Int,
+      end: Int): Option[HuffTable] = try {
+    if (end - start < 9) return None
+    val flags = data(start) & 0xFF
+    val oob = (flags & 1) != 0
+    val ps = ((flags >> 1) & 7) + 1
+    val rs = ((flags >> 4) & 7) + 1
+    def i32(p: Int): Int =
+      ((data(p) & 0xFF) << 24) | ((data(p + 1) & 0xFF) << 16) |
+        ((data(p + 2) & 0xFF) << 8) | (data(p + 3) & 0xFF)
+    val htLow = i32(start + 1)
+    val htHigh = i32(start + 5)
+    if (htLow >= htHigh) return None
+    val br = new BitRd(data, start + 9, end)
+    val lines = mutable.ArrayBuffer.empty[HuffLine]
+    var low = htLow.toLong
+    var n = 0
+    while (low < htHigh) {
+      val p = br.bits(ps).toInt
+      val rl = br.bits(rs).toInt
+      if (rl > 31) return None
+      lines += HuffLine(p, rl, low.toInt)
+      low += (1L << rl)
+      n += 1
+      if (n > 1024) return None // hostile line-count bound
+    }
+    lines += HuffLine(br.bits(ps).toInt, 32, htLow - 1, lower = true)
+    lines += HuffLine(br.bits(ps).toInt, 32, htHigh)
+    val oobPref = if (oob) br.bits(ps).toInt else 0
+    Some(new HuffTable(lines.toSeq, oobPref))
+  } catch { case _: IllegalStateException => None }
+
   // Standard tables (T.88 Annex B): B.1 sizes/run-lengths, B.2/B.3 the
   // DW deltas (B.3 signed with OOB), B.4/B.5 the DH deltas.
   private[sources] val TableB1 = new HuffTable(Seq(
@@ -893,9 +976,24 @@ object Jbig2 {
   /** Decode an arithmetic text region's data (after the 17-byte region
     * info): flags, instance loop over strips, symbols drawn with OR.
     * Huffman/refinement/transposed variants are out of scope → None. */
+  /** The per-instance reads of the text-region loop — ONE placement
+    * loop ([[runTextLoop]]) serves both coding organizations through
+    * this seam (arithmetic Annex-A contexts vs Annex-B prefix codes),
+    * so the geometry semantics cannot drift between them. `ds` returns
+    * Some(None) at a strip's end (IADS OOB / DS-table OOB). */
+  private trait TextReaders {
+    def dt(): Option[Int]
+    def fs(): Option[Int]
+    def ds(): Option[Option[Int]]
+    def curT(): Option[Int]
+    def id(): Option[Int]
+  }
+
   private[sources] def decodeTextRegion(data: Array[Byte], start: Int,
       end: Int, w: Int, h: Int,
-      syms: IndexedSeq[Array[Array[Boolean]]]): Option[Array[Array[Boolean]]] = {
+      syms: IndexedSeq[Array[Array[Boolean]]],
+      tables: IndexedSeq[HuffTable] = IndexedSeq.empty)
+      : Option[Array[Array[Boolean]]] = {
     if (syms.isEmpty || end - start < 2 + 4) return None
     val r = new Reader(data)
     r.p = start
@@ -909,8 +1007,11 @@ object Jbig2 {
     val defPixel = (flags & 0x200) != 0
     var dsOffset = (flags >> 10) & 0x1F
     if (dsOffset > 15) dsOffset -= 32 // signed 5-bit
-    if (sbhuff || refine || transposed || combOp != 0 || defPixel)
+    if (refine || transposed || combOp != 0 || defPixel)
       return None
+    if (sbhuff)
+      return decodeTextRegionHuff(data, r, end, w, h, syms, tables,
+        logStrips, refCorner, dsOffset)
     val numInstances = r.u32()
     if (numInstances > (1 << 20)) return None
     val strips = 1 << logStrips
@@ -922,6 +1023,26 @@ object Jbig2 {
     val iads = new IntCtx
     val iait = new IntCtx
     val iaid = new IdCtx(symCodeLen)
+    val readers = new TextReaders {
+      def dt(): Option[Int] = decodeInt(dec, iadt)
+      def fs(): Option[Int] = decodeInt(dec, iafs)
+      def ds(): Option[Option[Int]] = Some(decodeInt(dec, iads))
+      def curT(): Option[Int] =
+        if (strips == 1) Some(0) else decodeInt(dec, iait)
+      def id(): Option[Int] = Some(decodeId(dec, iaid))
+    }
+    runTextLoop(w, h, syms, numInstances.toInt, strips, dsOffset,
+      refCorner, readers)
+  }
+
+  /** Shared placement loop (T.88 6.4.5, untransposed): strips advance
+    * by DT×strips, FIRSTS accumulates FS deltas, in-strip S advances by
+    * DS + dsOffset, each instance draws its symbol OR-wise under the
+    * reference corner. Draw work is budgeted against hostile streams. */
+  private def runTextLoop(w: Int, h: Int,
+      syms: IndexedSeq[Array[Array[Boolean]]], numInstances: Int,
+      strips: Int, dsOffset: Int, refCorner: Int,
+      rd: TextReaders): Option[Array[Array[Boolean]]] = {
     val out = Array.ofDim[Boolean](h, w)
     // CPU bound, not just memory: 2^20 instances of a 16-Mpx symbol is
     // ~10^13 pixel visits from one small stream. Generous for any real
@@ -945,32 +1066,30 @@ object Jbig2 {
       }
       true
     }
-    var stripT = -decodeInt(dec, iadt).getOrElse(return None) * strips
+    var stripT = -rd.dt().getOrElse(return None) * strips
     var firstS = 0
     var ninst = 0
     var guard = 0
-    while (ninst < numInstances.toInt && guard < (1 << 22)) {
-      val dt = decodeInt(dec, iadt).getOrElse(return None)
+    while (ninst < numInstances && guard < (1 << 22)) {
+      val dt = rd.dt().getOrElse(return None)
       stripT += dt * strips
       var stripDone = false
       var first = true
       var curS = 0
-      while (!stripDone && ninst < numInstances.toInt) {
+      while (!stripDone && ninst < numInstances) {
         if (first) {
-          val dfs = decodeInt(dec, iafs).getOrElse(return None)
+          val dfs = rd.fs().getOrElse(return None)
           firstS += dfs
           curS = firstS
           first = false
-        } else decodeInt(dec, iads) match {
+        } else rd.ds().getOrElse(return None) match {
           case None => stripDone = true
           case Some(ids) => curS += ids + dsOffset
         }
         if (!stripDone) {
-          val curT =
-            if (strips == 1) 0
-            else decodeInt(dec, iait).getOrElse(return None)
+          val curT = rd.curT().getOrElse(return None)
           val t = stripT + curT
-          val id = decodeId(dec, iaid)
+          val id = rd.id().getOrElse(return None)
           if (id < 0 || id >= syms.length) return None
           val wi = syms(id)(0).length
           val hi = syms(id).length
@@ -988,8 +1107,80 @@ object Jbig2 {
       }
       guard += 1
     }
-    if (ninst < numInstances.toInt) None else Some(out)
+    if (ninst < numInstances) None else Some(out)
   }
+
+  /** HUFFMAN text region (SBHUFF = 1, 7.4.3): FS/DS/DT via CUSTOM
+    * referred code tables (selection 3 in the Huffman flags — the
+    * in-stream Annex-B.2 form; standard-table selections degrade
+    * honestly), symbol IDs via the inline runcode mechanism
+    * (7.4.3.1.7): 35 four-bit runcode lengths build a runcode prefix
+    * table that decodes per-symbol code lengths (32 = repeat previous
+    * 3+2bits, 33 = 3+3bits zeros, 34 = 11+7bits zeros), and the symbol
+    * table assigns canonically from those lengths. CURT reads raw
+    * log2(strips) bits. `r.p` sits just past the 16-bit region flags.
+    */
+  private def decodeTextRegionHuff(data: Array[Byte], r: Reader,
+      end: Int, w: Int, h: Int,
+      syms: IndexedSeq[Array[Array[Boolean]]],
+      tables: IndexedSeq[HuffTable], logStrips: Int, refCorner: Int,
+      dsOffset: Int): Option[Array[Array[Boolean]]] = try {
+    if (end - r.p < 2 + 4) return None
+    val hflags = r.u16()
+    val fsSel = hflags & 3
+    val dsSel = (hflags >> 2) & 3
+    val dtSel = (hflags >> 4) & 3
+    // custom tables only (the reference corpus shape we emit); the
+    // refinement selections (bits 6-14) are irrelevant with REFINE = 0
+    if (fsSel != 3 || dsSel != 3 || dtSel != 3) return None
+    if (tables.length < 3) return None
+    val Seq(tFs, tDs, tDt) = tables.take(3).toSeq
+    val numInstances = r.u32()
+    if (numInstances > (1 << 20)) return None
+    val strips = 1 << logStrips
+    val br = new BitRd(data, r.p, end)
+    // symbol ID code lengths via the runcode table
+    val runLens = Array.fill(35)(br.bits(4).toInt)
+    val runTable = new HuffTable(
+      runLens.toIndexedSeq.map(l => HuffLine(l, 0, 0)).zipWithIndex
+        .map { case (hl, i) => hl.copy(rangeLow = i) })
+    val symLens = new Array[Int](syms.length)
+    var i = 0
+    var prev = 0
+    while (i < symLens.length) {
+      val c = runTable.decode(br).flatten.getOrElse(return None)
+      c match {
+        case v if v <= 31 => symLens(i) = v; prev = v; i += 1
+        case 32 =>
+          val n = 3 + br.bits(2).toInt
+          if (i + n > symLens.length) return None
+          (0 until n).foreach { j => symLens(i + j) = prev }; i += n
+        case 33 =>
+          val n = 3 + br.bits(3).toInt
+          if (i + n > symLens.length) return None
+          i += n // zeros
+        case 34 =>
+          val n = 11 + br.bits(7).toInt
+          if (i + n > symLens.length) return None
+          i += n // zeros
+        case _ => return None
+      }
+    }
+    val symTable = new HuffTable(
+      symLens.toIndexedSeq.zipWithIndex.map { case (l, j) =>
+        HuffLine(l, 0, j)
+      })
+    val readers = new TextReaders {
+      def dt(): Option[Int] = tDt.decode(br).flatten
+      def fs(): Option[Int] = tFs.decode(br).flatten
+      def ds(): Option[Option[Int]] = tDs.decode(br)
+      def curT(): Option[Int] =
+        if (strips == 1) Some(0) else Some(br.bits(logStrips).toInt)
+      def id(): Option[Int] = symTable.decode(br).flatten
+    }
+    runTextLoop(w, h, syms, numInstances.toInt, strips, dsOffset,
+      refCorner, readers)
+  } catch { case _: IllegalStateException => None } // bit overrun
 
   /** Encode a text region's data (flags + count + arithmetic stream) for
     * instances referencing `syms` ids; TOPLEFT corner, one-row strips. */
@@ -1029,6 +1220,72 @@ object Jbig2 {
       encodeInt(enc, iads, None) // end of strip
     }
     b ++= enc.flush()
+    b.toArray
+  }
+
+  /** The custom code tables [[encodeTextRegionHuff]] emits as type-53
+    * segments: one-line tables whose single prefix bit is followed by a
+    * fixed-width offset — simple, conformant, and generous enough for
+    * any fixture geometry. DS carries the OOB the strip loop needs. */
+  private[sources] val TextFsSpec =
+    CodeTableSpec(-4096, 4096, Seq((1, 13)), lowerPref = 3, upperPref = 3)
+  private[sources] val TextDsSpec =
+    CodeTableSpec(-4096, 4096, Seq((1, 13)), lowerPref = 3, upperPref = 3,
+      oobPref = 2)
+  private[sources] val TextDtSpec =
+    CodeTableSpec(0, 4096, Seq((1, 12)), lowerPref = 3, upperPref = 3)
+
+  /** Encode a HUFFMAN text region's data (flags + Huffman flags with
+    * custom-table selections + count + bit-packed stream): fixed-length
+    * symbol ID codes signalled through the runcode mechanism, FS/DS/DT
+    * through [[TextFsSpec]]/[[TextDsSpec]]/[[TextDtSpec]] — the twin of
+    * [[decodeTextRegionHuff]]. TOPLEFT corner, one-row strips. */
+  private[sources] def encodeTextRegionHuff(w: Int, h: Int,
+      instances: Seq[TextInstance],
+      syms: IndexedSeq[Array[Array[Boolean]]]): Array[Byte] = {
+    val b = mutable.ArrayBuffer.empty[Byte]
+    val flags = 1 | (1 << 4) // SBHUFF, TOPLEFT; LOGSBSTRIPS=0
+    b += ((flags >> 8) & 0xFF).toByte
+    b += (flags & 0xFF).toByte
+    val hflags = 3 | (3 << 2) | (3 << 4) // FS/DS/DT custom tables
+    b += ((hflags >> 8) & 0xFF).toByte
+    b += (hflags & 0xFF).toByte
+    be32(b, instances.length)
+    val wr = new BitWr
+    // runcodes: every symbol gets the same fixed code length, signalled
+    // as one direct runcode per symbol; only that runcode has a nonzero
+    // (1-bit) length, so each signal costs a single bit
+    val symCodeLen = math.max(1,
+      32 - Integer.numberOfLeadingZeros(math.max(1, syms.length - 1)))
+    (0 until 35).foreach(c =>
+      wr.bits(if (c == symCodeLen) 1 else 0, 4))
+    syms.indices.foreach(_ => wr.bit(0)) // runcode "0" = symCodeLen
+    val symTable = new HuffTable(syms.indices
+      .map(j => HuffLine(symCodeLen, 0, j)))
+    val tFs = TextFsSpec.table
+    val tDs = TextDsSpec.table
+    val tDt = TextDtSpec.table
+    tDt.encode(wr, 0) // STRIPT starts at 0
+    var stripT = 0
+    var firstS = 0
+    instances.groupBy(_.y).toSeq.sortBy(_._1).foreach { case (y, insts) =>
+      tDt.encode(wr, y - stripT)
+      stripT = y
+      var curS = 0
+      var first = true
+      insts.sortBy(_.x).foreach { inst =>
+        if (first) {
+          tFs.encode(wr, inst.x - firstS)
+          firstS = inst.x
+          curS = inst.x
+          first = false
+        } else tDs.encode(wr, inst.x - curS)
+        symTable.encode(wr, inst.id)
+        curS = inst.x + syms(inst.id)(0).length - 1
+      }
+      tDs.encodeOob(wr) // end of strip
+    }
+    b ++= wr.result()
     b.toArray
   }
 
@@ -1096,7 +1353,8 @@ object Jbig2 {
   def encodeTextDocument(pageW: Int, pageH: Int,
       syms: IndexedSeq[Array[Array[Boolean]]],
       instances: Seq[TextInstance],
-      huffDict: Boolean = false, dictMmr: Boolean = false): Array[Byte] = {
+      huffDict: Boolean = false, dictMmr: Boolean = false,
+      huffText: Boolean = false): Array[Byte] = {
     require(pageW > 0 && pageH > 0 && syms.nonEmpty)
     val b = mutable.ArrayBuffer.empty[Byte]
     def header(num: Int, tpe: Int, dataLen: Int,
@@ -1116,12 +1374,24 @@ object Jbig2 {
       else encodeSymbolDict(syms)
     header(2, 0, dict.length)
     b ++= dict
-    val tr = encodeTextRegion(pageW, pageH, instances, syms)
-    header(3, 6, 17 + tr.length, refs = Seq(2))
+    val (tr, trRefs) =
+      if (huffText) {
+        // custom FS/DS/DT code tables ride as type-53 segments; the
+        // text region refers to them in assignment order after the dict
+        Seq(TextFsSpec, TextDsSpec, TextDtSpec).zipWithIndex.foreach {
+          case (spec, i) =>
+            val td = spec.segmentData
+            header(3 + i, 53, td.length)
+            b ++= td
+        }
+        (encodeTextRegionHuff(pageW, pageH, instances, syms),
+          Seq(2, 3, 4, 5))
+      } else (encodeTextRegion(pageW, pageH, instances, syms), Seq(2))
+    header(trRefs.max + 1, 6, 17 + tr.length, refs = trRefs)
     be32(b, pageW); be32(b, pageH); be32(b, 0); be32(b, 0)
     b += 0x00 // external combination operator OR
     b ++= tr
-    header(4, 49, 0)
+    header(trRefs.max + 2, 49, 0)
     b.toArray
   }
 
@@ -1192,6 +1462,7 @@ object Jbig2 {
       val regions = mutable.ArrayBuffer.empty[(Int, Int, Array[Array[Boolean]])]
       val symbolDicts =
         mutable.Map.empty[Long, IndexedSeq[Array[Array[Boolean]]]]
+      val codeTables = mutable.Map.empty[Long, HuffTable]
       // identity set of symbol bitmaps already charged to pixelBudget
       val debited = java.util.Collections.newSetFromMap(
         new java.util.IdentityHashMap[Array[Array[Boolean]], java.lang.Boolean]())
@@ -1261,6 +1532,10 @@ object Jbig2 {
                     }
                   }
                 }
+                if (seg.tpe == 53) { // code table (Annex B.2 custom)
+                  decodeCodeTable(all, seg.dataStart, end)
+                    .foreach(t => codeTables(seg.number) = t)
+                }
                 if (seg.tpe == 6 || seg.tpe == 7) { // immediate text region
                   val rr = new Reader(all)
                   rr.p = seg.dataStart
@@ -1269,13 +1544,16 @@ object Jbig2 {
                     val x = rr.u32(); val y = rr.u32()
                     rr.u8() // external combination operator
                     val syms = referredSyms().getOrElse(IndexedSeq.empty)
+                    // referred code tables, in referred order — a
+                    // Huffman region assigns FS, DS, DT from them
+                    val tabs = seg.refs.flatMap(codeTables.get).toIndexedSeq
                     val ok = syms.nonEmpty && w > 0 && h > 0 &&
                       w <= (1 << 16) && h <= (1 << 16) &&
                       w * h <= pixelBudget &&
                       x + w <= (1 << 16) && y + h <= (1 << 16)
                     if (ok) {
                       decodeTextRegion(all, rr.p, end, w.toInt, h.toInt,
-                        syms).foreach { rows =>
+                        syms, tabs).foreach { rows =>
                         pixelBudget -= w * h
                         regions += ((x.toInt, y.toInt, rows))
                       }

@@ -1168,17 +1168,19 @@ object PdfWriter {
                     jb2TextInstances(m)))
               case 1 => jbig2Stub(m)
               case 2 => jpxStub(m)
-              case _ => // HUFFMAN-dictionary symbol-coded doc (SDHUFF):
-                // the fax-lineage producer organization; collective
-                // bitmaps alternate uncompressed / MMR by seed, and the
-                // shifted seed keeps its ink distinct from Im0's
+              case _ => // FULLY-HUFFMAN symbol-coded doc (SDHUFF
+                // dictionary + SBHUFF text region with custom type-53
+                // code tables): the fax-lineage producer organization;
+                // collective bitmaps alternate uncompressed / MMR by
+                // seed, and the shifted seed keeps its ink distinct
                 val mh = (m + 7) % 30
                 val (iw, ih) = jb2TextDims(mh)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 1, "JBIG2Decode",
                   "", Jbig2.encodeTextDocument(iw, ih,
                     (0 until jb2NumSyms(mh)).map(jb2Glyph),
                     jb2TextInstances(mh),
-                    huffDict = true, dictMmr = m % 2 == 0))
+                    huffDict = true, dictMmr = m % 2 == 0,
+                    huffText = true))
             }
           } else if (jbig2Seed.isDefined) {
             val m = jbig2Seed.get

@@ -215,6 +215,69 @@ class Jbig2TextSpec extends AnyFunSuite {
     }
   }
 
+  test("custom code-table segments (type 53) round-trip their tables") {
+    import Jbig2.{BitRd, BitWr}
+    for (spec <- Seq(Jbig2.TextFsSpec, Jbig2.TextDsSpec, Jbig2.TextDtSpec)) {
+      val bytes = spec.segmentData
+      val parsed = Jbig2.decodeCodeTable(bytes, 0, bytes.length)
+        .getOrElse(fail("code table segment did not parse"))
+      val built = spec.table
+      // the parsed table must decode exactly what the built one encodes
+      val vals = Seq(spec.htLow, spec.htLow + 1, 0, 37, spec.htHigh - 1)
+        .filter(v => v >= spec.htLow && v < spec.htHigh)
+      val w = new BitWr
+      vals.foreach(built.encode(w, _))
+      if (spec.oobPref > 0) built.encodeOob(w)
+      val out = w.result()
+      val r = new BitRd(out, 0, out.length)
+      vals.foreach(v => assert(parsed.decode(r) == Some(Some(v)), s"v=$v"))
+      if (spec.oobPref > 0) assert(parsed.decode(r) == Some(None))
+    }
+  }
+
+  test("fully-Huffman document (SDHUFF dict + SBHUFF text region with " +
+      "custom tables) ≡ arithmetic form") {
+    for (m <- 0 until 8; mmr <- Seq(false, true)) {
+      val syms = (0 until PdfWriter.jb2NumSyms(m)).map(PdfWriter.jb2Glyph)
+      val inst = PdfWriter.jb2TextInstances(m)
+      val (w, h) = PdfWriter.jb2TextDims(m)
+      val huff = Jbig2.decode(Jbig2.encodeTextDocument(w, h,
+        syms.toIndexedSeq, inst, huffDict = true, dictMmr = mmr,
+        huffText = true))
+        .getOrElse(fail(s"fully-huff doc m=$m mmr=$mmr failed"))
+      val arith = Jbig2.decode(Jbig2.encodeTextDocument(w, h,
+        syms.toIndexedSeq, inst)).getOrElse(fail(s"arith doc m=$m failed"))
+      assert(huff.width == arith.width && huff.height == arith.height)
+      assert(huff.blackCount == arith.blackCount,
+        s"m=$m mmr=$mmr ink differs")
+    }
+  }
+
+  test("hostile fully-Huffman documents degrade, never throw; " +
+      "standard-table selections degrade honestly") {
+    val syms = (0 until 3).map(glyph)
+    val inst = Seq(Jbig2.TextInstance(0, 0, 0), Jbig2.TextInstance(2, 10, 2))
+    val doc = Jbig2.encodeTextDocument(40, 12, syms, inst,
+      huffDict = true, huffText = true)
+    assert(Jbig2.decode(doc).isDefined)
+    (0 until doc.length by 3).foreach(n => Jbig2.decode(doc.take(n)))
+    (0 until doc.length by 2).foreach { i =>
+      val mut = doc.clone(); mut(i) = (mut(i) ^ 0x77).toByte
+      Jbig2.decode(mut) // bounded, no throw
+    }
+    // a text region selecting STANDARD tables (sel 0) must degrade to
+    // None rather than guess: flip the Huffman-flags selections
+    val tr = Jbig2.encodeTextRegionHuff(40, 12, inst, syms)
+    val std = tr.clone()
+    std(3) = 0 // low byte of the huffman flags: FS/DS/DT sel -> 0
+    assert(Jbig2.decodeTextRegion(std, 0, std.length, 40, 12, syms,
+      IndexedSeq(Jbig2.TextFsSpec.table, Jbig2.TextDsSpec.table,
+        Jbig2.TextDtSpec.table)).isEmpty)
+    // and a region whose table refs are missing degrades too
+    assert(Jbig2.decodeTextRegion(tr, 0, tr.length, 40, 12, syms,
+      IndexedSeq.empty).isEmpty)
+  }
+
   test("hostile Huffman dictionaries degrade to None, never throw") {
     val syms = (0 until 4).map(glyph)
     val dict = Jbig2.encodeSymbolDictHuff(syms)
