@@ -1170,6 +1170,10 @@ object Jbig2 {
       symLens.toIndexedSeq.zipWithIndex.map { case (l, j) =>
         HuffLine(l, 0, j)
       })
+    // 7.4.3.1.7 final step: skip the remaining bits of the last byte —
+    // conformant encoders pad the symbol-ID length section to a byte
+    // boundary before the instance stream begins
+    br.align()
     val readers = new TextReaders {
       def dt(): Option[Int] = tDt.decode(br).flatten
       def fs(): Option[Int] = tFs.decode(br).flatten
@@ -1260,6 +1264,7 @@ object Jbig2 {
     (0 until 35).foreach(c =>
       wr.bits(if (c == symCodeLen) 1 else 0, 4))
     syms.indices.foreach(_ => wr.bit(0)) // runcode "0" = symCodeLen
+    wr.align() // 7.4.3.1.7: the length section pads to a byte boundary
     val symTable = new HuffTable(syms.indices
       .map(j => HuffLine(symCodeLen, 0, j)))
     val tFs = TextFsSpec.table

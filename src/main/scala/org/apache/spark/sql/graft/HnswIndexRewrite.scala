@@ -79,13 +79,12 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The descending-cosine head sort key, resolved through a child
-    * Project's alias; returns the cosine and the alias name when the
-    * similarity is projected. Remaining sort keys must be the ascending
-    * id tie-break (or absent) — any other ordering is not what the walk
-    * merge produces, so the rewrite would change visible semantics.
+    * Project's alias. Remaining sort keys must be ascending attributes
+    * named like the id tie-break (or absent) — validated against the
+    * LEAF's actual attribute by exprId in [[rewrite]], since a
+    * projected alias that merely shares the name orders differently.
     */
-  private def cosineOf(s: Sort, idCol: String)
-      : Option[(VectorCosine, Option[String])] = {
+  private def cosineOf(s: Sort, idCol: String): Option[VectorCosine] = {
     val tailOk = s.order.tail.forall {
       case SortOrder(a: Attribute, dir, _, _) =>
         a.name == idCol && dir != Descending
@@ -93,12 +92,11 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (!tailOk) return None
     s.order.headOption.filter(_.direction == Descending).flatMap {
-      case SortOrder(c: VectorCosine, _, _, _) => Some((c, None))
+      case SortOrder(c: VectorCosine, _, _, _) => Some(c)
       case SortOrder(a: Attribute, _, _, _) =>
         s.child.collect { case p: Project => p }
           .flatMap(_.projectList.collectFirst {
-            case al @ Alias(c: VectorCosine, _) if al.exprId == a.exprId =>
-              (c, Some(al.name))
+            case al @ Alias(c: VectorCosine, _) if al.exprId == a.exprId => c
           })
           .headOption
       case _ => None
@@ -140,10 +138,17 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       ef: Int): Option[LogicalPlan] = {
     val idCol = "fragment_id"
     for {
-      (cos, simName) <- cosineOf(s, idCol)
+      cos <- cosineOf(s, idCol)
       qv <- queryVec(cos)
       (conds, leaf) <- shapeOf(s.child)
       if !leaf.isStreaming
+      // tie-break keys must be the LEAF's id attribute — a projected
+      // alias that merely shares the name orders by different values
+      if s.order.tail.forall {
+        case SortOrder(a: Attribute, _, _, _) =>
+          leaf.output.exists(_.exprId == a.exprId)
+        case _ => false
+      }
       // an embeddings-table leaf, not an IVF/HNSW index table (those
       // have their own access paths) and not our own spliced output
       if leaf.output.exists(a => a.name == idCol &&
@@ -151,6 +156,9 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       if leaf.output.exists(a => a.name == "vector" &&
         isFloatArray(a.dataType))
       if !leaf.output.exists(a => a.name == "list_id" || a.name == "links")
+      // the k-row rebind maps attributes by NAME (analysis may
+      // deduplicate exprIds) — only sound when leaf names are unique
+      if leaf.output.map(_.name).distinct.size == leaf.output.size
       // the ranked operand must BE the leaf's `vector` attribute — a
       // cosine over another column or a computed expression is not
       // what the persisted graph ranks by
@@ -206,13 +214,26 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val walk = hits
         .orderBy(col("similarity").desc, col(idCol))
         .limit(k)
-        .select(col(idCol), col("similarity").as(WalkSimCol))
-      // the walk RANKS; every value the user selected is computed over
-      // the k base rows fetched by a broadcast join (pgvector's
-      // contract: the index orders, the SELECT list evaluates on the
-      // heap tuple) — the graph's normalized-dot score differs from
-      // the exact cosine in low bits and never surfaces
-      val kRows = base
+        .select(col(idCol))
+      // the walk selects MEMBERSHIP only; every value the user asked
+      // for — including the final ordering key — is the user's exact
+      // expression computed over the k base rows fetched by a
+      // broadcast join (pgvector's contract: the index narrows, the
+      // SELECT list and ORDER BY evaluate on the heap tuple). Ordering
+      // by the walk's normalized-dot score instead would let displayed
+      // similarities appear out of order on near-ties.
+      // Column pruning is manual: this rule runs AFTER ColumnPruning,
+      // so the spliced scan must project only what the user's chain
+      // (plus the id and the ranked vector) actually references.
+      val idAttr = leaf.output.find(_.name == idCol).get
+      val vecAttr = leaf.output.find(_.name == "vector").get
+      val neededIds = (s.child.collect {
+        case p: Project => p.projectList.flatMap(_.references.toSeq)
+        case f: Filter => f.condition.references.toSeq
+      }.flatten.map(_.exprId) ++ gl.output.map(_.exprId) ++
+        Seq(idAttr.exprId, vecAttr.exprId)).toSet
+      val needed = leaf.output.filter(a => neededIds.contains(a.exprId))
+      val kRows = base.select(needed.map(a => col(a.name)): _*)
         .join(org.apache.spark.sql.functions.broadcast(walk), idCol)
       // splice the OPTIMIZED inner plan: the main optimizer batches ran
       // before this rule, so an analyzed subtree would reach physical
@@ -220,26 +241,25 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // nested optimization is bounded — this rule cannot re-fire on
       // the spliced shape (no cosine sort key). Analysis may have
       // deduplicated the base relation's exprIds (it appears in the
-      // walk's metadata join too), so rebind the leaf's attributes BY
+      // walk's metadata join too), so rebind the needed attributes BY
       // NAME — unique within one parquet relation — back onto their
-      // original exprIds, and surface the walk score alongside.
+      // original exprIds, and compute the user's EXACT cosine
+      // alongside as the final ordering key.
       val kOpt = kRows.queryExecution.optimizedPlan
       val kByName = kOpt.output.map(a => a.name -> a).toMap
-      val walkAttr = {
-        val src = kByName(WalkSimCol)
-        Alias(src, WalkSimCol)()
-      }
+      val exactSim = Alias(cos.transform {
+        case a: Attribute if a.exprId == vecAttr.exprId =>
+          kByName("vector")
+      }, ExactSimCol)()
       val kPlan = Project(
-        leaf.output.map(a => Alias(kByName(a.name), a.name)(
-          exprId = a.exprId)) :+ walkAttr, kOpt)
-      val walkRef = kPlan.output.find(_.name == WalkSimCol).get
-      val idAttr = leaf.output.find(_.name == idCol).get
+        needed.map(a => Alias(kByName(a.name), a.name)(
+          exprId = a.exprId)) :+ exactSim, kOpt)
+      val simRef = kPlan.output.find(_.name == ExactSimCol).get
       // re-apply the user's own Project/Filter chain over the k rows,
-      // threading the walk score (and the id tie-break) through every
-      // Project so the final ordering can reference them
+      // threading the ordering keys through every Project
       def rebuild(p: LogicalPlan): LogicalPlan = p match {
         case pr: Project =>
-          val extra = Seq(walkRef, idAttr).filterNot(a =>
+          val extra = Seq(simRef, idAttr).filterNot(a =>
             pr.projectList.exists(_.exprId == a.exprId))
           Project(pr.projectList ++ extra, rebuild(pr.child))
         case f: Filter => Filter(f.condition, rebuild(f.child))
@@ -248,7 +268,7 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val rebuilt = rebuild(s.child)
       val sorted = Sort(Seq(
-        SortOrder(walkRef, Descending),
+        SortOrder(simRef, Descending),
         SortOrder(idAttr, org.apache.spark.sql.catalyst.expressions
           .Ascending)), global = true, rebuilt)
       val limited = GlobalLimit(Literal(k),
@@ -267,5 +287,5 @@ object HnswIndexRewrite {
 
   private val MetaIdCol = "__graft_hnsw_meta_id"
   private val MetaCol = "__graft_hnsw_meta_"
-  private val WalkSimCol = "__graft_hnsw_walk_sim"
+  private val ExactSimCol = "__graft_hnsw_exact_sim"
 }

@@ -202,7 +202,13 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (p1(q)._2 > 0 && p5(q)._2 > 0)
             p5(q)._2.toDouble / p1(q)._2
           else 5.0
-        p5(q)._1 > 2.5 * math.max(5.0, rowsRatio) * p1(q)._1
+        // the output allowance is CEILINGED at 40× so the gate cannot
+        // forgive its own pathologies: v4's legitimate replica-pair
+        // growth is C(50,2)/C(10,2) ≈ 27× and fits; a duplicate-pair
+        // regression exploding output 100× (which no oracle checks at
+        // sf5) would otherwise relax the time bound to 250× and pass
+        p5(q)._1 > 2.5 * math.max(5.0, math.min(rowsRatio, 40.0)) *
+          p1(q)._1
       } =>
         f"$q: ${p1(q)._1}%.2f s → ${p5(q)._1}%.2f s " +
           f"(rows ${p1(q)._2} → ${p5(q)._2})"
