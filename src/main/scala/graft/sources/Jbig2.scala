@@ -201,6 +201,13 @@ object Jbig2 {
       }
     }
 
+    /** Bytes committed to the codeword so far. Monotone, and [[flush]]
+      * only appends past this point, so the finished stream sliced at
+      * two committed counts yields the bytes produced between them —
+      * [[Jpx]] uses these as Tier-1 pass-boundary marks when splitting
+      * a code-block's codeword across quality layers. */
+    def committed: Int = bp
+
     /** FLUSH (E.3.8): set the final bits, push out the last two bytes,
       * terminate with the 0xFF 0xAC marker pair. */
     def flush(): Array[Byte] = {

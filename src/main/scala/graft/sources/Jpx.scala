@@ -13,20 +13,30 @@ import scala.collection.mutable
   *
   * Scope (both directions): 8-bit components — grayscale or
   * multi-component up to 4, including RGB under either color transform
-  * (RCT, T.800 G.2, with 5/3; ICT, G.3, with 9/7) — single tile at the
-  * origin, BOTH wavelet pipelines: the reversible 5/3 with no
-  * quantization (lossless) and the irreversible 9/7 with scalar
-  * dead-zone quantization, derived or expounded (E.1) — the dominant
-  * wild form of archival lossy scans. Any number of decomposition
-  * levels, one quality layer, default precincts, EBCOT Tier-1 with the
-  * MQ arithmetic coder (the SAME Annex E coder as [[Jbig2]] — T.800 and
-  * T.88 share it; the Tier-1 contexts and pass structure here are T.800
-  * Annex D), tag-tree-coded packet headers (T.800 B.10), and both the
-  * raw codestream and the JP2 box wrapping. Subsampled / POC /
-  * precinct-partitioned streams are detected and rejected to None
-  * — the extractor's honest `undecoded` label, never a guess. The
-  * lossless path reconstructs exactly; the 9/7 path reconstructs within
-  * the quantizer's error band (JpxSpec pins a PSNR floor).
+  * (RCT, T.800 G.2, with 5/3; ICT, G.3, with 9/7) — BOTH wavelet
+  * pipelines: the reversible 5/3 with no quantization (lossless) and
+  * the irreversible 9/7 with scalar dead-zone quantization, derived or
+  * expounded (E.1) — the dominant wild form of archival lossy scans.
+  * TILED codestreams (the form large archival scans actually ship:
+  * XTsiz/YTsiz grid at origin 0, one tile-part per tile, each tile an
+  * independent DWT/Tier-1 domain; tile sizes must divide by 2^levels so
+  * tile-local band geometry is exactly the canvas-coordinate geometry),
+  * MULTIPLE quality layers (the real B.10 packet-header protocol:
+  * per-code-block inclusion tag trees escalating a layer at a time,
+  * persistent Lblock state, codeword segments concatenating across
+  * packets), and all five progression orders in the
+  * single-precinct-per-resolution case this codec emits and accepts
+  * (LRCP/RLCP/RPCL, plus the component-major PCRL/CPRL collapse). Any
+  * number of decomposition levels, default precincts, EBCOT Tier-1
+  * with the MQ arithmetic coder (the SAME Annex E coder as [[Jbig2]] —
+  * T.800 and T.88 share it; the Tier-1 contexts and pass structure
+  * here are T.800 Annex D), tag-tree-coded packet headers (T.800
+  * B.10), and both the raw codestream and the JP2 box wrapping.
+  * Subsampled / POC / precinct-partitioned streams are detected and
+  * rejected to None — the extractor's honest `undecoded` label, never
+  * a guess. The lossless path reconstructs exactly; the 9/7 path
+  * reconstructs within the quantizer's error band (JpxSpec pins a PSNR
+  * floor).
   *
   * The encoder exists to produce fixtures whose decoded geometry and ink
   * only a real Tier-1 + DWT decode can recover; the decoder is the
@@ -390,6 +400,13 @@ object Jpx {
       }
     }
 
+    /** Byte offset of the codeword after each completed pass — the
+      * encoder's MQ committed count, recorded so a multi-layer split
+      * can slice the codeword at pass boundaries. Decoder side these
+      * are zeros and unused. */
+    val passEnds = mutable.ArrayBuffer.empty[Int]
+    protected def committedBytes: Int = 0
+
     /** Run the pass sequence: cleanup-only on the first (most
       * significant) plane, then SPP/MRP/CP per plane, bounded by
       * `maxPasses` (truncated streams stop mid-plane). Returns the
@@ -398,12 +415,13 @@ object Jpx {
       var passes = 0
       var p = planes - 1
       var first = true
+      def endPass(): Unit = { passes += 1; passEnds += committedBytes }
       while (p >= 0 && passes < maxPasses) {
         if (!first) {
-          spp(p); passes += 1
-          if (passes < maxPasses) { mrp(p); passes += 1 }
+          spp(p); endPass()
+          if (passes < maxPasses) { mrp(p); endPass() }
         }
-        if (passes < maxPasses) { cleanup(p); passes += 1 }
+        if (passes < maxPasses) { cleanup(p); endPass() }
         java.util.Arrays.fill(vis, false)
         first = false
         p -= 1
@@ -419,6 +437,7 @@ object Jpx {
       mq.encode(cxs, cx, encBit)
       encBit
     }
+    override protected def committedBytes: Int = mq.committed
     def result(): Array[Byte] = mq.flush()
   }
 
@@ -775,6 +794,63 @@ object Jpx {
 
   private def log2floor(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
 
+  /** Packet iteration order (r, c, l) for the five T.800 progression
+    * orders (A.6.1) in the single-precinct-per-resolution case this
+    * codec emits and accepts: the precinct/position loop is a
+    * singleton, so LRCP/RLCP/RPCL differ only in where the layer loop
+    * sits, and PCRL/CPRL both collapse to the component-major order. */
+  private def packetSequence(levels: Int, nc: Int, layers: Int,
+      prog: Int): IndexedSeq[(Int, Int, Int)] = prog match {
+    case 0 => // layer-resolution-component-position
+      for (l <- 0 until layers; r <- 0 to levels; c <- 0 until nc)
+        yield (r, c, l)
+    case 1 => // resolution-layer-component-position
+      for (r <- 0 to levels; l <- 0 until layers; c <- 0 until nc)
+        yield (r, c, l)
+    case 2 => // resolution-position-component-layer
+      for (r <- 0 to levels; c <- 0 until nc; l <- 0 until layers)
+        yield (r, c, l)
+    case _ => // PCRL and CPRL collapse to component-major
+      for (c <- 0 until nc; r <- 0 to levels; l <- 0 until layers)
+        yield (r, c, l)
+  }
+
+  /** Row-major tile rectangles (x0, y0, tw, th) of a tileW×tileH grid
+    * anchored at the origin, clipped to the canvas (T.800 B.3 with
+    * XTOsiz = YTOsiz = 0). */
+  private def tileRects(w: Int, h: Int, tileW: Int, tileH: Int)
+      : IndexedSeq[(Int, Int, Int, Int)] = {
+    val tx = (w + tileW - 1) / tileW
+    val ty = (h + tileH - 1) / tileH
+    for (j <- 0 until ty; i <- 0 until tx) yield {
+      val x0 = i * tileW
+      val y0 = j * tileH
+      (x0, y0, math.min(tileW, w - x0), math.min(tileH, h - y0))
+    }
+  }
+
+  /** Validate layer/progression/tiling params; resolve 0 tile dims to
+    * the canvas (single tile). Tile dims must be multiples of 2^levels
+    * when they actually split the canvas: tile origins then stay even
+    * at every DWT level, so tile-local band geometry and sample parity
+    * equal the canvas-coordinate geometry T.800 B.5 defines. */
+  private def checkTiling(w: Int, h: Int, tileW: Int, tileH: Int,
+      levels: Int, layers: Int, prog: Int): (Int, Int) = {
+    require(layers >= 1 && layers <= 64, s"layers out of range: $layers")
+    require(prog >= 0 && prog <= 4, s"unknown progression order: $prog")
+    val tw = if (tileW <= 0) w else tileW
+    val th = if (tileH <= 0) h else tileH
+    if (tw < w) require(tw % (1 << levels) == 0,
+      s"tile width $tw must be a multiple of 2^$levels")
+    if (th < h) require(th % (1 << levels) == 0,
+      s"tile height $th must be a multiple of 2^$levels")
+    (tw, th)
+  }
+
+  /** One tile's coefficient planes (tile-local mallat layout). */
+  private final case class TilePlanes(tw: Int, th: Int,
+      planes: Array[Array[Int]])
+
   /** Encode one grayscale raster (values 0..255) as a raw codestream. */
   def encode(img: Array[Array[Int]], levels: Int = 2): Array[Byte] =
     encodeMulti(Seq(img), levels, rct = false)
@@ -784,19 +860,24 @@ object Jpx {
       b: Array[Array[Int]], levels: Int = 2): Array[Byte] =
     encodeMulti(Seq(r, g, b), levels, rct = true)
 
-  /** Multi-component codestream: each component carries its own packets
-    * (LRCP with one layer = resolution-major, component-minor order);
-    * `rct` applies the reversible color transform (T.800 G.2, 5/3-only)
-    * across exactly three same-sized components. */
+  /** Multi-component codestream; `rct` applies the reversible color
+    * transform (T.800 G.2, 5/3-only) across exactly three same-sized
+    * components. `layers` splits each code-block's coding passes across
+    * that many quality layers through the real B.10 packet protocol;
+    * `prog` picks the progression order (0=LRCP 1=RLCP 2=RPCL 3=PCRL
+    * 4=CPRL); `tileW`/`tileH` (0 = whole canvas) tile the image into an
+    * origin-anchored grid, each tile an independent DWT/Tier-1 domain. */
   def encodeMulti(comps: Seq[Array[Array[Int]]], levels: Int = 2,
-      rct: Boolean = false): Array[Byte] = {
+      rct: Boolean = false, layers: Int = 1, prog: Int = 0,
+      tileW: Int = 0, tileH: Int = 0): Array[Byte] = {
     require(comps.nonEmpty && (!rct || comps.length == 3))
     val h = comps.head.length
     val w = comps.head(0).length
     require(w > 0 && h > 0 && levels >= 0 && levels <= 6)
     require(comps.forall(c => c.length == h && c(0).length == w))
+    val (tw, th) = checkTiling(w, h, tileW, tileH, levels, layers, prog)
     val nc = comps.length
-    val planesArr = comps.map { img =>
+    val canvas = comps.map { img =>
       val a = new Array[Int](w * h)
       var y = 0
       while (y < h) {
@@ -806,21 +887,33 @@ object Jpx {
       }
       a
     }.toArray
-    if (rct) { // forward RCT on the shifted samples
+    if (rct) { // forward RCT on the shifted samples (per-pixel: tiling-safe)
       var i = 0
       val n = w * h
       while (i < n) {
-        val r0 = planesArr(0)(i); val g0 = planesArr(1)(i)
-        val b0 = planesArr(2)(i)
-        planesArr(0)(i) = (r0 + 2 * g0 + b0) >> 2
-        planesArr(1)(i) = b0 - g0
-        planesArr(2)(i) = r0 - g0
+        val r0 = canvas(0)(i); val g0 = canvas(1)(i)
+        val b0 = canvas(2)(i)
+        canvas(0)(i) = (r0 + 2 * g0 + b0) >> 2
+        canvas(1)(i) = b0 - g0
+        canvas(2)(i) = r0 - g0
         i += 1
       }
     }
-    planesArr.foreach(a => fdwt(a, w, h, levels))
-    encodeCore(planesArr, w, h, levels, nc, mct = if (rct) 1 else 0,
-      irrevQ = None)
+    val tiles = tileRects(w, h, tw, th).map { case (x0, y0, ctw, cth) =>
+      val planes = canvas.map { a =>
+        val s = new Array[Int](ctw * cth)
+        var y = 0
+        while (y < cth) {
+          System.arraycopy(a, (y0 + y) * w + x0, s, y * ctw, ctw)
+          y += 1
+        }
+        fdwt(s, ctw, cth, levels)
+        s
+      }
+      TilePlanes(ctw, cth, planes)
+    }
+    encodeCore(tiles, w, h, tw, th, levels, nc, mct = if (rct) 1 else 0,
+      irrevQ = None, derivedBase = None, layers = layers, prog = prog)
   }
 
   /** Encode with the IRREVERSIBLE pipeline — the dominant wild
@@ -831,19 +924,22 @@ object Jpx {
     * scale by their gain (Δ_b = step · 2^gain), so step ≈ 1 is
     * near-lossless and step ≈ 4 visibly lossy. `ict` applies the
     * irreversible YCbCr color transform across exactly 3 components
-    * (T.800 G.3 — the 9/7 twin of the RCT).
+    * (T.800 G.3 — the 9/7 twin of the RCT). `layers`/`prog`/`tileW`/
+    * `tileH` as in [[encodeMulti]].
     */
   def encodeIrreversible(comps: Seq[Array[Array[Int]]], levels: Int = 2,
       step: Double = 1.0, ict: Boolean = false,
-      derived: Boolean = false): Array[Byte] = {
+      derived: Boolean = false, layers: Int = 1, prog: Int = 0,
+      tileW: Int = 0, tileH: Int = 0): Array[Byte] = {
     require(comps.nonEmpty && (!ict || comps.length == 3))
     require(step > 0)
     val h = comps.head.length
     val w = comps.head(0).length
     require(w > 0 && h > 0 && levels >= 0 && levels <= 6)
     require(comps.forall(c => c.length == h && c(0).length == w))
+    val (tw, th) = checkTiling(w, h, tileW, tileH, levels, layers, prog)
     val nc = comps.length
-    val dPlanes = comps.map { img =>
+    val canvas = comps.map { img =>
       val a = new Array[Double](w * h)
       var y = 0
       while (y < h) {
@@ -857,17 +953,18 @@ object Jpx {
       var i = 0
       val n = w * h
       while (i < n) {
-        val r0 = dPlanes(0)(i); val g0 = dPlanes(1)(i)
-        val b0 = dPlanes(2)(i)
-        dPlanes(0)(i) = 0.299 * r0 + 0.587 * g0 + 0.114 * b0
-        dPlanes(1)(i) = -0.168736 * r0 - 0.331264 * g0 + 0.5 * b0
-        dPlanes(2)(i) = 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0
+        val r0 = canvas(0)(i); val g0 = canvas(1)(i)
+        val b0 = canvas(2)(i)
+        canvas(0)(i) = 0.299 * r0 + 0.587 * g0 + 0.114 * b0
+        canvas(1)(i) = -0.168736 * r0 - 0.331264 * g0 + 0.5 * b0
+        canvas(2)(i) = 0.5 * r0 - 0.418688 * g0 - 0.081312 * b0
         i += 1
       }
     }
-    dPlanes.foreach(a => fdwt97(a, w, h, levels))
     // derived: one (ε₀, μ₀) signals every band via the E.1.1 depth rule;
-    // expounded: independent params targeting Δ_b = step · 2^gain
+    // expounded: independent params targeting Δ_b = step · 2^gain.
+    // (ε, μ) per (r, btype) is geometry-independent, so the one main-
+    // header QCD governs every tile.
     val base = quantParams(step, 8)
     val q = (for (r <- 0 to levels; b <- bands(w, h, levels, r)) yield {
       val p =
@@ -880,56 +977,90 @@ object Jpx {
         } else quantParams(step * (1 << b.gain), 8 + b.gain)
       (r, b.btype) -> p
     }).toMap
-    val iPlanes = dPlanes.map { d =>
-      val a = new Array[Int](w * h)
-      for (r <- 0 to levels; b <- bands(w, h, levels, r)
-          if b.bw > 0 && b.bh > 0) {
-        val (eps, mu) = q((r, b.btype))
-        val delta = quantStep(8 + b.gain, eps, mu)
-        var yy = 0
-        while (yy < b.bh) {
-          var xx = 0
-          while (xx < b.bw) {
-            val idx = (b.y0 + yy) * w + (b.x0 + xx)
-            val v = d(idx)
-            val m = (math.abs(v) / delta).toInt // dead-zone floor
-            a(idx) = if (v < 0) -m else m
-            xx += 1
-          }
-          yy += 1
+    val tiles = tileRects(w, h, tw, th).map { case (x0, y0, ctw, cth) =>
+      val planes = canvas.map { dAll =>
+        val d = new Array[Double](ctw * cth)
+        var y = 0
+        while (y < cth) {
+          System.arraycopy(dAll, (y0 + y) * w + x0, d, y * ctw, ctw)
+          y += 1
         }
+        fdwt97(d, ctw, cth, levels)
+        val a = new Array[Int](ctw * cth)
+        for (r <- 0 to levels; b <- bands(ctw, cth, levels, r)
+            if b.bw > 0 && b.bh > 0) {
+          val (eps, mu) = q((r, b.btype))
+          val delta = quantStep(8 + b.gain, eps, mu)
+          var yy = 0
+          while (yy < b.bh) {
+            var xx = 0
+            while (xx < b.bw) {
+              val idx = (b.y0 + yy) * ctw + (b.x0 + xx)
+              val v = d(idx)
+              val m = (math.abs(v) / delta).toInt // dead-zone floor
+              a(idx) = if (v < 0) -m else m
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+        a
       }
-      a
+      TilePlanes(ctw, cth, planes)
     }
-    encodeCore(iPlanes, w, h, levels, nc, mct = if (ict) 1 else 0,
-      irrevQ = Some(q), derivedBase = if (derived) Some(base) else None)
+    encodeCore(tiles, w, h, tw, th, levels, nc, mct = if (ict) 1 else 0,
+      irrevQ = Some(q), derivedBase = if (derived) Some(base) else None,
+      layers = layers, prog = prog)
   }
 
-  /** Shared packet/marker assembly: Tier-1 codes the integer
-    * coefficient planes (raw 5/3 coefficients or 9/7 quantizer
-    * indices), tag-trees code the headers, markers record which
-    * pipeline produced them (`irrevQ` = per-band (ε, μ) → transform 0 +
-    * expounded QCD; None → transform 1 + no-quantization QCD). */
-  private def encodeCore(planesArr: Array[Array[Int]], w: Int, h: Int,
-      levels: Int, nc: Int, mct: Int,
-      irrevQ: Option[Map[(Int, Int), (Int, Int)]],
-      derivedBase: Option[(Int, Int)] = None): Array[Byte] = {
-    def mbOf(r: Int, band: Band): Int =
-      irrevQ.map(m => m((r, band.btype))._1 + Guard - 1).getOrElse(band.mb)
-    val tile = new ByteArrayOutputStream
-    for (r <- 0 to levels; a <- planesArr) {
-      val hdr = new HdrWriter
-      val bodies = mutable.ArrayBuffer.empty[Array[Byte]]
-      val live = bands(w, h, levels, r).filter(b => b.bw > 0 && b.bh > 0)
-      if (live.isEmpty) hdr.put(0)
-      else {
-        hdr.put(1)
-        live.foreach { band =>
+  /** Tier-1 output for one code-block: the finished MQ codeword, the
+    * pass count, the missing-bit-plane count, and the cumulative byte
+    * offset of the codeword after each pass (cum(0) = 0 … cum(total) =
+    * bytes.length) — the truncation marks a multi-layer split slices
+    * the codeword at. Layer l of L takes passes [l·total/L,
+    * (l+1)·total/L) and bytes [cum(start), cum(end)): the slices tile
+    * the codeword, so a decoder concatenating every packet's segment
+    * (B.10.7's codeword-segment continuation) reconstructs it exactly. */
+  private final case class BlockEnc(bytes: Array[Byte], total: Int,
+      p0: Int, cum: Array[Int]) {
+    def passStart(l: Int, layers: Int): Int =
+      (l.toLong * total / layers).toInt
+    def passEnd(l: Int, layers: Int): Int =
+      ((l + 1).toLong * total / layers).toInt
+    def firstLayer(layers: Int): Int = {
+      var i = 0
+      while (passEnd(i, layers) == 0) i += 1
+      i
+    }
+  }
+
+  /** Per-band packet-coding state that persists across a tile's quality
+    * layers: the inclusion and zero-bit-plane tag trees, the Lblock
+    * length-signaling state, and which blocks are already included —
+    * the B.10 protocol is stateful by design. */
+  private final class EncBandState(val band: Band, val ncx: Int,
+      val ncy: Int, val blocks: IndexedSeq[Option[BlockEnc]]) {
+    val inc = new TagTree(ncx, ncy)
+    val zbp = new TagTree(ncx, ncy)
+    val lblock = Array.fill(ncx * ncy)(3)
+    val included = new Array[Boolean](ncx * ncy)
+  }
+
+  /** Tier-1 + packet assembly for one tile: code every block once
+    * (recording pass-end truncation marks), split passes across layers,
+    * then walk the progression order emitting packet headers against
+    * the persistent per-band state. */
+  private def encodeTile(tp: TilePlanes, levels: Int, nc: Int,
+      layers: Int, prog: Int, mbOf: (Int, Band) => Int): Array[Byte] = {
+    val tw = tp.tw
+    val states: IndexedSeq[IndexedSeq[Seq[EncBandState]]] =
+      for (r <- 0 to levels) yield for (c <- 0 until nc) yield {
+        val a = tp.planes(c)
+        val live = bands(tp.tw, tp.th, levels, r)
+          .filter(b => b.bw > 0 && b.bh > 0)
+        live.map { band =>
           val ncx = (band.bw + cbSize - 1) / cbSize
           val ncy = (band.bh + cbSize - 1) / cbSize
-          val inc = new TagTree(ncx, ncy)
-          val zbp = new TagTree(ncx, ncy)
-          // Tier-1 every code-block first, then tag-tree-code the headers
           val blocks = for (cj <- 0 until ncy; ci <- 0 until ncx) yield {
             val bx = ci * cbSize
             val by = cj * cbSize
@@ -941,7 +1072,7 @@ object Jpx {
             while (yy < bh) {
               var xx = 0
               while (xx < bw) {
-                val v = a((band.y0 + by + yy) * w + (band.x0 + bx + xx))
+                val v = a((band.y0 + by + yy) * tw + (band.x0 + bx + xx))
                 val m = math.abs(v)
                 t1.mag(yy * bw + xx) = m
                 t1.sgn(yy * bw + xx) = if (v < 0) 1 else 0
@@ -956,38 +1087,94 @@ object Jpx {
             if (planes == 0) None
             else {
               val passes = t1.run(planes, 3 * planes - 2)
-              Some((t1.result(), passes, mb - planes))
+              val data = t1.result()
+              val cum = new Array[Int](passes + 1)
+              var k = 1
+              while (k < passes) {
+                cum(k) = math.max(cum(k - 1),
+                  math.min(t1.passEnds(k - 1), data.length))
+                k += 1
+              }
+              cum(passes) = data.length
+              Some(BlockEnc(data, passes, mb - planes, cum))
             }
           }
+          val st = new EncBandState(band, ncx, ncy, blocks)
           blocks.zipWithIndex.foreach { case (b, k) =>
-            inc.setLeaf(k % ncx, k / ncx, if (b.isDefined) 0 else 1)
-            zbp.setLeaf(k % ncx, k / ncx, b.map(_._3).getOrElse(0))
+            st.inc.setLeaf(k % ncx, k / ncx,
+              b.map(_.firstLayer(layers)).getOrElse(layers))
+            st.zbp.setLeaf(k % ncx, k / ncx, b.map(_.p0).getOrElse(0))
           }
-          inc.buildParents()
-          zbp.buildParents()
-          blocks.zipWithIndex.foreach { case (b, k) =>
-            val ci = k % ncx
-            val cj = k / ncx
-            inc.encode(hdr, ci, cj, 1)
-            b.foreach { case (data, passes, p0) =>
-              zbp.encode(hdr, ci, cj, p0 + 1)
-              putNumPasses(hdr, passes)
-              // Lblock signaling: enough length bits for this segment
-              val lenBits = math.max(1, log2floor(data.length) + 1)
-              val need = math.max(3, lenBits - log2floor(passes))
-              var k2 = need - 3
-              while (k2 > 0) { hdr.put(1); k2 -= 1 }
+          st.inc.buildParents()
+          st.zbp.buildParents()
+          st
+        }
+      }
+
+    val out = new ByteArrayOutputStream
+    packetSequence(levels, nc, layers, prog).foreach { case (r, c, l) =>
+      val hdr = new HdrWriter
+      val bodies = mutable.ArrayBuffer.empty[Array[Byte]]
+      val sts = states(r)(c)
+      if (sts.isEmpty) hdr.put(0)
+      else {
+        hdr.put(1)
+        sts.foreach { st =>
+          var k = 0
+          while (k < st.blocks.length) {
+            val ci = k % st.ncx
+            val cj = k / st.ncx
+            val be = st.blocks(k)
+            val ps = be.map(b =>
+              b.passEnd(l, layers) - b.passStart(l, layers)).getOrElse(0)
+            def emit(b: BlockEnc): Unit = {
+              val seg = java.util.Arrays.copyOfRange(b.bytes,
+                b.cum(b.passStart(l, layers)), b.cum(b.passEnd(l, layers)))
+              putNumPasses(hdr, ps)
+              val lenBits =
+                if (seg.length == 0) 1 else log2floor(seg.length) + 1
+              val need = math.max(st.lblock(k), lenBits - log2floor(ps))
+              var i = need - st.lblock(k)
+              while (i > 0) { hdr.put(1); i -= 1 }
               hdr.put(0)
-              hdr.putBits(data.length, need + log2floor(passes))
-              bodies += data
+              hdr.putBits(seg.length, need + log2floor(ps))
+              st.lblock(k) = need
+              bodies += seg
             }
+            if (!st.included(k)) {
+              st.inc.encode(hdr, ci, cj, l + 1)
+              if (be.isDefined && be.get.firstLayer(layers) == l) {
+                st.zbp.encode(hdr, ci, cj, be.get.p0 + 1)
+                st.included(k) = true
+                emit(be.get)
+              }
+            } else if (ps > 0) {
+              hdr.put(1)
+              emit(be.get)
+            } else hdr.put(0)
+            k += 1
           }
         }
       }
       hdr.align()
-      tile.write(hdr.result())
-      bodies.foreach(tile.write)
+      out.write(hdr.result())
+      bodies.foreach(out.write)
     }
+    out.toByteArray
+  }
+
+  /** Shared marker assembly: main header (SIZ with the tile grid, COD
+    * with progression + layers, QCD per pipeline), then one
+    * SOT/SOD/tile-part per tile, in raster order. */
+  private def encodeCore(tiles: Seq[TilePlanes], w: Int, h: Int,
+      tileW: Int, tileH: Int, levels: Int, nc: Int, mct: Int,
+      irrevQ: Option[Map[(Int, Int), (Int, Int)]],
+      derivedBase: Option[(Int, Int)], layers: Int,
+      prog: Int): Array[Byte] = {
+    def mbOf(r: Int, band: Band): Int =
+      irrevQ.map(m => m((r, band.btype))._1 + Guard - 1).getOrElse(band.mb)
+    val tileStreams =
+      tiles.map(tp => encodeTile(tp, levels, nc, layers, prog, mbOf))
 
     val out = new ByteArrayOutputStream
     def u8(v: Int): Unit = out.write(v & 0xFF)
@@ -997,12 +1184,12 @@ object Jpx {
     u16(0xFF51); u16(38 + 3 * nc) // SIZ
     u16(0) // Rsiz
     u32(w); u32(h); u32(0); u32(0) // image / offset
-    u32(w); u32(h); u32(0); u32(0) // tile / offset
+    u32(tileW); u32(tileH); u32(0); u32(0) // tile grid / offset
     u16(nc) // Csiz
     for (_ <- 0 until nc) { u8(7); u8(1); u8(1) } // 8-bit, no subsampling
     u16(0xFF52); u16(12) // COD
     u8(0) // Scod: default precincts, no SOP/EPH
-    u8(0); u16(1); u8(mct) // LRCP, 1 layer, MCT
+    u8(prog); u16(layers); u8(mct)
     u8(levels); u8(CbExp - 2); u8(CbExp - 2) // SPcod
     u8(0) // code-block style: none of the Part-1 mode switches
     u8(if (irrevQ.isDefined) 0 else 1) // 0 = 9/7 irreversible, 1 = 5/3
@@ -1025,13 +1212,14 @@ object Jpx {
         for (r <- 0 to levels; b <- bands(w, h, levels, r))
           u8((8 + b.gain) << 3)
     }
-    val tileBytes = tile.toByteArray
-    u16(0xFF90); u16(10) // SOT
-    u16(0) // Isot
-    u32(12 + 2 + tileBytes.length) // Psot: SOT..end of data
-    u8(0); u8(1) // TPsot, TNsot
-    u16(0xFF93) // SOD
-    out.write(tileBytes)
+    tileStreams.zipWithIndex.foreach { case (tileBytes, i) =>
+      u16(0xFF90); u16(10) // SOT
+      u16(i) // Isot
+      u32(12 + 2 + tileBytes.length) // Psot: SOT..end of data
+      u8(0); u8(1) // TPsot, TNsot
+      u16(0xFF93) // SOD
+      out.write(tileBytes)
+    }
     u16(0xFFD9) // EOC
     out.toByteArray
   }
@@ -1116,6 +1304,22 @@ object Jpx {
     None
   }
 
+  /** Decoder twin of [[EncBandState]]: per-band state persisting across
+    * a tile's layers, plus the accumulated codeword segments (byte
+    * ranges of the input) each block's packets contributed. */
+  private final class DecBandState(val band: Band) {
+    val ncx = (band.bw + cbSize - 1) / cbSize
+    val ncy = (band.bh + cbSize - 1) / cbSize
+    val n = ncx * ncy
+    val inc = new TagTree(ncx, ncy)
+    val zbp = new TagTree(ncx, ncy)
+    val included = new Array[Boolean](n)
+    val lblock = Array.fill(n)(3)
+    val p0 = new Array[Int](n)
+    val passes = new Array[Int](n)
+    val segs = Array.fill(n)(mutable.ArrayBuffer.empty[(Int, Int)])
+  }
+
   /** Decode a raw codestream or JP2 file. None on anything outside the
     * supported subset — the extractor's honest `undecoded` label. */
   def decode(raw: Array[Byte], maxPixels: Long = 1L << 26): Option[Decoded] =
@@ -1131,15 +1335,216 @@ object Jpx {
       var nc = 0
       var mct = 0
       var levels = -1
-      var cbw = 0
-      var cbh = 0
+      var layers = 0
+      var prog = 0
+      var tileW = 0
+      var tileH = 0
       var mbs = Map.empty[(Int, Int), Int] // (r, btype) -> Mb
       var irrev = false // COD transform 0 = 9/7 + quantization
       var deltas = Map.empty[(Int, Int), Double] // (r, btype) -> Δ_b
-      var sotSeen = false
-      var tileEnd = 0
-      var done = false
-      while (!done) {
+      var rects: IndexedSeq[(Int, Int, Int, Int)] = null
+      var outPx: Array[Array[Array[Int]]] = null
+      var tilesDecoded = 0
+      var eoc = false
+
+      def fail(msg: String): Nothing = throw new IllegalStateException(msg)
+
+      /** One tile: packets in progression order against persistent
+        * per-band state, then Tier-1 over each block's concatenated
+        * segments, then tile-local inverse transform into the canvas. */
+      def decodeTile(rect: (Int, Int, Int, Int), bodyStart: Int,
+          tileEnd: Int): Unit = {
+        val (x0, y0, ctw, cth) = rect
+        val states: IndexedSeq[IndexedSeq[Seq[DecBandState]]] =
+          for (r <- 0 to levels) yield
+            for (_ <- 0 until nc) yield
+              bands(ctw, cth, levels, r)
+                .filter(b => b.bw > 0 && b.bh > 0)
+                .map(new DecBandState(_))
+        var cursor = bodyStart
+        packetSequence(levels, nc, layers, prog).foreach { case (r, c, l) =>
+          if (cursor >= tileEnd) fail("tile body exhausted")
+          val hdr = new HdrReader(data, cursor)
+          val sts = states(r)(c)
+          val contrib = mutable.ArrayBuffer.empty[(DecBandState, Int, Int)]
+          if (hdr.bit() == 1) {
+            if (sts.isEmpty) fail("contribution to an empty resolution")
+            sts.foreach { st =>
+              var k = 0
+              while (k < st.n) {
+                val ci = k % st.ncx
+                val cj = k / st.ncx
+                var fresh = false
+                if (!st.included(k)) {
+                  if (st.inc.decode(hdr, ci, cj, l + 1)) {
+                    var t = 1
+                    while (!st.zbp.decode(hdr, ci, cj, t)) t += 1
+                    st.p0(k) = t - 1
+                    st.included(k) = true
+                    fresh = true
+                  }
+                } else fresh = hdr.bit() == 1
+                if (fresh) {
+                  val np = getNumPasses(hdr)
+                  while (hdr.bit() == 1) st.lblock(k) += 1
+                  val lenBits = st.lblock(k) + log2floor(np)
+                  if (lenBits > 30) fail("hostile Lblock growth")
+                  val len = hdr.bits(lenBits)
+                  val planes = mbs.getOrElse((r, st.band.btype), 0) - st.p0(k)
+                  st.passes(k) += np
+                  if (planes <= 0 || planes > 31 || np < 1 ||
+                      st.passes(k) > 3 * planes - 2)
+                    fail("inconsistent packet header")
+                  contrib += ((st, k, len))
+                }
+                k += 1
+              }
+            }
+          }
+          hdr.align()
+          cursor = hdr.p
+          if (cursor > tileEnd) fail("header overrun")
+          contrib.foreach { case (st, k, len) =>
+            if (cursor + len > tileEnd) fail("body overrun")
+            st.segs(k) += ((cursor, len))
+            cursor += len
+          }
+        }
+
+        // Tier-1 each included block over its concatenated segments —
+        // the layer slices tile the codeword, so this reconstructs the
+        // encoder's exact coefficient planes
+        val tPlanes = Array.fill(nc)(new Array[Int](ctw * cth))
+        for (r <- 0 to levels; c <- 0 until nc; st <- states(r)(c)) {
+          val band = st.band
+          var k = 0
+          while (k < st.n) {
+            if (st.included(k)) {
+              val total = st.segs(k).iterator.map(_._2).sum
+              val buf = new Array[Byte](total)
+              var off = 0
+              st.segs(k).foreach { case (s, ln) =>
+                System.arraycopy(data, s, buf, off, ln)
+                off += ln
+              }
+              val planes = mbs((r, band.btype)) - st.p0(k)
+              val ci = k % st.ncx
+              val cj = k / st.ncx
+              val bx = ci * cbSize
+              val by = cj * cbSize
+              val bw = math.min(cbSize, band.bw - bx)
+              val bh = math.min(cbSize, band.bh - by)
+              val t1 = new T1Decoder(bw, bh, band.btype, buf, 0, total)
+              t1.run(planes, st.passes(k))
+              val a = tPlanes(c)
+              var yy = 0
+              while (yy < bh) {
+                var xx = 0
+                while (xx < bw) {
+                  val m = t1.mag(yy * bw + xx)
+                  val v = if (t1.sgn(yy * bw + xx) == 1) -m else m
+                  a((band.y0 + by + yy) * ctw + (band.x0 + bx + xx)) = v
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
+            k += 1
+          }
+        }
+
+        if (!irrev) {
+          tPlanes.foreach(a => idwt(a, ctw, cth, levels))
+          if (mct == 1) { // inverse RCT (T.800 G.2)
+            var i = 0
+            val n = ctw * cth
+            while (i < n) {
+              val y0v = tPlanes(0)(i); val u = tPlanes(1)(i)
+              val v = tPlanes(2)(i)
+              val g = y0v - ((u + v) >> 2)
+              tPlanes(0)(i) = v + g // R
+              tPlanes(1)(i) = g // G
+              tPlanes(2)(i) = u + g // B
+              i += 1
+            }
+          }
+          var c = 0
+          while (c < nc) {
+            val a = tPlanes(c)
+            val px = outPx(c)
+            var y = 0
+            while (y < cth) {
+              var x = 0
+              while (x < ctw) {
+                px(y0 + y)(x0 + x) =
+                  math.max(0, math.min(255, a(y * ctw + x) + 128))
+                x += 1
+              }
+              y += 1
+            }
+            c += 1
+          }
+        } else {
+          // IRREVERSIBLE reconstruction: the Tier-1 ints are quantizer
+          // indices — dequantize per band (midpoint reconstruction,
+          // x̂ = sign·(|q| + ½)·Δ, within E.1's decoder freedom), inverse
+          // 9/7 on doubles, inverse ICT, then shift + round + clamp
+          val dPlanes = tPlanes.map { a =>
+            val d = new Array[Double](ctw * cth)
+            for (r <- 0 to levels; b <- bands(ctw, cth, levels, r)
+                if b.bw > 0 && b.bh > 0) {
+              val delta = deltas.getOrElse((r, b.btype),
+                fail("missing quantization step"))
+              var yy = 0
+              while (yy < b.bh) {
+                var xx = 0
+                while (xx < b.bw) {
+                  val idx = (b.y0 + yy) * ctw + (b.x0 + xx)
+                  val qv = a(idx)
+                  d(idx) =
+                    if (qv == 0) 0.0
+                    else if (qv > 0) (qv + 0.5) * delta
+                    else (qv - 0.5) * delta
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
+            idwt97(d, ctw, cth, levels)
+            d
+          }
+          if (mct == 1) { // inverse ICT (T.800 G.3)
+            var i = 0
+            val n = ctw * cth
+            while (i < n) {
+              val y0v = dPlanes(0)(i); val cb = dPlanes(1)(i)
+              val cr = dPlanes(2)(i)
+              dPlanes(0)(i) = y0v + 1.402 * cr
+              dPlanes(1)(i) = y0v - 0.344136 * cb - 0.714136 * cr
+              dPlanes(2)(i) = y0v + 1.772 * cb
+              i += 1
+            }
+          }
+          var c = 0
+          while (c < nc) {
+            val d = dPlanes(c)
+            val px = outPx(c)
+            var y = 0
+            while (y < cth) {
+              var x = 0
+              while (x < ctw) {
+                px(y0 + y)(x0 + x) = math.max(0, math.min(255,
+                  math.round(d(y * ctw + x) + 128.0).toInt))
+                x += 1
+              }
+              y += 1
+            }
+            c += 1
+          }
+        }
+      }
+
+      while (!eoc) {
         val marker = u16()
         marker match {
           case 0xFF51 =>
@@ -1152,7 +1557,7 @@ object Jpx {
             val xto = u32(); val yto = u32()
             nc = u16()
             if (xo != 0 || yo != 0 || xto != 0 || yto != 0 || nc < 1 ||
-                nc > 4 || xt < xs || yt < ys) return None
+                nc > 4 || xt < 1 || yt < 1) return None
             for (_ <- 0 until nc) {
               val ssiz = u8(); val xr = u8(); val yr = u8()
               if ((ssiz & 0x80) != 0 || (ssiz & 0x7F) > 7 ||
@@ -1165,20 +1570,22 @@ object Jpx {
             if (xs <= 0 || ys <= 0 || xs > maxPixels || ys > maxPixels ||
                 xs * ys * nc > maxPixels) return None
             w = xs.toInt; h = ys.toInt
+            tileW = math.min(xt, xs).toInt
+            tileH = math.min(yt, ys).toInt
             p = base + len - 2
           case 0xFF52 =>
             val len = u16()
             val base = p
             val scod = u8()
             if ((scod & 1) != 0) return None // explicit precincts
-            val prog = u8()
-            val layers = u16()
+            prog = u8()
+            layers = u16()
             mct = u8()
-            if (prog > 4 || layers != 1 || mct > 1) return None
+            if (prog > 4 || layers < 1 || layers > 256 || mct > 1) return None
             levels = u8()
             if (levels > 10) return None
-            cbw = 1 << (u8() + 2)
-            cbh = 1 << (u8() + 2)
+            val cbw = 1 << (u8() + 2)
+            val cbh = 1 << (u8() + 2)
             if (cbw != cbSize || cbh != cbSize) return None
             if (u8() != 0) return None // mode switches unsupported
             u8() match {
@@ -1238,168 +1645,45 @@ object Jpx {
             val base = p
             val isot = u16()
             val psot = u32()
-            u8(); val tnsot = u8()
-            if (isot != 0 || sotSeen || (tnsot != 0 && tnsot != 1)) return None
-            sotSeen = true
-            tileEnd =
+            val tpsot = u8()
+            val tnsot = u8()
+            if (w == 0 || levels < 0 || layers < 1 || mbs.isEmpty)
+              return None // main header must precede the first tile-part
+            if (rects == null) {
+              if (mct == 1 && nc != 3) return None // color transform = RGB
+              val ntx = (w.toLong + tileW - 1) / tileW
+              val nty = (h.toLong + tileH - 1) / tileH
+              if (ntx * nty > 1024) return None // hostile tile-grid bomb
+              // tile origins must stay even at every DWT level — the
+              // same constraint the encoder enforces (see checkTiling)
+              if (ntx > 1 && tileW % (1 << levels) != 0) return None
+              if (nty > 1 && tileH % (1 << levels) != 0) return None
+              rects = tileRects(w, h, tileW, tileH)
+              outPx = Array.fill(nc)(Array.ofDim[Int](h, w))
+            }
+            if (isot != tilesDecoded || tilesDecoded >= rects.length ||
+                tpsot != 0 || (tnsot != 0 && tnsot != 1)) return None
+            val tileEnd =
               if (psot == 0) data.length
               else base - 4 + psot.toInt // Psot counts from the marker
             p = base + len - 2
-          case 0xFF93 =>
-            if (!sotSeen || w == 0 || levels < 0 || mbs.isEmpty) return None
-            done = true
-          case 0xFFD9 => return None // EOC before any tile data
+            // in-tile-part COM/PLT are skippable; then SOD must follow
+            var m2 = u16()
+            while (m2 == 0xFF64 || m2 == 0xFF58) { p += u16() - 2; m2 = u16() }
+            if (m2 != 0xFF93) return None
+            if (tileEnd <= p || tileEnd > data.length) return None
+            decodeTile(rects(tilesDecoded), p, tileEnd)
+            tilesDecoded += 1
+            p = tileEnd
+          case 0xFFD9 =>
+            if (rects == null || tilesDecoded != rects.length) return None
+            eoc = true
           case 0xFF64 | 0xFF63 | 0xFF55 | 0xFF57 | 0xFF58 =>
             p += u16() - 2 // COM/CRG/TLM/PLM skippable
           case m if m >= 0xFF30 && m <= 0xFF3F => // segmentless
           case _ => return None // POC/PPM/RGN/COC/QCC…: out of scope
         }
       }
-      if (tileEnd <= p || tileEnd > data.length) return None
-      if (mct == 1 && nc != 3) return None // RCT needs exactly RGB
-
-      // coefficients, one plane per component; packets arrive in LRCP
-      // order with one layer = resolution-major, component-minor
-      val planesArr = Array.fill(nc)(new Array[Int](w * h))
-      var cursor = p
-      for (r <- 0 to levels; a <- planesArr) {
-        val live = bands(w, h, levels, r).filter(b => b.bw > 0 && b.bh > 0)
-        val hdr = new HdrReader(data, cursor)
-        val pending = mutable.ArrayBuffer.empty[(Band, Int, Int, Int, Int, Int)]
-        if (hdr.bit() == 1) {
-          live.foreach { band =>
-            val ncx = (band.bw + cbSize - 1) / cbSize
-            val ncy = (band.bh + cbSize - 1) / cbSize
-            val inc = new TagTree(ncx, ncy)
-            val zbp = new TagTree(ncx, ncy)
-            for (cj <- 0 until ncy; ci <- 0 until ncx) {
-              if (inc.decode(hdr, ci, cj, 1)) {
-                var t = 1
-                while (!zbp.decode(hdr, ci, cj, t)) t += 1
-                val p0 = t - 1
-                val passes = getNumPasses(hdr)
-                var lblock = 3
-                while (hdr.bit() == 1) lblock += 1
-                val len = hdr.bits(lblock + log2floor(passes))
-                val mb = mbs.getOrElse((r, band.btype), 0)
-                val planes = mb - p0
-                if (planes <= 0 || planes > 31 || passes < 1 ||
-                    passes > 3 * planes - 2)
-                  throw new IllegalStateException("inconsistent header")
-                pending += ((band, ci, cj, planes, passes, len))
-              }
-            }
-          }
-        }
-        hdr.align()
-        cursor = hdr.p
-        pending.foreach { case (band, ci, cj, planes, passes, len) =>
-          val bx = ci * cbSize
-          val by = cj * cbSize
-          val bw = math.min(cbSize, band.bw - bx)
-          val bh = math.min(cbSize, band.bh - by)
-          if (cursor + len > tileEnd)
-            throw new IllegalStateException("body overrun")
-          val t1 = new T1Decoder(bw, bh, band.btype, data, cursor, cursor + len)
-          t1.run(planes, passes)
-          var yy = 0
-          while (yy < bh) {
-            var xx = 0
-            while (xx < bw) {
-              val m = t1.mag(yy * bw + xx)
-              val v = if (t1.sgn(yy * bw + xx) == 1) -m else m
-              a((band.y0 + by + yy) * w + (band.x0 + bx + xx)) = v
-              xx += 1
-            }
-            yy += 1
-          }
-          cursor += len
-        }
-      }
-
-      val comps: Seq[Array[Array[Int]]] = if (!irrev) {
-        planesArr.foreach(a => idwt(a, w, h, levels))
-        if (mct == 1) { // inverse RCT (T.800 G.2)
-          var i = 0
-          val n = w * h
-          while (i < n) {
-            val y0 = planesArr(0)(i); val u = planesArr(1)(i)
-            val v = planesArr(2)(i)
-            val g = y0 - ((u + v) >> 2)
-            planesArr(0)(i) = v + g // R
-            planesArr(1)(i) = g // G
-            planesArr(2)(i) = u + g // B
-            i += 1
-          }
-        }
-        planesArr.toSeq.map { a =>
-          val px = Array.ofDim[Int](h, w)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              px(y)(x) = math.max(0, math.min(255, a(y * w + x) + 128))
-              x += 1
-            }
-            y += 1
-          }
-          px
-        }
-      } else {
-        // IRREVERSIBLE reconstruction: the Tier-1 ints are quantizer
-        // indices — dequantize per band (midpoint reconstruction,
-        // x̂ = sign·(|q| + ½)·Δ, within E.1's decoder freedom), inverse
-        // 9/7 on doubles, inverse ICT, then shift + round + clamp
-        val dPlanes = planesArr.map { a =>
-          val d = new Array[Double](w * h)
-          for (r <- 0 to levels; b <- bands(w, h, levels, r)
-              if b.bw > 0 && b.bh > 0) {
-            val delta = deltas.getOrElse((r, b.btype), return None)
-            var yy = 0
-            while (yy < b.bh) {
-              var xx = 0
-              while (xx < b.bw) {
-                val idx = (b.y0 + yy) * w + (b.x0 + xx)
-                val qv = a(idx)
-                d(idx) =
-                  if (qv == 0) 0.0
-                  else if (qv > 0) (qv + 0.5) * delta
-                  else (qv - 0.5) * delta
-                xx += 1
-              }
-              yy += 1
-            }
-          }
-          idwt97(d, w, h, levels)
-          d
-        }
-        if (mct == 1) { // inverse ICT (T.800 G.3)
-          var i = 0
-          val n = w * h
-          while (i < n) {
-            val y0 = dPlanes(0)(i); val cb = dPlanes(1)(i)
-            val cr = dPlanes(2)(i)
-            dPlanes(0)(i) = y0 + 1.402 * cr
-            dPlanes(1)(i) = y0 - 0.344136 * cb - 0.714136 * cr
-            dPlanes(2)(i) = y0 + 1.772 * cb
-            i += 1
-          }
-        }
-        dPlanes.toSeq.map { d =>
-          val px = Array.ofDim[Int](h, w)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              px(y)(x) = math.max(0, math.min(255,
-                math.round(d(y * w + x) + 128.0).toInt))
-              x += 1
-            }
-            y += 1
-          }
-          px
-        }
-      }
-      Some(Decoded(w, h, comps))
+      Some(Decoded(w, h, outPx.toSeq))
     } catch { case _: Exception => None }
 }

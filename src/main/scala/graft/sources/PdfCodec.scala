@@ -1140,10 +1140,19 @@ object PdfWriter {
           if (jpxSeed.isDefined) {
             val m = jpxSeed.get
             (i % 4) match {
-              case 0 => // REAL raw codestream; dict dims LIE
+              case 0 => // REAL raw codestream; dict dims LIE. The seed
+                // rotates quality layers, progression order, and tiling
+                // (lossless, so the oracle's exact sums are unchanged):
+                // only a decoder speaking the full B.10 protocol — tag
+                // trees escalating a layer at a time, persistent Lblock,
+                // segments concatenating across packets, per-tile DWT
+                // domains — recovers the pixels
                 val (iw, ih) = jpxRawDims(m)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
-                  Jpx.encode(jpxRaster(m, iw, ih)))
+                  Jpx.encodeMulti(Seq(jpxRaster(m, iw, ih)), levels = 2,
+                    layers = 1 + m % 3, prog = m % 5,
+                    tileW = if (m % 2 == 0) 8 else 0,
+                    tileH = if (m % 3 == 0) 8 else 0))
               case 1 => // REAL JP2-box-wrapped codestream; dict dims LIE
                 val (iw, ih) = jp2Dims(m)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",

@@ -209,6 +209,126 @@ class JpxSpec extends AnyFunSuite {
     }
   }
 
+  test("multiple quality layers round-trip losslessly in every count") {
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
+    val img = gray(50, 34)((x, y) => (x * 7 + y * 13) % 256)
+    val single = Jpx.decode(Jpx.encodeMulti(Seq(img))).get
+    for (layers <- Seq(2, 3, 5, 8, 17)) {
+      val enc = Jpx.encodeMulti(Seq(img), layers = layers)
+      val d = Jpx.decode(enc).getOrElse(fail(s"layers=$layers"))
+      assert(d.pixels.map(_.toSeq).toSeq == img.map(_.toSeq).toSeq,
+        s"layers=$layers not lossless")
+      assert(d.graySum == single.graySum)
+      // more layers than any block has passes: empty contributions
+      val sparse = Jpx.encodeMulti(Seq(gray(12, 9)((_, _) => 128)),
+        layers = layers)
+      assert(Jpx.decode(sparse).exists(_.pixels(0)(0) == 128))
+    }
+    // layers split the body across packets: streams must actually grow
+    val l1 = Jpx.encodeMulti(Seq(img), layers = 1)
+    val l8 = Jpx.encodeMulti(Seq(img), layers = 8)
+    assert(l8.length > l1.length, "multi-layer headers cost bytes")
+  }
+
+  test("all five progression orders round-trip, single- and multi-layer") {
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
+    val r = gray(33, 21)((x, y) => x * 5 + y * 11)
+    val g = gray(33, 21)((x, y) => 250 - x * 3 - y * 2)
+    val b = gray(33, 21)((x, y) => (x * y) % 256)
+    for (prog <- 0 to 4; layers <- Seq(1, 3)) {
+      val enc = Jpx.encodeMulti(Seq(r, g, b), rct = true, layers = layers,
+        prog = prog)
+      val d = Jpx.decode(enc).getOrElse(fail(s"prog=$prog layers=$layers"))
+      assert(d.channels == 3)
+      assert(d.comps(0).map(_.toSeq).toSeq == r.map(_.toSeq).toSeq &&
+        d.comps(1).map(_.toSeq).toSeq == g.map(_.toSeq).toSeq &&
+        d.comps(2).map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+        s"prog=$prog layers=$layers diverged")
+      // component-major packet bodies are genuinely reordered vs LRCP:
+      // the streams differ, yet decode to the same raster
+      if (prog >= 3 && layers == 1) {
+        val lrcp = Jpx.encodeMulti(Seq(r, g, b), rct = true)
+        assert(!enc.sameElements(lrcp), "PCRL must reorder packets")
+      }
+    }
+  }
+
+  test("tiled codestreams: independent tile domains, exact assembly") {
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
+    // even grid, ragged right/bottom edges, deep levels, single column
+    for ((w, h, tw, th, lv) <- Seq((64, 48, 32, 16, 2), (70, 45, 32, 16, 2),
+        (40, 40, 8, 8, 3), (33, 50, 64, 16, 2), (17, 11, 4, 4, 1))) {
+      val img = gray(w, h)((x, y) => (x * 31 + y * 17 + (x ^ y)) % 256)
+      val enc = Jpx.encodeMulti(Seq(img), levels = lv, tileW = tw,
+        tileH = th)
+      val d = Jpx.decode(enc).getOrElse(fail(s"${w}x$h t=${tw}x$th"))
+      assert(d.width == w && d.height == h)
+      assert(d.pixels.map(_.toSeq).toSeq == img.map(_.toSeq).toSeq,
+        s"${w}x$h tiles ${tw}x$th levels=$lv not lossless")
+    }
+    // RGB + RCT across tiles
+    val r = gray(48, 32)((x, y) => x * 4 + y)
+    val g = gray(48, 32)((x, y) => 200 - x - y * 3)
+    val b = gray(48, 32)((x, y) => (x * x + y) % 256)
+    val rgb = Jpx.decode(Jpx.encodeMulti(Seq(r, g, b), rct = true,
+      tileW = 16, tileH = 16)).get
+    assert(rgb.comps(0).map(_.toSeq).toSeq == r.map(_.toSeq).toSeq &&
+      rgb.comps(2).map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // tile dims that break the 2^levels alignment are refused up front
+    intercept[IllegalArgumentException] {
+      Jpx.encodeMulti(Seq(gray(20, 20)((x, y) => x + y)), levels = 2,
+        tileW = 10, tileH = 8)
+    }
+  }
+
+  test("tiled + multi-layer + RPCL: the full wild-stream shape") {
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
+    val img = gray(72, 40)((x, y) => (x * 13 + y * 29) % 256)
+    for (prog <- 0 to 4) {
+      val enc = Jpx.encodeMulti(Seq(img), layers = 4, prog = prog,
+        tileW = 32, tileH = 24)
+      val d = Jpx.decode(enc).getOrElse(fail(s"prog=$prog"))
+      assert(d.pixels.map(_.toSeq).toSeq == img.map(_.toSeq).toSeq,
+        s"tiled multi-layer prog=$prog not lossless")
+    }
+    // and the irreversible pipeline through the same machinery
+    val enc97 = Jpx.encodeIrreversible(Seq(img), step = 2.0, layers = 3,
+      prog = 2, tileW = 32, tileH = 24)
+    val d97 = Jpx.decode(enc97).getOrElse(fail("tiled 9/7"))
+    assert(d97.width == 72 && d97.height == 40)
+    assert(psnr(img, d97.pixels) >= 34.0,
+      "tiled quantized decode lost the PSNR floor")
+    // fuzz the combined form: truncations and bit flips never throw
+    val enc = Jpx.encodeMulti(Seq(img), layers = 3, prog = 4,
+      tileW = 32, tileH = 24)
+    (0 until enc.length by 7).foreach(n => Jpx.decode(enc.take(n)))
+    (0 until enc.length by 11).foreach { i =>
+      val mut = enc.clone(); mut(i) = (mut(i) ^ 0x5A).toByte
+      Jpx.decode(mut) // bounded, no throw
+    }
+  }
+
+  test("hostile tile grids reject: misaligned, bombed, or short streams") {
+    val enc = Jpx.encodeMulti(Seq(Array.tabulate(16, 16)((y, x) => x + y)),
+      levels = 2)
+    // XTsiz=1: 16 tiles whose origins break 2^levels parity
+    val mis = enc.clone()
+    for (b <- 0 until 4) mis(24 + b) = 0
+    mis(27) = 1
+    assert(Jpx.decode(mis).isEmpty, "misaligned tile width must reject")
+    // XTsiz=4 is aligned (4 = 2^2) and makes a 4x4 grid — but the
+    // stream carries one SOT, so the decode must refuse at EOC rather
+    // than return a quarter-decoded raster
+    val short = enc.clone()
+    for (b <- 0 until 4) short(24 + b) = 0
+    short(27) = 4
+    assert(Jpx.decode(short).isEmpty, "missing tile-parts must reject")
+  }
+
   test("hostile SIZ dims that overflow the Long pixel product reject") {
     // xs*ys*nc on u32-max dims wraps past 2^63 to a negative product
     // that would sneak under the old single-multiplication cap while
