@@ -201,11 +201,13 @@ object Jbig2 {
       }
     }
 
-    /** Bytes committed to the codeword so far. Monotone, and [[flush]]
-      * only appends past this point, so the finished stream sliced at
-      * two committed counts yields the bytes produced between them —
-      * [[Jpx]] uses these as Tier-1 pass-boundary marks when splitting
-      * a code-block's codeword across quality layers. */
+    /** Bytes committed to the codeword so far. Monotone, so counts
+      * taken at two points are stable SLICE OFFSETS into the FINISHED
+      * stream — [[Jpx]] slices the post-flush array at these to split
+      * a code-block's codeword across quality layers. The byte VALUES
+      * around a boundary are not final until [[flush]] returns:
+      * byteOut's carry branch can still increment the last committed
+      * byte, so never emit or hash a slice before flushing. */
     def committed: Int = bp
 
     /** FLUSH (E.3.8): set the final bits, push out the last two bytes,

@@ -1548,6 +1548,11 @@ object Jpx {
         val marker = u16()
         marker match {
           case 0xFF51 =>
+            // main-header markers are frozen once the first tile-part
+            // starts: a mid-stream SIZ/COD/QCD could otherwise rewrite
+            // w/h/layers/deltas under the already-pinned tile grid and
+            // turn a hostile stream into a lying Some(...)
+            if (rects != null) return None
             val len = u16()
             val base = p
             u16() // Rsiz
@@ -1574,6 +1579,7 @@ object Jpx {
             tileH = math.min(yt, ys).toInt
             p = base + len - 2
           case 0xFF52 =>
+            if (rects != null) return None // main header frozen after SOT
             val len = u16()
             val base = p
             val scod = u8()
@@ -1595,6 +1601,7 @@ object Jpx {
             }
             p = base + len - 2
           case 0xFF5C =>
+            if (rects != null) return None // main header frozen after SOT
             val len = u16()
             val base = p
             val sqcd = u8()
@@ -1663,8 +1670,11 @@ object Jpx {
             }
             if (isot != tilesDecoded || tilesDecoded >= rects.length ||
                 tpsot != 0 || (tnsot != 0 && tnsot != 1)) return None
+            // Psot = 0 (A.4.2: data runs to EOC) is only legal on the
+            // LAST tile-part; the EOC marker itself is not tile data
+            if (psot == 0 && tilesDecoded != rects.length - 1) return None
             val tileEnd =
-              if (psot == 0) data.length
+              if (psot == 0) data.length - 2
               else base - 4 + psot.toInt // Psot counts from the marker
             p = base + len - 2
             // in-tile-part COM/PLT are skippable; then SOD must follow

@@ -329,6 +329,46 @@ class JpxSpec extends AnyFunSuite {
     assert(Jpx.decode(short).isEmpty, "missing tile-parts must reject")
   }
 
+  test("Psot=0 (last tile-part runs to EOC) decodes; earlier tiles reject") {
+    def sotOffsets(enc: Array[Byte]): Seq[Int] =
+      (0 until enc.length - 1).filter(i =>
+        (enc(i) & 0xFF) == 0xFF && (enc(i + 1) & 0xFF) == 0x90)
+    def zeroPsot(enc: Array[Byte], sot: Int): Array[Byte] = {
+      val mut = enc.clone()
+      for (b <- 0 until 4) mut(sot + 6 + b) = 0 // marker,Lsot,Isot then Psot
+      mut
+    }
+    val img = Array.tabulate(24, 40)((y, x) => (x * 3 + y * 7) % 256)
+    val single = Jpx.encode(img)
+    val s0 = sotOffsets(single)
+    assert(s0.length == 1)
+    val dS = Jpx.decode(zeroPsot(single, s0.head))
+    assert(dS.exists(_.pixels.map(_.toSeq).toSeq == img.map(_.toSeq).toSeq),
+      "single-tile Psot=0 must still decode (T.800 A.4.2)")
+    val tiled = Jpx.encodeMulti(Seq(img), tileW = 20, tileH = 12)
+    val sT = sotOffsets(tiled).filter { i => // real SOTs have Lsot=10
+      (tiled(i + 2) & 0xFF) == 0 && (tiled(i + 3) & 0xFF) == 10
+    }
+    assert(sT.length == 4)
+    val dLast = Jpx.decode(zeroPsot(tiled, sT.last))
+    assert(dLast.exists(_.pixels.map(_.toSeq).toSeq == img.map(_.toSeq).toSeq),
+      "last-tile Psot=0 must still decode")
+    assert(Jpx.decode(zeroPsot(tiled, sT.head)).isEmpty,
+      "Psot=0 on a non-final tile-part must reject")
+  }
+
+  test("main-header markers after the first tile-part reject") {
+    val img = Array.tabulate(16, 16)((y, x) => x * y % 256)
+    val enc = Jpx.encode(img)
+    // splice a copy of the main-header SIZ segment between the tile
+    // data and EOC: a decoder that keeps honoring it could re-pin w/h
+    // after the pixels were assembled (a lying Some)
+    val lsiz = ((enc(4) & 0xFF) << 8) | (enc(5) & 0xFF)
+    val siz = enc.slice(2, 2 + 2 + lsiz)
+    val mut = enc.dropRight(2) ++ siz ++ enc.takeRight(2)
+    assert(Jpx.decode(mut).isEmpty, "post-SOT SIZ must reject")
+  }
+
   test("hostile SIZ dims that overflow the Long pixel product reject") {
     // xs*ys*nc on u32-max dims wraps past 2^63 to a negative product
     // that would sneak under the old single-multiplication cap while
