@@ -20,10 +20,14 @@ import scala.collection.mutable
   * collective bitmaps uncompressed or MMR, §6.5.9). Text regions:
   * arithmetic AND Huffman (SBHUFF — FS/DS/DT via referred CUSTOM
   * code-table segments, type 53 / Annex B.2, plus the inline runcode
-  * symbol-ID tables of 7.4.3.1.7), untransposed. Refinement/aggregate
-  * coding, custom tables for DICTIONARIES, and standard-table
-  * selections in Huffman TEXT regions degrade to the honest
-  * `undecoded` label, never a guess.
+  * symbol-ID tables of 7.4.3.1.7), untransposed. GENERIC REFINEMENT
+  * regions (§6.3: both GR templates, TPGRON typical prediction,
+  * page-reference form with REPLACE composition — the second-pass
+  * quality layer progressive scanners emit). Refinement-AGGREGATE
+  * symbol coding (SDREFAGG), refinement inside text regions (REFINE),
+  * custom tables for DICTIONARIES, and standard-table selections in
+  * Huffman TEXT regions degrade to the honest `undecoded` label,
+  * never a guess.
   *
   * Both directions are implemented — the encoder produces fixtures whose
   * decoded geometry/ink only a real decoder can recover (JBIG2 carries
@@ -353,6 +357,147 @@ object Jbig2 {
           if (dec.decode(cx, context(template, at, px)) == 1) rows(y)(x) = true
           x += 1
         }
+      }
+      y += 1
+    }
+    rows
+  }
+
+  // ---------- generic refinement region coding (T.88 §6.3) ----------
+
+  /** Nominal refinement AT pixels (§6.3.5.3): A1 reads the current
+    * layer, A2 the reference layer, both nominally (−1, −1). */
+  private def nominalRefAt: Array[(Int, Int)] = Array((-1, -1), (-1, -1))
+
+  /** TPGRON's SLTP decision contexts, one per GR template (§6.3.5.6). */
+  private val RefSltpCx = Array(0x0100, 0x0080)
+
+  /** The §6.3.5.3 refinement context label for one pixel: `cur` reads
+    * the partially-built refinement raster, `ref` the reference layer
+    * shifted by (GRREFERENCEDX, GRREFERENCEDY) — both out-of-bounds =
+    * 0. GRTEMPLATE 0 is 13 pixels (4 current incl. A1, 9 reference
+    * incl. A2), template 1 is 10 (4 current, 6 reference). */
+  private def refContext(template: Int, at: Array[(Int, Int)],
+      cur: (Int, Int) => Int, ref: (Int, Int) => Int): Int =
+    if (template == 0)
+      cur(-1, 0) | cur(1, -1) << 1 | cur(0, -1) << 2 |
+        cur(at(0)._1, at(0)._2) << 3 |
+        ref(1, 1) << 4 | ref(0, 1) << 5 | ref(-1, 1) << 6 |
+        ref(at(1)._1, at(1)._2) << 7 |
+        ref(1, 0) << 8 | ref(0, 0) << 9 | ref(-1, 0) << 10 |
+        ref(1, -1) << 11 | ref(0, -1) << 12
+    else
+      cur(-1, 0) | cur(1, -1) << 1 | cur(0, -1) << 2 | cur(-1, -1) << 3 |
+        ref(1, 1) << 4 | ref(0, 1) << 5 |
+        ref(1, 0) << 6 | ref(0, 0) << 7 | ref(-1, 0) << 8 |
+        ref(0, -1) << 9
+
+  /** TPGRON's "typical pixel" test: the 3×3 reference neighborhood is
+    * uniform → Some(that value), else None (§6.3.5.6 step 3(c)). */
+  private def refUniform(ref: (Int, Int) => Int): Option[Int] = {
+    val v = ref(-1, -1)
+    var dy = -1
+    while (dy <= 1) {
+      var dx = -1
+      while (dx <= 1) {
+        if (ref(dx, dy) != v) return None
+        dx += 1
+      }
+      dy += 1
+    }
+    Some(v)
+  }
+
+  /** MQ-encode a raster as a refinement of `refBm` (nominal ATs,
+    * GRREFERENCEDX/DY = 0 — the page-refinement form 7.4.7.2 fixes).
+    * With TPGRON, a row is flagged typical when every pixel whose 3×3
+    * reference neighborhood is uniform already equals that value; the
+    * flagged rows then code only their non-typical pixels. */
+  private[sources] def encodeRefinement(rows: IndexedSeq[Array[Boolean]],
+      width: Int, template: Int, refBm: Array[Array[Boolean]],
+      tpgron: Boolean): Array[Byte] = {
+    val enc = new MqEncoder
+    val cx = new CxStore
+    val at = nominalRefAt
+    val refH = refBm.length
+    val refW = if (refH == 0) 0 else refBm(0).length
+    var ltp = false
+    var y = 0
+    while (y < rows.length) {
+      val row = rows(y)
+      val yf = y
+      def ref(xf: Int)(ddx: Int, ddy: Int): Int = {
+        val xx = xf + ddx; val yy = yf + ddy
+        if (xx < 0 || xx >= refW || yy < 0 || yy >= refH) 0
+        else if (refBm(yy)(xx)) 1 else 0
+      }
+      def cur(xf: Int)(ddx: Int, ddy: Int): Int = {
+        val xx = xf + ddx; val yy = yf + ddy
+        if (xx < 0 || xx >= width || yy < 0 ||
+            (yy == yf && xx >= xf)) 0
+        else if (rows(yy)(xx)) 1 else 0
+      }
+      if (tpgron) {
+        var want = true
+        var x = 0
+        while (want && x < width) {
+          refUniform(ref(x)).foreach(v => if ((v == 1) != row(x)) want = false)
+          x += 1
+        }
+        val sltp = if (want != ltp) 1 else 0
+        enc.encode(cx, RefSltpCx(template), sltp)
+        ltp = want
+      }
+      var x = 0
+      while (x < width) {
+        if (!(ltp && refUniform(ref(x)).isDefined))
+          enc.encode(cx, refContext(template, at, cur(x), ref(x)),
+            if (row(x)) 1 else 0)
+        x += 1
+      }
+      y += 1
+    }
+    enc.flush()
+  }
+
+  /** Decode a generic refinement region (§6.3.5.6): each pixel is coded
+    * against its own partial raster AND the reference layer; rows under
+    * an active TPGRON flag copy pixels whose 3×3 reference neighborhood
+    * is uniform instead of decoding them. */
+  private[sources] def decodeRefinement(data: Array[Byte], start: Int,
+      end: Int, width: Int, height: Int, template: Int,
+      at: Array[(Int, Int)], refBm: Array[Array[Boolean]], dx: Int,
+      dy: Int, tpgron: Boolean): Array[Array[Boolean]] = {
+    val dec = new MqDecoder(data, start, end)
+    val cx = new CxStore
+    val refH = refBm.length
+    val refW = if (refH == 0) 0 else refBm(0).length
+    val rows = Array.ofDim[Boolean](height, width)
+    var ltp = false
+    var y = 0
+    while (y < height) {
+      if (tpgron && dec.decode(cx, RefSltpCx(template)) == 1) ltp = !ltp
+      var x = 0
+      while (x < width) {
+        val xf = x
+        val yf = y
+        def cur(ddx: Int, ddy: Int): Int = {
+          val xx = xf + ddx; val yy = yf + ddy
+          if (xx < 0 || xx >= width || yy < 0 ||
+              (yy == yf && xx >= xf)) 0
+          else if (rows(yy)(xx)) 1 else 0
+        }
+        def ref(ddx: Int, ddy: Int): Int = {
+          val xx = xf - dx + ddx; val yy = yf - dy + ddy
+          if (xx < 0 || xx >= refW || yy < 0 || yy >= refH) 0
+          else if (refBm(yy)(xx)) 1 else 0
+        }
+        val bit =
+          if (ltp) refUniform(ref).getOrElse(
+            dec.decode(cx, refContext(template, at, cur, ref)))
+          else dec.decode(cx, refContext(template, at, cur, ref))
+        if (bit == 1) rows(y)(x) = true
+        x += 1
       }
       y += 1
     }
@@ -1409,6 +1554,57 @@ object Jbig2 {
     b.toArray
   }
 
+  /** Emit a refined document: page info + immediate generic region (the
+    * base) + immediate lossless GENERIC REFINEMENT region (type 43) over
+    * a sub-rect + end of page. The refinement's reference is the page
+    * under its rect (7.4.7.2: GRREFERENCEDX/DY = 0), i.e. the base
+    * pixels there, and its result REPLACES the rect — so the decoded
+    * page is `base` with [rx, rx+rw)×[ry, ry+rh) swapped for `refined`,
+    * including CLEARED pixels an OR composite could never express. */
+  def encodeRefinedDocument(base: Seq[Array[Boolean]], width: Int,
+      rx: Int, ry: Int, refined: Seq[Array[Boolean]],
+      template: Int = 0, tpgron: Boolean = false): Array[Byte] = {
+    require(base.nonEmpty && width > 0 && base.forall(_.length == width))
+    require(refined.nonEmpty && template >= 0 && template <= 1)
+    val rw = refined.head.length
+    val rh = refined.length
+    require(rw > 0 && refined.forall(_.length == rw))
+    require(rx >= 0 && ry >= 0 && rx + rw <= width &&
+      ry + rh <= base.length)
+    val height = base.length
+    val b = mutable.ArrayBuffer.empty[Byte]
+    def header(num: Int, tpe: Int, dataLen: Int): Unit = {
+      be32(b, num)
+      b += tpe.toByte
+      b += 0x00 // zero referred-to segments
+      b += 0x01 // page 1
+      be32(b, dataLen)
+    }
+    header(1, 48, 19)
+    be32(b, width); be32(b, height); be32(b, 0); be32(b, 0)
+    b += 0x01; b += 0; b += 0
+    val at = nominalAt(0)
+    val coded = encodeGeneric(base.toIndexedSeq, width, 0, tpgdon = false)
+    header(2, 39, 17 + 1 + 2 * at.length + coded.length)
+    be32(b, width); be32(b, height); be32(b, 0); be32(b, 0)
+    b += 0x00 // external combination operator OR
+    b += 0x00 // generic flags: MQ, template 0
+    at.foreach { case (x, y) => b += x.toByte; b += y.toByte }
+    b ++= coded
+    val refBm = Array.tabulate(rh, rw)((yy, xx) => base(ry + yy)(rx + xx))
+    val rcoded =
+      encodeRefinement(refined.toIndexedSeq, rw, template, refBm, tpgron)
+    val rat = if (template == 0) nominalRefAt else Array.empty[(Int, Int)]
+    header(3, 43, 17 + 1 + 2 * rat.length + rcoded.length)
+    be32(b, rw); be32(b, rh); be32(b, rx); be32(b, ry)
+    b += 0x04 // external combination operator REPLACE
+    b += ((template & 1) | (if (tpgron) 2 else 0)).toByte
+    rat.foreach { case (x, y) => b += x.toByte; b += y.toByte }
+    b ++= rcoded
+    header(4, 49, 0)
+    b.toArray
+  }
+
   private final class Reader(val d: Array[Byte]) {
     var p = 0
     def remaining: Int = d.length - p
@@ -1473,7 +1669,40 @@ object Jbig2 {
     }
     try {
       val r = new Reader(all)
-      val regions = mutable.ArrayBuffer.empty[(Int, Int, Array[Array[Boolean]])]
+      // (x, y, op, rows): op is the external combination operator the
+      // region composites onto the page with — 0 = OR (generic/text
+      // producers here), 4 = REPLACE (refinement regions, which must be
+      // able to CLEAR page pixels their reference had set)
+      val regions =
+        mutable.ArrayBuffer.empty[(Int, Int, Int, Array[Array[Boolean]])]
+      /** Composite every recorded region, in order, into `dst` — a rect
+        * view of the page anchored at (dx0, dy0). Used both for the
+        * final page assembly (anchor 0,0) and for building a refinement
+        * region's reference: "the page under the rect, so far". */
+      def compositeInto(dst: Array[Array[Boolean]], dx0: Int,
+          dy0: Int): Unit = {
+        val dh = dst.length
+        val dw = if (dh == 0) 0 else dst(0).length
+        regions.foreach { case (rx, ry, op, rows) =>
+          var y = 0
+          while (y < rows.length) {
+            val ty = ry + y - dy0
+            if (ty >= 0 && ty < dh) {
+              val row = rows(y)
+              var x = 0
+              while (x < row.length) {
+                val tx = rx + x - dx0
+                if (tx >= 0 && tx < dw) {
+                  if (op == 4) dst(ty)(tx) = row(x)
+                  else if (row(x)) dst(ty)(tx) = true
+                }
+                x += 1
+              }
+            }
+            y += 1
+          }
+        }
+      }
       val symbolDicts =
         mutable.Map.empty[Long, IndexedSeq[Array[Array[Boolean]]]]
       val codeTables = mutable.Map.empty[Long, HuffTable]
@@ -1569,8 +1798,44 @@ object Jbig2 {
                       decodeTextRegion(all, rr.p, end, w.toInt, h.toInt,
                         syms, tabs).foreach { rows =>
                         pixelBudget -= w * h
-                        regions += ((x.toInt, y.toInt, rows))
+                        regions += ((x.toInt, y.toInt, 0, rows))
                       }
+                    }
+                  }
+                }
+                if (seg.tpe == 42 || seg.tpe == 43) {
+                  // immediate generic refinement region (§6.3 + 7.4.7):
+                  // the reference is the page under the rect as
+                  // composited SO FAR, GRREFERENCEDX/DY = 0, and the
+                  // result REPLACES the rect. (Type 40, intermediate,
+                  // refines a RETAINED region for later reference —
+                  // parses and is skipped like other retained forms.)
+                  val rr = new Reader(all)
+                  rr.p = seg.dataStart
+                  if (segLen >= 17 + 1) {
+                    val w = rr.u32(); val h = rr.u32()
+                    val x = rr.u32(); val y = rr.u32()
+                    rr.u8() // external combination operator
+                    val rflags = rr.u8()
+                    val template = rflags & 1
+                    val tpgron = (rflags & 2) != 0
+                    val atCount = if (template == 0) 2 else 0
+                    // 2× the rect: the decode materializes the rows AND
+                    // a transient reference bitmap of the same size
+                    val ok = w > 0 && h > 0 && w <= (1 << 16) &&
+                      h <= (1 << 16) && 2 * w * h <= pixelBudget &&
+                      x + w <= (1 << 16) && y + h <= (1 << 16) &&
+                      end - rr.p >= 2 * atCount
+                    if (ok) {
+                      val at = Array.fill(atCount) {
+                        val ax = rr.s8(); val ay = rr.s8(); (ax, ay)
+                      }
+                      val ref = Array.ofDim[Boolean](h.toInt, w.toInt)
+                      compositeInto(ref, x.toInt, y.toInt)
+                      pixelBudget -= w * h
+                      val rows = decodeRefinement(all, rr.p, end, w.toInt,
+                        h.toInt, template, at, ref, 0, 0, tpgron)
+                      regions += ((x.toInt, y.toInt, 4, rows))
                     }
                   }
                 }
@@ -1601,14 +1866,14 @@ object Jbig2 {
                         CcittG4.decode(slice, w.toInt, maxRows = h.toInt)
                           .filter(_.height == h.toInt) // partial = reject
                           .foreach(d =>
-                            regions += ((x.toInt, y.toInt, d.rows)))
+                            regions += ((x.toInt, y.toInt, 0, d.rows)))
                       } else {
                         val at = Array.fill(atCount) {
                           val ax = rr.s8(); val ay = rr.s8(); (ax, ay)
                         }
                         val rows = decodeGeneric(all, rr.p, end, w.toInt,
                           h.toInt, template, at, tpgdon)
-                        regions += ((x.toInt, y.toInt, rows))
+                        regions += ((x.toInt, y.toInt, 0, rows))
                       }
                     }
                   }
@@ -1624,28 +1889,18 @@ object Jbig2 {
         // contains every region (producers legally trim trailing white
         // rows from the region but the page bitmap keeps them — the
         // dims a conformant consumer reports), else the region extent
-        val extW = regions.map { case (x, _, rw) => x + rw.head.length }.max
-        val extH = regions.map { case (_, y, rw) => y + rw.length }.max
+        val extW = regions.map { case (x, _, _, rw) => x + rw.head.length }.max
+        val extH = regions.map { case (_, y, _, rw) => y + rw.length }.max
         val w = if (pageW >= extW && pageH >= extH) pageW.toInt else extW
         val h = if (pageW >= extW && pageH >= extH) pageH.toInt else extH
         if (regions.length == 1 && regions.head._1 == 0 &&
             regions.head._2 == 0 && w == extW && h == extH) {
-          val rows = regions.head._3
+          val rows = regions.head._4
           Some(Decoded(rows.head.length, rows.length, rows))
         } else if (w.toLong * h > maxPixels) None
         else {
           val page = Array.ofDim[Boolean](h, w)
-          regions.foreach { case (x0, y0, rw) =>
-            var y = 0
-            while (y < rw.length) {
-              var x = 0
-              while (x < rw(y).length) {
-                if (rw(y)(x)) page(y0 + y)(x0 + x) = true
-                x += 1
-              }
-              y += 1
-            }
-          }
+          compositeInto(page, 0, 0)
           Some(Decoded(w, h, page))
         }
       }

@@ -1194,10 +1194,33 @@ object PdfWriter {
           } else if (jbig2Seed.isDefined) {
             val m = jbig2Seed.get
             (i % 3) match {
-              case 0 => // REAL JBIG2; dict dims LIE — truth is in the data
+              case 0 => // REAL JBIG2; dict dims LIE — truth is in the
+                // data. Every third seed ships as base + GENERIC
+                // REFINEMENT region (T.88 §6.3): the base carries an
+                // INVERTED rect and the refinement REPLACES it with the
+                // true content, so the pinned ink is recoverable only
+                // by a real refinement decode (OR-compositing or
+                // ignoring the refinement both get the ink wrong)
                 val (iw, ih) = jb2Dims(m)
+                val rows = jb2Raster(m)
+                val payload =
+                  if (m % 3 == 2) {
+                    val rx = iw / 4; val ry = ih / 4
+                    val rw = math.max(1, iw / 3)
+                    val rh = math.max(1, ih / 3)
+                    val base = rows.zipWithIndex.map { case (r, y) =>
+                      Array.tabulate(iw)(x =>
+                        if (x >= rx && x < rx + rw && y >= ry &&
+                            y < ry + rh) !r(x)
+                        else r(x))
+                    }
+                    val refined = (0 until rh).map(y =>
+                      Array.tabulate(rw)(x => rows(ry + y)(rx + x)))
+                    Jbig2.encodeRefinedDocument(base, iw, rx, ry, refined,
+                      template = (m / 3) % 2, tpgron = m % 2 == 0)
+                  } else Jbig2.encodeEmbedded(rows, iw)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 1, "JBIG2Decode",
-                  "", Jbig2.encodeEmbedded(jb2Raster(m), iw))
+                  "", payload)
               case 1 => jbig2Stub(m)
               case _ => jpxStub(m)
             }

@@ -139,6 +139,60 @@ class Jbig2Spec extends AnyFunSuite {
       "a region over budget must be skipped, not allocated")
   }
 
+  test("generic refinement regions REPLACE their rect, both templates") {
+    def raster(w: Int, h: Int)(f: (Int, Int) => Boolean) =
+      (0 until h).map(y => Array.tabulate(w)(x => f(x, y)))
+    val w = 42; val h = 30
+    val base = raster(w, h)((x, y) => (x / 3 + y / 2) % 2 == 0)
+    for (template <- 0 to 1; tpgron <- Seq(false, true)) {
+      // the refined rect DIFFERS from the base under it — including
+      // cleared pixels, which an OR composite could never express
+      val refined = raster(16, 12)((x, y) => (x + y) % 3 == 0)
+      val enc = Jbig2.encodeRefinedDocument(base, w, rx = 8, ry = 6,
+        refined, template = template, tpgron = tpgron)
+      val d = Jbig2.decode(enc)
+        .getOrElse(fail(s"t=$template tpgron=$tpgron decode failed"))
+      assert(d.width == w && d.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want =
+          if (x >= 8 && x < 24 && y >= 6 && y < 18) refined(y - 6)(x - 8)
+          else base(y)(x)
+        assert(d.rows(y)(x) == want,
+          s"t=$template tpgron=$tpgron pixel ($x,$y)")
+      }
+    }
+    // a refinement identical to its reference (the TPGRON-every-row
+    // shape: all pixels typical) and one at the page corner (reference
+    // neighborhood out of bounds on two sides)
+    val same = raster(10, 8)((x, y) => base(y)(x))
+    val dSame = Jbig2.decode(Jbig2.encodeRefinedDocument(base, w, 0, 0,
+      same, tpgron = true)).get
+    assert((0 until 8).forall(y => (0 until 10).forall(x =>
+      dSame.rows(y)(x) == base(y)(x))))
+    // fuzz: truncations and bit flips stay bounded, never throw
+    val enc = Jbig2.encodeRefinedDocument(base, w, 8, 6,
+      raster(16, 12)((x, y) => x % 2 == y % 2), tpgron = true)
+    (0 until enc.length by 5).foreach(n => Jbig2.decode(enc.take(n)))
+    (0 until enc.length by 7).foreach { i =>
+      val mut = enc.clone(); mut(i) = (mut(i) ^ 0x2D).toByte
+      Jbig2.decode(mut)
+    }
+  }
+
+  test("refinement regions debit the budget for rows AND reference") {
+    val base = (0 until 20).map(y =>
+      Array.tabulate(40)(x => (x + y) % 2 == 0))
+    val refined = (0 until 20).map(y =>
+      Array.tabulate(40)(x => x % 3 == 0))
+    val enc = Jbig2.encodeRefinedDocument(base, 40, 0, 0, refined)
+    assert(Jbig2.decode(enc, maxPixels = 3L * 40 * 20).isDefined)
+    // base debits 800; the refinement needs 2*800 headroom on top
+    val tight = Jbig2.decode(enc, maxPixels = 2L * 40 * 20)
+    assert(tight.forall(d => d.rows.zip(base).forall { case (g, w2) =>
+      g.sameElements(w2) }), "over-budget refinement must be skipped, " +
+      "leaving the base region decode")
+  }
+
   test("the dict cannot lie: decoded geometry and ink beat /Width /Height") {
     (0 until 30).foreach { m =>
       val paras = Seq(s"scan doc $m", "second paragraph")
