@@ -433,7 +433,10 @@ object Jbig2 {
       }
       def cur(xf: Int)(ddx: Int, ddy: Int): Int = {
         val xx = xf + ddx; val yy = yf + ddy
-        if (xx < 0 || xx >= width || yy < 0 ||
+        // yy > yf: not-yet-coded rows read 0 (a custom AT with a
+        // positive ay must stay symmetric with the decoder, where
+        // those rows do not exist yet)
+        if (xx < 0 || xx >= width || yy < 0 || yy > yf ||
             (yy == yf && xx >= xf)) 0
         else if (rows(yy)(xx)) 1 else 0
       }
@@ -483,7 +486,9 @@ object Jbig2 {
         val yf = y
         def cur(ddx: Int, ddy: Int): Int = {
           val xx = xf + ddx; val yy = yf + ddy
-          if (xx < 0 || xx >= width || yy < 0 ||
+          // yy > yf guards hostile ATs with positive ay: those rows
+          // are undecoded (and rows(yy) would throw on the last row)
+          if (xx < 0 || xx >= width || yy < 0 || yy > yf ||
               (yy == yf && xx >= xf)) 0
           else if (rows(yy)(xx)) 1 else 0
         }
@@ -1467,24 +1472,38 @@ object Jbig2 {
   /** Emit the PDF-embedded organization: page info (48) + immediate
     * lossless generic region (39) + end of page (49) — no file header,
     * exactly what a /JBIG2Decode stream carries. */
+  /** Write one segment header (T.88 §7.2, short form: few refs,
+    * 1-byte segment numbers and page association) followed by the data
+    * length — shared by every document builder so the layout lives in
+    * one place. */
+  private def segHeader(b: mutable.ArrayBuffer[Byte], num: Int, tpe: Int,
+      dataLen: Int, refs: Seq[Int] = Nil): Unit = {
+    be32(b, num)
+    b += tpe.toByte // flags: type in bits 5-0; 1-byte page assoc
+    b += ((refs.length << 5) & 0xFF).toByte // count in top 3 bits
+    refs.foreach(rn => b += rn.toByte) // 1-byte numbers (num <= 256)
+    b += 0x01 // page 1
+    be32(b, dataLen)
+  }
+
+  /** Page information segment (§7.4.8) with the given flags byte. */
+  private def pageInfo(b: mutable.ArrayBuffer[Byte], num: Int, w: Int,
+      h: Int, flags: Int): Unit = {
+    segHeader(b, num, 48, 19)
+    be32(b, w); be32(b, h); be32(b, 0); be32(b, 0)
+    b += flags.toByte
+    b += 0; b += 0 // not striped
+  }
+
   def encodeEmbedded(rows: Seq[Array[Boolean]], width: Int,
       template: Int = 0, tpgdon: Boolean = false,
       mmr: Boolean = false): Array[Byte] = {
     require(rows.nonEmpty && width > 0 && rows.forall(_.length == width))
     val height = rows.length
     val b = mutable.ArrayBuffer.empty[Byte]
-    def header(num: Int, tpe: Int, dataLen: Int): Unit = {
-      be32(b, num)
-      b += tpe.toByte // flags: type in bits 5-0; 1-byte page assoc
-      b += 0x00 // zero referred-to segments
-      b += 0x01 // page 1
-      be32(b, dataLen)
-    }
-    // page info
-    header(1, 48, 19)
-    be32(b, width); be32(b, height); be32(b, 0); be32(b, 0)
-    b += 0x01 // page flags: default pixel 0, lossless
-    b += 0; b += 0 // not striped
+    def header(num: Int, tpe: Int, dataLen: Int): Unit =
+      segHeader(b, num, tpe, dataLen)
+    pageInfo(b, 1, width, height, 0x01) // default pixel 0, lossless
     // immediate lossless generic region: MQ-coded, or MMR (= T.6 /
     // CCITT G4, §6.2.6) when asked — real streams carry both forms
     val at = if (mmr) Array.empty[(Int, Int)] else nominalAt(template)
@@ -1517,17 +1536,8 @@ object Jbig2 {
     require(pageW > 0 && pageH > 0 && syms.nonEmpty)
     val b = mutable.ArrayBuffer.empty[Byte]
     def header(num: Int, tpe: Int, dataLen: Int,
-        refs: Seq[Int] = Nil): Unit = {
-      be32(b, num)
-      b += tpe.toByte
-      b += ((refs.length << 5) & 0xFF).toByte // count in top 3 bits
-      refs.foreach(rn => b += rn.toByte) // 1-byte numbers (num ≤ 256)
-      b += 0x01 // page 1
-      be32(b, dataLen)
-    }
-    header(1, 48, 19)
-    be32(b, pageW); be32(b, pageH); be32(b, 0); be32(b, 0)
-    b += 0x01; b += 0; b += 0
+        refs: Seq[Int] = Nil): Unit = segHeader(b, num, tpe, dataLen, refs)
+    pageInfo(b, 1, pageW, pageH, 0x01)
     val dict =
       if (huffDict) encodeSymbolDictHuff(syms, mmr = dictMmr)
       else encodeSymbolDict(syms)
@@ -1573,16 +1583,12 @@ object Jbig2 {
       ry + rh <= base.length)
     val height = base.length
     val b = mutable.ArrayBuffer.empty[Byte]
-    def header(num: Int, tpe: Int, dataLen: Int): Unit = {
-      be32(b, num)
-      b += tpe.toByte
-      b += 0x00 // zero referred-to segments
-      b += 0x01 // page 1
-      be32(b, dataLen)
-    }
-    header(1, 48, 19)
-    be32(b, width); be32(b, height); be32(b, 0); be32(b, 0)
-    b += 0x01; b += 0; b += 0
+    def header(num: Int, tpe: Int, dataLen: Int): Unit =
+      segHeader(b, num, tpe, dataLen)
+    // 0x43: lossless + MIGHT CONTAIN REFINEMENTS + combination operator
+    // may be overridden (7.4.8.5 — the REPLACE below is only conformant
+    // with the override bit set)
+    pageInfo(b, 1, width, height, 0x43)
     val at = nominalAt(0)
     val coded = encodeGeneric(base.toIndexedSeq, width, 0, tpgdon = false)
     header(2, 39, 17 + 1 + 2 * at.length + coded.length)
@@ -1684,20 +1690,24 @@ object Jbig2 {
         val dh = dst.length
         val dw = if (dh == 0) 0 else dst(0).length
         regions.foreach { case (rx, ry, op, rows) =>
-          var y = 0
-          while (y < rows.length) {
+          // clip the LOOP RANGES to the overlap, not per-pixel: a
+          // hostile stream of many tiny refinements against one huge
+          // region must cost O(overlap), not O(region) per reference
+          val rowW = if (rows.length == 0) 0 else rows(0).length
+          val y0 = math.max(0, dy0 - ry)
+          val y1 = math.min(rows.length, dy0 + dh - ry)
+          val xLo = math.max(0, dx0 - rx)
+          val xHi = math.min(rowW, dx0 + dw - rx)
+          var y = y0
+          while (y < y1) {
             val ty = ry + y - dy0
-            if (ty >= 0 && ty < dh) {
-              val row = rows(y)
-              var x = 0
-              while (x < row.length) {
-                val tx = rx + x - dx0
-                if (tx >= 0 && tx < dw) {
-                  if (op == 4) dst(ty)(tx) = row(x)
-                  else if (row(x)) dst(ty)(tx) = true
-                }
-                x += 1
-              }
+            val row = rows(y)
+            var x = xLo
+            while (x < xHi) {
+              val tx = rx + x - dx0
+              if (op == 4) dst(ty)(tx) = row(x)
+              else if (row(x)) dst(ty)(tx) = true
+              x += 1
             }
             y += 1
           }
@@ -1803,7 +1813,12 @@ object Jbig2 {
                     }
                   }
                 }
-                if (seg.tpe == 42 || seg.tpe == 43) {
+                if ((seg.tpe == 42 || seg.tpe == 43) &&
+                    seg.refs.isEmpty) {
+                  // non-empty refs = the reference is a RETAINED
+                  // intermediate region (7.4.7), which this decoder
+                  // does not keep — decoding against the page instead
+                  // would be confident garbage, so those skip honestly
                   // immediate generic refinement region (§6.3 + 7.4.7):
                   // the reference is the page under the rect as
                   // composited SO FAR, GRREFERENCEDX/DY = 0, and the

@@ -179,6 +179,27 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("a refinement referring to a retained region skips honestly") {
+    val base = (0 until 12).map(y =>
+      Array.tabulate(20)(x => (x + y) % 2 == 0))
+    val refined = (0 until 6).map(y => Array.tabulate(8)(x => x % 3 == 0))
+    val enc = Jbig2.encodeRefinedDocument(base, 20, 4, 3, refined)
+    // surgically give the type-43 segment one referred segment: its
+    // reference is then a RETAINED intermediate region (7.4.7), which
+    // this decoder does not keep — decoding against the page instead
+    // would be confident garbage
+    val hdrAt = (0 until enc.length - 5).find { i =>
+      // segment number 3, type 43, zero refs, page 1
+      enc(i) == 0 && enc(i + 1) == 0 && enc(i + 2) == 0 &&
+        enc(i + 3) == 3 && (enc(i + 4) & 0x3F) == 43
+    }.getOrElse(fail("type-43 header not found"))
+    val mut = enc.take(hdrAt + 5) ++
+      Array[Byte]((1 << 5).toByte, 2) ++ enc.drop(hdrAt + 6)
+    val d = Jbig2.decode(mut).getOrElse(fail("base must still decode"))
+    assert(d.rows.zip(base).forall { case (g, w) => g.sameElements(w) },
+      "the referring refinement must be skipped, leaving the base")
+  }
+
   test("refinement regions debit the budget for rows AND reference") {
     val base = (0 until 20).map(y =>
       Array.tabulate(40)(x => (x + y) % 2 == 0))
