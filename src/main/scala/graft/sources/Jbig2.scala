@@ -23,11 +23,16 @@ import scala.collection.mutable
   * symbol-ID tables of 7.4.3.1.7), untransposed. GENERIC REFINEMENT
   * regions (§6.3: both GR templates, TPGRON typical prediction,
   * page-reference form with REPLACE composition — the second-pass
-  * quality layer progressive scanners emit). Refinement-AGGREGATE
-  * symbol coding (SDREFAGG), refinement inside text regions (REFINE),
-  * custom tables for DICTIONARIES, and standard-table selections in
-  * Huffman TEXT regions degrade to the honest `undecoded` label,
-  * never a guess.
+  * quality layer progressive scanners emit). REFINEMENT-AGGREGATE
+  * symbol dictionaries in the single-instance form (SDREFAGG with
+  * REFAGGNINST = 1, §6.5.8.2 — font-variant dictionaries refining a
+  * base dictionary's glyphs) and per-instance refinement in
+  * arithmetic TEXT regions (REFINE, §6.4.11 — touched-up instances
+  * placed at their refined dims). The >1 aggregate form (a nested
+  * text region per symbol), Huffman+refinement combinations, custom
+  * tables for DICTIONARIES, and standard-table selections in Huffman
+  * TEXT regions degrade to the honest `undecoded` label, never a
+  * guess.
   *
   * Both directions are implemented — the encoder produces fixtures whose
   * decoded geometry/ink only a real decoder can recover (JBIG2 carries
@@ -417,8 +422,19 @@ object Jbig2 {
       width: Int, template: Int, refBm: Array[Array[Boolean]],
       tpgron: Boolean): Array[Byte] = {
     val enc = new MqEncoder
-    val cx = new CxStore
-    val at = nominalRefAt
+    encodeRefinementWith(enc, new CxStore, rows, width, template,
+      nominalRefAt, refBm, 0, 0, tpgron)
+    enc.flush()
+  }
+
+  /** The same refinement coding over a CALLER-OWNED coder and GR
+    * context store — the form SDREFAGG dictionaries and REFINE text
+    * regions need: every refinement in a segment shares one arithmetic
+    * codeword and one set of GR contexts (§6.5.8.2.2, §6.4.11). */
+  private[sources] def encodeRefinementWith(enc: MqEncoder, cx: CxStore,
+      rows: IndexedSeq[Array[Boolean]], width: Int, template: Int,
+      at: Array[(Int, Int)], refBm: Array[Array[Boolean]], dx: Int,
+      dy: Int, tpgron: Boolean): Unit = {
     val refH = refBm.length
     val refW = if (refH == 0) 0 else refBm(0).length
     var ltp = false
@@ -427,7 +443,7 @@ object Jbig2 {
       val row = rows(y)
       val yf = y
       def ref(xf: Int)(ddx: Int, ddy: Int): Int = {
-        val xx = xf + ddx; val yy = yf + ddy
+        val xx = xf - dx + ddx; val yy = yf - dy + ddy
         if (xx < 0 || xx >= refW || yy < 0 || yy >= refH) 0
         else if (refBm(yy)(xx)) 1 else 0
       }
@@ -460,7 +476,6 @@ object Jbig2 {
       }
       y += 1
     }
-    enc.flush()
   }
 
   /** Decode a generic refinement region (§6.3.5.6): each pixel is coded
@@ -470,9 +485,16 @@ object Jbig2 {
   private[sources] def decodeRefinement(data: Array[Byte], start: Int,
       end: Int, width: Int, height: Int, template: Int,
       at: Array[(Int, Int)], refBm: Array[Array[Boolean]], dx: Int,
-      dy: Int, tpgron: Boolean): Array[Array[Boolean]] = {
-    val dec = new MqDecoder(data, start, end)
-    val cx = new CxStore
+      dy: Int, tpgron: Boolean): Array[Array[Boolean]] =
+    decodeRefinementWith(new MqDecoder(data, start, end), new CxStore,
+      width, height, template, at, refBm, dx, dy, tpgron)
+
+  /** Decode over a caller-owned coder + GR contexts (SDREFAGG symbol
+    * dictionaries, REFINE text regions). */
+  private[sources] def decodeRefinementWith(dec: MqDecoder, cx: CxStore,
+      width: Int, height: Int, template: Int, at: Array[(Int, Int)],
+      refBm: Array[Array[Boolean]], dx: Int, dy: Int,
+      tpgron: Boolean): Array[Array[Boolean]] = {
     val refH = refBm.length
     val refW = if (refH == 0) 0 else refBm(0).length
     val rows = Array.ofDim[Boolean](height, width)
@@ -843,12 +865,18 @@ object Jbig2 {
     val sdhuff = (flags & 1) != 0
     val sdrefagg = (flags & 2) != 0
     val template = (flags >> 10) & 3
-    if (sdrefagg) return None // refinement-aggregate: out of scope
+    val rtemplate = (flags >> 12) & 1
+    if (sdhuff && sdrefagg) return None // no Huffman refinement support
     if (sdhuff)
       return decodeSymbolDictHuff(data, r.p, end, flags, input, maxPixels)
     val atCount = if (template == 0) 4 else 1
     if (end - r.p < 2 * atCount + 8) return None
     val at = Array.fill(atCount) { val x = r.s8(); val y = r.s8(); (x, y) }
+    // SDRAT: present only when refinement-aggregate coding is on and
+    // the GR template needs AT pixels (7.4.4.1.2)
+    val ratCount = if (sdrefagg && rtemplate == 0) 2 else 0
+    if (end - r.p < 2 * ratCount + 8) return None
+    val rat = Array.fill(ratCount) { val x = r.s8(); val y = r.s8(); (x, y) }
     val numEx = r.u32()
     val numNew = r.u32()
     if (numEx > 10000 || numNew > 10000) return None
@@ -857,6 +885,18 @@ object Jbig2 {
     val iadh = new IntCtx
     val iadw = new IntCtx
     val iaex = new IntCtx
+    // refinement-aggregate state (§6.5.8.2): shared GR contexts, the
+    // aggregate-instance count, and symbol-id/offset contexts. The id
+    // space is input ++ new with a FIXED code length over the declared
+    // totals (6.5.8.2.3), so ids can name symbols not yet decoded —
+    // guarded below, a reference must already exist.
+    lazy val grCx = new CxStore
+    lazy val iaai = new IntCtx
+    lazy val iardx = new IntCtx
+    lazy val iardy = new IntCtx
+    lazy val iaid = new IdCtx(math.max(1,
+      32 - Integer.numberOfLeadingZeros(
+        math.max(1, input.length + numNew.toInt - 1))))
     val newSyms = mutable.ArrayBuffer.empty[Array[Array[Boolean]]]
     var budget = maxPixels
     var hcHeight = 0
@@ -882,8 +922,27 @@ object Jbig2 {
             if (symWidth <= 0 || symWidth > (1 << 12) ||
                 symWidth.toLong * hcHeight > budget) return None
             budget -= symWidth.toLong * hcHeight
-            newSyms += decodeGenericWith(dec, gbCx, symWidth, hcHeight,
-              template, at, tpgdon = false)
+            if (!sdrefagg)
+              newSyms += decodeGenericWith(dec, gbCx, symWidth, hcHeight,
+                template, at, tpgdon = false)
+            else {
+              // single-refinement form: REFAGGNINST = 1 refines one
+              // referred-or-earlier symbol; the >1 aggregate (a nested
+              // text region) stays out of scope — honest None
+              val nInst = decodeInt(dec, iaai).getOrElse(return None)
+              if (nInst != 1) return None
+              val id = decodeId(dec, iaid)
+              if (id < 0 || id >= input.length + newSyms.length) return None
+              val rdx = decodeInt(dec, iardx).getOrElse(return None)
+              val rdy = decodeInt(dec, iardy).getOrElse(return None)
+              if (math.abs(rdx) > (1 << 12) || math.abs(rdy) > (1 << 12))
+                return None
+              val refBm =
+                if (id < input.length) input(id)
+                else newSyms(id - input.length)
+              newSyms += decodeRefinementWith(dec, grCx, symWidth,
+                hcHeight, rtemplate, rat, refBm, rdx, rdy, tpgron = false)
+            }
         }
       }
     }
@@ -1062,6 +1121,73 @@ object Jbig2 {
     b.toArray
   }
 
+  /** Encode a REFINEMENT-AGGREGATE symbol dictionary (SDREFAGG = 1,
+    * single-instance form): every new symbol is coded as a §6.3
+    * refinement of a referred (`input`) or earlier-in-dictionary
+    * symbol — the organization producers use for font variants, where
+    * a base dictionary carries the glyphs and a second dictionary
+    * refines them. Exports input ++ new. `newSyms` entries are (rows,
+    * reference id into input++new-so-far, rdx, rdy). */
+  private[sources] def encodeSymbolDictRefAgg(
+      input: IndexedSeq[Array[Array[Boolean]]],
+      newSyms: IndexedSeq[(Array[Array[Boolean]], Int, Int, Int)])
+      : Array[Byte] = {
+    require(newSyms.nonEmpty)
+    require(newSyms.sliding(2).forall(p =>
+      p.length < 2 || p(0)._1.length <= p(1)._1.length),
+      "sort symbols by height")
+    val b = mutable.ArrayBuffer.empty[Byte]
+    val flags = 2 // SDHUFF=0, SDREFAGG=1, SDTEMPLATE=0, SDRTEMPLATE=0
+    b += ((flags >> 8) & 0xFF).toByte
+    b += (flags & 0xFF).toByte
+    nominalAt(0).foreach { case (x, y) => b += x.toByte; b += y.toByte }
+    nominalRefAt.foreach { case (x, y) => b += x.toByte; b += y.toByte }
+    be32(b, input.length + newSyms.length) // SDNUMEXSYMS
+    be32(b, newSyms.length) // SDNUMNEWSYMS
+    val enc = new MqEncoder
+    val grCx = new CxStore
+    val iadh = new IntCtx
+    val iadw = new IntCtx
+    val iaex = new IntCtx
+    val iaai = new IntCtx
+    val iardx = new IntCtx
+    val iardy = new IntCtx
+    val iaid = new IdCtx(math.max(1,
+      32 - Integer.numberOfLeadingZeros(
+        math.max(1, input.length + newSyms.length - 1))))
+    var hcHeight = 0
+    var i = 0
+    while (i < newSyms.length) {
+      val h = newSyms(i)._1.length
+      encodeInt(enc, iadh, Some(h - hcHeight))
+      hcHeight = h
+      var symWidth = 0
+      while (i < newSyms.length && newSyms(i)._1.length == hcHeight) {
+        val (rows, refId, rdx, rdy) = newSyms(i)
+        val w = rows(0).length
+        encodeInt(enc, iadw, Some(w - symWidth))
+        symWidth = w
+        require(refId >= 0 && refId < input.length + i,
+          "refinement reference must already exist")
+        encodeInt(enc, iaai, Some(1)) // REFAGGNINST = 1
+        encodeId(enc, iaid, refId)
+        encodeInt(enc, iardx, Some(rdx))
+        encodeInt(enc, iardy, Some(rdy))
+        val refBm =
+          if (refId < input.length) input(refId)
+          else newSyms(refId - input.length)._1
+        encodeRefinementWith(enc, grCx, rows.toIndexedSeq, w, 0,
+          nominalRefAt, refBm, rdx, rdy, tpgron = false)
+        i += 1
+      }
+      encodeInt(enc, iadw, None) // end of height class
+    }
+    encodeInt(enc, iaex, Some(0)) // first run: 0 non-exported
+    encodeInt(enc, iaex, Some(input.length + newSyms.length))
+    b ++= enc.flush()
+    b.toArray
+  }
+
   /** Encode a HUFFMAN symbol dictionary (SDHUFF = 1) exporting all of
     * `syms` (height-sorted): DH via Table B.4, DW via Table B.3 (sel 1
     * — signed, so width order within a class is free), per-class
@@ -1130,7 +1256,11 @@ object Jbig2 {
 
   // ---------- text region (T.88 §6.4, arithmetic, untransposed) ----------
 
-  private[sources] final case class TextInstance(id: Int, x: Int, y: Int)
+  /** One placed symbol instance; `refine` carries a per-instance
+    * refinement (REFINE = 1, 6.4.11): the ACTUAL bitmap drawn (its dims
+    * minus the symbol's give RDW/RDH) plus the RDX/RDY offsets. */
+  final case class TextInstance(id: Int, x: Int, y: Int,
+      refine: Option[(Array[Array[Boolean]], Int, Int)] = None)
 
   /** Decode an arithmetic text region's data (after the 17-byte region
     * info): flags, instance loop over strips, symbols drawn with OR.
@@ -1146,6 +1276,11 @@ object Jbig2 {
     def ds(): Option[Option[Int]]
     def curT(): Option[Int]
     def id(): Option[Int]
+    /** The bitmap this instance draws: the symbol itself, or its
+      * per-instance refinement when REFINE = 1 and RI is nonzero
+      * (6.4.11) — placement then uses the REFINED dims. */
+    def inst(id: Int, sym: Array[Array[Boolean]])
+        : Option[Array[Array[Boolean]]] = Some(sym)
   }
 
   private[sources] def decodeTextRegion(data: Array[Byte], start: Int,
@@ -1166,11 +1301,16 @@ object Jbig2 {
     val defPixel = (flags & 0x200) != 0
     var dsOffset = (flags >> 10) & 0x1F
     if (dsOffset > 15) dsOffset -= 32 // signed 5-bit
-    if (refine || transposed || combOp != 0 || defPixel)
-      return None
+    val rtemplate = (flags >> 15) & 1
+    if (transposed || combOp != 0 || defPixel) return None
+    if (sbhuff && refine) return None // Huffman + refinement: degrade
     if (sbhuff)
       return decodeTextRegionHuff(data, r, end, w, h, syms, tables,
         logStrips, refCorner, dsOffset)
+    // SBRAT: present when REFINE = 1 and the GR template has ATs
+    val ratCount = if (refine && rtemplate == 0) 2 else 0
+    if (end - r.p < 2 * ratCount + 4) return None
+    val rat = Array.fill(ratCount) { val x = r.s8(); val y = r.s8(); (x, y) }
     val numInstances = r.u32()
     if (numInstances > (1 << 20)) return None
     val strips = 1 << logStrips
@@ -1182,6 +1322,13 @@ object Jbig2 {
     val iads = new IntCtx
     val iait = new IntCtx
     val iaid = new IdCtx(symCodeLen)
+    lazy val iari = new IntCtx
+    lazy val iardw = new IntCtx
+    lazy val iardh = new IntCtx
+    lazy val iardx = new IntCtx
+    lazy val iardy = new IntCtx
+    lazy val grCx = new CxStore
+    val budget = Array(8L * w.toLong * h + (1L << 20))
     val readers = new TextReaders {
       def dt(): Option[Int] = decodeInt(dec, iadt)
       def fs(): Option[Int] = decodeInt(dec, iafs)
@@ -1189,9 +1336,31 @@ object Jbig2 {
       def curT(): Option[Int] =
         if (strips == 1) Some(0) else decodeInt(dec, iait)
       def id(): Option[Int] = Some(decodeId(dec, iaid))
+      override def inst(id: Int, sym: Array[Array[Boolean]])
+          : Option[Array[Array[Boolean]]] =
+        if (!refine) Some(sym)
+        else decodeInt(dec, iari) match {
+          case None => None
+          case Some(0) => Some(sym)
+          case Some(_) => // RI != 0: refine this instance (6.4.11)
+            for {
+              rdw <- decodeInt(dec, iardw)
+              rdh <- decodeInt(dec, iardh)
+              rdx <- decodeInt(dec, iardx)
+              rdy <- decodeInt(dec, iardy)
+              nw = sym(0).length + rdw
+              nh = sym.length + rdh
+              if nw > 0 && nw <= (1 << 12) && nh > 0 && nh <= (1 << 12)
+              // charge the refinement DECODE before it runs — the draw
+              // budget alone fires only after the pixels exist
+              if { budget(0) -= nw.toLong * nh; budget(0) >= 0 }
+            } yield decodeRefinementWith(dec, grCx, nw, nh, rtemplate,
+              rat, sym, Math.floorDiv(rdw, 2) + rdx,
+              Math.floorDiv(rdh, 2) + rdy, tpgron = false)
+        }
     }
     runTextLoop(w, h, syms, numInstances.toInt, strips, dsOffset,
-      refCorner, readers)
+      refCorner, readers, budget)
   }
 
   /** Shared placement loop (T.88 6.4.5, untransposed): strips advance
@@ -1201,16 +1370,16 @@ object Jbig2 {
   private def runTextLoop(w: Int, h: Int,
       syms: IndexedSeq[Array[Array[Boolean]]], numInstances: Int,
       strips: Int, dsOffset: Int, refCorner: Int,
-      rd: TextReaders): Option[Array[Array[Boolean]]] = {
+      rd: TextReaders, budget: Array[Long]): Option[Array[Array[Boolean]]] = {
     val out = Array.ofDim[Boolean](h, w)
     // CPU bound, not just memory: 2^20 instances of a 16-Mpx symbol is
     // ~10^13 pixel visits from one small stream. Generous for any real
     // page (instances barely overlap), fatal only to hostile input.
-    var drawBudget = 8L * w * h + (1L << 20)
-    def draw(id: Int, sx: Int, ty: Int): Boolean = {
-      val bmp = syms(id)
-      drawBudget -= bmp.length.toLong * bmp.head.length
-      if (drawBudget < 0) return false
+    // The caller owns the cell so per-instance REFINEMENT decodes can
+    // charge the same budget before any pixel is visited.
+    def draw(bmp: Array[Array[Boolean]], sx: Int, ty: Int): Boolean = {
+      budget(0) -= bmp.length.toLong * bmp.head.length
+      if (budget(0) < 0) return false
       var y = math.max(0, -ty)
       val ymax = math.min(bmp.length, h - ty)
       while (y < ymax) {
@@ -1250,15 +1419,16 @@ object Jbig2 {
           val t = stripT + curT
           val id = rd.id().getOrElse(return None)
           if (id < 0 || id >= syms.length) return None
-          val wi = syms(id)(0).length
-          val hi = syms(id).length
+          val bmp = rd.inst(id, syms(id)).getOrElse(return None)
+          val wi = bmp(0).length
+          val hi = bmp.length
           // untransposed placement (6.4.5): left corners draw at CURS
           // then advance; right corners advance then right-align
           val drawn = refCorner match {
-            case 0 => val d = draw(id, curS, t - hi + 1); curS += wi - 1; d
-            case 1 => val d = draw(id, curS, t); curS += wi - 1; d
-            case 2 => curS += wi - 1; draw(id, curS - wi + 1, t - hi + 1)
-            case _ => curS += wi - 1; draw(id, curS - wi + 1, t)
+            case 0 => val d = draw(bmp, curS, t - hi + 1); curS += wi - 1; d
+            case 1 => val d = draw(bmp, curS, t); curS += wi - 1; d
+            case 2 => curS += wi - 1; draw(bmp, curS - wi + 1, t - hi + 1)
+            case _ => curS += wi - 1; draw(bmp, curS - wi + 1, t)
           }
           if (!drawn) return None // draw-work budget exhausted
           ninst += 1
@@ -1342,7 +1512,7 @@ object Jbig2 {
       def id(): Option[Int] = symTable.decode(br).flatten
     }
     runTextLoop(w, h, syms, numInstances.toInt, strips, dsOffset,
-      refCorner, readers)
+      refCorner, readers, Array(8L * w.toLong * h + (1L << 20)))
   } catch { case _: IllegalStateException => None } // bit overrun
 
   /** Encode a text region's data (flags + count + arithmetic stream) for
@@ -1351,9 +1521,14 @@ object Jbig2 {
       instances: Seq[TextInstance],
       syms: IndexedSeq[Array[Array[Boolean]]]): Array[Byte] = {
     val b = mutable.ArrayBuffer.empty[Byte]
-    val flags = (1 << 4) // TOPLEFT; SBHUFF=0 REFINE=0 LOGSBSTRIPS=0 etc.
+    val refine = instances.exists(_.refine.isDefined)
+    // TOPLEFT; SBHUFF=0 LOGSBSTRIPS=0; REFINE + SBRTEMPLATE 0 when any
+    // instance carries a refinement
+    val flags = (1 << 4) | (if (refine) 2 else 0)
     b += ((flags >> 8) & 0xFF).toByte
     b += (flags & 0xFF).toByte
+    if (refine)
+      nominalRefAt.foreach { case (x, y) => b += x.toByte; b += y.toByte }
     be32(b, instances.length)
     val symCodeLen = math.max(1,
       32 - Integer.numberOfLeadingZeros(math.max(1, syms.length - 1)))
@@ -1362,6 +1537,12 @@ object Jbig2 {
     val iafs = new IntCtx
     val iads = new IntCtx
     val iaid = new IdCtx(symCodeLen)
+    val iari = new IntCtx
+    val iardw = new IntCtx
+    val iardh = new IntCtx
+    val iardx = new IntCtx
+    val iardy = new IntCtx
+    val grCx = new CxStore
     encodeInt(enc, iadt, Some(0)) // STRIPT starts at 0
     var stripT = 0
     var firstS = 0
@@ -1378,7 +1559,26 @@ object Jbig2 {
           first = false
         } else encodeInt(enc, iads, Some(inst.x - curS))
         encodeId(enc, iaid, inst.id)
-        curS = inst.x + syms(inst.id)(0).length - 1
+        val sym = syms(inst.id)
+        val width = inst.refine match {
+          case None =>
+            if (refine) encodeInt(enc, iari, Some(0))
+            sym(0).length
+          case Some((rows, rdx, rdy)) =>
+            val rdw = rows(0).length - sym(0).length
+            val rdh = rows.length - sym.length
+            encodeInt(enc, iari, Some(1))
+            encodeInt(enc, iardw, Some(rdw))
+            encodeInt(enc, iardh, Some(rdh))
+            encodeInt(enc, iardx, Some(rdx))
+            encodeInt(enc, iardy, Some(rdy))
+            encodeRefinementWith(enc, grCx, rows.toIndexedSeq,
+              rows(0).length, 0, nominalRefAt, sym,
+              Math.floorDiv(rdw, 2) + rdx, Math.floorDiv(rdh, 2) + rdy,
+              tpgron = false)
+            rows(0).length
+        }
+        curS = inst.x + width - 1
       }
       encodeInt(enc, iads, None) // end of strip
     }
@@ -1406,6 +1606,8 @@ object Jbig2 {
   private[sources] def encodeTextRegionHuff(w: Int, h: Int,
       instances: Seq[TextInstance],
       syms: IndexedSeq[Array[Array[Boolean]]]): Array[Byte] = {
+    require(instances.forall(_.refine.isEmpty),
+      "Huffman + refinement is out of the codec's scope")
     val b = mutable.ArrayBuffer.empty[Byte]
     val flags = 1 | (1 << 4) // SBHUFF, TOPLEFT; LOGSBSTRIPS=0
     b += ((flags >> 8) & 0xFF).toByte
@@ -1532,12 +1734,40 @@ object Jbig2 {
       syms: IndexedSeq[Array[Array[Boolean]]],
       instances: Seq[TextInstance],
       huffDict: Boolean = false, dictMmr: Boolean = false,
-      huffText: Boolean = false): Array[Byte] = {
+      huffText: Boolean = false,
+      refAggVariants: IndexedSeq[(Array[Array[Boolean]], Int, Int, Int)] =
+        IndexedSeq.empty): Array[Byte] = {
     require(pageW > 0 && pageH > 0 && syms.nonEmpty)
     val b = mutable.ArrayBuffer.empty[Byte]
     def header(num: Int, tpe: Int, dataLen: Int,
         refs: Seq[Int] = Nil): Unit = segHeader(b, num, tpe, dataLen, refs)
-    pageInfo(b, 1, pageW, pageH, 0x01)
+    // 0x43 (refinements + op override) only when refinement coding is
+    // actually present; the plain organizations keep their bytes
+    val hasRefine = refAggVariants.nonEmpty ||
+      instances.exists(_.refine.isDefined)
+    pageInfo(b, 1, pageW, pageH, if (hasRefine) 0x43 else 0x01)
+    if (refAggVariants.nonEmpty) {
+      // the refinement-aggregate organization: a base dictionary, a
+      // SECOND dictionary refining its glyphs (SDREFAGG), and a text
+      // region referring to the second — whose exports are base ++
+      // refined, so instance ids n.. pick the refined variants
+      require(!huffDict && !huffText,
+        "Huffman + refinement is out of the codec's scope")
+      val d1 = encodeSymbolDict(syms)
+      header(2, 0, d1.length)
+      b ++= d1
+      val d2 = encodeSymbolDictRefAgg(syms, refAggVariants)
+      header(3, 0, d2.length, refs = Seq(2))
+      b ++= d2
+      val tr = encodeTextRegion(pageW, pageH, instances,
+        syms ++ refAggVariants.map(_._1))
+      header(4, 6, 17 + tr.length, refs = Seq(3))
+      be32(b, pageW); be32(b, pageH); be32(b, 0); be32(b, 0)
+      b += 0x00 // external combination operator OR
+      b ++= tr
+      header(5, 49, 0)
+      return b.toArray
+    }
     val dict =
       if (huffDict) encodeSymbolDictHuff(syms, mmr = dictMmr)
       else encodeSymbolDict(syms)

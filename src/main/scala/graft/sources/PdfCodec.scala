@@ -777,6 +777,13 @@ object PdfWriter {
     Array.tabulate(5 + k / 2, 4 + k % 4)(
       (y, x) => (x * 3 + y * 5 + 2 * k) % 7 < 3)
 
+  /** Glyph k under a SPARSER rule — the refinement fixtures' corrupted
+    * base: same dims as [[jb2Glyph]], strictly fewer pixels, restored
+    * to the true rule only by a real refinement decode. */
+  def jb2GlyphSparse(k: Int): Array[Array[Boolean]] =
+    Array.tabulate(5 + k / 2, 4 + k % 4)(
+      (y, x) => (x * 3 + y * 5 + 2 * k) % 7 < 2)
+
   def jb2NumSyms(m: Int): Int = 3 + m % 3
   def jb2NumInst(m: Int): Int = 6 + m % 5
 
@@ -1169,12 +1176,33 @@ object PdfWriter {
           } else if (jbig2TextSeed.isDefined) {
             val m = jbig2TextSeed.get
             (i % 4) match {
-              case 0 => // symbol-coded JBIG2 document; dict dims LIE
+              case 0 => // symbol-coded JBIG2 document; dict dims LIE.
+                // Odd seeds ship the REFINEMENT organization: the base
+                // dictionary's glyphs carry a SPARSER pixel rule, a
+                // second SDREFAGG dictionary refines them to the true
+                // rule, and every third instance references a sparse
+                // glyph refined inline (REFINE) — the pinned ink is
+                // the true rule either way, but only a full §6.5.8.2 +
+                // §6.4.11 decode reaches it
                 val (iw, ih) = jb2TextDims(m)
+                val n = jb2NumSyms(m)
+                val payload =
+                  if (m % 2 == 1) {
+                    val base = (0 until n).map(jb2GlyphSparse).toIndexedSeq
+                    val truth = (0 until n).map(jb2Glyph).toIndexedSeq
+                    val insts = jb2TextInstances(m).zipWithIndex.map {
+                      case (inst, j) =>
+                        if (j % 3 == 2)
+                          inst.copy(refine = Some((truth(inst.id), 0, 0)))
+                        else inst.copy(id = n + inst.id)
+                    }
+                    Jbig2.encodeTextDocument(iw, ih, base, insts,
+                      refAggVariants = (0 until n).map(k =>
+                        (truth(k), k, 0, 0)).toIndexedSeq)
+                  } else Jbig2.encodeTextDocument(iw, ih,
+                    (0 until n).map(jb2Glyph), jb2TextInstances(m))
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 1, "JBIG2Decode",
-                  "", Jbig2.encodeTextDocument(iw, ih,
-                    (0 until jb2NumSyms(m)).map(jb2Glyph),
-                    jb2TextInstances(m)))
+                  "", payload)
               case 1 => jbig2Stub(m)
               case 2 => jpxStub(m)
               case _ => // FULLY-HUFFMAN symbol-coded doc (SDHUFF

@@ -200,6 +200,66 @@ class Jbig2Spec extends AnyFunSuite {
       "the referring refinement must be skipped, leaving the base")
   }
 
+  test("SDREFAGG dictionaries and REFINE text regions restore true ink") {
+    // base glyphs carry a SPARSER pixel rule than the truth; the refagg
+    // dictionary refines them to the true rule, and every third
+    // instance instead references a sparse base glyph refined inline
+    // (REFINE). The page ink equals the true rule exactly — reachable
+    // only through §6.5.8.2 + §6.4.11, never by drawing base glyphs.
+    def glyph(k: Int, thresh: Int): Array[Array[Boolean]] =
+      Array.tabulate(5 + k / 2, 4 + k % 4)(
+        (y, x) => (x * 3 + y * 5 + 2 * k) % 7 < thresh)
+    for (m <- Seq(0, 4, 11, 23)) {
+      val n = 3 + m % 3
+      val base = (0 until n).map(k => glyph(k, 2)).toIndexedSeq
+      val truth = (0 until n).map(k => glyph(k, 3)).toIndexedSeq
+      val variants = (0 until n).map(k => (truth(k), k, 0, 0)).toIndexedSeq
+      val ninst = 6 + m % 5
+      val insts = (0 until ninst).map { j =>
+        val k = (j * 2 + m) % n
+        val inst = graft.sources.Jbig2.TextInstance(k, 11 * j, 3 + (j % 3))
+        if (j % 3 == 2) inst.copy(refine = Some((truth(k), 0, 0)))
+        else inst.copy(id = n + k) // the dict-refined true glyph
+      }
+      val (pw, ph) = (11 * (ninst - 1) + 8, 12)
+      val enc = Jbig2.encodeTextDocument(pw, ph, base, insts,
+        refAggVariants = variants)
+      val d = Jbig2.decode(enc).getOrElse(fail(s"m=$m decode failed"))
+      assert(d.width == pw && d.height == ph, s"m=$m geometry")
+      val want = (0 until ninst).map { j =>
+        truth((j * 2 + m) % n).map(_.count(identity)).sum
+      }.sum
+      assert(d.blackCount == want,
+        s"m=$m ink ${d.blackCount} != $want (true-rule glyphs)")
+    }
+    // refinement with CHANGED dims: the placed bitmap's own w/h drive
+    // advancement and drawing (6.4.11 places at refined size)
+    val sym = glyph(2, 3)
+    val bigger = Array.tabulate(sym.length + 2, sym(0).length + 3)(
+      (y, x) => (x + y) % 2 == 0)
+    val insts2 = Seq(
+      graft.sources.Jbig2.TextInstance(0, 0, 1,
+        refine = Some((bigger, 1, -1))),
+      graft.sources.Jbig2.TextInstance(0, 20, 2))
+    val enc2 = Jbig2.encodeTextDocument(40, 14, IndexedSeq(sym), insts2)
+    val d2 = Jbig2.decode(enc2).getOrElse(fail("resized refine failed"))
+    val want2 = bigger.map(_.count(identity)).sum +
+      sym.map(_.count(identity)).sum
+    assert(d2.blackCount == want2, "refined dims must drive placement")
+    // fuzz: truncations and flips on the refagg organization
+    val encF = Jbig2.encodeTextDocument(63, 12,
+      (0 until 3).map(k => glyph(k, 2)).toIndexedSeq,
+      (0 until 6).map(j => graft.sources.Jbig2.TextInstance(3 + j % 3,
+        11 * j, 3)),
+      refAggVariants = (0 until 3).map(k =>
+        (glyph(k, 3), k, 0, 0)).toIndexedSeq)
+    (0 until encF.length by 5).foreach(nn => Jbig2.decode(encF.take(nn)))
+    (0 until encF.length by 7).foreach { i =>
+      val mut = encF.clone(); mut(i) = (mut(i) ^ 0x4B).toByte
+      Jbig2.decode(mut)
+    }
+  }
+
   test("refinement regions debit the budget for rows AND reference") {
     val base = (0 until 20).map(y =>
       Array.tabulate(40)(x => (x + y) % 2 == 0))
