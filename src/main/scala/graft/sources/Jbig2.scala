@@ -853,8 +853,9 @@ object Jbig2 {
     * IADH/IADW deltas, each symbol bitmap generic-region-coded on the
     * SHARED codeword and GB contexts, then the IAEX export runs. Returns
     * the exported bitmaps. Huffman dictionaries (SDHUFF) dispatch to
-    * [[decodeSymbolDictHuff]]; refinement-aggregate (SDREFAGG) is out
-    * of scope → None. */
+    * [[decodeSymbolDictHuff]]; refinement-aggregate (SDREFAGG) decodes
+    * in its single-instance form (§6.5.8.2, REFAGGNINST = 1), the >1
+    * aggregate form degrades to None. */
   private[sources] def decodeSymbolDict(data: Array[Byte], start: Int,
       end: Int, input: IndexedSeq[Array[Array[Boolean]]],
       maxPixels: Long): Option[IndexedSeq[Array[Array[Boolean]]]] = {
@@ -935,8 +936,10 @@ object Jbig2 {
               if (id < 0 || id >= input.length + newSyms.length) return None
               val rdx = decodeInt(dec, iardx).getOrElse(return None)
               val rdy = decodeInt(dec, iardy).getOrElse(return None)
-              if (math.abs(rdx) > (1 << 12) || math.abs(rdy) > (1 << 12))
-                return None
+              // two-sided compare, not abs(): abs(Int.MinValue) is
+              // negative and would sneak under the bound
+              if (rdx < -(1 << 12) || rdx > (1 << 12) ||
+                  rdy < -(1 << 12) || rdy > (1 << 12)) return None
               val refBm =
                 if (id < input.length) input(id)
                 else newSyms(id - input.length)
@@ -1348,6 +1351,13 @@ object Jbig2 {
               rdh <- decodeInt(dec, iardh)
               rdx <- decodeInt(dec, iardx)
               rdy <- decodeInt(dec, iardy)
+              // bound the deltas BEFORE any arithmetic: hostile 32-bit
+              // class values would wrap the reference offsets and
+              // "decode" confident garbage (two-sided, never abs())
+              if rdw >= -(1 << 12) && rdw <= (1 << 12) &&
+                rdh >= -(1 << 12) && rdh <= (1 << 12) &&
+                rdx >= -(1 << 12) && rdx <= (1 << 12) &&
+                rdy >= -(1 << 12) && rdy <= (1 << 12)
               nw = sym(0).length + rdw
               nh = sym.length + rdh
               if nw > 0 && nw <= (1 << 12) && nh > 0 && nh <= (1 << 12)

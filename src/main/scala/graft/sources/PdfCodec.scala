@@ -773,16 +773,18 @@ object PdfWriter {
   /** Deterministic glyph k for the dictionary: heights are
     * non-decreasing in k (the dictionary's height-class order), pixel
     * formula distinct from every other fixture family. */
-  def jb2Glyph(k: Int): Array[Array[Boolean]] =
-    Array.tabulate(5 + k / 2, 4 + k % 4)(
-      (y, x) => (x * 3 + y * 5 + 2 * k) % 7 < 3)
+  def jb2Glyph(k: Int): Array[Array[Boolean]] = jb2GlyphAt(k, 3)
 
   /** Glyph k under a SPARSER rule — the refinement fixtures' corrupted
     * base: same dims as [[jb2Glyph]], strictly fewer pixels, restored
     * to the true rule only by a real refinement decode. */
-  def jb2GlyphSparse(k: Int): Array[Array[Boolean]] =
+  def jb2GlyphSparse(k: Int): Array[Array[Boolean]] = jb2GlyphAt(k, 2)
+
+  /** The ONE glyph pixel rule, threshold-parameterized: the sparse
+    * base is a strict subset of the truth because the rule is shared. */
+  def jb2GlyphAt(k: Int, thresh: Int): Array[Array[Boolean]] =
     Array.tabulate(5 + k / 2, 4 + k % 4)(
-      (y, x) => (x * 3 + y * 5 + 2 * k) % 7 < 2)
+      (y, x) => (x * 3 + y * 5 + 2 * k) % 7 < thresh)
 
   def jb2NumSyms(m: Int): Int = 3 + m % 3
   def jb2NumInst(m: Int): Int = 6 + m % 5

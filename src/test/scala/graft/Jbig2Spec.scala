@@ -207,8 +207,7 @@ class Jbig2Spec extends AnyFunSuite {
     // (REFINE). The page ink equals the true rule exactly — reachable
     // only through §6.5.8.2 + §6.4.11, never by drawing base glyphs.
     def glyph(k: Int, thresh: Int): Array[Array[Boolean]] =
-      Array.tabulate(5 + k / 2, 4 + k % 4)(
-        (y, x) => (x * 3 + y * 5 + 2 * k) % 7 < thresh)
+      PdfWriter.jb2GlyphAt(k, thresh)
     for (m <- Seq(0, 4, 11, 23)) {
       val n = 3 + m % 3
       val base = (0 until n).map(k => glyph(k, 2)).toIndexedSeq
