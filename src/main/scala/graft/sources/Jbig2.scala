@@ -28,11 +28,13 @@ import scala.collection.mutable
   * REFAGGNINST = 1, §6.5.8.2 — font-variant dictionaries refining a
   * base dictionary's glyphs) and per-instance refinement in
   * arithmetic TEXT regions (REFINE, §6.4.11 — touched-up instances
-  * placed at their refined dims). The >1 aggregate form (a nested
-  * text region per symbol), Huffman+refinement combinations, custom
-  * tables for DICTIONARIES, and standard-table selections in Huffman
-  * TEXT regions degrade to the honest `undecoded` label, never a
-  * guess.
+  * placed at their refined dims). Huffman DICTIONARIES take their
+  * DH/DW/BMSIZE through referred CUSTOM type-53 tables (selection 3,
+  * consumed in 7.4.4.1.6 field order) as well as the standard ones.
+  * The >1 aggregate form (a nested text region per symbol),
+  * Huffman+refinement combinations, and standard-table selections in
+  * Huffman TEXT regions degrade to the honest `undecoded` label,
+  * never a guess.
   *
   * Both directions are implemented — the encoder produces fixtures whose
   * decoded geometry/ink only a real decoder can recover (JBIG2 carries
@@ -858,7 +860,9 @@ object Jbig2 {
     * aggregate form degrades to None. */
   private[sources] def decodeSymbolDict(data: Array[Byte], start: Int,
       end: Int, input: IndexedSeq[Array[Array[Boolean]]],
-      maxPixels: Long): Option[IndexedSeq[Array[Array[Boolean]]]] = {
+      maxPixels: Long,
+      tables: IndexedSeq[HuffTable] = IndexedSeq.empty)
+      : Option[IndexedSeq[Array[Array[Boolean]]]] = {
     val r = new Reader(data)
     r.p = start
     if (end - start < 2 + 4 + 4) return None
@@ -869,7 +873,8 @@ object Jbig2 {
     val rtemplate = (flags >> 12) & 1
     if (sdhuff && sdrefagg) return None // no Huffman refinement support
     if (sdhuff)
-      return decodeSymbolDictHuff(data, r.p, end, flags, input, maxPixels)
+      return decodeSymbolDictHuff(data, r.p, end, flags, input, maxPixels,
+        tables)
     val atCount = if (template == 0) 4 else 1
     if (end - r.p < 2 * atCount + 8) return None
     val at = Array.fill(atCount) { val x = r.s8(); val y = r.s8(); (x, y) }
@@ -982,13 +987,32 @@ object Jbig2 {
   private[sources] def decodeSymbolDictHuff(data: Array[Byte],
       startAfterFlags: Int, end: Int, flags: Int,
       input: IndexedSeq[Array[Array[Boolean]]],
-      maxPixels: Long): Option[IndexedSeq[Array[Array[Boolean]]]] = try {
+      maxPixels: Long, tables: IndexedSeq[HuffTable] = IndexedSeq.empty)
+      : Option[IndexedSeq[Array[Array[Boolean]]]] = try {
     val dhSel = (flags >> 2) & 3
     val dwSel = (flags >> 4) & 3
     val bmSel = (flags >> 6) & 1
-    if (dhSel > 1 || dwSel > 1 || bmSel != 0) return None // custom tables
-    val tableDH = if (dhSel == 0) TableB4 else TableB5
-    val tableDW = if (dwSel == 0) TableB2 else TableB3
+    // custom tables come from referred type-53 segments, consumed in
+    // field order — DH, then DW, then BMSIZE (7.4.4.1.6's assignment
+    // rule); a selection with no table left degrades honestly
+    var ti = 0
+    def nextTable(): Option[HuffTable] =
+      if (ti < tables.length) { val t = tables(ti); ti += 1; Some(t) }
+      else None
+    val tableDH = dhSel match {
+      case 0 => TableB4
+      case 1 => TableB5
+      case 3 => nextTable().getOrElse(return None)
+      case _ => return None
+    }
+    val tableDW = dwSel match {
+      case 0 => TableB2
+      case 1 => TableB3
+      case 3 => nextTable().getOrElse(return None)
+      case _ => return None
+    }
+    val tableBm =
+      if (bmSel == 0) TableB1 else nextTable().getOrElse(return None)
     val r = new Reader(data)
     r.p = startAfterFlags
     if (end - r.p < 8) return None
@@ -1024,7 +1048,7 @@ object Jbig2 {
         // height class collective bitmap (6.5.9): BMSIZE, then skip to
         // a byte boundary, then the bitmap bytes, then resume Huffman
         // at the next byte boundary
-        val bmSize = TableB1.decode(br).flatten.getOrElse(return None)
+        val bmSize = tableBm.decode(br).flatten.getOrElse(return None)
         if (bmSize < 0 || bmSize > end - br.bytePos) return None
         br.align()
         val rows: IndexedSeq[Array[Boolean]] =
@@ -1199,12 +1223,18 @@ object Jbig2 {
     * reads back. */
   private[sources] def encodeSymbolDictHuff(
       syms: IndexedSeq[Array[Array[Boolean]]],
-      mmr: Boolean = false): Array[Byte] = {
+      mmr: Boolean = false, customTables: Boolean = false): Array[Byte] = {
     require(syms.nonEmpty)
     require(syms.sliding(2).forall(p =>
       p.length < 2 || p(0).length <= p(1).length), "sort symbols by height")
     val b = mutable.ArrayBuffer.empty[Byte]
-    val flags = 1 | (0 << 2) | (1 << 4) // SDHUFF, DH = B.4, DW = B.3
+    // standard: DH = B.4, DW = B.3; custom: selection 3 for both, the
+    // tables riding as referred type-53 segments (DictDhSpec/DictDwSpec)
+    val flags =
+      if (customTables) 1 | (3 << 2) | (3 << 4)
+      else 1 | (0 << 2) | (1 << 4)
+    val tableDH = if (customTables) DictDhSpec.table else TableB4
+    val tableDW = if (customTables) DictDwSpec.table else TableB3
     b += ((flags >> 8) & 0xFF).toByte
     b += (flags & 0xFF).toByte
     be32(b, syms.length) // SDNUMEXSYMS
@@ -1214,17 +1244,17 @@ object Jbig2 {
     var i = 0
     while (i < syms.length) {
       val h = syms(i).length
-      TableB4.encode(w, h - hcHeight)
+      tableDH.encode(w, h - hcHeight)
       hcHeight = h
       val first = i
       var symWidth = 0
       while (i < syms.length && syms(i).length == hcHeight) {
         val sw = syms(i)(0).length
-        TableB3.encode(w, sw - symWidth)
+        tableDW.encode(w, sw - symWidth)
         symWidth = sw
         i += 1
       }
-      TableB3.encodeOob(w)
+      tableDW.encodeOob(w)
       // collective bitmap: symbols of the class side by side
       val cls = syms.slice(first, i)
       val totWidth = cls.map(_(0).length).sum
@@ -1600,6 +1630,15 @@ object Jbig2 {
     * segments: one-line tables whose single prefix bit is followed by a
     * fixed-width offset — simple, conformant, and generous enough for
     * any fixture geometry. DS carries the OOB the strip loop needs. */
+  /** Custom tables for HUFFMAN dictionaries (selection 3): DH covers
+    * the positive height deltas, DW is signed with the OOB the class
+    * terminator needs — same wire form as the text-region tables. */
+  private[sources] val DictDhSpec =
+    CodeTableSpec(0, 4096, Seq((1, 12)), lowerPref = 3, upperPref = 3)
+  private[sources] val DictDwSpec =
+    CodeTableSpec(-4096, 4096, Seq((1, 13)), lowerPref = 3, upperPref = 3,
+      oobPref = 2)
+
   private[sources] val TextFsSpec =
     CodeTableSpec(-4096, 4096, Seq((1, 13)), lowerPref = 3, upperPref = 3)
   private[sources] val TextDsSpec =
@@ -1744,7 +1783,7 @@ object Jbig2 {
       syms: IndexedSeq[Array[Array[Boolean]]],
       instances: Seq[TextInstance],
       huffDict: Boolean = false, dictMmr: Boolean = false,
-      huffText: Boolean = false,
+      huffText: Boolean = false, customDictTables: Boolean = false,
       refAggVariants: IndexedSeq[(Array[Array[Boolean]], Int, Int, Int)] =
         IndexedSeq.empty): Array[Byte] = {
     require(pageW > 0 && pageH > 0 && syms.nonEmpty)
@@ -1778,10 +1817,22 @@ object Jbig2 {
       header(5, 49, 0)
       return b.toArray
     }
+    var dictSeg = 2
+    if (customDictTables) {
+      require(huffDict, "custom dictionary tables are a Huffman form")
+      Seq(DictDhSpec, DictDwSpec).zipWithIndex.foreach { case (spec, i) =>
+        val td = spec.segmentData
+        header(2 + i, 53, td.length)
+        b ++= td
+      }
+      dictSeg = 4
+    }
     val dict =
-      if (huffDict) encodeSymbolDictHuff(syms, mmr = dictMmr)
+      if (huffDict) encodeSymbolDictHuff(syms, mmr = dictMmr,
+        customTables = customDictTables)
       else encodeSymbolDict(syms)
-    header(2, 0, dict.length)
+    header(dictSeg, 0, dict.length,
+      refs = if (customDictTables) Seq(2, 3) else Nil)
     b ++= dict
     val (tr, trRefs) =
       if (huffText) {
@@ -1790,12 +1841,12 @@ object Jbig2 {
         Seq(TextFsSpec, TextDsSpec, TextDtSpec).zipWithIndex.foreach {
           case (spec, i) =>
             val td = spec.segmentData
-            header(3 + i, 53, td.length)
+            header(dictSeg + 1 + i, 53, td.length)
             b ++= td
         }
         (encodeTextRegionHuff(pageW, pageH, instances, syms),
-          Seq(2, 3, 4, 5))
-      } else (encodeTextRegion(pageW, pageH, instances, syms), Seq(2))
+          Seq(dictSeg, dictSeg + 1, dictSeg + 2, dictSeg + 3))
+      } else (encodeTextRegion(pageW, pageH, instances, syms), Seq(dictSeg))
     header(trRefs.max + 1, 6, 17 + tr.length, refs = trRefs)
     be32(b, pageW); be32(b, pageH); be32(b, 0); be32(b, 0)
     b += 0x00 // external combination operator OR
@@ -2006,8 +2057,9 @@ object Jbig2 {
                   }
                 if (seg.tpe == 0) { // symbol dictionary
                   referredSyms().foreach { input =>
+                    val tabs = seg.refs.flatMap(codeTables.get).toIndexedSeq
                     decodeSymbolDict(all, seg.dataStart, end, input,
-                      pixelBudget).foreach { ex =>
+                      pixelBudget, tabs).foreach { ex =>
                       // retained bitmaps debit the SAME budget as regions
                       // (so K near-blank dictionaries cannot each hold
                       // maxPixels of rasters), but identity-deduped:

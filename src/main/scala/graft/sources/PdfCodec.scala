@@ -1219,7 +1219,10 @@ object PdfWriter {
                     (0 until jb2NumSyms(mh)).map(jb2Glyph),
                     jb2TextInstances(mh),
                     huffDict = true, dictMmr = m % 2 == 0,
-                    huffText = true))
+                    huffText = true,
+                    // every third seed: the dictionary's DH/DW ride as
+                    // referred CUSTOM type-53 tables (selection 3)
+                    customDictTables = m % 3 == 0))
             }
           } else if (jbig2Seed.isDefined) {
             val m = jbig2Seed.get

@@ -259,6 +259,44 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("Huffman dictionaries with CUSTOM DH/DW code tables round-trip") {
+    for (m <- Seq(0, 5, 13, 28); mmr <- Seq(false, true)) {
+      val n = PdfWriter.jb2NumSyms(m)
+      val syms = (0 until n).map(PdfWriter.jb2Glyph)
+      val insts = PdfWriter.jb2TextInstances(m)
+      val (pw, ph) = PdfWriter.jb2TextDims(m)
+      val enc = Jbig2.encodeTextDocument(pw, ph, syms, insts,
+        huffDict = true, dictMmr = mmr, huffText = true,
+        customDictTables = true)
+      val d = Jbig2.decode(enc).getOrElse(fail(s"m=$m mmr=$mmr failed"))
+      val want = insts.map(i =>
+        syms(i.id).map(_.count(identity)).sum).sum
+      assert(d.width == pw && d.height == ph && d.blackCount == want,
+        s"m=$m mmr=$mmr: ${d.width}x${d.height} b${d.blackCount} " +
+          s"!= ${pw}x$ph b$want")
+      // identical page to the standard-table organization
+      val std = Jbig2.decode(Jbig2.encodeTextDocument(pw, ph, syms,
+        insts, huffDict = true, dictMmr = mmr, huffText = true)).get
+      assert(std.blackCount == d.blackCount)
+    }
+    // a custom selection whose referred tables are missing must skip
+    // the dictionary (no symbols -> no region -> honest None)
+    val syms1 = IndexedSeq(PdfWriter.jb2Glyph(0))
+    val enc1 = Jbig2.encodeTextDocument(30, 12, syms1,
+      Seq(Jbig2.TextInstance(0, 0, 3)), huffDict = true,
+      customDictTables = true)
+    // surgically clear the dictionary's referred-segment count: the
+    // selection-3 flags then find no tables
+    val hdrAt = (0 until enc1.length - 5).find { i =>
+      enc1(i) == 0 && enc1(i + 1) == 0 && enc1(i + 2) == 0 &&
+        enc1(i + 3) == 4 && (enc1(i + 4) & 0x3F) == 0
+    }.getOrElse(fail("dict header not found"))
+    val mut = enc1.take(hdrAt + 5) ++ Array[Byte](0) ++
+      enc1.drop(hdrAt + 8) // refs count 2 -> 0, drop the 2 ref bytes
+    assert(Jbig2.decode(mut).isEmpty,
+      "selection 3 with no referred tables must degrade, not guess")
+  }
+
   test("refinement regions debit the budget for rows AND reference") {
     val base = (0 until 20).map(y =>
       Array.tabulate(40)(x => (x + y) % 2 == 0))
