@@ -24,17 +24,18 @@ import scala.collection.mutable
   * regions (§6.3: both GR templates, TPGRON typical prediction,
   * page-reference form with REPLACE composition — the second-pass
   * quality layer progressive scanners emit). REFINEMENT-AGGREGATE
-  * symbol dictionaries in the single-instance form (SDREFAGG with
-  * REFAGGNINST = 1, §6.5.8.2 — font-variant dictionaries refining a
-  * base dictionary's glyphs) and per-instance refinement in
-  * arithmetic TEXT regions (REFINE, §6.4.11 — touched-up instances
-  * placed at their refined dims). Huffman DICTIONARIES take their
-  * DH/DW/BMSIZE through referred CUSTOM type-53 tables (selection 3,
-  * consumed in 7.4.4.1.6 field order) as well as the standard ones.
-  * The >1 aggregate form (a nested text region per symbol),
-  * Huffman+refinement combinations, and standard-table selections in
-  * Huffman TEXT regions degrade to the honest `undecoded` label,
-  * never a guess.
+  * symbol dictionaries (SDREFAGG, §6.5.8.2) in BOTH forms: the
+  * single-instance refinement (font-variant dictionaries refining a
+  * base dictionary's glyphs) and the REFAGGNINST > 1 aggregate — a
+  * nested text region of refined instances composed per symbol, on
+  * the dictionary's own coder and contexts. Per-instance refinement
+  * in arithmetic TEXT regions (REFINE, §6.4.11 — touched-up
+  * instances placed at their refined dims). Huffman DICTIONARIES
+  * take their DH/DW/BMSIZE through referred CUSTOM type-53 tables
+  * (selection 3, consumed in 7.4.4.1.6 field order) as well as the
+  * standard ones. Huffman+refinement combinations and standard-table
+  * selections in Huffman TEXT regions degrade to the honest
+  * `undecoded` label, never a guess.
   *
   * Both directions are implemented — the encoder produces fixtures whose
   * decoded geometry/ink only a real decoder can recover (JBIG2 carries
@@ -855,9 +856,9 @@ object Jbig2 {
     * IADH/IADW deltas, each symbol bitmap generic-region-coded on the
     * SHARED codeword and GB contexts, then the IAEX export runs. Returns
     * the exported bitmaps. Huffman dictionaries (SDHUFF) dispatch to
-    * [[decodeSymbolDictHuff]]; refinement-aggregate (SDREFAGG) decodes
-    * in its single-instance form (§6.5.8.2, REFAGGNINST = 1), the >1
-    * aggregate form degrades to None. */
+    * [[decodeSymbolDictHuff]]; refinement-aggregate (SDREFAGG, §6.5.8.2)
+    * decodes both the single-instance form and the REFAGGNINST > 1
+    * aggregate (a nested text region per symbol on shared contexts). */
   private[sources] def decodeSymbolDict(data: Array[Byte], start: Int,
       end: Int, input: IndexedSeq[Array[Array[Boolean]]],
       maxPixels: Long,
@@ -903,6 +904,16 @@ object Jbig2 {
     lazy val iaid = new IdCtx(math.max(1,
       32 - Integer.numberOfLeadingZeros(
         math.max(1, input.length + numNew.toInt - 1))))
+    // the REFAGGNINST > 1 aggregate form decodes a nested TEXT REGION
+    // per symbol, sharing the dictionary's arithmetic decoder and
+    // integer contexts (6.5.8.2.2) — these persist across symbols
+    lazy val iadt = new IntCtx
+    lazy val iafs = new IntCtx
+    lazy val iads = new IntCtx
+    lazy val iari = new IntCtx
+    lazy val iardw = new IntCtx
+    lazy val iardh = new IntCtx
+    lazy val aggWork = Array(2L * maxPixels + (1L << 20))
     val newSyms = mutable.ArrayBuffer.empty[Array[Array[Boolean]]]
     var budget = maxPixels
     var hcHeight = 0
@@ -932,24 +943,71 @@ object Jbig2 {
               newSyms += decodeGenericWith(dec, gbCx, symWidth, hcHeight,
                 template, at, tpgdon = false)
             else {
-              // single-refinement form: REFAGGNINST = 1 refines one
-              // referred-or-earlier symbol; the >1 aggregate (a nested
-              // text region) stays out of scope — honest None
               val nInst = decodeInt(dec, iaai).getOrElse(return None)
-              if (nInst != 1) return None
-              val id = decodeId(dec, iaid)
-              if (id < 0 || id >= input.length + newSyms.length) return None
-              val rdx = decodeInt(dec, iardx).getOrElse(return None)
-              val rdy = decodeInt(dec, iardy).getOrElse(return None)
-              // two-sided compare, not abs(): abs(Int.MinValue) is
-              // negative and would sneak under the bound
-              if (rdx < -(1 << 12) || rdx > (1 << 12) ||
-                  rdy < -(1 << 12) || rdy > (1 << 12)) return None
-              val refBm =
-                if (id < input.length) input(id)
-                else newSyms(id - input.length)
-              newSyms += decodeRefinementWith(dec, grCx, symWidth,
-                hcHeight, rtemplate, rat, refBm, rdx, rdy, tpgron = false)
+              if (nInst == 1) {
+                // single-refinement form: refine one referred-or-
+                // earlier symbol directly (6.5.8.2.2's short path)
+                val id = decodeId(dec, iaid)
+                if (id < 0 || id >= input.length + newSyms.length)
+                  return None
+                val rdx = decodeInt(dec, iardx).getOrElse(return None)
+                val rdy = decodeInt(dec, iardy).getOrElse(return None)
+                // two-sided compare, not abs(): abs(Int.MinValue) is
+                // negative and would sneak under the bound
+                if (rdx < -(1 << 12) || rdx > (1 << 12) ||
+                    rdy < -(1 << 12) || rdy > (1 << 12)) return None
+                val refBm =
+                  if (id < input.length) input(id)
+                  else newSyms(id - input.length)
+                newSyms += decodeRefinementWith(dec, grCx, symWidth,
+                  hcHeight, rtemplate, rat, refBm, rdx, rdy,
+                  tpgron = false)
+              } else {
+                // aggregate form (6.5.8.2.1): the symbol is a nested
+                // TEXT REGION of REFAGGNINST refined instances drawn
+                // onto a symWidth×hcHeight canvas — SBSTRIPS = 1,
+                // TOPLEFT, OR, dsOffset 0, ids over input ++ new so far
+                if (nInst < 1 || nInst > (1 << 10)) return None
+                val symsNow = (input ++ newSyms).toIndexedSeq
+                val readers = new TextReaders {
+                  def dt(): Option[Int] = decodeInt(dec, iadt)
+                  def fs(): Option[Int] = decodeInt(dec, iafs)
+                  def ds(): Option[Option[Int]] = Some(decodeInt(dec, iads))
+                  def curT(): Option[Int] = Some(0) // SBSTRIPS = 1
+                  def id(): Option[Int] = Some(decodeId(dec, iaid))
+                  override def inst(id: Int, sym: Array[Array[Boolean]])
+                      : Option[Array[Array[Boolean]]] =
+                    decodeInt(dec, iari) match {
+                      case None => None
+                      case Some(0) => Some(sym)
+                      case Some(_) =>
+                        for {
+                          rdw <- decodeInt(dec, iardw)
+                          rdh <- decodeInt(dec, iardh)
+                          rdx <- decodeInt(dec, iardx)
+                          rdy <- decodeInt(dec, iardy)
+                          if rdw >= -(1 << 12) && rdw <= (1 << 12) &&
+                            rdh >= -(1 << 12) && rdh <= (1 << 12) &&
+                            rdx >= -(1 << 12) && rdx <= (1 << 12) &&
+                            rdy >= -(1 << 12) && rdy <= (1 << 12)
+                          nw = sym(0).length + rdw
+                          nh = sym.length + rdh
+                          if nw > 0 && nw <= (1 << 12) && nh > 0 &&
+                            nh <= (1 << 12)
+                          if { aggWork(0) -= nw.toLong * nh
+                            aggWork(0) >= 0 }
+                        } yield decodeRefinementWith(dec, grCx, nw, nh,
+                          rtemplate, rat, sym,
+                          Math.floorDiv(rdw, 2) + rdx,
+                          Math.floorDiv(rdh, 2) + rdy, tpgron = false)
+                    }
+                }
+                runTextLoop(symWidth, hcHeight, symsNow, nInst, 1, 0,
+                  refCorner = 1, readers, aggWork) match {
+                  case Some(rows) => newSyms += rows
+                  case None => return None
+                }
+              }
             }
         }
       }
@@ -1157,8 +1215,8 @@ object Jbig2 {
     * reference id into input++new-so-far, rdx, rdy). */
   private[sources] def encodeSymbolDictRefAgg(
       input: IndexedSeq[Array[Array[Boolean]]],
-      newSyms: IndexedSeq[(Array[Array[Boolean]], Int, Int, Int)])
-      : Array[Byte] = {
+      newSyms: IndexedSeq[(Array[Array[Boolean]], Int, Int, Int)],
+      aggregates: Map[Int, Seq[TextInstance]] = Map.empty): Array[Byte] = {
     require(newSyms.nonEmpty)
     require(newSyms.sliding(2).forall(p =>
       p.length < 2 || p(0)._1.length <= p(1)._1.length),
@@ -1172,14 +1230,14 @@ object Jbig2 {
     be32(b, input.length + newSyms.length) // SDNUMEXSYMS
     be32(b, newSyms.length) // SDNUMNEWSYMS
     val enc = new MqEncoder
-    val grCx = new CxStore
     val iadh = new IntCtx
     val iadw = new IntCtx
     val iaex = new IntCtx
     val iaai = new IntCtx
-    val iardx = new IntCtx
-    val iardy = new IntCtx
-    val iaid = new IdCtx(math.max(1,
+    // one set of text-stream contexts persists across every symbol —
+    // the single path uses its id/rdx/rdy/GR members, the aggregate
+    // path the full set (the decoder's 6.5.8.2.2 sharing, mirrored)
+    val c = new TextStreamCtx(math.max(1,
       32 - Integer.numberOfLeadingZeros(
         math.max(1, input.length + newSyms.length - 1))))
     var hcHeight = 0
@@ -1194,17 +1252,46 @@ object Jbig2 {
         val w = rows(0).length
         encodeInt(enc, iadw, Some(w - symWidth))
         symWidth = w
-        require(refId >= 0 && refId < input.length + i,
-          "refinement reference must already exist")
-        encodeInt(enc, iaai, Some(1)) // REFAGGNINST = 1
-        encodeId(enc, iaid, refId)
-        encodeInt(enc, iardx, Some(rdx))
-        encodeInt(enc, iardy, Some(rdy))
-        val refBm =
-          if (refId < input.length) input(refId)
-          else newSyms(refId - input.length)._1
-        encodeRefinementWith(enc, grCx, rows.toIndexedSeq, w, 0,
-          nominalRefAt, refBm, rdx, rdy, tpgron = false)
+        val allSoFar = input ++ newSyms.take(i).map(_._1)
+        aggregates.get(i) match {
+          case Some(insts) =>
+            // aggregate form: the symbol is a nested text region of
+            // refined instances; the declared rows must BE their
+            // composition, so fixtures cannot lie about the result
+            require(insts.length > 1, "aggregates need REFAGGNINST > 1")
+            val composed = Array.ofDim[Boolean](hcHeight, w)
+            insts.foreach { t =>
+              val bmp = t.refine.map(_._1).getOrElse(allSoFar(t.id))
+              var yy = 0
+              while (yy < bmp.length) {
+                var xx = 0
+                while (xx < bmp(yy).length) {
+                  val ty = t.y + yy; val tx = t.x + xx
+                  if (bmp(yy)(xx) && ty >= 0 && ty < hcHeight &&
+                      tx >= 0 && tx < w) composed(ty)(tx) = true
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
+            require(rows.indices.forall(y2 =>
+              rows(y2).sameElements(composed(y2))),
+              "aggregate rows must equal the composed instances")
+            encodeInt(enc, iaai, Some(insts.length))
+            encodeTextStream(enc, c, insts, allSoFar, refine = true)
+          case None =>
+            require(refId >= 0 && refId < input.length + i,
+              "refinement reference must already exist")
+            encodeInt(enc, iaai, Some(1)) // REFAGGNINST = 1
+            encodeId(enc, c.iaid, refId)
+            encodeInt(enc, c.iardx, Some(rdx))
+            encodeInt(enc, c.iardy, Some(rdy))
+            val refBm =
+              if (refId < input.length) input(refId)
+              else newSyms(refId - input.length)._1
+            encodeRefinementWith(enc, c.grCx, rows.toIndexedSeq, w, 0,
+              nominalRefAt, refBm, rdx, rdy, tpgron = false)
+        }
         i += 1
       }
       encodeInt(enc, iadw, None) // end of height class
@@ -1557,6 +1644,77 @@ object Jbig2 {
 
   /** Encode a text region's data (flags + count + arithmetic stream) for
     * instances referencing `syms` ids; TOPLEFT corner, one-row strips. */
+  /** The arithmetic contexts one text-region instance stream owns —
+    * shared between standalone regions and the aggregate form inside
+    * SDREFAGG dictionaries (where they persist across symbols,
+    * 6.5.8.2.2). */
+  private[sources] final class TextStreamCtx(symCodeLen: Int) {
+    val iadt = new IntCtx
+    val iafs = new IntCtx
+    val iads = new IntCtx
+    val iaid = new IdCtx(symCodeLen)
+    val iari = new IntCtx
+    val iardw = new IntCtx
+    val iardh = new IntCtx
+    val iardx = new IntCtx
+    val iardy = new IntCtx
+    val grCx = new CxStore
+  }
+
+  /** Emit one instance stream (initial DT + strip loop, 6.4.5) on a
+    * caller-owned coder and contexts. `refine` signals whether IARI
+    * bits are interleaved (the REFINE = 1 wire form). */
+  private def encodeTextStream(enc: MqEncoder, c: TextStreamCtx,
+      instances: Seq[TextInstance],
+      syms: IndexedSeq[Array[Array[Boolean]]], refine: Boolean): Unit = {
+    encodeInt(enc, c.iadt, Some(0)) // STRIPT starts at 0
+    var stripT = 0
+    var firstS = 0
+    var emitted = 0
+    instances.groupBy(_.y).toSeq.sortBy(_._1).foreach { case (y, insts) =>
+      encodeInt(enc, c.iadt, Some(y - stripT))
+      stripT = y
+      var curS = 0
+      var first = true
+      insts.sortBy(_.x).foreach { inst =>
+        if (first) {
+          encodeInt(enc, c.iafs, Some(inst.x - firstS))
+          firstS = inst.x
+          curS = inst.x
+          first = false
+        } else encodeInt(enc, c.iads, Some(inst.x - curS))
+        emitted += 1
+        encodeId(enc, c.iaid, inst.id)
+        val sym = syms(inst.id)
+        val width = inst.refine match {
+          case None =>
+            if (refine) encodeInt(enc, c.iari, Some(0))
+            sym(0).length
+          case Some((rows, rdx, rdy)) =>
+            val rdw = rows(0).length - sym(0).length
+            val rdh = rows.length - sym.length
+            encodeInt(enc, c.iari, Some(1))
+            encodeInt(enc, c.iardw, Some(rdw))
+            encodeInt(enc, c.iardh, Some(rdh))
+            encodeInt(enc, c.iardx, Some(rdx))
+            encodeInt(enc, c.iardy, Some(rdy))
+            encodeRefinementWith(enc, c.grCx, rows.toIndexedSeq,
+              rows(0).length, 0, nominalRefAt, sym,
+              Math.floorDiv(rdw, 2) + rdx, Math.floorDiv(rdh, 2) + rdy,
+              tpgron = false)
+            rows(0).length
+        }
+        curS = inst.x + width - 1
+      }
+      // 6.4.5 step 3(c)(ii): reaching SBNUMINSTANCES completes the
+      // region WITHOUT a trailing OOB — emitting one after the final
+      // strip desynchronizes shared-stream consumers (the SDREFAGG
+      // aggregate form reads on past the nested region)
+      if (emitted < instances.length)
+        encodeInt(enc, c.iads, None) // end of strip
+    }
+  }
+
   private[sources] def encodeTextRegion(w: Int, h: Int,
       instances: Seq[TextInstance],
       syms: IndexedSeq[Array[Array[Boolean]]]): Array[Byte] = {
@@ -1573,55 +1731,8 @@ object Jbig2 {
     val symCodeLen = math.max(1,
       32 - Integer.numberOfLeadingZeros(math.max(1, syms.length - 1)))
     val enc = new MqEncoder
-    val iadt = new IntCtx
-    val iafs = new IntCtx
-    val iads = new IntCtx
-    val iaid = new IdCtx(symCodeLen)
-    val iari = new IntCtx
-    val iardw = new IntCtx
-    val iardh = new IntCtx
-    val iardx = new IntCtx
-    val iardy = new IntCtx
-    val grCx = new CxStore
-    encodeInt(enc, iadt, Some(0)) // STRIPT starts at 0
-    var stripT = 0
-    var firstS = 0
-    instances.groupBy(_.y).toSeq.sortBy(_._1).foreach { case (y, insts) =>
-      encodeInt(enc, iadt, Some(y - stripT))
-      stripT = y
-      var curS = 0
-      var first = true
-      insts.sortBy(_.x).foreach { inst =>
-        if (first) {
-          encodeInt(enc, iafs, Some(inst.x - firstS))
-          firstS = inst.x
-          curS = inst.x
-          first = false
-        } else encodeInt(enc, iads, Some(inst.x - curS))
-        encodeId(enc, iaid, inst.id)
-        val sym = syms(inst.id)
-        val width = inst.refine match {
-          case None =>
-            if (refine) encodeInt(enc, iari, Some(0))
-            sym(0).length
-          case Some((rows, rdx, rdy)) =>
-            val rdw = rows(0).length - sym(0).length
-            val rdh = rows.length - sym.length
-            encodeInt(enc, iari, Some(1))
-            encodeInt(enc, iardw, Some(rdw))
-            encodeInt(enc, iardh, Some(rdh))
-            encodeInt(enc, iardx, Some(rdx))
-            encodeInt(enc, iardy, Some(rdy))
-            encodeRefinementWith(enc, grCx, rows.toIndexedSeq,
-              rows(0).length, 0, nominalRefAt, sym,
-              Math.floorDiv(rdw, 2) + rdx, Math.floorDiv(rdh, 2) + rdy,
-              tpgron = false)
-            rows(0).length
-        }
-        curS = inst.x + width - 1
-      }
-      encodeInt(enc, iads, None) // end of strip
-    }
+    encodeTextStream(enc, new TextStreamCtx(symCodeLen), instances, syms,
+      refine)
     b ++= enc.flush()
     b.toArray
   }
@@ -1785,7 +1896,9 @@ object Jbig2 {
       huffDict: Boolean = false, dictMmr: Boolean = false,
       huffText: Boolean = false, customDictTables: Boolean = false,
       refAggVariants: IndexedSeq[(Array[Array[Boolean]], Int, Int, Int)] =
-        IndexedSeq.empty): Array[Byte] = {
+        IndexedSeq.empty,
+      refAggAggregates: Map[Int, Seq[TextInstance]] = Map.empty)
+      : Array[Byte] = {
     require(pageW > 0 && pageH > 0 && syms.nonEmpty)
     val b = mutable.ArrayBuffer.empty[Byte]
     def header(num: Int, tpe: Int, dataLen: Int,
@@ -1805,7 +1918,8 @@ object Jbig2 {
       val d1 = encodeSymbolDict(syms)
       header(2, 0, d1.length)
       b ++= d1
-      val d2 = encodeSymbolDictRefAgg(syms, refAggVariants)
+      val d2 = encodeSymbolDictRefAgg(syms, refAggVariants,
+        refAggAggregates)
       header(3, 0, d2.length, refs = Seq(2))
       b ++= d2
       val tr = encodeTextRegion(pageW, pageH, instances,

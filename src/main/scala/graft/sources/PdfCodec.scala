@@ -1192,15 +1192,44 @@ object PdfWriter {
                   if (m % 2 == 1) {
                     val base = (0 until n).map(jb2GlyphSparse).toIndexedSeq
                     val truth = (0 until n).map(jb2Glyph).toIndexedSeq
-                    val insts = jb2TextInstances(m).zipWithIndex.map {
+                    val variants = (0 until n).map(k =>
+                      (truth(k), k, 0, 0)).toIndexedSeq
+                    val insts0 = jb2TextInstances(m).zipWithIndex.map {
                       case (inst, j) =>
                         if (j % 3 == 2)
                           inst.copy(refine = Some((truth(inst.id), 0, 0)))
                         else inst.copy(id = n + inst.id)
                     }
-                    Jbig2.encodeTextDocument(iw, ih, base, insts,
-                      refAggVariants = (0 until n).map(k =>
-                        (truth(k), k, 0, 0)).toIndexedSeq)
+                    if (m % 6 == 5) {
+                      // one seed in three of the refinement family also
+                      // exercises the REFAGGNINST > 1 AGGREGATE: the
+                      // first two instances merge into a LIGATURE
+                      // symbol composed inside the dictionary from the
+                      // same true glyphs at the same relative offsets —
+                      // page ink is unchanged, but reaching it requires
+                      // the nested-text-region decode of 6.5.8.2.1
+                      val k0 = jb2TextInstances(m)(0).id
+                      val k1 = jb2TextInstances(m)(1).id
+                      val lw = 11 + truth(k1)(0).length
+                      val lh = 8 // padded: keeps newSyms height-sorted
+                      val lig = Array.ofDim[Boolean](lh, lw)
+                      for (y <- truth(k0).indices;
+                          x <- truth(k0)(y).indices
+                          if truth(k0)(y)(x)) lig(y)(x) = true
+                      for (y <- truth(k1).indices;
+                          x <- truth(k1)(y).indices
+                          if truth(k1)(y)(x)) lig(1 + y)(11 + x) = true
+                      val aggInsts = Seq(
+                        Jbig2.TextInstance(n + k0, 0, 0),
+                        Jbig2.TextInstance(n + k1, 11, 1))
+                      val pageInsts =
+                        Jbig2.TextInstance(2 * n, 0, 3) +: insts0.drop(2)
+                      Jbig2.encodeTextDocument(iw, ih, base, pageInsts,
+                        refAggVariants = variants :+ ((lig, 0, 0, 0)),
+                        refAggAggregates = Map(n -> aggInsts))
+                    } else
+                      Jbig2.encodeTextDocument(iw, ih, base, insts0,
+                        refAggVariants = variants)
                   } else Jbig2.encodeTextDocument(iw, ih,
                     (0 until n).map(jb2Glyph), jb2TextInstances(m))
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 1, "JBIG2Decode",

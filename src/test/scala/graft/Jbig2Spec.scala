@@ -259,6 +259,42 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("REFAGGNINST > 1: aggregate symbols compose nested text regions") {
+    // base glyphs, then a LIGATURE symbol built as an aggregate of two
+    // refined instances — the wild use: a wide glyph composed from
+    // narrower ones, some touched up in place
+    val g0 = PdfWriter.jb2GlyphAt(0, 3) // 4x5
+    val g1 = PdfWriter.jb2GlyphAt(1, 3) // 5x5
+    val g1var = PdfWriter.jb2GlyphAt(1, 2) // refined variant, same dims
+    val lig = {
+      val rows = Array.ofDim[Boolean](5, 11)
+      for (y <- 0 until 5; x <- 0 until 4 if g0(y)(x)) rows(y)(x) = true
+      for (y <- 0 until 5; x <- 0 until 5 if g1var(y)(x))
+        rows(y)(6 + x) = true
+      rows
+    }
+    val aggInsts = Seq(
+      Jbig2.TextInstance(0, 0, 0),
+      Jbig2.TextInstance(1, 6, 0, refine = Some((g1var, 0, 0))))
+    // page: one instance of each base glyph + the ligature; ids index
+    // the refagg dictionary's exports = base ++ new, so lig id = 2
+    val pageInsts = Seq(Jbig2.TextInstance(0, 0, 3),
+      Jbig2.TextInstance(1, 11, 3), Jbig2.TextInstance(2, 22, 3))
+    val enc = Jbig2.encodeTextDocument(33, 12, IndexedSeq(g0, g1),
+      pageInsts, refAggVariants = IndexedSeq((lig, 0, 0, 0)),
+      refAggAggregates = Map(0 -> aggInsts))
+    val d = Jbig2.decode(enc).getOrElse(fail("aggregate decode"))
+    val want = Seq(g0, g1, lig).map(_.map(_.count(identity)).sum).sum
+    assert(d.width == 33 && d.height == 12 && d.blackCount == want,
+      s"${d.width}x${d.height} b${d.blackCount} != 33x12 b$want")
+    // fuzz the aggregate organization
+    (0 until enc.length by 5).foreach(n => Jbig2.decode(enc.take(n)))
+    (0 until enc.length by 7).foreach { i =>
+      val mut = enc.clone(); mut(i) = (mut(i) ^ 0x6C).toByte
+      Jbig2.decode(mut)
+    }
+  }
+
   test("Huffman dictionaries with CUSTOM DH/DW code tables round-trip") {
     for (m <- Seq(0, 5, 13, 28); mmr <- Seq(false, true)) {
       val n = PdfWriter.jb2NumSyms(m)
