@@ -968,7 +968,16 @@ object Jbig2 {
                 // onto a symWidth×hcHeight canvas — SBSTRIPS = 1,
                 // TOPLEFT, OR, dsOffset 0, ids over input ++ new so far
                 if (nInst < 1 || nInst > (1 << 10)) return None
-                val symsNow = (input ++ newSyms).toIndexedSeq
+                // constant-cost view frozen at this symbol: a hostile
+                // all-aggregate dictionary must not pay O(n^2) copying
+                val frozen = newSyms.length
+                val symsNow = new scala.collection.immutable.IndexedSeq[
+                    Array[Array[Boolean]]] {
+                  def length: Int = input.length + frozen
+                  def apply(j: Int): Array[Array[Boolean]] =
+                    if (j < input.length) input(j)
+                    else newSyms(j - input.length)
+                }
                 val readers = new TextReaders {
                   def dt(): Option[Int] = decodeInt(dec, iadt)
                   def fs(): Option[Int] = decodeInt(dec, iafs)
@@ -977,30 +986,8 @@ object Jbig2 {
                   def id(): Option[Int] = Some(decodeId(dec, iaid))
                   override def inst(id: Int, sym: Array[Array[Boolean]])
                       : Option[Array[Array[Boolean]]] =
-                    decodeInt(dec, iari) match {
-                      case None => None
-                      case Some(0) => Some(sym)
-                      case Some(_) =>
-                        for {
-                          rdw <- decodeInt(dec, iardw)
-                          rdh <- decodeInt(dec, iardh)
-                          rdx <- decodeInt(dec, iardx)
-                          rdy <- decodeInt(dec, iardy)
-                          if rdw >= -(1 << 12) && rdw <= (1 << 12) &&
-                            rdh >= -(1 << 12) && rdh <= (1 << 12) &&
-                            rdx >= -(1 << 12) && rdx <= (1 << 12) &&
-                            rdy >= -(1 << 12) && rdy <= (1 << 12)
-                          nw = sym(0).length + rdw
-                          nh = sym.length + rdh
-                          if nw > 0 && nw <= (1 << 12) && nh > 0 &&
-                            nh <= (1 << 12)
-                          if { aggWork(0) -= nw.toLong * nh
-                            aggWork(0) >= 0 }
-                        } yield decodeRefinementWith(dec, grCx, nw, nh,
-                          rtemplate, rat, sym,
-                          Math.floorDiv(rdw, 2) + rdx,
-                          Math.floorDiv(rdh, 2) + rdy, tpgron = false)
-                    }
+                    decodeRefinedInst(dec, iari, iardw, iardh, iardx,
+                      iardy, grCx, rtemplate, rat, aggWork, sym)
                 }
                 runTextLoop(symWidth, hcHeight, symsNow, nInst, 1, 0,
                   refCorner = 1, readers, aggWork) match {
@@ -1252,9 +1239,9 @@ object Jbig2 {
         val w = rows(0).length
         encodeInt(enc, iadw, Some(w - symWidth))
         symWidth = w
-        val allSoFar = input ++ newSyms.take(i).map(_._1)
         aggregates.get(i) match {
           case Some(insts) =>
+            val allSoFar = input ++ newSyms.take(i).map(_._1)
             // aggregate form: the symbol is a nested text region of
             // refined instances; the declared rows must BE their
             // composition, so fixtures cannot lie about the result
@@ -1403,6 +1390,37 @@ object Jbig2 {
         : Option[Array[Array[Boolean]]] = Some(sym)
   }
 
+  /** Shared REFINE instance reader (6.4.11): RI, the four deltas with
+    * two-sided bounds BEFORE any arithmetic, a budget charge BEFORE the
+    * pixels exist, then the refinement decode — one implementation so
+    * text regions and the dictionary aggregate form cannot drift. */
+  private def decodeRefinedInst(dec: MqDecoder, iari: IntCtx,
+      iardw: IntCtx, iardh: IntCtx, iardx: IntCtx, iardy: IntCtx,
+      grCx: CxStore, rtemplate: Int, rat: Array[(Int, Int)],
+      budget: Array[Long], sym: Array[Array[Boolean]])
+      : Option[Array[Array[Boolean]]] =
+    decodeInt(dec, iari) match {
+      case None => None
+      case Some(0) => Some(sym)
+      case Some(_) =>
+        for {
+          rdw <- decodeInt(dec, iardw)
+          rdh <- decodeInt(dec, iardh)
+          rdx <- decodeInt(dec, iardx)
+          rdy <- decodeInt(dec, iardy)
+          if rdw >= -(1 << 12) && rdw <= (1 << 12) &&
+            rdh >= -(1 << 12) && rdh <= (1 << 12) &&
+            rdx >= -(1 << 12) && rdx <= (1 << 12) &&
+            rdy >= -(1 << 12) && rdy <= (1 << 12)
+          nw = sym(0).length + rdw
+          nh = sym.length + rdh
+          if nw > 0 && nw <= (1 << 12) && nh > 0 && nh <= (1 << 12)
+          if { budget(0) -= nw.toLong * nh; budget(0) >= 0 }
+        } yield decodeRefinementWith(dec, grCx, nw, nh, rtemplate,
+          rat, sym, Math.floorDiv(rdw, 2) + rdx,
+          Math.floorDiv(rdh, 2) + rdy, tpgron = false)
+    }
+
   private[sources] def decodeTextRegion(data: Array[Byte], start: Int,
       end: Int, w: Int, h: Int,
       syms: IndexedSeq[Array[Array[Boolean]]],
@@ -1459,32 +1477,8 @@ object Jbig2 {
       override def inst(id: Int, sym: Array[Array[Boolean]])
           : Option[Array[Array[Boolean]]] =
         if (!refine) Some(sym)
-        else decodeInt(dec, iari) match {
-          case None => None
-          case Some(0) => Some(sym)
-          case Some(_) => // RI != 0: refine this instance (6.4.11)
-            for {
-              rdw <- decodeInt(dec, iardw)
-              rdh <- decodeInt(dec, iardh)
-              rdx <- decodeInt(dec, iardx)
-              rdy <- decodeInt(dec, iardy)
-              // bound the deltas BEFORE any arithmetic: hostile 32-bit
-              // class values would wrap the reference offsets and
-              // "decode" confident garbage (two-sided, never abs())
-              if rdw >= -(1 << 12) && rdw <= (1 << 12) &&
-                rdh >= -(1 << 12) && rdh <= (1 << 12) &&
-                rdx >= -(1 << 12) && rdx <= (1 << 12) &&
-                rdy >= -(1 << 12) && rdy <= (1 << 12)
-              nw = sym(0).length + rdw
-              nh = sym.length + rdh
-              if nw > 0 && nw <= (1 << 12) && nh > 0 && nh <= (1 << 12)
-              // charge the refinement DECODE before it runs — the draw
-              // budget alone fires only after the pixels exist
-              if { budget(0) -= nw.toLong * nh; budget(0) >= 0 }
-            } yield decodeRefinementWith(dec, grCx, nw, nh, rtemplate,
-              rat, sym, Math.floorDiv(rdw, 2) + rdx,
-              Math.floorDiv(rdh, 2) + rdy, tpgron = false)
-        }
+        else decodeRefinedInst(dec, iari, iardw, iardh, iardx, iardy,
+          grCx, rtemplate, rat, budget, sym)
     }
     runTextLoop(w, h, syms, numInstances.toInt, strips, dsOffset,
       refCorner, readers, budget)
@@ -1908,6 +1902,8 @@ object Jbig2 {
     val hasRefine = refAggVariants.nonEmpty ||
       instances.exists(_.refine.isDefined)
     pageInfo(b, 1, pageW, pageH, if (hasRefine) 0x43 else 0x01)
+    require(refAggAggregates.isEmpty || refAggVariants.nonEmpty,
+      "aggregates key into refAggVariants — pass the variants too")
     if (refAggVariants.nonEmpty) {
       // the refinement-aggregate organization: a base dictionary, a
       // SECOND dictionary refining its glyphs (SDREFAGG), and a text
