@@ -347,6 +347,45 @@ class Jbig2Spec extends AnyFunSuite {
       "leaving the base region decode")
   }
 
+  test("every coding organization decodes the SAME page identically") {
+    // one glyph layout pushed through six wire organizations — any
+    // context/table/protocol asymmetry between them shows up as a
+    // pixel diff here, the cross-check a single round-trip cannot do
+    for (m <- Seq(2, 7, 16)) {
+      val n = PdfWriter.jb2NumSyms(m)
+      val syms = (0 until n).map(PdfWriter.jb2Glyph)
+      val insts = PdfWriter.jb2TextInstances(m)
+      val (pw, ph) = PdfWriter.jb2TextDims(m)
+      val truth = (0 until n).map(k => PdfWriter.jb2GlyphAt(k, 3))
+      val sparse = (0 until n).map(PdfWriter.jb2GlyphSparse)
+      val organizations = Seq(
+        "arith" -> Jbig2.encodeTextDocument(pw, ph, syms, insts),
+        "huff" -> Jbig2.encodeTextDocument(pw, ph, syms, insts,
+          huffDict = true, huffText = true),
+        "huff-mmr" -> Jbig2.encodeTextDocument(pw, ph, syms, insts,
+          huffDict = true, dictMmr = true, huffText = true),
+        "huff-custom" -> Jbig2.encodeTextDocument(pw, ph, syms, insts,
+          huffDict = true, huffText = true, customDictTables = true),
+        "refagg" -> Jbig2.encodeTextDocument(pw, ph, sparse,
+          insts.map(t => t.copy(id = n + t.id)),
+          refAggVariants = (0 until n).map(k =>
+            (truth(k), k, 0, 0)).toIndexedSeq),
+        "refine" -> Jbig2.encodeTextDocument(pw, ph, sparse,
+          insts.map(t => t.copy(refine = Some((truth(t.id), 0, 0))))))
+      val pages = organizations.map { case (name, enc) =>
+        name -> Jbig2.decode(enc).getOrElse(fail(s"m=$m $name failed"))
+      }
+      val ref = pages.head._2
+      pages.tail.foreach { case (name, d) =>
+        assert(d.width == ref.width && d.height == ref.height,
+          s"m=$m $name geometry diverged")
+        d.rows.zip(ref.rows).zipWithIndex.foreach { case ((g, w2), y) =>
+          assert(g.sameElements(w2), s"m=$m $name row $y diverged")
+        }
+      }
+    }
+  }
+
   test("the dict cannot lie: decoded geometry and ink beat /Width /Height") {
     (0 until 30).foreach { m =>
       val paras = Seq(s"scan doc $m", "second paragraph")
