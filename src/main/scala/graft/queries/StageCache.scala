@@ -142,6 +142,27 @@ object StageCache {
     dir.toString
   }
 
+  /** Freshness check for a NON-TABULAR write-time artifact (a
+    * persisted ANN index directory, not a parquet table): committed
+    * and fingerprint-matched, the same contract [[isFresh]] gives
+    * tables. The artifact's own writer calls [[commitArtifact]]. */
+  def artifactFresh(dir: java.io.File, fingerprint: String): Boolean =
+    new java.io.File(dir, "_SUCCESS").isFile && {
+      try new String(java.nio.file.Files.readAllBytes(
+        metaFile(dir).toPath), "UTF-8") == fingerprint
+      catch { case _: Throwable => false }
+    }
+
+  /** Commit a non-tabular artifact directory: record the fingerprint,
+    * then the _SUCCESS marker LAST so a crash mid-write never leaves a
+    * committed-looking stale artifact. */
+  def commitArtifact(dir: java.io.File, fingerprint: String): Unit = {
+    java.nio.file.Files.write(metaFile(dir).toPath,
+      fingerprint.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_SUCCESS").toPath, Array.empty[Byte])
+  }
+
   /** Read-through WITHOUT in-memory caching: the persisted table if one
     * exists (and matches `fingerprint`), else the built plan as-is. For
     * stages measured to be cheaper recomputed than cached (d9/d12's

@@ -110,6 +110,40 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the v18 serving index persists as a write-time artifact") {
+    val s = spark
+    val q = "v18_hnsw_sql_knn"
+    def run() = SparkEntry.queries(q)(s, dir).collect().map(_.toString).toSeq
+    val before = run() // compute path: temp-dir build-and-delete
+    val root = java.nio.file.Files.createTempDirectory("stage_idx").toString
+    StageCache.release(s)
+    s.conf.set(StageCache.PathConf, root)
+    try {
+      val first = run() // builds <root>/v18_hnsw and commits it
+      val idx = new java.io.File(root, "v18_hnsw")
+      assert(new java.io.File(idx, "_SUCCESS").isFile,
+        "index artifact not committed")
+      val stamp = new java.io.File(idx, "idx").lastModified
+      val second = run() // fresh artifact: serve, don't rebuild
+      assert(new java.io.File(idx, "idx").lastModified == stamp,
+        "a fresh write-time index was rebuilt")
+      assert(first == before && second == before,
+        "served ranks diverged between compute and write-time paths")
+      // a corrupted fingerprint forces a rebuild, never a stale serve
+      java.nio.file.Files.write(
+        new java.io.File(idx, "_graft_fingerprint").toPath,
+        "stale".getBytes("UTF-8"))
+      assert(run() == before, "rebuild after staleness diverged")
+    } finally {
+      s.conf.unset(StageCache.PathConf)
+      StageCache.release(s)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("missing persisted tables fall back to computing, conf set or not") {
     val s = spark
     val empty = java.nio.file.Files.createTempDirectory("stage_empty").toString
