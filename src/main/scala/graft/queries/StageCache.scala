@@ -77,6 +77,17 @@ object StageCache {
   private def metaFile(dir: java.io.File) =
     new java.io.File(dir, "_graft_fingerprint")
 
+  /** The ONE reader of the freshness protocol (committed marker +
+    * recorded fingerprint): every staleness decision — tables or
+    * artifacts — goes through this, so the contract cannot diverge. */
+  private def recordedFingerprint(dir: java.io.File): Option[String] =
+    if (!new java.io.File(dir, "_SUCCESS").isFile) None
+    else {
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        metaFile(dir).toPath), "UTF-8"))
+      catch { case _: Throwable => None }
+    }
+
   /** The persisted table for `key` — ONLY if it is committed AND its
     * recorded fingerprint matches the caller's expectation. A stale
     * table (source regenerated, constants changed) is ignored with a
@@ -87,21 +98,18 @@ object StageCache {
       fingerprint: Option[String]): Option[DataFrame] =
     s.conf.getOption(PathConf).flatMap { root =>
       val dir = new java.io.File(root, sanitize(key))
-      if (!new java.io.File(dir, "_SUCCESS").isFile) None
-      else {
-        val recorded =
-          try Some(new String(java.nio.file.Files.readAllBytes(
-            metaFile(dir).toPath), "UTF-8"))
-          catch { case _: Throwable => None }
-        (fingerprint, recorded) match {
-          case (Some(want), Some(have)) if want != have =>
-            // scalastyle:off println
-            println(s"[StageCache] persisted stage '$key' is STALE " +
-              "(source fingerprint changed) — recomputing")
-            // scalastyle:on println
-            None
-          case _ => Some(s.read.parquet(dir.toString))
-        }
+      recordedFingerprint(dir) match {
+        case None => None
+        case Some(have) =>
+          fingerprint match {
+            case Some(want) if want != have =>
+              // scalastyle:off println
+              println(s"[StageCache] persisted stage '$key' is STALE " +
+                "(source fingerprint changed) — recomputing")
+              // scalastyle:on println
+              None
+            case _ => Some(s.read.parquet(dir.toString))
+          }
       }
     }
 
@@ -114,17 +122,10 @@ object StageCache {
   def isFresh(key: String, root: String,
       fingerprint: Option[String]): Boolean = {
     val dir = new java.io.File(root, sanitize(key))
-    if (!new java.io.File(dir, "_SUCCESS").isFile) false
-    else {
-      val recorded =
-        try Some(new String(java.nio.file.Files.readAllBytes(
-          metaFile(dir).toPath), "UTF-8"))
-        catch { case _: Throwable => None }
-      (fingerprint, recorded) match {
-        case (Some(want), Some(have)) => want == have
-        case (None, _) => true
-        case _ => false
-      }
+    (fingerprint, recordedFingerprint(dir)) match {
+      case (_, None) => false
+      case (Some(want), Some(have)) => want == have
+      case (None, Some(_)) => true
     }
   }
 
@@ -147,11 +148,7 @@ object StageCache {
     * and fingerprint-matched, the same contract [[isFresh]] gives
     * tables. The artifact's own writer calls [[commitArtifact]]. */
   def artifactFresh(dir: java.io.File, fingerprint: String): Boolean =
-    new java.io.File(dir, "_SUCCESS").isFile && {
-      try new String(java.nio.file.Files.readAllBytes(
-        metaFile(dir).toPath), "UTF-8") == fingerprint
-      catch { case _: Throwable => false }
-    }
+    recordedFingerprint(dir).contains(fingerprint)
 
   /** Commit a non-tabular artifact directory: record the fingerprint,
     * then the _SUCCESS marker LAST so a crash mid-write never leaves a

@@ -765,6 +765,29 @@ object VectorQueries {
   // rounding), which is also why ties inherit the id tie-break on both
   // sides. Eagerly materialized: the session configs and the temp index
   // must not outlive this call and hijack later cosine top-k plans.
+  /** The v18 index derivation constants, ALL folded into the artifact
+    * fingerprint: shards, the saveIndex build parameters (m=16,
+    * efConstruction=200 defaults spelled out), and the id projection.
+    * Changing any of them invalidates a persisted index — the
+    * sourceFingerprint contract. */
+  private[graft] def v18IndexFingerprint(dir: String): String =
+    StageCache.sourceFingerprint(Seq(s"$dir/embeddings.parquet"),
+      "v18|shards=2|m=16|efc=200|id=f%06d")
+
+  /** Build the v18 serving artifact (staged embeddings + HNSW index)
+    * under `base` — the ONE builder shared by the catalog query and
+    * [[WriteTimeTables.persistAll]], so the two cannot drift on build
+    * constants and hand the timed read-through pass a silent rebuild. */
+  private[graft] def buildV18Index(s: SparkSession, dir: String,
+      base: String): Unit = {
+    Tables.embeddings(s, dir)
+      .select(format_string("f%06d", col("vec_id")).as("fragment_id"),
+        col("embedding").as("vector"), col("label"))
+      .write.mode("overwrite").parquet(s"$base/emb")
+    graft.search.Hnsw.saveIndex(s.read.parquet(s"$base/emb"),
+      s"$base/idx", numShards = 2)
+  }
+
   private val v18HnswSqlKnn: Q = (s, dir) => {
     import org.apache.spark.sql.graft.HnswIndexRewrite
     // the index is a WRITE-TIME artifact (the reference persists its
@@ -774,27 +797,26 @@ object VectorQueries {
     // bench then measures the production shape (walk only, no build).
     // Without the root (Verify, plain bench pass) the old temp-dir
     // build-and-delete behavior is unchanged.
-    val fp = StageCache.sourceFingerprint(
-      Seq(s"$dir/embeddings.parquet"), "v18|shards=2")
+    val fp = v18IndexFingerprint(dir)
     val cachedBase = s.conf.getOption(StageCache.PathConf)
       .map(r => new java.io.File(r, "v18_hnsw"))
-    def buildInto(base: String): Unit = {
-      Tables.embeddings(s, dir)
-        .select(format_string("f%06d", col("vec_id")).as("fragment_id"),
-          col("embedding").as("vector"), col("label"))
-        .write.mode("overwrite").parquet(s"$base/emb")
-      graft.search.Hnsw.saveIndex(s.read.parquet(s"$base/emb"),
-        s"$base/idx", numShards = 2)
-    }
     val tmp = cachedBase match {
       case Some(d) =>
         if (!StageCache.artifactFresh(d, fp)) {
+          // parity with persistedTable: stale state is REBUILT with a
+          // log line, never silently — a bench/CLI reader must be able
+          // to see why this run paid the build
+          if (new java.io.File(d, "_SUCCESS").isFile)
+            // scalastyle:off println
+            println("[StageCache] persisted artifact 'v18_hnsw' is " +
+              "STALE (source fingerprint changed) — rebuilding")
+            // scalastyle:on println
           graft.ingest.TableSwap.rmTreeAt(d.toString)
           try {
-            buildInto(d.toString)
+            buildV18Index(s, dir, d.toString)
             StageCache.commitArtifact(d, fp)
           } catch {
-            case e: Exception =>
+            case e: Throwable =>
               graft.ingest.TableSwap.rmTreeAt(d.toString); throw e
           }
         }
@@ -802,15 +824,17 @@ object VectorQueries {
       case None =>
         val t = java.nio.file.Files.createTempDirectory("v18_hnsw")
           .toString
-        try buildInto(t)
+        // Throwable, not Exception: an OOM out of saveIndex must not
+        // leak a temp copy of the embeddings table
+        try buildV18Index(s, dir, t)
         catch {
-          case e: Exception =>
+          case e: Throwable =>
             graft.ingest.TableSwap.rmTreeAt(t); throw e
         }
         t
     }
-    val staged = s.read.parquet(s"$tmp/emb")
     try {
+      val staged = s.read.parquet(s"$tmp/emb")
       val ef = staged.count().toInt // >= every shard size -> exact walk
       val qLit = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)

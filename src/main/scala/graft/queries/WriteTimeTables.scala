@@ -52,22 +52,17 @@ object WriteTimeTables {
     }
     // the v18 serving index is a write-time ARTIFACT (a directory, not
     // a parquet table): build it here so its cost lands in the one-time
-    // build second, and the read-through catalog pays only the walk
-    val idxFp = StageCache.sourceFingerprint(
-      Seq(s"$sfDir/embeddings.parquet"), "v18|shards=2")
+    // build second, and the read-through catalog pays only the walk.
+    // Fingerprint and builder are VectorQueries' own — one source of
+    // truth, or a constant drift would hand the timed pass a rebuild.
+    val idxFp = VectorQueries.v18IndexFingerprint(sfDir)
     val idxDir = new java.io.File(root, "v18_hnsw")
     if (StageCache.artifactFresh(idxDir, idxFp)) {
       skipped += 1
       log("[index-sketches] v18_hnsw fresh, skipped")
     } else {
       graft.ingest.TableSwap.rmTreeAt(idxDir.toString)
-      import org.apache.spark.sql.functions.{col, format_string}
-      graft.Tables.embeddings(s, sfDir)
-        .select(format_string("f%06d", col("vec_id")).as("fragment_id"),
-          col("embedding").as("vector"), col("label"))
-        .write.mode("overwrite").parquet(s"$idxDir/emb")
-      graft.search.Hnsw.saveIndex(s.read.parquet(s"$idxDir/emb"),
-        s"$idxDir/idx", numShards = 2)
+      VectorQueries.buildV18Index(s, sfDir, idxDir.toString)
       StageCache.commitArtifact(idxDir, idxFp)
       persisted += 1
       log(s"[index-sketches] v18_hnsw -> $idxDir")

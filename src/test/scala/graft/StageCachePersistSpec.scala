@@ -144,6 +144,36 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("persistAll builds the v18 artifact the serving query then skips") {
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("stage_all").toString
+    StageCache.release(s)
+    try {
+      graft.queries.WriteTimeTables.persistAll(s, dir, root)
+      val idx = new java.io.File(root, "v18_hnsw")
+      assert(new java.io.File(idx, "_SUCCESS").isFile,
+        "persistAll did not commit the index artifact")
+      // a second persistAll must skip EVERYTHING (freshness end-to-end)
+      val (p2, _) = graft.queries.WriteTimeTables.persistAll(s, dir, root)
+      assert(p2 == 0, s"second persistAll rebuilt $p2 stages/artifacts")
+      // the serving query reads the prebuilt artifact without rebuilding
+      val stamp = new java.io.File(idx, "idx").lastModified
+      s.conf.set(StageCache.PathConf, root)
+      val served = SparkEntry.queries("v18_hnsw_sql_knn")(s, dir).collect()
+      assert(served.nonEmpty)
+      assert(new java.io.File(idx, "idx").lastModified == stamp,
+        "the query rebuilt an artifact persistAll had just built — " +
+          "fingerprint drift between the two builders")
+    } finally {
+      s.conf.unset(StageCache.PathConf)
+      StageCache.release(s)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("missing persisted tables fall back to computing, conf set or not") {
     val s = spark
     val empty = java.nio.file.Files.createTempDirectory("stage_empty").toString
