@@ -788,19 +788,30 @@ object VectorQueries {
       s"$base/idx", numShards = 2)
   }
 
-  private val v18HnswSqlKnn: Q = (s, dir) => {
-    import org.apache.spark.sql.graft.HnswIndexRewrite
-    // the index is a WRITE-TIME artifact (the reference persists its
-    // HNSW in pgvector): with the stage-cache root set, build it once
-    // under <root>/v18_hnsw behind the same fingerprint guard as the
-    // write-time tables and SERVE on later runs — the read-through
-    // bench then measures the production shape (walk only, no build).
-    // Without the root (Verify, plain bench pass) the old temp-dir
-    // build-and-delete behavior is unchanged.
+  /** Process-wide memo of the TEMP-dir artifact for the no-stage-cache
+    * path, keyed by fingerprint. One bench run times the catalog twice
+    * (min-of-N) and serves BOTH v18 and v19 from the same index —
+    * without the memo every timed serving query paid a full stage+build
+    * (~2 s) that the read-through number then subtracted back out
+    * (ADVICE r10). The dir is replaced when the fingerprint changes and
+    * removed on JVM exit; only SUCCESSFUL builds are memoized. */
+  @volatile private var tmpArtifact: Option[(String, String)] = None
+  private object TmpArtifactLock {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpArtifact.foreach { case (_, d) =>
+        graft.ingest.TableSwap.rmTreeAt(d)
+      }))
+  }
+
+  /** Acquire the HNSW serving artifact (staged embeddings + index) for
+    * v18/v19: write-time under the stage-cache root when configured
+    * (the production shape — the read-through bench measures the walk
+    * only), else the process-memoized temp build. Returns its base
+    * dir; callers must NOT delete it (the cache/memo owns cleanup). */
+  private def acquireHnswArtifact(s: SparkSession, dir: String): String = {
     val fp = v18IndexFingerprint(dir)
-    val cachedBase = s.conf.getOption(StageCache.PathConf)
-      .map(r => new java.io.File(r, "v18_hnsw"))
-    val tmp = cachedBase match {
+    s.conf.getOption(StageCache.PathConf)
+      .map(r => new java.io.File(r, "v18_hnsw")) match {
       case Some(d) =>
         if (!StageCache.artifactFresh(d, fp)) {
           // parity with persistedTable: stale state is REBUILT with a
@@ -821,48 +832,90 @@ object VectorQueries {
           }
         }
         d.toString
-      case None =>
-        val t = java.nio.file.Files.createTempDirectory("v18_hnsw")
-          .toString
-        // Throwable, not Exception: an OOM out of saveIndex must not
-        // leak a temp copy of the embeddings table
-        try buildV18Index(s, dir, t)
-        catch {
-          case e: Throwable =>
-            graft.ingest.TableSwap.rmTreeAt(t); throw e
+      case None => TmpArtifactLock.synchronized {
+        tmpArtifact match {
+          case Some((f, d)) if f == fp => d
+          case old =>
+            old.foreach { case (_, d) =>
+              graft.ingest.TableSwap.rmTreeAt(d)
+            }
+            tmpArtifact = None
+            val t = java.nio.file.Files.createTempDirectory("v18_hnsw")
+              .toString
+            // Throwable, not Exception: an OOM out of saveIndex must
+            // not leak a temp copy of the embeddings table
+            try buildV18Index(s, dir, t)
+            catch {
+              case e: Throwable =>
+                graft.ingest.TableSwap.rmTreeAt(t); throw e
+            }
+            tmpArtifact = Some((fp, t))
+            t
         }
-        t
-    }
-    try {
-      val staged = s.read.parquet(s"$tmp/emb")
-      val ef = staged.count().toInt // >= every shard size -> exact walk
-      val qLit = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0)
-        .map(_.toString)
-        .mkString("CAST(array(", ", ", ") AS array<float>)")
-      s.conf.set(HnswIndexRewrite.IndexKey, s"$tmp/idx")
-      s.conf.set(HnswIndexRewrite.EfKey, ef.toString)
-      try {
-        staged.createOrReplaceTempView("v18_emb")
-        val df = s.sql(
-          s"""SELECT fragment_id, vector_cosine(vector, $qLit) AS sim
-             |FROM v18_emb WHERE label < 5
-             |ORDER BY sim DESC, fragment_id LIMIT 10""".stripMargin)
-        val walked = df.queryExecution.executedPlan.toString
-          .contains("MapGroups")
-        val hits = df.select(col("fragment_id")).collect()
-          .map(_.getString(0))
-        import s.implicits._
-        hits.toSeq.zipWithIndex
-          .map { case (f, i) => ((i + 1).toLong, f, walked) }
-          .toDF("rank", "fragment_id", "used_index_walk")
-      } finally {
-        s.conf.unset(HnswIndexRewrite.IndexKey)
-        s.conf.unset(HnswIndexRewrite.EfKey)
-        s.catalog.dropTempView("v18_emb")
       }
-    } finally if (cachedBase.isEmpty) graft.ingest.TableSwap.rmTreeAt(tmp)
+    }
   }
+
+  /** The shared v18/v19 serving scaffold: acquire the artifact, turn
+    * the rewrite configs on for exactly the one statement, run the
+    * caller's SQL text, and return (rank, fragment_id, used_index_walk)
+    * with the walk bit read off the EXECUTED plan — a rewrite that
+    * silently failed to fire turns the row false and the oracle
+    * catches it. */
+  private def serveHnswSql(s: SparkSession, dir: String)(
+      sqlText: (String, String) => String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.HnswIndexRewrite
+    val tmp = acquireHnswArtifact(s, dir)
+    val staged = s.read.parquet(s"$tmp/emb")
+    val ef = staged.count().toInt // >= every shard size -> exact walk
+    val qLit = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+      .map(_.toString)
+      .mkString("CAST(array(", ", ", ") AS array<float>)")
+    s.conf.set(HnswIndexRewrite.IndexKey, s"$tmp/idx")
+    s.conf.set(HnswIndexRewrite.EfKey, ef.toString)
+    try {
+      staged.createOrReplaceTempView("v18_emb")
+      val df = s.sql(sqlText("v18_emb", qLit))
+      val walked = df.queryExecution.executedPlan.toString
+        .contains("MapGroups")
+      val hits = df.select(col("fragment_id")).collect()
+        .map(_.getString(0))
+      import s.implicits._
+      hits.toSeq.zipWithIndex
+        .map { case (f, i) => ((i + 1).toLong, f, walked) }
+        .toDF("rank", "fragment_id", "used_index_walk")
+    } finally {
+      s.conf.unset(HnswIndexRewrite.IndexKey)
+      s.conf.unset(HnswIndexRewrite.EfKey)
+      s.catalog.dropTempView("v18_emb")
+    }
+  }
+
+  private val v18HnswSqlKnn: Q = (s, dir) =>
+    serveHnswSql(s, dir) { (view, qLit) =>
+      s"""SELECT fragment_id, vector_cosine(vector, $qLit) AS sim
+         |FROM $view WHERE label < 5
+         |ORDER BY sim DESC, fragment_id LIMIT 10""".stripMargin
+    }
+
+  // v19 — the reference's serving SQL VERBATIM in its DISTANCE form:
+  // pgvector's actual text is `1 - (embedding <=> $q) AS similarity …
+  // ORDER BY embedding <=> $q` (retrieval/search.py:106-112) — distance
+  // ASC, with the ordering key NOT in the SELECT list. A user porting
+  // that query writes `vector_cosine_distance(…) ASC` (the named `<=>`)
+  // and must get the same index walk v18's cosine-DESC spelling gets;
+  // before r11 this shape silently fell back to the exact scan.
+  // Everything else — artifact, ef witness, plan-read walk bit, oracle
+  // ranks — is shared with v18 by construction (same scaffold).
+  private val v19HnswSqlDistance: Q = (s, dir) =>
+    serveHnswSql(s, dir) { (view, qLit) =>
+      s"""SELECT fragment_id,
+         |  1 - vector_cosine_distance(vector, $qLit) AS similarity
+         |FROM $view WHERE label < 5
+         |ORDER BY vector_cosine_distance(vector, $qLit) ASC, fragment_id
+         |LIMIT 10""".stripMargin
+    }
 
   private val v18Sql = {
     val sim = duckCosine("e.embedding", "q.qv")
@@ -877,6 +930,7 @@ object VectorQueries {
 
   val defs: Map[String, Q] = Map(
     "v18_hnsw_sql_knn" -> v18HnswSqlKnn,
+    "v19_hnsw_sql_distance" -> v19HnswSqlDistance,
     "v16_hybrid_topk" -> v16HybridTopk,
     "v15_filtered_ann" -> v15FilteredAnn,
     "v14_hybrid_rrf" -> v14HybridRrf,
@@ -891,6 +945,9 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "v18_hnsw_sql_knn" -> v18Sql,
+    // the distance-ASC text must return the SAME ranked ids as the
+    // similarity-DESC text — one exact-KNN oracle serves both
+    "v19_hnsw_sql_distance" -> v18Sql,
     "v16_hybrid_topk" -> v16Sql,
     "v15_filtered_ann" -> v15Sql,
     "v14_hybrid_rrf" -> v14Sql,

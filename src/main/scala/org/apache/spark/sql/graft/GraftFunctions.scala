@@ -47,6 +47,12 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
     (exprs: Seq[Expression]) => VectorCosine(exprs(0), exprs(1)))
 
+  val vectorCosineDistanceDescriptor: Descriptor = (
+    FunctionIdentifier("vector_cosine_distance"),
+    new ExpressionInfo(classOf[VectorCosineDistance].getName,
+      "vector_cosine_distance"),
+    (exprs: Seq[Expression]) => VectorCosineDistance(exprs(0), exprs(1)))
+
   val minhashSignatureDescriptor: Descriptor = (
     FunctionIdentifier("minhash_signature"),
     new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
@@ -87,7 +93,8 @@ object GraftFunctions {
     })
 
   val descriptors: Seq[Descriptor] = Seq(
-    vectorDotDescriptor, vectorCosineDescriptor, minhashSignatureDescriptor,
+    vectorDotDescriptor, vectorCosineDescriptor,
+    vectorCosineDistanceDescriptor, minhashSignatureDescriptor,
     simhashDescriptor, charFingerprintDescriptor, cdcChunksDescriptor)
 
   /** Imperative registration on an existing session: the SQL functions

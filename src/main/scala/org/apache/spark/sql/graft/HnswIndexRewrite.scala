@@ -5,13 +5,13 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Descending, Expression, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, Expression, Literal, SortDirection, SortOrder, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
 
 /** HNSW-accelerated KNN as a Catalyst optimizer rule — the sibling of
   * [[AnnProbeRewrite]] for the index class the reference actually serves
@@ -21,7 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   * [[graft.search.Hnsw.searchIndex]] plan over a persisted adjacency
   * table, id-preserving-projected back onto the original output
   * attributes. The SQL text stays an exact-looking
-  * `WHERE … ORDER BY cosine DESC LIMIT k`; the planner supplies the
+  * `WHERE … ORDER BY cosine DESC LIMIT k` — or the reference's
+  * VERBATIM distance form, `ORDER BY (1 - vector_cosine(…)) ASC` /
+  * `ORDER BY vector_cosine_distance(…) ASC` (pgvector's `ORDER BY
+  * embedding <=> $q`, retrieval/search.py:106-112), including when the
+  * distance key is not in the SELECT list (the analyzer's drop-Project
+  * above the Sort is served through); the planner supplies the
   * beam-search walk — pgvector's index-scan substitution, including the
   * filtered form (the predicate rides into the walk: every node is
   * traversed for navigation, only eligible nodes are collected, so
@@ -75,31 +80,84 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             logWarning(s"HNSW rewrite skipped (falling back to exact)", e)
             gl
         }
+      // the analyzer's ORDER-BY-expression-not-in-SELECT artifact: when
+      // the sort key is not projected (pgvector's verbatim `ORDER BY
+      // embedding <=> $q` with `1 - <=>` in the SELECT list), analysis
+      // threads it through an inner Project and DROPS it with an
+      // attribute-only Project above the Sort. Pure attributes commute
+      // with the splice (the rebuilt chain keeps every chain output),
+      // so serve through it; anything computed up there falls back.
+      case gl @ GlobalLimit(Literal(k: Int, IntegerType),
+          LocalLimit(_, Project(drop, s: Sort)))
+          if s.global && k > 0 && k <= graft.search.VectorSearch.MaxTopK &&
+            drop.forall(_.isInstanceOf[Attribute]) =>
+        try rewrite(gl, k, s, path, ef).getOrElse(gl)
+        catch {
+          case e: Exception =>
+            logWarning(s"HNSW rewrite skipped (falling back to exact)", e)
+            gl
+        }
     }
   }
 
-  /** The descending-cosine head sort key, resolved through a child
-    * Project's alias. Remaining sort keys must be ascending attributes
-    * named like the id tie-break (or absent) — validated against the
-    * LEAF's actual attribute by exprId in [[rewrite]], since a
-    * projected alias that merely shares the name orders differently.
+  /** The head sort key canonicalized to a [[VectorCosine]], resolved
+    * through a child Project's alias when it is an attribute. Three
+    * servable spellings, all orderings provably identical:
+    *   - `cosine DESC` — the reference's similarity form;
+    *   - `(1.0 - cosine) ASC` — the verbatim pgvector port (`ORDER BY
+    *     embedding <=> $q`, retrieval/search.py:111-112) after constant
+    *     folding; 1−x is strictly monotone decreasing, so distance-ASC
+    *     ranks (and ties) exactly as cosine-DESC;
+    *   - `vector_cosine_distance(...) ASC` — the named `<=>` function.
+    * Remaining sort keys must be ascending attributes named like the id
+    * tie-break (or absent) — validated against the LEAF's actual
+    * attribute by exprId in [[rewrite]], since a projected alias that
+    * merely shares the name orders differently.
+    *
+    * Returns (walk cosine, user's head expression, user's direction):
+    * the WALK ranks by the canonical cosine, but the spliced plan's
+    * final sort re-evaluates the user's own key in the user's own
+    * direction over the k base rows — `1.0 - x` is monotone but not
+    * injective in doubles (near-zero cosines collapse), so re-sorting a
+    * distance query by the cosine could break the user's exact tie
+    * ordering at the epsilon floor.
     */
-  private def cosineOf(s: Sort, idCol: String): Option[VectorCosine] = {
+  private def cosineOf(s: Sort, idCol: String)
+      : Option[(VectorCosine, Expression, SortDirection)] = {
     val tailOk = s.order.tail.forall {
       case SortOrder(a: Attribute, dir, _, _) =>
         a.name == idCol && dir != Descending
       case _ => false
     }
     if (!tailOk) return None
-    s.order.headOption.filter(_.direction == Descending).flatMap {
-      case SortOrder(c: VectorCosine, _, _, _) => Some(c)
-      case SortOrder(a: Attribute, _, _, _) =>
-        s.child.collect { case p: Project => p }
+    // a direction-aware canonicalizer: DESC serves similarity shapes,
+    // ASC serves distance shapes; any other (form, direction) pairing
+    // orders ascending-by-similarity and must NOT be served top-k
+    def canonical(e: Expression, dir: SortDirection): Option[VectorCosine] =
+      (e, dir) match {
+        case (c: VectorCosine, Descending) => Some(c)
+        case (VectorCosineDistance(l, r), Ascending) =>
+          Some(VectorCosine(l, r))
+        case (Subtract(Literal(one: Double, DoubleType), c: VectorCosine, _),
+            Ascending) if one == 1.0 => Some(c)
+        case _ => None
+      }
+    s.order.headOption.flatMap {
+      case SortOrder(a: Attribute, dir, _, _) =>
+        // explicit re-entry guard: the spliced plan's own final sort
+        // orders by the ExactSimCol attribute — resolving it through
+        // kPlan's Alias(VectorCosine) here would re-enter rewrite() on
+        // our own output (it would then bail on shapeOf's join, but
+        // the invariant must not hinge on that shape detail)
+        if (a.name == ExactSimCol) None
+        else s.child.collect { case p: Project => p }
           .flatMap(_.projectList.collectFirst {
-            case al @ Alias(c: VectorCosine, _) if al.exprId == a.exprId => c
+            case al: Alias if al.exprId == a.exprId => al.child
           })
           .headOption
-      case _ => None
+          .flatMap(e => canonical(e, dir).map(c => (c, e, dir)))
+      case SortOrder(e, dir, _, _) =>
+        canonical(e, dir).map(c => (c, e, dir))
     }
   }
 
@@ -138,7 +196,7 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       ef: Int): Option[LogicalPlan] = {
     val idCol = "fragment_id"
     for {
-      cos <- cosineOf(s, idCol)
+      (cos, userHead, userDir) <- cosineOf(s, idCol)
       qv <- queryVec(cos)
       (conds, leaf) <- shapeOf(s.child)
       if !leaf.isStreaming
@@ -238,16 +296,19 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // splice the OPTIMIZED inner plan: the main optimizer batches ran
       // before this rule, so an analyzed subtree would reach physical
       // planning with un-eliminated analysis artifacts (join hints);
-      // nested optimization is bounded — this rule cannot re-fire on
-      // the spliced shape (no cosine sort key). Analysis may have
-      // deduplicated the base relation's exprIds (it appears in the
-      // walk's metadata join too), so rebind the needed attributes BY
-      // NAME — unique within one parquet relation — back onto their
-      // original exprIds, and compute the user's EXACT cosine
-      // alongside as the final ordering key.
+      // nested optimization is bounded — cosineOf explicitly refuses an
+      // ExactSimCol head attribute, so transformDown cannot re-enter
+      // rewrite() on the spliced shape. Analysis may have deduplicated
+      // the base relation's exprIds (it appears in the walk's metadata
+      // join too), so rebind the needed attributes BY NAME — unique
+      // within one parquet relation — back onto their original exprIds,
+      // and compute the user's EXACT head sort expression alongside as
+      // the final ordering key (their cosine OR their distance — not
+      // the canonicalized cosine: 1−x is not injective in doubles, so
+      // substituting keys could re-tie rows at the epsilon floor).
       val kOpt = kRows.queryExecution.optimizedPlan
       val kByName = kOpt.output.map(a => a.name -> a).toMap
-      val exactSim = Alias(cos.transform {
+      val exactSim = Alias(userHead.transform {
         case a: Attribute if a.exprId == vecAttr.exprId =>
           kByName("vector")
       }, ExactSimCol)()
@@ -268,9 +329,8 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val rebuilt = rebuild(s.child)
       val sorted = Sort(Seq(
-        SortOrder(simRef, Descending),
-        SortOrder(idAttr, org.apache.spark.sql.catalyst.expressions
-          .Ascending)), global = true, rebuilt)
+        SortOrder(simRef, userDir),
+        SortOrder(idAttr, Ascending)), global = true, rebuilt)
       val limited = GlobalLimit(Literal(k),
         LocalLimit(Literal(k), sorted))
       // original exprIds flow through untouched (the chain reuses the

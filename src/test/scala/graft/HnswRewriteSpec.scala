@@ -284,6 +284,107 @@ class HnswRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally confOff()
   }
 
+  test("verbatim pgvector distance-ASC text serves from the walk, " +
+      "bit-for-bit equal to the exact scan") {
+    // the reference's serving query verbatim (retrieval/search.py:106-112):
+    // similarity = 1 - distance in the SELECT list, ORDER BY the distance
+    // expression itself — which is NOT in the SELECT list, so the
+    // analyzer threads it through an inner Project and drops it with an
+    // attribute-only Project above the Sort
+    def pgtext() = spark.sql(
+      """SELECT fragment_id,
+        |  1 - (1 - vector_cosine(vector,
+        |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>))) AS similarity
+        |FROM emb WHERE grp = 1
+        |ORDER BY (1 - vector_cosine(vector,
+        |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>))) ASC,
+        |  fragment_id LIMIT 5""".stripMargin)
+    spark.read.parquet(basePath).createOrReplaceTempView("emb")
+    val exact = pgtext().collect()
+      .map(r => (r.getString(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+    confOn(ef = n)
+    try {
+      val df = pgtext()
+      assert(walked(df), s"distance-ASC text must serve from the walk:\n" +
+        df.queryExecution.executedPlan)
+      val served = df.collect()
+        .map(r => (r.getString(0),
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq
+      assert(served == exact,
+        "distance-ASC served rows must equal the exact query bit-for-bit")
+      assert(served.map(_._1) == exactTopK(5, _._3 == 1))
+    } finally confOff()
+  }
+
+  test("vector_cosine_distance ASC serves — direct and via a select alias") {
+    confOn(ef = n)
+    try {
+      spark.read.parquet(basePath).createOrReplaceTempView("emb")
+      val direct = spark.sql(
+        """SELECT fragment_id,
+          |  1 - vector_cosine_distance(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS similarity
+          |FROM emb
+          |ORDER BY vector_cosine_distance(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)),
+          |  fragment_id LIMIT 5""".stripMargin)
+      assert(walked(direct), s"named-distance ASC must serve:\n" +
+        direct.queryExecution.executedPlan)
+      assert(direct.collect().map(_.getString(0)).toSeq ==
+        exactTopK(5, _ => true))
+      val aliased = spark.sql(
+        """SELECT fragment_id,
+          |  vector_cosine_distance(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS dist
+          |FROM emb WHERE grp = 0
+          |ORDER BY dist ASC, fragment_id LIMIT 5""".stripMargin)
+      assert(walked(aliased), s"aliased-distance ASC must serve:\n" +
+        aliased.queryExecution.executedPlan)
+      assert(aliased.collect().map(_.getString(0)).toSeq ==
+        exactTopK(5, _._3 == 0))
+    } finally confOff()
+  }
+
+  test("distance forms with the WRONG direction or constant fall back") {
+    confOn(ef = n)
+    try {
+      spark.read.parquet(basePath).createOrReplaceTempView("emb")
+      // distance DESC = worst-first: a top-k walk would be wrong
+      val descDist = spark.sql(
+        """SELECT fragment_id,
+          |  vector_cosine_distance(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS dist
+          |FROM emb ORDER BY dist DESC, fragment_id LIMIT 5""".stripMargin)
+      assert(!walked(descDist), "distance DESC must fall back")
+      // distance DESC ≡ cosine ASC: the WORST 5 matches
+      assert(descDist.collect().map(_.getString(0)).toSeq ==
+        rawRows.map(r => (cosine(qvec, r._2), r._1)).sorted
+          .take(5).map(_._2))
+      // (2 - cosine) ASC is NOT the cosine distance — only 1.0 folds
+      val twoMinus = spark.sql(
+        """SELECT fragment_id,
+          |  (2 - vector_cosine(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>))) AS d2
+          |FROM emb ORDER BY d2 ASC, fragment_id LIMIT 5""".stripMargin)
+      assert(!walked(twoMinus), "(2 - cosine) ASC must fall back")
+      assert(twoMinus.collect().length == 5)
+      // cosine ASC = worst-first
+      val ascCos = sqlAsc("", 5)
+      assert(!walked(ascCos), "cosine ASC must fall back")
+    } finally confOff()
+  }
+
+  private def sqlAsc(where: String, k: Int): DataFrame = {
+    spark.read.parquet(basePath).createOrReplaceTempView("emb")
+    spark.sql(
+      s"""SELECT fragment_id,
+         |  vector_cosine(vector,
+         |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+         |FROM emb $where
+         |ORDER BY sim ASC, fragment_id LIMIT $k""".stripMargin)
+  }
+
   test("an unreadable index path falls back instead of failing the query") {
     spark.conf.set(HnswIndexRewrite.IndexKey, s"$dir/no_such_index")
     spark.conf.set(HnswIndexRewrite.EfKey, n.toString)

@@ -31,6 +31,38 @@ class SqlFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(2) == 0.0)
   }
 
+  test("vector_cosine_distance: 1 - distance equals cosine bit-for-bit, " +
+      "zero-vector and null handling") {
+    // the rewrite canonicalizes distance-ASC into the cosine walk, so
+    // the two spellings must be the same IEEE sequence modulo the one
+    // final 1.0-x — verified over an awkward non-round vector pair
+    val r = spark.sql(
+      """SELECT
+        |  vector_cosine_distance(CAST(array(0.3, -1.7, 2.9) AS ARRAY<FLOAT>),
+        |    CAST(array(1.1, 0.2, -0.4) AS ARRAY<FLOAT>)) AS dist,
+        |  vector_cosine(CAST(array(0.3, -1.7, 2.9) AS ARRAY<FLOAT>),
+        |    CAST(array(1.1, 0.2, -0.4) AS ARRAY<FLOAT>)) AS cos,
+        |  vector_cosine_distance(CAST(array(0.0, 0.0) AS ARRAY<FLOAT>),
+        |    CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS dzero,
+        |  vector_cosine_distance(CAST(NULL AS ARRAY<FLOAT>),
+        |    CAST(array(1.0) AS ARRAY<FLOAT>)) AS dnull
+        |""".stripMargin).head()
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(1.0 - r.getDouble(1)))
+    assert(r.getDouble(2) == 1.0)
+    assert(r.isNullAt(3))
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.VectorCosineDistance
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def litArr(xs: Array[Float]) = Literal.create(xs, ArrayType(FloatType))
+    val interp = VectorCosineDistance(litArr(Array(0.3f, -1.7f, 2.9f)),
+      litArr(Array(1.1f, 0.2f, -0.4f))).eval(null)
+    assert(java.lang.Double.doubleToLongBits(
+      interp.asInstanceOf[Double]) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(0)))
+  }
+
   test("null propagation and interpreted path agree with codegen") {
     val r = spark.sql(
       """SELECT vector_dot(CAST(NULL AS ARRAY<FLOAT>),

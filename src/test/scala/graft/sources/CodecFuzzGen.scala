@@ -94,7 +94,7 @@ object CodecFuzzGen {
       if (dt > slowNs) {
         findings += 1
         // scalastyle:off println
-        println(s"SLOW: $fam seed=$seed mode=$mode ${dt / 1e9}%.1f s")
+        println(f"SLOW: $fam seed=$seed mode=$mode ${dt / 1e9}%.1f s")
         // scalastyle:on println
       }
       iters += 1

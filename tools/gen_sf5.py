@@ -37,9 +37,14 @@ def gen(t, sql):
     print(t, n)
 
 rep = f"(SELECT unnest(range({R})) AS q)"
+# n_chars must track the replica prefix ('q<q> ' adds len('q')+len(q)+1
+# chars) or 4/5 of the corpus carries a stale count (ADVICE r10)
 gen("documents", f"""SELECT doc_id + q*{DOC} AS doc_id,
   CASE WHEN q=0 THEN text ELSE 'q' || q || ' ' || text END AS text,
-  lang, source, n_chars FROM documents, {rep}""")
+  lang, source,
+  CASE WHEN q=0 THEN n_chars
+       ELSE n_chars + length('q' || q || ' ') END AS n_chars
+  FROM documents, {rep}""")
 gen("embeddings", f"SELECT vec_id + q*{VEC} AS vec_id, embedding, label FROM embeddings, {rep}")
 gen("events", f"SELECT event_id + q*{EVT} AS event_id, ts, user_id + q*{USR} AS user_id, event_type, value, props FROM events, {rep}")
 for t in ["region","nation","customer","supplier","part","orders","lineitem"]:
