@@ -164,20 +164,23 @@ object Bench {
     // loaded host inflates calib and the catalog alike, a real plan
     // regression inflates only the catalog. This is the instrument the
     // r6→r7 idle-record question (48.9→84.8 s: host or repo?) lacked.
-    val calibSec = calibrate(spark)
-    // Two timed passes per query, report the MIN. The start-time JVM
-    // check cannot see load the HOST injects mid-run (observed: the same
-    // catalog on the same data swinging 86→143 s with a DIFFERENT
-    // query spiking 10-20× each run — a8 21.5 s one run, a17 9.7 s the
-    // next, both ~0.5 s when quiet). A transient spike hits a query in
-    // one pass, not both, so min-of-2 records the query's steady-state
-    // cost instead of the host's noise; genuine regressions slow BOTH
-    // passes and still show.
+    //
+    // N timed passes per query (default 3), report the LOWER MEDIAN over
+    // the successful passes. The start-time JVM check cannot see load the
+    // HOST injects mid-run (observed: the same catalog on the same data
+    // swinging 86→143 s with a DIFFERENT query spiking 10-20× each run —
+    // a8 21.5 s one run, a17 9.7 s the next, both ~0.5 s when quiet).
+    // r9/r10 each spent ledger space adjudicating a single-query flap
+    // (d9, then p6) under min-of-2; a median-of-3 needs a spike in TWO of
+    // three passes to move, so round-over-round deltas stop needing
+    // manual host-noise attribution. Lower median = element (n-1)/2 of
+    // the sorted times: the true middle for n=3, the min for n=2 (the
+    // pre-r11 semantics), never an interpolated value a spike inflates.
     // A failed query must NOT masquerade as a fast one (BENCH_r06 recorded
     // three AnalysisException-throwing queries at 0.05-0.09 s — the cost of
     // throwing). Each pass records the error; a query is "failed" only if
-    // it failed in BOTH passes (a transient executor hiccup in one pass
-    // with a clean other pass is a timing outlier, not a broken query).
+    // it failed in EVERY pass (a transient executor hiccup in one pass
+    // with clean other passes is a timing outlier, not a broken query).
     // Peak cached-stage residency across the run (memory + disk bytes),
     // sampled after every query — feeds the catalog-growth/StageCache
     // attribution (a resident set approaching executor storage would
@@ -198,45 +201,77 @@ object Bench {
         if (sb > peakStorage) peakStorage = sb
         name -> ((System.nanoTime() - t0) / 1e9, err)
       }
-    // min over SUCCESSFUL passes only: a query that threw in one pass must
-    // not record the throw's (fast) time — that would reproduce the
+    val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
+      .getOrElse(3)
+    // Median over SUCCESSFUL passes only: a query that threw in one pass
+    // must not record the throw's (fast) time — that would reproduce the
     // BENCH_r06 fast-failure masquerade for single-pass hiccups.
-    // Also names the queries timed from exactly ONE surviving pass: if
-    // pass 1 threw, the recorded time is pass 2's COLD (un-warmed)
-    // measurement and the min-of-2 steady-state rationale does not hold
-    // for it — consumers should discount it, not read a cold run as a
-    // regression.
-    def combinePasses(p1: Map[String, (Double, Option[String])],
-        p2: Map[String, (Double, Option[String])])
+    // Also names the queries timed from fewer surviving passes than run:
+    // a cold (un-warmed) retry measurement is among their inputs and the
+    // steady-state rationale does not fully hold — consumers should
+    // discount them, not read a cold run as a regression.
+    def combinePasses(passes: Seq[Map[String, (Double, Option[String])]])
         : (Map[String, Double], Map[String, String], Seq[String]) = {
-      val errs: Map[String, String] = p1.flatMap { case (k, (_, e1)) =>
-        for (m1 <- e1; _ <- p2(k)._2) yield k -> m1
-      }
-      val res = p1.map { case (k, (t1, e1)) =>
-        val (t2, e2) = p2(k)
-        k -> ((e1.isEmpty, e2.isEmpty) match {
-          case (true, true) => math.min(t1, t2)
-          case (true, false) => t1
-          case (false, true) => t2
-          case (false, false) => math.min(t1, t2) // both failed: -1 sentinel
-        })
-      }
-      val single = p1.keys.toSeq
-        .filter(k => p1(k)._2.isEmpty != p2(k)._2.isEmpty).sorted
-      (res, errs, single)
+      val names = passes.head.keys.toSeq
+      val errs: Map[String, String] = names.flatMap { k =>
+        val es = passes.map(_(k)._2)
+        if (es.forall(_.isDefined)) Some(k -> es.head.get) else None
+      }.toMap
+      val res = names.map { k =>
+        val ok = passes.map(_(k)).collect { case (t, None) => t }.sorted
+        k -> (if (ok.nonEmpty) ok((ok.size - 1) / 2)
+              else passes.map(_(k)._1).min) // all failed: -1 sentinel later
+      }.toMap
+      val short = names.filter { k =>
+        val n = passes.count(_(k)._2.isEmpty)
+        n > 0 && n < passes.size
+      }.sorted
+      (res, errs, short)
     }
-    val pass1 = timedPass()
-    val pass2 = timedPass()
-    val (results, errors, singlePass) = combinePasses(pass1, pass2)
-    // Second calib probe AFTER the catalog: two consecutive rounds of
+    // Calib probes BRACKET the catalog passes: two consecutive rounds of
     // total_over_calib moving opposite the raw total (r8/r9) showed one
     // probe cannot tell "host got slower" from "probe got unlucky" — the
-    // normalizer is now the MEAN of probes bracketing the catalog, and
-    // the probes + spread are recorded so the instrument's own noise is
-    // visible in the artifact instead of silently folded into the ratio.
-    val calibAfter = calibrate(spark)
-    val calibProbes = scala.collection.mutable.ArrayBuffer(calibSec, calibAfter)
-    val calibMean = (calibSec + calibAfter) / 2.0
+    // normalizer is the MEAN of the bracketing probes, and all probes +
+    // spread are recorded so the instrument's own noise is visible in
+    // the artifact instead of silently folded into the ratio.
+    //
+    // SPREAD GATE (r10 verdict #2): a measurement whose bracketing
+    // probes disagree by more than the threshold (default 0.30 — the r10
+    // clean-host run measured 0.139, the noisy one 0.464) is REJECTED
+    // and re-run once; if the re-run still exceeds it, the record is
+    // kept but stamped `calib_gate:"exceeded"` so a contaminated
+    // artifact self-describes rather than silently entering the
+    // round-over-round comparison.
+    val spreadMax = sys.env.get("SPARK_GRAFT_CALIB_SPREAD_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.30)
+    def probeSpread(ps: Seq[Double]): Double =
+      (ps.max - ps.min) / (ps.sum / ps.size)
+    var attempt = 0
+    val rejected = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    var passes: Seq[Map[String, (Double, Option[String])]] = null
+    var calibBefore = 0.0
+    var calibAfter = 0.0
+    var gateOk = false
+    while (!gateOk && attempt < 2) {
+      attempt += 1
+      calibBefore = calibrate(spark)
+      passes = (1 to nPasses).map(_ => timedPass())
+      calibAfter = calibrate(spark)
+      gateOk = probeSpread(Seq(calibBefore, calibAfter)) <= spreadMax
+      if (!gateOk && attempt < 2) {
+        rejected += Seq(calibBefore, calibAfter)
+        System.err.println(f"[bench] calib spread ${probeSpread(
+          Seq(calibBefore, calibAfter))}%.3f > $spreadMax%.2f — host was " +
+          "noisy during the catalog passes; rejecting and re-running")
+      }
+    }
+    val (results, errors, singlePass) = combinePasses(passes)
+    val passTotals = passes.map(p =>
+      p.collect { case (k, (t, None)) if !errors.contains(k) => t }.sum)
+    val calibProbes =
+      scala.collection.mutable.ArrayBuffer(calibBefore, calibAfter)
+    val calibMean = (calibBefore + calibAfter) / 2.0
 
     // Read-through pass: the SAME catalog with the persisted
     // write-time tables on (spark.graft.stageCache.path) — the
@@ -263,9 +298,8 @@ object Bench {
         graft.queries.StageCache.release(spark)
         spark.conf.set(graft.queries.StageCache.PathConf, root)
         try {
-          val rp1 = timedPass()
-          val rp2 = timedPass()
-          val (rres, rerrs, _) = combinePasses(rp1, rp2)
+          val rPasses = (1 to nPasses).map(_ => timedPass())
+          val (rres, rerrs, _) = combinePasses(rPasses)
           Some((rres, rerrs, buildSec))
         } finally {
           spark.conf.unset(graft.queries.StageCache.PathConf)
@@ -305,7 +339,15 @@ object Bench {
     }.getOrElse("")
     val meta =
       s""""contended":$contended,"loadavg_start":"$load0"""" +
-        s""","loadavg_end":"${loadavg()}","passes":2""" +
+        s""","loadavg_end":"${loadavg()}","passes":$nPasses""" +
+        s""","stat":"median","pass_totals":${passTotals
+          .map(t => f"$t%.3f").mkString("[", ",", "]")}""" +
+        s""","attempts":$attempt""" +
+        s""","calib_gate":"${if (gateOk) "ok" else "exceeded"}"""" +
+        (if (rejected.nonEmpty)
+          s""","rejected_probes":${rejected.map(_.map(p => f"$p%.3f")
+            .mkString("[", ",", "]")).mkString("[", ",", "]")}"""
+         else "") +
         s""","other_jvms":${others.size},"nq":${results.size}""" +
         s""","failures":${errors.size},"errors":$errJson""" +
         s""","single_pass":${singlePass.map(jstr).mkString("[", ",", "]")}""" +
@@ -344,7 +386,7 @@ object Bench {
     // bench_out.json — keeps the line under the ~1 KB tail window
     val compactMeta =
       s""""contended":$contended,"loadavg_start":"$load0"""" +
-        s""","loadavg_end":"${loadavg()}","passes":2""" +
+        s""","loadavg_end":"${loadavg()}","passes":$nPasses""" +
         s""","other_jvms":${others.size},"nq":${results.size}""" +
         s""","failures":${errors.size},"failed":${errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")}""" +
         readthrough.map { case (rres, rerrs, _) =>
