@@ -491,6 +491,7 @@ object PipelineQueries {
     val jp2Re = """Im1 (\d+)x(\d+) jpx s(\d+)""".r
     val stubRe = """Im2 (\d+)x(\d+) jpx undecoded""".r
     val i97Re = """Im3 (\d+)x(\d+) jpx s(\d+)""".r
+    val y420Re = """Im4 (\d+)x(\d+) jpx c3 s(\d+)""".r
     Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -498,7 +499,7 @@ object PipelineQueries {
         val paras = text.split("\n{2,}").toSeq
           .map(PdfWriter.sanitize).filter(_.trim.nonEmpty).take(2)
         val m = (id % 30).toInt
-        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 4)))
+        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 5)))
         val bytes = PdfWriter.buildJpxScan(pages, compress = id % 2 == 0,
           seed = m)
         val imgs = RealPdfExtractor.extract(s"jpx/$id.pdf", bytes)
@@ -525,18 +526,27 @@ object PipelineQueries {
               w.toInt == tw && h.toInt == th &&
                 math.abs(v.toLong - trueSum) <= 300L)
         }.getOrElse((-1L, -1L, false))
-        (id, rw, rh, rs, jw, jh, js, sw, sh, xw, xh, xok)
+        // the 4:2:0 form is LOSSLESS (5/3 per component), so the
+        // replicated ink sum is exact — the oracle recomputes it from
+        // the pixel rule, no band needed
+        val (yw, yh, ys) = imgs.collectFirst {
+          case y420Re(w, h, v) => (w.toLong, h.toLong, v.toLong)
+        }.getOrElse((-1L, -1L, -1L))
+        (id, rw, rh, rs, jw, jh, js, sw, sh, xw, xh, xok, yw, yh, ys)
       })
       .toDF("doc_id", "jpx_w", "jpx_h", "jpx_sum", "jp2_w", "jp2_h",
-        "jp2_sum", "stub_w", "stub_h", "i97_w", "i97_h", "i97_ok")
+        "jp2_sum", "stub_w", "stub_h", "i97_w", "i97_h", "i97_ok",
+        "y420_w", "y420_h", "y420_sum")
       .orderBy(col("doc_id"))
   }
 
-  // grid bounds = the max of jpxRawDims over m (w ≤ 27, h ≤ 17)
+  // grid bounds = the max of jpxRawDims/y420Dims over m (w ≤ 27, h ≤ 18);
+  // the y420 chroma conditions use 2x < w (= x < w/2, dims even)
   private val p16Sql =
     """WITH d AS (SELECT doc_id, doc_id % 30 AS m,
       |  17 + 2*((doc_id % 30) % 6) AS w0, 11 + (doc_id % 30) % 7 AS h0,
-      |  12 + (doc_id % 30) % 9 AS w1, 8 + (doc_id % 30) % 6 AS h1
+      |  12 + (doc_id % 30) % 9 AS w1, 8 + (doc_id % 30) % 6 AS h1,
+      |  16 + 2*((doc_id % 30) % 6) AS w4, 10 + 2*((doc_id % 30) % 5) AS h4
       |  FROM documents)
       |SELECT d.doc_id,
       |  CAST(MAX(w0) AS BIGINT) AS jpx_w,
@@ -551,8 +561,17 @@ object PipelineQueries {
       |  CAST(MAX(12 + m % 6) AS BIGINT) AS stub_h,
       |  CAST(MAX(19 + m % 7) AS BIGINT) AS i97_w,
       |  CAST(MAX(13 + m % 5) AS BIGINT) AS i97_h,
-      |  true AS i97_ok
-      |FROM d CROSS JOIN range(27) t1(x) CROSS JOIN range(17) t2(y)
+      |  true AS i97_ok,
+      |  CAST(MAX(w4) AS BIGINT) AS y420_w,
+      |  CAST(MAX(h4) AS BIGINT) AS y420_h,
+      |  CAST(SUM(CASE WHEN x < w4 AND y < h4
+      |      THEN (x*7 + y*11 + 3*(m+11)) % 256 ELSE 0 END)
+      |    + 4*SUM(CASE WHEN 2*x < w4 AND 2*y < h4
+      |      THEN (x*7 + y*11 + 3*(m+13)) % 256 ELSE 0 END)
+      |    + 4*SUM(CASE WHEN 2*x < w4 AND 2*y < h4
+      |      THEN (x*7 + y*11 + 3*(m+17)) % 256 ELSE 0 END)
+      |    AS BIGINT) AS y420_sum
+      |FROM d CROSS JOIN range(27) t1(x) CROSS JOIN range(18) t2(y)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 
   /** S4 on the SYMBOL-CODED JBIG2 shape — the dominant wild form of

@@ -26,15 +26,22 @@ import scala.collection.mutable
   * persistent Lblock state, codeword segments concatenating across
   * packets), and all five progression orders in the
   * single-precinct-per-resolution case this codec emits and accepts
-  * (LRCP/RLCP/RPCL, plus the component-major PCRL/CPRL collapse). Any
+  * (LRCP/RLCP/RPCL, plus the component-major PCRL/CPRL collapse), and
+  * SUBSAMPLED components with XRsiz/YRsiz ∈ {1, 2} — 4:2:0 / 4:2:2 /
+  * 4:4:0 YCbCr, the wild archival scan form: component 0 stays at
+  * reference resolution, chroma planes carry their own band/code-block
+  * geometry at ceil(size / factor) dims (T.800 B.2/B.3), MCT is off
+  * (the in-codestream transforms require identically-sized components,
+  * G.2/G.3), and decode returns the planes upsampled to the reference
+  * grid by sample replication. Any
   * number of decomposition levels, default precincts, EBCOT Tier-1
   * with the MQ arithmetic coder (the SAME Annex E coder as [[Jbig2]] —
   * T.800 and T.88 share it; the Tier-1 contexts and pass structure
   * here are T.800 Annex D), tag-tree-coded packet headers (T.800
   * B.10), and both the raw codestream and the JP2 box wrapping.
-  * Subsampled / POC / precinct-partitioned streams are detected and
-  * rejected to None — the extractor's honest `undecoded` label, never
-  * a guess. The lossless path reconstructs exactly; the 9/7 path
+  * POC / precinct-partitioned streams and subsampling factors past 2
+  * are detected and rejected to None — the extractor's honest
+  * `undecoded` label, never a guess. The lossless path reconstructs exactly; the 9/7 path
   * reconstructs within the quantizer's error band (JpxSpec pins a PSNR
   * floor).
   *
@@ -847,9 +854,55 @@ object Jpx {
     (tw, th)
   }
 
-  /** One tile's coefficient planes (tile-local mallat layout). */
-  private final case class TilePlanes(tw: Int, th: Int,
+  /** One tile's coefficient planes (tile-local mallat layout).
+    * `dims(c)` is the COMPONENT-tile size — equal across components
+    * except under subsampling, where component c covers
+    * ceil(span / XRsiz_c) columns of the reference-grid tile. */
+  private final case class TilePlanes(dims: IndexedSeq[(Int, Int)],
       planes: Array[Array[Int]])
+
+  private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+
+  /** Validate a subsampling spec against the component planes: factors
+    * in 1..2 (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 — the wild YCbCr forms),
+    * component 0 at full reference resolution, each plane sized
+    * ceil(reference / factor) (T.800 B.2's component-grid mapping), and
+    * a tile grid that stays aligned in every component domain. */
+  private def checkSub(sub: Seq[(Int, Int)], nc: Int, w: Int, h: Int,
+      comps: Seq[Array[Array[Int]]], tw: Int, th: Int,
+      levels: Int): Seq[(Int, Int)] = {
+    val subs = if (sub.isEmpty) Seq.fill(nc)((1, 1)) else sub
+    require(subs.length == nc, s"sub spec for ${subs.length} of $nc comps")
+    require(subs.head == ((1, 1)),
+      "component 0 must be full-resolution (it defines the reference grid)")
+    subs.zipWithIndex.foreach { case ((xr, yr), c) =>
+      require(xr >= 1 && xr <= 2 && yr >= 1 && yr <= 2,
+        s"subsampling factors out of the 1..2 scope: ($xr, $yr)")
+      require(comps(c).length == ceilDiv(h, yr) &&
+        comps(c)(0).length == ceilDiv(w, xr),
+        s"component $c dims ${comps(c)(0).length}x${comps(c).length} != " +
+          s"ceil($w/$xr) x ceil($h/$yr)")
+      // tile origins must stay even at every DWT level IN THE COMPONENT
+      // DOMAIN: reference origin x0 = i·tw maps to x0/xr, so tw must
+      // carry the extra factor of xr (same for rows)
+      if (tw < w) require(tw % (xr << levels) == 0,
+        s"tile width $tw must be a multiple of ${xr << levels}")
+      if (th < h) require(th % (yr << levels) == 0,
+        s"tile height $th must be a multiple of ${yr << levels}")
+    }
+    subs
+  }
+
+  /** Component-tile rectangle (cx0, cy0, cw, ch) of the reference-grid
+    * tile (x0, y0, ctw, cth) under (xr, yr) subsampling: T.800 B.3's
+    * ceil-mapping, exact here because tile origins are multiples of the
+    * factors (checkSub / the decoder's alignment reject). */
+  private def compRect(x0: Int, y0: Int, ctw: Int, cth: Int,
+      xr: Int, yr: Int): (Int, Int, Int, Int) = {
+    val cx0 = x0 / xr
+    val cy0 = y0 / yr
+    (cx0, cy0, ceilDiv(x0 + ctw, xr) - cx0, ceilDiv(y0 + cth, yr) - cy0)
+  }
 
   /** Encode one grayscale raster (values 0..255) as a raw codestream. */
   def encode(img: Array[Array[Int]], levels: Int = 2): Array[Byte] =
@@ -869,20 +922,26 @@ object Jpx {
     * origin-anchored grid, each tile an independent DWT/Tier-1 domain. */
   def encodeMulti(comps: Seq[Array[Array[Int]]], levels: Int = 2,
       rct: Boolean = false, layers: Int = 1, prog: Int = 0,
-      tileW: Int = 0, tileH: Int = 0): Array[Byte] = {
+      tileW: Int = 0, tileH: Int = 0,
+      sub: Seq[(Int, Int)] = Nil): Array[Byte] = {
     require(comps.nonEmpty && (!rct || comps.length == 3))
+    require(!rct || sub.forall(_ == ((1, 1))),
+      "the in-codestream color transform requires identically-sized " +
+        "components (T.800 G.2) — subsampled YCbCr ships with MCT off")
     val h = comps.head.length
     val w = comps.head(0).length
     require(w > 0 && h > 0 && levels >= 0 && levels <= 6)
-    require(comps.forall(c => c.length == h && c(0).length == w))
     val (tw, th) = checkTiling(w, h, tileW, tileH, levels, layers, prog)
     val nc = comps.length
+    val subs = checkSub(sub, nc, w, h, comps, tw, th, levels)
     val canvas = comps.map { img =>
-      val a = new Array[Int](w * h)
+      val ch = img.length
+      val cw = img(0).length
+      val a = new Array[Int](cw * ch)
       var y = 0
-      while (y < h) {
+      while (y < ch) {
         var x = 0
-        while (x < w) { a(y * w + x) = img(y)(x) - 128; x += 1 } // DC shift
+        while (x < cw) { a(y * cw + x) = img(y)(x) - 128; x += 1 } // DC shift
         y += 1
       }
       a
@@ -900,20 +959,26 @@ object Jpx {
       }
     }
     val tiles = tileRects(w, h, tw, th).map { case (x0, y0, ctw, cth) =>
-      val planes = canvas.map { a =>
-        val s = new Array[Int](ctw * cth)
+      val rects = IndexedSeq.tabulate(nc) { c =>
+        compRect(x0, y0, ctw, cth, subs(c)._1, subs(c)._2)
+      }
+      val planes = Array.tabulate(nc) { c =>
+        val (cx0, cy0, cw, ch) = rects(c)
+        val stride = ceilDiv(w, subs(c)._1)
+        val s = new Array[Int](cw * ch)
         var y = 0
-        while (y < cth) {
-          System.arraycopy(a, (y0 + y) * w + x0, s, y * ctw, ctw)
+        while (y < ch) {
+          System.arraycopy(canvas(c), (cy0 + y) * stride + cx0, s, y * cw, cw)
           y += 1
         }
-        fdwt(s, ctw, cth, levels)
+        fdwt(s, cw, ch, levels)
         s
       }
-      TilePlanes(ctw, cth, planes)
+      TilePlanes(rects.map(r => (r._3, r._4)), planes)
     }
     encodeCore(tiles, w, h, tw, th, levels, nc, mct = if (rct) 1 else 0,
-      irrevQ = None, derivedBase = None, layers = layers, prog = prog)
+      irrevQ = None, derivedBase = None, layers = layers, prog = prog,
+      subs = subs)
   }
 
   /** Encode with the IRREVERSIBLE pipeline — the dominant wild
@@ -930,21 +995,27 @@ object Jpx {
   def encodeIrreversible(comps: Seq[Array[Array[Int]]], levels: Int = 2,
       step: Double = 1.0, ict: Boolean = false,
       derived: Boolean = false, layers: Int = 1, prog: Int = 0,
-      tileW: Int = 0, tileH: Int = 0): Array[Byte] = {
+      tileW: Int = 0, tileH: Int = 0,
+      sub: Seq[(Int, Int)] = Nil): Array[Byte] = {
     require(comps.nonEmpty && (!ict || comps.length == 3))
+    require(!ict || sub.forall(_ == ((1, 1))),
+      "the in-codestream color transform requires identically-sized " +
+        "components (T.800 G.3) — subsampled YCbCr ships with MCT off")
     require(step > 0)
     val h = comps.head.length
     val w = comps.head(0).length
     require(w > 0 && h > 0 && levels >= 0 && levels <= 6)
-    require(comps.forall(c => c.length == h && c(0).length == w))
     val (tw, th) = checkTiling(w, h, tileW, tileH, levels, layers, prog)
     val nc = comps.length
+    val subs = checkSub(sub, nc, w, h, comps, tw, th, levels)
     val canvas = comps.map { img =>
-      val a = new Array[Double](w * h)
+      val ch = img.length
+      val cw = img(0).length
+      val a = new Array[Double](cw * ch)
       var y = 0
-      while (y < h) {
+      while (y < ch) {
         var x = 0
-        while (x < w) { a(y * w + x) = img(y)(x) - 128.0; x += 1 }
+        while (x < cw) { a(y * cw + x) = img(y)(x) - 128.0; x += 1 }
         y += 1
       }
       a
@@ -978,16 +1049,22 @@ object Jpx {
       (r, b.btype) -> p
     }).toMap
     val tiles = tileRects(w, h, tw, th).map { case (x0, y0, ctw, cth) =>
-      val planes = canvas.map { dAll =>
-        val d = new Array[Double](ctw * cth)
+      val rects = IndexedSeq.tabulate(nc) { c =>
+        compRect(x0, y0, ctw, cth, subs(c)._1, subs(c)._2)
+      }
+      val planes = Array.tabulate(nc) { c =>
+        val (cx0, cy0, cw, ch) = rects(c)
+        val stride = ceilDiv(w, subs(c)._1)
+        val d = new Array[Double](cw * ch)
         var y = 0
-        while (y < cth) {
-          System.arraycopy(dAll, (y0 + y) * w + x0, d, y * ctw, ctw)
+        while (y < ch) {
+          System.arraycopy(canvas(c), (cy0 + y) * stride + cx0,
+            d, y * cw, cw)
           y += 1
         }
-        fdwt97(d, ctw, cth, levels)
-        val a = new Array[Int](ctw * cth)
-        for (r <- 0 to levels; b <- bands(ctw, cth, levels, r)
+        fdwt97(d, cw, ch, levels)
+        val a = new Array[Int](cw * ch)
+        for (r <- 0 to levels; b <- bands(cw, ch, levels, r)
             if b.bw > 0 && b.bh > 0) {
           val (eps, mu) = q((r, b.btype))
           val delta = quantStep(8 + b.gain, eps, mu)
@@ -995,7 +1072,7 @@ object Jpx {
           while (yy < b.bh) {
             var xx = 0
             while (xx < b.bw) {
-              val idx = (b.y0 + yy) * ctw + (b.x0 + xx)
+              val idx = (b.y0 + yy) * cw + (b.x0 + xx)
               val v = d(idx)
               val m = (math.abs(v) / delta).toInt // dead-zone floor
               a(idx) = if (v < 0) -m else m
@@ -1006,11 +1083,11 @@ object Jpx {
         }
         a
       }
-      TilePlanes(ctw, cth, planes)
+      TilePlanes(rects.map(r => (r._3, r._4)), planes)
     }
     encodeCore(tiles, w, h, tw, th, levels, nc, mct = if (ict) 1 else 0,
       irrevQ = Some(q), derivedBase = if (derived) Some(base) else None,
-      layers = layers, prog = prog)
+      layers = layers, prog = prog, subs = subs)
   }
 
   /** Tier-1 output for one code-block: the finished MQ codeword, the
@@ -1052,11 +1129,11 @@ object Jpx {
     * the persistent per-band state. */
   private def encodeTile(tp: TilePlanes, levels: Int, nc: Int,
       layers: Int, prog: Int, mbOf: (Int, Band) => Int): Array[Byte] = {
-    val tw = tp.tw
     val states: IndexedSeq[IndexedSeq[Seq[EncBandState]]] =
       for (r <- 0 to levels) yield for (c <- 0 until nc) yield {
         val a = tp.planes(c)
-        val live = bands(tp.tw, tp.th, levels, r)
+        val (tw, th) = tp.dims(c)
+        val live = bands(tw, th, levels, r)
           .filter(b => b.bw > 0 && b.bh > 0)
         live.map { band =>
           val ncx = (band.bw + cbSize - 1) / cbSize
@@ -1170,7 +1247,7 @@ object Jpx {
       tileW: Int, tileH: Int, levels: Int, nc: Int, mct: Int,
       irrevQ: Option[Map[(Int, Int), (Int, Int)]],
       derivedBase: Option[(Int, Int)], layers: Int,
-      prog: Int): Array[Byte] = {
+      prog: Int, subs: Seq[(Int, Int)]): Array[Byte] = {
     def mbOf(r: Int, band: Band): Int =
       irrevQ.map(m => m((r, band.btype))._1 + Guard - 1).getOrElse(band.mb)
     val tileStreams =
@@ -1186,7 +1263,8 @@ object Jpx {
     u32(w); u32(h); u32(0); u32(0) // image / offset
     u32(tileW); u32(tileH); u32(0); u32(0) // tile grid / offset
     u16(nc) // Csiz
-    for (_ <- 0 until nc) { u8(7); u8(1); u8(1) } // 8-bit, no subsampling
+    // 8-bit unsigned; XRsiz/YRsiz carry the component's subsampling
+    subs.foreach { case (xr, yr) => u8(7); u8(xr); u8(yr) }
     u16(0xFF52); u16(12) // COD
     u8(0) // Scod: default precincts, no SOP/EPH
     u8(prog); u16(layers); u8(mct)
@@ -1339,6 +1417,7 @@ object Jpx {
       var prog = 0
       var tileW = 0
       var tileH = 0
+      var subs: Array[(Int, Int)] = null
       var mbs = Map.empty[(Int, Int), Int] // (r, btype) -> Mb
       var irrev = false // COD transform 0 = 9/7 + quantization
       var deltas = Map.empty[(Int, Int), Double] // (r, btype) -> Δ_b
@@ -1355,10 +1434,14 @@ object Jpx {
       def decodeTile(rect: (Int, Int, Int, Int), bodyStart: Int,
           tileEnd: Int): Unit = {
         val (x0, y0, ctw, cth) = rect
+        // per-component tile rectangles (component-domain coords): the
+        // identity except under subsampling
+        val crs = Array.tabulate(nc)(c =>
+          compRect(x0, y0, ctw, cth, subs(c)._1, subs(c)._2))
         val states: IndexedSeq[IndexedSeq[Seq[DecBandState]]] =
           for (r <- 0 to levels) yield
-            for (_ <- 0 until nc) yield
-              bands(ctw, cth, levels, r)
+            for (c <- 0 until nc) yield
+              bands(crs(c)._3, crs(c)._4, levels, r)
                 .filter(b => b.bw > 0 && b.bh > 0)
                 .map(new DecBandState(_))
         var cursor = bodyStart
@@ -1414,9 +1497,11 @@ object Jpx {
         // Tier-1 each included block over its concatenated segments —
         // the layer slices tile the codeword, so this reconstructs the
         // encoder's exact coefficient planes
-        val tPlanes = Array.fill(nc)(new Array[Int](ctw * cth))
+        val tPlanes = Array.tabulate(nc)(c =>
+          new Array[Int](crs(c)._3 * crs(c)._4))
         for (r <- 0 to levels; c <- 0 until nc; st <- states(r)(c)) {
           val band = st.band
+          val cw = crs(c)._3
           var k = 0
           while (k < st.n) {
             if (st.included(k)) {
@@ -1443,7 +1528,7 @@ object Jpx {
                 while (xx < bw) {
                   val m = t1.mag(yy * bw + xx)
                   val v = if (t1.sgn(yy * bw + xx) == 1) -m else m
-                  a((band.y0 + by + yy) * ctw + (band.x0 + bx + xx)) = v
+                  a((band.y0 + by + yy) * cw + (band.x0 + bx + xx)) = v
                   xx += 1
                 }
                 yy += 1
@@ -1454,8 +1539,12 @@ object Jpx {
         }
 
         if (!irrev) {
-          tPlanes.foreach(a => idwt(a, ctw, cth, levels))
-          if (mct == 1) { // inverse RCT (T.800 G.2)
+          var ci0 = 0
+          while (ci0 < nc) {
+            idwt(tPlanes(ci0), crs(ci0)._3, crs(ci0)._4, levels)
+            ci0 += 1
+          }
+          if (mct == 1) { // inverse RCT (T.800 G.2); components full-size
             var i = 0
             val n = ctw * cth
             while (i < n) {
@@ -1472,12 +1561,13 @@ object Jpx {
           while (c < nc) {
             val a = tPlanes(c)
             val px = outPx(c)
+            val (cx0, cy0, cw, ch) = crs(c)
             var y = 0
-            while (y < cth) {
+            while (y < ch) {
               var x = 0
-              while (x < ctw) {
-                px(y0 + y)(x0 + x) =
-                  math.max(0, math.min(255, a(y * ctw + x) + 128))
+              while (x < cw) {
+                px(cy0 + y)(cx0 + x) =
+                  math.max(0, math.min(255, a(y * cw + x) + 128))
                 x += 1
               }
               y += 1
@@ -1489,9 +1579,11 @@ object Jpx {
           // indices — dequantize per band (midpoint reconstruction,
           // x̂ = sign·(|q| + ½)·Δ, within E.1's decoder freedom), inverse
           // 9/7 on doubles, inverse ICT, then shift + round + clamp
-          val dPlanes = tPlanes.map { a =>
-            val d = new Array[Double](ctw * cth)
-            for (r <- 0 to levels; b <- bands(ctw, cth, levels, r)
+          val dPlanes = Array.tabulate(nc) { c =>
+            val a = tPlanes(c)
+            val (_, _, cw, ch) = crs(c)
+            val d = new Array[Double](cw * ch)
+            for (r <- 0 to levels; b <- bands(cw, ch, levels, r)
                 if b.bw > 0 && b.bh > 0) {
               val delta = deltas.getOrElse((r, b.btype),
                 fail("missing quantization step"))
@@ -1499,7 +1591,7 @@ object Jpx {
               while (yy < b.bh) {
                 var xx = 0
                 while (xx < b.bw) {
-                  val idx = (b.y0 + yy) * ctw + (b.x0 + xx)
+                  val idx = (b.y0 + yy) * cw + (b.x0 + xx)
                   val qv = a(idx)
                   d(idx) =
                     if (qv == 0) 0.0
@@ -1510,10 +1602,10 @@ object Jpx {
                 yy += 1
               }
             }
-            idwt97(d, ctw, cth, levels)
+            idwt97(d, cw, ch, levels)
             d
           }
-          if (mct == 1) { // inverse ICT (T.800 G.3)
+          if (mct == 1) { // inverse ICT (T.800 G.3); components full-size
             var i = 0
             val n = ctw * cth
             while (i < n) {
@@ -1529,12 +1621,13 @@ object Jpx {
           while (c < nc) {
             val d = dPlanes(c)
             val px = outPx(c)
+            val (cx0, cy0, cw, ch) = crs(c)
             var y = 0
-            while (y < cth) {
+            while (y < ch) {
               var x = 0
-              while (x < ctw) {
-                px(y0 + y)(x0 + x) = math.max(0, math.min(255,
-                  math.round(d(y * ctw + x) + 128.0).toInt))
+              while (x < cw) {
+                px(cy0 + y)(cx0 + x) = math.max(0, math.min(255,
+                  math.round(d(y * cw + x) + 128.0).toInt))
                 x += 1
               }
               y += 1
@@ -1563,11 +1656,17 @@ object Jpx {
             nc = u16()
             if (xo != 0 || yo != 0 || xto != 0 || yto != 0 || nc < 1 ||
                 nc > 4 || xt < 1 || yt < 1) return None
-            for (_ <- 0 until nc) {
+            // 8-bit components; subsampling factors 1..2 per axis with
+            // component 0 at full resolution (the wild YCbCr 4:2:0 /
+            // 4:2:2 / 4:4:0 forms) — anything wider stays an honest None
+            subs = new Array[(Int, Int)](nc)
+            for (c <- 0 until nc) {
               val ssiz = u8(); val xr = u8(); val yr = u8()
               if ((ssiz & 0x80) != 0 || (ssiz & 0x7F) > 7 ||
-                  xr != 1 || yr != 1) return None // 8-bit, no subsampling
+                  xr < 1 || xr > 2 || yr < 1 || yr > 2) return None
+              subs(c) = (xr, yr)
             }
+            if (subs(0) != ((1, 1))) return None
             // bound each axis BEFORE multiplying: xs/ys are untrusted
             // u32s, so xs*ys*nc can wrap past Long range and sneak a
             // negative product under the cap while truncated toInt dims
@@ -1658,15 +1757,23 @@ object Jpx {
               return None // main header must precede the first tile-part
             if (rects == null) {
               if (mct == 1 && nc != 3) return None // color transform = RGB
+              // the in-codestream transforms require identically-sized
+              // components (T.800 G.2/G.3) — subsampled YCbCr ships
+              // with MCT off, the planes already being Y/Cb/Cr
+              if (mct == 1 && subs.exists(_ != ((1, 1)))) return None
               val ntx = (w.toLong + tileW - 1) / tileW
               val nty = (h.toLong + tileH - 1) / tileH
               if (ntx * nty > 1024) return None // hostile tile-grid bomb
-              // tile origins must stay even at every DWT level — the
-              // same constraint the encoder enforces (see checkTiling)
-              if (ntx > 1 && tileW % (1 << levels) != 0) return None
-              if (nty > 1 && tileH % (1 << levels) != 0) return None
+              // tile origins must stay even at every DWT level IN EACH
+              // COMPONENT DOMAIN (origin x0/xr needs the extra factor
+              // of xr) — the same constraint the encoder enforces
+              if (ntx > 1 &&
+                subs.exists(s => tileW % (s._1 << levels) != 0)) return None
+              if (nty > 1 &&
+                subs.exists(s => tileH % (s._2 << levels) != 0)) return None
               rects = tileRects(w, h, tileW, tileH)
-              outPx = Array.fill(nc)(Array.ofDim[Int](h, w))
+              outPx = Array.tabulate(nc)(c => Array.ofDim[Int](
+                ceilDiv(h, subs(c)._2), ceilDiv(w, subs(c)._1)))
             }
             if (isot != tilesDecoded || tilesDecoded >= rects.length ||
                 tpsot != 0 || (tnsot != 0 && tnsot != 1)) return None
@@ -1694,6 +1801,20 @@ object Jpx {
           case _ => return None // POC/PPM/RGN/COC/QCC…: out of scope
         }
       }
-      Some(Decoded(w, h, outPx.toSeq))
+      // subsampled components return UPSAMPLED to the reference grid by
+      // sample replication: T.800 B.2 maps component sample (x, y) onto
+      // reference-grid points [x·XRsiz, (x+1)·XRsiz) × [y·YRsiz, …), so
+      // nearest-neighbor is the standard's own grid semantics (renderers
+      // may interpolate; replication is the deterministic decode-only
+      // truth) — and Decoded consumers keep one w×h plane per component
+      val full = (0 until nc).map { c =>
+        val (xr, yr) = subs(c)
+        if (xr == 1 && yr == 1) outPx(c)
+        else {
+          val src = outPx(c)
+          Array.tabulate(h, w)((y, x) => src(y / yr)(x / xr))
+        }
+      }
+      Some(Decoded(w, h, full))
     } catch { case _: Exception => None }
 }

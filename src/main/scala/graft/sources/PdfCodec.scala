@@ -820,6 +820,12 @@ object PdfWriter {
   /** True dimensions of the quantized-9/7 image for seed m. */
   def i97Dims(m: Int): (Int, Int) = (19 + m % 7, 13 + m % 5)
 
+  /** True dimensions of the subsampled-YCbCr (4:2:0) image for seed m —
+    * EVEN on both axes, so every chroma sample covers exactly 4
+    * reference-grid pixels and the oracle's replicated ink sum is
+    * `ΣY + 4·(ΣCb + ΣCr)` with no edge terms. */
+  def y420Dims(m: Int): (Int, Int) = (16 + 2 * (m % 6), 10 + 2 * (m % 5))
+
   /** LL-band quantization step of the 9/7 fixture (genuinely lossy —
     * ~42 dB on the sawtooth raster — so only a correct dequantize +
     * synthesis lands inside the p16 ink band). */
@@ -838,8 +844,11 @@ object PdfWriter {
     * accepts), BOTH with dict /Width /Height lying by one — geometry and
     * gray-sum are recoverable only by a true Tier-1 + DWT decode; Im2 is
     * a JPX XObject with an undecodable payload and honest dict dims that
-    * must stay `undecoded` (the degrade path a quantized/multi-component
-    * stream takes).
+    * must stay `undecoded` (the degrade path an out-of-subset stream
+    * takes); Im3 is the quantized-9/7 archival form; Im4 (image count
+    * ≥ 5) is the SUBSAMPLED 4:2:0 YCbCr color-scan form — full-res Y,
+    * half-res chroma on their own band grids, lossless, JP2-wrapped on
+    * odd seeds.
     */
   def buildJpxScan(pages: Seq[PageSpec], compress: Boolean,
       seed: Int): Array[Byte] =
@@ -1148,7 +1157,7 @@ object PdfWriter {
           }
           if (jpxSeed.isDefined) {
             val m = jpxSeed.get
-            (i % 4) match {
+            (i % 5) match {
               case 0 => // REAL raw codestream; dict dims LIE. The seed
                 // rotates quality layers, progression order, and tiling
                 // (lossless, so the oracle's exact sums are unchanged):
@@ -1167,13 +1176,29 @@ object PdfWriter {
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
                   Jpx.wrapJp2(Jpx.encode(jpxRaster(m + 3, iw, ih)), iw, ih))
               case 2 => jpxStub(m)
-              case _ => // QUANTIZED 9/7 — the dominant wild archival
+              case 3 => // QUANTIZED 9/7 — the dominant wild archival
                 // form; dict dims LIE, geometry + banded ink are
                 // recoverable only by a true dequantize + 9/7 synthesis
                 val (iw, ih) = i97Dims(m)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
                   Jpx.encodeIrreversible(Seq(jpxRaster(m + 7, iw, ih)),
                     step = I97Step))
+              case _ => // SUBSAMPLED 4:2:0 YCbCr — the wild archival
+                // color-scan form: full-res Y, half-res Cb/Cr on their
+                // own band/code-block grids, MCT off (T.800 G.2
+                // requires identically-sized components). Lossless 5/3,
+                // so geometry AND the exact replicated ink sum are
+                // recoverable only by a per-component-geometry decode;
+                // dict dims LIE as in the other real forms. Odd seeds
+                // JP2-wrap the codestream.
+                val (iw, ih) = y420Dims(m)
+                val cs = Jpx.encodeMulti(Seq(
+                  jpxRaster(m + 11, iw, ih),
+                  jpxRaster(m + 13, iw / 2, ih / 2),
+                  jpxRaster(m + 17, iw / 2, ih / 2)), levels = 2,
+                  sub = Seq((1, 1), (2, 2), (2, 2)))
+                imgXObject(iw - 1, ih - 1, "DeviceRGB", 8, "JPXDecode", "",
+                  if (m % 2 == 1) Jpx.wrapJp2(cs, iw, ih, 3) else cs)
             }
           } else if (jbig2TextSeed.isDefined) {
             val m = jbig2TextSeed.get

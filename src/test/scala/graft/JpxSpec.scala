@@ -209,6 +209,119 @@ class JpxSpec extends AnyFunSuite {
     }
   }
 
+  test("subsampled YCbCr (4:2:0/4:2:2/4:4:0) round-trips losslessly; " +
+      "chroma upsamples by sample replication") {
+    def plane(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
+    for ((w, h, xr, yr, levels) <- Seq(
+        (24, 16, 2, 2, 2), // 4:2:0, even dims
+        (21, 13, 2, 2, 2), // 4:2:0, odd dims (ceil chroma grid)
+        (32, 20, 2, 1, 3), // 4:2:2
+        (19, 11, 1, 2, 1), // 4:4:0
+        (8, 8, 2, 2, 0))) { // no decomposition
+      val cw = (w + xr - 1) / xr
+      val chh = (h + yr - 1) / yr
+      val yp = plane(w, h)((x, y) => x * 7 + y * 3)
+      val cb = plane(cw, chh)((x, y) => x * 11 + y * 5 + 40)
+      val cr = plane(cw, chh)((x, y) => (x ^ y) * 13 + 90)
+      val tag = s"${w}x$h $xr:$yr l=$levels"
+      val enc = Jpx.encodeMulti(Seq(yp, cb, cr), levels,
+        sub = Seq((1, 1), (xr, yr), (xr, yr)))
+      val d = Jpx.decode(enc).getOrElse(fail(s"decode failed ($tag)"))
+      assert(d.width == w && d.height == h && d.channels == 3, tag)
+      // Y (full-res) is exactly lossless
+      d.comps(0).zip(yp).zipWithIndex.foreach { case ((got, want), y) =>
+        assert(got.sameElements(want), s"Y row $y diverged ($tag)")
+      }
+      // chroma = the original subsampled samples replicated onto the
+      // reference grid (T.800 B.2's component-grid mapping; lossless
+      // because 5/3 reconstructs the subsampled plane exactly)
+      for ((decoded, orig, name) <- Seq((d.comps(1), cb, "Cb"),
+          (d.comps(2), cr, "Cr")); y <- 0 until h; x <- 0 until w)
+        assert(decoded(y)(x) == orig(y / yr)(x / xr),
+          s"$name($x,$y) != source(${x / xr},${y / yr}) ($tag)")
+      // JP2 wrapping unchanged
+      assert(Jpx.decode(Jpx.wrapJp2(enc, w, h, 3)).exists(
+        _.graySum == d.graySum), tag)
+    }
+  }
+
+  test("tiled subsampled codestream assembles exactly") {
+    // tile dims must divide by factor << levels (16 % (2<<2) == 0) so
+    // component-tile origins stay even at every DWT level
+    val (w, h, levels) = (48, 32, 2)
+    def plane(pw: Int, ph: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(ph, pw)((y, x) => f(x, y) & 0xFF)
+    val yp = plane(w, h)((x, y) => (x * 5) ^ (y * 9))
+    val cb = plane(w / 2, h / 2)((x, y) => x * 13 + y * 7 + 30)
+    val cr = plane(w / 2, h / 2)((x, y) => x * 3 + y * 17 + 80)
+    val sub = Seq((1, 1), (2, 2), (2, 2))
+    val single = Jpx.decode(Jpx.encodeMulti(Seq(yp, cb, cr), levels,
+      sub = sub)).getOrElse(fail("untiled decode failed"))
+    val enc = Jpx.encodeMulti(Seq(yp, cb, cr), levels, tileW = 16,
+      tileH = 16, sub = sub)
+    val d = Jpx.decode(enc).getOrElse(fail("tiled subsampled decode failed"))
+    assert(d.width == w && d.height == h && d.channels == 3)
+    for (c <- 0 until 3; y <- 0 until h)
+      assert(d.comps(c)(y).sameElements(single.comps(c)(y)),
+        s"tiled comp $c row $y != untiled")
+    // misaligned-in-the-component-domain grid must REJECT: 4 satisfies
+    // the full-res comp's 1<<levels = 4 but not chroma's 2<<levels = 8
+    assertThrows[IllegalArgumentException] {
+      Jpx.encodeMulti(Seq(yp, cb, cr), levels, tileW = 4, tileH = 16,
+        sub = sub)
+    }
+  }
+
+  test("subsampled 9/7 decodes within the quantizer band") {
+    val (w, h) = (30, 22)
+    val yp = Array.tabulate(h, w)((y, x) => (x * 9 + y * 4) % 256)
+    val cb = Array.tabulate(h / 2, w / 2)((y, x) => (x * 6 + y * 11 + 50) % 256)
+    val cr = Array.tabulate(h / 2, w / 2)((y, x) => (x * 2 + y * 3 + 120) % 256)
+    val enc = Jpx.encodeIrreversible(Seq(yp, cb, cr), levels = 2,
+      step = 1.0, sub = Seq((1, 1), (2, 2), (2, 2)))
+    val d = Jpx.decode(enc).getOrElse(fail("subsampled 9/7 decode failed"))
+    assert(d.width == w && d.height == h && d.channels == 3)
+    assert(psnr(yp, d.comps(0)) >= 40.0)
+    // chroma PSNR measured against the REPLICATED source (the decode's
+    // contract), not an interpolation
+    val cbUp = Array.tabulate(h, w)((y, x) => cb(y / 2)(x / 2))
+    val crUp = Array.tabulate(h, w)((y, x) => cr(y / 2)(x / 2))
+    assert(psnr(cbUp, d.comps(1)) >= 40.0)
+    assert(psnr(crUp, d.comps(2)) >= 40.0)
+  }
+
+  test("out-of-scope subsampling forms reject — encoder and decoder") {
+    val yp = Array.tabulate(16, 16)((y, x) => (x + y) % 256)
+    val c2 = Array.tabulate(8, 8)((y, x) => (x * y) % 256)
+    // encoder: factors past 2, wrong plane dims, MCT with subsampling
+    assertThrows[IllegalArgumentException] {
+      Jpx.encodeMulti(Seq(yp, c2, c2), sub = Seq((1, 1), (3, 1), (3, 1)))
+    }
+    assertThrows[IllegalArgumentException] {
+      Jpx.encodeMulti(Seq(yp, yp, c2), sub = Seq((1, 1), (2, 2), (2, 2)))
+    }
+    assertThrows[IllegalArgumentException] {
+      Jpx.encodeMulti(Seq(yp, c2, c2), rct = true,
+        sub = Seq((1, 1), (2, 2), (2, 2)))
+    }
+    // decoder: patch a valid 4:2:0 stream's SIZ/COD bytes. Layout from
+    // the encoder: SOC [0,2), SIZ len at [4,6), SIZ payload at 6 —
+    // comp c's (Ssiz, XRsiz, YRsiz) at 42+3c — COD at 51, SGcod's MCT
+    // byte at 59 (see encodeCore's marker assembly).
+    val enc = Jpx.encodeMulti(Seq(yp, c2, c2),
+      sub = Seq((1, 1), (2, 2), (2, 2)))
+    assert(Jpx.decode(enc).isDefined)
+    val xr3 = enc.clone(); xr3(46) = 3 // comp 1 XRsiz = 3
+    assert(Jpx.decode(xr3).isEmpty, "XRsiz=3 must stay undecoded")
+    val comp0Sub = enc.clone(); comp0Sub(43) = 2 // comp 0 XRsiz = 2
+    assert(Jpx.decode(comp0Sub).isEmpty,
+      "subsampled component 0 must stay undecoded")
+    val mctSub = enc.clone(); mctSub(59) = 1 // MCT over subsampled comps
+    assert(Jpx.decode(mctSub).isEmpty,
+      "MCT with non-identical component sizes must stay undecoded")
+  }
+
   test("multiple quality layers round-trip losslessly in every count") {
     def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
       Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
@@ -406,6 +519,26 @@ class JpxSpec extends AnyFunSuite {
       val (sw, sh) = PdfWriter.jpxDims(m)
       assert(imgs.exists(_ == s"Im2 ${sw}x$sh jpx undecoded"),
         s"m=$m: stub must stay undecoded with honest dims: $imgs")
+    }
+  }
+
+  test("the 4:2:0 PDF form decodes truthfully: lying dims beaten, " +
+      "exact replicated ink") {
+    (0 until 30).foreach { m =>
+      val pages = Seq(PdfWriter.PageSpec(Seq(s"y420 doc $m"), Map(0 -> 5)))
+      val bytes = PdfWriter.buildJpxScan(pages, compress = m % 2 == 0,
+        seed = m)
+      val imgs = RealPdfExtractor.extract(s"y420-$m.pdf", bytes)
+        .filter(_.isImage).map(_.content)
+      val (w, h) = PdfWriter.y420Dims(m)
+      val ySum = (for (y <- 0 until h; x <- 0 until w)
+        yield PdfWriter.jpxPixel(m + 11, x, y).toLong).sum
+      val cSum = (for (y <- 0 until h / 2; x <- 0 until w / 2) yield
+        (PdfWriter.jpxPixel(m + 13, x, y) +
+          PdfWriter.jpxPixel(m + 17, x, y)).toLong).sum
+      val want = s"Im4 ${w}x$h jpx c3 s${ySum + 4 * cSum}"
+      assert(imgs.contains(want),
+        s"m=$m: 4:2:0 image not decoded truthfully (want $want): $imgs")
     }
   }
 }

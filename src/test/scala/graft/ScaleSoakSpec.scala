@@ -246,7 +246,7 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
       "driver-path parity") {
     assume(enabled, "opt-in: set GRAFT_SOAK=1 to run the CC soak leg")
     val sf5 = ensureSf5()
-    import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
     def timeD7(): Double = {
       graft.queries.StageCache.release(spark)
       val t0 = System.nanoTime()
@@ -256,11 +256,12 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     // order-insensitive checksum over (doc_id, cluster_id): both paths
     // compute min-reachable-label semantics, so the full labeling — not
-    // just counts — must agree bit-for-bit
+    // just counts — must agree bit-for-bit. bit_xor, not sum: an xor
+    // fold is order-free AND cannot overflow under ANSI arithmetic
     def labelChecksum(): (Long, Long) = {
       val r = SparkEntry.queries("d7_dup_clusters")(spark, sf5)
         .agg(count(lit(1)).as("n"),
-          sum(xxhash64(col("doc_id"), col("cluster_id"))).as("h"))
+          expr("bit_xor(xxhash64(doc_id, cluster_id))").as("h"))
         .head()
       (r.getLong(0), r.getLong(1))
     }
@@ -377,12 +378,13 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
             qv, 10, vectorCol = "vector", tieBreak = "fragment_id")
             .collect()
         }
-        // IVFPQ: same lists, PQ codes instead of raw vectors; probe =
-        // ADC scan of the probed lists + exact re-rank of a shortlist
+        // IVFPQ: same lists, PQ codes beside the raw vectors (the v9
+        // layout — the ADC scan ranks on codes, the shortlist re-rank
+        // reads the vectors of only ~50 candidates); probe = ADC scan
+        // of the probed lists + exact re-rank of the shortlist
         val cb = Pq.train(sample, m = 8, ksub = 16)
         val (_, ivfpqBuild) = timed {
           Pq.encode(Ivf.buildIndex(e, quant), cb)
-            .drop("vector")
             .write.mode("overwrite").parquet(s"$idxDir/ivfpq")
         }
         val pqIdx = s.read.parquet(s"$idxDir/ivfpq")
