@@ -22,6 +22,66 @@ object MediaQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // ---- write-time ANN index tables (VERDICT r10 task #7) ----
+  // Each index TABLE reads through to a persisted parquet copy under
+  // the stage-cache root (`Cli index-sketches` / the bench read-through
+  // pass): at 100 TB the corpus-wide assign/encode/graph-build scan is
+  // write-time cost, paid once per corpus write, while a serving query
+  // pays only deterministic quantizer training on a FIXED 1024-row
+  // sample (driver-side, sub-second) plus the pruned probe. ONE
+  // builder per table, shared by the queries and
+  // [[WriteTimeTables.persistAll]], so the persisted copy can never
+  // drift from the recompute; ONE family fingerprint pinning the
+  // sample rule and every trainer/build constant (coarse on purpose —
+  // changing any constant invalidates the whole index set).
+
+  private def embT(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+
+  private def trainSample(s: SparkSession, dir: String): Array[Array[Float]] = {
+    import s.implicits._
+    embT(s, dir).orderBy(col("vec_id")).limit(1024)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+  }
+
+  def annIndexFingerprint(dir: String): Option[String] =
+    Some(StageCache.sourceFingerprint(Seq(s"$dir/embeddings.parquet"),
+      "annidx|sample=1024,vec_id|ivf:k=16,iters=10|pq:m=8,ksub=16|sq:8bit" +
+        "|ivfpq:k=16,iters=5,m=8,ksub=16|hnsw:shards=4,m=16,efc=200,id=v%08d"))
+
+  private[queries] def buildIvfIndex(s: SparkSession, dir: String): DataFrame =
+    Ivf.buildIndex(embT(s, dir), Ivf.train(trainSample(s, dir), 16, iters = 10))
+
+  private[queries] def buildPqIndex(s: SparkSession, dir: String): DataFrame =
+    Pq.encode(embT(s, dir), Pq.train(trainSample(s, dir), m = 8, ksub = 16))
+
+  private[queries] def buildSqIndex(s: SparkSession, dir: String): DataFrame =
+    Pq.encode(embT(s, dir), graft.search.Sq.train(trainSample(s, dir)))
+
+  private[queries] def buildIvfPqIndex(s: SparkSession, dir: String): DataFrame = {
+    val sm = trainSample(s, dir)
+    Pq.encode(Ivf.buildIndex(embT(s, dir), Ivf.train(sm, 16, iters = 5)),
+      Pq.train(sm, m = 8, ksub = 16))
+  }
+
+  private[queries] def buildHnswIndex(s: SparkSession, dir: String): DataFrame =
+    Hnsw.buildIndexTable(
+      embT(s, dir).select(
+        format_string("v%08d", col("vec_id")).as("vec_id"), col("vector")),
+      numShards = 4, idCol = "vec_id")
+
+  /** Deferred builders, keyed like the queries' getOrCache calls.
+    * Thunks, not plans: building trains a quantizer (a sample collect),
+    * which a freshness-skip must not pay. */
+  def annIndexStages(dir: String)
+      : Seq[(String, SparkSession => DataFrame)] = Seq(
+    (s"ivf_index:$dir", buildIvfIndex(_, dir)),
+    (s"pq_index:$dir", buildPqIndex(_, dir)),
+    (s"sq_index:$dir", buildSqIndex(_, dir)),
+    (s"ivfpq_index:$dir", buildIvfPqIndex(_, dir)),
+    (s"hnsw_index:$dir", buildHnswIndex(_, dir)))
+
   private val m1Features: Q = (s, dir) => {
     val media = MediaPipeline.mediaFromDocuments(Tables.documents(s, dir))
     MediaPipeline.extractFeatures(media).toDF()
@@ -164,7 +224,11 @@ object MediaQueries {
     val sample = e.orderBy(col("vec_id")).limit(1024)
       .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
     val q = Ivf.train(sample, k, iters = 10)
-    val index = Ivf.buildIndex(e, q)
+    // the corpus-wide assign scan is a write-time table; the query pays
+    // training on the fixed sample (deterministic — the same q the
+    // persisted table was built with) plus the pruned probe
+    val index = StageCache.getOrCache(s, s"ivf_index:$dir",
+      annIndexFingerprint(dir))(buildIvfIndex(s, dir))
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
     val probes = Seq(1, 2, 4, k).map(np =>
@@ -185,7 +249,8 @@ object MediaQueries {
     val sample = e.orderBy(col("vec_id")).limit(1024)
       .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
     val cb = Pq.train(sample, m = 8, ksub = 16)
-    val index = Pq.encode(e, cb)
+    val index = StageCache.getOrCache(s, s"pq_index:$dir",
+      annIndexFingerprint(dir))(buildPqIndex(s, dir))
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
     val exact = graft.search.VectorSearch
@@ -233,9 +298,8 @@ object MediaQueries {
       .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
     val q = Ivf.train(sample, k = 16, iters = 5)
     val cb = Pq.train(sample, m = 8, ksub = 16)
-    val index = StageCache.getOrCache(s, s"ivfpq_index:$dir") {
-      Pq.encode(Ivf.buildIndex(e, q), cb)
-    }
+    val index = StageCache.getOrCache(s, s"ivfpq_index:$dir",
+      annIndexFingerprint(dir))(buildIvfPqIndex(s, dir))
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
     val exact = graft.search.VectorSearch
@@ -267,7 +331,8 @@ object MediaQueries {
     val sample = e.orderBy(col("vec_id")).limit(1024)
       .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
     val cb = graft.search.Sq.train(sample)
-    val index = Pq.encode(e, cb)
+    val index = StageCache.getOrCache(s, s"sq_index:$dir",
+      annIndexFingerprint(dir))(buildSqIndex(s, dir))
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
     val exact = graft.search.VectorSearch
@@ -316,9 +381,8 @@ object MediaQueries {
     // every beam width off the restored graphs — searchIndex ≡
     // searchBatch at equal ef is spec-pinned (HnswPersistSpec), so this
     // is the same query three builds cheaper
-    val indexTable = StageCache.getOrCache(s, s"hnsw_index:$dir") {
-      Hnsw.buildIndexTable(e, numShards = 4, idCol = "vec_id")
-    }
+    val indexTable = StageCache.getOrCache(s, s"hnsw_index:$dir",
+      annIndexFingerprint(dir))(buildHnswIndex(s, dir))
     Seq(8, 24, n).distinct.map { ef =>
       val hits = topSets(Hnsw.searchIndex(indexTable, queries, 10, ef,
         idCol = "vec_id"))

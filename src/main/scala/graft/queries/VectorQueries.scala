@@ -423,12 +423,9 @@ object VectorQueries {
     // filtered HNSW at ef = n over v10's cached adjacency table, with
     // label joined on (the adjacency carries no metadata by design)
     val n = e.count().toInt
-    val adj = StageCache.getOrCache(s, s"hnsw_index:$dir") {
-      graft.search.Hnsw.buildIndexTable(
-        e.select(format_string("v%08d", col("vec_id")).as("vec_id"),
-          col("vector")),
-        numShards = 4, idCol = "vec_id")
-    }
+    val adj = StageCache.getOrCache(s, s"hnsw_index:$dir",
+      MediaQueries.annIndexFingerprint(dir))(
+      MediaQueries.buildHnswIndex(s, dir))
     val meta = e.select(format_string("v%08d", col("vec_id")).as("__vid"),
       col("label").as("__label"), col("vec_id").as("__orig"))
     val hnswIds = graft.search.Hnsw.searchIndex(

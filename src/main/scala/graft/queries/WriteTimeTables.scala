@@ -50,6 +50,23 @@ object WriteTimeTables {
         }
       }
     }
+    // ANN index TABLES (r11): IVF / PQ / SQ / IVFPQ / HNSW-adjacency —
+    // deferred builders, because constructing the plan trains a
+    // quantizer (a sample collect) that a freshness-skip must not pay.
+    // One shared builder per table (MediaQueries) keeps the persisted
+    // copy and the queries' recompute from drifting.
+    val annFp = MediaQueries.annIndexFingerprint(sfDir)
+    MediaQueries.annIndexStages(sfDir).foreach { case (key, build) =>
+      if (StageCache.isFresh(key, root, annFp)) {
+        skipped += 1
+        log(s"[index-sketches] $key fresh, skipped")
+      } else {
+        val path = StageCache.persistStage(s, key, build(s), root, annFp)
+        val n = s.read.parquet(path).count()
+        persisted += 1
+        log(s"[index-sketches] $key -> $path ($n rows)")
+      }
+    }
     // the v18 serving index is a write-time ARTIFACT (a directory, not
     // a parquet table): build it here so its cost lands in the one-time
     // build second, and the read-through catalog pays only the walk.

@@ -144,6 +144,50 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ANN index queries are byte-identical against persisted index " +
+      "tables, and the read-through really engages") {
+    val s = spark
+    val annQueries = Seq("v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
+      "v9_ivfpq_recall", "v10_hnsw_recall", "v15_filtered_ann")
+    def runAnn(): Map[String, Seq[String]] = annQueries.map { q =>
+      q -> SparkEntry.queries(q)(s, dir).collect().map(_.toString).toSeq
+    }.toMap
+    StageCache.release(s)
+    val before = runAnn()
+    assert(before.values.forall(_.nonEmpty))
+    val root = java.nio.file.Files.createTempDirectory("ann_tables").toString
+    try {
+      val (p1, _) = graft.queries.WriteTimeTables.persistAll(s, dir, root)
+      assert(p1 > 0)
+      // a second persistAll must skip the index tables (freshness)
+      val (p2, _) = graft.queries.WriteTimeTables.persistAll(s, dir, root)
+      assert(p2 == 0, s"second persistAll rebuilt $p2 stages")
+      StageCache.release(s)
+      s.conf.set(StageCache.PathConf, root)
+      try {
+        // the corpus-wide build is gone from the plan: the index table
+        // is a parquet scan of the persisted copy
+        val plan = graft.queries.MediaQueries
+          .annIndexStages(dir).head match { case (key, _) =>
+            StageCache.getOrCache(s, key,
+              graft.queries.MediaQueries.annIndexFingerprint(dir))(
+              fail("builder must not run when a fresh table is persisted"))
+              .queryExecution.executedPlan.toString
+          }
+        assert(plan.contains("parquet") || plan.contains("Parquet"),
+          s"index table did not read through to parquet:\n$plan")
+        val after = runAnn()
+        annQueries.foreach { q =>
+          assert(after(q) == before(q),
+            s"$q diverged against the persisted index tables")
+        }
+      } finally {
+        s.conf.unset(StageCache.PathConf)
+        StageCache.release(s)
+      }
+    } finally graft.ingest.TableSwap.rmTreeAt(root)
+  }
+
   test("persistAll builds the v18 artifact the serving query then skips") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("stage_all").toString
