@@ -267,8 +267,14 @@ object Bench {
       }
     }
     val (results, errors, singlePass) = combinePasses(passes)
+    // pass totals exclude EVERY query that failed in ANY pass, not just
+    // the failing pass — per-pass totals exist to attribute host noise
+    // across passes, which only works when all three sum the same
+    // query set (a one-pass failure would otherwise read as the OTHER
+    // passes being inflated)
+    val unstable = errors.keySet ++ singlePass
     val passTotals = passes.map(p =>
-      p.collect { case (k, (t, None)) if !errors.contains(k) => t }.sum)
+      p.collect { case (k, (t, None)) if !unstable(k) => t }.sum)
     val calibProbes =
       scala.collection.mutable.ArrayBuffer(calibBefore, calibAfter)
     val calibMean = (calibBefore + calibAfter) / 2.0

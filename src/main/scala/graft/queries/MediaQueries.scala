@@ -35,41 +35,78 @@ object MediaQueries {
   // sample rule and every trainer/build constant (coarse on purpose —
   // changing any constant invalidates the whole index set).
 
+  // the trainer/build constants, named ONCE and interpolated into the
+  // fingerprint below — a constant edit that forgot the fingerprint
+  // would serve a stale persisted index as fresh
+  private[queries] val AnnSampleN = 1024
+  private[queries] val IvfK = 16
+  private[queries] val IvfItersFull = 10 // v6's trainer
+  private[queries] val IvfItersPq = 5 // v9's trainer
+  private[queries] val PqM = 8
+  private[queries] val PqKsub = 16
+  private[queries] val HnswShards = 4
+  private[queries] val HnswM = 16
+  private[queries] val HnswEfc = 200
+  private[queries] val HnswIdFmt = "v%08d"
+
   private def embT(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
 
-  private def trainSample(s: SparkSession, dir: String): Array[Array[Float]] = {
+  private[queries] def trainSample(s: SparkSession, dir: String)
+      : Array[Array[Float]] = {
     import s.implicits._
-    embT(s, dir).orderBy(col("vec_id")).limit(1024)
+    embT(s, dir).orderBy(col("vec_id")).limit(AnnSampleN)
       .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
   }
 
   def annIndexFingerprint(dir: String): Option[String] =
     Some(StageCache.sourceFingerprint(Seq(s"$dir/embeddings.parquet"),
-      "annidx|sample=1024,vec_id|ivf:k=16,iters=10|pq:m=8,ksub=16|sq:8bit" +
-        "|ivfpq:k=16,iters=5,m=8,ksub=16|hnsw:shards=4,m=16,efc=200,id=v%08d"))
+      s"annidx|sample=$AnnSampleN,vec_id|ivf:k=$IvfK,iters=$IvfItersFull" +
+        s"|pq:m=$PqM,ksub=$PqKsub|sq:8bit" +
+        s"|ivfpq:k=$IvfK,iters=$IvfItersPq,m=$PqM,ksub=$PqKsub" +
+        s"|hnsw:shards=$HnswShards,m=$HnswM,efc=$HnswEfc,id=$HnswIdFmt"))
+
+  // each builder has a quantizer-taking overload so a query that has
+  // ALREADY trained (it needs the quantizer probe-side regardless)
+  // does not pay a second sample collect + trainer run on a cache
+  // miss; the no-arg forms are WriteTimeTables' deferred builders
+
+  private[queries] def buildIvfIndex(s: SparkSession, dir: String,
+      q: Ivf.Quantizer): DataFrame = Ivf.buildIndex(embT(s, dir), q)
 
   private[queries] def buildIvfIndex(s: SparkSession, dir: String): DataFrame =
-    Ivf.buildIndex(embT(s, dir), Ivf.train(trainSample(s, dir), 16, iters = 10))
+    buildIvfIndex(s, dir, Ivf.train(trainSample(s, dir), IvfK,
+      iters = IvfItersFull))
+
+  private[queries] def buildPqIndex(s: SparkSession, dir: String,
+      cb: Pq.Codebook): DataFrame = Pq.encode(embT(s, dir), cb)
 
   private[queries] def buildPqIndex(s: SparkSession, dir: String): DataFrame =
-    Pq.encode(embT(s, dir), Pq.train(trainSample(s, dir), m = 8, ksub = 16))
+    buildPqIndex(s, dir, Pq.train(trainSample(s, dir), m = PqM, ksub = PqKsub))
+
+  private[queries] def buildSqIndex(s: SparkSession, dir: String,
+      cb: Pq.Codebook): DataFrame = Pq.encode(embT(s, dir), cb)
 
   private[queries] def buildSqIndex(s: SparkSession, dir: String): DataFrame =
-    Pq.encode(embT(s, dir), graft.search.Sq.train(trainSample(s, dir)))
+    buildSqIndex(s, dir, graft.search.Sq.train(trainSample(s, dir)))
+
+  private[queries] def buildIvfPqIndex(s: SparkSession, dir: String,
+      q: Ivf.Quantizer, cb: Pq.Codebook): DataFrame =
+    Pq.encode(Ivf.buildIndex(embT(s, dir), q), cb)
 
   private[queries] def buildIvfPqIndex(s: SparkSession, dir: String): DataFrame = {
     val sm = trainSample(s, dir)
-    Pq.encode(Ivf.buildIndex(embT(s, dir), Ivf.train(sm, 16, iters = 5)),
-      Pq.train(sm, m = 8, ksub = 16))
+    buildIvfPqIndex(s, dir, Ivf.train(sm, IvfK, iters = IvfItersPq),
+      Pq.train(sm, m = PqM, ksub = PqKsub))
   }
 
   private[queries] def buildHnswIndex(s: SparkSession, dir: String): DataFrame =
     Hnsw.buildIndexTable(
       embT(s, dir).select(
-        format_string("v%08d", col("vec_id")).as("vec_id"), col("vector")),
-      numShards = 4, idCol = "vec_id")
+        format_string(HnswIdFmt, col("vec_id")).as("vec_id"), col("vector")),
+      numShards = HnswShards, m = HnswM, efConstruction = HnswEfc,
+      idCol = "vec_id")
 
   /** Deferred builders, keyed like the queries' getOrCache calls.
     * Thunks, not plans: building trains a quantizer (a sample collect),
@@ -220,15 +257,15 @@ object MediaQueries {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
-    val k = 16
-    val sample = e.orderBy(col("vec_id")).limit(1024)
-      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
-    val q = Ivf.train(sample, k, iters = 10)
+    val k = IvfK
+    val q = Ivf.train(trainSample(s, dir), k, iters = IvfItersFull)
     // the corpus-wide assign scan is a write-time table; the query pays
     // training on the fixed sample (deterministic — the same q the
-    // persisted table was built with) plus the pruned probe
+    // persisted table was built with) plus the pruned probe. The
+    // already-trained q rides into the builder: a cache miss must not
+    // train twice
     val index = StageCache.getOrCache(s, s"ivf_index:$dir",
-      annIndexFingerprint(dir))(buildIvfIndex(s, dir))
+      annIndexFingerprint(dir))(buildIvfIndex(s, dir, q))
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
     val probes = Seq(1, 2, 4, k).map(np =>
@@ -246,11 +283,9 @@ object MediaQueries {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
-    val sample = e.orderBy(col("vec_id")).limit(1024)
-      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
-    val cb = Pq.train(sample, m = 8, ksub = 16)
+    val cb = Pq.train(trainSample(s, dir), m = PqM, ksub = PqKsub)
     val index = StageCache.getOrCache(s, s"pq_index:$dir",
-      annIndexFingerprint(dir))(buildPqIndex(s, dir))
+      annIndexFingerprint(dir))(buildPqIndex(s, dir, cb))
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
     val exact = graft.search.VectorSearch
@@ -294,12 +329,11 @@ object MediaQueries {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
-    val sample = e.orderBy(col("vec_id")).limit(1024)
-      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
-    val q = Ivf.train(sample, k = 16, iters = 5)
-    val cb = Pq.train(sample, m = 8, ksub = 16)
+    val sample = trainSample(s, dir)
+    val q = Ivf.train(sample, k = IvfK, iters = IvfItersPq)
+    val cb = Pq.train(sample, m = PqM, ksub = PqKsub)
     val index = StageCache.getOrCache(s, s"ivfpq_index:$dir",
-      annIndexFingerprint(dir))(buildIvfPqIndex(s, dir))
+      annIndexFingerprint(dir))(buildIvfPqIndex(s, dir, q, cb))
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
     val exact = graft.search.VectorSearch
@@ -328,11 +362,9 @@ object MediaQueries {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
-    val sample = e.orderBy(col("vec_id")).limit(1024)
-      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
-    val cb = graft.search.Sq.train(sample)
+    val cb = graft.search.Sq.train(trainSample(s, dir))
     val index = StageCache.getOrCache(s, s"sq_index:$dir",
-      annIndexFingerprint(dir))(buildSqIndex(s, dir))
+      annIndexFingerprint(dir))(buildSqIndex(s, dir, cb))
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
     val exact = graft.search.VectorSearch

@@ -47,9 +47,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
     (exprs: Seq[Expression]) => VectorCosine(exprs(0), exprs(1)))
 
+  // expands to Subtract(1.0, VectorCosine) — see VectorCosineDistance;
+  // the ExpressionInfo class is the underlying kernel's
   val vectorCosineDistanceDescriptor: Descriptor = (
     FunctionIdentifier("vector_cosine_distance"),
-    new ExpressionInfo(classOf[VectorCosineDistance].getName,
+    new ExpressionInfo(classOf[VectorCosine].getName,
       "vector_cosine_distance"),
     (exprs: Seq[Expression]) => VectorCosineDistance(exprs(0), exprs(1)))
 

@@ -70,16 +70,18 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       try spark.conf.get(EfKey, "0").toInt
       catch { case _: NumberFormatException => 0 }
     if (path.isEmpty || ef <= 0) return plan
+    def serve(gl: GlobalLimit, k: Int, s: Sort): LogicalPlan =
+      try rewrite(gl, k, s, path, ef).getOrElse(gl)
+      catch {
+        case e: Exception =>
+          logWarning(s"HNSW rewrite skipped (falling back to exact)", e)
+          gl
+      }
     plan.transformDown {
       case gl @ GlobalLimit(Literal(k: Int, IntegerType),
           LocalLimit(_, s: Sort))
           if s.global && k > 0 && k <= graft.search.VectorSearch.MaxTopK =>
-        try rewrite(gl, k, s, path, ef).getOrElse(gl)
-        catch {
-          case e: Exception =>
-            logWarning(s"HNSW rewrite skipped (falling back to exact)", e)
-            gl
-        }
+        serve(gl, k, s)
       // the analyzer's ORDER-BY-expression-not-in-SELECT artifact: when
       // the sort key is not projected (pgvector's verbatim `ORDER BY
       // embedding <=> $q` with `1 - <=>` in the SELECT list), analysis
@@ -91,12 +93,7 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           LocalLimit(_, Project(drop, s: Sort)))
           if s.global && k > 0 && k <= graft.search.VectorSearch.MaxTopK &&
             drop.forall(_.isInstanceOf[Attribute]) =>
-        try rewrite(gl, k, s, path, ef).getOrElse(gl)
-        catch {
-          case e: Exception =>
-            logWarning(s"HNSW rewrite skipped (falling back to exact)", e)
-            gl
-        }
+        serve(gl, k, s)
     }
   }
 
@@ -131,13 +128,13 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (!tailOk) return None
     // a direction-aware canonicalizer: DESC serves similarity shapes,
-    // ASC serves distance shapes; any other (form, direction) pairing
-    // orders ascending-by-similarity and must NOT be served top-k
+    // ASC serves distance shapes (`1 - cosine`, which is also what the
+    // vector_cosine_distance function expands to); any other (form,
+    // direction) pairing orders ascending-by-similarity and must NOT
+    // be served top-k
     def canonical(e: Expression, dir: SortDirection): Option[VectorCosine] =
       (e, dir) match {
         case (c: VectorCosine, Descending) => Some(c)
-        case (VectorCosineDistance(l, r), Ascending) =>
-          Some(VectorCosine(l, r))
         case (Subtract(Literal(one: Double, DoubleType), c: VectorCosine, _),
             Ascending) if one == 1.0 => Some(c)
         case _ => None

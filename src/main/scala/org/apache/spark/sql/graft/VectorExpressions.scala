@@ -122,67 +122,19 @@ case class VectorCosine(left: Expression, right: Expression)
 
 /** Cosine DISTANCE — pgvector's `<=>` operator as a named function
   * (reference retrieval/search.py:106-112 serves `ORDER BY embedding
-  * <=> $q` with `1 - <=>` as the displayed similarity). Defined as
-  * exactly `1.0 - vector_cosine(a, b)` over the SAME accumulators, so
-  * `1 - vector_cosine_distance(x, q)` is bit-for-bit equal to
-  * `vector_cosine(x, q)` minus one double round-trip — and so
-  * [[HnswIndexRewrite]] may canonicalize `ORDER BY distance ASC` into
-  * the descending-cosine walk without changing any served ordering
-  * (1−x is strictly monotone decreasing; ties and tie-breaks carry).
-  * Zero vector ⇒ distance 1.0 (similarity 0), mirroring VectorCosine's
-  * NaN guard.
+  * <=> $q` with `1 - <=>` as the displayed similarity). NOT a separate
+  * kernel: the builder expands to literally `1.0 - vector_cosine(a,
+  * b)` over the one accumulator loop, so the bit-for-bit relationship
+  * between the two spellings holds by construction (no twin kernel to
+  * drift), zero vectors give distance 1.0 via the cosine's own 0.0
+  * guard, and [[HnswIndexRewrite]]'s existing `(1 - cosine) ASC`
+  * canonical case serves the function with no extra pattern.
   */
-case class VectorCosineDistance(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
-
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "vector_cosine_distance"
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 1.0
-    else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
-         |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 1.0
-         |  : 1.0 - $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): VectorCosineDistance =
-    copy(left = newLeft, right = newRight)
+object VectorCosineDistance {
+  def apply(left: Expression, right: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Subtract(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+      VectorCosine(left, right))
 }
 
 /** IVF coarse-quantizer assignment: nearest-centroid id (argmin squared-L2,
