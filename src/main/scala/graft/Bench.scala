@@ -229,6 +229,15 @@ object Bench {
       }.sorted
       (res, errs, short)
     }
+    // min-over-passes per query, for CROSS-ROUND continuity: rounds 1-10
+    // recorded min-of-2, so a median headline alone would read as a
+    // structural regression; `value_min` is the like-for-like number
+    def minTotal(passes: Seq[Map[String, (Double, Option[String])]],
+        errs: Map[String, String]): Double =
+      passes.head.keys.collect {
+        case k if !errs.contains(k) =>
+          passes.map(_(k)).collect { case (t, None) => t }.min
+      }.sum
     // Calib probes BRACKET the catalog passes: two consecutive rounds of
     // total_over_calib moving opposite the raw total (r8/r9) showed one
     // probe cannot tell "host got slower" from "probe got unlucky" — the
@@ -290,7 +299,7 @@ object Bench {
     val rtEnabled = filterSpec.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_READTHROUGH", "1") != "0"
     val readthrough: Option[(Map[String, Double], Map[String, String],
-        Double)] =
+        Double, Double)] =
       if (!rtEnabled) None
       else try {
         val sfName = new java.io.File(sfDir).getName
@@ -306,7 +315,7 @@ object Bench {
         try {
           val rPasses = (1 to nPasses).map(_ => timedPass())
           val (rres, rerrs, _) = combinePasses(rPasses)
-          Some((rres, rerrs, buildSec))
+          Some((rres, rerrs, buildSec, minTotal(rPasses, rerrs)))
         } finally {
           spark.conf.unset(graft.queries.StageCache.PathConf)
           graft.queries.StageCache.release(spark)
@@ -332,7 +341,7 @@ object Bench {
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     val calibSpread =
       (calibProbes.max - calibProbes.min) / (calibProbes.sum / calibProbes.size)
-    val rtJson = readthrough.map { case (rres, rerrs, buildSec) =>
+    val rtJson = readthrough.map { case (rres, rerrs, buildSec, rtMin) =>
       val rqs = rres.map { case (k, v) =>
         "\"" + k + "\":" + (if (rerrs.contains(k)) "-1" else v.toString)
       }.mkString("{", ",", "}")
@@ -340,6 +349,7 @@ object Bench {
         case (k, v) if !rerrs.contains(k) => v }.sum
       f""","value_readthrough":$rtotal""" +
         f""","readthrough":{"value":$rtotal,"build_sec":$buildSec%.3f""" +
+        f""","value_min":$rtMin%.3f""" +
         f""","failures":${rerrs.size},"over_calib":${rtotal / calibMean}%.1f""" +
         s""","queries":$rqs}"""
     }.getOrElse("")
@@ -348,6 +358,7 @@ object Bench {
         s""","loadavg_end":"${loadavg()}","passes":$nPasses""" +
         s""","stat":"median","pass_totals":${passTotals
           .map(t => f"$t%.3f").mkString("[", ",", "]")}""" +
+        f""","value_min":${minTotal(passes, errors)}%.3f""" +
         s""","attempts":$attempt""" +
         s""","calib_gate":"${if (gateOk) "ok" else "exceeded"}"""" +
         (if (rejected.nonEmpty)
@@ -395,7 +406,7 @@ object Bench {
         s""","loadavg_end":"${loadavg()}","passes":$nPasses""" +
         s""","other_jvms":${others.size},"nq":${results.size}""" +
         s""","failures":${errors.size},"failed":${errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")}""" +
-        readthrough.map { case (rres, rerrs, _) =>
+        readthrough.map { case (rres, rerrs, _, _) =>
           val rtotal = rres.collect {
             case (k, v) if !rerrs.contains(k) => v }.sum
           f""","value_readthrough":$rtotal%.3f"""
