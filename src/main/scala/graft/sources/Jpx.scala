@@ -39,7 +39,12 @@ import scala.collection.mutable
   * T.800 and T.88 share it; the Tier-1 contexts and pass structure
   * here are T.800 Annex D), tag-tree-coded packet headers (T.800
   * B.10), and both the raw codestream and the JP2 box wrapping.
-  * POC / precinct-partitioned streams and subsampling factors past 2
+  * POC (progression order change, A.6.6) segments are DECODED in the
+  * single-precinct case: each entry's volume iterates in its own
+  * progression with already-emitted packets skipped, encoder and
+  * decoder sharing one sequence function; a POC whose union does not
+  * cover every packet exactly once is an exotic interleave that
+  * rejects. Explicit-precinct streams and subsampling factors past 2
   * are detected and rejected to None — the extractor's honest
   * `undecoded` label, never a guess. The lossless path reconstructs exactly; the 9/7 path
   * reconstructs within the quantizer's error band (JpxSpec pins a PSNR
@@ -822,6 +827,45 @@ object Jpx {
         yield (r, c, l)
   }
 
+  /** Packet iteration under a POC (progression order change, T.800
+    * A.6.6) — the single-precinct collapse again: each entry
+    * (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) iterates its
+    * resolution/component/layer volume in its own progression, and a
+    * packet already emitted by an earlier entry is skipped (A.6.6's
+    * "packets … are not included again"). Layer lower bound is 0 for
+    * every entry — overlap handling IS the dedup. Shared by encoder
+    * and decoder (the codeBit-seam guarantee), so the two cannot
+    * disagree on packet order. */
+  private[sources] def pocSequence(levels: Int, nc: Int, layers: Int,
+      entries: Seq[(Int, Int, Int, Int, Int, Int)])
+      : IndexedSeq[(Int, Int, Int)] = {
+    val seen = mutable.Set.empty[(Int, Int, Int)]
+    val out = mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    entries.foreach { case (rs, cs, lye, re, ce, pp) =>
+      val rr = rs until math.min(re, levels + 1)
+      val cc = cs until math.min(ce, nc)
+      val ll = 0 until math.min(lye, layers)
+      val seq = pp match {
+        case 0 => for (l <- ll; r <- rr; c <- cc) yield (r, c, l)
+        case 1 => for (r <- rr; l <- ll; c <- cc) yield (r, c, l)
+        case 2 => for (r <- rr; c <- cc; l <- ll) yield (r, c, l)
+        case _ => for (c <- cc; r <- rr; l <- ll) yield (r, c, l)
+      }
+      seq.foreach(p => if (seen.add(p)) out += p)
+    }
+    out.toIndexedSeq
+  }
+
+  /** Entry sanity shared by the encoder's require and the decoder's
+    * reject: bounds ordered and in range, progression known. */
+  private[sources] def pocEntryOk(e: (Int, Int, Int, Int, Int, Int),
+      levels: Int, nc: Int, layers: Int): Boolean = {
+    val (rs, cs, lye, re, ce, pp) = e
+    rs >= 0 && rs < re && re <= levels + 1 &&
+      cs >= 0 && cs < ce && ce <= nc &&
+      lye >= 1 && lye <= layers && pp >= 0 && pp <= 4
+  }
+
   /** Row-major tile rectangles (x0, y0, tw, th) of a tileW×tileH grid
     * anchored at the origin, clipped to the canvas (T.800 B.3 with
     * XTOsiz = YTOsiz = 0). */
@@ -923,7 +967,8 @@ object Jpx {
   def encodeMulti(comps: Seq[Array[Array[Int]]], levels: Int = 2,
       rct: Boolean = false, layers: Int = 1, prog: Int = 0,
       tileW: Int = 0, tileH: Int = 0,
-      sub: Seq[(Int, Int)] = Nil): Array[Byte] = {
+      sub: Seq[(Int, Int)] = Nil,
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): Array[Byte] = {
     require(comps.nonEmpty && (!rct || comps.length == 3))
     require(!rct || sub.forall(_ == ((1, 1))),
       "the in-codestream color transform requires identically-sized " +
@@ -978,7 +1023,7 @@ object Jpx {
     }
     encodeCore(tiles, w, h, tw, th, levels, nc, mct = if (rct) 1 else 0,
       irrevQ = None, derivedBase = None, layers = layers, prog = prog,
-      subs = subs)
+      subs = subs, poc = poc)
   }
 
   /** Encode with the IRREVERSIBLE pipeline — the dominant wild
@@ -996,7 +1041,8 @@ object Jpx {
       step: Double = 1.0, ict: Boolean = false,
       derived: Boolean = false, layers: Int = 1, prog: Int = 0,
       tileW: Int = 0, tileH: Int = 0,
-      sub: Seq[(Int, Int)] = Nil): Array[Byte] = {
+      sub: Seq[(Int, Int)] = Nil,
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): Array[Byte] = {
     require(comps.nonEmpty && (!ict || comps.length == 3))
     require(!ict || sub.forall(_ == ((1, 1))),
       "the in-codestream color transform requires identically-sized " +
@@ -1087,7 +1133,7 @@ object Jpx {
     }
     encodeCore(tiles, w, h, tw, th, levels, nc, mct = if (ict) 1 else 0,
       irrevQ = Some(q), derivedBase = if (derived) Some(base) else None,
-      layers = layers, prog = prog, subs = subs)
+      layers = layers, prog = prog, subs = subs, poc = poc)
   }
 
   /** Tier-1 output for one code-block: the finished MQ codeword, the
@@ -1128,7 +1174,8 @@ object Jpx {
     * then walk the progression order emitting packet headers against
     * the persistent per-band state. */
   private def encodeTile(tp: TilePlanes, levels: Int, nc: Int,
-      layers: Int, prog: Int, mbOf: (Int, Band) => Int): Array[Byte] = {
+      layers: Int, prog: Int, mbOf: (Int, Band) => Int,
+      poc: Seq[(Int, Int, Int, Int, Int, Int)]): Array[Byte] = {
     val states: IndexedSeq[IndexedSeq[Seq[EncBandState]]] =
       for (r <- 0 to levels) yield for (c <- 0 until nc) yield {
         val a = tp.planes(c)
@@ -1189,7 +1236,10 @@ object Jpx {
       }
 
     val out = new ByteArrayOutputStream
-    packetSequence(levels, nc, layers, prog).foreach { case (r, c, l) =>
+    val pseq =
+      if (poc.isEmpty) packetSequence(levels, nc, layers, prog)
+      else pocSequence(levels, nc, layers, poc)
+    pseq.foreach { case (r, c, l) =>
       val hdr = new HdrWriter
       val bodies = mutable.ArrayBuffer.empty[Array[Byte]]
       val sts = states(r)(c)
@@ -1247,11 +1297,19 @@ object Jpx {
       tileW: Int, tileH: Int, levels: Int, nc: Int, mct: Int,
       irrevQ: Option[Map[(Int, Int), (Int, Int)]],
       derivedBase: Option[(Int, Int)], layers: Int,
-      prog: Int, subs: Seq[(Int, Int)]): Array[Byte] = {
+      prog: Int, subs: Seq[(Int, Int)],
+      poc: Seq[(Int, Int, Int, Int, Int, Int)]): Array[Byte] = {
+    if (poc.nonEmpty) {
+      poc.foreach(e => require(pocEntryOk(e, levels, nc, layers),
+        s"invalid POC entry $e"))
+      require(pocSequence(levels, nc, layers, poc).size ==
+        (levels + 1) * nc * layers,
+        "POC entries must cover every packet exactly once in union")
+    }
     def mbOf(r: Int, band: Band): Int =
       irrevQ.map(m => m((r, band.btype))._1 + Guard - 1).getOrElse(band.mb)
     val tileStreams =
-      tiles.map(tp => encodeTile(tp, levels, nc, layers, prog, mbOf))
+      tiles.map(tp => encodeTile(tp, levels, nc, layers, prog, mbOf, poc))
 
     val out = new ByteArrayOutputStream
     def u8(v: Int): Unit = out.write(v & 0xFF)
@@ -1271,6 +1329,12 @@ object Jpx {
     u8(levels); u8(CbExp - 2); u8(CbExp - 2) // SPcod
     u8(0) // code-block style: none of the Part-1 mode switches
     u8(if (irrevQ.isDefined) 0 else 1) // 0 = 9/7 irreversible, 1 = 5/3
+    if (poc.nonEmpty) { // POC (A.6.6): u8 bounds — Csiz < 257 here
+      u16(0xFF5F); u16(2 + 7 * poc.length)
+      poc.foreach { case (rs, cs, lye, re, ce, pp) =>
+        u8(rs); u8(cs); u16(lye); u8(re); u8(ce); u8(pp)
+      }
+    }
     val nsb = 3 * levels + 1
     (irrevQ, derivedBase) match {
       case (Some(_), Some((e0, mu0))) => // scalar derived: one 16-bit pair
@@ -1418,6 +1482,7 @@ object Jpx {
       var tileW = 0
       var tileH = 0
       var subs: Array[(Int, Int)] = null
+      var poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil
       var mbs = Map.empty[(Int, Int), Int] // (r, btype) -> Mb
       var irrev = false // COD transform 0 = 9/7 + quantization
       var deltas = Map.empty[(Int, Int), Double] // (r, btype) -> Δ_b
@@ -1445,7 +1510,10 @@ object Jpx {
                 .filter(b => b.bw > 0 && b.bh > 0)
                 .map(new DecBandState(_))
         var cursor = bodyStart
-        packetSequence(levels, nc, layers, prog).foreach { case (r, c, l) =>
+        val pseq =
+          if (poc.isEmpty) packetSequence(levels, nc, layers, prog)
+          else pocSequence(levels, nc, layers, poc)
+        pseq.foreach { case (r, c, l) =>
           if (cursor >= tileEnd) fail("tile body exhausted")
           val hdr = new HdrReader(data, cursor)
           val sts = states(r)(c)
@@ -1761,6 +1829,16 @@ object Jpx {
               // components (T.800 G.2/G.3) — subsampled YCbCr ships
               // with MCT off, the planes already being Y/Cb/Cr
               if (mct == 1 && subs.exists(_ != ((1, 1)))) return None
+              // POC entries validate once layers/levels are known; a
+              // POC whose union does not cover every packet exactly
+              // once is an exotic interleave out of this subset —
+              // honest None, never a silent partial decode
+              if (poc.nonEmpty) {
+                if (poc.exists(e => !pocEntryOk(e, levels, nc, layers)))
+                  return None
+                if (pocSequence(levels, nc, layers, poc).size !=
+                  (levels + 1) * nc * layers) return None
+              }
               val ntx = (w.toLong + tileW - 1) / tileW
               val nty = (h.toLong + tileH - 1) / tileH
               if (ntx * nty > 1024) return None // hostile tile-grid bomb
@@ -1795,10 +1873,20 @@ object Jpx {
           case 0xFFD9 =>
             if (rects == null || tilesDecoded != rects.length) return None
             eoc = true
+          case 0xFF5F => // POC (A.6.6), u8-bound form (Csiz < 257)
+            if (rects != null) return None // main header frozen after SOT
+            val len = u16()
+            if (len < 9 || (len - 2) % 7 != 0) return None
+            val nEntries = (len - 2) / 7
+            poc = (0 until nEntries).map { _ =>
+              val rs = u8(); val cs = u8(); val lye = u16()
+              val re = u8(); val ce = u8(); val pp = u8()
+              (rs, cs, lye, re, ce, pp)
+            }
           case 0xFF64 | 0xFF63 | 0xFF55 | 0xFF57 | 0xFF58 =>
             p += u16() - 2 // COM/CRG/TLM/PLM skippable
           case m if m >= 0xFF30 && m <= 0xFF3F => // segmentless
-          case _ => return None // POC/PPM/RGN/COC/QCC…: out of scope
+          case _ => return None // PPM/RGN/COC/QCC…: out of scope
         }
       }
       // subsampled components return UPSAMPLED to the reference grid by

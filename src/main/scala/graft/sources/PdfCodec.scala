@@ -1159,18 +1159,25 @@ object PdfWriter {
             val m = jpxSeed.get
             (i % 5) match {
               case 0 => // REAL raw codestream; dict dims LIE. The seed
-                // rotates quality layers, progression order, and tiling
-                // (lossless, so the oracle's exact sums are unchanged):
-                // only a decoder speaking the full B.10 protocol — tag
-                // trees escalating a layer at a time, persistent Lblock,
+                // rotates quality layers, progression order, tiling,
+                // and (r11, every fifth seed) a two-entry POC —
+                // resolution 0 first, the rest layer-major (lossless,
+                // so the oracle's exact sums are unchanged): only a
+                // decoder speaking the full B.10 protocol — tag trees
+                // escalating a layer at a time, persistent Lblock,
                 // segments concatenating across packets, per-tile DWT
-                // domains — recovers the pixels
+                // domains, A.6.6 packet reordering — recovers the
+                // pixels
                 val (iw, ih) = jpxRawDims(m)
+                val lyr = 1 + m % 3
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
                   Jpx.encodeMulti(Seq(jpxRaster(m, iw, ih)), levels = 2,
-                    layers = 1 + m % 3, prog = m % 5,
+                    layers = lyr, prog = m % 5,
                     tileW = if (m % 2 == 0) 8 else 0,
-                    tileH = if (m % 3 == 0) 8 else 0))
+                    tileH = if (m % 3 == 0) 8 else 0,
+                    poc = if (m % 5 == 2)
+                      Seq((0, 0, lyr, 1, 1, 2), (0, 0, lyr, 3, 1, 0))
+                    else Nil))
               case 1 => // REAL JP2-box-wrapped codestream; dict dims LIE
                 val (iw, ih) = jp2Dims(m)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",

@@ -322,6 +322,57 @@ class JpxSpec extends AnyFunSuite {
       "MCT with non-identical component sizes must stay undecoded")
   }
 
+  test("POC progression-order changes round-trip; partial coverage and " +
+      "bad entries reject") {
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
+    val img = gray(40, 28)((x, y) => (x * 9 + y * 5) % 256)
+    val (levels, layers) = (2, 3)
+    val plain = Jpx.decode(Jpx.encodeMulti(Seq(img), levels,
+      layers = layers)).getOrElse(fail("plain decode failed"))
+    // resolution 0 first (RPCL), then everything else layer-major — a
+    // two-entry POC whose union covers every packet exactly once
+    val poc2 = Seq((0, 0, layers, 1, 1, 2), (0, 0, layers, levels + 1, 1, 0))
+    val enc = Jpx.encodeMulti(Seq(img), levels, layers = layers, poc = poc2)
+    val d = Jpx.decode(enc).getOrElse(fail("POC decode failed"))
+    assert(d.pixels.map(_.toSeq).toSeq == img.map(_.toSeq).toSeq,
+      "POC stream not lossless")
+    assert(d.graySum == plain.graySum)
+    // POC + tiling + multi-component + subsampling compose
+    val yp = gray(32, 16)((x, y) => x * 3 + y * 7)
+    val cb = gray(16, 8)((x, y) => x * 5 + y * 11 + 30)
+    val cr = gray(16, 8)((x, y) => (x ^ y) * 9 + 70)
+    val sub = Seq((1, 1), (2, 2), (2, 2))
+    val poc3 = Seq((0, 0, 2, levels + 1, 1, 1), // comp 0 first, RLCP
+      (0, 1, 2, levels + 1, 3, 4)) // chroma, CPRL
+    val encS = Jpx.encodeMulti(Seq(yp, cb, cr), levels, layers = 2,
+      tileW = 16, tileH = 16, sub = sub, poc = poc3)
+    val dS = Jpx.decode(encS).getOrElse(fail("POC+tiled+sub decode failed"))
+    val dPlain = Jpx.decode(Jpx.encodeMulti(Seq(yp, cb, cr), levels,
+      layers = 2, tileW = 16, tileH = 16, sub = sub)).get
+    assert(dS.graySum == dPlain.graySum)
+    for (c <- 0 until 3; y <- 0 until 16)
+      assert(dS.comps(c)(y).sameElements(dPlain.comps(c)(y)),
+        s"POC comp $c row $y != plain")
+    // encoder rejects a POC that does not cover every packet
+    assertThrows[IllegalArgumentException] {
+      Jpx.encodeMulti(Seq(img), levels, layers = layers,
+        poc = Seq((0, 0, layers, 1, 1, 2)))
+    }
+    // decoder rejects byte-patched partial coverage / unknown
+    // progression. Single-entry POC layout for nc=1: SIZ [2,45), COD
+    // [45,59), POC at 59 — entry bytes rs@63 cs@64 lye@65-66 re@67
+    // ce@68 pp@69 (see encodeCore's marker assembly)
+    val enc1 = Jpx.encodeMulti(Seq(img), levels, layers = layers,
+      poc = Seq((0, 0, layers, levels + 1, 1, 1)))
+    assert(Jpx.decode(enc1).isDefined)
+    val shortLye = enc1.clone(); shortLye(65) = 0; shortLye(66) = 1
+    assert(Jpx.decode(shortLye).isEmpty,
+      "partial-coverage POC must stay undecoded")
+    val badPp = enc1.clone(); badPp(69) = 7
+    assert(Jpx.decode(badPp).isEmpty, "unknown Ppoc must stay undecoded")
+  }
+
   test("multiple quality layers round-trip losslessly in every count") {
     def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
       Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
