@@ -37,6 +37,14 @@ object CodecFuzzGen {
         prog = 2, tileW = 28, tileH = 20),
       "jpx-97" -> Jpx.encodeIrreversible(Seq(img), step = 2.0),
       "jpx-jp2" -> Jpx.wrapJp2(Jpx.encode(img), 56, 40),
+      // r11 forms: subsampled 4:2:0 YCbCr and a two-entry POC — the new
+      // per-component-geometry and packet-reorder paths under mutation
+      "jpx-420" -> Jpx.encodeMulti(Seq(img,
+        Array.tabulate(20, 28)((y, x) => (x * 5 + y * 9 + 40) % 256),
+        Array.tabulate(20, 28)((y, x) => ((x ^ y) * 11 + 80) % 256)),
+        sub = Seq((1, 1), (2, 2), (2, 2))),
+      "jpx-poc" -> Jpx.encodeMulti(Seq(img), layers = 3,
+        poc = Seq((0, 0, 3, 1, 1, 2), (0, 0, 3, 3, 1, 0))),
       "jb2-generic" -> Jbig2.encodeEmbedded(bits, 40),
       "jb2-refined" -> Jbig2.encodeRefinedDocument(bits, 40, 8, 4,
         (0 until 10).map(y => Array.tabulate(16)(x => x % 2 == y % 2)),
