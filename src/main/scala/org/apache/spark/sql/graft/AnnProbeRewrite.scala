@@ -3,7 +3,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Descending, EqualNullSafe, EqualTo, If, In, InSet, IsNull, Literal, RaiseError, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, EqualNullSafe, EqualTo, If, In, InSet, IsNull, Literal, NullOrdering, NullsFirst, Or, RaiseError, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -58,22 +58,42 @@ case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         rewrite(s, quant, nprobe)
           .map(ns => gl.copy(child = ll.copy(child = ns)))
           .getOrElse(gl)
+      // the analyzer's ORDER-BY-expression-not-in-SELECT artifact (the
+      // verbatim pgvector distance text): an attribute-only drop-Project
+      // sits above the Sort; the probe filter lands below it unchanged
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_,
+          pr @ Project(drop, s: Sort)))
+          if s.global && drop.forall(_.isInstanceOf[Attribute]) =>
+        rewrite(s, quant, nprobe)
+          .map(ns => gl.copy(child = ll.copy(child = pr.copy(child = ns))))
+          .getOrElse(gl)
     }
   }
 
-  /** The descending-cosine sort key, resolved through a child Project's
-    * alias when the query sorts on a named similarity column.
+  /** The head sort key canonicalized to a [[VectorCosine]] (ONE shared
+    * canonicalizer, [[CosineOrder.canonical]] — also the HNSW rule's),
+    * resolved through a child Project's alias when the query sorts on a
+    * named column. Both the similarity form (`cosine DESC`) and
+    * pgvector's literal distance form (`(1 - cosine) ASC`, which is also
+    * what the `vector_cosine_distance` function expands to) prune — the
+    * rule only narrows the scan, so the user's own ordering key and
+    * direction stay untouched either way. Any other (form, direction)
+    * pairing is a worst-first query and must not be pruned top-k.
+    * The head key's null ordering rides along: [[rewrite]] must keep the
+    * null `list_id` partition alive when NULL distances rank FIRST.
     */
-  private def cosineOf(s: Sort): Option[VectorCosine] =
-    s.order.headOption.filter(_.direction == Descending).flatMap {
-      case SortOrder(c: VectorCosine, _, _, _) => Some(c)
-      case SortOrder(a: Attribute, _, _, _) =>
+  private def cosineOf(s: Sort): Option[(VectorCosine, NullOrdering)] =
+    s.order.headOption.flatMap {
+      case SortOrder(a: Attribute, dir, nullOrd, _) =>
         s.child.collect { case p: Project => p }
           .flatMap(_.projectList.collectFirst {
-            case al @ Alias(c: VectorCosine, _) if al.exprId == a.exprId => c
+            case al: Alias if al.exprId == a.exprId => al.child
           })
           .headOption
-      case _ => None
+          .flatMap(CosineOrder.canonical(_, dir))
+          .map((_, nullOrd))
+      case SortOrder(e, dir, nullOrd, _) =>
+        CosineOrder.canonical(e, dir).map((_, nullOrd))
     }
 
   private def queryVec(c: VectorCosine): Option[Array[Float]] =
@@ -109,7 +129,7 @@ case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           a.dataType == IntegerType) => l
     }
     for {
-      cos <- cosineOf(s)
+      (cos, nullOrd) <- cosineOf(s)
       qv <- queryVec(cos)
       if qv.length == q.dim
       if !alreadyPruned(s.child)
@@ -127,7 +147,20 @@ case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // per-row check that hard-errors on mismatch (same contract as the
       // pq_cb_hash verification in the CLI). Cheap: one long-equality on a
       // dictionary-constant column, only over the probed lists.
-      val pruneCond = In(listAttr, lists.map(i => Literal(i)))
+      // Null ordering: when NULL distances rank FIRST (Spark's default
+      // for the ascending distance text), a NULL-vector row outranks
+      // every real match in the exact scan — and `In` evaluates NULL on
+      // it, silently dropping the rows the exact ordering puts first.
+      // IvfAssign is null-safe (NULL vector ⇒ NULL list_id ⇒ the null
+      // partition), so keeping those rows is one extra partition-pruning
+      // disjunct over the same partition column — free when the table
+      // has no null partition. Under NULLS LAST (both defaults' other
+      // half) a dropped null could only have surfaced when the probed
+      // lists hold fewer than k rows — the documented lost-recall trade.
+      val inLists = In(listAttr, lists.map(i => Literal(i)))
+      val pruneCond =
+        if (nullOrd == NullsFirst && cos.nullable) Or(inLists, IsNull(listAttr))
+        else inLists
       val cond = leaf.output.find(a =>
           a.name == "ivf_q_hash" && a.dataType == LongType) match {
         case Some(hashAttr) =>

@@ -5,13 +5,13 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, Expression, Literal, SortDirection, SortOrder, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, Expression, Literal, SortDirection, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, StringType}
 
 /** HNSW-accelerated KNN as a Catalyst optimizer rule — the sibling of
   * [[AnnProbeRewrite]] for the index class the reference actually serves
@@ -127,18 +127,18 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!tailOk) return None
-    // a direction-aware canonicalizer: DESC serves similarity shapes,
-    // ASC serves distance shapes (`1 - cosine`, which is also what the
-    // vector_cosine_distance function expands to); any other (form,
-    // direction) pairing orders ascending-by-similarity and must NOT
-    // be served top-k
+    // the direction-aware canonicalizer is the SHARED CosineOrder
+    // helper (one copy with AnnProbeRewrite): DESC serves similarity
+    // shapes, ASC serves distance shapes; any other (form, direction)
+    // pairing orders ascending-by-similarity and must NOT be served
+    // top-k. Null ordering needs no gate here, unlike the IVF rule's
+    // scan-narrowing: a NULL vector cannot exist behind a servable
+    // index — buildIndexTable deserializes every row's vector into the
+    // shard build, which fails loudly on null — so NULL distances never
+    // arise in the relation the walk replaces (pgvector's stance too:
+    // NULLs are not indexed, and Postgres' ASC default is NULLS LAST).
     def canonical(e: Expression, dir: SortDirection): Option[VectorCosine] =
-      (e, dir) match {
-        case (c: VectorCosine, Descending) => Some(c)
-        case (Subtract(Literal(one: Double, DoubleType), c: VectorCosine, _),
-            Ascending) if one == 1.0 => Some(c)
-        case _ => None
-      }
+      CosineOrder.canonical(e, dir)
     s.order.headOption.flatMap {
       case SortOrder(a: Attribute, dir, _, _) =>
         // explicit re-entry guard: the spliced plan's own final sort

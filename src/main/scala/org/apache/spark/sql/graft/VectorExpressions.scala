@@ -127,14 +127,39 @@ case class VectorCosine(left: Expression, right: Expression)
   * b)` over the one accumulator loop, so the bit-for-bit relationship
   * between the two spellings holds by construction (no twin kernel to
   * drift), zero vectors give distance 1.0 via the cosine's own 0.0
-  * guard, and [[HnswIndexRewrite]]'s existing `(1 - cosine) ASC`
-  * canonical case serves the function with no extra pattern.
+  * guard, and [[CosineOrder]]'s `(1 - cosine) ASC` canonical case
+  * serves the function in both index rules with no extra pattern.
   */
 object VectorCosineDistance {
   def apply(left: Expression, right: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Subtract(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0),
       VectorCosine(left, right))
+}
+
+/** The ONE copy of the "(form, direction) ranks best-first by cosine"
+  * canonicalization, shared by [[AnnProbeRewrite]] and
+  * [[HnswIndexRewrite]] so the two rules cannot drift: if the
+  * [[VectorCosineDistance]] expansion shape ever changes, both rules
+  * follow through this helper or neither does. Servable spellings:
+  *   - `vector_cosine(...) DESC` — the reference's similarity form;
+  *   - `(1.0 - vector_cosine(...)) ASC` — the verbatim pgvector
+  *     distance port after constant folding, which is also exactly what
+  *     [[VectorCosineDistance]] expands to; 1−x is strictly monotone
+  *     decreasing, so distance-ASC ranks (and ties) as cosine-DESC.
+  * Any other pairing (`cosine ASC`, `distance DESC`, a different
+  * constant) orders worst-first and must never be index-served.
+  */
+object CosineOrder {
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, Literal, SortDirection, Subtract}
+
+  def canonical(e: Expression, dir: SortDirection): Option[VectorCosine] =
+    (e, dir) match {
+      case (c: VectorCosine, Descending) => Some(c)
+      case (Subtract(Literal(one: Double, DoubleType), c: VectorCosine, _),
+          Ascending) if one == 1.0 => Some(c)
+      case _ => None
+    }
 }
 
 /** IVF coarse-quantizer assignment: nearest-centroid id (argmin squared-L2,

@@ -129,6 +129,109 @@ class AnnRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the verbatim distance-ASC text prunes too; worst-first forms " +
+      "never prune") {
+    spark.read.parquet(indexPath).createOrReplaceTempView("emb_idx")
+    // pgvector's literal serving text: similarity in the SELECT list,
+    // ORDER BY the distance expression (not in the SELECT list)
+    val distSql =
+      """SELECT fragment_id,
+        |  1 - vector_cosine_distance(vector,
+        |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS similarity
+        |FROM emb_idx
+        |ORDER BY vector_cosine_distance(vector,
+        |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) ASC
+        |LIMIT 3""".stripMargin
+    // the exact answer FIRST, configs off — the probed cluster holds the
+    // true top-3 here, so the pruned run must return it bit-for-bit
+    val exact = spark.sql(distSql).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(exact.size == 3)
+    spark.conf.set(
+      org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
+    spark.conf.set(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey, "1")
+    try {
+      val dist = spark.sql(distSql)
+      assert(partitionFilters(dist).contains("list_id"),
+        s"distance-ASC must prune:\n${dist.queryExecution.executedPlan}")
+      val got = dist.collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got == exact,
+        s"pruned distance-ASC must equal its own exact scan (ordering and " +
+          s"values): $got vs $exact")
+      assert(got.forall { case (f, _) => f.drop(4).toInt % 4 == 2 },
+        s"all hits must come from the probed cluster: $got")
+      // worst-first spellings must NOT be narrowed to the BEST lists
+      val worst = spark.sql(
+        """SELECT fragment_id,
+          |  vector_cosine(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+          |FROM emb_idx ORDER BY sim ASC LIMIT 3""".stripMargin)
+      assert(partitionFilters(worst).contains("PartitionFilters: []"),
+        "cosine ASC (worst-first) must not prune")
+      val worstDist = spark.sql(
+        """SELECT fragment_id,
+          |  vector_cosine_distance(vector,
+          |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS d
+          |FROM emb_idx ORDER BY d DESC LIMIT 3""".stripMargin)
+      assert(partitionFilters(worstDist).contains("PartitionFilters: []"),
+        "distance DESC (worst-first) must not prune")
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
+      spark.catalog.dropTempView("emb_idx")
+    }
+  }
+
+  test("NULLS FIRST keeps the null partition: a NULL-vector row ranks " +
+      "first in the pruned scan exactly as in the exact scan") {
+    // Spark's ascending default is NULLS FIRST, so the verbatim distance
+    // text ranks NULL-distance rows ABOVE every real match; the injected
+    // In(list_id, …) alone would silently drop them (In evaluates NULL on
+    // the null partition IvfAssign routes null vectors to). The rule must
+    // add the IsNull(list_id) disjunct — still pure partition pruning.
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 8).map { i =>
+      val c = i % 4
+      (f"nfrag$i%02d", Array(c * 10f + (i / 4) * 0.1f, 0.3f, 1f, 0.7f))
+    } :+ (("nfragnull", null.asInstanceOf[Array[Float]]))
+    val nullsPath = s"$dir/index_nulls"
+    TableLayout.writePartitionedSorted(
+      Ivf.buildIndex(rows.toDF("fragment_id", "vector"), quant),
+      nullsPath, "list_id", Seq("fragment_id"))
+    spark.read.parquet(nullsPath).createOrReplaceTempView("emb_idx_n")
+    val sqlText =
+      """SELECT fragment_id,
+        |  1 - vector_cosine_distance(vector,
+        |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS similarity
+        |FROM emb_idx_n
+        |ORDER BY vector_cosine_distance(vector,
+        |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) ASC
+        |LIMIT 3""".stripMargin
+    def rowsOf(df: DataFrame): Seq[(String, Option[Double])] =
+      df.collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    val exact = rowsOf(spark.sql(sqlText)) // configs off
+    assert(exact.head == ("nfragnull", None),
+      s"fixture sanity: the exact scan must rank the null row first: $exact")
+    spark.conf.set(
+      org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey, quantPath)
+    spark.conf.set(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey, "1")
+    try {
+      val pruned = spark.sql(sqlText)
+      assert(partitionFilters(pruned).contains("list_id"),
+        s"must still prune:\n${pruned.queryExecution.executedPlan}")
+      assert(rowsOf(pruned) == exact,
+        s"pruned NULLS FIRST must keep the null partition: " +
+          s"${rowsOf(pruned)} vs $exact")
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.QuantizerKey)
+      spark.conf.unset(org.apache.spark.sql.graft.AnnProbeRewrite.NprobeKey)
+      spark.catalog.dropTempView("emb_idx_n")
+    }
+  }
+
   test("filtered pattern (WHERE … ORDER BY sim LIMIT k) prunes AND keeps " +
       "the predicate — results = Ivf.search with the same predicate") {
     // the reference's PRIMARY query shape in SQL form
