@@ -785,30 +785,39 @@ object VectorQueries {
       s"$base/idx", numShards = 2)
   }
 
-  /** Process-wide memo of the TEMP-dir artifact for the no-stage-cache
-    * path, keyed by fingerprint. One bench run times the catalog twice
-    * (min-of-N) and serves BOTH v18 and v19 from the same index —
-    * without the memo every timed serving query paid a full stage+build
-    * (~2 s) that the read-through number then subtracted back out
-    * (ADVICE r10). The dir is replaced when the fingerprint changes and
-    * removed on JVM exit; only SUCCESSFUL builds are memoized. */
-  @volatile private var tmpArtifact: Option[(String, String)] = None
-  private object TmpArtifactLock {
+  /** Process-wide memo of the TEMP-dir artifacts for the no-stage-cache
+    * path, keyed by artifact name → (fingerprint, dir). One bench run
+    * times the catalog N times and serves v18/v19 (HNSW) and v20 (IVF)
+    * from the same indexes — without the memo every timed serving query
+    * paid a full stage+build (~2 s) that the read-through number then
+    * subtracted back out (ADVICE r10). A dir is replaced when its
+    * fingerprint changes and removed on JVM exit; only SUCCESSFUL
+    * builds are memoized. */
+  private val tmpArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val tmpArtifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private object TmpArtifactCleanup {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tmpArtifact.foreach { case (_, d) =>
-        graft.ingest.TableSwap.rmTreeAt(d)
-      }))
+      tmpArtifacts.values.forEach(fd =>
+        graft.ingest.TableSwap.rmTreeAt(fd._2))))
+    /** Per-NAME build lock: independent artifacts (the v18 graph, the
+      * v20 IVF table) may build concurrently; two racers for the same
+      * name still serialize so only one temp build is memoized. */
+    def lockFor(name: String): Object =
+      tmpArtifactLocks.computeIfAbsent(name, _ => new Object)
   }
 
-  /** Acquire the HNSW serving artifact (staged embeddings + index) for
-    * v18/v19: write-time under the stage-cache root when configured
-    * (the production shape — the read-through bench measures the walk
-    * only), else the process-memoized temp build. Returns its base
-    * dir; callers must NOT delete it (the cache/memo owns cleanup). */
-  private def acquireHnswArtifact(s: SparkSession, dir: String): String = {
-    val fp = v18IndexFingerprint(dir)
+  /** Acquire a serving artifact (a DIRECTORY of index state, not one
+    * parquet table): write-time under the stage-cache root when
+    * configured (the production shape — the read-through bench measures
+    * the walk/probe only), else the process-memoized temp build.
+    * Returns its base dir; callers must NOT delete it (the cache/memo
+    * owns cleanup). */
+  private def acquireArtifact(s: SparkSession, name: String, fp: String)(
+      build: String => Unit): String = {
     s.conf.getOption(StageCache.PathConf)
-      .map(r => new java.io.File(r, "v18_hnsw")) match {
+      .map(r => new java.io.File(r, name)) match {
       case Some(d) =>
         if (!StageCache.artifactFresh(d, fp)) {
           // parity with persistedTable: stale state is REBUILT with a
@@ -816,12 +825,12 @@ object VectorQueries {
           // to see why this run paid the build
           if (new java.io.File(d, "_SUCCESS").isFile)
             // scalastyle:off println
-            println("[StageCache] persisted artifact 'v18_hnsw' is " +
+            println(s"[StageCache] persisted artifact '$name' is " +
               "STALE (source fingerprint changed) — rebuilding")
             // scalastyle:on println
           graft.ingest.TableSwap.rmTreeAt(d.toString)
           try {
-            buildV18Index(s, dir, d.toString)
+            build(d.toString)
             StageCache.commitArtifact(d, fp)
           } catch {
             case e: Throwable =>
@@ -829,28 +838,54 @@ object VectorQueries {
           }
         }
         d.toString
-      case None => TmpArtifactLock.synchronized {
-        tmpArtifact match {
+      case None => TmpArtifactCleanup.lockFor(name).synchronized {
+        Option(tmpArtifacts.get(name)) match {
           case Some((f, d)) if f == fp => d
           case old =>
             old.foreach { case (_, d) =>
               graft.ingest.TableSwap.rmTreeAt(d)
             }
-            tmpArtifact = None
-            val t = java.nio.file.Files.createTempDirectory("v18_hnsw")
-              .toString
-            // Throwable, not Exception: an OOM out of saveIndex must
-            // not leak a temp copy of the embeddings table
-            try buildV18Index(s, dir, t)
+            tmpArtifacts.remove(name)
+            val t = java.nio.file.Files.createTempDirectory(name).toString
+            // Throwable, not Exception: an OOM out of an index build
+            // must not leak a temp copy of the embeddings table
+            try build(t)
             catch {
               case e: Throwable =>
                 graft.ingest.TableSwap.rmTreeAt(t); throw e
             }
-            tmpArtifact = Some((fp, t))
+            tmpArtifacts.put(name, (fp, t))
             t
         }
       }
     }
+  }
+
+  /** The v18/v19 HNSW serving artifact (staged embeddings + index). */
+  private def acquireHnswArtifact(s: SparkSession, dir: String): String =
+    acquireArtifact(s, "v18_hnsw", v18IndexFingerprint(dir))(
+      buildV18Index(s, dir, _))
+
+  /** The vec_id 0 query embedding as a SQL float-array literal —
+    * Float.toString round-trips exactly through the DOUBLE parse +
+    * float CAST, so the text reproduces the stored vector bit-for-bit.
+    * One copy shared by every SQL serving query (v18/v19/v20). */
+  private def queryVecLiteral(s: SparkSession, dir: String): String =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+      .map(_.toString)
+      .mkString("CAST(array(", ", ", ") AS array<float>)")
+
+  /** The (rank, fragment_id, <witness>) output shape shared by the SQL
+    * serving queries: ranked hits plus the plan-read witness bit under
+    * the caller's column name. */
+  private def rankedWitness(s: SparkSession, hits: Seq[String],
+      witnessCol: String, witness: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    hits.zipWithIndex
+      .map { case (f, i) => ((i + 1).toLong, f, witness) }
+      .toDF("rank", "fragment_id", witnessCol)
   }
 
   /** The shared v18/v19 serving scaffold: acquire the artifact, turn
@@ -865,10 +900,7 @@ object VectorQueries {
     val tmp = acquireHnswArtifact(s, dir)
     val staged = s.read.parquet(s"$tmp/emb")
     val ef = staged.count().toInt // >= every shard size -> exact walk
-    val qLit = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
-      .map(_.toString)
-      .mkString("CAST(array(", ", ", ") AS array<float>)")
+    val qLit = queryVecLiteral(s, dir)
     s.conf.set(HnswIndexRewrite.IndexKey, s"$tmp/idx")
     s.conf.set(HnswIndexRewrite.EfKey, ef.toString)
     try {
@@ -878,10 +910,7 @@ object VectorQueries {
         .contains("MapGroups")
       val hits = df.select(col("fragment_id")).collect()
         .map(_.getString(0))
-      import s.implicits._
-      hits.toSeq.zipWithIndex
-        .map { case (f, i) => ((i + 1).toLong, f, walked) }
-        .toDF("rank", "fragment_id", "used_index_walk")
+      rankedWitness(s, hits.toSeq, "used_index_walk", walked)
     } finally {
       s.conf.unset(HnswIndexRewrite.IndexKey)
       s.conf.unset(HnswIndexRewrite.EfKey)
@@ -914,6 +943,88 @@ object VectorQueries {
          |LIMIT 10""".stripMargin
     }
 
+  // v20 — the IVF SQL serving path end-to-end, completing the story v18/
+  // v19 tell for HNSW: BOTH index families the reference could serve
+  // from (pgvector ships ivfflat AND hnsw index classes; the reference
+  // declares hnsw, storage/schema.py:78-84, but the serving SQL is
+  // identical) answer the verbatim distance text through their own
+  // Catalyst rule. [[org.apache.spark.sql.graft.AnnProbeRewrite]]
+  // narrows the scan of a write-time IVF index table to the probed
+  // lists — partition pruning at the parquet source, pgvector's
+  // `ivfflat.probes`. nprobe = the full list count is the family's
+  // exactness witness (every list probed ⇒ the exact top-k re-ranks),
+  // so the returned ranks hash-match the DuckDB exact filtered KNN
+  // while `used_probe_prune` — the list_id partition filter read off
+  // the EXECUTED plan — proves the rule fired rather than the query
+  // having degenerated to the exact scan.
+  /** ONE copy of the v20 trainer constants: the builder's k, the
+    * serving nprobe (= k is the full-probe exactness witness — drifting
+    * either alone would silently turn the oracled query approximate),
+    * the trainer iterations, and the fingerprint string all read these.
+    */
+  private val V20IvfK = 16
+  private val V20TrainIters = 10
+  private val V20SampleN = 1024
+
+  /** The v20 index derivation constants, ALL folded into the artifact
+    * fingerprint (the v18 contract): the trainer's k, iteration count
+    * and sample bound, and the id projection. */
+  private[graft] def v20IndexFingerprint(dir: String): String =
+    StageCache.sourceFingerprint(Seq(s"$dir/embeddings.parquet"),
+      s"v20|ivfk=$V20IvfK|iters=$V20TrainIters|sample=$V20SampleN" +
+        "|id=f%06d")
+
+  /** Build the v20 serving artifact (quantizer sidecar + partitioned
+    * IVF index table) under `base` — shared by the catalog query and
+    * [[WriteTimeTables.persistAll]] so the two cannot drift on build
+    * constants. Training is the v15/v6 discipline: a deterministic
+    * 1024-row ordered sample, never the corpus. */
+  private[graft] def buildV20Index(s: SparkSession, dir: String,
+      base: String): Unit = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(format_string("f%06d", col("vec_id")).as("fragment_id"),
+        col("embedding").as("vector"), col("label"))
+    val sample = Tables.embeddings(s, dir).orderBy(col("vec_id"))
+      .limit(V20SampleN)
+      .select(col("embedding")).as[Seq[Float]].collect().map(_.toArray)
+    val quant = graft.search.Ivf.train(sample, V20IvfK,
+      iters = V20TrainIters)
+    graft.sources.TableLayout.writePartitionedSorted(
+      graft.search.Ivf.buildIndex(e, quant), s"$base/idx", "list_id",
+      Seq("fragment_id"))
+    graft.search.Ivf.save(quant, s"$base/quantizer.txt")
+  }
+
+  private val v20IvfSqlDistance: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.AnnProbeRewrite
+    val base = acquireArtifact(s, "v20_ivf", v20IndexFingerprint(dir))(
+      buildV20Index(s, dir, _))
+    val qLit = queryVecLiteral(s, dir)
+    s.conf.set(AnnProbeRewrite.QuantizerKey, s"$base/quantizer.txt")
+    // nprobe = the trainer's k: full probe, the exactness witness
+    s.conf.set(AnnProbeRewrite.NprobeKey, V20IvfK.toString)
+    try {
+      s.read.parquet(s"$base/idx").createOrReplaceTempView("v20_idx")
+      val df = s.sql(
+        s"""SELECT fragment_id,
+           |  1 - vector_cosine_distance(vector, $qLit) AS similarity
+           |FROM v20_idx WHERE label < 5
+           |ORDER BY vector_cosine_distance(vector, $qLit) ASC, fragment_id
+           |LIMIT 10""".stripMargin)
+      val pruned = df.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("PartitionFilters"))
+        .exists(_.contains("list_id"))
+      val hits = df.select(col("fragment_id")).collect()
+        .map(_.getString(0))
+      rankedWitness(s, hits.toSeq, "used_probe_prune", pruned)
+    } finally {
+      s.conf.unset(AnnProbeRewrite.QuantizerKey)
+      s.conf.unset(AnnProbeRewrite.NprobeKey)
+      s.catalog.dropTempView("v20_idx")
+    }
+  }
+
   private val v18Sql = {
     val sim = duckCosine("e.embedding", "q.qv")
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -925,9 +1036,21 @@ object VectorQueries {
        |FROM s ORDER BY sim DESC, fragment_id LIMIT 10""".stripMargin
   }
 
+  private val v20Sql = {
+    val sim = duckCosine("e.embedding", "q.qv")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |s AS (SELECT printf('f%06d', e.vec_id) AS fragment_id, $sim AS sim
+       |      FROM embeddings e, q WHERE e.label < 5)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, fragment_id)
+       |    AS BIGINT) AS rank,
+       |  fragment_id, true AS used_probe_prune
+       |FROM s ORDER BY sim DESC, fragment_id LIMIT 10""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "v18_hnsw_sql_knn" -> v18HnswSqlKnn,
     "v19_hnsw_sql_distance" -> v19HnswSqlDistance,
+    "v20_ivf_sql_distance" -> v20IvfSqlDistance,
     "v16_hybrid_topk" -> v16HybridTopk,
     "v15_filtered_ann" -> v15FilteredAnn,
     "v14_hybrid_rrf" -> v14HybridRrf,
@@ -945,6 +1068,9 @@ object VectorQueries {
     // the distance-ASC text must return the SAME ranked ids as the
     // similarity-DESC text — one exact-KNN oracle serves both
     "v19_hnsw_sql_distance" -> v18Sql,
+    // the IVF path at full probe is exact by construction — the same
+    // exact-KNN ranks, under the probe-prune witness column
+    "v20_ivf_sql_distance" -> v20Sql,
     "v16_hybrid_topk" -> v16Sql,
     "v15_filtered_ann" -> v15Sql,
     "v14_hybrid_rrf" -> v14Sql,

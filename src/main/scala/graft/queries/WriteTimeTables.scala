@@ -67,22 +67,30 @@ object WriteTimeTables {
         log(s"[index-sketches] $key -> $path ($n rows)")
       }
     }
-    // the v18 serving index is a write-time ARTIFACT (a directory, not
-    // a parquet table): build it here so its cost lands in the one-time
-    // build second, and the read-through catalog pays only the walk.
-    // Fingerprint and builder are VectorQueries' own — one source of
-    // truth, or a constant drift would hand the timed pass a rebuild.
-    val idxFp = VectorQueries.v18IndexFingerprint(sfDir)
-    val idxDir = new java.io.File(root, "v18_hnsw")
-    if (StageCache.artifactFresh(idxDir, idxFp)) {
-      skipped += 1
-      log("[index-sketches] v18_hnsw fresh, skipped")
-    } else {
-      graft.ingest.TableSwap.rmTreeAt(idxDir.toString)
-      VectorQueries.buildV18Index(s, sfDir, idxDir.toString)
-      StageCache.commitArtifact(idxDir, idxFp)
-      persisted += 1
-      log(s"[index-sketches] v18_hnsw -> $idxDir")
+    // the SQL serving indexes are write-time ARTIFACTS (directories,
+    // not single parquet tables): the v18/v19 HNSW graph and the v20
+    // IVF table+quantizer build here so their cost lands in the
+    // one-time build second, and the read-through catalog pays only
+    // the walk/probe. Fingerprints and builders are VectorQueries'
+    // own — one source of truth, or a constant drift would hand the
+    // timed pass a rebuild.
+    val artifacts: Seq[(String, String, String => Unit)] = Seq(
+      ("v18_hnsw", VectorQueries.v18IndexFingerprint(sfDir),
+        VectorQueries.buildV18Index(s, sfDir, _)),
+      ("v20_ivf", VectorQueries.v20IndexFingerprint(sfDir),
+        VectorQueries.buildV20Index(s, sfDir, _)))
+    artifacts.foreach { case (name, fp, build) =>
+      val d = new java.io.File(root, name)
+      if (StageCache.artifactFresh(d, fp)) {
+        skipped += 1
+        log(s"[index-sketches] $name fresh, skipped")
+      } else {
+        graft.ingest.TableSwap.rmTreeAt(d.toString)
+        build(d.toString)
+        StageCache.commitArtifact(d, fp)
+        persisted += 1
+        log(s"[index-sketches] $name -> $d")
+      }
     }
     (persisted, skipped)
   }

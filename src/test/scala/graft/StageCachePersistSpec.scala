@@ -60,10 +60,7 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally {
       s.conf.unset(StageCache.PathConf)
       StageCache.release(s)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-        .iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.ingest.TableSwap.rmTreeAt(root)
     }
   }
 
@@ -103,10 +100,7 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally {
       s.conf.unset(StageCache.PathConf)
       StageCache.release(s)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-        .iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.ingest.TableSwap.rmTreeAt(root)
     }
   }
 
@@ -129,18 +123,55 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a fresh write-time index was rebuilt")
       assert(first == before && second == before,
         "served ranks diverged between compute and write-time paths")
-      // a corrupted fingerprint forces a rebuild, never a stale serve
-      java.nio.file.Files.write(
-        new java.io.File(idx, "_graft_fingerprint").toPath,
-        "stale".getBytes("UTF-8"))
+      // a corrupted fingerprint forces a rebuild, never a stale serve —
+      // pinned by the fingerprint file being REWRITTEN to the true fp
+      // (result equality alone would also pass a stale serve)
+      val fpFile = new java.io.File(idx, "_graft_fingerprint").toPath
+      java.nio.file.Files.write(fpFile, "stale".getBytes("UTF-8"))
       assert(run() == before, "rebuild after staleness diverged")
+      assert(new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8")
+          == graft.queries.VectorQueries.v18IndexFingerprint(dir),
+        "the corrupted fingerprint was served stale, not rebuilt")
     } finally {
       s.conf.unset(StageCache.PathConf)
       StageCache.release(s)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-        .iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.ingest.TableSwap.rmTreeAt(root)
+    }
+  }
+
+  test("the v20 IVF serving index persists as a write-time artifact") {
+    val s = spark
+    val q = "v20_ivf_sql_distance"
+    def run() = SparkEntry.queries(q)(s, dir).collect().map(_.toString).toSeq
+    val before = run() // compute path: process-memoized temp build
+    assert(before.nonEmpty && before.forall(_.contains("true")),
+      s"probe pruning must engage on the compute path too: $before")
+    val root = java.nio.file.Files.createTempDirectory("stage_ivf").toString
+    StageCache.release(s)
+    s.conf.set(StageCache.PathConf, root)
+    try {
+      val first = run() // builds <root>/v20_ivf and commits it
+      val idx = new java.io.File(root, "v20_ivf")
+      assert(new java.io.File(idx, "_SUCCESS").isFile,
+        "index artifact not committed")
+      val stamp = new java.io.File(idx, "idx").lastModified
+      val second = run() // fresh artifact: serve, don't rebuild
+      assert(new java.io.File(idx, "idx").lastModified == stamp,
+        "a fresh write-time index was rebuilt")
+      assert(first == before && second == before,
+        "served ranks diverged between compute and write-time paths")
+      // a corrupted fingerprint forces a rebuild, never a stale serve —
+      // pinned by the fingerprint file being REWRITTEN to the true fp
+      val fpFile = new java.io.File(idx, "_graft_fingerprint").toPath
+      java.nio.file.Files.write(fpFile, "stale".getBytes("UTF-8"))
+      assert(run() == before, "rebuild after staleness diverged")
+      assert(new String(java.nio.file.Files.readAllBytes(fpFile), "UTF-8")
+          == graft.queries.VectorQueries.v20IndexFingerprint(dir),
+        "the corrupted fingerprint was served stale, not rebuilt")
+    } finally {
+      s.conf.unset(StageCache.PathConf)
+      StageCache.release(s)
+      graft.ingest.TableSwap.rmTreeAt(root)
     }
   }
 
@@ -194,27 +225,30 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     StageCache.release(s)
     try {
       graft.queries.WriteTimeTables.persistAll(s, dir, root)
-      val idx = new java.io.File(root, "v18_hnsw")
-      assert(new java.io.File(idx, "_SUCCESS").isFile,
-        "persistAll did not commit the index artifact")
+      val artifacts = Seq("v18_hnsw" -> "v18_hnsw_sql_knn",
+        "v20_ivf" -> "v20_ivf_sql_distance")
+      artifacts.foreach { case (name, _) =>
+        assert(new java.io.File(new java.io.File(root, name),
+          "_SUCCESS").isFile, s"persistAll did not commit $name")
+      }
       // a second persistAll must skip EVERYTHING (freshness end-to-end)
       val (p2, _) = graft.queries.WriteTimeTables.persistAll(s, dir, root)
       assert(p2 == 0, s"second persistAll rebuilt $p2 stages/artifacts")
-      // the serving query reads the prebuilt artifact without rebuilding
-      val stamp = new java.io.File(idx, "idx").lastModified
+      // the serving queries read the prebuilt artifacts without rebuilding
       s.conf.set(StageCache.PathConf, root)
-      val served = SparkEntry.queries("v18_hnsw_sql_knn")(s, dir).collect()
-      assert(served.nonEmpty)
-      assert(new java.io.File(idx, "idx").lastModified == stamp,
-        "the query rebuilt an artifact persistAll had just built — " +
-          "fingerprint drift between the two builders")
+      artifacts.foreach { case (name, q) =>
+        val idx = new java.io.File(root, name)
+        val stamp = new java.io.File(idx, "idx").lastModified
+        val served = SparkEntry.queries(q)(s, dir).collect()
+        assert(served.nonEmpty)
+        assert(new java.io.File(idx, "idx").lastModified == stamp,
+          s"$q rebuilt an artifact persistAll had just built — " +
+            "fingerprint drift between the two builders")
+      }
     } finally {
       s.conf.unset(StageCache.PathConf)
       StageCache.release(s)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-        .iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.ingest.TableSwap.rmTreeAt(root)
     }
   }
 
