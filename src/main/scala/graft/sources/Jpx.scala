@@ -27,8 +27,9 @@ import scala.collection.mutable
   * packets), and all five progression orders in the
   * single-precinct-per-resolution case this codec emits and accepts
   * (LRCP/RLCP/RPCL, plus the component-major PCRL/CPRL collapse), and
-  * SUBSAMPLED components with XRsiz/YRsiz ∈ {1, 2} — 4:2:0 / 4:2:2 /
-  * 4:4:0 YCbCr, the wild archival scan form: component 0 stays at
+  * SUBSAMPLED components with XRsiz/YRsiz ∈ {1, 2, 4} — 4:2:0 / 4:2:2
+  * / 4:4:0 / 4:1:1 YCbCr, the wild archival scan forms (4:1:1 is the
+  * DV-lineage variant): component 0 stays at
   * reference resolution, chroma planes carry their own band/code-block
   * geometry at ceil(size / factor) dims (T.800 B.2/B.3), MCT is off
   * (the in-codestream transforms require identically-sized components,
@@ -44,9 +45,9 @@ import scala.collection.mutable
   * progression with already-emitted packets skipped, encoder and
   * decoder sharing one sequence function; a POC whose union does not
   * cover every packet exactly once is an exotic interleave that
-  * rejects. Explicit-precinct streams and subsampling factors past 2
-  * are detected and rejected to None — the extractor's honest
-  * `undecoded` label, never a guess. The lossless path reconstructs exactly; the 9/7 path
+  * rejects. Explicit-precinct streams and subsampling factors outside
+  * {1, 2, 4} are detected and rejected to None — the extractor's
+  * honest `undecoded` label, never a guess. The lossless path reconstructs exactly; the 9/7 path
   * reconstructs within the quantizer's error band (JpxSpec pins a PSNR
   * floor).
   *
@@ -908,7 +909,8 @@ object Jpx {
   private def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
 
   /** Validate a subsampling spec against the component planes: factors
-    * in 1..2 (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 — the wild YCbCr forms),
+    * in {1, 2, 4} (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 / 4:1:1 — the wild
+    * YCbCr forms; 3 has no wild producer and stays out of scope),
     * component 0 at full reference resolution, each plane sized
     * ceil(reference / factor) (T.800 B.2's component-grid mapping), and
     * a tile grid that stays aligned in every component domain. */
@@ -920,8 +922,9 @@ object Jpx {
     require(subs.head == ((1, 1)),
       "component 0 must be full-resolution (it defines the reference grid)")
     subs.zipWithIndex.foreach { case ((xr, yr), c) =>
-      require(xr >= 1 && xr <= 2 && yr >= 1 && yr <= 2,
-        s"subsampling factors out of the 1..2 scope: ($xr, $yr)")
+      require((xr == 1 || xr == 2 || xr == 4) &&
+          (yr == 1 || yr == 2 || yr == 4),
+        s"subsampling factors out of the {1,2,4} scope: ($xr, $yr)")
       require(comps(c).length == ceilDiv(h, yr) &&
         comps(c)(0).length == ceilDiv(w, xr),
         s"component $c dims ${comps(c)(0).length}x${comps(c).length} != " +
@@ -1561,6 +1564,14 @@ object Jpx {
             cursor += len
           }
         }
+        // every tile-part byte must be consumed by the packet parse:
+        // leftover bytes mean the SIZ-derived geometry disagrees with
+        // the stream that was actually coded (e.g. a patched XRsiz
+        // shrinking the expected packet set) — decoding would return a
+        // conformant-looking Some over desynced data, the exact lie the
+        // honest-None contract exists to prevent. Conformant tile-parts
+        // are exact: Psot covers the packets with no padding (A.4.2).
+        if (cursor != tileEnd) fail("tile-part bytes left unconsumed")
 
         // Tier-1 each included block over its concatenated segments —
         // the layer slices tile the codeword, so this reconstructs the
@@ -1724,14 +1735,16 @@ object Jpx {
             nc = u16()
             if (xo != 0 || yo != 0 || xto != 0 || yto != 0 || nc < 1 ||
                 nc > 4 || xt < 1 || yt < 1) return None
-            // 8-bit components; subsampling factors 1..2 per axis with
-            // component 0 at full resolution (the wild YCbCr 4:2:0 /
-            // 4:2:2 / 4:4:0 forms) — anything wider stays an honest None
+            // 8-bit components; subsampling factors {1, 2, 4} per axis
+            // with component 0 at full resolution (the wild YCbCr 4:2:0
+            // / 4:2:2 / 4:4:0 / 4:1:1 forms) — 3 and anything wider
+            // have no wild producer and stay an honest None
             subs = new Array[(Int, Int)](nc)
             for (c <- 0 until nc) {
               val ssiz = u8(); val xr = u8(); val yr = u8()
               if ((ssiz & 0x80) != 0 || (ssiz & 0x7F) > 7 ||
-                  xr < 1 || xr > 2 || yr < 1 || yr > 2) return None
+                  !(xr == 1 || xr == 2 || xr == 4) ||
+                  !(yr == 1 || yr == 2 || yr == 4)) return None
               subs(c) = (xr, yr)
             }
             if (subs(0) != ((1, 1))) return None

@@ -209,8 +209,8 @@ class JpxSpec extends AnyFunSuite {
     }
   }
 
-  test("subsampled YCbCr (4:2:0/4:2:2/4:4:0) round-trips losslessly; " +
-      "chroma upsamples by sample replication") {
+  test("subsampled YCbCr (4:2:0/4:2:2/4:4:0/4:1:1) round-trips " +
+      "losslessly; chroma upsamples by sample replication") {
     def plane(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
       Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
     for ((w, h, xr, yr, levels) <- Seq(
@@ -218,6 +218,9 @@ class JpxSpec extends AnyFunSuite {
         (21, 13, 2, 2, 2), // 4:2:0, odd dims (ceil chroma grid)
         (32, 20, 2, 1, 3), // 4:2:2
         (19, 11, 1, 2, 1), // 4:4:0
+        (40, 12, 4, 1, 2), // 4:1:1 (the DV-lineage factor-4 form)
+        (23, 9, 4, 1, 1), // 4:1:1, odd dims
+        (32, 16, 4, 2, 1), // factor 4 on x, 2 on y
         (8, 8, 2, 2, 0))) { // no decomposition
       val cw = (w + xr - 1) / xr
       val chh = (h + yr - 1) / yr
@@ -271,6 +274,24 @@ class JpxSpec extends AnyFunSuite {
       Jpx.encodeMulti(Seq(yp, cb, cr), levels, tileW = 4, tileH = 16,
         sub = sub)
     }
+    // factor-4 tiling: 8 % (4<<2) != 0 rejects (aligned for comp 0's
+    // 1<<2 = 4 but not chroma's 4<<2 = 16); 32 % (4<<2) == 0 assembles
+    // to the untiled pixels
+    val cb4 = plane(w / 4, h)((x, y) => x * 13 + y * 7 + 30)
+    val cr4 = plane(w / 4, h)((x, y) => x * 3 + y * 17 + 80)
+    val sub4 = Seq((1, 1), (4, 1), (4, 1))
+    assertThrows[IllegalArgumentException] {
+      Jpx.encodeMulti(Seq(yp, cb4, cr4), levels, tileW = 8, tileH = 16,
+        sub = sub4)
+    }
+    val single4 = Jpx.decode(Jpx.encodeMulti(Seq(yp, cb4, cr4), levels,
+      sub = sub4)).getOrElse(fail("untiled 4:1:1 decode failed"))
+    val tiled4 = Jpx.decode(Jpx.encodeMulti(Seq(yp, cb4, cr4), levels,
+      tileW = 32, tileH = 16, sub = sub4))
+      .getOrElse(fail("tiled 4:1:1 decode failed"))
+    for (c <- 0 until 3; y <- 0 until h)
+      assert(tiled4.comps(c)(y).sameElements(single4.comps(c)(y)),
+        s"tiled 4:1:1 comp $c row $y != untiled")
   }
 
   test("subsampled 9/7 decodes within the quantizer band") {
@@ -294,7 +315,8 @@ class JpxSpec extends AnyFunSuite {
   test("out-of-scope subsampling forms reject — encoder and decoder") {
     val yp = Array.tabulate(16, 16)((y, x) => (x + y) % 256)
     val c2 = Array.tabulate(8, 8)((y, x) => (x * y) % 256)
-    // encoder: factors past 2, wrong plane dims, MCT with subsampling
+    // encoder: factors outside {1,2,4}, wrong plane dims, MCT with
+    // subsampling
     assertThrows[IllegalArgumentException] {
       Jpx.encodeMulti(Seq(yp, c2, c2), sub = Seq((1, 1), (3, 1), (3, 1)))
     }
@@ -312,8 +334,30 @@ class JpxSpec extends AnyFunSuite {
     val enc = Jpx.encodeMulti(Seq(yp, c2, c2),
       sub = Seq((1, 1), (2, 2), (2, 2)))
     assert(Jpx.decode(enc).isDefined)
+    // 3 stays OUT of the widened {1,2,4} scope: no wild chroma form
+    // uses it, and a factor patched under mismatched plane data must
+    // reject upfront, not mis-parse
     val xr3 = enc.clone(); xr3(46) = 3 // comp 1 XRsiz = 3
     assert(Jpx.decode(xr3).isEmpty, "XRsiz=3 must stay undecoded")
+    val xr8 = enc.clone(); xr8(46) = 8 // comp 1 XRsiz = 8
+    assert(Jpx.decode(xr8).isEmpty, "XRsiz=8 must stay undecoded")
+    // an IN-scope factor patched over data coded at a different factor:
+    // when the factor change alters the packet STRUCTURE (different
+    // code-block counts), the parse desyncs and the unconsumed-tile-part
+    // guard rejects. (A structure-preserving patch — tiny planes where
+    // both factors give one block per band — yields a syntactically
+    // valid stream describing a different image, the same undetectable
+    // class as a coefficient byte flip; conformant decoders decode
+    // those too.) 320 wide at levels=0: factor-2 chroma = 160 = 3
+    // blocks, factor-4 = 80 = 2 blocks — structure differs.
+    val ypw = Array.tabulate(8, 320)((y, x) => (x * 3 + y) % 256)
+    val c2w = Array.tabulate(8, 160)((y, x) => (x + y * 7 + 30) % 256)
+    val encW = Jpx.encodeMulti(Seq(ypw, c2w, c2w), levels = 0,
+      sub = Seq((1, 1), (2, 1), (2, 1)))
+    assert(Jpx.decode(encW).isDefined)
+    val xr4 = encW.clone(); xr4(46) = 4 // comp 1 XRsiz = 4 over 2-coded data
+    assert(Jpx.decode(xr4).isEmpty,
+      "a structure-changing in-scope factor patch must stay undecoded")
     val comp0Sub = enc.clone(); comp0Sub(43) = 2 // comp 0 XRsiz = 2
     assert(Jpx.decode(comp0Sub).isEmpty,
       "subsampled component 0 must stay undecoded")

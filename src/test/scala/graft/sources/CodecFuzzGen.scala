@@ -43,6 +43,10 @@ object CodecFuzzGen {
         Array.tabulate(20, 28)((y, x) => (x * 5 + y * 9 + 40) % 256),
         Array.tabulate(20, 28)((y, x) => ((x ^ y) * 11 + 80) % 256)),
         sub = Seq((1, 1), (2, 2), (2, 2))),
+      "jpx-411" -> Jpx.encodeMulti(Seq(img,
+        Array.tabulate(40, 14)((y, x) => (x * 7 + y * 3 + 60) % 256),
+        Array.tabulate(40, 14)((y, x) => (x * y + 130) % 256)),
+        sub = Seq((1, 1), (4, 1), (4, 1))),
       "jpx-poc" -> Jpx.encodeMulti(Seq(img), layers = 3,
         poc = Seq((0, 0, 3, 1, 1, 2), (0, 0, 3, 3, 1, 0))),
       "jb2-generic" -> Jbig2.encodeEmbedded(bits, 40),
