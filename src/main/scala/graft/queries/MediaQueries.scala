@@ -65,7 +65,8 @@ object MediaQueries {
       s"annidx|sample=$AnnSampleN,vec_id|ivf:k=$IvfK,iters=$IvfItersFull" +
         s"|pq:m=$PqM,ksub=$PqKsub|sq:8bit" +
         s"|ivfpq:k=$IvfK,iters=$IvfItersPq,m=$PqM,ksub=$PqKsub" +
-        s"|hnsw:shards=$HnswShards,m=$HnswM,efc=$HnswEfc,id=$HnswIdFmt"))
+        s"|hnsw:shards=$HnswShards,m=$HnswM,efc=$HnswEfc,id=$HnswIdFmt" +
+        ",vh1")) // vh1: adjacency stamps the vec_hash content witness
 
   // each builder has a quantizer-taking overload so a query that has
   // ALREADY trained (it needs the quantizer probe-side regardless)

@@ -55,6 +55,54 @@ import org.apache.spark.sql.functions._
   */
 object Hnsw {
 
+  /** Unit-normalization as [[Index]] applies it on insert — ONE copy,
+    * shared with the content-hash path so the serving rewrite can
+    * recompute a stored node's exact bytes from a base row's raw
+    * vector (floats round-trip bit-for-bit only through identical
+    * arithmetic). */
+  private[graft] def unitNormalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
+    val out = new Array[Float](v.length)
+    i = 0
+    while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
+    out
+  }
+
+  /** FNV-1a 64 over the stored (normalized) vector's float bits — the
+    * per-node content witness the index table persists as `vec_hash`.
+    * Deterministic and writer-independent: build and maintenance both
+    * hash the EXPORTED vector, and [[contentHash]] reproduces it from
+    * the raw base-row vector, so the serving rewrite can hard-error
+    * when a configured index was not built over the scanned relation
+    * (the ivf_q_hash contract, extended to row content). */
+  private[graft] def normHash(v: Array[Float]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < v.length) {
+      var bits = java.lang.Float.floatToIntBits(v(i))
+      var b = 0
+      while (b < 4) {
+        h ^= (bits & 0xFF).toLong
+        h *= 0x100000001b3L
+        bits >>>= 8
+        b += 1
+      }
+      i += 1
+    }
+    h
+  }
+
+  /** [[normHash]] of the vector as the index stores it (normalized) —
+    * what a base row's raw vector must hash to if the index node with
+    * its id was built from this row. Public because the Catalyst-side
+    * `HnswVectorHash` expression (org.apache.spark.sql.graft) evaluates
+    * it per served row. */
+  def contentHash(raw: Array[Float]): Long =
+    normHash(unitNormalize(raw))
+
   /** In-memory deterministic HNSW over unit-normalized vectors (cosine
     * ranking via dot product). Not thread-safe; one instance per
     * partition/task.
@@ -80,16 +128,7 @@ object Hnsw {
 
     def size: Int = ids.length
 
-    private def normalize(v: Array[Float]): Array[Float] = {
-      var s = 0.0
-      var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-      val inv = if (s == 0) 0.0 else 1.0 / math.sqrt(s)
-      val out = new Array[Float](v.length)
-      i = 0
-      while (i < v.length) { out(i) = (v(i) * inv).toFloat; i += 1 }
-      out
-    }
+    private def normalize(v: Array[Float]): Array[Float] = unitNormalize(v)
 
     /** Negative dot of unit vectors — smaller is closer. */
     private def dist(q: Array[Float], node: Int): Double = {
@@ -451,10 +490,13 @@ object Hnsw {
           val docs = rows.map(_._3)
           build(rows.map(r => (r._1, r._2)).toSeq, m, efConstruction)
             .exportRows.iterator
-            .map { case (i, id, v, ls) => (shard, i, id, v, ls, docs(i)) }
+            .map { case (i, id, v, ls) =>
+              (shard, i, id, v, ls, docs(i), normHash(v))
+            }
         }
       }
-      .toDF("shard_id", "node_idx", idCol, vectorCol, "links", "doc_id")
+      .toDF("shard_id", "node_idx", idCol, vectorCol, "links", "doc_id",
+        "vec_hash")
   }
 
   /** Persist the adjacency table partitioned by shard, so one search

@@ -167,7 +167,10 @@ object HnswMaintenance {
           }
         if (g == null) Iterator.empty
         else g.exportRows.iterator.map { case (i, id, v, ls) =>
-          (shard, i, id, v, ls, docs(i), hasRemoval)
+          // the per-node content witness (vec_hash) recomputes from the
+          // EXPORTED (stored, normalized) vector on every writer, so a
+          // maintained shard carries it exactly as a fresh build would
+          (shard, i, id, v, ls, docs(i), Hnsw.normHash(v), hasRemoval)
         }
       }.persist()
 
@@ -175,11 +178,11 @@ object HnswMaintenance {
       val staging = stagingOf(indexPath)
       TableSwap.rmTreeAt(staging)
       rebuilt.toDF("shard_id", "node_idx", idCol, vectorCol, "links",
-          "doc_id", "__rebuilt")
+          "doc_id", "vec_hash", "__rebuilt")
         .drop("__rebuilt")
         .write.partitionBy("shard_id").parquet(staging)
 
-      val rebuiltShards = rebuilt.filter(_._7).map(_._1).distinct().collect()
+      val rebuiltShards = rebuilt.filter(_._8).map(_._1).distinct().collect()
         .toSeq.sorted
       // a delta can also create a brand-new shard dir (first row hashing
       // there) — those stage too, via the parquet write above

@@ -5,7 +5,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, Expression, Literal, SortDirection, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, EqualTo, Expression, If, IsNull, Literal, Or, RaiseError, SortDirection, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -270,6 +270,18 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .orderBy(col("similarity").desc, col(idCol))
         .limit(k)
         .select(col(idCol))
+      // index↔table binding: post-r11 index tables stamp vec_hash per
+      // node (the stored vector's content hash); ride it along with the
+      // k walk ids so the splice can verify each served base row IS the
+      // row the node was built from. Legacy tables without the column
+      // serve unguarded (their rows join a NULL hash, which the guard
+      // passes through).
+      val hasVh = adj.schema.fieldNames.contains("vec_hash")
+      val walkKeyed =
+        if (!hasVh) walk
+        else org.apache.spark.sql.functions.broadcast(walk)
+          .join(adj.select(col(idCol), col("vec_hash").as(VecHashCol)),
+            idCol)
       // the walk selects MEMBERSHIP only; every value the user asked
       // for — including the final ordering key — is the user's exact
       // expression computed over the k base rows fetched by a
@@ -289,7 +301,7 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         Seq(idAttr.exprId, vecAttr.exprId)).toSet
       val needed = leaf.output.filter(a => neededIds.contains(a.exprId))
       val kRows = base.select(needed.map(a => col(a.name)): _*)
-        .join(org.apache.spark.sql.functions.broadcast(walk), idCol)
+        .join(org.apache.spark.sql.functions.broadcast(walkKeyed), idCol)
       // splice the OPTIMIZED inner plan: the main optimizer batches ran
       // before this rule, so an analyzed subtree would reach physical
       // planning with un-eliminated analysis artifacts (join hints);
@@ -305,13 +317,34 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       // substituting keys could re-tie rows at the epsilon floor).
       val kOpt = kRows.queryExecution.optimizedPlan
       val kByName = kOpt.output.map(a => a.name -> a).toMap
+      // index↔table binding guard over the k served rows: the base
+      // row's raw vector must hash (normalize → FNV, Hnsw.contentHash)
+      // to the node's stored vec_hash, or the configured index was
+      // built over DIFFERENT data — stale, or another table with the
+      // same ids — and serving would silently mis-rank. Hard error
+      // instead (the ivf_q_hash contract extended to row content);
+      // legacy rows with a NULL hash pass unchecked. Cost: k
+      // interpreted hash evals, off the corpus path.
+      val guarded =
+        if (!hasVh) kOpt
+        else {
+          val vh = kByName(VecHashCol)
+          Filter(If(
+            Or(IsNull(vh),
+              EqualTo(HnswVectorHash(kByName("vector")), vh)),
+            Literal(true),
+            IsNull(new RaiseError(Literal(
+              s"hnsw vec_hash mismatch: the index at $path was not " +
+                "built over the scanned relation — refusing to serve " +
+                "from it")))), kOpt)
+        }
       val exactSim = Alias(userHead.transform {
         case a: Attribute if a.exprId == vecAttr.exprId =>
           kByName("vector")
       }, ExactSimCol)()
       val kPlan = Project(
         needed.map(a => Alias(kByName(a.name), a.name)(
-          exprId = a.exprId)) :+ exactSim, kOpt)
+          exprId = a.exprId)) :+ exactSim, guarded)
       val simRef = kPlan.output.find(_.name == ExactSimCol).get
       // re-apply the user's own Project/Filter chain over the k rows,
       // threading the ordering keys through every Project
@@ -345,4 +378,5 @@ object HnswIndexRewrite {
   private val MetaIdCol = "__graft_hnsw_meta_id"
   private val MetaCol = "__graft_hnsw_meta_"
   private val ExactSimCol = "__graft_hnsw_exact_sim"
+  private val VecHashCol = "__graft_hnsw_vh"
 }

@@ -5,10 +5,10 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for float-vector similarity — the measured
   * optimization SURVEY.md §7.4 reserves for the hot scoring path.
@@ -135,6 +135,28 @@ object VectorCosineDistance {
     org.apache.spark.sql.catalyst.expressions.Subtract(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0),
       VectorCosine(left, right))
+}
+
+/** The per-row content hash an HNSW index node carries (`vec_hash`):
+  * [[graft.search.Hnsw.contentHash]] over a base row's RAW vector —
+  * the same normalize-then-FNV pipeline the index writers apply to the
+  * stored node vector, so equality proves the node was built from this
+  * exact row. Evaluated by [[HnswIndexRewrite]]'s splice over the k
+  * served rows only (CodegenFallback is fine off the hot path); a
+  * mismatch means the configured index was not built over the scanned
+  * relation — stale or foreign — and must hard-error, never silently
+  * mis-rank (the ivf_q_hash contract, extended to row content).
+  */
+case class HnswVectorHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hnsw_vector_hash"
+  override def nullSafeEval(a: Any): Any =
+    graft.search.Hnsw.contentHash(
+      a.asInstanceOf[ArrayData].toFloatArray())
+  override protected def withNewChildInternal(
+      newChild: Expression): HnswVectorHash = copy(child = newChild)
 }
 
 /** The ONE copy of the "(form, direction) ranks best-first by cosine"

@@ -394,4 +394,50 @@ class HnswRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         exactTopK(5, _ => true))
     } finally confOff()
   }
+
+  test("an index built over DIFFERENT data hard-errors via vec_hash, " +
+      "never silently mis-ranks; a legacy index without the column " +
+      "still serves") {
+    val s = spark
+    import s.implicits._
+    // same ids, perturbed vectors — the misbinding the walk cannot see:
+    // every walk id joins a base row, but the rows are not what the
+    // index ranked. Without the guard this SERVES wrong results.
+    val tamperedPath = s"$dir/embeddings_tampered"
+    rawRows.map { case (id, v, g) =>
+      (id, v.map(x => x + 5f), g)
+    }.toDF("fragment_id", "vector", "grp").write.parquet(tamperedPath)
+    spark.read.parquet(tamperedPath).createOrReplaceTempView("emb_tam")
+    confOn(n)
+    try {
+      val df = spark.sql(
+        s"""SELECT fragment_id,
+           |  vector_cosine(vector,
+           |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+           |FROM emb_tam ORDER BY sim DESC, fragment_id LIMIT 5"""
+          .stripMargin)
+      val e = intercept[Exception] { df.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("hnsw vec_hash mismatch")),
+        s"expected the binding guard to fire, got: $e")
+    } finally {
+      confOff()
+      spark.catalog.dropTempView("emb_tam")
+    }
+    // legacy index tables (pre-vec_hash) serve unguarded: strip the
+    // column and re-serve the REAL base table
+    val legacyPath = s"$dir/hnsw_idx_legacy"
+    spark.read.parquet(indexPath).drop("vec_hash")
+      .write.partitionBy("shard_id").parquet(legacyPath)
+    spark.conf.set(HnswIndexRewrite.IndexKey, legacyPath)
+    spark.conf.set(HnswIndexRewrite.EfKey, n.toString)
+    try {
+      val df = sql("", 5)
+      assert(walked(df), "legacy index must still serve from the walk")
+      assert(df.collect().map(_.getString(0)).toSeq ==
+        exactTopK(5, _ => true))
+    } finally confOff()
+  }
 }
