@@ -66,7 +66,7 @@ object MediaQueries {
         s"|pq:m=$PqM,ksub=$PqKsub|sq:8bit" +
         s"|ivfpq:k=$IvfK,iters=$IvfItersPq,m=$PqM,ksub=$PqKsub" +
         s"|hnsw:shards=$HnswShards,m=$HnswM,efc=$HnswEfc,id=$HnswIdFmt" +
-        ",vh1")) // vh1: adjacency stamps the vec_hash content witness
+        ",vh2")) // vh2: adjacency stamps vec_hash (raw-vector FNV)
 
   // each builder has a quantizer-taking overload so a query that has
   // ALREADY trained (it needs the quantizer probe-side regardless)

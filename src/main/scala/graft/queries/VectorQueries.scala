@@ -769,8 +769,8 @@ object VectorQueries {
     * sourceFingerprint contract. */
   private[graft] def v18IndexFingerprint(dir: String): String =
     StageCache.sourceFingerprint(Seq(s"$dir/embeddings.parquet"),
-      // vh1: the adjacency stamps the per-node vec_hash content witness
-      "v18|shards=2|m=16|efc=200|id=f%06d|vh1")
+      // vh2: the adjacency stamps vec_hash (raw-vector FNV witness)
+      "v18|shards=2|m=16|efc=200|id=f%06d|vh2")
 
   /** Build the v18 serving artifact (staged embeddings + HNSW index)
     * under `base` — the ONE builder shared by the catalog query and

@@ -71,11 +71,15 @@ object Hnsw {
     out
   }
 
-  /** FNV-1a 64 over the stored (normalized) vector's float bits — the
-    * per-node content witness the index table persists as `vec_hash`.
-    * Deterministic and writer-independent: build and maintenance both
-    * hash the EXPORTED vector, and [[contentHash]] reproduces it from
-    * the raw base-row vector, so the serving rewrite can hard-error
+  /** FNV-1a 64 over a vector's float bits. The per-node content
+    * witness the index table persists as `vec_hash` is this hash of
+    * the RAW INPUT vector (never the stored normalized copy:
+    * [[unitNormalize]] is not bit-idempotent, so a maintenance rebuild
+    * that re-normalizes kept vectors would drift a normalized-form
+    * hash and spuriously trip the serving guard). [[buildIndexTable]]
+    * hashes each input row; maintenance CARRIES stored hashes for kept
+    * nodes and hashes only its delta rows; [[contentHash]] reproduces
+    * the value from the base row, so the serving rewrite hard-errors
     * when a configured index was not built over the scanned relation
     * (the ivf_q_hash contract, extended to row content). */
   private[graft] def normHash(v: Array[Float]): Long = {
@@ -95,13 +99,11 @@ object Hnsw {
     h
   }
 
-  /** [[normHash]] of the vector as the index stores it (normalized) —
-    * what a base row's raw vector must hash to if the index node with
-    * its id was built from this row. Public because the Catalyst-side
-    * `HnswVectorHash` expression (org.apache.spark.sql.graft) evaluates
-    * it per served row. */
-  def contentHash(raw: Array[Float]): Long =
-    normHash(unitNormalize(raw))
+  /** [[normHash]] of a base row's raw vector — what the index node
+    * with its id carries as `vec_hash` if it was built from this row.
+    * Public because the Catalyst-side `HnswVectorHash` expression
+    * (org.apache.spark.sql.graft) evaluates it per served row. */
+  def contentHash(raw: Array[Float]): Long = normHash(raw)
 
   /** In-memory deterministic HNSW over unit-normalized vectors (cosine
     * ranking via dot product). Not thread-safe; one instance per
@@ -488,10 +490,13 @@ object Hnsw {
         else {
           val shard = org.apache.spark.TaskContext.getPartitionId()
           val docs = rows.map(_._3)
+          // hash the RAW input vector (node index = insertion order,
+          // the same parallel-array contract doc_id rides on)
+          val hashes = rows.map(r => normHash(r._2))
           build(rows.map(r => (r._1, r._2)).toSeq, m, efConstruction)
             .exportRows.iterator
             .map { case (i, id, v, ls) =>
-              (shard, i, id, v, ls, docs(i), normHash(v))
+              (shard, i, id, v, ls, docs(i), hashes(i))
             }
         }
       }

@@ -123,54 +123,72 @@ object HnswMaintenance {
     // never existed before still forms a group and builds fresh
     val docExpr = docCol.map(c => col(c).cast("string"))
       .getOrElse(col(idCol).cast("string"))
-    val existing = spark.read.parquet(indexPath)
+    // vec_hash is the hash of the node's RAW source vector: kept nodes
+    // CARRY their stored value (recomputing from the re-normalized
+    // stored vector would drift — unitNormalize is not bit-idempotent),
+    // delta nodes hash their raw incoming vector; a legacy table
+    // without the column carries NULLs through (the serving guard
+    // passes them unchecked)
+    val adjDf = spark.read.parquet(indexPath)
+    val hashExpr =
+      if (adjDf.columns.contains("vec_hash")) col("vec_hash").cast("long")
+      else lit(null).cast("long")
+    val existing = adjDf
       .filter(col("shard_id").isin(affected.map(Integer.valueOf): _*))
       .select(col("shard_id").cast("int"), col("node_idx").cast("int"),
         col(idCol).cast("string"), col(vectorCol), col("links"),
-        col("doc_id").cast("string"))
-      .as[(Int, Int, String, Array[Float], Array[Array[Int]], String)]
+        col("doc_id").cast("string"), hashExpr.as("vec_hash"))
+      .as[(Int, Int, String, Array[Float], Array[Array[Int]], String,
+        Option[Long])]
     val deltaRows = incoming
       .select(shardCol(idCol, meta.numShards).as("shard_id"),
         lit(-1).as("node_idx"), col(idCol).cast("string"),
         col(vectorCol), typedLit(Array.empty[Array[Int]]).as("links"),
-        docExpr.as("doc_id"))
-      .as[(Int, Int, String, Array[Float], Array[Array[Int]], String)]
+        docExpr.as("doc_id"), lit(null).cast("long").as("vec_hash"))
+      .as[(Int, Int, String, Array[Float], Array[Array[Int]], String,
+        Option[Long])]
 
     // one task per affected shard: extend in place (insert-only) or
     // rebuild (any replacement/deletion in this shard). The per-node
-    // doc_id travels as a parallel array — node index = insertion order
-    // on every path, so position i's doc follows node i.
+    // (doc_id, vec_hash) travels as a parallel array — node index =
+    // insertion order on every path, so position i's meta follows
+    // node i.
     val rebuilt = existing.union(deltaRows)
       .groupByKey(_._1).flatMapGroups { (shard, it) =>
         val (exRaw, dlRaw) = it.toArray.partition(_._2 >= 0)
         val rows = exRaw.sortBy(_._2)
-        val delta = dlRaw.map(r => (r._3, r._4, r._6)).sortBy(_._1)
+        // delta hash = hash of the raw incoming vector, HERE — before
+        // any build re-normalizes it
+        val delta = dlRaw
+          .map(r => (r._3, r._4,
+            (r._6, Some(Hnsw.normHash(r._4)): Option[Long])))
+          .sortBy(_._1)
         val hasRemoval = rows.exists(r => dropB.value.contains(r._3))
-        val (g, docs) =
+        val (g, metas) =
           if (rows.isEmpty) {
-            if (delta.isEmpty) (null, Array.empty[String])
-            else (Hnsw.build(delta.map(d => (d._1, d._2)).toSeq, mm, efC),
-              delta.map(_._3))
+            if (delta.isEmpty) {
+              (null, Array.empty[(String, Option[Long])])
+            } else {
+              (Hnsw.build(delta.map(d => (d._1, d._2)).toSeq, mm, efC),
+                delta.map(_._3))
+            }
           } else if (hasRemoval) {
             // rebuild over final content, fresh-build insertion order
             val keep = rows.filterNot(r => dropB.value.contains(r._3))
-              .map(r => (r._3, r._4, r._6))
+              .map(r => (r._3, r._4, (r._6, r._7)))
             val all = (keep ++ delta).sortBy(_._1)
-            if (all.isEmpty) (null, Array.empty[String])
+            if (all.isEmpty) (null, Array.empty[(String, Option[Long])])
             else (Hnsw.build(all.map(d => (d._1, d._2)).toSeq, mm, efC),
               all.map(_._3))
           } else {
             val g0 = new Hnsw.Index(rows.head._4.length, mm, efC)
             g0.importRows(rows.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
             delta.foreach { case (id, v, _) => g0.add(id, v) }
-            (g0, rows.map(_._6) ++ delta.map(_._3))
+            (g0, rows.map(r => (r._6, r._7)) ++ delta.map(_._3))
           }
         if (g == null) Iterator.empty
         else g.exportRows.iterator.map { case (i, id, v, ls) =>
-          // the per-node content witness (vec_hash) recomputes from the
-          // EXPORTED (stored, normalized) vector on every writer, so a
-          // maintained shard carries it exactly as a fresh build would
-          (shard, i, id, v, ls, docs(i), Hnsw.normHash(v), hasRemoval)
+          (shard, i, id, v, ls, metas(i)._1, metas(i)._2, hasRemoval)
         }
       }.persist()
 

@@ -271,11 +271,14 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         .limit(k)
         .select(col(idCol))
       // index↔table binding: post-r11 index tables stamp vec_hash per
-      // node (the stored vector's content hash); ride it along with the
-      // k walk ids so the splice can verify each served base row IS the
-      // row the node was built from. Legacy tables without the column
-      // serve unguarded (their rows join a NULL hash, which the guard
-      // passes through).
+      // node (the raw source vector's content hash); ride it along with
+      // the k walk ids so the splice can verify each served base row IS
+      // the row the node was built from. Legacy tables without the
+      // column serve unguarded (their rows join a NULL hash, which the
+      // guard passes through). Cost trade: this is a second scan of the
+      // adjacency, but column-pruned to (id, vec_hash) — a small
+      // fraction of the walk's own vector+links read over the same
+      // files — and the file listing is shared (one `adj` relation).
       val hasVh = adj.schema.fieldNames.contains("vec_hash")
       val walkKeyed =
         if (!hasVh) walk

@@ -440,4 +440,75 @@ class HnswRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
         exactTopK(5, _ => true))
     } finally confOff()
   }
+
+  test("vec_hash survives maintenance: a maintained index still serves " +
+      "its (updated) base table with the guard engaged") {
+    // the rebuild path re-normalizes kept vectors (unitNormalize is not
+    // bit-idempotent), so vec_hash must be CARRIED for kept nodes and
+    // computed only for delta rows — recomputing from the re-normalized
+    // stored vector would drift and spuriously trip the guard on
+    // untouched bystanders. Pinned two ways: the full-table invariant
+    // (every node's vec_hash == contentHash of its base row), and an
+    // end-to-end serve over the maintained index.
+    val s = spark
+    import s.implicits._
+    val base2 = s"$dir/emb_maint"
+    val idx2 = s"$dir/hnsw_idx_maint"
+    rawRows.toDF("fragment_id", "vector", "grp").write.parquet(base2)
+    graft.search.HnswMaintenance.writeIndex(spark.read.parquet(base2),
+      idx2, numShards = 2)
+    // replace frag06's vector (forces the rebuild path in its shard)
+    // and insert a fresh id; the base table updates to match
+    val newV6 = Array(20.05f, 0.3f, 1f, 0.7f)
+    val newVx = Array(19.95f, 0.3f, 1f, 0.7f)
+    val v2 = rawRows.map {
+      case (id, _, g) if id == "frag06" => (id, newV6, g)
+      case r => r
+    } :+ (("fragnew", newVx, 0))
+    val base2v2 = s"$dir/emb_maint_v2"
+    v2.toDF("fragment_id", "vector", "grp").write.parquet(base2v2)
+    graft.search.HnswMaintenance.updateIndex(spark, idx2,
+      Seq(("frag06", newV6), ("fragnew", newVx))
+        .toDF("fragment_id", "vector"))
+    // full-table invariant: every maintained node binds to its base row
+    val mismatches = spark.read.parquet(idx2)
+      .select(col("fragment_id"), col("vec_hash"))
+      .join(spark.read.parquet(base2v2), "fragment_id")
+      .collect()
+      .filter { r =>
+        r.getLong(1) != Hnsw.contentHash(
+          r.getAs[scala.collection.Seq[Float]]("vector").toArray)
+      }
+    assert(mismatches.isEmpty,
+      s"maintained nodes drifted from their base rows: " +
+        s"${mismatches.map(_.getString(0)).toSeq}")
+    // end-to-end: the maintained index serves the updated table with
+    // the guard engaged, bit-equal to the exact scan
+    spark.read.parquet(base2v2).createOrReplaceTempView("emb_m")
+    spark.conf.set(HnswIndexRewrite.IndexKey, idx2)
+    spark.conf.set(HnswIndexRewrite.EfKey, (n + 1).toString)
+    try {
+      val df = spark.sql(
+        s"""SELECT fragment_id,
+           |  vector_cosine(vector,
+           |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+           |FROM emb_m ORDER BY sim DESC, fragment_id LIMIT 5"""
+          .stripMargin)
+      assert(walked(df), "maintained index must serve from the walk")
+      val got = df.collect().map(_.getString(0)).toSeq
+      confOff()
+      val exact = spark.sql(
+        s"""SELECT fragment_id,
+           |  vector_cosine(vector,
+           |    CAST(array(19.9, 0.3, 1.0, 0.7) AS array<float>)) AS sim
+           |FROM emb_m ORDER BY sim DESC, fragment_id LIMIT 5"""
+          .stripMargin).collect().map(_.getString(0)).toSeq
+      assert(got == exact, s"maintained serve diverged: $got vs $exact")
+      assert(got.contains("fragnew"),
+        s"the delta row must be servable (it is nearest the query): $got")
+    } finally {
+      confOff()
+      spark.catalog.dropTempView("emb_m")
+    }
+  }
 }
