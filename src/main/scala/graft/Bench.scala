@@ -361,6 +361,13 @@ object Bench {
         f""","value_min":${minTotal(passes, errors)}%.3f""" +
         s""","attempts":$attempt""" +
         s""","calib_gate":"${if (gateOk) "ok" else "exceeded"}"""" +
+        // the gate evaluates the PAIR bracketing the timed catalog
+        // passes; calib_spread below spans all probes incl. the
+        // read-through-era third, so it can exceed the gate max while
+        // the gate reads ok — record the gated pair's spread too so
+        // the artifact is unambiguous
+        f""","calib_gate_spread":${probeSpread(
+          Seq(calibBefore, calibAfter))}%.3f""" +
         (if (rejected.nonEmpty)
           s""","rejected_probes":${rejected.map(_.map(p => f"$p%.3f")
             .mkString("[", ",", "]")).mkString("[", ",", "]")}"""
