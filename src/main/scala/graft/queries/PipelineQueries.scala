@@ -492,6 +492,7 @@ object PipelineQueries {
     val stubRe = """Im2 (\d+)x(\d+) jpx undecoded""".r
     val i97Re = """Im3 (\d+)x(\d+) jpx s(\d+)""".r
     val y420Re = """Im4 (\d+)x(\d+) jpx c3 s(\d+)""".r
+    val y411Re = """Im5 (\d+)x(\d+) jpx c3 s(\d+)""".r
     Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -499,7 +500,7 @@ object PipelineQueries {
         val paras = text.split("\n{2,}").toSeq
           .map(PdfWriter.sanitize).filter(_.trim.nonEmpty).take(2)
         val m = (id % 30).toInt
-        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 5)))
+        val pages = Seq(PdfWriter.PageSpec(paras, Map(0 -> 6)))
         val bytes = PdfWriter.buildJpxScan(pages, compress = id % 2 == 0,
           seed = m)
         val imgs = RealPdfExtractor.extract(s"jpx/$id.pdf", bytes)
@@ -532,21 +533,30 @@ object PipelineQueries {
         val (yw, yh, ys) = imgs.collectFirst {
           case y420Re(w, h, v) => (w.toLong, h.toLong, v.toLong)
         }.getOrElse((-1L, -1L, -1L))
-        (id, rw, rh, rs, jw, jh, js, sw, sh, xw, xh, xok, yw, yh, ys)
+        // the 4:1:1 form (r11: factor-4 subsampling): same exact
+        // replicated-sum contract as 4:2:0 — each quarter-width chroma
+        // sample covers 4 reference columns (width a multiple of 4)
+        val (qw, qh, qs) = imgs.collectFirst {
+          case y411Re(w, h, v) => (w.toLong, h.toLong, v.toLong)
+        }.getOrElse((-1L, -1L, -1L))
+        (id, rw, rh, rs, jw, jh, js, sw, sh, xw, xh, xok, yw, yh, ys,
+          qw, qh, qs)
       })
       .toDF("doc_id", "jpx_w", "jpx_h", "jpx_sum", "jp2_w", "jp2_h",
         "jp2_sum", "stub_w", "stub_h", "i97_w", "i97_h", "i97_ok",
-        "y420_w", "y420_h", "y420_sum")
+        "y420_w", "y420_h", "y420_sum", "y411_w", "y411_h", "y411_sum")
       .orderBy(col("doc_id"))
   }
 
-  // grid bounds = the max of jpxRawDims/y420Dims over m (w ≤ 27, h ≤ 18);
-  // the y420 chroma conditions use 2x < w (= x < w/2, dims even)
+  // grid bounds = the max of jpxRawDims/y420Dims/y411Dims over m
+  // (w ≤ 28, h ≤ 18); the y420 chroma conditions use 2x < w (= x < w/2,
+  // dims even), the y411 conditions 4x < w (w a multiple of 4)
   private val p16Sql =
     """WITH d AS (SELECT doc_id, doc_id % 30 AS m,
       |  17 + 2*((doc_id % 30) % 6) AS w0, 11 + (doc_id % 30) % 7 AS h0,
       |  12 + (doc_id % 30) % 9 AS w1, 8 + (doc_id % 30) % 6 AS h1,
-      |  16 + 2*((doc_id % 30) % 6) AS w4, 10 + 2*((doc_id % 30) % 5) AS h4
+      |  16 + 2*((doc_id % 30) % 6) AS w4, 10 + 2*((doc_id % 30) % 5) AS h4,
+      |  16 + 4*((doc_id % 30) % 4) AS w5, 9 + (doc_id % 30) % 6 AS h5
       |  FROM documents)
       |SELECT d.doc_id,
       |  CAST(MAX(w0) AS BIGINT) AS jpx_w,
@@ -570,8 +580,17 @@ object PipelineQueries {
       |      THEN (x*7 + y*11 + 3*(m+13)) % 256 ELSE 0 END)
       |    + 4*SUM(CASE WHEN 2*x < w4 AND 2*y < h4
       |      THEN (x*7 + y*11 + 3*(m+17)) % 256 ELSE 0 END)
-      |    AS BIGINT) AS y420_sum
-      |FROM d CROSS JOIN range(27) t1(x) CROSS JOIN range(18) t2(y)
+      |    AS BIGINT) AS y420_sum,
+      |  CAST(MAX(w5) AS BIGINT) AS y411_w,
+      |  CAST(MAX(h5) AS BIGINT) AS y411_h,
+      |  CAST(SUM(CASE WHEN x < w5 AND y < h5
+      |      THEN (x*7 + y*11 + 3*(m+19)) % 256 ELSE 0 END)
+      |    + 4*SUM(CASE WHEN 4*x < w5 AND y < h5
+      |      THEN (x*7 + y*11 + 3*(m+23)) % 256 ELSE 0 END)
+      |    + 4*SUM(CASE WHEN 4*x < w5 AND y < h5
+      |      THEN (x*7 + y*11 + 3*(m+29)) % 256 ELSE 0 END)
+      |    AS BIGINT) AS y411_sum
+      |FROM d CROSS JOIN range(28) t1(x) CROSS JOIN range(18) t2(y)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 
   /** S4 on the SYMBOL-CODED JBIG2 shape — the dominant wild form of

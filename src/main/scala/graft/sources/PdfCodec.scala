@@ -826,6 +826,13 @@ object PdfWriter {
     * `ΣY + 4·(ΣCb + ΣCr)` with no edge terms. */
   def y420Dims(m: Int): (Int, Int) = (16 + 2 * (m % 6), 10 + 2 * (m % 5))
 
+  /** True dimensions of the subsampled-YCbCr (4:1:1, the DV-lineage
+    * factor-4 form) image for seed m — width a MULTIPLE OF 4, so every
+    * chroma sample covers exactly 4 reference-grid pixels in a row and
+    * the oracle's replicated ink sum is `ΣY + 4·(ΣCb + ΣCr)` with no
+    * edge terms (height factor is 1). */
+  def y411Dims(m: Int): (Int, Int) = (16 + 4 * (m % 4), 9 + m % 6)
+
   /** LL-band quantization step of the 9/7 fixture (genuinely lossy —
     * ~42 dB on the sawtooth raster — so only a correct dequantize +
     * synthesis lands inside the p16 ink band). */
@@ -1157,7 +1164,7 @@ object PdfWriter {
           }
           if (jpxSeed.isDefined) {
             val m = jpxSeed.get
-            (i % 5) match {
+            (i % 6) match {
               case 0 => // REAL raw codestream; dict dims LIE. The seed
                 // rotates quality layers, progression order, tiling,
                 // and (r11, every fifth seed) a two-entry POC —
@@ -1190,7 +1197,7 @@ object PdfWriter {
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
                   Jpx.encodeIrreversible(Seq(jpxRaster(m + 7, iw, ih)),
                     step = I97Step))
-              case _ => // SUBSAMPLED 4:2:0 YCbCr — the wild archival
+              case 4 => // SUBSAMPLED 4:2:0 YCbCr — the wild archival
                 // color-scan form: full-res Y, half-res Cb/Cr on their
                 // own band/code-block grids, MCT off (T.800 G.2
                 // requires identically-sized components). Lossless 5/3,
@@ -1206,6 +1213,19 @@ object PdfWriter {
                   sub = Seq((1, 1), (2, 2), (2, 2)))
                 imgXObject(iw - 1, ih - 1, "DeviceRGB", 8, "JPXDecode", "",
                   if (m % 2 == 1) Jpx.wrapJp2(cs, iw, ih, 3) else cs)
+              case _ => // SUBSAMPLED 4:1:1 YCbCr (r11: factor 4) — the
+                // DV-lineage chroma layout: quarter-width full-height
+                // Cb/Cr, each chroma sample replicating across 4
+                // reference columns. Lossless 5/3, exact replicated ink
+                // sum, dict dims LIE; every third seed JP2-wraps.
+                val (iw, ih) = y411Dims(m)
+                val cs = Jpx.encodeMulti(Seq(
+                  jpxRaster(m + 19, iw, ih),
+                  jpxRaster(m + 23, iw / 4, ih),
+                  jpxRaster(m + 29, iw / 4, ih)), levels = 2,
+                  sub = Seq((1, 1), (4, 1), (4, 1)))
+                imgXObject(iw - 1, ih - 1, "DeviceRGB", 8, "JPXDecode", "",
+                  if (m % 3 == 0) Jpx.wrapJp2(cs, iw, ih, 3) else cs)
             }
           } else if (jbig2TextSeed.isDefined) {
             val m = jbig2TextSeed.get

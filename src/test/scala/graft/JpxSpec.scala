@@ -636,4 +636,24 @@ class JpxSpec extends AnyFunSuite {
         s"m=$m: 4:2:0 image not decoded truthfully (want $want): $imgs")
     }
   }
+
+  test("the 4:1:1 PDF form decodes truthfully: factor-4 chroma " +
+      "replication, exact ink") {
+    (0 until 30).foreach { m =>
+      val pages = Seq(PdfWriter.PageSpec(Seq(s"y411 doc $m"), Map(0 -> 6)))
+      val bytes = PdfWriter.buildJpxScan(pages, compress = m % 2 == 0,
+        seed = m)
+      val imgs = RealPdfExtractor.extract(s"y411-$m.pdf", bytes)
+        .filter(_.isImage).map(_.content)
+      val (w, h) = PdfWriter.y411Dims(m)
+      val ySum = (for (y <- 0 until h; x <- 0 until w)
+        yield PdfWriter.jpxPixel(m + 19, x, y).toLong).sum
+      val cSum = (for (y <- 0 until h; x <- 0 until w / 4) yield
+        (PdfWriter.jpxPixel(m + 23, x, y) +
+          PdfWriter.jpxPixel(m + 29, x, y)).toLong).sum
+      val want = s"Im5 ${w}x$h jpx c3 s${ySum + 4 * cSum}"
+      assert(imgs.contains(want),
+        s"m=$m: 4:1:1 image not decoded truthfully (want $want): $imgs")
+    }
+  }
 }
