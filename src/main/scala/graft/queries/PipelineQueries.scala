@@ -470,19 +470,22 @@ object PipelineQueries {
 
   /** S4 on the WAVELET-CODED scanned shape: like p15 but the image
     * XObjects are real JPEG 2000 ([[graft.sources.Jpx]] — EBCOT Tier-1
-    * over the MQ coder, tag-tree packet headers) in the forms
-    * /JPXDecode meets in the wild: a raw 5/3 lossless codestream (Im0),
-    * a JP2-box-wrapped one (Im1), and a QUANTIZED 9/7 irreversible
-    * stream (Im3 — the dominant archival-scan form: dead-zone scalar
-    * quantization, 9/7 synthesis). Dict /Width /Height LIE by one and
-    * the geometry lives in the SIZ marker, so dimensions are
-    * recoverable only by a true wavelet decode; the lossless sums are
-    * exact, the 9/7 ink is pinned as a band around the source sum
-    * (within it only for a correct dequantize + synthesis). Im2's
-    * undecodable payload pins the honest `undecoded` degrade path in
-    * the same row. The DuckDB oracle recomputes everything from doc_id
-    * arithmetic. Shuffle-free per-document map work, the p14/p15 scale
-    * shape.
+    * over the MQ coder, tag-tree packet headers) in the SIX forms
+    * /JPXDecode meets in the wild: a raw 5/3 lossless codestream (Im0,
+    * rotating layers/progressions/tiling and every fifth seed a POC),
+    * a JP2-box-wrapped one (Im1), a QUANTIZED 9/7 irreversible stream
+    * (Im3 — the dominant archival-scan form: dead-zone scalar
+    * quantization, 9/7 synthesis), and two SUBSAMPLED YCbCr color
+    * scans — 4:2:0 (Im4) and factor-4 4:1:1 (Im5) — whose exact
+    * replicated ink sums only a per-component-geometry decode
+    * reaches. Dict /Width /Height LIE by one and the geometry lives
+    * in the SIZ marker, so dimensions are recoverable only by a true
+    * wavelet decode; the lossless sums are exact, the 9/7 ink is
+    * pinned as a band around the source sum (within it only for a
+    * correct dequantize + synthesis). Im2's undecodable payload pins
+    * the honest `undecoded` degrade path in the same 18-column row.
+    * The DuckDB oracle recomputes everything from doc_id arithmetic.
+    * Shuffle-free per-document map work, the p14/p15 scale shape.
     */
   private val p16Jpeg2000Pdf: Q = (s, dir) => {
     import s.implicits._
