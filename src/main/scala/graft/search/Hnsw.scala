@@ -55,11 +55,11 @@ import org.apache.spark.sql.functions._
   */
 object Hnsw {
 
-  /** Unit-normalization as [[Index]] applies it on insert — ONE copy,
-    * shared with the content-hash path so the serving rewrite can
-    * recompute a stored node's exact bytes from a base row's raw
-    * vector (floats round-trip bit-for-bit only through identical
-    * arithmetic). */
+  /** Unit-normalization as [[Index]] applies it on insert — the ONE
+    * copy of this arithmetic (the graph's own insert path delegates
+    * here). Deliberately NOT part of the content-hash path: it is not
+    * bit-idempotent (norm(norm(v)) can flip low bits), which is
+    * exactly why [[contentHash]] hashes the raw vector instead. */
   private[graft] def unitNormalize(v: Array[Float]): Array[Float] = {
     var s = 0.0
     var i = 0
@@ -639,10 +639,20 @@ object Hnsw {
     // a NULL predicate value is "not eligible", matching SQL WHERE
     val allowCol = predicate.map(p => coalesce(p, lit(false)))
       .getOrElse(lit(true))
+    // the per-node vec_hash content witness rides along when the table
+    // carries it (post-r11 writers) so serving consumers — the SQL
+    // rewrite's binding guard — get the k hashes for free from the
+    // rows this walk already deserializes, instead of paying a second
+    // adjacency scan; legacy tables yield NULLs
+    val hashCol =
+      if (index.columns.contains("vec_hash")) col("vec_hash").cast("long")
+      else lit(null).cast("long")
     val typed = index.select(col("shard_id").cast("int"),
         col("node_idx").cast("int"), col(idCol).cast("string"),
-        col("vector"), col("links"), allowCol.cast("boolean"))
-      .as[(Int, Int, String, Array[Float], Array[Array[Int]], Boolean)]
+        col("vector"), col("links"), allowCol.cast("boolean"),
+        hashCol.as("vec_hash"))
+      .as[(Int, Int, String, Array[Float], Array[Array[Int]], Boolean,
+        Option[Long])]
     val filtered = predicate.isDefined
     val perShard = typed.groupByKey(_._1).flatMapGroups { (_, it) =>
       val rows = it.toArray.sortBy(_._2)
@@ -651,20 +661,23 @@ object Hnsw {
         val g = new Index(rows.head._4.length,
           deriveM(rows.map(r => (r._1, r._2, r._3, r._4, r._5))), 0)
         g.importRows(rows.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
+        val hashOf = rows.iterator.map(r => r._3 -> r._7).toMap
         if (!filtered) {
           qB.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, k, ef).map { case (id, sim) => (qid, id, sim) }
+            g.search(qv, k, ef).map { case (id, sim) =>
+              (qid, id, sim, hashOf(id))
+            }
           }
         } else {
           val allowed = rows.iterator.filter(_._6).map(_._3)
             .to(mutable.HashSet)
           qB.value.iterator.flatMap { case (qid, qv) =>
             g.searchFiltered(qv, k, ef, allowed)
-              .map { case (id, sim) => (qid, id, sim) }
+              .map { case (id, sim) => (qid, id, sim, hashOf(id)) }
           }
         }
       }
-    }.toDF("query_id", idCol, "similarity")
+    }.toDF("query_id", idCol, "similarity", "vec_hash")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col(idCol))
     perShard.withColumn("rank", row_number().over(w))

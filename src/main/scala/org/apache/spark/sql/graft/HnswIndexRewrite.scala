@@ -99,12 +99,14 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** The head sort key canonicalized to a [[VectorCosine]], resolved
     * through a child Project's alias when it is an attribute. Three
-    * servable spellings, all orderings provably identical:
+    * servable spellings, all RANKING identically:
     *   - `cosine DESC` — the reference's similarity form;
     *   - `(1.0 - cosine) ASC` — the verbatim pgvector port (`ORDER BY
     *     embedding <=> $q`, retrieval/search.py:111-112) after constant
     *     folding; 1−x is strictly monotone decreasing, so distance-ASC
-    *     ranks (and ties) exactly as cosine-DESC;
+    *     ranks as cosine-DESC (ties are NOT identical — see the
+    *     non-injectivity note below, which is why the user's own key
+    *     stays the final sort key);
     *   - `vector_cosine_distance(...) ASC` — the named `<=>` function.
     * Remaining sort keys must be ascending attributes named like the id
     * tie-break (or absent) — validated against the LEAF's actual
@@ -137,8 +139,6 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // shard build, which fails loudly on null — so NULL distances never
     // arise in the relation the walk replaces (pgvector's stance too:
     // NULLs are not indexed, and Postgres' ASC default is NULLS LAST).
-    def canonical(e: Expression, dir: SortDirection): Option[VectorCosine] =
-      CosineOrder.canonical(e, dir)
     s.order.headOption.flatMap {
       case SortOrder(a: Attribute, dir, _, _) =>
         // explicit re-entry guard: the spliced plan's own final sort
@@ -152,9 +152,9 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
             case al: Alias if al.exprId == a.exprId => al.child
           })
           .headOption
-          .flatMap(e => canonical(e, dir).map(c => (c, e, dir)))
+          .flatMap(e => CosineOrder.canonical(e, dir).map(c => (c, e, dir)))
       case SortOrder(e, dir, _, _) =>
-        canonical(e, dir).map(c => (c, e, dir))
+        CosineOrder.canonical(e, dir).map(c => (c, e, dir))
     }
   }
 
@@ -266,25 +266,18 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         predOpt.map(_ => ", filtered").getOrElse("") + s") from $path")
       val hits = graft.search.Hnsw.searchIndex(
         enriched, Seq(("q", qv)), k, ef, idCol, predOpt)
-      val walk = hits
+      // index↔table binding: post-r11 index tables stamp vec_hash per
+      // node (the raw source vector's content hash), and searchIndex
+      // emits it beside each hit FROM THE ROWS THE WALK ALREADY READ —
+      // zero extra I/O — so the splice can verify each served base row
+      // IS the row the node was built from. Legacy tables without the
+      // column yield NULL hashes, which the guard passes through.
+      val hasVh = adj.schema.fieldNames.contains("vec_hash")
+      val walkKeyed = hits
         .orderBy(col("similarity").desc, col(idCol))
         .limit(k)
-        .select(col(idCol))
-      // index↔table binding: post-r11 index tables stamp vec_hash per
-      // node (the raw source vector's content hash); ride it along with
-      // the k walk ids so the splice can verify each served base row IS
-      // the row the node was built from. Legacy tables without the
-      // column serve unguarded (their rows join a NULL hash, which the
-      // guard passes through). Cost trade: this is a second scan of the
-      // adjacency, but column-pruned to (id, vec_hash) — a small
-      // fraction of the walk's own vector+links read over the same
-      // files — and the file listing is shared (one `adj` relation).
-      val hasVh = adj.schema.fieldNames.contains("vec_hash")
-      val walkKeyed =
-        if (!hasVh) walk
-        else org.apache.spark.sql.functions.broadcast(walk)
-          .join(adj.select(col(idCol), col("vec_hash").as(VecHashCol)),
-            idCol)
+        .select(col(idCol) +:
+          (if (hasVh) Seq(col("vec_hash").as(VecHashCol)) else Nil): _*)
       // the walk selects MEMBERSHIP only; every value the user asked
       // for — including the final ordering key — is the user's exact
       // expression computed over the k base rows fetched by a
@@ -321,7 +314,8 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       val kOpt = kRows.queryExecution.optimizedPlan
       val kByName = kOpt.output.map(a => a.name -> a).toMap
       // index↔table binding guard over the k served rows: the base
-      // row's raw vector must hash (normalize → FNV, Hnsw.contentHash)
+      // row's raw vector must hash (raw-bits FNV, Hnsw.contentHash —
+      // deliberately NO normalization, see normHash's doc)
       // to the node's stored vec_hash, or the configured index was
       // built over DIFFERENT data — stale, or another table with the
       // same ids — and serving would silently mis-rank. Hard error

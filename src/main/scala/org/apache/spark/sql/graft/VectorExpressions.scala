@@ -139,10 +139,12 @@ object VectorCosineDistance {
 
 /** The per-row content hash an HNSW index node carries (`vec_hash`):
   * [[graft.search.Hnsw.contentHash]] over a base row's RAW vector —
-  * the same normalize-then-FNV pipeline the index writers apply to the
-  * stored node vector, so equality proves the node was built from this
-  * exact row. Evaluated by [[HnswIndexRewrite]]'s splice over the k
-  * served rows only (CodegenFallback is fine off the hot path); a
+  * the same raw-bits FNV the index writers compute from each INPUT row
+  * at build time (never from the stored normalized copy: normalization
+  * is not bit-idempotent, so a normalized-form hash would drift under
+  * maintenance rebuilds), so equality proves the node was built from
+  * this exact row. Evaluated by [[HnswIndexRewrite]]'s splice over the
+  * k served rows only (CodegenFallback is fine off the hot path); a
   * mismatch means the configured index was not built over the scanned
   * relation — stale or foreign — and must hard-error, never silently
   * mis-rank (the ivf_q_hash contract, extended to row content).
@@ -168,7 +170,11 @@ case class HnswVectorHash(child: Expression)
   *   - `(1.0 - vector_cosine(...)) ASC` — the verbatim pgvector
   *     distance port after constant folding, which is also exactly what
   *     [[VectorCosineDistance]] expands to; 1−x is strictly monotone
-  *     decreasing, so distance-ASC ranks (and ties) as cosine-DESC.
+  *     decreasing so distance-ASC RANKS as cosine-DESC, but it is NOT
+  *     injective in doubles (cosines within ~ulp(1.0) collapse to one
+  *     distance), so consumers must keep the USER'S own key as any
+  *     final sort key rather than substituting the canonical cosine —
+  *     see HnswIndexRewrite's splice, which does exactly that.
   * Any other pairing (`cosine ASC`, `distance DESC`, a different
   * constant) orders worst-first and must never be index-served.
   */
