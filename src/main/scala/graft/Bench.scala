@@ -231,13 +231,30 @@ object Bench {
     }
     // min-over-passes per query, for CROSS-ROUND continuity: rounds 1-10
     // recorded min-of-2, so a median headline alone would read as a
-    // structural regression; `value_min` is the like-for-like number
+    // structural regression; `value_min` is the like-for-like number.
+    // Computed over the FIRST TWO passes only (ADVICE r11 #3): min over
+    // all three passes is statistically lower than min-of-2, so letting
+    // the pass count grow the sample would bias the continuity stat
+    // downward in later rounds' favor.
     def minTotal(passes: Seq[Map[String, (Double, Option[String])]],
         errs: Map[String, String]): Double =
       passes.head.keys.collect {
-        case k if !errs.contains(k) =>
-          passes.map(_(k)).collect { case (t, None) => t }.min
+        case k if !errs.contains(k) &&
+            passes.take(2).exists(_(k)._2.isEmpty) =>
+          passes.take(2).map(_(k)).collect { case (t, None) => t }.min
       }.sum
+    // Cross-round subset totals (median stat, successful queries only):
+    // value_r1set over the frozen 36-query r1 catalog (r1 aggregate
+    // 55.04 s — the judge's baseline join), value_prevset over the
+    // previous round's shipped catalog (BenchSets.PrevSet, updated each
+    // round). *_n counts the subset queries actually present+successful
+    // so a rename or failure can never silently shrink the comparison.
+    def subsetTotal(res: Map[String, Double], errs: Map[String, String],
+        set: Set[String]): (Double, Int) = {
+      val ok = res.collect {
+        case (k, v) if set(k) && !errs.contains(k) => v }
+      (ok.sum, ok.size)
+    }
     // Calib probes BRACKET the catalog passes: two consecutive rounds of
     // total_over_calib moving opposite the raw total (r8/r9) showed one
     // probe cannot tell "host got slower" from "probe got unlucky" — the
@@ -347,9 +364,13 @@ object Bench {
       }.mkString("{", ",", "}")
       val rtotal = rres.collect {
         case (k, v) if !rerrs.contains(k) => v }.sum
+      val (rtR1, rtR1n) = subsetTotal(rres, rerrs, BenchSets.R1Set)
+      val (rtPrev, rtPrevN) = subsetTotal(rres, rerrs, BenchSets.PrevSet)
       f""","value_readthrough":$rtotal""" +
         f""","readthrough":{"value":$rtotal,"build_sec":$buildSec%.3f""" +
         f""","value_min":$rtMin%.3f""" +
+        f""","value_r1set":$rtR1%.3f,"r1set_n":$rtR1n""" +
+        f""","value_prevset":$rtPrev%.3f,"prevset_n":$rtPrevN""" +
         f""","failures":${rerrs.size},"over_calib":${rtotal / calibMean}%.1f""" +
         s""","queries":$rqs}"""
     }.getOrElse("")
@@ -359,6 +380,12 @@ object Bench {
         s""","stat":"median","pass_totals":${passTotals
           .map(t => f"$t%.3f").mkString("[", ",", "]")}""" +
         f""","value_min":${minTotal(passes, errors)}%.3f""" +
+        s""","value_min_passes":2""" + {
+          val (r1v, r1n) = subsetTotal(results, errors, BenchSets.R1Set)
+          val (pv, pn) = subsetTotal(results, errors, BenchSets.PrevSet)
+          f""","value_r1set":$r1v%.3f,"r1set_n":$r1n""" +
+            f""","value_prevset":$pv%.3f,"prevset_n":$pn"""
+        } +
         s""","attempts":$attempt""" +
         s""","calib_gate":"${if (gateOk) "ok" else "exceeded"}"""" +
         // the gate evaluates the PAIR bracketing the timed catalog

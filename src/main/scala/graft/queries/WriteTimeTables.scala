@@ -78,7 +78,12 @@ object WriteTimeTables {
       ("v18_hnsw", VectorQueries.v18IndexFingerprint(sfDir),
         VectorQueries.buildV18Index(s, sfDir, _)),
       ("v20_ivf", VectorQueries.v20IndexFingerprint(sfDir),
-        VectorQueries.buildV20Index(s, sfDir, _)))
+        VectorQueries.buildV20Index(s, sfDir, _)),
+      // the maintained artifact (v21): base build + one delta batch —
+      // write-time here means the read-through pass times the SERVE of
+      // a reingest, the cost profile a maintained production index has
+      ("v21_hnsw_maint", VectorQueries.v21IndexFingerprint(sfDir),
+        VectorQueries.buildV21Index(s, sfDir, _)))
     artifacts.foreach { case (name, fp, build) =>
       val d = new java.io.File(root, name)
       if (StageCache.artifactFresh(d, fp)) {

@@ -628,6 +628,12 @@ object Hnsw {
     * traverse disallowed nodes) and the walk collects eligible nodes
     * only ([[Index.searchFiltered]]). `ef ≥ max shard size` ⇒ exact
     * filtered batch KNN — the unfiltered witness carries over.
+    *
+    * Output schema (since r11): `(query_id, <idCol>, similarity,
+    * vec_hash, rank)` — `vec_hash` is the per-node content witness the
+    * SQL rewrite's binding guard consumes (NULL for legacy index tables
+    * written before the column existed). Consumers that relied on the
+    * pre-r11 4-column shape should select their columns by name.
     */
   def searchIndex(index: DataFrame, queries: Seq[(String, Array[Float])],
       topK: Int, ef: Int, idCol: String = "fragment_id",

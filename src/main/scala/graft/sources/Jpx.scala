@@ -1847,10 +1847,21 @@ object Jpx {
               // once is an exotic interleave out of this subset —
               // honest None, never a silent partial decode
               if (poc.nonEmpty) {
+                // entry-count cap BEFORE expanding pocSequence (the
+                // tile-grid-bomb discipline): a hostile segment can
+                // carry ~9k u8-valid entries whose per-entry volumes
+                // pocSequence would materialize (~1e8 tuples) before
+                // the coverage check rejects. A covering union needs
+                // each entry to contribute ≥1 new packet, so more
+                // entries than packets can never validate — and wild
+                // streams carry a handful (64 is far above any
+                // conformant producer).
+                val nPackets = (levels + 1) * nc * layers
+                if (poc.size > math.min(nPackets, 64)) return None
                 if (poc.exists(e => !pocEntryOk(e, levels, nc, layers)))
                   return None
                 if (pocSequence(levels, nc, layers, poc).size !=
-                  (levels + 1) * nc * layers) return None
+                  nPackets) return None
               }
               val ntx = (w.toLong + tileW - 1) / tileW
               val nty = (h.toLong + tileH - 1) / tileH

@@ -219,6 +219,72 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ingest.TableSwap.rmTreeAt(root)
   }
 
+  test("v21 serves the maintained index: post-delta parity, hash guard " +
+      "stamped, write-time artifact skipped when fresh") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val q = "v21_hnsw_maintained_serve"
+    def run() = SparkEntry.queries(q)(s, dir).collect().map(_.toString).toSeq
+    val served = run()
+    assert(served.size == 10 && served.forall(_.contains("true")),
+      s"v21 must return 10 walked rows: $served")
+    // independent Spark-side exact oracle over the POST-delta corpus
+    // (deletes gone, replaced vectors reversed, inserts present) — the
+    // maintained index must rank exactly these ids in this order
+    val post = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10 =!= 5)
+      .select(format_string("f%06d", col("vec_id")).as("fragment_id"),
+        when(col("vec_id") % 10 === 7, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("vector"), col("label"))
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val exact = graft.search.VectorSearch
+      .knn(post.filter(col("label") < 5), qv, 10)
+      .select(col("fragment_id")).collect().map(_.getString(0)).toSeq
+    val servedIds = SparkEntry.queries(q)(s, dir)
+      .orderBy("rank").select("fragment_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(servedIds == exact,
+      s"maintained serve diverged from post-delta exact: $servedIds vs $exact")
+    // write-time: persistAll commits the maintained artifact with every
+    // node's vec_hash stamped (the serving guard's content witness), and
+    // the serving query then reads it without rebuilding
+    val root = java.nio.file.Files.createTempDirectory("stage_v21").toString
+    StageCache.release(s)
+    try {
+      graft.queries.WriteTimeTables.persistAll(s, dir, root)
+      val idx = new java.io.File(root, "v21_hnsw_maint")
+      assert(new java.io.File(idx, "_SUCCESS").isFile)
+      val adj = s.read.parquet(s"$idx/idx")
+      assert(adj.filter(col("vec_hash").isNull).count() == 0,
+        "maintained index rows missing the vec_hash binding witness")
+      val stamp = new java.io.File(idx, "idx").lastModified
+      s.conf.set(StageCache.PathConf, root)
+      assert(run() == served, "write-time maintained serve diverged")
+      assert(new java.io.File(idx, "idx").lastModified == stamp,
+        "a fresh maintained artifact was rebuilt at serve time")
+    } finally {
+      s.conf.unset(StageCache.PathConf)
+      StageCache.release(s)
+      graft.ingest.TableSwap.rmTreeAt(root)
+    }
+  }
+
+  test("v22 approximate serving clears the 0.9 recall floor with the " +
+      "rewrites fired, at both test scale factors") {
+    val s = spark
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = SparkEntry.queries("v22_approx_serving")(s, d).collect()
+      assert(rows.length == 2, s"one row per family expected at $d")
+      rows.foreach { r =>
+        val (family, recall) = (r.getString(0), r.getDouble(2))
+        assert(r.getBoolean(3) && recall >= 0.9,
+          s"$family recall@10 $recall below floor at $d")
+        assert(r.getBoolean(4), s"$family rewrite did not fire at $d")
+      }
+    }
+  }
+
   test("persistAll builds the v18 artifact the serving query then skips") {
     val s = spark
     val root = java.nio.file.Files.createTempDirectory("stage_all").toString
@@ -226,7 +292,8 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       graft.queries.WriteTimeTables.persistAll(s, dir, root)
       val artifacts = Seq("v18_hnsw" -> "v18_hnsw_sql_knn",
-        "v20_ivf" -> "v20_ivf_sql_distance")
+        "v20_ivf" -> "v20_ivf_sql_distance",
+        "v21_hnsw_maint" -> "v21_hnsw_maintained_serve")
       artifacts.foreach { case (name, _) =>
         assert(new java.io.File(new java.io.File(root, name),
           "_SUCCESS").isFile, s"persistAll did not commit $name")
