@@ -951,4 +951,145 @@ object EventStreams {
     graft.search.IndexMaintenance.updateIndex(spark, indexPath, emb, encode)
     ()
   }
+
+  /** A document delta carrying its event-time version — the input of
+    * [[ingestIndexStreamVersioned]]. `eventTime` orders versions of the
+    * same `sourcePath`; the payload fields mirror
+    * [[graft.ingest.IngestPipeline.DocInput]].
+    */
+  final case class VersionedDocInput(sourcePath: String, text: String,
+      isOcr: Boolean, eventTime: java.sql.Timestamp)
+
+  /** [[ingestIndexStream]] hardened for OUT-OF-ORDER deltas: a
+    * watermarked version stream driving [[graft.search.IndexMaintenance]].
+    *
+    * `ingestIndexStream` assumes each micro-batch carries at most one
+    * version per document and batches arrive in version order — true for
+    * a file-source replay, false for any real delta feed (late retries,
+    * duplicated producers). Violating it is silently wrong twice over:
+    * two versions of one document in a batch BOTH land in the index
+    * (cascade replace keys on document, and both rows are "the incoming
+    * batch"), and an old version arriving after a newer one clobbers it.
+    *
+    * This twin closes both with watermark semantics:
+    *
+    *  - within a micro-batch, only the LATEST version per document is
+    *    applied (max eventTime; deterministic text-hash tie-break);
+    *  - across batches, an applied-versions LEDGER
+    *    (`<indexPath>.versions`: doc_id → max applied version, swapped
+    *    crash-safely via [[graft.ingest.TableSwap]] AFTER the index
+    *    update commits) refuses any arrival not strictly newer than what
+    *    the index already holds — at-least-once replays (equality) and
+    *    stragglers (older) are both no-ops;
+    *  - the ledger stays BOUNDED by the lateness horizon, not corpus
+    *    history: anything older than `lateness` behind the newest
+    *    applied version is refused outright (the `withWatermark`
+    *    contract), so ledger entries below that low-water mark can be
+    *    pruned — at 100 TB the ledger scales with documents active
+    *    inside the horizon, not with the corpus.
+    *
+    * Crash windows converge: the ledger is written only after the index
+    * swap, so a crash between them replays the same batch (checkpoint
+    * uncommitted), reapplies the same versions (replace-by-document is
+    * idempotent), and then writes the ledger.
+    */
+  def ingestIndexStreamVersioned(docs: Dataset[VersionedDocInput],
+      indexPath: String, embedder: graft.embedding.Embedder,
+      encode: DataFrame => DataFrame, checkpoint: String,
+      latenessSec: Long = 600L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.withWatermark("eventTime", s"$latenessSec seconds")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[VersionedDocInput], _: Long) =>
+        applyVersionedIngestBatch(indexPath, embedder, encode,
+          latenessSec * 1000000L, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[ingestIndexStreamVersioned]] — exposed for
+    * deterministic replay in specs.
+    */
+  private[graft] def applyVersionedIngestBatch(indexPath: String,
+      embedder: graft.embedding.Embedder, encode: DataFrame => DataFrame,
+      latenessMicros: Long, batch: Dataset[VersionedDocInput]): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // latest version per document WITHIN the batch — deterministic even
+    // on duplicate timestamps (text-hash tie-break), so replayed batches
+    // always pick the same winner
+    val latest = batch.groupByKey(_.sourcePath).reduceGroups { (a, b) =>
+      val (ta, tb) =
+        (eventTimeMicros(a.eventTime), eventTimeMicros(b.eventTime))
+      if (ta > tb) a
+      else if (tb > ta) b
+      else if (scala.util.hashing.MurmurHash3.stringHash(a.text) >=
+        scala.util.hashing.MurmurHash3.stringHash(b.text)) a
+      else b
+    }.map(_._2)
+    if (latest.isEmpty) return
+
+    val ledgerPath = s"$indexPath.versions"
+    graft.ingest.TableSwap.recoverSwap(ledgerPath)
+    val ledger: DataFrame =
+      if (new java.io.File(ledgerPath).isDirectory)
+        spark.read.parquet(ledgerPath)
+      else Seq.empty[(String, Long)].toDF("doc_id", "ver")
+    // low-water mark: `lateness` behind the newest APPLIED version.
+    // Arrivals below it are refused outright — which is exactly what
+    // makes pruning ledger entries below it sound (any accepted version
+    // is >= lwm > every pruned entry, hence strictly newer than it).
+    val maxApplied = {
+      val m = ledger.agg(max(col("ver"))).head()
+      if (m.isNullAt(0)) None else Some(m.getLong(0))
+    }
+    val lwm = maxApplied.map(_ - latenessMicros).getOrElse(Long.MinValue)
+    // applied versions for THIS batch's documents only (delta-sized
+    // collect — the HnswMaintenance/IndexMaintenance delta contract)
+    val batchDocs = latest.map(_.sourcePath).toDF("doc_id")
+    val appliedB = spark.sparkContext.broadcast(
+      ledger.join(broadcast(batchDocs), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("ver").cast("long"))
+        .as[(String, Long)].collect().toMap)
+    val fresh = latest.filter { d =>
+      val v = eventTimeMicros(d.eventTime)
+      v >= lwm && appliedB.value.get(d.sourcePath).forall(v > _)
+    }.persist()
+    try {
+      if (fresh.isEmpty) return
+      val emb = graft.ingest.IngestPipeline.embeddings(
+        graft.ingest.IngestPipeline.fragments(
+          graft.ingest.IngestPipeline.process(fresh.map(d =>
+            graft.ingest.IngestPipeline.DocInput(
+              d.sourcePath, d.text, d.isOcr)))), embedder).toDF()
+      graft.search.IndexMaintenance.updateIndex(spark, indexPath, emb,
+        encode)
+      // ledger update AFTER the index swap (see crash-window note above):
+      // merge the applied versions, advance the low-water mark, prune
+      val freshVers = fresh
+        .map(d => (d.sourcePath, eventTimeMicros(d.eventTime)))
+        .toDF("doc_id", "ver")
+      val lwm2 = math.max(lwm,
+        freshVers.agg(max(col("ver"))).head().getLong(0) - latenessMicros)
+      val merged = ledger.unionByName(freshVers)
+        .groupBy("doc_id").agg(max(col("ver")).as("ver"))
+        .filter(col("ver") >= lwm2)
+        .persist()
+      merged.count() // materialize BEFORE the swap unlinks its source
+      try {
+        if (new java.io.File(ledgerPath).isDirectory)
+          graft.ingest.TableSwap.swap(ledgerPath)(staging =>
+            merged.write.mode("overwrite").parquet(staging))
+        else {
+          // first ledger write: no live dir to swap away. Stage-then-move
+          // keeps the same crash contract — a crash before the move
+          // leaves no ledger, and the replayed batch (checkpoint
+          // uncommitted) reapplies idempotently and re-stages.
+          val staging = s"$ledgerPath.staging"
+          merged.write.mode("overwrite").parquet(staging)
+          java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+            java.nio.file.Paths.get(ledgerPath))
+        }
+      } finally { merged.unpersist(); () }
+    } finally { fresh.unpersist(); () }
+  }
 }

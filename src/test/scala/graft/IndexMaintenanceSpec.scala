@@ -338,6 +338,147 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exists(_.toString.contains("alpha-updated")))
   }
 
+  test("versioned stream: in-batch duplicates, late stragglers and replays " +
+      "all converge to the latest-version corpus; ledger stays bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.embedding.OfflineEmbedder
+    import graft.ingest.IngestPipeline
+    import graft.ingest.IngestPipeline.DocInput
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.VersionedDocInput
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val embedder = new OfflineEmbedder(8)
+    def doc(path: String, marker: String) = DocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.", isOcr = false)
+    def vdoc(path: String, marker: String, sec: Long) = VersionedDocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.",
+      isOcr = false, new java.sql.Timestamp(sec * 1000L))
+    def embOf(docs: DocInput*) = IngestPipeline.embeddings(
+      IngestPipeline.fragments(IngestPipeline.process(docs.toSeq.toDS())),
+      embedder).toDF()
+
+    val initial = embOf(doc("v/a.txt", "alpha"), doc("v/b.txt", "bravo"))
+    val sample = initial.select("vector").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val q = Ivf.train(sample, k = 2)
+    val path = s"$dir/idx_versioned"
+    TableLayout.writePartitionedSorted(Ivf.buildIndex(initial, q),
+      path, "list_id", Seq("fragment_id"))
+
+    val mem = MemoryStream[VersionedDocInput]
+    // lateness 600 s: the low-water mark trails the newest applied
+    // version by 600 s — versions below it are refused outright and
+    // their ledger entries pruned
+    val query = EventStreams.ingestIndexStreamVersioned(mem.toDS(), path,
+      embedder, Ivf.buildIndex(_, q), s"$dir/idx_versioned_ckpt",
+      latenessSec = 600L)
+    try {
+      // batch 1: TWO versions of a in one batch — only the latest (3000s)
+      // may land; naive replace-by-document would keep both versions' rows
+      mem.addData(vdoc("v/a.txt", "alpha-vtwo", 2000L),
+        vdoc("v/a.txt", "alpha-vthree", 3000L))
+      query.processAllAvailable()
+      val afterB1 = asSet(spark.read.parquet(path))
+      assert(afterB1 == asSet(Ivf.buildIndex(
+        embOf(doc("v/a.txt", "alpha-vthree"), doc("v/b.txt", "bravo")), q)),
+        "in-batch duplicate versions must resolve to the latest only")
+
+      // mid-stream crash: a torn partition swap left by a killed process
+      val someList = spark.read.parquet(path)
+        .select("list_id").distinct().as[Int].collect().min
+      Files.move(Paths.get(path, s"list_id=$someList"),
+        Paths.get(path, s"list_id=$someList.old"))
+
+      // batch 2: a LATE OLD version of a (2000s < applied 3000s — must
+      // not clobber) + a genuinely new doc c at 3700s (advances the
+      // low-water mark to 3100s, past a's applied 3000s)
+      mem.addData(vdoc("v/a.txt", "alpha-vtwo", 2000L),
+        vdoc("v/c.txt", "charlie", 3700L))
+      query.processAllAvailable()
+      val wantFinal = asSet(Ivf.buildIndex(
+        embOf(doc("v/a.txt", "alpha-vthree"), doc("v/b.txt", "bravo"),
+          doc("v/c.txt", "charlie")), q))
+      assert(asSet(spark.read.parquet(path)) == wantFinal,
+        "late straggler must be dropped; new doc applied; crash healed")
+
+      // the ledger is bounded by the lateness horizon: a's entry (3000s)
+      // fell below the 3100s low-water mark and must be pruned
+      val ledger = spark.read.parquet(s"$path.versions")
+        .as[(String, Long)].collect().toMap
+      assert(ledger.keySet == Set("v/c.txt"),
+        s"ledger must prune entries below the low-water mark: $ledger")
+
+      // batch 3: a version of a BELOW the low-water mark (3050s < 3100s,
+      // and a is no longer in the ledger) must be refused by the mark,
+      // and an exact replay of c (3700s) is an equality no-op
+      mem.addData(vdoc("v/a.txt", "alpha-vlate", 3050L),
+        vdoc("v/c.txt", "charlie", 3700L))
+      query.processAllAvailable()
+      assert(asSet(spark.read.parquet(path)) == wantFinal,
+        "below-watermark arrivals and replays must be no-ops")
+    } finally query.stop()
+  }
+
+  test("IVFPQ streaming maintenance: the composed frozen encoder maintains " +
+      "codes ≡ batch through a mid-stream crash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.embedding.OfflineEmbedder
+    import graft.ingest.IngestPipeline
+    import graft.ingest.IngestPipeline.DocInput
+    import graft.streaming.EventStreams
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val embedder = new OfflineEmbedder(8)
+    def doc(path: String, marker: String) = DocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.", isOcr = false)
+    def embOf(docs: DocInput*) = IngestPipeline.embeddings(
+      IngestPipeline.fragments(IngestPipeline.process(docs.toSeq.toDS())),
+      embedder).toDF()
+
+    val initial = embOf(doc("pq/a.txt", "alpha"), doc("pq/b.txt", "bravo"))
+    val sample = initial.orderBy(col("fragment_id")).select("vector")
+      .as[Seq[Float]].collect().map(_.toArray)
+    val q = Ivf.train(sample, k = 2)
+    val cb = graft.search.Pq.train(sample, m = 2, ksub = 2)
+    def enc(df: DataFrame): DataFrame =
+      graft.search.Pq.encode(Ivf.buildIndex(df, q), cb)
+    val path = s"$dir/idx_stream_pq"
+    TableLayout.writePartitionedSorted(enc(initial), path,
+      "list_id", Seq("fragment_id"))
+
+    val mem = MemoryStream[DocInput]
+    val query = EventStreams.ingestIndexStream(mem.toDS(), path, embedder,
+      enc, s"$dir/idx_stream_pq_ckpt")
+    try {
+      mem.addData(doc("pq/a.txt", "alpha-updated"))
+      query.processAllAvailable()
+      // mid-stream crash: torn partition swap healed by the next batch
+      val someList = spark.read.parquet(path)
+        .select("list_id").distinct().as[Int].collect().min
+      Files.move(Paths.get(path, s"list_id=$someList"),
+        Paths.get(path, s"list_id=$someList.old"))
+      mem.addData(doc("pq/c.txt", "charlie"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // ≡ batch INCLUDING the pq codes and codebook hash: the frozen
+    // composed encoder must reproduce exactly what a from-scratch
+    // encode of the final corpus produces
+    def full(df: DataFrame): Set[(String, Int, Seq[Byte], Long)] =
+      df.select(col("fragment_id"), col("list_id"), col("pq_code"),
+          col("pq_cb_hash"))
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getAs[Array[Byte]](2).toSeq, r.getLong(3))).toSet
+    val expected = full(enc(embOf(doc("pq/a.txt", "alpha-updated"),
+      doc("pq/b.txt", "bravo"), doc("pq/c.txt", "charlie"))))
+    assert(full(spark.read.parquet(path)) == expected)
+  }
+
   test("updateIndex refuses an encoder whose quantizer differs from the index's") {
     val q1 = quant(0f, 10f)
     val q2 = quant(0f, 11f) // retrained geometry
