@@ -35,17 +35,26 @@ import scala.collection.mutable
   * (the in-codestream transforms require identically-sized components,
   * G.2/G.3), and decode returns the planes upsampled to the reference
   * grid by sample replication. Any
-  * number of decomposition levels, default precincts, EBCOT Tier-1
+  * number of decomposition levels, EBCOT Tier-1
   * with the MQ arithmetic coder (the SAME Annex E coder as [[Jbig2]] —
   * T.800 and T.88 share it; the Tier-1 contexts and pass structure
   * here are T.800 Annex D), tag-tree-coded packet headers (T.800
   * B.10), and both the raw codestream and the JP2 box wrapping.
-  * POC (progression order change, A.6.6) segments are DECODED in the
-  * single-precinct case: each entry's volume iterates in its own
+  * EXPLICIT PRECINCTS (B.6, r12): per-resolution PPx/PPy exponents in
+  * the COD, packets partitioned per precinct with per-precinct
+  * inclusion/zero-bitplane tag trees, code-blocks clamped to the
+  * precinct (B.7's xcb' = min(xcb, PPx [−1 for r>0])), and the
+  * positional progression orders (RPCL/PCRL/CPRL) iterating real
+  * precinct grids on the reference grid; the default 2^15 grid is the
+  * historical single-precinct case, bit-identical. Multi-tile streams
+  * whose tile grid misaligns the precinct anchors reject (tile-local
+  * anchoring must equal B.6's global anchoring).
+  * POC (progression order change, A.6.6) segments are DECODED,
+  * composing with precincts: each entry's volume iterates in its own
   * progression with already-emitted packets skipped, encoder and
   * decoder sharing one sequence function; a POC whose union does not
-  * cover every packet exactly once is an exotic interleave that
-  * rejects. Explicit-precinct streams and subsampling factors outside
+  * cover every packet of the tile exactly once is an exotic interleave
+  * that rejects. Subsampling factors outside
   * {1, 2, 4} are detected and rejected to None — the extractor's
   * honest `undecoded` label, never a guess. The lossless path reconstructs exactly; the 9/7 path
   * reconstructs within the quantizer's error band (JpxSpec pins a PSNR
@@ -779,8 +788,44 @@ object Jpx {
     }
   }
 
-  private val CbExp = 6 // 64×64 code-blocks
+  private val CbExp = 6 // 64×64 code-blocks (before precinct clamping)
   private def cbSize = 1 << CbExp
+
+  /** One band's code-block geometry under explicit precincts (T.800
+    * B.6/B.7): band-domain precinct exponents (halved for r > 0 — band
+    * coordinates are half the resolution grid's), the precinct-clamped
+    * code-block dims (xcb' = min(xcb, PPx [−1 for r>0]), B.7), and the
+    * band's full block grid. Code-blocks anchor at 0 like precincts, so
+    * blocks never straddle a precinct boundary and each resolution
+    * precinct's blocks are a rectangular window of the band grid. */
+  private final case class BandGeom(band: Band, cbw: Int, cbh: Int,
+      ncx: Int, ncy: Int, bppx: Int, bppy: Int) {
+    /** Block-index window of resolution-precinct (pi, pj) in this band:
+      * (first col, first row, cols, rows); cols/rows are 0 when the
+      * precinct falls past this band's edge (odd-dims asymmetry). */
+    def precWindow(pi: Int, pj: Int): (Int, Int, Int, Int) = {
+      val bx0 = pi.toLong << bppx
+      val by0 = pj.toLong << bppy
+      val bx1 = math.min(bx0 + (1L << bppx), band.bw.toLong)
+      val by1 = math.min(by0 + (1L << bppy), band.bh.toLong)
+      if (bx1 <= bx0 || by1 <= by0) (0, 0, 0, 0)
+      else {
+        val ci0 = (bx0 / cbw).toInt
+        val cj0 = (by0 / cbh).toInt
+        (ci0, cj0, ceilDiv(bx1.toInt, cbw) - ci0,
+          ceilDiv(by1.toInt, cbh) - cj0)
+      }
+    }
+  }
+
+  private def bandGeom(b: Band, r: Int, ppx: Int, ppy: Int): BandGeom = {
+    val bppx = if (r == 0) ppx else ppx - 1
+    val bppy = if (r == 0) ppy else ppy - 1
+    val cbw = 1 << math.min(CbExp, bppx)
+    val cbh = 1 << math.min(CbExp, bppy)
+    BandGeom(b, cbw, cbh, ceilDiv(b.bw, cbw), ceilDiv(b.bh, cbh),
+      bppx, bppy)
+  }
 
   /** Number-of-coding-passes codeword (Table B.4). */
   private def putNumPasses(w: HdrWriter, np: Int): Unit = {
@@ -807,52 +852,124 @@ object Jpx {
 
   private def log2floor(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
 
-  /** Packet iteration order (r, c, l) for the five T.800 progression
-    * orders (A.6.1) in the single-precinct-per-resolution case this
-    * codec emits and accepts: the precinct/position loop is a
-    * singleton, so LRCP/RLCP/RPCL differ only in where the layer loop
-    * sits, and PCRL/CPRL both collapse to the component-major order. */
-  private def packetSequence(levels: Int, nc: Int, layers: Int,
-      prog: Int): IndexedSeq[(Int, Int, Int)] = prog match {
-    case 0 => // layer-resolution-component-position
-      for (l <- 0 until layers; r <- 0 to levels; c <- 0 until nc)
-        yield (r, c, l)
-    case 1 => // resolution-layer-component-position
-      for (r <- 0 to levels; l <- 0 until layers; c <- 0 until nc)
-        yield (r, c, l)
-    case 2 => // resolution-position-component-layer
-      for (r <- 0 to levels; c <- 0 until nc; l <- 0 until layers)
-        yield (r, c, l)
-    case _ => // PCRL and CPRL collapse to component-major
-      for (c <- 0 until nc; r <- 0 to levels; l <- 0 until layers)
-        yield (r, c, l)
+  /** The "no explicit precincts" spelling: 2^15 precincts cover any
+    * legal resolution in one piece, so geometry, packet counts and
+    * stream bytes collapse to the historical single-precinct forms. */
+  private[sources] val DefaultPrec = (15, 15)
+
+  /** Per-(resolution, component) precinct grid (T.800 B.6): counts on
+    * the RESOLUTION grid (shared by the resolution's bands — at odd
+    * dims a precinct can be empty in one band yet populated in a
+    * sibling), plus the precinct origin step on the REFERENCE grid
+    * (component step 2^(PPx + levels − r) scaled by the subsampling
+    * factor) — the coordinate the positional progression orders
+    * (RPCL/PCRL/CPRL, A.6.1) iterate. */
+  private final case class PrecGrid(npx: Int, npy: Int,
+      stepX: Long, stepY: Long) {
+    def n: Int = npx * npy
   }
 
-  /** Packet iteration under a POC (progression order change, T.800
-    * A.6.6) — the single-precinct collapse again: each entry
-    * (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc) iterates its
-    * resolution/component/layer volume in its own progression, and a
-    * packet already emitted by an earlier entry is skipped (A.6.6's
-    * "packets … are not included again"). Layer lower bound is 0 for
-    * every entry — overlap handling IS the dedup. Shared by encoder
-    * and decoder (the codeBit-seam guarantee), so the two cannot
-    * disagree on packet order. */
-  private[sources] def pocSequence(levels: Int, nc: Int, layers: Int,
-      entries: Seq[(Int, Int, Int, Int, Int, Int)])
-      : IndexedSeq[(Int, Int, Int)] = {
-    val seen = mutable.Set.empty[(Int, Int, Int)]
-    val out = mutable.ArrayBuffer.empty[(Int, Int, Int)]
-    entries.foreach { case (rs, cs, lye, re, ce, pp) =>
-      val rr = rs until math.min(re, levels + 1)
-      val cc = cs until math.min(ce, nc)
-      val ll = 0 until math.min(lye, layers)
-      val seq = pp match {
-        case 0 => for (l <- ll; r <- rr; c <- cc) yield (r, c, l)
-        case 1 => for (r <- rr; l <- ll; c <- cc) yield (r, c, l)
-        case 2 => for (r <- rr; c <- cc; l <- ll) yield (r, c, l)
-        case _ => for (c <- cc; r <- rr; l <- ll) yield (r, c, l)
+  /** Grids for every (r, c) of one tile: `dims(c)` the component-tile
+    * dims, `precs(r)` the (PPx, PPy) exponents. Tile-local anchor 0 —
+    * exact for single-tile streams and for the aligned multi-tile case
+    * [[checkPrecAlign]] admits. */
+  private def precGrids(levels: Int, dims: IndexedSeq[(Int, Int)],
+      subs: Seq[(Int, Int)], precs: IndexedSeq[(Int, Int)])
+      : IndexedSeq[IndexedSeq[PrecGrid]] =
+    IndexedSeq.tabulate(levels + 1) { r =>
+      IndexedSeq.tabulate(dims.length) { c =>
+        def dd(v: Int, k: Int) =
+          (0 until k).foldLeft(v)((d, _) => (d + 1) / 2)
+        val rw = dd(dims(c)._1, levels - r)
+        val rh = dd(dims(c)._2, levels - r)
+        val (ppx, ppy) = precs(r)
+        PrecGrid(ceilDiv(math.max(rw, 1), 1 << ppx),
+          ceilDiv(math.max(rh, 1), 1 << ppy),
+          (1L << (ppx + levels - r)) * subs(c)._1,
+          (1L << (ppy + levels - r)) * subs(c)._2)
       }
-      seq.foreach(p => if (seen.add(p)) out += p)
+    }
+
+  /** Total packets of one tile — layers × Σ_(r,c) precincts. The POC
+    * coverage check's denominator. */
+  private def totalPackets(grids: IndexedSeq[IndexedSeq[PrecGrid]],
+      layers: Int): Int = grids.iterator.flatten.map(_.n).sum * layers
+
+  /** One entry's packet volume in its own progression order (A.6.1),
+    * over explicit ranges — the shared engine of [[packetSequence]]
+    * (full volume) and [[pocSequence]] (per-POC-entry volumes). Emits
+    * (r, c, l, p) with p the linear precinct index pj·npx+pi. The
+    * positional orders sort precinct origins on the reference grid
+    * with the standard's tie order (RPCL: component; PCRL: component
+    * then resolution; CPRL: resolution); the sort is stable and the
+    * remaining key is unique, so the order is total. */
+  private def packetSeqVol(grids: IndexedSeq[IndexedSeq[PrecGrid]],
+      rr: Range, cc: Range, ll: Range, pp: Int)
+      : IndexedSeq[(Int, Int, Int, Int)] = {
+    def precsOf(r: Int, c: Int): IndexedSeq[(Int, Long, Long)] = {
+      val g = grids(r)(c)
+      for (pj <- 0 until g.npy; pi <- 0 until g.npx)
+        yield (pj * g.npx + pi, pi * g.stepX, pj * g.stepY)
+    }
+    pp match {
+      case 0 => // layer-resolution-component-position
+        for (l <- ll; r <- rr; c <- cc; p <- precsOf(r, c))
+          yield (r, c, l, p._1)
+      case 1 => // resolution-layer-component-position
+        for (r <- rr; l <- ll; c <- cc; p <- precsOf(r, c))
+          yield (r, c, l, p._1)
+      case 2 => // resolution-position-component-layer
+        rr.flatMap { r =>
+          val cells = for (c <- cc; p <- precsOf(r, c))
+            yield (p._3, p._2, c, p._1)
+          cells.sortBy(t => (t._1, t._2, t._3)).flatMap {
+            case (_, _, c, p) => ll.map(l => (r, c, l, p))
+          }
+        }.toIndexedSeq
+      case 3 => // position-component-resolution-layer
+        val cells = for (r <- rr; c <- cc; p <- precsOf(r, c))
+          yield (p._3, p._2, c, r, p._1)
+        cells.sortBy(t => (t._1, t._2, t._3, t._4)).flatMap {
+          case (_, _, c, r, p) => ll.map(l => (r, c, l, p))
+        }.toIndexedSeq
+      case _ => // component-position-resolution-layer
+        cc.flatMap { c =>
+          val cells = for (r <- rr; p <- precsOf(r, c))
+            yield (p._3, p._2, r, p._1)
+          cells.sortBy(t => (t._1, t._2, t._3)).flatMap {
+            case (_, _, r, p) => ll.map(l => (r, c, l, p))
+          }
+        }.toIndexedSeq
+    }
+  }
+
+  /** Packet iteration order (r, c, l, p) for the five T.800 progression
+    * orders (A.6.1), precinct-aware: under the default 2^15 grid every
+    * precinct loop is a singleton and the orders collapse to the
+    * historical single-precinct forms bit-for-bit. */
+  private def packetSequence(levels: Int, nc: Int, layers: Int, prog: Int,
+      grids: IndexedSeq[IndexedSeq[PrecGrid]])
+      : IndexedSeq[(Int, Int, Int, Int)] =
+    packetSeqVol(grids, 0 to levels, 0 until nc, 0 until layers, prog)
+
+  /** Packet iteration under a POC (progression order change, T.800
+    * A.6.6): each entry (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc)
+    * iterates its resolution/component/layer volume — every precinct of
+    * it — in its own progression, and a packet already emitted by an
+    * earlier entry is skipped (A.6.6's "packets … are not included
+    * again"). Layer lower bound is 0 for every entry — overlap handling
+    * IS the dedup. Shared by encoder and decoder (the codeBit-seam
+    * guarantee), so the two cannot disagree on packet order. */
+  private[sources] def pocSequence(levels: Int, nc: Int, layers: Int,
+      entries: Seq[(Int, Int, Int, Int, Int, Int)],
+      grids: IndexedSeq[IndexedSeq[PrecGrid]])
+      : IndexedSeq[(Int, Int, Int, Int)] = {
+    val seen = mutable.Set.empty[(Int, Int, Int, Int)]
+    val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Int)]
+    entries.foreach { case (rs, cs, lye, re, ce, pp) =>
+      packetSeqVol(grids, rs until math.min(re, levels + 1),
+        cs until math.min(ce, nc), 0 until math.min(lye, layers), pp)
+        .foreach(p => if (seen.add(p)) out += p)
     }
     out.toIndexedSeq
   }
@@ -971,7 +1088,8 @@ object Jpx {
       rct: Boolean = false, layers: Int = 1, prog: Int = 0,
       tileW: Int = 0, tileH: Int = 0,
       sub: Seq[(Int, Int)] = Nil,
-      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): Array[Byte] = {
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
+      prec: Seq[(Int, Int)] = Nil): Array[Byte] = {
     require(comps.nonEmpty && (!rct || comps.length == 3))
     require(!rct || sub.forall(_ == ((1, 1))),
       "the in-codestream color transform requires identically-sized " +
@@ -1026,7 +1144,7 @@ object Jpx {
     }
     encodeCore(tiles, w, h, tw, th, levels, nc, mct = if (rct) 1 else 0,
       irrevQ = None, derivedBase = None, layers = layers, prog = prog,
-      subs = subs, poc = poc)
+      subs = subs, poc = poc, prec = prec)
   }
 
   /** Encode with the IRREVERSIBLE pipeline — the dominant wild
@@ -1045,7 +1163,8 @@ object Jpx {
       derived: Boolean = false, layers: Int = 1, prog: Int = 0,
       tileW: Int = 0, tileH: Int = 0,
       sub: Seq[(Int, Int)] = Nil,
-      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil): Array[Byte] = {
+      poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
+      prec: Seq[(Int, Int)] = Nil): Array[Byte] = {
     require(comps.nonEmpty && (!ict || comps.length == 3))
     require(!ict || sub.forall(_ == ((1, 1))),
       "the in-codestream color transform requires identically-sized " +
@@ -1136,7 +1255,7 @@ object Jpx {
     }
     encodeCore(tiles, w, h, tw, th, levels, nc, mct = if (ict) 1 else 0,
       irrevQ = Some(q), derivedBase = if (derived) Some(base) else None,
-      layers = layers, prog = prog, subs = subs, poc = poc)
+      layers = layers, prog = prog, subs = subs, poc = poc, prec = prec)
   }
 
   /** Tier-1 output for one code-block: the finished MQ codeword, the
@@ -1160,25 +1279,62 @@ object Jpx {
     }
   }
 
+  /** Per-PRECINCT packet-coding trees: the B.10 inclusion and
+    * zero-bit-plane tag trees span one precinct of one band, with leaf
+    * coordinates local to the precinct's block window. */
+  private final class PrecState(val ci0: Int, val cj0: Int,
+      val pncx: Int, val pncy: Int) {
+    val inc = new TagTree(pncx, pncy)
+    val zbp = new TagTree(pncx, pncy)
+  }
+
   /** Per-band packet-coding state that persists across a tile's quality
-    * layers: the inclusion and zero-bit-plane tag trees, the Lblock
-    * length-signaling state, and which blocks are already included —
-    * the B.10 protocol is stateful by design. */
-  private final class EncBandState(val band: Band, val ncx: Int,
-      val ncy: Int, val blocks: IndexedSeq[Option[BlockEnc]]) {
-    val inc = new TagTree(ncx, ncy)
-    val zbp = new TagTree(ncx, ncy)
-    val lblock = Array.fill(ncx * ncy)(3)
-    val included = new Array[Boolean](ncx * ncy)
+    * layers: per-precinct tag trees, and the per-CODE-BLOCK Lblock /
+    * included state (blocks belong to exactly one precinct, but the
+    * state arrays index the band's full block grid — B.10 is stateful
+    * by design). */
+  private final class EncBandState(val geom: BandGeom,
+      val blocks: IndexedSeq[Option[BlockEnc]], grid: PrecGrid,
+      layers: Int) {
+    val lblock = Array.fill(geom.ncx * geom.ncy)(3)
+    val included = new Array[Boolean](geom.ncx * geom.ncy)
+    /** Tree pair per resolution precinct; None where the precinct falls
+      * entirely past this band's edge. */
+    val precs: IndexedSeq[Option[PrecState]] =
+      IndexedSeq.tabulate(grid.n) { p =>
+        val (ci0, cj0, pw, ph) = geom.precWindow(p % grid.npx, p / grid.npx)
+        if (pw <= 0 || ph <= 0) None
+        else {
+          val st = new PrecState(ci0, cj0, pw, ph)
+          var jj = 0
+          while (jj < ph) {
+            var ii = 0
+            while (ii < pw) {
+              val b = blocks((cj0 + jj) * geom.ncx + (ci0 + ii))
+              st.inc.setLeaf(ii, jj,
+                b.map(_.firstLayer(layers)).getOrElse(layers))
+              st.zbp.setLeaf(ii, jj, b.map(_.p0).getOrElse(0))
+              ii += 1
+            }
+            jj += 1
+          }
+          st.inc.buildParents()
+          st.zbp.buildParents()
+          Some(st)
+        }
+      }
   }
 
   /** Tier-1 + packet assembly for one tile: code every block once
     * (recording pass-end truncation marks), split passes across layers,
     * then walk the progression order emitting packet headers against
-    * the persistent per-band state. */
+    * the persistent per-band/per-precinct state. */
   private def encodeTile(tp: TilePlanes, levels: Int, nc: Int,
       layers: Int, prog: Int, mbOf: (Int, Band) => Int,
-      poc: Seq[(Int, Int, Int, Int, Int, Int)]): Array[Byte] = {
+      poc: Seq[(Int, Int, Int, Int, Int, Int)],
+      subs: Seq[(Int, Int)],
+      precs: IndexedSeq[(Int, Int)]): Array[Byte] = {
+    val grids = precGrids(levels, tp.dims, subs, precs)
     val states: IndexedSeq[IndexedSeq[Seq[EncBandState]]] =
       for (r <- 0 to levels) yield for (c <- 0 until nc) yield {
         val a = tp.planes(c)
@@ -1186,13 +1342,12 @@ object Jpx {
         val live = bands(tw, th, levels, r)
           .filter(b => b.bw > 0 && b.bh > 0)
         live.map { band =>
-          val ncx = (band.bw + cbSize - 1) / cbSize
-          val ncy = (band.bh + cbSize - 1) / cbSize
-          val blocks = for (cj <- 0 until ncy; ci <- 0 until ncx) yield {
-            val bx = ci * cbSize
-            val by = cj * cbSize
-            val bw = math.min(cbSize, band.bw - bx)
-            val bh = math.min(cbSize, band.bh - by)
+          val g = bandGeom(band, r, precs(r)._1, precs(r)._2)
+          val blocks = for (cj <- 0 until g.ncy; ci <- 0 until g.ncx) yield {
+            val bx = ci * g.cbw
+            val by = cj * g.cbh
+            val bw = math.min(g.cbw, band.bw - bx)
+            val bh = math.min(g.cbh, band.bh - by)
             val t1 = new T1Encoder(bw, bh, band.btype)
             var maxMag = 0
             var yy = 0
@@ -1226,23 +1381,23 @@ object Jpx {
               Some(BlockEnc(data, passes, mb - planes, cum))
             }
           }
-          val st = new EncBandState(band, ncx, ncy, blocks)
-          blocks.zipWithIndex.foreach { case (b, k) =>
-            st.inc.setLeaf(k % ncx, k / ncx,
-              b.map(_.firstLayer(layers)).getOrElse(layers))
-            st.zbp.setLeaf(k % ncx, k / ncx, b.map(_.p0).getOrElse(0))
-          }
-          st.inc.buildParents()
-          st.zbp.buildParents()
-          st
+          new EncBandState(bandGeom(band, r, precs(r)._1, precs(r)._2),
+            blocks, grids(r)(c), layers)
         }
       }
 
     val out = new ByteArrayOutputStream
     val pseq =
-      if (poc.isEmpty) packetSequence(levels, nc, layers, prog)
-      else pocSequence(levels, nc, layers, poc)
-    pseq.foreach { case (r, c, l) =>
+      if (poc.isEmpty) packetSequence(levels, nc, layers, prog, grids)
+      else {
+        // per-TILE coverage (A.6.6 applies tile by tile — edge tiles
+        // have their own precinct counts)
+        val s = pocSequence(levels, nc, layers, poc, grids)
+        require(s.size == totalPackets(grids, layers),
+          "POC entries must cover every packet exactly once in union")
+        s
+      }
+    pseq.foreach { case (r, c, l, p) =>
       val hdr = new HdrWriter
       val bodies = mutable.ArrayBuffer.empty[Array[Byte]]
       val sts = states(r)(c)
@@ -1250,39 +1405,44 @@ object Jpx {
       else {
         hdr.put(1)
         sts.foreach { st =>
-          var k = 0
-          while (k < st.blocks.length) {
-            val ci = k % st.ncx
-            val cj = k / st.ncx
-            val be = st.blocks(k)
-            val ps = be.map(b =>
-              b.passEnd(l, layers) - b.passStart(l, layers)).getOrElse(0)
-            def emit(b: BlockEnc): Unit = {
-              val seg = java.util.Arrays.copyOfRange(b.bytes,
-                b.cum(b.passStart(l, layers)), b.cum(b.passEnd(l, layers)))
-              putNumPasses(hdr, ps)
-              val lenBits =
-                if (seg.length == 0) 1 else log2floor(seg.length) + 1
-              val need = math.max(st.lblock(k), lenBits - log2floor(ps))
-              var i = need - st.lblock(k)
-              while (i > 0) { hdr.put(1); i -= 1 }
-              hdr.put(0)
-              hdr.putBits(seg.length, need + log2floor(ps))
-              st.lblock(k) = need
-              bodies += seg
-            }
-            if (!st.included(k)) {
-              st.inc.encode(hdr, ci, cj, l + 1)
-              if (be.isDefined && be.get.firstLayer(layers) == l) {
-                st.zbp.encode(hdr, ci, cj, be.get.p0 + 1)
-                st.included(k) = true
-                emit(be.get)
+          st.precs(p).foreach { pr =>
+            var jj = 0
+            while (jj < pr.pncy) {
+              var ii = 0
+              while (ii < pr.pncx) {
+                val k = (pr.cj0 + jj) * st.geom.ncx + (pr.ci0 + ii)
+                val be = st.blocks(k)
+                val ps = be.map(b =>
+                  b.passEnd(l, layers) - b.passStart(l, layers)).getOrElse(0)
+                def emit(b: BlockEnc): Unit = {
+                  val seg = java.util.Arrays.copyOfRange(b.bytes,
+                    b.cum(b.passStart(l, layers)), b.cum(b.passEnd(l, layers)))
+                  putNumPasses(hdr, ps)
+                  val lenBits =
+                    if (seg.length == 0) 1 else log2floor(seg.length) + 1
+                  val need = math.max(st.lblock(k), lenBits - log2floor(ps))
+                  var i = need - st.lblock(k)
+                  while (i > 0) { hdr.put(1); i -= 1 }
+                  hdr.put(0)
+                  hdr.putBits(seg.length, need + log2floor(ps))
+                  st.lblock(k) = need
+                  bodies += seg
+                }
+                if (!st.included(k)) {
+                  pr.inc.encode(hdr, ii, jj, l + 1)
+                  if (be.isDefined && be.get.firstLayer(layers) == l) {
+                    pr.zbp.encode(hdr, ii, jj, be.get.p0 + 1)
+                    st.included(k) = true
+                    emit(be.get)
+                  }
+                } else if (ps > 0) {
+                  hdr.put(1)
+                  emit(be.get)
+                } else hdr.put(0)
+                ii += 1
               }
-            } else if (ps > 0) {
-              hdr.put(1)
-              emit(be.get)
-            } else hdr.put(0)
-            k += 1
+              jj += 1
+            }
           }
         }
       }
@@ -1293,26 +1453,56 @@ object Jpx {
     out.toByteArray
   }
 
+  /** Validate an explicit precinct spec (one (PPx, PPy) per resolution,
+    * r = 0 first) and resolve the default. PPx = 0 is only legal at
+    * r = 0 (T.800 A.6.1 — band-domain precincts halve for r > 0). When
+    * the tile grid actually splits the canvas, tile-local precinct
+    * anchoring must equal the standard's global anchoring: every tile's
+    * resolution-grid origin must be a multiple of the precinct size —
+    * `(tileDim / factor) % 2^(levels − r + PPx) == 0` per component per
+    * resolution (the decoder rejects the same misalignment). */
+  private def checkPrec(prec: Seq[(Int, Int)], levels: Int,
+      tileW: Int, tileH: Int, w: Int, h: Int,
+      subs: Seq[(Int, Int)]): IndexedSeq[(Int, Int)] = {
+    if (prec.isEmpty) return IndexedSeq.fill(levels + 1)(DefaultPrec)
+    require(prec.length == levels + 1,
+      s"precinct spec needs ${levels + 1} entries, got ${prec.length}")
+    prec.zipWithIndex.foreach { case ((ppx, ppy), r) =>
+      require(ppx >= (if (r == 0) 0 else 1) && ppx <= 15 &&
+        ppy >= (if (r == 0) 0 else 1) && ppy <= 15,
+        s"precinct exponents out of range at r=$r: ($ppx, $ppy)")
+      subs.foreach { case (xr, yr) =>
+        if (tileW < w && ppx > r)
+          require((tileW / xr) % (1L << (levels - r + ppx)) == 0,
+            s"tile width $tileW misaligns the r=$r precinct grid " +
+              s"(needs a multiple of ${xr * (1L << (levels - r + ppx))})")
+        if (tileH < h && ppy > r)
+          require((tileH / yr) % (1L << (levels - r + ppy)) == 0,
+            s"tile height $tileH misaligns the r=$r precinct grid " +
+              s"(needs a multiple of ${yr * (1L << (levels - r + ppy))})")
+      }
+    }
+    prec.toIndexedSeq
+  }
+
   /** Shared marker assembly: main header (SIZ with the tile grid, COD
-    * with progression + layers, QCD per pipeline), then one
-    * SOT/SOD/tile-part per tile, in raster order. */
+    * with progression + layers + optional precinct bytes, QCD per
+    * pipeline), then one SOT/SOD/tile-part per tile, in raster order. */
   private def encodeCore(tiles: Seq[TilePlanes], w: Int, h: Int,
       tileW: Int, tileH: Int, levels: Int, nc: Int, mct: Int,
       irrevQ: Option[Map[(Int, Int), (Int, Int)]],
       derivedBase: Option[(Int, Int)], layers: Int,
       prog: Int, subs: Seq[(Int, Int)],
-      poc: Seq[(Int, Int, Int, Int, Int, Int)]): Array[Byte] = {
-    if (poc.nonEmpty) {
+      poc: Seq[(Int, Int, Int, Int, Int, Int)],
+      prec: Seq[(Int, Int)] = Nil): Array[Byte] = {
+    val precs = checkPrec(prec, levels, tileW, tileH, w, h, subs)
+    if (poc.nonEmpty)
       poc.foreach(e => require(pocEntryOk(e, levels, nc, layers),
-        s"invalid POC entry $e"))
-      require(pocSequence(levels, nc, layers, poc).size ==
-        (levels + 1) * nc * layers,
-        "POC entries must cover every packet exactly once in union")
-    }
+        s"invalid POC entry $e")) // coverage is checked per tile
     def mbOf(r: Int, band: Band): Int =
       irrevQ.map(m => m((r, band.btype))._1 + Guard - 1).getOrElse(band.mb)
-    val tileStreams =
-      tiles.map(tp => encodeTile(tp, levels, nc, layers, prog, mbOf, poc))
+    val tileStreams = tiles.map(tp =>
+      encodeTile(tp, levels, nc, layers, prog, mbOf, poc, subs, precs))
 
     val out = new ByteArrayOutputStream
     def u8(v: Int): Unit = out.write(v & 0xFF)
@@ -1326,12 +1516,15 @@ object Jpx {
     u16(nc) // Csiz
     // 8-bit unsigned; XRsiz/YRsiz carry the component's subsampling
     subs.foreach { case (xr, yr) => u8(7); u8(xr); u8(yr) }
-    u16(0xFF52); u16(12) // COD
-    u8(0) // Scod: default precincts, no SOP/EPH
+    val explicitPrec = prec.nonEmpty
+    u16(0xFF52); u16(12 + (if (explicitPrec) levels + 1 else 0)) // COD
+    u8(if (explicitPrec) 1 else 0) // Scod bit 0: precincts; no SOP/EPH
     u8(prog); u16(layers); u8(mct)
     u8(levels); u8(CbExp - 2); u8(CbExp - 2) // SPcod
     u8(0) // code-block style: none of the Part-1 mode switches
     u8(if (irrevQ.isDefined) 0 else 1) // 0 = 9/7 irreversible, 1 = 5/3
+    if (explicitPrec) // one PPx|PPy<<4 byte per resolution, r = 0 first
+      precs.foreach { case (ppx, ppy) => u8(ppx | (ppy << 4)) }
     if (poc.nonEmpty) { // POC (A.6.6): u8 bounds — Csiz < 257 here
       u16(0xFF5F); u16(2 + 7 * poc.length)
       poc.foreach { case (rs, cs, lye, re, ce, pp) =>
@@ -1452,17 +1645,29 @@ object Jpx {
   /** Decoder twin of [[EncBandState]]: per-band state persisting across
     * a tile's layers, plus the accumulated codeword segments (byte
     * ranges of the input) each block's packets contributed. */
-  private final class DecBandState(val band: Band) {
-    val ncx = (band.bw + cbSize - 1) / cbSize
-    val ncy = (band.bh + cbSize - 1) / cbSize
+  private final class DecPrecState(val ci0: Int, val cj0: Int,
+      val pncx: Int, val pncy: Int) {
+    val inc = new TagTree(pncx, pncy)
+    val zbp = new TagTree(pncx, pncy)
+  }
+
+  private final class DecBandState(val geom: BandGeom, grid: PrecGrid) {
+    def band: Band = geom.band
+    val ncx = geom.ncx
+    val ncy = geom.ncy
     val n = ncx * ncy
-    val inc = new TagTree(ncx, ncy)
-    val zbp = new TagTree(ncx, ncy)
     val included = new Array[Boolean](n)
     val lblock = Array.fill(n)(3)
     val p0 = new Array[Int](n)
     val passes = new Array[Int](n)
     val segs = Array.fill(n)(mutable.ArrayBuffer.empty[(Int, Int)])
+    /** Tag trees per resolution precinct; None past this band's edge. */
+    val precs: IndexedSeq[Option[DecPrecState]] =
+      IndexedSeq.tabulate(grid.n) { p =>
+        val (ci0, cj0, pw, ph) = geom.precWindow(p % grid.npx, p / grid.npx)
+        if (pw <= 0 || ph <= 0) None
+        else Some(new DecPrecState(ci0, cj0, pw, ph))
+      }
   }
 
   /** Decode a raw codestream or JP2 file. None on anything outside the
@@ -1485,6 +1690,7 @@ object Jpx {
       var tileW = 0
       var tileH = 0
       var subs: Array[(Int, Int)] = null
+      var precs: IndexedSeq[(Int, Int)] = null // (PPx, PPy) per r
       var poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil
       var mbs = Map.empty[(Int, Int), Int] // (r, btype) -> Mb
       var irrev = false // COD transform 0 = 9/7 + quantization
@@ -1506,17 +1712,29 @@ object Jpx {
         // identity except under subsampling
         val crs = Array.tabulate(nc)(c =>
           compRect(x0, y0, ctw, cth, subs(c)._1, subs(c)._2))
+        val grids = precGrids(levels,
+          IndexedSeq.tabulate(nc)(c => (crs(c)._3, crs(c)._4)),
+          subs.toSeq, precs)
         val states: IndexedSeq[IndexedSeq[Seq[DecBandState]]] =
           for (r <- 0 to levels) yield
             for (c <- 0 until nc) yield
               bands(crs(c)._3, crs(c)._4, levels, r)
                 .filter(b => b.bw > 0 && b.bh > 0)
-                .map(new DecBandState(_))
+                .map(b => new DecBandState(
+                  bandGeom(b, r, precs(r)._1, precs(r)._2), grids(r)(c)))
         var cursor = bodyStart
         val pseq =
-          if (poc.isEmpty) packetSequence(levels, nc, layers, prog)
-          else pocSequence(levels, nc, layers, poc)
-        pseq.foreach { case (r, c, l) =>
+          if (poc.isEmpty) packetSequence(levels, nc, layers, prog, grids)
+          else {
+            // per-TILE coverage (A.6.6): the union must emit every
+            // packet of THIS tile exactly once — edge tiles carry
+            // their own precinct counts
+            val s = pocSequence(levels, nc, layers, poc, grids)
+            if (s.size != totalPackets(grids, layers))
+              fail("POC entries do not cover the tile exactly once")
+            s
+          }
+        pseq.foreach { case (r, c, l, pp) =>
           if (cursor >= tileEnd) fail("tile body exhausted")
           val hdr = new HdrReader(data, cursor)
           val sts = states(r)(c)
@@ -1524,34 +1742,40 @@ object Jpx {
           if (hdr.bit() == 1) {
             if (sts.isEmpty) fail("contribution to an empty resolution")
             sts.foreach { st =>
-              var k = 0
-              while (k < st.n) {
-                val ci = k % st.ncx
-                val cj = k / st.ncx
-                var fresh = false
-                if (!st.included(k)) {
-                  if (st.inc.decode(hdr, ci, cj, l + 1)) {
-                    var t = 1
-                    while (!st.zbp.decode(hdr, ci, cj, t)) t += 1
-                    st.p0(k) = t - 1
-                    st.included(k) = true
-                    fresh = true
+              st.precs(pp).foreach { pr =>
+                var jj = 0
+                while (jj < pr.pncy) {
+                  var ii = 0
+                  while (ii < pr.pncx) {
+                    val k = (pr.cj0 + jj) * st.ncx + (pr.ci0 + ii)
+                    var fresh = false
+                    if (!st.included(k)) {
+                      if (pr.inc.decode(hdr, ii, jj, l + 1)) {
+                        var t = 1
+                        while (!pr.zbp.decode(hdr, ii, jj, t)) t += 1
+                        st.p0(k) = t - 1
+                        st.included(k) = true
+                        fresh = true
+                      }
+                    } else fresh = hdr.bit() == 1
+                    if (fresh) {
+                      val np = getNumPasses(hdr)
+                      while (hdr.bit() == 1) st.lblock(k) += 1
+                      val lenBits = st.lblock(k) + log2floor(np)
+                      if (lenBits > 30) fail("hostile Lblock growth")
+                      val len = hdr.bits(lenBits)
+                      val planes =
+                        mbs.getOrElse((r, st.band.btype), 0) - st.p0(k)
+                      st.passes(k) += np
+                      if (planes <= 0 || planes > 31 || np < 1 ||
+                          st.passes(k) > 3 * planes - 2)
+                        fail("inconsistent packet header")
+                      contrib += ((st, k, len))
+                    }
+                    ii += 1
                   }
-                } else fresh = hdr.bit() == 1
-                if (fresh) {
-                  val np = getNumPasses(hdr)
-                  while (hdr.bit() == 1) st.lblock(k) += 1
-                  val lenBits = st.lblock(k) + log2floor(np)
-                  if (lenBits > 30) fail("hostile Lblock growth")
-                  val len = hdr.bits(lenBits)
-                  val planes = mbs.getOrElse((r, st.band.btype), 0) - st.p0(k)
-                  st.passes(k) += np
-                  if (planes <= 0 || planes > 31 || np < 1 ||
-                      st.passes(k) > 3 * planes - 2)
-                    fail("inconsistent packet header")
-                  contrib += ((st, k, len))
+                  jj += 1
                 }
-                k += 1
               }
             }
           }
@@ -1594,10 +1818,10 @@ object Jpx {
               val planes = mbs((r, band.btype)) - st.p0(k)
               val ci = k % st.ncx
               val cj = k / st.ncx
-              val bx = ci * cbSize
-              val by = cj * cbSize
-              val bw = math.min(cbSize, band.bw - bx)
-              val bh = math.min(cbSize, band.bh - by)
+              val bx = ci * st.geom.cbw
+              val by = cj * st.geom.cbh
+              val bw = math.min(st.geom.cbw, band.bw - bx)
+              val bh = math.min(st.geom.cbh, band.bh - by)
               val t1 = new T1Decoder(bw, bh, band.btype, buf, 0, total)
               t1.run(planes, st.passes(k))
               val a = tPlanes(c)
@@ -1763,7 +1987,8 @@ object Jpx {
             val len = u16()
             val base = p
             val scod = u8()
-            if ((scod & 1) != 0) return None // explicit precincts
+            if ((scod & ~1) != 0) return None // SOP/EPH out of scope
+            val explicitPrec = (scod & 1) != 0
             prog = u8()
             layers = u16()
             mct = u8()
@@ -1779,6 +2004,16 @@ object Jpx {
               case 1 => irrev = false // 5/3 reversible
               case _ => return None
             }
+            if (explicitPrec) {
+              // one PPx|PPy<<4 byte per resolution (B.6); PPx = 0 only
+              // at r = 0 (band precincts halve for r > 0, A.6.1)
+              if (base + len - 2 - p != levels + 1) return None
+              precs = IndexedSeq.tabulate(levels + 1) { r =>
+                val b = u8(); (b & 0xF, b >>> 4)
+              }
+              if (precs.zipWithIndex.exists { case ((px, py), r) =>
+                  r > 0 && (px == 0 || py == 0) }) return None
+            } else precs = IndexedSeq.fill(levels + 1)(DefaultPrec)
             p = base + len - 2
           case 0xFF5C =>
             if (rects != null) return None // main header frozen after SOT
@@ -1851,17 +2086,31 @@ object Jpx {
                 // tile-grid-bomb discipline): a hostile segment can
                 // carry ~9k u8-valid entries whose per-entry volumes
                 // pocSequence would materialize (~1e8 tuples) before
-                // the coverage check rejects. A covering union needs
-                // each entry to contribute ≥1 new packet, so more
-                // entries than packets can never validate — and wild
-                // streams carry a handful (64 is far above any
-                // conformant producer).
-                val nPackets = (levels + 1) * nc * layers
-                if (poc.size > math.min(nPackets, 64)) return None
+                // the coverage check rejects. Wild streams carry a
+                // handful (64 is far above any conformant producer);
+                // the exactly-once coverage check runs per TILE inside
+                // decodeTile, where the precinct grids are known.
+                if (poc.size > 64) return None
                 if (poc.exists(e => !pocEntryOk(e, levels, nc, layers)))
                   return None
-                if (pocSequence(levels, nc, layers, poc).size !=
-                  nPackets) return None
+              }
+              // explicit precincts + a splitting tile grid: tile-local
+              // precinct anchoring must equal the standard's global
+              // anchoring — every tile's resolution-grid origin a
+              // multiple of the precinct size (the encoder enforces
+              // the same; a misaligned wild stream is an honest None)
+              if (precs == null) return None // COD must precede SOT
+              if (precs.exists(_ != DefaultPrec)) {
+                val misaligned = precs.zipWithIndex.exists {
+                  case ((px, py), r) =>
+                    subs.exists { case (xr, yr) =>
+                      (tileW < w && px > r &&
+                        (tileW / xr) % (1L << (levels - r + px)) != 0) ||
+                      (tileH < h && py > r &&
+                        (tileH / yr) % (1L << (levels - r + py)) != 0)
+                    }
+                }
+                if (misaligned) return None
               }
               val ntx = (w.toLong + tileW - 1) / tileW
               val nty = (h.toLong + tileH - 1) / tileH

@@ -1167,14 +1167,19 @@ object PdfWriter {
             (i % 6) match {
               case 0 => // REAL raw codestream; dict dims LIE. The seed
                 // rotates quality layers, progression order, tiling,
-                // and (r11, every fifth seed) a two-entry POC —
-                // resolution 0 first, the rest layer-major (lossless,
-                // so the oracle's exact sums are unchanged): only a
-                // decoder speaking the full B.10 protocol — tag trees
-                // escalating a layer at a time, persistent Lblock,
-                // segments concatenating across packets, per-tile DWT
-                // domains, A.6.6 packet reordering — recovers the
-                // pixels
+                // (r11, every fifth seed) a two-entry POC — resolution
+                // 0 first, the rest layer-major — and (r12, every
+                // fifth seed) EXPLICIT PRECINCTS (T.800 B.6): a
+                // (1,2,3)-exponent ladder giving a multi-precinct grid
+                // at every resolution with code-blocks clamped to
+                // 2×2/4×4, aligned with the 8-px tile grid. All
+                // lossless, so the oracle's exact sums are unchanged:
+                // only a decoder speaking the full B.10 protocol —
+                // per-PRECINCT tag trees escalating a layer at a time,
+                // persistent Lblock, segments concatenating across
+                // packets, per-tile DWT domains, A.6.6 packet
+                // reordering, B.6 precinct-partitioned packets —
+                // recovers the pixels
                 val (iw, ih) = jpxRawDims(m)
                 val lyr = 1 + m % 3
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
@@ -1184,6 +1189,8 @@ object PdfWriter {
                     tileH = if (m % 3 == 0) 8 else 0,
                     poc = if (m % 5 == 2)
                       Seq((0, 0, lyr, 1, 1, 2), (0, 0, lyr, 3, 1, 0))
+                    else Nil,
+                    prec = if (m % 5 == 3) Seq((1, 1), (2, 2), (3, 3))
                     else Nil))
               case 1 => // REAL JP2-box-wrapped codestream; dict dims LIE
                 val (iw, ih) = jp2Dims(m)

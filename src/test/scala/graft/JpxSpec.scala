@@ -656,4 +656,120 @@ class JpxSpec extends AnyFunSuite {
         s"m=$m: 4:1:1 image not decoded truthfully (want $want): $imgs")
     }
   }
+
+  test("explicit precincts (B.6): multi-precinct grids round-trip across " +
+      "all orders and layer counts, clamping the code-blocks") {
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
+    val img = gray(130, 70)((x, y) => (x * 7 + y * 13) % 256)
+    val want = img.map(_.toSeq).toSeq
+    // PPx = 3..5: multiple precincts at every resolution AND code-blocks
+    // clamped well below 64 (r=0: 8×16; band precincts 4×8 at r=1 -> 4×8
+    // blocks) — the positional orders iterate a real precinct grid
+    for (prog <- 0 to 4; layers <- Seq(1, 3)) {
+      val enc = Jpx.encodeMulti(Seq(img), levels = 2, layers = layers,
+        prog = prog, prec = Seq((3, 4), (4, 3), (5, 5)))
+      val d = Jpx.decode(enc)
+        .getOrElse(fail(s"precinct decode failed: prog=$prog l=$layers"))
+      assert(d.width == 130 && d.height == 70)
+      assert(d.pixels.map(_.toSeq).toSeq == want,
+        s"precinct stream not lossless at prog=$prog layers=$layers")
+    }
+    // PPx = 0 is legal at r = 0 only (1×1 resolution-0 precincts)
+    val enc0 = Jpx.encodeMulti(Seq(gray(24, 18)((x, y) => x * 11 + y * 3)),
+      levels = 1, prec = Seq((0, 0), (2, 2)))
+    assert(Jpx.decode(enc0).exists(_.pixels.map(_.toSeq).toSeq ==
+      gray(24, 18)((x, y) => x * 11 + y * 3).map(_.toSeq).toSeq))
+    assertThrows[IllegalArgumentException] { // r>0 PPx=0 rejects
+      Jpx.encodeMulti(Seq(img), levels = 1, prec = Seq((2, 2), (0, 2)))
+    }
+    // 9/7 pipeline composes: within the quantizer band, geometry exact
+    val encQ = Jpx.encodeIrreversible(Seq(img), levels = 2, step = 1.0,
+      prec = Seq((4, 4), (4, 4), (5, 5)))
+    val dQ = Jpx.decode(encQ).getOrElse(fail("9/7 precinct decode failed"))
+    assert(dQ.width == 130 && dQ.height == 70)
+    val mse = (for (y <- 0 until 70; x <- 0 until 130)
+      yield { val e = dQ.pixels(y)(x) - img(y)(x); (e * e).toDouble }).sum /
+      (130 * 70)
+    assert(mse < 4.0, s"9/7 precinct reconstruction off-band: mse=$mse")
+    // JP2 wrap decodes identically
+    val raw = Jpx.encodeMulti(Seq(img), levels = 2,
+      prec = Seq((4, 4), (4, 4), (4, 4)))
+    val wrapped = Jpx.wrapJp2(raw, 130, 70, 1)
+    assert(Jpx.decode(wrapped).map(_.graySum) == Jpx.decode(raw).map(_.graySum))
+  }
+
+  test("explicit precincts compose with tiles, subsampling and POC; " +
+      "misaligned tile grids and r>0 zero exponents reject") {
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
+    // aligned tiled + subsampled + explicit precincts: tileW/xr = 16 is
+    // a multiple of 2^(levels - r + ppx) for every (r, ppx) below
+    val yp = gray(64, 32)((x, y) => x * 3 + y * 7)
+    val cb = gray(32, 16)((x, y) => x * 5 + y * 11 + 30)
+    val cr = gray(32, 16)((x, y) => (x ^ y) * 9 + 70)
+    val sub = Seq((1, 1), (2, 2), (2, 2))
+    val prec = Seq((2, 2), (3, 3), (3, 3))
+    val enc = Jpx.encodeMulti(Seq(yp, cb, cr), levels = 2, layers = 2,
+      prog = 2, tileW = 32, tileH = 32, sub = sub, prec = prec)
+    val d = Jpx.decode(enc).getOrElse(fail("tiled+sub+prec decode failed"))
+    val dPlain = Jpx.decode(Jpx.encodeMulti(Seq(yp, cb, cr), levels = 2,
+      layers = 2, prog = 2, tileW = 32, tileH = 32, sub = sub)).get
+    assert(d.graySum == dPlain.graySum)
+    for (c <- 0 until 3; y <- 0 until 32)
+      assert(d.comps(c)(y).sameElements(dPlain.comps(c)(y)),
+        s"precinct comp $c row $y != plain")
+    // POC over a precinct grid: volumes cover every (r,c,l,precinct)
+    val img = gray(48, 32)((x, y) => (x * 9 + y * 5) % 256)
+    val poc2 = Seq((0, 0, 2, 1, 1, 2), (0, 0, 2, 3, 1, 0))
+    val encP = Jpx.encodeMulti(Seq(img), levels = 2, layers = 2,
+      poc = poc2, prec = Seq((3, 3), (3, 3), (4, 4)))
+    val dP = Jpx.decode(encP).getOrElse(fail("POC+prec decode failed"))
+    assert(dP.pixels.map(_.toSeq).toSeq == img.map(_.toSeq).toSeq)
+    // encoder rejects a tile grid that misaligns the precinct anchors
+    assertThrows[IllegalArgumentException] {
+      Jpx.encodeMulti(Seq(img), levels = 1, tileW = 8, tileH = 8,
+        prec = Seq((4, 4), (4, 4)))
+    }
+    // decoder: byte-patch the COD precinct bytes of an ALIGNED tiled
+    // stream to a misaligning size — honest None, never a desynced Some
+    val tiled = Jpx.encodeMulti(Seq(img), levels = 1, layers = 1,
+      tileW = 16, tileH = 16, prec = Seq((3, 3), (3, 3)))
+    assert(Jpx.decode(tiled).isDefined)
+    val codAt = { // find COD: SOC(2) then SIZ(2+len), COD marker next
+      var q = 4 + (((tiled(4) & 0xFF) << 8) | (tiled(5) & 0xFF))
+      assert(((tiled(q) & 0xFF) << 8 | (tiled(q + 1) & 0xFF)) == 0xFF52)
+      q
+    }
+    // marker(2) len(2) Scod prog layers(2) mct levels xcb ycb style wav
+    val precByte0 = codAt + 14
+    val patched = tiled.clone()
+    patched(precByte0) = 0x66.toByte // r0: 6,6 — 64 > the 16px tile at r... misaligned
+    assert(Jpx.decode(patched).isEmpty,
+      "misaligned precinct grid must stay undecoded")
+    // r>0 zero exponent byte-patches reject too
+    val zeroExp = tiled.clone()
+    zeroExp(precByte0 + 1) = 0x30.toByte // r1: PPx=0
+    assert(Jpx.decode(zeroExp).isEmpty,
+      "r>0 zero precinct exponent must stay undecoded")
+    // hostile POC entry-count bomb (>64 entries) rejects before any
+    // sequence expansion — splice 64 duplicate entries into the POC
+    // segment of a valid single-entry-POC stream
+    val enc1 = Jpx.encodeMulti(Seq(img), levels = 2, layers = 2,
+      poc = Seq((0, 0, 2, 3, 1, 1)))
+    assert(Jpx.decode(enc1).isDefined)
+    val pocAt = { // SOC SIZ COD, then POC (this encoder's layout)
+      var q = 4 + (((enc1(4) & 0xFF) << 8) | (enc1(5) & 0xFF))
+      q += 2 + (((enc1(q + 2) & 0xFF) << 8) | (enc1(q + 3) & 0xFF)) // COD
+      assert(((enc1(q) & 0xFF) << 8 | (enc1(q + 1) & 0xFF)) == 0xFF5F)
+      q
+    }
+    val entry = enc1.slice(pocAt + 4, pocAt + 11) // the 7 entry bytes
+    val bomb = enc1.take(pocAt + 11) ++
+      Array.fill(64)(entry).flatten ++ enc1.drop(pocAt + 11)
+    val newLen = 2 + 7 * 65
+    bomb(pocAt + 2) = (newLen >> 8).toByte
+    bomb(pocAt + 3) = (newLen & 0xFF).toByte
+    assert(Jpx.decode(bomb).isEmpty, "POC entry bomb must stay undecoded")
+  }
 }

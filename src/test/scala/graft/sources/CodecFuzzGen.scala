@@ -49,6 +49,11 @@ object CodecFuzzGen {
         sub = Seq((1, 1), (4, 1), (4, 1))),
       "jpx-poc" -> Jpx.encodeMulti(Seq(img), layers = 3,
         poc = Seq((0, 0, 3, 1, 1, 2), (0, 0, 3, 3, 1, 0))),
+      // r12 form: explicit precincts (B.6) — multi-precinct grids with
+      // clamped code-blocks, the per-precinct tag-tree path under
+      // mutation (tiled so grid/alignment checks are exercised too)
+      "jpx-prec" -> Jpx.encodeMulti(Seq(img), layers = 2, prog = 2,
+        tileW = 32, tileH = 24, prec = Seq((1, 1), (2, 2), (3, 3))),
       "jb2-generic" -> Jbig2.encodeEmbedded(bits, 40),
       "jb2-refined" -> Jbig2.encodeRefinedDocument(bits, 40, 8, 4,
         (0 until 10).map(y => Array.tabulate(16)(x => x % 2 == y % 2)),
