@@ -319,86 +319,89 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     * 100 TB sharding contract: build parallelism grows with data), and
     * stamp build and walk/probe seconds separately.
     */
-  test("index-family soak: HNSW/IVF/IVFPQ build + walk at sf0.1/sf1/sf5") {
-    assume(enabled, "opt-in: set GRAFT_SOAK=1 to run the index soak leg")
-    val sf5 = ensureSf5()
+  private case class IdxRow(label: String, n: Long, shards: Int,
+      hnswBuild: Double, hnswWalk: Double, ivfK: Int, ivfBuild: Double,
+      ivfProbe: Double, ivfpqBuild: Double, ivfpqProbe: Double)
+
+  private def timedSec[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Build + serve every index family over one (fragment_id, vector)
+    * table and stamp the times — the shared engine of the 3-decade and
+    * the 1M-vector soak legs. Shard count scales so shard SIZE stays
+    * ~12.5k (the 100 TB sharding contract). */
+  private def measureIndexFamilies(label: String,
+      e: org.apache.spark.sql.DataFrame,
+      qvecs: Seq[(String, Array[Float])]): IdxRow = {
     val s = spark
-    import org.apache.spark.sql.functions.{col, format_string}
+    import org.apache.spark.sql.functions.col
     import s.implicits._
     import graft.search.{Hnsw, Ivf, Pq, VectorSearch}
-    val scales = Seq("sf0.1" -> sf01, "sf1" -> sf1, "sf5" -> sf5)
-    case class IdxRow(label: String, n: Long, shards: Int,
-        hnswBuild: Double, hnswWalk: Double, ivfK: Int, ivfBuild: Double,
-        ivfProbe: Double, ivfpqBuild: Double, ivfpqProbe: Double)
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime()
-      val a = f
-      (a, (System.nanoTime() - t0) / 1e9)
-    }
-    val rows = scales.map { case (label, dir) =>
-      val e = Tables.embeddings(s, dir)
-        .select(format_string("f%09d", col("vec_id")).as("fragment_id"),
-          col("embedding").as("vector"))
-      val n = e.count()
-      val shards = math.max(2, math.ceil(n / 12500.0).toInt)
-      val idxDir = java.nio.file.Files.createTempDirectory("idxsoak")
-        .toString
-      try {
-        // HNSW: build shard-local graphs, persist the adjacency; walk 8
-        // queries at fixed ef — the serving path of v18/v19
-        val (_, hnswBuild) = timed {
-          Hnsw.saveIndex(e, s"$idxDir/hnsw", numShards = shards)
-        }
-        val qvecs = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
-          .orderBy(col("vec_id"))
-          .select(col("embedding")).as[Seq[Float]].collect()
-          .zipWithIndex.map { case (v, i) => (s"q$i", v.toArray) }.toSeq
-        val adj = s.read.parquet(s"$idxDir/hnsw")
-        val (walkRows, hnswWalk) = timed {
-          Hnsw.searchIndex(adj, qvecs, 10, ef = 64).count()
-        }
-        assert(walkRows == qvecs.size * 10L,
-          s"$label: walk output must be k-bounded, got $walkRows")
-        // IVF: centroid count ~ sqrt(n) (the production rule — list size
-        // and list count balance); train on a FIXED 1024-row sample so
-        // driver cost stays constant across scales
-        val sample = e.orderBy(col("fragment_id")).limit(1024)
-          .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
-        val ivfK = math.max(16, math.sqrt(n.toDouble).toInt)
-        val quant = Ivf.train(sample, ivfK, iters = 5)
-        val qv = qvecs.head._2
-        val (_, ivfBuild) = timed {
-          Ivf.buildIndex(e, quant)
-            .write.mode("overwrite").parquet(s"$idxDir/ivf")
-        }
-        val ivfIdx = s.read.parquet(s"$idxDir/ivf")
-        val (_, ivfProbe) = timed {
-          val lists = Ivf.nearestLists(qv, quant, nprobe = 8)
-          VectorSearch.knn(ivfIdx.filter(col("list_id").isin(lists: _*)),
-            qv, 10, vectorCol = "vector", tieBreak = "fragment_id")
-            .collect()
-        }
-        // IVFPQ: same lists, PQ codes beside the raw vectors (the v9
-        // layout — the ADC scan ranks on codes, the shortlist re-rank
-        // reads the vectors of only ~50 candidates); probe = ADC scan
-        // of the probed lists + exact re-rank of the shortlist
-        val cb = Pq.train(sample, m = 8, ksub = 16)
-        val (_, ivfpqBuild) = timed {
-          Pq.encode(Ivf.buildIndex(e, quant), cb)
-            .write.mode("overwrite").parquet(s"$idxDir/ivfpq")
-        }
-        val pqIdx = s.read.parquet(s"$idxDir/ivfpq")
-        val (_, ivfpqProbe) = timed {
-          val lists = Ivf.nearestLists(qv, quant, nprobe = 8)
-          Pq.searchCosine(pqIdx.filter(col("list_id").isin(lists: _*)),
-            qv, cb, 10, shortlist = 50, tieBreak = "fragment_id")
-            .collect()
-        }
-        IdxRow(label, n, shards, hnswBuild, hnswWalk, ivfK, ivfBuild,
-          ivfProbe, ivfpqBuild, ivfpqProbe)
-      } finally graft.ingest.TableSwap.rmTreeAt(idxDir)
-    }
-    val line = rows.map { r =>
+    val n = e.count()
+    val shards = math.max(2, math.ceil(n / 12500.0).toInt)
+    val idxDir = java.nio.file.Files.createTempDirectory("idxsoak").toString
+    try {
+      // HNSW: build shard-local graphs, persist the adjacency; walk 8
+      // queries at fixed ef — the serving path of v18/v19
+      val (_, hnswBuild) = timedSec {
+        Hnsw.saveIndex(e, s"$idxDir/hnsw", numShards = shards)
+      }
+      val adj = s.read.parquet(s"$idxDir/hnsw")
+      val (walkRows, hnswWalk) = timedSec {
+        Hnsw.searchIndex(adj, qvecs, 10, ef = 64).count()
+      }
+      assert(walkRows == qvecs.size * 10L,
+        s"$label: walk output must be k-bounded, got $walkRows")
+      // IVF: centroid count ~ sqrt(n) (the production rule — list size
+      // and list count balance); train on a FIXED 1024-row sample so
+      // driver cost stays constant across scales
+      val sample = e.orderBy(col("fragment_id")).limit(1024)
+        .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+      val ivfK = math.max(16, math.sqrt(n.toDouble).toInt)
+      val quant = Ivf.train(sample, ivfK, iters = 5)
+      val qv = qvecs.head._2
+      // the PRODUCTION layout (what v20's serving artifact ships):
+      // list_id-partitioned, so a probe is partition pruning — the
+      // build second honestly includes the partitioned write
+      val (_, ivfBuild) = timedSec {
+        graft.sources.TableLayout.writePartitionedSorted(
+          Ivf.buildIndex(e, quant), s"$idxDir/ivf", "list_id",
+          Seq("fragment_id"))
+      }
+      val ivfIdx = s.read.parquet(s"$idxDir/ivf")
+      val (_, ivfProbe) = timedSec {
+        val lists = Ivf.nearestLists(qv, quant, nprobe = 8)
+        VectorSearch.knn(ivfIdx.filter(col("list_id").isin(lists: _*)),
+          qv, 10, vectorCol = "vector", tieBreak = "fragment_id")
+          .collect()
+      }
+      // IVFPQ: same lists, PQ codes beside the raw vectors (the v9
+      // layout — the ADC scan ranks on codes, the shortlist re-rank
+      // reads the vectors of only ~50 candidates); probe = ADC scan
+      // of the probed lists + exact re-rank of the shortlist
+      val cb = Pq.train(sample, m = 8, ksub = 16)
+      val (_, ivfpqBuild) = timedSec {
+        graft.sources.TableLayout.writePartitionedSorted(
+          Pq.encode(Ivf.buildIndex(e, quant), cb), s"$idxDir/ivfpq",
+          "list_id", Seq("fragment_id"))
+      }
+      val pqIdx = s.read.parquet(s"$idxDir/ivfpq")
+      val (_, ivfpqProbe) = timedSec {
+        val lists = Ivf.nearestLists(qv, quant, nprobe = 8)
+        Pq.searchCosine(pqIdx.filter(col("list_id").isin(lists: _*)),
+          qv, cb, 10, shortlist = 50, tieBreak = "fragment_id")
+          .collect()
+      }
+      IdxRow(label, n, shards, hnswBuild, hnswWalk, ivfK, ivfBuild,
+        ivfProbe, ivfpqBuild, ivfpqProbe)
+    } finally graft.ingest.TableSwap.rmTreeAt(idxDir)
+  }
+
+  private def idxJson(metric: String, rows: Seq[IdxRow]): String =
+    rows.map { r =>
       s""""${r.label}":{"n":${r.n},"shards":${r.shards},""" +
         f""""hnsw_build_sec":${r.hnswBuild}%.2f,""" +
         f""""hnsw_walk_sec":${r.hnswWalk}%.2f,""" +
@@ -406,7 +409,31 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
         f""""ivf_probe_sec":${r.ivfProbe}%.2f,""" +
         f""""ivfpq_build_sec":${r.ivfpqBuild}%.2f,""" +
         f""""ivfpq_probe_sec":${r.ivfpqProbe}%.2f}"""
-    }.mkString("""{"metric":"index_family_soak","scales":{""", ",", "}}")
+    }.mkString(s"""{"metric":"$metric","scales":{""", ",", "}}")
+
+  private def soakQueryVecs(dir: String): Seq[(String, Array[Float])] = {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).as[Seq[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (s"q$i", v.toArray) }.toSeq
+  }
+
+  test("index-family soak: HNSW/IVF/IVFPQ build + walk at sf0.1/sf1/sf5") {
+    assume(enabled, "opt-in: set GRAFT_SOAK=1 to run the index soak leg")
+    val sf5 = ensureSf5()
+    val s = spark
+    import org.apache.spark.sql.functions.{col, format_string}
+    val scales = Seq("sf0.1" -> sf01, "sf1" -> sf1, "sf5" -> sf5)
+    val rows = scales.map { case (label, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(format_string("f%09d", col("vec_id")).as("fragment_id"),
+          col("embedding").as("vector"))
+      measureIndexFamilies(label, e, soakQueryVecs(dir))
+    }
+    val line = idxJson("index_family_soak", rows)
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_SOAKIDX_OUT", "SOAK_index.json")),
       (line + "\n").getBytes("UTF-8"))
@@ -437,5 +464,93 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(w5 < math.max(b5, 1.0),
         f"$name $w5%.1f s should stay under its build ($b5%.1f s)")
     }
+  }
+
+  /** Deterministic 1M × 64-dim vector table (splitmix64 per (id, dim),
+    * values in [−1, 1)), generated once into localdata/vec1m — the r12
+    * fourth decade's corpus, 10× the r11 index-soak ceiling. */
+  private def ensureVec1m(): String = {
+    val dir = "localdata/vec1m"
+    if (!new java.io.File(s"$dir/_SUCCESS").isFile) {
+      val s = spark
+      import s.implicits._
+      info(s"generating $dir (1M × 64-dim) …")
+      s.range(0, 1000000L, 1, 64).map { id =>
+        val v = new Array[Float](64)
+        var i = 0
+        while (i < 64) {
+          var z = id * 64L + i + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^= z >>> 31
+          v(i) = ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+          i += 1
+        }
+        (f"f$id%09d", v)
+      }.toDF("fragment_id", "vector").write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** VERDICT r11 task #5: a FOURTH decade for the index soak — 1M
+    * vectors, 10× the r11 ceiling, the first decade where shard
+    * parallelism (80 shards on 32 cores), not JIT, dominates. Builds
+    * must stay inside the family envelopes at fixed shard size — HNSW
+    * linear-in-rows, IVF/IVFPQ linear in n·k with k = √n (so the
+    * envelope carries the measured k ratio) — and walks/probes must
+    * stay flat and k-bounded. sf5 re-measures in the same run so the
+    * ratio never mixes instruments. */
+  test("index-family soak, fourth decade: 1M vectors") {
+    assume(enabled, "opt-in: set GRAFT_SOAK=1 to run the 1M index soak")
+    val s = spark
+    import org.apache.spark.sql.functions.{col, format_string}
+    import s.implicits._
+    val sf5 = ensureSf5()
+    val e5 = Tables.embeddings(s, sf5)
+      .select(format_string("f%09d", col("vec_id")).as("fragment_id"),
+        col("embedding").as("vector"))
+    val r5 = measureIndexFamilies("sf5", e5, soakQueryVecs(sf5))
+    val dirM = ensureVec1m()
+    val eM = s.read.parquet(dirM)
+    val qM = eM.filter(col("fragment_id") < "f000000008")
+      .orderBy(col("fragment_id"))
+      .select(col("fragment_id"), col("vector"))
+      .as[(String, Array[Float])].collect().toSeq
+    val rM = measureIndexFamilies("vec1m", eM, qM)
+    val line = idxJson("index_family_soak_1m", Seq(r5, rM))
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_SOAKIDX1M_OUT", "SOAK_index1m.json")),
+      (line + "\n").getBytes("UTF-8"))
+    Seq(r5, rM).foreach(r => info(
+      f"${r.label}: n=${r.n} shards=${r.shards} " +
+        f"hnsw ${r.hnswBuild}%.1f/${r.hnswWalk}%.1f s " +
+        f"ivf k=${r.ivfK} ${r.ivfBuild}%.1f/${r.ivfProbe}%.1f s " +
+        f"ivfpq ${r.ivfpqBuild}%.1f/${r.ivfpqProbe}%.1f s"))
+    val dataRatio = rM.n.toDouble / r5.n // 10×
+    val kRatio = rM.ivfK.toDouble / r5.ivfK // ~√10
+    assert(rM.shards >= 8 * r5.shards,
+      s"shard count must scale with data at fixed shard size: $rM vs $r5")
+    // HNSW: linear-in-rows at fixed shard size (2.5× host-noise margin)
+    assert(rM.hnswBuild <= 2.5 * dataRatio * math.max(r5.hnswBuild, 0.5),
+      f"hnsw build ${rM.hnswBuild}%.1f s at $dataRatio%.0f× data " +
+        f"(sf5: ${r5.hnswBuild}%.1f s) — superlinear")
+    // IVF/IVFPQ: assignment is n·k work and k = √n, so the linear
+    // envelope carries the measured k ratio
+    for ((name, b5, bM) <- Seq(("ivf", r5.ivfBuild, rM.ivfBuild),
+        ("ivfpq", r5.ivfpqBuild, rM.ivfpqBuild)))
+      assert(bM <= 2.5 * dataRatio * kRatio * math.max(b5, 0.5),
+        f"$name build $bM%.1f s at $dataRatio%.0f× data, $kRatio%.1f× k " +
+          f"(sf5: $b5%.1f s) — past the n·k envelope")
+    // walks/probes: k-bounded over pruned scans — flat, not data-scaled
+    // the 1.0 s floor absorbs fixed scheduling cost; the 5× margin
+    // covers the 80-shards-on-32-cores wave factor (2.5 waves vs 1) —
+    // a corpus-scaled walk would land at ~10×+
+    for ((name, w5, wM) <- Seq(
+        ("hnsw_walk", r5.hnswWalk, rM.hnswWalk),
+        ("ivf_probe", r5.ivfProbe, rM.ivfProbe),
+        ("ivfpq_probe", r5.ivfpqProbe, rM.ivfpqProbe)))
+      assert(wM <= 5.0 * math.max(w5, 1.0),
+        f"$name $wM%.1f s at $dataRatio%.0f× data (sf5: $w5%.1f s) — " +
+          "a serving walk must stay flat, not scale with the corpus")
   }
 }
