@@ -890,10 +890,22 @@ object Jpx {
       }
     }
 
-  /** Total packets of one tile — layers × Σ_(r,c) precincts. The POC
-    * coverage check's denominator. */
-  private def totalPackets(grids: IndexedSeq[IndexedSeq[PrecGrid]],
-      layers: Int): Int = grids.iterator.flatten.map(_.n).sum * layers
+  /** Total packets of one tile — layers × Σ_(r,c) precincts — in LONG
+    * arithmetic (a hostile SIZ/COD pair can push the product past Int).
+    * The POC coverage check's denominator AND the packet-bomb cap's
+    * measure. */
+  private def totalPacketsL(grids: IndexedSeq[IndexedSeq[PrecGrid]],
+      layers: Int): Long =
+    grids.iterator.flatten.map(g => g.npx.toLong * g.npy).sum * layers
+
+  /** Packet-count cap per tile (the tile-grid-bomb discipline extended
+    * to the precinct dimension): a ~100-byte stream with a huge SIZ
+    * width, PPx=1 everywhere and 256 layers would otherwise demand tens
+    * of millions of per-precinct states and packet tuples before the
+    * first tile byte is read — an uncatchable OOM, not the honest None.
+    * Conformant fixtures sit in the hundreds; 2^20 is far above any
+    * real producer. */
+  private val MaxTilePackets = 1L << 20
 
   /** One entry's packet volume in its own progression order (A.6.1),
     * over explicit ranges — the shared engine of [[packetSequence]]
@@ -906,11 +918,16 @@ object Jpx {
   private def packetSeqVol(grids: IndexedSeq[IndexedSeq[PrecGrid]],
       rr: Range, cc: Range, ll: Range, pp: Int)
       : IndexedSeq[(Int, Int, Int, Int)] = {
-    def precsOf(r: Int, c: Int): IndexedSeq[(Int, Long, Long)] = {
-      val g = grids(r)(c)
-      for (pj <- 0 until g.npy; pi <- 0 until g.npx)
-        yield (pj * g.npx + pi, pi * g.stepX, pj * g.stepY)
-    }
+    // memoized per (r, c): the layer-outer orders (LRCP/RLCP) would
+    // otherwise rebuild every precinct list once per layer
+    val cache =
+      mutable.Map.empty[(Int, Int), IndexedSeq[(Int, Long, Long)]]
+    def precsOf(r: Int, c: Int): IndexedSeq[(Int, Long, Long)] =
+      cache.getOrElseUpdate((r, c), {
+        val g = grids(r)(c)
+        for (pj <- 0 until g.npy; pi <- 0 until g.npx)
+          yield (pj * g.npx + pi, pi * g.stepX, pj * g.stepY)
+      })
     pp match {
       case 0 => // layer-resolution-component-position
         for (l <- ll; r <- rr; c <- cc; p <- precsOf(r, c))
@@ -1335,6 +1352,10 @@ object Jpx {
       subs: Seq[(Int, Int)],
       precs: IndexedSeq[(Int, Int)]): Array[Byte] = {
     val grids = precGrids(levels, tp.dims, subs, precs)
+    // mirror the decoder's packet-bomb cap — everything we emit, we
+    // must also decode
+    require(totalPacketsL(grids, layers) <= MaxTilePackets,
+      "precinct/layer volume exceeds the packet cap")
     val states: IndexedSeq[IndexedSeq[Seq[EncBandState]]] =
       for (r <- 0 to levels) yield for (c <- 0 until nc) yield {
         val a = tp.planes(c)
@@ -1381,8 +1402,7 @@ object Jpx {
               Some(BlockEnc(data, passes, mb - planes, cum))
             }
           }
-          new EncBandState(bandGeom(band, r, precs(r)._1, precs(r)._2),
-            blocks, grids(r)(c), layers)
+          new EncBandState(g, blocks, grids(r)(c), layers)
         }
       }
 
@@ -1393,7 +1413,7 @@ object Jpx {
         // per-TILE coverage (A.6.6 applies tile by tile — edge tiles
         // have their own precinct counts)
         val s = pocSequence(levels, nc, layers, poc, grids)
-        require(s.size == totalPackets(grids, layers),
+        require(s.size.toLong == totalPacketsL(grids, layers),
           "POC entries must cover every packet exactly once in union")
         s
       }
@@ -1496,9 +1516,12 @@ object Jpx {
       poc: Seq[(Int, Int, Int, Int, Int, Int)],
       prec: Seq[(Int, Int)] = Nil): Array[Byte] = {
     val precs = checkPrec(prec, levels, tileW, tileH, w, h, subs)
-    if (poc.nonEmpty)
+    if (poc.nonEmpty) {
+      // mirror the decoder's entry cap — everything we emit, we decode
+      require(poc.size <= 64, s"POC entry count ${poc.size} > 64")
       poc.foreach(e => require(pocEntryOk(e, levels, nc, layers),
         s"invalid POC entry $e")) // coverage is checked per tile
+    }
     def mbOf(r: Int, band: Band): Int =
       irrevQ.map(m => m((r, band.btype))._1 + Guard - 1).getOrElse(band.mb)
     val tileStreams = tiles.map(tp =>
@@ -1715,6 +1738,10 @@ object Jpx {
         val grids = precGrids(levels,
           IndexedSeq.tabulate(nc)(c => (crs(c)._3, crs(c)._4)),
           subs.toSeq, precs)
+        // packet-bomb cap BEFORE any per-precinct allocation (Long
+        // arithmetic — see MaxTilePackets)
+        if (totalPacketsL(grids, layers) > MaxTilePackets)
+          fail("hostile precinct/packet volume")
         val states: IndexedSeq[IndexedSeq[Seq[DecBandState]]] =
           for (r <- 0 to levels) yield
             for (c <- 0 until nc) yield
@@ -1730,7 +1757,7 @@ object Jpx {
             // packet of THIS tile exactly once — edge tiles carry
             // their own precinct counts
             val s = pocSequence(levels, nc, layers, poc, grids)
-            if (s.size != totalPackets(grids, layers))
+            if (s.size.toLong != totalPacketsL(grids, layers))
               fail("POC entries do not cover the tile exactly once")
             s
           }

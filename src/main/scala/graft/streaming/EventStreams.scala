@@ -971,7 +971,10 @@ object EventStreams {
     * (cascade replace keys on document, and both rows are "the incoming
     * batch"), and an old version arriving after a newer one clobbers it.
     *
-    * This twin closes both with watermark semantics:
+    * This twin closes both with watermark semantics IMPLEMENTED IN THE
+    * BATCH HANDLER (a `withWatermark` call would be a no-op ahead of a
+    * foreachBatch sink — Spark watermarks only drop rows inside
+    * stateful operators, so the horizon must be enforced manually):
     *
     *  - within a micro-batch, only the LATEST version per document is
     *    applied (max eventTime; deterministic text-hash tie-break);
@@ -982,11 +985,11 @@ object EventStreams {
     *    the index already holds — at-least-once replays (equality) and
     *    stragglers (older) are both no-ops;
     *  - the ledger stays BOUNDED by the lateness horizon, not corpus
-    *    history: anything older than `lateness` behind the newest
-    *    applied version is refused outright (the `withWatermark`
-    *    contract), so ledger entries below that low-water mark can be
-    *    pruned — at 100 TB the ledger scales with documents active
-    *    inside the horizon, not with the corpus.
+    *    history: the handler refuses outright anything older than
+    *    `latenessSec` behind the newest applied version (the low-water
+    *    mark), so ledger entries below that mark can be pruned — at
+    *    100 TB the ledger scales with documents active inside the
+    *    horizon, not with the corpus.
     *
     * Crash windows converge: the ledger is written only after the index
     * swap, so a crash between them replays the same batch (checkpoint
@@ -997,8 +1000,7 @@ object EventStreams {
       indexPath: String, embedder: graft.embedding.Embedder,
       encode: DataFrame => DataFrame, checkpoint: String,
       latenessSec: Long = 600L): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.withWatermark("eventTime", s"$latenessSec seconds")
-      .writeStream
+    docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[VersionedDocInput], _: Long) =>
         applyVersionedIngestBatch(indexPath, embedder, encode,

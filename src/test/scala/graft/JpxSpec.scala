@@ -772,4 +772,39 @@ class JpxSpec extends AnyFunSuite {
     bomb(pocAt + 3) = (newLen & 0xFF).toByte
     assert(Jpx.decode(bomb).isEmpty, "POC entry bomb must stay undecoded")
   }
+
+  test("hostile precinct/packet bomb rejects before any per-precinct " +
+      "allocation") {
+    // hand-built header: a 2^20 x 1 image (inside the pixel cap) with
+    // levels=10, layers=256 and PPx=PPy=1 at every resolution — ~2^20
+    // precincts x 256 layers of packets. Without the cap, decodeTile
+    // would materialize hundreds of millions of per-precinct states and
+    // packet tuples (an uncatchable OOM); with it, an honest fast None.
+    val out = new java.io.ByteArrayOutputStream
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def u32(v: Long): Unit = { u16((v >> 16).toInt); u16(v.toInt) }
+    val (w, h, levels, layers) = (1 << 20, 1, 10, 256)
+    u16(0xFF4F) // SOC
+    u16(0xFF51); u16(41); u16(0) // SIZ, 1 component
+    u32(w); u32(h); u32(0); u32(0)
+    u32(w); u32(h); u32(0); u32(0) // single tile
+    u16(1); u8(7); u8(1); u8(1)
+    u16(0xFF52); u16(12 + levels + 1) // COD, Scod bit 0
+    u8(1); u8(0); u16(layers); u8(0)
+    u8(levels); u8(4); u8(4); u8(0); u8(1) // 64x64 cb, 5/3
+    (0 to levels).foreach(_ => u8(0x11)) // PPx=PPy=1 everywhere
+    val nsb = 3 * levels + 1
+    u16(0xFF5C); u16(3 + nsb); u8(3 << 5) // QCD, no quant, 3 guard bits
+    (0 until nsb).foreach(_ => u8(8 << 3))
+    u16(0xFF90); u16(10); u16(0); u32(0); u8(0); u8(1) // SOT, Psot=0
+    u16(0xFF93) // SOD
+    u8(0)
+    u16(0xFFD9) // EOC
+    val t0 = System.nanoTime()
+    assert(Jpx.decode(out.toByteArray).isEmpty,
+      "packet bomb must stay undecoded")
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 3.0, f"packet bomb took $sec%.1f s — cap not early enough")
+  }
 }
