@@ -240,17 +240,92 @@ object SamplingQueries {
        |  FROM documents)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // G6 — CLUSTER-BALANCED sampling (the embedding-space curation shape:
+  // cluster the corpus, then draw equally from every cluster so no
+  // region of embedding space dominates the mix — the cluster-side twin
+  // of g5's per-language UniMax). Centroids are the first K corpus
+  // vectors (deterministic, read from the table — both engines see the
+  // same floats); assignment is nearest-centroid by the v-family's
+  // fixed-IEEE-sequence cosine with an id tie-break; the balance rule
+  // keeps min-cluster-size docs per cluster, picked by the salted
+  // 60-bit hash rank (reproducible under any partitioning, independent
+  // of the g1 split). Output is ids only — no float ever reaches the
+  // hash compare.
+  //
+  // Scale shape: centroids BROADCAST (K rows); the K cosines per row are
+  // map-side; the per-vector argmax is a groupBy(vec_id) max_by — the
+  // partial aggregate reduces each vector's K candidate rows to one
+  // BEFORE the shuffle, so the exchange carries n rows, not n·K. The
+  // cluster census/rank is one cluster_id shuffle (the g2/g5 window
+  // profile); the global min is a K-row aggregate broadcast back.
+  private val G6K = 8
+
+  private val g6ClusterBalance: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < G6K)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("__sim",
+        graft.search.VectorSearch.cosine(col("embedding"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"),
+        struct(col("__sim"), (-col("cid")).cast("double"))).as("cluster_id"))
+    val perCluster = Window.partitionBy(col("cluster_id"))
+    val ranked = assigned
+      .withColumn("__n", count(lit(1)).over(perCluster))
+      .withColumn("__r", row_number().over(perCluster.orderBy(
+        hash60(concat(lit("cluster:"), col("vec_id").cast("string"))),
+        col("vec_id"))))
+    val m = ranked.select(col("cluster_id"), col("__n")).distinct()
+      .agg(min(col("__n")).as("__m"))
+    ranked.crossJoin(broadcast(m))
+      .filter(col("__r") <= col("__m"))
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("vec_id").cast("long").as("vec_id"))
+      .orderBy(col("cluster_id"), col("vec_id"))
+  }
+
+  private val g6Sql = {
+    // the same fixed-order cosine the v-family oracles use
+    def norm2(v: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($v)+1), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)), (acc, x) -> acc + x)"
+    val dot =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)), (acc, x) -> acc + x)"
+    val sim = s"(CASE WHEN ${norm2("e.embedding")} = 0.0 OR ${norm2("c.cvec")} = 0.0 " +
+      s"THEN 0.0 ELSE $dot / (sqrt(${norm2("e.embedding")}) * sqrt(${norm2("c.cvec")})) END)"
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+       |           FROM embeddings WHERE vec_id < $G6K),
+       |a AS (SELECT e.vec_id, c.cid,
+       |        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |          ORDER BY $sim DESC, c.cid) AS rn
+       |      FROM embeddings e CROSS JOIN c),
+       |asg AS (SELECT vec_id, cid AS cluster_id FROM a WHERE rn = 1),
+       |r AS (SELECT cluster_id, vec_id,
+       |        ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY
+       |          CAST('0x' || substr(md5('cluster:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+       |          vec_id) AS rr,
+       |        COUNT(*) OVER (PARTITION BY cluster_id) AS n
+       |      FROM asg),
+       |m AS (SELECT MIN(n) AS mn
+       |      FROM (SELECT DISTINCT cluster_id, n FROM r))
+       |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       |  CAST(vec_id AS BIGINT) AS vec_id
+       |FROM r, m WHERE rr <= m.mn ORDER BY cluster_id, vec_id""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
     "g1_hash_split" -> g1HashSplit,
     "g2_stratified_sample" -> g2StratifiedSample,
     "g3_corpus_mix" -> g3CorpusMix,
     "g4_sequence_packing" -> g4SequencePacking,
-    "g5_unimax_sample" -> g5Unimax)
+    "g5_unimax_sample" -> g5Unimax,
+    "g6_cluster_balance" -> g6ClusterBalance)
 
   def oracles: Map[String, String] = Map(
     "g1_hash_split" -> g1Sql,
     "g2_stratified_sample" -> g2Sql,
     "g3_corpus_mix" -> g3Sql,
     "g4_sequence_packing" -> g4Sql,
-    "g5_unimax_sample" -> g5Sql)
+    "g5_unimax_sample" -> g5Sql,
+    "g6_cluster_balance" -> g6Sql)
 }

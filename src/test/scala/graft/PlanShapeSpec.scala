@@ -110,6 +110,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d11 plans an all-pairs join:\n$d11")
   }
 
+  test("g6: centroids broadcast; the per-vector argmax partial-aggregates " +
+      "before its shuffle (n rows cross the exchange, not n*K)") {
+    val p = plan("g6_cluster_balance")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"centroid side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the K-centroid cross join must stay broadcast-side:\n$p")
+    // partial max_by runs before the vec_id exchange: a partial-mode
+    // HashAggregate must appear below the first shuffle of the argmax
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      """HashAggregate.*max_by""".r.findAllIn(p).size >= 2,
+      s"argmax must partial-aggregate map-side:\n$p")
+  }
+
   test("j1: dimension joins broadcast, never sort-merge") {
     val p = plan("j1_star_join")
     assert(p.contains("BroadcastHashJoin"))
