@@ -322,7 +322,7 @@ object Bench {
     val rtEnabled = filterSpec.isEmpty &&
       sys.env.getOrElse("SPARK_GRAFT_READTHROUGH", "1") != "0"
     val readthrough: Option[(Map[String, Double], Map[String, String],
-        Double, Double)] =
+        Double, Double, Int)] =
       if (!rtEnabled) None
       else try {
         val sfName = new java.io.File(sfDir).getName
@@ -338,7 +338,8 @@ object Bench {
         try {
           val rPasses = (1 to nPasses).map(_ => timedPass())
           val (rres, rerrs, _) = combinePasses(rPasses)
-          Some((rres, rerrs, buildSec, minTotal(rPasses, rerrs)._1))
+          val (rtMin, rtMinN) = minTotal(rPasses, rerrs)
+          Some((rres, rerrs, buildSec, rtMin, rtMinN))
         } finally {
           spark.conf.unset(graft.queries.StageCache.PathConf)
           graft.queries.StageCache.release(spark)
@@ -364,7 +365,8 @@ object Bench {
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
     val calibSpread =
       (calibProbes.max - calibProbes.min) / (calibProbes.sum / calibProbes.size)
-    val rtJson = readthrough.map { case (rres, rerrs, buildSec, rtMin) =>
+    val rtJson = readthrough.map { case (rres, rerrs, buildSec, rtMin,
+        rtMinN) =>
       val rqs = rres.map { case (k, v) =>
         "\"" + k + "\":" + (if (rerrs.contains(k)) "-1" else v.toString)
       }.mkString("{", ",", "}")
@@ -374,7 +376,8 @@ object Bench {
       val (rtPrev, rtPrevN) = subsetTotal(rres, rerrs, BenchSets.PrevSet)
       f""","value_readthrough":$rtotal""" +
         f""","readthrough":{"value":$rtotal,"build_sec":$buildSec%.3f""" +
-        f""","value_min":$rtMin%.3f""" +
+        f""","value_min":$rtMin%.3f,"value_min_n":$rtMinN""" +
+        s""","value_min_passes":2""" +
         f""","value_r1set":$rtR1%.3f,"r1set_n":$rtR1n""" +
         f""","value_prevset":$rtPrev%.3f,"prevset_n":$rtPrevN""" +
         f""","failures":${rerrs.size},"over_calib":${rtotal / calibMean}%.1f""" +
@@ -448,7 +451,7 @@ object Bench {
         s""","loadavg_end":"${loadavg()}","passes":$nPasses""" +
         s""","other_jvms":${others.size},"nq":${results.size}""" +
         s""","failures":${errors.size},"failed":${errors.keys.toSeq.sorted.take(10).map(jstr).mkString("[", ",", "]")}""" +
-        readthrough.map { case (rres, rerrs, _, _) =>
+        readthrough.map { case (rres, rerrs, _, _, _) =>
           val rtotal = rres.collect {
             case (k, v) if !rerrs.contains(k) => v }.sum
           f""","value_readthrough":$rtotal%.3f"""

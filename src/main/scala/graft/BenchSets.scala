@@ -10,7 +10,7 @@ package graft
   *   (r1 aggregate over them: 55.04 s) — the judge's baseline gate.
   * - `PrevSet` is the PREVIOUS round's shipped catalog; update it at
   *   round start to the names in the latest CORRECTNESS_r{N-1}.json
-  *   (round-12 value: the r11 150-query catalog).
+  *   (round-13 value: the r12 153-query catalog).
   */
 object BenchSets {
   val R1Set: Set[String] = Set(
@@ -30,15 +30,16 @@ object BenchSets {
     "a10_pivot", "a11_minmax_by", "a12_scalar_subquery",
     "a13_distinct_agg", "a14_cube", "a15_unpivot", "a16_listagg",
     "a17_corr_exact", "a18_mode_exact", "a19_histogram",
-    "a3_topn_per_group", "a5_dup_groups", "a6_distribution", "a7_rollup",
-    "a8_grouping_sets", "a9_percentiles", "d10_incremental_dedup",
-    "d11_segment_dedup", "d12_novelty", "d13_bloom_incremental",
-    "d14_cdc_substring_dedup", "d15_cdc_materialize", "d1_exact_dedup",
-    "d2_minhash_sig", "d3_minhash_lsh_pairs", "d4_simhash",
-    "d5_jaccard_pairs", "d6_char_fingerprint", "d7_dup_clusters",
-    "d8_dedup_keep", "d9_crossdoc_grams", "f1_filter_pushdown",
-    "f2_array_stats", "g1_hash_split", "g2_stratified_sample",
-    "g3_corpus_mix", "g4_sequence_packing", "g5_unimax_sample",
+    "a3_topn_per_group", "a5_dup_groups", "a6_distribution",
+    "a7_rollup", "a8_grouping_sets", "a9_percentiles",
+    "d10_incremental_dedup", "d11_segment_dedup", "d12_novelty",
+    "d13_bloom_incremental", "d14_cdc_substring_dedup",
+    "d15_cdc_materialize", "d1_exact_dedup", "d2_minhash_sig",
+    "d3_minhash_lsh_pairs", "d4_simhash", "d5_jaccard_pairs",
+    "d6_char_fingerprint", "d7_dup_clusters", "d8_dedup_keep",
+    "d9_crossdoc_grams", "f1_filter_pushdown", "f2_array_stats",
+    "g1_hash_split", "g2_stratified_sample", "g3_corpus_mix",
+    "g4_sequence_packing", "g5_unimax_sample", "g6_cluster_balance",
     "j1_star_join", "j2_left_join_expand", "j3_shipping_priority",
     "j5_semi_join", "j6_asof_join", "j7_range_join", "j8_salted_join",
     "j9_asof_forward", "m1_media_features", "m2_frame_sample",
@@ -56,22 +57,24 @@ object BenchSets {
     "q5_local_volume", "q6_range_filter", "q7_nation_volume",
     "q8_market_share", "q9_profit", "t1_topk", "u1_union_branches",
     "u4_anti_join", "u5_intersect", "u6_except", "v10_hnsw_recall",
-    "v11_semdedup", "v12_mmr_rerank", "v13_filtered_knn", "v14_hybrid_rrf",
-    "v15_filtered_ann", "v16_hybrid_topk", "v17_retrieval_metrics",
-    "v18_hnsw_sql_knn", "v19_hnsw_sql_distance", "v1_knn_exact",
-    "v20_ivf_sql_distance", "v2_knn_batch", "v3_lsh_buckets",
-    "v4_embed_neardup", "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall",
-    "v8_sq_recall", "v9_ivfpq_recall", "w10_gapfill",
-    "w11_cohort_retention", "w12_funnel", "w13_sliding_active",
-    "w14_transitions", "w15_anomaly", "w1_window_lag",
-    "w2_tumbling_window", "w3_sessionization", "w4_carry_forward",
-    "w5_moving_sum", "w6_range_frame", "w7_json_extract",
-    "w8_rank_navigation", "w9_value_windows", "x10_decontaminate",
-    "x11_fuzzy_probe", "x12_fuzzy_pairs", "x13_tfidf_terms",
-    "x14_approx_topk", "x15_bpe_merges", "x16_rare_tokens",
-    "x17_bpe_encode", "x18_heldout_lm", "x19_vocab_growth", "x1_lang_id",
-    "x20_pii_redact", "x21_quality_classifier", "x22_bm25",
-    "x2_quality_score", "x3_token_stats", "x4_approx_stats",
-    "x5_regex_tokens", "x6_trigram_lang", "x7_quality_filter",
-    "x8_repetition", "x9_bigram_counts")
+    "v11_semdedup", "v12_mmr_rerank", "v13_filtered_knn",
+    "v14_hybrid_rrf", "v15_filtered_ann", "v16_hybrid_topk",
+    "v17_retrieval_metrics", "v18_hnsw_sql_knn",
+    "v19_hnsw_sql_distance", "v1_knn_exact", "v20_ivf_sql_distance",
+    "v21_hnsw_maintained_serve", "v22_approx_serving", "v2_knn_batch",
+    "v3_lsh_buckets", "v4_embed_neardup", "v5_ann_recall",
+    "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall", "v9_ivfpq_recall",
+    "w10_gapfill", "w11_cohort_retention", "w12_funnel",
+    "w13_sliding_active", "w14_transitions", "w15_anomaly",
+    "w1_window_lag", "w2_tumbling_window", "w3_sessionization",
+    "w4_carry_forward", "w5_moving_sum", "w6_range_frame",
+    "w7_json_extract", "w8_rank_navigation", "w9_value_windows",
+    "x10_decontaminate", "x11_fuzzy_probe", "x12_fuzzy_pairs",
+    "x13_tfidf_terms", "x14_approx_topk", "x15_bpe_merges",
+    "x16_rare_tokens", "x17_bpe_encode", "x18_heldout_lm",
+    "x19_vocab_growth", "x1_lang_id", "x20_pii_redact",
+    "x21_quality_classifier", "x22_bm25", "x2_quality_score",
+    "x3_token_stats", "x4_approx_stats", "x5_regex_tokens",
+    "x6_trigram_lang", "x7_quality_filter", "x8_repetition",
+    "x9_bigram_counts")
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1008,12 +1008,62 @@ object EventStreams {
       }
       .start()
 
+  /** [[ingestHnswIndexStream]] hardened for OUT-OF-ORDER deltas — the
+    * same versioned protocol as [[ingestIndexStreamVersioned]] (in-batch
+    * latest-version-per-document, applied-versions ledger TableSwap'd
+    * AFTER the index commit, lateness-bounded low-water mark, idempotent
+    * replay), driving [[graft.search.HnswMaintenance.updateIndexByDoc]]
+    * instead of the IVF-family encoder. The two streams share one batch
+    * handler; only the index-update call differs, so the crash/replay
+    * convergence argument carries over verbatim (spec-pinned in
+    * HnswMaintenanceSpec with the same batch script as the IVF spec).
+    */
+  def ingestHnswIndexStreamVersioned(docs: Dataset[VersionedDocInput],
+      indexPath: String, embedder: graft.embedding.Embedder,
+      checkpoint: String,
+      latenessSec: Long = 600L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[VersionedDocInput], _: Long) =>
+        applyVersionedHnswIngestBatch(indexPath, embedder,
+          latenessSec * 1000000L, batch)
+      }
+      .start()
+
   /** One micro-batch of [[ingestIndexStreamVersioned]] — exposed for
     * deterministic replay in specs.
     */
   private[graft] def applyVersionedIngestBatch(indexPath: String,
       embedder: graft.embedding.Embedder, encode: DataFrame => DataFrame,
-      latenessMicros: Long, batch: Dataset[VersionedDocInput]): Unit = {
+      latenessMicros: Long, batch: Dataset[VersionedDocInput]): Unit =
+    applyVersionedBatch(indexPath, embedder, latenessMicros, batch) {
+      (spark, emb) =>
+        graft.search.IndexMaintenance.updateIndex(spark, indexPath, emb,
+          encode)
+        ()
+    }
+
+  /** One micro-batch of [[ingestHnswIndexStreamVersioned]] — exposed for
+    * deterministic replay in specs.
+    */
+  private[graft] def applyVersionedHnswIngestBatch(indexPath: String,
+      embedder: graft.embedding.Embedder,
+      latenessMicros: Long, batch: Dataset[VersionedDocInput]): Unit =
+    applyVersionedBatch(indexPath, embedder, latenessMicros, batch) {
+      (spark, emb) =>
+        graft.search.HnswMaintenance.updateIndexByDoc(spark, indexPath, emb)
+        ()
+    }
+
+  /** The shared versioned micro-batch protocol (scaladoc on
+    * [[ingestIndexStreamVersioned]]): version-dedupe the batch, refuse
+    * stale/below-horizon arrivals via the ledger, run `update` with the
+    * fresh documents' embeddings, then commit the ledger.
+    */
+  private def applyVersionedBatch(indexPath: String,
+      embedder: graft.embedding.Embedder,
+      latenessMicros: Long, batch: Dataset[VersionedDocInput])(
+      update: (SparkSession, DataFrame) => Unit): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     // latest version per document WITHIN the batch — deterministic even
@@ -1063,8 +1113,7 @@ object EventStreams {
           graft.ingest.IngestPipeline.process(fresh.map(d =>
             graft.ingest.IngestPipeline.DocInput(
               d.sourcePath, d.text, d.isOcr)))), embedder).toDF()
-      graft.search.IndexMaintenance.updateIndex(spark, indexPath, emb,
-        encode)
+      update(spark, emb)
       // ledger update AFTER the index swap (see crash-window note above):
       // merge the applied versions, advance the low-water mark, prune
       val freshVers = fresh

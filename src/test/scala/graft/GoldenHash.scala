@@ -1,41 +1,8 @@
 package graft
 
-import java.util.Locale
-
-import org.apache.spark.sql.{DataFrame, Row}
-
-/** Canonical content hash for a query result, mirroring the driver's
-  * oracle compare (sort columns by name, then rows by rendered value) so a
-  * pinned hash is a full regression oracle for queries with no DuckDB
-  * analog (GoldenHashSpec). Floats render at 6 decimal places: same
-  * config + same data is bitwise-deterministic, the rounding only guards
-  * against last-ulp noise ever mattering.
-  */
-object GoldenHash {
-
-  def render(v: Any): String = v match {
-    case null => "\\N"
-    case d: Double => String.format(Locale.ROOT, "%.6f", Double.box(d))
-    case f: Float => String.format(Locale.ROOT, "%.6f", Double.box(f.toDouble))
-    case b: Array[Byte] => b.map(x => String.format("%02x", Byte.box(x))).mkString
-    case s: scala.collection.Seq[_] => s.map(render).mkString("[", ",", "]")
-    case m: scala.collection.Map[_, _] =>
-      m.toSeq.map { case (k, x) => render(k) + ":" + render(x) }
-        .sorted.mkString("{", ",", "}")
-    case r: Row => r.toSeq.map(render).mkString("(", ",", ")")
-    case x => x.toString
-  }
-
-  def of(df: DataFrame): String = {
-    val cols = df.columns.sorted.toSeq
-    val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
-      .collect().map(render).sorted
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(cols.mkString("|").getBytes("UTF-8"))
-    rows.foreach(r => md.update(r.getBytes("UTF-8")))
-    md.digest().map(b => String.format("%02x", Byte.box(b))).mkString
-  }
-}
+// GoldenHash itself moved to main scope (src/main/scala/graft/
+// GoldenHash.scala) in round 13 so Verify can hash-check the no-oracle
+// queries against VerifyChecks.pins; the generators stay test-scoped.
 
 /** Re-pin helper: `sbt "Test/runMain graft.GoldenHashGen"` prints the
   * current hash for every no-oracle query at the spec's exact session
@@ -51,6 +18,31 @@ object GoldenHashGen {
     GoldenHashSpec.noOracleQueries.foreach { name =>
       val h = GoldenHash.of(SparkEntry.queries(name)(spark, dir))
       println(s"""    "$name" -> "$h",""")
+    }
+    spark.stop()
+  }
+}
+
+/** Pin generator for [[VerifyChecks.pins]]: hashes every no-oracle query
+  * at the EXACT session config Verify runs under (GraftSession.local()),
+  * per scale factor, and prints the `pins` map body to paste into
+  * VerifyChecks.scala. Same review discipline as GoldenHashGen: re-pin
+  * only after reviewing the output change, never to green a red check.
+  */
+object VerifyPinGen {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    dirs.foreach { dir =>
+      val sfName = new java.io.File(dir).getName
+      println(s"""    "$sfName" -> Map(""")
+      GoldenHashSpec.noOracleQueries.foreach { name =>
+        val h = GoldenHash.of(SparkEntry.queries(name)(spark, dir))
+        println(s"""      "$name" -> "$h",""")
+      }
+      println("    ),")
     }
     spark.stop()
   }

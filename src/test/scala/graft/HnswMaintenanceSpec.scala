@@ -302,6 +302,102 @@ class HnswMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits == exact(content, content.head._2).take(hits.size))
   }
 
+  test("versioned stream: in-batch duplicates, late stragglers, replays and " +
+      "a torn-swap crash all converge to the latest-version graph; " +
+      "ledger stays bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.embedding.OfflineEmbedder
+    import graft.ingest.IngestPipeline
+    import graft.ingest.IngestPipeline.DocInput
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.VersionedDocInput
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val embedder = new OfflineEmbedder(8)
+    def doc(path: String, marker: String) = DocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.", isOcr = false)
+    def vdoc(path: String, marker: String, sec: Long) = VersionedDocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.",
+      isOcr = false, new java.sql.Timestamp(sec * 1000L))
+    def embOf(docs: DocInput*) = IngestPipeline.embeddings(
+      IngestPipeline.fragments(IngestPipeline.process(docs.toSeq.toDS())),
+      embedder).toDF()
+
+    val path = s"$dir/hnsw_versioned"
+    HnswMaintenance.writeIndex(
+      embOf(doc("hv/a.txt", "alpha"), doc("hv/b.txt", "bravo")),
+      path, numShards = 2, m = 8, efConstruction = 48,
+      docCol = Some("document_id"))
+
+    def idsOf(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      df.select("fragment_id", "doc_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def wantOf(docs: DocInput*): Set[(String, String)] =
+      embOf(docs: _*).select("fragment_id", "document_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    val mem = MemoryStream[VersionedDocInput]
+    val query = EventStreams.ingestHnswIndexStreamVersioned(mem.toDS(),
+      path, embedder, s"$dir/hnsw_versioned_ckpt", latenessSec = 600L)
+    try {
+      // batch 1: TWO versions of a in one batch — only the latest (3000s)
+      // may land; naive cascade-replace would keep both versions' rows
+      mem.addData(vdoc("hv/a.txt", "alpha-vtwo", 2000L),
+        vdoc("hv/a.txt", "alpha-vthree", 3000L))
+      query.processAllAvailable()
+      assert(idsOf(spark.read.parquet(path)) ==
+        wantOf(doc("hv/a.txt", "alpha-vthree"), doc("hv/b.txt", "bravo")),
+        "in-batch duplicate versions must resolve to the latest only")
+
+      // mid-stream crash: a torn shard swap left by a killed process —
+      // the next micro-batch's updateIndexByDoc must heal it first
+      val someShard = spark.read.parquet(path)
+        .select("shard_id").distinct().as[Int].collect().min
+      Files.move(Paths.get(path, s"shard_id=$someShard"),
+        Paths.get(path, s"shard_id=$someShard.old"))
+
+      // batch 2: a LATE OLD version of a (2000s < applied 3000s — must
+      // not clobber) + a genuinely new doc c at 3700s (advances the
+      // low-water mark to 3100s, past a's applied 3000s)
+      mem.addData(vdoc("hv/a.txt", "alpha-vtwo", 2000L),
+        vdoc("hv/c.txt", "charlie", 3700L))
+      query.processAllAvailable()
+      val wantFinal = wantOf(doc("hv/a.txt", "alpha-vthree"),
+        doc("hv/b.txt", "bravo"), doc("hv/c.txt", "charlie"))
+      assert(idsOf(spark.read.parquet(path)) == wantFinal,
+        "late straggler must be dropped; new doc applied; crash healed")
+
+      // the ledger is bounded by the lateness horizon: a's entry (3000s)
+      // fell below the 3100s low-water mark and must be pruned
+      val ledger = spark.read.parquet(s"$path.versions")
+        .as[(String, Long)].collect().toMap
+      assert(ledger.keySet == Set("hv/c.txt"),
+        s"ledger must prune entries below the low-water mark: $ledger")
+
+      // batch 3: a version of a BELOW the low-water mark (3050s < 3100s,
+      // and a is no longer in the ledger) must be refused by the mark,
+      // and an exact replay of c (3700s) is an equality no-op
+      mem.addData(vdoc("hv/a.txt", "alpha-vlate", 3050L),
+        vdoc("hv/c.txt", "charlie", 3700L))
+      query.processAllAvailable()
+      assert(idsOf(spark.read.parquet(path)) == wantFinal,
+        "below-watermark arrivals and replays must be no-ops")
+    } finally query.stop()
+
+    // the graph stayed a real index through all of it: the ef = n
+    // exactness witness holds over the final maintained corpus
+    val finalEmb = embOf(doc("hv/a.txt", "alpha-vthree"),
+      doc("hv/b.txt", "bravo"), doc("hv/c.txt", "charlie"))
+    val content = finalEmb.select("fragment_id", "vector").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray)).toSeq
+    val hits = Hnsw.searchIndex(spark.read.parquet(path),
+        Seq(("q0", content.head._2)), 10, ef = content.size)
+      .select("fragment_id").collect().map(_.getString(0)).toSeq
+    assert(hits == exact(content, content.head._2).take(hits.size))
+  }
+
   private def copyTree(src: Path, dst: Path): Unit = {
     import scala.jdk.CollectionConverters._
     val s = Files.walk(src)

@@ -88,8 +88,24 @@ def main():
         else:
             print(f"PASS {name} ({len(g)} rows, {len(g.columns)} cols)")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    # round-13 ledger hygiene: the no-oracle queries carry a real verdict
+    # in checks.json (self predicates + golden pins evaluated by Verify)
+    n_cpass = n_cfail = 0
+    checks_path = os.path.join(out_dir, "checks.json")
+    if os.path.exists(checks_path):
+        checks = json.load(open(checks_path))
+        cfg = checks.pop("_config", {})
+        for name, c in sorted(checks.items()):
+            if c.get("passed"):
+                print(f"PASS {name} [check={c['check']}] {c.get('detail','')}")
+                n_cpass += 1
+            else:
+                print(f"FAIL {name} [check={c['check']}] {c.get('detail','')}")
+                n_cfail += 1
+        print(f"checks config: {cfg}")
+    print(f"== {n_pass} oracle pass + {n_cpass} check pass / "
+          f"{n_fail + n_cfail} fail ==")
+    sys.exit(1 if (n_fail + n_cfail) else 0)
 
 if __name__ == "__main__":
     main()
