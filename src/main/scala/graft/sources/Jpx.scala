@@ -1106,7 +1106,8 @@ object Jpx {
       tileW: Int = 0, tileH: Int = 0,
       sub: Seq[(Int, Int)] = Nil,
       poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
-      prec: Seq[(Int, Int)] = Nil): Array[Byte] = {
+      prec: Seq[(Int, Int)] = Nil,
+      sop: Boolean = false, eph: Boolean = false): Array[Byte] = {
     require(comps.nonEmpty && (!rct || comps.length == 3))
     require(!rct || sub.forall(_ == ((1, 1))),
       "the in-codestream color transform requires identically-sized " +
@@ -1161,7 +1162,7 @@ object Jpx {
     }
     encodeCore(tiles, w, h, tw, th, levels, nc, mct = if (rct) 1 else 0,
       irrevQ = None, derivedBase = None, layers = layers, prog = prog,
-      subs = subs, poc = poc, prec = prec)
+      subs = subs, poc = poc, prec = prec, sop = sop, eph = eph)
   }
 
   /** Encode with the IRREVERSIBLE pipeline — the dominant wild
@@ -1181,7 +1182,8 @@ object Jpx {
       tileW: Int = 0, tileH: Int = 0,
       sub: Seq[(Int, Int)] = Nil,
       poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil,
-      prec: Seq[(Int, Int)] = Nil): Array[Byte] = {
+      prec: Seq[(Int, Int)] = Nil,
+      sop: Boolean = false, eph: Boolean = false): Array[Byte] = {
     require(comps.nonEmpty && (!ict || comps.length == 3))
     require(!ict || sub.forall(_ == ((1, 1))),
       "the in-codestream color transform requires identically-sized " +
@@ -1272,7 +1274,8 @@ object Jpx {
     }
     encodeCore(tiles, w, h, tw, th, levels, nc, mct = if (ict) 1 else 0,
       irrevQ = Some(q), derivedBase = if (derived) Some(base) else None,
-      layers = layers, prog = prog, subs = subs, poc = poc, prec = prec)
+      layers = layers, prog = prog, subs = subs, poc = poc, prec = prec,
+      sop = sop, eph = eph)
   }
 
   /** Tier-1 output for one code-block: the finished MQ codeword, the
@@ -1350,7 +1353,8 @@ object Jpx {
       layers: Int, prog: Int, mbOf: (Int, Band) => Int,
       poc: Seq[(Int, Int, Int, Int, Int, Int)],
       subs: Seq[(Int, Int)],
-      precs: IndexedSeq[(Int, Int)]): Array[Byte] = {
+      precs: IndexedSeq[(Int, Int)],
+      sop: Boolean, eph: Boolean): Array[Byte] = {
     val grids = precGrids(levels, tp.dims, subs, precs)
     // mirror the decoder's packet-bomb cap — everything we emit, we
     // must also decode
@@ -1417,6 +1421,10 @@ object Jpx {
           "POC entries must cover every packet exactly once in union")
         s
       }
+    // per-tile packet counter for SOP's Nsop (T.800 A.8.1: starts at 0
+    // for the tile's first packet, increments per packet, modulo 65536 —
+    // single tile-part per tile here, so tile scope == tile-part scope)
+    var nsop = 0
     pseq.foreach { case (r, c, l, p) =>
       val hdr = new HdrWriter
       val bodies = mutable.ArrayBuffer.empty[Array[Byte]]
@@ -1467,8 +1475,14 @@ object Jpx {
         }
       }
       hdr.align()
+      if (sop) { // FF91 + Lsop(0004) + Nsop before the packet (A.8.1)
+        out.write(0xFF); out.write(0x91); out.write(0); out.write(4)
+        out.write((nsop >> 8) & 0xFF); out.write(nsop & 0xFF)
+      }
       out.write(hdr.result())
+      if (eph) { out.write(0xFF); out.write(0x92) } // after the header (A.8.2)
       bodies.foreach(out.write)
+      nsop = (nsop + 1) & 0xFFFF
     }
     out.toByteArray
   }
@@ -1492,12 +1506,18 @@ object Jpx {
         ppy >= (if (r == 0) 0 else 1) && ppy <= 15,
         s"precinct exponents out of range at r=$r: ($ppx, $ppy)")
       subs.foreach { case (xr, yr) =>
-        if (tileW < w && ppx > r)
-          require((tileW / xr) % (1L << (levels - r + ppx)) == 0,
+        // run the modulus test at EVERY resolution (a ppx<=r skip is
+        // only sound when the r=0 check ran, which PPx=0 at r=0 never
+        // does), and require xr | tileW first — truncating division
+        // would otherwise let a non-divisible tile width slip past
+        if (tileW < w)
+          require(tileW % xr == 0 &&
+            (tileW / xr) % (1L << (levels - r + ppx)) == 0,
             s"tile width $tileW misaligns the r=$r precinct grid " +
               s"(needs a multiple of ${xr * (1L << (levels - r + ppx))})")
-        if (tileH < h && ppy > r)
-          require((tileH / yr) % (1L << (levels - r + ppy)) == 0,
+        if (tileH < h)
+          require(tileH % yr == 0 &&
+            (tileH / yr) % (1L << (levels - r + ppy)) == 0,
             s"tile height $tileH misaligns the r=$r precinct grid " +
               s"(needs a multiple of ${yr * (1L << (levels - r + ppy))})")
       }
@@ -1514,7 +1534,8 @@ object Jpx {
       derivedBase: Option[(Int, Int)], layers: Int,
       prog: Int, subs: Seq[(Int, Int)],
       poc: Seq[(Int, Int, Int, Int, Int, Int)],
-      prec: Seq[(Int, Int)] = Nil): Array[Byte] = {
+      prec: Seq[(Int, Int)] = Nil,
+      sop: Boolean = false, eph: Boolean = false): Array[Byte] = {
     val precs = checkPrec(prec, levels, tileW, tileH, w, h, subs)
     if (poc.nonEmpty) {
       // mirror the decoder's entry cap — everything we emit, we decode
@@ -1525,7 +1546,8 @@ object Jpx {
     def mbOf(r: Int, band: Band): Int =
       irrevQ.map(m => m((r, band.btype))._1 + Guard - 1).getOrElse(band.mb)
     val tileStreams = tiles.map(tp =>
-      encodeTile(tp, levels, nc, layers, prog, mbOf, poc, subs, precs))
+      encodeTile(tp, levels, nc, layers, prog, mbOf, poc, subs, precs,
+        sop, eph))
 
     val out = new ByteArrayOutputStream
     def u8(v: Int): Unit = out.write(v & 0xFF)
@@ -1541,7 +1563,10 @@ object Jpx {
     subs.foreach { case (xr, yr) => u8(7); u8(xr); u8(yr) }
     val explicitPrec = prec.nonEmpty
     u16(0xFF52); u16(12 + (if (explicitPrec) levels + 1 else 0)) // COD
-    u8(if (explicitPrec) 1 else 0) // Scod bit 0: precincts; no SOP/EPH
+    // Scod (A.6.1): bit 0 explicit precincts, bit 1 SOP markers used,
+    // bit 2 EPH markers used
+    u8((if (explicitPrec) 1 else 0) | (if (sop) 2 else 0) |
+      (if (eph) 4 else 0))
     u8(prog); u16(layers); u8(mct)
     u8(levels); u8(CbExp - 2); u8(CbExp - 2) // SPcod
     u8(0) // code-block style: none of the Part-1 mode switches
@@ -1714,6 +1739,8 @@ object Jpx {
       var tileH = 0
       var subs: Array[(Int, Int)] = null
       var precs: IndexedSeq[(Int, Int)] = null // (PPx, PPy) per r
+      var useSop = false // Scod bit 1: SOP markers may precede packets
+      var useEph = false // Scod bit 2: EPH follows every packet header
       var poc: Seq[(Int, Int, Int, Int, Int, Int)] = Nil
       var mbs = Map.empty[(Int, Int), Int] // (r, btype) -> Mb
       var irrev = false // COD transform 0 = 9/7 + quantization
@@ -1761,8 +1788,26 @@ object Jpx {
               fail("POC entries do not cover the tile exactly once")
             s
           }
+        var nsop = 0 // per-tile packet counter (A.8.1 scope)
         pseq.foreach { case (r, c, l, pp) =>
           if (cursor >= tileEnd) fail("tile body exhausted")
+          if (useSop && cursor + 1 < tileEnd &&
+              (data(cursor) & 0xFF) == 0xFF &&
+              (data(cursor + 1) & 0xFF) == 0x91) {
+            // SOP is optional per packet when Scod bit 1 is set (A.8.1),
+            // but one that IS present must be well-formed and in
+            // sequence — a mismatched Nsop means the reader and writer
+            // disagree about the packet ordering, the exact desync the
+            // marker exists to catch: honest None, never garbage
+            if (cursor + 6 > tileEnd) fail("truncated SOP")
+            if ((data(cursor + 2) & 0xFF) != 0 ||
+                (data(cursor + 3) & 0xFF) != 4) fail("bad Lsop")
+            val got = ((data(cursor + 4) & 0xFF) << 8) |
+              (data(cursor + 5) & 0xFF)
+            if (got != (nsop & 0xFFFF)) fail("Nsop out of sequence")
+            cursor += 6
+          }
+          nsop += 1
           val hdr = new HdrReader(data, cursor)
           val sts = states(r)(c)
           val contrib = mutable.ArrayBuffer.empty[(DecBandState, Int, Int)]
@@ -1809,6 +1854,13 @@ object Jpx {
           hdr.align()
           cursor = hdr.p
           if (cursor > tileEnd) fail("header overrun")
+          if (useEph) {
+            // EPH SHALL follow every packet header when Scod bit 2 is
+            // set (A.8.2) — absence is a malformed stream, honest None
+            if (cursor + 2 > tileEnd || (data(cursor) & 0xFF) != 0xFF ||
+                (data(cursor + 1) & 0xFF) != 0x92) fail("missing EPH")
+            cursor += 2
+          }
           contrib.foreach { case (st, k, len) =>
             if (cursor + len > tileEnd) fail("body overrun")
             st.segs(k) += ((cursor, len))
@@ -2014,8 +2066,10 @@ object Jpx {
             val len = u16()
             val base = p
             val scod = u8()
-            if ((scod & ~1) != 0) return None // SOP/EPH out of scope
+            if ((scod & ~7) != 0) return None // reserved Scod bits
             val explicitPrec = (scod & 1) != 0
+            useSop = (scod & 2) != 0
+            useEph = (scod & 4) != 0
             prog = u8()
             layers = u16()
             mct = u8()
@@ -2128,13 +2182,17 @@ object Jpx {
               // the same; a misaligned wild stream is an honest None)
               if (precs == null) return None // COD must precede SOT
               if (precs.exists(_ != DefaultPrec)) {
+                // mirror of the encoder's checkPrec: every resolution
+                // is tested (no ppx<=r skip — unsound when PPx=0 at
+                // r=0 means the r=0 check never ran) and xr must
+                // divide tileW before the truncating division
                 val misaligned = precs.zipWithIndex.exists {
                   case ((px, py), r) =>
                     subs.exists { case (xr, yr) =>
-                      (tileW < w && px > r &&
-                        (tileW / xr) % (1L << (levels - r + px)) != 0) ||
-                      (tileH < h && py > r &&
-                        (tileH / yr) % (1L << (levels - r + py)) != 0)
+                      (tileW < w && (tileW % xr != 0 ||
+                        (tileW / xr) % (1L << (levels - r + px)) != 0)) ||
+                      (tileH < h && (tileH % yr != 0 ||
+                        (tileH / yr) % (1L << (levels - r + py)) != 0))
                     }
                 }
                 if (misaligned) return None

@@ -1168,18 +1168,21 @@ object PdfWriter {
               case 0 => // REAL raw codestream; dict dims LIE. The seed
                 // rotates quality layers, progression order, tiling,
                 // (r11, every fifth seed) a two-entry POC — resolution
-                // 0 first, the rest layer-major — and (r12, every
+                // 0 first, the rest layer-major — (r12, every
                 // fifth seed) EXPLICIT PRECINCTS (T.800 B.6): a
                 // (1,2,3)-exponent ladder giving a multi-precinct grid
                 // at every resolution with code-blocks clamped to
-                // 2×2/4×4, aligned with the 8-px tile grid. All
+                // 2×2/4×4, aligned with the 8-px tile grid — and (r13,
+                // every fifth seed, disjoint from POC/precinct seeds)
+                // SOP+EPH resync markers (A.8): per-packet FF91 Nsop
+                // sequence + mandatory per-header FF92. All
                 // lossless, so the oracle's exact sums are unchanged:
                 // only a decoder speaking the full B.10 protocol —
                 // per-PRECINCT tag trees escalating a layer at a time,
                 // persistent Lblock, segments concatenating across
                 // packets, per-tile DWT domains, A.6.6 packet
-                // reordering, B.6 precinct-partitioned packets —
-                // recovers the pixels
+                // reordering, B.6 precinct-partitioned packets, A.8
+                // marker verify/strip — recovers the pixels
                 val (iw, ih) = jpxRawDims(m)
                 val lyr = 1 + m % 3
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",
@@ -1191,7 +1194,8 @@ object PdfWriter {
                       Seq((0, 0, lyr, 1, 1, 2), (0, 0, lyr, 3, 1, 0))
                     else Nil,
                     prec = if (m % 5 == 3) Seq((1, 1), (2, 2), (3, 3))
-                    else Nil))
+                    else Nil,
+                    sop = m % 5 == 1, eph = m % 5 == 1))
               case 1 => // REAL JP2-box-wrapped codestream; dict dims LIE
                 val (iw, ih) = jp2Dims(m)
                 imgXObject(iw - 1, ih - 1, "DeviceGray", 8, "JPXDecode", "",

@@ -731,6 +731,15 @@ class JpxSpec extends AnyFunSuite {
       Jpx.encodeMulti(Seq(img), levels = 1, tileW = 8, tileH = 8,
         prec = Seq((4, 4), (4, 4)))
     }
+    // ADVICE r12: PPx=0 at r=0 means the r=0 modulus check used to be
+    // skipped entirely (the ppx<=r skip was only sound when that check
+    // ran) — the gate now tests every resolution, so levels=2 +
+    // prec=((0,0),(1,1),(1,1)) + tileW=2 rejects at the alignment gate
+    // itself (and independently at the tile-origin evenness gate)
+    assertThrows[IllegalArgumentException] {
+      Jpx.encodeMulti(Seq(gray(4, 8)((x, y) => x + y)), levels = 2,
+        tileW = 2, tileH = 8, prec = Seq((0, 0), (1, 1), (1, 1)))
+    }
     // decoder: byte-patch the COD precinct bytes of an ALIGNED tiled
     // stream to a misaligning size — honest None, never a desynced Some
     val tiled = Jpx.encodeMulti(Seq(img), levels = 1, layers = 1,
@@ -771,6 +780,79 @@ class JpxSpec extends AnyFunSuite {
     bomb(pocAt + 2) = (newLen >> 8).toByte
     bomb(pocAt + 3) = (newLen & 0xFF).toByte
     assert(Jpx.decode(bomb).isEmpty, "POC entry bomb must stay undecoded")
+  }
+
+  test("SOP/EPH markers round-trip, are optional-per-packet on read, and " +
+      "malformed ones stay undecoded") {
+    def gray(w: Int, h: Int)(f: (Int, Int) => Int): Array[Array[Int]] =
+      Array.tabulate(h, w)((y, x) => f(x, y) & 0xFF)
+    val img = gray(48, 32)((x, y) => (x * 9 + y * 5) % 256)
+    val plain = Jpx.decode(Jpx.encodeMulti(Seq(img), levels = 2, layers = 2,
+      prog = 2, tileW = 16, tileH = 16)).get
+    // every flag combination, composed with tiles + layers + a positional
+    // progression, decodes to the identical raster
+    for ((sop, eph) <- Seq((true, false), (false, true), (true, true))) {
+      val enc = Jpx.encodeMulti(Seq(img), levels = 2, layers = 2,
+        prog = 2, tileW = 16, tileH = 16, sop = sop, eph = eph)
+      val d = Jpx.decode(enc)
+        .getOrElse(fail(s"sop=$sop eph=$eph decode failed"))
+      assert(d.pixels.map(_.toSeq).toSeq == plain.pixels.map(_.toSeq).toSeq,
+        s"sop=$sop eph=$eph pixels != plain")
+    }
+    // SOP/EPH compose with explicit precincts (per-precinct packet walk)
+    val encP = Jpx.encodeMulti(Seq(img), levels = 2, layers = 2,
+      prec = Seq((3, 3), (3, 3), (4, 4)), sop = true, eph = true)
+    assert(Jpx.decode(encP).exists(
+      _.pixels.map(_.toSeq).toSeq == img.map(_.toSeq).toSeq))
+    // multi-component + subsampling + SOP/EPH
+    val cb2 = gray(24, 16)((x, y) => x * 5 + y * 11 + 30)
+    val cr2 = gray(24, 16)((x, y) => (x ^ y) * 9 + 70)
+    val encS = Jpx.encodeMulti(Seq(img, cb2, cr2), levels = 2,
+      sub = Seq((1, 1), (2, 2), (2, 2)), sop = true, eph = true)
+    assert(Jpx.decode(encS).isDefined)
+    def codAt(b: Array[Byte]): Int = {
+      val q = 4 + (((b(4) & 0xFF) << 8) | (b(5) & 0xFF))
+      assert(((b(q) & 0xFF) << 8 | (b(q + 1) & 0xFF)) == 0xFF52)
+      q
+    }
+    // A.8.1 optionality: Scod bit 1 set on a stream that carries NO SOP
+    // markers is still conformant — byte-patch the flag on, same pixels
+    val noSop = Jpx.encodeMulti(Seq(img), levels = 2, layers = 2,
+      prog = 2, tileW = 16, tileH = 16)
+    val flagOnly = noSop.clone()
+    flagOnly(codAt(noSop) + 4) = (flagOnly(codAt(noSop) + 4) | 2).toByte
+    assert(Jpx.decode(flagOnly).exists(
+      _.pixels.map(_.toSeq).toSeq == plain.pixels.map(_.toSeq).toSeq),
+      "SOP flag without markers must decode (markers are optional)")
+    // an out-of-sequence Nsop is the desync SOP exists to catch: None
+    val withSop = Jpx.encodeMulti(Seq(img), levels = 2, layers = 2,
+      prog = 2, tileW = 16, tileH = 16, sop = true)
+    val sopAt = withSop.indices.find(i => i + 3 < withSop.length &&
+      (withSop(i) & 0xFF) == 0xFF && (withSop(i + 1) & 0xFF) == 0x91 &&
+      (withSop(i + 2) & 0xFF) == 0 && (withSop(i + 3) & 0xFF) == 4).get
+    val badNsop = withSop.clone()
+    badNsop(sopAt + 5) = (badNsop(sopAt + 5) ^ 1).toByte
+    assert(Jpx.decode(badNsop).isEmpty,
+      "out-of-sequence Nsop must stay undecoded")
+    val badLsop = withSop.clone()
+    badLsop(sopAt + 3) = 5.toByte
+    assert(Jpx.decode(badLsop).isEmpty, "bad Lsop must stay undecoded")
+    // EPH is MANDATORY after every header once Scod bit 2 is set: a
+    // stream whose first EPH is overwritten must stay undecoded
+    val withEph = Jpx.encodeMulti(Seq(img), levels = 2, layers = 2,
+      prog = 2, tileW = 16, tileH = 16, eph = true)
+    val sodAt = withEph.indices.find(i => i + 1 < withEph.length &&
+      (withEph(i) & 0xFF) == 0xFF && (withEph(i + 1) & 0xFF) == 0x93).get
+    val ephAt = (sodAt + 2 until withEph.length - 1).find(i =>
+      (withEph(i) & 0xFF) == 0xFF && (withEph(i + 1) & 0xFF) == 0x92).get
+    val noEph = withEph.clone()
+    noEph(ephAt + 1) = 0x00.toByte
+    assert(Jpx.decode(noEph).isEmpty, "missing EPH must stay undecoded")
+    // reserved Scod bits above 2 still reject
+    val reserved = noSop.clone()
+    reserved(codAt(noSop) + 4) = (reserved(codAt(noSop) + 4) | 8).toByte
+    assert(Jpx.decode(reserved).isEmpty,
+      "reserved Scod bits must stay undecoded")
   }
 
   test("hostile precinct/packet bomb rejects before any per-precinct " +

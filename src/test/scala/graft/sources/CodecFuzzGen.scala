@@ -54,6 +54,11 @@ object CodecFuzzGen {
       // mutation (tiled so grid/alignment checks are exercised too)
       "jpx-prec" -> Jpx.encodeMulti(Seq(img), layers = 2, prog = 2,
         tileW = 32, tileH = 24, prec = Seq((1, 1), (2, 2), (3, 3))),
+      // r13 form: SOP/EPH resync markers (A.8) — tiled + layered so
+      // per-packet SOP sequence and per-header EPH checks run under
+      // mutation (flipped Nsop, shifted markers, truncated SOPs)
+      "jpx-sopeph" -> Jpx.encodeMulti(Seq(img), layers = 3, prog = 2,
+        tileW = 28, tileH = 20, sop = true, eph = true),
       "jb2-generic" -> Jbig2.encodeEmbedded(bits, 40),
       "jb2-refined" -> Jbig2.encodeRefinedDocument(bits, 40, 8, 4,
         (0 until 10).map(y => Array.tabulate(16)(x => x % 2 == y % 2)),
