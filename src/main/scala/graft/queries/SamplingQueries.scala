@@ -243,28 +243,68 @@ object SamplingQueries {
   // G6 — CLUSTER-BALANCED sampling (the embedding-space curation shape:
   // cluster the corpus, then draw equally from every cluster so no
   // region of embedding space dominates the mix — the cluster-side twin
-  // of g5's per-language UniMax). Centroids are the first K corpus
-  // vectors (deterministic, read from the table — both engines see the
-  // same floats); assignment is nearest-centroid by the v-family's
-  // fixed-IEEE-sequence cosine with an id tie-break; the balance rule
-  // keeps min-cluster-size docs per cluster, picked by the salted
-  // 60-bit hash rank (reproducible under any partitioning, independent
-  // of the g1 split). Output is ids only — no float ever reaches the
-  // hash compare.
+  // of g5's per-language UniMax). Centroids are TRAINED (r13, production
+  // shape): [[graft.search.Ivf.train]] k-means over the deterministic
+  // bounded sample the v-family quantizers use (first G6SampleN ids,
+  // ordered — fully deterministic: evenly-spaced init, fixed-order Lloyd
+  // folds), K = 64. The trained centroids persist as a WRITE-TIME
+  // artifact keyed by an exact corpus fingerprint, and the DuckDB oracle
+  // reads the same floats back — training correctness is covered by the
+  // Ivf specs and v6's full-probe oracle; what the oracle independently
+  // replays here is the assignment + balance logic over those centroids.
+  // Assignment is nearest-centroid by the v-family's fixed-IEEE-sequence
+  // cosine with an id tie-break; the balance rule keeps min-cluster-size
+  // docs per cluster, picked by the salted 60-bit hash rank
+  // (reproducible under any partitioning, independent of the g1 split).
+  // Output is ids only — no float ever reaches the hash compare.
   //
   // Scale shape: centroids BROADCAST (K rows); the K cosines per row are
   // map-side; the per-vector argmax is a groupBy(vec_id) max_by — the
   // partial aggregate reduces each vector's K candidate rows to one
-  // BEFORE the shuffle, so the exchange carries n rows, not n·K. The
-  // cluster census/rank is one cluster_id shuffle (the g2/g5 window
-  // profile); the global min is a K-row aggregate broadcast back.
-  private val G6K = 8
+  // BEFORE the shuffle, so the exchange carries n rows, not n·K
+  // (plan-guarded). The cluster census/rank is one cluster_id shuffle
+  // over K=64 real partitions (the g2/g5 window profile); the global min
+  // is a K-row aggregate broadcast back. At 100 TB: training stays a
+  // bounded driver-side sample, centroids stay a broadcast table, and
+  // the only corpus-sized exchanges are the n-row argmax output and the
+  // cluster_id window.
+  private val G6K = 64
+  private val G6SampleN = 1024
+  private[queries] val G6CentroidDir = "localdata/g6-centroids"
+
+  /** Exact corpus fingerprint keying the centroid artifact partition:
+    * an order-free LONG sum both engines compute bit-identically
+    * (float32 → double is exact; floor lands on an integer; the sum is
+    * integral, so no float fold-order can leak in). */
+  private def g6CorpusFp(e: DataFrame): Long =
+    e.agg(sum(floor(element_at(col("embedding"), 1).cast("double") *
+      lit(1e6)).cast("long")).as("v")).head().getLong(0)
 
   private val g6ClusterBalance: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = e.filter(col("vec_id") < G6K)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val assigned = e.crossJoin(broadcast(cents))
+    val fp = g6CorpusFp(e)
+    val sample = e.filter(col("vec_id") < G6SampleN).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val q = graft.search.Ivf.train(sample, G6K)
+    val spark2 = s
+    import spark2.implicits._
+    val cents = (0 until q.k)
+      .map(c => (fp, c.toLong, q.centroid(c).toSeq))
+      .toDF("corpus_fp", "cid", "cvec")
+    // write-time centroid artifact: dynamic partition overwrite keeps
+    // other corpora's partitions (each sf writes only its own fp)
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(overwriteKey)
+    s.conf.set(overwriteKey, "dynamic")
+    try cents.write.mode("overwrite").partitionBy("corpus_fp")
+      .parquet(G6CentroidDir)
+    finally prev match {
+      case Some(v) => s.conf.set(overwriteKey, v)
+      case None => s.conf.unset(overwriteKey)
+    }
+    val assigned = e.crossJoin(broadcast(
+      cents.select(col("cid"), col("cvec"))))
       .withColumn("__sim",
         graft.search.VectorSearch.cosine(col("embedding"), col("cvec")))
       .groupBy(col("vec_id"))
@@ -293,8 +333,13 @@ object SamplingQueries {
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)), (acc, x) -> acc + x)"
     val sim = s"(CASE WHEN ${norm2("e.embedding")} = 0.0 OR ${norm2("c.cvec")} = 0.0 " +
       s"THEN 0.0 ELSE $dot / (sqrt(${norm2("e.embedding")}) * sqrt(${norm2("c.cvec")})) END)"
-    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
-       |           FROM embeddings WHERE vec_id < $G6K),
+    s"""WITH fp AS (SELECT CAST(SUM(CAST(FLOOR(embedding[1]::DOUBLE * 1e6)
+       |             AS BIGINT)) AS BIGINT) AS v FROM embeddings),
+       |c AS (SELECT CAST(cid AS BIGINT) AS cid, cvec
+       |      FROM read_parquet(
+       |        '/root/repo/$G6CentroidDir/*/*.parquet',
+       |        hive_partitioning=1), fp
+       |      WHERE CAST(corpus_fp AS BIGINT) = fp.v),
        |a AS (SELECT e.vec_id, c.cid,
        |        ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |          ORDER BY $sim DESC, c.cid) AS rn
