@@ -186,8 +186,18 @@ object Bench {
     // attribution (a resident set approaching executor storage would
     // explain uniform per-query inflation via eviction churn).
     var peakStorage = 0L
-    def timedPass(): Map[String, (Double, Option[String])] =
+    // Per-query volume witnesses (VERDICT r12 task 4): bytes_shuffled /
+    // rows_scanned / bytes_read from task metrics, bracketed by listener
+    // -bus drains OUTSIDE the timed region. Component-wise MIN across
+    // successful passes: volumes are plan+data facts, so the min is the
+    // steady-state (stage-cache-warm) number a cross-round envelope
+    // should compare — host noise moves seconds, never bytes.
+    val witness = org.apache.spark.sql.graft.VolumeWitness.attach(spark)
+    def timedPass(vol: scala.collection.mutable.Map[String, (Long, Long, Long)])
+        : Map[String, (Double, Option[String])] =
       benchQueries.map { case (name, fn) =>
+        org.apache.spark.sql.graft.VolumeWitness.sync(spark)
+        val v0 = witness.snapshot()
         val t0 = System.nanoTime()
         // noop sink: forces full evaluation of every output column
         // (count() would let Catalyst prune map-side projections)
@@ -197,10 +207,25 @@ object Bench {
             case e: Throwable =>
               Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
           }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (err.isEmpty) {
+          org.apache.spark.sql.graft.VolumeWitness.sync(spark)
+          val v1 = witness.snapshot()
+          val d = (v1._1 - v0._1, v1._2 - v0._2, v1._3 - v0._3)
+          vol(name) = vol.get(name).fold(d)(p => (math.min(p._1, d._1),
+            math.min(p._2, d._2), math.min(p._3, d._3)))
+        }
         val sb = graft.queries.StageCache.storageBytes(spark)
         if (sb > peakStorage) peakStorage = sb
-        name -> ((System.nanoTime() - t0) / 1e9, err)
+        name -> (sec, err)
       }
+    val volMain = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    val volRt = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    def volJson(m: scala.collection.mutable.Map[String, (Long, Long, Long)])
+        : String =
+      m.toSeq.sortBy(_._1).map { case (k, (sh, r, in)) =>
+        "\"" + k + "\":" + s"""{"sh":$sh,"rows":$r,"in":$in}"""
+      }.mkString("{", ",", "}")
     val nPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1)
       .getOrElse(3)
@@ -288,7 +313,8 @@ object Bench {
     while (!gateOk && attempt < 2) {
       attempt += 1
       calibBefore = calibrate(spark)
-      passes = (1 to nPasses).map(_ => timedPass())
+      if (attempt > 1) volMain.clear() // rejected-run volumes: re-measure
+      passes = (1 to nPasses).map(_ => timedPass(volMain))
       calibAfter = calibrate(spark)
       gateOk = probeSpread(Seq(calibBefore, calibAfter)) <= spreadMax
       if (!gateOk && attempt < 2) {
@@ -336,7 +362,7 @@ object Bench {
         graft.queries.StageCache.release(spark)
         spark.conf.set(graft.queries.StageCache.PathConf, root)
         try {
-          val rPasses = (1 to nPasses).map(_ => timedPass())
+          val rPasses = (1 to nPasses).map(_ => timedPass(volRt))
           val (rres, rerrs, _) = combinePasses(rPasses)
           val (rtMin, rtMinN) = minTotal(rPasses, rerrs)
           Some((rres, rerrs, buildSec, rtMin, rtMinN))
@@ -381,7 +407,7 @@ object Bench {
         f""","value_r1set":$rtR1%.3f,"r1set_n":$rtR1n""" +
         f""","value_prevset":$rtPrev%.3f,"prevset_n":$rtPrevN""" +
         f""","failures":${rerrs.size},"over_calib":${rtotal / calibMean}%.1f""" +
-        s""","queries":$rqs}"""
+        s""","queries":$rqs,"volumes":${volJson(volRt)}}"""
     }.getOrElse("")
     val meta =
       s""""contended":$contended,"loadavg_start":"$load0"""" +
@@ -421,6 +447,7 @@ object Bench {
         s""","calib_probes":${calibProbes.map(p => f"$p%.3f").mkString("[", ",", "]")}""" +
         f""","calib_spread":$calibSpread%.3f""" +
         rtJson +
+        s""","volumes":${volJson(volMain)},"volumes_stat":"min"""" +
         s""","peak_storage_bytes":$peakStorage""" +
         s""","storage_level":${jstr(spark.conf.get(
           graft.queries.StageCache.StorageLevelConf, "MEMORY_AND_DISK"))}""" +
