@@ -75,6 +75,8 @@ object HardRecallGen {
         ids(Ann.search(lshIndex, v, planes, 10, probeDepth = 1))),
       Fam("ivf", "k=16, nprobe 2", v =>
         ids(Ivf.search(ivfIndex, v, ivfQ, 10, nprobe = 2))),
+      Fam("ivf", "k=16, nprobe 8 (v22 knob)", v =>
+        ids(Ivf.search(ivfIndex, v, ivfQ, 10, nprobe = 8))),
       Fam("ivf-r2", "k=16, nprobe 2, 2-assign", v =>
         ids(Ivf.searchMultiAssign(ivfR2Index, v, ivfQ, 10, nprobe = 2))),
       Fam("pq", "m=8 ksub=16, shortlist 50", v =>
@@ -113,9 +115,11 @@ object HardRecallGen {
     }
 
     // HNSW via the batch path (one job for all queries per ef); keep
-    // the ef=48 top-30 candidates for the fusion rows below
+    // the ef=48 top-30 candidates for the r9 fusion rows and the ef=64
+    // (v22 serving knob) top-30 for the production-path fusion row
     var hnsw48Top30: Map[String, Seq[String]] = Map.empty
-    Seq(16, 48).foreach { ef =>
+    var hnsw64Top30: Map[String, Seq[String]] = Map.empty
+    Seq(16, 48, 64).foreach { ef =>
       val hits = Hnsw.searchBatch(emb,
         qvecs.map(q => (q._1, q._2)), 30, ef, numShards = 4)
         .orderBy(col("query_id"), col("rank"))
@@ -123,7 +127,9 @@ object HardRecallGen {
         .as[(String, String)].collect().toSeq.groupBy(_._1)
         .view.mapValues(_.map(_._2)).toMap
       if (ef == 48) hnsw48Top30 = hits
-      score("hnsw", s"4 shards, ef=$ef", hits)
+      if (ef == 64) hnsw64Top30 = hits
+      score("hnsw", s"4 shards, ef=$ef" +
+        (if (ef == 64) " (v22 knob)" else ""), hits)
     }
 
     // ---- retrieval-quality lift study (VERDICT r9 task #7): does the
@@ -200,6 +206,14 @@ object HardRecallGen {
       qvecs.map { case (qid, v, _) =>
         qid -> rrf(bm25Top30(qid),
           ids(VectorSearch.knn(emb, v, 30, tieBreak = "fragment_id")))
+      }.toMap)
+    // the PRODUCTION serving path (VERDICT r12 task 5): v16's RRF
+    // contract fusing the x22 lexical retriever with the dense side at
+    // the v22 approximate knob — the combination a user actually
+    // deploys. HardFusedRecallSpec golden-pins this row's pass count.
+    score("fused bm25⊕hnsw ef=64", "v16 RRF ⊕ v22 knob (production)",
+      qvecs.map { case (qid, _, _) =>
+        qid -> rrf(bm25Top30(qid), hnsw64Top30.getOrElse(qid, Nil))
       }.toMap)
     score("ivf-r2⊕hnsw best-of", "exact re-rank of candidate union",
       qvecs.map { case (qid, v, _) =>
