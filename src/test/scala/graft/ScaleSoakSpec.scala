@@ -29,15 +29,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val enabled = sys.env.get("GRAFT_SOAK").contains("1")
+  private val enabled10m = sys.env.get("GRAFT_SOAK10M").contains("1")
   private val sf01 = "/root/testdata/sf0.1"
   private val sf1 = "localdata/sf1"
 
   private var spark: SparkSession = _
 
-  override def beforeAll(): Unit = if (enabled) {
+  override def beforeAll(): Unit = if (enabled || enabled10m) {
     spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
-    if (!new java.io.File(s"$sf1/lineitem.parquet").isFile) {
+    if (enabled && !new java.io.File(s"$sf1/lineitem.parquet").isFile) {
       info(s"generating $sf1 via tools/gen_sf1.py …")
       val rc = new ProcessBuilder("python3", "tools/gen_sf1.py", sf1)
         .inheritIO().start().waitFor()
@@ -335,7 +336,8 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     * ~12.5k (the 100 TB sharding contract). */
   private def measureIndexFamilies(label: String,
       e: org.apache.spark.sql.DataFrame,
-      qvecs: Seq[(String, Array[Float])]): IdxRow = {
+      qvecs: Seq[(String, Array[Float])],
+      sampleRows: Int = 1024): IdxRow = {
     val s = spark
     import org.apache.spark.sql.functions.col
     import s.implicits._
@@ -358,7 +360,7 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
       // IVF: centroid count ~ sqrt(n) (the production rule — list size
       // and list count balance); train on a FIXED 1024-row sample so
       // driver cost stays constant across scales
-      val sample = e.orderBy(col("fragment_id")).limit(1024)
+      val sample = e.orderBy(col("fragment_id")).limit(sampleRows)
         .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
       val ivfK = math.max(16, math.sqrt(n.toDouble).toInt)
       val quant = Ivf.train(sample, ivfK, iters = 5)
@@ -552,5 +554,160 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(wM <= 5.0 * math.max(w5, 1.0),
         f"$name $wM%.1f s at $dataRatio%.0f× data (sf5: $w5%.1f s) — " +
           "a serving walk must stay flat, not scale with the corpus")
+  }
+
+  /** Deterministic 10M × 64-dim vector table (same splitmix64 rule as
+    * vec1m — vec10m's first 1M rows ARE vec1m), generated once into
+    * localdata/vec10m (~2.6 GB parquet, 256 files). */
+  private def ensureVec10m(): String = {
+    val dir = "localdata/vec10m"
+    if (!new java.io.File(s"$dir/_SUCCESS").isFile) {
+      val s = spark
+      import s.implicits._
+      info(s"generating $dir (10M × 64-dim) …")
+      s.range(0, 10000000L, 1, 256).map { id =>
+        val v = new Array[Float](64)
+        var i = 0
+        while (i < 64) {
+          var z = id * 64L + i + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^= z >>> 31
+          v(i) = ((z >>> 11).toDouble / (1L << 53).toDouble).toFloat * 2f - 1f
+          i += 1
+        }
+        (f"f$id%09d", v)
+      }.toDF("fragment_id", "vector").write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** Heap accounting across the enclosed work, two numbers because
+    * local[32] runs driver AND executors in ONE JVM:
+    *
+    *  - `peak`: summed pool high-water. Under a 96 GiB heap GC runs
+    *    rarely, so this is ALLOCATION PRESSURE (uncollected garbage
+    *    from 800 shard builds included) — recorded for context, never
+    *    asserted (first 10M run measured 73 GiB of it, ~all garbage).
+    *  - `live`: post-System.gc() used bytes — the RETAINED set (driver
+    *    shard metadata, task bookkeeping, quantizer/codebook state).
+    *    This is the number that must stay bounded for the 100 TB
+    *    driver story, and the one the envelope asserts.
+    */
+  private def heapHighWater[A](f: => A): (A, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    pools.foreach(_.resetPeakUsage())
+    val a = f
+    val peak = pools.map(_.getPeakUsage.getUsed).sum
+    System.gc()
+    Thread.sleep(500)
+    val live = pools.map(_.getUsage.getUsed).sum
+    (a, peak, live)
+  }
+
+  /** VERDICT r12 task #6: a FIFTH decade — 10M vectors, 800 shards at
+    * the fixed ~12.5k shard size. The first decade where driver-side
+    * shard metadata and task scheduling (800 build tasks = 25 waves on
+    * 32 cores) could dominate, so the artifact records the driver heap
+    * high-water alongside the build/walk envelopes. vec1m re-measures
+    * in the same run so the 10× ratio never mixes instruments; the IVF
+    * training sample grows to 8192 for BOTH legs (k = √10M = 3162 must
+    * stay below the sample size — Ivf.train clamps k to it), which
+    * only changes untimed driver-side work. Gated separately from
+    * GRAFT_SOAK: a ~20-minute leg must be opted into on its own.
+    */
+  test("index-family soak, fifth decade: 10M vectors") {
+    assume(enabled10m,
+      "opt-in: set GRAFT_SOAK10M=1 to run the 10M index soak")
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    val dir1 = ensureVec1m()
+    val e1 = s.read.parquet(dir1)
+    val q1 = e1.filter(col("fragment_id") < "f000000008")
+      .orderBy(col("fragment_id"))
+      .select(col("fragment_id"), col("vector"))
+      .as[(String, Array[Float])].collect().toSeq
+    val (r1, heapPk1, heapLv1) = heapHighWater {
+      measureIndexFamilies("vec1m", e1, q1, sampleRows = 8192)
+    }
+    val dir10 = ensureVec10m()
+    val e10 = s.read.parquet(dir10)
+    // same 8 query vectors as the 1M leg (vec10m ⊃ vec1m by id rule)
+    val (r10, heapPk10, heapLv10) = heapHighWater {
+      measureIndexFamilies("vec10m", e10, q1, sampleRows = 8192)
+    }
+    val line = idxJson("index_family_soak_10m", Seq(r1, r10))
+      .dropRight(1) +
+      s""","heap_alloc_peak_bytes":{"vec1m":$heapPk1,"vec10m":$heapPk10}""" +
+      s""","heap_live_after_gc_bytes":{"vec1m":$heapLv1,"vec10m":$heapLv10}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_SOAKIDX10M_OUT", "SOAK_index10m.json")),
+      (line + "\n").getBytes("UTF-8"))
+    Seq((r1, heapPk1, heapLv1), (r10, heapPk10, heapLv10)).foreach {
+      case (r, pk, lv) => info(
+        f"${r.label}: n=${r.n} shards=${r.shards} " +
+          f"hnsw ${r.hnswBuild}%.1f/${r.hnswWalk}%.1f s " +
+          f"ivf k=${r.ivfK} ${r.ivfBuild}%.1f/${r.ivfProbe}%.1f s " +
+          f"ivfpq ${r.ivfpqBuild}%.1f/${r.ivfpqProbe}%.1f s " +
+          f"heap alloc-peak ${pk / (1 << 20)}%d MiB " +
+          f"live ${lv / (1 << 20)}%d MiB") }
+    val dataRatio = r10.n.toDouble / r1.n // 10×
+    val kRatio = r10.ivfK.toDouble / r1.ivfK // ~√10
+    assert(r10.shards >= 8 * r1.shards,
+      s"shard count must scale with data at fixed shard size: $r10 vs $r1")
+    assert(r10.ivfK > 3000, s"k = √n rule broke: ${r10.ivfK}")
+    // HNSW: linear-in-rows at fixed shard size (2.5× host-noise margin)
+    assert(r10.hnswBuild <= 2.5 * dataRatio * math.max(r1.hnswBuild, 0.5),
+      f"hnsw build ${r10.hnswBuild}%.1f s at $dataRatio%.0f× data " +
+        f"(vec1m: ${r1.hnswBuild}%.1f s) — superlinear")
+    // IVF/IVFPQ: n·k assignment work with k = √n
+    for ((name, b1, b10) <- Seq(("ivf", r1.ivfBuild, r10.ivfBuild),
+        ("ivfpq", r1.ivfpqBuild, r10.ivfpqBuild)))
+      assert(b10 <= 2.5 * dataRatio * kRatio * math.max(b1, 0.5),
+        f"$name build $b10%.1f s at $dataRatio%.0f× data, $kRatio%.1f× k " +
+          f"(vec1m: $b1%.1f s) — past the n·k envelope")
+    // PRUNED probes (IVF/IVFPQ): partition pruning makes these truly
+    // corpus-independent — flat, no wave factor (measured: 0.2–0.3 s at
+    // BOTH decades). This is the serving shape the 100 TB story rests on.
+    for ((name, w1, w10) <- Seq(
+        ("ivf_probe", r1.ivfProbe, r10.ivfProbe),
+        ("ivfpq_probe", r1.ivfpqProbe, r10.ivfpqProbe)))
+      assert(w10 <= 5.0 * math.max(w1, 1.0),
+        f"$name $w10%.1f s at $dataRatio%.0f× data (vec1m: $w1%.1f s) — " +
+          "a pruned probe must stay flat, not scale with the corpus")
+    // the BRUTE fan-out walk (every shard probed) is wave-bound on an
+    // oversubscribed local host: 800 tasks on 32 cores = 25 waves vs 3
+    // at 1M, so wall-clock legitimately grows with ceil(shards/cores)
+    // even though per-shard work is k-bounded. The envelope therefore
+    // normalizes BY WAVE: per-wave walk time must stay flat (measured:
+    // it FELL, 1.33 → 0.87 s/wave). On a real 1000-executor cluster
+    // every shard is one wave again and the walk is flat in wall-clock;
+    // at this shard count a single-query user should be on the pruned
+    // probe or the v21 maintained artifact anyway.
+    val cores = Runtime.getRuntime.availableProcessors()
+    val waves1 = math.ceil(r1.shards.toDouble / cores)
+    val waves10 = math.ceil(r10.shards.toDouble / cores)
+    assert(r10.hnswWalk / waves10 <=
+        2.5 * math.max(r1.hnswWalk / waves1, 0.1),
+      f"hnsw_walk ${r10.hnswWalk}%.1f s over $waves10%.0f waves at " +
+        f"$dataRatio%.0f× data (vec1m: ${r1.hnswWalk}%.1f s / " +
+        f"$waves1%.0f waves) — per-wave walk work grew; the walk is " +
+        "scaling with the corpus, not the scheduler")
+    assert(r10.hnswWalk < r10.hnswBuild,
+      "walk must stay far under build at every decade")
+    // the decade's raison d'être: what the JVM RETAINS must not scale
+    // with the corpus — shard metadata is O(shards), task bookkeeping
+    // transient, and nothing index-sized may live on the driver. 8 GiB
+    // absorbs Spark's own UI/listener state plus GC timing slop while
+    // sitting far under any real limit; a corpus-sized retention (raw
+    // vectors are 2.6 GB at 10M, adjacency ~3× that) would blow it.
+    assert(heapLv10 <= 8L * 1024 * 1024 * 1024,
+      s"post-GC live heap $heapLv10 B after the 800-shard decade — " +
+        "something index-sized is retained; investigate before " +
+        "claiming the 100 TB driver story")
   }
 }
