@@ -99,6 +99,25 @@ object VerifyChecks {
     "v22_approx_serving" -> allTrue("recall_ok"),
     // Misra-Gries deterministic error bound holds on every row
     "x14_approx_topk" -> allTrue("bound_ok"),
+    // v23 (residual IVFPQ): the rerank_all row is the exactness witness
+    // (full probe + corpus shortlist ⇒ exact KNN); residual must also
+    // never shortlist WORSE than plain codes at equal (nprobe,
+    // shortlist) budget — the property the encoding exists for
+    "v23_ivfpq_residual" -> (df => {
+      val rows = df.collect()
+      val w = rows.filter(_.getAs[String]("variant") == "rerank_all")
+      val wOk = w.length == 1 && w(0).getAs[Double]("recall_at_10") == 1.0
+      val byNp = rows.filterNot(_.getAs[String]("variant") == "rerank_all")
+        .groupBy(_.getAs[Long]("nprobe"))
+      val resGe = byNp.nonEmpty && byNp.forall { case (_, rs) =>
+        val m = rs.map(r => r.getAs[String]("variant") ->
+          r.getAs[Double]("recall_at_10")).toMap
+        m("residual") >= m("plain")
+      }
+      (wOk && resGe, s"witness rerank_all recall ${w.headOption
+        .map(_.getAs[Double]("recall_at_10")).getOrElse(-1.0)}, " +
+        s"residual>=plain per nprobe: $resGe")
+    }),
     // bloom prefilters admit false positives, never false negatives
     "d13_bloom_incremental" -> (df => {
       val fn = df.agg(sum(col("n_false_negatives"))).collect()(0).getLong(0)
@@ -138,6 +157,7 @@ object VerifyChecks {
       "v7_pq_recall" -> "9cebfbb91da0d7b2437aef4630cc7d5c",
       "v8_sq_recall" -> "269887f89364ba735aab0781bade2fcb",
       "v9_ivfpq_recall" -> "5c5f3579846158cd7ba5bc6f8bbb959d",
+      "v23_ivfpq_residual" -> "5f8e6df870f543430309103ceea5af4a",
       "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
       "v22_approx_serving" -> "49678cbc54f149c329567c33e31550ce",
       "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
@@ -163,6 +183,7 @@ object VerifyChecks {
       "v7_pq_recall" -> "6ae47c4e1f22b3f1642582c2cc9fba98",
       "v8_sq_recall" -> "269887f89364ba735aab0781bade2fcb",
       "v9_ivfpq_recall" -> "7f81eab429113efc7c770f34d5c5f6c8",
+      "v23_ivfpq_residual" -> "112495b8ceb229ed9fe34c5d871c595b",
       "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
       "v22_approx_serving" -> "70b3d6fb25d594fc62ad8fb396cb6003",
       "x4_approx_stats" -> "adf11b6133c6262db3703d3ed0951e6f",

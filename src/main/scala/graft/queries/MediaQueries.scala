@@ -65,6 +65,7 @@ object MediaQueries {
       s"annidx|sample=$AnnSampleN,vec_id|ivf:k=$IvfK,iters=$IvfItersFull" +
         s"|pq:m=$PqM,ksub=$PqKsub|sq:8bit" +
         s"|ivfpq:k=$IvfK,iters=$IvfItersPq,m=$PqM,ksub=$PqKsub" +
+        s"|ivfpqres:res-trained-cb,v1" +
         s"|hnsw:shards=$HnswShards,m=$HnswM,efc=$HnswEfc,id=$HnswIdFmt" +
         ",vh2")) // vh2: adjacency stamps vec_hash (raw-vector FNV)
 
@@ -102,6 +103,17 @@ object MediaQueries {
       Pq.train(sm, m = PqM, ksub = PqKsub))
   }
 
+  private[queries] def buildIvfPqResIndex(s: SparkSession, dir: String,
+      q: Ivf.Quantizer, cb: Pq.Codebook): DataFrame =
+    Pq.encodeResidual(Ivf.buildIndex(embT(s, dir), q), q, cb)
+
+  private[queries] def buildIvfPqResIndex(s: SparkSession, dir: String)
+      : DataFrame = {
+    val sm = trainSample(s, dir)
+    val q = Ivf.train(sm, IvfK, iters = IvfItersPq)
+    buildIvfPqResIndex(s, dir, q, Pq.trainResidual(sm, q, PqM, PqKsub))
+  }
+
   private[queries] def buildHnswIndex(s: SparkSession, dir: String): DataFrame =
     Hnsw.buildIndexTable(
       embT(s, dir).select(
@@ -118,6 +130,7 @@ object MediaQueries {
     (s"pq_index:$dir", buildPqIndex(_, dir)),
     (s"sq_index:$dir", buildSqIndex(_, dir)),
     (s"ivfpq_index:$dir", buildIvfPqIndex(_, dir)),
+    (s"ivfpq_res_index:$dir", buildIvfPqResIndex(_, dir)),
     (s"hnsw_index:$dir", buildHnswIndex(_, dir)))
 
   private val m1Features: Q = (s, dir) => {
@@ -353,6 +366,52 @@ object MediaQueries {
     rows.toDF("nprobe", "recall_at_10", "scan_fraction")
   }
 
+  // v23 — RESIDUAL IVFPQ (the FAISS IndexIVFPQ default, by_residual):
+  // PQ codes quantize `vector − centroid[list_id]` instead of the raw
+  // vector, and the ADC reconstructs `centroid + codeword` per probed
+  // list (per-list LUT constants fold the cross terms — Pq.
+  // residualAdcCosine). Same code bytes as v9's plain IVFPQ; the output
+  // compares recall@10 of both variants at equal (nprobe, shortlist)
+  // budgets, plus the exactness witness every compressed search carries:
+  // full probe + corpus-sized shortlist ⇒ exact KNN (the re-rank reads
+  // raw vectors, so approximation only ever shapes the shortlist).
+  // No SQL oracle (the output IS approximation quality) — checks.json
+  // verifies the witness row self-evidently; the full result is
+  // golden-pinned per sf.
+  private val v23IvfPqResidual: Q = (s, dir) => {
+    import s.implicits._
+    val e = embT(s, dir)
+    val sm = trainSample(s, dir)
+    val q = Ivf.train(sm, IvfK, iters = IvfItersPq)
+    val cbPlain = Pq.train(sm, m = PqM, ksub = PqKsub)
+    val cbRes = Pq.trainResidual(sm, q, m = PqM, ksub = PqKsub)
+    val plainIdx = StageCache.getOrCache(s, s"ivfpq_index:$dir",
+      annIndexFingerprint(dir))(buildIvfPqIndex(s, dir, q, cbPlain))
+    val resIdx = StageCache.getOrCache(s, s"ivfpq_res_index:$dir",
+      annIndexFingerprint(dir))(buildIvfPqResIndex(s, dir, q, cbRes))
+    val query = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val exact = graft.search.VectorSearch
+      .knn(e, query, 10, vectorCol = "vector", tieBreak = "vec_id")
+      .select(col("vec_id")).as[Long].collect().toSet
+    def recall(df: DataFrame): Double =
+      df.select(col("vec_id")).as[Long].collect().toSet
+        .intersect(exact).size.toDouble / exact.size
+    val n = e.count().toInt
+    val rows = Seq(1, 4).flatMap { np =>
+      Seq(
+        ("plain", np.toLong, recall(Pq.searchIvfPq(plainIdx, query, q,
+          cbPlain, 10, nprobe = np, shortlist = 50, tieBreak = "vec_id"))),
+        ("residual", np.toLong, recall(Pq.searchIvfPqResidual(resIdx,
+          query, q, cbRes, 10, nprobe = np, shortlist = 50,
+          tieBreak = "vec_id"))))
+    } :+ (("rerank_all", IvfK.toLong, recall(Pq.searchIvfPqResidual(
+      resIdx, query, q, cbRes, 10, nprobe = IvfK, shortlist = n,
+      tieBreak = "vec_id"))))
+    rows.toDF("variant", "nprobe", "recall_at_10")
+      .orderBy(col("variant"), col("nprobe"))
+  }
+
   // v8 — scalar-quantization (SQ8) self-check: 4× compressed per-dimension
   // byte codes ([[graft.search.Sq]] — a uniform-grid PQ codebook shape, so
   // encode/ADC/search reuse the PQ machinery and its vector-free scan).
@@ -431,6 +490,7 @@ object MediaQueries {
     "v10_hnsw_recall" -> v10HnswRecall,
     "v8_sq_recall" -> v8SqRecall,
     "v9_ivfpq_recall" -> v9IvfPqRecall,
+    "v23_ivfpq_residual" -> v23IvfPqResidual,
     "m1_media_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
     "m3_jpeg_decode" -> m3JpegDecode,

@@ -89,6 +89,49 @@ object Pq {
         VectorExpressions.pqEncode(col(vectorCol), cb.flat, cb.m, cb.ksub, cb.dsub))
       .withColumn("pq_cb_hash", lit(contentHash(cb)))
 
+  /** RESIDUAL encoding — the FAISS `IndexIVFPQ` default (`by_residual`):
+    * PQ-encode `vector − centroid[list_id]` instead of the raw vector.
+    * Residuals of a coarse-quantized corpus occupy a region ~1/k the
+    * diameter of the corpus, so the same m×ksub codebook budget resolves
+    * proportionally finer — measurably better shortlists at identical
+    * code bytes (PqSpec pins the comparison on clustered data). Requires
+    * an IVF-indexed input (has `list_id` from the SAME quantizer) and a
+    * codebook trained on residual samples ([[trainResidual]]). The
+    * fingerprint column mixes BOTH artifacts' hashes: a residual code is
+    * meaningless against either a different codebook or a different
+    * coarse quantizer, and the two are separate sidecars with no atomic
+    * co-rewrite.
+    */
+  def encodeResidual(ivfIndexed: DataFrame, quantizer: Ivf.Quantizer,
+      cb: Codebook, vectorCol: String = "vector",
+      listCol: String = "list_id", codeCol: String = "pq_code"): DataFrame =
+    ivfIndexed
+      .withColumn(codeCol, VectorExpressions.pqEncode(
+        VectorExpressions.ivfResidual(col(vectorCol), col(listCol),
+          quantizer.centroidsFlat, quantizer.dim),
+        cb.flat, cb.m, cb.ksub, cb.dsub))
+      .withColumn("pq_cb_hash",
+        lit(contentHash(cb) ^ Ivf.contentHash(quantizer)))
+
+  /** Train a codebook on the RESIDUALS of the sample under `quantizer`
+    * (each sample vector minus its nearest centroid) — the codebook
+    * [[encodeResidual]] expects. Deterministic like [[train]]. */
+  def trainResidual(sample: Array[Array[Float]], quantizer: Ivf.Quantizer,
+      m: Int, ksub: Int, iters: Int = 10): Codebook = {
+    val residuals = sample.map { v =>
+      val list = Ivf.nearestLists(v, quantizer, 1).head
+      val cent = quantizer.centroid(list)
+      val r = new Array[Float](v.length)
+      var i = 0
+      while (i < v.length) {
+        r(i) = v(i) - (if (i < cent.length) cent(i) else 0.0f)
+        i += 1
+      }
+      r
+    }
+    train(residuals, m, ksub, iters)
+  }
+
   /** Query-specific LUT of subspace dot products: lut[j·ksub+c] =
     * dot(query_j, codeword(j,c)), sequential within each subspace — the
     * ADC total is therefore the subspace-blocked dot of query ×
@@ -246,14 +289,23 @@ object Pq {
       predicate: Option[Column] = None,
       dedupe: Boolean = false): DataFrame = {
     val eligible = predicate.fold(index)(index.filter)
-    // replica dedupe happens where each side is cheap, never as a
-    // full-row shuffle over the probed region: the shortlist collapses
-    // ids in the SAME narrow (id, score) aggregation it already shuffles
-    // (replicas carry identical codes, so max = the score), and the
-    // row-level dedupe runs only on the semi-joined candidates — a
-    // shortlist-bounded set
-    val scored = eligible
-      .select(col(tieBreak), adcCosine(col(codeCol), query, cb).as("adc_score"))
+    shortlistRerank(eligible, adcCosine(col(codeCol), query, cb), query,
+      topK, shortlist, vectorCol, tieBreak, dedupe)
+  }
+
+  /** The shared phase-2 of every compressed search: ADC-shortlist ids on
+    * a vector-free projection, then exact re-rank of only those rows.
+    * Replica dedupe happens where each side is cheap, never as a
+    * full-row shuffle over the probed region: the shortlist collapses
+    * ids in the SAME narrow (id, score) aggregation it already shuffles
+    * (replicas carry identical codes, so max = the score), and the
+    * row-level dedupe runs only on the semi-joined candidates — a
+    * shortlist-bounded set.
+    */
+  private def shortlistRerank(eligible: DataFrame, adcScore: Column,
+      query: Array[Float], topK: Int, shortlist: Int, vectorCol: String,
+      tieBreak: String, dedupe: Boolean): DataFrame = {
+    val scored = eligible.select(col(tieBreak), adcScore.as("adc_score"))
     val perId =
       if (dedupe) scored.groupBy(col(tieBreak))
         .agg(max(col("adc_score")).as("adc_score"))
@@ -266,5 +318,83 @@ object Pq {
     val cand = if (dedupe) joined.dropDuplicates(tieBreak) else joined
     VectorSearch.knn(cand, query, topK, vectorCol = vectorCol,
       tieBreak = tieBreak)
+  }
+
+  /** ADC cosine against the RECONSTRUCTED vector of a residual code:
+    * rec = centroid[list] + codeword, so per probed list ℓ
+    *
+    *   dot(q, rec)  = dot(q, cℓ) + Σⱼ lutDot[j, code_j]
+    *   ‖rec‖²       = ‖cℓ‖² + Σⱼ (2·dot(cℓⱼ, cw) + ‖cw‖²)
+    *
+    * — the first terms are per-list driver constants, the sums are the
+    * same m-table-read [[VectorExpressions.pqAdc]] shape as the plain
+    * ADC (lutB folds the cross term and the codeword norm into one
+    * table). The column is a CASE over the probed lists, so codegen
+    * evaluates exactly one branch per row.
+    */
+  def residualAdcCosine(codeCol: Column, listCol: Column,
+      query: Array[Float], quantizer: Ivf.Quantizer, cb: Codebook,
+      lists: Seq[Int]): Column = {
+    var qn = 0.0
+    query.foreach(x => qn += x.toDouble * x.toDouble)
+    if (qn == 0.0) return lit(0.0)
+    val lutQ = lutDot(query, cb)
+    val n2 = lutNorm2(cb)
+    val branches = lists.map { l =>
+      val cent = quantizer.centroid(l)
+      var qc = 0.0
+      var cn = 0.0
+      var i = 0
+      while (i < cent.length) {
+        if (i < query.length) qc += query(i).toDouble * cent(i)
+        cn += cent(i).toDouble * cent(i)
+        i += 1
+      }
+      val lutB = new Array[Double](cb.m * cb.ksub)
+      for (j <- 0 until cb.m; c <- 0 until cb.ksub) {
+        val off = (j * cb.ksub + c) * cb.dsub
+        var dcc = 0.0
+        var t = 0
+        while (t < cb.dsub) {
+          val ci = j * cb.dsub + t
+          if (ci < cent.length) dcc += cent(ci).toDouble * cb.flat(off + t)
+          t += 1
+        }
+        lutB(j * cb.ksub + c) = 2.0 * dcc + n2(j * cb.ksub + c)
+      }
+      val dotCol = lit(qc) +
+        VectorExpressions.pqAdc(codeCol, lutQ, cb.ksub)
+      val n2Col = lit(cn) +
+        VectorExpressions.pqAdc(codeCol, lutB, cb.ksub)
+      (listCol === l,
+        when(n2Col <= 0.0, 0.0)
+          .otherwise(dotCol / (sqrt(n2Col) * math.sqrt(qn))))
+    }
+    branches.foldRight(lit(0.0): Column) { case ((cond, v), acc) =>
+      when(cond, v).otherwise(acc)
+    }
+  }
+
+  /** Residual IVFPQ search: coarse-list pruning + residual-ADC scoring +
+    * exact shortlist re-rank. Same exactness witness as [[searchIvfPq]]
+    * (full probe + corpus shortlist ⇒ exact KNN — the re-rank reads raw
+    * vectors, so approximation only ever shapes the shortlist); better
+    * shortlists than the raw-vector codes at equal bytes because the
+    * codebook spends its resolution on the residual region.
+    */
+  def searchIvfPqResidual(index: DataFrame, query: Array[Float],
+      quantizer: Ivf.Quantizer, cb: Codebook, topK: Int, nprobe: Int = 1,
+      shortlist: Int = 100, vectorCol: String = "vector",
+      codeCol: String = "pq_code", tieBreak: String = "vec_id",
+      predicate: Option[Column] = None,
+      dedupe: Option[Boolean] = None): DataFrame = {
+    val lists = Ivf.nearestLists(query, quantizer, nprobe)
+    val probed = index.filter(col("list_id").isin(lists: _*))
+    val eligible = predicate.fold(probed)(probed.filter)
+    shortlistRerank(eligible,
+      residualAdcCosine(col(codeCol), col("list_id"), query, quantizer,
+        cb, lists),
+      query, topK, shortlist, vectorCol, tieBreak,
+      dedupe.getOrElse(quantizer.replicas != 1))
   }
 }

@@ -352,6 +352,69 @@ case class PqEncode(child: Expression, codebookFlat: Array[Float],
   * so a codebook/index shape mismatch fails loudly instead of reading a
   * neighboring subspace's table entries.
   */
+/** Residual against a coarse centroid: `vec − centroids[list_id]`,
+  * element-wise over the centroid's `dim` entries (vector elements past
+  * `dim` pass through unchanged; an out-of-range list id — impossible for
+  * ids produced by [[IvfAssign]] over the same quantizer — passes the
+  * vector through untouched rather than inventing a centroid). The
+  * write-time half of residual IVFPQ: PQ codes quantize the residual,
+  * which occupies a far smaller region than the raw corpus, so the same
+  * m×ksub codebook budget resolves finer (the FAISS `IndexIVFPQ`
+  * default, `by_residual=true`). Composes with [[PqEncode]] inside one
+  * whole-stage-codegen span.
+  */
+case class IvfResidual(left: Expression, right: Expression,
+    centroidsFlat: Array[Float], dim: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  private def k: Int = centroidsFlat.length / dim
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "ivf_residual"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val list = b.asInstanceOf[Int]
+    val n = x.numElements()
+    val out = new Array[Float](n)
+    val off = list * dim
+    val lim = if (list >= 0 && list < k) math.min(n, dim) else 0
+    var i = 0
+    while (i < lim) { out(i) = x.getFloat(i) - centroidsFlat(off + i); i += 1 }
+    while (i < n) { out(i) = x.getFloat(i); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cents = ctx.addReferenceObj("centroids", centroidsFlat, "float[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val off = ctx.freshName("off")
+      val lim = ctx.freshName("lim")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |float[] $out = new float[$n];
+         |int $off = $b * $dim;
+         |int $lim = ($b >= 0 && $b < $k) ? java.lang.Math.min($n, $dim) : 0;
+         |int $i = 0;
+         |for (; $i < $lim; $i++) {
+         |  $out[$i] = $a.getFloat($i) - $cents[$off + $i];
+         |}
+         |for (; $i < $n; $i++) { $out[$i] = $a.getFloat($i); }
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IvfResidual =
+    copy(left = newLeft, right = newRight)
+}
+
 case class PqAdc(child: Expression, lut: Array[Double], ksub: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -426,4 +489,10 @@ object VectorExpressions {
   def pqAdc(codes: Column, lut: Array[Double], ksub: Int): Column =
     ExpressionUtils.column(PqAdc(
       ExpressionUtils.expression(codes), lut, ksub))
+
+  def ivfResidual(vec: Column, listId: Column, centroidsFlat: Array[Float],
+      dim: Int): Column =
+    ExpressionUtils.column(IvfResidual(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(listId),
+      centroidsFlat, dim))
 }

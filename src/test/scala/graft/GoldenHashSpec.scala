@@ -30,6 +30,7 @@ object GoldenHashSpec {
     "d13_bloom_incremental",
     "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
     "v9_ivfpq_recall", "v10_hnsw_recall", "v22_approx_serving",
+    "v23_ivfpq_residual",
     "x4_approx_stats", "x14_approx_topk", "x21_quality_classifier")
 
   /** Reviewed-once golden hashes (sf0.001, session config above). */
@@ -52,6 +53,7 @@ object GoldenHashSpec {
     "v7_pq_recall" -> "9cebfbb91da0d7b2437aef4630cc7d5c",
     "v8_sq_recall" -> "269887f89364ba735aab0781bade2fcb",
     "v9_ivfpq_recall" -> "5c5f3579846158cd7ba5bc6f8bbb959d",
+    "v23_ivfpq_residual" -> "5f8e6df870f543430309103ceea5af4a",
     "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
     "v22_approx_serving" -> "49678cbc54f149c329567c33e31550ce",
     "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",

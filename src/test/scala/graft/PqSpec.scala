@@ -164,6 +164,103 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
       index.select("vec_id").as[Long].collect().toSet))
   }
 
+  test("residual ivfpq: full probe + full shortlist degenerates to exact") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val sample = e.orderBy(col("vec_id")).limit(256)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val ivfQ = graft.search.Ivf.train(sample, k = 8)
+    val cb = Pq.trainResidual(sample, ivfQ, m = 8, ksub = 16)
+    val index = Pq.encodeResidual(
+      graft.search.Ivf.buildIndex(e, ivfQ), ivfQ, cb)
+    val query = e.filter(col("vec_id") === 3)
+      .head().getAs[scala.collection.Seq[Float]]("vector").toArray
+    val n = e.count().toInt
+    val exact = VectorSearch.knn(e, query, 10,
+        vectorCol = "vector", tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    val res = Pq.searchIvfPqResidual(index, query, ivfQ, cb, 10,
+        nprobe = ivfQ.k, shortlist = n, tieBreak = "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(res == exact)
+  }
+
+  test("residual codes: ADC of a zero-residual row reconstructs the centroid") {
+    // a vector that IS its centroid has residual 0; if the residual
+    // codebook contains the zero codeword (it does when the sample holds
+    // any exact-centroid point), the reconstructed vector equals the
+    // centroid and the residual ADC cosine equals the exact cosine
+    val s = spark
+    import s.implicits._
+    val base = vectors(32)
+    val ivfQ = graft.search.Ivf.train(base, k = 4)
+    // sample = the centroids themselves → residuals are exactly zero and
+    // per-subspace k-means puts a zero codeword in every subspace
+    val centSample = (0 until ivfQ.k).map(ivfQ.centroid).toArray
+    val cb = Pq.trainResidual(centSample, ivfQ, m = 4, ksub = 4)
+    val df = (0 until ivfQ.k).map(c => (c.toLong, ivfQ.centroid(c).toSeq))
+      .toDF("vec_id", "vector")
+    val index = Pq.encodeResidual(
+      graft.search.Ivf.buildIndex(df, ivfQ), ivfQ, cb)
+    val q = ivfQ.centroid(1)
+    val scored = index.withColumn("s", Pq.residualAdcCosine(
+        col("pq_code"), col("list_id"), q, ivfQ, cb, 0 until ivfQ.k))
+      .orderBy(col("s").desc, col("vec_id"))
+      .select(col("vec_id"), col("s")).as[(Long, Double)].collect()
+    // the query centroid itself must score ~1.0 and rank first
+    assert(scored.head._1 == 1L, scored.mkString(","))
+    assert(math.abs(scored.head._2 - 1.0) < 1e-9, scored.head.toString)
+  }
+
+  test("residual shortlists beat plain on average at equal budget") {
+    // the property the encoding exists for, on the real testdata corpus:
+    // MEAN ADC-only hit@10 (no re-rank — pure shortlist quality) of
+    // residual codes >= plain codes at identical m, ksub, probed lists,
+    // averaged over 8 queries. Per-query the comparison is a coin flip
+    // at top-10 granularity (measured: one query scores plain 5 vs
+    // residual 3 while the 8-query means are 3.125 vs 3.375) — the
+    // claim is distributional, so the assertion aggregates.
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("vector"))
+    val sample = e.orderBy(col("vec_id")).limit(256)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val ivfQ = graft.search.Ivf.train(sample, k = 8)
+    val cbPlain = Pq.train(sample, m = 8, ksub = 16)
+    val cbRes = Pq.trainResidual(sample, ivfQ, m = 8, ksub = 16)
+    val base = graft.search.Ivf.buildIndex(e, ivfQ).cache()
+    val plainIdx = Pq.encode(base, cbPlain).cache()
+    val resIdx = Pq.encodeResidual(base, ivfQ, cbRes).cache()
+    val queries = e.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    def top10(df: org.apache.spark.sql.DataFrame,
+        score: org.apache.spark.sql.Column): Set[Long] =
+      df.withColumn("s", score).orderBy(col("s").desc, col("vec_id"))
+        .limit(10).select("vec_id").as[Long].collect().toSet
+    var plainHits = 0
+    var resHits = 0
+    queries.foreach { query =>
+      val exact = VectorSearch.knn(e, query, 10,
+          vectorCol = "vector", tieBreak = "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      val lists = graft.search.Ivf.nearestLists(query, ivfQ, ivfQ.k)
+      plainHits += top10(plainIdx,
+        Pq.adcCosine(col("pq_code"), query, cbPlain))
+        .intersect(exact).size
+      resHits += top10(resIdx, Pq.residualAdcCosine(
+        col("pq_code"), col("list_id"), query, ivfQ, cbRes, lists))
+        .intersect(exact).size
+    }
+    base.unpersist(); plainIdx.unpersist(); resIdx.unpersist()
+    assert(resHits >= plainHits,
+      s"mean residual ADC hit@10 ${resHits / 8.0} < plain " +
+        s"${plainHits / 8.0} — residual codes must not shortlist worse " +
+        "in aggregate at equal bytes")
+  }
+
   test("full-shortlist re-rank recovers the exact KNN on real embeddings") {
     val s = spark
     import s.implicits._
