@@ -754,6 +754,84 @@ object TextAnalysisQueries {
        |LEFT JOIN tc ON b.bg = tc.bg
        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin
 
+  // X23 — CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+  // each language's corpus into head/middle/tail thirds by how well a
+  // held-out language model predicts the document — the standard
+  // pretraining-data curation step (keep head, resample middle, drop
+  // tail). The LM is x18's bigram model (trained on the 90% hash split);
+  // the per-document score is the OOV rate under it — a RATIO OF EXACT
+  // INTEGERS (one double division), so unlike a log-prob sum it is
+  // order-free and hash-identical across engines. Buckets come from
+  // NTILE(3) per language over (oov_rate, doc_id) — a totally-specified
+  // order, so the tile boundaries are deterministic; the output pools
+  // each bucket with integer sums (+ one division) and order-free
+  // min/max, keeping the whole result oracle-exact.
+  //
+  // Scale shape: rows entering the window are ONE NARROW ROW PER
+  // DOCUMENT (doc_id, lang, two ints) — the corpus-sized bigram census
+  // collapses map-side before any window. At 100 TB the NTILE becomes
+  // the one per-language sort; the production variant computes
+  // approx-percentile thresholds on the same scored table and buckets
+  // by comparison (no global sort) — this entry keeps the exact form
+  // the DuckDB oracle can replay, and the threshold form is a two-line
+  // swap (percentile_approx on the same column).
+  private val x23PerplexityBuckets: Q = (s, dir) => {
+    val bucketH =
+      pmod(TextSketch.hexInt(col("doc_id").cast("string")), lit(100L))
+    val bg = bigramStage(s, dir)
+    val trainCounts = bg.where(bucketH < 90)
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val perDoc = bg
+      .join(trainCounts, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("cb").isNull, lit(1))).as("n_oov"))
+    val scored = perDoc
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_bigrams").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("oov_rate"), col("doc_id"))
+    scored
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams_total"),
+        (sum(col("n_oov")).cast("double") /
+          sum(col("n_bigrams")).cast("double")).as("pooled_oov_rate"),
+        min(col("oov_rate")).as("min_oov"),
+        max(col("oov_rate")).as("max_oov"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val x23Sql =
+    s"""WITH bgs AS (
+       |  SELECT doc_id, unnest(${duckBg.expr}) AS bg,
+       |    ${TextSketch.duck.hexInt("CAST(doc_id AS VARCHAR)")} % 100 AS h
+       |  FROM documents),
+       |tc AS (SELECT bg, COUNT(*) AS cb FROM bgs WHERE h < 90 GROUP BY bg),
+       |perdoc AS (
+       |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       |    COUNT(CASE WHEN tc.cb IS NULL THEN 1 END) AS n_oov
+       |  FROM bgs b LEFT JOIN tc ON b.bg = tc.bg
+       |  GROUP BY b.doc_id),
+       |scored AS (
+       |  SELECT d.lang, p.doc_id, p.n_bigrams, p.n_oov,
+       |    p.n_oov::DOUBLE / p.n_bigrams::DOUBLE AS oov_rate
+       |  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id),
+       |bucketed AS (
+       |  SELECT lang, n_bigrams, n_oov, oov_rate,
+       |    CAST(NTILE(3) OVER (PARTITION BY lang
+       |      ORDER BY oov_rate, doc_id) AS BIGINT) AS bucket
+       |  FROM scored)
+       |SELECT lang, bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams_total,
+       |  CAST(SUM(n_oov) AS BIGINT)::DOUBLE /
+       |    CAST(SUM(n_bigrams) AS BIGINT)::DOUBLE AS pooled_oov_rate,
+       |  MIN(oov_rate) AS min_oov, MAX(oov_rate) AS max_oov
+       |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
   // X15/X17 oracles — BPE training as a DuckDB recursive CTE (the d7
   // recursive-CTE precedent). Each iteration carries the symbolized
   // vocabulary forward one round: a pair census over the previous round's
@@ -1130,6 +1208,7 @@ object TextAnalysisQueries {
     "x20_pii_redact" -> x20PiiRedact,
     "x19_vocab_growth" -> x19VocabGrowth,
     "x18_heldout_lm" -> x18HeldoutLm,
+    "x23_perplexity_buckets" -> x23PerplexityBuckets,
     "x17_bpe_encode" -> x17BpeEncode,
     "x16_rare_tokens" -> x16RareTokens,
     "x15_bpe_merges" -> x15Bpe,
@@ -1151,6 +1230,7 @@ object TextAnalysisQueries {
     "x20_pii_redact" -> x20Sql,
     "x19_vocab_growth" -> x19Sql,
     "x18_heldout_lm" -> x18Sql,
+    "x23_perplexity_buckets" -> x23Sql,
     "x17_bpe_encode" -> x17Sql,
     "x16_rare_tokens" -> x16Sql,
     "x15_bpe_merges" -> x15Sql,
