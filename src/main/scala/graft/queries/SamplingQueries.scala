@@ -358,13 +358,79 @@ object SamplingQueries {
        |FROM r, m WHERE rr <= m.mn ORDER BY cluster_id, vec_id""".stripMargin
   }
 
+  // G7 — TEMPERATURE-SCALED language mixing (the mT5/XLM-R rule:
+  // sample language l with p_l ∝ n_l^α so low-resource languages are
+  // up-weighted relative to their corpus share; α = 0.5 here). The
+  // per-language quota is INTEGER-EXACT on purpose: s_l =
+  // (T · ⌊√n_l⌋) div Σ⌊√n_m⌋ — ⌊√n⌋ of a BIGINT is exactly one
+  // correctly-rounded IEEE sqrt + floor (bit-identical across engines,
+  // unlike pow(n, 0.3), whose last ulp is libm-specific and would flap
+  // a hash-threshold compare), the sum is an order-free integer sum,
+  // and the division is integral. Selection within a language is the
+  // g5 rule — the T·p_l lowest salted-hash docs, rank-capped — so a
+  // small language whose quota exceeds n_l keeps everything (the
+  // UniMax cap emerges naturally from the rank). Output per language:
+  // corpus size, quota, kept docs/chars.
+  //
+  // Scale shape: one narrow row per document through the per-language
+  // count + rank windows (the g5/x23 profile); quotas are an L-row
+  // broadcast. At 100 TB the rank cutoff becomes a per-language
+  // approximate hash-threshold (keep iff hash < quota/n_l · 2^60 —
+  // no sort) with the same expected allocation; this entry keeps the
+  // exact rank form the oracle can replay.
+  private val G7Budget = 600L
+  private val g7TemperatureMix: Q = (s, dir) => {
+    val perLang = Window.partitionBy(col("lang"))
+    val counted = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("__n", count(lit(1)).over(perLang))
+      .withColumn("__sq",
+        floor(sqrt(col("__n").cast("double"))).cast("long"))
+      .withColumn("__rk", row_number().over(
+        perLang.orderBy(hash60(col("doc_id")).asc, col("doc_id").asc)))
+    val sTotal = counted.select(col("lang"), col("__sq")).distinct()
+      .agg(sum(col("__sq")).as("S"))
+    counted.join(broadcast(sTotal))
+      .withColumn("__quota", expr(s"($G7Budget * __sq) div S"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__quota")).as("quota"),
+        sum(when(col("__rk") <= col("__quota"), lit(1L)).otherwise(lit(0L)))
+          .as("n_kept"),
+        sum(when(col("__rk") <= col("__quota"), col("n_chars"))
+          .otherwise(lit(0L))).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val g7Sql =
+    s"""WITH counted AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(FLOOR(SQRT(COUNT(*) OVER (PARTITION BY lang))) AS BIGINT)
+       |      AS sq,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY $duckHash60, doc_id) AS rk
+       |  FROM documents),
+       |s AS (SELECT CAST(SUM(sq) AS BIGINT) AS S
+       |      FROM (SELECT DISTINCT lang, sq FROM counted)),
+       |flagged AS (
+       |  SELECT lang, n_chars, rk,
+       |    ($G7Budget * sq) // S AS quota
+       |  FROM counted, s)
+       |SELECT lang, COUNT(*) AS n_docs, MAX(quota) AS quota,
+       |  CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN rk <= quota THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS kept_chars
+       |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Map[String, Q] = Map(
     "g1_hash_split" -> g1HashSplit,
     "g2_stratified_sample" -> g2StratifiedSample,
     "g3_corpus_mix" -> g3CorpusMix,
     "g4_sequence_packing" -> g4SequencePacking,
     "g5_unimax_sample" -> g5Unimax,
-    "g6_cluster_balance" -> g6ClusterBalance)
+    "g6_cluster_balance" -> g6ClusterBalance,
+    "g7_temperature_mix" -> g7TemperatureMix)
 
   def oracles: Map[String, String] = Map(
     "g1_hash_split" -> g1Sql,
@@ -372,5 +438,6 @@ object SamplingQueries {
     "g3_corpus_mix" -> g3Sql,
     "g4_sequence_packing" -> g4Sql,
     "g5_unimax_sample" -> g5Sql,
-    "g6_cluster_balance" -> g6Sql)
+    "g6_cluster_balance" -> g6Sql,
+    "g7_temperature_mix" -> g7Sql)
 }
