@@ -31,18 +31,25 @@ object Verify {
       // queries are deterministic, so a retry changes nothing but luck
       def dump(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
+      var dumped = true
       try dump()
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed (retrying): ${e.getMessage}")
         try dump()
         catch { case e2: Throwable =>
+          dumped = false
           System.err.println(s"[verify] $name failed: ${e2.getMessage}")
         }
       }
       if (!oracles.contains(name)) {
         // verify the WRITTEN parquet (what the driver reads), not the
-        // in-memory plan: a write bug must fail the check too
-        val verdict = try {
+        // in-memory plan: a write bug must fail the check too. A FAILED
+        // dump must fail the check outright — outDir may hold a prior
+        // run's parquet for this name, and validating that stale output
+        // would report a broken query as verified.
+        val verdict = if (!dumped)
+          (VerifyChecks.kindOf(name), false, "dump failed: no fresh output")
+        else try {
           val out = spark.read.parquet(s"$outDir/$name")
           val detail = new StringBuilder
           var passed = true
@@ -67,7 +74,14 @@ object Verify {
                 detail ++= s"rows[$n]"
               }
           }
-          (VerifyChecks.kindOf(name), passed, detail.toString)
+          // the KIND must state the evidence that actually ran: a
+          // golden query at a pinless sf was only row-counted, and a
+          // "golden pass" label would overstate it
+          val kind =
+            if (VerifyChecks.kindOf(name) == "golden" &&
+              !sfPins.contains(name)) "rows"
+            else VerifyChecks.kindOf(name)
+          (kind, passed, detail.toString)
         } catch { case e: Throwable =>
           (VerifyChecks.kindOf(name), false, s"check error: ${e.getMessage}")
         }

@@ -274,11 +274,19 @@ object SamplingQueries {
 
   /** Exact corpus fingerprint keying the centroid artifact partition:
     * an order-free LONG sum both engines compute bit-identically
-    * (float32 → double is exact; floor lands on an integer; the sum is
-    * integral, so no float fold-order can leak in). */
+    * (float32 → double is exact; floor lands on an integer; the sums
+    * are integral, so no float fold-order can leak in). Mixes EVERY
+    * dimension (position-weighted) and the vec_id — a first-coordinate-
+    * only digest collided for corpora differing in later dims or id
+    * assignment, letting one corpus clobber another's artifact
+    * partition and feed the wrong centroids to its oracle replay. */
   private def g6CorpusFp(e: DataFrame): Long =
-    e.agg(sum(floor(element_at(col("embedding"), 1).cast("double") *
-      lit(1e6)).cast("long")).as("v")).head().getLong(0)
+    e.agg(sum(col("vec_id").cast("long") + expr(
+      "aggregate(zip_with(embedding, sequence(1, size(embedding)), " +
+        "(v, i) -> CAST(i AS BIGINT) * " +
+        "CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")).as("v"))
+      .head().getLong(0)
 
   private val g6ClusterBalance: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -333,11 +341,14 @@ object SamplingQueries {
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE)), (acc, x) -> acc + x)"
     val sim = s"(CASE WHEN ${norm2("e.embedding")} = 0.0 OR ${norm2("c.cvec")} = 0.0 " +
       s"THEN 0.0 ELSE $dot / (sqrt(${norm2("e.embedding")}) * sqrt(${norm2("c.cvec")})) END)"
-    s"""WITH fp AS (SELECT CAST(SUM(CAST(FLOOR(embedding[1]::DOUBLE * 1e6)
-       |             AS BIGINT)) AS BIGINT) AS v FROM embeddings),
+    s"""WITH fp AS (SELECT CAST(SUM(vec_id + list_reduce(
+       |        list_prepend(0::BIGINT, list_transform(
+       |          range(1, len(embedding)+1),
+       |          i -> i * CAST(FLOOR(embedding[i]::DOUBLE * 1e6) AS BIGINT))),
+       |        (acc, x) -> acc + x)) AS BIGINT) AS v FROM embeddings),
        |c AS (SELECT CAST(cid AS BIGINT) AS cid, cvec
        |      FROM read_parquet(
-       |        '/root/repo/$G6CentroidDir/*/*.parquet',
+       |        '${new java.io.File(G6CentroidDir).getAbsolutePath}/*/*.parquet',
        |        hive_partitioning=1), fp
        |      WHERE CAST(corpus_fp AS BIGINT) = fp.v),
        |a AS (SELECT e.vec_id, c.cid,

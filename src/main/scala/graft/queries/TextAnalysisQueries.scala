@@ -756,10 +756,17 @@ object TextAnalysisQueries {
 
   // X23 — CCNet-style perplexity bucketing (Wenzek et al. 2020): split
   // each language's corpus into head/middle/tail thirds by how well a
-  // held-out language model predicts the document — the standard
+  // background language model predicts the document — the standard
   // pretraining-data curation step (keep head, resample middle, drop
-  // tail). The LM is x18's bigram model (trained on the 90% hash split);
-  // the per-document score is the OOV rate under it — a RATIO OF EXACT
+  // tail). The LM is x18's bigram model (counts from the 90% hash
+  // split), scored LEAVE-ONE-OUT: each document's bigram tokens count
+  // as OOV when the train count MINUS THE DOCUMENT'S OWN CONTRIBUTION
+  // is zero. Scoring a train doc against counts that include itself
+  // would make its OOV rate identically 0 (every bigram it has, it
+  // contributed) and collapse 90% of each language's NTILE order to a
+  // doc_id sort; the self-exclusion gives every document a genuine
+  // novelty-vs-the-rest score while staying exact-integer arithmetic.
+  // The per-document score is that OOV rate — a RATIO OF EXACT
   // INTEGERS (one double division), so unlike a log-prob sum it is
   // order-free and hash-identical across engines. Buckets come from
   // NTILE(3) per language over (oov_rate, doc_id) — a totally-specified
@@ -778,14 +785,23 @@ object TextAnalysisQueries {
   private val x23PerplexityBuckets: Q = (s, dir) => {
     val bucketH =
       pmod(TextSketch.hexInt(col("doc_id").cast("string")), lit(100L))
-    val bg = bigramStage(s, dir)
-    val trainCounts = bg.where(bucketH < 90)
-      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-    val perDoc = bg
+    // per-(doc, bigram) token counts first: shrinks the census join
+    // input to distinct types per doc AND carries the own-count the
+    // leave-one-out subtraction needs
+    val docBg = bigramStage(s, dir)
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("own"))
+      .withColumn("__h", bucketH)
+    val trainCounts = docBg.where(col("__h") < 90)
+      .groupBy(col("bg")).agg(sum(col("own")).as("cb"))
+    val perDoc = docBg
       .join(trainCounts, Seq("bg"), "left")
+      .withColumn("__eff", coalesce(col("cb"), lit(0L)) -
+        when(col("__h") < 90, col("own")).otherwise(lit(0L)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        count(when(col("cb").isNull, lit(1))).as("n_oov"))
+      .agg(sum(col("own")).as("n_bigrams"),
+        sum(when(col("__eff") === 0L, col("own")).otherwise(lit(0L)))
+          .as("n_oov"))
     val scored = perDoc
       .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
@@ -810,12 +826,19 @@ object TextAnalysisQueries {
        |  SELECT doc_id, unnest(${duckBg.expr}) AS bg,
        |    ${TextSketch.duck.hexInt("CAST(doc_id AS VARCHAR)")} % 100 AS h
        |  FROM documents),
-       |tc AS (SELECT bg, COUNT(*) AS cb FROM bgs WHERE h < 90 GROUP BY bg),
+       |docbg AS (
+       |  SELECT doc_id, bg, h, COUNT(*) AS own
+       |  FROM bgs GROUP BY doc_id, bg, h),
+       |tc AS (SELECT bg, CAST(SUM(own) AS BIGINT) AS cb
+       |       FROM docbg WHERE h < 90 GROUP BY bg),
        |perdoc AS (
-       |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
-       |    COUNT(CASE WHEN tc.cb IS NULL THEN 1 END) AS n_oov
-       |  FROM bgs b LEFT JOIN tc ON b.bg = tc.bg
-       |  GROUP BY b.doc_id),
+       |  SELECT d.doc_id,
+       |    CAST(SUM(d.own) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN COALESCE(tc.cb, 0) -
+       |        (CASE WHEN d.h < 90 THEN d.own ELSE 0 END) = 0
+       |      THEN d.own ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM docbg d LEFT JOIN tc ON d.bg = tc.bg
+       |  GROUP BY d.doc_id),
        |scored AS (
        |  SELECT d.lang, p.doc_id, p.n_bigrams, p.n_oov,
        |    p.n_oov::DOUBLE / p.n_bigrams::DOUBLE AS oov_rate

@@ -297,10 +297,15 @@ object Pq {
     * a vector-free projection, then exact re-rank of only those rows.
     * Replica dedupe happens where each side is cheap, never as a
     * full-row shuffle over the probed region: the shortlist collapses
-    * ids in the SAME narrow (id, score) aggregation it already shuffles
-    * (replicas carry identical codes, so max = the score), and the
-    * row-level dedupe runs only on the semi-joined candidates — a
-    * shortlist-bounded set.
+    * ids in the SAME narrow (id, score) aggregation it already shuffles,
+    * and the row-level dedupe runs only on the semi-joined candidates —
+    * a shortlist-bounded set. Replica score semantics per caller: with
+    * RAW codes ([[searchCosine]]) replicas carry identical codes, so
+    * max IS the score; with RESIDUAL codes ([[searchIvfPqResidual]])
+    * each replica encodes against its own list centroid, so max picks
+    * the replica whose reconstruction scores highest — the optimistic
+    * estimate, which only shapes the shortlist (the re-rank is exact
+    * on raw vectors either way).
     */
   private def shortlistRerank(eligible: DataFrame, adcScore: Column,
       query: Array[Float], topK: Int, shortlist: Int, vectorCol: String,

@@ -25,13 +25,17 @@ def load(path, rt):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    rt = "--rt" in sys.argv
+    argv = sys.argv[1:]
+    rt = "--rt" in argv
+    argv = [a for a in argv if a != "--rt"]
     tol = 1.3
-    if "--tol" in sys.argv:
-        tol = float(sys.argv[sys.argv.index("--tol") + 1])
-        args = [a for a in args if a != str(tol)]
-    old, new = load(args[0], rt), load(args[1], rt)
+    if "--tol" in argv:
+        i = argv.index("--tol")
+        tol = float(argv[i + 1])
+        del argv[i:i + 2]
+    if len(argv) != 2:
+        sys.exit(__doc__)
+    old, new = load(argv[0], rt), load(argv[1], rt)
     shared = sorted(set(old) & set(new))
     grew, shrank = [], 0
     for q in shared:
