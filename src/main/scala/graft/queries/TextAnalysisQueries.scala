@@ -1141,6 +1141,18 @@ object TextAnalysisQueries {
     bm25PerDoc(s, dir).agg(count(lit(1)).as("n"), statExprs: _*)
   }
 
+  /** The 1-row corpus-stats record (n, sum_dl, df_<term>…), read through
+    * the persisted stats table when `index-sketches` wrote it — shared
+    * by [[bm25ScoredAll]] and v24's fusion-gate confidence. */
+  private[queries] def bm25StatsRow(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Row =
+    StageCache.readThroughOrBuild(s, s"bm25_stats:$dir",
+      bm25Fingerprint(dir))(bm25StatsDf(s, dir)).head()
+
+  /** The BM25 query-term list, in scoring order (v24's confidence fold
+    * replays it term-by-term). */
+  private[queries] def bm25QueryTerms: Seq[String] = bm25Terms
+
   /** Full-corpus BM25 scores (doc_id, dl, bm25) — shared by x22's top-10
     * and v14/v16's hybrid fusion. */
   private[queries] def bm25ScoredAll(s: SparkSession, dir: String): DataFrame = {
@@ -1153,8 +1165,7 @@ object TextAnalysisQueries {
     // equal (verified bit-for-bit), so literal idfs are what makes the
     // oracle hash-match. When `index-sketches` has persisted the stats
     // table this head() is a 1-row parquet read, not a corpus aggregate.
-    val st = StageCache.readThroughOrBuild(s, s"bm25_stats:$dir",
-      bm25Fingerprint(dir))(bm25StatsDf(s, dir)).head()
+    val st = bm25StatsRow(s, dir)
     val n = st.getAs[Long]("n")
     val avgdl = st.getAs[Long]("sum_dl").toDouble / n.toDouble
     val idfs: Seq[Double] = bm25Terms.map { t =>
@@ -1205,6 +1216,23 @@ object TextAnalysisQueries {
        |    FROM (SELECT len($w)::BIGINT AS dl,
        |            $tfs
        |          FROM documents) pd2) stats)""".stripMargin
+  }
+
+  /** The 1-row corpus-stats SQL (n, sum_dl, df_<term>…) — the DuckDB
+    * twin of [[bm25StatsRow]], shared with v24's oracle. */
+  private[queries] val bm25StatsSql: String = {
+    val w = duck.wordsExpr
+    val tfs = bm25Terms.map(t =>
+      s"len(list_filter($w, x -> x = '$t'))::BIGINT AS tf_$t")
+      .mkString(",\n       |      ")
+    val dfs = bm25Terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$t")
+      .mkString(",\n       |    ")
+    s"""SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS sum_dl,
+       |    $dfs
+       |  FROM (SELECT len($w)::BIGINT AS dl,
+       |      $tfs
+       |    FROM documents)""".stripMargin
   }
 
   private val x22Sql =

@@ -634,6 +634,176 @@ object VectorQueries {
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // V24 — GATED hybrid fusion (VERDICT r13 task 1): v16's bounded RRF
+  // behind the [[graft.search.FusionGate]] lexical-confidence gate. The
+  // gate's two inputs are replayable arithmetic: the query's confidence
+  // (top-1 BM25 over the saturation ceiling (k1+1)·Σidf) and a
+  // corpus-calibrated floor (p75 of the first-256-docs thinned
+  // self-match distribution) persisted as a WRITE-TIME artifact keyed
+  // by an exact integer corpus fingerprint — the g6-centroids
+  // precedent: the oracle reads the same floor back via read_parquet
+  // and independently replays confidence, gate decision, and weighted
+  // fusion. Below the floor the lexical channel's weight is 0 and the
+  // output degrades to the dense ranking (the reference's
+  // fall-back-to-the-stronger-path behavior,
+  // retrieval/pipeline.py:114-158); the quality consequence is pinned
+  // in HardFusedRecallSpec (hard corpus: gated 26/45 vs neutral-fused
+  // 17/45 at sf0.001).
+  //
+  // Scale shape: calibration is a bounded driver-side sample (256 docs'
+  // token arrays — the g6 quantizer-sample precedent) plus ONE census
+  // scan for the sample vocabulary's dfs (semi-joined map-side, shuffle
+  // carries ≤ |sample vocab| rows); query time adds nothing over v16 —
+  // the same two TakeOrderedAndProject candidate scans plus a 1-row
+  // stats read.
+  private[graft] val FusionFloorDir = "localdata/fusion-floor"
+
+  /** Exact integer corpus fingerprint keying the floor artifact
+    * partition — both engines compute n·1000000007 + Σdl in BIGINT. */
+  private def fusionCorpusFp(n: Long, sumDl: Long): Long =
+    n * 1000000007L + sumDl
+
+  /** Calibrates the lexical-confidence floor for this corpus and
+    * persists it as the write-time artifact; returns (corpus_fp, floor).
+    * Session-cached (StageCache): the bounded sample + census scan run
+    * once per session, not once per query invocation.
+    */
+  private[graft] def fusionFloorCalib(s: SparkSession, dir: String)
+      : (Long, Double) = {
+    val row = StageCache.getOrCache(s, s"fusion_floor:$dir",
+      Some(StageCache.sourceFingerprint(Seq(s"$dir/documents.parquet"),
+        s"fusion=calib${graft.search.FusionGate.CalibN}," +
+          s"q${graft.search.FusionGate.FloorQuantile}," +
+          s"thin${graft.search.FusionGate.ThinStride}")))(
+      fusionFloorBuild(s, dir)).head()
+    (row.getLong(0), row.getDouble(1))
+  }
+
+  private def fusionFloorBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.search.FusionGate
+    val st = TextAnalysisQueries.bm25StatsRow(s, dir)
+    val n = st.getAs[Long]("n")
+    val sumDl = st.getAs[Long]("sum_dl")
+    val avgdl = sumDl.toDouble / n.toDouble
+    // bounded deterministic sample: token arrays of the first CalibN docs
+    val sample: Seq[(Long, Seq[String])] =
+      TextAnalysisQueries.wordsStage(s, dir)
+        .filter(col("doc_id") < FusionGate.CalibN)
+        .select(col("doc_id").cast("long"), col("w"))
+        .orderBy(col("doc_id"))
+        .as[(Long, Seq[String])].collect().toSeq
+    // df census restricted to the sample's vocabulary: one corpus scan,
+    // broadcast-semi-joined to the (bounded) vocab
+    val vocab = sample.flatMap(_._2).distinct
+    val vocabDf = vocab.toDF("t")
+    val dfMap: Map[String, Long] = TextAnalysisQueries.wordsStage(s, dir)
+      .select(explode(array_distinct(col("w"))).as("t"))
+      .join(broadcast(vocabDf), Seq("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val floor = FusionGate.floorOf(sample.map { case (_, toks) =>
+      FusionGate.selfNorm(toks, t => dfMap.getOrElse(t, 0L), n, avgdl)
+    })
+    val fp = fusionCorpusFp(n, sumDl)
+    val art = Seq((fp, floor)).toDF("corpus_fp", "floor")
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(overwriteKey)
+    s.conf.set(overwriteKey, "dynamic")
+    try art.write.mode("overwrite").partitionBy("corpus_fp")
+      .parquet(FusionFloorDir)
+    finally prev match {
+      case Some(v) => s.conf.set(overwriteKey, v)
+      case None => s.conf.unset(overwriteKey)
+    }
+    Seq((fp, floor)).toDF("corpus_fp", "floor")
+  }
+
+  /** The gated fused rows (shared with the spec): doc_id, r_lex, r_vec,
+    * conf, floor, w_lex, score — top 10 by score. */
+  private[graft] def v24Fused(s: SparkSession, dir: String, c: Int)
+      : DataFrame = {
+    import s.implicits._
+    import graft.search.FusionGate
+    val (_, floor) = fusionFloorCalib(s, dir)
+    val st = TextAnalysisQueries.bm25StatsRow(s, dir)
+    val n = st.getAs[Long]("n")
+    // confidence: idf folded in the fixed query-term order, df=0 → 0
+    val idfSum = TextAnalysisQueries.bm25QueryTerms.map { t =>
+      val df = st.getAs[Long](s"df_$t")
+      if (df > 0) FusionGate.idf(df, n) else 0.0
+    }.sum
+    val lexScored = TextAnalysisQueries.bm25ScoredAll(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(c).select(col("doc_id").cast("long"), col("bm25"))
+      .as[(Long, Double)].collect()
+    val conf = FusionGate.confidence(
+      lexScored.headOption.map(_._2).getOrElse(0.0), idfSum)
+    val wLex = FusionGate.lexWeight(conf, floor)
+    val vecIds = hybridCosAll(s, dir)
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(c).select(col("doc_id").cast("long")).as[Long].collect()
+    val fused = FusionGate.fuse(lexScored.map(_._1).toSeq, vecIds.toSeq,
+      wLex).take(10)
+    fused.map { case (d, rl, rv, sc) => (d, rl, rv, conf, floor, wLex, sc) }
+      .toDF("doc_id", "r_lex", "r_vec", "conf", "floor", "w_lex", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  private val v24GatedFusion: Q = (s, dir) => v24Fused(s, dir, HybridC)
+
+  private val v24Sql = {
+    import graft.search.FusionGate
+    val terms = TextAnalysisQueries.bm25QueryTerms
+    // the saturation-ceiling constant, printed from the exact double the
+    // Spark side computes (Double.toString round-trips bit-exactly)
+    val cc = (FusionGate.K1 + 1).toString
+    val idfSumSql = terms.map(t =>
+      s"(CASE WHEN st.df_$t > 0 THEN ln((st.n::DOUBLE - st.df_$t::DOUBLE " +
+        s"+ 0.5) / (st.df_$t::DOUBLE + 0.5) + 1.0) ELSE 0.0 END)")
+      .mkString("\n       |      + ")
+    val docVec = hybridLexicon.map(t =>
+      s"len(list_filter(${graft.functions.TextSketch.duck.words("text")}, " +
+        s"x -> x = '$t'))::DOUBLE").mkString("[", ", ", "]")
+    val qVec = hybridLexicon.map(t =>
+      if (hybridQuery.contains(t)) "1.0" else "0.0").mkString("[", ", ", "]")
+    s"""WITH bm AS (${TextAnalysisQueries.bm25ScoredSql}),
+       |st AS (${TextAnalysisQueries.bm25StatsSql}),
+       |fl AS (
+       |  SELECT f.floor
+       |  FROM read_parquet(
+       |    '${new java.io.File(FusionFloorDir).getAbsolutePath}/*/*.parquet',
+       |    hive_partitioning=1) f, st
+       |  WHERE CAST(f.corpus_fp AS BIGINT) =
+       |    st.n * 1000000007 + st.sum_dl),
+       |g AS (
+       |  SELECT conf, fl.floor,
+       |    CASE WHEN conf >= fl.floor THEN 1.0::DOUBLE
+       |         ELSE 0.0::DOUBLE END AS w_lex
+       |  FROM (SELECT (SELECT MAX(bm25) FROM bm) / ($cc * (
+       |      $idfSumSql)) AS conf FROM st), fl),
+       |lexcand AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+       |    AS BIGINT) AS r_lex
+       |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT $HybridC)),
+       |cosall AS (
+       |  SELECT doc_id, ${duckCosine(docVec, qVec)} AS cos
+       |  FROM documents),
+       |veccand AS (
+       |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+       |    AS BIGINT) AS r_vec
+       |  FROM (SELECT * FROM cosall ORDER BY cos DESC, doc_id LIMIT $HybridC))
+       |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |  COALESCE(l.r_lex, -1) AS r_lex, COALESCE(v.r_vec, -1) AS r_vec,
+       |  g.conf AS conf, g.floor AS floor, g.w_lex AS w_lex,
+       |  (CASE WHEN l.r_lex IS NULL THEN 0.0
+       |        ELSE g.w_lex / (60.0 + l.r_lex::DOUBLE) END)
+       |  + (CASE WHEN v.r_vec IS NULL THEN 0.0
+       |          ELSE 1.0 / (60.0 + v.r_vec::DOUBLE) END) AS score
+       |FROM lexcand l FULL JOIN veccand v ON l.doc_id = v.doc_id, g
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** v16's two corpus-sized candidate plans, exposed so PlanShapeSpec can
     * assert their shape (TakeOrderedAndProject, NO window node of any
     * kind); the fused output plan is a driver-local table by construction
@@ -1235,6 +1405,7 @@ object VectorQueries {
     "v21_hnsw_maintained_serve" -> v21HnswMaintainedServe,
     "v22_approx_serving" -> v22ApproxKnobs,
     "v16_hybrid_topk" -> v16HybridTopk,
+    "v24_gated_fusion" -> v24GatedFusion,
     "v15_filtered_ann" -> v15FilteredAnn,
     "v14_hybrid_rrf" -> v14HybridRrf,
     "v1_knn_exact" -> v1Knn,
@@ -1260,6 +1431,10 @@ object VectorQueries {
     // v22 is deliberately absent: approximate serving has no SQL
     // oracle (the output IS recall quality) — golden-pinned instead
     "v16_hybrid_topk" -> v16Sql,
+    // v24: the floor is a write-time artifact the oracle READS (the g6
+    // centroid precedent); confidence, gate, and weighted fusion are
+    // replayed independently
+    "v24_gated_fusion" -> v24Sql,
     "v15_filtered_ann" -> v15Sql,
     "v14_hybrid_rrf" -> v14Sql,
     "v1_knn_exact" -> v1Sql,

@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.functions._
 
-import graft.search.{Hnsw, VectorSearch}
+import graft.search.{FusionGate, Hnsw, VectorSearch}
 
 /** The hard-adversarial corpus (p9's 45 target⊕confuser blends) run
   * through the PRODUCTION serving contract (VERDICT r12 task 5): v16's
@@ -24,13 +24,18 @@ object HardFusedEval {
     val spark = GraftSession.builder("local[8]", "16").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { dir =>
-      val r = run(spark, dir)
-      println(f"HARDFUSED $dir fused=${r.fused.pass}/${r.fused.n} " +
-        f"r10=${r.fused.recall10}%.3f mrr=${r.fused.mrr}%.3f | " +
-        f"hnsw64=${r.hnsw.pass} r10=${r.hnsw.recall10}%.3f " +
-        f"mrr=${r.hnsw.mrr}%.3f | bm25=${r.bm25.pass} " +
-        f"r10=${r.bm25.recall10}%.3f mrr=${r.bm25.mrr}%.3f | " +
-        f"exact=${r.exactPass}")
+      Seq("hard", "std").foreach { kind =>
+        val r = run(spark, dir, corpusKind = kind)
+        println(f"HARDFUSED $dir $kind gated=${r.gated.pass}/${r.gated.n} " +
+          f"r10=${r.gated.recall10}%.3f mrr=${r.gated.mrr}%.3f " +
+          s"floor=${r.floor} gatedOn=${r.nGatedOn} | " +
+          f"fused=${r.fused.pass} " +
+          f"r10=${r.fused.recall10}%.3f mrr=${r.fused.mrr}%.3f | " +
+          f"hnsw64=${r.hnsw.pass} r10=${r.hnsw.recall10}%.3f " +
+          f"mrr=${r.hnsw.mrr}%.3f | bm25=${r.bm25.pass} " +
+          f"r10=${r.bm25.recall10}%.3f mrr=${r.bm25.mrr}%.3f | " +
+          f"exact=${r.exactPass}")
+      }
       graft.queries.StageCache.release(spark)
     }
     spark.stop()
@@ -38,17 +43,27 @@ object HardFusedEval {
 
   final case class Scores(pass: Int, n: Int, recall10: Double, mrr: Double)
 
-  final case class Result(fused: Scores, hnsw: Scores, bm25: Scores,
-    exactPass: Int)
+  /** `fused` is the neutral-weight RRF (the v16 spec semantics);
+    * `gated` is the PRODUCTION path — the same fusion behind the
+    * [[graft.search.FusionGate]] lexical-confidence gate, degrading to
+    * dense-only when a query's BM25 signal sits below the
+    * corpus-calibrated floor. */
+  final case class Result(fused: Scores, gated: Scores, hnsw: Scores,
+    bm25: Scores, exactPass: Int, floor: Double, nGatedOn: Int)
 
   def run(spark: org.apache.spark.sql.SparkSession, dir: String,
-      ef: Int = 64, c: Int = 30, nQueries: Int = 45): Result = {
+      ef: Int = 64, c: Int = 30, nQueries: Int = 45,
+      corpusKind: String = "hard"): Result = {
     import spark.implicits._
     val (embFull, _) = graft.queries.PipelineQueries.evalTables(spark, dir)
     val emb = embFull.select(col("fragment_id"), col("parent_id"),
       col("content"), col("vector")).cache()
     emb.count()
-    val queries = graft.eval.GoldenEval.hardAdversarialCorpus(emb, nQueries)
+    val queries = corpusKind match {
+      case "hard" => graft.eval.GoldenEval.hardAdversarialCorpus(emb, nQueries)
+      case "std" => graft.eval.GoldenEval.adversarialCorpus(emb, nQueries)
+      case other => sys.error(s"unknown corpusKind $other")
+    }
     val embedder = new graft.embedding.TokenHashEmbedder(256)
     val qvecs: Seq[(String, Array[Float], String)] =
       queries.map(q => (q.queryId, embedder.embedQuery(q.text),
@@ -78,26 +93,38 @@ object HardFusedEval {
     val dfMap: Map[String, Int] = corpus
       .flatMap { case (_, ts) => ts.distinct }
       .groupBy(identity).view.mapValues(_.size).toMap
-    def bm25Top(qText: String): Seq[String] = {
+    def dfOf(t: String): Long = dfMap.getOrElse(t, 0).toLong
+    def bm25TopScored(qText: String): Seq[(String, Double)] = {
       val qTerms = qText.toLowerCase.split("[^\\p{L}\\p{N}]+")
         .filter(_.nonEmpty).distinct
       corpus.map { case (id, ts) =>
-        val len = ts.length
         val tf = ts.groupBy(identity).view.mapValues(_.size)
         val sc = qTerms.map { t =>
-          val df = dfMap.getOrElse(t, 0)
-          if (df == 0) 0.0
-          else {
-            val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
-            val f = tf.getOrElse(t, 0).toDouble
-            idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75 * len / avgLen))
-          }
+          if (dfOf(t) == 0L) 0.0
+          else FusionGate.bm25Term(tf.getOrElse(t, 0).toDouble,
+            FusionGate.idf(dfOf(t), nDocs.toLong), ts.length.toLong, avgLen)
         }.sum
         (id, sc)
-      }.sortBy { case (id, sc) => (-sc, id) }.take(c).map(_._1)
+      }.sortBy { case (id, sc) => (-sc, id) }.take(c)
     }
+    val bm25Scored: Map[String, Seq[(String, Double)]] =
+      queries.map(q => q.queryId -> bm25TopScored(q.text)).toMap
     val bm25Top30: Map[String, Seq[String]] =
-      queries.map(q => q.queryId -> bm25Top(q.text)).toMap
+      bm25Scored.view.mapValues(_.map(_._1)).toMap
+
+    // corpus-calibrated lexical-confidence floor + per-query confidence
+    // (graft.search.FusionGate — the production gate)
+    val floor = FusionGate.floorOf(
+      corpus.sortBy(_._1).take(FusionGate.CalibN).map { case (_, ts) =>
+        FusionGate.selfNorm(ts.toSeq, dfOf, nDocs.toLong, avgLen)
+      })
+    val confOf: Map[String, Double] = queries.map { q =>
+      val qTerms = q.text.toLowerCase.split("[^\\p{L}\\p{N}]+")
+        .filter(_.nonEmpty).distinct.filter(t => dfOf(t) > 0L)
+      val idfSum = qTerms.map(t => FusionGate.idf(dfOf(t), nDocs.toLong)).sum
+      q.queryId -> FusionGate.confidence(
+        bm25Scored(q.queryId).headOption.map(_._2).getOrElse(0.0), idfSum)
+    }.toMap
 
     // dense retriever: HNSW at the v22 serving knob, one batch job
     val hnswTop30: Map[String, Seq[String]] = Hnsw.searchBatch(emb,
@@ -107,10 +134,13 @@ object HardFusedEval {
       .as[(String, String)].collect().toSeq.groupBy(_._1)
       .view.mapValues(_.map(_._2)).toMap
 
-    // v16's fusion contract: RRF k0 = 60 over the two top-C lists
-    def rrf(a: Seq[String], b: Seq[String]): Seq[String] = {
+    // v16's fusion contract: RRF k0 = 60 over the two top-C lists, with
+    // an optional lexical weight (1.0 = the neutral spec semantics)
+    def rrf(a: Seq[String], b: Seq[String], wLex: Double = 1.0)
+        : Seq[String] = {
       val sc = mutable.Map.empty[String, Double].withDefaultValue(0.0)
-      a.zipWithIndex.foreach { case (id, r) => sc(id) += 1.0 / (60 + r + 1) }
+      a.zipWithIndex.foreach { case (id, r) =>
+        sc(id) += wLex / (60 + r + 1) }
       b.zipWithIndex.foreach { case (id, r) => sc(id) += 1.0 / (60 + r + 1) }
       sc.toSeq.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
     }
@@ -131,10 +161,16 @@ object HardFusedEval {
     val fused = score(qvecs.map { case (qid, _, _) =>
       qid -> rrf(bm25Top30(qid), hnswTop30.getOrElse(qid, Nil))
     }.toMap)
+    val gated = score(qvecs.map { case (qid, _, _) =>
+      qid -> rrf(bm25Top30(qid), hnswTop30.getOrElse(qid, Nil),
+        FusionGate.lexWeight(confOf(qid), floor))
+    }.toMap)
+    val nGatedOn = qvecs.count { case (qid, _, _) =>
+      FusionGate.lexWeight(confOf(qid), floor) > 0.0 }
     val hnswOnly = score(hnswTop30.view.mapValues(_.take(10)).toMap)
     val bm25Only = score(bm25Top30.view.mapValues(_.take(10)).toMap)
     val exactPass = score(exact).pass
     emb.unpersist()
-    Result(fused, hnswOnly, bm25Only, exactPass)
+    Result(fused, gated, hnswOnly, bm25Only, exactPass, floor, nGatedOn)
   }
 }
