@@ -189,11 +189,16 @@ object Bench {
     // Per-query volume witnesses (VERDICT r12 task 4): bytes_shuffled /
     // rows_scanned / bytes_read from task metrics, bracketed by listener
     // -bus drains OUTSIDE the timed region. Component-wise MIN across
-    // successful passes: volumes are plan+data facts, so the min is the
-    // steady-state (stage-cache-warm) number a cross-round envelope
-    // should compare — host noise moves seconds, never bytes.
+    // successful WARM passes (pass 1 is excluded whenever more than one
+    // pass runs — it carries StageCache build traffic, so its numbers
+    // are cold, and a cold min is not the steady-state figure a
+    // cross-round envelope should compare; ADVICE r13). With a single
+    // pass the recorded volumes ARE cold — `volumes_stat` says which,
+    // so volume_diff consumers can tell the two apart. Volumes are
+    // plan+data facts: host noise moves seconds, never bytes.
     val witness = org.apache.spark.sql.graft.VolumeWitness.attach(spark)
-    def timedPass(vol: scala.collection.mutable.Map[String, (Long, Long, Long)])
+    def timedPass(vol: scala.collection.mutable.Map[String, (Long, Long, Long)],
+        recordVol: Boolean = true)
         : Map[String, (Double, Option[String])] =
       benchQueries.map { case (name, fn) =>
         org.apache.spark.sql.graft.VolumeWitness.sync(spark)
@@ -208,7 +213,7 @@ object Bench {
               Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        if (err.isEmpty) {
+        if (err.isEmpty && recordVol) {
           org.apache.spark.sql.graft.VolumeWitness.sync(spark)
           val v1 = witness.snapshot()
           val d = (v1._1 - v0._1, v1._2 - v0._2, v1._3 - v0._3)
@@ -314,7 +319,8 @@ object Bench {
       attempt += 1
       calibBefore = calibrate(spark)
       if (attempt > 1) volMain.clear() // rejected-run volumes: re-measure
-      passes = (1 to nPasses).map(_ => timedPass(volMain))
+      passes = (1 to nPasses).map(i =>
+        timedPass(volMain, recordVol = nPasses == 1 || i > 1))
       calibAfter = calibrate(spark)
       gateOk = probeSpread(Seq(calibBefore, calibAfter)) <= spreadMax
       if (!gateOk && attempt < 2) {
@@ -362,7 +368,8 @@ object Bench {
         graft.queries.StageCache.release(spark)
         spark.conf.set(graft.queries.StageCache.PathConf, root)
         try {
-          val rPasses = (1 to nPasses).map(_ => timedPass(volRt))
+          val rPasses = (1 to nPasses).map(i =>
+            timedPass(volRt, recordVol = nPasses == 1 || i > 1))
           val (rres, rerrs, _) = combinePasses(rPasses)
           val (rtMin, rtMinN) = minTotal(rPasses, rerrs)
           Some((rres, rerrs, buildSec, rtMin, rtMinN))
@@ -447,7 +454,10 @@ object Bench {
         s""","calib_probes":${calibProbes.map(p => f"$p%.3f").mkString("[", ",", "]")}""" +
         f""","calib_spread":$calibSpread%.3f""" +
         rtJson +
-        s""","volumes":${volJson(volMain)},"volumes_stat":"min"""" +
+        s""","volumes":${volJson(volMain)}""" +
+        s""","volumes_stat":${jstr(
+          if (nPasses > 1) "min_warm" else "cold_single_pass")}""" +
+        s""","volumes_passes":${if (nPasses > 1) nPasses - 1 else 1}""" +
         s""","peak_storage_bytes":$peakStorage""" +
         s""","storage_level":${jstr(spark.conf.get(
           graft.queries.StageCache.StorageLevelConf, "MEMORY_AND_DISK"))}""" +

@@ -101,22 +101,25 @@ object VerifyChecks {
     "x14_approx_topk" -> allTrue("bound_ok"),
     // v23 (residual IVFPQ): the rerank_all row is the exactness witness
     // (full probe + corpus shortlist ⇒ exact KNN); residual must also
-    // never shortlist WORSE than plain codes at equal (nprobe,
-    // shortlist) budget — the property the encoding exists for
+    // not shortlist WORSE than plain codes IN AGGREGATE across the
+    // nprobe settings — per-query, per-nprobe the comparison is a coin
+    // flip (PqSpec's own finding), so a live per-nprobe assert could
+    // fail spuriously on a new pinless sf even when the encoding is
+    // healthy (ADVICE r13). The strictness lives in the rerank_all
+    // witness + the golden pins.
     "v23_ivfpq_residual" -> (df => {
       val rows = df.collect()
       val w = rows.filter(_.getAs[String]("variant") == "rerank_all")
       val wOk = w.length == 1 && w(0).getAs[Double]("recall_at_10") == 1.0
-      val byNp = rows.filterNot(_.getAs[String]("variant") == "rerank_all")
-        .groupBy(_.getAs[Long]("nprobe"))
-      val resGe = byNp.nonEmpty && byNp.forall { case (_, rs) =>
-        val m = rs.map(r => r.getAs[String]("variant") ->
-          r.getAs[Double]("recall_at_10")).toMap
-        m("residual") >= m("plain")
-      }
+      val pruned = rows.filterNot(_.getAs[String]("variant") == "rerank_all")
+      def recSum(v: String): Double = pruned
+        .filter(_.getAs[String]("variant") == v)
+        .map(_.getAs[Double]("recall_at_10")).sum
+      val resGe = pruned.nonEmpty && recSum("residual") >= recSum("plain")
       (wOk && resGe, s"witness rerank_all recall ${w.headOption
         .map(_.getAs[Double]("recall_at_10")).getOrElse(-1.0)}, " +
-        s"residual>=plain per nprobe: $resGe")
+        s"Σrecall residual ${recSum("residual")} >= plain ${
+          recSum("plain")}: $resGe")
     }),
     // bloom prefilters admit false positives, never false negatives
     "d13_bloom_incremental" -> (df => {

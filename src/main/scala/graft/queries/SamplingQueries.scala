@@ -279,13 +279,19 @@ object SamplingQueries {
     * dimension (position-weighted) and the vec_id — a first-coordinate-
     * only digest collided for corpora differing in later dims or id
     * assignment, letting one corpus clobber another's artifact
-    * partition and feed the wrong centroids to its oracle replay. */
+    * partition and feed the wrong centroids to its oracle replay.
+    * The aggregate is coalesced to 0 for an EMPTY embedding: Spark's
+    * sequence(1, 0) is the descending [1, 0], zip_with null-pads, and
+    * the fold goes null — which sum() would silently drop, while the
+    * DuckDB twin (range → empty list → reduce = 0) still counts that
+    * row's vec_id (ADVICE r13). */
   private def g6CorpusFp(e: DataFrame): Long =
     e.agg(sum(col("vec_id").cast("long") + expr(
-      "aggregate(zip_with(embedding, sequence(1, size(embedding)), " +
+      "coalesce(aggregate(zip_with(embedding, sequence(1, size(embedding)), " +
         "(v, i) -> CAST(i AS BIGINT) * " +
         "CAST(FLOOR(CAST(v AS DOUBLE) * 1e6) AS BIGINT)), " +
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)")).as("v"))
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x), CAST(0 AS BIGINT))"))
+      .as("v"))
       .head().getLong(0)
 
   private val g6ClusterBalance: Q = (s, dir) => {

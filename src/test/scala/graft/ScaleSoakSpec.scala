@@ -358,8 +358,10 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(walkRows == qvecs.size * 10L,
         s"$label: walk output must be k-bounded, got $walkRows")
       // IVF: centroid count ~ sqrt(n) (the production rule — list size
-      // and list count balance); train on a FIXED 1024-row sample so
-      // driver cost stays constant across scales
+      // and list count balance); train on a sample of FIXED size per run
+      // (the sampleRows parameter — 1024 default, 8192 in the 10M leg)
+      // so driver cost is constant across the scales a ratio compares:
+      // both legs of any build-ratio measurement use the same sampleRows
       val sample = e.orderBy(col("fragment_id")).limit(sampleRows)
         .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
       val ivfK = math.max(16, math.sqrt(n.toDouble).toInt)
