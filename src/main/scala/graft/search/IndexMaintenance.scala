@@ -106,6 +106,21 @@ object IndexMaintenance {
               "a different quantizer than this update's encoder — " +
               "retrain means rebuild, not incremental update")
       }
+      // same contract for the PQ codebook fingerprint (for RESIDUAL
+      // indexes pq_cb_hash mixes codebook ⊕ coarse quantizer — see
+      // Pq.encodeResidual — so this also refuses a plain-code delta
+      // against a residual index and vice versa)
+      if (existing.columns.contains("pq_cb_hash") &&
+          encoded.columns.contains("pq_cb_hash")) {
+        val oldHash = existing.select("pq_cb_hash").head(1)
+        val newHash = encoded.select("pq_cb_hash").head(1)
+        if (oldHash.nonEmpty && newHash.nonEmpty)
+          require(oldHash.head.getLong(0) == newHash.head.getLong(0),
+            s"pq_cb_hash mismatch at $indexPath: the index's codes were " +
+              "produced by a different codebook (or residual/plain " +
+              "encoding) than this update's encoder — retrain means " +
+              "rebuild, not incremental update")
+      }
       val oldLists = existing.join(broadcast(docsDf), Seq(docKey), "left_semi")
         .select(col("list_id").cast("int")).distinct().as[Int].collect()
       val newLists = encoded

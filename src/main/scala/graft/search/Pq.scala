@@ -113,6 +113,20 @@ object Pq {
       .withColumn("pq_cb_hash",
         lit(contentHash(cb) ^ Ivf.contentHash(quantizer)))
 
+  /** The composed FROZEN residual-IVFPQ encoder for incremental index
+    * maintenance ([[IndexMaintenance.updateIndex]] /
+    * [[graft.streaming.EventStreams.ingestIndexStream]] and its
+    * versioned twin): coarse-assign with the frozen quantizer, then
+    * residual-encode with the frozen residual codebook. The emitted
+    * rows carry BOTH frozen-artifact fingerprints (`ivf_q_hash` from
+    * the coarse assignment, `pq_cb_hash` = codebook ⊕ quantizer from
+    * the residual encode), so updateIndex's hash guards refuse a delta
+    * encoded against either a retrained quantizer or a retrained
+    * codebook — a residual code is meaningless against either. */
+  def residualEncoder(quantizer: Ivf.Quantizer, cb: Codebook)
+      : DataFrame => DataFrame =
+    df => encodeResidual(Ivf.buildIndex(df, quantizer), quantizer, cb)
+
   /** Train a codebook on the RESIDUALS of the sample under `quantizer`
     * (each sample vector minus its nearest centroid) — the codebook
     * [[encodeResidual]] expects. Deterministic like [[train]]. */

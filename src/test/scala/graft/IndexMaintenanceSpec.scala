@@ -479,6 +479,147 @@ class IndexMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full(spark.read.parquet(path)) == expected)
   }
 
+  test("residual IVFPQ maintenance: the frozen quantizer+residual-codebook " +
+      "encoder ≡ from-scratch rebuild through a torn-swap crash, and the " +
+      "maintained artifact serves exactly") {
+    val s = spark
+    import s.implicits._
+    val base = rows(Seq(("a", 2, 0f), ("b", 3, 10f), ("c", 2, 20f)))
+    val q = quant(0f, 10f, 20f)
+    val sample = base.orderBy(col("fragment_id")).select(col("vector"))
+      .as[Seq[Float]].collect().map(_.toArray)
+    val cb = graft.search.Pq.trainResidual(sample, q, m = 2, ksub = 4)
+    val enc = graft.search.Pq.residualEncoder(q, cb)
+    val path = s"$dir/ivfpq_res"
+    TableLayout.writePartitionedSorted(enc(base), path,
+      "list_id", Seq("fragment_id"))
+
+    IndexMaintenance.updateIndex(spark, path,
+      rows(Seq(("a", 2, 20.3f), ("e", 1, 10.2f))), enc)
+
+    // torn-swap crash window (live moved aside, process killed): the
+    // next update's recover must heal it before applying the delta
+    val someList = spark.read.parquet(path)
+      .select("list_id").distinct().as[Int].collect().min
+    Files.move(Paths.get(path, s"list_id=$someList"),
+      Paths.get(path, s"list_id=$someList.old"))
+    IndexMaintenance.updateIndex(spark, path,
+      rows(Seq(("b", 1, 0.4f))), enc)
+
+    // ≡ from-scratch residual encode of the final corpus, INCLUDING the
+    // residual codes and the mixed codebook⊕quantizer fingerprint
+    def full(df: DataFrame): Set[(String, Int, Seq[Byte], Long)] =
+      df.select(col("fragment_id"), col("list_id"), col("pq_code"),
+          col("pq_cb_hash"))
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getAs[Array[Byte]](2).toSeq, r.getLong(3))).toSet
+    val merged = rows(Seq(("c", 2, 20f), ("a", 2, 20.3f),
+      ("e", 1, 10.2f), ("b", 1, 0.4f)))
+    assert(full(spark.read.parquet(path)) == full(enc(merged)))
+
+    // the maintained artifact SERVES through v23's read path: full probe
+    // + corpus shortlist ⇒ exact KNN over the post-delta corpus (the
+    // rerank_all exactness witness, now against a maintained index)
+    val queryVec = Array(10.2f, 10.2f, 1.0f, 0.5f)
+    val n = merged.count().toInt
+    val exact = graft.search.VectorSearch
+      .knn(merged, queryVec, 3, vectorCol = "vector",
+        tieBreak = "fragment_id")
+      .select(col("fragment_id")).as[String].collect().toSeq
+    val served = graft.search.Pq.searchIvfPqResidual(
+        spark.read.parquet(path), queryVec, q, cb, 3, nprobe = q.k,
+        shortlist = n, tieBreak = "fragment_id")
+      .select(col("fragment_id")).as[String].collect().toSeq
+    assert(served == exact,
+      s"maintained residual index served $served, exact is $exact")
+  }
+
+  test("residual IVFPQ versioned stream: duplicate versions, a torn swap " +
+      "and a late straggler converge to the latest-version residual index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.embedding.OfflineEmbedder
+    import graft.ingest.IngestPipeline
+    import graft.ingest.IngestPipeline.DocInput
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.VersionedDocInput
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val embedder = new OfflineEmbedder(8)
+    def doc(path: String, marker: String) = DocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.", isOcr = false)
+    def vdoc(path: String, marker: String, sec: Long) = VersionedDocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.",
+      isOcr = false, new java.sql.Timestamp(sec * 1000L))
+    def embOf(docs: DocInput*) = IngestPipeline.embeddings(
+      IngestPipeline.fragments(IngestPipeline.process(docs.toSeq.toDS())),
+      embedder).toDF()
+
+    val initial = embOf(doc("vr/a.txt", "alpha"), doc("vr/b.txt", "bravo"))
+    val sample = initial.orderBy(col("fragment_id")).select("vector")
+      .as[Seq[Float]].collect().map(_.toArray)
+    val q = Ivf.train(sample, k = 2)
+    val cb = graft.search.Pq.trainResidual(sample, q, m = 2, ksub = 2)
+    val enc = graft.search.Pq.residualEncoder(q, cb)
+    val path = s"$dir/idx_versioned_res"
+    TableLayout.writePartitionedSorted(enc(initial), path,
+      "list_id", Seq("fragment_id"))
+
+    def full(df: DataFrame): Set[(String, Int, Seq[Byte], Long)] =
+      df.select(col("fragment_id"), col("list_id"), col("pq_code"),
+          col("pq_cb_hash"))
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getAs[Array[Byte]](2).toSeq, r.getLong(3))).toSet
+
+    val mem = MemoryStream[VersionedDocInput]
+    val query = EventStreams.ingestIndexStreamVersioned(mem.toDS(), path,
+      embedder, enc, s"$dir/idx_versioned_res_ckpt", latenessSec = 600L)
+    try {
+      // two versions of a in ONE batch — only the latest may land
+      mem.addData(vdoc("vr/a.txt", "alpha-vtwo", 2000L),
+        vdoc("vr/a.txt", "alpha-vthree", 3000L))
+      query.processAllAvailable()
+      assert(full(spark.read.parquet(path)) == full(enc(embOf(
+        doc("vr/a.txt", "alpha-vthree"), doc("vr/b.txt", "bravo")))))
+
+      // torn swap left by a killed process, then a straggler (2000s,
+      // below a's applied 3000s — must not clobber) + a new doc
+      val someList = spark.read.parquet(path)
+        .select("list_id").distinct().as[Int].collect().min
+      Files.move(Paths.get(path, s"list_id=$someList"),
+        Paths.get(path, s"list_id=$someList.old"))
+      mem.addData(vdoc("vr/a.txt", "alpha-vtwo", 2000L),
+        vdoc("vr/c.txt", "charlie", 3700L))
+      query.processAllAvailable()
+      assert(full(spark.read.parquet(path)) == full(enc(embOf(
+        doc("vr/a.txt", "alpha-vthree"), doc("vr/b.txt", "bravo"),
+        doc("vr/c.txt", "charlie")))),
+        "straggler dropped, new doc applied, crash healed — residual codes")
+    } finally query.stop()
+  }
+
+  test("updateIndex refuses a residual delta against a plain-code index " +
+      "(pq_cb_hash guard)") {
+    val s = spark
+    import s.implicits._
+    val base = rows(Seq(("a", 2, 0f), ("b", 2, 10f)))
+    val q = quant(0f, 10f)
+    val sample = base.orderBy(col("fragment_id")).select(col("vector"))
+      .as[Seq[Float]].collect().map(_.toArray)
+    val cbPlain = graft.search.Pq.train(sample, m = 2, ksub = 4)
+    val cbRes = graft.search.Pq.trainResidual(sample, q, m = 2, ksub = 4)
+    val path = s"$dir/ivfpq_mixed"
+    TableLayout.writePartitionedSorted(
+      graft.search.Pq.encode(Ivf.buildIndex(base, q), cbPlain), path,
+      "list_id", Seq("fragment_id"))
+    val e = intercept[IllegalArgumentException] {
+      IndexMaintenance.updateIndex(spark, path,
+        rows(Seq(("a", 1, 10.1f))), graft.search.Pq.residualEncoder(q, cbRes))
+    }
+    assert(e.getMessage.contains("pq_cb_hash mismatch"))
+  }
+
   test("updateIndex refuses an encoder whose quantizer differs from the index's") {
     val q1 = quant(0f, 10f)
     val q2 = quant(0f, 11f) // retrained geometry
