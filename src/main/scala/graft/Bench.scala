@@ -458,6 +458,11 @@ object Bench {
         s""","volumes_stat":${jstr(
           if (nPasses > 1) "min_warm" else "cold_single_pass")}""" +
         s""","volumes_passes":${if (nPasses > 1) nPasses - 1 else 1}""" +
+        // cross-round volume gate (VERDICT r13 task 6): flag any shared
+        // query whose volumes grew past the envelope vs the committed
+        // previous-round record — plan facts, so flags are plan
+        // regressions (or intended changes), never host noise
+        VolumeGate.gateJson(volMain.toMap, sfDir) +
         s""","peak_storage_bytes":$peakStorage""" +
         s""","storage_level":${jstr(spark.conf.get(
           graft.queries.StageCache.StorageLevelConf, "MEMORY_AND_DISK"))}""" +
