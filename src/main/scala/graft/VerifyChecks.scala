@@ -121,6 +121,32 @@ object VerifyChecks {
         s"Σrecall residual ${recSum("residual")} >= plain ${
           recSum("plain")}: $resGe")
     }),
+    // x24 (threshold bucketing): the DEFINING properties are
+    // self-evident in the output — every bucket's [min_oov, max_oov]
+    // range respects the thresholds it was cut by, and the bucket
+    // counts sum back to each language's corpus (no doc dropped or
+    // double-bucketed). Near-thirds balance vs x23's exact NTILE is
+    // bounded separately in PerplexityBucketsSpec (it needs the scored
+    // table, not just this output).
+    "x24_perplexity_thresholds" -> (df => {
+      val rows = df.collect()
+      val sepOk = rows.forall { r =>
+        val (mn, mx) = (r.getAs[Double]("min_oov"), r.getAs[Double]("max_oov"))
+        val (t1, t2) = (r.getAs[Double]("t1"), r.getAs[Double]("t2"))
+        r.getAs[Long]("bucket") match {
+          case 1L => mx <= t1
+          case 2L => mn > t1 && mx <= t2
+          case 3L => mn > t2
+          case _ => false
+        }
+      }
+      val sumOk = rows.groupBy(_.getAs[String]("lang")).forall {
+        case (_, rs) =>
+          rs.map(_.getAs[Long]("n_docs")).sum == rs.head.getAs[Long]("n_lang")
+      }
+      (sepOk && sumOk,
+        s"threshold separation: $sepOk, per-lang counts sum: $sumOk")
+    }),
     // bloom prefilters admit false positives, never false negatives
     "d13_bloom_incremental" -> (df => {
       val fn = df.agg(sum(col("n_false_negatives"))).collect()(0).getLong(0)
@@ -166,6 +192,7 @@ object VerifyChecks {
       "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
       "x14_approx_topk" -> "03d0cc91a100036d57ef942396763a06",
       "x21_quality_classifier" -> "99f87ac4a409c0e0471be31c0a3ed4f7",
+      "x24_perplexity_thresholds" -> "d868d1cd325385fcc98a7e8079f77e71",
     ),
     "sf0.01" -> Map(
       "p1_ingest_fragments" -> "a8017e99d941ed84656182ecbead17ed",
@@ -192,6 +219,7 @@ object VerifyChecks {
       "x4_approx_stats" -> "adf11b6133c6262db3703d3ed0951e6f",
       "x14_approx_topk" -> "4c73189de2ac533f0e1edd5683fa91ba",
       "x21_quality_classifier" -> "1d57e530a6009c810dfee9f0ccf05db8",
+      "x24_perplexity_thresholds" -> "201834b33de8b29abc40a238a9058ed2",
     ),
   )
 }

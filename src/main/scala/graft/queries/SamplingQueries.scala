@@ -440,6 +440,86 @@ object SamplingQueries {
        |    AS kept_chars
        |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin
 
+  // G8 — temperature mixing at the CANONICAL α = 0.3 (mT5/XLM-R's
+  // published temperature; VERDICT r13 task 8). g7 froze α = 0.5
+  // because ⌊√n⌋ is the only n^α an IEEE sqrt computes exactly;
+  // pow(n, 0.3)'s last ulp is libm-specific and would flap a
+  // hash-threshold compare. The rational-α form restores exactness for
+  // α = 3/10: r_l = ⌊(n_l)^(3/10)⌋ = ⌊(n_l³)^(1/10)⌋ is an INTEGER
+  // 10th root, and an integer root is checkable with pure integer
+  // arithmetic — compute the libm guess g = ⌊pow(n, 0.3)⌋, then pick
+  // the largest candidate c ∈ {g+1, g, g−1} with c ≥ 1 and c¹⁰ ≤ n³
+  // (the true root is within ±1 of any sub-ulp-accurate pow, so the
+  // exact integer comparisons make the libm disagreement irrelevant —
+  // engine-independent by construction). All arithmetic stays in
+  // BIGINT: safe while n ≤ ~7·10⁵ docs per language (c¹⁰ ≤ 2⁶³); at
+  // 100 TB promote the two products to DECIMAL(38,0)/HUGEINT — same
+  // construction, wider lanes. Quota + rank-cap semantics are g7's,
+  // unchanged: s_l = (T · r_l) div Σ r_m, keep the s_l lowest
+  // salted-hash docs, small languages keep everything.
+  private def g8Root(nCol: String): String = {
+    def p10(c: String) = (1 to 10).map(_ => c).mkString("*")
+    val n3 = s"($nCol*$nCol*$nCol)"
+    s"""CASE WHEN ${p10(s"(__g+1)")} <= $n3 THEN __g+1
+       | WHEN __g >= 1 AND ${p10("__g")} <= $n3 THEN __g
+       | ELSE GREATEST(__g-1, CAST(1 AS BIGINT)) END""".stripMargin
+      .replace("\n", "")
+  }
+
+  private val g8TemperatureAlpha3: Q = (s, dir) => {
+    val perLang = Window.partitionBy(col("lang"))
+    val counted = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("__n", count(lit(1)).over(perLang))
+      .withColumn("__g",
+        floor(pow(col("__n").cast("double"), lit(0.3))).cast("long"))
+      .withColumn("__r10", expr(g8Root("__n")))
+      .withColumn("__rk", row_number().over(
+        perLang.orderBy(hash60(col("doc_id")).asc, col("doc_id").asc)))
+    val sTotal = counted.select(col("lang"), col("__r10")).distinct()
+      .agg(sum(col("__r10")).as("S"))
+    counted.join(broadcast(sTotal))
+      .withColumn("__quota", expr(s"($G7Budget * __r10) div S"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__r10")).as("root10"),
+        max(col("__quota")).as("quota"),
+        sum(when(col("__rk") <= col("__quota"), lit(1L)).otherwise(lit(0L)))
+          .as("n_kept"),
+        sum(when(col("__rk") <= col("__quota"), col("n_chars"))
+          .otherwise(lit(0L))).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val g8Sql = {
+    def p10(c: String) = (1 to 10).map(_ => c).mkString("*")
+    s"""WITH counted AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    COUNT(*) OVER (PARTITION BY lang)::BIGINT AS n,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY $duckHash60, doc_id) AS rk
+       |  FROM documents),
+       |rooted AS (
+       |  SELECT *, CASE WHEN ${p10("(g+1)")} <= (n*n*n) THEN g+1
+       |    WHEN g >= 1 AND ${p10("g")} <= (n*n*n) THEN g
+       |    ELSE GREATEST(g-1, 1) END AS r10
+       |  FROM (SELECT *, CAST(FLOOR(POW(n, 0.3)) AS BIGINT) AS g
+       |        FROM counted)),
+       |s AS (SELECT CAST(SUM(r10) AS BIGINT) AS S
+       |      FROM (SELECT DISTINCT lang, r10 FROM rooted)),
+       |flagged AS (
+       |  SELECT lang, n_chars, rk, r10,
+       |    ($G7Budget * r10) // S AS quota
+       |  FROM rooted, s)
+       |SELECT lang, COUNT(*) AS n_docs, MAX(r10) AS root10,
+       |  MAX(quota) AS quota,
+       |  CAST(SUM(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(SUM(CASE WHEN rk <= quota THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS kept_chars
+       |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def defs: Map[String, Q] = Map(
     "g1_hash_split" -> g1HashSplit,
     "g2_stratified_sample" -> g2StratifiedSample,
@@ -447,7 +527,8 @@ object SamplingQueries {
     "g4_sequence_packing" -> g4SequencePacking,
     "g5_unimax_sample" -> g5Unimax,
     "g6_cluster_balance" -> g6ClusterBalance,
-    "g7_temperature_mix" -> g7TemperatureMix)
+    "g7_temperature_mix" -> g7TemperatureMix,
+    "g8_temperature_alpha3" -> g8TemperatureAlpha3)
 
   def oracles: Map[String, String] = Map(
     "g1_hash_split" -> g1Sql,
@@ -456,5 +537,6 @@ object SamplingQueries {
     "g4_sequence_packing" -> g4Sql,
     "g5_unimax_sample" -> g5Sql,
     "g6_cluster_balance" -> g6Sql,
-    "g7_temperature_mix" -> g7Sql)
+    "g7_temperature_mix" -> g7Sql,
+    "g8_temperature_alpha3" -> g8Sql)
 }

@@ -782,7 +782,15 @@ object TextAnalysisQueries {
   // by comparison (no global sort) — this entry keeps the exact form
   // the DuckDB oracle can replay, and the threshold form is a two-line
   // swap (percentile_approx on the same column).
-  private val x23PerplexityBuckets: Q = (s, dir) => {
+  /** x23/x24's shared scored table: one narrow row per document
+    * (doc_id, lang, n_bigrams, n_oov, oov_rate) — the leave-one-out
+    * bigram-LM OOV score described on x23. Session-cached: the
+    * corpus-sized census join runs once, both bucketing variants read
+    * the narrow per-doc rows. */
+  private[graft] def x23Scored(s: SparkSession, dir: String): DataFrame =
+    StageCache.getOrCache(s, s"x23_scored:$dir")(x23ScoredBuild(s, dir))
+
+  private def x23ScoredBuild(s: SparkSession, dir: String): DataFrame = {
     val bucketH =
       pmod(TextSketch.hexInt(col("doc_id").cast("string")), lit(100L))
     // per-(doc, bigram) token counts first: shrinks the census join
@@ -802,11 +810,15 @@ object TextAnalysisQueries {
       .agg(sum(col("own")).as("n_bigrams"),
         sum(when(col("__eff") === 0L, col("own")).otherwise(lit(0L)))
           .as("n_oov"))
-    val scored = perDoc
+    perDoc
       .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
         Seq("doc_id"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  private val x23PerplexityBuckets: Q = (s, dir) => {
+    val scored = x23Scored(s, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("oov_rate"), col("doc_id"))
     scored
@@ -854,6 +866,48 @@ object TextAnalysisQueries {
        |    CAST(SUM(n_bigrams) AS BIGINT)::DOUBLE AS pooled_oov_rate,
        |  MIN(oov_rate) AS min_oov, MAX(oov_rate) AS max_oov
        |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  // X24 — x23's PRODUCTION threshold variant (VERDICT r13 task 7): the
+  // head/middle/tail boundaries come from percentile_approx(1/3, 2/3)
+  // per language and documents bucket by COMPARISON against them — no
+  // per-language global sort anywhere in the plan (PlanShapeSpec pins
+  // it window-free), which is what survives 100 TB: thresholds are a
+  // partial-aggregable sketch over the same one-narrow-row-per-doc
+  // scored table, broadcast back as an L-row table. At Verify scale
+  // the sketch is EXACT (N per language ≪ accuracy=10⁴ means the GK
+  // summary never compresses, so the query returns the true rank
+  // element deterministically — safe to golden-pin); at scale the rank
+  // error is ≤ N/accuracy by the sketch's bound. No SQL oracle
+  // (percentile_approx's rank convention is engine-specific); the
+  // checks.json self-predicate verifies the DEFINING property —
+  // buckets are threshold-separated and count back to the corpus —
+  // and PerplexityBucketsSpec bounds the drift vs x23's exact NTILE
+  // thirds by sketch error + boundary-tie mass.
+  private val X24Accuracy = 10000
+  private val x24PerplexityThresholds: Q = (s, dir) => {
+    val scored = x23Scored(s, dir)
+    val th = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("oov_rate"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(X24Accuracy)).as("t"),
+        count(lit(1)).as("n_lang"))
+      .select(col("lang"), element_at(col("t"), 1).as("t1"),
+        element_at(col("t"), 2).as("t2"), col("n_lang"))
+    scored.join(broadcast(th), Seq("lang"))
+      .withColumn("bucket",
+        when(col("oov_rate") <= col("t1"), lit(1L))
+          .when(col("oov_rate") <= col("t2"), lit(2L))
+          .otherwise(lit(3L)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("n_lang")).as("n_lang"),
+        first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+        sum(col("n_bigrams")).as("n_bigrams_total"),
+        (sum(col("n_oov")).cast("double") /
+          sum(col("n_bigrams")).cast("double")).as("pooled_oov_rate"),
+        min(col("oov_rate")).as("min_oov"),
+        max(col("oov_rate")).as("max_oov"))
+      .orderBy(col("lang"), col("bucket"))
+  }
 
   // X15/X17 oracles — BPE training as a DuckDB recursive CTE (the d7
   // recursive-CTE precedent). Each iteration carries the symbolized
@@ -1260,6 +1314,7 @@ object TextAnalysisQueries {
     "x19_vocab_growth" -> x19VocabGrowth,
     "x18_heldout_lm" -> x18HeldoutLm,
     "x23_perplexity_buckets" -> x23PerplexityBuckets,
+    "x24_perplexity_thresholds" -> x24PerplexityThresholds,
     "x17_bpe_encode" -> x17BpeEncode,
     "x16_rare_tokens" -> x16RareTokens,
     "x15_bpe_merges" -> x15Bpe,

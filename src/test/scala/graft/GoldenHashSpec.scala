@@ -31,7 +31,8 @@ object GoldenHashSpec {
     "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
     "v9_ivfpq_recall", "v10_hnsw_recall", "v22_approx_serving",
     "v23_ivfpq_residual",
-    "x4_approx_stats", "x14_approx_topk", "x21_quality_classifier")
+    "x4_approx_stats", "x14_approx_topk", "x21_quality_classifier",
+    "x24_perplexity_thresholds")
 
   /** Reviewed-once golden hashes (sf0.001, session config above). */
   val pinned: Map[String, String] = Map(
@@ -59,6 +60,7 @@ object GoldenHashSpec {
     "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
     "x14_approx_topk" -> "03d0cc91a100036d57ef942396763a06",
     "x21_quality_classifier" -> "99f87ac4a409c0e0471be31c0a3ed4f7",
+    "x24_perplexity_thresholds" -> "d868d1cd325385fcc98a7e8079f77e71",
   )
 }
 

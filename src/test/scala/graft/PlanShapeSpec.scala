@@ -430,6 +430,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"nothing corpus-sized may shuffle-join:\n$p")
   }
 
+  test("x24: threshold bucketing has NO window — no per-language sort") {
+    // x23's production variant exists to remove the per-language NTILE
+    // sort; its plan must contain no window node of any kind (the
+    // percentile sketch is a partial-aggregable agg, the thresholds an
+    // L-row broadcast) and the only sort is the final ≤3L-row output
+    // ordering
+    val p = plan("x24_perplexity_thresholds")
+    assert(!p.toLowerCase.contains("window"),
+      s"x24 must not contain a window node:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"thresholds must broadcast back into the scored rows:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing corpus-sized may sort-merge-join:\n$p")
+  }
+
   test("v16: both hybrid candidate plans are window-free top-k scans") {
     // the production fusion's corpus-sized stages — each a per-partition
     // top-C heap + driver merge; NO window node of any kind (v14's
