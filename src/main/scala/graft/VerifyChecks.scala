@@ -37,24 +37,6 @@ object VerifyChecks {
       if (bad == 0) s"all rows $c=true" else s"$bad rows with $c=false")
   }
 
-  /** The row with the largest `orderCol` is the exactness witness: it must
-    * have scanned everything and recalled everything. */
-  private def fullScanWitness(orderCol: String): Check = df => {
-    val r = df.orderBy(col(orderCol).desc).limit(1).collect()(0)
-    val scanned = r.getAs[Long]("rows_scanned")
-    val total = r.getAs[Long]("rows_total")
-    val rec = r.getAs[Double]("recall_at_10")
-    (scanned == total && rec == 1.0,
-      s"witness $orderCol=${r.get(0)}: scanned $scanned/$total recall $rec")
-  }
-
-  private def variantWitness(variant: String): Check = df => {
-    val r = df.filter(col("variant") === variant).collect()
-    val ok = r.length == 1 && r(0).getAs[Double]("recall_at_10") == 1.0
-    (ok, s"witness $variant: recall " +
-      r.headOption.map(_.getAs[Double]("recall_at_10")).getOrElse(-1.0))
-  }
-
   private val checksImpl: Map[String, Check] = Map(
     // row-level lossless decode bits (PDF round-trips)
     "p7_real_pdf" -> allTrue("lossless"),
@@ -64,36 +46,13 @@ object VerifyChecks {
     "p13_encrypted_pdf" -> allTrue("lossless"),
     // flagship self-retrieval: every golden query finds itself at rank 1
     "p5_e2e_golden45" -> allTrue("self_retrieved"),
-    // recall exactness witnesses (the full-scan row is exact by
-    // construction — v6 full probe, v7/v8 rerank_all, v10 ef>=n)
-    "v6_ivf_recall" -> fullScanWitness("nprobe"),
-    "v7_pq_recall" -> variantWitness("rerank_all"),
-    "v8_sq_recall" -> variantWitness("rerank_all"),
+    // v10's recall exactness witness: the ef >= n row fully traverses
+    // the spine-connected graph, so it IS the exact scan (v5–v9's old
+    // witnesses retired in r14 — those queries are DuckDB-oracled now)
     "v10_hnsw_recall" -> (df => {
       val r = df.orderBy(col("ef").desc).limit(1).collect()(0)
       val rec = r.getAs[Double]("recall_at_10")
       (rec == 1.0, s"witness ef=${r.getAs[Long]("ef")}: recall $rec")
-    }),
-    // v5 (LSH probe curve) has no full-scan row by design: its self
-    // evidence is the recall/scan monotonicity in probe depth
-    "v5_ann_recall" -> (df => {
-      val rows = df.orderBy(col("probe_depth")).collect()
-      val recs = rows.map(_.getAs[Double]("recall_at_10"))
-      val scans = rows.map(_.getAs[Long]("rows_scanned"))
-      val ok = recs.zip(recs.tail).forall { case (a, b) => a <= b } &&
-        scans.zip(scans.tail).forall { case (a, b) => a <= b } &&
-        recs.forall(r => r >= 0.0 && r <= 1.0)
-      (ok, s"monotone recall ${recs.mkString("/")} over scans ${
-        scans.mkString("/")}")
-    }),
-    // v9 (IVFPQ) converges to flat PQ at full probe, not 1.0 — the
-    // witness is the full scan itself plus recall sanity
-    "v9_ivfpq_recall" -> (df => {
-      val rows = df.orderBy(col("nprobe").desc).collect()
-      val full = rows.head.getAs[Double]("scan_fraction")
-      val recs = rows.map(_.getAs[Double]("recall_at_10"))
-      (full == 1.0 && recs.forall(r => r >= 0.0 && r <= 1.0),
-        s"max-nprobe scan_fraction $full, recalls ${recs.mkString("/")}")
     }),
     // production-knob serving floor (recall@10 >= 0.9 per family)
     "v22_approx_serving" -> allTrue("recall_ok"),
@@ -181,11 +140,6 @@ object VerifyChecks {
       "p12_cff_font" -> "5533e65ed4673bbd0a99987be8785f91",
       "p13_encrypted_pdf" -> "ec3bec477709529576b6ba55068943ea",
       "d13_bloom_incremental" -> "69596ca3f48f0bb2918f2476bb841537",
-      "v5_ann_recall" -> "45820658a5290f75ce058970607f91a1",
-      "v6_ivf_recall" -> "2820f621b95f7617bb49d5dd5a855eca",
-      "v7_pq_recall" -> "9cebfbb91da0d7b2437aef4630cc7d5c",
-      "v8_sq_recall" -> "269887f89364ba735aab0781bade2fcb",
-      "v9_ivfpq_recall" -> "5c5f3579846158cd7ba5bc6f8bbb959d",
       "v23_ivfpq_residual" -> "5f8e6df870f543430309103ceea5af4a",
       "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
       "v22_approx_serving" -> "49678cbc54f149c329567c33e31550ce",
@@ -208,11 +162,6 @@ object VerifyChecks {
       "p12_cff_font" -> "ab5379e6de19f17ab1f5ca2aba110b7f",
       "p13_encrypted_pdf" -> "78a1046a9c06476ac1d9937b4ea42935",
       "d13_bloom_incremental" -> "785285f77dd0ee52deb677d8214cf0f0",
-      "v5_ann_recall" -> "646584cc7315be2f8c8de065b93e1329",
-      "v6_ivf_recall" -> "db8c28614d7c88a5d3eb52763e8b81b5",
-      "v7_pq_recall" -> "6ae47c4e1f22b3f1642582c2cc9fba98",
-      "v8_sq_recall" -> "269887f89364ba735aab0781bade2fcb",
-      "v9_ivfpq_recall" -> "7f81eab429113efc7c770f34d5c5f6c8",
       "v23_ivfpq_residual" -> "112495b8ceb229ed9fe34c5d871c595b",
       "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
       "v22_approx_serving" -> "70b3d6fb25d594fc62ad8fb396cb6003",

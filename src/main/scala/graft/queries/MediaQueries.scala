@@ -53,6 +53,73 @@ object MediaQueries {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
 
+  // ---- v5–v9 oracle artifacts (VERDICT r13 task 4): each recall query
+  // persists its trained object keyed by the embeddings-corpus
+  // fingerprint, and the DuckDB oracle independently replays assignment
+  // / encoding / ADC scoring / ranking / recall arithmetic from those
+  // floats — see [[OracleArtifact]]. Training determinism is the Ivf/
+  // Pq/Sq specs' job; everything downstream is now hash-gated.
+  private[queries] val V5PlanesDir = "localdata/v5-planes"
+  private[queries] val V6CentroidDir = "localdata/v6-centroids"
+  private[queries] val V7CodebookDir = "localdata/v7-codebook"
+  private[queries] val V8CodebookDir = "localdata/v8-codebook"
+  private[queries] val V9CentroidDir = "localdata/v9-centroids"
+
+  /** Session-memoized exact integer fingerprint of the embeddings corpus
+    * (the g6 recipe — [[SamplingQueries.g6CorpusFp]]). */
+  private def embCorpusFp(s: SparkSession, dir: String): Long =
+    StageCache.getOrCache(s, s"emb_corpus_fp:$dir") {
+      import s.implicits._
+      Seq(SamplingQueries.g6CorpusFp(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding")))).toDF("v")
+    }.head().getLong(0)
+
+  private def writeCentroidArtifact(s: SparkSession, dir: String,
+      q: Ivf.Quantizer, artDir: String): Unit = {
+    import s.implicits._
+    val fp = embCorpusFp(s, dir)
+    OracleArtifact.write(s, (0 until q.k)
+      .map(c => (fp, c.toLong, q.centroid(c).toSeq))
+      .toDF("corpus_fp", "cid", "cvec"), artDir)
+  }
+
+  private def writeCodebookArtifact(s: SparkSession, dir: String,
+      cb: Pq.Codebook, artDir: String): Unit = {
+    import s.implicits._
+    val fp = embCorpusFp(s, dir)
+    OracleArtifact.write(s, (for {
+      j <- 0 until cb.m; c <- 0 until cb.ksub
+    } yield (fp, j.toLong, c.toLong, cb.codeword(j, c).toSeq))
+      .toDF("corpus_fp", "j", "c", "cw"), artDir)
+  }
+
+  private def writePlanesArtifact(s: SparkSession, dir: String,
+      planes: graft.search.Ann.Planes, artDir: String): Unit = {
+    import s.implicits._
+    val fp = embCorpusFp(s, dir)
+    OracleArtifact.write(s, planes.values.zipWithIndex
+      .map { case (pl, p) => (fp, p.toLong, pl.toSeq) }.toSeq
+      .toDF("corpus_fp", "p", "plane"), artDir)
+  }
+
+  /** Artifact CTE: trained rows for THIS corpus. */
+  private def artifactCte(artDir: String, cols: String): String =
+    s"""SELECT $cols FROM read_parquet(
+       |    ${OracleArtifact.duckGlob(artDir)}, hive_partitioning=1)
+       |  WHERE CAST(corpus_fp AS BIGINT) =
+       |    ${SamplingQueries.duckEmbCorpusFp}""".stripMargin
+
+  /** Double-fold Σ over a generated per-element list expression — the
+    * left-to-right fold every pinned float recipe uses. */
+  private def duckFold(elems: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, $elems), (acc, x) -> acc + x)"
+
+  /** [[graft.search.Ivf]]'s sqDist: Σ (a_i − b_i)² over double-cast
+    * floats, i ascending. */
+  private def duckSqd(a: String, b: String): String =
+    duckFold(s"list_transform(range(1, len($a)+1), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))")
+
   private[queries] def trainSample(s: SparkSession, dir: String)
       : Array[Array[Float]] = {
     import s.implicits._
@@ -251,6 +318,7 @@ object MediaQueries {
       .select(col("vec_id"), col("embedding").as("vector"))
     val dim = e.head().getAs[scala.collection.Seq[Float]]("vector").length
     val planes = Ann.makePlanes(dim, numPlanes = 6)
+    writePlanesArtifact(s, dir, planes, V5PlanesDir)
     val index = Ann.buildIndex(e, planes)
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
@@ -273,6 +341,7 @@ object MediaQueries {
       .select(col("vec_id"), col("embedding").as("vector"))
     val k = IvfK
     val q = Ivf.train(trainSample(s, dir), k, iters = IvfItersFull)
+    writeCentroidArtifact(s, dir, q, V6CentroidDir)
     // the corpus-wide assign scan is a write-time table; the query pays
     // training on the fixed sample (deterministic — the same q the
     // persisted table was built with) plus the pruned probe. The
@@ -298,6 +367,7 @@ object MediaQueries {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
     val cb = Pq.train(trainSample(s, dir), m = PqM, ksub = PqKsub)
+    writeCodebookArtifact(s, dir, cb, V7CodebookDir)
     val index = StageCache.getOrCache(s, s"pq_index:$dir",
       annIndexFingerprint(dir))(buildPqIndex(s, dir, cb))
     val query = e.filter(col("vec_id") === 0)
@@ -346,6 +416,10 @@ object MediaQueries {
     val sample = trainSample(s, dir)
     val q = Ivf.train(sample, k = IvfK, iters = IvfItersPq)
     val cb = Pq.train(sample, m = PqM, ksub = PqKsub)
+    writeCentroidArtifact(s, dir, q, V9CentroidDir)
+    // the codebook derivation is v7's exactly — same artifact contents,
+    // written by whichever of the two runs (idempotent, value-identical)
+    writeCodebookArtifact(s, dir, cb, V7CodebookDir)
     val index = StageCache.getOrCache(s, s"ivfpq_index:$dir",
       annIndexFingerprint(dir))(buildIvfPqIndex(s, dir, q, cb))
     val query = e.filter(col("vec_id") === 0)
@@ -423,6 +497,7 @@ object MediaQueries {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
     val cb = graft.search.Sq.train(trainSample(s, dir))
+    writeCodebookArtifact(s, dir, cb, V8CodebookDir)
     val index = StageCache.getOrCache(s, s"sq_index:$dir",
       annIndexFingerprint(dir))(buildSqIndex(s, dir, cb))
     val query = e.filter(col("vec_id") === 0)
@@ -498,8 +573,263 @@ object MediaQueries {
     "v6_ivf_recall" -> v6IvfRecall,
     "v7_pq_recall" -> v7PqRecall)
 
+  // ---- v5–v9 oracle SQL: every recall number independently replayed
+  // from the persisted trained artifacts (see the artifact section
+  // above). Shared shape: `exact` is the corpus-wide cosine top-10 (the
+  // v1 bit-exact recipe), each probe/variant ranks its own candidate
+  // set with the identical (score DESC, vec_id) tie rule, and
+  // recall/scan numbers are ratios of exact integers.
+
+  private val v6Sql = {
+    val cos = VectorQueries.duckCosine("e.embedding", "q.qv")
+    s"""WITH cents AS (${artifactCte(V6CentroidDir,
+        "CAST(cid AS BIGINT) AS cid, cvec")}),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckSqd("e.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |pr AS (SELECT c.cid, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY ${duckSqd("q.qv", "c.cvec")}, c.cid) AS BIGINT) AS prank
+       |  FROM cents c, q),
+       |scored AS (SELECT e.vec_id, a.list_id, $cos AS sim
+       |  FROM embeddings e JOIN asg a USING (vec_id), q),
+       |exact AS (SELECT vec_id FROM scored ORDER BY sim DESC, vec_id
+       |  LIMIT 10),
+       |np AS (SELECT UNNEST([1, 2, 4, $IvfK]) AS nprobe),
+       |probed AS (
+       |  SELECT np.nprobe, s.vec_id, s.sim
+       |  FROM np, pr, scored s
+       |  WHERE s.list_id = pr.cid AND pr.prank <= np.nprobe),
+       |hits AS (
+       |  SELECT nprobe, vec_id FROM (
+       |    SELECT nprobe, vec_id, ROW_NUMBER() OVER (PARTITION BY nprobe
+       |      ORDER BY sim DESC, vec_id) AS rn FROM probed) WHERE rn <= 10)
+       |SELECT CAST(np.nprobe AS INTEGER) AS nprobe,
+       |  (SELECT COUNT(*) FROM hits h WHERE h.nprobe = np.nprobe
+       |     AND h.vec_id IN (SELECT vec_id FROM exact))::DOUBLE
+       |    / (SELECT COUNT(*) FROM exact)::DOUBLE AS recall_at_10,
+       |  (SELECT COUNT(*) FROM probed p
+       |     WHERE p.nprobe = np.nprobe)::BIGINT AS rows_scanned,
+       |  (SELECT COUNT(*) FROM embeddings)::BIGINT AS rows_total,
+       |  (SELECT COUNT(*) FROM probed p
+       |     WHERE p.nprobe = np.nprobe)::DOUBLE
+       |    / (SELECT COUNT(*) FROM embeddings)::DOUBLE AS scan_fraction
+       |FROM np ORDER BY nprobe""".stripMargin
+  }
+
+  /** The shared PQ-family replay (v7 raw-vector PQ, v8 SQ — same
+    * Codebook machinery, different artifact): encode every vector by
+    * per-subspace argmin against the artifact codewords, ADC-score via
+    * the dot/norm LUTs folded IN SUBSPACE ORDER (an ordered
+    * list_reduce, not a SUM — [[VectorExpressions.pqAdc]] sums in j
+    * order), then replay the three variants' rankings and recall.
+    * Subvector slice: element `j·dsub + i` (this corpus's dim is
+    * exactly m·dsub, so PqEncode's zero-pad branch is never taken —
+    * len(cw) IS dsub). */
+  private def pqFamilySql(artDir: String): String = {
+    val cos = VectorQueries.duckCosine("e.embedding", "q.qv")
+    val sqdSub = duckFold(
+      "list_transform(range(1, len(cb.cw)+1), i -> " +
+        "(e.embedding[cb.j * len(cb.cw) + i]::DOUBLE - cb.cw[i]::DOUBLE) * " +
+        "(e.embedding[cb.j * len(cb.cw) + i]::DOUBLE - cb.cw[i]::DOUBLE))")
+    val lutD = duckFold(
+      "list_transform(range(1, len(cb.cw)+1), i -> " +
+        "q.qv[cb.j * len(cb.cw) + i]::DOUBLE * cb.cw[i]::DOUBLE)")
+    val lutN2 = duckFold(
+      "list_transform(range(1, len(cb.cw)+1), i -> " +
+        "cb.cw[i]::DOUBLE * cb.cw[i]::DOUBLE)")
+    val qnF = duckFold(
+      "list_transform(range(1, len(q.qv)+1), i -> " +
+        "q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)")
+    s"""WITH cb AS (${artifactCte(artDir,
+        "CAST(j AS BIGINT) AS j, CAST(c AS BIGINT) AS c, cw")}),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT $qnF AS qn FROM q),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT e.vec_id, cb.j, cb.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+       |        ORDER BY $sqdSub, cb.c) AS rn
+       |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+       |luts AS (SELECT cb.j, cb.c, $lutD AS ld, $lutN2 AS l2
+       |  FROM cb, q),
+       |adc AS (
+       |  SELECT codes.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(l.ld ORDER BY codes.j)), (a, x) -> a + x) AS dot,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(l.l2 ORDER BY codes.j)), (a, x) -> a + x) AS n2
+       |  FROM codes JOIN luts l ON l.j = codes.j AND l.c = codes.c
+       |  GROUP BY codes.vec_id),
+       |score AS (SELECT a.vec_id,
+       |    CASE WHEN a.n2 = 0.0 THEN 0.0
+       |         ELSE a.dot / (sqrt(a.n2) * sqrt(qn.qn)) END AS adc_score
+       |  FROM adc a, qn),
+       |exactscore AS (SELECT e.vec_id, $cos AS sim FROM embeddings e, q),
+       |exact AS (SELECT vec_id FROM exactscore ORDER BY sim DESC, vec_id
+       |  LIMIT 10),
+       |hits_adc AS (SELECT 'adc_only' AS variant, vec_id FROM score
+       |  ORDER BY adc_score DESC, vec_id LIMIT 10),
+       |short50 AS (SELECT vec_id FROM score
+       |  ORDER BY adc_score DESC, vec_id LIMIT 50),
+       |hits_r50 AS (SELECT 'rerank_50' AS variant, es.vec_id
+       |  FROM exactscore es JOIN short50 USING (vec_id)
+       |  ORDER BY es.sim DESC, es.vec_id LIMIT 10),
+       |hits_all AS (SELECT 'rerank_all' AS variant, vec_id
+       |  FROM exactscore ORDER BY sim DESC, vec_id LIMIT 10),
+       |allhits AS (SELECT * FROM hits_adc UNION ALL
+       |  SELECT * FROM hits_r50 UNION ALL SELECT * FROM hits_all)
+       |SELECT variant,
+       |  SUM(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+       |    THEN 1 ELSE 0 END)::DOUBLE
+       |    / (SELECT COUNT(*) FROM exact)::DOUBLE AS recall_at_10,
+       |  (CASE variant WHEN 'adc_only' THEN 10
+       |    WHEN 'rerank_50' THEN 50
+       |    ELSE (SELECT COUNT(*) FROM embeddings) END)::BIGINT AS shortlist,
+       |  (SELECT MAX(len(cw)) FROM cb) * 4.0 AS compression_ratio
+       |FROM allhits GROUP BY variant ORDER BY variant""".stripMargin
+  }
+
+  /** v5: LSH bucket replay. A row's bucket is the sign-bit integer of
+    * its dots with the artifact hyperplanes (bit adds are order-free
+    * ints; each dot is the ascending double fold of [[Ann.planeDot]]);
+    * the depth-d probe set is EVERY bucket within Hamming distance d of
+    * the query's — [[Ann.probeBuckets]] by definition — so the probed
+    * predicate is `bit_count(xor(bucket, qb)) <= d` directly. */
+  private val v5Sql = {
+    val cos = VectorQueries.duckCosine("e.embedding", "q.qv")
+    def bucketExpr(vec: String): String =
+      "(SELECT CAST(SUM(CASE WHEN " +
+        duckFold(s"list_transform(range(1, len($vec)+1), " +
+          s"i -> $vec[i]::DOUBLE * pl.plane[i])") +
+        " >= 0.0 THEN 1 << CAST(pl.p AS INTEGER) ELSE 0 END) AS BIGINT) " +
+        "FROM planes pl)"
+    s"""WITH planes AS (${artifactCte(V5PlanesDir,
+        "CAST(p AS BIGINT) AS p, plane")}),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qb AS (SELECT ${bucketExpr("q.qv")} AS b FROM q),
+       |bucketed AS (SELECT e.vec_id, ${bucketExpr("e.embedding")} AS b,
+       |    $cos AS sim
+       |  FROM embeddings e, q),
+       |exact AS (SELECT vec_id FROM bucketed ORDER BY sim DESC, vec_id
+       |  LIMIT 10),
+       |dp AS (SELECT UNNEST([0, 1, 2]) AS probe_depth),
+       |probed AS (
+       |  SELECT dp.probe_depth, s.vec_id, s.sim
+       |  FROM dp, bucketed s, qb
+       |  WHERE bit_count(xor(s.b, qb.b)) <= dp.probe_depth),
+       |hits AS (
+       |  SELECT probe_depth, vec_id FROM (
+       |    SELECT probe_depth, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_depth
+       |        ORDER BY sim DESC, vec_id) AS rn FROM probed)
+       |  WHERE rn <= 10)
+       |SELECT CAST(dp.probe_depth AS INTEGER) AS probe_depth,
+       |  (SELECT COUNT(*) FROM hits h WHERE h.probe_depth = dp.probe_depth
+       |     AND h.vec_id IN (SELECT vec_id FROM exact))::DOUBLE
+       |    / (SELECT COUNT(*) FROM exact)::DOUBLE AS recall_at_10,
+       |  (SELECT COUNT(*) FROM probed p
+       |     WHERE p.probe_depth = dp.probe_depth)::BIGINT AS rows_scanned,
+       |  (SELECT COUNT(*) FROM embeddings)::BIGINT AS rows_total,
+       |  (SELECT COUNT(*) FROM probed p
+       |     WHERE p.probe_depth = dp.probe_depth)::DOUBLE
+       |    / (SELECT COUNT(*) FROM embeddings)::DOUBLE AS scan_fraction
+       |FROM dp ORDER BY probe_depth""".stripMargin
+  }
+
+  /** v9: the IVFPQ composition — v6's coarse assignment/probe replay
+    * (against the iters=5 centroids) feeding v7's encode/ADC replay,
+    * with a 50-row shortlist re-ranked exactly per nprobe. */
+  private val v9Sql = {
+    val cos = VectorQueries.duckCosine("e.embedding", "q.qv")
+    val sqdSub = duckFold(
+      "list_transform(range(1, len(cb.cw)+1), i -> " +
+        "(e.embedding[cb.j * len(cb.cw) + i]::DOUBLE - cb.cw[i]::DOUBLE) * " +
+        "(e.embedding[cb.j * len(cb.cw) + i]::DOUBLE - cb.cw[i]::DOUBLE))")
+    val lutD = duckFold(
+      "list_transform(range(1, len(cb.cw)+1), i -> " +
+        "q.qv[cb.j * len(cb.cw) + i]::DOUBLE * cb.cw[i]::DOUBLE)")
+    val lutN2 = duckFold(
+      "list_transform(range(1, len(cb.cw)+1), i -> " +
+        "cb.cw[i]::DOUBLE * cb.cw[i]::DOUBLE)")
+    val qnF = duckFold(
+      "list_transform(range(1, len(q.qv)+1), i -> " +
+        "q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)")
+    s"""WITH cents AS (${artifactCte(V9CentroidDir,
+        "CAST(cid AS BIGINT) AS cid, cvec")}),
+       |cb AS (${artifactCte(V7CodebookDir,
+        "CAST(j AS BIGINT) AS j, CAST(c AS BIGINT) AS c, cw")}),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT $qnF AS qn FROM q),
+       |asg AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckSqd("e.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |pr AS (SELECT c.cid, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY ${duckSqd("q.qv", "c.cvec")}, c.cid) AS BIGINT) AS prank
+       |  FROM cents c, q),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT e.vec_id, cb.j, cb.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+       |        ORDER BY $sqdSub, cb.c) AS rn
+       |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+       |luts AS (SELECT cb.j, cb.c, $lutD AS ld, $lutN2 AS l2
+       |  FROM cb, q),
+       |adc AS (
+       |  SELECT codes.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(l.ld ORDER BY codes.j)), (a, x) -> a + x) AS dot,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(l.l2 ORDER BY codes.j)), (a, x) -> a + x) AS n2
+       |  FROM codes JOIN luts l ON l.j = codes.j AND l.c = codes.c
+       |  GROUP BY codes.vec_id),
+       |score AS (SELECT a.vec_id,
+       |    CASE WHEN a.n2 = 0.0 THEN 0.0
+       |         ELSE a.dot / (sqrt(a.n2) * sqrt(qn.qn)) END AS adc_score
+       |  FROM adc a, qn),
+       |exactscore AS (SELECT e.vec_id, $cos AS sim FROM embeddings e, q),
+       |exact AS (SELECT vec_id FROM exactscore ORDER BY sim DESC, vec_id
+       |  LIMIT 10),
+       |np AS (SELECT UNNEST([1, 4, $IvfK]) AS nprobe),
+       |probed AS (
+       |  SELECT np.nprobe, sc.vec_id, sc.adc_score
+       |  FROM np, pr, asg a JOIN score sc USING (vec_id)
+       |  WHERE a.list_id = pr.cid AND pr.prank <= np.nprobe),
+       |short AS (
+       |  SELECT nprobe, vec_id FROM (
+       |    SELECT nprobe, vec_id, ROW_NUMBER() OVER (PARTITION BY nprobe
+       |      ORDER BY adc_score DESC, vec_id) AS rn FROM probed)
+       |  WHERE rn <= 50),
+       |hits AS (
+       |  SELECT nprobe, vec_id FROM (
+       |    SELECT sh.nprobe, es.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY sh.nprobe
+       |        ORDER BY es.sim DESC, es.vec_id) AS rn
+       |    FROM short sh JOIN exactscore es USING (vec_id))
+       |  WHERE rn <= 10)
+       |SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+       |  (SELECT COUNT(*) FROM hits h WHERE h.nprobe = np.nprobe
+       |     AND h.vec_id IN (SELECT vec_id FROM exact))::DOUBLE
+       |    / (SELECT COUNT(*) FROM exact)::DOUBLE AS recall_at_10,
+       |  (SELECT COUNT(*) FROM probed p
+       |     WHERE p.nprobe = np.nprobe)::DOUBLE
+       |    / (SELECT COUNT(*) FROM embeddings)::DOUBLE AS scan_fraction
+       |FROM np ORDER BY nprobe""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "m1_media_features" -> m1Sql,
     "m2_frame_sample" -> m2Sql,
-    "m3_jpeg_decode" -> m3Sql)
+    "m3_jpeg_decode" -> m3Sql,
+    "v5_ann_recall" -> v5Sql,
+    "v6_ivf_recall" -> v6Sql,
+    "v7_pq_recall" -> pqFamilySql(V7CodebookDir),
+    "v8_sq_recall" -> pqFamilySql(V8CodebookDir),
+    "v9_ivfpq_recall" -> v9Sql)
 }

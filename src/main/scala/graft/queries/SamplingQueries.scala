@@ -285,7 +285,7 @@ object SamplingQueries {
     * the fold goes null — which sum() would silently drop, while the
     * DuckDB twin (range → empty list → reduce = 0) still counts that
     * row's vec_id (ADVICE r13). */
-  private def g6CorpusFp(e: DataFrame): Long =
+  private[queries] def g6CorpusFp(e: DataFrame): Long =
     e.agg(sum(col("vec_id").cast("long") + expr(
       "coalesce(aggregate(zip_with(embedding, sequence(1, size(embedding)), " +
         "(v, i) -> CAST(i AS BIGINT) * " +
@@ -293,6 +293,17 @@ object SamplingQueries {
         "CAST(0 AS BIGINT), (acc, x) -> acc + x), CAST(0 AS BIGINT))"))
       .as("v"))
       .head().getLong(0)
+
+  /** The DuckDB twin of [[g6CorpusFp]] over the `embeddings` view —
+    * shared with the v5–v9 oracle artifacts (they key on the same
+    * corpus fingerprint). */
+  private[queries] val duckEmbCorpusFp: String =
+    """(SELECT CAST(SUM(vec_id + list_reduce(
+      |        list_prepend(0::BIGINT, list_transform(
+      |          range(1, len(embedding)+1),
+      |          i -> i * CAST(FLOOR(embedding[i]::DOUBLE * 1e6) AS BIGINT))),
+      |        (acc, x) -> acc + x)) AS BIGINT) FROM embeddings)"""
+      .stripMargin
 
   private val g6ClusterBalance: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))

@@ -32,7 +32,7 @@ object VectorQueries {
   /** DuckDB-side identical arithmetic (zero-norm → 0.0, mirroring
     * VectorCosine's NaN guard).
     */
-  private def duckCosine(a: String, b: String): String = {
+  private[queries] def duckCosine(a: String, b: String): String = {
     def norm2(v: String) =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($v)+1), i -> $v[i]::DOUBLE * $v[i]::DOUBLE)), (acc, x) -> acc + x)"
     val dotExpr =

@@ -28,8 +28,7 @@ object GoldenHashSpec {
     "p7_real_pdf", "p8_cid_pdf", "p9_hard_eval", "p10_subset_font",
     "p12_cff_font", "p13_encrypted_pdf",
     "d13_bloom_incremental",
-    "v5_ann_recall", "v6_ivf_recall", "v7_pq_recall", "v8_sq_recall",
-    "v9_ivfpq_recall", "v10_hnsw_recall", "v22_approx_serving",
+    "v10_hnsw_recall", "v22_approx_serving",
     "v23_ivfpq_residual",
     "x4_approx_stats", "x14_approx_topk", "x21_quality_classifier",
     "x24_perplexity_thresholds")
@@ -49,11 +48,6 @@ object GoldenHashSpec {
     "p12_cff_font" -> "5533e65ed4673bbd0a99987be8785f91",
     "p13_encrypted_pdf" -> "ec3bec477709529576b6ba55068943ea",
     "d13_bloom_incremental" -> "69596ca3f48f0bb2918f2476bb841537",
-    "v5_ann_recall" -> "45820658a5290f75ce058970607f91a1",
-    "v6_ivf_recall" -> "2820f621b95f7617bb49d5dd5a855eca",
-    "v7_pq_recall" -> "9cebfbb91da0d7b2437aef4630cc7d5c",
-    "v8_sq_recall" -> "269887f89364ba735aab0781bade2fcb",
-    "v9_ivfpq_recall" -> "5c5f3579846158cd7ba5bc6f8bbb959d",
     "v23_ivfpq_residual" -> "5f8e6df870f543430309103ceea5af4a",
     "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
     "v22_approx_serving" -> "49678cbc54f149c329567c33e31550ce",
