@@ -142,7 +142,7 @@ object VerifyChecks {
       "d13_bloom_incremental" -> "69596ca3f48f0bb2918f2476bb841537",
       "v23_ivfpq_residual" -> "5f8e6df870f543430309103ceea5af4a",
       "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
-      "v22_approx_serving" -> "49678cbc54f149c329567c33e31550ce",
+      "v22_approx_serving" -> "3a0604ebf1eab45496a072f735091554",
       "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
       "x14_approx_topk" -> "03d0cc91a100036d57ef942396763a06",
       "x21_quality_classifier" -> "99f87ac4a409c0e0471be31c0a3ed4f7",
@@ -164,7 +164,7 @@ object VerifyChecks {
       "d13_bloom_incremental" -> "785285f77dd0ee52deb677d8214cf0f0",
       "v23_ivfpq_residual" -> "112495b8ceb229ed9fe34c5d871c595b",
       "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
-      "v22_approx_serving" -> "70b3d6fb25d594fc62ad8fb396cb6003",
+      "v22_approx_serving" -> "496e924c886105a49cebaa401e2a54ea",
       "x4_approx_stats" -> "adf11b6133c6262db3703d3ed0951e6f",
       "x14_approx_topk" -> "4c73189de2ac533f0e1edd5683fa91ba",
       "x21_quality_classifier" -> "1d57e530a6009c810dfee9f0ccf05db8",

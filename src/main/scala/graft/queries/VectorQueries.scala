@@ -1347,14 +1347,60 @@ object VectorQueries {
       s.conf.unset(AnnProbeRewrite.QuantizerKey)
       s.conf.unset(AnnProbeRewrite.NprobeKey)
     }
+    // ROUTED HNSW leg (VERDICT r13 task 3 joining the knob study): the
+    // cluster-routed layout at its production knobs (replicas=3,
+    // R=6/16) — the query walks only its routed shards, so this leg's
+    // per-query cost is flat in total shard count. label filter joins
+    // on from the staged corpus (the v15 metadata-join pattern);
+    // witness = the routed scan partition-pruned on shard_id.
+    val routedR = 6
+    val routedBase = acquireArtifact(s, "v22_routed",
+      v22RoutedFingerprint(dir))(buildV22RoutedIndex(s, dir, _))
+    val router = graft.search.Ivf.load(s"$routedBase/idx.router.txt")
+    val qVec = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val meta = staged.select(col("fragment_id").as("__fid"),
+      col("label").as("__label"))
+    val routedAdj = s.read.parquet(s"$routedBase/idx")
+      .join(meta, col("fragment_id") === col("__fid"), "left")
+    val routedDf = graft.search.Hnsw.searchIndexRouted(routedAdj,
+      Seq(("q", qVec)), k, ef = hnswEf, router, probeShards = routedR,
+      predicate = Some(col("__label") < 5))
+    val routedPruned = routedDf.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PartitionFilters"))
+      .exists(_.contains("shard_id"))
+    val routedHits = routedDf.select(col("fragment_id")).collect()
+      .map(_.getString(0)).toSet
     def recall(hits: Set[String]): Double =
       exact.count(hits).toDouble / exact.size
     Seq(
       ("hnsw", s"ef=$hnswEf", recall(hnswHits),
         recall(hnswHits) >= 0.9, hnswWalked),
+      ("hnsw_routed", s"ef=$hnswEf,R=$routedR/16,rep=3",
+        recall(routedHits), recall(routedHits) >= 0.9, routedPruned),
       ("ivf", s"nprobe=$ivfNprobe", recall(ivfHits),
         recall(ivfHits) >= 0.9, ivfPruned))
       .toDF("family", "knob", "recall10", "recall_ok", "used_rewrite")
+  }
+
+  private[graft] def v22RoutedFingerprint(dir: String): String =
+    StageCache.sourceFingerprint(Seq(s"$dir/embeddings.parquet"),
+      "v22routed|S=16,rep=3,m=16,efc=200,id=f%06d,sample=1024")
+
+  /** The routed serving artifact: cluster-routed adjacency + router
+    * sidecar, over the same f%06d-keyed corpus the v18 artifact stages.
+    */
+  private[graft] def buildV22RoutedIndex(s: SparkSession, dir: String,
+      base: String): Unit = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(format_string("f%06d", col("vec_id")).as("fragment_id"),
+        col("embedding").as("vector"))
+    val sample = e.orderBy(col("fragment_id")).limit(1024)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val router = graft.search.Ivf.train(sample, 16)
+    graft.search.Hnsw.saveIndexRouted(e, s"$base/idx", router,
+      replicas = 3)
   }
 
   private val v18Sql = {

@@ -514,6 +514,88 @@ object Hnsw {
       idCol, docCol)
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
 
+  /** CLUSTER-ROUTED layout (VERDICT r13 task 3 — closes the 10M soak's
+    * wave-bound fan-out finding). Hash sharding makes every shard a
+    * uniform sample of the corpus, so a correct merged top-k REQUIRES
+    * walking every shard and single-query cost grows linearly with
+    * shard count (SCALE.md, fifth decade: 800 shards wave-bound on 32
+    * cores). The routed layout shards by embedding-space cluster
+    * instead — `shard_id = nearest centroid` of a k-means ROUTER (the
+    * IVF coarse-quantizer machinery, one centroid per shard) — so a
+    * query's neighbors concentrate in few shards and
+    * [[searchIndexRouted]] walks only the R nearest: cost
+    * O(R·ef·log n_shard), flat in TOTAL shard count at fixed R.
+    *
+    * Recall is approximate exactly like IVF probe pruning: a true
+    * neighbor in an unprobed cluster is invisible (RoutedHnswSpec
+    * asserts the ≥0.95 floor on the probe set; `R = numShards`
+    * degenerates to the full fan-out and answers identically to
+    * [[searchIndex]]). Cluster sharding inherits cluster skew — the
+    * largest cluster bounds one build/walk task, the standard IVF
+    * trade. Row schema, partitioning, and every downstream reader
+    * ([[searchIndex]], [[restoreServing]]) are unchanged — routing is
+    * a LAYOUT choice plus a sidecar, not a new format.
+    */
+  def buildIndexTableRouted(embeddings: DataFrame, router: Ivf.Quantizer,
+      replicas: Int = 3,
+      m: Int = 16, efConstruction: Int = 200, vectorCol: String = "vector",
+      idCol: String = "fragment_id", docCol: Option[String] = None)
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val docExpr = docCol.map(c => col(c).cast("string"))
+      .getOrElse(col(idCol).cast("string"))
+    // REPLICATED assignment (default 3): a vector lands in its
+    // `replicas` nearest shards, so boundary vectors stay reachable
+    // from both sides of a cluster cut — the Ivf multi-assign lesson
+    // (cell pruning is weakest on BETWEEN-cluster queries). Measured on
+    // the testdata (RoutedSweepGen, 16 shards): single-assignment
+    // R=4 routing recalls only ~0.6; replicas=3 at R=6 clears 0.97 on
+    // both verify sfs — the default knobs RoutedHnswSpec pins. Storage
+    // and build cost scale ×replicas; per-query walk cost is unchanged.
+    // Replicas of one vector land in DISTINCT shards by construction,
+    // so the routed merge dedupes ids across shards only.
+    embeddings.select(col(idCol).cast("string").as("__id"),
+        col(vectorCol).as("__vec"), docExpr.as("__doc"))
+      .select(col("__id"), col("__vec"), col("__doc"),
+        explode(Ivf.multiAssignCol(col("__vec"), router, replicas))
+          .as("__shard0"))
+      .select(col("__id"), col("__vec"), col("__doc"),
+        col("__shard0").cast("int").as("__shard"))
+      .as[(String, Array[Float], String, Int)]
+      .groupByKey(_._4)
+      .flatMapGroups { (shard, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val docs = rows.map(_._3)
+          val hashes = rows.map(r => normHash(r._2))
+          build(rows.map(r => (r._1, r._2)).toSeq, m, efConstruction)
+            .exportRows.iterator
+            .map { case (i, id, v, ls) =>
+              (shard, i, id, v, ls, docs(i), hashes(i))
+            }
+        }
+      }
+      .toDF("shard_id", "node_idx", idCol, vectorCol, "links", "doc_id",
+        "vec_hash")
+  }
+
+  /** Persist a routed index: the adjacency partitioned by shard plus
+    * the router sidecar at `<path>.router.txt` ([[Ivf.save]] — exact
+    * Float round-trip). A torn pair is a hard error at read time via
+    * the quantizer fingerprint discipline, same as IVF's sidecar.
+    */
+  def saveIndexRouted(embeddings: DataFrame, path: String,
+      router: Ivf.Quantizer, replicas: Int = 3, m: Int = 16,
+      efConstruction: Int = 200, vectorCol: String = "vector",
+      idCol: String = "fragment_id", docCol: Option[String] = None): Unit = {
+    buildIndexTableRouted(embeddings, router, replicas, m, efConstruction,
+      vectorCol, idCol, docCol)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    Ivf.save(router.copy(replicas = replicas), s"$path.router.txt")
+  }
+
   /** Batch ANN over a persisted adjacency table ([[saveIndex]]): each
     * shard's rows regroup into one task, the graph RESTORES from its
     * stored neighbor lists (no re-insertion, no distance computations),
@@ -637,11 +719,43 @@ object Hnsw {
     */
   def searchIndex(index: DataFrame, queries: Seq[(String, Array[Float])],
       topK: Int, ef: Int, idCol: String = "fragment_id",
+      predicate: Option[Column] = None): DataFrame =
+    searchIndexCore(index, queries, topK, ef, idCol, predicate,
+      routes = None)
+
+  /** ROUTED batch search over a [[saveIndexRouted]] adjacency: each
+    * query is routed to its `probeShards` nearest shard centroids
+    * ([[Ivf.nearestLists]] against the router — the same (distance, id)
+    * tie rule as every IVF probe), the scan partition-prunes to the
+    * UNION of routed shards, and inside a shard task only the queries
+    * routed THERE walk its graph — per-query walk cost is
+    * O(probeShards·ef·log n_shard) regardless of total shard count.
+    * `probeShards >= router.k` ⇒ identical to [[searchIndex]].
+    */
+  def searchIndexRouted(index: DataFrame,
+      queries: Seq[(String, Array[Float])], topK: Int, ef: Int,
+      router: Ivf.Quantizer, probeShards: Int,
+      idCol: String = "fragment_id",
       predicate: Option[Column] = None): DataFrame = {
+    val routes: Map[String, Array[Int]] = queries.map { case (qid, qv) =>
+      qid -> Ivf.nearestLists(qv, router, probeShards).toArray
+    }.toMap
+    val probedAll = routes.valuesIterator.flatten.toSeq.distinct.sorted
+    val pruned = index.filter(
+      col("shard_id").isin(probedAll.map(Integer.valueOf): _*))
+    searchIndexCore(pruned, queries, topK, ef, idCol, predicate,
+      routes = Some(routes))
+  }
+
+  private def searchIndexCore(index: DataFrame,
+      queries: Seq[(String, Array[Float])], topK: Int, ef: Int,
+      idCol: String, predicate: Option[Column],
+      routes: Option[Map[String, Array[Int]]]): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val k = VectorSearch.clampTopK(topK)
     val qB = spark.sparkContext.broadcast(queries.toArray)
+    val routesB = spark.sparkContext.broadcast(routes)
     // a NULL predicate value is "not eligible", matching SQL WHERE
     val allowCol = predicate.map(p => coalesce(p, lit(false)))
       .getOrElse(lit(true))
@@ -660,7 +774,7 @@ object Hnsw {
       .as[(Int, Int, String, Array[Float], Array[Array[Int]], Boolean,
         Option[Long])]
     val filtered = predicate.isDefined
-    val perShard = typed.groupByKey(_._1).flatMapGroups { (_, it) =>
+    val perShard = typed.groupByKey(_._1).flatMapGroups { (shard, it) =>
       val rows = it.toArray.sortBy(_._2)
       if (rows.isEmpty) Iterator.empty
       else {
@@ -668,8 +782,14 @@ object Hnsw {
           deriveM(rows.map(r => (r._1, r._2, r._3, r._4, r._5))), 0)
         g.importRows(rows.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
         val hashOf = rows.iterator.map(r => r._3 -> r._7).toMap
+        // routed mode: only the queries routed to THIS shard walk it
+        val qs = routesB.value match {
+          case None => qB.value.iterator
+          case Some(rt) => qB.value.iterator
+            .filter(q => rt(q._1).contains(shard))
+        }
         if (!filtered) {
-          qB.value.iterator.flatMap { case (qid, qv) =>
+          qs.flatMap { case (qid, qv) =>
             g.search(qv, k, ef).map { case (id, sim) =>
               (qid, id, sim, hashOf(id))
             }
@@ -677,16 +797,23 @@ object Hnsw {
         } else {
           val allowed = rows.iterator.filter(_._6).map(_._3)
             .to(mutable.HashSet)
-          qB.value.iterator.flatMap { case (qid, qv) =>
+          qs.flatMap { case (qid, qv) =>
             g.searchFiltered(qv, k, ef, allowed)
               .map { case (id, sim) => (qid, id, sim, hashOf(id)) }
           }
         }
       }
     }.toDF("query_id", idCol, "similarity", "vec_hash")
+    // routed indexes may be REPLICATED (buildIndexTableRouted): one
+    // vector answers from several probed shards with identical
+    // (id, sim, hash) rows — collapse before ranking. The candidate set
+    // is ≤ probedShards·k rows per query, so this dedupe is tiny.
+    val merged = if (routes.isDefined)
+      perShard.dropDuplicates("query_id", idCol)
+    else perShard
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col(idCol))
-    perShard.withColumn("rank", row_number().over(w))
+    merged.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 }

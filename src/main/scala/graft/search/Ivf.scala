@@ -134,33 +134,21 @@ object Ivf {
     * ([[searchMultiAssign]]); everything else (partition layout,
     * fingerprint guard) matches [[buildIndex]].
     */
+  /** Array column of a vector's `replicas` nearest list/shard ids under
+    * `q` (rank order, ties to the lower id) — the codegen'd
+    * multi-assignment shared by [[buildIndexMultiAssign]] and the
+    * routed HNSW layout ([[Hnsw.buildIndexTableRouted]]). Per-row cost
+    * O(k·(dim + R)): an R-slot insertion select, not a k-element sort —
+    * what keeps a 10M-row × 800-shard routed build a map stage. */
+  def multiAssignCol(vec0: Column, q: Quantizer, replicas: Int): Column =
+    VectorExpressions.ivfMultiAssign(vec0, q.centroidsFlat, q.dim, replicas)
+
   def buildIndexMultiAssign(embeddings: DataFrame, q: Quantizer,
-      replicas: Int, vectorCol: String = "vector"): DataFrame = {
-    require(replicas >= 1 && replicas <= q.k,
-      s"replicas $replicas outside 1..${q.k}")
-    val cents = array((0 until q.k).map(c =>
-      array(q.centroid(c).map(v => lit(v)): _*)): _*)
-    // zip_with pads the SHORTER array with nulls, which would give a
-    // malformed (wrong-length) vector NULL distances and an undefined
-    // ranking — slice both sides to min(len, dim) so this HOF path
-    // mirrors the codegen argmin's truncation exactly.
-    val len = least(size(col(vectorCol)), lit(q.dim))
-    val vec = slice(col(vectorCol), lit(1), len)
-    val dists = transform(sequence(lit(0), lit(q.k - 1)), c =>
-      aggregate(
-        zip_with(vec, slice(element_at(cents, c + 1), lit(1), len),
-          (a, b) => (a.cast("double") - b.cast("double")) *
-            (a.cast("double") - b.cast("double"))),
-        lit(0.0), (acc, x) => acc + x))
-    val ranked = slice(
-      array_sort(zip_with(dists, sequence(lit(0), lit(q.k - 1)),
-        (d, i) => struct(d.as("d"), i.as("i")))),
-      1, replicas)
+      replicas: Int, vectorCol: String = "vector"): DataFrame =
     embeddings
       .withColumn("list_id",
-        explode(transform(ranked, s => s.getField("i"))))
+        explode(multiAssignCol(col(vectorCol), q, replicas)))
       .withColumn("ivf_q_hash", lit(contentHash(q)))
-  }
 
   /** [[search]] over a multi-assigned index: replicas of one vector can
     * land in several probed lists, so candidates dedupe on `tieBreak`

@@ -267,6 +267,95 @@ case class IvfAssign(child: Expression, centroidsFlat: Array[Float], dim: Int)
   * the advertised compression ratio comes from.
   * Codebook layout: subcentroid (j, c) starts at ((j*ksub)+c)*dsub.
   */
+/** Top-`replicas` nearest-centroid ids, rank order, ties to the lower
+  * id — the codegen'd multi-assignment for replicated IVF lists and the
+  * cluster-routed HNSW layout. Same distance arithmetic as [[IvfAssign]]
+  * (double fold over float casts); selection keeps an R-slot insertion
+  * array instead of sorting all k candidates, so per-row cost is
+  * O(k·(dim + R)) — at 10M rows × 800 shards the difference between a
+  * build-time map stage and an array_sort-per-row crawl.
+  */
+case class IvfMultiAssign(child: Expression, centroidsFlat: Array[Float],
+    dim: Int, replicas: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private def k: Int = centroidsFlat.length / dim
+  require(replicas >= 1 && replicas <= k,
+    s"replicas $replicas outside 1..$k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_multi_assign"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val bestD = Array.fill(replicas)(Double.MaxValue)
+    val bestI = Array.fill(replicas)(Int.MaxValue)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = x.getFloat(i).toDouble - centroidsFlat(off + i)
+        d += diff * diff
+        i += 1
+      }
+      // insertion keeps (d asc, id asc); a later equal-d candidate has
+      // the larger id, so strict < matches the (d, i) struct sort
+      var j = replicas - 1
+      if (d < bestD(j)) {
+        while (j > 0 && d < bestD(j - 1)) {
+          bestD(j) = bestD(j - 1); bestI(j) = bestI(j - 1); j -= 1
+        }
+        bestD(j) = d; bestI(j) = c
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bestI)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroidsFlat, "float[]")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val bestD = ctx.freshName("bestD")
+      val bestI = ctx.freshName("bestI")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $bestD = new double[$replicas];
+         |int[] $bestI = new int[$replicas];
+         |java.util.Arrays.fill($bestD, Double.MAX_VALUE);
+         |for (int $c = 0; $c < $k; $c++) {
+         |  int $off = $c * $dim;
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = (double) $a.getFloat($i) - (double) $cents[$off + $i];
+         |    $d += $diff * $diff;
+         |  }
+         |  int $j = $replicas - 1;
+         |  if ($d < $bestD[$j]) {
+         |    while ($j > 0 && $d < $bestD[$j - 1]) {
+         |      $bestD[$j] = $bestD[$j - 1]; $bestI[$j] = $bestI[$j - 1]; $j--;
+         |    }
+         |    $bestD[$j] = $d; $bestI[$j] = $c;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($bestI);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : IvfMultiAssign = copy(child = newChild)
+}
+
 case class PqEncode(child: Expression, codebookFlat: Array[Float],
     m: Int, ksub: Int, dsub: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -480,6 +569,11 @@ object VectorExpressions {
   def ivfAssign(vec: Column, centroidsFlat: Array[Float], dim: Int): Column =
     ExpressionUtils.column(IvfAssign(
       ExpressionUtils.expression(vec), centroidsFlat, dim))
+
+  def ivfMultiAssign(vec: Column, centroidsFlat: Array[Float], dim: Int,
+      replicas: Int): Column =
+    ExpressionUtils.column(IvfMultiAssign(
+      ExpressionUtils.expression(vec), centroidsFlat, dim, replicas))
 
   def pqEncode(vec: Column, codebookFlat: Array[Float],
       m: Int, ksub: Int, dsub: Int): Column =

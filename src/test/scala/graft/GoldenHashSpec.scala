@@ -50,7 +50,7 @@ object GoldenHashSpec {
     "d13_bloom_incremental" -> "69596ca3f48f0bb2918f2476bb841537",
     "v23_ivfpq_residual" -> "5f8e6df870f543430309103ceea5af4a",
     "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
-    "v22_approx_serving" -> "49678cbc54f149c329567c33e31550ce",
+    "v22_approx_serving" -> "3a0604ebf1eab45496a072f735091554",
     "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
     "x14_approx_topk" -> "03d0cc91a100036d57ef942396763a06",
     "x21_quality_classifier" -> "99f87ac4a409c0e0471be31c0a3ed4f7",
