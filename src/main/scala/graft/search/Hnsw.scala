@@ -530,39 +530,74 @@ object Hnsw {
     * neighbor in an unprobed cluster is invisible (RoutedHnswSpec
     * asserts the ≥0.95 floor on the probe set; `R = numShards`
     * degenerates to the full fan-out and answers identically to
-    * [[searchIndex]]). Cluster sharding inherits cluster skew — the
-    * largest cluster bounds one build/walk task, the standard IVF
-    * trade. Row schema, partitioning, and every downstream reader
-    * ([[searchIndex]], [[restoreServing]]) are unchanged — routing is
-    * a LAYOUT choice plus a sidecar, not a new format.
+    * [[searchIndex]]).
+    *
+    * **Skew control — size-bounded SUB-SHARDS.** Cluster sharding
+    * inherits cluster skew, and an HNSW graph builds single-threaded
+    * per shard, so one hot cluster would bound the whole build (and
+    * every probe of that cell) by a giant serial task — measured on a
+    * 1M clustered corpus: one routed cell absorbed 17 CPU-minutes
+    * while 31 cores idled. Each routed CELL therefore splits into
+    * `ceil(cellRows / targetShardRows)` hash sub-shards
+    * (`shard_id = cell · SubFactor + hash(id) mod subs` — same ~12.5k
+    * node budget as the hash layout), restoring the fixed per-task
+    * bound; a probe of cell c walks all of c's sub-shards, so walk
+    * cost per query is O(R · cellRows/target) graphs — still flat in
+    * TOTAL shard count. Row schema, partitioning, and every
+    * downstream reader ([[searchIndex]], [[restoreServing]]) are
+    * unchanged — routing is a LAYOUT choice plus a sidecar, not a new
+    * format.
     */
+  val RoutedSubFactor = 4096
+  val RoutedTargetShardRows = 12500L
+
   def buildIndexTableRouted(embeddings: DataFrame, router: Ivf.Quantizer,
       replicas: Int = 3,
       m: Int = 16, efConstruction: Int = 200, vectorCol: String = "vector",
-      idCol: String = "fragment_id", docCol: Option[String] = None)
-      : DataFrame = {
+      idCol: String = "fragment_id", docCol: Option[String] = None,
+      targetShardRows: Long = RoutedTargetShardRows): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val docExpr = docCol.map(c => col(c).cast("string"))
       .getOrElse(col(idCol).cast("string"))
     // REPLICATED assignment (default 3): a vector lands in its
-    // `replicas` nearest shards, so boundary vectors stay reachable
+    // `replicas` nearest cells, so boundary vectors stay reachable
     // from both sides of a cluster cut — the Ivf multi-assign lesson
     // (cell pruning is weakest on BETWEEN-cluster queries). Measured on
     // the testdata (RoutedSweepGen, 16 shards): single-assignment
     // R=4 routing recalls only ~0.6; replicas=3 at R=6 clears 0.97 on
     // both verify sfs — the default knobs RoutedHnswSpec pins. Storage
     // and build cost scale ×replicas; per-query walk cost is unchanged.
-    // Replicas of one vector land in DISTINCT shards by construction,
-    // so the routed merge dedupes ids across shards only.
-    embeddings.select(col(idCol).cast("string").as("__id"),
+    // Replicas of one vector land in DISTINCT cells by construction,
+    // so the routed merge dedupes ids across cells only.
+    val celled = embeddings.select(col(idCol).cast("string").as("__id"),
         col(vectorCol).as("__vec"), docExpr.as("__doc"))
       .select(col("__id"), col("__vec"), col("__doc"),
         explode(Ivf.multiAssignCol(col("__vec"), router, replicas))
-          .as("__shard0"))
+          .as("__cell0"))
       .select(col("__id"), col("__vec"), col("__doc"),
-        col("__shard0").cast("int").as("__shard"))
+        col("__cell0").cast("int").as("__cell"))
+    // per-cell row counts: k rows to the driver, broadcast back as the
+    // sub-shard fanout map (deterministic — a pure function of the data)
+    val subsOf: Map[Int, Int] = celled.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map { r =>
+        val n = r.getLong(1)
+        r.getInt(0) ->
+          math.max(1, math.ceil(n.toDouble / targetShardRows).toInt)
+      }.toMap
+    require(subsOf.valuesIterator.forall(_ < RoutedSubFactor),
+      s"a routed cell needs >= $RoutedSubFactor sub-shards — raise " +
+        "SubFactor or targetShardRows")
+    val subsB = spark.sparkContext.broadcast(subsOf)
+    celled
       .as[(String, Array[Float], String, Int)]
+      .map { case (id, v, doc, cell) =>
+        val subs = subsB.value(cell)
+        val sub = if (subs == 1) 0
+          else ((id.hashCode % subs) + subs) % subs
+        (id, v, doc, cell * RoutedSubFactor + sub)
+      }
       .groupByKey(_._4)
       .flatMapGroups { (shard, it) =>
         val rows = it.toArray.sortBy(_._1)
@@ -724,13 +759,14 @@ object Hnsw {
       routes = None)
 
   /** ROUTED batch search over a [[saveIndexRouted]] adjacency: each
-    * query is routed to its `probeShards` nearest shard centroids
+    * query is routed to its `probeShards` nearest router CELLS
     * ([[Ivf.nearestLists]] against the router — the same (distance, id)
     * tie rule as every IVF probe), the scan partition-prunes to the
-    * UNION of routed shards, and inside a shard task only the queries
-    * routed THERE walk its graph — per-query walk cost is
-    * O(probeShards·ef·log n_shard) regardless of total shard count.
-    * `probeShards >= router.k` ⇒ identical to [[searchIndex]].
+    * UNION of the routed cells' sub-shard ranges, and inside a shard
+    * task only the queries routed THERE walk its graph — per-query
+    * walk cost is O(probeShards · cellRows/target) graphs regardless
+    * of total shard count. `probeShards >= router.k` ⇒ identical to
+    * [[searchIndex]].
     */
   def searchIndexRouted(index: DataFrame,
       queries: Seq[(String, Array[Float])], topK: Int, ef: Int,
@@ -740,9 +776,13 @@ object Hnsw {
     val routes: Map[String, Array[Int]] = queries.map { case (qid, qv) =>
       qid -> Ivf.nearestLists(qv, router, probeShards).toArray
     }.toMap
-    val probedAll = routes.valuesIterator.flatten.toSeq.distinct.sorted
-    val pruned = index.filter(
-      col("shard_id").isin(probedAll.map(Integer.valueOf): _*))
+    val probedCells = routes.valuesIterator.flatten.toSeq.distinct.sorted
+    // OR-of-ranges over the partition column: each routed cell's
+    // sub-shard block [cell·F, (cell+1)·F) — prunes at the file source
+    val pruned = index.filter(probedCells.map { c =>
+      col("shard_id") >= c * RoutedSubFactor &&
+        col("shard_id") < (c + 1) * RoutedSubFactor
+    }.reduce(_ || _))
     searchIndexCore(pruned, queries, topK, ef, idCol, predicate,
       routes = Some(routes))
   }
@@ -782,11 +822,12 @@ object Hnsw {
           deriveM(rows.map(r => (r._1, r._2, r._3, r._4, r._5))), 0)
         g.importRows(rows.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
         val hashOf = rows.iterator.map(r => r._3 -> r._7).toMap
-        // routed mode: only the queries routed to THIS shard walk it
+        // routed mode: only the queries routed to THIS shard's CELL
+        // walk it (shard_id = cell · SubFactor + sub)
         val qs = routesB.value match {
           case None => qB.value.iterator
           case Some(rt) => qB.value.iterator
-            .filter(q => rt(q._1).contains(shard))
+            .filter(q => rt(q._1).contains(shard / RoutedSubFactor))
         }
         if (!filtered) {
           qs.flatMap { case (qid, qv) =>

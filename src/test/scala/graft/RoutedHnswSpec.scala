@@ -127,10 +127,52 @@ class RoutedHnswSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Int)].collect()
     queries.foreach { case (qid, qv) =>
       val want = Ivf.nearestLists(qv, router, 1).head
-      val got = hits.filter(_._1 == qid).map(_._2).distinct.toSeq
+      val got = hits.filter(_._1 == qid)
+        .map(_._2 / Hnsw.RoutedSubFactor).distinct.toSeq
       assert(got == Seq(want),
-        s"$qid answered from shards $got, routed to $want")
+        s"$qid answered from cells $got, routed to $want")
     }
+    idx.unpersist()
+  }
+
+  test("skewed cells split into size-bounded sub-shards; routing probes " +
+      "all of a cell's sub-shards") {
+    val s = spark
+    import s.implicits._
+    val e = corpus("/root/testdata/sf0.01")
+    val sample = e.orderBy(col("vec_id")).limit(1024)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val router = Ivf.train(sample, 4) // few cells ⇒ big cells
+    val idx = Hnsw.buildIndexTableRouted(e, router, replicas = 1,
+      idCol = "vec_id", targetShardRows = 100L).cache()
+    // every sub-shard holds ≤ ~2× the target (hash split of the cell)
+    val sizes = idx.groupBy(col("shard_id")).count()
+      .select(col("shard_id").cast("int"), col("count"))
+      .as[(Int, Long)].collect()
+    assert(sizes.exists(_._1 % Hnsw.RoutedSubFactor > 0),
+      "a 500-row corpus at target 100 must have split some cell")
+    assert(sizes.forall(_._2 <= 200L),
+      s"sub-shard over 2× target: ${sizes.mkString(",")}")
+    // a routed probe of one cell still sees the WHOLE cell: at ef ≥ n
+    // every sub-graph answers exactly, so the merged result equals the
+    // exact top-K over the cell's rows — splitting cannot lose nodes
+    val (qid, qv) = e.orderBy(col("vec_id"))
+      .as[(String, Array[Float])].head()
+    val cell = Ivf.nearestLists(qv, router, 1).head
+    val n = e.count().toInt
+    val routedIds = Hnsw.searchIndexRouted(idx, Seq((qid, qv)), K,
+        ef = n, router, probeShards = 1, idCol = "vec_id")
+      .orderBy(col("rank"))
+      .select(col("vec_id")).as[String].collect().toSeq
+    val cellRows = idx.filter(
+        col("shard_id") >= cell * Hnsw.RoutedSubFactor &&
+          col("shard_id") < (cell + 1) * Hnsw.RoutedSubFactor)
+      .select(col("vec_id"), col("vector"))
+    val exactIds = VectorSearch.knn(cellRows, qv, K,
+        vectorCol = "vector", tieBreak = "vec_id")
+      .select(col("vec_id")).as[String].collect().toSeq
+    assert(routedIds == exactIds,
+      s"sub-shard union must cover the cell: $routedIds != $exactIds")
     idx.unpersist()
   }
 }
