@@ -780,8 +780,10 @@ object VectorQueries {
        |  SELECT conf, fl.floor,
        |    CASE WHEN conf >= fl.floor THEN 1.0::DOUBLE
        |         ELSE 0.0::DOUBLE END AS w_lex
-       |  FROM (SELECT (SELECT MAX(bm25) FROM bm) / ($cc * (
-       |      $idfSumSql)) AS conf FROM st), fl),
+       |  FROM (SELECT CASE WHEN ($idfSumSql) > 0
+       |    THEN (SELECT MAX(bm25) FROM bm) / ($cc * (
+       |      $idfSumSql))
+       |    ELSE 0.0 END AS conf FROM st), fl),
        |lexcand AS (
        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
        |    AS BIGINT) AS r_lex

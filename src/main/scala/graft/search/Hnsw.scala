@@ -614,12 +614,23 @@ object Hnsw {
       }
       .toDF("shard_id", "node_idx", idCol, vectorCol, "links", "doc_id",
         "vec_hash")
+      // the ROUTER fingerprint rides in every adjacency row (constant —
+      // RLE'd to nothing on disk): shard_id is only meaningful under
+      // the router that assigned it, so [[searchIndexRouted]] refuses
+      // to walk an adjacency whose stamp disagrees with the router it
+      // was handed — the ivf_q_hash contract extended to the routed
+      // layout (a torn adjacency/sidecar pair, or a retrained router
+      // against a stale adjacency, would otherwise silently misroute)
+      .withColumn("router_hash", lit(Ivf.contentHash(router)))
   }
 
   /** Persist a routed index: the adjacency partitioned by shard plus
     * the router sidecar at `<path>.router.txt` ([[Ivf.save]] — exact
-    * Float round-trip). A torn pair is a hard error at read time via
-    * the quantizer fingerprint discipline, same as IVF's sidecar.
+    * Float round-trip). A torn pair IS a hard error at read time: every
+    * adjacency row carries `router_hash` = [[Ivf.contentHash]] of the
+    * router that assigned its shard, and [[searchIndexRouted]] requires
+    * it to match the router it routes with — same discipline as IVF's
+    * ivf_q_hash sidecar guard.
     */
   def saveIndexRouted(embeddings: DataFrame, path: String,
       router: Ivf.Quantizer, replicas: Int = 3, m: Int = 16,
@@ -783,7 +794,26 @@ object Hnsw {
       col("shard_id") >= c * RoutedSubFactor &&
         col("shard_id") < (c + 1) * RoutedSubFactor
     }.reduce(_ || _))
-    searchIndexCore(pruned, queries, topK, ef, idCol, predicate,
+    // router↔adjacency binding guard: shard ids are meaningless under a
+    // different router, so a stamped adjacency (buildIndexTableRouted)
+    // must have been assigned by THIS router or the walk would silently
+    // probe the wrong cells — hard error instead. Evaluated per probed
+    // row but the comparison is against an RLE'd constant column; rows
+    // predating the stamp (NULL) pass unchecked, the legacy contract of
+    // every hash guard here.
+    val guarded =
+      if (!index.columns.contains("router_hash")) pruned
+      else {
+        val h = Ivf.contentHash(router)
+        pruned.filter(when(
+          col("router_hash").isNull || col("router_hash") === lit(h),
+          lit(true))
+          .otherwise(raise_error(lit(
+            "hnsw router_hash mismatch: the routed adjacency was not " +
+              "assigned by this router (torn adjacency/sidecar pair or " +
+              "retrained router) — refusing to route"))))
+      }
+    searchIndexCore(guarded, queries, topK, ef, idCol, predicate,
       routes = Some(routes))
   }
 

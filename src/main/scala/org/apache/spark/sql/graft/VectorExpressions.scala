@@ -313,6 +313,14 @@ case class IvfMultiAssign(child: Expression, centroidsFlat: Array[Float],
       }
       c += 1
     }
+    // a NaN distance never beats the sentinel (NaN < x is false), so an
+    // all-NaN vector would leave Int.MaxValue slots that downstream
+    // shard arithmetic (cell · SubFactor) silently overflows — refuse it
+    // loudly instead: a non-finite vector is invalid router input
+    if (bestI(replicas - 1) == Int.MaxValue)
+      throw new IllegalArgumentException(
+        "ivf_multi_assign: non-finite vector (all centroid distances " +
+          "NaN) — cannot route")
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bestI)
   }
 
@@ -347,6 +355,10 @@ case class IvfMultiAssign(child: Expression, centroidsFlat: Array[Float],
          |    }
          |    $bestD[$j] = $d; $bestI[$j] = $c;
          |  }
+         |}
+         |if ($bestI[$replicas - 1] == Integer.MAX_VALUE) {
+         |  throw new IllegalArgumentException(
+         |    "ivf_multi_assign: non-finite vector (all centroid distances NaN) — cannot route");
          |}
          |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($bestI);
        """.stripMargin

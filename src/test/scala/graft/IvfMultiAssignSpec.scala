@@ -133,4 +133,24 @@ class IvfMultiAssignSpec extends AnyFunSuite with BeforeAndAfterAll {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("a non-finite vector is a hard routing error, not a sentinel shard") {
+    // NaN distances never beat the Int.MaxValue sentinel (NaN < x is
+    // false), so without the guard an all-NaN vector would silently
+    // land in shard Int.MaxValue·SubFactor (overflowed) — ADVICE r14:
+    // refuse loudly in BOTH eval paths
+    val s = spark
+    import s.implicits._
+    val q = Ivf.Quantizer(2, 4, Array(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f))
+    val bad = Seq(("x", Array(Float.NaN, 0f, 0f, 0f)))
+      .toDF("fragment_id", "vector")
+    val e = intercept[Exception] {
+      bad.select(Ivf.multiAssignCol(org.apache.spark.sql.functions
+        .col("vector"), q, 2)).collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || (t.getCause eq t)) t else root(t.getCause)
+    assert(root(e).getMessage.contains("non-finite vector"),
+      s"expected the routing refusal, got: ${root(e).getMessage}")
+  }
 }

@@ -61,7 +61,11 @@ class PerplexityBucketsSpec extends AnyFunSuite with BeforeAndAfterAll {
         val sketchErr = math.ceil(
           n.toDouble / 10000).toLong // X24Accuracy — exact at these sfs
         def tie(t: Double): Long = rates.count(_ == t).toLong
-        val bound = sketchErr + math.max(tie(t1), tie(t2))
+        // the MIDDLE bucket has a boundary at BOTH cuts, so its count
+        // can drift by ties at t1 AND t2 simultaneously (and by the
+        // sketch error at each boundary) — bound with the sum of the
+        // per-boundary terms, not their max
+        val bound = sketchErr * 2 + tie(t1) + tie(t2)
         (1L to 3L).foreach { b =>
           val c23 = x23.getOrElse((lang, b), 0L)
           val c24 = x24.getOrElse((lang, b), 0L)

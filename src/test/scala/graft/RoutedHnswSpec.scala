@@ -175,4 +175,38 @@ class RoutedHnswSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"sub-shard union must cover the cell: $routedIds != $exactIds")
     idx.unpersist()
   }
+
+  test("a retrained router against a stamped adjacency is a hard error " +
+      "(router_hash guard)") {
+    // ADVICE r14 (medium): shard ids are meaningless under a different
+    // router — a torn adjacency/sidecar pair or a retrained router must
+    // refuse to route, not silently probe the wrong cells
+    val s = spark
+    import s.implicits._
+    val e = corpus("/root/testdata/sf0.001")
+    val sample = e.orderBy(col("vec_id")).limit(1024)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val router = Ivf.train(sample, S)
+    val other = Ivf.train(sample.drop(7), S) // a different training run
+    assert(Ivf.contentHash(other) != Ivf.contentHash(router))
+    val idx = Hnsw.buildIndexTableRouted(e, router, replicas = 1,
+      idCol = "vec_id").cache()
+    val queries = e.orderBy(col("vec_id")).limit(1)
+      .as[(String, Array[Float])].collect().toSeq
+    // the stamped router routes fine…
+    assert(Hnsw.searchIndexRouted(idx, queries, K, Ef, router,
+      probeShards = R, idCol = "vec_id").count() > 0)
+    // …the retrained one errors out loudly
+    val err = intercept[Exception] {
+      Hnsw.searchIndexRouted(idx, queries, K, Ef, other,
+        probeShards = R, idCol = "vec_id").collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || (t.getCause eq t)) t else root(t.getCause)
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("router_hash mismatch"),
+      s"expected the routing refusal, got: $msgs")
+    idx.unpersist()
+  }
 }

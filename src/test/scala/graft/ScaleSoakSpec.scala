@@ -888,12 +888,15 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l1.recallRouted >= 0.95 && l10.recallRouted >= 0.95,
       s"routed recall ${l1.recallRouted}/${l10.recallRouted} < 0.95")
     // routing must actually prune, within skew headroom of the balanced
-    // ideal (a single query's cost is R·replicas/S of the index when
-    // cells sit at the target size; ×2.5 absorbs real cluster skew).
-    // The fan-out baseline reads 100% per query by construction.
+    // ideal. probedRows and indexRows BOTH count the ×replicas copies,
+    // so replication cancels in the ratio: a query's balanced share is
+    // R/S of the (replicated) index, not R·replicas/S — the latter
+    // would hand the gate a silent ×replicas extra headroom. ×2.5
+    // absorbs real cluster skew. The fan-out baseline reads 100% per
+    // query by construction.
     for (l <- Seq(l1, l10)) {
       val frac = l.probedRows.toDouble / l.indexRows
-      val ideal = R * 3.0 / l.shards
+      val ideal = R.toDouble / l.shards
       assert(frac <= 2.5 * ideal,
         f"${l.label}: a query probes $frac%.3f of the index " +
           f"(balanced ideal $ideal%.3f) — the router is not pruning")

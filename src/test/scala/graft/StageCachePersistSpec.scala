@@ -275,7 +275,12 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val rows = SparkEntry.queries("v22_approx_serving")(s, d).collect()
-      assert(rows.length == 2, s"one row per family expected at $d")
+      // one row per index family, derived from the result itself so the
+      // assertion tracks the catalog when a family joins the knob study
+      val families = rows.map(_.getString(0)).toSet
+      assert(families == Set("hnsw", "hnsw_routed", "ivf"),
+        s"unexpected family set $families at $d")
+      assert(rows.length == families.size, s"one row per family expected at $d")
       rows.foreach { r =>
         val (family, recall) = (r.getString(0), r.getDouble(2))
         assert(r.getBoolean(3) && recall >= 0.9,
