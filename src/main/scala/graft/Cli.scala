@@ -237,6 +237,29 @@ object Cli {
           history = history.add(Generation.Turn(q, resp.answer))
         }
 
+      // Calibrate + persist the gated-fusion confidence floor for a
+      // tables dir (the [[graft.search.FusionFloor]] sidecar). Reingest
+      // refreshes it automatically; hybrid-search refuses a stale one.
+      case "fusion-calibrate" :: tablesDir :: Nil =>
+        val frags = spark.read.parquet(s"$tablesDir/fragments")
+        val a = graft.search.FusionFloor.calibrate(frags, "id", "content")
+        graft.search.FusionFloor.save(a, s"$tablesDir/fusion_floor.txt")
+        println(s"[fusion-calibrate] corpus_fp=${a.corpusFp} " +
+          s"floor=${a.floor}")
+
+      // Gated hybrid serving (the v24 contract over a tables dir): BM25
+      // over fragment content fused with the dense KNN under the
+      // lexical-confidence gate; degrades to dense-only below the
+      // calibrated floor. Hard-errors if the floor sidecar is stale.
+      case "hybrid-search" :: tablesDir :: query :: rest =>
+        val topK = rest.headOption.map(_.toInt).getOrElse(10)
+        val r = hybridSearchCommand(spark, tablesDir, query, topK)
+        println(f"[hybrid-search] conf=${r.conf}%.4f floor=${r.floor}%.4f " +
+          (if (r.wLex > 0) "gate=FUSED" else "gate=DENSE-ONLY"))
+        r.hits.zipWithIndex.foreach { case ((id, rl, rv, sc), i) =>
+          println(f"#${i + 1}%-3d score=$sc%.5f r_lex=$rl r_vec=$rv $id")
+        }
+
       case "quality" :: tablesDir :: goldenPath :: Nil =>
         val embeddings = spark.read.parquet(s"$tablesDir/embeddings")
           .as[graft.domain.Model.EmbeddingRow]
@@ -343,6 +366,8 @@ object Cli {
             "pq-search <tables> <query> [k] [nprobe] [shortlist] [view] | " +
             "sq-index <tables> [levels] | " +
             "sq-search <tables> <query> [k] [nprobe] [shortlist] [view] | " +
+            "fusion-calibrate <tables> | " +
+            "hybrid-search <tables> <query> [k] | " +
             "index-sketches <sfDir> <outRoot> | " +
             "classify-train <sfDir> <model> | classify-score <sfDir> <model> | " +
             "rag <tables> <question...> | " +
@@ -467,10 +492,97 @@ object Cli {
           s"shards extended, ${st.rebuiltShards.size} rebuilt")
       }
     }
+    // the gated-fusion floor is corpus-calibrated, so a corpus change
+    // invalidates it — recalibrate whenever the sidecar exists (same
+    // keep-artifacts-consistent contract as the index step above;
+    // hybrid-search hard-errors on a stale fingerprint otherwise)
+    step("fusion_floor") {
+      val floorPath = s"$tablesDir/fusion_floor.txt"
+      if (graft.search.FusionFloor.exists(floorPath)) {
+        val a = graft.search.FusionFloor.calibrate(
+          spark.read.parquet(s"$tablesDir/fragments"), "id", "content")
+        graft.search.FusionFloor.save(a, floorPath)
+        println(s"[reingest] fusion_floor: recalibrated " +
+          s"(corpus_fp=${a.corpusFp}, floor=${a.floor})")
+      }
+    }
     ReingestJournal.clear(tablesDir)
     println(s"[reingest] replaced ${files.length} documents; " +
       s"fragments now ${spark.read.parquet(s"$tablesDir/fragments").count()}")
     r.release()
+  }
+
+  private[graft] final case class HybridResult(conf: Double, floor: Double,
+      wLex: Double, hits: Seq[(String, Long, Long, Double)])
+
+  /** The gated hybrid serving path over a tables dir: exact BM25 over
+    * fragment content (one codegen'd scan — tf per query term via a
+    * higher-order array filter, corpus stats collected as ONE metadata
+    * row) fused with the dense KNN channel by weighted RRF under the
+    * [[graft.search.FusionGate]] lexical-confidence gate. The floor
+    * comes from the maintained sidecar and serving REFUSES a floor
+    * whose corpus fingerprint no longer matches the fragments table —
+    * a reingest without the floor refresh step must be loud, not a
+    * silent mis-gate.
+    */
+  private[graft] def hybridSearchCommand(
+      spark: org.apache.spark.sql.SparkSession, tablesDir: String,
+      query: String, topK: Int, c: Int = 30): HybridResult = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.search.{FusionFloor, FusionGate, VectorSearch}
+    val floorPath = s"$tablesDir/fusion_floor.txt"
+    require(FusionFloor.exists(floorPath),
+      s"no fusion floor at $floorPath — run fusion-calibrate (or ingest " +
+        "through Cli reingest) first")
+    val frags = spark.read.parquet(s"$tablesDir/fragments")
+    val art = FusionFloor.load(floorPath)
+    FusionFloor.requireFresh(art,
+      FusionFloor.currentFp(frags, "id", "content"), floorPath)
+    // lexical channel: query terms under the same whitespace rule as
+    // calibration; df census for the ≤|q| in-corpus terms in one scan
+    val qTerms = query.trim.split("[ \\t\\n\\f\\r]+")
+      .filter(_.nonEmpty).distinct.toSeq
+    val toks = frags.select(col("id").cast("string").as("id"),
+      graft.functions.TextSketch.words(col("content")).as("w"))
+    val st = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("w"))).as("sum_dl")).head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val dfMap: Map[String, Long] = toks
+      .select(explode(array_distinct(col("w"))).as("t"))
+      .filter(col("t").isin(qTerms: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val inCorpus = qTerms.filter(t => dfMap.getOrElse(t, 0L) > 0L)
+    val lexScored: Seq[(String, Double)] =
+      if (inCorpus.isEmpty) Nil
+      else {
+        val termScores = inCorpus.map { t =>
+          val idfT = FusionGate.idf(dfMap(t), n)
+          val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+          lit(idfT) * (tf * lit(FusionGate.K1 + 1)) /
+            (tf + lit(FusionGate.K1) * (lit(1 - FusionGate.B) +
+              lit(FusionGate.B) *
+                (size(col("w")).cast("double") / lit(avgdl))))
+        }
+        toks.select(col("id"), termScores.reduce(_ + _).as("bm25"))
+          .orderBy(col("bm25").desc, col("id")).limit(c)
+          .as[(String, Double)].collect().toSeq
+      }
+    val idfSum = inCorpus.map(t => FusionGate.idf(dfMap(t), n)).sum
+    val conf = FusionGate.confidence(
+      lexScored.headOption.map(_._2).getOrElse(0.0), idfSum)
+    val wLex = FusionGate.lexWeight(conf, art.floor)
+    // dense channel: the exact KNN scan (swap in an index walk at scale)
+    val emb = spark.read.parquet(s"$tablesDir/embeddings")
+    val dim = emb.select(col("vector")).head()
+      .getAs[scala.collection.Seq[Float]](0).length
+    val qvec = new OfflineEmbedder(dim).embedQuery(query)
+    val vecIds = VectorSearch.knn(emb, qvec, c)
+      .select(col("fragment_id")).as[String].collect().toSeq
+    HybridResult(conf, art.floor, wLex,
+      FusionGate.fuseIds(lexScored.map(_._1), vecIds, wLex).take(topK))
   }
 
   /** Shared IVF+codes search: load quantizer + codebook sidecar, verify

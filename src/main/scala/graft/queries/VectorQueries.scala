@@ -674,7 +674,7 @@ object VectorQueries {
       Some(StageCache.sourceFingerprint(Seq(s"$dir/documents.parquet"),
         s"fusion=calib${graft.search.FusionGate.CalibN}," +
           s"q${graft.search.FusionGate.FloorQuantile}," +
-          s"thin${graft.search.FusionGate.ThinStride}")))(
+          s"thin${graft.search.FusionGate.ThinStride},ord=md5")))(
       fusionFloorBuild(s, dir)).head()
     (row.getLong(0), row.getDouble(1))
   }
@@ -686,12 +686,19 @@ object VectorQueries {
     val n = st.getAs[Long]("n")
     val sumDl = st.getAs[Long]("sum_dl")
     val avgdl = sumDl.toDouble / n.toDouble
-    // bounded deterministic sample: token arrays of the first CalibN docs
+    // bounded deterministic sample: CalibN docs in md5(doc_id) order —
+    // NOT the first CalibN by raw id. In a real corpus id order
+    // correlates with source/crawl/time, so an id-prefix sample
+    // calibrates the floor on one slice of the corpus (the exact
+    // failure class the routed soak's router sample hit: id order
+    // aliased onto 8 of 256 clusters). md5 order is deterministic yet
+    // uncorrelated with ingest order; floorOf is order-invariant so
+    // only MEMBERSHIP changes.
     val sample: Seq[(Long, Seq[String])] =
       TextAnalysisQueries.wordsStage(s, dir)
-        .filter(col("doc_id") < FusionGate.CalibN)
+        .orderBy(md5(col("doc_id").cast("string")))
+        .limit(FusionGate.CalibN)
         .select(col("doc_id").cast("long"), col("w"))
-        .orderBy(col("doc_id"))
         .as[(Long, Seq[String])].collect().toSeq
     // df census restricted to the sample's vocabulary: one corpus scan,
     // broadcast-semi-joined to the (bounded) vocab

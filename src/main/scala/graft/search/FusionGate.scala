@@ -17,7 +17,7 @@ package graft.search
   *    dimensionless number in (0, 1) comparable across queries and
   *    corpora.
   *  - **Corpus-calibrated floor** = the p75 of the corpus's own
-  *    *thinned self-match* distribution: each of the first [[CalibN]]
+  *    *thinned self-match* distribution: each of [[CalibN]] sampled
   *    documents scored against the query formed from every
   *    [[ThinStride]]-th of its own tokens (what a genuine
   *    partial-overlap match scores in THIS corpus, under the same
@@ -51,8 +51,11 @@ object FusionGate {
   val K1 = 1.2
   /** BM25 length-normalization constant (the x22 contract). */
   val B = 0.75
-  /** Calibration sample: the first CalibN documents by id (the g6
-    * bounded-deterministic-sample precedent). */
+  /** Calibration sample size. The sample is the CalibN documents
+    * FIRST IN md5(doc_id) ORDER — deterministic, but uncorrelated with
+    * ingest/id order, which in a real corpus tracks source/crawl/time
+    * and would calibrate the floor on one corpus slice (the router-
+    * sample aliasing lesson). */
   val CalibN = 256
   /** Floor = this quantile of the thinned self-match distribution. */
   val FloorQuantile = 0.75
@@ -115,7 +118,12 @@ object FusionGate {
     * as (id, r_lex, r_vec, score), score-descending with id tie-break;
     * sentinel rank −1 marks absence from a side. */
   def fuse(lex: Seq[Long], dense: Seq[Long], wLex: Double)
-      : Seq[(Long, Long, Long, Double)] = {
+      : Seq[(Long, Long, Long, Double)] = fuseIds(lex, dense, wLex)
+
+  /** [[fuse]] over any ordered id type (string fragment ids in the
+    * Cli's hybrid-search serving path; longs in the v24 catalog). */
+  def fuseIds[A](lex: Seq[A], dense: Seq[A], wLex: Double)(
+      implicit ord: Ordering[A]): Seq[(A, Long, Long, Double)] = {
     val rLex = lex.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
     val rVec = dense.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
     (lex ++ dense).distinct.map { d =>
@@ -124,6 +132,7 @@ object FusionGate {
       val sc = (if (rl > 0) wLex / (K0 + rl.toDouble) else 0.0) +
         (if (rv > 0) 1.0 / (K0 + rv.toDouble) else 0.0)
       (d, rl, rv, sc)
-    }.sortBy { case (d, _, _, s) => (-s, d) }
+    }.sortBy { case (d, _, _, s) => (s, d) }(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, ord))
   }
 }

@@ -49,9 +49,16 @@ class FusionGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val avgdl = sumDl.toDouble / n.toDouble
     val df: Map[String, Long] = toks.values.flatMap(_.distinct)
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // the production sample recipe: CalibN docs first in md5(doc_id)
+    // order (ADVICE r14 — an id-prefix sample calibrates on one
+    // ingest-order slice)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val wantFloor = FusionGate.floorOf(
-      docs.map(_._1).filter(_ < FusionGate.CalibN).sorted.map(id =>
-        FusionGate.selfNorm(toks(id), t => df.getOrElse(t, 0L), n, avgdl)))
+      docs.map(_._1).sortBy(id => md5hex(id.toString))
+        .take(FusionGate.CalibN).map(id =>
+          FusionGate.selfNorm(toks(id), t => df.getOrElse(t, 0L), n, avgdl)))
     assert(floor == wantFloor, s"calibrated floor $floor != $wantFloor")
     assert(fp == n * 1000000007L + sumDl)
     // and the persisted artifact carries exactly these values

@@ -113,11 +113,17 @@ object HardFusedEval {
       bm25Scored.view.mapValues(_.map(_._1)).toMap
 
     // corpus-calibrated lexical-confidence floor + per-query confidence
-    // (graft.search.FusionGate — the production gate)
+    // (graft.search.FusionGate — the production gate). Sample in
+    // md5(id) order, the production recipe (fusionFloorBuild): an
+    // id-prefix sample would calibrate on one ingest-order slice.
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val floor = FusionGate.floorOf(
-      corpus.sortBy(_._1).take(FusionGate.CalibN).map { case (_, ts) =>
-        FusionGate.selfNorm(ts.toSeq, dfOf, nDocs.toLong, avgLen)
-      })
+      corpus.sortBy(c => md5hex(c._1)).take(FusionGate.CalibN)
+        .map { case (_, ts) =>
+          FusionGate.selfNorm(ts.toSeq, dfOf, nDocs.toLong, avgLen)
+        })
     val confOf: Map[String, Double] = queries.map { q =>
       val qTerms = q.text.toLowerCase.split("[^\\p{L}\\p{N}]+")
         .filter(_.nonEmpty).distinct.filter(t => dfOf(t) > 0L)
