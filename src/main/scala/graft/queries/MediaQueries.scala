@@ -67,7 +67,7 @@ object MediaQueries {
 
   /** Session-memoized exact integer fingerprint of the embeddings corpus
     * (the g6 recipe — [[SamplingQueries.g6CorpusFp]]). */
-  private def embCorpusFp(s: SparkSession, dir: String): Long =
+  private[queries] def embCorpusFp(s: SparkSession, dir: String): Long =
     StageCache.getOrCache(s, s"emb_corpus_fp:$dir") {
       import s.implicits._
       Seq(SamplingQueries.g6CorpusFp(Tables.embeddings(s, dir)
@@ -100,6 +100,83 @@ object MediaQueries {
     OracleArtifact.write(s, planes.values.zipWithIndex
       .map { case (pl, p) => (fp, p.toLong, pl.toSeq) }.toSeq
       .toDF("corpus_fp", "p", "plane"), artDir)
+  }
+
+  // ---- trained-object freshness-skip (VERDICT r14 task 4): the oracle
+  // artifact doubles as the trained object's persisted form (exact
+  // floats), so a warm pass LOADS it back instead of re-collecting the
+  // training sample, retraining, and rewriting the partition on every
+  // execution — the WriteTimeTables fingerprint-guard discipline applied
+  // to the v5–v9 family. Freshness = this corpus_fp's partition exists
+  // AND its `_knobs_<fp>.txt` sidecar (leading `_`: invisible to both
+  // Spark's file index and the oracle's */*.parquet glob) records the
+  // same training knobs; the sidecar is deleted before a rebuild and
+  // written after it, so a torn write degrades to retrain-next-run,
+  // never to serving mismatched floats. Values round-trip bit-exactly
+  // (parquet float/double), so artifacts are byte-identical whether a
+  // pass trained or loaded.
+
+  private[queries] val trainedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+
+  private def acquireTrained[T <: AnyRef](s: SparkSession, artDir: String,
+      dir: String, knobs: String)(train: => T)(write: T => Unit)(
+      load: Long => T): T = {
+    val fp = embCorpusFp(s, dir)
+    val key = s"$artDir|$fp|$knobs"
+    val hit = trainedMemo.get(key)
+    if (hit != null) return hit.asInstanceOf[T]
+    val sidecar = new java.io.File(artDir, s"_knobs_$fp.txt")
+    val part = new java.io.File(artDir, s"corpus_fp=$fp")
+    val fresh = sidecar.isFile && part.isDirectory &&
+      new String(java.nio.file.Files.readAllBytes(sidecar.toPath),
+        "UTF-8") == knobs
+    val t: T =
+      if (fresh) load(fp)
+      else {
+        java.nio.file.Files.deleteIfExists(sidecar.toPath)
+        val t0 = train
+        write(t0)
+        java.nio.file.Files.write(sidecar.toPath, knobs.getBytes("UTF-8"))
+        t0
+      }
+    trainedMemo.put(key, t)
+    t
+  }
+
+  private[queries] def loadCentroidArtifact(s: SparkSession, artDir: String,
+      fp: Long): Ivf.Quantizer = {
+    import s.implicits._
+    val rows = s.read.parquet(artDir)
+      .filter(col("corpus_fp") === fp)
+      .select(col("cid").cast("long"), col("cvec"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    Ivf.Quantizer(rows.length, rows.head._2.length,
+      rows.flatMap(_._2).toArray)
+  }
+
+  private[queries] def loadCodebookArtifact(s: SparkSession, artDir: String,
+      fp: Long): Pq.Codebook = {
+    import s.implicits._
+    val rows = s.read.parquet(artDir)
+      .filter(col("corpus_fp") === fp)
+      .select(col("j").cast("long"), col("c").cast("long"), col("cw"))
+      .as[(Long, Long, Seq[Float])].collect().sortBy(r => (r._1, r._2))
+    // flat layout: subcentroid (j, c) at ((j*ksub)+c)*dsub — exactly the
+    // (j, c)-ascending concatenation
+    Pq.Codebook(rows.map(_._1).max.toInt + 1, rows.map(_._2).max.toInt + 1,
+      rows.head._3.length, rows.flatMap(_._3).toArray)
+  }
+
+  private[queries] def loadPlanesArtifact(s: SparkSession, artDir: String,
+      fp: Long, seed: Long): graft.search.Ann.Planes = {
+    import s.implicits._
+    val rows = s.read.parquet(artDir)
+      .filter(col("corpus_fp") === fp)
+      .select(col("p").cast("long"), col("plane"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    graft.search.Ann.Planes(seed, rows.head._2.length, rows.length,
+      rows.map(_._2.toArray).toArray)
   }
 
   /** Artifact CTE: trained rows for THIS corpus. */
@@ -317,8 +394,11 @@ object MediaQueries {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
     val dim = e.head().getAs[scala.collection.Seq[Float]]("vector").length
-    val planes = Ann.makePlanes(dim, numPlanes = 6)
-    writePlanesArtifact(s, dir, planes, V5PlanesDir)
+    val planes = acquireTrained(s, V5PlanesDir, dir,
+      s"lsh,planes=6,dim=$dim,seed=42")(
+      Ann.makePlanes(dim, numPlanes = 6))(
+      writePlanesArtifact(s, dir, _, V5PlanesDir))(
+      loadPlanesArtifact(s, V5PlanesDir, _, seed = 42L))
     val index = Ann.buildIndex(e, planes)
     val query = e.filter(col("vec_id") === 0)
       .head().getAs[scala.collection.Seq[Float]]("vector").toArray
@@ -340,8 +420,11 @@ object MediaQueries {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
     val k = IvfK
-    val q = Ivf.train(trainSample(s, dir), k, iters = IvfItersFull)
-    writeCentroidArtifact(s, dir, q, V6CentroidDir)
+    val q = acquireTrained(s, V6CentroidDir, dir,
+      s"ivf,k=$k,iters=$IvfItersFull,sample=$AnnSampleN")(
+      Ivf.train(trainSample(s, dir), k, iters = IvfItersFull))(
+      writeCentroidArtifact(s, dir, _, V6CentroidDir))(
+      loadCentroidArtifact(s, V6CentroidDir, _))
     // the corpus-wide assign scan is a write-time table; the query pays
     // training on the fixed sample (deterministic — the same q the
     // persisted table was built with) plus the pruned probe. The
@@ -366,8 +449,11 @@ object MediaQueries {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
-    val cb = Pq.train(trainSample(s, dir), m = PqM, ksub = PqKsub)
-    writeCodebookArtifact(s, dir, cb, V7CodebookDir)
+    val cb = acquireTrained(s, V7CodebookDir, dir,
+      s"pq,m=$PqM,ksub=$PqKsub,sample=$AnnSampleN")(
+      Pq.train(trainSample(s, dir), m = PqM, ksub = PqKsub))(
+      writeCodebookArtifact(s, dir, _, V7CodebookDir))(
+      loadCodebookArtifact(s, V7CodebookDir, _))
     val index = StageCache.getOrCache(s, s"pq_index:$dir",
       annIndexFingerprint(dir))(buildPqIndex(s, dir, cb))
     val query = e.filter(col("vec_id") === 0)
@@ -413,13 +499,20 @@ object MediaQueries {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
-    val sample = trainSample(s, dir)
-    val q = Ivf.train(sample, k = IvfK, iters = IvfItersPq)
-    val cb = Pq.train(sample, m = PqM, ksub = PqKsub)
-    writeCentroidArtifact(s, dir, q, V9CentroidDir)
+    // the sample collects only when at least one trained object misses
+    lazy val sample = trainSample(s, dir)
+    val q = acquireTrained(s, V9CentroidDir, dir,
+      s"ivf,k=$IvfK,iters=$IvfItersPq,sample=$AnnSampleN")(
+      Ivf.train(sample, k = IvfK, iters = IvfItersPq))(
+      writeCentroidArtifact(s, dir, _, V9CentroidDir))(
+      loadCentroidArtifact(s, V9CentroidDir, _))
     // the codebook derivation is v7's exactly — same artifact contents,
-    // written by whichever of the two runs (idempotent, value-identical)
-    writeCodebookArtifact(s, dir, cb, V7CodebookDir)
+    // built (or loaded) by whichever of the two runs first
+    val cb = acquireTrained(s, V7CodebookDir, dir,
+      s"pq,m=$PqM,ksub=$PqKsub,sample=$AnnSampleN")(
+      Pq.train(sample, m = PqM, ksub = PqKsub))(
+      writeCodebookArtifact(s, dir, _, V7CodebookDir))(
+      loadCodebookArtifact(s, V7CodebookDir, _))
     val index = StageCache.getOrCache(s, s"ivfpq_index:$dir",
       annIndexFingerprint(dir))(buildIvfPqIndex(s, dir, q, cb))
     val query = e.filter(col("vec_id") === 0)
@@ -496,8 +589,11 @@ object MediaQueries {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("vector"))
-    val cb = graft.search.Sq.train(trainSample(s, dir))
-    writeCodebookArtifact(s, dir, cb, V8CodebookDir)
+    val cb = acquireTrained(s, V8CodebookDir, dir,
+      s"sq,levels=256,sample=$AnnSampleN")(
+      graft.search.Sq.train(trainSample(s, dir)))(
+      writeCodebookArtifact(s, dir, _, V8CodebookDir))(
+      loadCodebookArtifact(s, V8CodebookDir, _))
     val index = StageCache.getOrCache(s, s"sq_index:$dir",
       annIndexFingerprint(dir))(buildSqIndex(s, dir, cb))
     val query = e.filter(col("vec_id") === 0)
