@@ -1276,6 +1276,119 @@ object VectorQueries {
       .write.mode("overwrite").parquet(s"$base/emb")
   }
 
+  // v25 — the ROUTED maintained serving loop end-to-end (VERDICT r14
+  // task 2): the cluster-routed layout (frozen k-means router, ×3
+  // replication, size-bounded sub-shards) built over the PRE-delta
+  // corpus, one [[graft.search.HnswMaintenance.updateIndexRouted]]
+  // delta exercising all three mutation kinds (INSERT %10==3, REPLACE
+  // %10==7 with its reversed vector — which ROUTES TO DIFFERENT CELLS,
+  // the move case hash sharding never has, DELETE %10==5), then the
+  // v19 verbatim distance-ASC SQL served through [[HnswIndexRewrite]],
+  // which recognizes the router sidecar and prunes the walk to the
+  // query's R=6 of 8 cells instead of the all-shard fan-out. Witnesses:
+  // the fired graph walk (MapGroups) AND shard_id in PartitionFilters —
+  // the wave-bound fan-out is provably gone from the serving path. The
+  // DuckDB oracle recomputes the exact post-update KNN from the same
+  // delta rules; at ef = n per sub-graph its green hash additionally
+  // witnesses that R=6 routing is LOSSLESS on this corpus/query (the
+  // recall-floor contract at production knobs is v22's/RoutedHnswSpec's
+  // job — this pin is strictly stronger on this fixed input).
+  private[graft] def v25IndexFingerprint(dir: String): String =
+    StageCache.sourceFingerprint(Seq(s"$dir/embeddings.parquet"),
+      "v25routed|S=8,rep=3,m=16,efc=200|id=f%06d|" +
+        "delta=ins3.rep7rev.del5|sample=md5x1024")
+
+  /** Build the v25 routed maintained artifact: routed base index over
+    * the pre-delta corpus (router trained on an md5-ordered sample and
+    * FROZEN), one routed maintenance delta, and the post-update staged
+    * table the SQL serves values from. Shared with
+    * [[WriteTimeTables.persistAll]]. */
+  private[graft] def buildV25RoutedIndex(s: SparkSession, dir: String,
+      base: String): Unit = {
+    import s.implicits._
+    val all = Tables.embeddings(s, dir)
+      .select(format_string("f%06d", col("vec_id")).as("fragment_id"),
+        col("embedding").as("vector"), col("label"), col("vec_id"))
+    val pre = all.filter(col("vec_id") % 10 =!= 3)
+      .select("fragment_id", "vector")
+    // router sample in md5(id) order — id order aliases onto the
+    // trainer's evenly-spaced init (the 7bd77a5 lesson)
+    val sample = pre.orderBy(md5(col("fragment_id"))).limit(1024)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val router = graft.search.Ivf.train(sample, 8, iters = 5)
+    HnswMaintenance.writeIndexRouted(pre, s"$base/idx", router,
+      replicas = 3)
+    val incoming = all.filter(col("vec_id") % 10 === 3)
+      .select(col("fragment_id"), col("vector"))
+      .unionByName(all.filter(col("vec_id") % 10 === 7)
+        .select(col("fragment_id"), reverse(col("vector")).as("vector")))
+    val dropIds = all.filter(col("vec_id") % 10 === 5)
+      .select(col("fragment_id")).as[String].collect().toSeq
+    val stats = HnswMaintenance.updateIndexRouted(s, s"$base/idx",
+      incoming, dropIds)
+    require(stats.rebuiltShards.nonEmpty && stats.incomingRows > 0,
+      s"v25 delta must exercise the rebuild path: $stats")
+    all.filter(col("vec_id") % 10 =!= 5)
+      .select(col("fragment_id"),
+        when(col("vec_id") % 10 === 7, reverse(col("vector")))
+          .otherwise(col("vector")).as("vector"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$base/emb")
+  }
+
+  private val v25RoutedMaintainedServe: Q = (s, dir) => {
+    import org.apache.spark.sql.graft.HnswIndexRewrite
+    val base = acquireArtifact(s, "v25_hnsw_routed_maint",
+      v25IndexFingerprint(dir))(buildV25RoutedIndex(s, dir, _))
+    val staged = s.read.parquet(s"$base/emb")
+    val efVal = staged.count().toInt
+    val qLit = queryVecLiteral(s, dir)
+    val view = s"v25_emb_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(HnswIndexRewrite.IndexKey, s"$base/idx")
+    s.conf.set(HnswIndexRewrite.EfKey, efVal.toString)
+    s.conf.set(HnswIndexRewrite.ProbeCellsKey, "6")
+    try {
+      staged.createOrReplaceTempView(view)
+      val df = s.sql(
+        s"""SELECT fragment_id,
+           |  1 - vector_cosine_distance(vector, $qLit) AS similarity
+           |FROM $view WHERE label < 5
+           |ORDER BY vector_cosine_distance(vector, $qLit) ASC, fragment_id
+           |LIMIT 10""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      val walked = plan.contains("MapGroups")
+      val prunedRouted = plan.linesIterator
+        .filter(_.contains("PartitionFilters"))
+        .exists(_.contains("shard_id"))
+      val hits = df.select(col("fragment_id")).collect()
+        .map(_.getString(0))
+      import s.implicits._
+      hits.zipWithIndex.toSeq
+        .map { case (f, i) => ((i + 1).toLong, f, walked, prunedRouted) }
+        .toDF("rank", "fragment_id", "used_index_walk", "routed_pruned")
+    } finally {
+      s.conf.unset(HnswIndexRewrite.IndexKey)
+      s.conf.unset(HnswIndexRewrite.EfKey)
+      s.conf.unset(HnswIndexRewrite.ProbeCellsKey)
+      s.catalog.dropTempView(view)
+    }
+  }
+
+  private val v25Sql = {
+    val sim = duckCosine("f.v", "q.qv")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |f AS (SELECT printf('f%06d', vec_id) AS fragment_id,
+       |        CASE WHEN vec_id % 10 = 7 THEN list_reverse(embedding)
+       |             ELSE embedding END AS v,
+       |        label
+       |      FROM embeddings WHERE vec_id % 10 <> 5),
+       |s AS (SELECT fragment_id, $sim AS sim FROM f, q WHERE f.label < 5)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, fragment_id)
+       |    AS BIGINT) AS rank,
+       |  fragment_id, true AS used_index_walk, true AS routed_pruned
+       |FROM s ORDER BY sim DESC, fragment_id LIMIT 10""".stripMargin
+  }
+
   private val v21HnswMaintainedServe: Q = (s, dir) => {
     val base = acquireArtifact(s, "v21_hnsw_maint",
       v21IndexFingerprint(dir))(buildV21Index(s, dir, _))
@@ -1458,6 +1571,7 @@ object VectorQueries {
     "v19_hnsw_sql_distance" -> v19HnswSqlDistance,
     "v20_ivf_sql_distance" -> v20IvfSqlDistance,
     "v21_hnsw_maintained_serve" -> v21HnswMaintainedServe,
+    "v25_routed_maintained_serve" -> v25RoutedMaintainedServe,
     "v22_approx_serving" -> v22ApproxKnobs,
     "v16_hybrid_topk" -> v16HybridTopk,
     "v24_gated_fusion" -> v24GatedFusion,
@@ -1483,6 +1597,10 @@ object VectorQueries {
     // v21: exact KNN over the POST-delta corpus (insert+replace+delete
     // replayed in SQL) — the maintained index must serve these ranks
     "v21_hnsw_maintained_serve" -> v21Sql,
+    // v25: exact post-update KNN replay — identical delta rules to v21;
+    // a green hash additionally witnesses lossless R=6/8 routing on
+    // this corpus/query (see the query scaladoc)
+    "v25_routed_maintained_serve" -> v25Sql,
     // v22 is deliberately absent: approximate serving has no SQL
     // oracle (the output IS recall quality) — golden-pinned instead
     "v16_hybrid_topk" -> v16Sql,

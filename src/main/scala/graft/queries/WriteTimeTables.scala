@@ -83,7 +83,11 @@ object WriteTimeTables {
       // write-time here means the read-through pass times the SERVE of
       // a reingest, the cost profile a maintained production index has
       ("v21_hnsw_maint", VectorQueries.v21IndexFingerprint(sfDir),
-        VectorQueries.buildV21Index(s, sfDir, _)))
+        VectorQueries.buildV21Index(s, sfDir, _)),
+      // the ROUTED maintained artifact (v25): routed base build + one
+      // routed delta — the serving pass pays only the pruned walk
+      ("v25_hnsw_routed_maint", VectorQueries.v25IndexFingerprint(sfDir),
+        VectorQueries.buildV25RoutedIndex(s, sfDir, _)))
     artifacts.foreach { case (name, fp, build) =>
       val d = new java.io.File(root, name)
       if (StageCache.artifactFresh(d, fp)) {

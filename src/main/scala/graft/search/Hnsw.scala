@@ -730,7 +730,11 @@ object Hnsw {
     * adjacency itself ([[deriveM]]), not assumed.
     */
   def restoreServing(index: DataFrame, idCol: String = "fragment_id")
-      : ServingIndex = {
+      : ServingIndex =
+    new ServingIndex(restoreShards(index, idCol).map(_._2))
+
+  private def restoreShards(index: DataFrame, idCol: String)
+      : Array[(Int, Index)] = {
     val spark = index.sparkSession
     import spark.implicits._
     val rows = index.select(col("shard_id").cast("int"),
@@ -738,13 +742,76 @@ object Hnsw {
         col("vector"), col("links"))
       .as[(Int, Int, String, Array[Float], Array[Array[Int]])]
       .collect() // the serving node's working set — see ServingIndex doc
-    val shards = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rs) =>
+    rows.groupBy(_._1).toArray.sortBy(_._1).map { case (sh, rs) =>
       val sorted = rs.sortBy(_._2)
       val g = new Index(sorted.head._4.length, deriveM(sorted), 0)
       g.importRows(sorted.iterator.map(r => (r._2, r._3, r._4, r._5)).toSeq)
-      g
+      (sh, g)
     }
-    new ServingIndex(shards.toArray)
+  }
+
+  /** A restored ROUTED index on a serving node: the same in-memory
+    * working set as [[ServingIndex]], but shard graphs are keyed by
+    * their router CELL and a point query walks only its `probeCells`
+    * nearest cells' sub-graphs — the layout's flat-in-shard-count
+    * property carried onto the no-Spark-job serving path (at 800 shards
+    * the unrouted restore walks all 800 graphs per query; this walks
+    * R·subs). Replicated layouts answer one vector from several probed
+    * cells with IDENTICAL (id, sim) rows — the merge dedupes by id.
+    * `probeCells ≥ router.k` degenerates to the full fan-out.
+    */
+  final class RoutedServingIndex private[search] (
+      cells: Map[Int, Array[Index]], router: Ivf.Quantizer) {
+    def numCells: Int = cells.size
+    def size: Int = cells.valuesIterator.map(_.map(_.size).sum).sum
+
+    def search(q: Array[Float], topK: Int, ef: Int, probeCells: Int)
+        : Array[(String, Double)] = {
+      val k = VectorSearch.clampTopK(topK)
+      val merged = new mutable.ArrayBuffer[(String, Double)]
+      Ivf.nearestLists(q, router, probeCells).foreach { c =>
+        cells.getOrElse(c, Array.empty)
+          .foreach(g => merged ++= g.search(q, k, ef))
+      }
+      merged.distinct.sortBy { case (id, sim) => (-sim, id) }
+        .take(k).toArray
+    }
+
+    def searchFiltered(q: Array[Float], topK: Int, ef: Int,
+        probeCells: Int, allow: String => Boolean)
+        : Array[(String, Double)] = {
+      val k = VectorSearch.clampTopK(topK)
+      val merged = new mutable.ArrayBuffer[(String, Double)]
+      Ivf.nearestLists(q, router, probeCells).foreach { c =>
+        cells.getOrElse(c, Array.empty)
+          .foreach(g => merged ++= g.searchFiltered(q, k, ef, allow))
+      }
+      merged.distinct.sortBy { case (id, sim) => (-sim, id) }
+        .take(k).toArray
+    }
+  }
+
+  /** Restore a [[saveIndexRouted]] adjacency into a
+    * [[RoutedServingIndex]]. The router must be the one that assigned
+    * the adjacency — enforced against the stamped `router_hash` column
+    * (hard error on mismatch, the searchIndexRouted guard applied at
+    * restore time, where it is one driver-side comparison per row
+    * group instead of a per-probe filter).
+    */
+  def restoreServingRouted(index: DataFrame, router: Ivf.Quantizer,
+      idCol: String = "fragment_id"): RoutedServingIndex = {
+    val h = Ivf.contentHash(router)
+    if (index.columns.contains("router_hash")) {
+      val bad = index.filter(col("router_hash").isNotNull &&
+        col("router_hash") =!= lit(h)).limit(1)
+      require(bad.isEmpty,
+        "hnsw router_hash mismatch: the routed adjacency was not " +
+          "assigned by this router — refusing to restore for serving")
+    }
+    val byCell = restoreShards(index, idCol)
+      .groupBy(_._1 / RoutedSubFactor).view
+      .mapValues(_.map(_._2)).toMap
+    new RoutedServingIndex(byCell, router)
   }
 
   /** Distributed batch search over the persisted adjacency, optionally

@@ -936,6 +936,42 @@ object EventStreams {
     ()
   }
 
+  /** [[ingestHnswIndexStream]]'s ROUTED twin (VERDICT r14 task 2c):
+    * micro-batches drive
+    * [[graft.search.HnswMaintenance.updateIndexByDocRouted]] — delta
+    * vectors route through the frozen router sidecar, hot cells
+    * re-split their sub-shards, and the same at-least-once +
+    * idempotent-replace convergence argument carries over (the routed
+    * update is replace-by-document idempotent and heals torn swaps via
+    * recover(), exactly like the hash twin).
+    */
+  def ingestRoutedHnswIndexStream(
+      texts: Dataset[graft.ingest.IngestPipeline.DocInput],
+      indexPath: String, embedder: graft.embedding.Embedder,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    texts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[graft.ingest.IngestPipeline.DocInput], _: Long) =>
+          applyRoutedHnswIngestBatch(indexPath, embedder, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[ingestRoutedHnswIndexStream]] — exposed for
+    * deterministic replay in specs.
+    */
+  private[graft] def applyRoutedHnswIngestBatch(indexPath: String,
+      embedder: graft.embedding.Embedder,
+      batch: Dataset[graft.ingest.IngestPipeline.DocInput]): Unit = {
+    val spark = batch.sparkSession
+    val emb = graft.ingest.IngestPipeline.embeddings(
+      graft.ingest.IngestPipeline.fragments(
+        graft.ingest.IngestPipeline.process(batch)), embedder).toDF()
+    graft.search.HnswMaintenance.updateIndexByDocRouted(spark, indexPath,
+      emb)
+    ()
+  }
+
   /** One micro-batch of [[ingestIndexStream]] — exposed for deterministic
     * replay in specs.
     */
@@ -1052,6 +1088,36 @@ object EventStreams {
     applyVersionedBatch(indexPath, embedder, latenessMicros, batch) {
       (spark, emb) =>
         graft.search.HnswMaintenance.updateIndexByDoc(spark, indexPath, emb)
+        ()
+    }
+
+  /** [[ingestHnswIndexStreamVersioned]]'s ROUTED twin: the shared
+    * versioned protocol (in-batch latest-version dedupe, applied-
+    * versions ledger, lateness horizon) driving
+    * [[graft.search.HnswMaintenance.updateIndexByDocRouted]].
+    */
+  def ingestRoutedHnswIndexStreamVersioned(docs: Dataset[VersionedDocInput],
+      indexPath: String, embedder: graft.embedding.Embedder,
+      checkpoint: String,
+      latenessSec: Long = 600L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[VersionedDocInput], _: Long) =>
+        applyVersionedRoutedHnswIngestBatch(indexPath, embedder,
+          latenessSec * 1000000L, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[ingestRoutedHnswIndexStreamVersioned]] —
+    * exposed for deterministic replay in specs.
+    */
+  private[graft] def applyVersionedRoutedHnswIngestBatch(indexPath: String,
+      embedder: graft.embedding.Embedder,
+      latenessMicros: Long, batch: Dataset[VersionedDocInput]): Unit =
+    applyVersionedBatch(indexPath, embedder, latenessMicros, batch) {
+      (spark, emb) =>
+        graft.search.HnswMaintenance.updateIndexByDocRouted(spark,
+          indexPath, emb)
         ()
     }
 

@@ -262,10 +262,38 @@ case class HnswIndexRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           adj.join(meta, adj(idCol) === col(MetaIdCol), "left")
             .drop(MetaIdCol)
         }
+      // ROUTED layouts serve routed (VERDICT r14 task 2b): when the
+      // index carries a router sidecar, the walk prunes to the query's
+      // probeCells nearest cells instead of fanning out to every shard
+      // — at 800 shards the all-shard fan-out is exactly the wave-bound
+      // walk the routed layout was built to kill, and serving through
+      // this rule must not re-create it. probeCells ≥ router.k (or a
+      // non-positive conf) degenerates to the full fan-out; the stamped
+      // router_hash guard rides inside searchIndexRouted.
+      val routerPath = s"$path.router.txt"
+      val router =
+        if (new java.io.File(routerPath).isFile)
+          Some(graft.search.Ivf.load(routerPath))
+        else None
+      val probeCells =
+        try spark.conf.get(ProbeCellsKey, DefaultProbeCells.toString).toInt
+        catch { case _: NumberFormatException => DefaultProbeCells }
       logInfo(s"HNSW rewrite: serving top-$k (ef=$ef" +
-        predOpt.map(_ => ", filtered").getOrElse("") + s") from $path")
-      val hits = graft.search.Hnsw.searchIndex(
-        enriched, Seq(("q", qv)), k, ef, idCol, predOpt)
+        predOpt.map(_ => ", filtered").getOrElse("") +
+        router.map(r => s", routed R=${math.min(probeCells, r.k)}/${r.k}")
+          .getOrElse("") + s") from $path")
+      val hits = router match {
+        case Some(r) =>
+          // a routed table may be REPLICATED, so even the full fan-out
+          // (probeCells ≤ 0 or ≥ k) must go through the routed walk —
+          // plain searchIndex would return each replica as its own hit
+          val cells =
+            if (probeCells <= 0) r.k else math.min(probeCells, r.k)
+          graft.search.Hnsw.searchIndexRouted(enriched, Seq(("q", qv)),
+            k, ef, r, cells, idCol, predOpt)
+        case None => graft.search.Hnsw.searchIndex(
+          enriched, Seq(("q", qv)), k, ef, idCol, predOpt)
+      }
       // index↔table binding: post-r11 index tables stamp vec_hash per
       // node (the raw source vector's content hash), and searchIndex
       // emits it beside each hit FROM THE ROWS THE WALK ALREADY READ —
@@ -371,6 +399,11 @@ object HnswIndexRewrite {
 
   val IndexKey = "spark.graft.ann.hnsw.index"
   val EfKey = "spark.graft.ann.hnsw.ef"
+  /** Routed layouts only: cells probed per query (≥ router.k or ≤ 0 ⇒
+    * full fan-out). The default matches the soak-validated production
+    * knob (R=6 at replicas=3). */
+  val ProbeCellsKey = "spark.graft.ann.hnsw.probeCells"
+  val DefaultProbeCells = 6
 
   private val MetaIdCol = "__graft_hnsw_meta_id"
   private val MetaCol = "__graft_hnsw_meta_"

@@ -437,4 +437,216 @@ class HnswMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Files.exists(Paths.get(staging)))
     assertWitness(path, base ++ extra.take(40))
   }
+
+  // ---- ROUTED-layout maintenance (VERDICT r14 task 2a/2c): the same
+  // witness contract over the cluster-routed index — delta vectors
+  // route via the FROZEN router sidecar (possibly to different cells
+  // than the rows they replace), hot cells re-split their sub-shards,
+  // untouched cells stay byte-identical, and the routed streaming twin
+  // converges to final content through a torn swap.
+
+  import graft.search.Ivf
+
+  private def freshRoutedIndex(name: String,
+      rows: Seq[(String, Array[Float])] = base,
+      replicas: Int = 2, target: Long = 12500L)
+      : (String, Ivf.Quantizer) = {
+    val path = s"$dir/$name"
+    val router = Ivf.train(rows.map(_._2).toArray, 4, iters = 5)
+    HnswMaintenance.writeIndexRouted(toDf(rows), path, router,
+      replicas = replicas, m = 8, efConstruction = 48,
+      targetShardRows = target)
+    (path, router)
+  }
+
+  /** ef = n witness over a (possibly replicated) routed index: full
+    * fan-out via probeShards = router.k, whose merge dedupes replicas. */
+  private def assertRoutedWitness(path: String, router: Ivf.Quantizer,
+      content: Seq[(String, Array[Float])]): Unit = {
+    val hits = Hnsw.searchIndexRouted(spark.read.parquet(path), queries,
+        10, ef = content.size, router, probeShards = router.k)
+      .select("query_id", "fragment_id", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    queries.foreach { case (qid, q) =>
+      val got = hits.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(got == exact(content, q), s"witness broken for $qid at $path")
+    }
+  }
+
+  test("routed insert-only delta extends cells in place; witness holds") {
+    val (path, router) = freshRoutedIndex("r_ins")
+    val stats = HnswMaintenance.updateIndexRouted(spark, path, toDf(extra))
+    assert(stats.rebuiltShards.isEmpty,
+      s"insert-only routed update rebuilt ${stats.rebuiltShards}")
+    assert(stats.extendedShards.nonEmpty && stats.incomingRows == 100)
+    assertRoutedWitness(path, router, base ++ extra)
+    // replicas: each inserted id holds exactly 2 rows, in 2 DISTINCT cells
+    val rows = spark.read.parquet(path)
+      .select("fragment_id", "shard_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    extra.foreach { case (fid, _) =>
+      val cells = rows.filter(_._1 == fid)
+        .map(_._2 / Hnsw.RoutedSubFactor).toSeq
+      assert(cells.size == 2 && cells.distinct.size == 2,
+        s"$fid replicated into cells $cells")
+    }
+  }
+
+  test("routed replacement that MOVES cells: old copies leave their " +
+      "cells, new ones land where the new vector routes") {
+    val (path, router) = freshRoutedIndex("r_move")
+    // replace id(7) with a vector from the far side of the space — its
+    // routed cells genuinely change, the case hash sharding never has
+    val newVec = norm(all(499).map(-_))
+    val oldCells = Ivf.nearestLists(all(7), router, 2).toSet
+    val newCells = Ivf.nearestLists(newVec, router, 2).toSet
+    assume(oldCells != newCells, "test vector must actually move cells")
+    val stats = HnswMaintenance.updateIndexRouted(spark, path,
+      toDf(Seq((id(7), newVec))))
+    assert(stats.rebuiltShards.nonEmpty)
+    val content = base.map { case (f, v) =>
+      if (f == id(7)) (f, newVec) else (f, v) }
+    assertRoutedWitness(path, router, content)
+    val cellsNow = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("fragment_id") === id(7))
+      .select("shard_id").collect()
+      .map(_.getInt(0) / Hnsw.RoutedSubFactor).toSet
+    assert(cellsNow == newCells,
+      s"replaced id must live exactly in its new cells: $cellsNow != $newCells")
+  }
+
+  test("routed deletion removes every replica copy; witness holds") {
+    val (path, router) = freshRoutedIndex("r_del")
+    val dropped = Seq(id(3), id(250))
+    val stats = HnswMaintenance.updateIndexRouted(spark, path,
+      toDf(Nil), dropIds = dropped)
+    assert(stats.incomingRows == 0 && stats.affectedShards.nonEmpty)
+    assertRoutedWitness(path, router,
+      base.filterNot(r => dropped.contains(r._1)))
+    val ids = spark.read.parquet(path).select("fragment_id")
+      .collect().map(_.getString(0)).toSet
+    assert(dropped.forall(!ids.contains(_)))
+  }
+
+  test("a hot routed cell re-splits its sub-shards under the same " +
+      "swap protocol; sizes stay bounded; witness holds") {
+    // tiny target: base fills each cell near its single-sub budget, then
+    // a CONCENTRATED delta (100 slight perturbations of one base vector
+    // — a hot-spot ingest) pours into ONE cell and blows its budget
+    val (path, router) = freshRoutedIndex("r_hot", replicas = 1,
+      target = 150L)
+    val before = spark.read.parquet(path).groupBy("shard_id").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val hot = extra.zipWithIndex.map { case ((fid, _), i) =>
+      (fid, all(0).zipWithIndex.map { case (x, j) =>
+        x + (if (j == 0) i * 1e-4f else 0f) })
+    }
+    val stats = HnswMaintenance.updateIndexRouted(spark, path, toDf(hot))
+    assert(stats.rebuiltShards.nonEmpty,
+      s"a blown sub-budget must rebuild (re-split), got $stats")
+    val after = spark.read.parquet(path).groupBy("shard_id").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // some cell now holds MORE sub-shards than before
+    def subsOf(xs: Array[(Int, Long)]): Map[Int, Int] =
+      xs.groupBy(_._1 / Hnsw.RoutedSubFactor).view
+        .mapValues(_.map(_._1 % Hnsw.RoutedSubFactor).max + 1).toMap
+    val (s0, s1) = (subsOf(before), subsOf(after))
+    assert(s1.exists { case (c, n) => n > s0.getOrElse(c, 0) },
+      s"no cell re-split: $s0 -> $s1")
+    // every sub-shard bounded by ~2x target (hash split headroom)
+    assert(after.forall(_._2 <= 300L),
+      s"sub-shard over 2x target: ${after.mkString(",")}")
+    assertRoutedWitness(path, router, base ++ hot)
+  }
+
+  test("untouched routed cells stay byte-identical through an update") {
+    val (path, router) = freshRoutedIndex("r_untouched", replicas = 1)
+    val before = shardFiles(path)
+    val delta = Seq((id(900), norm(all(42))))
+    val stats = HnswMaintenance.updateIndexRouted(spark, path, toDf(delta))
+    val touched = stats.affectedShards.map(s => s"shard_id=$s").toSet
+    val after = shardFiles(path)
+    before.foreach { case (shard, files) =>
+      if (!touched.contains(shard))
+        assert(after(shard) == files, s"$shard was rewritten")
+    }
+    assertRoutedWitness(path, router, base :+ ((id(900), norm(all(42)))))
+  }
+
+  test("a retrained router sidecar refuses to maintain the stamped " +
+      "adjacency (router_hash guard)") {
+    val (path, router) = freshRoutedIndex("r_guard")
+    val other = Ivf.train(base.drop(3).map(_._2).toArray, 4, iters = 5)
+    assume(Ivf.contentHash(other) != Ivf.contentHash(router))
+    Ivf.save(other.copy(replicas = 2), s"$path.router.txt")
+    val e = intercept[IllegalArgumentException] {
+      HnswMaintenance.updateIndexRouted(spark, path, toDf(extra.take(1)))
+    }
+    assert(e.getMessage.contains("router_hash mismatch"))
+    // heal the sidecar: maintenance works again
+    Ivf.save(router.copy(replicas = 2), s"$path.router.txt")
+    HnswMaintenance.updateIndexRouted(spark, path, toDf(extra.take(1)))
+    assertRoutedWitness(path, router, base :+ extra.head)
+  }
+
+  test("routed streaming re-ingest maintains the index ≡ final content, " +
+      "through a mid-stream crash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.embedding.OfflineEmbedder
+    import graft.ingest.IngestPipeline
+    import graft.ingest.IngestPipeline.DocInput
+    import graft.streaming.EventStreams
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val embedder = new OfflineEmbedder(8)
+    def doc(path: String, marker: String) = DocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.",
+      isOcr = false)
+    def embOf(docs: DocInput*) = IngestPipeline.embeddings(
+      IngestPipeline.fragments(IngestPipeline.process(docs.toSeq.toDS())),
+      embedder).toDF()
+
+    val path = s"$dir/r_stream"
+    val baseEmb = embOf(doc("r/a.txt", "alpha"), doc("r/b.txt", "bravo"))
+    val routerVecs = baseEmb.select("vector").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val router = Ivf.train(routerVecs, 2, iters = 5)
+    HnswMaintenance.writeIndexRouted(baseEmb, path, router, replicas = 2,
+      m = 8, efConstruction = 48, docCol = Some("document_id"))
+
+    val mem = MemoryStream[DocInput]
+    val query = EventStreams.ingestRoutedHnswIndexStream(mem.toDS(), path,
+      embedder, s"$dir/r_stream_ckpt")
+    try {
+      mem.addData(doc("r/a.txt", "alpha-updated"))
+      query.processAllAvailable()
+      // torn shard swap left by a killed process — healed before apply
+      val someShard = spark.read.parquet(path)
+        .select("shard_id").distinct().as[Int].collect().min
+      Files.move(Paths.get(path, s"shard_id=$someShard"),
+        Paths.get(path, s"shard_id=$someShard.old"))
+      mem.addData(doc("r/c.txt", "charlie"))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val finalEmb = embOf(doc("r/a.txt", "alpha-updated"),
+      doc("r/b.txt", "bravo"), doc("r/c.txt", "charlie"))
+    val expected = finalEmb.select("fragment_id", "document_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = spark.read.parquet(path)
+      .select("fragment_id", "doc_id").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected)
+    // every id is replicated into 2 distinct cells and the witness holds
+    val content = finalEmb.select("fragment_id", "vector").collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray)).toSeq
+    val hits = Hnsw.searchIndexRouted(spark.read.parquet(path),
+        Seq(("q0", content.head._2)), 10, ef = content.size, router,
+        probeShards = router.k)
+      .orderBy(org.apache.spark.sql.functions.col("rank"))
+      .select("fragment_id").collect().map(_.getString(0)).toSeq
+    assert(hits == exact(content, content.head._2).take(hits.size))
+  }
 }

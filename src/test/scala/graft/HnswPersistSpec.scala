@@ -129,4 +129,42 @@ class HnswPersistSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
     assert(parts.length == 3, s"expected 3 shard dirs, got ${parts.toSeq}")
   }
+
+  test("RoutedServingIndex prunes its walk to the query's cells, " +
+      "dedupes replicas, and refuses a retrained router (r14 task 2b)") {
+    import graft.search.Ivf
+    val path = s"$dir/index_routed"
+    val router = Ivf.train(vecs.take(600), 5, iters = 5)
+    Hnsw.saveIndexRouted(df, path, router, replicas = 2)
+    val saved = spark.read.parquet(path)
+    val serving = Hnsw.restoreServingRouted(saved, router)
+    assert(serving.numCells == 5)
+    assert(serving.size == 2 * vecs.length, "x2 replication restored")
+    // full coverage (probeCells = k) matches the distributed routed walk
+    val batch = collectHits(Hnsw.searchIndexRouted(saved, queries,
+      topK = 10, ef = 32, router, probeShards = router.k))
+    queries.foreach { case (qid, q) =>
+      val point = serving.search(q, 10, ef = 32, probeCells = router.k)
+        .toSeq
+      val viaBatch = batch.filter(_._1 == qid).sortBy(_._4)
+        .map(t => (t._2, t._3))
+      assert(point == viaBatch, s"query $qid")
+      // replica dedupe: no id twice
+      assert(point.map(_._1).distinct.size == point.size)
+      // a pruned point query (1 cell) returns a subset of the full walk
+      // — the flat-in-shard-count serving path, no Spark job involved
+      val pruned = serving.search(q, 10, ef = 32, probeCells = 1)
+      assert(pruned.nonEmpty &&
+        pruned.map(_._1).toSet.subsetOf(
+          serving.search(q, 100, ef = vecs.length,
+            probeCells = router.k).map(_._1).toSet))
+    }
+    // restore refuses a router that did not assign this adjacency
+    val other = Ivf.train(vecs.drop(7).take(600), 5, iters = 5)
+    assume(Ivf.contentHash(other) != Ivf.contentHash(router))
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.restoreServingRouted(saved, other)
+    }
+    assert(e.getMessage.contains("router_hash mismatch"))
+  }
 }

@@ -511,4 +511,65 @@ class HnswRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.catalog.dropTempView("emb_m")
     }
   }
+
+  test("a ROUTED index behind the rewrite serves routed: the walk " +
+      "partition-prunes to the query's cells instead of all-shard " +
+      "fan-out (VERDICT r14 task 2b)") {
+    val s = spark
+    import s.implicits._
+    val routedPath = s"$dir/hnsw_routed_idx"
+    val router = graft.search.Ivf.train(rawRows.map(_._2).toArray, 4,
+      iters = 5)
+    graft.search.HnswMaintenance.writeIndexRouted(
+      s.read.parquet(basePath), routedPath, router, replicas = 2,
+      m = 8, efConstruction = 48)
+    spark.conf.set(HnswIndexRewrite.IndexKey, routedPath)
+    spark.conf.set(HnswIndexRewrite.EfKey, n.toString)
+    try {
+      // full coverage (probeCells = router.k): exact, served by the walk
+      spark.conf.set(HnswIndexRewrite.ProbeCellsKey, router.k.toString)
+      val full = sql("", 5)
+      assert(full.queryExecution.executedPlan.toString
+        .contains("MapGroups"), "routed rewrite must fire")
+      assert(full.collect().map(_.getString(0)).toSeq ==
+        exactTopK(5, _ => true))
+      // pruned serving (probeCells = 1): the scan reads ONLY the routed
+      // cell's sub-shard partitions — the wave-bound fan-out is gone
+      // from the serving path; on this well-separated corpus the
+      // query's own cluster holds the whole top-5, so the answer stays
+      // exact (deterministic: seeded router, fixed corpus)
+      spark.conf.set(HnswIndexRewrite.ProbeCellsKey, "1")
+      val pruned = sql("", 5)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.filter(_.contains("PartitionFilters"))
+        .exists(_.contains("shard_id")),
+        s"routed serve must partition-prune on shard_id:\n$plan")
+      assert(pruned.collect().map(_.getString(0)).toSeq ==
+        exactTopK(5, _ => true))
+      // probeCells <= 0 degenerates to the (exact) full fan-out
+      spark.conf.set(HnswIndexRewrite.ProbeCellsKey, "0")
+      assert(sql("", 5).collect().map(_.getString(0)).toSeq ==
+        exactTopK(5, _ => true))
+      // and the vec_hash binding guard still rides the routed walk: a
+      // routed index over DIFFERENT data with the same ids hard-errors
+      // instead of silently mis-ranking
+      spark.conf.unset(HnswIndexRewrite.ProbeCellsKey)
+      val alienPath = s"$dir/hnsw_routed_alien"
+      val alien = rawRows
+        .map { case (f, v, g) => (f, v.map(x => x + 5f), g) }
+        .toDF("fragment_id", "vector", "grp")
+      graft.search.HnswMaintenance.writeIndexRouted(alien, alienPath,
+        router, replicas = 2, m = 8, efConstruction = 48)
+      spark.conf.set(HnswIndexRewrite.IndexKey, alienPath)
+      val e = intercept[Exception] { sql("", 5).collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("vec_hash mismatch"),
+        s"expected the binding refusal, got: $msgs")
+    } finally {
+      confOff()
+      spark.conf.unset(HnswIndexRewrite.ProbeCellsKey)
+    }
+  }
 }
