@@ -30,8 +30,11 @@ object VolumeGate {
     * volume witnesses is `bench_out.json` at the round's HEAD commit,
     * snapshotted to this stable name at round start — update each
     * round: `git show <prev-round-head>:bench_out.json >
-    * BENCH_r{N}_full.json`). */
-  val PrevArtifact = "BENCH_r13_full.json"
+    * BENCH_r{N}_full.json`. The r14 round committed no quiet full
+    * record, so BENCH_r14_full.json was snapshotted from a quiet-host
+    * run at r15 start — volumes are plan facts, unaffected by the
+    * r14 record's host contamination.) */
+  val PrevArtifact = "BENCH_r14_full.json"
 
   val ShuffleX = 1.5
   val RowsX = 1.25
