@@ -30,12 +30,14 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val enabled = sys.env.get("GRAFT_SOAK").contains("1")
   private val enabled10m = sys.env.get("GRAFT_SOAK10M").contains("1")
+  private val enabledRMaint = sys.env.get("GRAFT_SOAKRMAINT").contains("1")
   private val sf01 = "/root/testdata/sf0.1"
   private val sf1 = "localdata/sf1"
 
   private var spark: SparkSession = _
 
-  override def beforeAll(): Unit = if (enabled || enabled10m) {
+  override def beforeAll(): Unit = if (enabled || enabled10m ||
+      enabledRMaint) {
     spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     if (enabled && !new java.io.File(s"$sf1/lineitem.parquet").isFile) {
@@ -909,5 +911,172 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f10 <= f1 / 4.0,
       f"per-query probed fraction $f1%.3f → $f10%.3f across a 10× " +
         "shard decade — routing is not localizing queries")
+  }
+
+  /** ROUTED MAINTENANCE at the fourth decade (r15: the r14 layout made
+    * operable — does its maintenance hold at 1M?). Two delta shapes:
+    *
+    *  - A DOCUMENT-STYLE delta: replacements concentrated in 2 of the
+    *    corpus's 64 clusters (a re-ingested source's fragments are
+    *    semantically close — the real reingest shape). Cluster sharding
+    *    turns that locality into TOUCHED-CELL locality: only the old
+    *    clusters' cells (where the removed copies live) and the
+    *    reversed vectors' new cells rebuild; everything else is
+    *    byte-untouched. Hash sharding CANNOT do this — the same delta
+    *    hashes across every shard.
+    *  - A SCATTERED insert-only delta: spread over all clusters, so
+    *    every cell is touched, but touched cells EXTEND their graphs in
+    *    place (or re-split when at budget) instead of paying the
+    *    O(n·efC·log n) rebuild CPU.
+    *
+    * Both must cost a small fraction of the from-scratch build, and the
+    * routed serve must hold the recall floor over POST-DELTA content.
+    */
+  test("routed maintenance at 1M: a clustered (document-style) delta " +
+      "touches only its cells; a scattered insert extends in place; " +
+      "both delta-bounded vs rebuild; post-delta recall holds") {
+    assume(enabledRMaint,
+      "opt-in: set GRAFT_SOAKRMAINT=1 to run the routed maintenance soak")
+    val s = spark
+    import org.apache.spark.sql.functions.{col, expr}
+    import s.implicits._
+    import graft.search.{Hnsw, HnswMaintenance, Ivf, VectorSearch}
+    val R = 6
+    val n = 1000000L
+    val clusters = 64
+    val dir = ensureVecClustered(n, clusters)
+    val e = s.read.parquet(dir)
+    val shards = math.max(2, math.ceil(n / 12500.0).toInt)
+    val sampleN = math.max(8192, 32 * shards)
+    val sample = e
+      .orderBy(org.apache.spark.sql.functions.md5(
+        col("fragment_id").cast("binary")), col("fragment_id"))
+      .limit(sampleN)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val router = Ivf.train(sample, shards, iters = 5)
+    val idxDir = java.nio.file.Files.createTempDirectory("rmaint").toString
+    try {
+      val idx = s"$idxDir/idx"
+      val (_, buildSec) = timedSec {
+        HnswMaintenance.writeIndexRouted(e, idx, router) }
+      val indexRows = s.read.parquet(idx).count()
+      val totalCells = s.read.parquet(idx)
+        .select((col("shard_id") / Hnsw.RoutedSubFactor).cast("int"))
+        .distinct().count().toInt
+
+      // ---- leg A: clustered replacement delta. Deterministic rule:
+      // ids with id%64 ∈ {0,1} and id < 160000 (exactly 5000 rows),
+      // replaced by their REVERSED vector — new content whose embedding
+      // moves to different cells (reversal is an isometry: the images
+      // form their own tight clusters elsewhere in the space)
+      val replRule = "CAST(substring(fragment_id, 2) AS LONG) % 64 < 2" +
+        " AND CAST(substring(fragment_id, 2) AS LONG) < 160000"
+      val repl = e.filter(expr(replRule))
+        .select(col("fragment_id"),
+          org.apache.spark.sql.functions.reverse(col("vector"))
+            .as("vector"))
+      val nRepl = repl.count()
+      val (statsA, updASec) = timedSec {
+        HnswMaintenance.updateIndexRouted(s, idx, repl) }
+      val cellsA = statsA.affectedShards
+        .map(_ / Hnsw.RoutedSubFactor).distinct.size
+      info(f"legA: $nRepl rows, $cellsA/$totalCells cells, " +
+        f"${statsA.rebuiltShards.size} rebuilt + " +
+        f"${statsA.extendedShards.size} extended shards, " +
+        f"$updASec%.1f s (build $buildSec%.1f s)")
+      assert(statsA.rebuiltShards.nonEmpty,
+        "replacements must exercise the rebuild path")
+      // cell locality: a 2-of-64-cluster delta must NOT touch most cells
+      assert(cellsA <= totalCells / 2,
+        s"document-style delta touched $cellsA of $totalCells cells — " +
+          "cluster locality is not reaching the maintenance path")
+      assert(updASec <= buildSec / 2.0,
+        f"clustered delta cost $updASec%.1f s vs build $buildSec%.1f s " +
+          "— not delta-bounded")
+      // post-A recall over post-delta content, with queries from BOTH
+      // the replaced region and untouched clusters
+      val updated = e.select(col("fragment_id"),
+        org.apache.spark.sql.functions.when(expr(replRule),
+          org.apache.spark.sql.functions.reverse(col("vector")))
+          .otherwise(col("vector")).as("vector"))
+      val qids = (0L to 3L) ++ (320000L to 320003L)
+      val qs = updated
+        .filter(col("fragment_id").isin(qids.map(i => f"f$i%09d"): _*))
+        .as[(String, Array[Float])].collect().toSeq
+      val exactA = VectorSearch.batchKnn(updated,
+          qs.toDF("query_id", "query_vector"), 10,
+          tieBreak = "fragment_id")
+        .select(col("query_id"), col("fragment_id"))
+        .as[(String, String)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val gotA = Hnsw.searchIndexRouted(s.read.parquet(idx), qs, 10, 64,
+          router, R)
+        .select(col("query_id"), col("fragment_id"))
+        .as[(String, String)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val recA = qs.map { case (qid, _) =>
+        val t = exactA(qid)
+        gotA.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / qs.size
+      info(f"legA recall@10 over post-delta content: $recA%.3f")
+      assert(recA >= 0.95, f"post-delta routed recall $recA%.3f < 0.95")
+
+      // ---- leg B: scattered insert-only delta — 2000 fresh ids with
+      // vectors drawn from the corpus distribution (ids 500000..501999
+      // under new g-prefixed ids), spread across all 64 clusters
+      val insRule = "CAST(substring(fragment_id, 2) AS LONG) >= 500000" +
+        " AND CAST(substring(fragment_id, 2) AS LONG) < 502000"
+      val ins = updated.filter(expr(insRule))
+        .select(org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("g"),
+          org.apache.spark.sql.functions.substring(col("fragment_id"),
+            2, 9)).as("fragment_id"), col("vector"))
+      val nIns = ins.count()
+      val (statsB, updBSec) = timedSec {
+        HnswMaintenance.updateIndexRouted(s, idx, ins) }
+      info(f"legB: $nIns rows, ${statsB.extendedShards.size} extended + " +
+        f"${statsB.rebuiltShards.size} rebuilt(re-split) shards, " +
+        f"$updBSec%.1f s")
+      assert(statsB.extendedShards.nonEmpty,
+        "a scattered insert-only delta must extend graphs in place")
+      assert(updBSec <= buildSec / 2.0,
+        f"scattered insert cost $updBSec%.1f s vs build $buildSec%.1f s " +
+          "— not delta-bounded")
+      // final content witness: the inserts are findable and recall holds
+      val finalCorpus = updated.unionByName(ins)
+      val exactB = VectorSearch.batchKnn(finalCorpus,
+          qs.toDF("query_id", "query_vector"), 10,
+          tieBreak = "fragment_id")
+        .select(col("query_id"), col("fragment_id"))
+        .as[(String, String)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val gotB = Hnsw.searchIndexRouted(s.read.parquet(idx), qs, 10, 64,
+          router, R)
+        .select(col("query_id"), col("fragment_id"))
+        .as[(String, String)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val recB = qs.map { case (qid, _) =>
+        val t = exactB(qid)
+        gotB.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / qs.size
+      info(f"legB recall@10 over final content: $recB%.3f")
+      assert(recB >= 0.95, f"post-insert routed recall $recB%.3f < 0.95")
+
+      val line =
+        s"""{"metric":"routed_maint_soak","n":$n,"shards":$shards,""" +
+          f""""build_sec":$buildSec%.2f,"index_rows":$indexRows,""" +
+          s""""total_cells":$totalCells,""" +
+          s""""legA":{"rows":$nRepl,"cells":$cellsA,""" +
+          s""""rebuilt_shards":${statsA.rebuiltShards.size},""" +
+          s""""extended_shards":${statsA.extendedShards.size},""" +
+          f""""sec":$updASec%.2f,"recall":$recA%.3f},""" +
+          s""""legB":{"rows":$nIns,""" +
+          s""""rebuilt_shards":${statsB.rebuiltShards.size},""" +
+          s""""extended_shards":${statsB.extendedShards.size},""" +
+          f""""sec":$updBSec%.2f,"recall":$recB%.3f}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_SOAKRMAINT_OUT", "SOAK_routedmaint.json")),
+        (line + "\n").getBytes("UTF-8"))
+    } finally graft.ingest.TableSwap.rmTreeAt(idxDir)
   }
 }
