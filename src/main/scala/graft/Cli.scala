@@ -136,6 +136,59 @@ object Cli {
         val n = spark.read.parquet(s"$tablesDir/embeddings_hnsw").count()
         println(s"[hnsw-index] shards=$shards nodes=$n")
 
+      // Build + persist the CLUSTER-ROUTED HNSW index: k-means router
+      // (one centroid per cell, trained on an md5-ordered sample),
+      // x`replicas` assignment, size-bounded sub-shards — the layout
+      // whose per-query walk is flat in total shard count. Maintained
+      // by reingest via the frozen router; served pruned to R cells.
+      case "hnsw-index-routed" :: tablesDir :: rest =>
+        val cells = rest.headOption.map(_.toInt).getOrElse(8)
+        val replicas = rest.lift(1).map(_.toInt).getOrElse(3)
+        val e = spark.read.parquet(s"$tablesDir/embeddings")
+          .drop("doc_bucket")
+        val sample = e.orderBy(org.apache.spark.sql.functions.md5(
+            col("fragment_id")))
+          .limit(math.max(8192, 32 * cells))
+          .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+        val router = graft.search.Ivf.train(sample, cells)
+        graft.search.HnswMaintenance.writeIndexRouted(
+          e, s"$tablesDir/embeddings_hnsw_routed", router,
+          replicas = replicas, docCol = Some("document_id"))
+        val n = spark.read.parquet(s"$tablesDir/embeddings_hnsw_routed")
+          .count()
+        println(s"[hnsw-index-routed] cells=${router.k} " +
+          s"replicas=$replicas rows=$n (x$replicas replicated)")
+
+      // Routed graph walk: the query probes its R nearest cells only —
+      // partition-pruned at the file source, replica-deduped merge.
+      case "hnsw-search-routed" :: tablesDir :: query :: rest =>
+        val topK = rest.headOption.map(_.toInt).getOrElse(10)
+        val ef = rest.lift(1).map(_.toInt).getOrElse(64)
+        val r = rest.lift(2).map(_.toInt).getOrElse(6)
+        val view = rest.lift(3).filter(_.nonEmpty)
+        val idxPath = s"$tablesDir/embeddings_hnsw_routed"
+        val router = graft.search.Ivf.load(s"$idxPath.router.txt")
+        val index = spark.read.parquet(idxPath)
+        val dim = router.dim
+        val qvec = new OfflineEmbedder(dim).embedQuery(query)
+        val (searchable, pred) = view match {
+          case Some(v) =>
+            val meta = spark.read.parquet(s"$tablesDir/embeddings")
+              .select(col("fragment_id").as("__fid"),
+                col("view").as("__view"))
+            (index.join(meta, col("fragment_id") === col("__fid"),
+              "left"), Some(col("__view") === v))
+          case None => (index, None)
+        }
+        val hits = graft.search.Hnsw
+          .searchIndexRouted(searchable, Seq(("q", qvec)), topK, ef,
+            router, probeShards = r, predicate = pred)
+          .orderBy(col("rank"))
+          .select(col("fragment_id"), col("similarity")).collect()
+        hits.zipWithIndex.foreach { case (h, i) =>
+          println(f"#${i + 1}%-3d sim=${h.getDouble(1)}%.4f ${h.getString(0)}")
+        }
+
       // Batch graph walk over the persisted adjacency table; ef = beam
       // width (ef >= shard size degenerates to the exact scan).
       case "hnsw-search" :: tablesDir :: query :: rest =>
@@ -362,6 +415,8 @@ object Cli {
             "ann-search <tables> <query> [k] [nprobe] [view] | " +
             "hnsw-index <tables> [shards] | " +
             "hnsw-search <tables> <query> [k] [ef] [view] | " +
+            "hnsw-index-routed <tables> [cells] [replicas] | " +
+            "hnsw-search-routed <tables> <query> [k] [ef] [R] [view] | " +
             "pq-index <tables> [m] [ksub] | " +
             "pq-search <tables> <query> [k] [nprobe] [shortlist] [view] | " +
             "sq-index <tables> [levels] | " +
@@ -490,6 +545,17 @@ object Cli {
           spark, hnswPath, r.embeddings.toDF())
         println(s"[reingest] embeddings_hnsw: ${st.extendedShards.size} " +
           s"shards extended, ${st.rebuiltShards.size} rebuilt")
+      }
+      // the ROUTED graph index maintains through the frozen router
+      // sidecar — a replaced document's fragments leave whichever cells
+      // they lived in, the re-embedded ones route to theirs
+      val routedPath = s"$tablesDir/embeddings_hnsw_routed"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(routedPath))) {
+        val st = graft.search.HnswMaintenance.updateIndexByDocRouted(
+          spark, routedPath, r.embeddings.toDF())
+        println(s"[reingest] embeddings_hnsw_routed: " +
+          s"${st.extendedShards.size} shards extended, " +
+          s"${st.rebuiltShards.size} rebuilt")
       }
     }
     // the gated-fusion floor is corpus-calibrated, so a corpus change

@@ -129,4 +129,62 @@ class ReingestJournalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ReingestJournal.read(td).isEmpty)
     assert(fragmentTexts(td).exists(_.contains("delta UPDATED")))
   }
+
+  test("reingest maintains a persisted ROUTED hnsw index: the replaced " +
+      "document's old rows leave, the re-embedded ones are servable") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val s = spark
+    import s.implicits._
+    val engine = new Engine(spark, new OfflineEmbedder(64))
+    val td = s"$dir/tables_routed"
+    val fa = writeDoc("r1.txt", "echo original content for document r1")
+    val fb = writeDoc("r2.txt", "foxtrot original content for document r2")
+    val r = engine.ingest(Cli.readDocFiles(spark, List(fa, fb)))
+    import graft.ingest.IngestPipeline.writeTable
+    writeTable(r.documents.toDF(), s"$td/documents", key = "id")
+    writeTable(r.concepts.toDF(), s"$td/concepts")
+    writeTable(r.fragments.toDF(), s"$td/fragments")
+    writeTable(r.parents.toDF(), s"$td/parents")
+    writeTable(r.embeddings.toDF(), s"$td/embeddings")
+    r.release()
+    // the hnsw-index-routed verb's body (router frozen at build time)
+    val e = spark.read.parquet(s"$td/embeddings").drop("doc_bucket")
+    val sample = e.orderBy(md5(col("fragment_id"))).limit(8192)
+      .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+    val router = graft.search.Ivf.train(sample, 2)
+    val idxPath = s"$td/embeddings_hnsw_routed"
+    graft.search.HnswMaintenance.writeIndexRouted(e, idxPath, router,
+      replicas = 2, docCol = Some("document_id"))
+    val oldIds = spark.read.parquet(idxPath).select("fragment_id")
+      .distinct().as[String].collect().toSet
+
+    Files.write(Paths.get(fb),
+      "foxtrot REWRITTEN content for document r2"
+        .getBytes(StandardCharsets.UTF_8))
+    Cli.reingestCommand(spark, engine, td, List(fb))
+
+    // the routed index now holds exactly the post-reingest fragment set
+    val expect = spark.read.parquet(s"$td/embeddings")
+      .select("fragment_id").distinct().as[String].collect().toSet
+    val got = spark.read.parquet(idxPath).select("fragment_id")
+      .distinct().as[String].collect().toSet
+    assert(got == expect,
+      s"routed index drifted from the corpus: extra=${got -- expect}, " +
+        s"missing=${expect -- got}")
+    assert(got != oldIds, "the replaced doc must have new fragment ids")
+    // and the rewritten fragment is servable through the routed walk
+    val newFrag = spark.read.parquet(s"$td/fragments")
+      .filter(col("content").contains("REWRITTEN"))
+      .select(col("id")).as[String].head()
+    val qvec = spark.read.parquet(s"$td/embeddings")
+      .filter(col("fragment_id") === newFrag)
+      .select(col("vector")).head().getSeq[Float](0).toArray
+    val hits = graft.search.Hnsw.searchIndexRouted(
+        spark.read.parquet(idxPath), Seq(("q", qvec)), 3, ef = 64,
+        router, probeShards = 2)
+      .select(col("fragment_id")).as[String].collect()
+    assert(hits.headOption.contains(newFrag),
+      s"the re-embedded fragment must rank first for its own vector: " +
+        s"${hits.toSeq}")
+  }
 }
