@@ -295,7 +295,8 @@ object Cli {
       // refreshes it automatically; hybrid-search refuses a stale one.
       case "fusion-calibrate" :: tablesDir :: Nil =>
         val frags = spark.read.parquet(s"$tablesDir/fragments")
-        val a = graft.search.FusionFloor.calibrate(frags, "id", "content")
+        val a = graft.search.FusionFloor.calibrate(frags, "id", "content",
+          tableDir = Some(s"$tablesDir/fragments"))
         graft.search.FusionFloor.save(a, s"$tablesDir/fusion_floor.txt")
         println(s"[fusion-calibrate] corpus_fp=${a.corpusFp} " +
           s"floor=${a.floor}")
@@ -566,7 +567,8 @@ object Cli {
       val floorPath = s"$tablesDir/fusion_floor.txt"
       if (graft.search.FusionFloor.exists(floorPath)) {
         val a = graft.search.FusionFloor.calibrate(
-          spark.read.parquet(s"$tablesDir/fragments"), "id", "content")
+          spark.read.parquet(s"$tablesDir/fragments"), "id", "content",
+          tableDir = Some(s"$tablesDir/fragments"))
         graft.search.FusionFloor.save(a, floorPath)
         println(s"[reingest] fusion_floor: recalibrated " +
           s"(corpus_fp=${a.corpusFp}, floor=${a.floor})")
@@ -603,8 +605,11 @@ object Cli {
         "through Cli reingest) first")
     val frags = spark.read.parquet(s"$tablesDir/fragments")
     val art = FusionFloor.load(floorPath)
-    FusionFloor.requireFresh(art,
-      FusionFloor.currentFp(frags, "id", "content"), floorPath)
+    // stamped sidecars validate against the table's file listing —
+    // freshness costs a directory list, not a corpus scan (legacy
+    // sidecars fall back to the exact fingerprint pass)
+    FusionFloor.requireFreshAt(art, s"$tablesDir/fragments", floorPath)(
+      FusionFloor.currentFp(frags, "id", "content"))
     // lexical channel: query terms under the same whitespace rule as
     // calibration; df census for the ≤|q| in-corpus terms in one scan
     val qTerms = query.trim.split("[ \\t\\n\\f\\r]+")

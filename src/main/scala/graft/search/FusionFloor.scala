@@ -29,7 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object FusionFloor {
 
-  final case class Artifact(corpusFp: Long, floor: Double)
+  /** `corpusFp` is the exact content fingerprint (n·1000000007 + Σdl —
+    * what the v24 oracle keys on); `tableFp` is a METADATA-ONLY
+    * fingerprint of the fragments table's RECURSIVE file listing
+    * (relative-path:length — Spark part names carry write-UUIDs, so any
+    * rewrite changes it; recursion matters because writeTable partitions
+    * by doc_bucket, and a top-level listing of partition DIRECTORIES is
+    * blind to rewrites inside them). Serving checks `tableFp`: freshness
+    * costs a file-tree walk, never a corpus scan — at 100 TB a per-query
+    * O(corpus) tokenize pass just to validate a scalar would dwarf the
+    * query itself. Legacy sidecars without the line fall back to the
+    * exact scan. */
+  final case class Artifact(corpusFp: Long, floor: Double,
+      tableFp: String = "")
 
   /** Exact integer corpus fingerprint — both engines and the sidecar
     * agree on BIGINT arithmetic (no float drift possible). */
@@ -49,11 +61,28 @@ object FusionFloor {
     corpusFp(r.getLong(0), r.getLong(1))
   }
 
+  /** Metadata-only fingerprint of a table directory (see [[Artifact]]):
+    * every data file under the tree as relative-path:length, sorted.
+    * Unlike [[graft.queries.StageCache.sourceFingerprint]] (flat dirs),
+    * this walks into doc_bucket= partition subdirectories. */
+  def tableFingerprint(tableDir: String): String = {
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isFile) Seq(s"$rel:${f.length}")
+      else Option(f.listFiles()).toSeq.flatten
+        .filterNot(_.getName.startsWith("_"))
+        .flatMap(c => walk(c, if (rel.isEmpty) c.getName
+                              else s"$rel/${c.getName}"))
+    val files = walk(new java.io.File(tableDir), "").sorted
+    s"fusion_floor|${files.mkString(",")}"
+  }
+
   /** Distributed calibration over a (id, text) table: md5-ordered
     * CalibN sample, census df semi-joined to the sample's vocabulary,
-    * p75 thinned self-match floor. */
+    * p75 thinned self-match floor. Pass `tableDir` so the artifact
+    * records the cheap serving-time freshness witness. */
   def calibrate(df: DataFrame, idCol: String = "id",
-      textCol: String = "content"): Artifact = {
+      textCol: String = "content", tableDir: Option[String] = None)
+      : Artifact = {
     val s = df.sparkSession
     import s.implicits._
     val toks = tokensOf(df, idCol, textCol)
@@ -75,19 +104,25 @@ object FusionFloor {
     val floor = FusionGate.floorOf(sample.toSeq.map { case (_, ts) =>
       FusionGate.selfNorm(ts, t => dfMap.getOrElse(t, 0L), n, avgdl)
     })
-    Artifact(corpusFp(n, sumDl), floor)
+    Artifact(corpusFp(n, sumDl), floor,
+      tableDir.map(tableFingerprint).getOrElse(""))
   }
 
-  /** Sidecar text form: `<corpus_fp> <floor>` — Double.toString round-
-    * trips the exact bits, the [[Ivf.save]] convention. */
+  /** Sidecar text form: `<corpus_fp> <floor>` on line 1 (Double.toString
+    * round-trips the exact bits, the [[Ivf.save]] convention), the
+    * metadata table fingerprint on line 2 (absent for legacy sidecars). */
   def save(a: Artifact, path: String): Unit =
     Files.write(Paths.get(path),
-      s"${a.corpusFp} ${a.floor}\n".getBytes(StandardCharsets.UTF_8))
+      (s"${a.corpusFp} ${a.floor}\n" +
+        (if (a.tableFp.nonEmpty) s"${a.tableFp}\n" else ""))
+        .getBytes(StandardCharsets.UTF_8))
 
   def load(path: String): Artifact = {
-    val parts = new String(Files.readAllBytes(Paths.get(path)),
-      StandardCharsets.UTF_8).trim.split(" ")
-    Artifact(parts(0).toLong, parts(1).toDouble)
+    val lines = new String(Files.readAllBytes(Paths.get(path)),
+      StandardCharsets.UTF_8).linesIterator.toSeq
+    val parts = lines.head.trim.split(" ")
+    Artifact(parts(0).toLong, parts(1).toDouble,
+      lines.lift(1).map(_.trim).getOrElse(""))
   }
 
   def exists(path: String): Boolean = Files.exists(Paths.get(path))
@@ -100,4 +135,17 @@ object FusionFloor {
         s"${a.corpusFp}, current corpus_fp=$current) — the corpus " +
         "changed without a floor refresh; re-run fusion-calibrate " +
         "(Cli reingest refreshes it automatically)")
+
+  /** The guard at its serving cost: a stamped sidecar validates against
+    * the table's FILE LISTING (one directory list — O(files), zero
+    * data read); a legacy sidecar falls back to the exact corpus-scan
+    * fingerprint via `exactFp`. */
+  def requireFreshAt(a: Artifact, tableDir: String, path: String)(
+      exactFp: => Long): Unit =
+    if (a.tableFp.nonEmpty)
+      require(a.tableFp == tableFingerprint(tableDir),
+        s"fusion floor at $path is STALE (the table at $tableDir was " +
+          "rewritten since calibration) — re-run fusion-calibrate " +
+          "(Cli reingest refreshes it automatically)")
+    else requireFresh(a, exactFp, path)
 }

@@ -64,11 +64,15 @@ class FusionFloorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // calibrate (the fusion-calibrate verb's body) and pin round-trip
     val floorPath = s"$td/fusion_floor.txt"
     val a0 = FusionFloor.calibrate(
-      spark.read.parquet(s"$td/fragments"), "id", "content")
+      spark.read.parquet(s"$td/fragments"), "id", "content",
+      tableDir = Some(s"$td/fragments"))
     FusionFloor.save(a0, floorPath)
     assert(FusionFloor.load(floorPath) == a0, "sidecar must round-trip")
     assert(a0.corpusFp == FusionFloor.currentFp(
       spark.read.parquet(s"$td/fragments"), "id", "content"))
+    // the stamped freshness witness is the metadata fingerprint — the
+    // serving-time check is a directory listing, never a corpus scan
+    assert(a0.tableFp == FusionFloor.tableFingerprint(s"$td/fragments"))
 
     // a fresh floor serves: gate facts + hits come back
     val r0 = Cli.hybridSearchCommand(spark, td, "vector search recall", 5)
