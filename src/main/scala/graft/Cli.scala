@@ -293,6 +293,15 @@ object Cli {
       // Calibrate + persist the gated-fusion confidence floor for a
       // tables dir (the [[graft.search.FusionFloor]] sidecar). Reingest
       // refreshes it automatically; hybrid-search refuses a stale one.
+      // Build the inverted lexical postings index (term-bucket-
+      // partitioned BM25 postings + exact corpus-stats sidecar) — once
+      // present, hybrid-search's lexical channel is a pruned read and
+      // Cli reingest maintains it with delta batches.
+      case "lex-index" :: tablesDir :: Nil =>
+        val st = graft.search.LexIndex.build(spark, tablesDir)
+        println(s"[lex-index] n=${st.n} sum_dl=${st.sumDl} " +
+          s"buckets<=${graft.search.LexIndex.Buckets}")
+
       case "fusion-calibrate" :: tablesDir :: Nil =>
         val frags = spark.read.parquet(s"$tablesDir/fragments")
         val a = graft.search.FusionFloor.calibrate(frags, "id", "content",
@@ -343,6 +352,12 @@ object Cli {
             println(s"[compact] $t: ${st.filesBefore} -> ${st.filesAfter} " +
               s"files (${st.partitionsCompacted} partitions rewritten)")
           }
+        }
+        // the lexical index compacts by folding its delta batches back
+        // into the term-bucketed base (segment merge, not file merge)
+        if (graft.search.LexIndex.exists(tablesDir)) {
+          val folded = graft.search.LexIndex.compact(spark, tablesDir)
+          println(s"[compact] lex_postings: $folded delta batches folded")
         }
 
       // Persist the write-time sketch/gram tables the dedup queries'
@@ -559,6 +574,21 @@ object Cli {
           s"${st.rebuiltShards.size} rebuilt")
       }
     }
+    // the lexical postings index maintains by delta batch (Lucene-
+    // segment shape): del rows for the replaced documents, ins postings
+    // for their new fragments — the base never rewrites. Serving
+    // hard-errors on a stale stats sidecar otherwise.
+    step("lex_postings") {
+      if (graft.search.LexIndex.exists(tablesDir)) {
+        val ids = r.documents.toDF().select("id")
+          .as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().toSeq
+        val k = graft.search.LexIndex.appendDelta(
+          spark, tablesDir, ids, r.fragments.toDF())
+        println(s"[reingest] lex_postings: delta batch=$k " +
+          s"(${ids.length} documents)")
+      }
+    }
     // the gated-fusion floor is corpus-calibrated, so a corpus change
     // invalidates it — recalibrate whenever the sidecar exists (same
     // keep-artifacts-consistent contract as the index step above;
@@ -611,47 +641,108 @@ object Cli {
     FusionFloor.requireFreshAt(art, s"$tablesDir/fragments", floorPath)(
       FusionFloor.currentFp(frags, "id", "content"))
     // lexical channel: query terms under the same whitespace rule as
-    // calibration; df census for the ≤|q| in-corpus terms in one scan
+    // calibration. With a lex_postings index present, stats come from
+    // its sidecar and df/scoring read ONLY the query terms' partition
+    // cells (a pruned read, ~|q|/256 of the index); without one, the
+    // scan fallback pays the corpus passes. Both paths are bit-for-bit
+    // equal (LexIndexSpec pins it): same integer facts, same fixed-order
+    // literal-idf fold, and both return only fragments containing ≥1
+    // in-corpus term (score > 0 strictly).
     val qTerms = query.trim.split("[ \\t\\n\\f\\r]+")
       .filter(_.nonEmpty).distinct.toSeq
-    val toks = frags.select(col("id").cast("string").as("id"),
-      graft.functions.TextSketch.words(col("content")).as("w"))
-    val st = toks.agg(count(lit(1)).as("n"),
-      sum(size(col("w"))).as("sum_dl")).head()
-    val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n.toDouble
-    val dfMap: Map[String, Long] = toks
-      .select(explode(array_distinct(col("w"))).as("t"))
-      .filter(col("t").isin(qTerms: _*))
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .as[(String, Long)].collect().toMap
+    import graft.search.LexIndex
+    val (n, avgdl, dfMap, scoreTopC) =
+      if (LexIndex.exists(tablesDir)) {
+        val lexSt = LexIndex.loadStats(tablesDir)
+        LexIndex.requireFresh(lexSt, tablesDir)
+        val n0 = lexSt.n
+        val avgdl0 = lexSt.sumDl.toDouble / n0.toDouble
+        val dfMap0 = LexIndex.dfOf(spark, tablesDir, qTerms)
+        val scorer = (inC: Seq[String]) =>
+          LexIndex.scoreTopC(spark, tablesDir, inC, dfMap0, n0, avgdl0, c)
+        (n0, avgdl0, dfMap0, scorer)
+      } else {
+        val toks = frags.select(col("id").cast("string").as("id"),
+          graft.functions.TextSketch.words(col("content")).as("w"))
+        val st = toks.agg(count(lit(1)).as("n"),
+          sum(size(col("w"))).as("sum_dl")).head()
+        val n0 = st.getLong(0)
+        val avgdl0 = st.getLong(1).toDouble / n0.toDouble
+        val dfMap0: Map[String, Long] = toks
+          .select(explode(array_distinct(col("w"))).as("t"))
+          .filter(col("t").isin(qTerms: _*))
+          .groupBy(col("t")).agg(count(lit(1)).as("df"))
+          .as[(String, Long)].collect().toMap
+        val scorer = (inC: Seq[String]) => {
+          val termScores = inC.map { t =>
+            val idfT = FusionGate.idf(dfMap0(t), n0)
+            val tf =
+              size(filter(col("w"), x => x === lit(t))).cast("double")
+            lit(idfT) * (tf * lit(FusionGate.K1 + 1)) /
+              (tf + lit(FusionGate.K1) * (lit(1 - FusionGate.B) +
+                lit(FusionGate.B) *
+                  (size(col("w")).cast("double") / lit(avgdl0))))
+          }
+          toks.select(col("id"), termScores.reduce(_ + _).as("bm25"))
+            .filter(col("bm25") > 0d)
+            .orderBy(col("bm25").desc, col("id")).limit(c)
+            .as[(String, Double)].collect().toSeq
+        }
+        (n0, avgdl0, dfMap0, scorer)
+      }
     val inCorpus = qTerms.filter(t => dfMap.getOrElse(t, 0L) > 0L)
     val lexScored: Seq[(String, Double)] =
-      if (inCorpus.isEmpty) Nil
-      else {
-        val termScores = inCorpus.map { t =>
-          val idfT = FusionGate.idf(dfMap(t), n)
-          val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
-          lit(idfT) * (tf * lit(FusionGate.K1 + 1)) /
-            (tf + lit(FusionGate.K1) * (lit(1 - FusionGate.B) +
-              lit(FusionGate.B) *
-                (size(col("w")).cast("double") / lit(avgdl))))
-        }
-        toks.select(col("id"), termScores.reduce(_ + _).as("bm25"))
-          .orderBy(col("bm25").desc, col("id")).limit(c)
-          .as[(String, Double)].collect().toSeq
-      }
+      if (inCorpus.isEmpty) Nil else scoreTopC(inCorpus)
     val idfSum = inCorpus.map(t => FusionGate.idf(dfMap(t), n)).sum
     val conf = FusionGate.confidence(
       lexScored.headOption.map(_._2).getOrElse(0.0), idfSum)
     val wLex = FusionGate.lexWeight(conf, art.floor)
-    // dense channel: the exact KNN scan (swap in an index walk at scale)
-    val emb = spark.read.parquet(s"$tablesDir/embeddings")
-    val dim = emb.select(col("vector")).head()
-      .getAs[scala.collection.Seq[Float]](0).length
-    val qvec = new OfflineEmbedder(dim).embedQuery(query)
-    val vecIds = VectorSearch.knn(emb, qvec, c)
-      .select(col("fragment_id")).as[String].collect().toSeq
+    // dense channel: a persisted graph index serves when one exists —
+    // the routed layout walks only its R nearest cells
+    // (spark.graft.ann.hnsw.probeCells, partition-pruned; R ≥ cells
+    // degenerates to the full fan-out THROUGH the replica-deduped
+    // routed walk), the flat layout fans out over its shards — with the
+    // exact KNN scan as the indexless fallback. Both indexes are
+    // reingest-maintained (the lex/floor consistency contract), and
+    // their own guards (router_hash, searchIndexRouted's fingerprint
+    // check) refuse torn artifacts.
+    val routedPath = s"$tablesDir/embeddings_hnsw_routed"
+    val hnswPath = s"$tablesDir/embeddings_hnsw"
+    val denseEf = 64
+    val vecIds: Seq[String] =
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(routedPath))) {
+        val router = graft.search.Ivf.load(s"$routedPath.router.txt")
+        val qvec = new OfflineEmbedder(router.dim).embedQuery(query)
+        val r = try spark.conf.get(
+            org.apache.spark.sql.graft.HnswIndexRewrite.ProbeCellsKey,
+            org.apache.spark.sql.graft.HnswIndexRewrite
+              .DefaultProbeCells.toString).toInt
+          catch { case _: NumberFormatException =>
+            org.apache.spark.sql.graft.HnswIndexRewrite.DefaultProbeCells }
+        graft.search.Hnsw
+          .searchIndexRouted(spark.read.parquet(routedPath),
+            Seq(("q", qvec)), c, denseEf, router, probeShards = r)
+          .orderBy(col("rank"))
+          .select(col("fragment_id")).as[String].collect().toSeq
+      } else if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(hnswPath))) {
+        val index = spark.read.parquet(hnswPath)
+        val dim = index.select(col("vector")).head()
+          .getAs[scala.collection.Seq[Float]](0).length
+        val qvec = new OfflineEmbedder(dim).embedQuery(query)
+        graft.search.Hnsw
+          .searchIndex(index, Seq(("q", qvec)), c, denseEf)
+          .orderBy(col("rank"))
+          .select(col("fragment_id")).as[String].collect().toSeq
+      } else {
+        val emb = spark.read.parquet(s"$tablesDir/embeddings")
+        val dim = emb.select(col("vector")).head()
+          .getAs[scala.collection.Seq[Float]](0).length
+        val qvec = new OfflineEmbedder(dim).embedQuery(query)
+        VectorSearch.knn(emb, qvec, c)
+          .select(col("fragment_id")).as[String].collect().toSeq
+      }
     HybridResult(conf, art.floor, wLex,
       FusionGate.fuseIds(lexScored.map(_._1), vecIds, wLex).take(topK))
   }

@@ -74,6 +74,21 @@ object StageCache {
     s"$params|${files.mkString(",")}"
   }
 
+  /** Like [[sourceFingerprint]] but RECURSIVE (relative-path:length over
+    * the whole tree): required for doc_bucket/term_bucket-partitioned
+    * tables, where a flat listing sees only the partition DIRECTORIES
+    * and is blind to rewrites inside them. Metadata-only — a file-tree
+    * walk, zero data read. */
+  def treeFingerprint(dir: String, params: String): String = {
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isFile) Seq(s"$rel:${f.length}")
+      else Option(f.listFiles()).toSeq.flatten
+        .filterNot(_.getName.startsWith("_"))
+        .flatMap(c => walk(c, if (rel.isEmpty) c.getName
+                              else s"$rel/${c.getName}"))
+    s"$params|${walk(new java.io.File(dir), "").sorted.mkString(",")}"
+  }
+
   private def metaFile(dir: java.io.File) =
     new java.io.File(dir, "_graft_fingerprint")
 
@@ -133,10 +148,19 @@ object StageCache {
     * read through to, alongside the source fingerprint that guards
     * against serving it stale. Returns the table path.
     */
+  /** Stage columns that are partition LAYOUT, not data: a stage carrying
+    * one persists as a partitioned table, so read-through consumers get
+    * PartitionFilters pruning on it (the lex_inverted postings read only
+    * the query terms' term_bucket cells). */
+  val PartitionColumns: Seq[String] = Seq("term_bucket")
+
   def persistStage(s: SparkSession, key: String, df: DataFrame,
       root: String, fingerprint: Option[String] = None): String = {
     val dir = new java.io.File(root, sanitize(key))
-    df.write.mode("overwrite").parquet(dir.toString)
+    val partCols = PartitionColumns.filter(df.columns.contains)
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(dir.toString)
     fingerprint.foreach { fp =>
       java.nio.file.Files.write(metaFile(dir).toPath, fp.getBytes("UTF-8"))
     }

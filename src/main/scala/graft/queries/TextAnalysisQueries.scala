@@ -1293,6 +1293,65 @@ object TextAnalysisQueries {
     s"""SELECT * FROM ($bm25ScoredSql)
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
+  // X25 — BM25 through an INVERTED POSTINGS read (the
+  // [[graft.search.LexIndex]] layout x25 shares with `Cli
+  // hybrid-search`): one row per (term, doc) with exact tf, partitioned
+  // by term_bucket = "b"+md5(term)[0,2). The scoring read touches ONLY
+  // the query terms' buckets — ~|q|/256 of the index under partition
+  // pruning when `index-sketches` persisted the stage — instead of
+  // x22's full-corpus tokenize. Scores are bit-for-bit x22's: the same
+  // integer tf/df/dl facts pivot back out of the postings and fold in
+  // the same fixed term order with the same literal idfs, so the DuckDB
+  // oracle replays the full-scan SQL (restricted to matching docs —
+  // postings contain no tf=0 rows, and Okapi's +1 idf form keeps every
+  // match strictly positive) and hash-matches.
+  /** The inverted postings stage over the SHARED words stage (token-
+    * for-token agreement with x22 by construction). Persistable: exact
+    * integer counts, partitioning-independent. */
+  private[graft] def lexInvertedStage(s: SparkSession, dir: String)
+      : DataFrame =
+    StageCache.getOrCache(s, s"lex_inverted:$dir", bm25Fingerprint(dir)) {
+      graft.search.LexIndex
+        .postingsOfTokens(wordsStage(s, dir), "doc_id", "doc_id", "w")
+        .select(col("term_bucket"), col("term"), col("doc_id"),
+          col("tf"), col("dl"))
+    }
+
+  private val x25LexPrunedBm25: Q = (s, dir) => {
+    import graft.search.LexIndex
+    val st = bm25StatsRow(s, dir)
+    val n = st.getAs[Long]("n")
+    val avgdl = st.getAs[Long]("sum_dl").toDouble / n.toDouble
+    val idfs: Seq[Double] = bm25Terms.map { t =>
+      val df = st.getAs[Long](s"df_$t").toDouble
+      math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    val buckets = bm25Terms.map(LexIndex.bucketOf).distinct
+    val pruned = lexInvertedStage(s, dir)
+      .filter(col("term_bucket").isin(buckets: _*))
+      .filter(col("term").isin(bm25Terms: _*))
+    val tfCols = bm25Terms.map(t =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = pruned.groupBy(col("doc_id"), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val termScores: Seq[Column] = bm25Terms.zip(idfs).map { case (t, idf) =>
+      val tf = col(s"tf_$t").cast("double")
+      lit(idf) * (tf * lit(bm25K1 + 1)) /
+        (tf + lit(bm25K1) *
+          (lit(1 - bm25B) + lit(bm25B) *
+            (col("dl").cast("double") / lit(avgdl))))
+    }
+    perDoc
+      .select(col("doc_id"), col("dl"),
+        termScores.reduce(_ + _).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+  }
+
+  private val x25Sql =
+    s"""SELECT * FROM ($bm25ScoredSql)
+       |WHERE bm25 > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
   /** The write-time BM25 tables the x22 scaladoc promises, under their
     * exact StageCache keys — what `index-sketches` persists so
     * x22/v14/v16 score against materialized postings + a 1-row stats
@@ -1302,13 +1361,15 @@ object TextAnalysisQueries {
   def writeTimeStages(s: SparkSession, dir: String): Map[String, DataFrame] =
     Map(
       s"bm25_postings:$dir" -> bm25PerDoc(s, dir),
-      s"bm25_stats:$dir" -> bm25StatsDf(s, dir))
+      s"bm25_stats:$dir" -> bm25StatsDf(s, dir),
+      s"lex_inverted:$dir" -> lexInvertedStage(s, dir))
 
   /** Same derivation the read side checks ([[bm25Fingerprint]]). */
   def writeTimeFingerprint(dir: String): Option[String] = bm25Fingerprint(dir)
 
   val defs: Map[String, Q] = Map(
     "x22_bm25" -> x22Bm25,
+    "x25_lex_pruned_bm25" -> x25LexPrunedBm25,
     "x21_quality_classifier" -> x21QualityClassifier,
     "x20_pii_redact" -> x20PiiRedact,
     "x19_vocab_growth" -> x19VocabGrowth,
@@ -1333,6 +1394,7 @@ object TextAnalysisQueries {
 
   val oracles: Map[String, String] = Map(
     "x22_bm25" -> x22Sql,
+    "x25_lex_pruned_bm25" -> x25Sql,
     "x20_pii_redact" -> x20Sql,
     "x19_vocab_growth" -> x19Sql,
     "x18_heldout_lm" -> x18Sql,

@@ -63,18 +63,11 @@ object FusionFloor {
 
   /** Metadata-only fingerprint of a table directory (see [[Artifact]]):
     * every data file under the tree as relative-path:length, sorted.
-    * Unlike [[graft.queries.StageCache.sourceFingerprint]] (flat dirs),
-    * this walks into doc_bucket= partition subdirectories. */
-  def tableFingerprint(tableDir: String): String = {
-    def walk(f: java.io.File, rel: String): Seq[String] =
-      if (f.isFile) Seq(s"$rel:${f.length}")
-      else Option(f.listFiles()).toSeq.flatten
-        .filterNot(_.getName.startsWith("_"))
-        .flatMap(c => walk(c, if (rel.isEmpty) c.getName
-                              else s"$rel/${c.getName}"))
-    val files = walk(new java.io.File(tableDir), "").sorted
-    s"fusion_floor|${files.mkString(",")}"
-  }
+    * Recursive (via [[graft.queries.StageCache.treeFingerprint]]) because
+    * writeTable partitions by doc_bucket and a flat listing of partition
+    * directories is blind to rewrites inside them. */
+  def tableFingerprint(tableDir: String): String =
+    graft.queries.StageCache.treeFingerprint(tableDir, "fusion_floor")
 
   /** Distributed calibration over a (id, text) table: md5-ordered
     * CalibN sample, census df semi-joined to the sample's vocabulary,

@@ -148,4 +148,54 @@ class FusionFloorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.hits.nonEmpty)
     assert(r.hits.forall(_._2 == -1L), "dense-only: no lexical ranks")
   }
+
+  test("dense channel serves from a persisted graph index when present " +
+      "(flat and routed), identical to the exact scan at exhaustive " +
+      "knobs") {
+    import org.apache.spark.sql.functions.col
+    val engine = new Engine(spark, new OfflineEmbedder(64))
+    val td = s"$dir/tables4"
+    val fa = writeDoc("e.txt",
+      "echo document about spark shuffles and partition pruning together")
+    val fb = writeDoc("f.txt",
+      "golf document about vector recall and graph index maintenance")
+    ingestTables(td, List(fa, fb), engine)
+    calibrateAt(td)
+    val query = "vector recall"
+    val exact = Cli.hybridSearchCommand(spark, td, query, 5)
+
+    // flat graph index: ef(64) >= corpus size here, so the walk is
+    // exhaustive and the hybrid result is bit-identical
+    val e = spark.read.parquet(s"$td/embeddings")
+    graft.search.HnswMaintenance.writeIndex(
+      e, s"$td/embeddings_hnsw", numShards = 2,
+      docCol = Some("document_id"))
+    val viaFlat = Cli.hybridSearchCommand(spark, td, query, 5)
+    assert(viaFlat == exact,
+      s"flat-index dense channel diverged:\n$viaFlat\nvs\n$exact")
+
+    // routed graph index takes precedence; probeCells = cells is the
+    // full fan-out THROUGH the replica-deduped routed walk -> identical
+    val sample = e.select(col("vector")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val router = graft.search.Ivf.train(sample, 2)
+    graft.search.HnswMaintenance.writeIndexRouted(
+      e.drop("doc_bucket"), s"$td/embeddings_hnsw_routed", router,
+      replicas = 1, docCol = Some("document_id"))
+    spark.conf.set(
+      org.apache.spark.sql.graft.HnswIndexRewrite.ProbeCellsKey, "2")
+    try {
+      val viaRouted = Cli.hybridSearchCommand(spark, td, query, 5)
+      assert(viaRouted == exact,
+        s"routed-index dense channel diverged:\n$viaRouted\nvs\n$exact")
+    } finally spark.conf.unset(
+      org.apache.spark.sql.graft.HnswIndexRewrite.ProbeCellsKey)
+  }
+
+  private def calibrateAt(td: String): Unit = {
+    val a = FusionFloor.calibrate(
+      spark.read.parquet(s"$td/fragments"), "id", "content",
+      tableDir = Some(s"$td/fragments"))
+    FusionFloor.save(a, s"$td/fusion_floor.txt")
+  }
 }

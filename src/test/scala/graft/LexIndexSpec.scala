@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Engine
+import graft.embedding.OfflineEmbedder
+import graft.search.{FusionFloor, LexIndex}
+
+/** The inverted lexical postings index: hybrid serving through it must
+  * be BIT-FOR-BIT the corpus-scan fallback (same integer tf/df/dl/n
+  * facts, same fixed-order literal-idf fold), its reads must be
+  * partition-pruned to the query terms' buckets, maintenance must go
+  * through delta batches that converge to a full rebuild, and a stale
+  * stats sidecar must refuse to serve (the ivf_q_hash contract).
+  */
+class LexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var dir: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    spark = GraftSession.builder("local[4]", "8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    dir = Files.createTempDirectory("lex-index")
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    graft.ingest.TableSwap.rmTreeAt(dir.toString)
+  }
+
+  private def writeDoc(name: String, text: String): String = {
+    val p = Paths.get(dir.toString, name)
+    Files.write(p, text.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  private def ingestTables(td: String, files: List[String],
+      engine: Engine): Unit = {
+    val r = engine.ingest(Cli.readDocFiles(spark, files))
+    import graft.ingest.IngestPipeline.writeTable
+    writeTable(r.documents.toDF(), s"$td/documents", key = "id")
+    writeTable(r.concepts.toDF(), s"$td/concepts")
+    writeTable(r.fragments.toDF(), s"$td/fragments")
+    writeTable(r.parents.toDF(), s"$td/parents")
+    writeTable(r.embeddings.toDF(), s"$td/embeddings")
+    r.release()
+  }
+
+  private def calibrate(td: String): Unit = {
+    val a = FusionFloor.calibrate(
+      spark.read.parquet(s"$td/fragments"), "id", "content",
+      tableDir = Some(s"$td/fragments"))
+    FusionFloor.save(a, s"$td/fusion_floor.txt")
+  }
+
+  test("postings-served hybrid search is bit-for-bit the scan fallback; " +
+      "delta maintenance converges to a rebuild; compaction is a no-op " +
+      "on results") {
+    val engine = new Engine(spark, new OfflineEmbedder(64))
+    val td = s"$dir/tables"
+    val fa = writeDoc("a.txt",
+      "alpha document about spark shuffles and partition pruning basics " +
+        "with spark appearing twice for a tf above one")
+    val fb = writeDoc("b.txt",
+      "bravo document about vector search recall and index maintenance")
+    val fc = writeDoc("c.txt",
+      "charlie document mentions partition layout and vector recall too")
+    ingestTables(td, List(fa, fb, fc), engine)
+    calibrate(td)
+
+    val query = "spark partition recall"
+    // scan fallback first (no index yet)
+    assert(!LexIndex.exists(td))
+    val scan0 = Cli.hybridSearchCommand(spark, td, query, 5)
+
+    // build the index; serving flips to the pruned path
+    val st = LexIndex.build(spark, td)
+    assert(LexIndex.exists(td))
+    assert(st.n == spark.read.parquet(s"$td/fragments").count())
+    val idx0 = Cli.hybridSearchCommand(spark, td, query, 5)
+    assert(idx0 == scan0,
+      s"pruned path must be bit-for-bit the scan path:\n$idx0\nvs\n$scan0")
+
+    // an out-of-corpus query degrades identically on both paths
+    val oov = Cli.hybridSearchCommand(spark, td, "zzz qqq www", 5)
+    assert(oov.conf == 0.0 && oov.wLex == 0.0)
+
+    // maintenance: replace one document through the Cli (delta batch,
+    // base untouched), then compare against scan fallback AND a full
+    // rebuild on the same post-delta corpus
+    Files.write(Paths.get(fb),
+      ("bravo rewritten to speak of spark streaming recall watermarks " +
+        "and partition state stores").getBytes(StandardCharsets.UTF_8))
+    Cli.reingestCommand(spark, engine, td, List(fb))
+    assert(Files.isDirectory(Paths.get(LexIndex.deltaPath(td))),
+      "reingest must maintain by delta batch, not rebuild")
+    val viaDelta = Cli.hybridSearchCommand(spark, td, query, 5)
+
+    // scan fallback on the post-delta corpus: hide the sidecar (a torn
+    // build looks exactly like this and must degrade safely, not serve)
+    val statsBytes = Files.readAllBytes(Paths.get(LexIndex.statsPath(td)))
+    Files.delete(Paths.get(LexIndex.statsPath(td)))
+    assert(!LexIndex.exists(td))
+    val viaScan = Cli.hybridSearchCommand(spark, td, query, 5)
+    Files.write(Paths.get(LexIndex.statsPath(td)), statsBytes)
+    assert(viaDelta == viaScan,
+      s"delta-maintained index diverged from the corpus:\n$viaDelta" +
+        s"\nvs\n$viaScan")
+
+    // compaction folds the batches; results identical, delta dir gone
+    val folded = LexIndex.compact(spark, td)
+    assert(folded >= 1)
+    assert(!Files.exists(Paths.get(LexIndex.deltaPath(td))))
+    assert(Cli.hybridSearchCommand(spark, td, query, 5) == viaDelta)
+
+    // and a from-scratch rebuild agrees too (delta ∘ compact ≡ rebuild)
+    LexIndex.build(spark, td)
+    assert(Cli.hybridSearchCommand(spark, td, query, 5) == viaDelta)
+  }
+
+  test("pruned reads carry the term buckets into PartitionFilters") {
+    val engine = new Engine(spark, new OfflineEmbedder(64))
+    val td = s"$dir/tables_prune"
+    val fa = writeDoc("p.txt",
+      "echo corpus with enough words that several buckets materialize " +
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ingestTables(td, List(fa), engine)
+    LexIndex.build(spark, td)
+    val qTerms = Seq("alpha", "beta")
+    val df = LexIndex.prunedPostings(spark, td, qTerms)
+    val pf = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("term_bucket"),
+      s"term buckets must reach PartitionFilters:\n$pf")
+    // driver-side bucket = Spark-side bucket (md5 hex agreement)
+    import org.apache.spark.sql.functions._
+    val sparkBuckets = spark.read.parquet(LexIndex.indexPath(td))
+      .filter(col("term").isin(qTerms: _*))
+      .select(col("term"), col("term_bucket")).distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    qTerms.foreach { t =>
+      assert(sparkBuckets(t) == LexIndex.bucketOf(t),
+        s"bucketOf('$t') must match the written partition value")
+    }
+  }
+
+  test("a stale stats sidecar refuses to serve (fragments rewritten " +
+      "without the lex maintenance step)") {
+    val engine = new Engine(spark, new OfflineEmbedder(64))
+    val td = s"$dir/tables_stale"
+    val fa = writeDoc("s.txt", "foxtrot corpus speaks of parquet rows")
+    ingestTables(td, List(fa), engine)
+    calibrate(td)
+    LexIndex.build(spark, td)
+    val stale = Files.readAllBytes(Paths.get(LexIndex.statsPath(td)))
+    // rewrite the fragments table out from under the index (the
+    // reingest-without-lex-step / torn-maintenance shape)
+    Files.write(Paths.get(fa),
+      "foxtrot rewritten to different words".getBytes(
+        StandardCharsets.UTF_8))
+    Cli.reingestCommand(spark, engine, td, List(fa))
+    Files.write(Paths.get(LexIndex.statsPath(td)), stale)
+    val e = intercept[IllegalArgumentException] {
+      Cli.hybridSearchCommand(spark, td, "parquet", 5)
+    }
+    assert(e.getMessage.contains("STALE"),
+      s"expected the lex staleness refusal, got: ${e.getMessage}")
+  }
+}

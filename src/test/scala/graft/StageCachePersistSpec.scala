@@ -66,7 +66,9 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("BM25 family is byte-identical against persisted posting/stats tables") {
     val s = spark
-    val bmQueries = Seq("x22_bm25", "v14_hybrid_rrf", "v16_hybrid_topk")
+    val bmQueries =
+      Seq("x22_bm25", "x25_lex_pruned_bm25", "v14_hybrid_rrf",
+        "v16_hybrid_topk")
     def run(): Map[String, Seq[String]] = bmQueries.map { q =>
       q -> SparkEntry.queries(q)(s, dir).collect().map(_.toString).toSeq
     }.toMap
@@ -75,7 +77,7 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val root = java.nio.file.Files.createTempDirectory("bm25_tables").toString
     val stages = TextAnalysisQueries.writeTimeStages(s, dir)
-    assert(stages.size == 2)
+    assert(stages.size == 3)
     val fp = TextAnalysisQueries.writeTimeFingerprint(dir)
     stages.foreach { case (k, df) =>
       StageCache.persistStage(s, k, df, root, fp)
@@ -93,6 +95,16 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queryExecution.executedPlan.toString
       assert(plan.contains("parquet") || plan.contains("Parquet"),
         s"posting stage did not read through to parquet:\n$plan")
+      // and the persisted inverted postings serve x25 PARTITION-PRUNED:
+      // persistStage lays term_bucket out as a partition column, so the
+      // five query terms' buckets reach PartitionFilters (the 100 TB
+      // claim of the x25 scaladoc, witnessed on the artifact of record)
+      val x25Plan = SparkEntry.queries("x25_lex_pruned_bm25")(s, dir)
+        .queryExecution.executedPlan.toString
+      val pf = x25Plan.linesIterator
+        .filter(_.contains("PartitionFilters")).mkString("\n")
+      assert(pf.contains("term_bucket"),
+        s"x25 read-through must prune term buckets:\n$pf")
       val after = run()
       bmQueries.foreach { q =>
         assert(after(q) == before(q), s"$q diverged against persisted stages")
