@@ -587,6 +587,10 @@ object Cli {
           spark, tablesDir, ids, r.fragments.toDF())
         println(s"[reingest] lex_postings: delta batch=$k " +
           s"(${ids.length} documents)")
+        val folded = graft.search.LexIndex.maybeCompact(spark, tablesDir)
+        if (folded > 0)
+          println(s"[reingest] lex_postings: compacted $folded delta " +
+            "batches into the base")
       }
     }
     // the gated-fusion floor is corpus-calibrated, so a corpus change

@@ -263,6 +263,20 @@ object LexIndex {
     batches.size
   }
 
+  /** Delta-batch count past which maintenance folds the segments back
+    * into the base: each batch adds one anti-join to every serve plan,
+    * so an unbounded tail would make reads degrade linearly with
+    * maintenance history (the LSM compaction argument). */
+  val MaxBatches = 8
+
+  /** [[compact]] iff the committed batch count exceeds `maxBatches` —
+    * the reingest step's self-limiting call. Returns folded count (0 =
+    * left alone). */
+  def maybeCompact(spark: SparkSession, tablesDir: String,
+      maxBatches: Int = MaxBatches): Int =
+    if (batchDirs(tablesDir).size > maxBatches) compact(spark, tablesDir)
+    else 0
+
   /** Document frequencies of `qTerms` over the merged pruned postings:
     * ≤|q| rows back to the driver. */
   def dfOf(spark: SparkSession, tablesDir: String, qTerms: Seq[String])

@@ -972,6 +972,57 @@ object EventStreams {
     ()
   }
 
+  /** [[ingestHnswIndexStream]]'s LEXICAL twin: every micro-batch
+    * cascade-replaces its documents in the `fragments` table AND appends
+    * a postings delta batch + restamps the exact-stats sidecar — `Cli
+    * reingest`'s lex maintenance, driven by a stream. Unlike the vector
+    * index twins (which maintain a standalone index directory), the
+    * lexical artifact is freshness-BOUND to the fragments table by its
+    * sidecar fingerprint, so the stream twin must maintain both in the
+    * same micro-batch or serving would loudly refuse — the staleness
+    * contract working as designed. At-least-once replay converges: the
+    * table replace is idempotent by document, and a duplicate delta
+    * batch's del∘ins over already-final content is a no-op (LexIndexSpec
+    * pins stream ≡ scan fallback ≡ rebuild, through a replay).
+    */
+  def ingestLexIndexStream(
+      texts: Dataset[graft.ingest.IngestPipeline.DocInput],
+      tablesDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    texts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: Dataset[graft.ingest.IngestPipeline.DocInput], _: Long) =>
+          applyLexIngestBatch(tablesDir, batch)
+      }
+      .start()
+
+  /** One micro-batch of [[ingestLexIndexStream]] — exposed for
+    * deterministic replay in specs.
+    */
+  private[graft] def applyLexIngestBatch(tablesDir: String,
+      batch: Dataset[graft.ingest.IngestPipeline.DocInput]): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val processed = graft.ingest.IngestPipeline.process(batch)
+    // replaced ids come from the DOCUMENTS (a re-ingested document that
+    // yields zero eligible fragments must still cascade its old rows out)
+    val ids = processed.map(_.document.id).collect().toSeq.distinct
+    if (ids.isEmpty) return
+    val frags = graft.ingest.IngestPipeline.fragments(processed).toDF()
+    val path = s"$tablesDir/fragments"
+    graft.ingest.TableSwap.recoverSwap(path)
+      .foreach(a => System.err.println(s"[lex-stream] $path: $a"))
+    val existing = spark.read.parquet(path).drop("doc_bucket")
+    val merged =
+      graft.ingest.IngestPipeline.replaceDocuments(existing, frags)
+    graft.ingest.TableSwap.swap(path)(staging =>
+      graft.ingest.IngestPipeline.writeTable(merged, staging))
+    graft.search.LexIndex.appendDelta(spark, tablesDir, ids, frags)
+    graft.search.LexIndex.maybeCompact(spark, tablesDir)
+    ()
+  }
+
   /** One micro-batch of [[ingestIndexStream]] — exposed for deterministic
     * replay in specs.
     */

@@ -151,6 +151,96 @@ class LexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maintenance self-limits its delta tail: past MaxBatches the " +
+      "segments fold into the base and the merged content is the final " +
+      "state") {
+    val s = spark
+    import s.implicits._
+    val td = s"$dir/tables_tail"
+    val frags = Seq(("f1", "d1", "alpha beta"), ("f2", "d2", "beta gamma"))
+      .toDF("id", "document_id", "content")
+    graft.ingest.IngestPipeline.writeTable(frags, s"$td/fragments")
+    LexIndex.build(spark, td)
+    (0 until 9).foreach { i =>
+      val nf = Seq((s"f2_$i", "d2", s"beta gamma round$i"))
+        .toDF("id", "document_id", "content")
+      LexIndex.appendDelta(spark, td, Seq("d2"), nf)
+    }
+    // 9 committed batches > MaxBatches(8): the reingest step's call folds
+    assert(LexIndex.maybeCompact(spark, td) == 9)
+    assert(!Files.exists(Paths.get(LexIndex.deltaPath(td))))
+    // and leaves exactly the final state: d2's postings are batch 8's
+    val betaIds = LexIndex.prunedPostings(spark, td, Seq("beta"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(betaIds == Set("f1", "f2_8"), s"got $betaIds")
+    // under the bound, maintenance leaves the tail alone
+    LexIndex.appendDelta(spark, td, Seq("d1"),
+      Seq(("f1_n", "d1", "alpha delta")).toDF(
+        "id", "document_id", "content"))
+    assert(LexIndex.maybeCompact(spark, td) == 0)
+  }
+
+  test("streaming twin: micro-batches maintain fragments + postings + " +
+      "sidecar together; an at-least-once replay converges; serve ≡ " +
+      "scan ≡ rebuild over the final corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ingest.IngestPipeline
+    import graft.ingest.IngestPipeline.DocInput
+    import graft.streaming.EventStreams
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    def doc(path: String, marker: String) = DocInput(path,
+      s"$marker paragraph with enough characters to form a fragment.",
+      isOcr = false)
+    val td = s"$dir/tables_stream"
+    // batch bootstrap: fragments table + postings base + fusion floor
+    val frags0 = IngestPipeline.fragments(IngestPipeline.process(
+      Seq(doc("l/a.txt", "alpha spark"), doc("l/b.txt", "bravo recall"))
+        .toDS())).toDF()
+    graft.ingest.IngestPipeline.writeTable(frags0, s"$td/fragments")
+    // minimal embeddings table for the dense channel
+    val engine = new Engine(spark, new OfflineEmbedder(64))
+    graft.ingest.IngestPipeline.writeTable(
+      engine.ingest(Seq(doc("l/a.txt", "alpha spark"),
+        doc("l/b.txt", "bravo recall")).toDS()).embeddings.toDF(),
+      s"$td/embeddings")
+    LexIndex.build(spark, td)
+    calibrate(td)
+
+    val mem = MemoryStream[DocInput]
+    val query = EventStreams.ingestLexIndexStream(mem.toDS(), td,
+      s"$dir/lex_stream_ckpt")
+    try {
+      mem.addData(doc("l/b.txt", "bravo rewritten spark recall"))
+      query.processAllAvailable()
+      mem.addData(doc("l/c.txt", "charlie joins with spark"))
+      query.processAllAvailable()
+    } finally query.stop()
+    // at-least-once: replay the first delta batch directly
+    EventStreams.applyLexIngestBatch(td,
+      Seq(doc("l/b.txt", "bravo rewritten spark recall")).toDS())
+    // the fusion floor is corpus-bound too and the lex stream twin is
+    // index-scoped — recalibrate (reingest's floor step) before serving
+    calibrate(td)
+
+    // the maintained artifact serves fresh and equals the scan fallback
+    val viaStream = Cli.hybridSearchCommand(spark, td, "spark recall", 5)
+    val statsBytes = Files.readAllBytes(Paths.get(LexIndex.statsPath(td)))
+    Files.delete(Paths.get(LexIndex.statsPath(td)))
+    val viaScan = Cli.hybridSearchCommand(spark, td, "spark recall", 5)
+    Files.write(Paths.get(LexIndex.statsPath(td)), statsBytes)
+    assert(viaStream == viaScan,
+      s"stream-maintained index diverged:\n$viaStream\nvs\n$viaScan")
+    // ... and a from-scratch rebuild over the final table agrees
+    LexIndex.build(spark, td)
+    assert(Cli.hybridSearchCommand(spark, td, "spark recall", 5)
+      == viaStream)
+    // the lexical channel actually saw all three documents' content
+    assert(LexIndex.dfOf(spark, td, Seq("spark"))("spark") >= 3L)
+  }
+
   test("a stale stats sidecar refuses to serve (fragments rewritten " +
       "without the lex maintenance step)") {
     val engine = new Engine(spark, new OfflineEmbedder(64))
