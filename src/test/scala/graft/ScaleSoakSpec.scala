@@ -31,13 +31,14 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val enabled = sys.env.get("GRAFT_SOAK").contains("1")
   private val enabled10m = sys.env.get("GRAFT_SOAK10M").contains("1")
   private val enabledRMaint = sys.env.get("GRAFT_SOAKRMAINT").contains("1")
+  private val enabledLex = sys.env.get("GRAFT_SOAKLEX").contains("1")
   private val sf01 = "/root/testdata/sf0.1"
   private val sf1 = "localdata/sf1"
 
   private var spark: SparkSession = _
 
   override def beforeAll(): Unit = if (enabled || enabled10m ||
-      enabledRMaint) {
+      enabledRMaint || enabledLex) {
     spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     if (enabled && !new java.io.File(s"$sf1/lineitem.parquet").isFile) {
@@ -1078,5 +1079,186 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
         sys.env.getOrElse("GRAFT_SOAKRMAINT_OUT", "SOAK_routedmaint.json")),
         (line + "\n").getBytes("UTF-8"))
     } finally graft.ingest.TableSwap.rmTreeAt(idxDir)
+  }
+
+  /** Deterministic pseudo-text fragments: `nFrags` rows of ~31 tokens
+    * from a 50k-term vocabulary (hash-mixed per position), 10 fragments
+    * per document, plus three needle terms of controlled df (id %
+    * {997, 101, 11} == 0) so soak queries can mix rare and common terms.
+    * `salt` varies the generated text (the reingest-delta content). */
+  private def lexFragments(nFrags: Long, salt: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val parts = math.max(32, (nFrags / 40000L).toInt)
+    spark.range(0, nFrags, 1, parts)
+      .withColumnRenamed("id", "rid") // ".as(\"id\")" below must not
+      .select( //                        lateral-capture the references
+        concat(lit("f"), lpad(col("rid").cast("string"), 9, "0")).as("id"),
+        concat(lit("d"), lpad((col("rid") / 10).cast("long")
+          .cast("string"), 8, "0")).as("document_id"),
+        concat_ws(" ",
+          concat_ws(" ", transform(sequence(lit(1), lit(28)), j =>
+            concat(lit("w"), pmod(xxhash64(col("rid") * lit(131) + j +
+              lit(salt)), lit(50000L))))),
+          when(pmod(col("rid"), lit(997L)) === 0, lit("needlerare"))
+            .otherwise(lit("wfill1")),
+          when(pmod(col("rid"), lit(101L)) === 0, lit("needlemid"))
+            .otherwise(lit("wfill2")),
+          when(pmod(col("rid"), lit(11L)) === 0, lit("needlecommon"))
+            .otherwise(lit("wfill3"))).as("content"))
+  }
+
+  /** The lex soak's scan-path lexical scorer — the Cli fallback's exact
+    * expression shape (LexIndexSpec pins the Cli parity; this inline
+    * twin keeps the soak self-contained). */
+  private def lexScanTopC(frags: org.apache.spark.sql.DataFrame,
+      qTerms: Seq[String], c: Int)
+      : (Map[String, Long], Long, Double, Seq[(String, Double)]) = {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    import graft.search.FusionGate
+    val toks = frags.select(col("id").cast("string").as("id"),
+      graft.functions.TextSketch.words(col("content")).as("w"))
+    val st = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("w"))).as("sum_dl")).head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val dfMap: Map[String, Long] = toks
+      .select(explode(array_distinct(col("w"))).as("t"))
+      .filter(col("t").isin(qTerms: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val inCorpus = qTerms.filter(t => dfMap.getOrElse(t, 0L) > 0L)
+    val scored = if (inCorpus.isEmpty) Nil else {
+      val termScores = inCorpus.map { t =>
+        val idfT = FusionGate.idf(dfMap(t), n)
+        val tf = size(filter(col("w"), x => x === lit(t))).cast("double")
+        lit(idfT) * (tf * lit(FusionGate.K1 + 1)) /
+          (tf + lit(FusionGate.K1) * (lit(1 - FusionGate.B) +
+            lit(FusionGate.B) *
+              (size(col("w")).cast("double") / lit(avgdl))))
+      }
+      toks.select(col("id"), termScores.reduce(_ + _).as("bm25"))
+        .filter(col("bm25") > 0d)
+        .orderBy(col("bm25").desc, col("id")).limit(c)
+        .as[(String, Double)].collect().toSeq
+    }
+    (dfMap, n, avgdl, scored)
+  }
+
+  /** The inverted lexical index at 1M fragments (VERDICT r14-era scale
+    * discipline applied to this round's LexIndex): build cost, pruned
+    * serve vs the corpus-scan fallback (bit-equal and FASTER, with the
+    * probed row fraction stamped), delta-bounded maintenance through a
+    * document-style replacement, and compaction converging byte-equal
+    * results. `GRAFT_SOAKLEX=1 sbt "testOnly graft.ScaleSoakSpec"` —
+    * writes SOAK_lex.json (committed per round as SOAK_r{N}_lex.json).
+    */
+  test("lex index at 1M fragments: pruned serve ≡ scan and probed " +
+      "volume tiny; maintenance delta-bounded; compaction equal") {
+    assume(enabledLex, "opt-in: set GRAFT_SOAKLEX=1 to run the lex soak")
+    val s = spark
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import s.implicits._
+    import graft.search.LexIndex
+    val n = 1000000L
+    val c = 30
+    val qTerms = Seq("needlerare", "needlemid", "w123", "zzz_oov")
+    val tdRoot = java.nio.file.Files.createTempDirectory("lexsoak")
+    val td = tdRoot.toString
+    try {
+      info("writing 1M-fragment corpus …")
+      graft.ingest.IngestPipeline.writeTable(
+        lexFragments(n, salt = 0L), s"$td/fragments")
+
+      val (st0, buildSec) = timedSec { LexIndex.build(s, td) }
+      val indexRows = s.read.parquet(LexIndex.indexPath(td)).count()
+      info(f"build: $buildSec%.1f s, $indexRows postings rows, " +
+        f"n=${st0.n} sum_dl=${st0.sumDl}")
+      assert(st0.n == n)
+
+      // serve: scan fallback vs pruned postings — bit-equal, and the
+      // pruned path must touch a tiny fraction of the index
+      val ((dfScan, nScan, avgdlScan, scanTop), scanSec) =
+        timedSec { lexScanTopC(s.read.parquet(s"$td/fragments"),
+          qTerms, c) }
+      val ((dfIdx, idxTop), prunedSec) = timedSec {
+        val d = LexIndex.dfOf(s, td, qTerms)
+        val inC = qTerms.filter(t => d.getOrElse(t, 0L) > 0L)
+        (d, LexIndex.scoreTopC(s, td, inC, d, st0.n,
+          st0.sumDl.toDouble / st0.n.toDouble, c))
+      }
+      assert(nScan == st0.n)
+      assert(avgdlScan == st0.sumDl.toDouble / st0.n.toDouble)
+      assert(dfIdx == dfScan, s"df census diverged: $dfIdx vs $dfScan")
+      assert(idxTop == scanTop,
+        s"pruned top-$c diverged from the scan:\n$idxTop\nvs\n$scanTop")
+      val probedRows = LexIndex.prunedPostings(s, td, qTerms).count()
+      val probedFrac = probedRows.toDouble / indexRows.toDouble
+      info(f"serve: scan $scanSec%.1f s vs pruned $prunedSec%.1f s ×2 " +
+        f"(df+score); probed $probedRows of $indexRows rows " +
+        f"($probedFrac%.5f)")
+      assert(probedFrac < 0.02,
+        f"pruned serve read $probedFrac%.4f of the index — bucket " +
+          "pruning is not reaching the scan")
+      assert(prunedSec < scanSec,
+        f"pruned serve ($prunedSec%.1f s) not faster than the corpus " +
+          f"scan ($scanSec%.1f s) at 1M")
+
+      // maintenance: replace the first 1000 documents (10k fragments)
+      // with re-salted content — table cascade + one delta batch
+      val replDocs = (0 until 1000).map(i => f"d$i%08d")
+      val newFrags = lexFragments(10000L, salt = 7777L)
+      val (_, maintSec) = timedSec {
+        val path = s"$td/fragments"
+        val existing = s.read.parquet(path).drop("doc_bucket")
+        val merged = existing
+          .join(broadcast(replDocs.toDF("document_id")),
+            Seq("document_id"), "left_anti")
+          .unionByName(newFrags.select(existing.columns.map(col): _*))
+        graft.ingest.TableSwap.swap(path)(staging =>
+          graft.ingest.IngestPipeline.writeTable(merged, staging))
+        LexIndex.appendDelta(s, td, replDocs, newFrags)
+      }
+      info(f"maintenance (1000 docs / 10k frags): $maintSec%.1f s " +
+        f"vs build $buildSec%.1f s")
+      assert(maintSec <= buildSec,
+        f"delta maintenance $maintSec%.1f s exceeded the full build " +
+          f"$buildSec%.1f s — not delta-bounded")
+
+      // post-delta: pruned ≡ scan over the updated corpus
+      val (_, _, _, scanTop2) =
+        lexScanTopC(s.read.parquet(s"$td/fragments"), qTerms, c)
+      val st1 = LexIndex.loadStats(td)
+      LexIndex.requireFresh(st1, td)
+      val dfIdx2 = LexIndex.dfOf(s, td, qTerms)
+      val idxTop2 = LexIndex.scoreTopC(s, td,
+        qTerms.filter(t => dfIdx2.getOrElse(t, 0L) > 0L), dfIdx2,
+        st1.n, st1.sumDl.toDouble / st1.n.toDouble, c)
+      assert(idxTop2 == scanTop2,
+        "post-delta pruned serve diverged from the updated corpus")
+
+      // compaction: fold the batch, byte-equal answers
+      val (folded, compactSec) = timedSec { LexIndex.compact(s, td) }
+      assert(folded == 1)
+      val dfIdx3 = LexIndex.dfOf(s, td, qTerms)
+      val idxTop3 = LexIndex.scoreTopC(s, td,
+        qTerms.filter(t => dfIdx3.getOrElse(t, 0L) > 0L), dfIdx3,
+        st1.n, st1.sumDl.toDouble / st1.n.toDouble, c)
+      assert(idxTop3 == idxTop2, "compaction changed served results")
+      info(f"compaction: $compactSec%.1f s")
+
+      val line =
+        s"""{"metric":"lex_soak","n":$n,"index_rows":$indexRows,""" +
+          f""""build_sec":$buildSec%.2f,"scan_serve_sec":$scanSec%.2f,""" +
+          f""""pruned_serve_sec":$prunedSec%.2f,""" +
+          f""""probed_rows":$probedRows,"probed_frac":$probedFrac%.6f,""" +
+          f""""maint_sec":$maintSec%.2f,"compact_sec":$compactSec%.2f,""" +
+          s""""df":{${dfIdx.toSeq.sortBy(_._1).map { case (t, d) =>
+            s""""$t":$d""" }.mkString(",")}}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_SOAKLEX_OUT", "SOAK_lex.json")),
+        (line + "\n").getBytes("UTF-8"))
+    } finally graft.ingest.TableSwap.rmTreeAt(td)
   }
 }
