@@ -302,6 +302,28 @@ object Cli {
         println(s"[lex-index] n=${st.n} sum_dl=${st.sumDl} " +
           s"buckets<=${graft.search.LexIndex.Buckets}")
 
+      // Pure lexical (BM25) top-k through the postings index: df census
+      // + scoring read only the query terms' buckets. Requires the
+      // index (this verb IS the pruned path; hybrid-search carries the
+      // scan fallback for indexless tables).
+      case "lex-search" :: tablesDir :: query :: rest =>
+        val topK = rest.headOption.map(_.toInt).getOrElse(10)
+        import graft.search.LexIndex
+        require(LexIndex.exists(tablesDir),
+          s"no lex index under $tablesDir — run lex-index first")
+        val st = LexIndex.loadStats(tablesDir)
+        LexIndex.requireFresh(st, tablesDir)
+        val qTerms = query.trim.split("[ \\t\\n\\f\\r]+")
+          .filter(_.nonEmpty).distinct.toSeq
+        val dfMap = LexIndex.dfOf(spark, tablesDir, qTerms)
+        val inCorpus = qTerms.filter(t => dfMap.getOrElse(t, 0L) > 0L)
+        val hits = LexIndex.scoreTopC(spark, tablesDir, inCorpus, dfMap,
+          st.n, st.sumDl.toDouble / st.n.toDouble, topK)
+        hits.zipWithIndex.foreach { case ((id, score), i) =>
+          println(f"#${i + 1}%-3d bm25=$score%.4f $id")
+        }
+        if (hits.isEmpty) println("(no lexical matches)")
+
       case "fusion-calibrate" :: tablesDir :: Nil =>
         val frags = spark.read.parquet(s"$tablesDir/fragments")
         val a = graft.search.FusionFloor.calibrate(frags, "id", "content",

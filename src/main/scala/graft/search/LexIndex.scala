@@ -175,20 +175,22 @@ object LexIndex {
     loadStats(tablesDir)
   }
 
-  private def batchDirs(tablesDir: String): Seq[(Int, String)] = {
+  private def allBatchDirs(tablesDir: String): Seq[(Int, java.io.File)] = {
     val root = new java.io.File(deltaPath(tablesDir))
     Option(root.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .flatMap { f =>
-        // only committed batches participate — a torn delta write has
-        // no _SUCCESS and is invisible (and the sidecar it never
-        // restamped keeps serving hard-erroring until maintenance reruns)
-        if (new java.io.File(f, "_SUCCESS").isFile)
-          Some(f.getName.stripPrefix("batch=").toInt -> f.getPath)
-        else None
-      }
+      .map(f => f.getName.stripPrefix("batch=").toInt -> f)
       .sortBy(_._1)
   }
+
+  // only committed batches participate in reads — a torn delta write
+  // has no _SUCCESS and is invisible (and the sidecar it never
+  // restamped keeps serving hard-erroring until maintenance reruns)
+  private def batchDirs(tablesDir: String): Seq[(Int, String)] =
+    allBatchDirs(tablesDir).collect {
+      case (k, f) if new java.io.File(f, "_SUCCESS").isFile =>
+        k -> f.getPath
+    }
 
   /** One reingest maintenance step: append a delta batch (del rows for
     * the replaced documents, ins postings for their new fragments),
@@ -199,7 +201,10 @@ object LexIndex {
   def appendDelta(spark: SparkSession, tablesDir: String,
       replacedDocIds: Seq[String], newFrags: DataFrame): Int = {
     import spark.implicits._
-    val k = batchDirs(tablesDir).lastOption.map(_._1 + 1).getOrElse(0)
+    // number past EVERY batch dir, committed or torn — a crashed write
+    // left an uncommitted (read-invisible) batch=k that must not block
+    // the retry's errorifexists; the dead dir is swept at compaction
+    val k = allBatchDirs(tablesDir).lastOption.map(_._1 + 1).getOrElse(0)
     val ins = postingsOf(newFrags).withColumn("op", lit("ins"))
     val del = replacedDocIds.toDF("doc_id")
       .select(lit(null).cast("string").as("term"),
@@ -207,7 +212,10 @@ object LexIndex {
         lit(null).cast("long").as("dl"), lit(null).cast("long").as("tf"),
         lit("_del").as("term_bucket"), lit("del").as("op"))
     ins.unionByName(del)
-      .coalesce(1)
+      // bucket-grouped, term-sorted files: bounded file count per batch
+      // and row-group stats that prune delta reads the way the base's do
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions("term", "id")
       .write.mode("errorifexists")
       .parquet(s"${deltaPath(tablesDir)}/batch=$k")
     val (n, sumDl) = statsOf(spark.read.parquet(s"$tablesDir/fragments"))

@@ -178,6 +178,17 @@ class LexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(("f1_n", "d1", "alpha delta")).toDF(
         "id", "document_id", "content"))
     assert(LexIndex.maybeCompact(spark, td) == 0)
+    // a torn batch dir (no _SUCCESS — a crashed delta write) is
+    // read-invisible but must not block the retry's numbering
+    val preDf = LexIndex.dfOf(spark, td, Seq("delta"))
+    Files.createDirectories(Paths.get(LexIndex.deltaPath(td), "batch=1"))
+    assert(LexIndex.dfOf(spark, td, Seq("delta")) == preDf,
+      "an uncommitted batch must be invisible to reads")
+    LexIndex.appendDelta(spark, td, Seq("d1"),
+      Seq(("f1_n2", "d1", "alpha delta epsilon")).toDF(
+        "id", "document_id", "content"))
+    assert(LexIndex.dfOf(spark, td, Seq("epsilon"))("epsilon") == 1L,
+      "the retry after a torn write must land (numbered past the tomb)")
   }
 
   test("streaming twin: micro-batches maintain fragments + postings + " +
