@@ -338,7 +338,9 @@ object Cli {
       // calibrated floor. Hard-errors if the floor sidecar is stale.
       case "hybrid-search" :: tablesDir :: query :: rest =>
         val topK = rest.headOption.map(_.toInt).getOrElse(10)
-        val r = hybridSearchCommand(spark, tablesDir, query, topK)
+        val view = rest.lift(1).filter(_.nonEmpty)
+        val r = hybridSearchCommand(spark, tablesDir, query, topK,
+          view = view)
         println(f"[hybrid-search] conf=${r.conf}%.4f floor=${r.floor}%.4f " +
           (if (r.wLex > 0) "gate=FUSED" else "gate=DENSE-ONLY"))
         r.hits.zipWithIndex.foreach { case ((id, rl, rv, sc), i) =>
@@ -651,7 +653,8 @@ object Cli {
     */
   private[graft] def hybridSearchCommand(
       spark: org.apache.spark.sql.SparkSession, tablesDir: String,
-      query: String, topK: Int, c: Int = 30): HybridResult = {
+      query: String, topK: Int, c: Int = 30,
+      view: Option[String] = None): HybridResult = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.search.{FusionFloor, FusionGate, VectorSearch}
@@ -660,6 +663,11 @@ object Cli {
       s"no fusion floor at $floorPath — run fusion-calibrate (or ingest " +
         "through Cli reingest) first")
     val frags = spark.read.parquet(s"$tablesDir/fragments")
+    // metadata scoping (F1/F2 applied to the hybrid path): both channels
+    // filter BEFORE rank; corpus statistics (df/n/avgdl, the floor) stay
+    // global — the predicate restricts candidates, not the language model
+    val eligibleIds = view.map(v => frags.filter(col("view") === v)
+      .select(col("id").cast("string").as("id")))
     val art = FusionFloor.load(floorPath)
     // stamped sidecars validate against the table's file listing —
     // freshness costs a directory list, not a corpus scan (legacy
@@ -685,7 +693,8 @@ object Cli {
         val avgdl0 = lexSt.sumDl.toDouble / n0.toDouble
         val dfMap0 = LexIndex.dfOf(spark, tablesDir, qTerms)
         val scorer = (inC: Seq[String]) =>
-          LexIndex.scoreTopC(spark, tablesDir, inC, dfMap0, n0, avgdl0, c)
+          LexIndex.scoreTopC(spark, tablesDir, inC, dfMap0, n0, avgdl0, c,
+            eligible = eligibleIds)
         (n0, avgdl0, dfMap0, scorer)
       } else {
         val toks = frags.select(col("id").cast("string").as("id"),
@@ -709,7 +718,8 @@ object Cli {
                 lit(FusionGate.B) *
                   (size(col("w")).cast("double") / lit(avgdl0))))
           }
-          toks.select(col("id"), termScores.reduce(_ + _).as("bm25"))
+          eligibleIds.fold(toks)(e => toks.join(e, Seq("id"), "left_semi"))
+            .select(col("id"), termScores.reduce(_ + _).as("bm25"))
             .filter(col("bm25") > 0d)
             .orderBy(col("bm25").desc, col("id")).limit(c)
             .as[(String, Double)].collect().toSeq
@@ -735,6 +745,20 @@ object Cli {
     val routedPath = s"$tablesDir/embeddings_hnsw_routed"
     val hnswPath = s"$tablesDir/embeddings_hnsw"
     val denseEf = 64
+    // graph walks take the predicate through a metadata join (the
+    // adjacency holds no metadata; eligibility evaluates once per node
+    // and the bounded beam accepts eligible nodes only — the
+    // hnsw-search verbs' filtered-walk contract)
+    def withViewPred(index: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame,
+           Option[org.apache.spark.sql.Column]) = view match {
+      case Some(v) =>
+        val meta = spark.read.parquet(s"$tablesDir/embeddings")
+          .select(col("fragment_id").as("__fid"), col("view").as("__view"))
+        (index.join(meta, col("fragment_id") === col("__fid"), "left"),
+          Some(col("__view") === v))
+      case None => (index, None)
+    }
     val vecIds: Seq[String] =
       if (java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(routedPath))) {
@@ -746,9 +770,11 @@ object Cli {
               .DefaultProbeCells.toString).toInt
           catch { case _: NumberFormatException =>
             org.apache.spark.sql.graft.HnswIndexRewrite.DefaultProbeCells }
+        val (searchable, pred) =
+          withViewPred(spark.read.parquet(routedPath))
         graft.search.Hnsw
-          .searchIndexRouted(spark.read.parquet(routedPath),
-            Seq(("q", qvec)), c, denseEf, router, probeShards = r)
+          .searchIndexRouted(searchable, Seq(("q", qvec)), c, denseEf,
+            router, probeShards = r, predicate = pred)
           .orderBy(col("rank"))
           .select(col("fragment_id")).as[String].collect().toSeq
       } else if (java.nio.file.Files.isDirectory(
@@ -757,8 +783,10 @@ object Cli {
         val dim = index.select(col("vector")).head()
           .getAs[scala.collection.Seq[Float]](0).length
         val qvec = new OfflineEmbedder(dim).embedQuery(query)
+        val (searchable, pred) = withViewPred(index)
         graft.search.Hnsw
-          .searchIndex(index, Seq(("q", qvec)), c, denseEf)
+          .searchIndex(searchable, Seq(("q", qvec)), c, denseEf,
+            predicate = pred)
           .orderBy(col("rank"))
           .select(col("fragment_id")).as[String].collect().toSeq
       } else {
@@ -766,7 +794,7 @@ object Cli {
         val dim = emb.select(col("vector")).head()
           .getAs[scala.collection.Seq[Float]](0).length
         val qvec = new OfflineEmbedder(dim).embedQuery(query)
-        VectorSearch.knn(emb, qvec, c)
+        VectorSearch.knn(emb, qvec, c, view = view)
           .select(col("fragment_id")).as[String].collect().toSeq
       }
     HybridResult(conf, art.floor, wLex,

@@ -305,10 +305,19 @@ object LexIndex {
     * strictly — idf > 0 always holds for Okapi's +1 form). */
   def scoreTopC(spark: SparkSession, tablesDir: String,
       inCorpus: Seq[String], dfMap: Map[String, Long], n: Long,
-      avgdl: Double, c: Int): Seq[(String, Double)] = {
+      avgdl: Double, c: Int,
+      eligible: Option[DataFrame] = None): Seq[(String, Double)] = {
     import spark.implicits._
     if (inCorpus.isEmpty) return Nil
-    val pruned = prunedPostings(spark, tablesDir, inCorpus)
+    // metadata scoping is FILTER-BEFORE-RANK (the F1/F2 contract):
+    // `eligible` (a one-column "id" set, e.g. fragments of one view)
+    // semi-joins into the pruned postings before any score or limit.
+    // Corpus statistics (df/n/avgdl) stay GLOBAL — the Postgres
+    // FTS-with-WHERE semantics the reference pairs pgvector with: the
+    // predicate restricts candidates, not the language model.
+    val pruned0 = prunedPostings(spark, tablesDir, inCorpus)
+    val pruned = eligible.fold(pruned0)(e =>
+      pruned0.join(e.select(col("id")), Seq("id"), "left_semi"))
     val tfCols: Seq[Column] = inCorpus.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
     }

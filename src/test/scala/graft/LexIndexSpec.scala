@@ -122,6 +122,28 @@ class LexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and a from-scratch rebuild agrees too (delta ∘ compact ≡ rebuild)
     LexIndex.build(spark, td)
     assert(Cli.hybridSearchCommand(spark, td, query, 5) == viaDelta)
+
+    // metadata scoping (F1/F2 on the hybrid path): filter-before-rank
+    // on both channels, pruned ≡ scan under the predicate, and every
+    // hit belongs to the view
+    val fragsDf = spark.read.parquet(s"$td/fragments")
+    val v = fragsDf.select("view").distinct()
+      .collect().map(_.getString(0)).sorted.head
+    val eligible = fragsDf
+      .filter(org.apache.spark.sql.functions.col("view") === v)
+      .select("id").collect().map(_.getString(0)).toSet
+    val idxV = Cli.hybridSearchCommand(spark, td, query, 5,
+      view = Some(v))
+    assert(idxV.hits.nonEmpty)
+    assert(idxV.hits.forall(h => eligible.contains(h._1)),
+      s"scoped hits must all be view=$v")
+    val sb2 = Files.readAllBytes(Paths.get(LexIndex.statsPath(td)))
+    Files.delete(Paths.get(LexIndex.statsPath(td)))
+    val scanV = Cli.hybridSearchCommand(spark, td, query, 5,
+      view = Some(v))
+    Files.write(Paths.get(LexIndex.statsPath(td)), sb2)
+    assert(idxV == scanV,
+      s"scoped pruned path diverged from scan:\n$idxV\nvs\n$scanV")
   }
 
   test("pruned reads carry the term buckets into PartitionFilters") {
