@@ -1317,7 +1317,12 @@ object TextAnalysisQueries {
           col("tf"), col("dl"))
     }
 
-  private val x25LexPrunedBm25: Q = (s, dir) => {
+  /** The shared body of x25/x26: BM25 top-10 off the bucket-pruned
+    * inverted postings, optionally restricted to an eligible doc set
+    * BEFORE scoring (filter-before-rank; corpus statistics stay
+    * global — the FTS-with-WHERE semantics). */
+  private def lexPrunedTop10(s: SparkSession, dir: String,
+      eligible: Option[DataFrame]): DataFrame = {
     import graft.search.LexIndex
     val st = bm25StatsRow(s, dir)
     val n = st.getAs[Long]("n")
@@ -1327,9 +1332,11 @@ object TextAnalysisQueries {
       math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
     }
     val buckets = bm25Terms.map(LexIndex.bucketOf).distinct
-    val pruned = lexInvertedStage(s, dir)
+    val pruned0 = lexInvertedStage(s, dir)
       .filter(col("term_bucket").isin(buckets: _*))
       .filter(col("term").isin(bm25Terms: _*))
+    val pruned = eligible.fold(pruned0)(e =>
+      pruned0.join(e.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     val tfCols = bm25Terms.map(t =>
       sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf_$t"))
     val perDoc = pruned.groupBy(col("doc_id"), col("dl"))
@@ -1347,9 +1354,31 @@ object TextAnalysisQueries {
       .orderBy(col("bm25").desc, col("doc_id")).limit(10)
   }
 
+  private val x25LexPrunedBm25: Q = (s, dir) =>
+    lexPrunedTop10(s, dir, eligible = None)
+
   private val x25Sql =
     s"""SELECT * FROM ($bm25ScoredSql)
        |WHERE bm25 > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  // X26 — the SCOPED lexical retrieval (F1/F2's metadata predicate
+  // applied to the postings path, the shape `Cli hybrid-search --view`
+  // serves): candidates restricted to one language's documents by a
+  // semi-join BEFORE scoring, corpus statistics global. The oracle
+  // replays the restriction as a plain IN-subquery over the full-scan
+  // scores — same integer facts, same fold, hash-exact.
+  private val x26ScopeLang = "fr"
+
+  private val x26LexScopedBm25: Q = (s, dir) =>
+    lexPrunedTop10(s, dir, eligible = Some(
+      wordsStage(s, dir).filter(col("lang") === x26ScopeLang)
+        .select(col("doc_id"))))
+
+  private val x26Sql =
+    s"""SELECT * FROM ($bm25ScoredSql)
+       |WHERE bm25 > 0 AND doc_id IN
+       |  (SELECT doc_id FROM documents WHERE lang = '$x26ScopeLang')
        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
   /** The write-time BM25 tables the x22 scaladoc promises, under their
@@ -1370,6 +1399,7 @@ object TextAnalysisQueries {
   val defs: Map[String, Q] = Map(
     "x22_bm25" -> x22Bm25,
     "x25_lex_pruned_bm25" -> x25LexPrunedBm25,
+    "x26_lex_scoped_bm25" -> x26LexScopedBm25,
     "x21_quality_classifier" -> x21QualityClassifier,
     "x20_pii_redact" -> x20PiiRedact,
     "x19_vocab_growth" -> x19VocabGrowth,
@@ -1395,6 +1425,7 @@ object TextAnalysisQueries {
   val oracles: Map[String, String] = Map(
     "x22_bm25" -> x22Sql,
     "x25_lex_pruned_bm25" -> x25Sql,
+    "x26_lex_scoped_bm25" -> x26Sql,
     "x20_pii_redact" -> x20Sql,
     "x19_vocab_growth" -> x19Sql,
     "x18_heldout_lm" -> x18Sql,
