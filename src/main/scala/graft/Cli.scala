@@ -339,8 +339,9 @@ object Cli {
       case "hybrid-search" :: tablesDir :: query :: rest =>
         val topK = rest.headOption.map(_.toInt).getOrElse(10)
         val view = rest.lift(1).filter(_.nonEmpty)
+        val lang = rest.lift(2).filter(_.nonEmpty)
         val r = hybridSearchCommand(spark, tablesDir, query, topK,
-          view = view)
+          view = view, lang = lang)
         println(f"[hybrid-search] conf=${r.conf}%.4f floor=${r.floor}%.4f " +
           (if (r.wLex > 0) "gate=FUSED" else "gate=DENSE-ONLY"))
         r.hits.zipWithIndex.foreach { case ((id, rl, rv, sc), i) =>
@@ -654,7 +655,8 @@ object Cli {
   private[graft] def hybridSearchCommand(
       spark: org.apache.spark.sql.SparkSession, tablesDir: String,
       query: String, topK: Int, c: Int = 30,
-      view: Option[String] = None): HybridResult = {
+      view: Option[String] = None, lang: Option[String] = None,
+      applySelfQuery: Boolean = true): HybridResult = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.search.{FusionFloor, FusionGate, VectorSearch}
@@ -663,11 +665,25 @@ object Cli {
       s"no fusion floor at $floorPath — run fusion-calibrate (or ingest " +
         "through Cli reingest) first")
     val frags = spark.read.parquet(s"$tablesDir/fragments")
+    // explicit filters win; otherwise the rule-based self-query stage
+    // (E6/X16 — the reference composes optimizer → searcher this way)
+    // fills view/lang hints from the query text
+    val hints =
+      if (applySelfQuery && (view.isEmpty || lang.isEmpty))
+        graft.api.RuleBasedSelfQuery.extract(query)
+      else graft.api.SelfQuery.Filters(None, None)
+    val effView = view.orElse(hints.view)
+    val effLang = lang.orElse(hints.lang)
     // metadata scoping (F1/F2 applied to the hybrid path): both channels
     // filter BEFORE rank; corpus statistics (df/n/avgdl, the floor) stay
     // global — the predicate restricts candidates, not the language model
-    val eligibleIds = view.map(v => frags.filter(col("view") === v)
-      .select(col("id").cast("string").as("id")))
+    val eligibleIds =
+      if (effView.isEmpty && effLang.isEmpty) None
+      else Some(Seq(
+        effView.map(v => col("view") === v),
+        effLang.map(l => col("language") === l))
+        .flatten.foldLeft(frags)((df, p) => df.filter(p))
+        .select(col("id").cast("string").as("id")))
     val art = FusionFloor.load(floorPath)
     // stamped sidecars validate against the table's file listing —
     // freshness costs a directory list, not a corpus scan (legacy
@@ -751,14 +767,19 @@ object Cli {
     // hnsw-search verbs' filtered-walk contract)
     def withViewPred(index: org.apache.spark.sql.DataFrame)
         : (org.apache.spark.sql.DataFrame,
-           Option[org.apache.spark.sql.Column]) = view match {
-      case Some(v) =>
+           Option[org.apache.spark.sql.Column]) =
+      if (effView.isEmpty && effLang.isEmpty) (index, None)
+      else {
         val meta = spark.read.parquet(s"$tablesDir/embeddings")
-          .select(col("fragment_id").as("__fid"), col("view").as("__view"))
+          .select(col("fragment_id").as("__fid"),
+            col("view").as("__view"), col("lang").as("__lang"))
+        val pred = Seq(
+          effView.map(v => col("__view") === v),
+          effLang.map(l => col("__lang") === l))
+          .flatten.reduce(_ && _)
         (index.join(meta, col("fragment_id") === col("__fid"), "left"),
-          Some(col("__view") === v))
-      case None => (index, None)
-    }
+          Some(pred))
+      }
     val vecIds: Seq[String] =
       if (java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(routedPath))) {
@@ -794,7 +815,7 @@ object Cli {
         val dim = emb.select(col("vector")).head()
           .getAs[scala.collection.Seq[Float]](0).length
         val qvec = new OfflineEmbedder(dim).embedQuery(query)
-        VectorSearch.knn(emb, qvec, c, view = view)
+        VectorSearch.knn(emb, qvec, c, view = effView, lang = effLang)
           .select(col("fragment_id")).as[String].collect().toSeq
       }
     HybridResult(conf, art.floor, wLex,

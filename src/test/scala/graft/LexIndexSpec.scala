@@ -274,6 +274,40 @@ class LexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(LexIndex.dfOf(spark, td, Seq("spark"))("spark") >= 3L)
   }
 
+  test("self-query hints scope the hybrid serve (E6 composed into " +
+      "hybrid); explicit args and the disable flag override") {
+    val engine = new Engine(spark, new OfflineEmbedder(64))
+    val td = s"$dir/tables_sq"
+    val f = writeDoc("m.md",
+      "# Title\n\nProse about spark partitions and shuffle basics " +
+        "written plainly here.\n\n```python\ndef spark_partition_helper" +
+        "():\n    return \"code fragment speaking of spark\"\n```\n")
+    ingestTables(td, List(f), engine)
+    calibrate(td)
+    LexIndex.build(spark, td)
+    val fragsDf = spark.read.parquet(s"$td/fragments")
+    import org.apache.spark.sql.functions.col
+    val codeIds = fragsDf.filter(col("view") === "code")
+      .select("id").collect().map(_.getString(0)).toSet
+    assume(codeIds.nonEmpty, "fixture must yield code-view fragments")
+    // "code" in the query text → the E6 rule scopes to view=code
+    val r = Cli.hybridSearchCommand(spark, td, "code spark", 5)
+    assert(r.hits.nonEmpty)
+    assert(r.hits.forall(h => codeIds.contains(h._1)),
+      s"self-query hint must scope to code fragments: ${r.hits}")
+    // the flag restores the unscoped serve (prose fragments eligible)
+    val r2 = Cli.hybridSearchCommand(spark, td, "code spark", 5,
+      applySelfQuery = false)
+    assert(r2.hits.exists(h => !codeIds.contains(h._1)),
+      "unscoped serve must rank prose fragments too")
+    // an explicit view wins over the hint
+    val r3 = Cli.hybridSearchCommand(spark, td, "code spark", 5,
+      view = Some("text"))
+    assert(r3.hits.nonEmpty)
+    assert(r3.hits.forall(h => !codeIds.contains(h._1)),
+      "explicit view=text must override the code hint")
+  }
+
   test("a stale stats sidecar refuses to serve (fragments rewritten " +
       "without the lex maintenance step)") {
     val engine = new Engine(spark, new OfflineEmbedder(64))

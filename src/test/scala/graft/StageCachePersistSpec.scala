@@ -67,8 +67,8 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("BM25 family is byte-identical against persisted posting/stats tables") {
     val s = spark
     val bmQueries =
-      Seq("x22_bm25", "x25_lex_pruned_bm25", "v14_hybrid_rrf",
-        "v16_hybrid_topk")
+      Seq("x22_bm25", "x25_lex_pruned_bm25", "x26_lex_scoped_bm25",
+        "v14_hybrid_rrf", "v16_hybrid_topk")
     def run(): Map[String, Seq[String]] = bmQueries.map { q =>
       q -> SparkEntry.queries(q)(s, dir).collect().map(_.toString).toSeq
     }.toMap
