@@ -463,7 +463,8 @@ object Cli {
             "sq-index <tables> [levels] | " +
             "sq-search <tables> <query> [k] [nprobe] [shortlist] [view] | " +
             "fusion-calibrate <tables> | " +
-            "hybrid-search <tables> <query> [k] | " +
+            "lex-index <tables> | lex-search <tables> <query> [k] | " +
+            "hybrid-search <tables> <query> [k] [view] [lang] | " +
             "index-sketches <sfDir> <outRoot> | " +
             "classify-train <sfDir> <model> | classify-score <sfDir> <model> | " +
             "rag <tables> <question...> | " +
