@@ -32,13 +32,15 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val enabled10m = sys.env.get("GRAFT_SOAK10M").contains("1")
   private val enabledRMaint = sys.env.get("GRAFT_SOAKRMAINT").contains("1")
   private val enabledLex = sys.env.get("GRAFT_SOAKLEX").contains("1")
+  private val enabledLex10m =
+    sys.env.get("GRAFT_SOAKLEX10M").contains("1")
   private val sf01 = "/root/testdata/sf0.1"
   private val sf1 = "localdata/sf1"
 
   private var spark: SparkSession = _
 
   override def beforeAll(): Unit = if (enabled || enabled10m ||
-      enabledRMaint || enabledLex) {
+      enabledRMaint || enabledLex || enabledLex10m) {
     spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     if (enabled && !new java.io.File(s"$sf1/lineitem.parquet").isFile) {
@@ -1157,17 +1159,31 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("lex index at 1M fragments: pruned serve ≡ scan and probed " +
       "volume tiny; maintenance delta-bounded; compaction equal") {
     assume(enabledLex, "opt-in: set GRAFT_SOAKLEX=1 to run the lex soak")
+    lexSoakAt(1000000L,
+      sys.env.getOrElse("GRAFT_SOAKLEX_OUT", "SOAK_lex.json"))
+  }
+
+  /** The lex decade: the probed fraction falls ~10× while the pruned
+    * serve stays job-overhead-bound — the corpus-scan fallback is what
+    * grows with the corpus. Own gate (a multi-minute leg). */
+  test("lex index, second decade: 10M fragments") {
+    assume(enabledLex10m,
+      "opt-in: set GRAFT_SOAKLEX10M=1 to run the 10M lex soak")
+    lexSoakAt(10000000L,
+      sys.env.getOrElse("GRAFT_SOAKLEX10M_OUT", "SOAK_lex10m.json"))
+  }
+
+  private def lexSoakAt(n: Long, outFile: String): Unit = {
     val s = spark
     import org.apache.spark.sql.functions.{broadcast, col}
     import s.implicits._
     import graft.search.LexIndex
-    val n = 1000000L
     val c = 30
     val qTerms = Seq("needlerare", "needlemid", "w123", "zzz_oov")
     val tdRoot = java.nio.file.Files.createTempDirectory("lexsoak")
     val td = tdRoot.toString
     try {
-      info("writing 1M-fragment corpus …")
+      info(s"writing $n-fragment corpus …")
       graft.ingest.IngestPipeline.writeTable(
         lexFragments(n, salt = 0L), s"$td/fragments")
 
@@ -1203,7 +1219,7 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
           "pruning is not reaching the scan")
       assert(prunedSec < scanSec,
         f"pruned serve ($prunedSec%.1f s) not faster than the corpus " +
-          f"scan ($scanSec%.1f s) at 1M")
+          f"scan ($scanSec%.1f s) at n=$n")
 
       // maintenance: replace the first 1000 documents (10k fragments)
       // with re-salted content — table cascade + one delta batch
@@ -1256,8 +1272,7 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
           f""""maint_sec":$maintSec%.2f,"compact_sec":$compactSec%.2f,""" +
           s""""df":{${dfIdx.toSeq.sortBy(_._1).map { case (t, d) =>
             s""""$t":$d""" }.mkString(",")}}}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get(
-        sys.env.getOrElse("GRAFT_SOAKLEX_OUT", "SOAK_lex.json")),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))
     } finally graft.ingest.TableSwap.rmTreeAt(td)
   }
