@@ -344,8 +344,19 @@ object Cli {
           view = view, lang = lang)
         println(f"[hybrid-search] conf=${r.conf}%.4f floor=${r.floor}%.4f " +
           (if (r.wLex > 0) "gate=FUSED" else "gate=DENSE-ONLY"))
+        // k-bounded content fetch for display (the reference's searcher
+        // prints text, not bare ids) — a pushed-filter point read
+        val snippets: Map[String, String] =
+          if (r.hits.isEmpty) Map.empty
+          else spark.read.parquet(s"$tablesDir/fragments")
+            .filter(col("id").isin(r.hits.map(_._1): _*))
+            .select(col("id"), col("content"))
+            .collect()
+            .map(x => x.getString(0) -> x.getString(1).replace('\n', ' ')
+              .take(72)).toMap
         r.hits.zipWithIndex.foreach { case ((id, rl, rv, sc), i) =>
-          println(f"#${i + 1}%-3d score=$sc%.5f r_lex=$rl r_vec=$rv $id")
+          println(f"#${i + 1}%-3d score=$sc%.5f r_lex=$rl r_vec=$rv $id " +
+            s"| ${snippets.getOrElse(id, "")}")
         }
 
       case "quality" :: tablesDir :: goldenPath :: Nil =>
