@@ -64,6 +64,7 @@ object MediaQueries {
   private[queries] val V7CodebookDir = "localdata/v7-codebook"
   private[queries] val V8CodebookDir = "localdata/v8-codebook"
   private[queries] val V9CentroidDir = "localdata/v9-centroids"
+  private[queries] val V23ResCbDir = "localdata/v23-rescodebook"
 
   /** Session-memoized exact integer fingerprint of the embeddings corpus
     * (the g6 recipe — [[SamplingQueries.g6CorpusFp]]). */
@@ -542,16 +543,35 @@ object MediaQueries {
   // budgets, plus the exactness witness every compressed search carries:
   // full probe + corpus-sized shortlist ⇒ exact KNN (the re-rank reads
   // raw vectors, so approximation only ever shapes the shortlist).
-  // No SQL oracle (the output IS approximation quality) — checks.json
-  // verifies the witness row self-evidently; the full result is
-  // golden-pinned per sf.
+  // DuckDB-oracled since r15 (the v5–v9 conversion recipe): the trained
+  // quantizer/codebooks are corpus-fp-keyed artifacts (the q/cbPlain
+  // derivations are bit-identical to v9/v7's, so those artifacts are
+  // SHARED; the residual codebook gets its own), and the oracle replays
+  // coarse assignment, residual encoding (float residual per
+  // IvfResidual's exact arithmetic — double-rounding through REAL is
+  // innocuous at 53 ≥ 2·24+2 bits), per-list reconstructed-vector ADC
+  // (qc/cn list constants + 2·dcc + |cw|² LUTs, the residualAdcCosine
+  // fold shapes), shortlist re-rank and recall arithmetic — hash-exact.
   private val v23IvfPqResidual: Q = (s, dir) => {
     import s.implicits._
     val e = embT(s, dir)
-    val sm = trainSample(s, dir)
-    val q = Ivf.train(sm, IvfK, iters = IvfItersPq)
-    val cbPlain = Pq.train(sm, m = PqM, ksub = PqKsub)
-    val cbRes = Pq.trainResidual(sm, q, m = PqM, ksub = PqKsub)
+    lazy val sm = trainSample(s, dir)
+    val q = acquireTrained(s, V9CentroidDir, dir,
+      s"ivf,k=$IvfK,iters=$IvfItersPq,sample=$AnnSampleN")(
+      Ivf.train(sm, k = IvfK, iters = IvfItersPq))(
+      writeCentroidArtifact(s, dir, _, V9CentroidDir))(
+      loadCentroidArtifact(s, V9CentroidDir, _))
+    val cbPlain = acquireTrained(s, V7CodebookDir, dir,
+      s"pq,m=$PqM,ksub=$PqKsub,sample=$AnnSampleN")(
+      Pq.train(sm, m = PqM, ksub = PqKsub))(
+      writeCodebookArtifact(s, dir, _, V7CodebookDir))(
+      loadCodebookArtifact(s, V7CodebookDir, _))
+    val cbRes = acquireTrained(s, V23ResCbDir, dir,
+      s"pqres,m=$PqM,ksub=$PqKsub,sample=$AnnSampleN," +
+        s"ivf=k$IvfK-i$IvfItersPq")(
+      Pq.trainResidual(sm, q, m = PqM, ksub = PqKsub))(
+      writeCodebookArtifact(s, dir, _, V23ResCbDir))(
+      loadCodebookArtifact(s, V23ResCbDir, _))
     val plainIdx = StageCache.getOrCache(s, s"ivfpq_index:$dir",
       annIndexFingerprint(dir))(buildIvfPqIndex(s, dir, q, cbPlain))
     val resIdx = StageCache.getOrCache(s, s"ivfpq_res_index:$dir",
@@ -789,6 +809,175 @@ object MediaQueries {
        |FROM allhits GROUP BY variant ORDER BY variant""".stripMargin
   }
 
+  /** v23: the RESIDUAL IVFPQ replay — v9's assignment/probe machinery,
+    * plus: residual codes assign per (vec, j) by squared distance of the
+    * FLOAT residual (embedding − assigned centroid, rounded to REAL —
+    * innocuous double rounding) against the residual codebook; ADC
+    * reconstructs centroid + codeword per probed list via the
+    * residualAdcCosine constants (qc = q·cent, cn = |cent|², per-(list,
+    * j, c) LUT = 2·(cent_j·cw) + |cw|²); both variants' shortlists
+    * re-rank exactly, and the full-probe corpus-shortlist leg IS the
+    * exact top-10 (the exactness witness, replayed not assumed). */
+  private val v23Sql = {
+    val cos = VectorQueries.duckCosine("e.embedding", "q.qv")
+    // plain-codebook legs (cb) — v9's exact expressions
+    val sqdSub = duckFold(
+      "list_transform(range(1, len(cb.cw)+1), i -> " +
+        "(e.embedding[cb.j * len(cb.cw) + i]::DOUBLE - cb.cw[i]::DOUBLE) * " +
+        "(e.embedding[cb.j * len(cb.cw) + i]::DOUBLE - cb.cw[i]::DOUBLE))")
+    val lutD = duckFold(
+      "list_transform(range(1, len(cb.cw)+1), i -> " +
+        "q.qv[cb.j * len(cb.cw) + i]::DOUBLE * cb.cw[i]::DOUBLE)")
+    val lutN2 = duckFold(
+      "list_transform(range(1, len(cb.cw)+1), i -> " +
+        "cb.cw[i]::DOUBLE * cb.cw[i]::DOUBLE)")
+    // residual-codebook legs (rcb) against the assigned centroid (ct)
+    val resElem =
+      "((e.embedding[rcb.j * len(rcb.cw) + i]::DOUBLE - " +
+        "ct.cvec[rcb.j * len(rcb.cw) + i]::DOUBLE)::REAL)::DOUBLE"
+    val resSqd = duckFold(
+      "list_transform(range(1, len(rcb.cw)+1), i -> " +
+        s"($resElem - rcb.cw[i]::DOUBLE) * ($resElem - rcb.cw[i]::DOUBLE))")
+    val rlutQ = duckFold(
+      "list_transform(range(1, len(rcb.cw)+1), i -> " +
+        "q.qv[rcb.j * len(rcb.cw) + i]::DOUBLE * rcb.cw[i]::DOUBLE)")
+    val rlutDcc = duckFold(
+      "list_transform(range(1, len(rcb.cw)+1), i -> " +
+        "ct.cvec[rcb.j * len(rcb.cw) + i]::DOUBLE * rcb.cw[i]::DOUBLE)")
+    val rlutCw2 = duckFold(
+      "list_transform(range(1, len(rcb.cw)+1), i -> " +
+        "rcb.cw[i]::DOUBLE * rcb.cw[i]::DOUBLE)")
+    val qcF = duckFold(
+      "list_transform(range(1, len(ct.cvec)+1), i -> " +
+        "q.qv[i]::DOUBLE * ct.cvec[i]::DOUBLE)")
+    val cnF = duckFold(
+      "list_transform(range(1, len(ct.cvec)+1), i -> " +
+        "ct.cvec[i]::DOUBLE * ct.cvec[i]::DOUBLE)")
+    val qnF = duckFold(
+      "list_transform(range(1, len(q.qv)+1), i -> " +
+        "q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)")
+    s"""WITH cents AS (${artifactCte(V9CentroidDir,
+        "CAST(cid AS BIGINT) AS cid, cvec")}),
+       |cb AS (${artifactCte(V7CodebookDir,
+        "CAST(j AS BIGINT) AS j, CAST(c AS BIGINT) AS c, cw")}),
+       |rcb AS (${artifactCte(V23ResCbDir,
+        "CAST(j AS BIGINT) AS j, CAST(c AS BIGINT) AS c, cw")}),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT $qnF AS qn FROM q),
+       |asg AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckSqd("e.embedding", "c.cvec")}, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+       |pr AS (SELECT c.cid, CAST(ROW_NUMBER() OVER (
+       |    ORDER BY ${duckSqd("q.qv", "c.cvec")}, c.cid) AS BIGINT) AS prank
+       |  FROM cents c, q),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT e.vec_id, cb.j, cb.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.j
+       |        ORDER BY $sqdSub, cb.c) AS rn
+       |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+       |luts AS (SELECT cb.j, cb.c, $lutD AS ld, $lutN2 AS l2
+       |  FROM cb, q),
+       |adc AS (
+       |  SELECT codes.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(l.ld ORDER BY codes.j)), (a, x) -> a + x) AS dot,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(l.l2 ORDER BY codes.j)), (a, x) -> a + x) AS n2
+       |  FROM codes JOIN luts l ON l.j = codes.j AND l.c = codes.c
+       |  GROUP BY codes.vec_id),
+       |score AS (SELECT a.vec_id,
+       |    CASE WHEN a.n2 = 0.0 THEN 0.0
+       |         ELSE a.dot / (sqrt(a.n2) * sqrt(qn.qn)) END AS adc_score
+       |  FROM adc a, qn),
+       |rescodes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT e.vec_id, rcb.j, rcb.c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, rcb.j
+       |        ORDER BY $resSqd, rcb.c) AS rn
+       |    FROM embeddings e
+       |    JOIN asg ON asg.vec_id = e.vec_id
+       |    JOIN cents ct ON ct.cid = asg.list_id
+       |    CROSS JOIN rcb) WHERE rn = 1),
+       |lconst AS (SELECT ct.cid, $qcF AS qc, $cnF AS cn
+       |  FROM cents ct, q),
+       |rluts AS (SELECT ct.cid, rcb.j, rcb.c, $rlutQ AS lq,
+       |    2.0 * $rlutDcc + $rlutCw2 AS lb
+       |  FROM cents ct CROSS JOIN rcb, q),
+       |radc AS (
+       |  SELECT rc.vec_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(rl.lq ORDER BY rc.j)), (a, x) -> a + x) AS sdot,
+       |    list_reduce(list_prepend(0.0::DOUBLE,
+       |      list(rl.lb ORDER BY rc.j)), (a, x) -> a + x) AS sn2
+       |  FROM rescodes rc JOIN asg ON asg.vec_id = rc.vec_id
+       |    JOIN rluts rl ON rl.cid = asg.list_id AND rl.j = rc.j
+       |      AND rl.c = rc.c
+       |  GROUP BY rc.vec_id),
+       |rscore AS (SELECT r.vec_id,
+       |    CASE WHEN (lc.cn + r.sn2) <= 0.0 THEN 0.0
+       |      ELSE (lc.qc + r.sdot) / (sqrt(lc.cn + r.sn2) * sqrt(qn.qn))
+       |      END AS adc_score
+       |  FROM radc r JOIN asg ON asg.vec_id = r.vec_id
+       |    JOIN lconst lc ON lc.cid = asg.list_id, qn),
+       |exactscore AS (SELECT e.vec_id, $cos AS sim FROM embeddings e, q),
+       |exact AS (SELECT vec_id FROM exactscore ORDER BY sim DESC, vec_id
+       |  LIMIT 10),
+       |np AS (SELECT UNNEST([1, 4]) AS nprobe),
+       |pprobed AS (
+       |  SELECT np.nprobe, sc.vec_id, sc.adc_score
+       |  FROM np, pr, asg a JOIN score sc USING (vec_id)
+       |  WHERE a.list_id = pr.cid AND pr.prank <= np.nprobe),
+       |pshort AS (
+       |  SELECT nprobe, vec_id FROM (
+       |    SELECT nprobe, vec_id, ROW_NUMBER() OVER (PARTITION BY nprobe
+       |      ORDER BY adc_score DESC, vec_id) AS rn FROM pprobed)
+       |  WHERE rn <= 50),
+       |phits AS (
+       |  SELECT nprobe, vec_id FROM (
+       |    SELECT sh.nprobe, es.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY sh.nprobe
+       |        ORDER BY es.sim DESC, es.vec_id) AS rn
+       |    FROM pshort sh JOIN exactscore es USING (vec_id))
+       |  WHERE rn <= 10),
+       |rnp AS (SELECT UNNEST([1, 4, $IvfK]) AS nprobe),
+       |rprobed AS (
+       |  SELECT rnp.nprobe, sc.vec_id, sc.adc_score
+       |  FROM rnp, pr, asg a JOIN rscore sc USING (vec_id)
+       |  WHERE a.list_id = pr.cid AND pr.prank <= rnp.nprobe),
+       |rshort AS (
+       |  SELECT nprobe, vec_id FROM (
+       |    SELECT nprobe, vec_id, ROW_NUMBER() OVER (PARTITION BY nprobe
+       |      ORDER BY adc_score DESC, vec_id) AS rn FROM rprobed)
+       |  WHERE rn <= CASE WHEN nprobe = $IvfK
+       |    THEN (SELECT COUNT(*) FROM embeddings) ELSE 50 END),
+       |rhits AS (
+       |  SELECT nprobe, vec_id FROM (
+       |    SELECT sh.nprobe, es.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY sh.nprobe
+       |        ORDER BY es.sim DESC, es.vec_id) AS rn
+       |    FROM rshort sh JOIN exactscore es USING (vec_id))
+       |  WHERE rn <= 10),
+       |legs AS (
+       |  SELECT 'plain' AS variant, np.nprobe AS nprobe FROM np
+       |  UNION ALL SELECT 'residual', rnp.nprobe
+       |    FROM rnp WHERE rnp.nprobe <> $IvfK
+       |  UNION ALL SELECT 'rerank_all', $IvfK)
+       |SELECT legs.variant, CAST(legs.nprobe AS BIGINT) AS nprobe,
+       |  (CASE WHEN legs.variant = 'plain' THEN
+       |    (SELECT COUNT(*) FROM phits h WHERE h.nprobe = legs.nprobe
+       |       AND h.vec_id IN (SELECT vec_id FROM exact))
+       |   ELSE
+       |    (SELECT COUNT(*) FROM rhits h WHERE h.nprobe = legs.nprobe
+       |       AND h.vec_id IN (SELECT vec_id FROM exact))
+       |   END)::DOUBLE
+       |    / (SELECT COUNT(*) FROM exact)::DOUBLE AS recall_at_10
+       |FROM legs ORDER BY variant, nprobe""".stripMargin
+  }
+
   /** v5: LSH bucket replay. A row's bucket is the sign-bit integer of
     * its dots with the artifact hyperplanes (bit adds are order-free
     * ints; each dot is the ascending double fold of [[Ann.planeDot]]);
@@ -927,5 +1116,6 @@ object MediaQueries {
     "v6_ivf_recall" -> v6Sql,
     "v7_pq_recall" -> pqFamilySql(V7CodebookDir),
     "v8_sq_recall" -> pqFamilySql(V8CodebookDir),
-    "v9_ivfpq_recall" -> v9Sql)
+    "v9_ivfpq_recall" -> v9Sql,
+    "v23_ivfpq_residual" -> v23Sql)
 }

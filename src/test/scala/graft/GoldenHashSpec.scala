@@ -29,7 +29,6 @@ object GoldenHashSpec {
     "p12_cff_font", "p13_encrypted_pdf",
     "d13_bloom_incremental",
     "v10_hnsw_recall", "v22_approx_serving",
-    "v23_ivfpq_residual",
     "x4_approx_stats", "x14_approx_topk", "x21_quality_classifier",
     "x24_perplexity_thresholds")
 
@@ -48,7 +47,6 @@ object GoldenHashSpec {
     "p12_cff_font" -> "5533e65ed4673bbd0a99987be8785f91",
     "p13_encrypted_pdf" -> "ec3bec477709529576b6ba55068943ea",
     "d13_bloom_incremental" -> "69596ca3f48f0bb2918f2476bb841537",
-    "v23_ivfpq_residual" -> "5f8e6df870f543430309103ceea5af4a",
     "v10_hnsw_recall" -> "2ba57af5e2dd874e63f57f4e55a9c113",
     "v22_approx_serving" -> "3a0604ebf1eab45496a072f735091554",
     "x4_approx_stats" -> "b1a7f6fa897e9168f66f463ce9d157d1",
