@@ -103,4 +103,37 @@ class TrainedArtifactSpec extends AnyFunSuite with BeforeAndAfterAll {
       loaded.dsub == trained.dsub)
     assert(loaded.flat.sameElements(trained.flat))
   }
+
+  test("the residual codebook artifact (v23) round-trips bit-exact and " +
+      "the warm pass loads it") {
+    val fp = MediaQueries.embCorpusFp(spark, dir)
+    MediaQueries.trainedMemo.clear()
+    SparkEntry.queries("v23_ivfpq_residual")(spark, dir).collect()
+    val rescb = new java.io.File(MediaQueries.V23ResCbDir,
+      s"corpus_fp=$fp")
+    assert(rescb.isDirectory, "v23 must persist its residual codebook")
+    import scala.jdk.CollectionConverters._
+    val before = java.nio.file.Files.walk(rescb.toPath).iterator().asScala
+      .map(p => p.toString -> p.toFile.lastModified()).toVector
+    // warm pass: bit-identical answer, artifact bytes untouched
+    MediaQueries.trainedMemo.clear()
+    val again = SparkEntry.queries("v23_ivfpq_residual")(spark, dir)
+      .collect().map(_.toString).toSeq
+    val first = SparkEntry.queries("v23_ivfpq_residual")(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(again == first)
+    before.foreach { case (p, t) =>
+      assert(new java.io.File(p).lastModified() == t,
+        s"warm v23 pass touched $p")
+    }
+    // loaded residual codebook ≡ freshly trained, bit for bit
+    val q = MediaQueries.loadCentroidArtifact(
+      spark, MediaQueries.V9CentroidDir, fp)
+    val trained = graft.search.Pq.trainResidual(
+      MediaQueries.trainSample(spark, dir), q,
+      m = MediaQueries.PqM, ksub = MediaQueries.PqKsub)
+    val loaded = MediaQueries.loadCodebookArtifact(
+      spark, MediaQueries.V23ResCbDir, fp)
+    assert(loaded.flat.sameElements(trained.flat))
+  }
 }
