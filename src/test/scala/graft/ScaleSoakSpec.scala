@@ -34,13 +34,15 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val enabledLex = sys.env.get("GRAFT_SOAKLEX").contains("1")
   private val enabledLex10m =
     sys.env.get("GRAFT_SOAKLEX10M").contains("1")
+  private val enabledHybrid =
+    sys.env.get("GRAFT_SOAKHYBRID").contains("1")
   private val sf01 = "/root/testdata/sf0.1"
   private val sf1 = "localdata/sf1"
 
   private var spark: SparkSession = _
 
   override def beforeAll(): Unit = if (enabled || enabled10m ||
-      enabledRMaint || enabledLex || enabledLex10m) {
+      enabledRMaint || enabledLex || enabledLex10m || enabledHybrid) {
     spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     if (enabled && !new java.io.File(s"$sf1/lineitem.parquet").isFile) {
@@ -1274,6 +1276,231 @@ class ScaleSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
             s""""$t":$d""" }.mkString(",")}}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))
+    } finally graft.ingest.TableSwap.rmTreeAt(td)
+  }
+
+  /** End-to-end hybrid serving soak: the round's two per-channel scale
+    * claims (lex postings pruned to ~|q|/256 of the index, routed HNSW
+    * walk flat in shard count) measured TOGETHER through the actual
+    * serving entry point — `Cli.hybridSearchCommand` over a tables dir
+    * holding fragments + embeddings + lex_postings + routed graph +
+    * fusion floor. Per scale (1M, 3M fragments):
+    *
+    *   - all-artifact serve vs the all-scan fallback (same dir with the
+    *     two indexes moved aside) must agree on gate facts (conf, floor,
+    *     wLex are bit-equal — the lex channel's integer facts don't
+    *     depend on which path computed them) and on the identity top-1
+    *     (the query IS a fragment's content, so both channels must put
+    *     that fragment first);
+    *   - the indexed serve must be faster than the fallback at every
+    *     scale, and stay ~flat across the 3× corpus growth while the
+    *     fallback grows with the corpus — the "serving latency decoupled
+    *     from corpus size" claim as ONE measurement instead of two;
+    *   - probed volume on both channels is stamped and gated (lex:
+    *     query-term buckets only; dense: ~R/cells of the replicated
+    *     index — ADVICE r14's replication-cancels ratio).
+    *
+    * `GRAFT_SOAKHYBRID=1 sbt "testOnly graft.ScaleSoakSpec"` →
+    * SOAK_hybrid.json (committed per round as SOAK_r{N}_hybrid.json).
+    */
+  test("hybrid serving end-to-end: all-artifact serve flat across a 3x " +
+      "corpus growth while the all-scan fallback grows") {
+    assume(enabledHybrid,
+      "opt-in: set GRAFT_SOAKHYBRID=1 to run the hybrid serving soak")
+    val out = sys.env.getOrElse("GRAFT_SOAKHYBRID_OUT", "SOAK_hybrid.json")
+    val scales = sys.env.get("GRAFT_SOAKHYBRID_NS")
+      .map(_.split(",").toSeq.map(_.trim.toLong))
+      .getOrElse(Seq(1000000L, 3000000L))
+    val results = scales.map(n => n -> hybridSoakAt(n))
+    // flat vs growing across the decade fragment
+    val (n1, r1) = results.head
+    val (n2, r2) = results.last
+    assert(r2.scanSec > 1.5 * r1.scanSec,
+      f"fallback serve did not grow with the corpus " +
+        f"(${r1.scanSec}%.1f s @ $n1 -> ${r2.scanSec}%.1f s @ $n2) — " +
+        "the comparison is not exercising the corpus scans")
+    assert(r2.idxSec < 2.0 * r1.idxSec + 1.0,
+      f"indexed serve grew with the corpus " +
+        f"(${r1.idxSec}%.1f s @ $n1 -> ${r2.idxSec}%.1f s @ $n2) — " +
+        "the artifact path is not decoupled from corpus size")
+    val line = "{\"metric\":\"hybrid_serve_soak\",\"scales\":{" +
+      results.map { case (n, r) => s""""n$n":${r.json}""" }
+        .mkString(",") + "}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+  }
+
+  private final case class HybridSoakResult(idxSec: Double,
+      scanSec: Double, json: String)
+
+  private def hybridSoakAt(n: Long): HybridSoakResult = {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    import graft.search.{FusionFloor, Ivf, LexIndex}
+    val tdRoot = java.nio.file.Files.createTempDirectory("hybridsoak")
+    val td = tdRoot.toString
+    try {
+      info(s"[$n] writing corpus …")
+      // fragments with metadata (the scoped-serve axis) + embeddings
+      // derived from content by the SAME offline embedder the serve
+      // uses on the query — identity retrieval is exact by construction
+      val frags = lexFragments(n, salt = 0L)
+        .withColumn("view",
+          when(pmod(xxhash64(col("id")), lit(4L)) === 0, lit("code"))
+            .otherwise(lit("text")))
+        .withColumn("language",
+          when(pmod(xxhash64(col("id"), lit(7L)), lit(5L)) === 0,
+            lit("ko")).otherwise(lit("en")))
+      val (_, fragSec) = timedSec {
+        graft.ingest.IngestPipeline.writeTable(frags, s"$td/fragments")
+      }
+      val dim = 64
+      val (_, embSec) = timedSec {
+        val embDf = s.read.parquet(s"$td/fragments")
+          .select(col("id"), col("document_id"), col("view"),
+            col("language"), col("content"))
+          .as[(String, String, String, String, String)]
+          .mapPartitions { it =>
+            val e = new graft.embedding.OfflineEmbedder(dim)
+            it.map { case (id, doc, view, lang, content) =>
+              (id, doc, view, lang, content,
+                e.embedDocuments(Seq(content)).head)
+            }
+          }
+          .toDF("fragment_id", "document_id", "view", "lang", "content",
+            "vector")
+        graft.ingest.IngestPipeline.writeTable(embDf, s"$td/embeddings")
+      }
+      info(f"[$n] corpus: fragments $fragSec%.1f s, embeddings " +
+        f"$embSec%.1f s")
+
+      // artifacts: lex postings, routed graph (the Cli recipe —
+      // md5-ordered router sample, cells sized to ~12.5k-row shards),
+      // fusion floor with the table-fingerprint witness
+      val (lexSt, lexSec) = timedSec { LexIndex.build(s, td) }
+      assert(lexSt.n == n)
+      val cells = math.max(8, (n / 12500L).toInt)
+      val replicas = 3
+      val (_, routedSec) = timedSec {
+        val e = s.read.parquet(s"$td/embeddings").drop("doc_bucket")
+        val sample = e.orderBy(md5(col("fragment_id")))
+          .limit(math.max(8192, 32 * cells))
+          .select(col("vector")).as[Seq[Float]].collect().map(_.toArray)
+        val router = Ivf.train(sample, cells)
+        graft.search.HnswMaintenance.writeIndexRouted(
+          e, s"$td/embeddings_hnsw_routed", router,
+          replicas = replicas, docCol = Some("document_id"))
+      }
+      val (_, floorSec) = timedSec {
+        val a = FusionFloor.calibrate(
+          s.read.parquet(s"$td/fragments"), "id", "content",
+          tableDir = Some(s"$td/fragments"))
+        FusionFloor.save(a, s"$td/fusion_floor.txt")
+      }
+      info(f"[$n] artifacts: lex $lexSec%.1f s, routed graph " +
+        f"$routedSec%.1f s (cells=$cells), floor $floorSec%.1f s")
+
+      // the identity query: a real fragment's content (both channels
+      // must rank its fragment first — lexically it matches all ~31
+      // tokens, densely its vector IS the query vector)
+      val needle = s.read.parquet(s"$td/fragments")
+        .filter(col("id") === "f000000042")
+        .select(col("content"), col("view")).head()
+      val query = needle.getString(0)
+      val qView = needle.getString(1)
+      val needleId = "f000000042"
+
+      def serveMin(times: Int)(f: => Cli.HybridResult)
+          : (Cli.HybridResult, Double) = {
+        val runs = (1 to times).map(_ => timedSec(f))
+        (runs.head._1, runs.map(_._2).min)
+      }
+      val (rIdx, idxSec) =
+        serveMin(2)(Cli.hybridSearchCommand(s, td, query, 10))
+      val (rScoped, scopedSec) = serveMin(2)(
+        Cli.hybridSearchCommand(s, td, query, 10, view = Some(qView)))
+
+      // probed volume on both channels (stamped + gated). Lex: only the
+      // query terms' buckets. Dense: ~R/cells of the replicated index —
+      // replication cancels in the probed/index ratio (ADVICE r14).
+      val qTerms = query.trim.split("[ \\t\\n\\f\\r]+")
+        .filter(_.nonEmpty).distinct.toSeq
+      val lexIndexRows = s.read.parquet(LexIndex.indexPath(td)).count()
+      val lexProbed = LexIndex.prunedPostings(s, td, qTerms).count()
+      val lexFrac = lexProbed.toDouble / lexIndexRows.toDouble
+      assert(lexFrac < 0.25,
+        f"lex channel probed $lexFrac%.3f of the postings — bucket " +
+          "pruning is not reaching the serve")
+      val router = Ivf.load(s"$td/embeddings_hnsw_routed.router.txt")
+      val qvec = new graft.embedding.OfflineEmbedder(dim)
+        .embedQuery(query)
+      val rProbe = org.apache.spark.sql.graft.HnswIndexRewrite
+        .DefaultProbeCells
+      val probedCells = Ivf.nearestLists(qvec, router, rProbe)
+      val denseIndex = s.read.parquet(s"$td/embeddings_hnsw_routed")
+      val denseRows = denseIndex.count()
+      val f = graft.search.Hnsw.RoutedSubFactor
+      val denseProbed = denseIndex.filter(probedCells.map(c =>
+        col("shard_id") >= c * f && col("shard_id") < (c + 1) * f)
+        .reduce(_ || _)).count()
+      val denseFrac = denseProbed.toDouble / denseRows.toDouble
+      assert(denseFrac <= 2.5 * rProbe.toDouble / cells,
+        f"dense channel probed $denseFrac%.4f of the routed index " +
+          f"(ideal ${rProbe.toDouble / cells}%.4f) — the router is " +
+          "not pruning")
+
+      // the all-scan fallback: same dir, indexes moved aside (floor
+      // stays — the gate itself is part of both serves)
+      def mv(a: String, b: String): Unit = {
+        java.nio.file.Files.move(java.nio.file.Paths.get(a),
+          java.nio.file.Paths.get(b))
+        ()
+      }
+      mv(LexIndex.indexPath(td), s"$td/lex_postings.off")
+      mv(s"$td/embeddings_hnsw_routed", s"$td/embeddings_hnsw_routed.off")
+      val (rScan, scanSec) =
+        serveMin(2)(Cli.hybridSearchCommand(s, td, query, 10))
+      mv(s"$td/lex_postings.off", LexIndex.indexPath(td))
+      mv(s"$td/embeddings_hnsw_routed.off", s"$td/embeddings_hnsw_routed")
+
+      info(f"[$n] serve: indexed $idxSec%.2f s (scoped $scopedSec%.2f " +
+        f"s) vs scan $scanSec%.2f s; lex probed $lexProbed of " +
+        f"$lexIndexRows ($lexFrac%.4f), dense probed $denseProbed of " +
+        f"$denseRows ($denseFrac%.4f)")
+
+      // gate facts are path-independent (pruned lex ≡ scan lex, spec-
+      // pinned; here re-witnessed through the whole serving entry point)
+      assert(rIdx.floor == rScan.floor && rIdx.conf == rScan.conf &&
+        rIdx.wLex == rScan.wLex,
+        s"gate facts diverged between indexed and scan serves: " +
+          s"$rIdx vs $rScan")
+      // identity top-1 on every serve, scoped included
+      Seq("indexed" -> rIdx, "scoped" -> rScoped, "scan" -> rScan)
+        .foreach { case (label, r) =>
+          assert(r.hits.headOption.map(_._1).contains(needleId),
+            s"$label serve lost the identity top-1: ${r.hits.take(3)}")
+        }
+      assert(idxSec < scanSec,
+        f"indexed serve ($idxSec%.2f s) not faster than the all-scan " +
+          f"fallback ($scanSec%.2f s) at n=$n")
+
+      val json =
+        s"""{"n":$n,"cells":$cells,"replicas":$replicas,""" +
+          f""""corpus_sec":${fragSec + embSec}%.2f,""" +
+          f""""lex_build_sec":$lexSec%.2f,""" +
+          f""""routed_build_sec":$routedSec%.2f,""" +
+          f""""floor_sec":$floorSec%.2f,""" +
+          f""""indexed_serve_sec":$idxSec%.3f,""" +
+          f""""scoped_serve_sec":$scopedSec%.3f,""" +
+          f""""scan_serve_sec":$scanSec%.3f,""" +
+          f""""lex_probed_rows":$lexProbed,"lex_rows":$lexIndexRows,""" +
+          f""""lex_probed_frac":$lexFrac%.5f,""" +
+          f""""dense_probed_rows":$denseProbed,""" +
+          f""""dense_rows":$denseRows,""" +
+          f""""dense_probed_frac":$denseFrac%.5f,""" +
+          f""""conf":${rIdx.conf}%.4f,"w_lex":${rIdx.wLex}%.4f}"""
+      HybridSoakResult(idxSec, scanSec, json)
     } finally graft.ingest.TableSwap.rmTreeAt(td)
   }
 }
