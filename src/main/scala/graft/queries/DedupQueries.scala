@@ -392,25 +392,41 @@ object DedupQueries {
     */
   private[graft] def gramPairs(s: SparkSession, dir: String): DataFrame =
     StageCache.readThroughOrBuild(s, s"gram_pairs:$dir", stageFingerprint(dir)) {
+      // r15 optimization: the corpus-wide DISTINCT (doc_id, g) is exactly
+      // the union of per-ROW gram sets (each document is one row), so the
+      // dedup happens inside the one-pass native expression and the
+      // distinct's corpus-sized Exchange disappears (guide §2.4). Rows are
+      // identical to the old explode→hexInt→distinct formulation
+      // (GramSetSpec pins set equality), so the persisted write-time table
+      // and both DuckDB oracles are unchanged.
       Tables.spread(s, Tables.documents(s, dir))
         .select(col("doc_id"),
-          explode(TextSketch.shingles(col("text"), CrossN)).as("gs"))
-        .select(col("doc_id"), TextSketch.hexInt(col("gs")).as("g"))
-        .distinct()
+          explode(org.apache.spark.sql.graft.SketchExpressions
+            .gramSet(col("text"), CrossN)).as("g"))
     }
 
   private val d9CrossdocGrams: Q = (s, dir) => {
-    // census + join-back on the same gram partitioning. A window-count
-    // over gram partitions would drop the census join entirely but
-    // serializes each gram's rows onto one task — boilerplate grams make
-    // that the skew bottleneck, while the census join AQE skew-splits.
+    // r15 optimization (guide §2.3 "aggregate before you shuffle"): the
+    // old plan joined the corpus-sized pair set back to the census and
+    // re-aggregated the join output per doc. But a gram with nd = 1
+    // belongs to exactly ONE document (its census min), so
+    //   n_shared(doc) = n_grams(doc) − #{census rows: nd = 1, min = doc}
+    // — the join-back collapses to two decomposed aggregates joined at
+    // DOCUMENT size (vocabulary-sized census → doc-sized counts), and no
+    // corpus-sized row ever crosses a join. Skew story unchanged: the
+    // census partial-aggregates map-side (one row per distinct gram per
+    // partition), never a window over gram partitions.
     val dg = gramPairs(s, dir)
-    val census = dg.groupBy(col("g"))
-      .agg(count(lit(1)).as("nd"))
-    dg.join(census, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    val perDoc = dg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val uniqueByDoc = dg.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("d0"))
+      .filter(col("nd") === 1)
+      .groupBy(col("d0").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniqueByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_unique"), lit(0L))).as("n_shared"))
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_grams").cast("double"))
           .as("shared_fraction"),
@@ -580,6 +596,17 @@ object DedupQueries {
   private val PosBits = 20 // pos < 2^20: packed = doc_id·2²⁰ + pos is unique
 
   private val d11SegmentDedup: Q = (s, dir) => {
+    // r15 optimization (same aggregate decomposition as d9/d12): `packed`
+    // is unique per instance, so exactly ONE instance per segment key
+    // matches first_packed — the survivor — and the surviving instance's
+    // doc_id is recoverable from the packed value itself (packed div 2²⁰).
+    //   n_removed(doc) = n_segments(doc) − #{census rows: first div 2²⁰ = doc}
+    // n_segments is a pure per-row expression (the segment count of one
+    // document's text), so the instance-sized join-back AND the second
+    // explode pass both disappear; the only corpus-sized work left is the
+    // census shuffle (min partial-aggregates map-side, one row per
+    // distinct segment — the hot-boilerplate-segment skew story is
+    // unchanged).
     val w = TextSketch.words(col("text"))
     val nseg = floor((size(w) + lit(SegWords - 1)) / lit(SegWords)).cast("int")
     val segs = transform(sequence(lit(0), nseg - 1), i =>
@@ -591,12 +618,16 @@ object DedupQueries {
       .select(col("doc_id"),
         TextSketch.hexInt(col("u.seg")).as("h"),
         (col("doc_id") * lit(1L << PosBits) + col("u.pos")).as("packed"))
-    val census = inst.groupBy(col("h"))
+    val firstByDoc = inst.groupBy(col("h"))
       .agg(min(col("packed")).as("first_packed"))
-    inst.join(census, "h")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("packed") =!= col("first_packed"), 1L).otherwise(0L))
+      .groupBy(shiftright(col("first_packed"), PosBits).as("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    val perDoc = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), nseg.cast("long").as("n_segments"))
+      .filter(col("n_segments") >= 1)
+    perDoc.join(firstByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        (col("n_segments") - coalesce(col("n_first"), lit(0L)))
           .as("n_removed"))
       .select(col("doc_id"), col("n_segments"), col("n_removed"),
         (col("n_removed").cast("double") / col("n_segments").cast("double"))
@@ -642,14 +673,23 @@ object DedupQueries {
   // incremental variant (d10's shape) maintains at write time. The
   // fraction divides two exact longs once.
   private val d12Novelty: Q = (s, dir) => {
+    // r15 optimization, same decomposition as d9: "how many of this doc's
+    // grams are first-seen here" = "how many census rows carry this doc as
+    // their min" — a doc-sized aggregate of the vocabulary-sized census,
+    // so the old corpus-sized join-back (+ its per-doc re-aggregation of
+    // join output) disappears. Census shape unchanged (min partial-
+    // aggregates map-side; no gram-partition window, hot grams stay
+    // skew-safe).
     val dg = gramPairs(s, dir)
-    val firstSeen = dg.groupBy(col("g"))
+    val perDoc = dg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_grams"))
+    val firstByDoc = dg.groupBy(col("g"))
       .agg(min(col("doc_id")).as("first_doc"))
-    dg.join(firstSeen, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_distinct_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_first_here"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    perDoc.join(firstByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct_grams"),
+        coalesce(col("n_first"), lit(0L)).as("n_first_here"))
       .select(col("doc_id"), col("n_distinct_grams"), col("n_first_here"),
         (col("n_first_here").cast("double") /
           col("n_distinct_grams").cast("double")).as("novelty"))

@@ -399,26 +399,39 @@ object TextAnalysisQueries {
   // (doc, token) partial hash-agg → one per-doc agg; ratios divide exact
   // BIGINT counts so the doubles match DuckDB bit-for-bit.
   private val x8Repetition: Q = (s, dir) => {
-    val wordCounts = wordsStage(s, dir)
-      .select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_words"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_c"))
-    val bgCounts = bigramStage(s, dir)
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bg"), max(col("c")).as("top_bg_c"))
-    wordCounts.join(bgCounts, Seq("doc_id"), "left")
+    // r15 optimization: every statistic here is PER DOCUMENT, and each
+    // document's tokens live in one row — so the explode → (doc, tok)
+    // hash-agg → per-doc agg (twice, words and bigrams) collapses to one
+    // native per-row pass ([[org.apache.spark.sql.graft.TokenCounts]]:
+    // n, n_distinct, top multiplicity from the array), with the bigram
+    // array built inline from `w` exactly as bigramStage builds it. Four
+    // corpus-sized Exchanges + a join become a pure map over the cached
+    // token stage (guide §2.4); values are pinned identical by
+    // TokenCountsSpec and the unchanged DuckDB oracle. The `size(w) > 0 /
+    // w IS NOT NULL` filter reproduces explode's row-dropping exactly
+    // (Catalyst derived the same filters from the old Generate); bc.n = 0
+    // reproduces the old left-join-miss (bigramStage explodes to nothing
+    // for single-word docs), so the coalesce(0)/coalesce(1) arithmetic is
+    // untouched.
+    val bgExpr = when(size(col("w")) >= 2,
+      expr("transform(sequence(0, size(w) - 2), " +
+        "i -> concat(element_at(w, i+1), ' ', element_at(w, i+2)))"))
+      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.graft.SketchExpressions.tokenCounts
+    wordsStage(s, dir)
+      .filter(col("w").isNotNull && size(col("w")) > 0)
+      .select(col("doc_id"), tokenCounts(col("w")).as("wc"),
+        tokenCounts(bgExpr).as("bc"))
       .select(col("doc_id"),
-        col("n_words"),
-        ((col("n_words") - col("n_distinct")).cast("double") /
-          col("n_words").cast("double")).as("dup_word_frac"),
-        (col("top_c").cast("double") / col("n_words").cast("double"))
+        col("wc.n").as("n_words"),
+        ((col("wc.n") - col("wc.n_distinct")).cast("double") /
+          col("wc.n").cast("double")).as("dup_word_frac"),
+        (col("wc.top_c").cast("double") / col("wc.n").cast("double"))
           .as("top_word_frac"),
-        (coalesce(col("top_bg_c"), lit(0L)).cast("double") /
-          coalesce(col("n_bg"), lit(1L)).cast("double")).as("top_bigram_frac"))
+        (when(col("bc.n") > 0, col("bc.top_c")).otherwise(lit(0L))
+          .cast("double") /
+          when(col("bc.n") > 0, col("bc.n")).otherwise(lit(1L))
+            .cast("double")).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -482,14 +495,27 @@ object TextAnalysisQueries {
   private val DecontamN = 4
 
   private val x10Decontaminate: Q = (s, dir) => {
+    // r15 optimization: gram instances dedup PER ROW before anything else
+    // ([[org.apache.spark.sql.graft.GramSet]] — one md5 pass + local set,
+    // exactly the d9/d12 recipe), so (a) the countDistinct's expand/two-
+    // phase dedup becomes a plain count (rows are already unique per
+    // (doc, gram): the broadcast join against a distinct bench set
+    // preserves uniqueness), and (b) repeated grams never even reach the
+    // join probe. Gram keys are the 60-bit md5 prefixes on BOTH sides
+    // (the bench set built from the same expression), so membership —
+    // and hence every count — is unchanged vs hashing at compare time;
+    // the oracle's string-gram formulation agrees because the hash is
+    // injective on the corpus exactly as the old hexInt-at-join plan
+    // assumed. Bench side stays a tiny cross-doc DISTINCT + broadcast.
     val grams = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"),
-        explode(TextSketch.shingles(col("text"), DecontamN)).as("g"))
+        explode(org.apache.spark.sql.graft.SketchExpressions
+          .gramSet(col("text"), DecontamN)).as("g"))
     val bench = grams.filter(col("doc_id") < 20).select(col("g")).distinct()
     grams.filter(col("doc_id") >= 20)
       .join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_shared_grams"))
+      .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy(col("doc_id"))
   }
 

@@ -339,9 +339,131 @@ case class ProfileShingleCounts(child: Expression, profiles: Seq[Seq[String]],
     copy(child = newChild)
 }
 
+/** One-pass DISTINCT word-n-gram key set: tokenize → n-gram shingles →
+  * md5 → first-15-hex-digit long (TextSketch.hexInt's value) → per-row
+  * dedup. Because every document is one row, the corpus-wide
+  * `DISTINCT (doc_id, g)` of the gram-pair stage is exactly the union of
+  * per-row sets — computing the set here makes `explode(gram_set(text))`
+  * produce the distinct pairs directly, removing the corpus-sized
+  * distinct Exchange from every consumer (optimization guide §2.4
+  * "remove shuffles outright"). Values are identical to
+  * `explode(shingles(text, n)) → hexInt → DISTINCT`: same space-only
+  * trim, same `[ \t\n\f\r]+` split keeping empty tokens, same
+  * `< n words → empty` rule, same 60-bit md5-prefix long (dedup by the
+  * hashed key, exactly like the old global distinct and the DuckDB
+  * oracles). Output order is first occurrence; consumers treat it as a
+  * set (they explode straight into aggregates).
+  *
+  * CodegenFallback: md5 dominates, same rationale as MinHashKmPairs.
+  */
+case class GramSet(child: Expression, shingleN: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  // NULL text → empty set (the built-in shingles CASE sends null to the
+  // empty branch, and explode drops it) — never null
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_set"
+
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return empty
+    val text = v.asInstanceOf[UTF8String].toString
+    // space-only trim + trailing-empty-keeping split — see MinHashKmPairs
+    var start = 0
+    var end = text.length
+    while (start < end && text.charAt(start) == ' ') start += 1
+    while (end > start && text.charAt(end - 1) == ' ') end -= 1
+    val words = MinHashKmPairs.splitWords(text.substring(start, end))
+    if (words.length < shingleN) return empty
+    val md = MinHashKmPairs.digest()
+    val n = words.length - shingleN + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleN) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      // first 15 hex digits = bytes 0-6 plus the high nibble of byte 7
+      // (TextSketch.hexInt / SimHash parity)
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0x0fL)
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramSet =
+    copy(child = newChild)
+}
+
+/** One-pass per-row token multiset statistics over a string array:
+  * (n, n_distinct, top_c) = element count, distinct-element count, and
+  * the highest element multiplicity. Values are identical to
+  * `explode(arr) → groupBy(doc, tok).count → groupBy(doc).agg(sum, count,
+  * max)` for a document whose tokens live in one row — the per-document
+  * repetition statistics (x8) need no shuffle at all. Null elements
+  * count as one group, exactly like groupBy on an exploded null.
+  */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = true // null array → null (callers filter)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_c", LongType, nullable = false)))
+  override def prettyName: String = "token_counts"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val m = new java.util.HashMap[UTF8String, Int](n * 2)
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val c = m.getOrDefault(t, 0) + 1
+      m.put(t, c)
+      if (c > top) top = c
+      i += 1
+    }
+    InternalRow(n.toLong, m.size.toLong, top.toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   def minhashKmPairs(text: Column, shingleN: Int): Column =
     ExpressionUtils.column(MinHashKmPairs(ExpressionUtils.expression(text), shingleN))
+
+  def gramSet(text: Column, shingleN: Int): Column =
+    ExpressionUtils.column(GramSet(ExpressionUtils.expression(text), shingleN))
+
+  def tokenCounts(arr: Column): Column =
+    ExpressionUtils.column(TokenCounts(ExpressionUtils.expression(arr)))
 
   def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
     ExpressionUtils.column(
