@@ -328,20 +328,28 @@ object SamplingQueries {
       case Some(v) => s.conf.set(overwriteKey, v)
       case None => s.conf.unset(overwriteKey)
     }
-    val assigned = e.crossJoin(broadcast(
-      cents.select(col("cid"), col("cvec"))))
-      .withColumn("__sim",
-        graft.search.VectorSearch.cosine(col("embedding"), col("cvec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"),
-        struct(col("__sim"), (-col("cid")).cast("double"))).as("cluster_id"))
+    // r15: nearest-centroid by a one-pass codegen'd argmax
+    // ([[org.apache.spark.sql.graft.CosineArgmax]] — bit-identical cosine
+    // arithmetic + the same (sim, -cid) tie rule) instead of
+    // crossJoin(broadcast) → groupBy(vec_id).max_by: no n·K intermediate
+    // rows, and the n-row argmax exchange disappears — assignment is now
+    // pure map work (guide §2.4). The min-cluster size likewise comes
+    // from a K-row groupBy census instead of a count-over-window +
+    // distinct (guide §2.3); the rank window is the only corpus-sized
+    // exchange left. CosineArgmaxSpec pins argmax parity to the old
+    // formulation; the unchanged DuckDB oracle replays assignment +
+    // balance from the artifact floats.
+    val assigned = e.select(col("vec_id"),
+      org.apache.spark.sql.graft.VectorExpressions
+        .cosineArgmax(col("embedding"), q.centroidsFlat, q.dim)
+        .cast("long").as("cluster_id"))
     val perCluster = Window.partitionBy(col("cluster_id"))
     val ranked = assigned
-      .withColumn("__n", count(lit(1)).over(perCluster))
       .withColumn("__r", row_number().over(perCluster.orderBy(
         hash60(concat(lit("cluster:"), col("vec_id").cast("string"))),
         col("vec_id"))))
-    val m = ranked.select(col("cluster_id"), col("__n")).distinct()
+    val m = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("__n"))
       .agg(min(col("__n")).as("__m"))
     ranked.crossJoin(broadcast(m))
       .filter(col("__r") <= col("__m"))

@@ -543,12 +543,19 @@ object TextAnalysisQueries {
   private val Stopwords = Seq("a", "the")
 
   private val x13TfidfTerms: Q = (s, dir) => {
+    // r15: term frequencies are PER DOCUMENT and each document's tokens
+    // live in one row, so explode → groupBy(doc, term).count collapses to
+    // one native per-row histogram pass
+    // ([[org.apache.spark.sql.graft.TokenFreq]], stopwords filtered on
+    // the array first — same instances) and the corpus-sized (doc, term)
+    // hash-agg Exchange disappears (guide §2.4). Rows identical
+    // (TokenFreqSpec pins the expression; the oracle pins the query).
     val tf = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"),
-        explode(TextSketch.words(col("text"))).as("term"))
-      .filter(!col("term").isin(Stopwords: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), explode(
+        org.apache.spark.sql.graft.SketchExpressions.tokenFreq(
+          filter(TextSketch.words(col("text")),
+            t => !t.isin(Stopwords: _*)))).as("tc"))
+      .select(col("doc_id"), col("tc.tok").as("term"), col("tc.c").as("tf"))
     val dfCensus = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
@@ -664,17 +671,28 @@ object TextAnalysisQueries {
   // same answer. One per-doc agg finishes; the ratio divides two exact
   // longs, so doubles match the oracle bit-for-bit.
   private val x16RareTokens: Q = (s, dir) => {
-    val toks = wordsStage(s, dir)
-      .select(col("doc_id"), explode(col("w")).as("tok"))
-    val total = toks.agg(count(lit(1)).as("__total"))
-    val common = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    // r15: weighted per-row histogram ([[TokenFreq]], same recipe as
+    // x13) instead of three full explodes — the census partial-aggregates
+    // over per-doc DISTINCT tokens carrying counts, the broadcast join
+    // probes one row per (doc, token) instead of per instance, and the
+    // corpus total is sum(size(w)) with no explode at all (explode drops
+    // null/empty arrays; size(null) is null and sum skips it — equal).
+    val wtf = wordsStage(s, dir)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.SketchExpressions
+          .tokenFreq(col("w"))).as("tc"))
+      .select(col("doc_id"), col("tc.tok").as("tok"), col("tc.c").as("c"))
+    val total = wordsStage(s, dir)
+      .agg(sum(size(col("w"))).as("__total"))
+    val common = wtf.groupBy(col("tok")).agg(sum(col("c")).as("tf"))
       .crossJoin(broadcast(total))
       .filter(col("tf") * lit(1000L) >= col("__total"))
       .select(col("tok"), lit(1L).as("__common"))
-    toks.join(broadcast(common), Seq("tok"), "left")
+    wtf.join(broadcast(common), Seq("tok"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__common").isNull, 1L).otherwise(0L)).as("n_rare"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("__common").isNull, col("c")).otherwise(0L))
+          .as("n_rare"))
       .select(col("doc_id"), col("n_tokens"), col("n_rare"),
         (col("n_rare").cast("double") / col("n_tokens")).as("rare_ratio"))
       .orderBy(col("doc_id"))
@@ -1021,13 +1039,21 @@ object TextAnalysisQueries {
   // nothing corpus-sized moves after the census shuffle. All counts exact
   // longs; the rate divides two exact longs once.
   private val x19VocabGrowth: Q = (s, dir) => {
+    // r15: per-row token histogram ([[TokenFreq]], the x13/x16 recipe) —
+    // the decile census sums per-doc counts instead of counting
+    // instances, and the min-decile-per-type census partial-aggregates
+    // over per-doc DISTINCT tokens instead of every instance (guide
+    // §2.3); one explode pass instead of two.
     val mx = Tables.documents(s, dir).agg(max(col("doc_id")).as("__mx"))
     val dec = wordsStage(s, dir)
-      .select(col("doc_id"), explode(col("w")).as("tok"))
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graft.SketchExpressions
+          .tokenFreq(col("w"))).as("tc"))
       .crossJoin(broadcast(mx))
-      .select(col("tok"),
+      .select(col("tc.tok").as("tok"), col("tc.c").as("c"),
         expr("CAST(doc_id * 10 DIV (__mx + 1) AS BIGINT)").as("decile"))
-    val perDec = dec.groupBy(col("decile")).agg(count(lit(1)).as("n_tokens"))
+    val perDec = dec.groupBy(col("decile"))
+      .agg(sum(col("c")).as("n_tokens"))
     val newTypes = dec.groupBy(col("tok"))
       .agg(min(col("decile")).as("first_decile"))
       .groupBy(col("first_decile")).agg(count(lit(1)).as("n_new_types"))

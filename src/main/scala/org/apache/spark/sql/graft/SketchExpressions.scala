@@ -455,6 +455,56 @@ case class TokenCounts(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass per-row token histogram: array<struct<tok, c>> with one entry
+  * per DISTINCT element (first-occurrence order) carrying its
+  * multiplicity. `explode(token_freq(arr))` produces exactly the rows of
+  * `explode(arr) → groupBy(doc, tok).count` for a document whose tokens
+  * live in one row — the (doc, token) hash-agg Exchange disappears from
+  * every term-frequency consumer (x13/x16; guide §2.3/§2.4). Null
+  * elements form one group, exactly like groupBy on an exploded null;
+  * null array → null (explode drops it, like explode on the null array).
+  */
+case class TokenFreq(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = true),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "token_freq"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val cell = m.get(t)
+      // clone on first sight: an UnsafeArrayData's UTF8String is a view
+      // into a buffer the engine may reuse after this eval returns
+      if (cell == null) m.put(if (t == null) null else t.clone(), Array(1L))
+      else cell(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var p = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(p) = InternalRow(e.getKey, e.getValue()(0))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenFreq =
+    copy(child = newChild)
+}
+
 object SketchExpressions {
   def minhashKmPairs(text: Column, shingleN: Int): Column =
     ExpressionUtils.column(MinHashKmPairs(ExpressionUtils.expression(text), shingleN))
@@ -464,6 +514,9 @@ object SketchExpressions {
 
   def tokenCounts(arr: Column): Column =
     ExpressionUtils.column(TokenCounts(ExpressionUtils.expression(arr)))
+
+  def tokenFreq(arr: Column): Column =
+    ExpressionUtils.column(TokenFreq(ExpressionUtils.expression(arr)))
 
   def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
     ExpressionUtils.column(

@@ -368,6 +368,98 @@ case class IvfMultiAssign(child: Expression, centroidsFlat: Array[Float],
       : IvfMultiAssign = copy(child = newChild)
 }
 
+/** One-pass nearest-centroid-by-COSINE id: the map-only replacement for
+  * g6's `crossJoin(broadcast(centroids)) → groupBy(vec_id).max_by(cid,
+  * struct(sim, -cid))` — k cosines per row, no n·k intermediate rows, no
+  * exchange. Bit-identical to that formulation by construction: each
+  * per-centroid similarity is the EXACT [[VectorCosine]] arithmetic
+  * (float→double, fixed index-order fold, zero-norm → 0.0), scanned in
+  * ascending cid with strict `>` (ties keep the LOWER cid, = max of
+  * (sim, -cid)); a NaN similarity ranks GREATEST exactly like Spark's
+  * struct ordering in max_by (first NaN wins, later NaNs lose the
+  * tie-break to its lower cid).
+  */
+case class CosineArgmax(child: Expression, centroidsFlat: Array[Float],
+    dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private def k: Int = centroidsFlat.length / dim
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "cosine_argmax"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val xn = x.numElements()
+    var best = -1
+    var bestS = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      val n = math.min(xn, dim)
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = centroidsFlat(off + i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) 0.0
+              else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s > bestS || (java.lang.Double.isNaN(s) &&
+          !java.lang.Double.isNaN(bestS))) { bestS = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroidsFlat, "float[]")
+      val xn = ctx.freshName("xn")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val sim = ctx.freshName("sim")
+      val best = ctx.freshName("best")
+      val bestS = ctx.freshName("bestS")
+      s"""
+         |int $xn = $a.numElements();
+         |int $best = -1;
+         |double $bestS = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  int $off = $c * $dim;
+         |  int $n = java.lang.Math.min($xn, $dim);
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i);
+         |    double $yi = (double) $cents[$off + $i];
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $sim = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |    : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($sim > $bestS || (Double.isNaN($sim) && !Double.isNaN($bestS))) {
+         |    $bestS = $sim; $best = $c;
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : CosineArgmax = copy(child = newChild)
+}
+
 case class PqEncode(child: Expression, codebookFlat: Array[Float],
     m: Int, ksub: Int, dsub: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -586,6 +678,11 @@ object VectorExpressions {
       replicas: Int): Column =
     ExpressionUtils.column(IvfMultiAssign(
       ExpressionUtils.expression(vec), centroidsFlat, dim, replicas))
+
+  def cosineArgmax(vec: Column, centroidsFlat: Array[Float],
+      dim: Int): Column =
+    ExpressionUtils.column(CosineArgmax(
+      ExpressionUtils.expression(vec), centroidsFlat, dim))
 
   def pqEncode(vec: Column, codebookFlat: Array[Float],
       m: Int, ksub: Int, dsub: Int): Column =

@@ -110,19 +110,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d11 plans an all-pairs join:\n$d11")
   }
 
-  test("g6: centroids broadcast; the per-vector argmax partial-aggregates " +
-      "before its shuffle (n rows cross the exchange, not n*K)") {
+  test("g6: the per-vector argmax is map-only (codegen'd cosine_argmax; " +
+      "no n*K rows, no argmax exchange)") {
     val p = plan("g6_cluster_balance")
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"),
-      s"centroid side must broadcast:\n$p")
+    assert(p.contains("cosine_argmax"),
+      s"assignment must be the one-pass native argmax:\n$p")
+    assert(!p.contains("max_by"),
+      s"the old crossJoin+max_by argmax is back:\n$p")
     assert(!p.contains("CartesianProduct"),
-      s"the K-centroid cross join must stay broadcast-side:\n$p")
-    // partial max_by runs before the vec_id exchange: a partial-mode
-    // HashAggregate must appear below the first shuffle of the argmax
-    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
-      """HashAggregate.*max_by""".r.findAllIn(p).size >= 2,
-      s"argmax must partial-aggregate map-side:\n$p")
+      s"nothing here may plan a cartesian product:\n$p")
   }
 
   test("j1: dimension joins broadcast, never sort-merge") {
