@@ -403,17 +403,21 @@ object DedupQueries {
     * every downstream stage (distinct, census, join) moves 8-byte longs
     * instead of ~25-byte gram strings, and because BOTH engines compute
     * the identical md5, even a (≈2⁻³⁸ at 10⁶ grams) collision changes
-    * both sides the same way — the compare never flaps. NOT in-memory
-    * cached — a columnar cache of ~n_grams rows costs more than the
-    * second computation (measured 3× slower end-to-end at sf0.1), and
-    * the distinct's canonical exchange is reused within each plan. At
-    * 100 TB the pair set is a write-time table — and that is now
-    * literal: when `index-sketches` has persisted it and
-    * `spark.graft.stageCache.path` points there, this IS a parquet scan
-    * ([[StageCache.readThroughOrBuild]]).
+    * both sides the same way — the compare never flaps.
+    *
+    * r15: in-memory cached again. The old no-cache measurement (cache 3×
+    * slower end-to-end at sf0.1) was taken when the stage ended in a
+    * corpus-sized DISTINCT whose canonical exchange each plan reused;
+    * with the distinct folded into the per-row [[GramSet]] expression
+    * the rebuild cost is a full md5 pass over every gram, paid once per
+    * consumer REFERENCE (d9 and d12 reference it twice each), while the
+    * cache is two long columns. The stage is a deterministic row set
+    * (partitioning-independent), and at 100 TB it is a write-time table
+    * — which stays literal: a persisted `index-sketches` copy under
+    * `spark.graft.stageCache.path` is read through instead of built.
     */
   private[graft] def gramPairs(s: SparkSession, dir: String): DataFrame =
-    StageCache.readThroughOrBuild(s, s"gram_pairs:$dir", stageFingerprint(dir)) {
+    StageCache.getOrCache(s, s"gram_pairs:$dir", stageFingerprint(dir)) {
       // r15 optimization: the corpus-wide DISTINCT (doc_id, g) is exactly
       // the union of per-ROW gram sets (each document is one row), so the
       // dedup happens inside the one-pass native expression and the
