@@ -630,6 +630,35 @@ object DedupQueries {
   private val SegWords = 4
   private val PosBits = 20 // pos < 2^20: packed = doc_id·2²⁰ + pos is unique
 
+  /** The d11 segment-instance stage (doc_id, h, packed), materialized
+    * once per session (r16 — its two consumers, the segment census and
+    * the per-doc count, otherwise each re-run the scan + explode):
+    * every segment INSTANCE with its 60-bit md5-prefix key and the
+    * packed (doc_id·2²⁰ + pos) first-occurrence order. A deterministic
+    * row set — partitioning-independent, persistable as a write-time
+    * table. */
+  private[graft] def d11Segs(s: SparkSession, dir: String): DataFrame =
+    StageCache.getOrCache(s, s"d11_segs:$dir", stageFingerprint(dir)) {
+      val w = col("__w")
+      val nseg =
+        floor((size(w) + lit(SegWords - 1)) / lit(SegWords)).cast("int")
+      val segs = transform(sequence(lit(0), nseg - 1), i =>
+        struct(i.as("pos"),
+          concat_ws(" ", slice(w, i * SegWords + lit(1), lit(SegWords)))
+            .as("seg")))
+      Tables.spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"), TextSketch.words(col("text")).as("__w"))
+        // zero-word docs emit NO instances (the oracle's range(0, 0) —
+        // without the guard sequence(0, -1) counts DOWN and would emit
+        // two phantom rows; the old per-doc expression filtered such
+        // docs with `n_segments >= 1`, which this reproduces)
+        .filter(size(w) >= 1)
+        .select(col("doc_id"), explode(segs).as("u"))
+        .select(col("doc_id"),
+          TextSketch.hexInt(col("u.seg")).as("h"),
+          (col("doc_id") * lit(1L << PosBits) + col("u.pos")).as("packed"))
+    }
+
   private val d11SegmentDedup: Q = (s, dir) => {
     // r15 optimization (same aggregate decomposition as d9/d12): `packed`
     // is unique per instance, so exactly ONE instance per segment key
@@ -642,24 +671,23 @@ object DedupQueries {
     // census shuffle (min partial-aggregates map-side, one row per
     // distinct segment — the hot-boilerplate-segment skew story is
     // unchanged).
-    val w = TextSketch.words(col("text"))
-    val nseg = floor((size(w) + lit(SegWords - 1)) / lit(SegWords)).cast("int")
-    val segs = transform(sequence(lit(0), nseg - 1), i =>
-      struct(i.as("pos"),
-        concat_ws(" ", slice(w, i * SegWords + lit(1), lit(SegWords)))
-          .as("seg")))
-    val inst = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), explode(segs).as("u"))
-      .select(col("doc_id"),
-        TextSketch.hexInt(col("u.seg")).as("h"),
-        (col("doc_id") * lit(1L << PosBits) + col("u.pos")).as("packed"))
+    // r16 (VERDICT r15 task 2): the r15 decomposition left TWO corpus
+    // scans — one for the segment instances, one re-tokenizing for the
+    // per-doc segment count (volume-gate flag: rows 5000→10000). The
+    // instance stage now materializes ONCE (StageCache — the gramPairs
+    // recipe; deterministic (doc_id, h, packed) rows, partitioning-
+    // independent, persisted as a write-time table) and the per-doc
+    // count is a doc-sized aggregate OF it: count per doc over instances
+    // ≡ the ceil(len/4) expression (explode emits exactly nseg rows per
+    // doc and drops only nseg = 0 docs, which the old `n_segments >= 1`
+    // filter dropped too).
+    val inst = d11Segs(s, dir)
     val firstByDoc = inst.groupBy(col("h"))
       .agg(min(col("packed")).as("first_packed"))
       .groupBy(shiftright(col("first_packed"), PosBits).as("doc_id"))
       .agg(count(lit(1)).as("n_first"))
-    val perDoc = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), nseg.cast("long").as("n_segments"))
-      .filter(col("n_segments") >= 1)
+    val perDoc = inst.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"))
     perDoc.join(firstByDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_segments"),
         (col("n_segments") - coalesce(col("n_first"), lit(0L)))
@@ -827,7 +855,9 @@ object DedupQueries {
     Map(
       s"minhash_sigs:$dir" -> sigStage(s, dir),
       s"digest_split:$dir" -> digestSplit(s, dir),
-      s"gram_pairs:$dir" -> gramPairs(s, dir))
+      s"gram_pairs:$dir" -> gramPairs(s, dir),
+      // r16: the d11 segment-instance stage — deterministic 3-long rows
+      s"d11_segs:$dir" -> d11Segs(s, dir))
 
   /** The fingerprint [[graft.Cli]]'s `index-sketches` records beside each
     * persisted stage — must be the SAME derivation the read side checks.

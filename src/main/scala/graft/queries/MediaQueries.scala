@@ -585,16 +585,23 @@ object MediaQueries {
       df.select(col("vec_id")).as[Long].collect().toSet
         .intersect(exact).size.toDouble / exact.size
     val n = e.count().toInt
-    val rows = Seq(1, 4).flatMap { np =>
+    // r16 (guide §2.6): the five recall legs are independent bounded
+    // searches over the shared cached indexes/artifacts (read-only, no
+    // session-conf mutation) — overlap them instead of paying five
+    // sequential job latencies. Results keep the input order; output is
+    // sorted anyway.
+    val legs: Seq[() => (String, Long, Double)] = Seq(1, 4).flatMap { np =>
       Seq(
-        ("plain", np.toLong, recall(Pq.searchIvfPq(plainIdx, query, q,
-          cbPlain, 10, nprobe = np, shortlist = 50, tieBreak = "vec_id"))),
-        ("residual", np.toLong, recall(Pq.searchIvfPqResidual(resIdx,
-          query, q, cbRes, 10, nprobe = np, shortlist = 50,
+        () => ("plain", np.toLong, recall(Pq.searchIvfPq(plainIdx, query,
+          q, cbPlain, 10, nprobe = np, shortlist = 50,
+          tieBreak = "vec_id"))),
+        () => ("residual", np.toLong, recall(Pq.searchIvfPqResidual(
+          resIdx, query, q, cbRes, 10, nprobe = np, shortlist = 50,
           tieBreak = "vec_id"))))
-    } :+ (("rerank_all", IvfK.toLong, recall(Pq.searchIvfPqResidual(
+    } :+ (() => ("rerank_all", IvfK.toLong, recall(Pq.searchIvfPqResidual(
       resIdx, query, q, cbRes, 10, nprobe = IvfK, shortlist = n,
       tieBreak = "vec_id"))))
+    val rows = Overlap.all(legs)
     rows.toDF("variant", "nprobe", "recall_at_10")
       .orderBy(col("variant"), col("nprobe"))
   }

@@ -235,6 +235,18 @@ object StageCache {
     }
   }
 
+  /** True iff `key` is already registered for `s` — i.e. some consumer
+    * already built (and, in the action-follows-build pattern every
+    * catalog query has, materialized) the cached stage. Overlapped legs
+    * use this to decide whether a shared dependency needs one
+    * materializing pass BEFORE they fork — two concurrent jobs over an
+    * unmaterialized cached stage otherwise both compute its blocks and
+    * scan the source twice (r16: the VolumeEnvelopeGen cold measure of
+    * v16 read 1012 corpus rows instead of 516 without this).
+    */
+  def contains(s: SparkSession, key: String): Boolean =
+    stages.containsKey((s, key))
+
   /** Bytes (memory + disk) currently held by cached RDDs in `s`'s
     * context — the stage cache's residency plus any other caching the
     * session did. Feeds the bench record's peak-storage stamp and the

@@ -44,6 +44,34 @@ object TextAnalysisQueries {
             .as("n_punct"))
     }
 
+  /** Shared materialized per-document token histogram (doc_id, tok, c):
+    * ONE tokenFreq pass over the cached token stage, consumed by x13,
+    * x16 and x19 (r16, VERDICT r15 task 2 — the r15 explode-removal
+    * left each consumer re-deriving the histogram per reference, so
+    * x13's two consumers scanned the corpus twice: volume-gate flag
+    * rows 5000→10000). Exact integer counts per (doc, distinct token) —
+    * partitioning-independent, persisted as a write-time table
+    * alongside the BM25 postings.
+    */
+  private[queries] def tokenHistStage(s: SparkSession, dir: String)
+      : DataFrame =
+    StageCache.getOrCache(s, s"tok_hist:$dir", bm25Fingerprint(dir)) {
+      wordsStage(s, dir)
+        .select(col("doc_id"), explode(
+          org.apache.spark.sql.graft.SketchExpressions.tokenFreq(col("w")))
+          .as("tc"))
+        .select(col("doc_id"), col("tc.tok").as("tok"), col("tc.c").as("c"))
+    }
+
+  /** Materialize the shared token stage if no consumer has built it yet:
+    * overlapped legs (v14/v16/v24) both depend on it, and two concurrent
+    * cold jobs over an unmaterialized cached stage each compute its
+    * blocks — one corpus scan becomes two (see [[StageCache.contains]]).
+    * Warm sessions skip straight through. */
+  private[queries] def ensureWordsStage(s: SparkSession, dir: String): Unit =
+    if (!StageCache.contains(s, s"doc_words:$dir"))
+      wordsStage(s, dir).write.mode("overwrite").format("noop").save()
+
   /** Count of tokens present in a fixed word list (int — order-free). */
   private def voteCount(w: Column, list: Seq[String]): Column =
     size(array_intersect_count(w, list))
@@ -545,17 +573,17 @@ object TextAnalysisQueries {
   private val x13TfidfTerms: Q = (s, dir) => {
     // r15: term frequencies are PER DOCUMENT and each document's tokens
     // live in one row, so explode → groupBy(doc, term).count collapses to
-    // one native per-row histogram pass
-    // ([[org.apache.spark.sql.graft.TokenFreq]], stopwords filtered on
-    // the array first — same instances) and the corpus-sized (doc, term)
-    // hash-agg Exchange disappears (guide §2.4). Rows identical
-    // (TokenFreqSpec pins the expression; the oracle pins the query).
-    val tf = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), explode(
-        org.apache.spark.sql.graft.SketchExpressions.tokenFreq(
-          filter(TextSketch.words(col("text")),
-            t => !t.isin(Stopwords: _*)))).as("tc"))
-      .select(col("doc_id"), col("tc.tok").as("term"), col("tc.c").as("tf"))
+    // one native per-row histogram pass and the corpus-sized (doc, term)
+    // hash-agg Exchange disappears (guide §2.4). r16: the histogram now
+    // reads the SHARED materialized [[tokenHistStage]] (one corpus scan,
+    // not one per consumer — the r15 shape re-ran the scan+histogram for
+    // the df census AND the join probe); filtering the stopword ROWS of
+    // the full histogram equals filtering the token ARRAY first — other
+    // tokens' counts are unaffected. Rows identical (TokenFreqSpec pins
+    // the expression; the oracle pins the query).
+    val tf = tokenHistStage(s, dir)
+      .filter(!col("tok").isin(Stopwords: _*))
+      .select(col("doc_id"), col("tok").as("term"), col("c").as("tf"))
     val dfCensus = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
@@ -677,11 +705,9 @@ object TextAnalysisQueries {
     // probes one row per (doc, token) instead of per instance, and the
     // corpus total is sum(size(w)) with no explode at all (explode drops
     // null/empty arrays; size(null) is null and sum skips it — equal).
-    val wtf = wordsStage(s, dir)
-      .select(col("doc_id"),
-        explode(org.apache.spark.sql.graft.SketchExpressions
-          .tokenFreq(col("w"))).as("tc"))
-      .select(col("doc_id"), col("tc.tok").as("tok"), col("tc.c").as("c"))
+    // r16: the histogram reads the shared materialized [[tokenHistStage]]
+    // (one tokenFreq pass per session, not one per consumer).
+    val wtf = tokenHistStage(s, dir)
     val total = wordsStage(s, dir)
       .agg(sum(size(col("w"))).as("__total"))
     val common = wtf.groupBy(col("tok")).agg(sum(col("c")).as("tf"))
@@ -1043,14 +1069,13 @@ object TextAnalysisQueries {
     // the decile census sums per-doc counts instead of counting
     // instances, and the min-decile-per-type census partial-aggregates
     // over per-doc DISTINCT tokens instead of every instance (guide
-    // §2.3); one explode pass instead of two.
+    // §2.3); one explode pass instead of two. r16: the histogram reads
+    // the shared materialized [[tokenHistStage]] (one tokenFreq pass per
+    // session, not one per consumer).
     val mx = Tables.documents(s, dir).agg(max(col("doc_id")).as("__mx"))
-    val dec = wordsStage(s, dir)
-      .select(col("doc_id"),
-        explode(org.apache.spark.sql.graft.SketchExpressions
-          .tokenFreq(col("w"))).as("tc"))
+    val dec = tokenHistStage(s, dir)
       .crossJoin(broadcast(mx))
-      .select(col("tc.tok").as("tok"), col("tc.c").as("c"),
+      .select(col("tok"), col("c"),
         expr("CAST(doc_id * 10 DIV (__mx + 1) AS BIGINT)").as("decile"))
     val perDec = dec.groupBy(col("decile"))
       .agg(sum(col("c")).as("n_tokens"))
@@ -1443,7 +1468,10 @@ object TextAnalysisQueries {
     Map(
       s"bm25_postings:$dir" -> bm25PerDoc(s, dir),
       s"bm25_stats:$dir" -> bm25StatsDf(s, dir),
-      s"lex_inverted:$dir" -> lexInvertedStage(s, dir))
+      s"lex_inverted:$dir" -> lexInvertedStage(s, dir),
+      // r16: the shared x13/x16/x19 per-doc token histogram — exact
+      // integer counts, partitioning-independent
+      s"tok_hist:$dir" -> tokenHistStage(s, dir))
 
   /** Same derivation the read side checks ([[bm25Fingerprint]]). */
   def writeTimeFingerprint(dir: String): Option[String] = bm25Fingerprint(dir)

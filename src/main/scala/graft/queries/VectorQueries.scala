@@ -476,11 +476,13 @@ object VectorQueries {
   // and scores against the query's count vector with the same
   // IEEE-sequence cosine the v-family pins bit-exact. RRF = Σ 1/(60+r):
   // doubles from exact integer ranks, deterministic everywhere. The
-  // global rank windows are corpus-wide here as the ORACLE ARTIFACT —
-  // this is the spec that defines fused scores over the whole corpus;
-  // the PRODUCTION plan is v16 (bounded top-C candidate-list fusion, no
-  // non-partitioned window anywhere), which provably equals this one
-  // when C covers the corpus (HybridFusionSpec).
+  // SPEC is corpus-wide ranks (the unchanged DuckDB oracle still
+  // computes two corpus-wide ROW_NUMBER windows); the Spark PLAN — r16,
+  // VERDICT r15 task 1 — computes the same rows with NO window node:
+  // bounded top-C candidates (TakeOrderedAndProject) whose exact global
+  // ranks come from a count-aggregate (rank = #{rows ordered at-or-
+  // before}, the row_number identity). v16 remains the serving-time
+  // top-C contract (fuses candidate-list positions only).
   private val hybridLexicon = Seq("spark", "stream", "vector", "join",
     "window", "batch", "customer", "table", "scan", "merge", "hash",
     "sort", "filter", "query", "data", "line")
@@ -501,7 +503,13 @@ object VectorQueries {
     * byte-identical to the recompute (StageCachePersistSpec).
     */
   private[graft] def hybridCosAll(s: SparkSession, dir: String): DataFrame =
-    StageCache.readThroughOrBuild(s, s"hybrid_cos:$dir",
+    // r16: getOrCache (was read-through-only) — v14's candidate +
+    // rank-count passes and v16/v24's candidate scans now share one
+    // materialization of the doc-sized (doc_id, cos) stage instead of
+    // re-deriving the 16-term count-vector cosine per consumer. Values
+    // are a fixed per-row IEEE sequence: partitioning-independent, safe
+    // to cache (and already persisted as the write-time `hybrid_cos`).
+    StageCache.getOrCache(s, s"hybrid_cos:$dir",
         hybridFingerprint(dir)) {
       val docVec = array(hybridLexicon.map(t =>
         size(filter(col("w"), x => x === t)).cast("double")): _*)
@@ -526,16 +534,53 @@ object VectorQueries {
   def writeTimeFingerprint(dir: String): Option[String] =
     hybridFingerprint(dir)
 
+  /** Exact global ranks for a bounded candidate id set, with no window:
+    * rank(d) = #{d' : score(d') > score(d) ∨ (score(d') = score(d) ∧
+    * d' ≤ d)} — the row_number-over-(score DESC, doc_id ASC) identity,
+    * counting d itself. The candidate scores join on map-side
+    * (broadcast); the rank count is a BroadcastNestedLoopJoin of the
+    * full score table against ≤ 2C candidate rows followed by a ≤ 2C-
+    * group aggregate — fully map-parallel, nothing ever sorts or
+    * single-partitions the corpus. */
+  private[graft] def candRanks(full: DataFrame, score: String,
+      ids: Seq[Long], out: String): DataFrame = {
+    val cs = full.filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id").as("cid"), col(score).as("cs"))
+    full.join(broadcast(cs),
+        col(score) > col("cs") ||
+          (col(score) === col("cs") && col("doc_id") <= col("cid")))
+      .groupBy(col("cid")).agg(count(lit(1)).as(out))
+  }
+
   private val v14HybridRrf: Q = (s, dir) => {
-    val vRank = Window.orderBy(col("cos").desc, col("doc_id"))
-    val lRank = Window.orderBy(col("bm25").desc, col("doc_id"))
-    val vec = hybridCosAll(s, dir)
-      .withColumn("r_vec", row_number().over(vRank).cast("long"))
+    import s.implicits._
+    // r16 (VERDICT r15 task 1): the two corpus-wide rank windows
+    // (`Window.orderBy(score)`, no partition — "Moving all data to a
+    // single partition" at every scale) are gone. rrf = 1/(60+r_lex) +
+    // 1/(60+r_vec) is monotone in both ranks, so a doc outside BOTH
+    // channels' top-C cannot reach the top 10: its rrf < 2/(60+C+1),
+    // while the ten docs with r_vec ≤ 10 each have rrf ≥ 1/70, and
+    // 2/161 < 1/70 strictly at C = 100 (HybridRrfBoundSpec pins the
+    // bound AND equality with the windowed formulation). Candidates'
+    // exact global ranks come from [[candRanks]]; output rows are
+    // bit-identical to the windowed spec — the unchanged DuckDB oracle
+    // keeps pinning that.
+    // the legs share the token stage: materialize it once BEFORE the
+    // fork, or two cold jobs each compute its blocks (double scan)
+    TextAnalysisQueries.ensureWordsStage(s, dir)
     val lex = TextAnalysisQueries.bm25ScoredAll(s, dir)
-      .withColumn("r_lex", row_number().over(lRank).cast("long"))
-      .select(col("doc_id").as("ld"), col("r_lex"))
-    vec.join(lex, col("doc_id") === col("ld"))
-      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+    val vec = hybridCosAll(s, dir)
+    val (lexIds, vecIds) = Overlap.par2(
+      lex.orderBy(col("bm25").desc, col("doc_id"))
+        .limit(HybridC).select(col("doc_id").cast("long")).as[Long].collect(),
+      vec.orderBy(col("cos").desc, col("doc_id"))
+        .limit(HybridC).select(col("doc_id").cast("long")).as[Long].collect())
+    val cands = (lexIds ++ vecIds).distinct.toSeq
+    val rVec = candRanks(vec, "cos", cands, "r_vec")
+    val rLex = candRanks(lex, "bm25", cands, "r_lex")
+      .withColumnRenamed("cid", "ld")
+    rVec.join(rLex, col("cid") === col("ld"))
+      .select(col("cid").as("doc_id"), col("r_lex"), col("r_vec"),
         (lit(1.0) / (lit(60.0) + col("r_lex").cast("double")) +
           lit(1.0) / (lit(60.0) + col("r_vec").cast("double"))).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
@@ -580,17 +625,22 @@ object VectorQueries {
   // contributes only its present-side term (sentinel rank -1 in the
   // output); both engines compute lex-term + vec-term in that order on
   // exact integer ranks, so the oracle hash-matches.
-  private val HybridC = 100
+  private[graft] val HybridC = 100
 
   private[graft] def v16Fused(s: SparkSession, dir: String, c: Int)
       : DataFrame = {
     import s.implicits._
-    val lexIds = TextAnalysisQueries.bm25ScoredAll(s, dir)
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(c).select(col("doc_id").cast("long")).as[Long].collect()
-    val vecIds = hybridCosAll(s, dir)
-      .orderBy(col("cos").desc, col("doc_id"))
-      .limit(c).select(col("doc_id").cast("long")).as[Long].collect()
+    // r16: the two candidate scans are independent — overlap them
+    // (guide §2.6) instead of paying two full job latencies in series.
+    // Their shared token stage materializes once before the fork.
+    TextAnalysisQueries.ensureWordsStage(s, dir)
+    val (lexIds, vecIds) = Overlap.par2(
+      TextAnalysisQueries.bm25ScoredAll(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(c).select(col("doc_id").cast("long")).as[Long].collect(),
+      hybridCosAll(s, dir)
+        .orderBy(col("cos").desc, col("doc_id"))
+        .limit(c).select(col("doc_id").cast("long")).as[Long].collect())
     val rLex = lexIds.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
     val rVec = vecIds.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
     val fused = (lexIds ++ vecIds).distinct.toSeq.map { d =>
@@ -668,18 +718,31 @@ object VectorQueries {
     * Session-cached (StageCache): the bounded sample + census scan run
     * once per session, not once per query invocation.
     */
+  /** Staleness guard for the persisted fusion-floor table: corpus
+    * footprint + every calibration constant. One derivation shared by
+    * the reader below and [[WriteTimeTables.persistAll]]'s writer (the
+    * acquireArtifact contract — drifting either alone would hand the
+    * read-through pass a stale floor or a needless rebuild). */
+  private[queries] def fusionFloorFingerprint(dir: String): String =
+    StageCache.sourceFingerprint(Seq(s"$dir/documents.parquet"),
+      s"fusion=calib${graft.search.FusionGate.CalibN}," +
+        s"q${graft.search.FusionGate.FloorQuantile}," +
+        s"thin${graft.search.FusionGate.ThinStride},ord=md5")
+
   private[graft] def fusionFloorCalib(s: SparkSession, dir: String)
       : (Long, Double) = {
+    // getOrCache reads through to the write-time `fusion_floor` table
+    // when `index-sketches` persisted it (r16, VERDICT r15 task 3): the
+    // read-through bench then pays a 1-row parquet read, not a sample
+    // collect + vocabulary census, per session.
     val row = StageCache.getOrCache(s, s"fusion_floor:$dir",
-      Some(StageCache.sourceFingerprint(Seq(s"$dir/documents.parquet"),
-        s"fusion=calib${graft.search.FusionGate.CalibN}," +
-          s"q${graft.search.FusionGate.FloorQuantile}," +
-          s"thin${graft.search.FusionGate.ThinStride},ord=md5")))(
+      Some(fusionFloorFingerprint(dir)))(
       fusionFloorBuild(s, dir)).head()
     (row.getLong(0), row.getDouble(1))
   }
 
-  private def fusionFloorBuild(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def fusionFloorBuild(s: SparkSession, dir: String)
+      : DataFrame = {
     import s.implicits._
     import graft.search.FusionGate
     val st = TextAnalysisQueries.bm25StatsRow(s, dir)
@@ -732,7 +795,13 @@ object VectorQueries {
       : DataFrame = {
     import s.implicits._
     import graft.search.FusionGate
-    val (_, floor) = fusionFloorCalib(s, dir)
+    // r16 (VERDICT r15 task 3): the floor calibration and the two
+    // candidate scans are independent legs — run them concurrently
+    // (guide §2.6) instead of paying four sequential job latencies.
+    // The shared 1-row corpus stats and the token stage materialize
+    // FIRST so the legs read session-cached state instead of racing to
+    // build it (a cold race would double-scan the corpus).
+    TextAnalysisQueries.ensureWordsStage(s, dir)
     val st = TextAnalysisQueries.bm25StatsRow(s, dir)
     val n = st.getAs[Long]("n")
     // confidence: idf folded in the fixed query-term order, df=0 → 0
@@ -740,16 +809,19 @@ object VectorQueries {
       val df = st.getAs[Long](s"df_$t")
       if (df > 0) FusionGate.idf(df, n) else 0.0
     }.sum
-    val lexScored = TextAnalysisQueries.bm25ScoredAll(s, dir)
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(c).select(col("doc_id").cast("long"), col("bm25"))
-      .as[(Long, Double)].collect()
+    val (floorPair, lexScored, vecIds) = Overlap.par3(
+      fusionFloorCalib(s, dir),
+      TextAnalysisQueries.bm25ScoredAll(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(c).select(col("doc_id").cast("long"), col("bm25"))
+        .as[(Long, Double)].collect(),
+      hybridCosAll(s, dir)
+        .orderBy(col("cos").desc, col("doc_id"))
+        .limit(c).select(col("doc_id").cast("long")).as[Long].collect())
+    val floor = floorPair._2
     val conf = FusionGate.confidence(
       lexScored.headOption.map(_._2).getOrElse(0.0), idfSum)
     val wLex = FusionGate.lexWeight(conf, floor)
-    val vecIds = hybridCosAll(s, dir)
-      .orderBy(col("cos").desc, col("doc_id"))
-      .limit(c).select(col("doc_id").cast("long")).as[Long].collect()
     val fused = FusionGate.fuse(lexScored.map(_._1).toSeq, vecIds.toSeq,
       wLex).take(10)
     fused.map { case (d, rl, rv, sc) => (d, rl, rv, conf, floor, wLex, sc) }
@@ -1049,12 +1121,23 @@ object VectorQueries {
   /** The vec_id 0 query embedding as a SQL float-array literal —
     * Float.toString round-trips exactly through the DOUBLE parse +
     * float CAST, so the text reproduces the stored vector bit-for-bit.
-    * One copy shared by every SQL serving query (v18/v19/v20). */
+    * One copy shared by every SQL serving query (v18/v19/v20). r16:
+    * process-memoized under the source-file fingerprint (the
+    * tmpArtifacts discipline) — every serving leg needed the literal
+    * and each head() was a full driver job; the v18–v25 family pays it
+    * once per corpus now. */
+  private val qVecMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val stagedCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
   private def queryVecLiteral(s: SparkSession, dir: String): String =
-    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
-      .map(_.toString)
-      .mkString("CAST(array(", ", ", ") AS array<float>)")
+    qVecMemo.computeIfAbsent(
+      StageCache.sourceFingerprint(Seq(s"$dir/embeddings.parquet"),
+        s"qvec:$dir"),
+      _ => Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+        .map(_.toString)
+        .mkString("CAST(array(", ", ", ") AS array<float>)"))
 
   /** The (rank, fragment_id, <witness>) output shape shared by the SQL
     * serving queries: ranked hits plus the plan-read witness bit under
@@ -1090,7 +1173,12 @@ object VectorQueries {
       sqlText: (String, String) => String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.HnswIndexRewrite
     val staged = s.read.parquet(s"$base/emb")
-    val efVal = ef.getOrElse(staged.count().toInt)
+    // r16: the exactness-witness ef (= staged row count) is a property
+    // of the artifact's files — memoize the count job under their stat
+    // fingerprint instead of re-running it per serve
+    val efVal = ef.getOrElse(stagedCountMemo.computeIfAbsent(
+      StageCache.sourceFingerprint(Seq(s"$base/emb"), "n"),
+      _ => java.lang.Long.valueOf(staged.count())).toInt)
     val qLit = queryVecLiteral(s, dir)
     val view = s"v18_emb_${java.util.UUID.randomUUID().toString.take(8)}"
     s.conf.set(HnswIndexRewrite.IndexKey, s"$base/idx")
@@ -1341,7 +1429,9 @@ object VectorQueries {
     val base = acquireArtifact(s, "v25_hnsw_routed_maint",
       v25IndexFingerprint(dir))(buildV25RoutedIndex(s, dir, _))
     val staged = s.read.parquet(s"$base/emb")
-    val efVal = staged.count().toInt
+    val efVal = stagedCountMemo.computeIfAbsent(
+      StageCache.sourceFingerprint(Seq(s"$base/emb"), "n"),
+      _ => java.lang.Long.valueOf(staged.count())).toInt
     val qLit = queryVecLiteral(s, dir)
     val view = s"v25_emb_${java.util.UUID.randomUUID().toString.take(8)}"
     s.conf.set(HnswIndexRewrite.IndexKey, s"$base/idx")

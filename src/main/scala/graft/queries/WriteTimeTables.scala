@@ -67,6 +67,23 @@ object WriteTimeTables {
         log(s"[index-sketches] $key -> $path ($n rows)")
       }
     }
+    // the v24 fusion floor (r16): a DEFERRED 1-row table — constructing
+    // its plan runs the calibration jobs (sample collect + vocabulary
+    // census), so a freshness-skip must not build the DataFrame (the
+    // ANN-stage rule). The builder also refreshes the oracle-read
+    // localdata floor artifact as a side effect, so the persisted table
+    // and the artifact can never disagree.
+    val floorKey = s"fusion_floor:$sfDir"
+    val floorFp = Some(VectorQueries.fusionFloorFingerprint(sfDir))
+    if (StageCache.isFresh(floorKey, root, floorFp)) {
+      skipped += 1
+      log(s"[index-sketches] $floorKey fresh, skipped")
+    } else {
+      val path = StageCache.persistStage(s, floorKey,
+        VectorQueries.fusionFloorBuild(s, sfDir), root, floorFp)
+      persisted += 1
+      log(s"[index-sketches] $floorKey -> $path")
+    }
     // the SQL serving indexes are write-time ARTIFACTS (directories,
     // not single parquet tables): the v18/v19 HNSW graph and the v20
     // IVF table+quantizer build here so their cost lands in the

@@ -385,9 +385,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // single scan into a top-k heap, no join, no agg shuffle
     assert(x22.contains("TakeOrderedAndProject"), s"x22 should TopK:\n$x22")
     assert(!x22.contains("Join"), s"x22 must not join at runtime:\n$x22")
+    // r16: v14 computes the corpus-wide-rank SPEC with no window node of
+    // any kind — bounded top-C candidates (TakeOrderedAndProject inside
+    // the construction-time collects) plus a count-aggregate whose
+    // broadcast side is the ≤ 2C candidate rows. The
+    // BroadcastNestedLoopJoin is that deliberately BOUNDED rank count
+    // (never corpus × corpus — CartesianProduct stays banned).
     val v14 = plan("v14_hybrid_rrf")
-    assert(!v14.contains("CartesianProduct") &&
-      !v14.contains("BroadcastNestedLoopJoin"),
+    assert(!v14.contains("Window"),
+      s"v14 must not rank with a window (single-partition sort):\n$v14")
+    assert(!v14.contains("CartesianProduct"),
       s"v14 fused an all-pairs join:\n$v14")
     assert(v14.contains("TakeOrderedAndProject"), s"v14 should TopK:\n$v14")
   }

@@ -26,7 +26,8 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private val queries = Seq("d2_minhash_sig", "d9_crossdoc_grams",
-    "d10_incremental_dedup", "d12_novelty", "d13_bloom_incremental")
+    "d10_incremental_dedup", "d11_segment_dedup", "d12_novelty",
+    "d13_bloom_incremental")
 
   private def runAll(): Map[String, Seq[String]] =
     queries.map { q =>
@@ -40,7 +41,7 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val root = java.nio.file.Files.createTempDirectory("stage_tables").toString
     val stages = DedupQueries.writeTimeStages(s, dir)
-    assert(stages.size == 3)
+    assert(stages.size == 4) // r16: + d11_segs
     stages.foreach { case (k, df) => StageCache.persistStage(s, k, df, root) }
 
     // drop the memoized in-session stages so the re-run must go through
@@ -68,7 +69,9 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     val bmQueries =
       Seq("x22_bm25", "x25_lex_pruned_bm25", "x26_lex_scoped_bm25",
-        "v14_hybrid_rrf", "v16_hybrid_topk")
+        "v14_hybrid_rrf", "v16_hybrid_topk",
+        // r16: the tok_hist consumers
+        "x13_tfidf_terms", "x16_rare_tokens", "x19_vocab_growth")
     def run(): Map[String, Seq[String]] = bmQueries.map { q =>
       q -> SparkEntry.queries(q)(s, dir).collect().map(_.toString).toSeq
     }.toMap
@@ -77,7 +80,7 @@ class StageCachePersistSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     val root = java.nio.file.Files.createTempDirectory("bm25_tables").toString
     val stages = TextAnalysisQueries.writeTimeStages(s, dir)
-    assert(stages.size == 3)
+    assert(stages.size == 4) // r16: + tok_hist
     val fp = TextAnalysisQueries.writeTimeFingerprint(dir)
     stages.foreach { case (k, df) =>
       StageCache.persistStage(s, k, df, root, fp)
