@@ -534,22 +534,45 @@ object VectorQueries {
   def writeTimeFingerprint(dir: String): Option[String] =
     hybridFingerprint(dir)
 
-  /** Exact global ranks for a bounded candidate id set, with no window:
+  /** Exact global ranks for a bounded candidate set, with no window:
     * rank(d) = #{d' : score(d') > score(d) ∨ (score(d') = score(d) ∧
     * d' ≤ d)} — the row_number-over-(score DESC, doc_id ASC) identity,
-    * counting d itself. The candidate scores join on map-side
-    * (broadcast); the rank count is a BroadcastNestedLoopJoin of the
-    * full score table against ≤ 2C candidate rows followed by a ≤ 2C-
-    * group aggregate — fully map-parallel, nothing ever sorts or
-    * single-partitions the corpus. */
-  private[graft] def candRanks(full: DataFrame, score: String,
-      ids: Seq[Long], out: String): DataFrame = {
-    val cs = full.filter(col("doc_id").isin(ids: _*))
-      .select(col("doc_id").as("cid"), col(score).as("cs"))
-    full.join(broadcast(cs),
-        col(score) > col("cs") ||
-          (col(score) === col("cs") && col("doc_id") <= col("cid")))
-      .groupBy(col("cid")).agg(count(lit(1)).as(out))
+    * counting d itself. Computed as ONE single-row aggregate over the
+    * full score table with a conditional sum per candidate (the
+    * candidates' exact scores injected as literals): pure map-parallel
+    * partial aggregation, one map-only job, nothing ever sorts or
+    * single-partitions the corpus. Candidate count is bounded (≤ 2C),
+    * so the expression width is a constant at any corpus size. */
+  /** Candidates in rank order (score DESC, id ASC) — the order
+    * [[org.apache.spark.sql.graft.RankBucket]] binary-searches. */
+  private def rankSorted(cands: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    cands.sortBy { case (d, sc) => (-sc, d) }
+
+  /** The per-row bucket column for one channel: position of the first
+    * candidate the row sorts at-or-before (see [[RankBucket]]). */
+  private def bucketCol(score: String, sorted: Seq[(Long, Double)]): Column =
+    org.apache.spark.sql.graft.VectorExpressions.rankBucket(
+      col(score).cast("double"), col("doc_id").cast("long"),
+      sorted.map(_._2).toArray, sorted.map(_._1).toArray)
+
+  /** rank(candidate q) = prefix sum of the bucket histogram up to q. */
+  private def ranksFromHist(sorted: Seq[(Long, Double)],
+      hist: Int => Long): Map[Long, Long] = {
+    var acc = 0L
+    sorted.zipWithIndex.map { case ((d, _), q) =>
+      acc += hist(q)
+      d -> acc
+    }.toMap
+  }
+
+  private[graft] def exactRanks(full: DataFrame, score: String,
+      cands: Seq[(Long, Double)]): Map[Long, Long] = {
+    if (cands.isEmpty) return Map.empty
+    val sorted = rankSorted(cands)
+    val hist = full.select(bucketCol(score, sorted).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    ranksFromHist(sorted, q => hist.getOrElse(q, 0L))
   }
 
   private val v14HybridRrf: Q = (s, dir) => {
@@ -561,30 +584,71 @@ object VectorQueries {
     // channels' top-C cannot reach the top 10: its rrf < 2/(60+C+1),
     // while the ten docs with r_vec ≤ 10 each have rrf ≥ 1/70, and
     // 2/161 < 1/70 strictly at C = 100 (HybridRrfBoundSpec pins the
-    // bound AND equality with the windowed formulation). Candidates'
-    // exact global ranks come from [[candRanks]]; output rows are
-    // bit-identical to the windowed spec — the unchanged DuckDB oracle
-    // keeps pinning that.
-    // the legs share the token stage: materialize it once BEFORE the
-    // fork, or two cold jobs each compute its blocks (double scan)
+    // bound AND the rank identity). Three overlapped waves of bounded
+    // map-only work — top-C candidates (TakeOrderedAndProject), the
+    // candidates' cross-channel scores, exact ranks via [[exactRanks]] —
+    // then the ≤ 2C-row fusion assembles driver-side (the v16Fused
+    // precedent). Output rows are bit-identical to the windowed spec:
+    // same exact integer ranks, same double arithmetic in the same
+    // order — the unchanged DuckDB oracle keeps pinning that.
+    // The legs share the token stage: materialize it once BEFORE the
+    // fork, or two cold jobs each compute its blocks (double scan).
     TextAnalysisQueries.ensureWordsStage(s, dir)
     val lex = TextAnalysisQueries.bm25ScoredAll(s, dir)
     val vec = hybridCosAll(s, dir)
-    val (lexIds, vecIds) = Overlap.par2(
-      lex.orderBy(col("bm25").desc, col("doc_id"))
-        .limit(HybridC).select(col("doc_id").cast("long")).as[Long].collect(),
-      vec.orderBy(col("cos").desc, col("doc_id"))
-        .limit(HybridC).select(col("doc_id").cast("long")).as[Long].collect())
-    val cands = (lexIds ++ vecIds).distinct.toSeq
-    val rVec = candRanks(vec, "cos", cands, "r_vec")
-    val rLex = candRanks(lex, "bm25", cands, "r_lex")
-      .withColumnRenamed("cid", "ld")
-    rVec.join(rLex, col("cid") === col("ld"))
-      .select(col("cid").as("doc_id"), col("r_lex"), col("r_vec"),
-        (lit(1.0) / (lit(60.0) + col("r_lex").cast("double")) +
-          lit(1.0) / (lit(60.0) + col("r_vec").cast("double"))).as("rrf"))
+    def chan(full: DataFrame, score: String, ch: Int): DataFrame =
+      full.select(lit(ch).as("ch"), col("doc_id").cast("long").as("d"),
+        col(score).cast("double").as("sc"))
+    // action 1: both channels' top-C in ONE job (union of two
+    // TakeOrderedAndProject subtrees — their stages run concurrently)
+    val tops = chan(lex, "bm25", 0)
+      .orderBy(col("sc").desc, col("d")).limit(HybridC)
+      .unionByName(chan(vec, "cos", 1)
+        .orderBy(col("sc").desc, col("d")).limit(HybridC))
+      .as[(Int, Long, Double)].collect()
+    val lexScore0 = tops.collect { case (0, d, sc) => d -> sc }.toMap
+    val vecScore0 = tops.collect { case (1, d, sc) => d -> sc }.toMap
+    val cands: Seq[Long] = tops.map(_._2).distinct.toSeq
+    val fused: Seq[(Long, Long, Long, Double)] = if (cands.isEmpty) Nil
+    else {
+      // action 2: the candidates' cross-channel scores, again one job
+      val missLex = cands.filterNot(lexScore0.contains)
+      val missVec = cands.filterNot(vecScore0.contains)
+      def missDf(full: DataFrame, score: String, ch: Int, ids: Seq[Long]) =
+        chan(full, score, ch).filter(col("d").isin(ids: _*))
+      val missing: Array[(Int, Long, Double)] =
+        if (missLex.isEmpty && missVec.isEmpty) Array.empty
+        else missDf(lex, "bm25", 0, missLex)
+          .unionByName(missDf(vec, "cos", 1, missVec))
+          .as[(Int, Long, Double)].collect()
+      val lexScore =
+        lexScore0 ++ missing.collect { case (0, d, sc) => d -> sc }
+      val vecScore =
+        vecScore0 ++ missing.collect { case (1, d, sc) => d -> sc }
+      // action 3: both channels' exact ranks in one job — each row maps
+      // to its rank-bucket (codegen'd binary search against the ≤ 2C
+      // sorted candidates, [[RankBucket]]), the ≤ 2C+1-group histograms
+      // partial-aggregate map-side, and ranks are driver-side prefix
+      // sums of the collected histogram
+      val lexSorted = rankSorted(cands.map(d => d -> lexScore(d)))
+      val vecSorted = rankSorted(cands.map(d => d -> vecScore(d)))
+      val hist = lex
+        .select(lit(0).as("hch"), bucketCol("bm25", lexSorted).as("b"))
+        .unionByName(vec
+          .select(lit(1).as("hch"), bucketCol("cos", vecSorted).as("b")))
+        .groupBy(col("hch"), col("b")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      val rLex = ranksFromHist(lexSorted, q => hist.getOrElse((0, q), 0L))
+      val rVec = ranksFromHist(vecSorted, q => hist.getOrElse((1, q), 0L))
+      cands.map { d =>
+        (d, rLex(d), rVec(d),
+          1.0 / (60.0 + rLex(d).toDouble) + 1.0 / (60.0 + rVec(d).toDouble))
+      }
+        .sortBy { case (d, _, _, rrf) => (-rrf, d) }.take(10)
+    }
+    fused.toDF("doc_id", "r_lex", "r_vec", "rrf")
       .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(10)
   }
 
   private val v14Sql = {

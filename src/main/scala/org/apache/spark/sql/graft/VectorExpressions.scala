@@ -660,6 +660,72 @@ case class PqAdc(child: Expression, lut: Array[Double], ksub: Int)
     copy(child = newChild)
 }
 
+/** Per-row rank bucket against a BOUNDED sorted candidate list — the
+  * map-only building block of v14's window-free corpus-wide ranks.
+  *
+  * `cands` are the ≤ 2C candidates pre-sorted in rank order (score DESC,
+  * id ASC). For a row (s, i), the set of candidates the row sorts
+  * at-or-before is a SUFFIX of that order, so the row's whole rank
+  * contribution is one integer: the first candidate position p with
+  * `s > cs[p] ∨ (s = cs[p] ∧ i ≤ cid[p])` (else m) — found by binary
+  * search (the predicate is monotone in p). rank(candidate q) is then
+  * the prefix sum `#{rows : bucket ≤ q}` of the ≤ m+1-group bucket
+  * histogram — the row_number-over-(score DESC, id ASC) identity,
+  * counting the candidate's own row. Replaces a 2C-column conditional-
+  * sum aggregate (O(n·2C) branch evaluations through interpreted
+  * projections) with O(n·log 2C) compares in whole-stage codegen.
+  */
+case class RankBucket(left: Expression, right: Expression,
+    candScores: Array[Double], candIds: Array[Long])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  private def m: Int = candScores.length
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "rank_bucket"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val s = a.asInstanceOf[Double]
+    val id = b.asInstanceOf[Long]
+    var lo = 0
+    var hi = m
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (s > candScores(mid) ||
+          (s == candScores(mid) && id <= candIds(mid))) hi = mid
+      else lo = mid + 1
+    }
+    lo
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cs = ctx.addReferenceObj("candScores", candScores, "double[]")
+      val cid = ctx.addReferenceObj("candIds", candIds, "long[]")
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0;
+         |int $hi = $m;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($a > $cs[$mid] || ($a == $cs[$mid] && $b <= $cid[$mid])) {
+         |    $hi = $mid;
+         |  } else {
+         |    $lo = $mid + 1;
+         |  }
+         |}
+         |${ev.value} = $lo;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RankBucket =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column wrappers (classic-session Column construction). */
   def vectorDot(a: Column, b: Column): Column =
@@ -698,4 +764,10 @@ object VectorExpressions {
     ExpressionUtils.column(IvfResidual(
       ExpressionUtils.expression(vec), ExpressionUtils.expression(listId),
       centroidsFlat, dim))
+
+  def rankBucket(score: Column, id: Column, candScores: Array[Double],
+      candIds: Array[Long]): Column =
+    ExpressionUtils.column(RankBucket(
+      ExpressionUtils.expression(score), ExpressionUtils.expression(id),
+      candScores, candIds))
 }

@@ -36,23 +36,23 @@ class HybridRrfBoundSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("candRanks == row_number over the full corpus, ties included") {
+  test("exactRanks == row_number over the full corpus, ties included") {
     val vec = graft.queries.VectorQueries.hybridCosAll(spark, dir)
     val w = Window.orderBy(col("cos").desc, col("doc_id"))
     val ref = vec
       .withColumn("r", row_number().over(w).cast("long"))
-      .select(col("doc_id"), col("r"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select(col("doc_id"), col("cos"), col("r"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val byRank = ref.sortBy(_._3)
     // head, tail, and a mid-range slice — the corpus cosine has heavy
     // ties (16-term count vectors), so tie-break ranks are exercised
-    val byRank = ref.toSeq.sortBy(_._2)
     val cands = (byRank.take(5) ++ byRank.slice(120, 130) ++
-      byRank.takeRight(5)).map(_._1)
-    val got = graft.queries.VectorQueries
-      .candRanks(vec, "cos", cands, "r")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.keySet == cands.toSet)
-    cands.foreach { d => assert(got(d) == ref(d), s"doc $d") }
+      byRank.takeRight(5)).map { case (d, sc, _) => d -> sc }.toSeq
+    val refRank = ref.map { case (d, _, r) => d -> r }.toMap
+    val got = graft.queries.VectorQueries.exactRanks(vec, "cos", cands)
+    assert(got.keySet == cands.map(_._1).toSet)
+    cands.foreach { case (d, _) =>
+      assert(got(d) == refRank(d), s"doc $d") }
   }
 
   test("the HybridC candidate bound is strict") {

@@ -386,17 +386,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(x22.contains("TakeOrderedAndProject"), s"x22 should TopK:\n$x22")
     assert(!x22.contains("Join"), s"x22 must not join at runtime:\n$x22")
     // r16: v14 computes the corpus-wide-rank SPEC with no window node of
-    // any kind — bounded top-C candidates (TakeOrderedAndProject inside
-    // the construction-time collects) plus a count-aggregate whose
-    // broadcast side is the ≤ 2C candidate rows. The
-    // BroadcastNestedLoopJoin is that deliberately BOUNDED rank count
-    // (never corpus × corpus — CartesianProduct stays banned).
+    // any kind — bounded top-C candidates (TakeOrderedAndProject in the
+    // construction-time actions; the v16 test below pins that shape on
+    // the shared candidate stages) + RankBucket histogram ranks; the
+    // returned plan is the ≤ 2C-row driver-fused table. Nothing may
+    // sort, window or cross-join the corpus.
     val v14 = plan("v14_hybrid_rrf")
     assert(!v14.contains("Window"),
       s"v14 must not rank with a window (single-partition sort):\n$v14")
     assert(!v14.contains("CartesianProduct"),
       s"v14 fused an all-pairs join:\n$v14")
-    assert(v14.contains("TakeOrderedAndProject"), s"v14 should TopK:\n$v14")
+    assert(v14.contains("LocalTableScan"),
+      s"v14's fused output should be the bounded driver table:\n$v14")
   }
 
   test("d14: CDC dedup shuffles digests and doc ids, never text") {
