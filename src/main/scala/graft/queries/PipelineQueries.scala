@@ -173,8 +173,7 @@ object PipelineQueries {
         val bytes = PdfWriter.build(pages, compress = id % 2 == 0)
         val blocks = RealPdfExtractor.extract(s"pdf/$id.pdf", bytes)
         val lossless = blocks.filter(!_.isImage).map(_.content) == paras
-        val segs = PdfSource.parsePdf(s"pdf/$id", s"pdf/$id.pdf", bytes,
-          RealPdfExtractor)
+        val segs = PdfSource.parseBlocks(s"pdf/$id", blocks)
         (id, pages.length, blocks.length, segs.length,
           segs.count(_.kind == "code"), segs.map(_.content.length).sum,
           lossless, bytes.length)
@@ -210,8 +209,7 @@ object PipelineQueries {
         val bytes = PdfWriter.buildCid(pages, compress = id % 2 == 0)
         val blocks = RealPdfExtractor.extract(s"cid/$id.pdf", bytes)
         val lossless = blocks.filter(!_.isImage).map(_.content) == paras
-        val segs = PdfSource.parsePdf(s"cid/$id", s"cid/$id.pdf", bytes,
-          RealPdfExtractor)
+        val segs = PdfSource.parseBlocks(s"cid/$id", blocks)
         (id, pages.length, blocks.length, segs.length,
           segs.map(_.content.length).sum, lossless, bytes.length)
       })
@@ -282,8 +280,7 @@ object PipelineQueries {
           else PdfWriter.buildCidNoToUni(pages, compress = id % 2 == 0)
         val blocks = RealPdfExtractor.extract(s"subset/$id.pdf", bytes)
         val lossless = blocks.filter(!_.isImage).map(_.content) == paras
-        val segs = PdfSource.parsePdf(s"subset/$id", s"subset/$id.pdf", bytes,
-          RealPdfExtractor)
+        val segs = PdfSource.parseBlocks(s"subset/$id", blocks)
         (id, pages.length, blocks.length, segs.length,
           segs.map(_.content.length).sum, lossless, bytes.length)
       })
@@ -319,8 +316,7 @@ object PipelineQueries {
         val bytes = PdfWriter.buildCidCff(pages, compress = id % 2 == 0)
         val blocks = RealPdfExtractor.extract(s"cff/$id.pdf", bytes)
         val lossless = blocks.filter(!_.isImage).map(_.content) == paras
-        val segs = PdfSource.parsePdf(s"cff/$id", s"cff/$id.pdf", bytes,
-          RealPdfExtractor)
+        val segs = PdfSource.parseBlocks(s"cff/$id", blocks)
         (id, pages.length, blocks.length, segs.length,
           segs.map(_.content.length).sum, lossless, bytes.length)
       })
@@ -363,8 +359,7 @@ object PipelineQueries {
           compress = id % 2 == 0, cipher = cipher)
         val blocks = RealPdfExtractor.extract(s"enc/$id.pdf", bytes)
         val lossless = blocks.filter(!_.isImage).map(_.content) == paras
-        val segs = PdfSource.parsePdf(s"enc/$id", s"enc/$id.pdf", bytes,
-          RealPdfExtractor)
+        val segs = PdfSource.parseBlocks(s"enc/$id", blocks)
         (id, cipher, pages.length, blocks.length,
           segs.length, segs.map(_.content.length).sum, lossless,
           bytes.length)

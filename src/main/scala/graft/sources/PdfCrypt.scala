@@ -220,28 +220,46 @@ object PdfCrypt {
     if (r < 6) return k
     // ONE cipher instance re-init'd per round: Cipher.getInstance is a
     // provider lookup and dominated the (deliberately expensive) hash —
-    // measured 6.7 s → ~2 s on the 167-doc AES-256 fixture slice
+    // measured 6.7 s → ~2 s on the 167-doc AES-256 fixture slice.
+    // r16, same class of fix for the remaining per-round overheads:
+    // the three MessageDigest instances construct once per call (not a
+    // provider lookup per round), and the 64-copy block + ciphertext
+    // reuse two max-size buffers across rounds (k grows 32→48→64 as the
+    // SHA variant flips, so the per-round slice length varies while the
+    // buffers do not). Arithmetic unchanged — rounds, copy layout, mod-3
+    // digest pick and termination byte are byte-identical.
     val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
-    var e: Array[Byte] = Array.emptyByteArray
+    val digests = Array(
+      MessageDigest.getInstance("SHA-256"),
+      MessageDigest.getInstance("SHA-384"),
+      MessageDigest.getInstance("SHA-512"))
+    val maxBlock = pwd.length + 64 + udata.length
+    val k1 = new Array[Byte](maxBlock * 64)
+    val enc = new Array[Byte](maxBlock * 64)
+    var eLen = 0
+    var eLast = 0
     var i = 0
-    while (i < 64 || (e(e.length - 1) & 0xff) > i - 32) {
-      val block = pwd ++ k ++ udata
-      val k1 = new Array[Byte](block.length * 64)
-      var j = 0
+    while (i < 64 || eLast > i - 32) {
+      val blockLen = pwd.length + k.length + udata.length
+      System.arraycopy(pwd, 0, k1, 0, pwd.length)
+      System.arraycopy(k, 0, k1, pwd.length, k.length)
+      System.arraycopy(udata, 0, k1, pwd.length + k.length, udata.length)
+      var j = 1
       while (j < 64) {
-        System.arraycopy(block, 0, k1, j * block.length, block.length)
+        System.arraycopy(k1, 0, k1, j * blockLen, blockLen)
         j += 1
       }
       cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
         new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
         new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
-      e = cipher.doFinal(k1)
-      val mod = e.take(16).map(_ & 0xff).sum % 3
-      k = sha(mod match {
-        case 0 => "SHA-256"
-        case 1 => "SHA-384"
-        case _ => "SHA-512"
-      }, e)
+      eLen = cipher.doFinal(k1, 0, blockLen * 64, enc, 0)
+      eLast = enc(eLen - 1) & 0xff
+      var sum16 = 0
+      var t = 0
+      while (t < 16) { sum16 += enc(t) & 0xff; t += 1 }
+      val d = digests(sum16 % 3)
+      d.update(enc, 0, eLen)
+      k = d.digest() // digest() resets the instance for the next round
       i += 1
     }
     k.take(32)

@@ -182,6 +182,21 @@ object PdfSource {
     else detectCodeBlocks(mergedSegs)
   }
 
+  /** [[parsePdf]] over PRE-EXTRACTED blocks (no OCR hook): callers that
+    * already ran extract() on the same bytes — every p-family query
+    * computes its `lossless` witness from one extract and its segments
+    * from another — must not decode the file twice (r16: at sf1 the
+    * double decode was half the read-side cost of the codec queries;
+    * for AES-256 docs it re-ran the deliberately-expensive V5 KDF).
+    * Identical output to `parsePdf(…, ocr = None)` by construction:
+    * with no OCR provider both nText = 0 and the vision-fallback branch
+    * degrade to `detectCodeBlocks(merged)`. */
+  def parseBlocks(documentId: String, blocks: Seq[PdfBlock])
+      : Seq[RawSegment] = {
+    val (segments, _, _) = blocksToSegments(documentId, blocks)
+    detectCodeBlocks(mergeAdjacentTextBlocks(segments))
+  }
+
   // ---- S7 — distributed directory scan ----
 
   /** Read a directory/glob of source files as [[DocInput]]s via Spark's
